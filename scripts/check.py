@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 scripts/check.py [sfdir] [outdir]
+Reads outdir/<name>/ parquet (written by graft.Verify) and
+outdir/oracle_sql.json, runs each oracle in DuckDB over the sfdir
+tables, and compares (columns sorted by name, rows sorted, values
+exact after stringify-with-rounding).
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if np.issubdtype(s.dtype, np.floating):
+            df[c] = s.round(6)
+        elif np.issubdtype(s.dtype, np.datetime64):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.apply(lambda v: tuple(np.asarray(v).round(6).tolist())
+                            if isinstance(v, (list, np.ndarray)) else v)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    n_ok = 0
+    names = sorted(set(oracle) | {g.split("/")[-1] for g in glob.glob(f"{outdir}/*") if not g.endswith(".json")})
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); continue
+        spark_df = pd.read_parquet(files[0])
+        if name not in oracle:
+            print(f"rows {name}: {len(spark_df)} rows (no oracle)"); continue
+        try:
+            duck_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); continue
+        a, b = canon(spark_df), canon(duck_df)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); continue
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+            print(f"OK   {name} ({len(a)} rows)"); n_ok += 1
+        except AssertionError as e:
+            print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
+            merged = a.compare(b) if a.shape == b.shape else None
+            if merged is not None and not merged.empty:
+                print(merged.head(5))
+    print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked OK ==")
+
+if __name__ == "__main__":
+    main()

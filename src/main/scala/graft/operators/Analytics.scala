@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-analytics operators — the role Trino plays over the reference's
+  * gold Iceberg tables (ref: `README.md` §7.3 "SQL analytics on Iceberg
+  * tables … research queries for feature engineering").
+  *
+  * Scale notes (SURVEY §5): dimension joins take `broadcast()` hints so
+  * the fact table never shuffles for them; fact-fact joins shuffle on
+  * the join key only after filters are pushed to the scan. Aggregates
+  * are plain `groupBy` → Catalyst plans partial (map-side) aggregation
+  * automatically.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: single scan, partial agg. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: revenue of top unshipped orders for a segment.
+    * `customer` is a dim → broadcast; `orders⨝lineitem` shuffles on
+    * orderkey (the only unavoidable shuffle).
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style: revenue per nation within a region. All dims
+    * broadcast (region/nation/customer/supplier are tiny vs lineitem).
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                    regionName: String): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k rows per group by a ranking column — window `row_number`,
+    * deterministic tie-break on the id column. One shuffle by group key.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, rankCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(rankCol).desc, col(idCol))
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col(groupCol), col("rnk"))
+  }
+
+  /** Hierarchical rollup; grouping nulls replaced by 'ALL' so ordering
+    * is engine-independent (SURVEY §6). */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Customers with no orders — left-anti join (research/validation
+    * query shape; no row explosion, shuffles on custkey only). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+}

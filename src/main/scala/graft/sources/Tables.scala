@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the TPC-H-ish test layout (TESTDATA.md).
+  *
+  * Mirrors the reference's gold-table read path (ref: `Apache
+  * Iceberg/metadata_layer.py:76-85` — `datetime/bid/ask` gold tables):
+  * every query starts from a declarative parquet scan so Catalyst pushes
+  * filters and column pruning into the scan itself. At 100 TB this is
+  * the difference between reading a projection and reading the table.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Tick view over `events` (SURVEY §3): the reference's tick schema is
+    * `(DateTime, Bid, Ask)` (ref: `Data Preprocessing and
+    * Cleaning/spark_csv_parquet_converter_ver_1.py:67`); we map
+    * `symbol=user_id, bid=value` and derive `ask` deterministically so
+    * spread arithmetic is exercised. The same derivation appears verbatim
+    * in the DuckDB oracle SQL (`SparkEntry.ticksSql`).
+    */
+  def ticks(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      col("user_id").as("symbol"),
+      col("ts"),
+      col("value").as("bid"),
+      (col("value") * lit(1.0002) + lit(0.01)).as("ask"))
+}
