@@ -19,7 +19,7 @@ object SparkEntry {
 
   /** Tick view over events — same derivation as Tables.ticks (SURVEY §3). */
   val ticksSql: String =
-    "(SELECT user_id AS symbol, ts, value AS bid, value*1.0002+0.01 AS ask FROM events)"
+    "(SELECT event_id AS tick_id, user_id AS symbol, ts, value AS bid, value*1.0002+0.01 AS ask FROM events)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
@@ -37,7 +37,30 @@ object SparkEntry {
         "p_partkey", 3)),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
     "q_anti_join" -> ((s, d) =>
-      Analytics.customersWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+      Analytics.customersWithoutOrders(Tables.customer(s, d),
+        Tables.orders(s, d).filter(
+          org.apache.spark.sql.functions.col("o_orderdate") >=
+            org.apache.spark.sql.functions.lit("2001-06-01 00:00:00").cast("timestamp")))),
+
+    // ---- A. Ingest & storage (SURVEY §2.A) ----
+    "q_quality_scan" -> ((s, d) =>
+      Lakehouse.qualityScan(Tables.events(s, d), "event_type",
+        Seq("user_id", "value", "props"))),
+    "q_partition_stats" -> ((s, d) =>
+      Lakehouse.partitionStats(Tables.orders(s, d), "o_orderdate", "o_totalprice")),
+    "q_time_travel" -> ((s, d) =>
+      Lakehouse.snapshotAsOf(Tables.events(s, d),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"),
+        "event_type")),
+
+    // ---- B. Tick cleaning (SURVEY §2.B) ----
+    "q_session_filter" -> ((s, d) => TickOps.sessionWindowFilter(Tables.ticks(s, d))),
+    "q_downsample_1s" -> ((s, d) => TickOps.secondDownsample(Tables.ticks(s, d))),
+    "q_daily_window_counts" -> ((s, d) => TickOps.dailyWindowCounts(Tables.ticks(s, d))),
+    "q_ffill" -> ((s, d) => TickOps.forwardFill(Tables.ticks(s, d), 10.0)),
+    "q_tick_dedup" -> ((s, d) => TickOps.tickDedup(Tables.ticks(s, d))),
+    "q_tz_shift" -> ((s, d) => TickOps.shiftTz(Tables.ticks(s, d), 2)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -89,7 +112,63 @@ object SparkEntry {
         |ORDER BY returnflag, linestatus""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_quality_scan" ->
+      """SELECT event_type, count(*) AS total_rows,
+        |  count(*) FILTER (WHERE user_id IS NULL) AS user_id_nulls,
+        |  count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+        |  count(*) FILTER (WHERE props IS NULL) AS props_nulls
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_partition_stats" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n_rows,
+        |  round(sum(o_totalprice),4) AS sum_val
+        |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+    "q_time_travel" ->
+      """SELECT event_type, count(*) AS n_rows FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_session_filter" ->
+      s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,
+        |  round(bid,4) AS bid, round(ask,4) AS ask
+        |FROM $ticksSql t
+        |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |ORDER BY symbol, tick_id""".stripMargin,
+    "q_downsample_1s" ->
+      s"""SELECT symbol, date_trunc('second', ts) AS ts_s,
+        |  min(tick_id) AS tick_id,
+        |  round(arg_min(bid, tick_id),4) AS bid,
+        |  round(arg_min(ask, tick_id),4) AS ask
+        |FROM $ticksSql t
+        |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |GROUP BY symbol, date_trunc('second', ts)
+        |ORDER BY symbol, ts_s""".stripMargin,
+    "q_daily_window_counts" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date,
+        |  count(*) FILTER (WHERE hour(ts) = 7 AND minute(ts) >= 50) AS ticks_window1,
+        |  count(*) FILTER (WHERE hour(ts) = 13 AND minute(ts) >= 50) AS ticks_window2
+        |FROM $ticksSql t
+        |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY date""".stripMargin,
+    "q_ffill" ->
+      s"""SELECT tick_id, symbol,
+        |  round(CASE WHEN bid < 10 THEN NULL ELSE bid END, 4) AS bid_raw,
+        |  round(last_value(CASE WHEN bid < 10 THEN NULL ELSE bid END IGNORE NULLS)
+        |    OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS bid_filled
+        |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
+    "q_tick_dedup" ->
+      s"""SELECT tick_id, symbol, ts_m, round(bid,4) AS bid FROM (
+        |  SELECT tick_id, symbol, date_trunc('minute', ts) AS ts_m, bid,
+        |    row_number() OVER (PARTITION BY symbol, date_trunc('minute', ts)
+        |      ORDER BY tick_id) AS rn
+        |  FROM $ticksSql t) x
+        |WHERE rn = 1 ORDER BY symbol, ts_m""".stripMargin,
+    "q_tz_shift" ->
+      s"""SELECT tick_id, symbol,
+        |  date_trunc('second', ts + INTERVAL 2 HOUR) AS ts_shifted,
+        |  hour(ts + INTERVAL 2 HOUR) AS hour_shifted
+        |FROM $ticksSql t ORDER BY tick_id""".stripMargin,
   )
 }

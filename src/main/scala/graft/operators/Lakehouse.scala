@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-maintenance analogs of the reference's Iceberg/Trino layer
+  * and its driver-side quality scanner.
+  */
+object Lakehouse {
+
+  /** A2 — data-quality scan. The reference loops over every parquet
+    * file on the driver issuing one `count()` per column per file
+    * (ref: `Data Preprocessing and Cleaning/spark_data_cleaner_script.py:18-63`)
+    * — O(files × columns) Spark jobs. Here: ONE job, grouped
+    * conditional aggregation; at 100 TB this is a single scan with
+    * partial aggregation instead of thousands of jobs.
+    */
+  def qualityScan(df: DataFrame, groupCol: String, cols: Seq[String]): DataFrame = {
+    val nullCounts = cols.map(c =>
+      count(when(col(c).isNull, 1)).as(s"${c}_nulls"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total_rows"), nullCounts: _*)
+      .orderBy(groupCol)
+  }
+
+  /** A3 — partition statistics: rows per year partition, the core
+    * "what data do I have" check the reference runs through Trino
+    * (ref: `Apache Iceberg/iceberg_time_travel.py:100-121`). On a real
+    * deployment the table is partitioned by `year(ts)` (ref:
+    * `metadata_layer.py:76-85`) and this reads only partition metadata.
+    */
+  def partitionStats(df: DataFrame, tsCol: String, valCol: String): DataFrame =
+    df.groupBy(year(col(tsCol)).as("yr"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col(valCol)), 4).as("sum_val"))
+      .orderBy("yr")
+
+  /** A4 — snapshot/time-travel emulation: an append-only log is
+    * filtered "as of" a cutoff and summarized — the semantics of
+    * `FOR VERSION AS OF` row counting in the reference
+    * (ref: `Apache Iceberg/iceberg_time_travel.py:43-66,100-121`)
+    * without an Iceberg catalog. The cutoff predicate is pushed into
+    * the scan (partition pruning on a partitioned table).
+    */
+  def snapshotAsOf(df: DataFrame, snapshotCol: Column, cutoff: Column,
+                   groupCol: String): DataFrame =
+    df.filter(snapshotCol <= cutoff)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(groupCol)
+}

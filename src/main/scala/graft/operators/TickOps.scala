@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tick-cleaning operators — the distributed re-expression of the
+  * reference's session-window cleaner and statistics scripts.
+  *
+  * The reference processes one symbol folder at a time on the driver
+  * (ref: `Data Preprocessing and Cleaning/spark_session_window_tick_cleaner.py:98-184`);
+  * here every operator is a single declarative plan over ALL symbols at
+  * once — one shuffle keyed by symbol (or (symbol, window)) regardless
+  * of symbol count, which is what survives a 1000-executor scale-up.
+  *
+  * Determinism: window orderings use `tick_id` (unique, monotone with
+  * ingest order) as the final key, never the raw nanosecond timestamp
+  * (SURVEY §6).
+  */
+object TickOps {
+
+  /** Morning/afternoon session windows from the reference
+    * (ref: `spark_session_window_tick_cleaner.py:141-144`,
+    * `symbol_statistics_generate.py:30-31`): 07:50–08:00, 13:50–14:00.
+    */
+  val MorningH = 7; val AfternoonH = 13; val FromMin = 50
+
+  private def inSessionWindow(ts: org.apache.spark.sql.Column) = {
+    val h = hour(ts); val m = minute(ts)
+    ((h === MorningH) || (h === AfternoonH)) && (m >= FromMin)
+  }
+
+  /** B1 — keep only ticks inside the two daily session windows.
+    * Pure filter → pushed into the parquet scan by Catalyst.
+    * (ref: spark_session_window_tick_cleaner.py:141-144) */
+  def sessionWindowFilter(ticks: DataFrame): DataFrame =
+    ticks.filter(inSessionWindow(col("ts")))
+      .select(col("tick_id"), col("symbol"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        round(col("bid"), 4).as("bid"), round(col("ask"), 4).as("ask"))
+      .orderBy("symbol", "tick_id")
+
+  /** B2 — 1-second downsample: first tick per (symbol, second), where
+    * "first" = lowest tick_id (the reference takes the first non-null
+    * within the truncated second, ref: cleaner.py:150-161). `min_by`
+    * keeps this a single hash aggregation — no window, no sort of the
+    * full data, partial agg on the map side.
+    */
+  def secondDownsample(ticks: DataFrame): DataFrame =
+    ticks
+      .filter(inSessionWindow(col("ts")))
+      .groupBy(col("symbol"), date_trunc("second", col("ts")).as("ts_s"))
+      .agg(
+        min("tick_id").as("tick_id"),
+        round(min_by(col("bid"), col("tick_id")), 4).as("bid"),
+        round(min_by(col("ask"), col("tick_id")), 4).as("ask"))
+      .orderBy("symbol", "ts_s")
+
+  /** B3 — daily tick counts per session window. The reference runs two
+    * filtered aggregations and outer-joins them with zero-fill
+    * (ref: `symbol_statistics_generate.py:70-81`) — two scans + a
+    * shuffle join. Here: ONE scan, conditional aggregation, zero-fill
+    * free (count of an always-false filter is 0). SURVEY §5.
+    */
+  def dailyWindowCounts(ticks: DataFrame): DataFrame = {
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val w1 = (h === MorningH) && (m >= FromMin)
+    val w2 = (h === AfternoonH) && (m >= FromMin)
+    ticks.filter(w1 || w2)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .agg(
+        count(when(w1, 1)).as("ticks_window1"),
+        count(when(w2, 1)).as("ticks_window2"))
+      .orderBy("date")
+  }
+
+  /** B4 — forward-fill nulls per symbol in ingest order, the
+    * distributed version of pandas `ffill` feature cleaning
+    * (ref: `ML Model/Scripts/model.py:227-229`). Missing values are
+    * synthesized deterministically (bid < threshold → null) so the
+    * operator has something to fill on the synthetic data; the fill
+    * itself is `last(ignoreNulls)` over a running window — one shuffle
+    * by symbol, linear scan within partitions.
+    */
+  def forwardFill(ticks: DataFrame, missingBelow: Double): DataFrame = {
+    val raw = when(col("bid") < missingBelow, lit(null)).otherwise(col("bid"))
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ticks
+      .withColumn("bid_raw", raw)
+      .withColumn("bid_filled", last("bid_raw", ignoreNulls = true).over(w))
+      .select(col("tick_id"), col("symbol"),
+        round(col("bid_raw"), 4).as("bid_raw"),
+        round(col("bid_filled"), 4).as("bid_filled"))
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** B5 — tick dedup: keep the earliest tick per (symbol, minute) —
+    * the reference achieves uniqueness by cross-file ordering + first()
+    * (ref: cleaner.py:59-88,150-161); here a window row_number with a
+    * deterministic tie-break. */
+  def tickDedup(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), col("ts_m")).orderBy("tick_id")
+    ticks
+      .withColumn("ts_m", date_trunc("minute", col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tick_id"), col("symbol"), col("ts_m"),
+        round(col("bid"), 4).as("bid"))
+      .orderBy("symbol", "ts_m")
+  }
+
+  /** B6 — broker timezone shift (+2h), ref: `ML Model/Scripts/data_loader.py:50`. */
+  def shiftTz(ticks: DataFrame, hours: Int): DataFrame =
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      date_trunc("second", col("ts") + expr(s"INTERVAL $hours HOURS")).as("ts_shifted"),
+      hour(col("ts") + expr(s"INTERVAL $hours HOURS")).as("hour_shifted"))
+      .orderBy("tick_id")
+}

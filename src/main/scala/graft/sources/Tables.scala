@@ -22,7 +22,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4
+    * refuses by default ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
+    * (`nanosAsLong`) and truncate to a µs TimestampType with integer
+    * division (`div`, not `/` — a double roundtrip of an ~1.7e18 nanos
+    * value loses ~256 ns of precision). DuckDB keeps the native ns
+    * value, so queries only emit second-or-coarser truncations
+    * (SURVEY §6).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
@@ -35,6 +47,7 @@ object Tables {
     */
   def ticks(s: SparkSession, d: String): DataFrame =
     events(s, d).select(
+      col("event_id").as("tick_id"),
       col("user_id").as("symbol"),
       col("ts"),
       col("value").as("bid"),

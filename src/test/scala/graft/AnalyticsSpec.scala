@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Analytics, Lakehouse}
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup ranks within group with deterministic ties") {
+    val df = Seq(
+      (1L, "A", 10.0), (2L, "A", 10.0), (3L, "A", 5.0), (4L, "B", 1.0))
+      .toDF("id", "grp", "score")
+    val out = Analytics.topKPerGroup(df, "grp", "score", "id", 2)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L, 2L, 4L)) // tie broken by id; B has only one row
+  }
+
+  test("rollupSummary emits per-group, subtotal and grand-total rows") {
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = Analytics.rollupSummary(df)
+      .as[(String, String, Double, Long)].collect().toSeq
+    assert(out.contains(("ALL", "ALL", 6.0, 3L)))
+    assert(out.contains(("A", "ALL", 3.0, 2L)))
+    assert(out.contains(("B", "x", 3.0, 1L)))
+  }
+
+  test("customersWithoutOrders is a left-anti join") {
+    val cust = Seq((1L, "a", "S"), (2L, "b", "S"))
+      .toDF("c_custkey", "c_name", "c_mktsegment")
+    val ords = Seq(Tuple1(1L)).toDF("o_custkey")
+    val out = Analytics.customersWithoutOrders(cust, ords)
+      .select("c_custkey").as[Long].collect().toSeq
+    assert(out == Seq(2L))
+  }
+
+  test("qualityScan counts nulls per column in one pass") {
+    val df = Seq(
+      ("click", Some(1L), Some(1.0)), ("click", None, Some(2.0)),
+      ("view", Some(2L), None))
+      .toDF("event_type", "user_id", "value")
+    val out = Lakehouse.qualityScan(df, "event_type", Seq("user_id", "value"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("click", 2L, 1L, 0L), ("view", 1L, 0L, 1L)))
+  }
+
+  test("snapshotAsOf filters the append log at a cutoff") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val out = Lakehouse.snapshotAsOf(df, col("v"), lit(2), "k")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L)))
+  }
+}

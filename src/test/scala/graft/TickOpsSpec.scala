@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.TickOps
+
+class TickOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // (tick_id, symbol, ts, bid, ask)
+  private def ticks(rows: (Long, Long, String, Double, Double)*) =
+    rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+
+  test("sessionWindowFilter keeps only 07:50+ and 13:50+ ticks") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 07:49:59.5", 10.0, 10.1),
+      (2L, 1L, "2024-01-01 07:50:00.0", 11.0, 11.1),
+      (3L, 1L, "2024-01-01 13:55:30.0", 12.0, 12.1),
+      (4L, 1L, "2024-01-01 14:00:00.0", 13.0, 13.1))
+    val out = TickOps.sessionWindowFilter(df)
+    assert(out.select("tick_id").as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("secondDownsample keeps first tick per (symbol, second)") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 07:55:01.100", 10.0, 10.1),
+      (2L, 1L, "2024-01-01 07:55:01.900", 99.0, 99.1), // same second, dropped
+      (3L, 1L, "2024-01-01 07:55:02.000", 12.0, 12.1),
+      (4L, 2L, "2024-01-01 07:55:01.500", 20.0, 20.1)) // other symbol kept
+    val out = TickOps.secondDownsample(df).collect()
+    assert(out.length == 3)
+    val s1 = out.filter(_.getLong(0) == 1L).map(r => (r.getLong(2), r.getDouble(3)))
+    assert(s1.toSet == Set((1L, 10.0), (3L, 12.0)))
+  }
+
+  test("dailyWindowCounts zero-fills a window with no ticks") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 07:55:00", 1.0, 1.1),
+      (2L, 1L, "2024-01-01 07:56:00", 1.0, 1.1),
+      (3L, 1L, "2024-01-02 13:55:00", 1.0, 1.1))
+    val out = TickOps.dailyWindowCounts(df)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("2024-01-01", 2L, 0L), ("2024-01-02", 0L, 1L)))
+  }
+
+  test("forwardFill carries last valid value, leading nulls stay null") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 5.0, 5.1),   // below threshold -> null
+      (2L, 1L, "2024-01-01 00:00:02", 50.0, 50.1),
+      (3L, 1L, "2024-01-01 00:00:03", 7.0, 7.1),   // null -> filled 50.0
+      (4L, 1L, "2024-01-01 00:00:04", 60.0, 60.1))
+    val out = TickOps.forwardFill(df, 10.0)
+      .select("bid_filled").collect().map(r => Option(r.get(0)))
+    assert(out.toSeq == Seq(None, Some(50.0), Some(50.0), Some(60.0)))
+  }
+
+  test("tickDedup keeps lowest tick_id per (symbol, minute)") {
+    val df = ticks(
+      (5L, 1L, "2024-01-01 00:01:30", 1.0, 1.1),
+      (2L, 1L, "2024-01-01 00:01:10", 2.0, 2.1), // lower id, same minute -> kept
+      (7L, 1L, "2024-01-01 00:02:00", 3.0, 3.1))
+    val kept = TickOps.tickDedup(df).select("tick_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L, 7L))
+  }
+
+  test("shiftTz adds broker offset") {
+    val df = ticks((1L, 1L, "2024-01-01 23:30:00", 1.0, 1.1))
+    val r = TickOps.shiftTz(df, 2).collect().head
+    assert(r.getTimestamp(2) == t("2024-01-02 01:30:00"))
+    assert(r.getInt(3) == 1)
+  }
+}
