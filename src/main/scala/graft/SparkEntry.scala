@@ -61,6 +61,21 @@ object SparkEntry {
     "q_ffill" -> ((s, d) => TickOps.forwardFill(Tables.ticks(s, d), 10.0)),
     "q_tick_dedup" -> ((s, d) => TickOps.tickDedup(Tables.ticks(s, d))),
     "q_tz_shift" -> ((s, d) => TickOps.shiftTz(Tables.ticks(s, d), 2)),
+
+    // ---- D. Feature engineering & anomaly pipeline (SURVEY §2.D) ----
+    "q_features_spread" -> ((s, d) => Features.tickFeatures(Tables.ticks(s, d))),
+    "q_rolling_stats" -> ((s, d) => Features.rollingStats(Tables.ticks(s, d), 5)),
+    "q_log_returns" -> ((s, d) => Features.logReturns(Tables.ticks(s, d))),
+    "q_anomaly_zscore" -> ((s, d) => Features.zScoreAnomaly(Tables.ticks(s, d), 3.0)),
+    "q_anomaly_threshold" -> ((s, d) =>
+      Features.anomalyThresholds(Tables.events(s, d), "value", Seq(92.0, 99.5))),
+    "q_resample_ticks" -> ((s, d) => Features.resampleWindow(Tables.ticks(s, d), 8)),
+    "q_chrono_split" -> ((s, d) => Features.chronoSplit(Tables.ticks(s, d), 0.6, 0.2)),
+    "q_standard_scale" -> ((s, d) =>
+      Features.standardScale(Tables.events(s, d), "value", "event_id",
+        org.apache.spark.sql.functions.col("ts") <=
+          org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -131,15 +146,15 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_session_filter" ->
       s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,
-        |  round(bid,4) AS bid, round(ask,4) AS ask
+        |  bid, ask
         |FROM $ticksSql t
         |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
         |ORDER BY symbol, tick_id""".stripMargin,
     "q_downsample_1s" ->
       s"""SELECT symbol, date_trunc('second', ts) AS ts_s,
         |  min(tick_id) AS tick_id,
-        |  round(arg_min(bid, tick_id),4) AS bid,
-        |  round(arg_min(ask, tick_id),4) AS ask
+        |  arg_min(bid, tick_id) AS bid,
+        |  arg_min(ask, tick_id) AS ask
         |FROM $ticksSql t
         |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
         |GROUP BY symbol, date_trunc('second', ts)
@@ -153,13 +168,13 @@ object SparkEntry {
         |GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY date""".stripMargin,
     "q_ffill" ->
       s"""SELECT tick_id, symbol,
-        |  round(CASE WHEN bid < 10 THEN NULL ELSE bid END, 4) AS bid_raw,
-        |  round(last_value(CASE WHEN bid < 10 THEN NULL ELSE bid END IGNORE NULLS)
+        |  CASE WHEN bid < 10 THEN NULL ELSE bid END AS bid_raw,
+        |  last_value(CASE WHEN bid < 10 THEN NULL ELSE bid END IGNORE NULLS)
         |    OVER (PARTITION BY symbol ORDER BY tick_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS bid_filled
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid_filled
         |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
     "q_tick_dedup" ->
-      s"""SELECT tick_id, symbol, ts_m, round(bid,4) AS bid FROM (
+      s"""SELECT tick_id, symbol, ts_m, bid FROM (
         |  SELECT tick_id, symbol, date_trunc('minute', ts) AS ts_m, bid,
         |    row_number() OVER (PARTITION BY symbol, date_trunc('minute', ts)
         |      ORDER BY tick_id) AS rn
@@ -170,5 +185,75 @@ object SparkEntry {
         |  date_trunc('second', ts + INTERVAL 2 HOUR) AS ts_shifted,
         |  hour(ts + INTERVAL 2 HOUR) AS hour_shifted
         |FROM $ticksSql t ORDER BY tick_id""".stripMargin,
+    "q_features_spread" ->
+      s"""SELECT tick_id, symbol, greatest(ask - bid, 0) AS spread,
+        |  (bid + ask) / 2.0 AS mid
+        |FROM $ticksSql t ORDER BY tick_id""".stripMargin,
+    "q_rolling_stats" ->
+      s"""SELECT tick_id, symbol,
+        |  round(avg(bid) OVER w, 4) AS roll_avg,
+        |  round(stddev_samp(bid) OVER w, 4) AS roll_std
+        |FROM $ticksSql t
+        |WINDOW w AS (PARTITION BY symbol ORDER BY tick_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY symbol, tick_id""".stripMargin,
+    "q_log_returns" ->
+      s"""SELECT tick_id, symbol,
+        |  ln(bid / lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id)) AS log_ret
+        |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
+    "q_anomaly_zscore" ->
+      s"""SELECT tick_id, symbol, round(z, 4) AS zscore, abs(z) > 3.0 AS is_anomaly
+        |FROM (SELECT tick_id, symbol,
+        |    (bid - avg(bid) OVER (PARTITION BY symbol))
+        |      / stddev_samp(bid) OVER (PARTITION BY symbol) AS z
+        |  FROM $ticksSql t) x
+        |ORDER BY symbol, tick_id""".stripMargin,
+    "q_anomaly_threshold" ->
+      """WITH thr AS (SELECT quantile_cont(value, 0.92) AS t0,
+        |    quantile_cont(value, 0.995) AS t1 FROM events)
+        |SELECT 92.0 AS pct, round(t0, 4) AS threshold,
+        |  (SELECT count(*) FROM events WHERE value > thr.t0) AS n_above FROM thr
+        |UNION ALL
+        |SELECT 99.5 AS pct, round(t1, 4) AS threshold,
+        |  (SELECT count(*) FROM events WHERE value > thr.t1) AS n_above FROM thr
+        |ORDER BY pct""".stripMargin,
+    "q_resample_ticks" ->
+      s"""WITH b AS (SELECT tick_id, symbol, strftime(ts, '%Y-%m-%d') AS date, bid,
+        |    row_number() OVER (PARTITION BY symbol, strftime(ts, '%Y-%m-%d')
+        |      ORDER BY tick_id) AS rn,
+        |    count(*) OVER (PARTITION BY symbol, strftime(ts, '%Y-%m-%d')) AS cnt
+        |  FROM $ticksSql t),
+        |g AS (SELECT DISTINCT symbol, date, cnt FROM b),
+        |idx AS (SELECT symbol, date, i,
+        |    CASE WHEN cnt = 1 THEN 1 ELSE (i * (cnt - 1)) // 7 + 1 END AS target_rn
+        |  FROM g, (SELECT unnest(range(8)) AS i) s)
+        |SELECT idx.symbol, idx.date, idx.i, b.rn AS src_rn, b.bid AS bid
+        |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
+        |  AND b.rn = idx.target_rn
+        |ORDER BY idx.symbol, idx.date, idx.i""".stripMargin,
+    "q_chrono_split" ->
+      """WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events),
+        |d2 AS (SELECT date, row_number() OVER (ORDER BY date) AS rn,
+        |    count(*) OVER () AS n FROM days)
+        |SELECT date, rn,
+        |  CASE WHEN rn <= floor(n * 0.6) THEN 'train'
+        |       WHEN rn <= floor(n * 0.6) + floor(n * 0.2) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM d2 ORDER BY date""".stripMargin,
+    "q_standard_scale" ->
+      """WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT event_id, round((value - mu) / sigma, 4) AS scaled
+        |FROM events, s ORDER BY event_id""".stripMargin,
+    "q_walk_forward" ->
+      """SELECT fold, date, role FROM (
+        |  SELECT fold, date,
+        |    CASE WHEN rn >= fold * 5 + 1 AND rn < fold * 5 + 11 THEN 'train'
+        |         WHEN rn >= fold * 5 + 11 AND rn < fold * 5 + 14 THEN 'test'
+        |    END AS role
+        |  FROM (SELECT date, row_number() OVER (ORDER BY date) AS rn
+        |    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events) d) d2,
+        |    (SELECT unnest(range(4)) AS fold) f) x
+        |WHERE role IS NOT NULL ORDER BY fold, date""".stripMargin,
   )
 }

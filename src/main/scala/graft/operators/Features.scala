@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and anomaly-pipeline operators — the distributed
+  * re-expression of the reference's pandas/PyTorch prep code
+  * (ref: `ML Model/Scripts/model.py`, `test.py`).
+  *
+  * The reference materializes every symbol's history in driver memory
+  * (pandas) before any of this runs; here each step is a Spark plan
+  * whose only wide operation is a shuffle keyed by symbol (window
+  * functions) or a scalar-aggregate broadcast (scaling, thresholds) —
+  * both survive a 1000-executor scale-up.
+  */
+object Features {
+
+  /** D1 — spread/mid features; spread clamped at 0 exactly like
+    * `np.maximum(Ask - Bid, 0)` (ref: model.py:213). Narrow projection:
+    * stays inside whole-stage codegen, no shuffle at all. */
+  def tickFeatures(ticks: DataFrame): DataFrame =
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      greatest(col("ask") - col("bid"), lit(0.0)).as("spread"),
+      ((col("bid") + col("ask")) / 2.0).as("mid"))
+      .orderBy("tick_id")
+
+  /** D2 — rolling mean/std of bid over the last `n` ticks per symbol.
+    * One shuffle by symbol; running frame, no self-join. */
+  def rollingStats(ticks: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      round(avg("bid").over(w), 4).as("roll_avg"),
+      round(stddev_samp(col("bid")).over(w), 4).as("roll_std"))
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** D3 — log returns per symbol (lag window). */
+  def logReturns(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      log(col("bid") / lag("bid", 1).over(w)).as("log_ret"))
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** D4 — per-symbol z-score anomaly score, the streaming-friendly
+    * analog of the autoencoder's reconstruction error
+    * (ref: model.py:180-185): how far a tick sits from its symbol's
+    * distribution. Stats come from an unordered partition window →
+    * Catalyst computes them once per symbol partition. */
+  def zScoreAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
+    val w = Window.partitionBy("symbol")
+    val z = (col("bid") - avg("bid").over(w)) / stddev_samp(col("bid")).over(w)
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      round(z, 4).as("zscore"),
+      (abs(z) > threshold).as("is_anomaly"))
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** D5 — percentile thresholds + anomaly counts over a score column,
+    * exactly the reference's test-phase logic: thresholds at the
+    * configured percentiles, then count of scores above each
+    * (ref: test.py:333-344; percentiles from `Model
+    * Parameters/parameters.json` → [92, 99.5]).
+    *
+    * Two scalar aggregates broadcast-joined back — no per-row shuffle.
+    * At 100 TB the exact `percentile` becomes `percentile_approx`
+    * (same plan shape); exact is kept here for oracle parity.
+    */
+  def anomalyThresholds(df: DataFrame, scoreCol: String,
+                        pcts: Seq[Double]): DataFrame = {
+    val score = col(scoreCol)
+    val aggs = pcts.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile($scoreCol, ${p / 100.0})").as(s"t$i")
+    }
+    val thr = df.agg(aggs.head, aggs.tail: _*)
+    val withThr = df.crossJoin(broadcast(thr))
+    val rows = pcts.zipWithIndex.map { case (p, i) =>
+      withThr.agg(
+        lit(p).as("pct"),
+        round(first(col(s"t$i")), 4).as("threshold"),
+        count(when(score > col(s"t$i"), 1)).as("n_above"))
+    }
+    rows.reduce(_ unionByName _).orderBy("pct")
+  }
+
+  /** D6 — evenly-spaced window resampling: pick exactly `n` ticks per
+    * (symbol, day) at linspace positions, mirroring
+    * `np.linspace(0, n_ticks-1, target).astype(int)` truncation
+    * (ref: model.py:313-315).
+    *
+    * Scale shape (SURVEY §5): the index table is built from the
+    * DISTINCT group keys (one row per group), exploded ×n, then joined
+    * back on (group, rn) — group-level explosion, never row-level, so
+    * a 600-tick resample of 10^9 groups shuffles 600·|groups| index
+    * rows, not 600·|rows|.
+    */
+  def resampleWindow(ticks: DataFrame, n: Int): DataFrame = {
+    val grpDate = date_format(col("ts"), "yyyy-MM-dd").as("date")
+    val wRn = Window.partitionBy(col("symbol"), col("date")).orderBy("tick_id")
+    val base = ticks.select(col("tick_id"), col("symbol"), grpDate, col("bid"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("symbol"), col("date"))))
+    val groups = base.select("symbol", "date", "cnt").distinct()
+    val idx = groups
+      .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("target_rn",
+        when(col("cnt") === 1, lit(1))
+          .otherwise(expr(s"(i * (cnt - 1)) div ${n - 1} + 1")))
+    idx.join(base, Seq("symbol", "date"))
+      .filter(col("rn") === col("target_rn"))
+      .select(col("symbol"), col("date"), col("i"),
+        col("rn").as("src_rn"), col("bid"))
+      .orderBy("symbol", "date", "i")
+  }
+
+  /** D7 — chronological train/val/test split over ordered units
+    * (days), with the reference's exact integer arithmetic:
+    * `train_idx = int(n*0.6); val_idx = train_idx + int(n*0.2)`
+    * (ref: model.py:326-349). Unit table is tiny (distinct days) —
+    * the window over it is a single-partition agg on purpose; the
+    * expensive part (joining the assignment back to rows) is a
+    * broadcast join downstream.
+    */
+  def chronoSplit(ticks: DataFrame, trainRatio: Double,
+                  valRatio: Double): DataFrame = {
+    val days = ticks.select(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .distinct()
+    val w = Window.orderBy("date")
+    days
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n") * trainRatio), "train")
+          .when(col("rn") <= floor(col("n") * trainRatio) +
+            floor(col("n") * valRatio), "val")
+          .otherwise("test"))
+      .select("date", "rn", "split")
+      .orderBy("date")
+  }
+
+  /** D8 — standard scaling with train-only statistics applied to the
+    * full set (ref: model.py:351-383 — scaler fit on train, transform
+    * all). One scalar aggregate over the train slice, broadcast to
+    * every row; no shuffle of the data itself. */
+  def standardScale(df: DataFrame, valueCol: String, idCol: String,
+                    trainFilter: Column): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.filter(trainFilter)
+      .agg(avg(v).as("mu"), stddev_samp(v).as("sigma"))
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        round((v - col("mu")) / col("sigma"), 4).as("scaled"))
+      .orderBy(idCol)
+  }
+
+  /** D9 — walk-forward validation folds (ref: README.md §9.2 "rolling
+    * window evaluation"): fold k trains on days [k·step, k·step+train)
+    * and tests on the following `test` days. Assignment is computed on
+    * the distinct-day table (tiny) crossed with the fold list. */
+  def walkForward(ticks: DataFrame, folds: Int, step: Int,
+                  trainLen: Int, testLen: Int): DataFrame = {
+    val days = ticks.select(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("date")))
+    val foldIdx = days.sparkSession.range(folds).select(col("id").as("fold"))
+    days.crossJoin(broadcast(foldIdx))
+      .withColumn("start", col("fold") * step + 1)
+      .withColumn("role",
+        when(col("rn") >= col("start") &&
+          col("rn") < col("start") + trainLen, "train")
+          .when(col("rn") >= col("start") + trainLen &&
+            col("rn") < col("start") + trainLen + testLen, "test"))
+      .filter(col("role").isNotNull)
+      .select("fold", "date", "role")
+      .orderBy("fold", "date")
+  }
+}

@@ -37,7 +37,7 @@ object TickOps {
     ticks.filter(inSessionWindow(col("ts")))
       .select(col("tick_id"), col("symbol"),
         date_trunc("second", col("ts")).as("ts_s"),
-        round(col("bid"), 4).as("bid"), round(col("ask"), 4).as("ask"))
+        col("bid"), col("ask"))
       .orderBy("symbol", "tick_id")
 
   /** B2 — 1-second downsample: first tick per (symbol, second), where
@@ -52,8 +52,8 @@ object TickOps {
       .groupBy(col("symbol"), date_trunc("second", col("ts")).as("ts_s"))
       .agg(
         min("tick_id").as("tick_id"),
-        round(min_by(col("bid"), col("tick_id")), 4).as("bid"),
-        round(min_by(col("ask"), col("tick_id")), 4).as("ask"))
+        min_by(col("bid"), col("tick_id")).as("bid"),
+        min_by(col("ask"), col("tick_id")).as("ask"))
       .orderBy("symbol", "ts_s")
 
   /** B3 — daily tick counts per session window. The reference runs two
@@ -90,8 +90,7 @@ object TickOps {
       .withColumn("bid_raw", raw)
       .withColumn("bid_filled", last("bid_raw", ignoreNulls = true).over(w))
       .select(col("tick_id"), col("symbol"),
-        round(col("bid_raw"), 4).as("bid_raw"),
-        round(col("bid_filled"), 4).as("bid_filled"))
+        col("bid_raw"), col("bid_filled"))
       .orderBy("symbol", "tick_id")
   }
 
@@ -106,7 +105,7 @@ object TickOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("tick_id"), col("symbol"), col("ts_m"),
-        round(col("bid"), 4).as("bid"))
+        col("bid"))
       .orderBy("symbol", "ts_m")
   }
 

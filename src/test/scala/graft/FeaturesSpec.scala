@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Features
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def ticks(rows: (Long, Long, String, Double, Double)*) =
+    rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+
+  test("tickFeatures clamps negative spread to zero (np.maximum semantics)") {
+    val df = ticks((1L, 1L, "2024-01-01 00:00:00", 10.0, 9.5))
+    val r = Features.tickFeatures(df).collect().head
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 9.75)
+  }
+
+  test("rollingStats window covers at most n rows") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.0, 1.1),
+      (2L, 1L, "2024-01-01 00:00:02", 2.0, 2.1),
+      (3L, 1L, "2024-01-01 00:00:03", 3.0, 3.1),
+      (4L, 1L, "2024-01-01 00:00:04", 4.0, 4.1))
+    val avgs = Features.rollingStats(df, 2).select("roll_avg")
+      .as[Double].collect().toSeq
+    assert(avgs == Seq(1.0, 1.5, 2.5, 3.5))
+  }
+
+  test("logReturns is null on first tick, ln(p1/p0) after") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 100.0, 100.1),
+      (2L, 1L, "2024-01-01 00:00:02", 110.0, 110.1))
+    val out = Features.logReturns(df).select("log_ret").collect()
+    assert(out(0).isNullAt(0))
+    assert(math.abs(out(1).getDouble(0) - math.log(1.1)) < 1e-12)
+  }
+
+  test("zScoreAnomaly flags values beyond the threshold") {
+    val vals = (1 to 20).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, 1L, t("2024-01-01 00:00:01"), v, v + 0.1)
+    }.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = Features.zScoreAnomaly(df, 3.0)
+    assert(out.filter(col("is_anomaly")).count() == 1)
+  }
+
+  test("anomalyThresholds reproduces percentile/count logic of test.py") {
+    val df = (1 to 100).map(v => (v.toLong, v.toDouble)).toDF("id", "score")
+    val out = Features.anomalyThresholds(df, "score", Seq(92.0, 99.5))
+      .as[(Double, Double, Long)].collect().toSeq
+    // percentile(1..100, .92) = 1 + 0.92*99 = 92.08 -> 8 above
+    assert(out.head == (92.0, 92.08, 8L))
+    assert(out(1)._3 == 1L) // only 100 > 99.505
+  }
+
+  test("resampleWindow picks linspace-truncated positions like model.py") {
+    // 10 ticks resampled to 4 -> np.linspace(0,9,4).astype(int) = 0,3,6,9
+    val rows = (0 until 10).map(i =>
+      (i.toLong, 1L, t("2024-01-01 00:00:01"), i * 10.0, i * 10.0 + 0.1))
+    val df = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = Features.resampleWindow(df, 4).select("src_rn").as[Int].collect().toSeq
+    assert(out == Seq(1, 4, 7, 10))
+  }
+
+  test("resampleWindow duplicates rows when group smaller than target") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.0, 1.1),
+      (2L, 1L, "2024-01-01 00:00:02", 2.0, 2.1))
+    val out = Features.resampleWindow(df, 4).select("src_rn").as[Int].collect().toSeq
+    assert(out.length == 4 && out.head == 1 && out.last == 2)
+  }
+
+  test("chronoSplit uses int-truncation boundaries like model.py") {
+    // 7 days: int(7*.6)=4 train, int(7*.2)=1 val, rest test
+    val rows = (1 to 7).map(i =>
+      (i.toLong, 1L, t(f"2024-01-$i%02d 00:00:01"), 1.0, 1.1))
+    val df = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = Features.chronoSplit(df, 0.6, 0.2).select("split").as[String].collect()
+    assert(out.count(_ == "train") == 4)
+    assert(out.count(_ == "val") == 1)
+    assert(out.count(_ == "test") == 2)
+  }
+
+  test("standardScale uses train-only statistics") {
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, 1000.0)).toDF("id", "v")
+    val out = Features.standardScale(df, "v", "id", col("id") <= 2)
+      .as[(Long, Double)].collect().toMap
+    // train stats: mu=15, sigma=sqrt(50)
+    assert(math.abs(out(1L) - (10.0 - 15.0) / math.sqrt(50.0)) < 1e-3)
+  }
+
+  test("walkForward emits rolling train/test folds") {
+    val rows = (1 to 12).map(i =>
+      (i.toLong, 1L, t(f"2024-01-$i%02d 00:00:01"), 1.0, 1.1))
+    val df = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = Features.walkForward(df, 2, 3, 5, 2)
+      .as[(Long, String, String)].collect()
+    val f0 = out.filter(_._1 == 0L)
+    assert(f0.count(_._3 == "train") == 5 && f0.count(_._3 == "test") == 2)
+    val f1train = out.filter(r => r._1 == 1L && r._3 == "train").map(_._2)
+    assert(f1train.head == "2024-01-04") // fold 1 starts at day 4
+  }
+}
