@@ -76,6 +76,51 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("ts") <=
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
+
+    // ---- E. Temporal joins & sessionization (SURVEY §2.E) ----
+    "q_asof_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"))
+      TemporalJoins.asOfJoin(trades, quotes, "symbol", "ts",
+        "trade_id", "quote_id", Seq("bid"))
+    }),
+    "q_range_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"))
+      val clicks = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"))
+      TemporalJoins.rangeJoinCount(trades, clicks, "symbol", "ts",
+        "trade_id", 3600L)
+    }),
+    "q_sessionize" -> ((s, d) =>
+      TemporalJoins.sessionize(Tables.ticks(s, d), "symbol", "ts", 6 * 3600L)),
+
+    // ---- F. LLM-training-data ops (SURVEY §2.F) ----
+    "q_dedup_exact" -> ((s, d) => TextDedup.exactDedup(Tables.documents(s, d))),
+    "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
+    "q_dedup_ngram" -> ((s, d) =>
+      TextDedup.ngramJaccard(Tables.documents(s, d), 0.5)),
+    "q_dedup_cosine" -> ((s, d) =>
+      Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
+    "q_ann_topk" -> ((s, d) =>
+      Vectors.bruteForceKnn(Tables.embeddings(s, d), 10, 5)),
+    "q_ann_lsh" -> ((s, d) => Vectors.lshBuckets(Tables.embeddings(s, d), 8)),
+    "q_text_langid" -> ((s, d) => TextDedup.langId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) =>
+      TextDedup.qualityScore(Tables.documents(s, d),
+        Seq("the", "a", "of", "and", "to"))),
+    "q_token_count" -> ((s, d) => TextDedup.tokenCount(Tables.documents(s, d))),
+    "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -255,5 +300,161 @@ object SparkEntry {
         |    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events) d) d2,
         |    (SELECT unnest(range(4)) AS fold) f) x
         |WHERE role IS NOT NULL ORDER BY fold, date""".stripMargin,
+    "q_asof_join" ->
+      """SELECT t.event_id AS trade_id, t.user_id AS symbol,
+        |  date_trunc('second', t.ts) AS ts_s,
+        |  q.event_id AS asof_id, q.value AS asof_bid
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY trade_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT t.event_id AS trade_id, t.user_id AS symbol,
+        |  count(q.ts) AS n_in_window
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') t
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type IN ('click','view')) q
+        |  ON q.user_id = t.user_id
+        |  AND q.ts >= t.ts - INTERVAL 3600 SECONDS AND q.ts < t.ts
+        |GROUP BY t.event_id, t.user_id ORDER BY trade_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH t AS (SELECT event_id AS tick_id, user_id AS symbol, ts FROM events),
+        |s AS (SELECT tick_id, symbol, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)),
+        |s2 AS (SELECT symbol, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM s)
+        |SELECT symbol, session_id, count(*) AS n_ticks,
+        |  date_trunc('second', min(ts)) AS session_start,
+        |  date_trunc('second', max(ts)) AS session_end
+        |FROM s2 GROUP BY symbol, session_id
+        |ORDER BY symbol, session_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t)
+        |SELECT doc_id, band,
+        |  (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |    AS band_hash
+        |FROM m, (SELECT unnest(range($Bands)) AS band) b
+        |ORDER BY doc_id, band""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents)
+        |SELECT doc_id, $duckSimHash AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+    "q_dedup_ngram" -> {
+      import graft.functions.PortableText._
+      s"""WITH g0 AS (SELECT doc_id, lang, source, $duckGrams3 AS grams
+        |    FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT *, length(grams) AS n FROM g0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+        |    length(list_distinct(list_concat(a.grams, b.grams))) AS u
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(na + nb - u AS DOUBLE) / u AS jaccard
+        |FROM p WHERE CAST(na + nb - u AS DOUBLE) / u >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q_dedup_cosine" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> a.v[CAST(i+1 AS INT)] * b.v[CAST(i+1 AS INT)])),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, vec_a, vec_b, round(cs, 4) AS cos_sim
+        |FROM p WHERE cs >= 0.05 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / (q.nrm * c.nrm) AS cs
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rnk FROM p)
+        |SELECT query_id, neighbor_id, rnk, round(cs, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(8), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |          list_transform(range(64), i -> v[CAST(i+1 AS INT)]
+        |            * CAST((j*31 + i*17) % 5 - 2 AS DOUBLE))),
+        |          (a, b) -> a + b) > 0
+        |      THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |      ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket
+        |  FROM e)
+        |SELECT vec_id, bucket,
+        |  count(*) OVER (PARTITION BY bucket) AS bucket_size
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "q_text_langid" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+        |  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
+        |         AND hits_en >= hits_es THEN 'en'
+        |       WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        |       WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS predicted
+        |FROM (SELECT doc_id, lang,
+        |    length(list_filter(tk, t -> list_contains(['the','a','is','of','and'], t))) AS hits_en,
+        |    length(list_filter(tk, t -> list_contains(['der','die','das','und','ist'], t))) AS hits_de,
+        |    length(list_filter(tk, t -> list_contains(['le','la','et','les','des'], t))) AS hits_fr,
+        |    length(list_filter(tk, t -> list_contains(['el','los','las','y','es'], t))) AS hits_es
+        |  FROM (SELECT doc_id, lang, $duckTokens AS tk FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q_text_quality" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, length(text) AS len, length(tk) AS n_tokens,
+        |  CAST(length(regexp_extract_all(text, '[.,!?;]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(list_filter(tk, t ->
+        |    list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |    / length(tk) AS stop_ratio,
+        |  CAST(list_reduce(list_prepend(0, list_transform(tk,
+        |    t -> CAST(length(t) AS INT))), (a, b) -> a + b) AS DOUBLE)
+        |    / length(tk) AS mean_word_len
+        |FROM (SELECT doc_id, text, $duckTokens AS tk FROM documents) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q_token_count" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, length($duckTokens) AS n_ws_tokens,
+        |  length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |    AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_doc_fingerprint" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, $duckDocFingerprint AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }

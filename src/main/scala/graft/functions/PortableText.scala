@@ -1,0 +1,72 @@
+package graft.functions
+
+/** Portable text-hashing expression fragments (SURVEY §6).
+  *
+  * Engine-specific `hash()` functions (Spark murmur3 vs DuckDB's) can
+  * never hash-match across the oracle boundary, so every sketch in the
+  * dedup family is built from explicit integer arithmetic that both
+  * engines evaluate identically: a polynomial rolling hash over
+  * codepoints mod p, affine re-hashes for minhash, and sign-of-sum for
+  * simhash. The Spark fragment and the DuckDB fragment for each
+  * primitive live side by side here so they cannot drift apart.
+  *
+  * All arithmetic stays below 2^63: acc < p ≈ 1e9, coefficients < 32,
+  * so `acc*31+c` and `(2j+3)*x` max out near 3.1e10.
+  */
+object PortableText {
+  val P = 1000000007L
+  /** minhash signature length and LSH banding (bands × rows = k). */
+  val MinHashK = 8
+  val Bands = 4
+  /** simhash bit width. */
+  val SimHashBits = 16
+
+  // ---------- Spark SQL fragments ----------
+  /** whitespace tokens, empties dropped (split-on-space is the
+    * tokenization the reference's pandas code implies). */
+  val tokens = "filter(split(text, ' '), t -> t != '')"
+  /** distinct-token polynomial hashes. */
+  val tokenHashes: String =
+    s"transform(array_distinct($tokens), t -> " +
+      s"aggregate(split(t, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % $P))"
+  /** k minhashes via affine re-hash (a_j = 2j+3, b_j = 5j+7). */
+  val minHashes: String =
+    s"transform(sequence(0, ${MinHashK - 1}), j -> " +
+      s"array_min(transform(th, x -> ((2*j + 3) * x + 5*j + 7) % $P)))"
+  /** 16-bit simhash: sign of per-bit vote sum over token hashes. */
+  val simHash: String =
+    s"aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT), (s, i) -> s + " +
+      "CASE WHEN aggregate(th, CAST(0 AS BIGINT), (a, x) -> a + " +
+      "CASE WHEN shiftright(x, CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+      "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)"
+  /** whole-document polynomial fingerprint. */
+  val docFingerprint: String =
+    s"aggregate(split(text, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % $P)"
+  /** distinct character 3-grams. */
+  val grams3: String =
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+
+  // ---------- DuckDB duals (same semantics, DuckDB syntax) ----------
+  val duckTokens = "list_filter(string_split(text, ' '), t -> t <> '')"
+  val duckTokenHashes: String =
+    s"list_transform(list_distinct($duckTokens), t -> " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % $P))"
+  val duckMinHashes: String =
+    s"list_transform(range($MinHashK), j -> " +
+      s"list_min(list_transform(th, x -> ((2*j + 3) * x + 5*j + 7) % $P)))"
+  val duckSimHash: String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range($SimHashBits), i -> " +
+      "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, x -> " +
+      "CASE WHEN ((x >> i) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), " +
+      "(a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), " +
+      "(a, b) -> a + b)"
+  val duckDocFingerprint: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, c) -> (a * 31 + c) % $P)"
+  val duckGrams3: String =
+    "list_distinct(list_transform(range(1, length(text) - 1), " +
+      "i -> substr(text, CAST(i AS INT), 3)))"
+}

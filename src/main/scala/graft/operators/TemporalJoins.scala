@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins and sessionization — tick-data workhorses the
+  * reference approximates with per-file ordering + first() picks
+  * (ref: `spark_session_window_tick_cleaner.py:59-88`) and that a
+  * lakehouse query layer needs as first-class operators.
+  */
+object TemporalJoins {
+
+  /** E1 — as-of join: for every left row, the latest right row of the
+    * same key with `r.ts <= l.ts` (DuckDB/kdb ASOF JOIN semantics,
+    * inner flavor: left rows with no prior right row are dropped).
+    *
+    * Scale shape (SURVEY §5): implemented as union + running
+    * `last(ignoreNulls)` window — ONE shuffle on the key, linear scan
+    * within partitions. Never a range cross-product (a naive
+    * `l.ts >= r.ts` join explodes O(|L|·|R|) per key); never a
+    * broadcast of a big side. This is the only as-of formulation that
+    * survives both sides being 100 TB facts.
+    *
+    * Rows at equal timestamps: right side sorts before left
+    * (`side` ordering) so an equal-ts right row IS visible to the left
+    * row, matching `t.ts >= q.ts` inclusive semantics.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftId: String, rightId: String,
+               rightVals: Seq[String]): DataFrame = {
+    val lCols = Seq(col(key), col(ts), col(leftId),
+      lit(null).cast("long").as(rightId)) ++
+      rightVals.map(v => lit(null).cast("double").as(v)) :+ lit(0).as("side")
+    val rCols = Seq(col(key), col(ts), lit(null).cast("long").as(leftId),
+      col(rightId)) ++ rightVals.map(col) :+ lit(1).as("side")
+    val l = left.select(lCols: _*)
+    val r = right.select(rCols: _*)
+    // side desc => right rows first at equal ts (inclusive asof)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("side").desc,
+        coalesce(col(rightId), col(leftId)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn("asof_id", last(rightId, ignoreNulls = true).over(w))
+    val fills = rightVals.map(v =>
+      last(v, ignoreNulls = true).over(w).as(s"asof_$v"))
+    filled
+      .select(Seq(col(key), col(ts), col(leftId), col("side"),
+        col("asof_id")) ++ fills: _*)
+      .filter(col("side") === 0 && col("asof_id").isNotNull)
+      .select(Seq(col(leftId), col(key),
+        date_trunc("second", col(ts)).as("ts_s"),
+        col("asof_id")) ++ rightVals.map(v => col(s"asof_$v")): _*)
+      .orderBy(leftId)
+  }
+
+  /** E2 — range (interval) join: right rows of the same key with
+    * timestamp in `[l.ts - window, l.ts)`, aggregated per left row.
+    * The equality key keeps this a shuffle HASH join (range predicate
+    * applied post-match) — the scalable formulation; a pure range join
+    * without an equi-key would degenerate to a nested-loop broadcast.
+    */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+                     ts: String, leftId: String,
+                     windowSec: Long): DataFrame = {
+    val l = left.select(col(key).as("lk"), col(ts).as("lts"), col(leftId))
+    val r = right.select(col(key).as("rk"), col(ts).as("rts"))
+    l.join(r,
+      col("lk") === col("rk") &&
+        col("rts") >= col("lts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("rts") < col("lts"),
+      "left")
+      .groupBy(col(leftId), col("lk").as("symbol"))
+      .agg(count(col("rts")).as("n_in_window"))
+      .orderBy(leftId)
+  }
+
+  /** E3 — gap-based sessionization: a new session starts when the gap
+    * to the previous tick of the same key exceeds `gapSec` (the batch
+    * analog of Structured Streaming's session windows). One shuffle by
+    * key; running sum assigns session ids without iteration.
+    */
+  def sessionize(ticks: DataFrame, key: String, ts: String,
+                 gapSec: Long): DataFrame = {
+    val wOrd = Window.partitionBy(key).orderBy("tick_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSec * 1000000L
+    val isNew = when(
+      unix_micros(col(ts)) - unix_micros(lag(col(ts), 1).over(wOrd)) > gapUs ||
+        lag(col(ts), 1).over(wOrd).isNull, 1).otherwise(0)
+    ticks
+      .withColumn("new_s", isNew)
+      .withColumn("session_id", sum("new_s").over(wRun))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        date_trunc("second", min(col(ts))).as("session_start"),
+        date_trunc("second", max(col(ts))).as("session_end"))
+      .orderBy(key, "session_id")
+  }
+}

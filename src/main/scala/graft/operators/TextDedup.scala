@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableText._
+
+/** Text-analysis and deduplication operators over the `documents`
+  * table — the LLM-training-data extensions (SURVEY §2.F). The
+  * reference pipeline feeds an ML model from cleaned gold data; these
+  * are the operators the same lakehouse needs when the payload is
+  * text corpora instead of ticks.
+  *
+  * Scale notes: every sketch (minhash band, simhash, fingerprint) is a
+  * narrow per-row projection (codegen'd HOFs, no shuffle); candidate
+  * generation is an equality join on the bucket key — the LSH
+  * formulation that replaces O(n²) comparison with shuffle-by-bucket.
+  * Pairwise scoring only ever runs inside a bucket.
+  */
+object TextDedup {
+
+  /** F1 — exact dedup by content hash; canonical row = lowest doc_id.
+    * groupBy on the hash would lose the per-doc rows; a window min
+    * keeps the full set with a `keep` marker (one shuffle by hash). */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+      .select("doc_id", "h", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** F2 — MinHash LSH band assignment: shingle→minhash→band. Docs
+    * sharing a (band, band_hash) bucket are near-dup candidates; the
+    * join stage is `candidatePairs`. */
+  def minHashBands(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("th", expr(tokenHashes))
+      .withColumn("mh", expr(minHashes))
+      .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("band_hash",
+        expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
+      .select("doc_id", "band", "band_hash")
+      .orderBy("doc_id", "band")
+
+  /** F2b — LSH candidate pairs: equality self-join on the band bucket,
+    * deduplicated across bands. Shuffles by (band, band_hash) — never
+    * a cross product. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** F3 — 16-bit SimHash signature per document. */
+  def simHashSig(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("th", expr(tokenHashes))
+      .withColumn("simhash", expr(simHash))
+      .select("doc_id", "simhash")
+      .orderBy("doc_id")
+
+  /** F3b — simhash near-dups: pairs within `maxHamming` bits,
+    * candidate-limited by bucketing on the top byte (scale path:
+    * equality join on bucket, hamming check inside bucket only). */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sigs.select(col("simhash").as("sh_a"), col("doc_id").as("doc_a"))
+      .withColumn("bucket", expr("shiftright(sh_a, 8)"))
+    val b = sigs.select(col("simhash").as("sh_b"), col("doc_id").as("doc_b"))
+      .withColumn("bucket", expr("shiftright(sh_b, 8)"))
+    a.join(b, "bucket")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** F4 — character-3-gram Jaccard similarity between documents of the
+    * same (lang, source) bucket, sampled to every 5th doc. Uses
+    * inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) so only one distinct
+    * union per pair is computed — and `array_distinct` semantics match
+    * across engines where `intersect` builtins differ. */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val g = docs
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("grams", expr(grams3))
+      .select(col("doc_id"), col("lang"), col("source"), col("grams"),
+        size(col("grams")).as("n"))
+    val a = g.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+      col("grams").as("ga"), col("n").as("na"))
+    val b = g.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+      col("grams").as("gb"), col("n").as("nb"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("u", size(array_distinct(concat(col("ga"), col("gb")))))
+      .withColumn("jaccard",
+        (col("na") + col("nb") - col("u")).cast("double") / col("u"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** F8 — language-ID by marker-word voting (n-gram heuristic family):
+    * count hits from per-language stopword lists, predict the argmax
+    * with a fixed tie-break order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langId(docs: DataFrame): DataFrame = {
+    val hitCols = langMarkers.map { case (l, ws) =>
+      val list = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter($tokens, t -> t IN ($list)))").as(s"hits_$l")
+    }
+    val predicted =
+      when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
+        && col("hits_en") >= col("hits_es"), "en")
+        .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
+        .when(col("hits_fr") >= col("hits_es"), "fr")
+        .otherwise("es")
+    docs
+      .select(Seq(col("doc_id"), col("lang")) ++ hitCols: _*)
+      .withColumn("predicted", predicted)
+      .orderBy("doc_id")
+  }
+
+  /** F9 — document quality scoring: length, punctuation ratio,
+    * stopword ratio, mean word length — the classic pre-training
+    * corpus filters (all narrow, codegen'd). */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val list = stopwords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      expr(s"size($tokens)").as("n_tokens"),
+      expr("regexp_count(text, '[.,!?;]')").cast("double")
+        .divide(length(col("text"))).as("punct_ratio"),
+      expr(s"size(filter($tokens, t -> t IN ($list)))").cast("double")
+        .divide(expr(s"size($tokens)")).as("stop_ratio"),
+      expr(s"aggregate(transform($tokens, t -> length(t)), 0, (a, b) -> a + b)")
+        .cast("double").divide(expr(s"size($tokens)")).as("mean_word_len"))
+      .orderBy("doc_id")
+  }
+
+  /** F10 — token counting: whitespace tokens + a BPE-ish regex count
+    * (letter runs / digit runs / single punctuation as one token). */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"size($tokens)").as("n_ws_tokens"),
+      expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** F11 — whole-document polynomial fingerprint (rolling hash). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(docFingerprint).as("fp"))
+      .orderBy("doc_id")
+}

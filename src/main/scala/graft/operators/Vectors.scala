@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over the `embeddings` table
+  * (SURVEY §2.F5–F7): brute-force cosine top-k as the correctness
+  * baseline, LSH random-hyperplane bucketing as the scale path, and
+  * bucketed cosine near-dup.
+  *
+  * Dot products run in double with strict left-to-right accumulation
+  * (`aggregate` over `zip_with`) so results are bit-reproducible
+  * across engines (SURVEY §6). Norms are precomputed once per vector
+  * (narrow), never inside the pair loop.
+  */
+object Vectors {
+
+  /** vector as double + its L2 norm, computed once per row. */
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+
+  private val dotAB =
+    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+
+  /** F6 — brute-force cosine top-k: the first `nQueries` vectors are
+    * queries; each scans all candidates. The query side is tiny by
+    * construction → `broadcast`, so the candidate scan never shuffles;
+    * per-query top-k via window. At 100 TB the same plan holds with a
+    * bounded query batch.
+    */
+  def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val n = withNorm(emb)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("va"),
+        col("nrm").as("na"))
+    val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw", expr(dotAB) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** F7 — LSH bucketing by random-hyperplane signs. Hyperplane j's
+    * component i is the deterministic pseudo-random ±2..∓2 value
+    * `((j*31 + i*17) % 5) - 2` — portable integer arithmetic instead
+    * of an engine RNG (SURVEY §6). Bucket = packed sign bits; the
+    * output joins each vector to its bucket population (the ANN
+    * candidate set size). Probing a bucket is an equality lookup —
+    * the 100 TB path where brute force is off the table.
+    */
+  def lshBuckets(emb: DataFrame, nPlanes: Int): DataFrame = {
+    val sig =
+      s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (s, j) -> s +
+         |  CASE WHEN aggregate(sequence(0, size(v) - 1), CAST(0 AS DOUBLE),
+         |    (a, i) -> a + element_at(v, i + 1) * CAST((j*31 + i*17) % 5 - 2 AS DOUBLE)) > 0
+         |  THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)
+         |""".stripMargin
+    val b = withNorm(emb).withColumn("bucket", expr(sig))
+      .select("vec_id", "bucket")
+    val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
+    b.join(broadcast(sizes), "bucket")
+      .select("vec_id", "bucket", "bucket_size")
+      .orderBy("vec_id")
+  }
+
+  /** F5 — embedding-cosine near-dup: pairs above a cosine threshold
+    * within the same `label` partition (cluster-bucketed, IVF-style —
+    * pair scoring never crosses buckets), sampled to every 5th vector.
+    */
+  def cosineDedup(emb: DataFrame, minCos: Double): DataFrame = {
+    val n = withNorm(emb).filter(col("vec_id") % 5 === 0)
+    val a = n.select(col("label"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = n.select(col("label"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim_raw", expr(dotAB) / (col("na") * col("nb")))
+      .filter(col("cos_sim_raw") >= minCos)
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

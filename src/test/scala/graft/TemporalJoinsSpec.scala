@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.TemporalJoins
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks latest right row at-or-before left ts, per key") {
+    val trades = Seq(
+      (1L, 10L, t("2024-01-01 10:00:05")),
+      (1L, 11L, t("2024-01-01 10:00:00")), // equal-ts quote visible
+      (2L, 12L, t("2024-01-01 10:00:01")), // other key
+      (1L, 13L, t("2024-01-01 09:00:00"))) // before any quote -> dropped
+      .toDF("symbol", "trade_id", "ts")
+    val quotes = Seq(
+      (1L, 100L, t("2024-01-01 10:00:00"), 1.5),
+      (1L, 101L, t("2024-01-01 10:00:03"), 1.6),
+      (2L, 102L, t("2024-01-01 10:00:00"), 2.5))
+      .toDF("symbol", "quote_id", "ts", "bid")
+    val pairs = TemporalJoins.asOfJoin(trades, quotes, "symbol", "ts",
+      "trade_id", "quote_id", Seq("bid"))
+      .select("trade_id", "asof_id").as[(Long, Long)].collect().toMap
+    assert(pairs == Map(10L -> 101L, 11L -> 100L, 12L -> 102L))
+    assert(!pairs.contains(13L))
+  }
+
+  test("rangeJoinCount counts right rows in [t-w, t) per key") {
+    val trades = Seq((1L, 10L, t("2024-01-01 10:00:00")))
+      .toDF("symbol", "trade_id", "ts")
+    val clicks = Seq(
+      (1L, t("2024-01-01 09:30:00")), // inside
+      (1L, t("2024-01-01 10:00:00")), // boundary: excluded (< t)
+      (1L, t("2024-01-01 08:59:59")), // outside
+      (2L, t("2024-01-01 09:30:00"))) // other key
+      .toDF("symbol", "ts")
+    val out = TemporalJoins.rangeJoinCount(trades, clicks, "symbol", "ts",
+      "trade_id", 3600L).select("n_in_window").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("sessionize splits on gaps larger than the threshold") {
+    val df = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), 1.0, 1.1),
+      (2L, 1L, t("2024-01-01 10:10:00"), 1.0, 1.1), // same session
+      (3L, 1L, t("2024-01-01 12:00:00"), 1.0, 1.1), // gap > 1h -> new
+      (4L, 2L, t("2024-01-01 10:00:00"), 1.0, 1.1))
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.sessionize(df, "symbol", "ts", 3600L)
+      .select("symbol", "session_id", "n_ticks")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}

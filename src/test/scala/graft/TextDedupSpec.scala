@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{TextDedup, Vectors}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, txt) => (id, txt, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+
+  test("exactDedup marks only the lowest doc_id of identical texts as keep") {
+    val out = TextDedup.exactDedup(docs(
+      (1L, "hello world"), (2L, "hello world"), (3L, "unique")))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("identical docs share all minhash bands; candidatePairs finds them") {
+    val bands = TextDedup.minHashBands(docs(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words here")))
+    val pairs = TextDedup.candidatePairs(bands)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("near-identical docs agree on most bands (LSH recall)") {
+    val bands = TextDedup.minHashBands(docs(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")))
+    val pairs = TextDedup.candidatePairs(bands).count()
+    assert(pairs == 1L) // at least one band collides for 80%+ overlap
+  }
+
+  test("simhash of identical docs is equal; pairs found within hamming radius") {
+    val sigs = TextDedup.simHashSig(docs(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")))
+    val byId = sigs.as[(Long, Long)].collect().toMap
+    assert(byId(1L) == byId(2L))
+    val pairs = TextDedup.simHashPairs(sigs, 0).as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("ngramJaccard gives 1.0 for identical sampled docs") {
+    val out = TextDedup.ngramJaccard(docs(
+      (5L, "abcdefghij"), (10L, "abcdefghij"), (15L, "zzzzyyyyxxxx")), 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((5L, 10L, 1.0)))
+  }
+
+  test("langId votes by marker words with fixed tie-break") {
+    val out = TextDedup.langId(
+      Seq((1L, "der hund und die katze", "de", "s"),
+        (2L, "no markers here whatsoever", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en") // zero hits everywhere -> tie-break to en
+  }
+
+  test("qualityScore ratios are computed over tokens") {
+    val r = TextDedup.qualityScore(docs((1L, "the cat sat.")), Seq("the"))
+      .collect().head
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 1.0 / 3) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean_word_len") - 10.0 / 3) < 1e-12)
+  }
+
+  test("tokenCount: whitespace vs bpe-ish regex") {
+    val r = TextDedup.tokenCount(docs((1L, "ab 12 c."))).collect().head
+    assert(r.getAs[Int]("n_ws_tokens") == 3)
+    assert(r.getAs[Int]("n_bpe_tokens") == 4) // ab, 12, c, .
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fps = TextDedup.fingerprint(docs((1L, "abc"), (2L, "acb"), (3L, "abc")))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L) && fps(1L) != fps(2L))
+  }
+
+  test("bruteForceKnn finds the exact nearest vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top1 = Vectors.bruteForceKnn(emb, 1, 1)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top1 == Seq(1L))
+  }
+
+  test("lshBuckets puts identical vectors in the same bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(1.0f, 2.0f, 3.0f), 0),
+      (2L, Array(-1.0f, -2.0f, -3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Vectors.lshBuckets(emb, 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(out(0L) == out(1L) && out(0L) != out(2L))
+  }
+
+  test("cosineDedup finds sampled same-label near-duplicates") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7), (5L, Array(0.99f, 0.01f), 7),
+      (10L, Array(0.0f, 1.0f), 7), (15L, Array(1.0f, 0.0f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Vectors.cosineDedup(emb, 0.9)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((0L, 5L)))
+  }
+}
