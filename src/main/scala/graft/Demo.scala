@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.CsvTickIngest
+import graft.operators.Multimodal
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Tick
+
+/** Executable end-to-end example of the non-query surface: CSV tick
+  * ingest → partitioned gold layout, multimodal feature extraction,
+  * and the streaming downsampler/anomaly flagger. `sbt "runMain
+  * graft.Demo"` prints each stage's output.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // --- A1: CSV ingest → partitioned parquet ---
+    val dir = Files.createTempDirectory("graft_demo")
+    val sym = Files.createDirectory(dir.resolve("XAUUSD"))
+    Files.writeString(sym.resolve("ticks.csv"),
+      "DateTime,Bid,Ask,Volume\n" +
+        "20240101 07:55:01.123,2050.10,2050.35,1.0\n" +
+        "20240101 13:55:02.456,2051.20,2051.40,2.0\n")
+    val ingested = CsvTickIngest.read(spark, dir.toString + "/*/*.csv")
+    CsvTickIngest.write(ingested, dir.resolve("gold").toString)
+    println("=== ingested gold layout ===")
+    spark.read.parquet(dir.resolve("gold").toString).show(false)
+
+    // --- F12: multimodal features + frame sampling ---
+    println("=== multimodal features (first 5) ===")
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 9)).show(5, false)
+    println("=== sampled video frames ===")
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 9), 3).show(false)
+
+    // --- G1/G2: streaming ---
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.downsample1s(in.toDF())
+      .writeStream.format("memory").queryName("demo_ds")
+      .outputMode(OutputMode.Complete).start()
+    in.addData(
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.100"), 10.0),
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.900"), 99.0),
+      Tick(2L, java.sql.Timestamp.valueOf("2024-01-01 13:55:00.000"), 20.0))
+    q.processAllAvailable()
+    println("=== streaming 1s downsample ===")
+    spark.sql("SELECT * FROM demo_ds ORDER BY symbol").show(false)
+    q.stop()
+
+    val in2 = MemoryStream[Tick]
+    val q2 = Streaming.anomalyFlags(in2.toDS(), 3.0)
+      .writeStream.format("memory").queryName("demo_flags")
+      .outputMode(OutputMode.Update).start()
+    in2.addData((1 to 10).map(i =>
+      Tick(1L, java.sql.Timestamp.valueOf(f"2024-01-01 07:55:$i%02d"), 100.0 + i % 3)): _*)
+    q2.processAllAvailable()
+    in2.addData(Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:56:00"), 500.0))
+    q2.processAllAvailable()
+    println("=== streaming anomaly flags (anomalies only) ===")
+    spark.sql("SELECT * FROM demo_flags WHERE isAnomaly").show(false)
+    q2.stop()
+    spark.stop()
+  }
+}

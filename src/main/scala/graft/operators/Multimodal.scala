@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** F12 — multimodal column plumbing (SURVEY §2.F12): media as opaque
+  * `binary` columns with typed metadata, processed per-partition in
+  * batches. The Spark-side mechanics — schema, partitioning, batch
+  * shape, deterministic output — are real and tested; the codec itself
+  * is a STUB (`FakeCodec`): the container has no image/audio
+  * libraries, so decode is a deterministic fake that a real
+  * JNI/javacpp codec would replace 1:1 behind the same interface.
+  */
+object Multimodal {
+
+  /** One media row: payload plus typed metadata (the parquet schema a
+    * 100 TB media lake would carry; payloads stay opaque bytes so the
+    * scan never decodes what a query doesn't touch). */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      width: Int, height: Int, n_frames: Int)
+
+  case class MediaFeature(media_id: Long, kind: String, n_bytes: Int,
+                          checksum: Long, brightness: Double)
+
+  case class FrameSample(media_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** STUB codec — deterministic fake standing in for a real decoder.
+    * Interface mirrors what an image lib provides; only the bodies are
+    * fake. */
+  object FakeCodec {
+    /** "decode" = stable per-byte transform; a real codec returns pixels. */
+    def decode(payload: Array[Byte]): Array[Int] =
+      payload.map(b => (b & 0xff)).toArray
+    def brightness(pixels: Array[Int]): Double =
+      if (pixels.isEmpty) 0.0 else pixels.map(_.toDouble).sum / pixels.length
+    def checksum(pixels: Array[Int]): Long =
+      pixels.foldLeft(0L)((a, p) => (a * 31 + p) % 1000000007L)
+  }
+
+  /** Decode + feature-extract, one partition at a time (the Scala
+    * analog of `mapInPandas`: batch-at-a-time, no per-row JVM↔native
+    * crossings with a real codec). Narrow — no shuffle. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val px = FakeCodec.decode(r.payload)
+        MediaFeature(r.media_id, r.kind, r.payload.length,
+          FakeCodec.checksum(px), FakeCodec.brightness(px))
+      }
+    }
+  }
+
+  /** Evenly-spaced frame sampling for video rows — the same linspace
+    * selection as the tick resampler (Features.resampleWindow), at the
+    * frame level. Explodes only the sampled indices (k per row), never
+    * all frames. */
+  def sampleFrames(media: Dataset[MediaRow], k: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val n = r.n_frames
+      val idxs =
+        if (n <= 1) Seq(0)
+        else (0 until k).map(i => (i * (n - 1)) / (k - 1))
+      val px = FakeCodec.decode(r.payload)
+      idxs.distinct.map { fi =>
+        val slice = if (px.isEmpty) px else Array(px(fi % px.length))
+        FrameSample(r.media_id, fi, FakeCodec.checksum(slice))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table (no binary test fixtures in
+    * the container); payload bytes derive from media_id. */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = if (id % 3 == 0) "video" else if (id % 3 == 1) "image" else "audio"
+      val payload = Array.tabulate[Byte](16 + (id % 16).toInt)(i =>
+        ((id * 31 + i * 7) % 251).toByte)
+      MediaRow(id, kind, payload, 4, 4, 8 + (id % 8).toInt)
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** G — Structured Streaming mirrors of the batch tick operators: the
+  * reference runs a live endpoint that watches the two session windows
+  * and scores incoming ticks (ref: `ML Model/Scripts/main.py` live
+  * endpoint + `automate_pipeline.py:478` "Live endpoint monitors:
+  * 7:50-8:00 and 13:50-14:00 time windows"). Here that is a streaming
+  * plan, not a polling loop: watermarked event-time windows for the
+  * downsampler, keyed state for the anomaly scorer.
+  */
+object Streaming {
+
+  case class Tick(symbol: Long, ts: Timestamp, bid: Double)
+  case class AnomalyFlag(symbol: Long, n: Long, mean: Double, isAnomaly: Boolean)
+
+  /** G1 — streaming 1-second downsample of the session windows: the
+    * streaming twin of `TickOps.secondDownsample`. Watermark bounds
+    * state; aggregation is by (symbol, 1s window) so state size is
+    * O(active windows), independent of input rate.
+    */
+  def downsample1s(ticks: DataFrame, watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .filter((hour(col("ts")) === 7 || hour(col("ts")) === 13) &&
+        minute(col("ts")) >= 50)
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
+      .agg(min_by(col("bid"), col("ts")).as("bid"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("symbol"), col("w.start").as("ts_s"), col("bid"), col("n_ticks"))
+
+  /** G2 — stateful streaming anomaly flagger: per-symbol running
+    * mean/variance (Welford) kept in keyed state; each batch emits
+    * whether its latest bid deviates > `k` sigma from the running
+    * estimate — the streaming analog of the reconstruction-error
+    * thresholding in the reference's test phase (ref: test.py:333-344).
+    */
+  def anomalyFlags(ticks: Dataset[Tick], k: Double): Dataset[AnomalyFlag] = {
+    import ticks.sparkSession.implicits._
+    ticks
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(flagGroup(k))
+  }
+
+  /** (count, mean, m2) Welford accumulator. */
+  private def flagGroup(k: Double)(
+      symbol: Long, rows: Iterator[Tick],
+      state: GroupState[(Long, Double, Double)]): Iterator[AnomalyFlag] = {
+    var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+    var flags = List.empty[AnomalyFlag]
+    rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
+      val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else Double.PositiveInfinity
+      val isAnomaly = n > 1 && math.abs(t.bid - mean) > k * sigma
+      n += 1
+      val d = t.bid - mean
+      mean += d / n
+      m2 += d * (t.bid - mean)
+      flags = AnomalyFlag(symbol, n, mean, isAnomaly) :: flags
+    }
+    state.update((n, mean, m2))
+    flags.reverseIterator
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Tick
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("downsample1s emits first bid per (symbol, second) inside session windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.downsample1s(in.toDF())
+      .writeStream.format("memory").queryName("ds1s")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        Tick(1L, t("2024-01-01 07:55:01.100"), 10.0),
+        Tick(1L, t("2024-01-01 07:55:01.900"), 99.0), // same second -> dropped
+        Tick(1L, t("2024-01-01 09:00:00.000"), 50.0), // outside window
+        Tick(2L, t("2024-01-01 13:55:00.000"), 20.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT symbol, bid, n_ticks FROM ds1s")
+        .as[(Long, Double, Long)].collect().toSet
+      assert(out == Set((1L, 10.0, 2L), (2L, 20.0, 1L)))
+    } finally q.stop()
+  }
+
+  test("anomalyFlags keeps per-symbol state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.anomalyFlags(in.toDS(), 3.0)
+      .writeStream.format("memory").queryName("flags")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1 to 10).map(i =>
+        Tick(1L, t(f"2024-01-01 07:55:$i%02d"), 100.0 + (i % 3))): _*)
+      q.processAllAvailable()
+      in.addData(Tick(1L, t("2024-01-01 07:56:00"), 500.0)) // wild outlier
+      q.processAllAvailable()
+      val flagged = spark.sql("SELECT * FROM flags WHERE isAnomaly").count()
+      assert(flagged == 1L)
+      // state persisted: count reached 11 across two batches
+      val maxN = spark.sql("SELECT max(n) FROM flags").as[Long].collect().head
+      assert(maxN == 11L)
+    } finally q.stop()
+  }
+}
