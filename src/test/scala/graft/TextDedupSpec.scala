@@ -96,7 +96,7 @@ class TextDedupSpec extends SparkSpec {
       (0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(1.0f, 2.0f, 3.0f), 0),
       (2L, Array(-1.0f, -2.0f, -3.0f), 1))
       .toDF("vec_id", "embedding", "label")
-    val out = Vectors.lshBuckets(emb, 8)
+    val out = Vectors.lshBuckets(emb, 8, dim = 3)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(out(0L) == out(1L) && out(0L) != out(2L))
   }
