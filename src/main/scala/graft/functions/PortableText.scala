@@ -25,10 +25,13 @@ object PortableText {
   /** whitespace tokens, empties dropped (split-on-space is the
     * tokenization the reference's pandas code implies). */
   val tokens = "filter(split(text, ' '), t -> t != '')"
-  /** distinct-token polynomial hashes. */
+  /** distinct-token polynomial hashes — via the native codegen'd
+    * [[PolyHash]] expression (registered as `graft_polyhash`), which
+    * evaluates the same fold as the HOF spelling
+    * `aggregate(split(t,''), 0L, (a,c) -> (a*31+ascii(c)) % p)`
+    * without per-char array allocation or lambda interpretation. */
   val tokenHashes: String =
-    s"transform(array_distinct($tokens), t -> " +
-      s"aggregate(split(t, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % $P))"
+    s"transform(array_distinct($tokens), t -> graft_polyhash(t))"
   /** k minhashes via affine re-hash (a_j = 2j+3, b_j = 5j+7). */
   val minHashes: String =
     s"transform(sequence(0, ${MinHashK - 1}), j -> " +
@@ -39,9 +42,8 @@ object PortableText {
       "CASE WHEN aggregate(th, CAST(0 AS BIGINT), (a, x) -> a + " +
       "CASE WHEN shiftright(x, CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
       "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)"
-  /** whole-document polynomial fingerprint. */
-  val docFingerprint: String =
-    s"aggregate(split(text, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % $P)"
+  /** whole-document polynomial fingerprint (native [[PolyHash]]). */
+  val docFingerprint: String = "graft_polyhash(text)"
   /** distinct character 3-grams. */
   val grams3: String =
     "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.PolyHash
 import graft.functions.PortableText._
 
 /** Text-analysis and deduplication operators over the `documents`
@@ -34,7 +35,8 @@ object TextDedup {
   /** F2 — MinHash LSH band assignment: shingle→minhash→band. Docs
     * sharing a (band, band_hash) bucket are near-dup candidates; the
     * join stage is `candidatePairs`. */
-  def minHashBands(docs: DataFrame): DataFrame =
+  def minHashBands(docs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
     docs
       .withColumn("th", expr(tokenHashes))
       .withColumn("mh", expr(minHashes))
@@ -43,6 +45,7 @@ object TextDedup {
         expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
       .select("doc_id", "band", "band_hash")
       .orderBy("doc_id", "band")
+  }
 
   /** F2b — LSH candidate pairs: equality self-join on the band bucket,
     * deduplicated across bands. Shuffles by (band, band_hash) — never
@@ -57,12 +60,14 @@ object TextDedup {
   }
 
   /** F3 — 16-bit SimHash signature per document. */
-  def simHashSig(docs: DataFrame): DataFrame =
+  def simHashSig(docs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
     docs
       .withColumn("th", expr(tokenHashes))
       .withColumn("simhash", expr(simHash))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
+  }
 
   /** F3b — simhash near-dups: pairs within `maxHamming` bits,
     * candidate-limited by bucketing on the top byte (scale path:
@@ -179,7 +184,9 @@ object TextDedup {
       .orderBy("doc_id")
 
   /** F11 — whole-document polynomial fingerprint (rolling hash). */
-  def fingerprint(docs: DataFrame): DataFrame =
+  def fingerprint(docs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
     docs.select(col("doc_id"), expr(docFingerprint).as("fp"))
       .orderBy("doc_id")
+  }
 }
