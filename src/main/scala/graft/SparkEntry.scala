@@ -36,6 +36,10 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.part(s, d), "p_brand", "p_retailprice",
         "p_partkey", 3)),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
+    "q_semi_join" -> ((s, d) =>
+      Analytics.suppliersWithShipments(Tables.supplier(s, d),
+        Tables.lineitem(s, d), 45.0)),
+    "q_percent_rank" -> ((s, d) => Analytics.pricePosition(Tables.part(s, d))),
     "q_anti_join" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d),
         Tables.orders(s, d).filter(
@@ -70,6 +74,8 @@ object SparkEntry {
     "q_anomaly_threshold" -> ((s, d) =>
       Features.anomalyThresholds(Tables.events(s, d), "value", Seq(92.0, 99.5))),
     "q_resample_ticks" -> ((s, d) => Features.resampleWindow(Tables.ticks(s, d), 8)),
+    "q_resample_session" -> ((s, d) =>
+      Features.resampleSessionWindow(Tables.ticks(s, d), 8)),
     "q_chrono_split" -> ((s, d) => Features.chronoSplit(Tables.ticks(s, d), 0.6, 0.2)),
     "q_standard_scale" -> ((s, d) =>
       Features.standardScale(Tables.events(s, d), "value", "event_id",
@@ -175,6 +181,36 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        |  AND l_quantity >= 45.0)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT p_partkey, p_type,
+        |  round(percent_rank() OVER w, 4) AS price_pct_rank,
+        |  round(cume_dist() OVER w, 4) AS price_cume_dist
+        |FROM part
+        |WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice, p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_resample_session" ->
+      s"""WITH b0 AS (SELECT tick_id, symbol, strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50 THEN 'afternoon'
+        |    END AS win, bid
+        |  FROM $ticksSql t),
+        |b AS (SELECT tick_id, symbol, date, win, bid,
+        |    row_number() OVER (PARTITION BY symbol, date, win ORDER BY tick_id) AS rn,
+        |    count(*) OVER (PARTITION BY symbol, date, win) AS cnt
+        |  FROM b0 WHERE win IS NOT NULL),
+        |g AS (SELECT DISTINCT symbol, date, win, cnt FROM b),
+        |idx AS (SELECT symbol, date, win, i,
+        |    CASE WHEN cnt = 1 THEN 1 ELSE (i * (cnt - 1)) // 7 + 1 END AS target_rn
+        |  FROM g, (SELECT unnest(range(8)) AS i) s)
+        |SELECT idx.symbol, idx.date, idx.win, idx.i, b.rn AS src_rn, b.bid AS bid
+        |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
+        |  AND b.win = idx.win AND b.rn = idx.target_rn
+        |ORDER BY idx.symbol, idx.date, idx.win, idx.i""".stripMargin,
     "q_quality_scan" ->
       """SELECT event_type, count(*) AS total_rows,
         |  count(*) FILTER (WHERE user_id IS NULL) AS user_id_nulls,

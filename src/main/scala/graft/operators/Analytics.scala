@@ -100,4 +100,27 @@ object Analytics {
       .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
+
+  /** Suppliers with at least one qualifying shipment — left-semi join:
+    * existence check without duplication (the EXISTS shape; dual of
+    * the anti join above). */
+  def suppliersWithShipments(supplier: DataFrame, lineitem: DataFrame,
+                             minQty: Double): DataFrame =
+    supplier
+      .join(lineitem.filter(col("l_quantity") >= minQty),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  /** Relative price position of each part within its type —
+    * `percent_rank` + `cume_dist` analytic window (research-query
+    * shape over gold tables). */
+  def pricePosition(part: DataFrame): DataFrame = {
+    val w = Window.partitionBy("p_type").orderBy(col("p_retailprice"), col("p_partkey"))
+    part.select(
+      col("p_partkey"), col("p_type"),
+      round(percent_rank().over(w), 4).as("price_pct_rank"),
+      round(cume_dist().over(w), 4).as("price_cume_dist"))
+      .orderBy("p_partkey")
+  }
 }

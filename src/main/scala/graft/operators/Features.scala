@@ -120,6 +120,40 @@ object Features {
       .orderBy("symbol", "date", "i")
   }
 
+  /** D6b — the reference's exact windowing unit: resample each
+    * (symbol, date, session-window) group — morning 07:50–08:00 /
+    * afternoon 13:50–14:00 — to `n` evenly-spaced ticks, the
+    * distributed form of `create_window_based_data` +
+    * `prepare_window_data` (ref: model.py:233-324, 600 ticks per
+    * window). Same group-level index-join shape as [[resampleWindow]].
+    */
+  def resampleSessionWindow(ticks: DataFrame, n: Int): DataFrame = {
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname = when((h === 7) && (m >= 50), "morning")
+      .when((h === 13) && (m >= 50), "afternoon")
+    val base = ticks
+      .withColumn("win", wname)
+      .filter(col("win").isNotNull)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(col("tick_id"), col("symbol"), col("date"), col("win"), col("bid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("symbol"), col("date"), col("win"))
+          .orderBy("tick_id")))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("symbol"), col("date"), col("win"))))
+    val groups = base.select("symbol", "date", "win", "cnt").distinct()
+    val idx = groups
+      .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
+      .withColumn("target_rn",
+        when(col("cnt") === 1, lit(1))
+          .otherwise(expr(s"(i * (cnt - 1)) div ${n - 1} + 1")))
+    idx.join(base, Seq("symbol", "date", "win"))
+      .filter(col("rn") === col("target_rn"))
+      .select(col("symbol"), col("date"), col("win"), col("i"),
+        col("rn").as("src_rn"), col("bid"))
+      .orderBy("symbol", "date", "win", "i")
+  }
+
   /** D7 — chronological train/val/test split over ordered units
     * (days), with the reference's exact integer arithmetic:
     * `train_idx = int(n*0.6); val_idx = train_idx + int(n*0.2)`

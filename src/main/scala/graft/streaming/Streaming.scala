@@ -47,6 +47,31 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(flagGroup(k))
   }
 
+  case class Doc(doc_id: Long, text: String)
+  case class DedupDecision(doc_id: Long, content_hash: Long, isDuplicate: Boolean)
+
+  /** G3 — streaming exact dedup: keyed state per content hash
+    * ([[graft.functions.PolyHash]]); the first arrival of a hash is
+    * emitted as canonical, later arrivals are flagged duplicates. The
+    * streaming twin of `TextDedup.exactDedup` — state is one Long per
+    * distinct document, the minimum any exact dedup must retain.
+    */
+  def dedupExact(docs: Dataset[Doc]): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => graft.functions.PolyHash.hash(d.text))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (hash: Long, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+          val seenBefore = state.getOption.getOrElse(false)
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          state.update(true)
+          sorted.zipWithIndex.map { case (d, i) =>
+            DedupDecision(d.doc_id, hash, seenBefore || i > 0)
+          }.iterator
+      }
+  }
+
   /** (count, mean, m2) Welford accumulator. */
   private def flagGroup(k: Double)(
       symbol: Long, rows: Iterator[Tick],

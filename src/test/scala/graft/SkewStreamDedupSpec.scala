@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Features, Skew}
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Doc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class SkewStreamDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain-join result") {
+    val fact = (1 to 1000).map(i => (i.toLong, (i % 3).toLong, i * 1.0))
+      .toDF("tick_id", "symbol", "bid") // symbol 0 is hot by construction
+    val dim = Seq((0L, "HOT"), (1L, "A"), (2L, "B")).toDF("symbol", "name")
+    val salted = Skew.saltedJoin(fact, dim, "symbol", "tick_id", 8)
+      .select("tick_id", "symbol", "name")
+    val plain = fact.join(dim, "symbol").select("tick_id", "symbol", "name")
+    assert(salted.count() == 1000)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("resampleSessionWindow keeps morning/afternoon groups separate") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val rows = (0 until 10).map(i =>
+      (i.toLong, 1L, t(f"2024-01-01 07:5${5 + i % 5}%d:0$i.0"), i * 1.0, i + 0.1)) ++
+      (10 until 14).map(i =>
+        (i.toLong, 1L, t(s"2024-01-01 13:55:0${i - 10}.0"), i * 1.0, i + 0.1)) :+
+      ((20L, 1L, t("2024-01-01 09:00:00.0"), 99.0, 99.1)) // outside windows
+    val df = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = Features.resampleSessionWindow(df, 4).collect()
+    val wins = out.map(_.getAs[String]("win")).distinct.sorted
+    assert(wins.toSeq == Seq("afternoon", "morning"))
+    assert(out.count(_.getAs[String]("win") == "morning") == 4)
+    assert(out.count(_.getAs[String]("win") == "afternoon") == 4)
+    assert(!out.exists(_.getAs[Double]("bid") == 99.0))
+  }
+
+  test("streaming dedupExact flags later arrivals of the same content across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streaming.dedupExact(in.toDS())
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Doc(1L, "hello"), Doc(2L, "world"), Doc(3L, "hello"))
+      q.processAllAvailable()
+      in.addData(Doc(4L, "hello")) // duplicate from a LATER batch
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, isDuplicate FROM sdedup")
+        .as[(Long, Boolean)].collect().toMap
+      assert(out == Map(1L -> false, 2L -> false, 3L -> true, 4L -> true))
+    } finally q.stop()
+  }
+}
