@@ -40,6 +40,13 @@ object SparkEntry {
       Analytics.suppliersWithShipments(Tables.supplier(s, d),
         Tables.lineitem(s, d), 45.0)),
     "q_percent_rank" -> ((s, d) => Analytics.pricePosition(Tables.part(s, d))),
+    "q_pivot" -> ((s, d) =>
+      Analytics.eventTypePivot(Tables.events(s, d),
+        Seq("click", "view", "purchase", "signup", "error"))),
+    "q_histogram" -> ((s, d) =>
+      Analytics.valueHistogram(Tables.events(s, d), 25.0)),
+    "q_corr_stats" -> ((s, d) => Features.corrStats(Tables.ticks(s, d))),
+    "q_minmax_scale" -> ((s, d) => Features.minMaxScale(Tables.ticks(s, d))),
     "q_anti_join" -> ((s, d) =>
       Analytics.customersWithoutOrders(Tables.customer(s, d),
         Tables.orders(s, d).filter(
@@ -181,6 +188,30 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |  AND o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id AS symbol,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY symbol""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY CAST(floor(value / 25.0) AS BIGINT)
+        |ORDER BY bucket""".stripMargin,
+    "q_corr_stats" ->
+      s"""SELECT symbol, round(corr(bid, ask), 4) AS bid_ask_corr,
+        |  round(covar_samp(bid, ask), 4) AS bid_ask_covar,
+        |  count(*) AS n
+        |FROM $ticksSql t GROUP BY symbol ORDER BY symbol""".stripMargin,
+    "q_minmax_scale" ->
+      s"""SELECT tick_id, symbol,
+        |  (bid - min(bid) OVER (PARTITION BY symbol))
+        |    / (max(bid) OVER (PARTITION BY symbol)
+        |       - min(bid) OVER (PARTITION BY symbol)) AS bid_scaled
+        |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
     "q_semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey

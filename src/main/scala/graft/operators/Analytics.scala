@@ -112,6 +112,26 @@ object Analytics {
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
 
+  /** Event-type pivot: one row per user, one count column per type —
+    * a single-pass conditional aggregation (explicit pivot values, so
+    * no extra distinct-values job and a deterministic schema). */
+  def eventTypePivot(events: DataFrame, types: Seq[String]): DataFrame = {
+    val counts = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    events.groupBy(col("user_id").as("symbol"))
+      .agg(counts.head, counts.tail: _*)
+      .orderBy("symbol")
+  }
+
+  /** Fixed-width value histogram: floor-bucket + count/avg per bucket
+    * (single-pass, partial agg; the plan a data-profiling query needs
+    * at 100 TB — never a driver-side collect). */
+  def valueHistogram(events: DataFrame, width: Double): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("bucket")
+
   /** Relative price position of each part within its type —
     * `percent_rank` + `cume_dist` analytic window (research-query
     * shape over gold tables). */

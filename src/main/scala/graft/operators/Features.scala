@@ -103,11 +103,11 @@ object Features {
   def resampleWindow(ticks: DataFrame, n: Int): DataFrame = {
     val grpDate = date_format(col("ts"), "yyyy-MM-dd").as("date")
     val wRn = Window.partitionBy(col("symbol"), col("date")).orderBy("tick_id")
-    val base = ticks.select(col("tick_id"), col("symbol"), grpDate, col("bid"))
-      .withColumn("rn", row_number().over(wRn))
-      .withColumn("cnt", count(lit(1)).over(
-        Window.partitionBy(col("symbol"), col("date"))))
-    val groups = base.select("symbol", "date", "cnt").distinct()
+    val proj = ticks.select(col("tick_id"), col("symbol"), grpDate, col("bid"))
+    val base = proj.withColumn("rn", row_number().over(wRn))
+    // group sizes via groupBy (map-side partial agg + key-only shuffle),
+    // not a second window pass + distinct over every row
+    val groups = proj.groupBy("symbol", "date").agg(count(lit(1)).as("cnt"))
     val idx = groups
       .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("target_rn",
@@ -131,17 +131,16 @@ object Features {
     val h = hour(col("ts")); val m = minute(col("ts"))
     val wname = when((h === 7) && (m >= 50), "morning")
       .when((h === 13) && (m >= 50), "afternoon")
-    val base = ticks
+    val proj = ticks
       .withColumn("win", wname)
       .filter(col("win").isNotNull)
       .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
       .select(col("tick_id"), col("symbol"), col("date"), col("win"), col("bid"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("symbol"), col("date"), col("win"))
-          .orderBy("tick_id")))
-      .withColumn("cnt", count(lit(1)).over(
-        Window.partitionBy(col("symbol"), col("date"), col("win"))))
-    val groups = base.select("symbol", "date", "win", "cnt").distinct()
+    val base = proj.withColumn("rn", row_number().over(
+      Window.partitionBy(col("symbol"), col("date"), col("win"))
+        .orderBy("tick_id")))
+    val groups = proj.groupBy("symbol", "date", "win")
+      .agg(count(lit(1)).as("cnt"))
     val idx = groups
       .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("target_rn",
@@ -192,6 +191,28 @@ object Features {
       .select(col(idCol),
         round((v - col("mu")) / col("sigma"), 4).as("scaled"))
       .orderBy(idCol)
+  }
+
+  /** D10 — per-symbol bid/ask correlation and covariance (research
+    * stats over the gold tables; single groupBy, partial agg). */
+  def corrStats(ticks: DataFrame): DataFrame =
+    ticks.groupBy("symbol")
+      .agg(
+        round(corr("bid", "ask"), 4).as("bid_ask_corr"),
+        round(covar_samp("bid", "ask"), 4).as("bid_ask_covar"),
+        count(lit(1)).as("n"))
+      .orderBy("symbol")
+
+  /** D11 — min-max scaling per symbol. min/max are picked values (not
+    * sums), so the element-wise `(x - min) / (max - min)` is
+    * bit-reproducible unrounded (SURVEY §6). */
+  def minMaxScale(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol")
+    val mn = min("bid").over(w); val mx = max("bid").over(w)
+    ticks.select(
+      col("tick_id"), col("symbol"),
+      ((col("bid") - mn) / (mx - mn)).as("bid_scaled"))
+      .orderBy("symbol", "tick_id")
   }
 
   /** D9 — walk-forward validation folds (ref: README.md §9.2 "rolling

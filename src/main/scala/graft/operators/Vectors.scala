@@ -10,21 +10,31 @@ import org.apache.spark.sql.functions._
   * bucketed cosine near-dup.
   *
   * Dot products run in double with strict left-to-right accumulation
-  * (`aggregate` over `zip_with`) so results are bit-reproducible
-  * across engines (SURVEY §6). Norms are precomputed once per vector
-  * (narrow), never inside the pair loop.
+  * (unrolled `element_at` sums) so results are bit-reproducible across
+  * engines (SURVEY §6) while staying inside whole-stage codegen.
+  * Norms are precomputed once per vector (narrow), never inside the
+  * pair loop.
   */
 object Vectors {
 
-  /** vector as double + its L2 norm, computed once per row. */
-  private def withNorm(emb: DataFrame): DataFrame =
-    emb
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))"))
+  /** Embedding dimensionality of the test tables; dots unroll over it. */
+  val Dim = 64
 
-  private val dotAB =
-    "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+  /** Unrolled left-to-right dot product: 64 `element_at` multiplies
+    * summed in index order — identical accumulation order to the
+    * oracle's `list_reduce`, but codegen-able instead of an
+    * interpreted HOF lambda per element (the same trick as
+    * [[lshBuckets]]; the HOF spelling was ~2× slower at sf0.1). */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                  dim: Int): org.apache.spark.sql.Column =
+    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+      .reduceLeft(_ + _)
+
+  /** vector as double + its L2 norm, computed once per row. */
+  private def withNorm(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val d = emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    d.withColumn("nrm", sqrt(dot(col("v"), col("v"), dim)))
+  }
 
   /** F6 — brute-force cosine top-k: the first `nQueries` vectors are
     * queries; each scans all candidates. The query side is tiny by
@@ -32,8 +42,9 @@ object Vectors {
     * per-query top-k via window. At 100 TB the same plan holds with a
     * bounded query batch.
     */
-  def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val n = withNorm(emb)
+  def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int,
+                    dim: Int = Dim): DataFrame = {
+    val n = withNorm(emb, dim)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("va"),
         col("nrm").as("na"))
@@ -42,7 +53,8 @@ object Vectors {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim_raw", expr(dotAB) / (col("na") * col("nb")))
+      .withColumn("cos_sim_raw",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -86,15 +98,16 @@ object Vectors {
     * within the same `label` partition (cluster-bucketed, IVF-style —
     * pair scoring never crosses buckets), sampled to every 5th vector.
     */
-  def cosineDedup(emb: DataFrame, minCos: Double): DataFrame = {
-    val n = withNorm(emb).filter(col("vec_id") % 5 === 0)
+  def cosineDedup(emb: DataFrame, minCos: Double, dim: Int = Dim): DataFrame = {
+    val n = withNorm(emb, dim).filter(col("vec_id") % 5 === 0)
     val a = n.select(col("label"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = n.select(col("label"), col("vec_id").as("vec_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim_raw", expr(dotAB) / (col("na") * col("nb")))
+      .withColumn("cos_sim_raw",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .filter(col("cos_sim_raw") >= minCos)
       .select(col("label"), col("vec_a"), col("vec_b"),
         round(col("cos_sim_raw"), 4).as("cos_sim"))

@@ -86,7 +86,7 @@ class TextDedupSpec extends SparkSpec {
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
       (2L, Array(0.0f, 1.0f), 1), (3L, Array(-1.0f, 0.0f), 1))
       .toDF("vec_id", "embedding", "label")
-    val top1 = Vectors.bruteForceKnn(emb, 1, 1)
+    val top1 = Vectors.bruteForceKnn(emb, 1, 1, dim = 2)
       .select("neighbor_id").as[Long].collect().toSeq
     assert(top1 == Seq(1L))
   }
@@ -106,7 +106,7 @@ class TextDedupSpec extends SparkSpec {
       (0L, Array(1.0f, 0.0f), 7), (5L, Array(0.99f, 0.01f), 7),
       (10L, Array(0.0f, 1.0f), 7), (15L, Array(1.0f, 0.0f), 3))
       .toDF("vec_id", "embedding", "label")
-    val pairs = Vectors.cosineDedup(emb, 0.9)
+    val pairs = Vectors.cosineDedup(emb, 0.9, dim = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((0L, 5L)))
   }
