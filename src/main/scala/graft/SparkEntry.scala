@@ -65,6 +65,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"),
         "event_type")),
 
+    "q_snapshot_log" -> ((s, d) =>
+      Lakehouse.snapshotHistory(Tables.events(s, d), "event_id", 2000L)),
+
     // ---- B. Tick cleaning (SURVEY §2.B) ----
     "q_session_filter" -> ((s, d) => TickOps.sessionWindowFilter(Tables.ticks(s, d))),
     "q_downsample_1s" -> ((s, d) => TickOps.secondDownsample(Tables.ticks(s, d))),
@@ -256,6 +259,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_rows FROM events
         |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_snapshot_log" ->
+      """SELECT snapshot_id, added,
+        |  CAST(sum(added) OVER (ORDER BY snapshot_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total
+        |FROM (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
+        |  FROM events GROUP BY event_id // 2000) s
+        |ORDER BY snapshot_id""".stripMargin,
     "q_session_filter" ->
       s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,
         |  bid, ask

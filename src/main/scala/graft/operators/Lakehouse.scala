@@ -48,4 +48,22 @@ object Lakehouse {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(groupCol)
+
+  /** A4b — snapshot history: rows added per snapshot and the running
+    * total, the information the reference prints per Iceberg snapshot
+    * (`added-records` / `total-records`,
+    * ref: `Apache Iceberg/iceberg_time_travel.py:43-97`). Snapshots
+    * are emulated as fixed-size id ranges of the append log; one
+    * groupBy + a window over the tiny snapshot table.
+    */
+  def snapshotHistory(df: DataFrame, idCol: String, rowsPerSnapshot: Long): DataFrame = {
+    val snaps = df
+      .groupBy(expr(s"$idCol div $rowsPerSnapshot").as("snapshot_id"))
+      .agg(count(lit(1)).as("added"))
+    snaps
+      .withColumn("total", sum("added").over(
+        org.apache.spark.sql.expressions.Window.orderBy("snapshot_id")
+          .rowsBetween(Long.MinValue, 0)))
+      .orderBy("snapshot_id")
+  }
 }
