@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
   * gold Iceberg tables (ref: `README.md` §7.3 "SQL analytics on Iceberg
   * tables … research queries for feature engineering").
   *
-  * Scale notes (SURVEY §5): dimension joins take `broadcast()` hints so
-  * the fact table never shuffles for them; fact-fact joins shuffle on
-  * the join key only after filters are pushed to the scan. Aggregates
-  * are plain `groupBy` → Catalyst plans partial (map-side) aggregation
-  * automatically.
+  * Scale notes (SURVEY §5): `broadcast()` hints only on inputs bounded
+  * BY CONSTRUCTION (region/nation: fixed cardinality). Anything that
+  * grows with the data (customer, supplier) is left to AQE, which
+  * broadcasts at runtime when the built side actually fits. Fact-fact
+  * joins shuffle on the join key only after filters are pushed to the
+  * scan; aggregates are plain `groupBy` → partial map-side aggregation.
   */
 object Analytics {
 
@@ -31,15 +32,17 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3-style: revenue of top unshipped orders for a segment.
-    * `customer` is a dim → broadcast; `orders⨝lineitem` shuffles on
-    * orderkey (the only unavoidable shuffle).
+  /** TPC-H Q3-style: revenue of top orders for a segment.
+    * `orders⨝lineitem` shuffles on orderkey; the customer join strategy
+    * is left to AQE (broadcast where it fits, shuffle-hash where not).
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, segment: String): DataFrame =
+    // customer is unbounded at scale - no broadcast hint; AQE broadcasts
+    // at small SFs where it fits and shuffle-hash-joins where it doesn't
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(customer.filter(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
@@ -47,8 +50,9 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
-  /** TPC-H Q5-style: revenue per nation within a region. All dims
-    * broadcast (region/nation/customer/supplier are tiny vs lineitem).
+  /** TPC-H Q5-style: revenue per nation within a region. Bounded dims
+    * (region, nation) broadcast; unbounded sides (customer, supplier)
+    * are AQE's call.
     */
   def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
                     orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
@@ -57,10 +61,12 @@ object Analytics {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
+    // nation/region are bounded (broadcast above); customer-bearing dims
+    // and supplier are unbounded at scale - leave the join strategy to AQE
     lineitem
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)

@@ -118,11 +118,12 @@ object TextDedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
+    // counts grows with the corpus - unbounded, so no broadcast hint
     inter
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na")), "doc_a")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb")), "doc_b")
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
