@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's recommended configuration — the
+  * knobs that matter at 100 TB, set once (callers may override any of
+  * them before `getOrCreate`).
+  *
+  * - AQE on (runtime coalescing, skew-join splitting, plan re-opt).
+  * - `maxPartitionBytes` 160 MB: the reference's empirically-chosen
+  *   split size for tick parquet (ref: `Data Preprocessing and
+  *   Cleaning/spark_session_window_tick_cleaner.py:36`); keeps scan
+  *   tasks big enough to amortize open costs, small enough to fit
+  *   executor memory alongside a shuffle.
+  * - shuffle partitions sized to the machine locally; on a cluster set
+  *   it to ~2-3× total cores (AQE coalesces the excess).
+  * - UTC session timezone: tick timestamps are exchange-local UTC; a
+  *   machine-local timezone silently shifts every session window.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (160L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for the driver-contract mains. */
+  def local(cores: String): SparkSession = {
+    val s = builder(s"local[$cores]",
+      cores.toIntOption.getOrElse(Runtime.getRuntime.availableProcessors()))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

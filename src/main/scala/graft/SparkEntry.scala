@@ -67,6 +67,14 @@ object SparkEntry {
 
     "q_snapshot_log" -> ((s, d) =>
       Lakehouse.snapshotHistory(Tables.events(s, d), "event_id", 2000L)),
+    "q_ndv_profile" -> ((s, d) =>
+      Lakehouse.ndvProfile(Tables.events(s, d),
+        Seq("user_id", "event_type", "value"))),
+    // IVF ANN: no SQL oracle (cell assignment is a literal-unrolled
+    // argmax) -> driver records the weaker rows-only check; exactness
+    // is covered by q_ann_topk and the recall spec.
+    "q_ann_ivf" -> ((s, d) =>
+      Vectors.ivfKnn(Tables.embeddings(s, d), 10, 5, 8)),
 
     // ---- B. Tick cleaning (SURVEY §2.B) ----
     "q_session_filter" -> ((s, d) => TickOps.sessionWindowFilter(Tables.ticks(s, d))),
@@ -259,6 +267,12 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_rows FROM events
         |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ndv_profile" ->
+      """SELECT count(*) AS total_rows,
+        |  count(DISTINCT user_id) AS ndv_user_id,
+        |  count(DISTINCT event_type) AS ndv_event_type,
+        |  count(DISTINCT value) AS ndv_value
+        |FROM events""".stripMargin,
     "q_snapshot_log" ->
       """SELECT snapshot_id, added,
         |  CAST(sum(added) OVER (ORDER BY snapshot_id

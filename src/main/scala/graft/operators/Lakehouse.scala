@@ -49,6 +49,15 @@ object Lakehouse {
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(groupCol)
 
+  /** A2b — exact NDV (distinct-count) profile: the cardinality stats a
+    * catalog keeps per column. Exact `count(DISTINCT …)` here for
+    * oracle parity; at 100 TB the same plan takes
+    * `approx_count_distinct` (HLL) — one pass either way. */
+  def ndvProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ndvs = cols.map(c => countDistinct(col(c)).as(s"ndv_$c"))
+    df.agg(count(lit(1)).as("total_rows"), ndvs: _*)
+  }
+
   /** A4b — snapshot history: rows added per snapshot and the running
     * total, the information the reference prints per Iceberg snapshot
     * (`added-records` / `total-records`,

@@ -20,21 +20,23 @@ object Vectors {
   /** Embedding dimensionality of the test tables; dots unroll over it. */
   val Dim = 64
 
-  /** Unrolled left-to-right dot product: 64 `element_at` multiplies
-    * summed in index order — identical accumulation order to the
-    * oracle's `list_reduce`, but codegen-able instead of an
-    * interpreted HOF lambda per element (the same trick as
-    * [[lshBuckets]]; the HOF spelling was ~2× slower at sf0.1). */
+  /** Unrolled left-to-right dot product over RAW float arrays with a
+    * per-element double cast: identical accumulation order (and bits)
+    * to the oracle's `list_reduce`, codegen-able, and — critically —
+    * no intermediate `transform(...)` column. A materialized "v"
+    * column gets INLINED by projection collapse into every term that
+    * references it, so a 64-term dot re-evaluates the HOF lambda 64
+    * times per row (this made the IVF cell assignment 100× slower
+    * before the rewrite). */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                   dim: Int): org.apache.spark.sql.Column =
-    (0 until dim).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+    (0 until dim).map(i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
       .reduceLeft(_ + _)
 
-  /** vector as double + its L2 norm, computed once per row. */
-  private def withNorm(emb: DataFrame, dim: Int = Dim): DataFrame = {
-    val d = emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-    d.withColumn("nrm", sqrt(dot(col("v"), col("v"), dim)))
-  }
+  /** embedding + its L2 norm, computed off the raw array. */
+  private def withNorm(emb: DataFrame, dim: Int = Dim): DataFrame =
+    emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"), dim)))
 
   /** F6 — brute-force cosine top-k: the first `nQueries` vectors are
     * queries; each scans all candidates. The query side is tiny by
@@ -46,9 +48,9 @@ object Vectors {
                     dim: Int = Dim): DataFrame = {
     val n = withNorm(emb, dim)
     val q = n.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("va"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
         col("nrm").as("na"))
-    val c = n.select(col("vec_id").as("neighbor_id"), col("v").as("vb"),
+    val c = n.select(col("vec_id").as("neighbor_id"), col("embedding").as("vb"),
       col("nrm").as("nb"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
@@ -76,22 +78,73 @@ object Vectors {
     // interpreted HOFs — whole-stage codegen takes it (~4× faster at
     // sf0.1) and the left-to-right add order matches the oracle's
     // list_reduce exactly.
-    val v = col("v")
+    val v = col("embedding")
     val bucket = (0 until nPlanes).map { j =>
       val dot = (0 until dim).map { i =>
         val c = (j * 31 + i * 17) % 5 - 2
-        element_at(v, i + 1) * lit(c.toDouble)
+        element_at(v, i + 1).cast("double") * lit(c.toDouble)
       }.reduceLeft((a, b) => a + b)
       when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduceLeft((a, b) => a + b)
     val b = emb
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("bucket", bucket)
       .select("vec_id", "bucket")
     val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
     b.join(broadcast(sizes), "bucket")
       .select("vec_id", "bucket", "bucket_size")
       .orderBy("vec_id")
+  }
+
+  /** F7b — IVF-style ANN: coarse quantization by nearest centroid,
+    * then exact search only within the query's cell. Centroids are the
+    * first `nCentroids` vectors (deterministic, bounded by
+    * construction — collecting them is a fixed-size driver action,
+    * like a broadcast). Cell assignment unrolls into literal
+    * arithmetic per centroid (codegen, same trick as [[lshBuckets]]);
+    * the probe is an equality join on `cell`. Recall < 1 by design —
+    * this is the 100 TB path; [[bruteForceKnn]] is the exact baseline.
+    */
+  def ivfKnn(emb: DataFrame, nQueries: Int, k: Int, nCentroids: Int,
+             dim: Int = Dim): DataFrame = {
+    val cents: Array[Array[Double]] = emb
+      .filter(col("vec_id") < nCentroids).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // cell = argmax_j dot(v, c_j), ties to the lower centroid index.
+    // Deliberately a COMPACT HOF over a literal centroid matrix, not an
+    // unrolled expression: k unrolled dot columns duplicated across the
+    // self-join blew the optimizer/codegen tree up to minutes of plan
+    // time (first as a 2^k when-fold, then as 8×64-term projections).
+    // The HOF tree is O(1) in size; interpreting 8×64 lambda steps per
+    // row is trivial next to that.
+    val matrix = typedlit(cents.map(_.toSeq).toSeq)
+    val dots = expr(
+      s"""transform(sequence(0, ${cents.length - 1}), j ->
+         |  aggregate(sequence(0, $dim - 1), CAST(0 AS DOUBLE),
+         |    (a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE)
+         |      * element_at(element_at(_cents, j + 1), i + 1)))""".stripMargin)
+    val n = withNorm(emb, dim)
+      .withColumn("_cents", matrix)
+      .withColumn("_dots", dots)
+      .withColumn("cell",
+        (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
+      .drop("_cents", "_dots")
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("cell"), col("vec_id").as("query_id"),
+        col("embedding").as("va"), col("nrm").as("na"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    n.select(col("cell"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
   }
 
   /** F5 — embedding-cosine near-dup: pairs above a cosine threshold
@@ -101,9 +154,9 @@ object Vectors {
   def cosineDedup(emb: DataFrame, minCos: Double, dim: Int = Dim): DataFrame = {
     val n = withNorm(emb, dim).filter(col("vec_id") % 5 === 0)
     val a = n.select(col("label"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("nrm").as("na"))
+      col("embedding").as("va"), col("nrm").as("na"))
     val b = n.select(col("label"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+      col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim_raw",

@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.Vectors
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Tick
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class IvfWatermarkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfKnn searches only the query's cell and ranks exact matches first") {
+    // two well-separated clusters; centroids = first 2 vectors
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),  // centroid A
+      (1L, Array(0.0f, 1.0f, 0.0f), 0),  // centroid B
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),  // near A
+      (3L, Array(0.1f, 0.9f, 0.0f), 0),  // near B
+      (4L, Array(0.95f, 0.05f, 0.0f), 0) // near A
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vectors.ivfKnn(emb, nQueries = 1, k = 3, nCentroids = 2, dim = 3)
+      .select("query_id", "neighbor_id", "rnk").as[(Long, Long, Int)].collect()
+    // query 0 lives in cell A: its candidates are {2, 4}; 3 and the
+    // other-cell centroid 1 must not appear
+    val neighbors = out.map(_._2).toSet
+    assert(neighbors == Set(2L, 4L))
+    // nearest (4: cos≈0.9986) ranks before 2
+    assert(out.sortBy(_._3).map(_._2).toSeq == Seq(4L, 2L))
+  }
+
+  test("ivfKnn recall vs brute force is perfect when clusters are separated") {
+    val emb = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + i * 0.001f, base(1) + i * 0.0005f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val ivf = Vectors.ivfKnn(emb, 2, 3, 2, dim = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = Vectors.bruteForceKnn(emb, 2, 3, dim = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == bf) // same-cluster neighbors dominate -> full recall
+  }
+
+  test("streaming downsampler drops late data past the watermark (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[Tick]
+    val q = Streaming.downsample1s(in.toDF(), watermark = "5 seconds")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Tick(1L, t("2024-01-01 07:55:01.0"), 10.0))
+      q.processAllAvailable()
+      // advance event time far beyond 07:55:01 + watermark
+      in.addData(Tick(1L, t("2024-01-01 07:59:00.0"), 30.0))
+      q.processAllAvailable()
+      // late tick for the long-closed 07:55:01 window
+      in.addData(Tick(1L, t("2024-01-01 07:55:01.5"), 99.0))
+      q.processAllAvailable()
+      in.addData(Tick(1L, t("2024-01-01 07:59:59.0"), 40.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ts_s, bid FROM wm")
+        .as[(Timestamp, Double)].collect().toMap
+      // the 07:55:01 window emitted its ORIGINAL first bid; the late
+      // 99.0 tick never re-opened it
+      assert(rows(t("2024-01-01 07:55:01.0")) == 10.0)
+      assert(!rows.values.toSet.contains(99.0))
+    } finally q.stop()
+  }
+}
