@@ -31,6 +31,11 @@ object Demo {
     println("=== ingested gold layout ===")
     spark.read.parquet(dir.resolve("gold").toString).show(false)
 
+    // --- A: cross-file chronological ordering over the gold layout ---
+    println("=== file ranges (chronological order) ===")
+    val gold = spark.read.parquet(dir.resolve("gold").toString)
+    graft.sources.FileOrder.fileRanges(gold, "ts").show(false)
+
     // --- F12: multimodal features + frame sampling ---
     println("=== multimodal features (first 5) ===")
     Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 9)).show(5, false)
@@ -51,6 +56,19 @@ object Demo {
     println("=== streaming 1s downsample ===")
     spark.sql("SELECT * FROM demo_ds ORDER BY symbol").show(false)
     q.stop()
+
+    val inW = MemoryStream[Tick]
+    val qW = Streaming.windowCounts(inW.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("demo_wc")
+      .outputMode(OutputMode.Complete).start()
+    inW.addData(
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:51:00"), 10.0),
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:53:00"), 11.0),
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 08:01:00"), 12.0))
+    qW.processAllAvailable()
+    println("=== streaming 10-minute window counts ===")
+    spark.sql("SELECT * FROM demo_wc ORDER BY win_start").show(false)
+    qW.stop()
 
     val in2 = MemoryStream[Tick]
     val q2 = Streaming.anomalyFlags(in2.toDS(), 3.0)

@@ -47,6 +47,22 @@ object Streaming {
         GroupStateTimeout.NoTimeout)(flagGroup(k))
   }
 
+  /** G4 — streaming per-window tick counts: the live analog of the
+    * batch daily-window statistics (`TickOps.dailyWindowCounts`) and of
+    * the live endpoint's window monitoring (ref: `ML Model/Scripts/
+    * automate_pipeline.py:478`). Watermarked tumbling windows —
+    * state is O(open windows × symbols). */
+  def windowCounts(ticks: DataFrame, windowDur: String,
+                   watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), window(col("ts"), windowDur).as("w"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("bid"), col("ts")).as("first_bid"),
+        max_by(col("bid"), col("ts")).as("last_bid"))
+      .select(col("symbol"), col("w.start").as("win_start"),
+        col("n_ticks"), col("first_bid"), col("last_bid"))
+
   case class Doc(doc_id: Long, text: String)
   case class DedupDecision(doc_id: Long, content_hash: Long, isDuplicate: Boolean)
 
