@@ -145,6 +145,14 @@ object SparkEntry {
         Seq("the", "a", "of", "and", "to"))),
     "q_token_count" -> ((s, d) => TextDedup.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
+    "q_text_repetition" -> ((s, d) =>
+      TextDedup.repetitionProfile(Tables.documents(s, d))),
+    "q_token_freq" -> ((s, d) =>
+      TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
+    "q_json_extract" -> ((s, d) =>
+      Lakehouse.jsonExtractStats(Tables.events(s, d), "props", "$.k", "event_type")),
+    "q_group_percentile" -> ((s, d) =>
+      Features.groupPercentiles(Tables.ticks(s, d), Seq(0.5, 0.9))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -547,5 +555,30 @@ object SparkEntry {
       s"""SELECT doc_id, $duckDocFingerprint AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
     },
+    "q_text_repetition" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, length(tk) AS n_tokens,
+        |  length(list_distinct(tk)) AS n_distinct,
+        |  1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk) AS rep_ratio
+        |FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q_token_freq" -> {
+      import graft.functions.PortableText._
+      s"""SELECT token, count(*) AS freq
+        |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+    },
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'$.k' AS INT)) AS n_with_key,
+        |  round(avg(CAST(props->>'$.k' AS INT)), 4) AS avg_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_percentile" ->
+      s"""SELECT symbol, round(quantile_cont(ask - bid, 0.5), 4) AS p0,
+        |  round(quantile_cont(ask - bid, 0.9), 4) AS p1,
+        |  count(*) AS n
+        |FROM $ticksSql t GROUP BY symbol ORDER BY symbol""".stripMargin,
   )
 }

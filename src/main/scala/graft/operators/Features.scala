@@ -193,6 +193,19 @@ object Features {
       .orderBy(idCol)
   }
 
+  /** D12 — grouped exact percentiles: per-symbol spread quantiles
+    * (the per-group flavor of [[anomalyThresholds]]; one shuffle by
+    * group key, partial agg). */
+  def groupPercentiles(ticks: DataFrame, pcts: Seq[Double]): DataFrame = {
+    val spread = "(ask - bid)"
+    val aggs = pcts.zipWithIndex.map { case (p, i) =>
+      round(expr(s"percentile($spread, $p)"), 4).as(s"p$i")
+    } :+ count(lit(1)).as("n")
+    ticks.groupBy("symbol")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("symbol")
+  }
+
   /** D10 — per-symbol bid/ask correlation and covariance (research
     * stats over the gold tables; single groupBy, partial agg). */
   def corrStats(ticks: DataFrame): DataFrame =

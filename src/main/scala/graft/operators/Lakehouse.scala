@@ -35,6 +35,21 @@ object Lakehouse {
         round(sum(col(valCol)), 4).as("sum_val"))
       .orderBy("yr")
 
+  /** A5 — semi-structured JSON extraction: pull typed fields out of a
+    * JSON string column and aggregate — the lakehouse path for event
+    * payloads (`events.props`). `get_json_object` is codegen'd; at
+    * 100 TB prefer `from_json` with an explicit schema once the
+    * payload shape is fixed, same plan shape. */
+  def jsonExtractStats(events: DataFrame, jsonCol: String,
+                       path: String, groupCol: String): DataFrame =
+    events
+      .withColumn("k", get_json_object(col(jsonCol), path).cast("int"))
+      .groupBy(col(groupCol))
+      .agg(count(col("k")).as("n_with_key"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(groupCol)
+
   /** A4 — snapshot/time-travel emulation: an append-only log is
     * filtered "as of" a cutoff and summarized — the semantics of
     * `FOR VERSION AS OF` row counting in the reference

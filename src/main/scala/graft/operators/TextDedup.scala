@@ -184,6 +184,30 @@ object TextDedup {
       expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** F9b — repetition profile: duplicate-token ratio per document
+    * (Gopher-style repetition filter). Distinct/total are exact ints →
+    * the ratio is unrounded (SURVEY §6). */
+  def repetitionProfile(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr(s"size($tokens)").as("n_tokens"),
+      expr(s"size(array_distinct($tokens))").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** F10b — corpus token frequency: global top-k tokens (Zipf
+    * profile). Explode + groupBy: partial aggregation makes the
+    * shuffle carry one row per distinct token per partition, not one
+    * per occurrence. */
+  def tokenFrequency(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(explode(expr(tokens)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
   /** F11 — whole-document polynomial fingerprint (rolling hash). */
   def fingerprint(docs: DataFrame): DataFrame = {
     PolyHash.register(docs.sparkSession)
