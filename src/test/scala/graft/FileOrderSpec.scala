@@ -36,6 +36,23 @@ class FileOrderSpec extends SparkSpec {
     assert(byTick == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("stream-static join enriches live ticks with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EURUSD"), (2L, "XAUUSD")).toDF("symbol", "name")
+    val in = MemoryStream[Tick]
+    val q = in.toDF().join(dim, "symbol")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Tick(1L, t("2024-01-01 07:55:01"), 10.0),
+        Tick(3L, t("2024-01-01 07:55:02"), 30.0)) // no dim row -> dropped
+      q.processAllAvailable()
+      val out = spark.sql("SELECT symbol, name, bid FROM enriched")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(out == Seq((1L, "EURUSD", 10.0)))
+    } finally q.stop()
+  }
+
   test("streaming windowCounts aggregates per (symbol, window)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Tick]
