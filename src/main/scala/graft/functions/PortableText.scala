@@ -44,9 +44,11 @@ object PortableText {
       "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)"
   /** whole-document polynomial fingerprint (native [[PolyHash]]). */
   val docFingerprint: String = "graft_polyhash(text)"
-  /** distinct character 3-grams. */
-  val grams3: String =
-    "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+  /** distinct character 3-grams — native [[CharGrams]] expression
+    * (registered as `graft_grams`); same set and order as the HOF
+    * spelling `array_distinct(transform(sequence(1, length(text)-2),
+    * i -> substring(text, i, 3)))`. */
+  val grams3: String = "graft_grams(text, 3)"
 
   // ---------- DuckDB duals (same semantics, DuckDB syntax) ----------
   val duckTokens = "list_filter(string_split(text, ' '), t -> t <> '')"

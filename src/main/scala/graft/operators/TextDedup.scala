@@ -91,6 +91,7 @@ object TextDedup {
     * union per pair is computed — and `array_distinct` semantics match
     * across engines where `intersect` builtins differ. */
   def ngramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+    graft.functions.CharGrams.register(docs.sparkSession)
     // Inverted-index formulation: |A∩B| comes from a gram-equality
     // self-join (shuffle by gram, partial-agg counts) instead of
     // per-pair array unions — pairs with zero shared grams never

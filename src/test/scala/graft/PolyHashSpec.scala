@@ -29,6 +29,23 @@ class PolyHashSpec extends SparkSpec {
     assert(out == Seq(PolyHash.hash("aa"), PolyHash.hash("bb")))
   }
 
+  test("CharGrams equals the declarative HOF distinct-3-gram spelling") {
+    graft.functions.CharGrams.register(spark)
+    val df = Seq("abcdef", "aaaa", "abc").toDF("text")
+      .select(
+        col("text"),
+        expr("graft_grams(text, 3)").as("native"),
+        expr("array_distinct(transform(sequence(1, length(text) - 2), " +
+          "i -> substring(text, i, 3)))").as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), r.getString(0))
+    }
+    // shorter than n -> empty (matches the DuckDB range() dual)
+    val short = Seq("ab").toDF("text")
+      .select(expr("graft_grams(text, 3)")).as[Seq[String]].collect().head
+    assert(short.isEmpty)
+  }
+
   test("GraftExtensions injects the function via spark.sql.extensions") {
     // verify the builder path compiles/wires; reuse of the shared session
     // means we just check the class instantiates and applies cleanly
