@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native dot product of two float-array columns, accumulated left to
+  * right in double — bit-identical to both the unrolled
+  * `element_at(a,i)·element_at(b,i)` chain and the oracle's
+  * `list_reduce` (SURVEY §6), but O(1) expression-tree size.
+  *
+  * The unrolled 64-term trees were correct and codegen-able, but at
+  * one ANN query each they cost ~1-3 s of janino compilation per plan
+  * — more than the queries' execution at test scale. This expression
+  * keeps the plan tiny and runs the loop natively (`CodegenFallback`:
+  * the loop body is already JVM code).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vecdot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_vecdot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1)))
+}

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VecDot
 
 /** Vector-similarity operators over the `embeddings` table
   * (SURVEY §2.F5–F7): brute-force cosine top-k as the correctness
@@ -10,29 +11,26 @@ import org.apache.spark.sql.functions._
   * bucketed cosine near-dup.
   *
   * Dot products run in double with strict left-to-right accumulation
-  * (unrolled `element_at` sums) so results are bit-reproducible across
-  * engines (SURVEY §6) while staying inside whole-stage codegen.
-  * Norms are precomputed once per vector (narrow), never inside the
-  * pair loop.
+  * (native [[graft.functions.VecDot]]) so results are bit-reproducible
+  * across engines (SURVEY §6). Norms are precomputed once per vector
+  * (narrow), never inside the pair loop.
   */
 object Vectors {
 
   /** Embedding dimensionality of the test tables; dots unroll over it. */
   val Dim = 64
 
-  /** Unrolled left-to-right dot product over RAW float arrays with a
-    * per-element double cast: identical accumulation order (and bits)
-    * to the oracle's `list_reduce`, codegen-able, and — critically —
-    * no intermediate `transform(...)` column. A materialized "v"
-    * column gets INLINED by projection collapse into every term that
-    * references it, so a 64-term dot re-evaluates the HOF lambda 64
-    * times per row (this made the IVF cell assignment 100× slower
-    * before the rewrite). */
+  /** Dot product via the native [[VecDot]] expression: left-to-right
+    * double accumulation over the raw float arrays (bit-identical to
+    * the oracle's `list_reduce`), O(1) expression-tree size. History:
+    * a HOF zip_with was interpreter-slow, and an unrolled 64-term
+    * `element_at` chain was execution-fast but cost seconds of janino
+    * compile per plan — the native expression avoids both. The `dim`
+    * parameter is kept for API stability (VecDot uses the actual
+    * array lengths). */
   private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                   dim: Int): org.apache.spark.sql.Column =
-    (0 until dim).map(i =>
-      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double"))
-      .reduceLeft(_ + _)
+    call_function("graft_vecdot", a, b)
 
   /** embedding + its L2 norm, computed off the raw array. */
   private def withNorm(emb: DataFrame, dim: Int = Dim): DataFrame =
@@ -46,6 +44,7 @@ object Vectors {
     */
   def bruteForceKnn(emb: DataFrame, nQueries: Int, k: Int,
                     dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
     val n = withNorm(emb, dim)
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("va"),
@@ -106,29 +105,24 @@ object Vectors {
     */
   def ivfKnn(emb: DataFrame, nQueries: Int, k: Int, nCentroids: Int,
              dim: Int = Dim): DataFrame = {
-    val cents: Array[Array[Double]] = emb
+    VecDot.register(emb.sparkSession)
+    val cents: Array[Seq[Float]] = emb
       .filter(col("vec_id") < nCentroids).orderBy("vec_id")
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Float](0))
     // cell = argmax_j dot(v, c_j), ties to the lower centroid index.
-    // Deliberately a COMPACT HOF over a literal centroid matrix, not an
-    // unrolled expression: k unrolled dot columns duplicated across the
-    // self-join blew the optimizer/codegen tree up to minutes of plan
-    // time (first as a 2^k when-fold, then as 8×64-term projections).
-    // The HOF tree is O(1) in size; interpreting 8×64 lambda steps per
-    // row is trivial next to that.
-    val matrix = typedlit(cents.map(_.toSeq).toSeq)
-    val dots = expr(
-      s"""transform(sequence(0, ${cents.length - 1}), j ->
-         |  aggregate(sequence(0, $dim - 1), CAST(0 AS DOUBLE),
-         |    (a, i) -> a + CAST(element_at(embedding, i + 1) AS DOUBLE)
-         |      * element_at(element_at(_cents, j + 1), i + 1)))""".stripMargin)
+    // One native VecDot per centroid against a literal array — O(k)
+    // expression tree. (Earlier shapes both failed at scale-of-plan:
+    // a when()-fold duplicated the accumulated subtree 2^k times, and
+    // k unrolled 64-term dot columns blew optimizer time to minutes;
+    // an interpreted HOF matrix worked but cost ~1 s of lambda evals.)
+    val dots = array(cents.map(c =>
+      call_function("graft_vecdot", col("embedding"), typedlit(c))): _*)
     val n = withNorm(emb, dim)
-      .withColumn("_cents", matrix)
       .withColumn("_dots", dots)
       .withColumn("cell",
         (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
-      .drop("_cents", "_dots")
+      .drop("_dots")
     val q = n.filter(col("vec_id") < nQueries)
       .select(col("cell"), col("vec_id").as("query_id"),
         col("embedding").as("va"), col("nrm").as("na"))
@@ -152,6 +146,7 @@ object Vectors {
     * pair scoring never crosses buckets), sampled to every 5th vector.
     */
   def cosineDedup(emb: DataFrame, minCos: Double, dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
     val n = withNorm(emb, dim).filter(col("vec_id") % 5 === 0)
     val a = n.select(col("label"), col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
