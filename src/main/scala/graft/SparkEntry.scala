@@ -83,6 +83,8 @@ object SparkEntry {
     "q_ffill" -> ((s, d) => TickOps.forwardFill(Tables.ticks(s, d), 10.0)),
     "q_tick_dedup" -> ((s, d) => TickOps.tickDedup(Tables.ticks(s, d))),
     "q_tz_shift" -> ((s, d) => TickOps.shiftTz(Tables.ticks(s, d), 2)),
+    "q_ohlc_bars" -> ((s, d) => TickOps.ohlcBars(Tables.ticks(s, d), "hour")),
+    "q_vwap" -> ((s, d) => TickOps.vwap(Tables.events(s, d))),
 
     // ---- D. Feature engineering & anomaly pipeline (SURVEY §2.D) ----
     "q_features_spread" -> ((s, d) => Features.tickFeatures(Tables.ticks(s, d))),
@@ -329,6 +331,25 @@ object SparkEntry {
         |  date_trunc('second', ts + INTERVAL 2 HOUR) AS ts_shifted,
         |  hour(ts + INTERVAL 2 HOUR) AS hour_shifted
         |FROM $ticksSql t ORDER BY tick_id""".stripMargin,
+    "q_ohlc_bars" ->
+      s"""SELECT symbol, date_trunc('hour', ts) AS bar_ts,
+        |  arg_min(bid, tick_id) AS open, max(bid) AS high,
+        |  min(bid) AS low, arg_max(bid, tick_id) AS close,
+        |  count(*) AS n_ticks
+        |FROM $ticksSql t GROUP BY symbol, date_trunc('hour', ts)
+        |ORDER BY symbol, bar_ts""".stripMargin,
+    "q_vwap" ->
+      """SELECT symbol, date,
+        |  CAST((_n * 200 + _d) // (_d * 2) AS DOUBLE) / 10000.0 AS vwap,
+        |  total_qty, n_trades FROM (
+        |  SELECT user_id AS symbol, strftime(ts, '%Y-%m-%d') AS date,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)
+        |      * CAST(props->>'$.k' AS INT)) AS BIGINT) AS _n,
+        |    CAST(nullif(sum(CAST(props->>'$.k' AS INT)), 0) AS BIGINT) AS _d,
+        |    CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS total_qty,
+        |    count(*) AS n_trades
+        |  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')) x
+        |ORDER BY symbol, date""".stripMargin,
     "q_features_spread" ->
       s"""SELECT tick_id, symbol, greatest(ask - bid, 0) AS spread,
         |  (bid + ask) / 2.0 AS mid

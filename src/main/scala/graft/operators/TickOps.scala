@@ -109,6 +109,51 @@ object TickOps {
       .orderBy("symbol", "ts_m")
   }
 
+  /** B7 — OHLC candlestick bars per (symbol, time bucket): the
+    * canonical tick→bar aggregation (open/close via `min_by`/`max_by`
+    * on the deterministic tick order — single hash aggregate, no
+    * window, map-side partial agg). Open/high/low/close are PICKED
+    * values → emitted unrounded (SURVEY §6).
+    */
+  def ohlcBars(ticks: DataFrame, bucket: String): DataFrame =
+    ticks
+      .groupBy(col("symbol"), date_trunc(bucket, col("ts")).as("bar_ts"))
+      .agg(
+        min_by(col("bid"), col("tick_id")).as("open"),
+        max(col("bid")).as("high"),
+        min(col("bid")).as("low"),
+        max_by(col("bid"), col("tick_id")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("symbol", "bar_ts")
+
+  /** B8 — VWAP per (symbol, day): volume-weighted average price with
+    * the weight pulled from the JSON props payload (`$.k`). One
+    * grouped aggregate; the ratio of two sums is rounded (aggregate-
+    * derived, SURVEY §6). */
+  def vwap(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    // prices are 2-decimal: accumulate exact integer cents so the sum
+    // is order-independent (a double sum differs across engines in the
+    // last ulp and flips round-4 boundaries; this data hits them)
+    val cents = round(col("value") * 100.0, 0).cast("long")
+    // round-to-4-decimals in INTEGER space: vwap = S/(100·K); its
+    // e4 value is (S·200 + K) div (2K) (half-up). Engines disagree on
+    // rounding binary doubles that sit exactly on .xxxx5 — integer
+    // arithmetic cannot.
+    events
+      .groupBy(col("user_id").as("symbol"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .agg(
+        sum(cents * k).as("_n"),
+        nullif(sum(k), lit(0)).as("_d"),
+        sum(k).as("total_qty"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap",
+        expr("(_n * 200 + _d) div (_d * 2)").cast("double") / 10000.0)
+      .select("symbol", "date", "vwap", "total_qty", "n_trades")
+      .orderBy("symbol", "date")
+  }
+
   /** B6 — broker timezone shift (+2h), ref: `ML Model/Scripts/data_loader.py:50`. */
   def shiftTz(ticks: DataFrame, hours: Int): DataFrame =
     ticks.select(

@@ -65,6 +65,33 @@ class TickOpsSpec extends SparkSpec {
     assert(kept == Seq(2L, 7L))
   }
 
+  test("ohlcBars picks open/close by tick order, high/low by value") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 10:00:05", 10.0, 10.1),
+      (2L, 1L, "2024-01-01 10:20:00", 50.0, 50.1),
+      (3L, 1L, "2024-01-01 10:40:00", 5.0, 5.1),
+      (4L, 1L, "2024-01-01 10:59:59", 20.0, 20.1),
+      (5L, 1L, "2024-01-01 11:00:00", 99.0, 99.1)) // next bar
+    val bars = TickOps.ohlcBars(df, "hour").collect()
+    assert(bars.length == 2)
+    val b = bars.head
+    assert((b.getDouble(2), b.getDouble(3), b.getDouble(4), b.getDouble(5)) ==
+      ((10.0, 50.0, 5.0, 20.0)))
+  }
+
+  test("vwap weights prices by the JSON qty and rounds in integer space") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 10.0, """{"k": 1}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 20.0, """{"k": 3}"""),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L, 5.0, """{"k": 0}"""))
+      .toDF("event_id", "ts", "user_id", "value", "props")
+    val out = TickOps.vwap(df).collect()
+    val s1 = out.find(_.getLong(0) == 1L).get
+    assert(s1.getDouble(2) == 17.5) // (10*1 + 20*3) / 4
+    val s2 = out.find(_.getLong(0) == 2L).get
+    assert(s2.isNullAt(2)) // zero total weight -> null vwap
+  }
+
   test("shiftTz adds broker offset") {
     val df = ticks((1L, 1L, "2024-01-01 23:30:00", 1.0, 1.1))
     val r = TickOps.shiftTz(df, 2).collect().head
