@@ -102,6 +102,8 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("ts") <=
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
+    "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
+    "q_interarrival" -> ((s, d) => Features.interArrival(Tables.ticks(s, d))),
 
     // ---- E. Temporal joins & sessionization (SURVEY §2.E) ----
     "q_asof_join" -> ((s, d) => {
@@ -420,6 +422,22 @@ object SparkEntry {
         |    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date FROM events) d) d2,
         |    (SELECT unnest(range(4)) AS fold) f) x
         |WHERE role IS NOT NULL ORDER BY fold, date""".stripMargin,
+    "q_drawdown" ->
+      s"""SELECT tick_id, symbol, cummax, (cummax - bid) / cummax AS drawdown
+        |FROM (SELECT tick_id, symbol, bid,
+        |    max(bid) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
+        |  FROM $ticksSql t) x
+        |ORDER BY symbol, tick_id""".stripMargin,
+    "q_interarrival" ->
+      s"""SELECT symbol, round(avg(gap_us) / 1000000.0, 4) AS avg_gap_sec,
+        |  round(max(gap_us) / 1000000.0, 4) AS max_gap_sec,
+        |  count(gap_us) AS n_gaps
+        |FROM (SELECT symbol, epoch_us(CAST(ts AS TIMESTAMP))
+        |    - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY symbol ORDER BY tick_id) AS gap_us
+        |  FROM $ticksSql t) x
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
     "q_asof_join" ->
       """SELECT t.event_id AS trade_id, t.user_id AS symbol,
         |  date_trunc('second', t.ts) AS ts_s,

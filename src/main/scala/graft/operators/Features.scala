@@ -193,6 +193,38 @@ object Features {
       .orderBy(idCol)
   }
 
+  /** D13 — running maximum + drawdown per symbol: the classic
+    * peak-to-trough risk series. `cummax` is a running window max
+    * (picked value) and the drawdown ratio is element-wise on picked
+    * values → both unrounded (SURVEY §6). One shuffle by symbol. */
+  def drawdown(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ticks
+      .withColumn("cummax", max("bid").over(w))
+      .withColumn("drawdown",
+        (col("cummax") - col("bid")) / col("cummax"))
+      .select("tick_id", "symbol", "cummax", "drawdown")
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** D14 — inter-arrival statistics per symbol: mean/max gap between
+    * consecutive ticks in seconds (liquidity profile; the stat behind
+    * the reference's tick-count monitoring). Gap uses µs integer
+    * diffs; aggregates rounded. */
+  def interArrival(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    ticks
+      .withColumn("gap_us", gapUs)
+      .groupBy("symbol")
+      .agg(
+        round(avg(col("gap_us")) / 1000000.0, 4).as("avg_gap_sec"),
+        round(max(col("gap_us")) / 1000000.0, 4).as("max_gap_sec"),
+        count(col("gap_us")).as("n_gaps"))
+      .orderBy("symbol")
+  }
+
   /** D12 — grouped exact percentiles: per-symbol spread quantiles
     * (the per-group flavor of [[anomalyThresholds]]; one shuffle by
     * group key, partial agg). */
