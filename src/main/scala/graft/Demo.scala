@@ -70,6 +70,19 @@ object Demo {
     spark.sql("SELECT * FROM demo_wc ORDER BY win_start").show(false)
     qW.stop()
 
+    val inS = MemoryStream[Tick]
+    val qS = Streaming.sessionWindows(inS.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("demo_sess")
+      .outputMode(OutputMode.Complete).start()
+    inS.addData(
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 11.0),
+      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 12.0))
+    qS.processAllAvailable()
+    println("=== streaming session windows (5m gap) ===")
+    spark.sql("SELECT * FROM demo_sess ORDER BY session_start").show(false)
+    qS.stop()
+
     val in2 = MemoryStream[Tick]
     val q2 = Streaming.anomalyFlags(in2.toDS(), 3.0)
       .writeStream.format("memory").queryName("demo_flags")

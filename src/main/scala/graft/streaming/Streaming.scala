@@ -63,6 +63,20 @@ object Streaming {
       .select(col("symbol"), col("w.start").as("win_start"),
         col("n_ticks"), col("first_bid"), col("last_bid"))
 
+  /** G5 — streaming gap-based sessionization via the native
+    * `session_window` (the streaming twin of
+    * `TemporalJoins.sessionize`): a session closes when no tick
+    * arrives for `gap`; watermark bounds session state. */
+  def sessionWindows(ticks: DataFrame, gap: String,
+                     watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min_by(col("bid"), col("ts")).as("first_bid"))
+      .select(col("symbol"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_ticks"), col("first_bid"))
+
   case class Doc(doc_id: Long, text: String)
   case class DedupDecision(doc_id: Long, content_hash: Long, isDuplicate: Boolean)
 

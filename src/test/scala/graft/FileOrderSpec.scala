@@ -36,6 +36,25 @@ class FileOrderSpec extends SparkSpec {
     assert(byTick == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("streaming sessionWindows merges ticks within the gap, splits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.sessionWindows(in.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        Tick(1L, t("2024-01-01 10:00:00"), 10.0),
+        Tick(1L, t("2024-01-01 10:03:00"), 11.0), // same session (gap 3m)
+        Tick(1L, t("2024-01-01 10:30:00"), 12.0), // gap 27m -> new session
+        Tick(2L, t("2024-01-01 10:01:00"), 20.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT symbol, n_ticks, first_bid FROM sess")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out == Set((1L, 2L, 10.0), (1L, 1L, 12.0), (2L, 1L, 20.0)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches live ticks with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "EURUSD"), (2L, "XAUUSD")).toDF("symbol", "name")
