@@ -40,7 +40,7 @@ def main():
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); continue
-        spark_df = pd.read_parquet(files[0])
+        spark_df = pd.read_parquet(f"{outdir}/{name}")
         if name not in oracle:
             print(f"rows {name}: {len(spark_df)} rows (no oracle)"); continue
         try:

@@ -37,7 +37,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failures carry a -1 sentinel; they must not (negatively!) offset
+    // the headline total — sum only successful queries
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3,18 +3,28 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PolyHash
+import graft.functions.{CharGrams, PolyHash, VecDot}
 
 /** Canonical extension injection point: `--conf
-  * spark.sql.extensions=graft.GraftExtensions` makes the graft
+  * spark.sql.extensions=graft.GraftExtensions` makes ALL graft
   * functions available in every session of a cluster deployment.
-  * (Operators also self-register defensively via [[PolyHash.register]]
-  * for sessions created without extensions — e.g. the test driver's.)
+  * (Operators also self-register defensively for sessions created
+  * without extensions — e.g. the test driver's.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[CharGrams].getName, "graft_grams"),
+      (exprs: Seq[Expression]) => CharGrams(exprs.head,
+        exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vecdot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+  }
 }

@@ -79,14 +79,20 @@ object Features {
       expr(s"percentile($scoreCol, ${p / 100.0})").as(s"t$i")
     }
     val thr = df.agg(aggs.head, aggs.tail: _*)
-    val withThr = df.crossJoin(broadcast(thr))
-    val rows = pcts.zipWithIndex.map { case (p, i) =>
-      withThr.agg(
-        lit(p).as("pct"),
-        round(first(col(s"t$i")), 4).as("threshold"),
-        count(when(score > col(s"t$i"), 1)).as("n_above"))
-    }
-    rows.reduce(_ unionByName _).orderBy("pct")
+    // ONE aggregation over the broadcast-joined data computes every
+    // n_above; stack() reshapes the single row to one row per
+    // percentile (an agg pass per percentile would re-scan the full
+    // table k times — a full-table read each at 100 TB).
+    val countAggs = pcts.indices.map(i =>
+      count(when(score > col(s"t$i"), 1)).as(s"n$i")) ++
+      pcts.indices.map(i => round(first(col(s"t$i")), 4).as(s"thr$i"))
+    val one = df.crossJoin(broadcast(thr))
+      .agg(countAggs.head, countAggs.tail: _*)
+    val stackArgs = pcts.zipWithIndex
+      .map { case (p, i) => s"CAST($p AS DOUBLE), thr$i, n$i" }.mkString(", ")
+    one.selectExpr(
+      s"stack(${pcts.length}, $stackArgs) AS (pct, threshold, n_above)")
+      .orderBy("pct")
   }
 
   /** D6 — evenly-spaced window resampling: pick exactly `n` ticks per
@@ -111,7 +117,8 @@ object Features {
     val idx = groups
       .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("target_rn",
-        when(col("cnt") === 1, lit(1))
+        if (n == 1) lit(1) // linspace(0, cnt-1, 1) = [0] -> first row
+        else when(col("cnt") === 1, lit(1))
           .otherwise(expr(s"(i * (cnt - 1)) div ${n - 1} + 1")))
     idx.join(base, Seq("symbol", "date"))
       .filter(col("rn") === col("target_rn"))
@@ -144,7 +151,8 @@ object Features {
     val idx = groups
       .withColumn("i", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("target_rn",
-        when(col("cnt") === 1, lit(1))
+        if (n == 1) lit(1) // linspace(0, cnt-1, 1) = [0] -> first row
+        else when(col("cnt") === 1, lit(1))
           .otherwise(expr(s"(i * (cnt - 1)) div ${n - 1} + 1")))
     idx.join(base, Seq("symbol", "date", "win"))
       .filter(col("rn") === col("target_rn"))

@@ -60,7 +60,7 @@ object Multimodal {
     media.filter(_.kind == "video").flatMap { r =>
       val n = r.n_frames
       val idxs =
-        if (n <= 1) Seq(0)
+        if (n <= 1 || k <= 1) Seq(0)
         else (0 until k).map(i => (i * (n - 1)) / (k - 1))
       val px = FakeCodec.decode(r.payload)
       idxs.distinct.map { fi =>

@@ -146,12 +146,15 @@ object TextDedup {
       val list = ws.map(w => s"'$w'").mkString(", ")
       expr(s"size(filter($tokens, t -> t IN ($list)))").as(s"hits_$l")
     }
-    val predicted =
-      when(col("hits_en") >= col("hits_de") && col("hits_en") >= col("hits_fr")
-        && col("hits_en") >= col("hits_es"), "en")
-        .when(col("hits_de") >= col("hits_fr") && col("hits_de") >= col("hits_es"), "de")
-        .when(col("hits_fr") >= col("hits_es"), "fr")
-        .otherwise("es")
+    // argmax with first-wins tie-break, derived from langMarkers so the
+    // language set lives in exactly one place
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.init.zipWithIndex.foldRight(
+      lit(langs.last): org.apache.spark.sql.Column) { case ((l, i), rest) =>
+      val beatsRest = langs.drop(i + 1)
+        .map(o => col(s"hits_$l") >= col(s"hits_$o")).reduce(_ && _)
+      when(beatsRest, l).otherwise(rest)
+    }
     docs
       .select(Seq(col("doc_id"), col("lang")) ++ hitCols: _*)
       .withColumn("predicted", predicted)

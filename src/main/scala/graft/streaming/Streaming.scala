@@ -29,7 +29,7 @@ object Streaming {
         minute(col("ts")) >= 50)
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
-      .agg(min_by(col("bid"), col("ts")).as("bid"),
+      .agg(min_by(col("bid"), struct(col("ts"), col("bid"))).as("bid"),
         count(lit(1)).as("n_ticks"))
       .select(col("symbol"), col("w.start").as("ts_s"), col("bid"), col("n_ticks"))
 
@@ -58,8 +58,8 @@ object Streaming {
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), window(col("ts"), windowDur).as("w"))
       .agg(count(lit(1)).as("n_ticks"),
-        min_by(col("bid"), col("ts")).as("first_bid"),
-        max_by(col("bid"), col("ts")).as("last_bid"))
+        min_by(col("bid"), struct(col("ts"), col("bid"))).as("first_bid"),
+        max_by(col("bid"), struct(col("ts"), col("bid"))).as("last_bid"))
       .select(col("symbol"), col("w.start").as("win_start"),
         col("n_ticks"), col("first_bid"), col("last_bid"))
 
@@ -73,26 +73,29 @@ object Streaming {
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_ticks"),
-        min_by(col("bid"), col("ts")).as("first_bid"))
+        min_by(col("bid"), struct(col("ts"), col("bid"))).as("first_bid"))
       .select(col("symbol"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_ticks"), col("first_bid"))
 
   case class Doc(doc_id: Long, text: String)
-  case class DedupDecision(doc_id: Long, content_hash: Long, isDuplicate: Boolean)
+  case class DedupDecision(doc_id: Long, content_hash: String, isDuplicate: Boolean)
 
-  /** G3 — streaming exact dedup: keyed state per content hash
-    * ([[graft.functions.PolyHash]]); the first arrival of a hash is
-    * emitted as canonical, later arrivals are flagged duplicates. The
-    * streaming twin of `TextDedup.exactDedup` — state is one Long per
-    * distinct document, the minimum any exact dedup must retain.
-    */
+  /** G3 — streaming exact dedup: keyed state per md5 content hash
+    * (128-bit, same key family as the batch `TextDedup.exactDedup`;
+    * a 2^30-space polynomial hash here would silently drop distinct
+    * docs once the corpus passes ~10^4.5 — birthday bound). State is
+    * one boolean per distinct document, the minimum any exact dedup
+    * must retain. */
   def dedupExact(docs: Dataset[Doc]): Dataset[DedupDecision] = {
     import docs.sparkSession.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     docs
-      .groupByKey(d => graft.functions.PolyHash.hash(d.text))
+      .groupByKey(d => md5hex(d.text))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
-        (hash: Long, rows: Iterator[Doc], state: GroupState[Boolean]) =>
+        (hash: String, rows: Iterator[Doc], state: GroupState[Boolean]) =>
           val seenBefore = state.getOption.getOrElse(false)
           val sorted = rows.toSeq.sortBy(_.doc_id)
           state.update(true)
