@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON metric from the sbt output
+// tail; the default LoggedOutput strategy prefixes every forked-stdout
+// line with "[info] ", which broke the parse in round 1
+// (BENCH_r01.json "parsed": null). StdoutOutput streams the forked
+// JVM's stdout through bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,15 @@ object Bench {
     // failures carry a -1 sentinel; they must not (negatively!) offset
     // the headline total — sum only successful queries
     val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Bare line on stdout for the driver's tail parser (build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
+    // prefix), plus a file copy as belt-and-braces.
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_metric.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
