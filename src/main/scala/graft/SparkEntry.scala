@@ -70,9 +70,6 @@ object SparkEntry {
     "q_ndv_profile" -> ((s, d) =>
       Lakehouse.ndvProfile(Tables.events(s, d),
         Seq("user_id", "event_type", "value"))),
-    // IVF ANN: no SQL oracle (cell assignment is a literal-unrolled
-    // argmax) -> driver records the weaker rows-only check; exactness
-    // is covered by q_ann_topk and the recall spec.
     "q_ann_ivf" -> ((s, d) =>
       Vectors.ivfKnn(Tables.embeddings(s, d), 10, 5, 8)),
 
@@ -491,19 +488,33 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents)
         |SELECT doc_id, $duckSimHash AS simhash FROM t ORDER BY doc_id""".stripMargin
     },
+    // Inverted index with df cap (grams in > 20 docs of a bucket are
+    // dropped before pairing); intersection counts capped grams only,
+    // denominators |A|,|B| stay full — same lower-bound Jaccard as
+    // TextDedup.ngramJaccard.
     "q_dedup_ngram" -> {
       import graft.functions.PortableText._
       s"""WITH g0 AS (SELECT doc_id, lang, source, $duckGrams3 AS grams
         |    FROM documents WHERE doc_id % 5 = 0),
-        |g AS (SELECT *, length(grams) AS n FROM g0),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
-        |    length(list_distinct(list_concat(a.grams, b.grams))) AS u
-        |  FROM g a JOIN g b ON a.lang = b.lang AND a.source = b.source
-        |    AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(na + nb - u AS DOUBLE) / u AS jaccard
-        |FROM p WHERE CAST(na + nb - u AS DOUBLE) / u >= 0.5
+        |g AS (SELECT doc_id, length(grams) AS n FROM g0),
+        |inv AS (SELECT doc_id, lang, source, unnest(grams) AS gram FROM g0),
+        |invk AS (SELECT * FROM (SELECT doc_id, lang, source, gram,
+        |    count(*) OVER (PARTITION BY lang, source, gram) AS df FROM inv)
+        |  WHERE df <= 20),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+        |FROM p JOIN g ca ON ca.doc_id = p.doc_a
+        |  JOIN g cb ON cb.doc_id = p.doc_b
+        |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // Candidates from shared LSH bucket (same hyperplane arithmetic as
+    // q_ann_lsh); label equality is a filter, not the bucket key.
     "q_dedup_cosine" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -511,14 +522,59 @@ object SparkEntry {
         |n AS (SELECT vec_id, label, v,
         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
-        |      (a, b) -> a + b)) AS nrm FROM e),
+        |      (a, b) -> a + b)) AS nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(8), j ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(range(64), i -> v[CAST(i+1 AS INT)]
+        |              * CAST((j*31 + i*17) % 5 - 2 AS DOUBLE))),
+        |            (a, b) -> a + b) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket
+        |  FROM e),
         |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(64), i -> a.v[CAST(i+1 AS INT)] * b.v[CAST(i+1 AS INT)])),
         |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label
+        |    AND a.vec_id < b.vec_id)
         |SELECT label, vec_a, vec_b, round(cs, 4) AS cos_sim
         |FROM p WHERE cs >= 0.05 ORDER BY vec_a, vec_b""".stripMargin,
+    // IVF: centroids are the first 8 vectors of the table itself, so
+    // the cell argmax (ties to the lower centroid index, matching
+    // array_position-of-array_max) is a cross join + row_number over
+    // the same left-to-right list_reduce dots Vectors.ivfKnn computes
+    // via graft_vecdot.
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> e.v[CAST(i+1 AS INT)] * c.cv[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) AS dt
+        |  FROM e, c),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |  (SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rn
+        |   FROM d) WHERE rn = 1),
+        |n AS (SELECT e.vec_id, e.v, cell.cell,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> e.v[CAST(i+1 AS INT)] * e.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM e JOIN cell ON cell.vec_id = e.vec_id),
+        |p AS (SELECT q.vec_id AS query_id, q.cell, nb.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * nb.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / (q.nrm * nb.nrm) AS cs
+        |  FROM n q JOIN n nb ON nb.cell = q.cell AND nb.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, cell, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rnk FROM p)
+        |SELECT query_id, cell, neighbor_id, rnk, round(cs, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -86,11 +86,20 @@ object TextDedup {
   }
 
   /** F4 — character-3-gram Jaccard similarity between documents of the
-    * same (lang, source) bucket, sampled to every 5th doc. Uses
-    * inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) so only one distinct
-    * union per pair is computed — and `array_distinct` semantics match
-    * across engines where `intersect` builtins differ. */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+    * same (lang, source) bucket, sampled to every 5th doc, with a
+    * document-frequency cap on the inverted index.
+    *
+    * Grams present in more than `maxDf` documents of a bucket are
+    * dropped before the pair join: a stop-gram shared by k docs
+    * otherwise yields k² join rows from that single key — quadratic at
+    * corpus scale — while contributing almost nothing to Jaccard
+    * precision (standard LSH/dedup practice). The reported score is
+    * therefore a LOWER BOUND on true Jaccard: the intersection counts
+    * only capped grams, the denominators |A|,|B| stay full. True
+    * near-dups share their low-df grams too, so they still score high.
+    */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double,
+                   maxDf: Int = 20): DataFrame = {
     graft.functions.CharGrams.register(docs.sparkSession)
     // Inverted-index formulation: |A∩B| comes from a gram-equality
     // self-join (shuffle by gram, partial-agg counts) instead of
@@ -113,8 +122,14 @@ object TextDedup {
         explode(col("grams")).as("gram"))
       .select(col("doc_id"),
         xxhash64(col("lang"), col("source"), col("gram")).as("gkey"))
-    val a = inv.select(col("gkey"), col("doc_id").as("doc_a"))
-    val b = inv.select(col("gkey"), col("doc_id").as("doc_b"))
+    // df cap via a window over the same gkey partitioning the pair
+    // join needs — the exchange is planned once, no extra shuffle.
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gkey")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val a = capped.select(col("gkey"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("gkey"), col("doc_id").as("doc_b"))
     val inter = a.join(b, Seq("gkey"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -63,30 +63,35 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
-  /** F7 — LSH bucketing by random-hyperplane signs. Hyperplane j's
-    * component i is the deterministic pseudo-random ±2..∓2 value
-    * `((j*31 + i*17) % 5) - 2` — portable integer arithmetic instead
-    * of an engine RNG (SURVEY §6). Bucket = packed sign bits; the
-    * output joins each vector to its bucket population (the ANN
+  /** Random-hyperplane LSH bucket of `embedding`: packed sign bits of
+    * `nPlanes` dot products. Hyperplane j's component i is the
+    * deterministic pseudo-random ±2..∓2 value `((j*31 + i*17) % 5) - 2`
+    * — portable integer arithmetic instead of an engine RNG (SURVEY
+    * §6), exactly reproducible as DuckDB `list_reduce` arithmetic.
+    * Each plane is one native [[VecDot]] against a literal coefficient
+    * array — O(nPlanes) expression tree (the round-1 literal-unrolled
+    * form was O(nPlanes·dim) and cost ~2 s of janino compile per
+    * plan). Coefficients are exact small integers, so float literals
+    * carry them losslessly and the double products match the oracle's.
+    */
+  private[graft] def lshBucketCol(nPlanes: Int, dim: Int = Dim)
+      : org.apache.spark.sql.Column =
+    (0 until nPlanes).map { j =>
+      val coeffs: Seq[Float] =
+        (0 until dim).map(i => ((j * 31 + i * 17) % 5 - 2).toFloat)
+      val d = call_function("graft_vecdot", col("embedding"), typedlit(coeffs))
+      when(d > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft((a, b) => a + b)
+
+  /** F7 — LSH bucketing by random-hyperplane signs ([[lshBucketCol]]).
+    * The output joins each vector to its bucket population (the ANN
     * candidate set size). Probing a bucket is an equality lookup —
     * the 100 TB path where brute force is off the table.
     */
-  def lshBuckets(emb: DataFrame, nPlanes: Int, dim: Int = 64): DataFrame = {
-    // Hyperplane coefficients are compile-time constants, so the 8×64
-    // dot products unroll into literal arithmetic instead of nested
-    // interpreted HOFs — whole-stage codegen takes it (~4× faster at
-    // sf0.1) and the left-to-right add order matches the oracle's
-    // list_reduce exactly.
-    val v = col("embedding")
-    val bucket = (0 until nPlanes).map { j =>
-      val dot = (0 until dim).map { i =>
-        val c = (j * 31 + i * 17) % 5 - 2
-        element_at(v, i + 1).cast("double") * lit(c.toDouble)
-      }.reduceLeft((a, b) => a + b)
-      when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduceLeft((a, b) => a + b)
+  def lshBuckets(emb: DataFrame, nPlanes: Int, dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
     val b = emb
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", lshBucketCol(nPlanes, dim))
       .select("vec_id", "bucket")
     val sizes = b.groupBy("bucket").agg(count(lit(1)).as("bucket_size"))
     b.join(broadcast(sizes), "bucket")
@@ -141,23 +146,35 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
-  /** F5 — embedding-cosine near-dup: pairs above a cosine threshold
-    * within the same `label` partition (cluster-bucketed, IVF-style —
-    * pair scoring never crosses buckets), sampled to every 5th vector.
+  /** F5 — embedding-cosine near-dup: candidate pairs come from shared
+    * random-hyperplane LSH buckets ([[lshBucketCol]]); the `label`
+    * equality is only a post-join FILTER, never the partition key.
+    * Sampled to every 5th vector.
+    *
+    * Scale shape: round 1 paired all vectors sharing a `label` — with
+    * ~10 labels that self-join is O(n²/10), a cartesian-within-bucket
+    * that dies long before 100 TB. `nPlanes` sign bits give 2^nPlanes
+    * buckets whose count GROWS with corpus entropy, and near-duplicate
+    * vectors land in the same bucket with high probability (that is
+    * the LSH guarantee); recall < 1 by design, like every production
+    * near-dup pass. The pair join shuffles by bucket — bounded
+    * per-bucket work, no cross product.
     */
-  def cosineDedup(emb: DataFrame, minCos: Double, dim: Int = Dim): DataFrame = {
+  def cosineDedup(emb: DataFrame, minCos: Double, nPlanes: Int = 8,
+                  dim: Int = Dim): DataFrame = {
     VecDot.register(emb.sparkSession)
     val n = withNorm(emb, dim).filter(col("vec_id") % 5 === 0)
-    val a = n.select(col("label"), col("vec_id").as("vec_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = n.select(col("label"), col("vec_id").as("vec_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("label"))
-      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("bucket", lshBucketCol(nPlanes, dim))
+    val a = n.select(col("bucket"), col("label").as("label_a"),
+      col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = n.select(col("bucket"), col("label").as("label_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b") && col("label_a") === col("label_b"))
       .withColumn("cos_sim_raw",
         dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .filter(col("cos_sim_raw") >= minCos)
-      .select(col("label"), col("vec_a"), col("vec_b"),
+      .select(col("label_a").as("label"), col("vec_a"), col("vec_b"),
         round(col("cos_sim_raw"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }

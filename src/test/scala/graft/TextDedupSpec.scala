@@ -101,10 +101,13 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0L) == out(1L) && out(0L) != out(2L))
   }
 
-  test("cosineDedup finds sampled same-label near-duplicates") {
+  test("cosineDedup pairs LSH-cobucketed near-duplicates, filters label") {
+    // (1.0,0.1) and (0.99,0.11) share all 8 hyperplane signs (hand
+    // checked against ((j*31+i*17)%5-2)); (0,1) flips plane j=1 and
+    // lands elsewhere; vec 15 matches nobody's label.
     val emb = Seq(
-      (0L, Array(1.0f, 0.0f), 7), (5L, Array(0.99f, 0.01f), 7),
-      (10L, Array(0.0f, 1.0f), 7), (15L, Array(1.0f, 0.0f), 3))
+      (0L, Array(1.0f, 0.1f), 7), (5L, Array(0.99f, 0.11f), 7),
+      (10L, Array(0.0f, 1.0f), 7), (15L, Array(1.0f, 0.1f), 3))
       .toDF("vec_id", "embedding", "label")
     val pairs = Vectors.cosineDedup(emb, 0.9, dim = 2)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
