@@ -49,9 +49,9 @@ object Demo {
       .writeStream.format("memory").queryName("demo_ds")
       .outputMode(OutputMode.Complete).start()
     in.addData(
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.100"), 10.0),
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.900"), 99.0),
-      Tick(2L, java.sql.Timestamp.valueOf("2024-01-01 13:55:00.000"), 20.0))
+      Tick(1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.100"), 10.0),
+      Tick(2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:55:01.900"), 99.0),
+      Tick(3L, 2L, java.sql.Timestamp.valueOf("2024-01-01 13:55:00.000"), 20.0))
     q.processAllAvailable()
     println("=== streaming 1s downsample ===")
     spark.sql("SELECT * FROM demo_ds ORDER BY symbol").show(false)
@@ -62,9 +62,9 @@ object Demo {
       .writeStream.format("memory").queryName("demo_wc")
       .outputMode(OutputMode.Complete).start()
     inW.addData(
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:51:00"), 10.0),
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:53:00"), 11.0),
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 08:01:00"), 12.0))
+      Tick(4L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:51:00"), 10.0),
+      Tick(5L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:53:00"), 11.0),
+      Tick(6L, 1L, java.sql.Timestamp.valueOf("2024-01-01 08:01:00"), 12.0))
     qW.processAllAvailable()
     println("=== streaming 10-minute window counts ===")
     spark.sql("SELECT * FROM demo_wc ORDER BY win_start").show(false)
@@ -75,9 +75,9 @@ object Demo {
       .writeStream.format("memory").queryName("demo_sess")
       .outputMode(OutputMode.Complete).start()
     inS.addData(
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 11.0),
-      Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 12.0))
+      Tick(7L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      Tick(8L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 11.0),
+      Tick(9L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 12.0))
     qS.processAllAvailable()
     println("=== streaming session windows (5m gap) ===")
     spark.sql("SELECT * FROM demo_sess ORDER BY session_start").show(false)
@@ -88,9 +88,9 @@ object Demo {
       .writeStream.format("memory").queryName("demo_flags")
       .outputMode(OutputMode.Update).start()
     in2.addData((1 to 10).map(i =>
-      Tick(1L, java.sql.Timestamp.valueOf(f"2024-01-01 07:55:$i%02d"), 100.0 + i % 3)): _*)
+      Tick(10L, 1L, java.sql.Timestamp.valueOf(f"2024-01-01 07:55:$i%02d"), 100.0 + i % 3)): _*)
     q2.processAllAvailable()
-    in2.addData(Tick(1L, java.sql.Timestamp.valueOf("2024-01-01 07:56:00"), 500.0))
+    in2.addData(Tick(11L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:56:00"), 500.0))
     q2.processAllAvailable()
     println("=== streaming anomaly flags (anomalies only) ===")
     spark.sql("SELECT * FROM demo_flags WHERE isAnomaly").show(false)

@@ -13,18 +13,19 @@ import graft.functions.{CharGrams, PolyHash, VecDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Builders are the validated fromArgs factories — arity/literal
+    // misuse fails analysis with the function signature in the message.
     ext.injectFunction((
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (exprs: Seq[Expression]) => PolyHash(exprs.head)))
+      (exprs: Seq[Expression]) => PolyHash.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_grams"),
       new ExpressionInfo(classOf[CharGrams].getName, "graft_grams"),
-      (exprs: Seq[Expression]) => CharGrams(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => CharGrams.fromArgs(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_vecdot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => VecDot.fromArgs(exprs)))
   }
 }

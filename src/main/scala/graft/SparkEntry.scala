@@ -54,6 +54,22 @@ object SparkEntry {
             org.apache.spark.sql.functions.lit("2001-06-01 00:00:00").cast("timestamp")))),
 
     // ---- A. Ingest & storage (SURVEY §2.A) ----
+    // MERGE-style upsert (CatalogOps.upsertPlan): every 97th order is
+    // updated (price doubled) and re-inserted under a shifted key;
+    // src marks kept/updated/inserted provenance.
+    "q_upsert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val m = t.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val updates = m.unionByName(
+        m.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      CatalogOps.upsertPlan(t, updates, Seq("o_orderkey"))
+        .withColumn("src", when(col("o_orderkey") >= 10000000L, "I")
+          .when(col("o_orderkey") % 97 === 0, "U").otherwise("K"))
+        .orderBy("o_orderkey")
+    }),
     "q_quality_scan" -> ((s, d) =>
       Lakehouse.qualityScan(Tables.events(s, d), "event_type",
         Seq("user_id", "value", "props"))),
@@ -98,6 +114,11 @@ object SparkEntry {
       Features.standardScale(Tables.events(s, d), "value", "event_id",
         org.apache.spark.sql.functions.col("ts") <=
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
+    "q_standard_scale_multi" -> ((s, d) =>
+      Features.standardScaleMulti(Tables.ticks(s, d), Seq("bid", "ask"),
+        "tick_id",
+        org.apache.spark.sql.functions.col("ts") <=
+          org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     "q_interarrival" -> ((s, d) => Features.interArrival(Tables.ticks(s, d))),
@@ -133,6 +154,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => TextDedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
+    // maxHamming=1 -> 2 pigeonhole bands of 16 bits (the production
+    // band width); the synthetic corpus is template-heavy, so higher
+    // radii balloon the pair set without testing anything new.
+    "q_dedup_simhash_pairs" -> ((s, d) =>
+      TextDedup.simHashPairs(TextDedup.simHashSig(Tables.documents(s, d)), 1)),
     "q_dedup_ngram" -> ((s, d) =>
       TextDedup.ngramJaccard(Tables.documents(s, d), 0.5)),
     "q_dedup_cosine" -> ((s, d) =>
@@ -262,6 +288,24 @@ object SparkEntry {
         |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
         |  AND b.win = idx.win AND b.rn = idx.target_rn
         |ORDER BY idx.symbol, idx.date, idx.win, idx.i""".stripMargin,
+    "q_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |      o_orderstatus
+        |    FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2,
+        |      o_orderstatus
+        |    FROM orders WHERE o_orderkey % 97 = 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |    FROM orders
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+        |  CASE WHEN o_orderkey >= 10000000 THEN 'I'
+        |       WHEN o_orderkey % 97 = 0 THEN 'U' ELSE 'K' END AS src
+        |FROM m ORDER BY o_orderkey""".stripMargin,
     "q_quality_scan" ->
       """SELECT event_type, count(*) AS total_rows,
         |  count(*) FILTER (WHERE user_id IS NULL) AS user_id_nulls,
@@ -409,6 +453,14 @@ object SparkEntry {
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |SELECT event_id, round((value - mu) / sigma, 4) AS scaled
         |FROM events, s ORDER BY event_id""".stripMargin,
+    "q_standard_scale_multi" ->
+      s"""WITH t AS (SELECT * FROM $ticksSql tk),
+        |s AS (SELECT avg(bid) AS mu_bid, stddev_samp(bid) AS sigma_bid,
+        |    avg(ask) AS mu_ask, stddev_samp(ask) AS sigma_ask
+        |  FROM t WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+        |SELECT tick_id, round((bid - mu_bid) / sigma_bid, 4) AS bid_scaled,
+        |  round((ask - mu_ask) / sigma_ask, 4) AS ask_scaled
+        |FROM t, s ORDER BY tick_id""".stripMargin,
     "q_walk_forward" ->
       """SELECT fold, date, role FROM (
         |  SELECT fold, date,
@@ -487,6 +539,18 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents)
         |SELECT doc_id, $duckSimHash AS simhash FROM t ORDER BY doc_id""".stripMargin
+    },
+    // Brute-force hamming join is a VALID oracle for the banded Spark
+    // plan: pigeonhole banding has recall exactly 1 for hamming <= 1.
+    "q_dedup_simhash_pairs" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckSimHash AS simhash
+        |  FROM (SELECT doc_id, $duckTokenHashes AS th FROM documents) x)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin
     },
     // Inverted index with df cap (grams in > 20 docs of a bucket are
     // dropped before pairing); intersection counts capped grams only,

@@ -28,9 +28,23 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
+    // Iterate by CODE POINT, not UTF-16 code unit: the HOF spelling
+    // (Spark `substring`) and the DuckDB dual (`substr`) both count
+    // codepoints, and code-unit windows would split surrogate pairs on
+    // non-BMP text (emoji, supplementary CJK), silently diverging from
+    // the oracle. `starts(k)` is the char offset of codepoint k.
+    val len = s.length
+    val starts = new mutable.ArrayBuffer[Int](len + 1)
+    var ci = 0
+    while (ci < len) { starts += ci; ci = s.offsetByCodePoints(ci, 1) }
+    starts += len
+    val cpCount = starts.length - 1
     val seen = mutable.LinkedHashSet.empty[String]
     var i = 0
-    while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+    while (i + n <= cpCount) {
+      seen.add(s.substring(starts(i), starts(i + n)))
+      i += 1
+    }
     new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
@@ -39,11 +53,33 @@ case class CharGrams(child: Expression, n: Int) extends UnaryExpression
 }
 
 object CharGrams {
+  /** Build from SQL-registry arguments with plan-time validation — a
+    * non-literal, non-integer, or missing `n` must fail analysis with
+    * a message naming the signature, not NPE inside `eval(null)`. */
+  def fromArgs(exprs: Seq[Expression]): CharGrams = {
+    def fail(why: String) = throw new IllegalArgumentException(
+      s"graft_grams(str, n): $why")
+    if (exprs.length != 2)
+      fail(s"takes exactly 2 arguments, got ${exprs.length}")
+    val nExpr = exprs(1)
+    if (!nExpr.foldable) fail("n must be a literal")
+    val n = nExpr.eval(null) match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long =>
+        if (l < 1 || l > Int.MaxValue) fail(s"n out of range: $l"); l.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case null => fail("n must not be NULL")
+      case other => fail(s"n must be an integer literal, got ${other.getClass.getSimpleName}")
+    }
+    if (n < 1) fail(s"n must be positive, got $n")
+    CharGrams(exprs.head, n)
+  }
+
   /** Register `graft_grams(str, n)` (n must be a foldable int). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_grams"),
       new ExpressionInfo(classOf[CharGrams].getName, "graft_grams"),
-      (exprs: Seq[Expression]) => CharGrams(exprs.head,
-        exprs(1).eval(null).asInstanceOf[Int]))
+      fromArgs _)
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the portable polynomial string hash
-  * (SURVEY §6): `h = fold(chars)(h * 31 + code) mod 1e9+7`.
+  * (SURVEY §6): `h = fold(codepoints)(h * 31 + code) mod 1e9+7`.
   *
-  * Semantically identical (for BMP text) to the declarative fragment
+  * Iterates by CODE POINT (surrogate pairs fold as one value), so it
+  * is semantically identical — including non-BMP text — to the
+  * declarative fragment
   * `aggregate(split(s, ''), 0L, (a, c) -> (a*31 + ascii(c)) % p)` and
   * to the DuckDB dual in [[PortableText]] — but where the HOF version
   * allocates a per-character array and interprets a lambda per element,
@@ -33,8 +35,11 @@ case class PolyHash(child: Expression) extends UnaryExpression {
          |java.lang.String s = $c.toString();
          |long h = 0L;
          |int n = s.length();
-         |for (int i = 0; i < n; i++) {
-         |  h = (h * 31L + (long) s.charAt(i)) % ${PolyHash.P}L;
+         |int i = 0;
+         |while (i < n) {
+         |  int cp = s.codePointAt(i);
+         |  h = (h * 31L + (long) cp) % ${PolyHash.P}L;
+         |  i += java.lang.Character.charCount(cp);
          |}
          |${ev.value} = h;
        """.stripMargin)
@@ -49,8 +54,20 @@ object PolyHash {
   def hash(s: String): Long = {
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31L + s.charAt(i)) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
     h
+  }
+
+  /** Build from SQL-registry arguments with an arity check. */
+  def fromArgs(exprs: Seq[Expression]): PolyHash = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"graft_polyhash(str) takes exactly 1 argument, got ${exprs.length}")
+    PolyHash(exprs.head)
   }
 
   /** Register `graft_polyhash` in the session's function registry so it
@@ -62,5 +79,5 @@ object PolyHash {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
-      (exprs: Seq[Expression]) => PolyHash(exprs.head))
+      fromArgs _)
 }

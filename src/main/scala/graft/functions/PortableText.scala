@@ -18,8 +18,10 @@ object PortableText {
   /** minhash signature length and LSH banding (bands × rows = k). */
   val MinHashK = 8
   val Bands = 4
-  /** simhash bit width. */
-  val SimHashBits = 16
+  /** simhash bit width. Token hashes are mod p ≈ 2^30, so bits ≥ 30
+    * vote uniformly 0 — 30 informative bits. 32 divides evenly into
+    * the 4 pigeonhole bands of [[graft.operators.TextDedup.simHashPairs]]. */
+  val SimHashBits = 32
 
   // ---------- Spark SQL fragments ----------
   /** whitespace tokens, empties dropped (split-on-space is the
@@ -36,7 +38,7 @@ object PortableText {
   val minHashes: String =
     s"transform(sequence(0, ${MinHashK - 1}), j -> " +
       s"array_min(transform(th, x -> ((2*j + 3) * x + 5*j + 7) % $P)))"
-  /** 16-bit simhash: sign of per-bit vote sum over token hashes. */
+  /** simhash: sign of per-bit vote sum over token hashes. */
   val simHash: String =
     s"aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT), (s, i) -> s + " +
       "CASE WHEN aggregate(th, CAST(0 AS BIGINT), (a, x) -> a + " +

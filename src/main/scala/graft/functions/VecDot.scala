@@ -26,7 +26,13 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // A truncated/malformed embedding must surface, not yield a
+    // plausible-but-wrong partial dot (the unrolled element_at chain
+    // this replaced was equally strict — it threw past the end).
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_vecdot: array length mismatch ($n vs ${b.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -42,9 +48,17 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VecDot {
+  /** Build from SQL-registry arguments with an arity check. */
+  def fromArgs(exprs: Seq[Expression]): VecDot = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_vecdot(a, b) takes exactly 2 arguments, got ${exprs.length}")
+    VecDot(exprs.head, exprs(1))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_vecdot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
-      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1)))
+      fromArgs _)
 }

@@ -201,6 +201,24 @@ object Features {
       .orderBy(idCol)
   }
 
+  /** D8b — multi-column standard scaling: ONE scaler fit over a whole
+    * feature matrix at once (ref: model.py:351-383 scales all features
+    * together), train-only statistics applied to the full set. A
+    * single aggregate row carries every column's (mu, sigma) — still
+    * one scan of the train slice and one broadcast, independent of the
+    * number of features. */
+  def standardScaleMulti(df: DataFrame, valueCols: Seq[String], idCol: String,
+                         trainFilter: Column): DataFrame = {
+    val aggs = valueCols.flatMap(c => Seq(
+      avg(col(c)).as(s"mu_$c"), stddev_samp(col(c)).as(s"sigma_$c")))
+    val stats = df.filter(trainFilter).agg(aggs.head, aggs.tail: _*)
+    val scaled = valueCols.map(c =>
+      round((col(c) - col(s"mu_$c")) / col(s"sigma_$c"), 4).as(s"${c}_scaled"))
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol) +: scaled: _*)
+      .orderBy(idCol)
+  }
+
   /** D13 — running maximum + drawdown per symbol: the classic
     * peak-to-trough risk series. `cummax` is a running window max
     * (picked value) and the drawdown ratio is element-wise on picked

@@ -59,7 +59,8 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** F3 — 16-bit SimHash signature per document. */
+  /** F3 — SimHash signature per document ([[PortableText.SimHashBits]]
+    * bits). */
   def simHashSig(docs: DataFrame): DataFrame = {
     PolyHash.register(docs.sparkSession)
     docs
@@ -69,16 +70,34 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
-  /** F3b — simhash near-dups: pairs within `maxHamming` bits,
-    * candidate-limited by bucketing on the top byte (scale path:
-    * equality join on bucket, hamming check inside bucket only). */
-  def simHashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
-    val a = sigs.select(col("simhash").as("sh_a"), col("doc_id").as("doc_a"))
-      .withColumn("bucket", expr("shiftright(sh_a, 8)"))
-    val b = sigs.select(col("simhash").as("sh_b"), col("doc_id").as("doc_b"))
-      .withColumn("bucket", expr("shiftright(sh_b, 8)"))
-    a.join(b, "bucket")
+  /** F3b — simhash near-dups: pairs within `maxHamming` bits, found by
+    * PIGEONHOLE multi-band bucketing. The signature is split into
+    * `maxHamming + 1` disjoint bit bands; two sigs within `maxHamming`
+    * differing bits MUST agree exactly on at least one band, so the
+    * union of per-band equality joins has recall 1 — unlike the round-1
+    * top-byte bucket, which both missed pairs and concentrated the
+    * corpus into 256 buckets. Candidate volume per band is bounded by
+    * the 2^(bits/bands) band-value space (256 values at 32/4; a 64-bit
+    * production sig gives 65536 — same code, wider constant). The
+    * exact hamming check runs only on candidates.
+    */
+  def simHashPairs(sigs: DataFrame, maxHamming: Int,
+                   bits: Int = SimHashBits): DataFrame = {
+    val bands = maxHamming + 1
+    val bandWidth = bits / bands
+    require(bandWidth > 0, s"maxHamming $maxHamming too large for $bits-bit sigs")
+    val mask = (1L << bandWidth) - 1
+    val banded = sigs.select(col("doc_id"), col("simhash"))
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_bits",
+        expr(s"shiftright(simhash, band * $bandWidth) & ${mask}L"))
+    val a = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reader for the reference's GOLD tick layout: parquet files with the
+  * exact schema `datetime TIMESTAMP, bid DOUBLE, ask DOUBLE` (ref:
+  * `Apache Iceberg/iceberg_migration.py:227-238` — the Iceberg gold
+  * table DDL; the `Sample Dataset` folder ships a real 206k-row parquet
+  * in this layout). One gold table holds one symbol; the symbol is carried
+  * by table/folder name, not a column.
+  *
+  * Trino writes `TIMESTAMP(3)` without a zone, which Spark reads as
+  * TimestampNTZ; the cast to session-zoned TimestampType is a lossless
+  * reinterpretation under the engine's fixed UTC session zone.
+  *
+  * Downstream tick operators key ties on `tick_id`, which gold tables
+  * don't store — it is assigned as the per-symbol arrival rank (for a
+  * one-symbol gold file that is a single ranked partition by
+  * definition: one symbol's history has one arrival order; with a real
+  * multi-symbol `symbol` column the same window shuffles by symbol).
+  */
+object GoldIngest {
+  def read(spark: SparkSession, path: String, symbol: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("ts")
+    spark.read.parquet(path)
+      .select(lit(symbol).as("symbol"),
+        col("datetime").cast("timestamp").as("ts"),
+        col("bid"), col("ask"))
+      .withColumn("tick_id", row_number().over(w).cast("long"))
+      .select("tick_id", "symbol", "ts", "bid", "ask")
+  }
+}

@@ -15,13 +15,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
-  case class Tick(symbol: Long, ts: Timestamp, bid: Double)
+  case class Tick(tick_id: Long, symbol: Long, ts: Timestamp, bid: Double)
   case class AnomalyFlag(symbol: Long, n: Long, mean: Double, isAnomaly: Boolean)
 
   /** G1 — streaming 1-second downsample of the session windows: the
-    * streaming twin of `TickOps.secondDownsample`. Watermark bounds
-    * state; aggregation is by (symbol, 1s window) so state size is
-    * O(active windows), independent of input rate.
+    * streaming twin of `TickOps.secondDownsample`, including the tie
+    * rule — the surviving tick is the LOWEST tick_id of the second, so
+    * a batch backfill and the live stream pick the same representative
+    * even when timestamps collide. Watermark bounds state; aggregation
+    * is by (symbol, 1s window) so state size is O(active windows),
+    * independent of input rate.
     */
   def downsample1s(ticks: DataFrame, watermark: String = "10 seconds"): DataFrame =
     ticks
@@ -29,9 +32,11 @@ object Streaming {
         minute(col("ts")) >= 50)
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
-      .agg(min_by(col("bid"), struct(col("ts"), col("bid"))).as("bid"),
+      .agg(min("tick_id").as("tick_id"),
+        min_by(col("bid"), col("tick_id")).as("bid"),
         count(lit(1)).as("n_ticks"))
-      .select(col("symbol"), col("w.start").as("ts_s"), col("bid"), col("n_ticks"))
+      .select(col("symbol"), col("w.start").as("ts_s"), col("tick_id"),
+        col("bid"), col("n_ticks"))
 
   /** G2 — stateful streaming anomaly flagger: per-symbol running
     * mean/variance (Welford) kept in keyed state; each batch emits
@@ -57,9 +62,10 @@ object Streaming {
     ticks
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), window(col("ts"), windowDur).as("w"))
+      // ties on ts break by tick_id (arrival order), matching batch
       .agg(count(lit(1)).as("n_ticks"),
-        min_by(col("bid"), struct(col("ts"), col("bid"))).as("first_bid"),
-        max_by(col("bid"), struct(col("ts"), col("bid"))).as("last_bid"))
+        min_by(col("bid"), struct(col("ts"), col("tick_id"))).as("first_bid"),
+        max_by(col("bid"), struct(col("ts"), col("tick_id"))).as("last_bid"))
       .select(col("symbol"), col("w.start").as("win_start"),
         col("n_ticks"), col("first_bid"), col("last_bid"))
 
@@ -73,7 +79,7 @@ object Streaming {
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_ticks"),
-        min_by(col("bid"), struct(col("ts"), col("bid"))).as("first_bid"))
+        min_by(col("bid"), struct(col("ts"), col("tick_id"))).as("first_bid"))
       .select(col("symbol"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_ticks"), col("first_bid"))
 
@@ -111,7 +117,7 @@ object Streaming {
       state: GroupState[(Long, Double, Double)]): Iterator[AnomalyFlag] = {
     var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
     var flags = List.empty[AnomalyFlag]
-    rows.toSeq.sortBy(_.ts.getTime).foreach { t =>
+    rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
       val sigma = if (n > 1) math.sqrt(m2 / (n - 1)) else Double.PositiveInfinity
       val isAnomaly = n > 1 && math.abs(t.bid - mean) > k * sigma
       n += 1

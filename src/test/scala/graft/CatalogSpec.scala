@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.CatalogOps
+
+/** Catalog-backed lakehouse ops: year-partitioned saveAsTable, snapshot
+  * appends, dynamic partition overwrite, MERGE-style upsert — and the
+  * partition-PRUNING proof (a year predicate must reach the scan as a
+  * partition filter and select only matching directories).
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ticksDf = Seq(
+    (1L, "EURUSD", ts("2023-03-01 08:00:00"), 1.06, 1.0612),
+    (2L, "EURUSD", ts("2023-07-01 09:00:00"), 1.09, 1.0912),
+    (3L, "EURUSD", ts("2024-03-01 08:00:00"), 1.08, 1.0812),
+    (4L, "USDJPY", ts("2024-05-01 10:00:00"), 151.2, 151.23),
+    (5L, "USDJPY", null.asInstanceOf[Timestamp], 0.0, 0.0),
+  ).toDF("tick_id", "symbol", "ts", "bid", "ask")
+
+  private def withTable(name: String)(body: => Unit): Unit =
+    try body finally spark.sql(s"DROP TABLE IF EXISTS $name")
+
+  test("createGoldTable writes a year-partitioned catalog table, dropping null ts") {
+    withTable("gold_create") {
+      CatalogOps.createGoldTable(ticksDf, "gold_create")
+      val t = spark.table("gold_create")
+      assert(t.count() == 4) // null-ts row dropped at the door
+      assert(t.schema.fieldNames.contains("year"))
+      val parts = spark.sql("SHOW PARTITIONS gold_create")
+        .as[String].collect().toSet
+      assert(parts == Set("year=2023", "year=2024"))
+    }
+  }
+
+  test("appendSnapshot adds rows to existing partitions and creates new ones") {
+    withTable("gold_append") {
+      CatalogOps.createGoldTable(ticksDf, "gold_append")
+      CatalogOps.appendSnapshot(Seq(
+        (6L, "EURUSD", ts("2024-06-01 08:00:00"), 1.07, 1.0712),
+        (7L, "EURUSD", ts("2025-01-02 08:00:00"), 1.05, 1.0512),
+      ).toDF("tick_id", "symbol", "ts", "bid", "ask"), "gold_append")
+      val byYear = spark.table("gold_append").groupBy("year").count()
+        .as[(Int, Long)].collect().toMap
+      assert(byYear == Map(2023 -> 2L, 2024 -> 3L, 2025 -> 1L))
+    }
+  }
+
+  test("overwritePartitions rewrites only the touched year") {
+    withTable("gold_dyn") {
+      CatalogOps.createGoldTable(ticksDf, "gold_dyn")
+      // Rewrite 2023 with a single corrected row; 2024 must survive.
+      CatalogOps.overwritePartitions(Seq(
+        (10L, "EURUSD", ts("2023-03-01 08:00:00"), 9.99, 9.9912),
+      ).toDF("tick_id", "symbol", "ts", "bid", "ask"), "gold_dyn")
+      val byYear = spark.table("gold_dyn").groupBy("year").count()
+        .as[(Int, Long)].collect().toMap
+      assert(byYear == Map(2023 -> 1L, 2024 -> 2L))
+      assert(spark.table("gold_dyn").filter($"year" === 2023)
+        .select("bid").as[Double].head() == 9.99)
+    }
+  }
+
+  test("a year predicate prunes partitions in the scan") {
+    withTable("gold_prune") {
+      CatalogOps.createGoldTable(ticksDf, "gold_prune")
+      val q = spark.table("gold_prune").filter($"year" === 2024)
+      val scans = q.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collectLeaves()
+        case s: FileSourceScanExec => Seq(s)
+      }.flatten.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      val scan = scans.head
+      // The filter must be a PartitionFilter (directory pruning), not a
+      // data filter evaluated per row.
+      assert(scan.partitionFilters.exists(_.toString.contains("year")))
+      assert(scan.selectedPartitions.partitionCount == 1)
+      assert(q.count() == 2)
+    }
+  }
+
+  test("upsertPlan replaces matched keys and appends unmatched ones") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 22.0), (9L, "new", 90.0))
+      .toDF("k", "name", "v")
+    val out = CatalogOps.upsertPlan(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 22.0),
+      (3L, "c", 30.0), (9L, "new", 90.0)))
+  }
+
+  test("upsertTable merges in place and keeps the partitioning") {
+    withTable("gold_upsert") {
+      CatalogOps.createGoldTable(ticksDf, "gold_upsert")
+      val updates = spark.table("gold_upsert")
+        .filter($"tick_id" === 3L)
+        .withColumn("bid", lit(7.77))
+        .unionByName(Seq((8L, "GBPUSD", ts("2024-08-01 08:00:00"), 1.27, 1.2712))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask")
+          .withColumn("year", year($"ts")))
+      CatalogOps.upsertTable(spark, "gold_upsert", updates, Seq("tick_id"),
+        partitionCols = Seq("year"))
+      val t = spark.table("gold_upsert")
+      assert(t.count() == 5)
+      assert(t.filter($"tick_id" === 3L).select("bid").as[Double].head() == 7.77)
+      assert(t.filter($"tick_id" === 8L).count() == 1)
+      val parts = spark.sql("SHOW PARTITIONS gold_upsert")
+        .as[String].collect().toSet
+      assert(parts == Set("year=2023", "year=2024"))
+    }
+  }
+}

@@ -44,10 +44,10 @@ class FileOrderSpec extends SparkSpec {
       .outputMode(OutputMode.Complete).start()
     try {
       in.addData(
-        Tick(1L, t("2024-01-01 10:00:00"), 10.0),
-        Tick(1L, t("2024-01-01 10:03:00"), 11.0), // same session (gap 3m)
-        Tick(1L, t("2024-01-01 10:30:00"), 12.0), // gap 27m -> new session
-        Tick(2L, t("2024-01-01 10:01:00"), 20.0))
+        Tick(1L, 1L, t("2024-01-01 10:00:00"), 10.0),
+        Tick(2L, 1L, t("2024-01-01 10:03:00"), 11.0), // same session (gap 3m)
+        Tick(3L, 1L, t("2024-01-01 10:30:00"), 12.0), // gap 27m -> new session
+        Tick(4L, 2L, t("2024-01-01 10:01:00"), 20.0))
       q.processAllAvailable()
       val out = spark.sql("SELECT symbol, n_ticks, first_bid FROM sess")
         .as[(Long, Long, Double)].collect().toSet
@@ -63,8 +63,8 @@ class FileOrderSpec extends SparkSpec {
       .writeStream.format("memory").queryName("enriched")
       .outputMode(OutputMode.Append).start()
     try {
-      in.addData(Tick(1L, t("2024-01-01 07:55:01"), 10.0),
-        Tick(3L, t("2024-01-01 07:55:02"), 30.0)) // no dim row -> dropped
+      in.addData(Tick(5L, 1L, t("2024-01-01 07:55:01"), 10.0),
+        Tick(6L, 3L, t("2024-01-01 07:55:02"), 30.0)) // no dim row -> dropped
       q.processAllAvailable()
       val out = spark.sql("SELECT symbol, name, bid FROM enriched")
         .as[(Long, String, Double)].collect().toSeq
@@ -80,10 +80,10 @@ class FileOrderSpec extends SparkSpec {
       .outputMode(OutputMode.Complete).start()
     try {
       in.addData(
-        Tick(1L, t("2024-01-01 07:51:00"), 10.0),
-        Tick(1L, t("2024-01-01 07:53:00"), 11.0),
-        Tick(1L, t("2024-01-01 08:01:00"), 12.0), // next window
-        Tick(2L, t("2024-01-01 07:52:00"), 20.0))
+        Tick(7L, 1L, t("2024-01-01 07:51:00"), 10.0),
+        Tick(8L, 1L, t("2024-01-01 07:53:00"), 11.0),
+        Tick(9L, 1L, t("2024-01-01 08:01:00"), 12.0), // next window
+        Tick(10L, 2L, t("2024-01-01 07:52:00"), 20.0))
       q.processAllAvailable()
       val out = spark.sql("SELECT symbol, win_start, n_ticks, first_bid, last_bid FROM wc")
         .as[(Long, Timestamp, Long, Double, Double)].collect().toSet

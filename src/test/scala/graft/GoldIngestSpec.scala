@@ -1,0 +1,71 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import graft.sources.GoldIngest
+import graft.operators.TickOps
+
+/** Pins schema compatibility against the reference's REAL sample gold
+  * parquet (206,815 EURUSD ticks, `datetime TIMESTAMP(µs)/bid/ask`) —
+  * not a synthetic fixture. Canceled (not failed) when the reference
+  * checkout isn't present.
+  */
+class GoldIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sampleDir = "/root/reference/Sample Dataset"
+
+  private def sampleFile: File = {
+    val d = new File(sampleDir)
+    assume(d.isDirectory, s"reference sample dataset not present at $sampleDir")
+    val fs = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    assume(fs.nonEmpty, "no sample parquet in reference checkout")
+    fs.head
+  }
+
+  test("reads the reference sample gold parquet with the expected schema") {
+    val t = GoldIngest.read(spark, sampleFile.getPath, "EURUSD")
+    val byName = t.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("ts") == TimestampType)
+    assert(byName("bid") == DoubleType)
+    assert(byName("ask") == DoubleType)
+    assert(t.count() == 206815L)
+  }
+
+  test("tick_id is a dense per-symbol arrival rank") {
+    val t = GoldIngest.read(spark, sampleFile.getPath, "EURUSD")
+    val (minId, maxId, n) = t
+      .agg(min("tick_id"), max("tick_id"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    assert(minId == 1L && maxId == n)
+  }
+
+  test("sample IS the reference pipeline's output: shift to GMT+2 and " +
+      "every tick lands in a session window") {
+    // The sample holds only UTC hours 5 and 11 — the reference's
+    // 07:50/13:50 exchange-local windows (GMT+2) after its own
+    // cleaning. shiftTz(+2) + sessionWindowFilter must therefore be
+    // lossless over it: the round trip reproduces the reference's
+    // pipeline semantics on its own published data.
+    val t = GoldIngest.read(spark, sampleFile.getPath, "EURUSD")
+    val n = t.count()
+    val filtered = TickOps.sessionWindowFilter(
+      t.withColumn("ts", $"ts" + expr("INTERVAL 2 HOURS")))
+    assert(filtered.count() == n)
+    // Truncation really is to the second.
+    val subSecond = filtered
+      .filter(unix_micros($"ts_s") % 1000000L =!= 0L).count()
+    assert(subSecond == 0)
+  }
+
+  test("OHLC bars over the real sample are internally consistent") {
+    val bars = TickOps.ohlcBars(
+      GoldIngest.read(spark, sampleFile.getPath, "EURUSD"), "hour")
+    assert(bars.count() > 0)
+    val bad = bars.filter($"high" < $"low" || $"high" < $"open" ||
+      $"high" < $"close" || $"low" > $"open" || $"low" > $"close").count()
+    assert(bad == 0)
+  }
+}

@@ -49,15 +49,15 @@ class IvfWatermarkSpec extends SparkSpec {
       .writeStream.format("memory").queryName("wm")
       .outputMode(OutputMode.Append).start()
     try {
-      in.addData(Tick(1L, t("2024-01-01 07:55:01.0"), 10.0))
+      in.addData(Tick(1L, 1L, t("2024-01-01 07:55:01.0"), 10.0))
       q.processAllAvailable()
       // advance event time far beyond 07:55:01 + watermark
-      in.addData(Tick(1L, t("2024-01-01 07:59:00.0"), 30.0))
+      in.addData(Tick(2L, 1L, t("2024-01-01 07:59:00.0"), 30.0))
       q.processAllAvailable()
       // late tick for the long-closed 07:55:01 window
-      in.addData(Tick(1L, t("2024-01-01 07:55:01.5"), 99.0))
+      in.addData(Tick(3L, 1L, t("2024-01-01 07:55:01.5"), 99.0))
       q.processAllAvailable()
-      in.addData(Tick(1L, t("2024-01-01 07:59:59.0"), 40.0))
+      in.addData(Tick(4L, 1L, t("2024-01-01 07:59:59.0"), 40.0))
       q.processAllAvailable()
       val rows = spark.sql("SELECT ts_s, bid FROM wm")
         .as[(Timestamp, Double)].collect().toMap

@@ -46,6 +46,55 @@ class PolyHashSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("PolyHash and CharGrams fold non-BMP text by code point, matching the HOF duals") {
+    PolyHash.register(spark)
+    graft.functions.CharGrams.register(spark)
+    // U+1F600 and U+20000 are surrogate pairs in UTF-16; the engine
+    // fragments (split('') / substring) count codepoints.
+    val s = "a😀b𠀀c"
+    val df = Seq(s).toDF("text").select(
+      expr("graft_polyhash(text)").as("ph_native"),
+      expr(s"aggregate(split(text, ''), CAST(0 AS BIGINT), " +
+        s"(a, c) -> (a * 31 + ascii(c)) % ${PortableText.P})").as("ph_hof"),
+      expr("graft_grams(text, 3)").as("g_native"),
+      expr("array_distinct(transform(sequence(1, length(text) - 2), " +
+        "i -> substring(text, i, 3)))").as("g_hof"))
+    val r = df.collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getSeq[String](2) == r.getSeq[String](3))
+    assert(r.getSeq[String](2).length == 3) // 5 codepoints -> 3 grams
+  }
+
+  test("registry builders validate arity and literal-ness with clear errors") {
+    PolyHash.register(spark)
+    graft.functions.CharGrams.register(spark)
+    graft.functions.VecDot.register(spark)
+    val df = Seq(("abc", 3)).toDF("text", "n")
+    def analysisFails(sqlExpr: String, fragment: String): Unit = {
+      val e = intercept[Exception](df.select(expr(sqlExpr)).collect())
+      assert(e.getMessage.contains(fragment), s"$sqlExpr -> ${e.getMessage}")
+    }
+    analysisFails("graft_grams(text)", "2 arguments")
+    analysisFails("graft_grams(text, n)", "literal")
+    analysisFails("graft_grams(text, 'x')", "integer literal")
+    analysisFails("graft_grams(text, 0)", "positive")
+    analysisFails("graft_polyhash(text, text)", "1 argument")
+    analysisFails("graft_vecdot(array(1.0))", "2 arguments")
+    // BIGINT literal n is accepted (was a ClassCastException before)
+    val ok = df.select(expr("graft_grams(text, CAST(2 AS BIGINT))"))
+      .as[Seq[String]].collect().head
+    assert(ok == Seq("ab", "bc"))
+  }
+
+  test("VecDot throws on mismatched array lengths instead of truncating") {
+    graft.functions.VecDot.register(spark)
+    val e = intercept[Exception] {
+      Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+        .select(expr("graft_vecdot(a, b)")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("GraftExtensions injects the function via spark.sql.extensions") {
     // verify the builder path compiles/wires; reuse of the shared session
     // means we just check the class instantiates and applies cleanly

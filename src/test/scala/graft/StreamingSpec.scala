@@ -19,14 +19,17 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Complete).start()
     try {
       in.addData(
-        Tick(1L, t("2024-01-01 07:55:01.100"), 10.0),
-        Tick(1L, t("2024-01-01 07:55:01.900"), 99.0), // same second -> dropped
-        Tick(1L, t("2024-01-01 09:00:00.000"), 50.0), // outside window
-        Tick(2L, t("2024-01-01 13:55:00.000"), 20.0))
+        Tick(1L, 1L, t("2024-01-01 07:55:01.100"), 10.0),
+        Tick(2L, 1L, t("2024-01-01 07:55:01.900"), 99.0), // same second -> dropped
+        Tick(3L, 1L, t("2024-01-01 09:00:00.000"), 50.0), // outside window
+        Tick(5L, 2L, t("2024-01-01 13:55:00.000"), 77.0), // same ts as tick 4...
+        Tick(4L, 2L, t("2024-01-01 13:55:00.000"), 20.0)) // ...lower id wins
       q.processAllAvailable()
-      val out = spark.sql("SELECT symbol, bid, n_ticks FROM ds1s")
-        .as[(Long, Double, Long)].collect().toSet
-      assert(out == Set((1L, 10.0, 2L), (2L, 20.0, 1L)))
+      // batch-parity tie rule: lowest tick_id represents the second,
+      // even for identical timestamps (tick 4 beats tick 5)
+      val out = spark.sql("SELECT symbol, tick_id, bid, n_ticks FROM ds1s")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(out == Set((1L, 1L, 10.0, 2L), (2L, 4L, 20.0, 2L)))
     } finally q.stop()
   }
 
@@ -38,9 +41,9 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Update).start()
     try {
       in.addData((1 to 10).map(i =>
-        Tick(1L, t(f"2024-01-01 07:55:$i%02d"), 100.0 + (i % 3))): _*)
+        Tick(i.toLong, 1L, t(f"2024-01-01 07:55:$i%02d"), 100.0 + (i % 3))): _*)
       q.processAllAvailable()
-      in.addData(Tick(1L, t("2024-01-01 07:56:00"), 500.0)) // wild outlier
+      in.addData(Tick(11L, 1L, t("2024-01-01 07:56:00"), 500.0)) // wild outlier
       q.processAllAvailable()
       val flagged = spark.sql("SELECT * FROM flags WHERE isAnomaly").count()
       assert(flagged == 1L)
