@@ -84,23 +84,37 @@ object TextDedup {
   def simHashPairs(sigs: DataFrame, maxHamming: Int,
                    bits: Int = SimHashBits): DataFrame = {
     val bands = maxHamming + 1
-    val bandWidth = bits / bands
-    require(bandWidth > 0, s"maxHamming $maxHamming too large for $bits-bit sigs")
-    val mask = (1L << bandWidth) - 1
+    val bandWidth = (bits + bands - 1) / bands
+    require(bits > maxHamming, s"maxHamming $maxHamming too large for $bits-bit sigs")
+    // INTERLEAVED band assignment: band j gathers bit positions
+    // j, j+bands, j+2·bands, … Contiguous slices would be wrong here:
+    // simhash entropy concentrates in the low bits (token-hash votes),
+    // so a contiguous high half is near-constant across a real corpus
+    // and its band collapses into one mega-bucket (measured: one value
+    // held 57% of sf0.1 docs — 4M candidate pairs from a single key).
+    // Interleaving spreads every band across the full entropy range;
+    // the bands still PARTITION bit positions, so the pigeonhole
+    // recall-1 guarantee is untouched. Positions past `bits` shift to
+    // zero and contribute nothing.
+    val gather = (0 until bandWidth)
+      .map(k => expr(s"((simhash >> (band + $k * $bands)) & 1) << $k"))
+      .reduceLeft(_ + _)
     val banded = sigs.select(col("doc_id"), col("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("band_bits",
-        expr(s"shiftright(simhash, band * $bandWidth) & ${mask}L"))
+      .withColumn("band_bits", gather)
     val a = banded.select(col("band"), col("band_bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_bits"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    // Hamming filter BEFORE the distinct: a candidate pair appears at
+    // most `bands` times, so deduplicating only the pairs that already
+    // passed the radius check shrinks the distinct's input from the
+    // full candidate volume to (a small multiple of) the result size.
     a.join(b, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
