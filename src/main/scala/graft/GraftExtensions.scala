@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGrams, PolyHash, VecDot}
+import graft.functions.{CharGrams, MinHashes, PolyHash, VecDot}
 
 /** Canonical extension injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` makes ALL graft
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vecdot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_vecdot"),
       (exprs: Seq[Expression]) => VecDot.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhashes"),
+      new ExpressionInfo(classOf[MinHashes].getName, "graft_minhashes"),
+      (exprs: Seq[Expression]) => MinHashes.fromArgs(exprs)))
   }
 }

@@ -152,6 +152,18 @@ object SparkEntry {
 
     // ---- F. LLM-training-data ops (SURVEY §2.F) ----
     "q_dedup_exact" -> ((s, d) => TextDedup.exactDedup(Tables.documents(s, d))),
+    // Connected components over minhash-band buckets: the "keep one
+    // doc per duplicate cluster" pipeline stage. Bipartite doc-bucket
+    // propagation — the pair graph is never materialized.
+    "q_dedup_clusters" -> ((s, d) => {
+      import org.apache.spark.sql.functions.xxhash64
+      val docs = Tables.documents(s, d)
+      val assignments = TextDedup.minHashBands(docs)
+        .withColumn("bkey",
+          xxhash64(org.apache.spark.sql.functions.col("band"),
+            org.apache.spark.sql.functions.col("band_hash")))
+      TextDedup.dedupClustersFromBuckets(docs, assignments)
+    }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
     // maxHamming=1 -> 2 pigeonhole bands of 16 bits (the production
@@ -534,6 +546,30 @@ object SparkEntry {
         |    AS band_hash
         |FROM m, (SELECT unnest(range($Bands)) AS band) b
         |ORDER BY doc_id, band""".stripMargin
+    },
+    // Fixpoint min-label propagation == component minimum, which the
+    // recursive CTE computes directly (UNION dedups, so the recursion
+    // terminates; reachable-min = component-min on a symmetric graph).
+    "q_dedup_clusters" -> {
+      import graft.functions.PortableText._
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cc(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b)
+        |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q_dedup_simhash" -> {
       import graft.functions.PortableText._

@@ -34,10 +34,12 @@ object PortableText {
     * without per-char array allocation or lambda interpretation. */
   val tokenHashes: String =
     s"transform(array_distinct($tokens), t -> graft_polyhash(t))"
-  /** k minhashes via affine re-hash (a_j = 2j+3, b_j = 5j+7). */
-  val minHashes: String =
-    s"transform(sequence(0, ${MinHashK - 1}), j -> " +
-      s"array_min(transform(th, x -> ((2*j + 3) * x + 5*j + 7) % $P)))"
+  /** k minhashes via affine re-hash (a_j = 2j+3, b_j = 5j+7) — native
+    * [[MinHashes]] expression (registered as `graft_minhashes`); same
+    * fold as the HOF spelling `transform(sequence(0, k-1), j ->
+    * array_min(transform(th, x -> ((2j+3)x + 5j+7) % p)))` without
+    * k·|th| interpreted lambda calls per row. */
+  val minHashes: String = s"graft_minhashes(th, $MinHashK)"
   /** simhash: sign of per-bit vote sum over token hashes. */
   val simHash: String =
     s"aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT), (s, i) -> s + " +

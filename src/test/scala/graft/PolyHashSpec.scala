@@ -46,6 +46,23 @@ class PolyHashSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("MinHashes equals the declarative HOF affine-rehash spelling") {
+    PolyHash.register(spark)
+    graft.functions.MinHashes.register(spark)
+    val df = Seq("the quick brown fox", "a b c", "solo")
+      .toDF("text")
+      .select(expr(s"transform(array_distinct(${PortableText.tokens}), " +
+        "t -> graft_polyhash(t))").as("th"))
+      .select(
+        expr(s"graft_minhashes(th, ${PortableText.MinHashK})").as("native"),
+        expr(s"transform(sequence(0, ${PortableText.MinHashK - 1}), j -> " +
+          s"array_min(transform(th, x -> ((2*j + 3) * x + 5*j + 7) % ${PortableText.P})))")
+          .as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("PolyHash and CharGrams fold non-BMP text by code point, matching the HOF duals") {
     PolyHash.register(spark)
     graft.functions.CharGrams.register(spark)

@@ -51,6 +51,37 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((5L, 10L, 1.0)))
   }
 
+  test("dedupClusters finds connected components with min-id representative") {
+    // Graph: 1-2, 2-3 chain (component min 1); 5-6 pair; 4 isolated.
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = TextDedup.dedupClusters(ds, pairs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
+  test("dedupClusters converges on a long chain (propagation crosses hops)") {
+    // 0-1-2-...-9 chain: everything collapses to cluster 0.
+    val ds = (0L to 9L).toDF("doc_id")
+    val pairs = (0L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = TextDedup.dedupClusters(ds, pairs)
+      .select("cluster").distinct().as[Long].collect().toSeq
+    assert(clusters == Seq(0L))
+  }
+
+  test("dedupClustersFromBuckets equals pair-graph components") {
+    // Buckets: A={1,2}, B={2,3}, C={5,6}, D={4}: components {1,2,3},
+    // {5,6}, {4} — same as CC over pairs sharing a bucket.
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val assign = Seq((1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L),
+      (4L, 400L), (5L, 300L), (6L, 300L)).toDF("doc_id", "bkey")
+    val out = TextDedup.dedupClustersFromBuckets(ds, assign)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
+  }
+
   test("langId votes by marker words with fixed tie-break") {
     val out = TextDedup.langId(
       Seq((1L, "der hund und die katze", "de", "s"),
