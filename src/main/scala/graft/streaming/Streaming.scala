@@ -83,6 +83,30 @@ object Streaming {
       .select(col("symbol"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_ticks"), col("first_bid"))
 
+  /** G6 — stream-stream INTERVAL join: each trade joins quotes of the
+    * same symbol from the preceding `lookback` interval — the live
+    * analog of `TemporalJoins.rangeJoinCount`'s shape. Watermarks on
+    * BOTH inputs plus the event-time range predicate let Spark expire
+    * buffered rows, so join state is bounded by (rate × lookback +
+    * watermark), not by stream length — the only formulation of a
+    * stream-stream join that survives an unbounded run.
+    */
+  def intervalJoin(trades: DataFrame, quotes: DataFrame,
+                   lookback: String = "1 minute",
+                   watermark: String = "10 seconds"): DataFrame = {
+    val t = trades.withWatermark("ts", watermark)
+      .select(col("tick_id").as("trade_id"), col("symbol"),
+        col("ts").as("trade_ts"))
+    val q = quotes.withWatermark("ts", watermark)
+      .select(col("symbol").as("q_symbol"), col("ts").as("quote_ts"),
+        col("bid").as("quote_bid"))
+    t.join(q,
+      col("symbol") === col("q_symbol") &&
+        col("quote_ts") >= col("trade_ts") - expr(s"INTERVAL $lookback") &&
+        col("quote_ts") <= col("trade_ts"))
+      .select("trade_id", "symbol", "trade_ts", "quote_ts", "quote_bid")
+  }
+
   case class Doc(doc_id: Long, text: String)
   case class DedupDecision(doc_id: Long, content_hash: String, isDuplicate: Boolean)
 

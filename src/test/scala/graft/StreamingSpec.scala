@@ -33,6 +33,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream intervalJoin pairs trades with in-window quotes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val trades = MemoryStream[Tick]
+    val quotes = MemoryStream[Tick]
+    val q = Streaming.intervalJoin(trades.toDF(), quotes.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      quotes.addData(
+        Tick(101L, 1L, t("2024-01-01 07:54:30"), 1.1), // in window
+        Tick(102L, 1L, t("2024-01-01 07:53:00"), 1.0), // too old (>1m before)
+        Tick(103L, 2L, t("2024-01-01 07:54:40"), 2.2), // other symbol
+        Tick(104L, 1L, t("2024-01-01 07:55:30"), 1.2)) // after the trade
+      trades.addData(Tick(1L, 1L, t("2024-01-01 07:55:00"), 10.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT trade_id, quote_bid FROM ij")
+        .as[(Long, Double)].collect().toSet
+      assert(out == Set((1L, 1.1)))
+    } finally q.stop()
+  }
+
   test("anomalyFlags keeps per-symbol state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Tick]
