@@ -100,22 +100,43 @@ object TextDedup {
     val gather = (0 until bandWidth)
       .map(k => expr(s"((simhash >> (band + $k * $bands)) & 1) << $k"))
       .reduceLeft(_ + _)
+    // Materialization barrier: without it, projection collapse inlines
+    // the full simhash HOF into BOTH self-join sides and the
+    // downstream hamming/filter expressions, re-evaluating the
+    // signature far beyond once per doc (measured 12.4 s vs 2.0 s at
+    // sf0.1). The sig table is tiny — one narrow row per doc — so an
+    // eager local materialization costs nothing at any scale relative
+    // to the pair join it feeds.
     val banded = sigs.select(col("doc_id"), col("simhash"))
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("band_bits", gather)
+      .localCheckpoint(true)
     val a = banded.select(col("band"), col("band_bits"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("band_bits"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    // Hamming filter BEFORE the distinct: a candidate pair appears at
-    // most `bands` times, so deduplicating only the pairs that already
-    // passed the radius check shrinks the distinct's input from the
-    // full candidate volume to (a small multiple of) the result size.
+    // First-matching-band dedup: a pair that agrees on several bands
+    // would surface once per band; instead of a distinct() exchange
+    // over the (result-sized) pair set, keep the emission from band j
+    // only when every band k < j DIFFERS — a constant-mask test on
+    // sh_a^sh_b (band k's bit positions are k, k+bands, …). Each true
+    // pair then appears exactly once and the pipeline has no
+    // pair-keyed shuffle at all.
+    val bandMask: Int => Long = k =>
+      (0 until bandWidth).foldLeft(0L) { (acc, m) =>
+        val pos = k + m * bands
+        if (pos < bits) acc | (1L << pos) else acc
+      }
+    val firstMatchingBand = (0 until bands).map { j =>
+      (0 until j).foldLeft(col("band") === j) { (acc, k) =>
+        acc && (expr(s"(sh_a ^ sh_b) & ${bandMask(k)}L") =!= lit(0L))
+      }
+    }.reduce(_ || _)
     a.join(b, Seq("band", "band_bits"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
-      .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").distinct()
+      .filter(col("hamming") <= maxHamming && firstMatchingBand)
+      .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
 
