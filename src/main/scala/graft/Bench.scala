@@ -48,7 +48,7 @@ object Bench {
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metric.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

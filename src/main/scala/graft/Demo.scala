@@ -88,9 +88,9 @@ object Demo {
       .writeStream.format("memory").queryName("demo_flags")
       .outputMode(OutputMode.Update).start()
     in2.addData((1 to 10).map(i =>
-      Tick(10L, 1L, java.sql.Timestamp.valueOf(f"2024-01-01 07:55:$i%02d"), 100.0 + i % 3)): _*)
+      Tick(100L + i, 1L, java.sql.Timestamp.valueOf(f"2024-01-01 07:55:$i%02d"), 100.0 + i % 3)): _*)
     q2.processAllAvailable()
-    in2.addData(Tick(11L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:56:00"), 500.0))
+    in2.addData(Tick(111L, 1L, java.sql.Timestamp.valueOf("2024-01-01 07:56:00"), 500.0))
     q2.processAllAvailable()
     println("=== streaming anomaly flags (anomalies only) ===")
     spark.sql("SELECT * FROM demo_flags WHERE isAnomaly").show(false)

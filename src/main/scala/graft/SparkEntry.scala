@@ -64,9 +64,9 @@ object SparkEntry {
       val m = t.filter(col("o_orderkey") % 97 === 0)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val updates = m.unionByName(
-        m.withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+        m.withColumn("o_orderkey", col("o_orderkey") + 1000000000000L))
       CatalogOps.upsertPlan(t, updates, Seq("o_orderkey"))
-        .withColumn("src", when(col("o_orderkey") >= 10000000L, "I")
+        .withColumn("src", when(col("o_orderkey") >= 1000000000000L, "I")
           .when(col("o_orderkey") % 97 === 0, "U").otherwise("K"))
         .orderBy("o_orderkey")
     }),
@@ -306,7 +306,7 @@ object SparkEntry {
         |      o_orderstatus
         |    FROM orders WHERE o_orderkey % 97 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2,
+        |  SELECT o_orderkey + 1000000000000, o_custkey, o_totalprice * 2,
         |      o_orderstatus
         |    FROM orders WHERE o_orderkey % 97 = 0),
         |m AS (
@@ -315,7 +315,7 @@ object SparkEntry {
         |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
         |  UNION ALL SELECT * FROM upd)
         |SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
-        |  CASE WHEN o_orderkey >= 10000000 THEN 'I'
+        |  CASE WHEN o_orderkey >= 1000000000000 THEN 'I'
         |       WHEN o_orderkey % 97 = 0 THEN 'U' ELSE 'K' END AS src
         |FROM m ORDER BY o_orderkey""".stripMargin,
     "q_quality_scan" ->

@@ -28,6 +28,12 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression
   override protected def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]
     val n = th.numElements()
+    // Empty token set -> null, matching the HOF spelling
+    // (array_min(empty) is null per element, so every downstream
+    // element_at/band_hash is null) and the DuckDB dual (list_min of
+    // empty list). A 0L sentinel here would silently co-bucket all
+    // empty documents on Spark while the oracle drops them.
+    if (n == 0) return null
     val out = new Array[Any](k)
     var j = 0
     while (j < k) {
@@ -40,10 +46,7 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression
         if (h < best) best = h
         i += 1
       }
-      // empty th -> MaxValue sentinel, matching array_min(NULL-free
-      // empty array) would be null in the HOF; callers always feed
-      // non-empty token sets (documents have text), keep it total.
-      out(j) = if (n == 0) 0L else best
+      out(j) = best
       j += 1
     }
     new GenericArrayData(out)
@@ -63,12 +66,16 @@ object MinHashes {
     if (!exprs(1).foldable) fail("k must be a literal")
     val k = exprs(1).eval(null) match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long =>
-        if (l < 1 || l > 1024) fail(s"k out of range: $l"); l.intValue
+      case l: java.lang.Long => l.longValue match {
+        case v if v < 1 || v > 1024 => fail(s"k out of range: $v")
+        case v => v.toInt
+      }
       case null => fail("k must not be NULL")
       case other => fail(s"k must be an integer literal, got ${other.getClass.getSimpleName}")
     }
-    if (k < 1) fail(s"k must be positive, got $k")
+    // Bound k on EVERY literal type: each row allocates a k-element
+    // array, so an absurd k is an executor OOM, not a user knob.
+    if (k < 1 || k > 1024) fail(s"k out of range: $k")
     MinHashes(exprs.head, k)
   }
 

@@ -36,17 +36,22 @@ object CatalogOps {
       .saveAsTable(table)
 
   /** Append a snapshot of new rows to an existing gold table — the
-    * INSERT INTO path. Matches columns by name (`insertInto` is
-    * positional and silently mis-binds if the frame's column order
-    * drifts from the table's). */
-  def appendSnapshot(rows: DataFrame, table: String, tsCol: String = "ts"): Unit =
+    * INSERT INTO path. `insertInto` binds columns POSITIONALLY and
+    * silently mis-binds if the frame's column order drifts from the
+    * table's, so the frame is re-projected into the table's own column
+    * order first (a missing column then fails analysis loudly instead
+    * of corrupting the table). */
+  def appendSnapshot(rows: DataFrame, table: String, tsCol: String = "ts"): Unit = {
+    val tableCols = rows.sparkSession.table(table).schema.fieldNames
     rows
       .filter(col(tsCol).isNotNull)
       .withColumn("year", year(col(tsCol)))
+      .select(tableCols.map(col).toSeq: _*)
       .write
       .mode(SaveMode.Append)
       .format("parquet")
       .insertInto(table)
+  }
 
   /** Rewrite ONLY the partitions present in `rows` (dynamic partition
     * overwrite), leaving every other year untouched — the bounded
@@ -54,12 +59,14 @@ object CatalogOps {
     * overwrite mode would truncate the whole table first. */
   def overwritePartitions(rows: DataFrame, table: String, tsCol: String = "ts"): Unit = {
     val spark = rows.sparkSession
+    val tableCols = spark.table(table).schema.fieldNames
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try
       rows
         .filter(col(tsCol).isNotNull)
         .withColumn("year", year(col(tsCol)))
+        .select(tableCols.map(col).toSeq: _*)
         .write
         .mode(SaveMode.Overwrite)
         .format("parquet")

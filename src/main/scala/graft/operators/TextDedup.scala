@@ -222,8 +222,12 @@ object TextDedup {
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
     // Symmetric edge list; every doc is a node (isolated docs too).
+    // Materialized ONCE — otherwise every iteration re-executes the
+    // whole pair-generation lineage (an ngramJaccard input would
+    // re-run its inverted-index join per round).
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
     var labels = docs.select(col("doc_id"))
       .withColumn("lbl", col("doc_id")).localCheckpoint(true)
     var converged = false
@@ -232,15 +236,26 @@ object TextDedup {
       val nbrMin = edges.join(labels, edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("nid"))
         .agg(min("lbl").as("nbr_lbl"))
-      val updated = labels.join(nbrMin, labels("doc_id") === col("nid"), "left")
-        .select(col("doc_id"),
+      val viaEdge = labels.join(nbrMin, labels("doc_id") === col("nid"), "left")
+        .select(col("doc_id"), col("lbl").as("prev_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      // Pointer jumping, as in [[dedupClustersFromBuckets]]: O(log
+      // diameter) rounds instead of O(diameter).
+      val jump = viaEdge.as("x")
+        .join(viaEdge.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
+          col("x.lbl") === col("j_id"), "left")
+        .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
+          least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl"))
         .localCheckpoint(true)
-      converged = updated.join(labels.withColumnRenamed("lbl", "old_lbl"), "doc_id")
-        .filter(col("lbl") =!= col("old_lbl")).isEmpty
-      labels = updated
+      converged = jump.filter(col("lbl") =!= col("prev_lbl")).isEmpty
+      labels = jump.select("doc_id", "lbl")
       iter += 1
     }
+    // Partial labels are WRONG answers (one true component with several
+    // keep=true representatives) — refuse to return them silently.
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ log2 of the component diameter)")
     labels
       .select(col("doc_id"), col("lbl").as("cluster"))
       .withColumn("keep", col("doc_id") === col("cluster"))
@@ -292,6 +307,9 @@ object TextDedup {
       labels = jump.select("doc_id", "lbl")
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"dedupClustersFromBuckets did not converge in $maxIter rounds; " +
+        "raise maxIter (rounds needed ~ log2 of the component diameter)")
     labels
       .select(col("doc_id"), col("lbl").as("cluster"))
       .withColumn("keep", col("doc_id") === col("cluster"))

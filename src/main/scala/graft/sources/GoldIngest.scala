@@ -23,7 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object GoldIngest {
   def read(spark: SparkSession, path: String, symbol: String): DataFrame = {
-    val w = Window.partitionBy("symbol").orderBy("ts")
+    // Order ties on (bid, ask) too: TIMESTAMP(3) gold data can carry
+    // several ticks in one millisecond, and an order on ts alone would
+    // hand tied rows run-dependent tick_ids (downstream ops tie-break
+    // ON tick_id). Fully identical rows remain interchangeable, so
+    // this is deterministic up to row identity.
+    val w = Window.partitionBy("symbol").orderBy("ts", "bid", "ask")
     spark.read.parquet(path)
       .select(lit(symbol).as("symbol"),
         col("datetime").cast("timestamp").as("ts"),
