@@ -50,4 +50,47 @@ class IngestMultimodalSpec extends SparkSpec {
     // frame indices are within range and start at 0
     assert(frames.collect().forall(f => f.frame_idx >= 0))
   }
+
+  test("PPM codec round-trips, resizes, and rejects malformed payloads") {
+    import graft.operators.MediaCodecs.Ppm
+    val rgb = Array.tabulate(4 * 2 * 3)(i => i * 10 % 256)
+    val bytes = Ppm.encode(4, 2, rgb)
+    val (w, h, back) = Ppm.decode(bytes)
+    assert((w, h) == (4, 2) && back.toSeq == rgb.toSeq)
+    // 1x1 resize picks the top-left pixel
+    assert(Ppm.resize(4, 2, rgb, 1, 1).toSeq == rgb.take(3).toSeq)
+    // brightness of a uniform gray-128 image is 128 (luma weights sum to 1)
+    val gray = Array.fill(6 * 3)(128)
+    assert(math.abs(Ppm.brightness(gray) - 128.0) < 1e-9)
+    intercept[IllegalArgumentException](Ppm.decode("P6\n4 2\n255\n".getBytes))
+    intercept[IllegalArgumentException](Ppm.decode(Array[Byte](1, 2, 3)))
+  }
+
+  test("WAV codec round-trips PCM16 and extracts rms/zero-crossings") {
+    import graft.operators.MediaCodecs.Wav
+    val samples = Array[Short](1000, 1000, -1000, -1000, 1000, 1000)
+    val (rate, back) = Wav.decode(Wav.encode(8000, samples))
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    assert(math.abs(Wav.rms(samples) - 1000.0) < 1e-9)
+    assert(Wav.zeroCrossings(samples) == 2)
+    intercept[IllegalArgumentException](Wav.decode(Array.fill[Byte](10)(0)))
+  }
+
+  test("imageFeatures and audioFeatures decode real payloads end-to-end") {
+    val media = Multimodal.syntheticRealMedia(spark, 30)
+    val img = Multimodal.imageFeatures(media).collect()
+    assert(img.length == 10) // ids % 3 == 1
+    img.foreach { f =>
+      assert(f.width >= 4 && f.height >= 3)
+      assert(f.brightness > 0 && f.brightness < 255)
+      assert(f.thumb_brightness > 0 && f.thumb_brightness < 255)
+    }
+    val aud = Multimodal.audioFeatures(media).collect()
+    assert(aud.length == 10)
+    aud.foreach { f =>
+      assert(f.sample_rate == 8000 && f.n_samples >= 64)
+      assert(math.abs(f.rms - 1000.0) < 1e-9) // constant-magnitude square wave
+      assert(f.zero_crossings > 0)
+    }
+  }
 }
