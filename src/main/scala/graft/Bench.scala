@@ -16,12 +16,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
 
-    // Warmup: JVM + codegen + parquet footers, outside the clock.
+    // Warmup: JVM + codegen + parquet footers + the engine's one-time
+    // machinery (shuffle system, whole-stage codegen framework,
+    // vectorized parquet reader), outside the clock. Reading ONE row
+    // per table initializes the scan path without pre-computing any
+    // query's work.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.range(1000L).groupBy(org.apache.spark.sql.functions.expr("id % 10"))
+      .count().collect()
+    // events.ts is TIMESTAMP(NANOS); same conf Tables.events sets.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").schema
-      catch { case _: Throwable => () }
+      try {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        df.schema
+        df.head(1)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
