@@ -60,6 +60,25 @@ class GoldIngestSpec extends SparkSpec {
     assert(subSecond == 0)
   }
 
+  test("dailyWindowCounts over the real sample accounts for every tick") {
+    // The sample is exactly the two session windows (previous test),
+    // so the daily per-window counts — the statistic the reference
+    // publishes per symbol in `Symbol Data And Stats/
+    // *_daily_window_counts.csv` with this same (date,
+    // ticks_window1, ticks_window2) shape — must sum back to the full
+    // 206,815 rows, with both windows populated.
+    val t = GoldIngest.read(spark, sampleFile.getPath, "EURUSD")
+      .withColumn("ts", $"ts" + expr("INTERVAL 2 HOURS"))
+    val counts = TickOps.dailyWindowCounts(t)
+    val (w1, w2) = counts.agg(sum("ticks_window1"), sum("ticks_window2"))
+      .as[(Long, Long)].head()
+    assert(w1 + w2 == 206815L)
+    assert(w1 > 0 && w2 > 0)
+    // One row per trading day, none double-counted.
+    assert(counts.count() == t.select(date_format($"ts", "yyyy-MM-dd"))
+      .distinct().count())
+  }
+
   test("OHLC bars over the real sample are internally consistent") {
     val bars = TickOps.ohlcBars(
       GoldIngest.read(spark, sampleFile.getPath, "EURUSD"), "hour")
