@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGrams, MinHashes, PolyHash, VecDot}
+import graft.functions.{CharGrams, MinHashes, PolyHash, SimHash64, VecDot}
 
 /** Canonical extension injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` makes ALL graft
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhashes"),
       new ExpressionInfo(classOf[MinHashes].getName, "graft_minhashes"),
       (exprs: Seq[Expression]) => MinHashes.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) => SimHash64.fromArgs(exprs)))
   }
 }

@@ -40,12 +40,14 @@ object PortableText {
     * array_min(transform(th, x -> ((2j+3)x + 5j+7) % p)))` without
     * k·|th| interpreted lambda calls per row. */
   val minHashes: String = s"graft_minhashes(th, $MinHashK)"
-  /** simhash: sign of per-bit vote sum over token hashes. */
-  val simHash: String =
-    s"aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT), (s, i) -> s + " +
-      "CASE WHEN aggregate(th, CAST(0 AS BIGINT), (a, x) -> a + " +
-      "CASE WHEN shiftright(x, CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
-      "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)"
+  /** simhash: sign of per-bit vote sum over token hashes — native
+    * [[SimHash64]] expression (registered as `graft_simhash`); same
+    * exact-integer votes as the HOF spelling `aggregate(sequence(0,
+    * bits-1), 0L, (s, i) -> s + CASE WHEN aggregate(th, 0L, (a, x) ->
+    * a + CASE WHEN shiftright(x, i) % 2 = 1 THEN 1 ELSE -1 END) > 0
+    * THEN shiftleft(1L, i) ELSE 0L END)` without bits·|th| interpreted
+    * lambda calls per row. */
+  val simHash: String = s"graft_simhash(th, $SimHashBits)"
   /** whole-document polynomial fingerprint (native [[PolyHash]]). */
   val docFingerprint: String = "graft_polyhash(text)"
   /** distinct character 3-grams — native [[CharGrams]] expression

@@ -64,6 +64,7 @@ object TextDedup {
     * bits). */
   def simHashSig(docs: DataFrame): DataFrame = {
     PolyHash.register(docs.sparkSession)
+    graft.functions.SimHash64.register(docs.sparkSession)
     docs
       .withColumn("th", expr(tokenHashes))
       .withColumn("simhash", expr(simHash))

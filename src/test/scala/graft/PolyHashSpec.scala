@@ -63,6 +63,24 @@ class PolyHashSpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 equals the declarative HOF vote spelling") {
+    PolyHash.register(spark)
+    graft.functions.SimHash64.register(spark)
+    val bits = PortableText.SimHashBits
+    val df = Seq("the quick brown fox", "a b a b", "solo")
+      .toDF("text")
+      .select(expr(s"transform(array_distinct(${PortableText.tokens}), " +
+        "t -> graft_polyhash(t))").as("th"))
+      .select(
+        expr(s"graft_simhash(th, $bits)").as("native"),
+        expr(s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (s, i) -> s + " +
+          "CASE WHEN aggregate(th, CAST(0 AS BIGINT), (a, x) -> a + " +
+          "CASE WHEN shiftright(x, CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) > 0 " +
+          "THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END)")
+          .as("hof"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("PolyHash and CharGrams fold non-BMP text by code point, matching the HOF duals") {
     PolyHash.register(spark)
     graft.functions.CharGrams.register(spark)
