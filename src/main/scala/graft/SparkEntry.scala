@@ -36,6 +36,9 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.part(s, d), "p_brand", "p_retailprice",
         "p_partkey", 3)),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
+    "q_having" -> ((s, d) =>
+      Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), 210.0)),
     "q_semi_join" -> ((s, d) =>
       Analytics.suppliersWithShipments(Tables.supplier(s, d),
         Tables.lineitem(s, d), 45.0)),
@@ -300,6 +303,15 @@ object SparkEntry {
         |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
         |  AND b.win = idx.win AND b.rn = idx.target_rn
         |ORDER BY idx.symbol, idx.date, idx.win, idx.i""".stripMargin,
+    "q_having" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+        |  round(tq, 4) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,

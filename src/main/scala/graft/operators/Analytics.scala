@@ -50,6 +50,30 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
 
+  /** TPC-H Q18-style "large volume orders": customers whose single
+    * orders exceed a quantity threshold. The aggregate-filtered key
+    * set (HAVING sum > minQty) is computed FIRST from lineitem alone —
+    * one partial-agg shuffle on orderkey — and only the surviving
+    * keys join orders/customer, so the expensive joins see a
+    * pre-shrunk input (the plan TPC-H's correlated-IN subquery is
+    * meant to elicit). Join strategies are AQE's call.
+    */
+  def largeVolumeOrders(customer: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, minQty: Double): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        round(col("total_qty"), 4).as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** TPC-H Q5-style: revenue per nation within a region. Bounded dims
     * (region, nation) broadcast; unbounded sides (customer, supplier)
     * are AQE's call.
