@@ -37,21 +37,33 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // Split plan-build+optimize ("compile") from execution so drift
+      // between Catalyst overhead and actual work is attributable.
+      // Queries that run jobs while BUILDING the DataFrame (iterative
+      // CC, the IVF centroid fetch) charge those jobs to compile —
+      // that is genuinely pre-execution work.
       // A failing query must not masquerade as a fast one: record -1.
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+      val (compile, elapsed) =
+        try {
+          val df = fn(spark, sfDir)
+          df.queryExecution.executedPlan // force analysis + optimization
+          val t1 = System.nanoTime()
+          df.count()
+          ((t1 - t0) / 1e9, (System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
+          (-1.0, -1.0)
         }
-      name -> elapsed
+      (name, compile, elapsed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cs = results.map { case (k, c, _) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel; they must not (negatively!) offset
     // the headline total — sum only successful queries
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, _, t) if t >= 0 => t }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"compile":$cs,"sf":"$sfDir"}"""
     // Bare line on stdout for the driver's tail parser (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.

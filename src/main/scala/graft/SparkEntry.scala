@@ -86,6 +86,10 @@ object SparkEntry {
 
     "q_snapshot_log" -> ((s, d) =>
       Lakehouse.snapshotHistory(Tables.events(s, d), "event_id", 2000L)),
+    // Rollback to snapshot 2: history keeps every append AND gains the
+    // head `rollback` entry (Iceberg writes a snapshot; it never erases).
+    "q_rollback" -> ((s, d) =>
+      Lakehouse.rollbackHistory(Tables.events(s, d), "event_id", 2000L, 2L)),
     "q_ndv_profile" -> ((s, d) =>
       Lakehouse.ndvProfile(Tables.events(s, d),
         Seq("user_id", "event_type", "value"))),
@@ -159,12 +163,16 @@ object SparkEntry {
     // doc per duplicate cluster" pipeline stage. Bipartite doc-bucket
     // propagation — the pair graph is never materialized.
     "q_dedup_clusters" -> ((s, d) => {
-      import org.apache.spark.sql.functions.xxhash64
+      import org.apache.spark.sql.functions.{col, xxhash64}
       val docs = Tables.documents(s, d)
+      // Token-less docs have band_hash NULL. xxhash64 SKIPS null
+      // arguments, so without the filter every empty doc's bkey would
+      // collapse to xxhash64(band) — co-clustering all empty docs on
+      // Spark while the oracle's equi-join drops NULLs and leaves them
+      // isolated (and candidatePairs never joins NULL band_hash).
       val assignments = TextDedup.minHashBands(docs)
-        .withColumn("bkey",
-          xxhash64(org.apache.spark.sql.functions.col("band"),
-            org.apache.spark.sql.functions.col("band_hash")))
+        .filter(col("band_hash").isNotNull)
+        .withColumn("bkey", xxhash64(col("band"), col("band_hash")))
       TextDedup.dedupClustersFromBuckets(docs, assignments)
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
@@ -356,6 +364,20 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total
         |FROM (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
         |  FROM events GROUP BY event_id // 2000) s
+        |ORDER BY snapshot_id""".stripMargin,
+    "q_rollback" ->
+      """WITH s AS (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
+        |  FROM events GROUP BY event_id // 2000),
+        |h AS (SELECT snapshot_id, added,
+        |  CAST(sum(added) OVER (ORDER BY snapshot_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total,
+        |  'append' AS operation FROM s)
+        |SELECT snapshot_id, added, total, operation FROM h
+        |UNION ALL
+        |SELECT (SELECT max(snapshot_id) + 1 FROM h) AS snapshot_id,
+        |  CAST(0 AS BIGINT) AS added,
+        |  (SELECT total FROM h WHERE snapshot_id = 2) AS total,
+        |  'rollback' AS operation
         |ORDER BY snapshot_id""".stripMargin,
     "q_session_filter" ->
       s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,

@@ -24,6 +24,11 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression
     with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhashes"
+  // nullSafeEval returns null for an EMPTY (non-null) token array, so
+  // the output is nullable even when the child isn't — without this
+  // override a non-nullable child would let codegen assume isNull=false
+  // and flow a null ArrayData into element_at/band_hash.
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]

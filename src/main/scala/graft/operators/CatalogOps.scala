@@ -77,6 +77,31 @@ object CatalogOps {
     }
   }
 
+  /** Partition-level RESTORE: put the listed `years` of `table` back to
+    * the state carried by `snapshot` (an as-of read, e.g.
+    * `Lakehouse.rollbackTo` over the append log) — the physical half of
+    * a snapshot rollback when the catalog can't move a metadata pointer
+    * (ref: `Apache Iceberg/iceberg_time_travel.py:209-225`; Iceberg
+    * does this as an O(1) pointer move, parquet tables as a bounded
+    * partition rewrite). Years the snapshot still has rows for are
+    * rewritten in place (dynamic overwrite — other partitions
+    * untouched); listed years with NO snapshot rows were created
+    * entirely by the bad load and are dropped. The only driver-side
+    * data is the distinct-year list — partition-count-bounded metadata,
+    * never rows.
+    */
+  def restorePartitions(spark: SparkSession, table: String,
+                        snapshot: DataFrame, years: Seq[Int],
+                        tsCol: String = "ts"): Unit = {
+    val inScope = snapshot.filter(year(col(tsCol)).isin(years: _*))
+    val present = inScope.select(year(col(tsCol)).as("y"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    years.filterNot(present).foreach { y =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (year=$y)")
+    }
+    if (present.nonEmpty) overwritePartitions(inScope, table, tsCol)
+  }
+
   /** MERGE-style upsert as a pure plan: rows of `target` whose key
     * matches an update are replaced (WHEN MATCHED THEN UPDATE), update
     * rows with unseen keys are appended (WHEN NOT MATCHED THEN

@@ -90,4 +90,40 @@ object Lakehouse {
           .rowsBetween(Long.MinValue, 0)))
       .orderBy("snapshot_id")
   }
+
+  /** A10 — snapshot ROLLBACK: restore the table to the state at
+    * `targetSnapshot`. Iceberg's `rollback_to_snapshot` does not erase
+    * history — it WRITES a new snapshot whose state equals the target's
+    * (ref: `Apache Iceberg/iceberg_time_travel.py:209-225`, the
+    * `CALL iceberg.system.rollback_to_snapshot` menu action). Mirrored
+    * here on the append-log emulation:
+    *   - live rows after rollback = rows in snapshots <= target
+    *     ([[rollbackTo]] — the filter prunes like any as-of read);
+    *   - the snapshot LOG gains one entry: a fresh id, operation
+    *     `rollback`, zero added records, total = the target's total
+    *     ([[rollbackHistory]]). Undoing a bad load is an O(metadata)
+    *     pointer move, never a data rewrite — the property that makes
+    *     rollback usable at 100 TB.
+    */
+  def rollbackTo(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
+                 targetSnapshot: Long): DataFrame =
+    df.filter(expr(s"$idCol div $rowsPerSnapshot") <= targetSnapshot)
+
+  /** The post-rollback snapshot log: every original append entry (the
+    * history survives, exactly as Iceberg keeps rolled-back snapshots
+    * queryable) plus the new `rollback` entry at head. */
+  def rollbackHistory(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
+                      targetSnapshot: Long): DataFrame = {
+    val appends = snapshotHistory(df, idCol, rowsPerSnapshot)
+      .withColumn("operation", lit("append"))
+    // The rollback entry's total is the target snapshot's running total.
+    val targetTotal = appends
+      .filter(col("snapshot_id") === targetSnapshot)
+      .select(col("total"))
+    val maxId = appends.select(max("snapshot_id").as("m"))
+    val rollbackRow = targetTotal.crossJoin(maxId)
+      .select((col("m") + 1).as("snapshot_id"), lit(0L).as("added"),
+        col("total"), lit("rollback").as("operation"))
+    appends.unionByName(rollbackRow).orderBy("snapshot_id")
+  }
 }

@@ -47,6 +47,12 @@ object MediaCodecs {
       val (w, h, maxval) = (tokens(0).toInt, tokens(1).toInt, tokens(2).toInt)
       if (maxval != 255) fail(s"unsupported maxval $maxval")
       if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
+      // w·h·3 must be computed in Long: adversarial headers with large
+      // w,h (each individually positive) would overflow Int — either a
+      // NegativeArraySizeException or a wrap to a small positive n that
+      // "successfully" decodes wrong dimensions from a tiny payload.
+      if (w.toLong * h * 3 > Int.MaxValue)
+        fail(s"dimensions overflow: ${w}x$h")
       val n = w * h * 3
       if (payload.length - i < n)
         fail(s"pixel data truncated: ${payload.length - i} < $n")

@@ -247,8 +247,10 @@ object TextDedup {
           col("x.lbl") === col("j_id"), "left")
         .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
           least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      converged = jump.filter(col("lbl") =!= col("prev_lbl")).isEmpty
+        .localCheckpoint(eager = false)
+      // One job per round: the lazy checkpoint materializes inside the
+      // convergence count (see [[dedupClustersFromBuckets]]).
+      converged = jump.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
       labels = jump.select("doc_id", "lbl")
       iter += 1
     }
@@ -276,7 +278,35 @@ object TextDedup {
     * hops.
     */
   def dedupClustersFromBuckets(docs: DataFrame, assignments: DataFrame,
-                               maxIter: Int = 20): DataFrame = {
+                               maxIter: Int = 20): DataFrame =
+    dedupClustersFromBucketsWithRounds(docs, assignments, maxIter)._1
+
+  /** [[dedupClustersFromBuckets]] plus the number of propagation
+    * rounds run to reach the fixpoint — observable so a spec can
+    * assert the O(log diameter) pointer-jumping bound on adversarial
+    * (long-chain) graphs. */
+  def dedupClustersFromBucketsWithRounds(
+      docs: DataFrame, assignments: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // Job-count discipline: the wall time of an iterative kernel on a
+    // contended cluster is driven by driver-coordinated barriers, not
+    // data volume. Three choices below keep barriers minimal:
+    //  (1) labels start as the IDENTITY projection — a trivial plan —
+    //      rather than a seeded pre-pass: every round then has the
+    //      exact same plan shape, so whole-stage codegen compiles the
+    //      round ONCE and every later round hits the janino cache (a
+    //      seeded init is a distinct shape that pays its own cold
+    //      compile and saves no jobs: seeding == one round's
+    //      propagation half).
+    //  (2) the convergence probe is FUSED into the round's
+    //      materialization: the lazy localCheckpoint persists `jump`
+    //      the first time it is computed, and that first compute is
+    //      the changed-label count — one job per round, not a
+    //      materialize + isEmpty pair.
+    //  (3) AQE stays ON: its runtime coalescing and broadcast
+    //      conversion are what keep the tiny label/bucket shuffles
+    //      cheap (measured: forcing static 32-partition exchanges more
+    //      than doubled round time).
     val assign = assignments.select(col("doc_id"), col("bkey"))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"))
@@ -293,28 +323,28 @@ object TextDedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       // Pointer jumping (union-find path halving): adopt the label of
       // one's label. Shrinks long chains exponentially — O(log
-      // diameter) rounds instead of O(diameter).
+      // diameter) rounds instead of O(diameter). viaBucket feeds both
+      // self-join sides, but its exchanges are planned once and reused
+      // (ReusedExchange), not recomputed.
       val jump = viaBucket.as("x")
         .join(viaBucket.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
           col("x.lbl") === col("j_id"), "left")
         .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
           least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      // One materialization per round carries both the new labels and
-      // the convergence flag (vs the PREVIOUS round — labels only ever
-      // decrease, so round-stability is the fixpoint) — no separate
-      // re-join job.
-      converged = jump.filter(col("lbl") =!= col("prev_lbl")).isEmpty
+        .localCheckpoint(eager = false)
+      // Labels only ever decrease, so round-stability (zero changed
+      // labels vs the previous round) is the fixpoint.
+      converged = jump.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
       labels = jump.select("doc_id", "lbl")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"dedupClustersFromBuckets did not converge in $maxIter rounds; " +
         "raise maxIter (rounds needed ~ log2 of the component diameter)")
-    labels
+    (labels
       .select(col("doc_id"), col("lbl").as("cluster"))
       .withColumn("keep", col("doc_id") === col("cluster"))
-      .orderBy("doc_id")
+      .orderBy("doc_id"), iter)
   }
 
   /** F8 — language-ID by marker-word voting (n-gram heuristic family):

@@ -163,8 +163,15 @@ object Vectors {
   def cosineDedup(emb: DataFrame, minCos: Double, nPlanes: Int = 8,
                   dim: Int = Dim): DataFrame = {
     VecDot.register(emb.sparkSession)
+    // Materialization barrier (same trick as simHashPairs): without
+    // it, projection collapse inlines the nPlanes VecDot bucket
+    // expression and the norm into BOTH self-join sides, evaluating
+    // the per-vector sketch twice. The sampled frame is one narrow
+    // row per vector — cheap to pin at any scale relative to the pair
+    // join it feeds.
     val n = withNorm(emb, dim).filter(col("vec_id") % 5 === 0)
       .withColumn("bucket", lshBucketCol(nPlanes, dim))
+      .localCheckpoint(true)
     val a = n.select(col("bucket"), col("label").as("label_a"),
       col("vec_id").as("vec_a"), col("embedding").as("va"), col("nrm").as("na"))
     val b = n.select(col("bucket"), col("label").as("label_b"),

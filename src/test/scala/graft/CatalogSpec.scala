@@ -85,6 +85,36 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("restorePartitions rolls listed years back to the snapshot state, " +
+      "dropping bad-load-only partitions") {
+    withTable("gold_restore") {
+      CatalogOps.createGoldTable(ticksDf, "gold_restore")
+      // Snapshot of the good state BEFORE the bad load (what
+      // Lakehouse.rollbackTo reconstructs from the append log).
+      val snapshot = ticksDf.filter($"ts".isNotNull)
+      // Bad load: corrupts 2024 and invents a 2025 partition.
+      CatalogOps.overwritePartitions(Seq(
+        (90L, "EURUSD", ts("2024-03-01 08:00:00"), 0.01, 0.0112),
+      ).toDF("tick_id", "symbol", "ts", "bid", "ask"), "gold_restore")
+      CatalogOps.appendSnapshot(Seq(
+        (91L, "EURUSD", ts("2025-01-02 08:00:00"), 0.02, 0.0212),
+      ).toDF("tick_id", "symbol", "ts", "bid", "ask"), "gold_restore")
+      assert(spark.table("gold_restore").count() == 4) // 2023:2, 2024:1, 2025:1
+
+      CatalogOps.restorePartitions(spark, "gold_restore", snapshot,
+        years = Seq(2024, 2025))
+      val byYear = spark.table("gold_restore").groupBy("year").count()
+        .as[(Int, Long)].collect().toMap
+      // 2024 restored (ticks 3,4), 2025 dropped, 2023 never touched.
+      assert(byYear == Map(2023 -> 2L, 2024 -> 2L))
+      assert(spark.table("gold_restore").filter($"year" === 2024)
+        .select("tick_id").as[Long].collect().toSet == Set(3L, 4L))
+      val parts = spark.sql("SHOW PARTITIONS gold_restore")
+        .as[String].collect().toSet
+      assert(parts == Set("year=2023", "year=2024"))
+    }
+  }
+
   test("upsertPlan replaces matched keys and appends unmatched ones") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")

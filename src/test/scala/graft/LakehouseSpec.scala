@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Lakehouse
+
+/** Snapshot rollback semantics (ref: `Apache Iceberg/
+  * iceberg_time_travel.py:209-225` — rollback_to_snapshot WRITES a new
+  * snapshot; history survives).
+  */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 snapshots of 1000 rows each (ids 0..9999).
+  private def log = spark.range(10000L).select(
+    $"id".as("event_id"),
+    ($"id" % 7).cast("double").as("value"))
+
+  test("rollbackTo restores the data state at the target snapshot") {
+    val live = Lakehouse.rollbackTo(log, "event_id", 1000L, 3L)
+    assert(live.count() == 4000L)
+    assert(live.agg(max("event_id")).as[Long].head() == 3999L)
+    // Rollback is a pure metadata filter: re-reading the full log is
+    // unaffected (history is never erased).
+    assert(log.count() == 10000L)
+  }
+
+  test("rollbackHistory keeps every append and adds a head rollback " +
+      "entry with the target's total") {
+    val h = Lakehouse.rollbackHistory(log, "event_id", 1000L, 3L)
+      .as[(Long, Long, Long, String)].collect()
+    assert(h.length == 11)
+    // Appends 0..9 intact, in order, totals running.
+    val appends = h.filter(_._4 == "append")
+    assert(appends.map(_._1).toSeq == (0L to 9L))
+    assert(appends.map(_._3).toSeq == (1L to 10L).map(_ * 1000L))
+    // Head entry: fresh id, zero added, total == snapshot 3's total.
+    val head = h.last
+    assert(head == ((10L, 0L, 4000L, "rollback")))
+    // The rolled-back state and the as-of read agree (rollback points
+    // HEAD at the target snapshot's files).
+    assert(Lakehouse.rollbackTo(log, "event_id", 1000L, 3L).count() ==
+      head._3)
+  }
+}

@@ -54,6 +54,136 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- Batch ↔ streaming parity (G1–G6) -------------------------------
+  // Structured Streaming's contract is that the SAME declarative query
+  // gives the same answer in both execution modes (watermarks are
+  // no-ops in batch; *GroupsWithState runs on batch Datasets with
+  // empty initial state). The r2 tie-break work (min_by on
+  // (ts, tick_id)) is what makes these comparisons EXACT — assert it.
+
+  // Chronological order: the two-micro-batch split must not create
+  // late data under the 10s watermark (batch mode has no lateness, so
+  // any drop would be a parity break of the harness, not the operator).
+  private val parityTicks = Seq(
+    Tick(4L, 2L, t("2024-01-01 07:55:00.000"), 20.0),
+    Tick(5L, 2L, t("2024-01-01 07:55:00.000"), 77.0), // ts tie with 4
+    Tick(1L, 1L, t("2024-01-01 07:55:01.100"), 10.0),
+    Tick(2L, 1L, t("2024-01-01 07:55:01.900"), 99.0),
+    Tick(3L, 1L, t("2024-01-01 07:56:10.000"), 11.0),
+    Tick(6L, 2L, t("2024-01-01 13:55:30.000"), 30.0),
+    Tick(7L, 1L, t("2024-01-01 13:59:59.000"), 12.0))
+
+  /** Runs `plan` over a MemoryStream fed `rows` in two separate
+    * micro-batches (state carry exercised), returns the collected set. */
+  private def streamed(rows: Seq[Tick], name: String,
+                       mode: OutputMode = OutputMode.Complete)(
+      plan: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Set[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = plan(in.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table(name).collect().toSet
+    } finally q.stop()
+  }
+
+  test("G1 parity: downsample1s batch run == streaming run == secondDownsample") {
+    val batch = Streaming.downsample1s(parityTicks.toDF()).collect().toSet
+    val stream = streamed(parityTicks, "p_ds1s")(Streaming.downsample1s(_))
+    assert(stream == batch)
+    // And both agree with the BATCH operator it mirrors (common columns).
+    val twin = graft.operators.TickOps.secondDownsample(
+      parityTicks.toDF().withColumn("ask", $"bid"))
+      .select("symbol", "ts_s", "tick_id", "bid").collect().toSet
+    assert(batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+      r.getDouble(3))) ==
+      twin.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))))
+  }
+
+  test("G4 parity: windowCounts batch run == streaming run") {
+    val batch = Streaming.windowCounts(parityTicks.toDF(), "10 minutes")
+      .collect().toSet
+    assert(streamed(parityTicks, "p_wc")(
+      Streaming.windowCounts(_, "10 minutes")) == batch)
+  }
+
+  test("G5 parity: sessionWindows batch run == streaming run") {
+    val batch = Streaming.sessionWindows(parityTicks.toDF(), "5 minutes")
+      .collect().toSet
+    assert(streamed(parityTicks, "p_sw")(
+      Streaming.sessionWindows(_, "5 minutes")) == batch)
+  }
+
+  test("G6 parity: intervalJoin batch run == streaming run") {
+    val trades = parityTicks.filter(_.symbol == 1L)
+    val quotes = parityTicks.map(tk => tk.copy(ts =
+      new Timestamp(tk.ts.getTime - 15000L)))
+    val batch = Streaming.intervalJoin(
+      trades.toDF(), quotes.toDF(), "1 minute").collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val tIn = MemoryStream[Tick]; val qIn = MemoryStream[Tick]
+    val q = Streaming.intervalJoin(tIn.toDF(), qIn.toDF(), "1 minute")
+      .writeStream.format("memory").queryName("p_ij")
+      .outputMode(OutputMode.Append).start()
+    try {
+      qIn.addData(quotes: _*); tIn.addData(trades: _*)
+      q.processAllAvailable()
+      assert(spark.table("p_ij").collect().toSet == batch)
+    } finally q.stop()
+  }
+
+  test("G2 parity: anomalyFlags batch run == streaming run across batches") {
+    val rows = (1 to 12).map(i =>
+      Tick(i.toLong, 1L + i % 2, t(f"2024-01-01 07:55:${i * 4}%02d"),
+        if (i == 11) 500.0 else 100.0 + i % 3))
+    val batch = Streaming.anomalyFlags(rows.toDS(), 3.0).collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.anomalyFlags(in.toDS(), 3.0)
+      .writeStream.format("memory").queryName("p_af")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // Batch split respects event-time order, so the carried Welford
+      // state must replay to the identical flag sequence.
+      val (a, b) = rows.splitAt(6)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      assert(spark.table("p_af")
+        .as[graft.streaming.Streaming.AnomalyFlag].collect().toSet == batch)
+    } finally q.stop()
+  }
+
+  test("G3 parity: dedupExact batch run == streaming run == exactDedup") {
+    import graft.streaming.Streaming.Doc
+    val docs = Seq(Doc(1L, "aa"), Doc(2L, "bb"), Doc(3L, "aa"),
+      Doc(4L, "cc"), Doc(5L, "bb"), Doc(6L, "aa"))
+    val batch = Streaming.dedupExact(docs.toDS()).collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streaming.dedupExact(in.toDS())
+      .writeStream.format("memory").queryName("p_de")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.take(3): _*); q.processAllAvailable()
+      in.addData(docs.drop(3): _*); q.processAllAvailable()
+      val stream = spark.table("p_de")
+        .as[graft.streaming.Streaming.DedupDecision].collect().toSet
+      assert(stream == batch)
+      // Batch twin: isDuplicate == !keep from TextDedup.exactDedup.
+      val twin = graft.operators.TextDedup.exactDedup(
+        docs.map(d => (d.doc_id, d.text, "en", "s"))
+          .toDF("doc_id", "text", "lang", "source"))
+        .select("doc_id", "keep").as[(Long, Boolean)].collect()
+        .map { case (id, keep) => id -> !keep }.toMap
+      assert(stream.map(d => d.doc_id -> d.isDuplicate).toMap == twin)
+    } finally q.stop()
+  }
+
   test("anomalyFlags keeps per-symbol state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Tick]

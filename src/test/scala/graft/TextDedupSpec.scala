@@ -82,6 +82,29 @@ class TextDedupSpec extends SparkSpec {
       (4L, 4L, true), (5L, 5L, true), (6L, 5L, false)))
   }
 
+  test("dedupClustersFromBuckets converges in O(log diameter) rounds " +
+      "on an adversarial long-chain graph") {
+    // Path graph of diameter 512 — docs i and i+1 share bucket i. A
+    // plain min-label propagation needs ~512 rounds (and would hit the
+    // maxIter throw); pointer jumping must collapse it in
+    // ~log2(512)+c. This is the one input family where the fixpoint
+    // bound, not just the answer, is the contract.
+    val n = 512
+    val ds = (0L until n.toLong).toDF("doc_id")
+    val assign = (0L until (n - 1).toLong)
+      .flatMap(i => Seq((i, i), (i + 1, i)))
+      .toDF("doc_id", "bkey")
+    val (labels, rounds) =
+      TextDedup.dedupClustersFromBucketsWithRounds(ds, assign, maxIter = 20)
+    val out = labels.as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._2 == 0L), "one component, min-label 0")
+    assert(out.count(_._3) == 1, "exactly one representative")
+    // log2(512) = 9; the bipartite hop + jump pattern needs a small
+    // additive constant. Measured: well under 20; assert the bound so
+    // a future edit that silently degrades to linear convergence fails.
+    assert(rounds <= 14, s"pointer jumping degraded: $rounds rounds")
+  }
+
   test("langId votes by marker words with fixed tie-break") {
     val out = TextDedup.langId(
       Seq((1L, "der hund und die katze", "de", "s"),
