@@ -170,7 +170,10 @@ object SparkEntry {
       // collapse to xxhash64(band) — co-clustering all empty docs on
       // Spark while the oracle's equi-join drops NULLs and leaves them
       // isolated (and candidatePairs never joins NULL band_hash).
-      val assignments = TextDedup.minHashBands(docs)
+      // ordered=false: the edge list is checkpointed unordered — a
+      // presentation sort here would cost a range-sampling job + sort
+      // with no consumer (see minHashBands).
+      val assignments = TextDedup.minHashBands(docs, ordered = false)
         .filter(col("band_hash").isNotNull)
         .withColumn("bkey", xxhash64(col("band"), col("band_hash")))
       TextDedup.dedupClustersFromBuckets(docs, assignments)

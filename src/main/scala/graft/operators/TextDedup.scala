@@ -35,17 +35,26 @@ object TextDedup {
   /** F2 — MinHash LSH band assignment: shingle→minhash→band. Docs
     * sharing a (band, band_hash) bucket are near-dup candidates; the
     * join stage is `candidatePairs`. */
-  def minHashBands(docs: DataFrame): DataFrame = {
+  def minHashBands(docs: DataFrame): DataFrame =
+    minHashBands(docs, ordered = true)
+
+  /** `ordered = false` skips the presentation sort — consumers that
+    * immediately shuffle (bucket joins) or materialize an unordered
+    * edge list (CC) must not pay a range-partitioner sampling job plus
+    * a full sort for row order nothing depends on. (Catalyst's
+    * EliminateSorts removes the sort under joins/aggregations, but NOT
+    * under a terminal checkpoint/write.) */
+  def minHashBands(docs: DataFrame, ordered: Boolean): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashes.register(docs.sparkSession)
-    docs
+    val bands = docs
       .withColumn("th", expr(tokenHashes))
       .withColumn("mh", expr(minHashes))
       .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("band_hash",
         expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
       .select("doc_id", "band", "band_hash")
-      .orderBy("doc_id", "band")
+    if (ordered) bands.orderBy("doc_id", "band") else bands
   }
 
   /** F2b — LSH candidate pairs: equality self-join on the band bucket,
@@ -240,18 +249,20 @@ object TextDedup {
       val viaEdge = labels.join(nbrMin, labels("doc_id") === col("nid"), "left")
         .select(col("doc_id"), col("lbl").as("prev_lbl"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-      // Pointer jumping, as in [[dedupClustersFromBuckets]]: O(log
-      // diameter) rounds instead of O(diameter).
-      val jump = viaEdge.as("x")
-        .join(viaEdge.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
-          col("x.lbl") === col("j_id"), "left")
-        .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
-          least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl"))
+      // Pointer jumping from round 2, as in [[dedupClustersFromBuckets]]:
+      // shallow graphs converge before it can help and skip its
+      // self-join + plan compile; deep graphs keep O(log diameter).
+      val next = (if (iter < 2) viaEdge
+        else viaEdge.as("x")
+          .join(viaEdge.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
+            col("x.lbl") === col("j_id"), "left")
+          .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
+            least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl")))
         .localCheckpoint(eager = false)
       // One job per round: the lazy checkpoint materializes inside the
       // convergence count (see [[dedupClustersFromBuckets]]).
-      converged = jump.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
-      labels = jump.select("doc_id", "lbl")
+      converged = next.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
+      labels = next.select("doc_id", "lbl")
       iter += 1
     }
     // Partial labels are WRONG answers (one true component with several
@@ -289,8 +300,9 @@ object TextDedup {
       docs: DataFrame, assignments: DataFrame,
       maxIter: Int = 20): (DataFrame, Int) = {
     // Job-count discipline: the wall time of an iterative kernel on a
-    // contended cluster is driven by driver-coordinated barriers, not
-    // data volume. Three choices below keep barriers minimal:
+    // contended cluster is driven by driver-coordinated barriers and
+    // plan-compile overhead, not data volume. Four choices below keep
+    // them minimal:
     //  (1) labels start as the IDENTITY projection — a trivial plan —
     //      rather than a seeded pre-pass: every round then has the
     //      exact same plan shape, so whole-stage codegen compiles the
@@ -299,11 +311,17 @@ object TextDedup {
     //      compile and saves no jobs: seeding == one round's
     //      propagation half).
     //  (2) the convergence probe is FUSED into the round's
-    //      materialization: the lazy localCheckpoint persists `jump`
-    //      the first time it is computed, and that first compute is
-    //      the changed-label count — one job per round, not a
-    //      materialize + isEmpty pair.
-    //  (3) AQE stays ON: its runtime coalescing and broadcast
+    //      materialization: the lazy localCheckpoint persists the
+    //      round's labels the first time they are computed, and that
+    //      first compute is the changed-label count — one job per
+    //      round, not a materialize + isEmpty pair.
+    //  (3) pointer jumping (union-find path halving) engages only from
+    //      round 2: near-dup corpora are template-shaped (diameter 1-2)
+    //      and converge before the jump can help, so the common case
+    //      never pays the self-join's exchanges OR its whole-stage
+    //      compile. Deep graphs hit round 2 and get the O(log
+    //      diameter) bound unchanged (spec'd on a diameter-512 chain).
+    //  (4) AQE stays ON: its runtime coalescing and broadcast
     //      conversion are what keep the tiny label/bucket shuffles
     //      cheap (measured: forcing static 32-partition exchanges more
     //      than doubled round time).
@@ -321,21 +339,20 @@ object TextDedup {
       val viaBucket = labels.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lbl").as("prev_lbl"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      // Pointer jumping (union-find path halving): adopt the label of
-      // one's label. Shrinks long chains exponentially — O(log
-      // diameter) rounds instead of O(diameter). viaBucket feeds both
-      // self-join sides, but its exchanges are planned once and reused
-      // (ReusedExchange), not recomputed.
-      val jump = viaBucket.as("x")
-        .join(viaBucket.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
-          col("x.lbl") === col("j_id"), "left")
-        .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
-          least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl"))
+      // Jump: adopt the label of one's label — shrinks chains
+      // exponentially. viaBucket feeds both self-join sides, but its
+      // exchanges are planned once and reused (ReusedExchange).
+      val next = (if (iter < 2) viaBucket
+        else viaBucket.as("x")
+          .join(viaBucket.select(col("doc_id").as("j_id"), col("lbl").as("j_lbl")),
+            col("x.lbl") === col("j_id"), "left")
+          .select(col("x.doc_id").as("doc_id"), col("prev_lbl"),
+            least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl")))
         .localCheckpoint(eager = false)
       // Labels only ever decrease, so round-stability (zero changed
       // labels vs the previous round) is the fixpoint.
-      converged = jump.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
-      labels = jump.select("doc_id", "lbl")
+      converged = next.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
+      labels = next.select("doc_id", "lbl")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
