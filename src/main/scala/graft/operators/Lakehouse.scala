@@ -111,7 +111,11 @@ object Lakehouse {
 
   /** The post-rollback snapshot log: every original append entry (the
     * history survives, exactly as Iceberg keeps rolled-back snapshots
-    * queryable) plus the new `rollback` entry at head. */
+    * queryable) plus the new `rollback` entry at head. A
+    * `targetSnapshot` that never existed contributes NO rollback entry
+    * (the inner select is empty) — callers that need Iceberg's loud
+    * failure should check `snapshotHistory` first; as a lazy plan this
+    * function cannot validate without running a job. */
   def rollbackHistory(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
                       targetSnapshot: Long): DataFrame = {
     val appends = snapshotHistory(df, idCol, rowsPerSnapshot)

@@ -37,6 +37,9 @@ object MediaCodecs {
         var v = -1L
         while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') {
           v = (if (v < 0) 0L else v) * 10 + (payload(i) - '0')
+          // Reject oversized tokens while still in Long range — a
+          // 20-digit header would wrap even the Long accumulator.
+          if (v > Int.MaxValue) fail(s"header token too large")
           i += 1
         }
         if (v < 0) fail("truncated header")
@@ -44,15 +47,16 @@ object MediaCodecs {
       }
       if (tokens.length < 3) fail("truncated header")
       i += 1 // the single whitespace after maxval
-      val (w, h, maxval) = (tokens(0).toInt, tokens(1).toInt, tokens(2).toInt)
-      if (maxval != 255) fail(s"unsupported maxval $maxval")
-      if (w <= 0 || h <= 0) fail(s"bad dimensions ${w}x$h")
-      // w·h·3 must be computed in Long: adversarial headers with large
-      // w,h (each individually positive) would overflow Int — either a
-      // NegativeArraySizeException or a wrap to a small positive n that
-      // "successfully" decodes wrong dimensions from a tiny payload.
-      if (w.toLong * h * 3 > Int.MaxValue)
-        fail(s"dimensions overflow: ${w}x$h")
+      // All range checks run on the Long tokens BEFORE narrowing to
+      // Int — a .toInt first would TRUNCATE (4294967297L.toInt == 1)
+      // and let an adversarial header pass every check yet decode
+      // wrong dimensions from a tiny payload.
+      if (tokens(2) != 255L) fail(s"unsupported maxval ${tokens(2)}")
+      if (tokens(0) <= 0 || tokens(1) <= 0)
+        fail(s"bad dimensions ${tokens(0)}x${tokens(1)}")
+      if (tokens(0) * tokens(1) * 3 > Int.MaxValue)
+        fail(s"dimensions overflow: ${tokens(0)}x${tokens(1)}")
+      val (w, h) = (tokens(0).toInt, tokens(1).toInt)
       val n = w * h * 3
       if (payload.length - i < n)
         fail(s"pixel data truncated: ${payload.length - i} < $n")
