@@ -302,14 +302,15 @@ object TextDedup {
     // Job-count discipline: the wall time of an iterative kernel on a
     // contended cluster is driven by driver-coordinated barriers and
     // plan-compile overhead, not data volume. Four choices below keep
-    // them minimal:
-    //  (1) labels start as the IDENTITY projection — a trivial plan —
-    //      rather than a seeded pre-pass: every round then has the
-    //      exact same plan shape, so whole-stage codegen compiles the
-    //      round ONCE and every later round hits the janino cache (a
-    //      seeded init is a distinct shape that pays its own cold
-    //      compile and saves no jobs: seeding == one round's
-    //      propagation half).
+    // them minimal (a fused two-hop+jump round was tried and measured
+    // SLOWER cold — the deeper plan's AQE/codegen cost exceeded the
+    // barrier savings — so rounds stay shallow):
+    //  (1) labels start as the IDENTITY projection — a trivial plan
+    //      that is NOT checkpointed: round 0 reads it straight from
+    //      the (pruned) source scan instead of paying a dedicated
+    //      materialization job. Every round then has the same plan
+    //      shape, so whole-stage codegen compiles the round ONCE and
+    //      every later round hits the janino cache.
     //  (2) the convergence probe is FUSED into the round's
     //      materialization: the lazy localCheckpoint persists the
     //      round's labels the first time they are computed, and that
@@ -328,7 +329,7 @@ object TextDedup {
     val assign = assignments.select(col("doc_id"), col("bkey"))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"))
-      .withColumn("lbl", col("doc_id")).localCheckpoint(true)
+      .withColumn("lbl", col("doc_id"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
