@@ -206,6 +206,26 @@ object SparkEntry {
       Lakehouse.jsonExtractStats(Tables.events(s, d), "props", "$.k", "event_type")),
     "q_group_percentile" -> ((s, d) =>
       Features.groupPercentiles(Tables.ticks(s, d), Seq(0.5, 0.9))),
+    // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
+    // one long-format feature frame. Deterministic synthetic payloads
+    // (no binary fixtures ship in testdata); codec features are not
+    // SQL-expressible, so no oracleSql entry — the driver records the
+    // rows-only check.
+    "q_media_features" -> ((s, _) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val media = Multimodal.syntheticRealMedia(s, 300)
+      def longFmt(df: org.apache.spark.sql.DataFrame, feats: Seq[String]) =
+        feats.map(f => df.select(col("media_id"),
+          lit(f).as("feature"), col(f).cast("double").as("value")))
+      val parts =
+        longFmt(Multimodal.imageFeatures(media).toDF,
+          Seq("brightness", "thumb_brightness")) ++
+        longFmt(Multimodal.audioFeatures(media).toDF,
+          Seq("rms", "zero_crossings")) ++
+        longFmt(Multimodal.videoFeatures(media).toDF,
+          Seq("mean_luma", "motion", "n_frames"))
+      parts.reduce(_ unionAll _).orderBy("media_id", "feature")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

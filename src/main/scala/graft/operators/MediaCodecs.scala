@@ -3,12 +3,12 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** REAL pure-JVM codecs for the multimodal path (SURVEY §2.F12):
-  * binary PPM (P6) images and RIFF/WAV PCM-16 mono audio are fully
-  * decodable with no native libraries, so decode → transform →
-  * feature-extract runs end-to-end on real bytes. Video remains the
-  * declared stub ([[Multimodal.FakeCodec]]) — there is no pure-JVM
-  * video codec — but the dispatch seam is identical, so a JNI codec
-  * drops in per-kind.
+  * binary PPM (P6) images, RIFF/WAV PCM-16 mono audio, and YUV4MPEG2
+  * (Y4M) uncompressed video are fully decodable with no native
+  * libraries, so decode → transform → feature-extract runs end-to-end
+  * on real bytes for all three modalities. Compressed formats (JPEG,
+  * H.264, …) would drop in behind the same per-kind dispatch seam via
+  * JNI ([[Multimodal.FakeCodec]] demonstrates that seam).
   */
 object MediaCodecs {
 
@@ -159,6 +159,114 @@ object MediaCodecs {
         i += 1
       }
       n
+    }
+  }
+
+  /** YUV4MPEG2 (Y4M) — the uncompressed video interchange format:
+    * one ASCII stream header (`YUV4MPEG2 W<w> H<h> F<n>:<d> ...`),
+    * then per frame an ASCII `FRAME` marker followed by raw planes.
+    * Supported colorspaces: C420 family (Y w·h + Cb,Cr at w/2·h/2 —
+    * the default when the C tag is absent) and Cmono (Y plane only).
+    * Decode returns the luma planes — what feature extraction and
+    * frame sampling consume; chroma is parsed past, not retained.
+    */
+  object Y4m {
+    private val Magic = "YUV4MPEG2"
+
+    /** Encode luma frames as C420jpeg with neutral (128) chroma. */
+    def encode(w: Int, h: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+        s"C420 needs positive even dims, got ${w}x$h")
+      frames.foreach(f => require(f.length == w * h,
+        s"luma plane length ${f.length} != ${w * h}"))
+      val header = s"$Magic W$w H$h F$fps:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+      val chroma = Array.fill[Byte]((w / 2) * (h / 2) * 2)(128.toByte)
+      val frameMark = "FRAME\n".getBytes("US-ASCII")
+      val out = ByteBuffer.allocate(header.length +
+        frames.map(f => frameMark.length + f.length + chroma.length).sum)
+      out.put(header)
+      frames.foreach { f => out.put(frameMark).put(f).put(chroma) }
+      out.array()
+    }
+
+    /** @return (width, height, luma planes, one w·h array per frame).
+      *         Throws on malformed input — a corrupt payload must
+      *         surface, not yield fake frames. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      def fail(why: String) =
+        throw new IllegalArgumentException(s"malformed Y4M: $why")
+      // ---- stream header: one ASCII line ----
+      var eol = 0
+      while (eol < payload.length && payload(eol) != '\n') eol += 1
+      if (eol >= payload.length) fail("no header line")
+      val header = new String(payload, 0, eol, "US-ASCII")
+      val tags = header.split(' ')
+      if (tags.isEmpty || tags(0) != Magic) fail("missing YUV4MPEG2 magic")
+      var w = -1L; var h = -1L; var cs = "420jpeg"
+      tags.drop(1).filter(_.nonEmpty).foreach { t =>
+        (t.charAt(0), t.drop(1)) match {
+          case ('W', v) => w = parsePositive(v, fail)
+          case ('H', v) => h = parsePositive(v, fail)
+          case ('C', v) => cs = v
+          case _        => () // F/I/A/X tags don't affect plane layout
+        }
+      }
+      if (w <= 0 || h <= 0) fail(s"missing or bad dimensions ${w}x$h")
+      // All range checks run on Long BEFORE narrowing (same discipline
+      // as Ppm.decode): an adversarial W·H product must not wrap.
+      val mono = cs == "mono"
+      if (!mono && !cs.startsWith("420")) fail(s"unsupported colorspace C$cs")
+      if (!mono && (w % 2 != 0 || h % 2 != 0))
+        fail(s"C420 needs even dims, got ${w}x$h")
+      val frameSizeL = if (mono) w * h else w * h + 2L * ((w / 2) * (h / 2))
+      if (frameSizeL > Int.MaxValue) fail(s"dimensions overflow: ${w}x$h")
+      val ySize = (w * h).toInt
+      val frameSize = frameSizeL.toInt
+      // ---- frames: FRAME[ params]\n + planes, until end of payload ----
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var i = eol + 1
+      while (i < payload.length) {
+        var fEol = i
+        while (fEol < payload.length && payload(fEol) != '\n') fEol += 1
+        if (fEol >= payload.length) fail("truncated FRAME marker")
+        val mark = new String(payload, i, fEol - i, "US-ASCII")
+        if (mark != "FRAME" && !mark.startsWith("FRAME ")) fail("missing FRAME marker")
+        if (payload.length - (fEol + 1) < frameSize)
+          fail(s"frame ${frames.length} truncated: " +
+            s"${payload.length - fEol - 1} < $frameSize bytes")
+        frames += java.util.Arrays.copyOfRange(payload, fEol + 1, fEol + 1 + ySize)
+        i = fEol + 1 + frameSize
+      }
+      if (frames.isEmpty) fail("zero frames")
+      (w.toInt, h.toInt, frames.toArray)
+    }
+
+    private def parsePositive(s: String, fail: String => Nothing): Long = {
+      if (s.isEmpty || !s.forall(c => c >= '0' && c <= '9'))
+        fail(s"bad header int '$s'")
+      if (s.length > 10) fail("header token too large")
+      s.toLong
+    }
+
+    /** Mean luma of one frame (0..255). */
+    def meanLuma(frame: Array[Byte]): Double =
+      if (frame.isEmpty) 0.0
+      else {
+        var acc = 0L; var i = 0
+        while (i < frame.length) { acc += frame(i) & 0xff; i += 1 }
+        acc.toDouble / frame.length
+      }
+
+    /** Mean absolute luma difference between two frames — the cheap
+      * motion proxy a sampling pipeline uses to drop static clips. */
+    def motion(a: Array[Byte], b: Array[Byte]): Double = {
+      require(a.length == b.length, s"frame size mismatch ${a.length}/${b.length}")
+      if (a.isEmpty) 0.0
+      else {
+        var acc = 0L; var i = 0
+        while (i < a.length) { acc += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+        acc.toDouble / a.length
+      }
     }
   }
 }

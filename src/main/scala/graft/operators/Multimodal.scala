@@ -5,11 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** F12 — multimodal column plumbing (SURVEY §2.F12): media as opaque
   * `binary` columns with typed metadata, processed per-partition in
-  * batches. The Spark-side mechanics — schema, partitioning, batch
-  * shape, deterministic output — are real and tested; the codec itself
-  * is a STUB (`FakeCodec`): the container has no image/audio
-  * libraries, so decode is a deterministic fake that a real
-  * JNI/javacpp codec would replace 1:1 behind the same interface.
+  * batches. All three modalities decode REAL bytes with pure-JVM
+  * codecs ([[MediaCodecs]]): PPM images, WAV PCM-16 audio, Y4M video.
+  * `FakeCodec` remains only to demonstrate the dispatch seam a
+  * compressed-format JNI codec (JPEG, H.264) would drop into 1:1.
   */
 object Multimodal {
 
@@ -108,12 +107,56 @@ object Multimodal {
     }
   }
 
+  case class VideoFeature(media_id: Long, width: Int, height: Int,
+                          n_frames: Int, mean_luma: Double, motion: Double)
+
+  case class VideoFrame(media_id: Long, frame_idx: Int, mean_luma: Double)
+
+  /** Decode REAL Y4M payloads (kind == "video") and extract the
+    * clip-level features a sampling pipeline filters on: frame count,
+    * mean luma across frames, and the mean inter-frame absolute luma
+    * difference (motion proxy — static clips score ~0). Narrow, batch
+    * per partition, no shuffle; a malformed payload throws. */
+  def videoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeature] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, frames) = MediaCodecs.Y4m.decode(r.payload)
+        val luma = frames.map(MediaCodecs.Y4m.meanLuma).sum / frames.length
+        val motion =
+          if (frames.length < 2) 0.0
+          else frames.sliding(2).map { case Array(a, b) =>
+            MediaCodecs.Y4m.motion(a, b)
+          }.sum / (frames.length - 1)
+        VideoFeature(r.media_id, w, h, frames.length, luma, motion)
+      }
+    }
+  }
+
+  /** Evenly-spaced REAL frame sampling over decoded Y4M video — the
+    * linspace index selection of [[sampleFrames]], but each sampled
+    * index maps to a genuine decoded luma plane, not a stub checksum.
+    * Emits k rows per clip (not n_frames): the 100 TB shape where a
+    * frame-sampling stage must never explode a long clip. */
+  def sampleVideoFrames(media: Dataset[MediaRow], k: Int): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val (_, _, frames) = MediaCodecs.Y4m.decode(r.payload)
+      val n = frames.length
+      val idxs =
+        if (n <= 1 || k <= 1) Seq(0)
+        else (0 until k).map(i => (i * (n - 1)) / (k - 1))
+      idxs.distinct.map(fi =>
+        VideoFrame(r.media_id, fi, MediaCodecs.Y4m.meanLuma(frames(fi))))
+    }
+  }
+
   /** Deterministic synthetic media with REAL payloads: images are
     * valid binary PPMs (gradient pixels), audio rows are valid WAV
-    * PCM-16 square waves — so the codec path exercises genuine
-    * decode, not a transform of arbitrary bytes. Video payloads stay
-    * fake (no pure-JVM video codec; [[FakeCodec]] is the declared
-    * stub). */
+    * PCM-16 square waves, and video rows are valid Y4M clips (a
+    * horizontally scrolling luma gradient, so the motion proxy is
+    * provably nonzero) — every modality exercises genuine decode, not
+    * a transform of arbitrary bytes. */
   def syntheticRealMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
@@ -127,9 +170,12 @@ object Multimodal {
             if ((i / 4) % 2 == 0) 1000.toShort else (-1000).toShort)
           MediaRow(id, "audio", MediaCodecs.Wav.encode(8000, samples), 0, 0, 0)
         case _ =>
-          val payload = Array.tabulate[Byte](16 + (id % 16).toInt)(i =>
-            ((id * 31 + i * 7) % 251).toByte)
-          MediaRow(id, "video", payload, 4, 4, 8 + (id % 8).toInt)
+          val w = 8; val h = 6
+          val nf = 4 + (id % 5).toInt
+          val frames = (0 until nf).map(f =>
+            Array.tabulate[Byte](w * h)(i =>
+              (((i % w) * 32 + f * 16 + id * 7) % 256).toByte))
+          MediaRow(id, "video", MediaCodecs.Y4m.encode(w, h, 25, frames), w, h, nf)
       }
     }
   }

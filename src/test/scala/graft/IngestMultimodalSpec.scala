@@ -93,4 +93,47 @@ class IngestMultimodalSpec extends SparkSpec {
       assert(f.zero_crossings > 0)
     }
   }
+
+  test("Y4M codec round-trips luma frames and rejects malformed payloads") {
+    import graft.operators.MediaCodecs.Y4m
+    val f0 = Array.tabulate[Byte](8 * 6)(i => (i * 3).toByte)
+    val f1 = Array.tabulate[Byte](8 * 6)(i => (i * 3 + 40).toByte)
+    val (w, h, frames) = Y4m.decode(Y4m.encode(8, 6, 25, Seq(f0, f1)))
+    assert((w, h) == (8, 6) && frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq && frames(1).toSeq == f1.toSeq)
+    // uniform gray frame has mean luma 128; identical frames: zero motion
+    val gray = Array.fill[Byte](8 * 6)(128.toByte)
+    assert(math.abs(Y4m.meanLuma(gray) - 128.0) < 1e-9)
+    assert(Y4m.motion(f0, f0) == 0.0)
+    assert(Y4m.motion(f0, f1) == 40.0) // constant +40 offset
+    // mono colorspace carries no chroma planes
+    val monoBytes = ("YUV4MPEG2 W4 H2 F25:1 Cmono\nFRAME\n").getBytes("US-ASCII") ++
+      Array.tabulate[Byte](8)(_.toByte)
+    assert(Y4m.decode(monoBytes)._3.head.length == 8)
+    intercept[IllegalArgumentException](Y4m.decode("nope".getBytes))
+    intercept[IllegalArgumentException]( // truncated frame data
+      Y4m.decode("YUV4MPEG2 W8 H6 F25:1\nFRAME\n".getBytes ++ Array[Byte](1, 2)))
+    intercept[IllegalArgumentException]( // odd dims under C420
+      Y4m.decode("YUV4MPEG2 W3 H2 F25:1\nFRAME\n".getBytes ++ Array.fill[Byte](9)(0)))
+    intercept[IllegalArgumentException]( // dims overflow must not wrap
+      Y4m.decode("YUV4MPEG2 W1073741824 H4 F25:1\nFRAME\n".getBytes))
+  }
+
+  test("videoFeatures and sampleVideoFrames decode real Y4M end-to-end") {
+    val media = Multimodal.syntheticRealMedia(spark, 30)
+    val vids = Multimodal.videoFeatures(media).collect()
+    assert(vids.length == 10) // ids % 3 == 0
+    vids.foreach { f =>
+      assert(f.width == 8 && f.height == 6 && f.n_frames >= 4)
+      assert(f.mean_luma > 0 && f.mean_luma < 255)
+      assert(f.motion > 0) // scrolling gradient: consecutive frames differ
+    }
+    val frames = Multimodal.sampleVideoFrames(media, 3).collect()
+    val perId = frames.groupBy(_.media_id)
+    assert(perId.keySet == vids.map(_.media_id).toSet)
+    perId.values.foreach { fs =>
+      assert(fs.length <= 3 && fs.map(_.frame_idx).distinct.length == fs.length)
+      assert(fs.forall(f => f.mean_luma > 0 && f.mean_luma < 255))
+    }
+  }
 }
