@@ -206,6 +206,14 @@ object SparkEntry {
       Lakehouse.jsonExtractStats(Tables.events(s, d), "props", "$.k", "event_type")),
     "q_group_percentile" -> ((s, d) =>
       Features.groupPercentiles(Tables.ticks(s, d), Seq(0.5, 0.9))),
+    // F15–F17 — corpus-pipeline stages: quality filter with reason
+    // codes, deterministic hash split, n-gram decontamination.
+    "q_quality_filter" -> ((s, d) =>
+      CorpusPipeline.qualityFilter(Tables.documents(s, d))),
+    "q_hash_split" -> ((s, d) =>
+      CorpusPipeline.hashSplit(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) =>
+      CorpusPipeline.decontaminate(Tables.documents(s, d))),
     // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
     // one long-format feature frame. Deterministic synthetic payloads
     // (no binary fixtures ship in testdata); codec features are not
@@ -820,6 +828,48 @@ object SparkEntry {
       s"""SELECT token, count(*) AS freq
         |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+    },
+    "q_quality_filter" -> {
+      import graft.functions.PortableText._
+      s"""WITH q AS (
+        |  SELECT doc_id, length(tk) AS n_tokens,
+        |    1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)
+        |      AS rep_ratio,
+        |    CAST(length(list_filter(tk, t ->
+        |      list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |      / length(tk) AS stop_ratio
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x)
+        |SELECT doc_id, n_tokens, rep_ratio, stop_ratio,
+        |  (CASE WHEN n_tokens < 20 THEN 'short'
+        |        WHEN rep_ratio > 0.65 THEN 'repetitive'
+        |        WHEN stop_ratio < 0.01 THEN 'low_stop' END) IS NULL AS keep,
+        |  CASE WHEN n_tokens < 20 THEN 'short'
+        |       WHEN rep_ratio > 0.65 THEN 'repetitive'
+        |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
+        |FROM q ORDER BY doc_id""".stripMargin
+    },
+    "q_hash_split" ->
+      """SELECT doc_id, lang, source,
+        |  CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80
+        |         THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" -> {
+      import graft.functions.PortableText._
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(tk) - 3),
+        |    i -> array_to_string(tk[i:i+4], ' '))) AS gram
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0),
+        |te AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 = 0),
+        |ov AS (SELECT te.doc_id, count(*) AS n_overlap
+        |       FROM te JOIN tr USING (gram) GROUP BY te.doc_id)
+        |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""".stripMargin
     },
     "q_json_extract" ->
       """SELECT event_type,

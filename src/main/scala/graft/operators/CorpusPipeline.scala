@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableText
+
+/** Corpus-pipeline stages (SURVEY §2.F15–F17) — the composition layer
+  * a pre-training data pipeline runs between raw ingest and training:
+  * a quality FILTER that drops documents with a reason code, a
+  * deterministic hash SPLIT that carves reproducible train/val/test
+  * partitions, and a DECONTAMINATION pass that flags held-out
+  * documents whose word n-grams leak into the training side.
+  *
+  * All three are engine-portable (PortableText token semantics, pure
+  * integer/double arithmetic) so the DuckDB oracle replays them
+  * exactly. ref: the reference's per-symbol train/val carving
+  * (`ML Model/Scripts/train.py:97,148` via `split_window_data`) is the
+  * same reproducible-split need, expressed here corpus-wide.
+  */
+object CorpusPipeline {
+  import PortableText.tokens
+
+  /** F15 — composed quality filter: the classic pre-training drop
+    * rules (too short, too repetitive, too few stopwords) evaluated in
+    * one narrow codegen'd pass. `drop_reason` is the FIRST failing
+    * rule (short > repetitive > low_stop), NULL when the doc is kept —
+    * the audit column a corpus curator reads off the drop report.
+    * Ratios are element-wise integer→double divisions: unrounded
+    * (SURVEY §6), bit-identical across engines. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 20,
+                    maxRepRatio: Double = 0.65, minStopRatio: Double = 0.01,
+                    stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"))
+      : DataFrame = {
+    val list = stopwords.map(w => s"'$w'").mkString(", ")
+    docs.select(
+      col("doc_id"),
+      expr(s"size($tokens)").as("n_tokens"),
+      expr(s"size(array_distinct($tokens))").as("n_distinct"),
+      expr(s"size(filter($tokens, t -> t IN ($list)))").as("n_stop"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < minTokens, "short")
+          .when(col("rep_ratio") > maxRepRatio, "repetitive")
+          .when(col("stop_ratio") < minStopRatio, "low_stop"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .select("doc_id", "n_tokens", "rep_ratio", "stop_ratio",
+        "keep", "drop_reason")
+      .orderBy("doc_id")
+  }
+
+  /** Knuth multiplicative-hash split key — explicit integer
+    * arithmetic (never an engine `hash()`) so Spark and the oracle
+    * agree bit-for-bit; stays below 2^63 for any doc_id < ~3.5e9.
+    * At larger id spaces the same construction runs mod p first. */
+  private def splitKey(id: Column): Column =
+    pmod(pmod(id * lit(2654435761L), lit(PortableText.P)), lit(100))
+
+  /** F16 — deterministic train/val/test split: every document lands in
+    * exactly one partition, the assignment is a pure function of
+    * doc_id (re-running on a grown corpus never reshuffles old docs —
+    * the property random `rand()` splits lose), and the carve is
+    * 80/10/10 by multiplicative hash. Narrow — no shuffle; the split
+    * column is codegen'd arithmetic. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10)
+      : DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("split",
+        when(splitKey(col("doc_id")) < trainPct, "train")
+          .when(splitKey(col("doc_id")) < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Word n-grams of a doc's token list as space-joined strings;
+    * empty when the doc has fewer than n tokens (`sequence` would
+    * otherwise DESCEND for stop < start). */
+  private def gramsCol(n: Int): Column = expr(
+    s"CASE WHEN size($tokens) >= $n THEN " +
+      s"transform(sequence(1, size($tokens) - ${n - 1}), " +
+      s"i -> array_join(slice($tokens, i, $n), ' ')) " +
+      "ELSE array() END")
+
+  /** F17 — train/test decontamination: for each held-out document
+    * (doc_id ≡ 0 mod `holdoutMod`), count its distinct word n-grams
+    * that also occur anywhere in the training side, and flag any
+    * overlap. The scale shape: explode → per-side DISTINCT (partial
+    * aggregation collapses hot template grams before the shuffle) →
+    * equality join keyed on the gram — never a doc×doc comparison.
+    * Held-out docs with zero grams still appear (left join), so the
+    * report always covers the full eval set. */
+  def decontaminate(docs: DataFrame, n: Int = 5, holdoutMod: Int = 50)
+      : DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      explode(gramsCol(n)).as("gram"))
+    val trainGrams = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+      .select("gram").distinct()
+    val testGrams = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .distinct()
+    val overlap = testGrams.join(trainGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+      .orderBy("doc_id")
+  }
+}

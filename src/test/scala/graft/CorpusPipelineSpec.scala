@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.CorpusPipeline
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFrom(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+
+  test("qualityFilter assigns the first failing drop reason, else keeps") {
+    val long = "the quick brown fox jumps over a lazy dog and then runs " +
+      "through green fields of tall grass to find cool water near bridges"
+    val docs = docsFrom(
+      1L -> long,                       // kept: 24 distinct tokens, stopworded
+      2L -> "too few tokens here",      // short
+      3L -> ("spam " * 30).trim,        // repetitive (1 distinct / 30 tokens)
+      4L -> (1 to 25).mkString(" "))    // low_stop (25 numeric tokens)
+    val out = CorpusPipeline.qualityFilter(docs)
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, true, None),
+      (2L, false, Some("short")),
+      (3L, false, Some("repetitive")),
+      (4L, false, Some("low_stop"))))
+  }
+
+  test("qualityFilter: short wins over repetitive when both fail") {
+    val docs = docsFrom(1L -> "x x x") // 3 tokens, rep_ratio 2/3 > 0.65
+    val reason = CorpusPipeline.qualityFilter(docs)
+      .select("drop_reason").as[String].collect().head
+    assert(reason == "short")
+  }
+
+  test("hashSplit is a pure function of doc_id: growing the corpus " +
+      "never reassigns existing docs, and the carve is ~80/10/10") {
+    val small = CorpusPipeline.hashSplit(docsFrom(
+      (0L until 100L).map(i => i -> s"doc $i"): _*))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grown = CorpusPipeline.hashSplit(docsFrom(
+      (0L until 1000L).map(i => i -> s"doc $i"): _*))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, sp) => grown(id) == sp })
+    val dist = grown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist("train") > 700 && dist("train") < 900, dist)
+    assert(dist("val") > 50 && dist("val") < 160, dist)
+    assert(dist("test") > 50 && dist("test") < 160, dist)
+    assert(dist.values.sum == 1000)
+  }
+
+  test("decontaminate flags held-out docs sharing a 5-gram with train, " +
+      "and still reports gram-less held-out docs") {
+    val leaked = "alpha bravo charlie delta echo foxtrot"
+    val docs = docsFrom(
+      0L -> s"intro words then $leaked trailing tail",  // held-out, leaked
+      1L -> s"train copy holds $leaked inside body",    // train source
+      50L -> "totally unique held out document phrasing here", // clean
+      100L -> "tiny doc",                               // held-out, <5 tokens
+      2L -> "unrelated training document with other words entirely")
+    val out = CorpusPipeline.decontaminate(docs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 50L, 100L))
+    val byId = out.map(t => t._1 -> ((t._2, t._3))).toMap
+    // "alpha..foxtrot" spans 6 tokens -> 2 shared 5-grams
+    assert(byId(0L) == ((2L, true)))
+    assert(byId(50L) == ((0L, false)))
+    assert(byId(100L) == ((0L, false)))
+  }
+}
