@@ -179,6 +179,7 @@ object SparkEntry {
       TextDedup.dedupClustersFromBuckets(docs, assignments)
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
+    "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
     // maxHamming=1 -> 2 pigeonhole bands of 16 bits (the production
     // band width); the synthetic corpus is template-heavy, so higher
@@ -611,6 +612,26 @@ object SparkEntry {
         |    AS band_hash
         |FROM m, (SELECT unnest(range($Bands)) AS band) b
         |ORDER BY doc_id, band""".stripMargin
+    },
+    // Greedy arrival-order near-dup: dup iff any band bucket holds an
+    // earlier doc — bucket-min vs own doc_id, no recursion needed.
+    "q_dedup_greedy" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bf AS (SELECT band, band_hash, min(doc_id) AS first_doc
+        |       FROM bands WHERE band_hash IS NOT NULL
+        |       GROUP BY band, band_hash),
+        |v AS (SELECT bands.doc_id, bool_or(first_doc < bands.doc_id) AS dup
+        |      FROM bands JOIN bf USING (band, band_hash)
+        |      GROUP BY bands.doc_id)
+        |SELECT d.doc_id, coalesce(v.dup, false) AS is_duplicate
+        |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        |ORDER BY d.doc_id""".stripMargin
     },
     // Fixpoint min-label propagation == component minimum, which the
     // recursive CTE computes directly (UNION dedups, so the recursion

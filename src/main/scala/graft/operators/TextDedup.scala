@@ -57,6 +57,32 @@ object TextDedup {
     if (ordered) bands.orderBy("doc_id", "band") else bands
   }
 
+  /** F2c — one-pass greedy near-dup filter: a document is a duplicate
+    * iff ANY of its LSH band buckets already contains an earlier
+    * document (doc_id = arrival order). This is the ingest-time dedup
+    * a training pipeline runs when it cannot afford full clustering —
+    * transitive through dropped docs (their bands still claim their
+    * buckets), and only one bucket-min aggregation plus one bucket
+    * join: two shuffles total, no iteration, so it holds at any scale
+    * where [[dedupClustersFromBuckets]]'s rounds would dominate.
+    * Token-less docs have no bands and are always kept. Streaming
+    * twin with identical verdicts at every batch boundary:
+    * [[graft.streaming.Streaming.nearDupBandFlags]]. */
+  def greedyNearDup(docs: DataFrame): DataFrame = {
+    val assign = minHashBands(docs, ordered = false)
+      .filter(col("band_hash").isNotNull)
+    val bucketFirst = assign.groupBy("band", "band_hash")
+      .agg(min("doc_id").as("first_doc"))
+    val verdict = assign.join(bucketFirst, Seq("band", "band_hash"))
+      .groupBy("doc_id")
+      .agg(expr("bool_or(first_doc < doc_id)").as("dup"))
+    docs.select(col("doc_id"))
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup"), lit(false)).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
   /** F2b — LSH candidate pairs: equality self-join on the band bucket,
     * deduplicated across bands. Shuffles by (band, band_hash) — never
     * a cross product. */

@@ -135,6 +135,49 @@ object Streaming {
       }
   }
 
+  case class BandFlag(doc_id: Long, band: Int, dup_band: Boolean)
+
+  /** G7 — streaming near-dup filter at ingest: the live twin of
+    * `TextDedup.greedyNearDup`. Each incoming doc's MinHash LSH bands
+    * (same PortableText arithmetic as batch) claim keyed state per
+    * (band, band_hash) bucket; a band flags `dup_band` when its bucket
+    * was claimed by an earlier doc — across batches via state, within
+    * a batch by doc_id order. State is one boolean per occupied
+    * bucket, bounded by corpus novelty (not rate), and dropped docs
+    * still claim buckets, keeping verdicts transitive exactly like
+    * the batch greedy pass.
+    *
+    * Emits per-BAND flags; the per-doc verdict is `bool_or(dup_band)`
+    * ([[nearDupVerdicts]]) computed batch-locally in the sink — exact
+    * because every band row of a doc is emitted in the doc's own
+    * micro-batch. Token-less docs carry no bands and never appear:
+    * the caller keeps them unconditionally (same as batch). */
+  def nearDupBandFlags(docs: DataFrame): Dataset[BandFlag] = {
+    import docs.sparkSession.implicits._
+    graft.operators.TextDedup.minHashBands(docs, ordered = false)
+      .filter(col("band_hash").isNotNull)
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("band_hash").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bh) => (band, bh) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[Boolean]) =>
+          val claimed = state.getOption.getOrElse(false)
+          state.update(true)
+          rows.toSeq.sortBy(_._1).zipWithIndex.map {
+            case ((id, band, _), i) => BandFlag(id, band, claimed || i > 0)
+          }.iterator
+      }
+  }
+
+  /** Per-doc verdict over one micro-batch of [[nearDupBandFlags]]
+    * output (use inside `foreachBatch`): duplicate iff any band hit a
+    * previously-claimed bucket. */
+  def nearDupVerdicts(bandFlags: DataFrame): DataFrame =
+    bandFlags.groupBy("doc_id")
+      .agg(expr("bool_or(dup_band)").as("is_duplicate"))
+
   /** (count, mean, m2) Welford accumulator. */
   private def flagGroup(k: Double)(
       symbol: Long, rows: Iterator[Tick],

@@ -203,4 +203,38 @@ class StreamingSpec extends SparkSpec {
       assert(maxN == 11L)
     } finally q.stop()
   }
+
+  test("G7 parity: streaming near-dup verdicts == greedyNearDup batch, " +
+      "with bucket state crossing batch boundaries") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (1L, base),
+      (2L, "an entirely different document about winter mountain storms"),
+      (3L, base),                      // batch 2: dups doc 1 via state
+      (4L, base),                      // batch 2: dups within + via state
+      (5L, "some third unrelated text with many novel words inside it"))
+    def docsDF(rs: Seq[(Long, String)]) = rs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    val batchVerdicts = graft.operators.TextDedup.greedyNearDup(docsDF(rows))
+      .as[(Long, Boolean)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val verdicts = scala.collection.mutable.Map.empty[Long, Boolean]
+    val q = Streaming.nearDupBandFlags(
+        in.toDF().toDF("doc_id", "text")
+          .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source"))
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], _: Long) =>
+        Streaming.nearDupVerdicts(batch.toDF())
+          .as[(Long, Boolean)].collect()
+          .foreach { case (id, d) => verdicts(id) = d }
+        ()
+      }.start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      assert(verdicts.toMap == batchVerdicts)
+      assert(verdicts(3L) && verdicts(4L) && !verdicts(1L))
+    } finally q.stop()
+  }
 }

@@ -105,6 +105,21 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= 14, s"pointer jumping degraded: $rounds rounds")
   }
 
+  test("greedyNearDup: dup iff any band bucket holds an earlier doc, " +
+      "transitive through dropped docs") {
+    // doc 2 near-dups doc 1 (shared bands); doc 3 near-dups doc 2's
+    // text — greedy flags it too even though 2 was itself dropped.
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (4L, "an entirely different document about winter mountain storms"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    val out = TextDedup.greedyNearDup(docs)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, false), (2L, true), (3L, true), (4L, false)))
+  }
+
   test("langId votes by marker words with fixed tie-break") {
     val out = TextDedup.langId(
       Seq((1L, "der hund und die katze", "de", "s"),
