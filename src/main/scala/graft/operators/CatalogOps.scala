@@ -102,6 +102,55 @@ object CatalogOps {
     if (present.nonEmpty) overwritePartitions(inScope, table, tsCol)
   }
 
+  /** Small-file COMPACTION: rewrite each listed year partition into
+    * `ceil(partitionBytes / targetFileBytes)` files — the maintenance
+    * op that keeps scan-task counts bounded after many incremental
+    * appends (each [[appendSnapshot]] leaves its own files; Iceberg
+    * calls this `rewrite_data_files`). File counts derive from the
+    * partition's ACTUAL bytes via the table's file listing — never a
+    * fixed count — so the same call yields right-sized files whether
+    * the partition holds 10 MB or 10 TB. Partitions compact as
+    * independent bounded jobs (dynamic overwrite touches only the
+    * year being rewritten; an orchestrator parallelizes years), and
+    * each rewrite materializes before the overwrite, as
+    * [[upsertTable]] does, because Spark refuses to overwrite a path
+    * it is still reading.
+    *
+    * @return year → number of files written, for the maintenance log.
+    */
+  def compactPartitions(spark: SparkSession, table: String, years: Seq[Int],
+                        targetFileBytes: Long = 128L * 1024 * 1024)
+      : Map[Int, Int] = {
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    years.map { y =>
+      val dir = new org.apache.hadoop.fs.Path(loc, s"year=$y")
+      val fs = dir.getFileSystem(conf)
+      val bytes = fs.listStatus(dir)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val compacted = spark.table(table)
+        .filter(col("year") === y)
+        .coalesce(n)
+        .localCheckpoint(true)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        compacted.write.mode(SaveMode.Overwrite).format("parquet")
+          .insertInto(table)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      y -> n
+    }.toMap
+  }
+
   /** MERGE-style upsert as a pure plan: rows of `target` whose key
     * matches an update are replaced (WHEN MATCHED THEN UPDATE), update
     * rows with unseen keys are appended (WHEN NOT MATCHED THEN

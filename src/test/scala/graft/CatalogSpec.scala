@@ -146,4 +146,38 @@ class CatalogSpec extends SparkSpec {
       assert(parts == Set("year=2023", "year=2024"))
     }
   }
+
+  test("compactPartitions collapses a fragmented year to size-derived " +
+      "file counts and leaves other partitions untouched") {
+    withTable("gold_compact") {
+      // 12 appends -> 12+ small files in year=2024; year=2023 keeps its
+      // original layout.
+      CatalogOps.createGoldTable(ticksDf, "gold_compact")
+      (0 until 12).foreach { i =>
+        CatalogOps.appendSnapshot(Seq(
+          (100L + i, "EURUSD", ts(f"2024-06-${i + 1}%02d 08:00:00"), 1.0, 1.01))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask"), "gold_compact")
+      }
+      def files(year: Int): Array[java.io.File] = {
+        val loc = spark.sql("DESCRIBE FORMATTED gold_compact")
+          .filter($"col_name" === "Location").select("data_type")
+          .head().getString(0).stripPrefix("file:")
+        new java.io.File(s"$loc/year=$year").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+      }
+      val before2023 = files(2023).map(_.getName).toSet
+      assert(files(2024).length >= 12)
+      val rows = spark.table("gold_compact").orderBy("tick_id").collect().toSeq
+      // huge target -> bytes/target rounds up to exactly 1 file
+      val written = CatalogOps.compactPartitions(spark, "gold_compact",
+        Seq(2024), targetFileBytes = 1L << 30)
+      assert(written == Map(2024 -> 1))
+      assert(files(2024).length == 1)
+      assert(files(2023).map(_.getName).toSet == before2023)
+      // compaction is a physical rewrite: logical content identical
+      assert(spark.table("gold_compact").orderBy("tick_id").collect().toSeq
+        == rows)
+    }
+  }
 }
