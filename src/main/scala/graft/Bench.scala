@@ -62,7 +62,11 @@ object Bench {
     // the cap, so the driver recorded parsed:null. Keep the stdout line
     // minimal — 3-decimal times, no compile map — and put the full-
     // precision compile/exec breakdown only in bench_metric.json.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma decimal separator would corrupt the JSON line.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val cs = results.map { case (k, c, _) => "\"" + k + "\":" + c }

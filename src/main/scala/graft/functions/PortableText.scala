@@ -50,6 +50,16 @@ object PortableText {
   val simHash: String = s"graft_simhash(th, $SimHashBits)"
   /** whole-document polynomial fingerprint (native [[PolyHash]]). */
   val docFingerprint: String = "graft_polyhash(text)"
+  /** count of tokens appearing in `words` — the stopword/marker-hit
+    * fragment shared by quality scoring, language-ID voting, and the
+    * corpus quality filter, so the counting semantics (and the quoted
+    * in-list construction) cannot drift between them. */
+  def wordHits(words: Seq[String]): String = {
+    require(words.forall(!_.contains("'")),
+      s"word list entries must not contain quotes: $words")
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter($tokens, t -> t IN ($list)))"
+  }
   /** distinct character 3-grams — native [[CharGrams]] expression
     * (registered as `graft_grams`); same set and order as the HOF
     * spelling `array_distinct(transform(sequence(1, length(text)-2),

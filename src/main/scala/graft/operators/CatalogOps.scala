@@ -128,26 +128,38 @@ object CatalogOps {
     years.map { y =>
       val dir = new org.apache.hadoop.fs.Path(loc, s"year=$y")
       val fs = dir.getFileSystem(conf)
-      val bytes = fs.listStatus(dir)
-        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-        .map(_.getLen).sum
-      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-      val compacted = spark.table(table)
-        .filter(col("year") === y)
-        .coalesce(n)
-        .localCheckpoint(true)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        compacted.write.mode(SaveMode.Overwrite).format("parquet")
-          .insertInto(table)
-      finally prev match {
-        case Some(v) =>
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None =>
-          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // A listed year with no partition directory is a no-op (logged
+      // as 0 files), not a mid-loop crash — the op stays idempotent
+      // over a maintenance-schedule year list.
+      if (!fs.exists(dir)) y -> 0
+      else {
+        val bytes = fs.listStatus(dir)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(_.getLen).sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        // repartition, not coalesce: coalesce can only REDUCE the
+        // scan's task count, silently under-splitting a partition
+        // whose scan yields fewer tasks than the size-derived target
+        // (e.g. one giant file with targetFileBytes <
+        // maxPartitionBytes).
+        val compacted = spark.table(table)
+          .filter(col("year") === y)
+          .repartition(n)
+          .localCheckpoint(true)
+        val prev =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          compacted.write.mode(SaveMode.Overwrite).format("parquet")
+            .insertInto(table)
+        finally prev match {
+          case Some(v) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        y -> n
       }
-      y -> n
     }.toMap
   }
 

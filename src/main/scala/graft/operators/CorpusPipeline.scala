@@ -32,12 +32,11 @@ object CorpusPipeline {
                     maxRepRatio: Double = 0.65, minStopRatio: Double = 0.01,
                     stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"))
       : DataFrame = {
-    val list = stopwords.map(w => s"'$w'").mkString(", ")
     docs.select(
       col("doc_id"),
       expr(s"size($tokens)").as("n_tokens"),
       expr(s"size(array_distinct($tokens))").as("n_distinct"),
-      expr(s"size(filter($tokens, t -> t IN ($list)))").as("n_stop"))
+      expr(PortableText.wordHits(stopwords)).as("n_stop"))
       .withColumn("rep_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("stop_ratio",

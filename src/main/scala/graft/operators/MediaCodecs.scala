@@ -213,7 +213,12 @@ object MediaCodecs {
       }
       if (w <= 0 || h <= 0) fail(s"missing or bad dimensions ${w}x$h")
       // All range checks run on Long BEFORE narrowing (same discipline
-      // as Ppm.decode): an adversarial W·H product must not wrap.
+      // as Ppm.decode) — and each DIMENSION is bounded before the
+      // product: parsePositive admits 10-digit values, so w·h itself
+      // could wrap past 2^63 and slip a tiny/negative frame size past
+      // the product check below.
+      if (w > Int.MaxValue || h > Int.MaxValue)
+        fail(s"dimensions overflow: ${w}x$h")
       val mono = cs == "mono"
       if (!mono && !cs.startsWith("420")) fail(s"unsupported colorspace C$cs")
       if (!mono && (w % 2 != 0 || h % 2 != 0))

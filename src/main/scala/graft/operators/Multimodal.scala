@@ -50,6 +50,13 @@ object Multimodal {
     }
   }
 
+  /** Linspace frame-index selection shared by both frame samplers —
+    * k evenly-spaced indices over [0, n), endpoints included, one
+    * index when either count degenerates. */
+  private def linspaceIdxs(n: Int, k: Int): Seq[Int] =
+    (if (n <= 1 || k <= 1) Seq(0)
+     else (0 until k).map(i => (i * (n - 1)) / (k - 1))).distinct
+
   /** Evenly-spaced frame sampling for video rows — the same linspace
     * selection as the tick resampler (Features.resampleWindow), at the
     * frame level. Explodes only the sampled indices (k per row), never
@@ -57,12 +64,8 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], k: Int): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
-      val n = r.n_frames
-      val idxs =
-        if (n <= 1 || k <= 1) Seq(0)
-        else (0 until k).map(i => (i * (n - 1)) / (k - 1))
       val px = FakeCodec.decode(r.payload)
-      idxs.distinct.map { fi =>
+      linspaceIdxs(r.n_frames, k).map { fi =>
         val slice = if (px.isEmpty) px else Array(px(fi % px.length))
         FrameSample(r.media_id, fi, FakeCodec.checksum(slice))
       }
@@ -142,11 +145,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
       val (_, _, frames) = MediaCodecs.Y4m.decode(r.payload)
-      val n = frames.length
-      val idxs =
-        if (n <= 1 || k <= 1) Seq(0)
-        else (0 until k).map(i => (i * (n - 1)) / (k - 1))
-      idxs.distinct.map(fi =>
+      linspaceIdxs(frames.length, k).map(fi =>
         VideoFrame(r.media_id, fi, MediaCodecs.Y4m.meanLuma(frames(fi))))
     }
   }

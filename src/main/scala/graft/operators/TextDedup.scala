@@ -66,11 +66,21 @@ object TextDedup {
     * join: two shuffles total, no iteration, so it holds at any scale
     * where [[dedupClustersFromBuckets]]'s rounds would dominate.
     * Token-less docs have no bands and are always kept. Streaming
-    * twin with identical verdicts at every batch boundary:
-    * [[graft.streaming.Streaming.nearDupBandFlags]]. */
+    * twin: [[graft.streaming.Streaming.nearDupBandFlags]] — verdicts
+    * are identical PROVIDED docs arrive in doc_id order across
+    * micro-batches (doc_id IS the arrival sequence number here; under
+    * out-of-order replay the stream keeps the first arrival where
+    * this batch pass keeps the min doc_id). */
   def greedyNearDup(docs: DataFrame): DataFrame = {
+    // Materialize the sketch once: the assignment frame feeds both the
+    // bucket-min aggregation and the verdict join, and without a
+    // barrier the per-doc tokenize+polyhash+minhash projection — the
+    // dominant cost at scale — would be evaluated twice (the two
+    // exchange subtrees differ, so ReusedExchange cannot collapse
+    // them). Same discipline as [[dedupClustersFromBuckets]].
     val assign = minHashBands(docs, ordered = false)
       .filter(col("band_hash").isNotNull)
+      .localCheckpoint(true)
     val bucketFirst = assign.groupBy("band", "band_hash")
       .agg(min("doc_id").as("first_doc"))
     val verdict = assign.join(bucketFirst, Seq("band", "band_hash"))
@@ -402,8 +412,7 @@ object TextDedup {
 
   def langId(docs: DataFrame): DataFrame = {
     val hitCols = langMarkers.map { case (l, ws) =>
-      val list = ws.map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter($tokens, t -> t IN ($list)))").as(s"hits_$l")
+      expr(wordHits(ws)).as(s"hits_$l")
     }
     // argmax with first-wins tie-break, derived from langMarkers so the
     // language set lives in exactly one place
@@ -424,14 +433,13 @@ object TextDedup {
     * stopword ratio, mean word length — the classic pre-training
     * corpus filters (all narrow, codegen'd). */
   def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
-    val list = stopwords.map(w => s"'$w'").mkString(", ")
     docs.select(
       col("doc_id"),
       length(col("text")).as("len"),
       expr(s"size($tokens)").as("n_tokens"),
       expr("regexp_count(text, '[.,!?;]')").cast("double")
         .divide(length(col("text"))).as("punct_ratio"),
-      expr(s"size(filter($tokens, t -> t IN ($list)))").cast("double")
+      expr(wordHits(stopwords)).cast("double")
         .divide(expr(s"size($tokens)")).as("stop_ratio"),
       expr(s"aggregate(transform($tokens, t -> length(t)), 0, (a, b) -> a + b)")
         .cast("double").divide(expr(s"size($tokens)")).as("mean_word_len"))

@@ -145,7 +145,12 @@ object Streaming {
     * a batch by doc_id order. State is one boolean per occupied
     * bucket, bounded by corpus novelty (not rate), and dropped docs
     * still claim buckets, keeping verdicts transitive exactly like
-    * the batch greedy pass.
+    * the batch greedy pass. Parity contract: batch equivalence holds
+    * when docs arrive in doc_id order across micro-batches (doc_id =
+    * arrival sequence). The state stores only "claimed", not the
+    * claiming id, so an out-of-order replay keeps the FIRST arrival
+    * where the batch pass keeps the MIN doc_id — both are valid
+    * greedy dedups, but they keep different representatives.
     *
     * Emits per-BAND flags; the per-doc verdict is `bool_or(dup_band)`
     * ([[nearDupVerdicts]]) computed batch-locally in the sink — exact

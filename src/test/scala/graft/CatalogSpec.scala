@@ -169,10 +169,12 @@ class CatalogSpec extends SparkSpec {
       val before2023 = files(2023).map(_.getName).toSet
       assert(files(2024).length >= 12)
       val rows = spark.table("gold_compact").orderBy("tick_id").collect().toSeq
-      // huge target -> bytes/target rounds up to exactly 1 file
+      // huge target -> bytes/target rounds up to exactly 1 file; a
+      // listed year with no partition directory is a 0-file no-op,
+      // not a mid-loop crash
       val written = CatalogOps.compactPartitions(spark, "gold_compact",
-        Seq(2024), targetFileBytes = 1L << 30)
-      assert(written == Map(2024 -> 1))
+        Seq(2024, 2031), targetFileBytes = 1L << 30)
+      assert(written == Map(2024 -> 1, 2031 -> 0))
       assert(files(2024).length == 1)
       assert(files(2023).map(_.getName).toSet == before2023)
       // compaction is a physical rewrite: logical content identical

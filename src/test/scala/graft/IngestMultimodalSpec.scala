@@ -117,6 +117,8 @@ class IngestMultimodalSpec extends SparkSpec {
       Y4m.decode("YUV4MPEG2 W3 H2 F25:1\nFRAME\n".getBytes ++ Array.fill[Byte](9)(0)))
     intercept[IllegalArgumentException]( // dims overflow must not wrap
       Y4m.decode("YUV4MPEG2 W1073741824 H4 F25:1\nFRAME\n".getBytes))
+    intercept[IllegalArgumentException]( // nor wrap past 2^63 in w*h itself
+      Y4m.decode("YUV4MPEG2 W4294967296 H4294967296 F25:1\nFRAME\n".getBytes))
   }
 
   test("videoFeatures and sampleVideoFrames decode real Y4M end-to-end") {
