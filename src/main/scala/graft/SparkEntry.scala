@@ -203,6 +203,8 @@ object SparkEntry {
       TextDedup.repetitionProfile(Tables.documents(s, d))),
     "q_token_freq" -> ((s, d) =>
       TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
+    "q_term_saliency" -> ((s, d) =>
+      TextDedup.termSaliency(Tables.documents(s, d), 3)),
     "q_json_extract" -> ((s, d) =>
       Lakehouse.jsonExtractStats(Tables.events(s, d), "props", "$.k", "event_type")),
     "q_group_percentile" -> ((s, d) =>
@@ -849,6 +851,25 @@ object SparkEntry {
       s"""SELECT token, count(*) AS freq
         |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+    },
+    // tf/df is one IEEE division of exact counts: values AND ordering
+    // are bit-identical across engines, so score stays unrounded.
+    "q_term_saliency" -> {
+      import graft.functions.PortableText._
+      s"""WITH tfreq AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS token
+        |        FROM documents) x
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tfreq GROUP BY token),
+        |s AS (SELECT tfreq.doc_id, tfreq.token, tfreq.tf, dfreq.df,
+        |    CAST(tfreq.tf AS DOUBLE) / dfreq.df AS score,
+        |    row_number() OVER (PARTITION BY tfreq.doc_id
+        |      ORDER BY CAST(tfreq.tf AS DOUBLE) / dfreq.df DESC, tfreq.token)
+        |      AS rnk
+        |  FROM tfreq JOIN dfreq USING (token))
+        |SELECT doc_id, token, tf, df, score, rnk
+        |FROM s WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
     },
     "q_quality_filter" -> {
       import graft.functions.PortableText._

@@ -479,6 +479,30 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F10c — per-document term saliency: top-k tokens ranked by tf/df
+    * (term frequency over corpus document frequency) — the keyword
+    * extraction a curation pipeline runs to label corpus slices. The
+    * score is a single IEEE division of two exact counts, so ranking
+    * and values are bit-identical across engines without rounding
+    * (unlike log-based idf, where libm differences could flip a tie).
+    * Shape: explode → partial-agg (doc,token) tf → token df → join
+    * keyed on token → per-doc window top-k. The df frame is one row
+    * per distinct token; hot template tokens collapse in the partial
+    * aggregation, never travelling once per occurrence. */
+  def termSaliency(docs: DataFrame, k: Int): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
   /** F11 — whole-document polynomial fingerprint (rolling hash). */
   def fingerprint(docs: DataFrame): DataFrame = {
     PolyHash.register(docs.sparkSession)

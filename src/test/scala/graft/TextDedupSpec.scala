@@ -120,6 +120,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, false), (2L, true), (3L, true), (4L, false)))
   }
 
+  test("termSaliency ranks tokens by tf/df with token tie-break") {
+    val docs = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "banana cherry shared"),
+      (3L, "shared only words"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    val out = TextDedup.termSaliency(docs, 2)
+      .select("doc_id", "token", "rnk")
+      .as[(Long, String, Int)].collect().toSeq
+    // doc 1: apple tf=2 df=1 -> 2.0 beats banana 1/2; doc 2: cherry
+    // 1/1 beats banana 1/2; doc 3: only and words tie at 1/1 ->
+    // token order breaks it
+    assert(out == Seq(
+      (1L, "apple", 1), (1L, "banana", 2),
+      (2L, "cherry", 1), (2L, "banana", 2),
+      (3L, "only", 1), (3L, "words", 2)))
+  }
+
   test("langId votes by marker words with fixed tie-break") {
     val out = TextDedup.langId(
       Seq((1L, "der hund und die katze", "de", "s"),
