@@ -217,6 +217,8 @@ object SparkEntry {
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
+    "q_source_cap" -> ((s, d) =>
+      CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
     // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
     // one long-format feature frame. Deterministic synthetic payloads
     // (no binary fixtures ship in testdata); codec features are not
@@ -898,6 +900,13 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_cap" ->
+      """SELECT doc_id, lang, source, rnk FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rnk
+        |  FROM documents) x
+        |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> {
       import graft.functions.PortableText._
       s"""WITH g AS (

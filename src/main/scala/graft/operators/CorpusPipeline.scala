@@ -73,6 +73,25 @@ object CorpusPipeline {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** F18 — per-source cap: keep at most `cap` documents per source,
+    * chosen by deterministic multiplicative-hash order (a reproducible
+    * "random" subsample, not head-of-table bias) — the source
+    * REBALANCING stage that stops one crawl domain from dominating a
+    * training mix. Shuffles once by source; the per-group sort is
+    * rank-truncated, and the hash order means adding documents to a
+    * source only ever swaps members in and out statistically, never
+    * systematically (contrast a timestamp order, which would keep only
+    * the oldest crawl). */
+  def capPerSource(docs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(pmod(col("doc_id") * lit(2654435761L),
+        lit(PortableText.P)).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .orderBy("doc_id")
+  }
+
   /** Word n-grams of a doc's token list as space-joined strings;
     * empty when the doc has fewer than n tokens (`sequence` would
     * otherwise DESCEND for stop < start). */

@@ -50,6 +50,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(dist.values.sum == 1000)
   }
 
+  test("capPerSource keeps at most cap docs per source in hash order, " +
+      "stable under corpus growth of other sources") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc number $i", if (i < 30) "big" else "small"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = CorpusPipeline.capPerSource(docs, 5)
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val bySource = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySource == Map("big" -> 5, "small" -> 5))
+    // growing an unrelated source never changes another source's picks
+    val grown = docs.unionByName(
+      (100L until 140L).map(i => (i, s"new $i", "en", "huge"))
+        .toDF("doc_id", "text", "lang", "source"))
+    val bigBefore = out.filter(_._2 == "big").map(_._1).toSet
+    val bigAfter = CorpusPipeline.capPerSource(grown, 5)
+      .select("doc_id", "source").as[(Long, String)].collect()
+      .filter(_._2 == "big").map(_._1).toSet
+    assert(bigAfter == bigBefore)
+  }
+
   test("decontaminate flags held-out docs sharing a 5-gram with train, " +
       "and still reports gram-less held-out docs") {
     val leaked = "alpha bravo charlie delta echo foxtrot"
