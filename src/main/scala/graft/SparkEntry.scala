@@ -401,6 +401,12 @@ object SparkEntry {
         |FROM (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
         |  FROM events GROUP BY event_id // 2000) s
         |ORDER BY snapshot_id""".stripMargin,
+    // The rollback row comes from a FROM-clause join against the
+    // target snapshot's history row, NOT a scalar subquery: when the
+    // target snapshot does not exist (sf0.001 has one snapshot), the
+    // join is empty and no rollback entry appears — matching the
+    // Spark side's empty-crossJoin semantics, where a scalar subquery
+    // would instead fabricate a NULL-total row.
     "q_rollback" ->
       """WITH s AS (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
         |  FROM events GROUP BY event_id // 2000),
@@ -410,10 +416,10 @@ object SparkEntry {
         |  'append' AS operation FROM s)
         |SELECT snapshot_id, added, total, operation FROM h
         |UNION ALL
-        |SELECT (SELECT max(snapshot_id) + 1 FROM h) AS snapshot_id,
-        |  CAST(0 AS BIGINT) AS added,
-        |  (SELECT total FROM h WHERE snapshot_id = 2) AS total,
-        |  'rollback' AS operation
+        |SELECT mx.m + 1 AS snapshot_id, CAST(0 AS BIGINT) AS added,
+        |  t.total, 'rollback' AS operation
+        |FROM (SELECT total FROM h WHERE snapshot_id = 2) t,
+        |     (SELECT max(snapshot_id) AS m FROM h) mx
         |ORDER BY snapshot_id""".stripMargin,
     "q_session_filter" ->
       s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,
