@@ -135,6 +135,25 @@ object Streaming {
       }
   }
 
+  /** G8 — streaming OHLC candlesticks: the live twin of
+    * `TickOps.ohlcBars`, per (symbol, tumbling bucket). Open/close
+    * use the same (ts, tick_id) tie-break as batch so backfill and
+    * live agree on colliding timestamps; high/low are plain extrema.
+    * Watermark bounds state to open buckets. */
+  def ohlcBars(ticks: DataFrame, bucket: String,
+               watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), window(col("ts"), bucket).as("w"))
+      .agg(
+        min_by(col("bid"), struct(col("ts"), col("tick_id"))).as("open"),
+        max("bid").as("high"),
+        min("bid").as("low"),
+        max_by(col("bid"), struct(col("ts"), col("tick_id"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("symbol"), col("w.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
   case class BandFlag(doc_id: Long, band: Int, dup_band: Boolean)
 
   /** G7 — streaming near-dup filter at ingest: the live twin of

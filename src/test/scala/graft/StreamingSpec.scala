@@ -112,6 +112,21 @@ class StreamingSpec extends SparkSpec {
       Streaming.windowCounts(_, "10 minutes")) == batch)
   }
 
+  test("G8 parity: ohlcBars batch run == streaming run == TickOps.ohlcBars") {
+    val batch = Streaming.ohlcBars(parityTicks.toDF(), "1 minute")
+      .collect().toSet
+    assert(streamed(parityTicks, "p_ohlc")(
+      Streaming.ohlcBars(_, "1 minute")) == batch)
+    // Batch twin: tick_ids are assigned in ts order here (the ingest
+    // invariant), so the (ts, tick_id) and tick_id tie-breaks agree.
+    val twin = graft.operators.TickOps.ohlcBars(
+      parityTicks.toDF().withColumn("ask", $"bid"), "minute")
+      .select($"symbol", $"bar_ts".as("bucket_start"),
+        $"open", $"high", $"low", $"close", $"n_ticks")
+      .collect().toSet
+    assert(batch == twin)
+  }
+
   test("G5 parity: sessionWindows batch run == streaming run") {
     val batch = Streaming.sessionWindows(parityTicks.toDF(), "5 minutes")
       .collect().toSet
