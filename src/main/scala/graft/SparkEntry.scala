@@ -313,10 +313,12 @@ object SparkEntry {
         |FROM $ticksSql t GROUP BY symbol ORDER BY symbol""".stripMargin,
     "q_minmax_scale" ->
       s"""SELECT tick_id, symbol,
-        |  (bid - min(bid) OVER (PARTITION BY symbol))
-        |    / (max(bid) OVER (PARTITION BY symbol)
-        |       - min(bid) OVER (PARTITION BY symbol)) AS bid_scaled
-        |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
+        |  CASE WHEN mx <> mn THEN (bid - mn) / (mx - mn) END AS bid_scaled
+        |FROM (SELECT tick_id, symbol, bid,
+        |    min(bid) OVER (PARTITION BY symbol) AS mn,
+        |    max(bid) OVER (PARTITION BY symbol) AS mx
+        |  FROM $ticksSql t) x
+        |ORDER BY symbol, tick_id""".stripMargin,
     "q_semi_join" ->
       """SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
@@ -500,8 +502,9 @@ object SparkEntry {
     "q_anomaly_zscore" ->
       s"""SELECT tick_id, symbol, round(z, 4) AS zscore, abs(z) > 3.0 AS is_anomaly
         |FROM (SELECT tick_id, symbol,
-        |    (bid - avg(bid) OVER (PARTITION BY symbol))
-        |      / stddev_samp(bid) OVER (PARTITION BY symbol) AS z
+        |    CASE WHEN stddev_samp(bid) OVER (PARTITION BY symbol) <> 0 THEN
+        |      (bid - avg(bid) OVER (PARTITION BY symbol))
+        |        / stddev_samp(bid) OVER (PARTITION BY symbol) END AS z
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
     "q_anomaly_threshold" ->
@@ -539,15 +542,19 @@ object SparkEntry {
     "q_standard_scale" ->
       """WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-        |SELECT event_id, round((value - mu) / sigma, 4) AS scaled
+        |SELECT event_id,
+        |  CASE WHEN sigma <> 0 THEN round((value - mu) / sigma, 4) END AS scaled
         |FROM events, s ORDER BY event_id""".stripMargin,
     "q_standard_scale_multi" ->
       s"""WITH t AS (SELECT * FROM $ticksSql tk),
         |s AS (SELECT avg(bid) AS mu_bid, stddev_samp(bid) AS sigma_bid,
         |    avg(ask) AS mu_ask, stddev_samp(ask) AS sigma_ask
         |  FROM t WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
-        |SELECT tick_id, round((bid - mu_bid) / sigma_bid, 4) AS bid_scaled,
-        |  round((ask - mu_ask) / sigma_ask, 4) AS ask_scaled
+        |SELECT tick_id,
+        |  CASE WHEN sigma_bid <> 0
+        |    THEN round((bid - mu_bid) / sigma_bid, 4) END AS bid_scaled,
+        |  CASE WHEN sigma_ask <> 0
+        |    THEN round((ask - mu_ask) / sigma_ask, 4) END AS ask_scaled
         |FROM t, s ORDER BY tick_id""".stripMargin,
     "q_walk_forward" ->
       """SELECT fold, date, role FROM (
@@ -560,7 +567,8 @@ object SparkEntry {
         |    (SELECT unnest(range(4)) AS fold) f) x
         |WHERE role IS NOT NULL ORDER BY fold, date""".stripMargin,
     "q_drawdown" ->
-      s"""SELECT tick_id, symbol, cummax, (cummax - bid) / cummax AS drawdown
+      s"""SELECT tick_id, symbol, cummax,
+        |  CASE WHEN cummax <> 0 THEN (cummax - bid) / cummax END AS drawdown
         |FROM (SELECT tick_id, symbol, bid,
         |    max(bid) OVER (PARTITION BY symbol ORDER BY tick_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
@@ -823,14 +831,17 @@ object SparkEntry {
     "q_text_quality" -> {
       import graft.functions.PortableText._
       s"""SELECT doc_id, length(text) AS len, length(tk) AS n_tokens,
-        |  CAST(length(regexp_extract_all(text, '[.,!?;]')) AS DOUBLE)
-        |    / length(text) AS punct_ratio,
-        |  CAST(length(list_filter(tk, t ->
-        |    list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
-        |    / length(tk) AS stop_ratio,
-        |  CAST(list_reduce(list_prepend(0, list_transform(tk,
-        |    t -> CAST(length(t) AS INT))), (a, b) -> a + b) AS DOUBLE)
-        |    / length(tk) AS mean_word_len
+        |  CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_extract_all(text, '[.,!?;]')) AS DOUBLE)
+        |      / length(text) END AS punct_ratio,
+        |  CASE WHEN length(tk) > 0 THEN
+        |    CAST(length(list_filter(tk, t ->
+        |      list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |      / length(tk) END AS stop_ratio,
+        |  CASE WHEN length(tk) > 0 THEN
+        |    CAST(list_reduce(list_prepend(0, list_transform(tk,
+        |      t -> CAST(length(t) AS INT))), (a, b) -> a + b) AS DOUBLE)
+        |      / length(tk) END AS mean_word_len
         |FROM (SELECT doc_id, text, $duckTokens AS tk FROM documents) x
         |ORDER BY doc_id""".stripMargin
     },
@@ -850,7 +861,9 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""SELECT doc_id, length(tk) AS n_tokens,
         |  length(list_distinct(tk)) AS n_distinct,
-        |  1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk) AS rep_ratio
+        |  CASE WHEN length(tk) > 0 THEN
+        |    1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)
+        |  END AS rep_ratio
         |FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x
         |ORDER BY doc_id""".stripMargin
     },
@@ -883,11 +896,13 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""WITH q AS (
         |  SELECT doc_id, length(tk) AS n_tokens,
-        |    1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)
-        |      AS rep_ratio,
-        |    CAST(length(list_filter(tk, t ->
-        |      list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
-        |      / length(tk) AS stop_ratio
+        |    CASE WHEN length(tk) > 0 THEN
+        |      1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)
+        |    END AS rep_ratio,
+        |    CASE WHEN length(tk) > 0 THEN
+        |      CAST(length(list_filter(tk, t ->
+        |        list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |        / length(tk) END AS stop_ratio
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x)
         |SELECT doc_id, n_tokens, rep_ratio, stop_ratio,
         |  (CASE WHEN n_tokens < 20 THEN 'short'

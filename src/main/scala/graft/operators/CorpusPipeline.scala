@@ -37,10 +37,16 @@ object CorpusPipeline {
       expr(s"size($tokens)").as("n_tokens"),
       expr(s"size(array_distinct($tokens))").as("n_distinct"),
       expr(PortableText.wordHits(stopwords)).as("n_stop"))
+      // Guard the zero-token case explicitly: Spark 4 runs ANSI mode
+      // by default, where x/0 THROWS instead of yielding NULL — an
+      // empty document must score NULL ratios (and drop as 'short'),
+      // not kill the job.
       .withColumn("rep_ratio",
-        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")))
       .withColumn("stop_ratio",
-        col("n_stop").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens")))
       .withColumn("drop_reason",
         when(col("n_tokens") < minTokens, "short")
           .when(col("rep_ratio") > maxRepRatio, "repetitive")

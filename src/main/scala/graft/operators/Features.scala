@@ -54,7 +54,10 @@ object Features {
     * Catalyst computes them once per symbol partition. */
   def zScoreAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
     val w = Window.partitionBy("symbol")
-    val z = (col("bid") - avg("bid").over(w)) / stddev_samp(col("bid")).over(w)
+    val sigma = stddev_samp(col("bid")).over(w)
+    // σ=0 guard (constant symbol): ANSI x/0 throws; z and the flag
+    // stay NULL for a series with no variance
+    val z = when(sigma =!= 0, (col("bid") - avg("bid").over(w)) / sigma)
     ticks.select(
       col("tick_id"), col("symbol"),
       round(z, 4).as("zscore"),
@@ -196,8 +199,12 @@ object Features {
     val stats = df.filter(trainFilter)
       .agg(avg(v).as("mu"), stddev_samp(v).as("sigma"))
     df.crossJoin(broadcast(stats))
+      // σ=0 guard (constant train slice): ANSI-mode x/0 THROWS in
+      // Spark 4 — a degenerate series must scale to NULL, not kill
+      // the job. σ=NULL (single-row train) already yields NULL.
       .select(col(idCol),
-        round((v - col("mu")) / col("sigma"), 4).as("scaled"))
+        when(col("sigma") =!= 0,
+          round((v - col("mu")) / col("sigma"), 4)).as("scaled"))
       .orderBy(idCol)
   }
 
@@ -213,7 +220,9 @@ object Features {
       avg(col(c)).as(s"mu_$c"), stddev_samp(col(c)).as(s"sigma_$c")))
     val stats = df.filter(trainFilter).agg(aggs.head, aggs.tail: _*)
     val scaled = valueCols.map(c =>
-      round((col(c) - col(s"mu_$c")) / col(s"sigma_$c"), 4).as(s"${c}_scaled"))
+      when(col(s"sigma_$c") =!= 0,
+        round((col(c) - col(s"mu_$c")) / col(s"sigma_$c"), 4))
+        .as(s"${c}_scaled"))
     df.crossJoin(broadcast(stats))
       .select(col(idCol) +: scaled: _*)
       .orderBy(idCol)
@@ -228,8 +237,10 @@ object Features {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ticks
       .withColumn("cummax", max("bid").over(w))
+      // cummax=0 guard (zero-priced series): ANSI x/0 throws
       .withColumn("drawdown",
-        (col("cummax") - col("bid")) / col("cummax"))
+        when(col("cummax") =!= 0,
+          (col("cummax") - col("bid")) / col("cummax")))
       .select("tick_id", "symbol", "cummax", "drawdown")
       .orderBy("symbol", "tick_id")
   }
@@ -282,7 +293,8 @@ object Features {
     val mn = min("bid").over(w); val mx = max("bid").over(w)
     ticks.select(
       col("tick_id"), col("symbol"),
-      ((col("bid") - mn) / (mx - mn)).as("bid_scaled"))
+      // constant-symbol guard (max=min): ANSI x/0 throws
+      when(mx =!= mn, (col("bid") - mn) / (mx - mn)).as("bid_scaled"))
       .orderBy("symbol", "tick_id")
   }
 

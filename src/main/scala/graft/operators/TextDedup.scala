@@ -433,16 +433,23 @@ object TextDedup {
     * stopword ratio, mean word length — the classic pre-training
     * corpus filters (all narrow, codegen'd). */
   def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    // Zero-length guards: Spark 4 defaults to ANSI mode, where x/0
+    // THROWS — an empty or whitespace-only document must yield NULL
+    // ratios, not kill the scan.
+    val nTok = expr(s"size($tokens)")
     docs.select(
       col("doc_id"),
       length(col("text")).as("len"),
-      expr(s"size($tokens)").as("n_tokens"),
-      expr("regexp_count(text, '[.,!?;]')").cast("double")
-        .divide(length(col("text"))).as("punct_ratio"),
-      expr(wordHits(stopwords)).cast("double")
-        .divide(expr(s"size($tokens)")).as("stop_ratio"),
-      expr(s"aggregate(transform($tokens, t -> length(t)), 0, (a, b) -> a + b)")
-        .cast("double").divide(expr(s"size($tokens)")).as("mean_word_len"))
+      nTok.as("n_tokens"),
+      when(length(col("text")) > 0,
+        expr("regexp_count(text, '[.,!?;]')").cast("double")
+          .divide(length(col("text")))).as("punct_ratio"),
+      when(nTok > 0,
+        expr(wordHits(stopwords)).cast("double").divide(nTok))
+        .as("stop_ratio"),
+      when(nTok > 0,
+        expr(s"aggregate(transform($tokens, t -> length(t)), 0, (a, b) -> a + b)")
+          .cast("double").divide(nTok)).as("mean_word_len"))
       .orderBy("doc_id")
   }
 
@@ -463,8 +470,10 @@ object TextDedup {
       col("doc_id"),
       expr(s"size($tokens)").as("n_tokens"),
       expr(s"size(array_distinct($tokens))").as("n_distinct"))
+      // ANSI-mode guard: x/0 throws in Spark 4; empty docs score NULL
       .withColumn("rep_ratio",
-        lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")))
       .orderBy("doc_id")
 
   /** F10b — corpus token frequency: global top-k tokens (Zipf

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.CorpusPipeline
+import org.apache.spark.sql.functions.col
 
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -69,6 +70,35 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id", "source").as[(Long, String)].collect()
       .filter(_._2 == "big").map(_._1).toSet
     assert(bigAfter == bigBefore)
+  }
+
+  test("degenerate docs: empty/whitespace text is dropped as short, " +
+      "never duplicated, and absent from saliency") {
+    val docs = docsFrom(
+      0L -> "",                      // empty: zero tokens
+      50L -> "   ",                  // whitespace only: zero tokens
+      1L -> ("the quick brown fox jumps over a lazy dog and then runs " +
+        "through green fields of tall grass to find cool water"))
+    val qf = CorpusPipeline.qualityFilter(docs)
+      .select("doc_id", "keep", "drop_reason")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map { case (id, k, r) => id -> ((k, r)) }.toMap
+    assert(qf(0L) == ((false, Some("short"))))
+    assert(qf(50L) == ((false, Some("short"))))
+    assert(qf(1L)._1)
+    // token-less docs carry no minhash bands: always kept, never
+    // co-clustered with each other (the ADVICE null-band trap)
+    val greedy = operators.TextDedup.greedyNearDup(docs)
+      .as[(Long, Boolean)].collect().toMap
+    assert(greedy == Map(0L -> false, 50L -> false, 1L -> false))
+    // zero grams -> heldout docs still reported clean (0 and 50 are
+    // the holdout ids under mod 50)
+    val deco = CorpusPipeline.decontaminate(docs)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(deco == Seq((0L, 0L, false), (50L, 0L, false)))
+    // no tokens -> no saliency rows, not a crash
+    assert(operators.TextDedup.termSaliency(docs, 3)
+      .filter(col("doc_id").isin(0L, 50L)).count() == 0L)
   }
 
   test("decontaminate flags held-out docs sharing a 5-gram with train, " +

@@ -93,6 +93,37 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(out(1L) - (10.0 - 15.0) / math.sqrt(50.0)) < 1e-3)
   }
 
+  test("constant/degenerate series scale to NULL, never an ANSI " +
+      "divide-by-zero crash") {
+    // symbol 1: constant bid (max=min, sigma=0); symbol 2: varies
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:00", 5.0, 5.1),
+      (2L, 1L, "2024-01-01 00:00:01", 5.0, 5.1),
+      (3L, 2L, "2024-01-01 00:00:00", 1.0, 1.1),
+      (4L, 2L, "2024-01-01 00:00:01", 3.0, 3.1))
+    val mm = Features.minMaxScale(df)
+      .select("tick_id", "bid_scaled")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(mm(1L).isEmpty && mm(2L).isEmpty)
+    assert(mm(3L).contains(0.0) && mm(4L).contains(1.0))
+    val zs = Features.zScoreAnomaly(df, 3.0)
+      .select("tick_id", "zscore")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(zs(1L).isEmpty && zs(2L).isEmpty && zs(3L).isDefined)
+    // constant train slice -> sigma 0 -> every scaled value NULL
+    val ss = Features.standardScale(
+      df.filter($"symbol" === 1L), "bid", "tick_id", lit(true))
+      .select("scaled").as[Option[Double]].collect()
+    assert(ss.forall(_.isEmpty))
+    // zero-priced series: drawdown NULL at cummax=0
+    val dd = Features.drawdown(ticks(
+      (1L, 3L, "2024-01-01 00:00:00", 0.0, 0.1),
+      (2L, 3L, "2024-01-01 00:00:01", 2.0, 2.1)))
+      .select("tick_id", "drawdown")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(dd(1L).isEmpty && dd(2L).contains(0.0))
+  }
+
   test("walkForward emits rolling train/test folds") {
     val rows = (1 to 12).map(i =>
       (i.toLong, 1L, t(f"2024-01-$i%02d 00:00:01"), 1.0, 1.1))
