@@ -497,8 +497,11 @@ object SparkEntry {
         |ORDER BY symbol, tick_id""".stripMargin,
     "q_log_returns" ->
       s"""SELECT tick_id, symbol,
-        |  ln(bid / lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id)) AS log_ret
-        |FROM $ticksSql t ORDER BY symbol, tick_id""".stripMargin,
+        |  CASE WHEN prev <> 0 THEN ln(bid / prev) END AS log_ret
+        |FROM (SELECT tick_id, symbol, bid,
+        |    lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id) AS prev
+        |  FROM $ticksSql t) x
+        |ORDER BY symbol, tick_id""".stripMargin,
     "q_anomaly_zscore" ->
       s"""SELECT tick_id, symbol, round(z, 4) AS zscore, abs(z) > 3.0 AS is_anomaly
         |FROM (SELECT tick_id, symbol,
@@ -739,7 +742,7 @@ object SparkEntry {
         |p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(64), i -> a.v[CAST(i+1 AS INT)] * b.v[CAST(i+1 AS INT)])),
-        |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cs
+        |      (x, y) -> x + y) / nullif(a.nrm * b.nrm, 0) AS cs
         |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.label = b.label
         |    AND a.vec_id < b.vec_id)
         |SELECT label, vec_a, vec_b, round(cs, 4) AS cos_sim
@@ -771,7 +774,7 @@ object SparkEntry {
         |p AS (SELECT q.vec_id AS query_id, q.cell, nb.vec_id AS neighbor_id,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * nb.v[CAST(i+1 AS INT)])),
-        |      (a, b) -> a + b) / (q.nrm * nb.nrm) AS cs
+        |      (a, b) -> a + b) / nullif(q.nrm * nb.nrm, 0) AS cs
         |  FROM n q JOIN n nb ON nb.cell = q.cell AND nb.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10),
         |r AS (SELECT query_id, cell, neighbor_id, cs,
@@ -790,7 +793,7 @@ object SparkEntry {
         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
-        |      (a, b) -> a + b) / (q.nrm * c.nrm) AS cs
+        |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
         |r AS (SELECT query_id, neighbor_id, cs,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)

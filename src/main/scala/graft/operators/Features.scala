@@ -38,12 +38,15 @@ object Features {
       .orderBy("symbol", "tick_id")
   }
 
-  /** D3 — log returns per symbol (lag window). */
+  /** D3 — log returns per symbol (lag window). A zero previous price
+    * yields NULL (ANSI x/0 would throw); the first row's NULL lag
+    * already propagates NULL. */
   def logReturns(ticks: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val prev = lag("bid", 1).over(w)
     ticks.select(
       col("tick_id"), col("symbol"),
-      log(col("bid") / lag("bid", 1).over(w)).as("log_ret"))
+      when(prev =!= 0, log(col("bid") / prev)).as("log_ret"))
       .orderBy("symbol", "tick_id")
   }
 

@@ -55,7 +55,10 @@ object Vectors {
       .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim_raw",
-        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+        // zero-norm guard: a null/padding embedding must rank last
+        // (NULL), not throw under ANSI x/0
+        when(col("na") * col("nb") =!= 0,
+          dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -138,7 +141,10 @@ object Vectors {
       .join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim_raw",
-        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+        // zero-norm guard: a null/padding embedding must rank last
+        // (NULL), not throw under ANSI x/0
+        when(col("na") * col("nb") =!= 0,
+          dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
@@ -179,7 +185,10 @@ object Vectors {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b") && col("label_a") === col("label_b"))
       .withColumn("cos_sim_raw",
-        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+        // zero-norm guard: a null/padding embedding must rank last
+        // (NULL), not throw under ANSI x/0
+        when(col("na") * col("nb") =!= 0,
+          dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))))
       .filter(col("cos_sim_raw") >= minCos)
       .select(col("label_a").as("label"), col("vec_a"), col("vec_b"),
         round(col("cos_sim_raw"), 4).as("cos_sim"))
