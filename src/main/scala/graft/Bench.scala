@@ -48,7 +48,13 @@ object Bench {
           val df = fn(spark, sfDir)
           df.queryExecution.executedPlan // force analysis + optimization
           val t1 = System.nanoTime()
-          df.count()
+          // noop sink, NOT count(): under count() Catalyst prunes
+          // unreferenced projections and windows, so projection-only
+          // queries (fingerprints, scalers, tz shifts, ...) would be
+          // timed as a bare scan with the advertised work optimized
+          // away. The noop write consumes every output column —
+          // the same full evaluation Verify's parquet dump pays.
+          df.write.format("noop").mode("overwrite").save()
           ((t1 - t0) / 1e9, (System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -3,7 +3,7 @@ package graft.functions
 import scala.collection.mutable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the HOF interpretation it replaces.
   */
 case class CharGrams(child: Expression, n: Int) extends UnaryExpression
-    with CodegenFallback {
+    with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_grams"
+  override def inputTypes = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -21,9 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * coefficient < 2k+3, so (2j+3)·x + 5j+7 < 2e10.
   */
 case class MinHashes(child: Expression, k: Int) extends UnaryExpression
-    with CodegenFallback {
+    with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhashes"
+  // declared signature: analysis fails loudly (or casts) on e.g.
+  // array<int> instead of eval misreading packed bytes via getLong
+  override def inputTypes = Seq(ArrayType(LongType))
   // nullSafeEval returns null for an EMPTY (non-null) token array, so
   // the output is nullable even when the child isn't — without this
   // override a non-nullable child would let codegen assume isNull=false
@@ -47,7 +50,17 @@ case class MinHashes(child: Expression, k: Int) extends UnaryExpression
       var best = Long.MaxValue
       var i = 0
       while (i < n) {
-        val h = (a * th.getLong(i) + b) % PortableText.P
+        // Reduce the input hash mod p FIRST: the overflow-safety bound
+        // (a·x + b < 2^63) only holds for x < p. The function is
+        // SQL-registered session-wide, so a caller may feed full-range
+        // 64-bit hashes (e.g. xxhash64) — without this the multiply
+        // wraps and the "minhash" goes silently negative. For the
+        // in-house polyhash inputs (already < p) this is a no-op.
+        val x = {
+          val m = th.getLong(i) % PortableText.P
+          if (m < 0) m + PortableText.P else m
+        }
+        val h = (a * x + b) % PortableText.P
         if (h < best) best = h
         i += 1
       }

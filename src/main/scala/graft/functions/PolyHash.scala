@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the portable polynomial string hash
@@ -22,9 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * dominant cost; this is preference path (b) from the build contract:
   * a custom `Expression` with `doGenCode`, not a UDF.
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
+  // plan-time signature check: a non-string child fails analysis with
+  // the function name instead of a runtime ClassCastException
+  override def inputTypes = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)

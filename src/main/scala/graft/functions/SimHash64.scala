@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native simhash over a token-hash array: bit i of the result is set
   * when more token hashes have bit i set than clear — identical to the
@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * accumulation order cannot drift across engines.
   */
 case class SimHash64(child: Expression, bits: Int) extends UnaryExpression
-    with CodegenFallback {
+    with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override protected def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData]

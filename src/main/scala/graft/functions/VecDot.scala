@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product of two float-array columns, accumulated left to
   * right in double — bit-identical to both the unrolled
@@ -19,9 +19,15 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the loop body is already JVM code).
   */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_vecdot"
+  // The eval loop reads 4-byte floats positionally; on array<double>
+  // input the default (unchecked) binding would read interleaved
+  // halves of doubles — plausible-looking garbage. Declare the
+  // signature so analysis fails loudly (or inserts a cast) instead.
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

@@ -141,9 +141,13 @@ object Features {
     * window). Same group-level index-join shape as [[resampleWindow]].
     */
   def resampleSessionWindow(ticks: DataFrame, n: Int): DataFrame = {
+    // Session-window bounds live in ONE place (TickOps) — a config
+    // change must not desynchronize resampling from the tick filters.
     val h = hour(col("ts")); val m = minute(col("ts"))
-    val wname = when((h === 7) && (m >= 50), "morning")
-      .when((h === 13) && (m >= 50), "afternoon")
+    val wname = when((h === TickOps.MorningH) && (m >= TickOps.FromMin),
+        "morning")
+      .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+        "afternoon")
     val proj = ticks
       .withColumn("win", wname)
       .filter(col("win").isNotNull)

@@ -209,11 +209,17 @@ object TextDedup {
     // the only shape that survives a corpus where the pair space is
     // quadratic; the per-pair array-union version it replaces was 5×
     // slower already at sf0.1.
+    // Materialization barrier, as in simHashPairs/greedyNearDup:
+    // g feeds the counts frame (joined twice, as |A| and |B|) AND the
+    // inverted index — without the checkpoint each consumer re-runs
+    // the scan plus the per-doc gram extraction, paying the dominant
+    // sketch cost up to 4×.
     val g = docs
       .filter(col("doc_id") % 5 === 0)
       .withColumn("grams", expr(grams3))
       .select(col("doc_id"), col("lang"), col("source"), col("grams"),
         size(col("grams")).as("n"))
+      .localCheckpoint(true)
     val counts = g.select("doc_id", "n")
     // join key = 64-bit hash of (bucket, gram): the shuffle carries one
     // bigint instead of three strings (engine-local detail — the gram

@@ -136,10 +136,15 @@ object TickOps {
     // is order-independent (a double sum differs across engines in the
     // last ulp and flips round-4 boundaries; this data hits them)
     val cents = round(col("value") * 100.0, 0).cast("long")
-    // round-to-4-decimals in INTEGER space: vwap = S/(100·K); its
-    // e4 value is (S·200 + K) div (2K) (half-up). Engines disagree on
-    // rounding binary doubles that sit exactly on .xxxx5 — integer
-    // arithmetic cannot.
+    // round-to-4-decimals in INTEGER space: vwap = S/(100·K); its e4
+    // value is (S·200 + K) div (2K) — half-up for non-negative sums.
+    // Engines disagree on rounding binary doubles that sit exactly on
+    // .xxxx5 — integer arithmetic cannot. Cross-engine note: Spark's
+    // `div` and DuckDB's integer `//` BOTH truncate toward zero
+    // (probed: -7//2 = -3 in DuckDB), so negative sums (refund rows)
+    // stay parity-exact too; their rounding convention is then
+    // half-toward-zero, a documented property of this formula, not a
+    // divergence.
     events
       .groupBy(col("user_id").as("symbol"),
         date_format(col("ts"), "yyyy-MM-dd").as("date"))

@@ -28,8 +28,10 @@ object Streaming {
     */
   def downsample1s(ticks: DataFrame, watermark: String = "10 seconds"): DataFrame =
     ticks
-      .filter((hour(col("ts")) === 7 || hour(col("ts")) === 13) &&
-        minute(col("ts")) >= 50)
+      // session bounds from TickOps — the single source of truth
+      .filter((hour(col("ts")) === graft.operators.TickOps.MorningH ||
+          hour(col("ts")) === graft.operators.TickOps.AfternoonH) &&
+        minute(col("ts")) >= graft.operators.TickOps.FromMin)
       .withWatermark("ts", watermark)
       .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
       .agg(min("tick_id").as("tick_id"),

@@ -92,6 +92,21 @@ class TickOpsSpec extends SparkSpec {
     assert(s2.isNullAt(2)) // zero total weight -> null vwap
   }
 
+  test("vwap truncates like the oracle on a negative sum (refund rows)") {
+    // S = sum(cents*k) = -1001, K = 3: vwap = -10.01/3 = -3.336666...
+    // Spark's `div` and DuckDB's integer `//` BOTH truncate toward
+    // zero (probed: SELECT -200197 // 6 = -33366 in DuckDB), so the
+    // engine-agreed e4 value is -3.3366 — half-toward-zero for
+    // negatives. This spec pins that truncating parity; a flooring
+    // "fix" on either side would be the actual divergence.
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, -10.01, """{"k": 1}"""),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 0.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "value", "props")
+    val out = TickOps.vwap(df).collect().head
+    assert(out.getDouble(2) == -3.3366, s"got ${out.getDouble(2)}")
+  }
+
   test("shiftTz adds broker offset") {
     val df = ticks((1L, 1L, "2024-01-01 23:30:00", 1.0, 1.1))
     val r = TickOps.shiftTz(df, 2).collect().head
