@@ -121,6 +121,32 @@ class PolyHashSpec extends SparkSpec {
     assert(ok == Seq("ab", "bc"))
   }
 
+  test("native functions reject wrong input TYPES at analysis, " +
+      "never silently misread bytes") {
+    PolyHash.register(spark)
+    graft.functions.MinHashes.register(spark)
+    graft.functions.VecDot.register(spark)
+    // graft_vecdot on array<double>: before ExpectsInputTypes the eval
+    // loop read interleaved 4-byte halves of the doubles — garbage
+    // with no error. Now analysis rejects the signature.
+    val dbl = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException](
+      dbl.select(expr("graft_vecdot(a, b)")).collect())
+    // graft_minhashes on array<int> likewise fails analysis (getLong
+    // on packed ints would misread), and graft_polyhash on a number.
+    val ints = Seq((Seq(1, 2, 3), 7L)).toDF("xs", "v")
+    intercept[org.apache.spark.sql.AnalysisException](
+      ints.select(expr("graft_minhashes(xs, 8)")).collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      ints.select(expr("graft_polyhash(v)")).collect())
+    // full-range 64-bit hashes are legal input and must not wrap into
+    // negative signatures (mod-p clamp)
+    val big = Seq(Seq(Long.MaxValue, -1L)).toDF("th")
+    val mh = big.select(expr("graft_minhashes(th, 8)"))
+      .as[Seq[Long]].collect().head
+    assert(mh.forall(v => v >= 0 && v < 1000000007L), mh)
+  }
+
   test("VecDot throws on mismatched array lengths instead of truncating") {
     graft.functions.VecDot.register(spark)
     val e = intercept[Exception] {
