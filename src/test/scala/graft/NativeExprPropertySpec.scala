@@ -1,0 +1,99 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+
+/** Property-based equivalence: every native expression must equal the
+  * declarative HOF spelling it replaced on ARBITRARY inputs, not just
+  * the corpus the oracles happen to cover — the contract that makes
+  * swapping the native implementation in/out invisible to results.
+  *
+  * Raw scalacheck generators with FIXED seeds (the scalatest bridge
+  * artifact is not in the offline cache): deterministic, replayable,
+  * and the seed is printed on failure.
+  */
+class NativeExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[(A, Long)] =
+    (1L to n.toLong).map(seed =>
+      gen.pureApply(Gen.Parameters.default, Seed(seed)) -> seed)
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(8))
+  private val tokensGen: Gen[List[String]] = for {
+    l <- Gen.listOfN(12, word)
+    k <- Gen.choose(0, 12)
+  } yield l.take(k)
+
+  test("WordGrams == transform/slice/array_join HOF on random token lists") {
+    graft.functions.WordGrams.register(spark)
+    val cases = samples(for {
+      t <- tokensGen; n <- Gen.choose(1, 6)
+    } yield (t, n), 40)
+    cases.foreach { case ((toks, n), seed) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val native = df.select(expr(s"graft_wordgrams(t, $n)"))
+        .as[Seq[String]].collect().head
+      val hof = df.select(expr(
+        s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
+          s"i -> array_join(slice(t, i, $n), ' ')) ELSE array() END"))
+        .as[Seq[String]].collect().head
+      assert(native == hof, s"seed=$seed toks=$toks n=$n")
+    }
+  }
+
+  test("PolyHash == codepoint fold on random unicode strings") {
+    graft.functions.PolyHash.register(spark)
+    // STRING pieces, not Char: the emoji is non-BMP (surrogate pair)
+    val strGen = Gen.listOfN(12,
+      Gen.oneOf("a", "Z", "9", " ", "é", "中", "😀"))
+      .map(_.mkString)
+    samples(strGen, 40).foreach { case (s, seed) =>
+      val native = Seq(Tuple1(s)).toDF("s")
+        .select(expr("graft_polyhash(s)")).as[Long].collect().head
+      val expected = s.codePoints().toArray.foldLeft(0L)(
+        (a, c) => (a * 31 + c) % 1000000007L)
+      assert(native == expected, s"seed=$seed s=$s")
+    }
+  }
+
+  test("MinHashes == affine-rehash min on random hash arrays") {
+    graft.functions.MinHashes.register(spark)
+    val hashes = for {
+      l <- Gen.listOfN(10, Gen.choose(0L, 1000000006L))
+      k <- Gen.choose(0, 10)
+    } yield l.take(k)
+    samples(hashes, 40).foreach { case (th, seed) =>
+      val native = Seq(Tuple1(th)).toDF("th")
+        .select(expr("graft_minhashes(th, 8)"))
+        .as[Option[Seq[Long]]].collect().head
+      val expected =
+        if (th.isEmpty) None
+        else Some((0 until 8).map(j =>
+          th.map(x => ((2L * j + 3) * x + 5L * j + 7) % 1000000007L).min))
+      assert(native.map(_.toSeq) == expected, s"seed=$seed th=$th")
+    }
+  }
+
+  test("hashSplit is total and subset-invariant on random id sets") {
+    val idsGen = Gen.listOfN(30, Gen.choose(0L, 3000000000L))
+    samples(idsGen, 10).foreach { case (idsRaw, seed) =>
+      val ids = idsRaw.distinct
+      val docs = ids.map(i => (i, s"d$i", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+      val splits = graft.operators.CorpusPipeline.hashSplit(docs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(splits.keySet == ids.toSet, s"seed=$seed")
+      assert(splits.values.forall(Set("train", "val", "test")), s"seed=$seed")
+      // subset invariance: a doc alone gets the same split it gets
+      // inside any corpus — the reproducibility contract
+      val one = ids.head
+      val solo = graft.operators.CorpusPipeline.hashSplit(
+        Seq((one, "d", "en", "s")).toDF("doc_id", "text", "lang", "source"))
+        .select("split").as[String].collect().head
+      assert(solo == splits(one), s"seed=$seed id=$one")
+    }
+  }
+}
