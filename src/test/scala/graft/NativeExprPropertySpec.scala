@@ -77,6 +77,42 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("SimHash64 == per-bit vote fold on random hash arrays") {
+    graft.functions.SimHash64.register(spark)
+    val hashes = for {
+      l <- Gen.listOfN(10, Gen.choose(0L, 1000000006L))
+      k <- Gen.choose(1, 10)
+    } yield l.take(k)
+    samples(hashes, 40).foreach { case (th, seed) =>
+      val native = Seq(Tuple1(th)).toDF("th")
+        .select(expr("graft_simhash(th, 32)")).as[Long].collect().head
+      val expected = (0 until 32).foldLeft(0L) { (sig, i) =>
+        val vote = th.map(x => if (((x >> i) & 1L) == 1L) 1L else -1L).sum
+        if (vote > 0) sig | (1L << i) else sig
+      }
+      assert(native == expected, s"seed=$seed th=$th")
+    }
+  }
+
+  test("Y4M encode/decode round-trips random clips exactly") {
+    import graft.operators.MediaCodecs.Y4m
+    val clip = for {
+      w <- Gen.choose(1, 8).map(_ * 2)
+      h <- Gen.choose(1, 6).map(_ * 2)
+      nf <- Gen.choose(1, 5)
+      frames <- Gen.listOfN(nf,
+        Gen.listOfN(w * h, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    } yield (w, h, frames)
+    samples(clip, 25).foreach { case ((w, h, frames), seed) =>
+      val (dw, dh, back) = Y4m.decode(Y4m.encode(w, h, 25, frames))
+      assert((dw, dh) == ((w, h)), s"seed=$seed")
+      assert(back.length == frames.length, s"seed=$seed")
+      back.zip(frames).foreach { case (a, b) =>
+        assert(a.toSeq == b.toSeq, s"seed=$seed")
+      }
+    }
+  }
+
   test("hashSplit is total and subset-invariant on random id sets") {
     val idsGen = Gen.listOfN(30, Gen.choose(0L, 3000000000L))
     samples(idsGen, 10).foreach { case (idsRaw, seed) =>
