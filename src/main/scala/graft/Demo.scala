@@ -36,11 +36,32 @@ object Demo {
     val gold = spark.read.parquet(dir.resolve("gold").toString)
     graft.sources.FileOrder.fileRanges(gold, "ts").show(false)
 
-    // --- F12: multimodal features + frame sampling ---
-    println("=== multimodal features (first 5) ===")
-    Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 9)).show(5, false)
-    println("=== sampled video frames ===")
-    Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 9), 3).show(false)
+    // --- F12: multimodal features over REAL codecs (PPM/WAV/Y4M) ---
+    val media = Multimodal.syntheticRealMedia(spark, 9)
+    println("=== image features (real PPM decode) ===")
+    Multimodal.imageFeatures(media).show(false)
+    println("=== audio features (real WAV decode) ===")
+    Multimodal.audioFeatures(media).show(false)
+    println("=== video features + sampled frames (real Y4M decode) ===")
+    Multimodal.videoFeatures(media).show(false)
+    Multimodal.sampleVideoFrames(media, 3).show(false)
+
+    // --- F15/F16/F2c: corpus pipeline over a toy batch ---
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and then runs " +
+        "through green fields of tall grass to find cool water"),
+      (2L, "the quick brown fox jumps over a lazy dog and then runs " +
+        "through green fields of tall grass to find cool water"),
+      (3L, ("spam " * 30).trim),
+      (4L, "short one"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    println("=== quality filter (reason-coded drop report) ===")
+    graft.operators.CorpusPipeline.qualityFilter(corpus).show(false)
+    println("=== deterministic hash split + greedy near-dup ===")
+    graft.operators.CorpusPipeline.hashSplit(corpus).show(false)
+    graft.operators.TextDedup.greedyNearDup(corpus).show(false)
 
     // --- G1/G2: streaming ---
     implicit val sqlCtx = spark.sqlContext
