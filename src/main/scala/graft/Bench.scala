@@ -24,6 +24,9 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.range(1000L).groupBy(org.apache.spark.sql.functions.expr("id % 10"))
       .count().collect()
+    // warm the noop sink (the timed action) so its one-time datasource
+    // init is not billed to the alphabetically-first query
+    spark.range(1000L).write.format("noop").mode("overwrite").save()
     // events.ts is TIMESTAMP(NANOS); same conf Tables.events sets.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
