@@ -219,6 +219,25 @@ object SparkEntry {
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
     "q_source_cap" -> ((s, d) =>
       CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
+    // The pipeline's end product as ONE declarative plan: the
+    // materialized training slice = quality-kept ∧ not a near-dup ∧
+    // in the train split. Catalyst fuses the three stages' scans and
+    // drops their interior presentation sorts. (The synthetic corpus
+    // is template-generated, so greedy dedup keeps only ~2% of docs —
+    // tiny survivor counts here are the corpus, not a bug.)
+    "q_corpus_select" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, not}
+      val docs = Tables.documents(s, d)
+      val qf = CorpusPipeline.qualityFilter(docs).select("doc_id", "keep")
+      val dup = TextDedup.greedyNearDup(docs)
+      val split = CorpusPipeline.hashSplit(docs).select("doc_id", "split")
+      docs.select("doc_id", "lang", "source")
+        .join(qf, "doc_id").join(dup, "doc_id").join(split, "doc_id")
+        .filter(col("keep") && not(col("is_duplicate")) &&
+          col("split") === "train")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
     // one long-format feature frame. Deterministic synthetic payloads
     // (no binary fixtures ship in testdata); codec features are not
@@ -924,6 +943,42 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_select" -> {
+      import graft.functions.PortableText._
+      s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |qf AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(tk) < 20 THEN 'short'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              1.0 - CAST(length(list_distinct(tk)) AS DOUBLE)
+        |                / length(tk) END > 0.65 THEN 'repetitive'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              CAST(length(list_filter(tk, t -> list_contains(
+        |                ['the','a','of','and','to'], t))) AS DOUBLE)
+        |                / length(tk) END < 0.01 THEN 'low_stop'
+        |     END) IS NULL AS keep
+        |  FROM tk),
+        |th AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM th),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bf AS (SELECT band, band_hash, min(doc_id) AS first_doc
+        |       FROM bands WHERE band_hash IS NOT NULL
+        |       GROUP BY band, band_hash),
+        |dup AS (SELECT bands.doc_id,
+        |         bool_or(first_doc < bands.doc_id) AS is_dup
+        |       FROM bands JOIN bf USING (band, band_hash)
+        |       GROUP BY bands.doc_id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d
+        |JOIN qf ON qf.doc_id = d.doc_id
+        |LEFT JOIN dup ON dup.doc_id = d.doc_id
+        |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
+        |  AND ((d.doc_id * 2654435761) % 1000000007) % 100 < 80
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q_source_cap" ->
       """SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,
