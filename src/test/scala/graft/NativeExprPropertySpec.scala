@@ -113,6 +113,37 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("CharGrams == distinct-substring HOF on random unicode strings") {
+    graft.functions.CharGrams.register(spark)
+    val strGen = Gen.listOfN(10,
+      Gen.oneOf("a", "b", "9", " ", "é", "中", "😀")).map(_.mkString)
+    samples(for { s <- strGen; n <- Gen.choose(1, 4) } yield (s, n), 40)
+      .foreach { case ((s, n), seed) =>
+        val df = Seq(Tuple1(s)).toDF("s")
+        val native = df.select(expr(s"graft_grams(s, $n)"))
+          .as[Seq[String]].collect().head
+        val hof = df.select(expr(
+          s"array_distinct(transform(sequence(1, greatest(length(s) - ${n - 1}, 0)), " +
+            s"i -> substring(s, i, $n)))"))
+          .as[Seq[String]].collect().head
+        assert(native == hof, s"seed=$seed s=$s n=$n")
+      }
+  }
+
+  test("VecDot == left-to-right double accumulation on random vectors") {
+    graft.functions.VecDot.register(spark)
+    val vec = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 7.0f))
+    samples(for { a <- vec; b <- vec } yield (a, b), 40)
+      .foreach { case ((a, b), seed) =>
+        val native = Seq((a.toArray, b.toArray)).toDF("a", "b")
+          .select(expr("graft_vecdot(a, b)")).as[Double].collect().head
+        val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+          acc + x.toDouble * y.toDouble
+        }
+        assert(native == expected, s"seed=$seed") // bit-exact, no epsilon
+      }
+  }
+
   test("hashSplit is total and subset-invariant on random id sets") {
     val idsGen = Gen.listOfN(30, Gen.choose(0L, 3000000000L))
     samples(idsGen, 10).foreach { case (idsRaw, seed) =>
