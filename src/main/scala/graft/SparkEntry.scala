@@ -90,6 +90,13 @@ object SparkEntry {
     // head `rollback` entry (Iceberg writes a snapshot; it never erases).
     "q_rollback" -> ((s, d) =>
       Lakehouse.rollbackHistory(Tables.events(s, d), "event_id", 2000L, 2L)),
+    // Diff snapshots 2 and 5 (as-of counts — ids beyond head compare
+    // against head, so the row is well-defined at every SF).
+    "q_snapshot_diff" -> ((s, d) =>
+      Lakehouse.diffSnapshots(Tables.events(s, d), "event_id", 2000L, 2L, 5L)),
+    "q_partitions_asof" -> ((s, d) =>
+      Lakehouse.partitionsAsOf(Tables.events(s, d), "event_id", 2000L, 2L,
+        "ts", "value")),
     "q_ndv_profile" -> ((s, d) =>
       Lakehouse.ndvProfile(Tables.events(s, d),
         Seq("user_id", "event_type", "value"))),
@@ -442,6 +449,18 @@ object SparkEntry {
         |FROM (SELECT total FROM h WHERE snapshot_id = 2) t,
         |     (SELECT max(snapshot_id) AS m FROM h) mx
         |ORDER BY snapshot_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """SELECT CAST(2 AS BIGINT) AS snap_a, CAST(5 AS BIGINT) AS snap_b,
+        |  count(*) FILTER (WHERE event_id // 2000 <= 2) AS rows_a,
+        |  count(*) FILTER (WHERE event_id // 2000 <= 5) AS rows_b,
+        |  count(*) FILTER (WHERE event_id // 2000 <= 5)
+        |    - count(*) FILTER (WHERE event_id // 2000 <= 2) AS delta
+        |FROM events""".stripMargin,
+    "q_partitions_asof" ->
+      """SELECT year(ts) AS yr, count(*) AS n_rows,
+        |  round(sum(value),4) AS sum_val
+        |FROM events WHERE event_id // 2000 <= 2
+        |GROUP BY year(ts) ORDER BY yr""".stripMargin,
     "q_session_filter" ->
       s"""SELECT tick_id, symbol, date_trunc('second', ts) AS ts_s,
         |  bid, ask

@@ -21,7 +21,9 @@ object Verify {
     // results — a thrown query must surface as a missing/err row,
     // never as a phantom pass.
     def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      // listFiles() returns null on I/O error — an NPE here would
+      // escape the per-query catch and abort the whole verify loop
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
       f.delete(); ()
     }
     SparkEntry.queries.foreach { case (name, fn) =>

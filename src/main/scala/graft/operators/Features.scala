@@ -53,18 +53,23 @@ object Features {
   /** D4 — per-symbol z-score anomaly score, the streaming-friendly
     * analog of the autoencoder's reconstruction error
     * (ref: model.py:180-185): how far a tick sits from its symbol's
-    * distribution. Stats come from an unordered partition window →
-    * Catalyst computes them once per symbol partition. */
+    * distribution. Per-symbol (μ, σ) come from a groupBy aggregate
+    * broadcast-joined back (the [[standardScale]] shape) — NOT a
+    * whole-partition window, which buffers every symbol's full tick
+    * history in one task and hands a hot symbol's entire volume to a
+    * single partition at scale. The stats side is one row per symbol
+    * (bounded, broadcastable); the fact side stays a map-only join. */
   def zScoreAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
-    val w = Window.partitionBy("symbol")
-    val sigma = stddev_samp(col("bid")).over(w)
+    val stats = ticks.groupBy("symbol").agg(
+      avg("bid").as("_mu"), stddev_samp("bid").as("_sigma"))
     // σ=0 guard (constant symbol): ANSI x/0 throws; z and the flag
     // stay NULL for a series with no variance
-    val z = when(sigma =!= 0, (col("bid") - avg("bid").over(w)) / sigma)
-    ticks.select(
-      col("tick_id"), col("symbol"),
-      round(z, 4).as("zscore"),
-      (abs(z) > threshold).as("is_anomaly"))
+    val z = when(col("_sigma") =!= 0, (col("bid") - col("_mu")) / col("_sigma"))
+    ticks.join(broadcast(stats), Seq("symbol"))
+      .select(
+        col("tick_id"), col("symbol"),
+        round(z, 4).as("zscore"),
+        (abs(z) > threshold).as("is_anomaly"))
       .orderBy("symbol", "tick_id")
   }
 

@@ -130,4 +130,37 @@ object Lakehouse {
         col("total"), lit("rollback").as("operation"))
     appends.unionByName(rollbackRow).orderBy("snapshot_id")
   }
+
+  /** A12 — snapshot DIFF: row counts at two snapshots plus the delta,
+    * the reference's `diff_snapshots` menu action (ref: `Apache
+    * Iceberg/iceberg_time_travel.py:184-207`, menu item 4). Counts use
+    * as-of semantics (rows in snapshots <= id) so a snapshot id beyond
+    * the current head compares against head rather than erroring —
+    * the same convention as [[snapshotAsOf]] reads. ONE conditional-
+    * aggregation scan produces both counts; at 100 TB this is pure
+    * snapshot-metadata arithmetic on a real catalog (no data read at
+    * all), and here it is a single pass with partial aggregation. */
+  def diffSnapshots(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
+                    snapA: Long, snapB: Long): DataFrame = {
+    val snap = expr(s"$idCol div $rowsPerSnapshot")
+    df.agg(
+        count(when(snap <= snapA, 1)).as("rows_a"),
+        count(when(snap <= snapB, 1)).as("rows_b"))
+      .select(
+        lit(snapA).as("snap_a"), lit(snapB).as("snap_b"),
+        col("rows_a"), col("rows_b"),
+        (col("rows_b") - col("rows_a")).as("delta"))
+  }
+
+  /** A13 — partition stats AS OF a snapshot: per-partition row counts
+    * at a historical snapshot, the reference's
+    * `show_partitions(…, snapshot_id)` (ref: `Apache Iceberg/
+    * iceberg_time_travel.py:99-135`). Pure composition of the as-of
+    * read and the partition profile: the snapshot predicate is pushed
+    * into the scan, then one grouped aggregate — on a `year(ts)`-
+    * partitioned table this prunes to partition metadata. */
+  def partitionsAsOf(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
+                     targetSnapshot: Long, tsCol: String, valCol: String): DataFrame =
+    partitionStats(rollbackTo(df, idCol, rowsPerSnapshot, targetSnapshot),
+      tsCol, valCol)
 }
