@@ -510,16 +510,16 @@ object SparkEntry {
         |FROM $ticksSql t GROUP BY symbol, date_trunc('hour', ts)
         |ORDER BY symbol, bar_ts""".stripMargin,
     "q_vwap" ->
-      """SELECT symbol, date,
+      """SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
         |  CAST((_n * 200 + _d) // (_d * 2) AS DOUBLE) / 10000.0 AS vwap,
         |  total_qty, n_trades FROM (
-        |  SELECT user_id AS symbol, strftime(ts, '%Y-%m-%d') AS date,
+        |  SELECT user_id AS symbol, CAST(ts AS DATE) AS _date,
         |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)
         |      * CAST(props->>'$.k' AS INT)) AS BIGINT) AS _n,
         |    CAST(nullif(sum(CAST(props->>'$.k' AS INT)), 0) AS BIGINT) AS _d,
         |    CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS total_qty,
         |    count(*) AS n_trades
-        |  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')) x
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)) x
         |ORDER BY symbol, date""".stripMargin,
     "q_features_spread" ->
       s"""SELECT tick_id, symbol, greatest(ask - bid, 0) AS spread,
@@ -956,9 +956,9 @@ object SparkEntry {
     },
     "q_hash_split" ->
       """SELECT doc_id, lang, source,
-        |  CASE WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 80
+        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80
         |         THEN 'train'
-        |       WHEN ((doc_id * 2654435761) % 1000000007) % 100 < 90
+        |       WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -995,14 +995,14 @@ object SparkEntry {
         |JOIN qf ON qf.doc_id = d.doc_id
         |LEFT JOIN dup ON dup.doc_id = d.doc_id
         |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
-        |  AND ((d.doc_id * 2654435761) % 1000000007) % 100 < 80
+        |  AND (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80
         |ORDER BY d.doc_id""".stripMargin
     },
     "q_source_cap" ->
       """SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rnk
+        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rnk
         |  FROM documents) x
         |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> {

@@ -25,7 +25,10 @@ case class VecDot(left: Expression, right: Expression)
   // The eval loop reads 4-byte floats positionally; on array<double>
   // input the default (unchecked) binding would read interleaved
   // halves of doubles — plausible-looking garbage. Declare the
-  // signature so analysis fails loudly (or inserts a cast) instead.
+  // signature so analysis REJECTS loudly instead. (ExpectsInputTypes
+  // only rejects — no implicit coercion; array<double>/array<int>
+  // callers must cast explicitly. Coercion would need
+  // ImplicitCastInputTypes, deliberately not mixed in.)
   override def inputTypes =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
 

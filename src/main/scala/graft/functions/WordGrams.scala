@@ -8,11 +8,15 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Word n-grams of a token array as space-joined strings, in order —
-  * semantically `transform(sequence(1, size(t)-n+1), i ->
-  * array_join(slice(t, i, n), ' '))` (empty when size < n; the DuckDB
-  * dual is `list_transform(range(1, len-n+2), i ->
-  * array_to_string(t[i:i+n-1], ' '))`), but one UTF8String
+/** Word n-grams of a token array as space-joined strings, in order.
+  * CONTRACT: empty array when size(t) < n — this native behavior (and
+  * the DuckDB dual `list_transform(range(1, len-n+2), i ->
+  * array_to_string(t[i:i+n-1], ' '))`) is authoritative. The Spark HOF
+  * spelling `transform(sequence(1, size(t)-n+1), ...)` matches ONLY
+  * for size >= n: for shorter lists `sequence(1, 0)` yields `[1, 0]`
+  * (default step -1), so the unguarded HOF diverges — any HOF-based
+  * refactor needs a `CASE WHEN size(t) >= n` guard (the property test
+  * carries one). Implementation: one UTF8String
   * concatenation loop per gram instead of three interpreted HOF
   * passes materializing a sequence array plus a sliced array per
   * gram. The HOF chain was the dominant cost of the decontamination

@@ -133,8 +133,13 @@ object CatalogOps {
       // over a maintenance-schedule year list.
       if (!fs.exists(dir)) y -> 0
       else {
+        // Exclude both '_'-metadata (e.g. _SUCCESS) and '.'-hidden
+        // files: on ChecksumFileSystem (local FS) every part file has
+        // a sibling '.part-*.crc' that would inflate the byte count
+        // and thus the size-derived file-count target.
         val bytes = fs.listStatus(dir)
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith("."))
           .map(_.getLen).sum
         val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
         // repartition, not coalesce: coalesce can only REDUCE the

@@ -59,10 +59,21 @@ object CorpusPipeline {
 
   /** Knuth multiplicative-hash split key — explicit integer
     * arithmetic (never an engine `hash()`) so Spark and the oracle
-    * agree bit-for-bit; stays below 2^63 for any doc_id < ~3.5e9.
-    * At larger id spaces the same construction runs mod p first. */
-  private def splitKey(id: Column): Column =
-    pmod(pmod(id * lit(2654435761L), lit(PortableText.P)), lit(100))
+    * agree bit-for-bit. The id is reduced mod P BEFORE the multiply:
+    * (P-1) * 2654435761 ≈ 2.65e18 < 2^63, so the product can never
+    * overflow signed 64-bit for ANY doc_id — the unreduced form
+    * `id * K` overflows (and throws under Spark 4 ANSI) once
+    * doc_id ≥ ~3.5e9, exactly the id spaces a 100 TB corpus has.
+    * Same value as the unreduced form wherever that form was legal:
+    * (id*K) mod P == ((id mod P)*K) mod P. */
+  private[operators] def splitKey(id: Column): Column =
+    pmod(hashOrder(id), lit(100))
+
+  /** ((id mod P) * K) mod P — the overflow-safe multiplicative hash
+    * shared by [[hashSplit]] and [[capPerSource]]. */
+  private[operators] def hashOrder(id: Column): Column =
+    pmod(pmod(id, lit(PortableText.P)) * lit(2654435761L),
+      lit(PortableText.P))
 
   /** F16 — deterministic train/val/test split: every document lands in
     * exactly one partition, the assignment is a pure function of
@@ -90,8 +101,7 @@ object CorpusPipeline {
     * the oldest crawl). */
   def capPerSource(docs: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      .orderBy(pmod(col("doc_id") * lit(2654435761L),
-        lit(PortableText.P)).asc, col("doc_id").asc)
+      .orderBy(hashOrder(col("doc_id")).asc, col("doc_id").asc)
     docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= cap)

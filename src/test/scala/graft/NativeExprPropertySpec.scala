@@ -163,4 +163,46 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(solo == splits(one), s"seed=$seed id=$one")
     }
   }
+
+  test("hashSplit/capPerSource survive multi-billion doc ids " +
+    "(no 64-bit overflow, values match the mod-P-first reference)") {
+    val P = graft.functions.PortableText.P
+    val K = 2654435761L
+    // Reference computation in plain Scala — safe because id%P < P and
+    // (P-1)*K ≈ 2.65e18 < 2^63.
+    def refSplit(id: Long): String = {
+      val key = ((id % P) * K % P) % 100
+      if (key < 80) "train" else if (key < 90) "val" else "test"
+    }
+    // The exact ids the old `id * K` form overflowed on (≥ ~3.5e9),
+    // plus the old-form-legal boundary region to prove value parity.
+    val hardIds = Seq(1L << 33, 1L << 35, Long.MaxValue / 3,
+      Long.MaxValue, 3470000000L, 3458764513L)
+    val randGen = Gen.listOfN(20, Gen.choose(0L, Long.MaxValue))
+    samples(randGen, 5).foreach { case (rand, seed) =>
+      val ids = (hardIds ++ rand).distinct
+      val docs = ids.map(i => (i, s"d$i", "en", s"s${i % 3}"))
+        .toDF("doc_id", "text", "lang", "source")
+      // hashSplit: must not throw under ANSI, and must equal the
+      // reference value for every id.
+      val splits = graft.operators.CorpusPipeline.hashSplit(docs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      ids.foreach { id =>
+        assert(splits(id) == refSplit(id), s"seed=$seed id=$id")
+      }
+      // capPerSource: the hash-order window must also evaluate without
+      // overflow, keep ≤ cap per source, and stay subset-invariant.
+      val capped = graft.operators.CorpusPipeline.capPerSource(docs, 4)
+        .select("doc_id", "source").as[(Long, String)].collect()
+      assert(capped.groupBy(_._2).forall(_._2.length <= 4), s"seed=$seed")
+      val grown = (ids ++ ids.map(i => i / 2 + 7)).distinct
+        .map(i => (i, s"d$i", "en", s"s${i % 3}"))
+        .toDF("doc_id", "text", "lang", "source")
+      val grownSplits = graft.operators.CorpusPipeline.hashSplit(grown)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      ids.foreach { id =>
+        assert(grownSplits(id) == splits(id), s"seed=$seed id=$id")
+      }
+    }
+  }
 }
