@@ -954,11 +954,15 @@ object SparkEntry {
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
     },
+    // NOTE: the first mod is spelled ((x % P + P) % P) — pmod — so a
+    // NEGATIVE doc_id hashes identically in both engines (Spark pmod
+    // is non-negative; DuckDB % follows the dividend sign). After that
+    // reduction every term is non-negative, so plain % suffices.
     "q_hash_split" ->
       """SELECT doc_id, lang, source,
-        |  CASE WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80
+        |  CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 80
         |         THEN 'train'
-        |       WHEN (((doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 90
+        |       WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 90
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -995,14 +999,14 @@ object SparkEntry {
         |JOIN qf ON qf.doc_id = d.doc_id
         |LEFT JOIN dup ON dup.doc_id = d.doc_id
         |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
-        |  AND (((d.doc_id % 1000000007) * 2654435761) % 1000000007) % 100 < 80
+        |  AND (((d.doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 80
         |ORDER BY d.doc_id""".stripMargin
     },
     "q_source_cap" ->
       """SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rnk
+        |      ORDER BY (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007, doc_id) AS rnk
         |  FROM documents) x
         |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> {

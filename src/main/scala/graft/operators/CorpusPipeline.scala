@@ -70,7 +70,11 @@ object CorpusPipeline {
     pmod(hashOrder(id), lit(100))
 
   /** ((id mod P) * K) mod P — the overflow-safe multiplicative hash
-    * shared by [[hashSplit]] and [[capPerSource]]. */
+    * shared by [[hashSplit]] and [[capPerSource]]. Both mods are
+    * `pmod`, so the hash is well-defined (non-negative) for NEGATIVE
+    * doc_ids too; the DuckDB oracle duals spell the first reduction
+    * ((x % P + P) % P) to match, since SQL `%` follows the dividend
+    * sign. Property-tested across the full signed-64 id range. */
   private[operators] def hashOrder(id: Column): Column =
     pmod(pmod(id, lit(PortableText.P)) * lit(2654435761L),
       lit(PortableText.P))

@@ -164,25 +164,33 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
-  test("hashSplit/capPerSource survive multi-billion doc ids " +
-    "(no 64-bit overflow, values match the mod-P-first reference)") {
+  test("hashSplit/capPerSource survive multi-billion and NEGATIVE doc ids " +
+    "(no 64-bit overflow, values match the pmod-first reference)") {
     val P = graft.functions.PortableText.P
     val K = 2654435761L
-    // Reference computation in plain Scala — safe because id%P < P and
-    // (P-1)*K ≈ 2.65e18 < 2^63.
+    // Reference computation in plain Scala — pmod-equivalent first
+    // reduction (((id % P) + P) % P), matching BOTH Spark's pmod and
+    // the DuckDB oracles' ((x % P + P) % P) spelling, so negative ids
+    // hash identically everywhere. Safe because the reduced value is
+    // in [0, P) and (P-1)*K ≈ 2.65e18 < 2^63.
+    def refOrder(id: Long): Long = ((id % P) + P) % P * K % P
     def refSplit(id: Long): String = {
-      val key = ((id % P) * K % P) % 100
+      val key = refOrder(id) % 100
       if (key < 80) "train" else if (key < 90) "val" else "test"
     }
     // The exact ids the old `id * K` form overflowed on (≥ ~3.5e9),
-    // plus the old-form-legal boundary region to prove value parity.
+    // the old-form-legal boundary region to prove value parity, and
+    // negative ids where naive `%` would diverge from pmod.
     val hardIds = Seq(1L << 33, 1L << 35, Long.MaxValue / 3,
-      Long.MaxValue, 3470000000L, 3458764513L)
-    val randGen = Gen.listOfN(20, Gen.choose(0L, Long.MaxValue))
+      Long.MaxValue, 3470000000L, 3458764513L,
+      -1L, -(1L << 33), Long.MinValue, Long.MinValue + 1, -3470000001L)
+    val randGen = Gen.listOfN(20, Gen.choose(Long.MinValue, Long.MaxValue))
     samples(randGen, 5).foreach { case (rand, seed) =>
       val ids = (hardIds ++ rand).distinct
-      val docs = ids.map(i => (i, s"d$i", "en", s"s${i % 3}"))
-        .toDF("doc_id", "text", "lang", "source")
+      def mkDocs(xs: Seq[Long]) =
+        xs.map(i => (i, s"d$i", "en", s"s${math.floorMod(i, 3)}"))
+          .toDF("doc_id", "text", "lang", "source")
+      val docs = mkDocs(ids)
       // hashSplit: must not throw under ANSI, and must equal the
       // reference value for every id.
       val splits = graft.operators.CorpusPipeline.hashSplit(docs)
@@ -190,19 +198,35 @@ class NativeExprPropertySpec extends SparkSpec {
       ids.foreach { id =>
         assert(splits(id) == refSplit(id), s"seed=$seed id=$id")
       }
-      // capPerSource: the hash-order window must also evaluate without
-      // overflow, keep ≤ cap per source, and stay subset-invariant.
+      // capPerSource: the hash-order window must evaluate without
+      // overflow AND keep exactly the first `cap` ids per source in
+      // (refOrder, id) order — the same deterministic ranking the
+      // oracle computes, checked directly rather than via ≤ cap alone.
+      def refCap(xs: Seq[Long], cap: Int): Map[String, Set[Long]] =
+        xs.groupBy(i => s"s${math.floorMod(i, 3)}").map { case (src, g) =>
+          src -> g.sortBy(i => (refOrder(i), i)).take(cap).toSet
+        }
       val capped = graft.operators.CorpusPipeline.capPerSource(docs, 4)
         .select("doc_id", "source").as[(Long, String)].collect()
-      assert(capped.groupBy(_._2).forall(_._2.length <= 4), s"seed=$seed")
-      val grown = (ids ++ ids.map(i => i / 2 + 7)).distinct
-        .map(i => (i, s"d$i", "en", s"s${i % 3}"))
-        .toDF("doc_id", "text", "lang", "source")
+      val bySrc = capped.groupBy(_._2).map { case (s, g) => s -> g.map(_._1).toSet }
+      assert(bySrc == refCap(ids, 4), s"seed=$seed")
+      // Grown corpus: old docs keep their split (subset invariance),
+      // and the capped survivors are still drawn from the SAME hash
+      // order — the grown winners are exactly refCap over the grown
+      // id set, i.e. growth swaps members only by hash rank, never
+      // by arrival or value order.
+      val grownIds = (ids ++ ids.map(i => i / 2 + 7)).distinct
+      val grown = mkDocs(grownIds)
       val grownSplits = graft.operators.CorpusPipeline.hashSplit(grown)
         .select("doc_id", "split").as[(Long, String)].collect().toMap
       ids.foreach { id =>
         assert(grownSplits(id) == splits(id), s"seed=$seed id=$id")
       }
+      val grownCapped = graft.operators.CorpusPipeline.capPerSource(grown, 4)
+        .select("doc_id", "source").as[(Long, String)].collect()
+      val grownBySrc = grownCapped.groupBy(_._2)
+        .map { case (s, g) => s -> g.map(_._1).toSet }
+      assert(grownBySrc == refCap(grownIds, 4), s"seed=$seed")
     }
   }
 }
