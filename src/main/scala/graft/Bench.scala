@@ -38,33 +38,45 @@ object Bench {
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Split plan-build+optimize ("compile") from execution so drift
-      // between Catalyst overhead and actual work is attributable.
-      // Queries that run jobs while BUILDING the DataFrame (iterative
-      // CC, the IVF centroid fetch) charge those jobs to compile —
-      // that is genuinely pre-execution work.
-      // A failing query must not masquerade as a fast one: record -1.
-      val (compile, elapsed) =
-        try {
-          val df = fn(spark, sfDir)
-          df.queryExecution.executedPlan // force analysis + optimization
-          val t1 = System.nanoTime()
-          // noop sink, NOT count(): under count() Catalyst prunes
-          // unreferenced projections and windows, so projection-only
-          // queries (fingerprints, scalers, tz shifts, ...) would be
-          // timed as a bare scan with the advertised work optimized
-          // away. The noop write consumes every output column —
-          // the same full evaluation Verify's parquet dump pays.
-          df.write.format("noop").mode("overwrite").save()
-          ((t1 - t0) / 1e9, (System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          (-1.0, -1.0)
-        }
-      (name, compile, elapsed)
-    }
+    // Double-run protocol (round-8): the whole suite executes TWICE
+    // back-to-back. Run 1 keeps the historical semantics (cold codegen
+    // caches, first-touch page cache) and feeds the stdout metric line,
+    // so round-over-round totals stay comparable. Run 2 re-times the
+    // identical work warm: a query whose run-1 number spikes but whose
+    // run-2 number sits at its usual floor was hit by machine
+    // contention or cold-JIT, not a plan regression — this bounds the
+    // contention band that previously took a full extra round to
+    // adjudicate (r5's q_tz_shift "4.45x regression" et al.).
+    def runSuite(): Seq[(String, Double, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // Split plan-build+optimize ("compile") from execution so drift
+        // between Catalyst overhead and actual work is attributable.
+        // Queries that run jobs while BUILDING the DataFrame (iterative
+        // CC, the IVF centroid fetch) charge those jobs to compile —
+        // that is genuinely pre-execution work.
+        // A failing query must not masquerade as a fast one: record -1.
+        val (compile, elapsed) =
+          try {
+            val df = fn(spark, sfDir)
+            df.queryExecution.executedPlan // force analysis + optimization
+            val t1 = System.nanoTime()
+            // noop sink, NOT count(): under count() Catalyst prunes
+            // unreferenced projections and windows, so projection-only
+            // queries (fingerprints, scalers, tz shifts, ...) would be
+            // timed as a bare scan with the advertised work optimized
+            // away. The noop write consumes every output column —
+            // the same full evaluation Verify's parquet dump pays.
+            df.write.format("noop").mode("overwrite").save()
+            ((t1 - t0) / 1e9, (System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            (-1.0, -1.0)
+          }
+        (name, compile, elapsed)
+      }
+    val results = runSuite()
+    val results2 = runSuite()
     // The driver parses the metric line out of a 2000-char stdout tail
     // (sbt's trailing "[success] ..." line eats ~75 of that). Round-3's
     // line carried a second full-precision per-query map and blew past
@@ -88,9 +100,20 @@ object Bench {
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.
     println(line)
+    // bench_metric.json carries BOTH runs at full precision (the stdout
+    // line stays run-1-only: adding a second per-query map is exactly
+    // what blew the driver's 2000-char tail cap in round 3).
+    def runJson(rs: Seq[(String, Double, Double)]): String = {
+      val t = rs.collect { case (_, _, v) if v >= 0 => v }.sum
+      s"""{"total":$t,"queries":${
+        rs.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      },"compile":${
+        rs.map { case (k, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
+      }}"""
+    }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"compile":$cs,"sf":"$sfDir"}"""
+    },"compile":$cs,"runs":[${runJson(results)},${runJson(results2)}],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metric.json"),
       (full + "\n").getBytes("UTF-8"))
