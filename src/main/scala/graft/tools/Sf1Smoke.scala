@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, SparkEntry}
+
+/** Round-8 sf1-scale smoke of the dedup family (r5/r6 verdicts' ask:
+  * first evidence beyond sf0.1 that the LSH shuffle sizes scale as
+  * designed).
+  *
+  * No sf1 testdata exists (driver generates up to sf0.1), so this
+  * builds a 10x replica of sf0.1's `documents` under tmp/sf1smoke/:
+  * each of 10 replicas keeps the text and remaps
+  * doc_id -> doc_id + replica * 5e9 — multi-billion ids, deliberately
+  * past the old `id * K` overflow boundary (~3.5e9), so the smoke also
+  * exercises the r6 mod-P-first hash fix on real operator paths.
+  *
+  * This replica corpus is a WORST-CASE dedup stress, not a neutral
+  * sample: every text occurs >= 10 times, so the duplicate rate is
+  * ~10x sf0.1's and every minhash band bucket is hot (10+ members per
+  * bucket per replicated text). Super-linearity in the band join or
+  * the CC iteration shows up here amplified, which is the point.
+  *
+  * Timings through the same noop sink Bench uses; each query twice
+  * (cold / warm) so contention and cold-JIT are visible, mirroring
+  * the round-8 double-run bench protocol.
+  *
+  * Run: sbt "runMain graft.tools.Sf1Smoke"   (env SPARK_GRAFT_CPUS)
+  * Results recorded in SURVEY.md §5 (round-8 smoke paragraph).
+  */
+object Sf1Smoke {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = "tmp/sf1smoke"
+    val spark = GraftSession.local(cpus)
+    spark.range(1000L).write.format("noop").mode("overwrite").save()
+
+    val docsPath = s"$outDir/documents.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+      spark.read.parquet(s"$src/documents.parquet")
+        .crossJoin(spark.range(10).select(col("id").as("replica")))
+        .select((col("doc_id") + col("replica") * lit(5000000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val n = spark.read.parquet(docsPath).count()
+    println(s"[sf1-smoke] corpus rows=$n (10x $src)")
+
+    def time(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sf1-smoke] $label%-28s $s%.2f s")
+      s
+    }
+    val family = Seq("q_dedup_minhash", "q_dedup_greedy", "q_dedup_clusters",
+      "q_decontaminate", "q_dedup_exact", "q_corpus_select")
+    family.foreach { q =>
+      Seq("cold", "warm").foreach { phase =>
+        time(s"$q $phase") {
+          SparkEntry.queries(q)(spark, outDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
+    // Sanity: cluster structure should reflect the 10x replication —
+    // cluster count ~= distinct texts, not rows.
+    val reps = SparkEntry.queries("q_dedup_clusters")(spark, outDir)
+      .agg(countDistinct("cluster")).head().getLong(0)
+    println(s"[sf1-smoke] distinct clusters=$reps (rows=$n)")
+    spark.stop()
+  }
+}
