@@ -368,6 +368,15 @@ object TextDedup {
     //      conversion are what keep the tiny label/bucket shuffles
     //      cheap (measured: forcing static 32-partition exchanges more
     //      than doubled round time).
+    // REJECTED shave (round 8, measured): restricting the iteration
+    // to docs in ≥2-doc buckets (bucket-size window filter on the
+    // checkpoint, anti-join the isolated docs back after the loop)
+    // was ~25% SLOWER end-to-end at sf0.1 — the window adds a shuffle
+    // to the checkpoint job and the union/anti-join taxes exec, while
+    // the template-heavy corpus leaves the "connected" subgraph
+    // nearly as large as the corpus, so the per-round shuffles shrink
+    // by nothing. Revisit only with evidence of a low-dup-rate corpus
+    // where the subgraph is a small fraction.
     val assign = assignments.select(col("doc_id"), col("bkey"))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"))
@@ -393,8 +402,14 @@ object TextDedup {
             least(col("x.lbl"), coalesce(col("j_lbl"), col("x.lbl"))).as("lbl")))
         .localCheckpoint(eager = false)
       // Labels only ever decrease, so round-stability (zero changed
-      // labels vs the previous round) is the fixpoint.
-      converged = next.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
+      // labels vs the previous round) is the fixpoint. Round 0 is
+      // never probed: any corpus with one shared bucket changes a
+      // label in round 0, so its count job is a wasted barrier —
+      // skipping it lets round 1's count materialize rounds 0 AND 1
+      // in a single job (the lazy checkpoints chain). A corpus with
+      // no duplicates at all pays one extra (tiny) round instead.
+      converged = iter > 0 &&
+        next.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
       labels = next.select("doc_id", "lbl")
       iter += 1
     }
