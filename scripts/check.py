@@ -33,7 +33,13 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        for src in (f"{sfdir}/{t}.parquet", f"{sfdir}/{t}.parquet/*.parquet"):
+            try:
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+                break
+            except Exception:
+                pass  # directory-style parquet, or a partial dir
+                      # (e.g. the sf1 replica has only documents)
     n_ok = 0
     names = sorted(set(oracle) | {g.split("/")[-1] for g in glob.glob(f"{outdir}/*") if not g.endswith(".json")})
     for name in names:
