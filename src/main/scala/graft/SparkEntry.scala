@@ -226,6 +226,8 @@ object SparkEntry {
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
     "q_source_cap" -> ((s, d) =>
       CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
+    "q_pack_sequences" -> ((s, d) =>
+      CorpusPipeline.packSequences(Tables.documents(s, d), 512, 4)),
     // The pipeline's end product as ONE declarative plan: the
     // materialized training slice = quality-kept ∧ not a near-dup ∧
     // in the train split. Catalyst fuses the three stages' scans and
@@ -1001,6 +1003,26 @@ object SparkEntry {
         |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
         |  AND (((d.doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 80
         |ORDER BY d.doc_id""".stripMargin
+    },
+    // Same pmod spelling as q_hash_split for the shard; `//` in DuckDB
+    // truncates toward zero like Spark's `div` (probed r4) — equal to
+    // floor here because every operand is non-negative.
+    "q_pack_sequences" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, shard, n_tokens,
+        |  tok_end - n_tokens AS tok_start,
+        |  CASE WHEN n_tokens > 0 THEN (tok_end - n_tokens) // 512 END AS bin_first,
+        |  CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512 END AS bin_last
+        |FROM (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS tok_end
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST((((doc_id % $P + $P) % $P) * 2654435761) % $P % 4 AS INT) AS shard,
+        |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
+        |    FROM documents) s) x
+        |ORDER BY doc_id""".stripMargin
     },
     "q_source_cap" ->
       """SELECT doc_id, lang, source, rnk FROM (

@@ -112,6 +112,45 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F20 — SEQUENCE PACKING layout: the concatenate-and-chunk step an
+    * LLM pre-training pipeline runs last — documents are laid head to
+    * tail and cut into fixed `ctxLen`-token context windows ("bins"),
+    * docs straddling a cut belong to both neighboring bins. This
+    * computes each document's place in that layout: its shard, its
+    * token offset, and the first/last bin it occupies.
+    *
+    * Scale shape: a single global prefix-sum would be a one-partition
+    * window (the classic scale-killer); real packers shard the corpus
+    * and pack each shard independently on its worker. Here shard =
+    * multiplicative-hash(doc_id) mod `nShards` (deterministic,
+    * uniform, reuses [[hashOrder]]), and the cumulative token count is
+    * a per-shard window ordered by doc_id — one shuffle by shard,
+    * prefix sums run in parallel, no global sort anywhere. At 100 TB,
+    * nShards scales with the worker count and the plan is unchanged.
+    *
+    * Within a shard the pack order is doc_id (deterministic and
+    * oracle-replayable). Zero-token docs occupy no window: their
+    * bin_first/bin_last are NULL (no x/0 or negative-index hazard —
+    * `ctxLen` is a positive constant and offsets are non-negative, and
+    * `div` truncation == floor on non-negatives in BOTH engines). */
+  def packSequences(docs: DataFrame, ctxLen: Int = 512,
+                    nShards: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"),
+        pmod(hashOrder(col("doc_id")), lit(nShards)).cast("int").as("shard"),
+        expr(s"size($tokens)").cast("bigint").as("n_tokens"))
+      .withColumn("tok_end", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_start"),
+        when(col("n_tokens") > 0,
+          expr(s"(tok_end - n_tokens) div $ctxLen")).as("bin_first"),
+        when(col("n_tokens") > 0,
+          expr(s"(tok_end - 1) div $ctxLen")).as("bin_last"))
+      .orderBy("doc_id")
+  }
+
   /** Word n-grams of a doc's token list as space-joined strings;
     * empty when the doc has fewer than n tokens. Native
     * [[graft.functions.WordGrams]] — same output as the HOF spelling

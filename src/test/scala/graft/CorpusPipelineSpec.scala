@@ -119,4 +119,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(50L) == ((0L, false)))
     assert(byId(100L) == ((0L, false)))
   }
+
+  test("packSequences lays docs head-to-tail per shard: offsets are " +
+      "a gap-free prefix sum, bins span exactly the occupied windows, " +
+      "empty docs occupy nothing") {
+    val docs = docsFrom(
+      (0L to 40L).map(i =>
+        i -> (if (i % 7 == 0) "" else ("w " * (i % 11 + 1).toInt).trim)): _*)
+    val ctx = 8
+    val out = CorpusPipeline.packSequences(docs, ctxLen = ctx, nShards = 3)
+      .select("doc_id", "shard", "n_tokens", "tok_start", "bin_first", "bin_last")
+      .as[(Long, Int, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(out.map(_._1) == (0L to 40L))
+    // Every doc in exactly one shard; shard is the multiplicative hash
+    assert(out.forall(r => r._2 >= 0 && r._2 < 3))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      // within a shard (pack order = doc_id): gap-free prefix sum
+      val inOrder = rows.sortBy(_._1)
+      val starts = inOrder.scanLeft(0L)(_ + _._3).init
+      assert(inOrder.map(_._4) == starts)
+      inOrder.foreach { case (_, _, n, start, binF, binL) =>
+        if (n == 0) assert(binF.isEmpty && binL.isEmpty)
+        else {
+          // bins = the ctx-windows the doc's [start, start+n) span hits
+          assert(binF.contains(start / ctx))
+          assert(binL.contains((start + n - 1) / ctx))
+        }
+      }
+    }
+    // all 41 docs accounted for, shards non-trivial (hash spreads them)
+    assert(out.groupBy(_._2).size == 3)
+  }
 }
