@@ -228,6 +228,8 @@ object SparkEntry {
       CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
     "q_pack_sequences" -> ((s, d) =>
       CorpusPipeline.packSequences(Tables.documents(s, d), 512, 4)),
+    "q_token_budget" -> ((s, d) =>
+      CorpusPipeline.tokenBudgetPerSource(Tables.documents(s, d), 1000L)),
     // The pipeline's end product as ONE declarative plan: the
     // materialized training slice = quality-kept ∧ not a near-dup ∧
     // in the train split. Catalyst fuses the three stages' scans and
@@ -1023,6 +1025,21 @@ object SparkEntry {
         |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
         |    FROM documents) s) x
         |ORDER BY doc_id""".stripMargin
+    },
+    // Keep-iff-prefix-fits semantics: the window sum INCLUDES the
+    // current doc, so the doc that would cross the budget is dropped.
+    "q_token_budget" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (
+        |  SELECT doc_id, lang, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY (((doc_id % $P + $P) % $P) * 2654435761) % $P, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM (
+        |    SELECT doc_id, lang, source,
+        |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
+        |    FROM documents) s) x
+        |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin
     },
     "q_source_cap" ->
       """SELECT doc_id, lang, source, rnk FROM (

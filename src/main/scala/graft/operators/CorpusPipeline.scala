@@ -112,6 +112,40 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F21 — TOKEN-BUDGET source mixing: keep documents per source in
+    * deterministic multiplicative-hash order until the source's TOKEN
+    * budget is exhausted — the mixture-rebalancing step a pre-training
+    * pipeline runs to hit a target domain composition by token mass,
+    * not document count ([[capPerSource]]'s doc-count cap can't: a
+    * source of long documents would overshoot its token share).
+    *
+    * PREFIX-CUT semantics: the source's documents form one
+    * hash-ordered stream, and the stream is truncated at the first
+    * document whose inclusive running token total crosses the budget
+    * — that document and EVERYTHING after it are dropped (no greedy
+    * skip-and-refill: backfilling with later smaller docs would make
+    * membership depend on the whole prefix's shape, while the prefix
+    * cut keeps it a pure function of the doc's own hash rank and the
+    * mass before it). `cum_tokens` (the inclusive prefix total) is
+    * emitted for auditability. Same reproducibility contract as the
+    * cap: adding documents to a source only ever swaps members by
+    * hash rank, never by arrival order.
+    *
+    * Scale shape: one shuffle by source + a per-source window prefix
+    * sum — identical to [[capPerSource]]'s shape; a skewed giant
+    * source is one partition's sort, bounded by the same AQE skew
+    * handling every per-source op here relies on. */
+  def tokenBudgetPerSource(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(hashOrder(col("doc_id")).asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        expr(s"size($tokens)").cast("bigint").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .orderBy("doc_id")
+  }
+
   /** F20 — SEQUENCE PACKING layout: the concatenate-and-chunk step an
     * LLM pre-training pipeline runs last — documents are laid head to
     * tail and cut into fixed `ctxLen`-token context windows ("bins"),

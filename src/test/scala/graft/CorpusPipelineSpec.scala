@@ -120,6 +120,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(100L) == ((0L, false)))
   }
 
+  test("tokenBudgetPerSource keeps the hash-ordered prefix whose " +
+      "running token total fits the budget; the crossing doc is " +
+      "dropped and growth only swaps by hash rank") {
+    import graft.functions.PortableText
+    val P = PortableText.P
+    def refOrder(id: Long): Long = ((id % P) + P) % P * 2654435761L % P
+    def mk(ids: Seq[Long]) = docsFrom(ids.map(i =>
+      i -> ("t " * (i % 5 + 1).toInt).trim): _*) // 1..5 tokens each
+    val ids = (0L until 30L)
+    val out = CorpusPipeline.tokenBudgetPerSource(mk(ids), budget = 20L)
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // reference: walk ids in (hash, id) order and CUT at the first
+    // doc that crosses the budget (prefix-cut, not greedy refill)
+    var total = 0L
+    val expected = ids.sortBy(i => (refOrder(i), i)).iterator.map { i =>
+      val n = i % 5 + 1; total += n; (i, total)
+    }.takeWhile(_._2 <= 20L).toMap
+    assert(out.map(_._1).toSet == expected.keySet)
+    out.foreach { case (id, n, cum) =>
+      assert(n == id % 5 + 1)
+      assert(cum == expected(id), s"id=$id")
+    }
+    assert(out.map(_._3).max <= 20L)
+    // growing the corpus: kept set re-derived from the SAME hash walk
+    val grownIds = ids ++ (100L until 110L)
+    val grownOut = CorpusPipeline
+      .tokenBudgetPerSource(mk(grownIds), budget = 20L)
+      .select("doc_id").as[Long].collect().toSet
+    var gTotal = 0L
+    val gExpected = grownIds.sortBy(i => (refOrder(i), i)).iterator.map { i =>
+      gTotal += i % 5 + 1; (i, gTotal)
+    }.takeWhile(_._2 <= 20L).map(_._1).toSet
+    assert(grownOut == gExpected)
+  }
+
   test("packSequences lays docs head-to-tail per shard: offsets are " +
       "a gap-free prefix sum, bins span exactly the occupied windows, " +
       "empty docs occupy nothing") {
