@@ -32,14 +32,18 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    n_views = 0
     for t in TABLES:
         for src in (f"{sfdir}/{t}.parquet", f"{sfdir}/{t}.parquet/*.parquet"):
             try:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+                n_views += 1
                 break
             except Exception:
                 pass  # directory-style parquet, or a partial dir
                       # (e.g. the sf1 replica has only documents)
+    if n_views == 0:
+        sys.exit(f"no tables found under {sfdir} — wrong sfdir?")
     n_ok = 0
     names = sorted(set(oracle) | {g.split("/")[-1] for g in glob.glob(f"{outdir}/*") if not g.endswith(".json")})
     for name in names:

@@ -85,12 +85,15 @@ object Bench {
     // precision compile/exec breakdown only in bench_metric.json.
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // and a comma decimal separator would corrupt the JSON line.
+    // 2 decimals since round 8: at 74 queries the 3-decimal line
+    // measured ~1824 chars — ~100 under the cap once sbt's ~75-char
+    // epilogue is counted. 10 ms granularity is ample for per-query
+    // drift reading (full precision lives in bench_metric.json), and
+    // the saved 74 chars restore real headroom.
     def fmt(v: Double): String =
       if (v < 0) "-1"
-      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val cs = results.map { case (k, c, _) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     // failures carry a -1 sentinel; they must not (negatively!) offset
     // the headline total — sum only successful queries
@@ -100,20 +103,26 @@ object Bench {
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.
     println(line)
+    // Tripwire for the round-3 failure mode: warn (stderr, never the
+    // parsed stdout) while the line still parses, so the overflow is
+    // caught the round BEFORE the driver records parsed:null.
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: metric line ${line.length} chars " +
+        "— approaching the driver's 2000-char stdout tail cap")
     // bench_metric.json carries BOTH runs at full precision (the stdout
     // line stays run-1-only: adding a second per-query map is exactly
-    // what blew the driver's 2000-char tail cap in round 3).
+    // what blew the driver's 2000-char tail cap in round 3). Top-level
+    // queries/compile are kept for pre-r8 consumers and are exactly
+    // runs[0]'s maps — one construction path, no drift possible.
+    def mapJson(rs: Seq[(String, Double, Double)], f: ((String, Double, Double)) => Double): String =
+      rs.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
     def runJson(rs: Seq[(String, Double, Double)]): String = {
       val t = rs.collect { case (_, _, v) if v >= 0 => v }.sum
-      s"""{"total":$t,"queries":${
-        rs.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      },"compile":${
-        rs.map { case (k, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
-      }}"""
+      s"""{"total":$t,"queries":${mapJson(rs, _._3)},"compile":${mapJson(rs, _._2)}}"""
     }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"compile":$cs,"runs":[${runJson(results)},${runJson(results2)}],"sf":"$sfDir"}"""
+      mapJson(results, _._3)},"compile":${mapJson(results, _._2)
+    },"runs":[${runJson(results)},${runJson(results2)}],"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metric.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -170,20 +170,11 @@ object SparkEntry {
     // doc per duplicate cluster" pipeline stage. Bipartite doc-bucket
     // propagation — the pair graph is never materialized.
     "q_dedup_clusters" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, xxhash64}
       val docs = Tables.documents(s, d)
-      // Token-less docs have band_hash NULL. xxhash64 SKIPS null
-      // arguments, so without the filter every empty doc's bkey would
-      // collapse to xxhash64(band) — co-clustering all empty docs on
-      // Spark while the oracle's equi-join drops NULLs and leaves them
-      // isolated (and candidatePairs never joins NULL band_hash).
-      // ordered=false: the edge list is checkpointed unordered — a
-      // presentation sort here would cost a range-sampling job + sort
-      // with no consumer (see minHashBands).
-      val assignments = TextDedup.minHashBands(docs, ordered = false)
-        .filter(col("band_hash").isNotNull)
-        .withColumn("bkey", xxhash64(col("band"), col("band_hash")))
-      TextDedup.dedupClustersFromBuckets(docs, assignments)
+      // NULL-band_hash isolation + unordered-band rationale documented
+      // at the shared helper (also used by the CcDiag diagnostic).
+      TextDedup.dedupClustersFromBuckets(docs,
+        TextDedup.minhashBucketAssignments(docs))
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
@@ -958,18 +949,18 @@ object SparkEntry {
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
     },
-    // NOTE: the first mod is spelled ((x % P + P) % P) — pmod — so a
-    // NEGATIVE doc_id hashes identically in both engines (Spark pmod
-    // is non-negative; DuckDB % follows the dividend sign). After that
-    // reduction every term is non-negative, so plain % suffices.
-    "q_hash_split" ->
-      """SELECT doc_id, lang, source,
-        |  CASE WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+    // The shared pmod hash spelling lives in PortableText.duckHashOrder
+    // (negative-id parity rationale documented there).
+    "q_hash_split" -> {
+      import graft.functions.PortableText.duckHashOrder
+      s"""SELECT doc_id, lang, source,
+        |  CASE WHEN ${duckHashOrder("doc_id")} % 100 < 80
         |         THEN 'train'
-        |       WHEN (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |       WHEN ${duckHashOrder("doc_id")} % 100 < 90
         |         THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "q_corpus_select" -> {
       import graft.functions.PortableText._
       s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
@@ -1003,7 +994,7 @@ object SparkEntry {
         |JOIN qf ON qf.doc_id = d.doc_id
         |LEFT JOIN dup ON dup.doc_id = d.doc_id
         |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
-        |  AND (((d.doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |  AND ${duckHashOrder("d.doc_id")} % 100 < 80
         |ORDER BY d.doc_id""".stripMargin
     },
     // Same pmod spelling as q_hash_split for the shard; `//` in DuckDB
@@ -1021,7 +1012,7 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS tok_end
         |  FROM (
         |    SELECT doc_id,
-        |      CAST((((doc_id % $P + $P) % $P) * 2654435761) % $P % 4 AS INT) AS shard,
+        |      CAST(${duckHashOrder("doc_id")} % 4 AS INT) AS shard,
         |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
         |    FROM documents) s) x
         |ORDER BY doc_id""".stripMargin
@@ -1033,7 +1024,7 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (
         |  SELECT doc_id, lang, source, n_tokens,
         |    sum(n_tokens) OVER (PARTITION BY source
-        |      ORDER BY (((doc_id % $P + $P) % $P) * 2654435761) % $P, doc_id
+        |      ORDER BY ${duckHashOrder("doc_id")}, doc_id
         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
         |  FROM (
         |    SELECT doc_id, lang, source,
@@ -1042,10 +1033,10 @@ object SparkEntry {
         |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin
     },
     "q_source_cap" ->
-      """SELECT doc_id, lang, source, rnk FROM (
+      s"""SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY (((doc_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007, doc_id) AS rnk
+        |      ORDER BY ${graft.functions.PortableText.duckHashOrder("doc_id")}, doc_id) AS rnk
         |  FROM documents) x
         |WHERE rnk <= 10 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" -> {

@@ -55,7 +55,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // In filtered mode, emit only the filtered queries' oracles:
+    // otherwise check.py reports a spurious FAIL for every skipped
+    // query, and — in a REUSED outDir — would compare a skipped
+    // query's stale parquet from an earlier run as if it were fresh
+    // (the same phantom-pass hazard rmTree above exists to kill).
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

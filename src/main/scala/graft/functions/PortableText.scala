@@ -67,6 +67,15 @@ object PortableText {
   val grams3: String = "graft_grams(text, 3)"
 
   // ---------- DuckDB duals (same semantics, DuckDB syntax) ----------
+  /** The multiplicative doc_id hash (CorpusPipeline.hashOrder) in
+    * DuckDB SQL: first reduction spelled ((x % P + P) % P) — pmod —
+    * so NEGATIVE ids agree with Spark (SQL `%` follows the dividend
+    * sign); after it every term is non-negative and plain `%`
+    * suffices. ONE definition shared by every oracle that ranks or
+    * splits by this hash — hand-copied spellings are how cross-engine
+    * hash divergence sneaks in. */
+  def duckHashOrder(idCol: String): String =
+    s"((($idCol % $P + $P) % $P) * 2654435761) % $P"
   val duckTokens = "list_filter(string_split(text, ' '), t -> t <> '')"
   val duckTokenHashes: String =
     s"list_transform(list_distinct($duckTokens), t -> " +

@@ -318,6 +318,19 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** The doc→bucket assignment feed for [[dedupClustersFromBuckets]]
+    * exactly as `q_dedup_clusters` registers it: unordered minhash
+    * bands, NULL band_hash dropped (token-less docs must stay
+    * ISOLATED — xxhash64 skips null args, so without the filter every
+    * empty doc would collapse onto xxhash64(band) and co-cluster),
+    * bucket key = xxhash64(band, band_hash). ONE definition shared by
+    * the registry and the diagnostics (CcDiag) so a measurement can
+    * never silently drift from the measured query. */
+  def minhashBucketAssignments(docs: DataFrame): DataFrame =
+    minHashBands(docs, ordered = false)
+      .filter(col("band_hash").isNotNull)
+      .withColumn("bkey", xxhash64(col("band"), col("band_hash")))
+
   /** F13b — dedup clustering WITHOUT materializing the pair graph:
     * min-label propagation over the doc↔bucket BIPARTITE graph. Two
     * docs are connected iff they share an LSH bucket, so the
@@ -403,12 +416,15 @@ object TextDedup {
         .localCheckpoint(eager = false)
       // Labels only ever decrease, so round-stability (zero changed
       // labels vs the previous round) is the fixpoint. Round 0 is
-      // never probed: any corpus with one shared bucket changes a
-      // label in round 0, so its count job is a wasted barrier —
+      // normally not probed: any corpus with one shared bucket changes
+      // a label in round 0, so its count job is a wasted barrier —
       // skipping it lets round 1's count materialize rounds 0 AND 1
       // in a single job (the lazy checkpoints chain). A corpus with
-      // no duplicates at all pays one extra (tiny) round instead.
-      converged = iter > 0 &&
+      // no duplicates at all pays one extra (tiny) round instead. The
+      // skip never applies to the LAST allowed round (maxIter = 1
+      // would otherwise throw "did not converge" on an already-
+      // converged corpus).
+      converged = (iter > 0 || iter == maxIter - 1) &&
         next.filter(col("lbl") =!= col("prev_lbl")).count() == 0L
       labels = next.select("doc_id", "lbl")
       iter += 1

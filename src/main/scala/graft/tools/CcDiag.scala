@@ -27,9 +27,9 @@ object CcDiag {
     }
 
     val docs = Tables.documents(spark, sfDir)
-    val assignments = TextDedup.minHashBands(docs, ordered = false)
-      .filter(col("band_hash").isNotNull)
-      .withColumn("bkey", xxhash64(col("band"), col("band_hash")))
+    // Shared with q_dedup_clusters' registration — the diagnostic must
+    // measure the exact pipeline the registry serves.
+    val assignments = TextDedup.minhashBucketAssignments(docs)
 
     (1 to 3).foreach { i =>
       val (df, rounds) = time(s"run $i: build (all CC rounds)") {

@@ -36,7 +36,12 @@ object Sf1Smoke {
     spark.range(1000L).write.format("noop").mode("overwrite").save()
 
     val docsPath = s"$outDir/documents.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(docsPath))) {
+    val srcRows = spark.read.parquet(s"$src/documents.parquet").count()
+    // Cache guard on _SUCCESS, not bare directory existence: a killed
+    // prior write leaves a partial directory that would silently time
+    // the family on a fraction of the corpus.
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$docsPath/_SUCCESS"))) {
       spark.read.parquet(s"$src/documents.parquet")
         .crossJoin(spark.range(10).select(col("id").as("replica")))
         .select((col("doc_id") + col("replica") * lit(5000000000L)).as("doc_id"),
@@ -45,6 +50,10 @@ object Sf1Smoke {
         .write.mode("overwrite").parquet(docsPath)
     }
     val n = spark.read.parquet(docsPath).count()
+    // A stale cache (source regenerated since) must fail loudly, not
+    // mislabel the results.
+    require(n == 10 * srcRows,
+      s"replica has $n rows, expected ${10 * srcRows} — delete $outDir and rerun")
     println(s"[sf1-smoke] corpus rows=$n (10x $src)")
 
     def time(label: String)(f: => Unit): Double = {
