@@ -197,6 +197,55 @@ object Streaming {
       }
   }
 
+  case class SourcedDoc(doc_id: Long, source: String, text: String)
+  case class BudgetDecision(doc_id: Long, source: String, n_tokens: Long,
+                            cum_tokens: Long, admitted: Boolean)
+
+  /** G9 — streaming token-budget ADMISSION: the live twin of
+    * `CorpusPipeline.tokenBudgetPerSource`'s prefix-cut. Keyed state
+    * per source = (cumulative admitted tokens, exhausted flag); a doc
+    * is admitted while the source's inclusive running total fits the
+    * budget, and the FIRST doc to cross flips `exhausted` — every
+    * later doc is rejected outright (prefix-cut, no greedy refill,
+    * exactly the batch rule). State is two scalars per source: the
+    * minimum any quota enforcer must retain, independent of rate.
+    *
+    * Ordering contract (same class as G7's): batch ranks docs by the
+    * deterministic multiplicative hash; a stream can only rank within
+    * a micro-batch, so rows are hash-ordered per batch and arrival
+    * order governs across batches. When the producer feeds docs in
+    * hash order (e.g. a backfill replaying the batch walk), decisions
+    * match `tokenBudgetPerSource` doc-for-doc — spec'd. `cum_tokens`
+    * reports the inclusive total for admitted docs and the unchanged
+    * prefix total for rejected ones. */
+  def tokenBudgetAdmission(docs: Dataset[SourcedDoc],
+                           budget: Long): Dataset[BudgetDecision] = {
+    import docs.sparkSession.implicits._
+    val P = graft.functions.PortableText.P
+    def rank(id: Long): Long = ((id % P) + P) % P * 2654435761L % P
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[SourcedDoc],
+         state: GroupState[(Long, Boolean)]) =>
+          var (cum, exhausted) = state.getOption.getOrElse((0L, false))
+          val out = rows.toSeq.sortBy(d => (rank(d.doc_id), d.doc_id)).map { d =>
+            // same token rule as PortableText.tokens: whitespace
+            // split, empty fragments dropped
+            val n = d.text.split(' ').count(_.nonEmpty).toLong
+            if (!exhausted && cum + n <= budget) {
+              cum += n
+              BudgetDecision(d.doc_id, source, n, cum, admitted = true)
+            } else {
+              exhausted = true
+              BudgetDecision(d.doc_id, source, n, cum, admitted = false)
+            }
+          }
+          state.update((cum, exhausted))
+          out.iterator
+      }
+  }
+
   /** Per-doc verdict over one micro-batch of [[nearDupBandFlags]]
     * output (use inside `foreachBatch`): duplicate iff any band hit a
     * previously-claimed bucket. */

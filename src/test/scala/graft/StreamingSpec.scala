@@ -199,6 +199,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G9 parity: tokenBudgetAdmission fed in hash order admits " +
+      "exactly tokenBudgetPerSource's kept set, and exhaustion " +
+      "persists across batches") {
+    import graft.streaming.Streaming.{SourcedDoc, BudgetDecision}
+    val P = graft.functions.PortableText.P
+    def rank(id: Long): Long = ((id % P) + P) % P * 2654435761L % P
+    // 2 sources x 12 docs, 2..7 tokens each — budget 15 crosses
+    // mid-stream in both sources.
+    val docs = (0L until 24L).map { i =>
+      SourcedDoc(i, s"s${i % 2}", ("w " * (i % 6 + 2).toInt).trim)
+    }
+    val batchKept = graft.operators.CorpusPipeline
+      .tokenBudgetPerSource(
+        docs.map(d => (d.doc_id, d.text, "en", d.source))
+          .toDF("doc_id", "text", "lang", "source"), 15L)
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // feed in the batch hash walk, split across two micro-batches
+    val walk = docs.sortBy(d => (rank(d.doc_id), d.doc_id))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SourcedDoc]
+    val q = Streaming.tokenBudgetAdmission(in.toDS(), 15L)
+      .writeStream.format("memory").queryName("p_tb")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(walk.take(9): _*); q.processAllAvailable()
+      in.addData(walk.drop(9): _*); q.processAllAvailable()
+      val out = spark.table("p_tb").as[BudgetDecision].collect()
+      assert(out.length == docs.length)
+      // admitted set == batch prefix-cut, with matching running totals
+      assert(out.filter(_.admitted).map(d => d.doc_id -> d.cum_tokens).toMap
+        == batchKept)
+      // the crossing doc and everything after it are rejected, even a
+      // doc that would individually still fit (prefix-cut, not refill)
+      out.groupBy(_.source).foreach { case (_, rows) =>
+        val inWalk = rows.sortBy(d => (rank(d.doc_id), d.doc_id))
+        val firstReject = inWalk.indexWhere(!_.admitted)
+        assert(firstReject >= 0 && inWalk.drop(firstReject).forall(!_.admitted))
+      }
+    } finally q.stop()
+  }
+
   test("anomalyFlags keeps per-symbol state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Tick]
