@@ -221,6 +221,35 @@ object SparkEntry {
       CorpusPipeline.packSequences(Tables.documents(s, d), 512, 4)),
     "q_token_budget" -> ((s, d) =>
       CorpusPipeline.tokenBudgetPerSource(Tables.documents(s, d), 1000L)),
+    // F22 — line-level boilerplate dedup. The synthetic corpus has no
+    // newlines, so the registry instantiates the SAME code path at
+    // token granularity (delim = ' '): tokens in more than half of
+    // all docs are the "boilerplate lines". CurationSpec drives the
+    // newline form on real multi-line documents.
+    "q_line_dedup" -> ((s, d) =>
+      Curation.lineDedup(Tables.documents(s, d), " ", 50)),
+    // F23 — PII scrub. The synthetic corpus is PII-free word soup, so
+    // the registry appends a deterministic contact line derived from
+    // (doc_id, source) before scrubbing — the redaction itself (and
+    // its cross-engine regex parity) is what's hash-checked; the
+    // oracle builds the identical line in SQL.
+    "q_pii_scrub" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, lpad, pmod}
+      Curation.piiScrub(Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" user"), col("doc_id").cast("string"),
+          lit("@"), col("source"), lit(".net call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".99"))))
+    }),
+    // F24 — quantized k-means topic clustering (k=8, 2 assignment
+    // rounds, 1/32 fixed-point grid).
+    "q_kmeans" -> ((s, d) =>
+      Vectors.kmeansAssign(Tables.embeddings(s, d), 8, 2, 32)),
+    // F25 — int8 scalar quantization + reconstruction-error profile.
+    "q_embed_quant" -> ((s, d) =>
+      Vectors.quantizeInt8(Tables.embeddings(s, d))),
     // The pipeline's end product as ONE declarative plan: the
     // materialized training slice = quality-kept ∧ not a near-dup ∧
     // in the train split. Catalyst fuses the three stages' scans and
@@ -1032,6 +1061,141 @@ object SparkEntry {
         |    FROM documents) s) x
         |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin
     },
+    // Keep rule is exact integer arithmetic (df*100 <= n_docs*50);
+    // within-doc repeats count once toward df but are kept/dropped in
+    // place; reassembly order restored by pos. Spark's pos is 0-based
+    // and internal only — both engines order by it, neither emits it.
+    "q_line_dedup" ->
+      """WITH p AS (SELECT doc_id, string_split(text, ' ') AS parts
+        |  FROM documents),
+        |l0 AS (SELECT doc_id, unnest(range(1, length(parts) + 1)) AS pos,
+        |    parts FROM p),
+        |l AS (SELECT doc_id, pos, parts[CAST(pos AS INT)] AS line FROM l0
+        |  WHERE parts[CAST(pos AS INT)] <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line,
+        |    df.df * 100 <= nd.n_docs * 50 AS kept
+        |  FROM l JOIN df USING (line) CROSS JOIN nd),
+        |agg AS (SELECT doc_id, count(*) AS n_lines,
+        |    count(CASE WHEN kept THEN 1 END) AS n_kept,
+        |    coalesce(string_agg(CASE WHEN kept THEN line END, ' '
+        |      ORDER BY pos), '') AS clean_text
+        |  FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_lines, 0) AS n_lines,
+        |  coalesce(agg.n_kept, 0) AS n_kept,
+        |  coalesce(agg.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // The regex constants interpolate from Curation so the Spark plan
+    // and the oracle can never drift; DuckDB single-quoted literals do
+    // not escape-process, so the backslashes arrive verbatim (RE2 and
+    // Java regex agree on this restricted syntax). Counts are on the
+    // ORIGINAL text; replacement order email -> ip -> phone.
+    "q_pii_scrub" -> {
+      val (em, ip, ph) = (Curation.EmailRe, Curation.IpRe, Curation.PhoneRe)
+      s"""WITH t AS (SELECT doc_id,
+        |    text || ' user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+        |    '.net call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(regexp_extract_all(text, '$em')) AS n_emails,
+        |  length(regexp_extract_all(text, '$ip')) AS n_ips,
+        |  length(regexp_extract_all(text, '$ph')) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$em', '<EMAIL>', 'g'),
+        |    '$ip', '<IP>', 'g'),
+        |    '$ph', '<PHONE>', 'g') AS clean_text
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // Quantized Lloyd (k=8, 2 assignment rounds, 1/32 grid): the
+    // fixed-point snap makes the update's per-dim sums exact integers
+    // (order-free), and every dot/score is the same left-to-right
+    // list_reduce the ANN oracles replay against graft_vecdot.
+    // Centroid cid == init vec_id; ties to the lower cid, matching
+    // array_position-of-array_min; a cluster with no members keeps
+    // its previous centroid (the coalesce).
+    "q_kmeans" -> {
+      def dot(a: String, b: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(64), i -> $a[CAST(i+1 AS INT)] * " +
+          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 32 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |qd AS (SELECT vec_id, qv,
+        |    list_transform(qv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+        |  FROM q),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM qd WHERE vec_id < 8),
+        |s1 AS (SELECT qd.vec_id, c0.cid,
+        |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
+        |  FROM qd, c0),
+        |a1 AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |  FROM s1) x WHERE rn = 1),
+        |dims AS (SELECT a1.cluster, unnest(range(64)) AS d, qd.qv
+        |  FROM qd JOIN a1 USING (vec_id)),
+        |u AS (SELECT cluster, d, sum(qv[CAST(d + 1 AS INT)]) AS s,
+        |    count(*) AS cnt
+        |  FROM dims GROUP BY cluster, d),
+        |u2 AS (SELECT cluster,
+        |    list(CAST(CAST(CAST(s AS DOUBLE) / cnt AS FLOAT) AS DOUBLE)
+        |      ORDER BY d) AS cv
+        |  FROM u GROUP BY cluster),
+        |c1 AS (SELECT c0.cid, coalesce(u2.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN u2 ON u2.cluster = c0.cid),
+        |s2 AS (SELECT qd.vec_id, c1.cid,
+        |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
+        |  FROM qd, c1),
+        |a2 AS (SELECT vec_id, cid AS cluster, score
+        |  FROM (SELECT vec_id, cid, score,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |  FROM s2) x WHERE rn = 1),
+        |qq AS (SELECT vec_id, ${dot("v", "v")} AS qq FROM qd)
+        |SELECT a2.vec_id, a2.cluster, round(a2.score + qq.qq, 4) AS dist_sq
+        |FROM a2 JOIN qq USING (vec_id) ORDER BY vec_id""".stripMargin
+    },
+    // Same IEEE op sequence as Vectors.quantizeInt8: ((x-mn)/(mx-mn))
+    // *255+0.5 floored, dequant mn + q/255*(mx-mn), error fold
+    // left-to-right; a constant dimension (mx == mn) codes to 0.
+    "q_embed_quant" ->
+      """WITH dm AS (SELECT unnest(range(64)) AS d, embedding
+        |  FROM embeddings),
+        |mm AS (SELECT d,
+        |    min(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) AS mn,
+        |    max(CAST(embedding[CAST(d + 1 AS INT)] AS DOUBLE)) AS mx
+        |  FROM dm GROUP BY d),
+        |st AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |  FROM mm),
+        |e AS (SELECT vec_id, embedding, mns, mxs
+        |  FROM embeddings CROSS JOIN st),
+        |qz AS (SELECT vec_id, embedding, mns, mxs,
+        |    list_transform(range(64), i ->
+        |      CASE WHEN mxs[CAST(i+1 AS INT)] > mns[CAST(i+1 AS INT)]
+        |        THEN CAST(floor((CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+        |          - mns[CAST(i+1 AS INT)])
+        |          / (mxs[CAST(i+1 AS INT)] - mns[CAST(i+1 AS INT)])
+        |          * 255 + 0.5) AS INT)
+        |        ELSE 0 END) AS qarr
+        |  FROM e),
+        |er AS (SELECT vec_id, qarr,
+        |    list_transform(range(64), i ->
+        |      abs(CAST(embedding[CAST(i+1 AS INT)] AS DOUBLE)
+        |        - (mns[CAST(i+1 AS INT)]
+        |           + CAST(qarr[CAST(i+1 AS INT)] AS DOUBLE) / 255.0
+        |             * (mxs[CAST(i+1 AS INT)] - mns[CAST(i+1 AS INT)]))))
+        |      AS errs
+        |  FROM qz)
+        |SELECT vec_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(qarr, x -> CAST(x AS BIGINT))), (a, b) -> a + b)
+        |    AS qsum,
+        |  round(list_max(errs), 6) AS max_err,
+        |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
+        |    (a, b) -> a + b) / 64, 6) AS mean_err
+        |FROM er ORDER BY vec_id""".stripMargin,
     "q_source_cap" ->
       s"""SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VecDot
@@ -150,6 +150,143 @@ object Vectors {
       .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
         round(col("cos_sim_raw"), 4).as("cos_sim"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** F24 — deterministic QUANTIZED k-means over embeddings: the
+    * semantic-clustering stage a corpus pipeline runs to balance a
+    * training mix by TOPIC (cluster) rather than by crawl source —
+    * the F18/F21 rebalancers keyed on a learned cluster id instead of
+    * a `source` string.
+    *
+    * Why quantized: Lloyd's update averages member vectors, and a
+    * float sum's value depends on reduction ORDER — unreproducible
+    * across engines and across shuffle layouts. Snapping each
+    * component to a fixed-point grid (`round(x·scale)` via the
+    * engine-exact `floor(x·scale + 0.5)` — scale is a power of two,
+    * so x·scale is float-exact) makes every per-cluster per-dim sum
+    * an exact INTEGER: order-free, bit-identical in Spark and the
+    * oracle. Centroid = (sum/count) in double, cast to float; all
+    * distances run through the same left-to-right [[VecDot]]
+    * accumulation as the ANN family, so assignment is deterministic
+    * end to end.
+    *
+    * Init: the quantized vectors of vec_ids 0..k-1 (cluster index ==
+    * init vec_id, matching the oracle's `cid`). Assignment minimizes
+    * ‖q−c‖² via the score `c·c − 2·q·c` (the `q·q` term is constant
+    * per vector); ties go to the lower cluster index
+    * (`array_position` finds the FIRST minimum). A cluster that loses
+    * all members keeps its previous centroid, the standard Lloyd
+    * convention. Output: each vector's cluster after `iters`
+    * assignment rounds and its exact squared distance.
+    *
+    * Scale shape: centroids are k·dim floats — a bounded driver
+    * collect per iteration (like the IVF centroid fetch); every
+    * iteration is one jobs-worth of narrow scoring + a k-group
+    * aggregation with map-side partial sums. Nothing is ever
+    * per-pair; iteration count is a small constant.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   scale: Int = 32, dim: Int = Dim): DataFrame = {
+    require(iters >= 1, s"kmeansAssign: iters must be >= 1, got $iters")
+    VecDot.register(emb.sparkSession)
+    // qv: exact fixed-point grid as bigint (for integer-exact sums);
+    // qf: the same values as float (VecDot's input type — exact, the
+    // grid values are far below 2^24). Checkpointed once: three
+    // consumers (init fetch, per-iteration update, final scoring).
+    val base = emb.select(col("vec_id"),
+        expr(s"transform(embedding, x -> " +
+          s"CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5d) AS BIGINT))").as("qv"))
+      .withColumn("qf", expr("transform(qv, v -> CAST(v AS FLOAT))"))
+      .localCheckpoint(true)
+    var cents: Array[Seq[Float]] = base.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("qf").collect().map(_.getSeq[Float](0))
+    require(cents.length == k,
+      s"kmeansAssign: need vec_ids 0..${k - 1} present for init, " +
+        s"found ${cents.length}")
+    def scores: Column = array(cents.map { c =>
+      val cl = typedlit(c)
+      call_function("graft_vecdot", cl, cl) -
+        lit(2.0) * call_function("graft_vecdot", col("qf"), cl)
+    }: _*)
+    def clusterOf(sc: Column): Column =
+      (array_position(sc, array_min(sc)) - 1).cast("int")
+    for (_ <- 1 until iters) {
+      val aggCols = (0 until dim).map(i =>
+        sum(element_at(col("qv"), i + 1)).as(s"s$i")) :+ count(lit(1)).as("cnt")
+      val sums = base.withColumn("cluster", clusterOf(scores))
+        .groupBy("cluster").agg(aggCols.head, aggCols.tail: _*)
+        .collect().map(r => r.getInt(0) ->
+          ((0 until dim).map(i => r.getLong(i + 1)), r.getLong(dim + 1))).toMap
+      cents = Array.tabulate(k) { j =>
+        sums.get(j) match {
+          case Some((s, cnt)) => s.map(v => (v.toDouble / cnt).toFloat)
+          case None           => cents(j) // empty cluster keeps its centroid
+        }
+      }
+    }
+    base.withColumn("_scores", scores)
+      .withColumn("cluster", clusterOf(col("_scores")))
+      .withColumn("dist_sq",
+        round(call_function("graft_vecdot", col("qf"), col("qf")) +
+          array_min(col("_scores")), 4))
+      .select("vec_id", "cluster", "dist_sq")
+      .orderBy("vec_id")
+  }
+
+  /** F25 — int8 embedding quantization with a reconstruction-error
+    * profile: the memory-scale path for ANN over 100 TB of embeddings
+    * (4× smaller vectors than float32 → 4× more candidates per
+    * executor's memory, the standard faiss-style SQ8 trade). Each
+    * dimension is affinely mapped to 0..255 by its CORPUS-WIDE
+    * min/max; the report carries per-vector `qsum` (exact integer
+    * checksum of the codes) and max/mean absolute reconstruction
+    * error — the numbers that tell a pipeline owner whether SQ8 is
+    * safe for their recall target.
+    *
+    * Determinism: min/max are order-free, the per-element map is one
+    * fixed IEEE op sequence mirrored by the oracle, the error fold is
+    * left-to-right. A constant dimension (max == min) quantizes to
+    * code 0 with dequant == min (no ANSI x/0).
+    *
+    * Scale shape: one exploded min/max aggregation (64 groups,
+    * partial-agg'd map-side) collapsed to a ONE-ROW broadcast of two
+    * dim-length arrays, then a purely narrow encode pass — no driver
+    * collect, no second shuffle.
+    */
+  def quantizeInt8(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val stats = emb
+      .select(posexplode(col("embedding")))
+      .groupBy("pos").agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)")
+          .as("mxs"))
+    val d = dim - 1
+    emb.crossJoin(broadcast(stats))
+      .withColumn("qarr", expr(
+        s"""transform(sequence(0, $d), i ->
+           |  CASE WHEN element_at(mxs, i+1) > element_at(mns, i+1)
+           |    THEN CAST(floor((CAST(element_at(embedding, i+1) AS DOUBLE)
+           |      - element_at(mns, i+1))
+           |      / (element_at(mxs, i+1) - element_at(mns, i+1))
+           |      * 255 + 0.5d) AS INT)
+           |    ELSE 0 END)""".stripMargin))
+      .withColumn("errs", expr(
+        s"""transform(sequence(0, $d), i ->
+           |  abs(CAST(element_at(embedding, i+1) AS DOUBLE)
+           |    - (element_at(mns, i+1)
+           |       + CAST(element_at(qarr, i+1) AS DOUBLE) / 255.0d
+           |         * (element_at(mxs, i+1) - element_at(mns, i+1)))))"""
+          .stripMargin))
+      .select(col("vec_id"),
+        expr("aggregate(qarr, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))")
+          .as("qsum"),
+        round(expr("array_max(errs)"), 6).as("max_err"),
+        round(expr(s"aggregate(errs, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+          .divide(lit(dim)), 6).as("mean_err"))
+      .orderBy("vec_id")
   }
 
   /** F5 — embedding-cosine near-dup: candidate pairs come from shared

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{Curation, Vectors}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- F22 lineDedup ----------
+
+  private def docsFrom(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("lineDedup drops lines above the df threshold, keeps order, " +
+      "and reports empty docs") {
+    val banner = "accept cookies to continue"
+    val docs = docsFrom(
+      1L -> s"$banner\nunique first line\nsecond line",
+      2L -> s"$banner\nanother doc body",
+      3L -> s"$banner\nthird body\nthird tail",
+      4L -> "")
+    // banner df=3 of 4 docs -> 75% > 50% -> dropped everywhere
+    val out = Curation.lineDedup(docs, "\n", 50)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "unique first line\nsecond line"),
+      (2L, 2L, 1L, "another doc body"),
+      (3L, 3L, 2L, "third body\nthird tail"),
+      (4L, 0L, 0L, "")))
+  }
+
+  test("lineDedup: a line in exactly half the docs is KEPT (<=), and " +
+      "within-doc repeats count once toward df but are kept in place") {
+    val docs = docsFrom(
+      1L -> "half\nhalf\nown",   // 'half' twice in doc 1: df still 2
+      2L -> "half\nother",
+      3L -> "solo three",
+      4L -> "solo four")
+    // 'half' df=2 of 4 -> 2*100 <= 4*50 -> kept; both copies survive
+    val out = Curation.lineDedup(docs, "\n", 50)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.head == (1L, 3L, 3L, "half\nhalf\nown"))
+    assert(out(1) == (2L, 2L, 2L, "half\nother"))
+  }
+
+  test("lineDedup treats the delimiter literally (regex metachar safe)") {
+    val docs = docsFrom(1L -> "a.b", 2L -> "a.c")
+    // delim '.' must split into lines a|b, not regex-any-char
+    val out = Curation.lineDedup(docs, ".", 50)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // 'a' df=2 of 2 -> 100% > 50% dropped; b and c kept
+    assert(out == Seq((1L, 2L, 1L, "b"), (2L, 2L, 1L, "c")))
+  }
+
+  // ---------- F23 piiScrub ----------
+
+  test("piiScrub redacts emails, IPs and phones with independent counts") {
+    val docs = docsFrom(
+      1L -> "contact john.doe@example.com or jane_x@sub.domain.org today",
+      2L -> "server 192.168.0.1 and 10.0.255.99 port open",
+      3L -> "call 555-1234 then 555-0000",
+      4L -> "no pii in this document at all")
+    val out = Curation.piiScrub(docs)
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2, 0, 0, "contact <EMAIL> or <EMAIL> today"),
+      (2L, 0, 2, 0, "server <IP> and <IP> port open"),
+      (3L, 0, 0, 2, "call <PHONE> then <PHONE>"),
+      (4L, 0, 0, 0, "no pii in this document at all")))
+  }
+
+  test("piiScrub: word boundaries stop partial matches") {
+    val docs = docsFrom(
+      1L -> "version v1.2.3.4x is not an ip",  // trailing x kills \b
+      2L -> "item 1234-5678 is not a phone")   // 4-3 grouping mismatch
+    val out = Curation.piiScrub(docs)
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out(0)._3 == 0 && out(0)._5.contains("v1.2.3.4x"))
+    assert(out(1)._4 == 0 && out(1)._5.contains("1234-5678"))
+  }
+
+  // ---------- F24 kmeansAssign ----------
+
+  private def embFrom(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("kmeansAssign separates well-separated groups and is " +
+      "deterministic across runs") {
+    // vec 0 seeds cluster 0 (low region), vec 1 seeds cluster 1 (high).
+    val rows = Seq(
+      0L -> Array(0.0f, 0.1f, 0.0f, 0.1f),
+      1L -> Array(9.0f, 9.1f, 9.0f, 9.1f),
+      2L -> Array(0.2f, 0.0f, 0.1f, 0.0f),
+      3L -> Array(8.9f, 9.0f, 9.2f, 9.0f),
+      4L -> Array(0.1f, 0.2f, 0.2f, 0.1f),
+      5L -> Array(9.1f, 8.8f, 9.0f, 9.3f))
+    val run1 = Vectors.kmeansAssign(embFrom(rows: _*), k = 2, iters = 3,
+      scale = 32, dim = 4).as[(Long, Int, Double)].collect().toSeq
+    val run2 = Vectors.kmeansAssign(embFrom(rows: _*), k = 2, iters = 3,
+      scale = 32, dim = 4).as[(Long, Int, Double)].collect().toSeq
+    assert(run1 == run2)
+    assert(run1.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0, 2L -> 0, 4L -> 0, 1L -> 1, 3L -> 1, 5L -> 1))
+    assert(run1.forall(_._3 >= 0.0))
+  }
+
+  test("kmeansAssign: an emptied cluster keeps its centroid (duplicate " +
+      "init vectors tie to the lower cluster)") {
+    // vec 2 duplicates vec 0, so cluster 2 loses every member in round
+    // 1 (ties go to cluster 0) — the update must not divide by zero or
+    // drop the centroid.
+    val rows = Seq(
+      0L -> Array(1.0f, 1.0f),
+      1L -> Array(5.0f, 5.0f),
+      2L -> Array(1.0f, 1.0f),
+      3L -> Array(5.1f, 4.9f))
+    val out = Vectors.kmeansAssign(embFrom(rows: _*), k = 3, iters = 2,
+      scale = 32, dim = 2).as[(Long, Int, Double)].collect().toSeq
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
+  }
+
+  test("kmeansAssign requires init ids 0..k-1") {
+    val rows = Seq(5L -> Array(1.0f, 2.0f))
+    val e = intercept[IllegalArgumentException] {
+      Vectors.kmeansAssign(embFrom(rows: _*), k = 2, iters = 1,
+        scale = 32, dim = 2)
+    }
+    assert(e.getMessage.contains("init"))
+  }
+
+  // ---------- F25 quantizeInt8 ----------
+
+  test("quantizeInt8 codes by corpus min/max, zero-codes constant " +
+      "dims, and bounds reconstruction error by half a step") {
+    val rows = Seq(
+      0L -> Array(0.0f, 5.0f),
+      1L -> Array(1.0f, 5.0f),
+      2L -> Array(0.5f, 5.0f))
+    val out = Vectors.quantizeInt8(embFrom(rows: _*), dim = 2)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // dim0 range [0,1]: codes 0 / 255 / 128; dim1 constant -> 0.
+    assert(out.map(r => r._1 -> r._2) == Seq(0L -> 0L, 1L -> 255L, 2L -> 128L))
+    // exact endpoints reconstruct exactly; the midpoint's error is
+    // |0.5 - 128/255| ~ 0.00196, under half a step (1/255/2 + eps)
+    assert(out(0)._3 == 0.0 && out(1)._3 == 0.0)
+    // max_err is emitted rounded to 6 decimals — allow that last-digit
+    // round-up past the exact half-step bound
+    assert(out(2)._3 > 0.0 && out(2)._3 <= 0.5 / 255 + 1e-6)
+    assert(out.forall(r => r._4 <= r._3))
+  }
+}
