@@ -17,6 +17,28 @@ object SparkEntry {
     Analytics.pricingSummary(Tables.lineitem(spark, d), "1998-09-02 00:00:00")
   }
 
+  /** Deterministic PII-bearing contact line appended to each doc's
+    * text (the synthetic corpus is PII-free word soup): one email, one
+    * phone, one IPv4, all pure functions of (doc_id, source). Used by
+    * `q_pii_scrub` and the `q_corpus_curate` composition;
+    * [[duckContactText]] is the SQL dual — one definition each side so
+    * the spellings cannot drift. */
+  private def withContactLine(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.withColumn("text", concat(col("text"),
+      lit(" user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".net call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".99")))
+  }
+
+  /** DuckDB dual of [[withContactLine]]'s text expression. */
+  private val duckContactText: String =
+    "text || ' user' || CAST(doc_id AS VARCHAR) || '@' || source || " +
+      "'.net call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
+      "|| ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99'"
+
   /** Tick view over events — same derivation as Tables.ticks (SURVEY §3). */
   val ticksSql: String =
     "(SELECT event_id AS tick_id, user_id AS symbol, ts, value AS bid, value*1.0002+0.01 AS ask FROM events)"
@@ -233,16 +255,8 @@ object SparkEntry {
     // (doc_id, source) before scrubbing — the redaction itself (and
     // its cross-engine regex parity) is what's hash-checked; the
     // oracle builds the identical line in SQL.
-    "q_pii_scrub" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, concat, lit, lpad, pmod}
-      Curation.piiScrub(Tables.documents(s, d).withColumn("text",
-        concat(col("text"),
-          lit(" user"), col("doc_id").cast("string"),
-          lit("@"), col("source"), lit(".net call 555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
-          lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
-          lit(".99"))))
-    }),
+    "q_pii_scrub" -> ((s, d) =>
+      Curation.piiScrub(withContactLine(Tables.documents(s, d)))),
     // F24 — quantized k-means topic clustering (k=8, 2 assignment
     // rounds, 1/32 fixed-point grid).
     "q_kmeans" -> ((s, d) =>
@@ -267,6 +281,36 @@ object SparkEntry {
         .filter(col("keep") && not(col("is_duplicate")) &&
           col("split") === "train")
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    // F26 — the FULL curation pipeline as ONE declarative plan:
+    // contact-line inject → line-level boilerplate dedup (maxDfPct=80:
+    // the synthetic vocab is 31 tokens, 30 at df 75–80%, so this drops
+    // exactly the most common token corpus-wide — 50 would strip the
+    // whole vocabulary and empty the output) → PII scrub →
+    // quality filter ON THE CLEANED TEXT (minTokens=5; stopword rule
+    // disabled — stopwords are exactly what line-dedup removes) →
+    // not-a-near-dup (on raw text) → train split. Catalyst fuses six
+    // stages' scans; the emitted clean_text has boilerplate gone and
+    // PII redacted. Tiny survivor counts are the template corpus
+    // (see q_corpus_select), not a bug.
+    "q_corpus_curate" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, not}
+      val raw = Tables.documents(s, d)
+      val cleaned = Curation.lineDedup(withContactLine(raw), " ", 80)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val scrubbed = Curation.piiScrub(cleaned)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val qf = CorpusPipeline.qualityFilter(scrubbed, 5, 0.65, 0.0)
+        .select("doc_id", "n_tokens", "keep")
+      val dup = TextDedup.greedyNearDup(raw)
+      val split = CorpusPipeline.hashSplit(raw).select("doc_id", "split")
+      raw.select("doc_id", "source")
+        .join(scrubbed.withColumnRenamed("text", "clean_text"), "doc_id")
+        .join(qf, "doc_id").join(dup, "doc_id").join(split, "doc_id")
+        .filter(col("keep") && not(col("is_duplicate")) &&
+          col("split") === "train")
+        .select("doc_id", "source", "n_tokens", "clean_text")
         .orderBy("doc_id")
     }),
     // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
@@ -1094,10 +1138,7 @@ object SparkEntry {
     // ORIGINAL text; replacement order email -> ip -> phone.
     "q_pii_scrub" -> {
       val (em, ip, ph) = (Curation.EmailRe, Curation.IpRe, Curation.PhoneRe)
-      s"""WITH t AS (SELECT doc_id,
-        |    text || ' user' || CAST(doc_id AS VARCHAR) || '@' || source ||
-        |    '.net call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99' AS text
+      s"""WITH t AS (SELECT doc_id, $duckContactText AS text
         |  FROM documents)
         |SELECT doc_id,
         |  length(regexp_extract_all(text, '$em')) AS n_emails,
@@ -1196,6 +1237,67 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
         |    (a, b) -> a + b) / 64, 6) AS mean_err
         |FROM er ORDER BY vec_id""".stripMargin,
+    // The composed curation plan replayed stage by stage: the line
+    // dedup CTEs are q_line_dedup's over the contact-injected text,
+    // the scrub is q_pii_scrub's replace chain, the quality rules are
+    // q_quality_filter's with (minTokens=5, stop rule < 0.0 — never
+    // fires, spelled identically to Spark's), and the dup/split
+    // predicates are q_corpus_select's verbatim.
+    "q_corpus_curate" -> {
+      import graft.functions.PortableText._
+      val (em, ip, ph) = (Curation.EmailRe, Curation.IpRe, Curation.PhoneRe)
+      s"""WITH raw AS (SELECT doc_id, $duckContactText AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, string_split(text, ' ') AS parts FROM raw),
+        |l0 AS (SELECT doc_id, unnest(range(1, length(parts) + 1)) AS pos,
+        |    parts FROM p),
+        |l AS (SELECT doc_id, pos, parts[CAST(pos AS INT)] AS line FROM l0
+        |  WHERE parts[CAST(pos AS INT)] <> ''),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |ldf AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |cl AS (SELECT l.doc_id,
+        |    coalesce(string_agg(CASE WHEN ldf.df * 100 <= nd.n_docs * 80
+        |      THEN l.line END, ' ' ORDER BY l.pos), '') AS text
+        |  FROM l JOIN ldf USING (line) CROSS JOIN nd GROUP BY l.doc_id),
+        |sc AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '$em', '<EMAIL>', 'g'),
+        |      '$ip', '<IP>', 'g'),
+        |      '$ph', '<PHONE>', 'g') AS text
+        |  FROM cl),
+        |tk AS (SELECT doc_id, text, $duckTokens AS tk FROM sc),
+        |qf AS (SELECT doc_id, text, length(tk) AS n_tokens,
+        |    (CASE WHEN length(tk) < 5 THEN 'short'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              1.0 - CAST(length(list_distinct(tk)) AS DOUBLE)
+        |                / length(tk) END > 0.65 THEN 'repetitive'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              CAST(length(list_filter(tk, t -> list_contains(
+        |                ['the','a','of','and','to'], t))) AS DOUBLE)
+        |                / length(tk) END < 0.0 THEN 'low_stop'
+        |     END) IS NULL AS keep
+        |  FROM tk),
+        |th AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM th),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bf AS (SELECT band, band_hash, min(doc_id) AS first_doc
+        |       FROM bands WHERE band_hash IS NOT NULL
+        |       GROUP BY band, band_hash),
+        |dup AS (SELECT bands.doc_id,
+        |         bool_or(first_doc < bands.doc_id) AS is_dup
+        |       FROM bands JOIN bf USING (band, band_hash)
+        |       GROUP BY bands.doc_id)
+        |SELECT d.doc_id, d.source, qf.n_tokens, qf.text AS clean_text
+        |FROM documents d
+        |JOIN qf ON qf.doc_id = d.doc_id
+        |LEFT JOIN dup ON dup.doc_id = d.doc_id
+        |WHERE qf.keep AND NOT coalesce(dup.is_dup, false)
+        |  AND ${duckHashOrder("d.doc_id")} % 100 < 80
+        |ORDER BY d.doc_id""".stripMargin
+    },
     "q_source_cap" ->
       s"""SELECT doc_id, lang, source, rnk FROM (
         |  SELECT doc_id, lang, source,
