@@ -299,8 +299,16 @@ object SparkEntry {
       val raw = Tables.documents(s, d)
       val cleaned = Curation.lineDedup(withContactLine(raw), " ", 80)
         .select(col("doc_id"), col("clean_text").as("text"))
+      // Materialization barrier (same contract as cosineDedup /
+      // ngramJaccard): the scrubbed frame feeds BOTH the quality
+      // filter and the output join — without the barrier, projection
+      // collapse inlines the whole line-dedup+scrub subtree into each
+      // consumer and evaluates it twice (measured ~2x at the sf1
+      // smoke). At real scale the curated text is the materialized
+      // product anyway; pinning it once is the honest plan.
       val scrubbed = Curation.piiScrub(cleaned)
         .select(col("doc_id"), col("clean_text").as("text"))
+        .localCheckpoint(true)
       val qf = CorpusPipeline.qualityFilter(scrubbed, 5, 0.65, 0.0)
         .select("doc_id", "n_tokens", "keep")
       val dup = TextDedup.greedyNearDup(raw)

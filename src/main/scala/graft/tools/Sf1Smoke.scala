@@ -56,6 +56,27 @@ object Sf1Smoke {
       s"replica has $n rows, expected ${10 * srcRows} — delete $outDir and rerun")
     println(s"[sf1-smoke] corpus rows=$n (10x $src)")
 
+    // 10x embeddings replica for the vector ops (round-8 additions).
+    // Replica 0 keeps the original vec_ids, so kmeansAssign's 0..k-1
+    // init contract holds; the duplicated vectors make every kmeans
+    // cell and LSH bucket 10x hot, same worst-case logic as the docs.
+    val embPath = s"$outDir/embeddings.parquet"
+    val srcVecs = spark.read.parquet(s"$src/embeddings.parquet").count()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$embPath/_SUCCESS"))) {
+      spark.read.parquet(s"$src/embeddings.parquet")
+        .crossJoin(spark.range(10).select(col("id").as("replica")))
+        .select((col("vec_id") + col("replica") * lit(5000000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val nv = spark.read.parquet(embPath).count()
+    require(nv == 10 * srcVecs,
+      s"embedding replica has $nv rows, expected ${10 * srcVecs} — " +
+        s"delete $outDir and rerun")
+    println(s"[sf1-smoke] embedding rows=$nv (10x $src)")
+
     def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
@@ -63,7 +84,10 @@ object Sf1Smoke {
       s
     }
     val family = Seq("q_dedup_minhash", "q_dedup_greedy", "q_dedup_clusters",
-      "q_decontaminate", "q_dedup_exact", "q_corpus_select")
+      "q_decontaminate", "q_dedup_exact", "q_corpus_select",
+      // round-8 curation + vector additions at the same 10x scale
+      "q_line_dedup", "q_pii_scrub", "q_corpus_curate",
+      "q_kmeans", "q_embed_quant")
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
