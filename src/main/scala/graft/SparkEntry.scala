@@ -39,6 +39,51 @@ object SparkEntry {
       "'.net call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') " +
       "|| ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99'"
 
+  /** The quantized-Lloyd oracle CTE chain (dual of
+    * `Vectors.kmeansAssign(k=8, iters=2, scale=32)`), ending in `a2`
+    * (vec_id, cluster, score) and `qq` (vec_id, qq). Shared by
+    * `q_kmeans` and `q_cluster_cap` so the iteration spelling exists
+    * once. */
+  private def duckKmeansCtes: String = {
+    def dot(a: String, b: String): String =
+      "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(64), i -> $a[CAST(i+1 AS INT)] * " +
+        s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+    s"""WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 32 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qd AS (SELECT vec_id, qv,
+      |    list_transform(qv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
+      |  FROM q),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM qd WHERE vec_id < 8),
+      |s1 AS (SELECT qd.vec_id, c0.cid,
+      |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
+      |  FROM qd, c0),
+      |a1 AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+      |  FROM s1) x WHERE rn = 1),
+      |dims AS (SELECT a1.cluster, unnest(range(64)) AS d, qd.qv
+      |  FROM qd JOIN a1 USING (vec_id)),
+      |u AS (SELECT cluster, d, sum(qv[CAST(d + 1 AS INT)]) AS s,
+      |    count(*) AS cnt
+      |  FROM dims GROUP BY cluster, d),
+      |u2 AS (SELECT cluster,
+      |    list(CAST(CAST(CAST(s AS DOUBLE) / cnt AS FLOAT) AS DOUBLE)
+      |      ORDER BY d) AS cv
+      |  FROM u GROUP BY cluster),
+      |c1 AS (SELECT c0.cid, coalesce(u2.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN u2 ON u2.cluster = c0.cid),
+      |s2 AS (SELECT qd.vec_id, c1.cid,
+      |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
+      |  FROM qd, c1),
+      |a2 AS (SELECT vec_id, cid AS cluster, score
+      |  FROM (SELECT vec_id, cid, score,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+      |  FROM s2) x WHERE rn = 1),
+      |qq AS (SELECT vec_id, ${dot("v", "v")} AS qq FROM qd)""".stripMargin
+  }
+
   /** Tick view over events — same derivation as Tables.ticks (SURVEY §3). */
   val ticksSql: String =
     "(SELECT event_id AS tick_id, user_id AS symbol, ts, value AS bid, value*1.0002+0.01 AS ask FROM events)"
@@ -261,9 +306,17 @@ object SparkEntry {
     // rounds, 1/32 fixed-point grid).
     "q_kmeans" -> ((s, d) =>
       Vectors.kmeansAssign(Tables.embeddings(s, d), 8, 2, 32)),
+    // F24b — topic-balanced sampling: the F18 cap keyed on the
+    // learned k-means cluster (cap=30 per cluster, hash order).
+    "q_cluster_cap" -> ((s, d) =>
+      Vectors.clusterBalancedSample(Tables.embeddings(s, d), 30)),
     // F25 — int8 scalar quantization + reconstruction-error profile.
     "q_embed_quant" -> ((s, d) =>
       Vectors.quantizeInt8(Tables.embeddings(s, d))),
+    // F27 — product-quantization codes + ADC vs exact distance audit
+    // (8 subspaces x 16-entry codebooks, query vec 0).
+    "q_pq_codes" -> ((s, d) =>
+      Vectors.pqEncode(Tables.embeddings(s, d))),
     // The pipeline's end product as ONE declarative plan: the
     // materialized training slice = quality-kept ∧ not a near-dup ∧
     // in the train split. Catalyst fuses the three stages' scans and
@@ -1164,48 +1217,23 @@ object SparkEntry {
     // list_reduce the ANN oracles replay against graft_vecdot.
     // Centroid cid == init vec_id; ties to the lower cid, matching
     // array_position-of-array_min; a cluster with no members keeps
-    // its previous centroid (the coalesce).
-    "q_kmeans" -> {
-      def dot(a: String, b: String): String =
-        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-          s"list_transform(range(64), i -> $a[CAST(i+1 AS INT)] * " +
-          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
-      s"""WITH q AS (SELECT vec_id,
-        |    list_transform(embedding, x ->
-        |      CAST(floor(CAST(x AS DOUBLE) * 32 + 0.5) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |qd AS (SELECT vec_id, qv,
-        |    list_transform(qv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS v
-        |  FROM q),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM qd WHERE vec_id < 8),
-        |s1 AS (SELECT qd.vec_id, c0.cid,
-        |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
-        |  FROM qd, c0),
-        |a1 AS (SELECT vec_id, cid AS cluster FROM (SELECT vec_id, cid,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
-        |  FROM s1) x WHERE rn = 1),
-        |dims AS (SELECT a1.cluster, unnest(range(64)) AS d, qd.qv
-        |  FROM qd JOIN a1 USING (vec_id)),
-        |u AS (SELECT cluster, d, sum(qv[CAST(d + 1 AS INT)]) AS s,
-        |    count(*) AS cnt
-        |  FROM dims GROUP BY cluster, d),
-        |u2 AS (SELECT cluster,
-        |    list(CAST(CAST(CAST(s AS DOUBLE) / cnt AS FLOAT) AS DOUBLE)
-        |      ORDER BY d) AS cv
-        |  FROM u GROUP BY cluster),
-        |c1 AS (SELECT c0.cid, coalesce(u2.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN u2 ON u2.cluster = c0.cid),
-        |s2 AS (SELECT qd.vec_id, c1.cid,
-        |    ${dot("cv", "cv")} - 2 * ${dot("v", "cv")} AS score
-        |  FROM qd, c1),
-        |a2 AS (SELECT vec_id, cid AS cluster, score
-        |  FROM (SELECT vec_id, cid, score,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
-        |  FROM s2) x WHERE rn = 1),
-        |qq AS (SELECT vec_id, ${dot("v", "v")} AS qq FROM qd)
+    // its previous centroid (the coalesce). CTEs shared with
+    // q_cluster_cap via duckKmeansCtes.
+    "q_kmeans" ->
+      s"""$duckKmeansCtes
         |SELECT a2.vec_id, a2.cluster, round(a2.score + qq.qq, 4) AS dist_sq
-        |FROM a2 JOIN qq USING (vec_id) ORDER BY vec_id""".stripMargin
-    },
+        |FROM a2 JOIN qq USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // Same assignment, then the capPerSource window keyed on the
+    // learned cluster — identical duckHashOrder ranking spelling.
+    "q_cluster_cap" ->
+      s"""$duckKmeansCtes
+        |SELECT vec_id, cluster, rnk FROM (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY ${graft.functions.PortableText.duckHashOrder("vec_id")},
+        |        vec_id) AS rnk
+        |  FROM a2) x
+        |WHERE rnk <= 30 ORDER BY vec_id""".stripMargin,
     // Same IEEE op sequence as Vectors.quantizeInt8: ((x-mn)/(mx-mn))
     // *255+0.5 floored, dequant mn + q/255*(mx-mn), error fold
     // left-to-right; a constant dimension (mx == mn) codes to 0.
@@ -1245,6 +1273,55 @@ object SparkEntry {
         |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), errs),
         |    (a, b) -> a + b) / 64, 6) AS mean_err
         |FROM er ORDER BY vec_id""".stripMargin,
+    // PQ replay: same c·c − 2·sub·c argmin per subspace (ties to the
+    // lower code via row_number), ADC terms q·q + c·c − 2·q·c summed
+    // in subspace order via an ordered-list fold (matching Spark's
+    // reduceLeft), exact distance via the same decomposition on the
+    // full 64 dims.
+    "q_pq_codes" -> {
+      def dot(n: Int)(a: String, b: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range($n), i -> $a[CAST(i+1 AS INT)] * " +
+          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      val d8 = dot(8) _; val d64 = dot(64) _
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |ss AS (SELECT unnest(range(8)) AS s),
+        |sub AS (SELECT e.vec_id, ss.s,
+        |    v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv FROM e, ss),
+        |cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+        |qv AS (SELECT s, sv AS qs FROM sub WHERE vec_id = 0),
+        |sc AS (SELECT sub.vec_id, sub.s, cb.j,
+        |    ${d8("cv", "cv")} - 2 * ${d8("sv", "cv")} AS score
+        |  FROM sub JOIN cb ON cb.s = sub.s),
+        |code AS (SELECT vec_id, s, j AS code
+        |  FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j)
+        |      AS rn FROM sc) x WHERE rn = 1),
+        |term AS (SELECT code.vec_id, code.s,
+        |    ${d8("qs", "qs")} + ${d8("cv", "cv")} - 2 * ${d8("qs", "cv")}
+        |      AS term
+        |  FROM code JOIN cb ON cb.s = code.s AND cb.j = code.code
+        |  JOIN qv ON qv.s = code.s),
+        |adc AS (SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(term ORDER BY s)), (a, b) -> a + b) AS adc_dist
+        |  FROM term GROUP BY vec_id),
+        |codes AS (SELECT vec_id,
+        |    string_agg(CAST(code AS VARCHAR), ',' ORDER BY s) AS code_str
+        |  FROM code GROUP BY vec_id),
+        |qf AS (SELECT v AS q64 FROM e WHERE vec_id = 0),
+        |ex AS (SELECT e.vec_id,
+        |    ${d64("v", "v")} + ${d64("q64", "q64")} - 2 * ${d64("v", "q64")}
+        |      AS exact_dist
+        |  FROM e CROSS JOIN qf)
+        |SELECT codes.vec_id, codes.code_str,
+        |  round(adc.adc_dist, 4) AS adc_dist,
+        |  round(ex.exact_dist, 4) AS exact_dist
+        |FROM codes JOIN adc USING (vec_id) JOIN ex USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
+    },
     // The composed curation plan replayed stage by stage: the line
     // dedup CTEs are q_line_dedup's over the contact-injected text,
     // the scrub is q_pii_scrub's replace chain, the quality rules are

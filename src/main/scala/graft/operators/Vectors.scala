@@ -233,6 +233,27 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** F24b — TOPIC-balanced sampling: [[kmeansAssign]]'s cluster id
+    * composed with the F18 cap-rebalancer shape — keep at most `cap`
+    * vectors per SEMANTIC cluster, chosen in deterministic
+    * multiplicative-hash order (the same reproducible-subsample
+    * contract as `capPerSource`, keyed on a LEARNED topic instead of
+    * a `source` string). This is the operation k-means exists for in
+    * a corpus pipeline: flattening topic skew that no metadata column
+    * exposes. One extra shuffle by cluster after assignment.
+    */
+  def clusterBalancedSample(emb: DataFrame, cap: Int, k: Int = 8,
+                            iters: Int = 2, scale: Int = 32,
+                            dim: Int = Dim): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(CorpusPipeline.hashOrder(col("vec_id")).asc, col("vec_id").asc)
+    kmeansAssign(emb, k, iters, scale, dim)
+      .select("vec_id", "cluster")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= cap)
+      .orderBy("vec_id")
+  }
+
   /** F25 — int8 embedding quantization with a reconstruction-error
     * profile: the memory-scale path for ANN over 100 TB of embeddings
     * (4× smaller vectors than float32 → 4× more candidates per
@@ -286,6 +307,81 @@ object Vectors {
         round(expr("array_max(errs)"), 6).as("max_err"),
         round(expr(s"aggregate(errs, CAST(0 AS DOUBLE), (a, x) -> a + x)")
           .divide(lit(dim)), 6).as("mean_err"))
+      .orderBy("vec_id")
+  }
+
+  /** F27 — PRODUCT QUANTIZATION encode + ADC scan: the last rung of
+    * the ANN memory ladder (brute → LSH → IVF → SQ8 → PQ). The vector
+    * is split into `nSub` subspaces; each subvector is replaced by the
+    * index of its nearest codebook centroid — `nSub·log2(k)` bits per
+    * vector (64 bits here vs 2048 for float32, a 32× compression) —
+    * and query distance is computed against CODES via the classic
+    * Asymmetric Distance Computation: per subspace, look the code up
+    * in a precomputed query-to-centroid distance table and sum.
+    *
+    * Codebook: subvectors of the first `k` vectors (deterministic,
+    * bounded driver collect like IVF's centroids; at scale the
+    * codebook comes from [[kmeansAssign]] run per subspace on a
+    * sample — the encode/ADC plan is unchanged). Every distance is
+    * the `c·c − 2·q·c` decomposition through [[VecDot]]'s
+    * left-to-right fold, ties to the lower code, so codes and ADC
+    * values are bit-reproducible in the oracle.
+    *
+    * Output per vector: its code word (comma-joined), the ADC
+    * distance to query `queryId`'s table, and the EXACT squared
+    * distance — emitting both is the recall-vs-compression audit a
+    * pipeline owner reads before switching the fleet to codes.
+    *
+    * Scale shape: purely narrow — the ADC tables are constant-folded
+    * literals (k·nSub doubles), the scan never shuffles; the 100 TB
+    * plan is a map over codes exactly like production PQ scanners.
+    */
+  def pqEncode(emb: DataFrame, nSub: Int = 8, subDim: Int = 8,
+               k: Int = 16, queryId: Long = 0L): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    val first = emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    require(first.length == k,
+      s"pqEncode: need vec_ids 0..${k - 1} present for the codebook, " +
+        s"found ${first.length}")
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select("embedding").collect()
+    require(qRow.nonEmpty, s"pqEncode: query vec_id $queryId not found")
+    val query: Seq[Float] = qRow.head.getSeq[Float](0)
+    // cents(s)(j): subspace s's j-th codebook entry
+    val cents: IndexedSeq[IndexedSeq[Seq[Float]]] = (0 until nSub).map(s =>
+      (0 until k).map(j => first(j).slice(s * subDim, (s + 1) * subDim).toSeq))
+    val qSubs: IndexedSeq[Seq[Float]] = (0 until nSub).map(s =>
+      query.slice(s * subDim, (s + 1) * subDim))
+    def vd(a: Column, b: Column): Column = call_function("graft_vecdot", a, b)
+    // per-subspace code: argmin_j (c·c − 2·sub·c), ties to lower j
+    val coded = (0 until nSub).foldLeft(
+        emb.select(col("vec_id"), col("embedding"))) { (df, s) =>
+      val sub = slice(col("embedding"), s * subDim + 1, subDim)
+      val sc = array(cents(s).map { c =>
+        val cl = typedlit(c)
+        vd(cl, cl) - lit(2.0) * vd(sub, cl)
+      }: _*)
+      df.withColumn(s"code_$s",
+        (array_position(sc, array_min(sc)) - 1).cast("int"))
+    }
+    // ADC term per subspace: q·q + c·c − 2·q·c, looked up by code —
+    // every operand a literal, so the tables constant-fold.
+    val adc = (0 until nSub).map { s =>
+      val tab = array(cents(s).map { c =>
+        val cl = typedlit(c); val ql = typedlit(qSubs(s))
+        vd(ql, ql) + vd(cl, cl) - lit(2.0) * vd(ql, cl)
+      }: _*)
+      element_at(tab, col(s"code_$s") + 1)
+    }.reduceLeft(_ + _)
+    val qFull = typedlit(query)
+    val exact = vd(col("embedding"), col("embedding")) + vd(qFull, qFull) -
+      lit(2.0) * vd(col("embedding"), qFull)
+    coded.select(col("vec_id"),
+      concat_ws(",", (0 until nSub).map(s => col(s"code_$s").cast("string")): _*)
+        .as("code_str"),
+      round(adc, 4).as("adc_dist"),
+      round(exact, 4).as("exact_dist"))
       .orderBy("vec_id")
   }
 

@@ -128,6 +128,66 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("init"))
   }
 
+  // ---------- F24b clusterBalancedSample ----------
+
+  test("clusterBalancedSample caps each cluster and agrees with the " +
+      "assignment it samples from") {
+    val rows = Seq(
+      0L -> Array(0.0f, 0.1f, 0.0f, 0.1f),
+      1L -> Array(9.0f, 9.1f, 9.0f, 9.1f),
+      2L -> Array(0.2f, 0.0f, 0.1f, 0.0f),
+      3L -> Array(8.9f, 9.0f, 9.2f, 9.0f),
+      4L -> Array(0.1f, 0.2f, 0.2f, 0.1f),
+      5L -> Array(9.1f, 8.8f, 9.0f, 9.3f),
+      6L -> Array(0.0f, 0.3f, 0.1f, 0.2f))
+    val asg = Vectors.kmeansAssign(embFrom(rows: _*), k = 2, iters = 2,
+      scale = 32, dim = 4).select("vec_id", "cluster")
+      .as[(Long, Int)].collect().toMap
+    val capped = Vectors.clusterBalancedSample(embFrom(rows: _*), cap = 2,
+      k = 2, iters = 2, scale = 32, dim = 4)
+      .as[(Long, Int, Int)].collect().toSeq
+    val perCluster = capped.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perCluster.values.forall(_ <= 2), perCluster)
+    assert(perCluster == Map(0 -> 2, 1 -> 2))  // 4 low / 3 high, both capped
+    assert(capped.forall(r => asg(r._1) == r._2))
+    assert(capped.forall(r => r._3 >= 1 && r._3 <= 2))
+  }
+
+  // ---------- F27 pqEncode ----------
+
+  test("pqEncode: codebook vectors code to themselves, the query's ADC " +
+      "to itself is zero, and a code made of codebook subvectors has " +
+      "ADC == exact distance") {
+    val rows = Seq(
+      0L -> Array(0.0f, 0.0f, 5.0f, 5.0f),
+      1L -> Array(9.0f, 9.0f, 1.0f, 1.0f),
+      2L -> Array(0.1f, -0.1f, 1.2f, 0.9f)) // sub0 near vec0, sub1 near vec1
+    val out = Vectors.pqEncode(embFrom(rows: _*), nSub = 2, subDim = 2,
+      k = 2, queryId = 0L)
+      .as[(Long, String, Double, Double)].collect()
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(0L)._2 == "0,0" && m(1L)._2 == "1,1")
+    assert(m(0L)._3 == 0.0 && m(0L)._4 == 0.0)
+    assert(m(2L)._2 == "0,1")
+    // vec1's subvectors ARE its codebook entries, so the asymmetric
+    // distance is the true distance
+    assert(m(1L)._3 == m(1L)._4)
+    assert(out.forall(_._3 >= 0.0))
+  }
+
+  test("pqEncode requires the codebook ids and the query id") {
+    val rows = Seq(0L -> Array(1.0f, 2.0f))
+    val e1 = intercept[IllegalArgumentException] {
+      Vectors.pqEncode(embFrom(rows: _*), nSub = 1, subDim = 2, k = 2)
+    }
+    assert(e1.getMessage.contains("codebook"))
+    val e2 = intercept[IllegalArgumentException] {
+      Vectors.pqEncode(embFrom(rows: _*), nSub = 1, subDim = 2, k = 1,
+        queryId = 7L)
+    }
+    assert(e2.getMessage.contains("query"))
+  }
+
   // ---------- F25 quantizeInt8 ----------
 
   test("quantizeInt8 codes by corpus min/max, zero-codes constant " +
