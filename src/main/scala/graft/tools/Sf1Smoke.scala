@@ -87,7 +87,7 @@ object Sf1Smoke {
       "q_decontaminate", "q_dedup_exact", "q_corpus_select",
       // round-8 curation + vector additions at the same 10x scale
       "q_line_dedup", "q_pii_scrub", "q_corpus_curate",
-      "q_kmeans", "q_embed_quant")
+      "q_kmeans", "q_embed_quant", "q_cluster_cap", "q_pq_codes")
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
