@@ -266,6 +266,9 @@ object SparkEntry {
     "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) =>
       TextDedup.repetitionProfile(Tables.documents(s, d))),
+    // F9c — repeated-passage profile (duplicate word 3-grams).
+    "q_repeated_spans" -> ((s, d) =>
+      TextDedup.repeatedSpans(Tables.documents(s, d), 3)),
     "q_token_freq" -> ((s, d) =>
       TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
     "q_term_saliency" -> ((s, d) =>
@@ -1035,6 +1038,22 @@ object SparkEntry {
         |    1.0 - CAST(length(list_distinct(tk)) AS DOUBLE) / length(tk)
         |  END AS rep_ratio
         |FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    // Gram spelling as in q_decontaminate (n=3: range(1, len-1),
+    // 3-wide slices); dup count = total − distinct; exact-int division
+    // unrounded, NULL when the doc has no 3-grams.
+    "q_repeated_spans" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, length(g) AS n_grams,
+        |  length(g) - length(list_distinct(g)) AS n_dup_grams,
+        |  CASE WHEN length(g) > 0 THEN
+        |    CAST(length(g) - length(list_distinct(g)) AS DOUBLE) / length(g)
+        |  END AS dup_ratio
+        |FROM (SELECT doc_id,
+        |    list_transform(range(1, length(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' ')) AS g
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
     },
     "q_token_freq" -> {

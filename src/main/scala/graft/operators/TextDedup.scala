@@ -513,6 +513,28 @@ object TextDedup {
           lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")))
       .orderBy("doc_id")
 
+  /** F9c — repeated-SPAN profile: the Gopher-family "fraction of
+    * duplicate word n-grams" rule, which catches looped PASSAGES that
+    * token-level repetition ([[repetitionProfile]]) misses — a doc
+    * cycling a 20-word paragraph has near-zero duplicate-token signal
+    * but a dup_ratio near 1 here. `n_dup_grams` counts every repeated
+    * occurrence (total − distinct); the ratio is one exact-int
+    * division, unrounded (SURVEY §6), NULL for docs shorter than `n`
+    * tokens. Narrow one-pass over the native `graft_wordgrams`
+    * expression — no shuffle, no explode. */
+  def repeatedSpans(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.WordGrams.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      expr(s"size(graft_wordgrams($tokens, $n))").as("n_grams"),
+      expr(s"size(graft_wordgrams($tokens, $n)) - " +
+        s"size(array_distinct(graft_wordgrams($tokens, $n)))").as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        when(col("n_grams") > 0,
+          col("n_dup_grams").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   /** F10b — corpus token frequency: global top-k tokens (Zipf
     * profile). Explode + groupBy: partial aggregation makes the
     * shuffle carry one row per distinct token per partition, not one

@@ -128,6 +128,26 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("init"))
   }
 
+  // ---------- F9c repeatedSpans ----------
+
+  test("repeatedSpans scores looped passages that token-level " +
+      "repetition misses") {
+    val passage = "alpha beta gamma delta"
+    val looped = (Seq.fill(5)(passage)).mkString(" ")   // 20 tokens, 4 distinct
+    val varied = "one two three four five six seven eight nine ten"
+    val docs = Seq(1L -> looped, 2L -> varied, 3L -> "too short")
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup.repeatedSpans(docs, 3)
+      .as[(Long, Int, Int, Option[Double])].collect().toSeq
+    // looped: 18 grams, only 4 distinct (the cycle's rotations)
+    assert(out(0)._2 == 18 && out(0)._3 == 14)
+    assert(out(0)._4.get > 0.7)
+    // varied: 8 grams, all distinct
+    assert(out(1) == ((2L, 8, 0, Some(0.0))))
+    // 2 tokens -> no 3-grams -> NULL ratio
+    assert(out(2) == ((3L, 0, 0, None)))
+  }
+
   // ---------- F24b clusterBalancedSample ----------
 
   test("clusterBalancedSample caps each cluster and agrees with the " +
