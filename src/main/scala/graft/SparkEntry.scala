@@ -285,6 +285,9 @@ object SparkEntry {
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
+    // F17b — semantic decontamination (embedding LSH + cosine).
+    "q_decontaminate_sem" -> ((s, d) =>
+      Vectors.semDecontaminate(Tables.embeddings(s, d), 0.05)),
     "q_source_cap" -> ((s, d) =>
       CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
     "q_pack_sequences" -> ((s, d) =>
@@ -917,6 +920,40 @@ object SparkEntry {
         |    AND a.vec_id < b.vec_id)
         |SELECT label, vec_a, vec_b, round(cs, 4) AS cos_sim
         |FROM p WHERE cs >= 0.05 ORDER BY vec_a, vec_b""".stripMargin,
+    // Semantic decontamination: same hyperplane-bucket + norm sketch
+    // as q_dedup_cosine, held-out side vec_id % 50 = 0 joined against
+    // the training side by bucket; max/count are order-free, so the
+    // per-held-out report is engine-exact.
+    "q_decontaminate_sem" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(8), j ->
+        |        CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(range(64), i -> v[CAST(i+1 AS INT)]
+        |              * CAST((j*31 + i*17) % 5 - 2 AS DOUBLE))),
+        |            (a, b) -> a + b) > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+        |        ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket
+        |  FROM e),
+        |p0 AS (SELECT h.vec_id AS held_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> h.v[CAST(i+1 AS INT)] * t.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(h.nrm * t.nrm, 0) AS cs
+        |  FROM n h JOIN n t ON t.bucket = h.bucket
+        |  WHERE h.vec_id % 50 = 0 AND t.vec_id % 50 <> 0),
+        |p AS (SELECT held_id, count(*) AS n_similar,
+        |    round(max(cs), 4) AS max_cos
+        |  FROM p0 WHERE cs >= 0.05 GROUP BY held_id)
+        |SELECT e2.vec_id, coalesce(p.n_similar, 0) AS n_similar, p.max_cos,
+        |  coalesce(p.n_similar, 0) > 0 AS contaminated
+        |FROM embeddings e2 LEFT JOIN p ON p.held_id = e2.vec_id
+        |WHERE e2.vec_id % 50 = 0 ORDER BY e2.vec_id""".stripMargin,
     // IVF: centroids are the first 8 vectors of the table itself, so
     // the cell argmax (ties to the lower centroid index, matching
     // array_position-of-array_max) is a cross join + row_number over

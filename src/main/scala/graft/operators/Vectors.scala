@@ -385,6 +385,50 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** F17b — SEMANTIC decontamination: the embedding-space twin of
+    * `CorpusPipeline.decontaminate` — a held-out vector is flagged
+    * when any TRAINING vector shares its LSH bucket with cosine ≥
+    * `minCos`. Catches paraphrased eval leakage that exact word
+    * n-grams (F17) structurally miss; together they are the two
+    * decontamination passes a benchmark-clean corpus runs.
+    *
+    * Scale shape: identical to [[cosineDedup]] — one narrow sketch
+    * pass (norm + packed hyperplane bucket, checkpointed once), then
+    * a bucket-keyed equi-join of the SMALL held-out side against the
+    * training side; never heldout×train. Each vector has exactly ONE
+    * packed bucket, so a pair is considered once — no multi-band
+    * dedup needed. Every held-out vector appears in the report
+    * (left join), `max_cos` NULL when nothing similar; max/count are
+    * order-free aggregates, so the report is engine-exact.
+    */
+  def semDecontaminate(emb: DataFrame, minCos: Double, holdoutMod: Int = 50,
+                       nPlanes: Int = 8, dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    val n = withNorm(emb, dim)
+      .withColumn("bucket", lshBucketCol(nPlanes, dim))
+      .localCheckpoint(true)
+    val held = n.filter(pmod(col("vec_id"), lit(holdoutMod)) === 0)
+      .select(col("bucket"), col("vec_id").as("held_id"),
+        col("embedding").as("va"), col("nrm").as("na"))
+    val train = n.filter(pmod(col("vec_id"), lit(holdoutMod)) =!= 0)
+      .select(col("bucket"), col("vec_id").as("train_id"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+    val hits = held.join(train, Seq("bucket"))
+      .withColumn("cs",
+        when(col("na") * col("nb") =!= 0,
+          call_function("graft_vecdot", col("va"), col("vb")) /
+            (col("na") * col("nb"))))
+      .filter(col("cs") >= minCos)
+      .groupBy("held_id").agg(count(lit(1)).as("n_similar"),
+        round(max(col("cs")), 4).as("max_cos"))
+    emb.filter(pmod(col("vec_id"), lit(holdoutMod)) === 0)
+      .select(col("vec_id"))
+      .join(hits.withColumnRenamed("held_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("n_similar", coalesce(col("n_similar"), lit(0L)))
+      .withColumn("contaminated", col("n_similar") > 0)
+      .orderBy("vec_id")
+  }
+
   /** F5 — embedding-cosine near-dup: candidate pairs come from shared
     * random-hyperplane LSH buckets ([[lshBucketCol]]); the `label`
     * equality is only a post-join FILTER, never the partition key.

@@ -173,6 +173,29 @@ class CurationSpec extends SparkSpec {
     assert(capped.forall(r => r._3 >= 1 && r._3 <= 2))
   }
 
+  // ---------- F17b semDecontaminate ----------
+
+  test("semDecontaminate flags held-out vectors with a near-duplicate " +
+      "on the training side, reports clean ones with NULL max_cos") {
+    // holdoutMod=2: even ids held out, odd ids train. vec 1 is vec 0
+    // scaled 2x (same direction -> same bucket, cos 1); vec 2 points
+    // the opposite way — complementary LSH bucket, no train neighbor.
+    // Components chosen so no hyperplane dot is exactly zero (a zero
+    // dot puts a vector and its scaled twin on different sides).
+    val rows = Seq(
+      0L -> Array(0.3f, 1.0f, 0.7f, 0.2f),
+      1L -> Array(0.6f, 2.0f, 1.4f, 0.4f),
+      2L -> Array(-0.3f, -1.0f, -0.7f, -0.2f),
+      3L -> Array(0.3f, 1.0f, 0.7f, 0.25f))
+    val out = Vectors.semDecontaminate(embFrom(rows: _*), minCos = 0.5,
+      holdoutMod = 2, nPlanes = 8, dim = 4)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 2L))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m(0L)._4 && m(0L)._2 >= 1 && m(0L)._3.get > 0.99)
+    assert(m(2L) == ((2L, 0L, None, false)))
+  }
+
   // ---------- F27 pqEncode ----------
 
   test("pqEncode: codebook vectors code to themselves, the query's ADC " +
