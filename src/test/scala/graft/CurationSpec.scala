@@ -231,6 +231,35 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("query"))
   }
 
+  // ---------- randomized invariants (fixed seed) ----------
+
+  test("kmeansAssign is invariant under physical row order (the " +
+      "quantized update sums are reduction-order-free)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 120L).map(i =>
+      i -> Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f))
+    val a = Vectors.kmeansAssign(embFrom(rows: _*), k = 4, iters = 3,
+      scale = 32, dim = 8).as[(Long, Int, Double)].collect().toSeq
+    val b = Vectors.kmeansAssign(
+      embFrom(rnd.shuffle(rows): _*).repartition(7), k = 4, iters = 3,
+      scale = 32, dim = 8).as[(Long, Int, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantizeInt8 reconstruction error stays under half a code " +
+      "step on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 100L).map(i =>
+      i -> Array.fill(6)((rnd.nextFloat() - 0.5f) * 10f))
+    val perDim = (0 until 6).map(d => rows.map(_._2(d)))
+    val maxStep = perDim.map(v => (v.max - v.min) / 255.0).max
+    val out = Vectors.quantizeInt8(embFrom(rows: _*), dim = 6)
+      .as[(Long, Long, Double, Double)].collect()
+    // rounded-to-6-decimals output vs the exact bound: allow 1e-6
+    assert(out.forall(_._3 <= maxStep / 2 + 1e-6))
+    assert(out.forall(r => r._4 <= r._3))
+  }
+
   // ---------- F25 quantizeInt8 ----------
 
   test("quantizeInt8 codes by corpus min/max, zero-codes constant " +
