@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards on the driver registry itself — the invariants the
+  * correctness gate assumes but nothing previously enforced at test
+  * time. (The SURVEY §2 ↔ registry key sync is checked by a comm(1)
+  * one-liner; these are the query↔oracle invariants.)
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  /** Queries whose result is not SQL-expressible; the driver records a
+    * weaker rows-only check for these, and SURVEY §2 declares each. */
+  private val declaredRowsOnly = Set("q_media_features")
+
+  test("every registered query has an oracle or a declared rows-only " +
+      "exemption") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == declaredRowsOnly,
+      s"queries without oracle beyond the declared set: " +
+        s"${(missing -- declaredRowsOnly).toSeq.sorted}")
+  }
+
+  test("no orphan oracles (an oracle without a query would silently " +
+      "never run)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"orphan oracles: ${orphans.toSeq.sorted}")
+  }
+
+  /** Single-row global aggregates — ordering is vacuous. */
+  private val singleRowOutputs = Set("q_ndv_profile", "q_snapshot_diff")
+
+  test("oracle SQL ends in an explicit ORDER BY (the compare sorts " +
+      "rows, but deterministic output is the §6 contract)") {
+    val unordered = SparkEntry.oracleSql.filterNot { case (_, sql) =>
+      sql.toUpperCase.contains("ORDER BY")
+    }.keySet -- singleRowOutputs
+    assert(unordered.isEmpty, s"oracles without ORDER BY: " +
+      s"${unordered.toSeq.sorted}")
+  }
+}
