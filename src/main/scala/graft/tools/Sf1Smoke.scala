@@ -31,7 +31,12 @@ object Sf1Smoke {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = "tmp/sf1smoke"
+    // SPARK_GRAFT_REPLICAS scales the replica factor (default 10 ≈
+    // sf1); 100 gives the second scaling point (~sf10: 500k docs /
+    // 200k vectors) for the 1x → 10x → 100x curve in SURVEY §5.
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val outDir =
+      if (replicas == 10) "tmp/sf1smoke" else s"tmp/smoke${replicas}x"
     val spark = GraftSession.local(cpus)
     spark.range(1000L).write.format("noop").mode("overwrite").save()
 
@@ -43,7 +48,7 @@ object Sf1Smoke {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$docsPath/_SUCCESS"))) {
       spark.read.parquet(s"$src/documents.parquet")
-        .crossJoin(spark.range(10).select(col("id").as("replica")))
+        .crossJoin(spark.range(replicas).select(col("id").as("replica")))
         .select((col("doc_id") + col("replica") * lit(5000000000L)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
         .repartition(8)
@@ -52,9 +57,9 @@ object Sf1Smoke {
     val n = spark.read.parquet(docsPath).count()
     // A stale cache (source regenerated since) must fail loudly, not
     // mislabel the results.
-    require(n == 10 * srcRows,
-      s"replica has $n rows, expected ${10 * srcRows} — delete $outDir and rerun")
-    println(s"[sf1-smoke] corpus rows=$n (10x $src)")
+    require(n == replicas * srcRows,
+      s"replica has $n rows, expected ${replicas * srcRows} — delete $outDir and rerun")
+    println(s"[sf1-smoke] corpus rows=$n (${replicas}x $src)")
 
     // 10x embeddings replica for the vector ops (round-8 additions).
     // Replica 0 keeps the original vec_ids, so kmeansAssign's 0..k-1
@@ -65,17 +70,17 @@ object Sf1Smoke {
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$embPath/_SUCCESS"))) {
       spark.read.parquet(s"$src/embeddings.parquet")
-        .crossJoin(spark.range(10).select(col("id").as("replica")))
+        .crossJoin(spark.range(replicas).select(col("id").as("replica")))
         .select((col("vec_id") + col("replica") * lit(5000000000L)).as("vec_id"),
           col("embedding"), col("label"))
         .repartition(8)
         .write.mode("overwrite").parquet(embPath)
     }
     val nv = spark.read.parquet(embPath).count()
-    require(nv == 10 * srcVecs,
-      s"embedding replica has $nv rows, expected ${10 * srcVecs} — " +
+    require(nv == replicas * srcVecs,
+      s"embedding replica has $nv rows, expected ${replicas * srcVecs} — " +
         s"delete $outDir and rerun")
-    println(s"[sf1-smoke] embedding rows=$nv (10x $src)")
+    println(s"[sf1-smoke] embedding rows=$nv (${replicas}x $src)")
 
     def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
