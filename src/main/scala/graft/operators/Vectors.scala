@@ -198,11 +198,16 @@ object Vectors {
           s"CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5d) AS BIGINT))").as("qv"))
       .withColumn("qf", expr("transform(qv, v -> CAST(v AS FLOAT))"))
       .localCheckpoint(true)
-    var cents: Array[Seq[Float]] = base.filter(col("vec_id") < k)
-      .orderBy("vec_id").select("qf").collect().map(_.getSeq[Float](0))
-    require(cents.length == k,
-      s"kmeansAssign: need vec_ids 0..${k - 1} present for init, " +
-        s"found ${cents.length}")
+    val initRows = base.filter(col("vec_id") < k)
+      .orderBy("vec_id").select("vec_id", "qf").collect()
+    // The cluster INDEX must equal the init vec_id (the oracle's cid
+    // contract) — that only holds when the ids below k are exactly
+    // 0..k-1; a sparse or negative id space would silently misalign
+    // every assignment, so reject it loudly.
+    require(initRows.map(_.getLong(0)).sameElements(0L until k map (_.toLong)),
+      s"kmeansAssign: init needs vec_ids exactly 0..${k - 1}, found " +
+        initRows.map(_.getLong(0)).mkString("[", ",", "]"))
+    var cents: Array[Seq[Float]] = initRows.map(_.getSeq[Float](1))
     def scores: Column = array(cents.map { c =>
       val cl = typedlit(c)
       call_function("graft_vecdot", cl, cl) -
@@ -348,6 +353,12 @@ object Vectors {
       .select("embedding").collect()
     require(qRow.nonEmpty, s"pqEncode: query vec_id $queryId not found")
     val query: Seq[Float] = qRow.head.getSeq[Float](0)
+    // A short vector would silently produce truncated subspace slices
+    // (and VecDot would then throw mid-job on a length mismatch) —
+    // reject at plan time instead.
+    require(query.length >= nSub * subDim && first.forall(_.length >= nSub * subDim),
+      s"pqEncode: vectors must have >= ${nSub * subDim} dims " +
+        s"(nSub=$nSub x subDim=$subDim)")
     // cents(s)(j): subspace s's j-th codebook entry
     val cents: IndexedSeq[IndexedSeq[Seq[Float]]] = (0 until nSub).map(s =>
       (0 until k).map(j => first(j).slice(s * subDim, (s + 1) * subDim).toSeq))
