@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGrams, MinHashes, PolyHash, SimHash64, VecDot}
+import graft.functions.{CharGrams, MinHashes, PolyHash, PqCodes, SimHash64, VecDot, WordGrams}
 
 /** Canonical extension injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` makes ALL graft
@@ -35,5 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash64.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_wordgrams"),
+      new ExpressionInfo(classOf[WordGrams].getName, "graft_wordgrams"),
+      (exprs: Seq[Expression]) => WordGrams.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pqcodes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "graft_pqcodes"),
+      (exprs: Seq[Expression]) => PqCodes.fromArgs(exprs)))
   }
 }

@@ -365,17 +365,21 @@ object Vectors {
     val qSubs: IndexedSeq[Seq[Float]] = (0 until nSub).map(s =>
       query.slice(s * subDim, (s + 1) * subDim))
     def vd(a: Column, b: Column): Column = call_function("graft_vecdot", a, b)
-    // per-subspace code: argmin_j (c·c − 2·sub·c), ties to lower j
-    val coded = (0 until nSub).foldLeft(
-        emb.select(col("vec_id"), col("embedding"))) { (df, s) =>
-      val sub = slice(col("embedding"), s * subDim + 1, subDim)
-      val sc = array(cents(s).map { c =>
-        val cl = typedlit(c)
-        vd(cl, cl) - lit(2.0) * vd(sub, cl)
-      }: _*)
-      df.withColumn(s"code_$s",
-        (array_position(sc, array_min(sc)) - 1).cast("int"))
-    }
+    // per-subspace codes in ONE native pass (graft_pqcodes: the fused
+    // argmin_j (c·c − 2·sub·c) loop, same left-to-right arithmetic as
+    // the per-centroid VecDot spelling it replaced — which cost
+    // nSub·k fallback invocations per row, ~5× the total exec at the
+    // 100× smoke). Codes land in one array column; the per-subspace
+    // views below are O(1) element_at reads.
+    val flatCents: Seq[Float] = cents.flatten.flatten
+    graft.functions.PqCodes.register(emb.sparkSession)
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("_codes", call_function("graft_pqcodes",
+        col("embedding"), typedlit(flatCents),
+        lit(nSub), lit(subDim), lit(k)))
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until nSub).map(s =>
+          element_at(col("_codes"), s + 1).as(s"code_$s")): _*)
     // ADC term per subspace: q·q + c·c − 2·q·c, looked up by code —
     // every operand a literal, so the tables constant-fold.
     val adc = (0 until nSub).map { s =>

@@ -218,6 +218,33 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._3 >= 0.0))
   }
 
+  test("pqEncode codes match a pure-Scala left-to-right reference on " +
+      "random vectors (native graft_pqcodes parity)") {
+    val rnd = new scala.util.Random(11)
+    val nSub = 4; val subDim = 4; val k = 8
+    val rows = (0L until 60L).map(i =>
+      i -> Array.fill(nSub * subDim)((rnd.nextFloat() - 0.5f) * 3f))
+    val byId = rows.toMap
+    def expectedCodes(v: Array[Float]): Seq[Int] =
+      (0 until nSub).map { s =>
+        val scores = (0 until k).map { j =>
+          val c = byId(j.toLong).slice(s * subDim, (s + 1) * subDim)
+          var cc = 0.0; var dot = 0.0
+          for (i <- 0 until subDim) {
+            cc += c(i).toDouble * c(i).toDouble
+            dot += v(s * subDim + i).toDouble * c(i).toDouble
+          }
+          cc - 2.0 * dot
+        }
+        scores.indexOf(scores.min)
+      }
+    val out = Vectors.pqEncode(embFrom(rows: _*), nSub, subDim, k, 0L)
+      .as[(Long, String, Double, Double)].collect()
+    out.foreach { r =>
+      assert(r._2 == expectedCodes(byId(r._1)).mkString(","), s"vec ${r._1}")
+    }
+  }
+
   test("pqEncode requires the codebook ids and the query id") {
     val rows = Seq(0L -> Array(1.0f, 2.0f))
     val e1 = intercept[IllegalArgumentException] {
