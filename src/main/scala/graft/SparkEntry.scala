@@ -294,6 +294,10 @@ object SparkEntry {
       CorpusPipeline.packSequences(Tables.documents(s, d), 512, 4)),
     "q_token_budget" -> ((s, d) =>
       CorpusPipeline.tokenBudgetPerSource(Tables.documents(s, d), 1000L)),
+    // F29 — RAG chunking: 32-token windows, 8 shared between
+    // consecutive chunks.
+    "q_chunk_docs" -> ((s, d) =>
+      CorpusPipeline.chunkDocuments(Tables.documents(s, d), 32, 8)),
     // F22 — line-level boilerplate dedup. The synthetic corpus has no
     // newlines, so the registry instantiates the SAME code path at
     // token granularity (delim = ' '): tokens in more than half of
@@ -1206,6 +1210,24 @@ object SparkEntry {
         |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
         |    FROM documents) s) x
         |ORDER BY doc_id""".stripMargin
+    },
+    // Chunk c covers tokens [c*24+1, c*24+32] (stride 24 = 32 − 8
+    // overlap); DuckDB list slice is 1-based INCLUSIVE both ends and
+    // clamps at the list end, same as Spark's slice(arr, start, len).
+    "q_chunk_docs" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |c AS (SELECT doc_id, length(tk) AS n_tokens,
+        |    unnest(range(0, (length(tk) - 1) // 24 + 1)) AS chunk_idx, tk
+        |  FROM t WHERE length(tk) > 0),
+        |s AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tokens,
+        |    array_to_string(tk[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+        |      AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  least(32, n_tokens - chunk_idx * 24) AS n_chunk_tokens,
+        |  chunk_text, ${duckPolyHash("chunk_text")} AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
     },
     // Keep-iff-prefix-fits semantics: the window sum INCLUDES the
     // current doc, so the doc that would cross the budget is dropped.

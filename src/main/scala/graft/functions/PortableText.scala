@@ -91,10 +91,13 @@ object PortableText {
       "CASE WHEN ((x >> i) & 1) = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), " +
       "(a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), " +
       "(a, b) -> a + b)"
-  val duckDocFingerprint: String =
+  /** polynomial rolling hash of an arbitrary string-typed SQL
+    * expression — the DuckDB dual of `graft_polyhash(expr)`. */
+  def duckPolyHash(strExpr: String): String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"list_transform(string_split($strExpr, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, c) -> (a * 31 + c) % $P)"
+  val duckDocFingerprint: String = duckPolyHash("text")
   val duckGrams3: String =
     "list_distinct(list_transform(range(1, length(text) - 1), " +
       "i -> substr(text, CAST(i AS INT), 3)))"

@@ -219,4 +219,41 @@ object CorpusPipeline {
       .withColumn("contaminated", col("n_overlap") > 0)
       .orderBy("doc_id")
   }
+
+  /** F29 — RAG/context-window CHUNKING: split each document's token
+    * stream into fixed windows of `chunkTokens` whitespace tokens,
+    * consecutive chunks sharing `overlap` tokens (the retrieval-index
+    * and context-assembly prep step; F20 packs documents INTO windows,
+    * this splits documents ACROSS them). Chunk c covers tokens
+    * [c·stride+1, c·stride+chunkTokens] (stride = chunkTokens −
+    * overlap); every start offset < n_tokens yields a chunk, so the
+    * tail chunk may be short (`n_chunk_tokens` < chunkTokens) and
+    * every token is covered by ≥ 1 chunk. Zero-token documents emit
+    * no chunks. Purely narrow per-document arithmetic — the generator
+    * explode carries no shuffle; at 100 TB the chunk table inherits
+    * the scan's partitioning. `chunk_fp` is the native
+    * [[graft.functions.PolyHash]] fingerprint of the chunk text (the
+    * join key a retrieval index would store). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 32,
+                     overlap: Int = 8): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val stride = chunkTokens - overlap
+    graft.functions.PolyHash.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr(tokens).as("tk"))
+      .withColumn("n_tokens", size(col("tk")))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_tokens - 1) div $stride), " +
+            s"c -> array_join(slice(tk, c * $stride + 1, $chunkTokens), ' '))"))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens), col("n_tokens") - col("chunk_idx") * stride))
+      .withColumn("chunk_fp", expr("graft_polyhash(chunk_text)"))
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text",
+        "chunk_fp")
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

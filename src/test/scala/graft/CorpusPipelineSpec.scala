@@ -187,4 +187,33 @@ class CorpusPipelineSpec extends SparkSpec {
     // all 41 docs accounted for, shards non-trivial (hash spreads them)
     assert(out.groupBy(_._2).size == 3)
   }
+
+  test("chunkDocuments: stride-placed windows cover every token, " +
+      "consecutive chunks share the overlap, tail chunk is short, " +
+      "empty docs emit nothing") {
+    val words = (1 to 10).map(i => s"w$i")
+    val docs = docsFrom(
+      1L -> words.mkString(" "), // 10 tokens
+      2L -> "",                  // zero tokens → no chunks
+      3L -> "solo")              // single short chunk
+    val out = CorpusPipeline.chunkDocuments(docs, chunkTokens = 4, overlap = 1)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    // doc 1: starts 0,3,6,9 (stride 3) → [1..4],[4..7],[7..10],[10]
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._3) == Seq(4, 4, 4, 1))
+    assert(d1.map(_._4) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    // overlap: each full chunk's last token opens the next chunk
+    d1.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4.split(' ').last == b._4.split(' ').head)
+    }
+    // reassembly: dropping each later chunk's first `overlap` tokens
+    // reconstructs the original token stream exactly
+    val rebuilt = d1.head._4.split(' ').toSeq ++
+      d1.tail.flatMap(_._4.split(' ').drop(1))
+    assert(rebuilt == words)
+    assert(out.count(_._1 == 2L) == 0)
+    assert(out.filter(_._1 == 3L).map(_._4) == Seq("solo"))
+  }
 }
