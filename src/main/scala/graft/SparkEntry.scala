@@ -298,6 +298,12 @@ object SparkEntry {
     // consecutive chunks.
     "q_chunk_docs" -> ((s, d) =>
       CorpusPipeline.chunkDocuments(Tables.documents(s, d), 32, 8)),
+    // F28 — inverted-index relevance search. 'dup' is the corpus's
+    // one rare token (df ~25 vs ~390 for the rest) so idf ordering is
+    // actually exercised; 'xyzzy' hits nothing (dropped by the df
+    // join, not scored zero).
+    "q_term_search" -> ((s, d) =>
+      Retrieval.termSearch(Tables.documents(s, d), "dup scan spark xyzzy", 15)),
     // F22 — line-level boilerplate dedup. The synthetic corpus has no
     // newlines, so the registry instantiates the SAME code path at
     // token granularity (delim = ' '): tokens in more than half of
@@ -1210,6 +1216,27 @@ object SparkEntry {
         |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
         |    FROM documents) s) x
         |ORDER BY doc_id""".stripMargin
+    },
+    // Quantized linear-idf relevance: weight = (N*1000) // df (exact
+    // int), score = sum(tf*weight) — reduction-order-free, so the
+    // engines agree bit-for-bit. Top-15 by (score DESC, doc_id).
+    "q_term_search" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS token
+        |  FROM documents),
+        |ft AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('dup', 'scan', 'spark', 'xyzzy')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM ft GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
+        |    CAST(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score
+        |  FROM ft JOIN dfreq USING (token) CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |    AS rnk,
+        |  doc_id, n_hit_terms, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
     },
     // Chunk c covers tokens [c*24+1, c*24+32] (stride 24 = 32 − 8
     // overlap); DuckDB list slice is 1-based INCLUSIVE both ends and

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsFrom(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+
+  // N=3: df(apple)=1 → w=3000, df(banana)=2 → w=1500.
+  private val corpus = docsFrom(
+    1L -> "apple banana apple",
+    2L -> "banana cherry",
+    3L -> "durian")
+
+  test("termSearch ranks by quantized tf-idf: rare terms outweigh " +
+      "common, zero-hit docs excluded, missing query terms inert") {
+    val out = Retrieval.termSearch(corpus, "apple banana nosuchterm", k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1, 1L, 2L, 2 * 3000L + 1 * 1500L), // tf(apple)=2, tf(banana)=1
+      (2, 2L, 1L, 1500L)))                // doc 3 never appears
+  }
+
+  test("termSearch tie-breaks equal scores by doc_id and honors k") {
+    val tied = docsFrom(
+      5L -> "kiwi mango",
+      2L -> "kiwi mango",
+      9L -> "kiwi")
+    val out = Retrieval.termSearch(tied, "kiwi mango", k = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 2L), (2, 5L)))
+  }
+
+  test("termSearch repeated query tokens count once (distinct terms)") {
+    val a = Retrieval.termSearch(corpus, "apple apple banana", k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.termSearch(corpus, "apple banana", k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+}
