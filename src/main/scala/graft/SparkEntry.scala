@@ -245,6 +245,13 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
+    // F2d — incremental near-dup: every 5th doc plays the "incoming
+    // crawl", the rest the already-curated corpus.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.incrementalNearDup(
+        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0"))
+    }),
     "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
     // maxHamming=1 -> 2 pigeonhole bands of 16 bits (the production
     // band width); the synthetic corpus is template-heavy, so higher
@@ -835,6 +842,35 @@ object SparkEntry {
         |      GROUP BY bands.doc_id)
         |SELECT d.doc_id, coalesce(v.dup, false) AS is_duplicate
         |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // Incremental near-dup: bucket flags (any existing member / min
+    // incoming id) replayed over the same band spelling as
+    // q_dedup_greedy; blame prefers 'existing' over 'batch'.
+    "q_dedup_incremental" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band, doc_id % 5 = 0 AS incoming,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bk AS (SELECT band, band_hash,
+        |    max(CASE WHEN NOT incoming THEN 1 ELSE 0 END) AS has_existing,
+        |    min(CASE WHEN incoming THEN doc_id END) AS first_incoming
+        |  FROM bands WHERE band_hash IS NOT NULL
+        |  GROUP BY band, band_hash),
+        |v AS (SELECT bands.doc_id,
+        |    bool_or(has_existing = 1) AS dup_ex,
+        |    bool_or(first_incoming < bands.doc_id) AS dup_batch
+        |  FROM bands JOIN bk USING (band, band_hash)
+        |  WHERE bands.incoming AND bands.band_hash IS NOT NULL
+        |  GROUP BY bands.doc_id)
+        |SELECT d.doc_id, coalesce(dup_ex OR dup_batch, false) AS is_duplicate,
+        |  CASE WHEN dup_ex THEN 'existing'
+        |       WHEN dup_batch THEN 'batch' END AS dup_source
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+        |LEFT JOIN v USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
     },
     // Fixpoint min-label propagation == component minimum, which the

@@ -93,6 +93,54 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** F2d — INCREMENTAL (delta) near-dup: dedup an incoming batch
+    * against an already-curated corpus WITHOUT re-adjudicating the
+    * corpus's own members — the shape a production ingest actually
+    * runs (the curated side's band sketch would be a stored index; in
+    * this one-plan form it is derived in the same job). An incoming
+    * doc is a duplicate iff any of its LSH band buckets holds (a) ANY
+    * existing-corpus doc — blame `existing` — or (b) an earlier
+    * incoming doc (`batch`; [[greedyNearDup]]'s rule, transitive
+    * through dropped docs, with the whole existing corpus pinned
+    * "earlier than everything"). Existing docs are never re-flagged;
+    * token-less incoming docs have no bands and are kept
+    * (`dup_source` NULL). Two shuffles (bucket agg + verdict join),
+    * no iteration — the bucket aggregation sees existing∪incoming but
+    * the verdict join carries only incoming rows.
+    * `incrementalNearDup(∅, docs)` ≡ `greedyNearDup(docs)` (spec'd).
+    */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame)
+      : DataFrame = {
+    val exBands = minHashBands(existing, ordered = false)
+      .filter(col("band_hash").isNotNull)
+      .select(col("band"), col("band_hash"),
+        lit(true).as("is_existing"), col("doc_id"))
+    // Incoming bands feed both the bucket aggregation and the verdict
+    // join — checkpoint so the sketch projection runs once (same
+    // barrier discipline as greedyNearDup).
+    val inBands = minHashBands(incoming, ordered = false)
+      .filter(col("band_hash").isNotNull)
+      .select(col("band"), col("band_hash"),
+        lit(false).as("is_existing"), col("doc_id"))
+      .localCheckpoint(true)
+    val buckets = exBands.union(inBands)
+      .groupBy("band", "band_hash")
+      .agg(max(when(col("is_existing"), 1).otherwise(0)).as("has_existing"),
+        min(when(!col("is_existing"), col("doc_id"))).as("first_incoming"))
+    val verdict = inBands.join(buckets, Seq("band", "band_hash"))
+      .groupBy("doc_id")
+      .agg(expr("bool_or(has_existing = 1)").as("dup_ex"),
+        expr("bool_or(first_incoming < doc_id)").as("dup_batch"))
+    incoming.select(col("doc_id"))
+      .join(verdict, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_ex") || col("dup_batch"), lit(false))
+          .as("is_duplicate"),
+        when(col("dup_ex"), "existing").when(col("dup_batch"), "batch")
+          .as("dup_source"))
+      .orderBy("doc_id")
+  }
+
   /** F2b — LSH candidate pairs: equality self-join on the band bucket,
     * deduplicated across bands. Shuffles by (band, band_hash) — never
     * a cross product. */

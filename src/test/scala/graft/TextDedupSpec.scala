@@ -120,6 +120,41 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1L, false), (2L, true), (3L, true), (4L, false)))
   }
 
+  test("incrementalNearDup: incoming docs flagged against the existing " +
+      "corpus (blame 'existing') or earlier incoming docs ('batch'), " +
+      "existing never re-flagged, empty incoming doc kept") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "an entirely different document about winter mountain storms"
+    val existing = docs((10L, base), (11L, other))
+    val incoming = docs(
+      (3L, base),   // hits existing (note id < existing ids — pinning wins)
+      (5L, other),  // hits existing
+      (6L, "completely novel text about summer river valleys flowing"),
+      (7L, "completely novel text about summer river valleys flowing"),
+      (8L, ""))     // no bands → kept
+    val out = TextDedup.incrementalNearDup(existing, incoming)
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (3L, true, Some("existing")),
+      (5L, true, Some("existing")),
+      (6L, false, None),
+      (7L, true, Some("batch")),
+      (8L, false, None)))
+  }
+
+  test("incrementalNearDup against an empty corpus degenerates to " +
+      "greedyNearDup") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val batch = docs(
+      (1L, base), (2L, base), (3L, base),
+      (4L, "an entirely different document about winter mountain storms"))
+    val inc = TextDedup.incrementalNearDup(docs(), batch)
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toSeq
+    val greedy = TextDedup.greedyNearDup(batch)
+      .as[(Long, Boolean)].collect().toSeq
+    assert(inc == greedy)
+  }
+
   test("termSaliency ranks tokens by tf/df with token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
