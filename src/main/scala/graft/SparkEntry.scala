@@ -271,6 +271,9 @@ object SparkEntry {
         Seq("the", "a", "of", "and", "to"))),
     "q_token_count" -> ((s, d) => TextDedup.tokenCount(Tables.documents(s, d))),
     "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
+    // F11b — winnowing fingerprint selection (char 5-grams, window 8).
+    "q_winnow" -> ((s, d) =>
+      TextDedup.winnowFingerprints(Tables.documents(s, d), 5, 8)),
     "q_text_repetition" -> ((s, d) =>
       TextDedup.repetitionProfile(Tables.documents(s, d))),
     // F9c — repeated-passage profile (duplicate word 3-grams).
@@ -1112,6 +1115,41 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""SELECT doc_id, $duckDocFingerprint AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // Winnowing: fingerprint = hash*2^21 + position (flat bigint —
+    // DuckDB list_distinct can't take structs); fold replaces on
+    // decoded-hash ≤ so the rightmost minimum wins; k=5, w=8. List
+    // slice l[s : s+7] is 1-based inclusive and clamps, matching
+    // Spark's slice(gs, s, 8).
+    "q_winnow" -> {
+      import graft.functions.PortableText._
+      s"""WITH g0 AS (SELECT doc_id, text,
+        |    greatest(length(text) - 4, 0) AS n_grams FROM documents),
+        |g1 AS (SELECT doc_id, n_grams,
+        |    list_transform(range(1, greatest(n_grams, 1) + 1), i ->
+        |      ${duckPolyHash("substr(text, CAST(i AS INT), 5)")} * 2097152 + i)
+        |      AS gs,
+        |    CASE WHEN n_grams = 0 THEN 0 WHEN n_grams < 8 THEN 1
+        |         ELSE n_grams - 7 END AS n_windows
+        |  FROM g0),
+        |fp AS (SELECT doc_id, n_grams, n_windows,
+        |    CASE WHEN n_windows >= 1 THEN
+        |      list_distinct(list_transform(range(1, n_windows + 1), s ->
+        |        list_reduce(
+        |          list_prepend(CAST(9223372036854775807 AS BIGINT),
+        |            gs[CAST(s AS INT) : CAST(s + 7 AS INT)]),
+        |          (acc, x) -> CASE WHEN x // 2097152 <= acc // 2097152
+        |                           THEN x ELSE acc END)))
+        |    END AS fps
+        |  FROM g1)
+        |SELECT doc_id, n_grams, n_windows,
+        |  CASE WHEN n_windows >= 1 THEN length(fps) ELSE 0 END
+        |    AS n_fingerprints,
+        |  CASE WHEN n_windows >= 1 THEN
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(fps, f -> f // 2097152)), (a, b) -> a + b)
+        |  ELSE 0 END AS fp_sum
+        |FROM fp ORDER BY doc_id""".stripMargin
     },
     "q_text_repetition" -> {
       import graft.functions.PortableText._

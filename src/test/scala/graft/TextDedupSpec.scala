@@ -155,6 +155,76 @@ class TextDedupSpec extends SparkSpec {
     assert(inc == greedy)
   }
 
+  // Straight-line reference winnowing (Schleimer et al. §4): positional
+  // k-gram polyhashes, window of w, rightmost-min per window, distinct
+  // (hash, pos) pairs.
+  private def refWinnow(text: String, k: Int, w: Int): Seq[(Long, Int)] = {
+    val P = 1000000007L
+    def ph(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val n = text.length - k + 1
+    if (n <= 0) Seq()
+    else {
+      val hs = (1 to n).map(i => ph(text.substring(i - 1, i - 1 + k)))
+      val nw = if (n < w) 1 else n - w + 1
+      (1 to nw).map { s =>
+        (s until math.min(s + w, n + 1))
+          .map(p => (hs(p - 1), p))
+          .foldLeft((Long.MaxValue, 0)) { (acc, x) =>
+            if (x._1 <= acc._1) x else acc
+          }
+      }.distinct
+    }
+  }
+
+  test("winnowFingerprints matches the straight-line reference: counts " +
+      "and hash checksum, incl. short docs, ties, and the n<w window") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aaaaaaaaaaaa",     // all grams identical → tie path
+      3L -> "abcdefg",          // 3 grams < w → single window
+      4L -> "abc",              // shorter than k → no grams
+      5L -> "")
+    val out = TextDedup.winnowFingerprints(docs(texts: _*), k = 5, w = 8)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    texts.foreach { case (id, t) =>
+      val fps = refWinnow(t, 5, 8)
+      val n = math.max(t.length - 4, 0).toLong
+      val nw = if (n == 0) 0L else if (n < 8) 1L else n - 7
+      assert(out(id) == ((n, nw, fps.size.toLong, fps.map(_._1).sum)),
+        s"doc $id ($t)")
+    }
+  }
+
+  test("winnowFingerprints matches the reference on 200 random " +
+      "small-alphabet strings (seed 42; 3-letter alphabet forces hash " +
+      "ties, exercising the rightmost-min deque path)") {
+    val rnd = new scala.util.Random(42)
+    val texts = (1L to 200L).map { id =>
+      val len = rnd.nextInt(60)
+      id -> (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val out = TextDedup.winnowFingerprints(docs(texts: _*), k = 3, w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    texts.foreach { case (id, t) =>
+      val fps = refWinnow(t, 3, 4)
+      assert(out(id) == ((fps.size.toLong, fps.map(_._1).sum)),
+        s"doc $id ($t)")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a substring of >= w+k-1 chars " +
+      "share at least one fingerprint hash (reference-level check)") {
+    val shared = "winnowing guarantees a shared fingerprint"
+    val a = "prefix text before " + shared
+    val b = shared + " and then a completely different tail"
+    val fa = refWinnow(a, 5, 8).map(_._1).toSet
+    val fb = refWinnow(b, 5, 8).map(_._1).toSet
+    assert(fa.intersect(fb).nonEmpty)
+  }
+
   test("termSaliency ranks tokens by tf/df with token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
