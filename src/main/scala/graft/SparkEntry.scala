@@ -281,6 +281,8 @@ object SparkEntry {
       TextDedup.repeatedSpans(Tables.documents(s, d), 3)),
     "q_token_freq" -> ((s, d) =>
       TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
+    // F14b — portable HLL over word 2-grams (m=32 registers).
+    "q_hll_ndv" -> ((s, d) => TextDedup.hllNdv(Tables.documents(s, d), 2)),
     "q_term_saliency" -> ((s, d) =>
       TextDedup.termSaliency(Tables.documents(s, d), 3)),
     "q_json_extract" -> ((s, d) =>
@@ -1115,6 +1117,45 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""SELECT doc_id, $duckDocFingerprint AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // Portable HLL: integer-only rho bit scan (no libm), registers
+    // maxed per 5-bit bucket, harmonic denominator kept scaled by 2^26
+    // (sum of exact ints), one identically-spelled double division for
+    // the estimate. Word-2-gram spelling as in WordGrams' dual.
+    "q_hll_ndv" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, length(tk)),
+        |    i -> array_to_string(tk[i:i+1], ' '))) AS gram FROM tok),
+        |p1 AS (SELECT (3 * ${duckPolyHash("gram")} + 7) % $P AS u FROM g),
+        |p2 AS (SELECT u % 32 AS reg, u // 32 AS rest FROM p1),
+        |p3 AS (SELECT reg, list_reduce(
+        |    list_prepend(CAST(26 AS BIGINT),
+        |      list_transform(range(1, 26), j -> j)),
+        |    (acc, j) -> CASE WHEN acc = 26
+        |        AND (rest >> CAST(25 - j AS INT)) % 2 = 1
+        |      THEN j ELSE acc END) AS rho
+        |  FROM p2),
+        |regs AS (SELECT reg, max(rho) AS m_reg FROM p3 GROUP BY reg),
+        |allr AS (SELECT r.reg, coalesce(regs.m_reg, 0) AS m_reg
+        |  FROM (SELECT unnest(range(32)) AS reg) r
+        |  LEFT JOIN regs USING (reg)),
+        |summ AS (SELECT count(*) AS m,
+        |    CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_registers,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - m_reg AS INT))
+        |      AS BIGINT) AS sum_scaled
+        |  FROM allr),
+        |ex AS (SELECT count(DISTINCT gram) AS exact_ndv FROM g)
+        |SELECT m, n_zero_registers, sum_scaled,
+        |  cast(0.697 as double) * 1024 * 67108864
+        |    / cast(sum_scaled as double) AS est_ndv,
+        |  exact_ndv,
+        |  CASE WHEN exact_ndv > 0 THEN
+        |    (cast(0.697 as double) * 1024 * 67108864
+        |      / cast(sum_scaled as double) - exact_ndv) / exact_ndv
+        |  END AS rel_err
+        |FROM summ, ex""".stripMargin
     },
     // Winnowing: fingerprint = hash*2^21 + position (flat bigint —
     // DuckDB list_distinct can't take structs); fold replaces on

@@ -595,6 +595,61 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F14b — ENGINE-EXACT HyperLogLog NDV over word `n`-grams: the
+    * approximate-distinct sketch a 100 TB profile runs instead of an
+    * exact distinct (F14's ApproxPathSpec measures Spark's own
+    * approx_count_distinct; this is the PORTABLE twin whose every
+    * intermediate — registers, scaled denominator, estimate — the
+    * DuckDB oracle replays bit-for-bit). Per gram: affine rehash
+    * u = (3h+7) mod P of the PolyHash, register = u mod 32, and
+    * rho = 1 + leading zeros of the remaining 25-bit suffix computed
+    * by a pure-integer bit scan (NO log2/libm — rho is a first-set-bit
+    * fold, exact in both engines; suffix 0 → rho = 26). Register
+    * maxima flow through ONE map-side-combined 32-group aggregation —
+    * max is idempotent, so no distinct pass is needed and re-ingesting
+    * a gram is free (the HLL property that makes it mergeable across
+    * 100 TB partitions). The harmonic denominator Σ 2^(26−M_r) is kept
+    * SCALED by 2^26 so it is a sum of exact integers ≤ 32·2^26 — no
+    * floating sum, no register order dependence; the single double
+    * division `α₃₂·m²·2^26 / sum_scaled` is spelled identically in
+    * both engines (est UNROUNDED per SURVEY §6). `rel_err` against the
+    * exact NDV is part of the report, as in F14's error-bound specs;
+    * the small-range linear-counting correction is deliberately NOT
+    * applied (it needs libm ln) — `n_zero_registers` is emitted so a
+    * consumer can apply it. */
+  def hllNdv(docs: DataFrame, n: Int = 2): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val grams = docs.select(
+      explode(expr(s"graft_wordgrams($tokens, $n)")).as("gram"))
+    val per = grams
+      .select(expr("graft_polyhash(gram)").as("h"))
+      .withColumn("u", expr(s"(3 * h + 7) % $P"))
+      .withColumn("reg", expr("u % 32"))
+      .withColumn("rest", expr("u div 32"))
+      .withColumn("rho", expr(
+        """aggregate(sequence(1, 25), 26L, (acc, j) ->
+          |  if(acc = 26L and shiftright(rest, 25 - j) % 2 = 1,
+          |     cast(j as bigint), acc))""".stripMargin))
+    val regs = per.groupBy("reg").agg(max("rho").as("m_reg"))
+    val allRegs = docs.sparkSession.range(32).toDF("reg")
+      .join(regs, Seq("reg"), "left")
+      .withColumn("m_reg", coalesce(col("m_reg"), lit(0L)))
+    val summary = allRegs.agg(
+      count(lit(1)).as("m"),
+      sum(when(col("m_reg") === 0, 1L).otherwise(0L))
+        .as("n_zero_registers"),
+      sum(expr("shiftleft(1L, cast(26 - m_reg as int))")).as("sum_scaled"))
+    val exact = grams.agg(countDistinct("gram").as("exact_ndv"))
+    summary.crossJoin(exact)
+      .withColumn("est_ndv", expr(
+        "cast(0.697 as double) * 1024 * 67108864 / cast(sum_scaled as double)"))
+      .withColumn("rel_err", expr(
+        "CASE WHEN exact_ndv > 0 THEN (est_ndv - exact_ndv) / exact_ndv END"))
+      .select("m", "n_zero_registers", "sum_scaled", "est_ndv",
+        "exact_ndv", "rel_err")
+  }
+
   /** F10c — per-document term saliency: top-k tokens ranked by tf/df
     * (term frequency over corpus document frequency) — the keyword
     * extraction a curation pipeline runs to label corpus slices. The

@@ -225,6 +225,61 @@ class TextDedupSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  // Straight-line reference HLL (m=32, 25-bit suffix, no correction):
+  // returns (n_zero_registers, sum_scaled, est, exact_ndv).
+  private def refHll(texts: Seq[String], n: Int): (Long, Long, Double, Long) = {
+    val P = 1000000007L
+    def ph(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % P)
+    val grams = texts.flatMap { t =>
+      val tk = t.split(' ').filter(_.nonEmpty).toSeq
+      if (tk.length < n) Seq() else tk.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val regs = Array.fill(32)(0L)
+    grams.foreach { g =>
+      val u = (3 * ph(g) + 7) % P
+      val reg = (u % 32).toInt
+      val rest = u / 32
+      val rho =
+        (1 to 25).find(j => (rest >> (25 - j)) % 2 == 1).getOrElse(26).toLong
+      regs(reg) = math.max(regs(reg), rho)
+    }
+    val sumScaled = regs.map(m => 1L << (26 - m).toInt).sum
+    (regs.count(_ == 0L).toLong, sumScaled,
+      0.697 * 1024 * 67108864 / sumScaled.toDouble,
+      grams.distinct.size.toLong)
+  }
+
+  test("hllNdv matches the straight-line reference exactly (registers, " +
+      "scaled denominator, estimate) and stays within HLL error bounds " +
+      "on ~1000 distinct grams") {
+    val rnd = new scala.util.Random(7)
+    val texts = (1L to 60L).map { id =>
+      id -> (1 to 20).map(_ => s"w${rnd.nextInt(600)}").mkString(" ")
+    }
+    val (nZero, sumScaled, est, exact) = refHll(texts.map(_._2), 2)
+    val row = TextDedup.hllNdv(docs(texts: _*), 2)
+      .as[(Long, Long, Long, Double, Long, Double)].collect().head
+    assert(row._1 == 32L)
+    assert(row._2 == nZero)
+    assert(row._3 == sumScaled)
+    assert(row._4 == est) // identical IEEE spelling → bit-exact
+    assert(row._5 == exact)
+    // m=32 → standard error 1.04/sqrt(32) ≈ 18%; generous 3σ bound
+    assert(math.abs(row._6) < 0.55, s"rel_err ${row._6}")
+  }
+
+  test("hllNdv is monotone under corpus growth (register maxima only " +
+      "ever increase, so the estimate never drops)") {
+    val small = (1L to 10L).map(i => i -> s"alpha$i beta$i gamma$i")
+    val grown = small ++ (11L to 40L).map(i => i -> s"delta$i eps$i zeta$i")
+    val eSmall = TextDedup.hllNdv(docs(small: _*), 2)
+      .select("est_ndv").as[Double].collect().head
+    val eGrown = TextDedup.hllNdv(docs(grown: _*), 2)
+      .select("est_ndv").as[Double].collect().head
+    assert(eGrown >= eSmall)
+  }
+
   test("termSaliency ranks tokens by tf/df with token tie-break") {
     val docs = Seq(
       (1L, "apple apple banana shared"),
