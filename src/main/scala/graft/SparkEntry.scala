@@ -297,6 +297,9 @@ object SparkEntry {
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
+    // F17c — Bloom prefilter for the same 5-gram decontamination split.
+    "q_bloom_prefilter" -> ((s, d) =>
+      CorpusPipeline.bloomPrefilter(Tables.documents(s, d))),
     // F17b — semantic decontamination (embedding LSH + cosine).
     "q_decontaminate_sem" -> ((s, d) =>
       Vectors.semDecontaminate(Tables.embeddings(s, d), 0.05)),
@@ -1117,6 +1120,52 @@ object SparkEntry {
       import graft.functions.PortableText._
       s"""SELECT doc_id, $duckDocFingerprint AS fp
         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    // Bloom prefilter: gram spelling as q_decontaminate; 3 affine
+    // probes into 2048 32-bit words (1<<63 overflow-checks in BOTH
+    // engines, so masks stay positive); candidate iff all 3 bits set;
+    // exact overlap join restricted to candidates.
+    "q_bloom_prefilter" -> {
+      import graft.functions.PortableText._
+      val ph = duckPolyHash("gram")
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(tk) - 3),
+        |    i -> array_to_string(tk[i:i+4], ' '))) AS gram
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
+        |tr AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 <> 0),
+        |te AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 = 0),
+        |trp AS (SELECT ((2*i + 3) * $ph + 5*i + 7) % $P % 65536 AS pos
+        |  FROM tr, (SELECT unnest(range(3)) AS i) ii),
+        |bloom AS (SELECT pos // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |  FROM trp GROUP BY pos // 32),
+        |tep AS (SELECT doc_id, gram,
+        |    ((2*i + 3) * $ph + 5*i + 7) % $P % 65536 AS pos
+        |  FROM te, (SELECT unnest(range(3)) AS i) ii),
+        |probe AS (SELECT doc_id, gram,
+        |    sum(CASE WHEN (bits
+        |        & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0
+        |      THEN 1 ELSE 0 END) AS n_hits
+        |  FROM tep LEFT JOIN bloom ON bloom.word = tep.pos // 32
+        |  GROUP BY doc_id, gram),
+        |cand AS (SELECT doc_id, gram FROM probe WHERE n_hits = 3),
+        |ex AS (SELECT cand.doc_id, count(*) AS n_overlap
+        |  FROM cand JOIN tr USING (gram) GROUP BY cand.doc_id),
+        |cd AS (SELECT doc_id, count(*) AS n_candidates
+        |  FROM cand GROUP BY doc_id),
+        |gd AS (SELECT doc_id, count(*) AS n_grams FROM te GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_candidates, 0) AS n_candidates,
+        |  coalesce(n_overlap, 0) AS n_overlap,
+        |  coalesce(n_candidates, 0) - coalesce(n_overlap, 0) AS n_false_pos,
+        |  coalesce(n_overlap, 0) > 0 AS contaminated,
+        |  coalesce(n_candidates, 0) > 0 AS bloom_contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 = 0) d
+        |LEFT JOIN gd USING (doc_id)
+        |LEFT JOIN cd USING (doc_id)
+        |LEFT JOIN ex USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
     },
     // Portable HLL: integer-only rho bit scan (no libm), registers
     // maxed per 5-bit bucket, harmonic denominator kept scaled by 2^26

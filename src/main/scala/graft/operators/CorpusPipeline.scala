@@ -220,6 +220,71 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F17c — BLOOM-FILTER decontamination PREFILTER: the two-stage
+    * shape F17 runs at 100 TB. Stage 1 folds every distinct training
+    * word n-gram into a 65,536-bit Bloom filter (2048 32-bit words,
+    * `kHash` affine rehashes of the gram's PolyHash — the minhash
+    * coefficient family, positions `((2i+3)h + 5i+7) mod P mod 2^16`)
+    * built by one `bit_or` aggregation; the bitmap is ~8 KB and
+    * BROADCAST, so stage 2 — membership for held-out grams — is a
+    * map-side broadcast join, never a shuffle of the corpus. A gram is
+    * a CANDIDATE iff all `kHash` probed bits are set (no false
+    * negatives, so candidates ⊇ true overlaps); the exact gram join
+    * then runs ONLY on candidates, and the report carries the measured
+    * false-positive count per held-out doc — the number the 100 TB
+    * operator needs to size m against its gram cardinality.
+    * `contaminated` is the exact verdict (identical to F17's flag);
+    * `bloom_contaminated` is the prefilter's superset verdict. Bits
+    * are packed 32/word because BOTH engines overflow-check `1 << 63`
+    * (DuckDB errors; masks stay positive bigints). */
+  def bloomPrefilter(docs: DataFrame, n: Int = 5, holdoutMod: Int = 50,
+                     kHash: Int = 3): DataFrame = {
+    require(kHash >= 1 && kHash <= 8, s"kHash must be in [1,8]: $kHash")
+    WordGrams.register(docs.sparkSession)
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val grams = docs.select(col("doc_id"), explode(gramsCol(n)).as("gram"))
+    val train = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+      .select("gram").distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("h", expr("graft_polyhash(gram)"))
+      .withColumn("i", explode(sequence(lit(0), lit(kHash - 1))))
+      .withColumn("pos",
+        expr(s"((2*i + 3) * h + 5*i + 7) % ${PortableText.P} % 65536"))
+      .withColumn("word", expr("pos div 32"))
+      .withColumn("mask", expr("shiftleft(1L, cast(pos % 32 as int))"))
+    val bloom = positions(train)
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+    val held = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .distinct()
+    // left join: a probed word with no training bits at all is a miss
+    val probes = positions(held)
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy("doc_id", "gram")
+      .agg(sum(when(expr("bits & mask") =!= 0, 1).otherwise(0))
+        .as("n_hits"))
+    val cand = probes.filter(col("n_hits") === kHash)
+      .select("doc_id", "gram")
+    val exact = cand.join(train, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val candPerDoc = cand.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    val gramsPerDoc = held.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    docs.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .select(col("doc_id"))
+      .join(gramsPerDoc, Seq("doc_id"), "left")
+      .join(candPerDoc, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("n_false_pos", col("n_candidates") - col("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+      .withColumn("bloom_contaminated", col("n_candidates") > 0)
+      .orderBy("doc_id")
+  }
+
   /** F29 — RAG/context-window CHUNKING: split each document's token
     * stream into fixed windows of `chunkTokens` whitespace tokens,
     * consecutive chunks sharing `overlap` tokens (the retrieval-index

@@ -188,6 +188,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy(_._2).size == 3)
   }
 
+  test("bloomPrefilter: exact verdict matches decontaminate (no false " +
+      "negatives), candidates bound overlaps, flags consistent") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val docs0 = docsFrom((0L until 60L).map { i =>
+      // every 4th doc reuses one template → guaranteed shared 3-grams
+      val words =
+        if (i % 4 == 0) Seq("alpha", "beta", "gamma", "delta", "eps")
+        else (0 until 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+      i -> words.mkString(" ")
+    }: _*)
+    val bloom = CorpusPipeline.bloomPrefilter(docs0, n = 3, holdoutMod = 5)
+      .as[(Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    val exact = CorpusPipeline.decontaminate(docs0, n = 3, holdoutMod = 5)
+      .select("doc_id", "n_overlap", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bloom.nonEmpty)
+    bloom.foreach { case (id, nGrams, nCand, nOv, nFp, cont, bloomCont) =>
+      // the exact stage on candidates reproduces full decontamination
+      assert((nOv, cont) == exact(id), s"doc $id")
+      assert(nCand >= nOv && nCand <= nGrams, s"doc $id")
+      assert(nFp == nCand - nOv, s"doc $id")
+      assert(!cont || bloomCont, s"doc $id: exact hit must be a candidate")
+    }
+    // the template family must actually contaminate (test is live)
+    assert(bloom.exists(_._6))
+  }
+
   test("chunkDocuments: stride-placed windows cover every token, " +
       "consecutive chunks share the overlap, tail chunk is short, " +
       "empty docs emit nothing") {
