@@ -203,6 +203,8 @@ object SparkEntry {
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     "q_interarrival" -> ((s, d) => Features.interArrival(Tables.ticks(s, d))),
+    // D15 — per-(symbol, day) EWMA of the bid, α = 1/2.
+    "q_ewma" -> ((s, d) => Features.ewma(Tables.ticks(s, d))),
 
     // ---- E. Temporal joins & sessionization (SURVEY §2.E) ----
     "q_asof_join" -> ((s, d) => {
@@ -775,6 +777,18 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
+    // EWMA: same ordered list, same left-to-right (x+acc)*0.5 fold —
+    // DuckDB list_reduce seeds with the FIRST element and folds the
+    // rest, exactly the Spark slice(...,2)+init spelling, so the
+    // unrounded doubles are bit-identical.
+    "q_ewma" ->
+      s"""SELECT symbol, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |  count(*) AS n_ticks,
+        |  list_reduce(list(bid ORDER BY ts, tick_id),
+        |    (acc, x) -> (x + acc) * cast(0.5 as double)) AS ewma_bid
+        |FROM $ticksSql t
+        |GROUP BY symbol, CAST(ts AS DATE)
+        |ORDER BY symbol, date""".stripMargin,
     "q_interarrival" ->
       s"""SELECT symbol, round(avg(gap_us) / 1000000.0, 4) AS avg_gap_sec,
         |  round(max(gap_us) / 1000000.0, 4) AS max_gap_sec,

@@ -274,6 +274,34 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D15 — EWMA (exponentially weighted moving average) of the bid
+    * per (symbol, trading day) with α = 1/2: e₁ = x₁, eᵢ = (xᵢ+eᵢ₋₁)/2
+    * — the standard smoothing feature the D-block lacked (pandas
+    * `ewm(alpha=.5).mean().iloc[-1]` per session). The recursion is
+    * inherently sequential, so it runs where the sequence lives: ONE
+    * shuffle by (symbol, day), each group's ticks collected into an
+    * array ordered by (ts, tick_id) and folded LEFT-TO-RIGHT — never a
+    * driver loop, and bounded by a day's volume exactly like the D6b
+    * session resampler. α = 1/2 makes every step `(x+e)·0.5` an IEEE
+    * add plus an EXACT halving, and the DuckDB oracle folds the same
+    * ordered list with the same lambda, so the unrounded doubles are
+    * bit-identical (SURVEY §6 element-wise rule: same ops, same
+    * order). Day key is DATE-typed (the q_vwap lesson: formatter keys
+    * measured ~7× slower), display string emitted once per group. */
+  def ewma(ticks: DataFrame): DataFrame =
+    ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(count(lit(1)).as("n_ticks"),
+        expr("sort_array(collect_list(struct(ts, tick_id, bid)))").as("arr"))
+      .withColumn("bids", expr("transform(arr, x -> x.bid)"))
+      .withColumn("ewma_bid", expr(
+        """aggregate(slice(bids, 2, size(bids) - 1), element_at(bids, 1),
+          |  (acc, x) -> (x + acc) * cast(0.5 as double))""".stripMargin))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_ticks"), col("ewma_bid"))
+      .orderBy("symbol", "date")
+
   /** D12 — grouped exact percentiles: per-symbol spread quantiles
     * (the per-group flavor of [[anomalyThresholds]]; one shuffle by
     * group key, partial agg). */

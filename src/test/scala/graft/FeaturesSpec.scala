@@ -30,6 +30,28 @@ class FeaturesSpec extends SparkSpec {
     assert(avgs == Seq(1.0, 1.5, 2.5, 3.5))
   }
 
+  test("ewma folds (x+e)/2 in (ts, tick_id) order per (symbol, day), " +
+      "independent of input row order") {
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", 10.0, 10.1),
+      (2L, 1L, "2024-01-01 00:00:02", 20.0, 20.1),
+      (3L, 1L, "2024-01-01 00:00:03", 40.0, 40.1),
+      (4L, 1L, "2024-01-02 00:00:01", 7.0, 7.1), // next day: fresh fold
+      (5L, 2L, "2024-01-01 00:00:01", 1.0, 1.1),
+      (6L, 2L, "2024-01-01 00:00:01", 3.0, 3.1)) // same ts: tick_id order
+    // sym1 day1: e1=10, e2=(20+10)/2=15, e3=(40+15)/2=27.5
+    val expected = Map(
+      (1L, "2024-01-01") -> ((3L, 27.5)),
+      (1L, "2024-01-02") -> ((1L, 7.0)),
+      (2L, "2024-01-01") -> ((2L, (3.0 + 1.0) / 2)))
+    Seq(rows, rows.reverse).foreach { order =>
+      val out = Features.ewma(ticks(order: _*))
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(out == expected)
+    }
+  }
+
   test("logReturns is null on first tick, ln(p1/p0) after") {
     val df = ticks(
       (1L, 1L, "2024-01-01 00:00:01", 100.0, 100.1),
