@@ -247,6 +247,18 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
+    // F1b — cross-source duplication matrix. The synthetic corpus has
+    // near-dups but no EXACT cross-source copies, so the registry
+    // injects a deterministic 'mirror' dump (every 10th doc re-sourced,
+    // ids offset) — the mirrored-crawl situation the matrix detects;
+    // the oracle builds the identical union.
+    "q_dup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirror = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang",
+        "'mirror' AS source", "n_chars")
+      TextDedup.dupMatrix(docs.unionByName(mirror))
+    }),
     // F2d — incremental near-dup: every 5th doc plays the "incoming
     // crawl", the rest the already-curated corpus.
     "q_dedup_incremental" -> ((s, d) => {
@@ -865,6 +877,31 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(v.dup, false) AS is_duplicate
         |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
         |ORDER BY d.doc_id""".stripMargin
+    },
+    // Dup matrix: per-(fp, source) counts first, then count-level pair
+    // join — cross pairs cnt_a*cnt_b, diagonal C(cnt,2), exact ints.
+    "q_dup_matrix" -> {
+      import graft.functions.PortableText._
+      s"""WITH d AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |f AS (SELECT doc_id, source, $duckDocFingerprint AS fp
+        |  FROM d),
+        |c AS (SELECT fp, source, count(*) AS cnt FROM f
+        |  GROUP BY fp, source),
+        |cross_p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_dup_pairs,
+        |    count(*) AS n_shared_fps
+        |  FROM c a JOIN c b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |intra AS (SELECT source AS source_a, source AS source_b,
+        |    CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS n_dup_pairs,
+        |    count(*) AS n_shared_fps
+        |  FROM c WHERE cnt >= 2 GROUP BY source)
+        |SELECT * FROM (SELECT * FROM cross_p UNION ALL
+        |  SELECT * FROM intra) u
+        |ORDER BY source_a, source_b""".stripMargin
     },
     // Incremental near-dup: bucket flags (any existing member / min
     // incoming id) replayed over the same band spelling as

@@ -32,6 +32,43 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** F1b — cross-source DUPLICATION MATRIX: for every source pair,
+    * how many identical-text doc pairs exist across them (and, on the
+    * diagonal, within them) — the report a corpus curator reads to
+    * decide which crawls/dumps mirror each other before picking F18
+    * caps or F21 budgets. Never a doc×doc comparison: per-(fingerprint,
+    * source) COUNTS aggregate first (one shuffle; hot template texts
+    * collapse map-side), the pair join then runs on those counts keyed
+    * by fingerprint — per fingerprint at most |sources| rows — and
+    * cross pairs are `cnt_a·cnt_b`, diagonal pairs `C(cnt,2)`, both
+    * exact ints. Rows appear only for pairs with ≥ 1 duplicate pair;
+    * `n_shared_fps` counts the distinct duplicated texts behind them.
+    */
+  def dupMatrix(docs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val c = docs
+      .select(col("source"), expr(docFingerprint).as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("cnt"))
+    val a = c.select(col("fp"), col("source").as("source_a"),
+      col("cnt").as("cnt_a"))
+    val b = c.select(col("fp"), col("source").as("source_b"),
+      col("cnt").as("cnt_b"))
+    val cross = a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_fps"))
+    val intra = c.filter(col("cnt") >= 2)
+      .groupBy(col("source").as("source_a"))
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_dup_pairs"),
+        count(lit(1)).as("n_shared_fps"))
+      .withColumn("source_b", col("source_a"))
+    cross.select("source_a", "source_b", "n_dup_pairs", "n_shared_fps")
+      .unionByName(
+        intra.select("source_a", "source_b", "n_dup_pairs", "n_shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** F2 — MinHash LSH band assignment: shingle→minhash→band. Docs
     * sharing a (band, band_hash) bucket are near-dup candidates; the
     * join stage is `candidatePairs`. */

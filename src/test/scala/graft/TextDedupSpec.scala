@@ -16,6 +16,25 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("dupMatrix counts cross-source pairs as cnt_a*cnt_b and diagonal " +
+      "as C(cnt,2), omitting dup-free pairs") {
+    val df = Seq(
+      (1L, "same text alpha", "s1"),
+      (2L, "same text alpha", "s1"),
+      (3L, "same text alpha", "s2"),
+      (4L, "text beta", "s2"),
+      (5L, "text beta", "s3"),
+      (6L, "unique gamma", "s3"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = TextDedup.dupMatrix(df)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s1", 1L, 1L),  // C(2,2) within s1 on alpha
+      ("s1", "s2", 2L, 1L),  // 2×1 alpha pairs
+      ("s2", "s3", 1L, 1L))) // 1×1 beta pair
+  }
+
   test("identical docs share all minhash bands; candidatePairs finds them") {
     val bands = TextDedup.minHashBands(docs(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
