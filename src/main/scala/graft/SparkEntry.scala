@@ -355,6 +355,9 @@ object SparkEntry {
     // learned k-means cluster (cap=30 per cluster, hash order).
     "q_cluster_cap" -> ((s, d) =>
       Vectors.clusterBalancedSample(Tables.embeddings(s, d), 30)),
+    // F24c — per-cluster quality audit over the same assignment.
+    "q_cluster_audit" -> ((s, d) =>
+      Vectors.clusterAudit(Tables.embeddings(s, d), 8, 2, 32)),
     // F25 — int8 scalar quantization + reconstruction-error profile.
     "q_embed_quant" -> ((s, d) =>
       Vectors.quantizeInt8(Tables.embeddings(s, d))),
@@ -1543,6 +1546,17 @@ object SparkEntry {
       s"""$duckKmeansCtes
         |SELECT a2.vec_id, a2.cluster, round(a2.score + qq.qq, 4) AS dist_sq
         |FROM a2 JOIN qq USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // Same assignment; per-row dist spelling as q_kmeans, re-rounded
+    // aggregates per SURVEY §6.
+    "q_cluster_audit" ->
+      s"""$duckKmeansCtes,
+        |dd AS (SELECT a2.vec_id, a2.cluster,
+        |    round(a2.score + qq.qq, 4) AS dist
+        |  FROM a2 JOIN qq USING (vec_id))
+        |SELECT cluster, count(*) AS n_vectors, min(vec_id) AS rep_vec,
+        |  round(sum(dist), 4) AS sse, round(avg(dist), 4) AS mean_dist,
+        |  round(max(dist), 4) AS max_dist
+        |FROM dd GROUP BY cluster ORDER BY cluster""".stripMargin,
     // Same assignment, then the capPerSource window keyed on the
     // learned cluster — identical duckHashOrder ranking spelling.
     "q_cluster_cap" ->

@@ -259,6 +259,26 @@ object Vectors {
       .orderBy("vec_id")
   }
 
+  /** F24c — per-cluster quality AUDIT over [[kmeansAssign]]: size,
+    * lowest member id (the deterministic exemplar), and the SSE /
+    * mean / max of the per-vector squared distances — the report that
+    * tells a curator whether k is sane (one giant blob? an empty
+    * shard?) before F24b sampling runs on the clusters. One k-group
+    * aggregation with map-side partial sums on top of the assignment
+    * scan. Per-row distances are the engine-identical rounded values
+    * the assignment emits; the sum/avg re-round (SURVEY §6 aggregate
+    * rule), max picks an existing value. */
+  def clusterAudit(emb: DataFrame, k: Int = 8, iters: Int = 2,
+                   scale: Int = 32, dim: Int = Dim): DataFrame =
+    kmeansAssign(emb, k, iters, scale, dim)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"),
+        min("vec_id").as("rep_vec"),
+        round(sum("dist_sq"), 4).as("sse"),
+        round(avg("dist_sq"), 4).as("mean_dist"),
+        round(max("dist_sq"), 4).as("max_dist"))
+      .orderBy("cluster")
+
   /** F25 — int8 embedding quantization with a reconstruction-error
     * profile: the memory-scale path for ANN over 100 TB of embeddings
     * (4× smaller vectors than float32 → 4× more candidates per

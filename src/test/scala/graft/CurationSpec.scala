@@ -119,6 +119,32 @@ class CurationSpec extends SparkSpec {
       Map(0L -> 0, 2L -> 0, 1L -> 1, 3L -> 1))
   }
 
+  test("clusterAudit aggregates the assignment: sizes partition the " +
+      "corpus, rep is the lowest member id, stats are consistent") {
+    val rows = Seq(
+      0L -> Array(0.0f, 0.1f, 0.0f, 0.1f),
+      1L -> Array(9.0f, 9.1f, 9.0f, 9.1f),
+      2L -> Array(0.2f, 0.0f, 0.1f, 0.0f),
+      3L -> Array(8.9f, 9.0f, 9.2f, 9.0f),
+      4L -> Array(0.1f, 0.2f, 0.2f, 0.1f),
+      5L -> Array(9.1f, 8.8f, 9.0f, 9.3f))
+    val asg = Vectors.kmeansAssign(embFrom(rows: _*), k = 2, iters = 3,
+      scale = 32, dim = 4).as[(Long, Int, Double)].collect().toSeq
+    val audit = Vectors.clusterAudit(embFrom(rows: _*), k = 2, iters = 3,
+      scale = 32, dim = 4)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(audit.map(_._1) == Seq(0, 1))
+    assert(audit.map(_._2).sum == rows.size)
+    audit.foreach { case (c, n, rep, sse, mean, mx) =>
+      val members = asg.filter(_._2 == c)
+      assert(n == members.size)
+      assert(rep == members.map(_._1).min)
+      assert(math.abs(sse - members.map(_._3).sum) < 1e-3)
+      assert(mx == members.map(_._3).max)
+      assert(mean <= mx && mean >= 0)
+    }
+  }
+
   test("kmeansAssign requires init ids 0..k-1") {
     val rows = Seq(5L -> Array(1.0f, 2.0f))
     val e = intercept[IllegalArgumentException] {
