@@ -219,6 +219,20 @@ object SparkEntry {
       TemporalJoins.asOfJoin(trades, quotes, "symbol", "ts",
         "trade_id", "quote_id", Seq("bid"))
     }),
+    // E4 — tolerance as-of: quotes older than 600 s must not price a
+    // trade (left flavor; this corpus yields fresh + stale + no-match).
+    "q_asof_tolerance" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"))
+      TemporalJoins.asOfJoinTolerance(trades, quotes, "symbol", "ts",
+        "trade_id", "quote_id", Seq("bid"), 600L)
+    }),
     "q_range_join" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -813,6 +827,26 @@ object SparkEntry {
         |      OVER (PARTITION BY symbol ORDER BY tick_id) AS gap_us
         |  FROM $ticksSql t) x
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
+    // gate nullifies the match columns (age in exact integer µs; both
+    // engines floor ns→µs identically).
+    "q_asof_tolerance" ->
+      """SELECT trade_id, symbol, ts_s,
+        |  CASE WHEN fresh THEN qid END AS asof_id,
+        |  CASE WHEN fresh THEN qbid END AS asof_bid,
+        |  CASE WHEN fresh THEN age_us END AS age_us
+        |FROM (
+        |  SELECT t.event_id AS trade_id, t.user_id AS symbol,
+        |    date_trunc('second', t.ts) AS ts_s,
+        |    q.event_id AS qid, q.value AS qbid,
+        |    epoch_us(t.ts) - epoch_us(q.ts) AS age_us,
+        |    q.event_id IS NOT NULL
+        |      AND epoch_us(t.ts) - epoch_us(q.ts) <= 600000000 AS fresh
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |  ASOF LEFT JOIN (SELECT * FROM events
+        |    WHERE event_type IN ('click','view')) q
+        |    ON t.user_id = q.user_id AND t.ts >= q.ts) x
+        |ORDER BY trade_id""".stripMargin,
     "q_asof_join" ->
       """SELECT t.event_id AS trade_id, t.user_id AS symbol,
         |  date_trunc('second', t.ts) AS ts_s,

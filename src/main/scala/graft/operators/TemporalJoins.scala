@@ -55,6 +55,54 @@ object TemporalJoins {
       .orderBy(leftId)
   }
 
+  /** E4 — as-of join with a STALENESS TOLERANCE: the tick-data
+    * variant every live pricing join actually runs — a quote older
+    * than `toleranceSec` must not price a trade. LEFT flavor: every
+    * left row survives; the as-of columns (and the exact µs `age_us`)
+    * are NULL when there is no prior quote OR the latest one is stale.
+    * Same union + running-`last` window shape as [[asOfJoin]] (ONE
+    * shuffle on the key, no range product — the staleness check is a
+    * post-window filter on carried columns, not a join predicate), with
+    * the matched quote's own timestamp carried through the window so
+    * age is computable without a second join. Age uses integer µs
+    * diffs (exact; both engines truncate ns→µs the same way). */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, leftId: String, rightId: String,
+                        rightVals: Seq[String],
+                        toleranceSec: Long): DataFrame = {
+    require(toleranceSec >= 0, s"toleranceSec must be >= 0: $toleranceSec")
+    val lCols = Seq(col(key), col(ts), col(leftId),
+      lit(null).cast("long").as(rightId)) ++
+      rightVals.map(v => lit(null).cast("double").as(v)) :+ lit(0).as("side")
+    val rCols = Seq(col(key), col(ts), lit(null).cast("long").as(leftId),
+      col(rightId)) ++ rightVals.map(col) :+ lit(1).as("side")
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("side").desc,
+        coalesce(col(rightId), col(leftId)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = left.select(lCols: _*)
+      .unionByName(right.select(rCols: _*))
+      .withColumn("rts", when(col("side") === 1, col(ts)))
+      .withColumn("asof_id", last(rightId, ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last("rts", ignoreNulls = true).over(w))
+    val fills = rightVals.map(v =>
+      last(v, ignoreNulls = true).over(w).as(s"asof_$v"))
+    val fresh = col("asof_id").isNotNull &&
+      col("age_us") <= toleranceSec * 1000000L
+    filled
+      .select(Seq(col(key), col(ts), col(leftId), col("side"),
+        col("asof_id"), col("asof_ts")) ++ fills: _*)
+      .filter(col("side") === 0)
+      .withColumn("age_us",
+        unix_micros(col(ts)) - unix_micros(col("asof_ts")))
+      .select(Seq(col(leftId), col(key),
+        date_trunc("second", col(ts)).as("ts_s"),
+        when(fresh, col("asof_id")).as("asof_id")) ++
+        rightVals.map(v => when(fresh, col(s"asof_$v")).as(s"asof_$v")) :+
+        when(fresh, col("age_us")).as("age_us"): _*)
+      .orderBy(leftId)
+  }
+
   /** E2 — range (interval) join: right rows of the same key with
     * timestamp in `[l.ts - window, l.ts)`, aggregated per left row.
     * The equality key keeps this a shuffle HASH join (range predicate

@@ -27,6 +27,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!pairs.contains(13L))
   }
 
+  test("asOfJoinTolerance: fresh quote priced with exact age, stale " +
+      "quote nullified, quote-less trade kept with nulls, boundary age " +
+      "== tolerance is fresh") {
+    val trades = Seq(
+      (1L, 10L, t("2024-01-01 10:00:05")), // 2s-old quote → fresh
+      (1L, 11L, t("2024-01-01 10:30:03")), // 1800s-old quote → stale
+      (1L, 12L, t("2024-01-01 10:00:13")), // exactly 10s → fresh
+      (2L, 13L, t("2024-01-01 10:00:00"))) // no quote at all
+      .toDF("symbol", "trade_id", "ts")
+    val quotes = Seq(
+      (1L, 100L, t("2024-01-01 10:00:03"), 1.5))
+      .toDF("symbol", "quote_id", "ts", "bid")
+    val out = TemporalJoins.asOfJoinTolerance(trades, quotes, "symbol",
+      "ts", "trade_id", "quote_id", Seq("bid"), toleranceSec = 10L)
+      .select("trade_id", "asof_id", "asof_bid", "age_us")
+      .as[(Long, Option[Long], Option[Double], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((Some(100L), Some(1.5), Some(2000000L))))
+    assert(out(11L) == ((None, None, None)))
+    assert(out(12L) == ((Some(100L), Some(1.5), Some(10000000L))))
+    assert(out(13L) == ((None, None, None)))
+    assert(out.size == 4) // left flavor: every trade survives
+  }
+
   test("rangeJoinCount counts right rows in [t-w, t) per key") {
     val trades = Seq((1L, 10L, t("2024-01-01 10:00:00")))
       .toDF("symbol", "trade_id", "ts")
