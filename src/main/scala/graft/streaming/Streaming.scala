@@ -246,6 +246,44 @@ object Streaming {
       }
   }
 
+  case class CapDecision(doc_id: Long, source: String, rnk: Long,
+                         admitted: Boolean)
+
+  /** G10 — streaming per-source doc-count CAP admission: the live twin
+    * of `CorpusPipeline.capPerSource` (F18). Keyed state per source is
+    * ONE counter — the number of docs seen in the source's walk; a doc
+    * is admitted while its inclusive 1-based position `rnk` is ≤ cap,
+    * and every doc after the cap-th is rejected permanently (the
+    * counter never resets — re-balancing a source's cap upward is a
+    * batch operation, not a stream mutation).
+    *
+    * Ordering contract (same class as G7/G9's): batch ranks docs by
+    * the deterministic multiplicative hash; the stream hash-orders
+    * within each micro-batch and arrival order governs across batches.
+    * Fed in the batch hash walk, admissions match `capPerSource`
+    * doc-for-doc with identical ranks — spec'd. */
+  def sourceCapAdmission(docs: Dataset[SourcedDoc],
+                         cap: Int): Dataset[CapDecision] = {
+    import docs.sparkSession.implicits._
+    require(cap >= 0, s"cap must be >= 0: $cap")
+    val P = graft.functions.PortableText.P
+    def rank(id: Long): Long = ((id % P) + P) % P * 2654435761L % P
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[SourcedDoc],
+         state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(d => (rank(d.doc_id), d.doc_id))
+            .map { d =>
+              seen += 1
+              CapDecision(d.doc_id, source, seen, seen <= cap)
+            }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Per-doc verdict over one micro-batch of [[nearDupBandFlags]]
     * output (use inside `foreachBatch`): duplicate iff any band hit a
     * previously-claimed bucket. */

@@ -240,6 +240,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G10 parity: sourceCapAdmission fed in hash order admits exactly " +
+      "capPerSource's kept set with identical ranks; the counter " +
+      "persists across batches so late docs stay rejected") {
+    import graft.streaming.Streaming.{CapDecision, SourcedDoc}
+    val P = graft.functions.PortableText.P
+    def rank(id: Long): Long = ((id % P) + P) % P * 2654435761L % P
+    val docs = (0L until 24L).map { i =>
+      SourcedDoc(i, s"s${i % 2}", s"doc $i")
+    }
+    val batchKept = graft.operators.CorpusPipeline
+      .capPerSource(
+        docs.map(d => (d.doc_id, d.text, "en", d.source))
+          .toDF("doc_id", "text", "lang", "source"), 5)
+      .select("doc_id", "rnk").as[(Long, Int)].collect()
+      .map(r => r._1 -> r._2.toLong).toMap
+    val walk = docs.sortBy(d => (rank(d.doc_id), d.doc_id))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SourcedDoc]
+    val q = Streaming.sourceCapAdmission(in.toDS(), 5)
+      .writeStream.format("memory").queryName("p_cap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(walk.take(7): _*); q.processAllAvailable()
+      in.addData(walk.drop(7): _*); q.processAllAvailable()
+      val out = spark.table("p_cap").as[CapDecision].collect()
+      assert(out.length == docs.length)
+      assert(out.filter(_.admitted).map(d => d.doc_id -> d.rnk).toMap
+        == batchKept)
+      // per source: exactly cap admitted, all rejections ranked > cap
+      out.groupBy(_.source).foreach { case (_, rows) =>
+        assert(rows.count(_.admitted) == 5)
+        assert(rows.filter(!_.admitted).forall(_.rnk > 5))
+      }
+    } finally q.stop()
+  }
+
   test("anomalyFlags keeps per-symbol state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Tick]
