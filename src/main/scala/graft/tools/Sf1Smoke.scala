@@ -92,7 +92,16 @@ object Sf1Smoke {
       "q_decontaminate", "q_dedup_exact", "q_corpus_select",
       // round-8 curation + vector additions at the same 10x scale
       "q_line_dedup", "q_pii_scrub", "q_corpus_curate",
-      "q_kmeans", "q_embed_quant", "q_cluster_cap", "q_pq_codes")
+      "q_kmeans", "q_embed_quant", "q_cluster_cap", "q_pq_codes",
+      // round-8 third-session additions: fingerprinting, retrieval,
+      // chunking, sketches, and the delta/bloom dedup paths. The 10x
+      // replica is a worst case for q_dup_matrix (every fp count ≥
+      // replicas) and q_dedup_incremental (every incoming band bucket
+      // hot); q_winnow/q_chunk_docs/q_hll_ndv are narrow passes that
+      // should scale linearly with rows.
+      "q_winnow", "q_chunk_docs", "q_hll_ndv", "q_term_search",
+      "q_dup_matrix", "q_dedup_incremental", "q_bloom_prefilter",
+      "q_cluster_audit")
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
