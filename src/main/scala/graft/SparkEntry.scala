@@ -153,6 +153,10 @@ object SparkEntry {
 
     "q_snapshot_log" -> ((s, d) =>
       Lakehouse.snapshotHistory(Tables.events(s, d), "event_id", 2000L)),
+    // A14 — retention: expire all but the 3 newest snapshots (log audit;
+    // head state untouched, expired ids lose time travel only).
+    "q_snapshot_expire" -> ((s, d) =>
+      Lakehouse.expireSnapshots(Tables.events(s, d), "event_id", 2000L, 3)),
     // Rollback to snapshot 2: history keeps every append AND gains the
     // head `rollback` entry (Iceberg writes a snapshot; it never erases).
     "q_rollback" -> ((s, d) =>
@@ -619,6 +623,21 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS total
         |FROM (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
         |  FROM events GROUP BY event_id // 2000) s
+        |ORDER BY snapshot_id""".stripMargin,
+    // Expiry report: same history CTE as q_snapshot_log plus the
+    // retain-last-3 verdict against the max id.
+    "q_snapshot_expire" ->
+      """SELECT snapshot_id, added, total,
+        |  snapshot_id <= h - 3 AS expired,
+        |  NOT (snapshot_id <= h - 3) AS time_travelable
+        |FROM (
+        |  SELECT snapshot_id, added,
+        |    CAST(sum(added) OVER (ORDER BY snapshot_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS total,
+        |    max(snapshot_id) OVER () AS h
+        |  FROM (SELECT event_id // 2000 AS snapshot_id, count(*) AS added
+        |    FROM events GROUP BY event_id // 2000) s) x
         |ORDER BY snapshot_id""".stripMargin,
     // The rollback row comes from a FROM-clause join against the
     // target snapshot's history row, NOT a scalar subquery: when the

@@ -131,6 +131,31 @@ object Lakehouse {
     appends.unionByName(rollbackRow).orderBy("snapshot_id")
   }
 
+  /** A14 — snapshot RETENTION / EXPIRY report: Iceberg's
+    * `expire_snapshots(retain_last => n)` on the append-log emulation.
+    * Expiry removes old snapshots from METADATA — time travel to them
+    * is gone — while their DATA lives on in every later snapshot
+    * (append-only: the head state is untouched, so `added`/`total`
+    * never change). The report is the full log with the verdict per
+    * snapshot: `expired` for everything older than the `retainLast`
+    * newest ids, `time_travelable` for the kept tail — the audit a
+    * platform prints before garbage-collecting manifests. O(snapshot
+    * count) on a real catalog; here one history aggregation plus a
+    * one-row head broadcast. */
+  def expireSnapshots(df: DataFrame, idCol: String, rowsPerSnapshot: Long,
+                      retainLast: Int): DataFrame = {
+    require(retainLast >= 1, s"retainLast must be >= 1: $retainLast")
+    val log = snapshotHistory(df, idCol, rowsPerSnapshot)
+    val head = log.agg(max("snapshot_id").as("head"))
+    log.crossJoin(broadcast(head))
+      .withColumn("expired",
+        col("snapshot_id") <= col("head") - retainLast)
+      .withColumn("time_travelable", !col("expired"))
+      .select("snapshot_id", "added", "total", "expired",
+        "time_travelable")
+      .orderBy("snapshot_id")
+  }
+
   /** A12 — snapshot DIFF: row counts at two snapshots plus the delta,
     * the reference's `diff_snapshots` menu action (ref: `Apache
     * Iceberg/iceberg_time_travel.py:184-207`, menu item 4). Counts use

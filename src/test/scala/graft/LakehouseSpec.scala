@@ -24,6 +24,19 @@ class LakehouseSpec extends SparkSpec {
     assert(log.count() == 10000L)
   }
 
+  test("expireSnapshots flags everything older than the retained tail, " +
+      "never touches added/total, and keeps the head travelable") {
+    val rep = Lakehouse.expireSnapshots(log, "event_id", 1000L, 3)
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    assert(rep.map(_._1).toSeq == (0L to 9L))
+    // history numbers identical to the un-expired log
+    assert(rep.map(r => (r._2, r._3)).toSeq ==
+      (1L to 10L).map(i => (1000L, i * 1000L)))
+    // snapshots 0..6 expired, 7..9 retained (retain_last = 3)
+    assert(rep.map(_._4).toSeq == (0L to 9L).map(_ <= 6L))
+    assert(rep.forall(r => r._5 == !r._4))
+  }
+
   test("rollbackHistory keeps every append and adds a head rollback " +
       "entry with the target's total") {
     val h = Lakehouse.rollbackHistory(log, "event_id", 1000L, 3L)
