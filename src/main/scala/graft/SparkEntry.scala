@@ -110,6 +110,10 @@ object SparkEntry {
       Analytics.suppliersWithShipments(Tables.supplier(s, d),
         Tables.lineitem(s, d), 45.0)),
     "q_percent_rank" -> ((s, d) => Analytics.pricePosition(Tables.part(s, d))),
+    // C12 — Q2-style groupwise-min join-back (cheapest shipper per part).
+    "q_min_cost" -> ((s, d) =>
+      Analytics.minCostSupplier(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), "Brand#13")),
     "q_pivot" -> ((s, d) =>
       Analytics.eventTypePivot(Tables.events(s, d),
         Seq("click", "view", "purchase", "signup", "error"))),
@@ -552,6 +556,19 @@ object SparkEntry {
         |FROM part
         |WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice, p_partkey)
         |ORDER BY p_partkey""".stripMargin,
+    // Groupwise-min join-back (Q2 essence): min picked raw, ties kept.
+    "q_min_cost" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        |li AS (SELECT p_partkey, l_suppkey, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |m AS (SELECT p_partkey, min(l_extendedprice) AS min_price
+        |  FROM li GROUP BY p_partkey)
+        |SELECT DISTINCT li.p_partkey AS p_partkey,
+        |  l_suppkey AS s_suppkey, s_name, min_price
+        |FROM li JOIN m ON li.p_partkey = m.p_partkey
+        |  AND l_extendedprice = min_price
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY li.p_partkey, s_suppkey""".stripMargin,
     "q_resample_session" ->
       s"""WITH b0 AS (SELECT tick_id, symbol, strftime(ts, '%Y-%m-%d') AS date,
         |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'

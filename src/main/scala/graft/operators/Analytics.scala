@@ -162,6 +162,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
       .orderBy("bucket")
 
+  /** C12 — groupwise-min JOIN-BACK (TPC-H Q2's plan essence, adapted
+    * to this schema: lineitem is the part↔supplier link): for every
+    * part of `brand`, the supplier(s) that shipped it at the MINIMUM
+    * extended price — all ties kept, exactly Q2's correlated
+    * `= (SELECT min(...))` subquery, expressed as the scalable
+    * aggregate-then-rejoin: brand filter PUSHED into the part scan,
+    * the pruned part set broadcast into the fact join, one groupBy-min
+    * on the narrowed facts, and an equi-join back on (part, price) —
+    * never a per-row subquery execution. `min_price` is a picked raw
+    * value (unrounded, SURVEY §6). */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame, brand: String): DataFrame = {
+    val parts = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val mins = li.groupBy("p_partkey")
+      .agg(min("l_extendedprice").as("min_price"))
+    li.join(mins, Seq("p_partkey"))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select("p_partkey", "l_suppkey", "min_price").distinct()
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("min_price"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
   /** Relative price position of each part within its type —
     * `percent_rank` + `cume_dist` analytic window (research-query
     * shape over gold tables). */

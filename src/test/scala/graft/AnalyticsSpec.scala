@@ -25,6 +25,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.contains(("B", "x", 3.0, 1L)))
   }
 
+  test("minCostSupplier keeps every supplier tied at the per-part " +
+      "minimum, restricted to the brand, deduped across lineitems") {
+    val part = Seq(
+      (1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    val supplier = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0),  // tie at the min → both kept
+      (1L, 12L, 9.0),                  // above min → dropped
+      (1L, 10L, 5.0),                  // duplicate shipment → deduped
+      (2L, 12L, 3.0),                  // sole supplier
+      (3L, 10L, 1.0))                  // other brand → filtered out
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val out = Analytics.minCostSupplier(part, supplier, lineitem, "Brand#1")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, "alpha", 5.0),
+      (1L, 11L, "beta", 5.0),
+      (2L, 12L, "gamma", 3.0)))
+  }
+
   test("customersWithoutOrders is a left-anti join") {
     val cust = Seq((1L, "a", "S"), (2L, "b", "S"))
       .toDF("c_custkey", "c_name", "c_mktsegment")
