@@ -213,6 +213,8 @@ object SparkEntry {
     "q_interarrival" -> ((s, d) => Features.interArrival(Tables.ticks(s, d))),
     // D15 — per-(symbol, day) EWMA of the bid, α = 1/2.
     "q_ewma" -> ((s, d) => Features.ewma(Tables.ticks(s, d))),
+    // D16 — lag-5 autocorrelation of the bid per symbol.
+    "q_autocorr" -> ((s, d) => Features.autocorr(Tables.ticks(s, d), 5)),
 
     // ---- E. Temporal joins & sessionization (SURVEY §2.E) ----
     "q_asof_join" -> ((s, d) => {
@@ -842,6 +844,14 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
+    "q_autocorr" ->
+      s"""SELECT symbol, round(corr(bid, lag_bid), 4) AS autocorr_5,
+        |  count(lag_bid) AS n_pairs
+        |FROM (SELECT symbol, bid,
+        |    lag(bid, 5) OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS lag_bid
+        |  FROM $ticksSql t) x
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
     // EWMA: same ordered list, same left-to-right (x+acc)*0.5 fold —
     // DuckDB list_reduce seeds with the FIRST element and folds the
     // rest, exactly the Spark slice(...,2)+init spelling, so the

@@ -274,6 +274,25 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D16 — lag-`k` AUTOCORRELATION of the bid per symbol: Pearson
+    * corr(bidₜ, bidₜ₋ₖ) — the mean-reversion/momentum diagnostic a
+    * research pipeline computes per instrument (pandas
+    * `series.autocorr(k)`). One window pass for the lag (shuffle by
+    * symbol, the same exchange the aggregate then reuses) and one
+    * grouped `corr` with map-side partial aggregation; first `k` ticks
+    * of each symbol contribute no pair (corr ignores NULL pairs in
+    * both engines). Aggregate double → round(4) (SURVEY §6). */
+  def autocorr(ticks: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("lag_bid", lag(col("bid"), k).over(w))
+      .groupBy("symbol")
+      .agg(round(corr(col("bid"), col("lag_bid")), 4).as(s"autocorr_$k"),
+        count(col("lag_bid")).as("n_pairs"))
+      .orderBy("symbol")
+  }
+
   /** D15 — EWMA (exponentially weighted moving average) of the bid
     * per (symbol, trading day) with α = 1/2: e₁ = x₁, eᵢ = (xᵢ+eᵢ₋₁)/2
     * — the standard smoothing feature the D-block lacked (pandas

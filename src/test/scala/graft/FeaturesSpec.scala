@@ -30,6 +30,20 @@ class FeaturesSpec extends SparkSpec {
     assert(avgs == Seq(1.0, 1.5, 2.5, 3.5))
   }
 
+  test("autocorr(1) is +1 on a linear ramp, -1 on an alternating " +
+      "series, with the first k ticks pairless") {
+    val ramp = (1 to 6).map(i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d", i.toDouble, i + 0.1))
+    val alt = (1 to 6).map(i =>
+      (10L + i, 2L, f"2024-01-01 00:00:$i%02d",
+        if (i % 2 == 0) 1.0 else -1.0, 0.1))
+    val out = Features.autocorr(ticks((ramp ++ alt): _*), 1)
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1.0, 5L)))   // perfectly linear → corr +1
+    assert(out(2L) == ((-1.0, 5L)))  // alternating → corr -1
+  }
+
   test("ewma folds (x+e)/2 in (ts, tick_id) order per (symbol, day), " +
       "independent of input row order") {
     val rows = Seq(
