@@ -215,6 +215,14 @@ object SparkEntry {
     "q_ewma" -> ((s, d) => Features.ewma(Tables.ticks(s, d))),
     // D16 — lag-5 autocorrelation of the bid per symbol.
     "q_autocorr" -> ((s, d) => Features.autocorr(Tables.ticks(s, d), 5)),
+    // D17 — realized volatility (sum of squared intraday log returns).
+    "q_realized_vol" -> ((s, d) => Features.realizedVol(Tables.ticks(s, d))),
+    // B9 — tick-rule up/down/zero classification per symbol.
+    "q_tick_rule" -> ((s, d) => TickOps.tickRule(Tables.ticks(s, d))),
+    // F30 — boilerplate share: fraction of a doc's distinct 3-grams
+    // occurring in other docs.
+    "q_gram_novelty" -> ((s, d) =>
+      TextDedup.boilerplateShare(Tables.documents(s, d), 3)),
 
     // ---- E. Temporal joins & sessionization (SURVEY §2.E) ----
     "q_asof_join" -> ((s, d) => {
@@ -844,6 +852,38 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
+    // Realized vol: intraday lag (partition includes the day), ln
+    // parity per q_log_returns, aggregate round(4).
+    "q_realized_vol" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  round(sum(r * r), 4) AS realized_vol,
+        |  count(r) AS n_returns
+        |FROM (SELECT symbol, _date,
+        |    CASE WHEN prev IS NOT NULL AND prev <> 0
+        |      THEN ln(bid / prev) END AS r
+        |  FROM (SELECT symbol, CAST(ts AS DATE) AS _date, bid,
+        |      lag(bid, 1) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |        ORDER BY tick_id) AS prev
+        |    FROM $ticksSql t) y) x
+        |GROUP BY symbol, _date
+        |ORDER BY symbol, date""".stripMargin,
+    "q_tick_rule" ->
+      s"""SELECT symbol,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND bid > prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND bid < prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND bid = prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND bid > prev
+        |    THEN 1 ELSE 0 END)
+        |   - sum(CASE WHEN prev IS NOT NULL AND bid < prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS net_flow
+        |FROM (SELECT symbol, bid,
+        |    lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS prev
+        |  FROM $ticksSql t) x
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
     "q_autocorr" ->
       s"""SELECT symbol, round(corr(bid, lag_bid), 4) AS autocorr_5,
         |  count(lag_bid) AS n_pairs
@@ -1299,6 +1339,29 @@ object SparkEntry {
         |LEFT JOIN gd USING (doc_id)
         |LEFT JOIN cd USING (doc_id)
         |LEFT JOIN ex USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // Boilerplate share: distinct per-doc grams → df → join back; the
+    // ratio is one exact-int division, NULL for gram-less docs.
+    "q_gram_novelty" -> {
+      import graft.functions.PortableText._
+      s"""WITH g0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(tk) - 1),
+        |      i -> array_to_string(tk[i:i+2], ' '))) AS gram
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |per AS (SELECT doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_shared
+        |  FROM g JOIN dfreq USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_shared, 0) AS n_shared,
+        |  CASE WHEN coalesce(n_grams, 0) > 0 THEN
+        |    CAST(coalesce(n_shared, 0) AS DOUBLE) / n_grams END
+        |    AS shared_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
     },
     // Portable HLL: integer-only rho bit scan (no libm), registers

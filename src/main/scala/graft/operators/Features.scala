@@ -274,6 +274,31 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D17 — REALIZED VOLATILITY per (symbol, trading day): the sum of
+    * squared intraday log returns (the standard RV estimator; the
+    * lag runs WITHIN the day so overnight gaps never contaminate a
+    * day's vol). ln() parity across engines is already established by
+    * D3 (`q_log_returns` passes unrounded); the squared-return sum is
+    * an aggregate double → round(4) (SURVEY §6). One window lag +
+    * grouped sum on the same (symbol, day) exchange. */
+  def realizedVol(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .withColumn("r",
+        when(col("prev").isNotNull && col("prev") =!= 0,
+          log(col("bid") / col("prev"))))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(round(sum(col("r") * col("r")), 4).as("realized_vol"),
+        count(col("r")).as("n_returns"))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("realized_vol"), col("n_returns"))
+      .orderBy("symbol", "date")
+  }
+
   /** D16 — lag-`k` AUTOCORRELATION of the bid per symbol: Pearson
     * corr(bidₜ, bidₜ₋ₖ) — the mean-reversion/momentum diagnostic a
     * research pipeline computes per instrument (pandas

@@ -632,6 +632,37 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F30 — BOILERPLATE-SHARE profile: per document, how many of its
+    * DISTINCT word `n`-grams occur in at least one other document, and
+    * the resulting shared fraction — the per-doc "how templated is
+    * this text" signal that sits between F9's intra-doc repetition
+    * rules and F22's corpus-level line dedup (a doc can be internally
+    * clean yet wholly assembled from corpus boilerplate; this is the
+    * number that catches it). Shape: per-doc DISTINCT grams (partial
+    * agg collapses template grams), gram df, join back keyed on the
+    * gram, one per-doc count — never doc×doc. The ratio is one IEEE
+    * division of exact counts (unrounded, SURVEY §6); gram-less docs
+    * report zero counts with NULL ratio. */
+  def boilerplateShare(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val grams = docs.select(col("doc_id"),
+        explode(expr(s"graft_wordgrams($tokens, $n)")).as("gram"))
+      .distinct()
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val per = grams.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        when(col("n_grams") > 0,
+          col("n_shared").cast("double") / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   /** F14b — ENGINE-EXACT HyperLogLog NDV over word `n`-grams: the
     * approximate-distinct sketch a 100 TB profile runs instead of an
     * exact distinct (F14's ApproxPathSpec measures Spark's own

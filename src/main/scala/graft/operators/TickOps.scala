@@ -179,4 +179,28 @@ object TickOps {
       date_trunc("second", col("ts") + expr(s"INTERVAL $hours HOURS")).as("ts_shifted"),
       hour(col("ts") + expr(s"INTERVAL $hours HOURS")).as("hour_shifted"))
       .orderBy("tick_id")
+
+  /** B9 — TICK-RULE classification per symbol: count upticks,
+    * downticks and zero-ticks against the previous bid (the
+    * Lee–Ready-family direction heuristic microstructure stats are
+    * built on), plus the net signed flow (up − down). One window lag
+    * (shuffle by symbol, in-partition sort by tick_id) feeding one
+    * conditional aggregation on the same exchange; the first tick of
+    * each symbol is unclassified (NULL prev — not counted, like D16's
+    * pairless head). All counts exact ints. */
+  def tickRule(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .groupBy("symbol")
+      .agg(
+        sum(when(col("prev").isNotNull && col("bid") > col("prev"), 1L)
+          .otherwise(0L)).as("n_up"),
+        sum(when(col("prev").isNotNull && col("bid") < col("prev"), 1L)
+          .otherwise(0L)).as("n_down"),
+        sum(when(col("prev").isNotNull && col("bid") === col("prev"), 1L)
+          .otherwise(0L)).as("n_zero"))
+      .withColumn("net_flow", col("n_up") - col("n_down"))
+      .orderBy("symbol")
+  }
 }

@@ -246,6 +246,41 @@ object Streaming {
       }
   }
 
+  case class EwmaPoint(tick_id: Long, symbol: Long, date: String,
+                       n_seen: Long, ewma: Double)
+
+  /** G11 — streaming per-(symbol, day) EWMA (α = 1/2): the live twin
+    * of `Features.ewma`. Keyed state per (symbol, UTC day) is
+    * (tick count, current ewma); each tick folds `(bid + e)·0.5` —
+    * the identical exact-halving step as the batch fold — and the
+    * stream emits the RUNNING value per tick (a monitor reports
+    * continuously; the batch op reports each day's final value, which
+    * equals the stream's LAST emitted point per key when ticks arrive
+    * in (ts, tick_id) order — spec'd). Day keying makes state
+    * naturally bounded: one (Long, Double) pair per live
+    * (symbol, day). */
+  def ewmaPoints(ticks: Dataset[Tick]): Dataset[EwmaPoint] = {
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[(Long, Double)]) =>
+          var (n, e) = state.getOption.getOrElse((0L, 0.0))
+          val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id))
+            .map { t =>
+              e = if (n == 0) t.bid else (t.bid + e) * 0.5
+              n += 1
+              EwmaPoint(t.tick_id, key._1, key._2, n, e)
+            }
+          state.update((n, e))
+          out.iterator
+      }
+  }
+
   case class CapDecision(doc_id: Long, source: String, rnk: Long,
                          admitted: Boolean)
 

@@ -30,6 +30,22 @@ class FeaturesSpec extends SparkSpec {
     assert(avgs == Seq(1.0, 1.5, 2.5, 3.5))
   }
 
+  test("realizedVol sums squared intraday log returns per (symbol, day); " +
+      "overnight gaps never cross days") {
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:01", 100.0, 100.1),
+      (2L, 1L, "2024-01-01 10:00:02", 110.0, 110.1), // r = ln(1.1)
+      (3L, 1L, "2024-01-01 10:00:03", 99.0, 99.1),   // r = ln(0.9)
+      (4L, 1L, "2024-01-02 10:00:01", 500.0, 500.1)) // new day: no return
+    val out = Features.realizedVol(ticks(rows: _*))
+      .as[(Long, String, Option[Double], Long)].collect().toSeq
+    val expected = math.pow(math.log(1.1), 2) + math.pow(math.log(0.9), 2)
+    assert(out.map(r => (r._1, r._2, r._4)) == Seq(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-02", 0L)))
+    assert(math.abs(out.head._3.get - expected) < 1e-3)
+    assert(out(1)._3.isEmpty) // zero returns → NULL vol, not 0.0
+  }
+
   test("autocorr(1) is +1 on a linear ramp, -1 on an alternating " +
       "series, with the first k ticks pairless") {
     val ramp = (1 to 6).map(i =>

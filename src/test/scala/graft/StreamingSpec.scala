@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G11 parity: ewmaPoints' last emitted value per (symbol, day) " +
+      "equals the batch ewma when ticks arrive in order, state " +
+      "persisting across batches") {
+    import graft.streaming.Streaming.EwmaPoint
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0),
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 20.0),
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 40.0),
+      Tick(4L, 1L, t("2024-01-02 10:00:01"), 7.0),
+      Tick(5L, 2L, t("2024-01-01 10:00:01"), 1.0),
+      Tick(6L, 2L, t("2024-01-01 10:00:02"), 3.0))
+    val batch = graft.operators.Features.ewma(
+      rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+        .toDF("tick_id", "symbol", "ts", "bid", "ask"))
+      .select("symbol", "date", "ewma_bid")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.ewmaPoints(in.toDS())
+      .writeStream.format("memory").queryName("p_ewma")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val out = spark.table("p_ewma").as[EwmaPoint].collect()
+      assert(out.length == rows.length)
+      // running fold: tick 2's point is (20+10)/2 even across batches
+      assert(out.find(_.tick_id == 3L).get.ewma == (40.0 + 15.0) * 0.5)
+      val lastPerKey = out.groupBy(p => (p.symbol, p.date))
+        .map { case (k, ps) => k -> ps.maxBy(_.n_seen).ewma }
+      assert(lastPerKey == batch)
+    } finally q.stop()
+  }
+
   test("G10 parity: sourceCapAdmission fed in hash order admits exactly " +
       "capPerSource's kept set with identical ranks; the counter " +
       "persists across batches so late docs stay rejected") {

@@ -244,6 +244,24 @@ class TextDedupSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("boilerplateShare: shared fraction of distinct grams, repeats " +
+      "inside one doc don't count, gram-less docs report NULL ratio") {
+    val shared = "the common template phrase"
+    val out = TextDedup.boilerplateShare(docs(
+      (1L, shared + " alpha beta gamma"),
+      (2L, shared + " delta eps zeta"),
+      (3L, "entirely novel words only here today"),
+      (4L, "tiny")), 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1/2: 7 tokens → 5 distinct 3-grams; the 2 grams inside the
+    // 4-token shared prefix occur in both docs
+    assert(out(1L) == ((5L, 2L, Some(0.4))))
+    assert(out(2L) == ((5L, 2L, Some(0.4))))
+    assert(out(3L) == ((4L, 0L, Some(0.0))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   // Straight-line reference HLL (m=32, 25-bit suffix, no correction):
   // returns (n_zero_registers, sum_scaled, est, exact_ndv).
   private def refHll(texts: Seq[String], n: Int): (Long, Long, Double, Long) = {

@@ -13,6 +13,22 @@ class TickOpsSpec extends SparkSpec {
     rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
       .toDF("tick_id", "symbol", "ts", "bid", "ask")
 
+  test("tickRule classifies against the previous bid; first tick " +
+      "unclassified; net flow = up - down") {
+    val df = ticks(
+      (1L, 1L, "2024-01-01 10:00:01", 10.0, 10.1), // first: unclassified
+      (2L, 1L, "2024-01-01 10:00:02", 11.0, 11.1), // up
+      (3L, 1L, "2024-01-01 10:00:03", 11.0, 11.1), // zero
+      (4L, 1L, "2024-01-01 10:00:04", 10.5, 10.6), // down
+      (5L, 1L, "2024-01-01 10:00:05", 10.9, 11.0), // up
+      (6L, 2L, "2024-01-01 10:00:01", 5.0, 5.1))   // lone tick: all zero
+    val out = TickOps.tickRule(df)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1L, 1L),
+      (2L, 0L, 0L, 0L, 0L)))
+  }
+
   test("sessionWindowFilter keeps only 07:50+ and 13:50+ ticks") {
     val df = ticks(
       (1L, 1L, "2024-01-01 07:49:59.5", 10.0, 10.1),
