@@ -1401,7 +1401,7 @@ object SparkEntry {
         |    (cast(0.697 as double) * 1024 * 67108864
         |      / cast(sum_scaled as double) - exact_ndv) / exact_ndv
         |  END AS rel_err
-        |FROM summ, ex""".stripMargin
+        |FROM summ, ex ORDER BY m""".stripMargin
     },
     // Winnowing: fingerprint = hash*2^21 + position (flat bigint —
     // DuckDB list_distinct can't take structs); fold replaces on
