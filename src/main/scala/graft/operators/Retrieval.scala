@@ -43,10 +43,17 @@ object Retrieval {
     val qTerms = query.split(' ').filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "query must contain at least one token")
     require(k > 0 && scale > 0, s"k and scale must be positive: $k, $scale")
+    // Materialized once: tf feeds BOTH the df aggregate and the score
+    // join, and without the barrier each consumer re-runs the corpus
+    // scan + explode (the plan showed two Generate+Scan subtrees).
+    // The tf frame is tiny — only docs containing a query term, ≤ |q|
+    // rows per doc — so the barrier costs nothing while halving the
+    // 100 TB scans. Same discipline as greedyNearDup's sketch.
     val tf = docs
       .select(col("doc_id"), explode(expr(tokens)).as("token"))
       .filter(col("token").isin(qTerms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
