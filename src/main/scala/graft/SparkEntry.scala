@@ -279,6 +279,13 @@ object SparkEntry {
     }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
+    // F16b — source-stratified eval split (10% of each source).
+    "q_stratified_split" -> ((s, d) =>
+      CorpusPipeline.stratifiedSplit(Tables.documents(s, d), 10)),
+    // F31 — dedup survivorship: per-source doc/token cost of greedy
+    // near-dup.
+    "q_dedup_report" -> ((s, d) =>
+      TextDedup.dedupSurvivorship(Tables.documents(s, d))),
     // F1b — cross-source duplication matrix. The synthetic corpus has
     // near-dups but no EXACT cross-source copies, so the registry
     // injects a deterministic 'mirror' dump (every 10th doc re-sourced,
@@ -1000,6 +1007,52 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(v.dup, false) AS is_duplicate
         |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
         |ORDER BY d.doc_id""".stripMargin
+    },
+    // Stratified split: same hash-walk rank as q_source_cap, exact-int
+    // pct threshold rank*100 <= count*pct.
+    "q_stratified_split" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, source, rnk, n_source,
+        |  CASE WHEN rnk * 100 <= n_source * 10 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duckHashOrder("doc_id")}, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY source) AS n_source
+        |  FROM documents) x
+        |ORDER BY doc_id""".stripMargin
+    },
+    // Survivorship: greedy verdict CTEs (as q_dedup_greedy) joined to
+    // per-doc token counts, one group by source.
+    "q_dedup_report" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bf AS (SELECT band, band_hash, min(doc_id) AS first_doc
+        |       FROM bands WHERE band_hash IS NOT NULL
+        |       GROUP BY band, band_hash),
+        |v AS (SELECT bands.doc_id, bool_or(first_doc < bands.doc_id) AS dup
+        |      FROM bands JOIN bf USING (band, band_hash)
+        |      GROUP BY bands.doc_id),
+        |g AS (SELECT d.doc_id, d.source,
+        |    CAST(length($duckTokens) AS BIGINT) AS n_tokens,
+        |    coalesce(v.dup, false) AS dup
+        |  FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN dup THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS doc_drop_ratio,
+        |  CASE WHEN sum(n_tokens) > 0 THEN
+        |    CAST(sum(CASE WHEN dup THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(n_tokens) AS BIGINT) END AS token_drop_ratio
+        |FROM g GROUP BY source ORDER BY source""".stripMargin
     },
     // Dup matrix: per-(fp, source) counts first, then count-level pair
     // join — cross pairs cnt_a*cnt_b, diagonal C(cnt,2), exact ints.

@@ -94,6 +94,34 @@ object CorpusPipeline {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** F16b — SOURCE-STRATIFIED eval split: carve `testPct`% of EACH
+    * source into the held-out side (the per-domain eval carving F16's
+    * corpus-wide hash split cannot guarantee — a small domain can land
+    * entirely in train there; domain-stratified eval needs every
+    * source represented at the same rate). A doc is `test` iff its
+    * hash-order RANK within its source satisfies rank·100 ≤
+    * count·testPct — exact-integer thresholding (no float pct), ranks
+    * from the same deterministic multiplicative-hash walk as F18, so
+    * the carve is reproducible and growing one source only ever swaps
+    * members statistically within that source. One shuffle by source;
+    * the per-source count rides the same window partition (no second
+    * aggregation). */
+  def stratifiedSplit(docs: DataFrame, testPct: Int = 10): DataFrame = {
+    require(testPct >= 0 && testPct <= 100,
+      s"testPct must be in [0,100]: $testPct")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(hashOrder(col("doc_id")).asc, col("doc_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_source", count(lit(1)).over(wAll))
+      .withColumn("split",
+        when(col("rnk") * 100 <= col("n_source") * testPct, "test")
+          .otherwise("train"))
+      .select("doc_id", "source", "rnk", "n_source", "split")
+      .orderBy("doc_id")
+  }
+
   /** F18 — per-source cap: keep at most `cap` documents per source,
     * chosen by deterministic multiplicative-hash order (a reproducible
     * "random" subsample, not head-of-table bias) — the source

@@ -178,6 +178,33 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** F31 — dedup SURVIVORSHIP report: what the greedy near-dup pass
+    * costs each source, in documents and in token mass — the
+    * before/after audit a curator reads next to the F1b duplication
+    * matrix (which sources lose how much of their contribution once
+    * dedup runs; a source that loses 80% of its tokens was mostly
+    * mirror content). Composes [[greedyNearDup]]'s verdicts with a
+    * narrow per-doc token count and one groupBy(source); drop ratios
+    * are exact-int divisions (unrounded, SURVEY §6). */
+  def dedupSurvivorship(docs: DataFrame): DataFrame = {
+    val verdicts = greedyNearDup(docs).select("doc_id", "is_duplicate")
+    docs.select(col("doc_id"), col("source"),
+        expr(s"size($tokens)").cast("bigint").as("n_tokens"))
+      .join(verdicts, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("n_dropped"),
+        sum("n_tokens").as("tokens_total"),
+        sum(when(col("is_duplicate"), col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .withColumn("doc_drop_ratio",
+        col("n_dropped").cast("double") / col("n_docs"))
+      .withColumn("token_drop_ratio",
+        when(col("tokens_total") > 0,
+          col("tokens_dropped").cast("double") / col("tokens_total")))
+      .orderBy("source")
+  }
+
   /** F2b — LSH candidate pairs: equality self-join on the band bucket,
     * deduplicated across bands. Shuffles by (band, band_hash) — never
     * a cross product. */

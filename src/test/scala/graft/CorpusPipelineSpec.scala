@@ -188,6 +188,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy(_._2).size == 3)
   }
 
+  test("stratifiedSplit carves floor(n*pct/100) of EVERY source into " +
+      "test; growing another source never reassigns this one") {
+    def corpus(extra: Int) =
+      ((0L until 30L).map(i => (i, s"doc $i", "big")) ++
+        (100L until 110L).map(i => (i, s"doc $i", "small")) ++
+        (200L until (200L + extra)).map(i => (i, s"doc $i", "other")))
+        .toDF("doc_id", "text", "source")
+        .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val base = CorpusPipeline.stratifiedSplit(corpus(0), 10)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSeq
+    val bySource = base.groupBy(_._2)
+    assert(bySource("big").count(_._3 == "test") == 3)   // 30 * 10%
+    assert(bySource("small").count(_._3 == "test") == 1) // 10 * 10%
+    // stability: adding a third source changes nothing for the others
+    val grown = CorpusPipeline.stratifiedSplit(corpus(7), 10)
+      .select("doc_id", "source", "split")
+      .as[(Long, String, String)].collect().toSeq
+    assert(grown.filter(_._2 != "other").toSet == base.toSet)
+    assert(grown.count(r => r._2 == "other" && r._3 == "test") == 0) // 7<10
+  }
+
   test("bloomPrefilter: exact verdict matches decontaminate (no false " +
       "negatives), candidates bound overlaps, flags consistent") {
     val rnd = new scala.util.Random(11)

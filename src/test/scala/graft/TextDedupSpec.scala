@@ -244,6 +244,23 @@ class TextDedupSpec extends SparkSpec {
     assert(fa.intersect(fb).nonEmpty)
   }
 
+  test("dedupSurvivorship charges each source its greedy-dropped docs " +
+      "and token mass") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, base, "s1"),                  // kept (first)
+      (2L, base, "s1"),                  // dropped (12 tokens)
+      (3L, base, "s2"),                  // dropped — cross-source blame
+      (4L, "short novel text", "s2"))    // kept (3 tokens)
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = TextDedup.dedupSurvivorship(df)
+      .as[(String, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("s1") == (("s1", 2L, 1L, 24L, 12L, 0.5, Some(0.5))))
+    assert(out("s2") == (("s2", 2L, 1L, 15L, 12L, 0.5, Some(12.0 / 15))))
+  }
+
   test("boilerplateShare: shared fraction of distinct grams, repeats " +
       "inside one doc don't count, gram-less docs report NULL ratio") {
     val shared = "the common template phrase"
