@@ -161,6 +161,24 @@ object SparkEntry {
     // head state untouched, expired ids lose time travel only).
     "q_snapshot_expire" -> ((s, d) =>
       Lakehouse.expireSnapshots(Tables.events(s, d), "event_id", 2000L, 3)),
+    // E5 — nearest-event join (closest quote either side, ties back).
+    "q_nearest_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"))
+      TemporalJoins.nearestJoin(trades, quotes, "symbol", "ts",
+        "trade_id", "quote_id", Seq("bid"))
+    }),
+    // D18 — per-symbol beta vs the equal-weight per-second market.
+    "q_market_beta" -> ((s, d) => Features.marketBeta(Tables.ticks(s, d))),
+    // F32 — token-length histogram (64-token buckets).
+    "q_length_histogram" -> ((s, d) =>
+      CorpusPipeline.lengthHistogram(Tables.documents(s, d), 64)),
     // Rollback to snapshot 2: history keeps every append AND gains the
     // head `rollback` entry (Iceberg writes a snapshot; it never erases).
     "q_rollback" -> ((s, d) =>
@@ -920,6 +938,71 @@ object SparkEntry {
         |      OVER (PARTITION BY symbol ORDER BY tick_id) AS gap_us
         |  FROM $ticksSql t) x
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // Nearest join: backward ASOF inclusive + forward ASOF strict,
+    // closer candidate wins, exact-µs ties go backward.
+    "q_nearest_join" ->
+      """WITH tr AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |qu AS (SELECT * FROM events
+        |  WHERE event_type IN ('click','view')),
+        |b AS (SELECT t.event_id AS trade_id, t.user_id AS symbol, t.ts,
+        |    q.event_id AS b_id, q.value AS b_bid,
+        |    epoch_us(t.ts) - epoch_us(q.ts) AS b_age
+        |  FROM tr t ASOF LEFT JOIN qu q
+        |    ON t.user_id = q.user_id AND t.ts >= q.ts),
+        |f AS (SELECT t.event_id AS trade_id,
+        |    q.event_id AS f_id, q.value AS f_bid,
+        |    epoch_us(q.ts) - epoch_us(t.ts) AS f_age
+        |  FROM tr t ASOF LEFT JOIN qu q
+        |    ON t.user_id = q.user_id AND t.ts < q.ts)
+        |SELECT trade_id, symbol, date_trunc('second', ts) AS ts_s,
+        |  CASE WHEN useback THEN b_id
+        |       WHEN f_id IS NOT NULL THEN f_id END AS near_id,
+        |  CASE WHEN useback THEN 'back'
+        |       WHEN f_id IS NOT NULL THEN 'fwd' END AS direction,
+        |  CASE WHEN useback THEN b_age
+        |       WHEN f_id IS NOT NULL THEN f_age END AS near_age_us,
+        |  CASE WHEN useback THEN b_bid
+        |       WHEN f_id IS NOT NULL THEN f_bid END AS near_bid
+        |FROM (SELECT b.*, f.f_id, f.f_bid, f.f_age,
+        |    b_id IS NOT NULL AND (f_id IS NULL OR b_age <= f_age)
+        |      AS useback
+        |  FROM b JOIN f USING (trade_id)) x
+        |ORDER BY trade_id""".stripMargin,
+    // Market beta: per-(symbol, second) first tick, per-second
+    // equal-weight mean ROUNDED to 4 before the covar/var (kills avg
+    // reduction-order noise at the join boundary), grouped beta
+    // rounded per the D10 corr convention.
+    "q_market_beta" ->
+      s"""WITH ps AS (SELECT symbol, date_trunc('second', ts) AS sec,
+        |    arg_min(bid, tick_id) AS bid
+        |  FROM $ticksSql t GROUP BY symbol, date_trunc('second', ts)),
+        |mk AS (SELECT sec, round(avg(bid), 4) AS mkt FROM ps GROUP BY sec)
+        |SELECT symbol,
+        |  CASE WHEN var_pop(mkt) > 0 THEN
+        |    round(covar_pop(bid, mkt) / var_pop(mkt), 4) END AS beta,
+        |  count(*) AS n_obs
+        |FROM ps JOIN mk USING (sec)
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // Length histogram: exact-int buckets, window running total,
+    // exact-int share division.
+    "q_length_histogram" -> {
+      import graft.functions.PortableText._
+      s"""SELECT bucket, n_docs, tokens,
+        |  CAST(sum(n_docs) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_docs,
+        |  CAST(CAST(sum(n_docs) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS DOUBLE) / n_total AS cum_doc_share
+        |FROM (
+        |  SELECT n_tokens // 64 AS bucket, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM (SELECT CAST(length($duckTokens) AS BIGINT) AS n_tokens
+        |    FROM documents) d
+        |  GROUP BY n_tokens // 64) g,
+        |  (SELECT count(*) AS n_total FROM documents) n
+        |ORDER BY bucket""".stripMargin
+    },
     // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
     // gate nullifies the match columns (age in exact integer µs; both
     // engines floor ns→µs identically).

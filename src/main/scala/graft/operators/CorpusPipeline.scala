@@ -321,6 +321,31 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F32 — sequence-LENGTH histogram: document counts and token mass
+    * per fixed-width token-length bucket — the distribution a pipeline
+    * owner reads BEFORE choosing F20's ctxLen / F29's chunk size
+    * (what fraction of docs fit one window? where does padding waste
+    * concentrate?). Buckets are `len div width` (exact ints; empty
+    * docs land in bucket 0), cumulative doc share is an exact-int
+    * division over the window running total. One narrow pass + one
+    * tiny bucket aggregation. */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.select(expr(s"size($tokens)").cast("bigint").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_doc_share",
+        col("cum_docs").cast("double") / col("n_total"))
+      .select("bucket", "n_docs", "tokens", "cum_docs", "cum_doc_share")
+      .orderBy("bucket")
+  }
+
   /** F29 — RAG/context-window CHUNKING: split each document's token
     * stream into fixed windows of `chunkTokens` whitespace tokens,
     * consecutive chunks sharing `overlap` tokens (the retrieval-index

@@ -274,6 +274,33 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D18 — per-symbol BETA against the equal-weight market: β =
+    * covar_pop(bid, mkt) / var_pop(mkt) over second-aligned
+    * observations, where the market series is the mean bid across
+    * symbols in each second (the index the reference's multi-symbol
+    * gold directory implies). Shape: one per-(symbol, second)
+    * downsample (first tick by tick_id — B2's rule), one per-second
+    * market aggregate (tiny — |seconds| rows), broadcast back, one
+    * grouped covar/var. Symbols absent in a second contribute nothing
+    * for that second (inner join) and a symbol's β is NULL when the
+    * market variance over ITS seconds is 0 (no ANSI x/0). Aggregate
+    * doubles → round(4), same determinism class as D10's corr. */
+  def marketBeta(ticks: DataFrame): DataFrame = {
+    val perSec = ticks
+      .withColumn("sec", date_trunc("second", col("ts")))
+      .groupBy("symbol", "sec")
+      .agg(min_by(col("bid"), col("tick_id")).as("bid"))
+    val market = perSec.groupBy("sec")
+      .agg(round(avg("bid"), 4).as("mkt"))
+    perSec.join(broadcast(market), "sec")
+      .groupBy("symbol")
+      .agg(
+        when(expr("var_pop(mkt)") > 0,
+          round(expr("covar_pop(bid, mkt) / var_pop(mkt)"), 4)).as("beta"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("symbol")
+  }
+
   /** D17 — REALIZED VOLATILITY per (symbol, trading day): the sum of
     * squared intraday log returns (the standard RV estimator; the
     * lag runs WITHIN the day so overnight gaps never contaminate a

@@ -103,6 +103,76 @@ object TemporalJoins {
       .orderBy(leftId)
   }
 
+  /** E5 — NEAREST-event join: for every left row, the right row of
+    * the same key minimizing |Δt| — the alignment rule sensor-fusion
+    * and late-quote backfills need when "latest before" is too strict
+    * (a quote 1 ms in the future beats one 10 min stale). Backward
+    * candidate = latest right at-or-before (E1's inclusive rule);
+    * forward candidate = earliest right STRICTLY after (equal-ts rows
+    * already belong to backward, so no double-claim); the closer one
+    * wins, exact-µs ties going BACKWARD (the side that was actually
+    * knowable at event time). Left flavor: rows with no right at all
+    * keep NULL match columns.
+    *
+    * Scale shape: ONE union + ONE hash exchange on the key feeding
+    * TWO running-`last` window passes (ascending and descending time
+    * — the second is an in-partition re-sort, not a second shuffle),
+    * never a |Δt| cross product. */
+  def nearestJoin(left: DataFrame, right: DataFrame, key: String,
+                  ts: String, leftId: String, rightId: String,
+                  rightVals: Seq[String]): DataFrame = {
+    val lCols = Seq(col(key), col(ts), col(leftId),
+      lit(null).cast("long").as(rightId)) ++
+      rightVals.map(v => lit(null).cast("double").as(v)) :+ lit(0).as("side")
+    val rCols = Seq(col(key), col(ts), lit(null).cast("long").as(leftId),
+      col(rightId)) ++ rightVals.map(col) :+ lit(1).as("side")
+    val ord = coalesce(col(rightId), col(leftId)).asc
+    // backward: equal-ts rights sort BEFORE the left row → inclusive
+    val wb = Window.partitionBy(key)
+      .orderBy(col(ts).asc, col("side").desc, ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // forward: time reversed; equal-ts rights sort AFTER the left row
+    // (side asc) → strictly-after semantics
+    val wf = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("side").asc, ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val union = left.select(lCols: _*)
+      .unionByName(right.select(rCols: _*))
+      .withColumn("rts", when(col("side") === 1, col(ts)))
+    val withCands = union
+      .withColumn("back_id", last(rightId, ignoreNulls = true).over(wb))
+      .withColumn("back_ts", last("rts", ignoreNulls = true).over(wb))
+      .withColumn("fwd_id", last(rightId, ignoreNulls = true).over(wf))
+      .withColumn("fwd_ts", last("rts", ignoreNulls = true).over(wf))
+    val backFills = rightVals.map(v =>
+      last(v, ignoreNulls = true).over(wb).as(s"back_$v"))
+    val fwdFills = rightVals.map(v =>
+      last(v, ignoreNulls = true).over(wf).as(s"fwd_$v"))
+    val useBack = col("back_id").isNotNull &&
+      (col("fwd_id").isNull || col("back_age") <= col("fwd_age"))
+    val useFwd = !coalesce(useBack, lit(false)) && col("fwd_id").isNotNull
+    withCands
+      .select(Seq(col(key), col(ts), col(leftId), col("side"),
+        col("back_id"), col("back_ts"), col("fwd_id"), col("fwd_ts")) ++
+        backFills ++ fwdFills: _*)
+      .filter(col("side") === 0)
+      .withColumn("back_age",
+        unix_micros(col(ts)) - unix_micros(col("back_ts")))
+      .withColumn("fwd_age",
+        unix_micros(col("fwd_ts")) - unix_micros(col(ts)))
+      .select(Seq(col(leftId), col(key),
+        date_trunc("second", col(ts)).as("ts_s"),
+        when(useBack, col("back_id")).otherwise(when(useFwd, col("fwd_id")))
+          .as("near_id"),
+        when(useBack, "back").when(useFwd, "fwd").as("direction"),
+        when(useBack, col("back_age")).otherwise(
+          when(useFwd, col("fwd_age"))).as("near_age_us")) ++
+        rightVals.map(v =>
+          when(useBack, col(s"back_$v")).otherwise(
+            when(useFwd, col(s"fwd_$v"))).as(s"near_$v")): _*)
+      .orderBy(leftId)
+  }
+
   /** E2 — range (interval) join: right rows of the same key with
     * timestamp in `[l.ts - window, l.ts)`, aggregated per left row.
     * The equality key keeps this a shuffle HASH join (range predicate

@@ -188,6 +188,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy(_._2).size == 3)
   }
 
+  test("lengthHistogram buckets by len div width with exact cumulative " +
+      "shares; empty docs land in bucket 0") {
+    val docs = docsFrom(
+      1L -> "",                            // 0 tokens  → bucket 0
+      2L -> "a b c",                       // 3 tokens  → bucket 0
+      3L -> (("w " * 64).trim),            // 64 tokens → bucket 1
+      4L -> (("w " * 70).trim),            // 70 tokens → bucket 1
+      5L -> (("w " * 130).trim))           // 130 tokens→ bucket 2
+    val out = CorpusPipeline.lengthHistogram(docs, 64)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 3L, 2L, 0.4),
+      (1L, 2L, 134L, 4L, 0.8),
+      (2L, 1L, 130L, 5L, 1.0)))
+  }
+
   test("stratifiedSplit carves floor(n*pct/100) of EVERY source into " +
       "test; growing another source never reassigns this one") {
     def corpus(extra: Int) =

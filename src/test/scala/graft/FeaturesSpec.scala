@@ -30,6 +30,19 @@ class FeaturesSpec extends SparkSpec {
     assert(avgs == Seq(1.0, 1.5, 2.5, 3.5))
   }
 
+  test("marketBeta: a symbol moving 1x/2x the equal-weight market gets " +
+      "beta 1/1.5 and 2/1.5") {
+    val rows = (1 to 3).flatMap { i =>
+      Seq((i.toLong, 1L, f"2024-01-01 00:00:$i%02d", i.toDouble, i + 0.1),
+        (10L + i, 2L, f"2024-01-01 00:00:$i%02d", 2.0 * i, 2.0 * i + 0.1))
+    }
+    val out = Features.marketBeta(ticks(rows: _*))
+      .as[(Long, Option[Double], Long)].collect().toSeq
+    // mkt = 1.5, 3.0, 4.5 (exact after round); cov/var = 1/1.5, 2/1.5
+    assert(out == Seq(
+      (1L, Some(0.6667), 3L), (2L, Some(1.3333), 3L)))
+  }
+
   test("realizedVol sums squared intraday log returns per (symbol, day); " +
       "overnight gaps never cross days") {
     val rows = Seq(

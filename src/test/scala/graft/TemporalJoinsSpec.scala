@@ -51,6 +51,44 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.size == 4) // left flavor: every trade survives
   }
 
+  test("nearestJoin picks the closer side, exact ties go backward, " +
+      "equal-ts quotes count as backward age 0, no-quote rows null") {
+    val trades = Seq(
+      (1L, 10L, t("2024-01-01 10:00:10")), // back 2s vs fwd 5s → back
+      (1L, 11L, t("2024-01-01 10:00:13")), // back 5s vs fwd 2s → fwd
+      (1L, 12L, t("2024-01-01 10:00:08")), // equal ts → back, age 0
+      (1L, 13L, t("2024-01-01 10:00:04")), // before every quote → fwd 4s
+      (2L, 14L, t("2024-01-01 10:00:00"))) // no quotes for key 2
+      .toDF("symbol", "trade_id", "ts")
+    val quotes = Seq(
+      (1L, 100L, t("2024-01-01 10:00:08"), 1.5),
+      (1L, 101L, t("2024-01-01 10:00:15"), 1.6))
+      .toDF("symbol", "quote_id", "ts", "bid")
+    val out = TemporalJoins.nearestJoin(trades, quotes, "symbol", "ts",
+      "trade_id", "quote_id", Seq("bid"))
+      .select("trade_id", "near_id", "direction", "near_age_us", "near_bid")
+      .as[(Long, Option[Long], Option[String], Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(10L) == ((Some(100L), Some("back"), Some(2000000L), Some(1.5))))
+    assert(out(11L) == ((Some(101L), Some("fwd"), Some(2000000L), Some(1.6))))
+    assert(out(12L) == ((Some(100L), Some("back"), Some(0L), Some(1.5))))
+    assert(out(13L) == ((Some(100L), Some("fwd"), Some(4000000L), Some(1.5))))
+    assert(out(14L) == ((None, None, None, None)))
+  }
+
+  test("nearestJoin exact midpoint tie prefers the backward quote") {
+    val trades = Seq((1L, 10L, t("2024-01-01 10:00:10")))
+      .toDF("symbol", "trade_id", "ts")
+    val quotes = Seq(
+      (1L, 100L, t("2024-01-01 10:00:07"), 1.5),  // 3s back
+      (1L, 101L, t("2024-01-01 10:00:13"), 1.6))  // 3s fwd
+      .toDF("symbol", "quote_id", "ts", "bid")
+    val out = TemporalJoins.nearestJoin(trades, quotes, "symbol", "ts",
+      "trade_id", "quote_id", Seq("bid"))
+      .select("near_id", "direction").as[(Long, String)].collect().head
+    assert(out == ((100L, "back")))
+  }
+
   test("rangeJoinCount counts right rows in [t-w, t) per key") {
     val trades = Seq((1L, 10L, t("2024-01-01 10:00:00")))
       .toDF("symbol", "trade_id", "ts")
