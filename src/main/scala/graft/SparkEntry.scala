@@ -390,6 +390,11 @@ object SparkEntry {
     // join, not scored zero).
     "q_term_search" -> ((s, d) =>
       Retrieval.termSearch(Tables.documents(s, d), "dup scan spark xyzzy", 15)),
+    // F33 — hybrid retrieval: top-20 lexical candidates re-ranked by
+    // cosine against vec 0's embedding (vec_id = doc_id, SURVEY §3).
+    "q_hybrid_search" -> ((s, d) =>
+      Retrieval.hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d),
+        "dup scan spark xyzzy", 0L, 20, 10)),
     // F22 — line-level boilerplate dedup. The synthetic corpus has no
     // newlines, so the registry instantiates the SAME code path at
     // token granularity (delim = ' '): tokens in more than half of
@@ -1734,6 +1739,49 @@ object SparkEntry {
         |    AS rnk,
         |  doc_id, n_hit_terms, score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // Hybrid: q_term_search's scoring CTEs at kCand=20, candidates
+    // joined to embeddings (vec_id = doc_id), cosine re-rank vs vec 0
+    // with the q_ann_topk dot/norm spelling; DESC orders NULLS LAST
+    // in both engines.
+    "q_hybrid_search" -> {
+      import graft.functions.PortableText._
+      val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "list_transform(range(64), i -> a.v[CAST(i+1 AS INT)] * " +
+        "b.v[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS token
+        |  FROM documents),
+        |ft AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |  WHERE token IN ('dup', 'scan', 'spark', 'xyzzy')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM ft GROUP BY token),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
+        |    CAST(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score
+        |  FROM ft JOIN dfreq USING (token) CROSS JOIN nn
+        |  GROUP BY doc_id),
+        |cand AS (SELECT CAST(row_number() OVER
+        |      (ORDER BY score DESC, doc_id) AS INT) AS term_rnk,
+        |    doc_id, score AS term_score
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 20),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64),
+        |        i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (x, y) -> x + y)) AS nrm FROM e),
+        |scored AS (SELECT cand.term_rnk, cand.doc_id, cand.term_score,
+        |    CASE WHEN a.v IS NOT NULL AND a.nrm * b.nrm <> 0
+        |      THEN $dot / (a.nrm * b.nrm) END AS cs
+        |  FROM cand
+        |  LEFT JOIN nr a ON a.vec_id = cand.doc_id
+        |  CROSS JOIN (SELECT v, nrm FROM nr WHERE vec_id = 0) b)
+        |SELECT CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT)
+        |    AS rnk,
+        |  doc_id, term_rnk, term_score, round(cs, 4) AS cos_sim
+        |FROM scored ORDER BY cs DESC, doc_id LIMIT 10""".stripMargin
     },
     // Chunk c covers tokens [c*24+1, c*24+32] (stride 24 = 32 − 8
     // overlap); DuckDB list slice is 1-based INCLUSIVE both ends and

@@ -70,4 +70,53 @@ object Retrieval {
       .select("rnk", "doc_id", "n_hit_terms", "score")
       .orderBy("rnk")
   }
+
+  /** F33 — HYBRID retrieval: lexical candidates re-ranked by embedding
+    * similarity — the two-stage search every modern corpus platform
+    * runs (BM25-family recall, vector precision). Stage 1 =
+    * [[termSearch]]'s top-`kCand`; stage 2 joins each candidate's
+    * embedding (`vec_id = doc_id` — the §3 mapping ties the two test
+    * tables by id) and re-ranks by cosine against the query vector
+    * (`qVec`'s embedding, one broadcast row). The candidate set is ≤
+    * kCand rows, so the rerank costs ONE broadcast join + a kCand-row
+    * window — the vector side never scans the corpus (that is the
+    * whole point of the lexical funnel; compare F6's brute-force
+    * scan). Candidates without an embedding rank last (NULL cosine —
+    * both engines order DESC NULLS LAST); zero-norm embeddings are
+    * NULL-guarded like F6. `cos_sim` rounds(4), `term_score` stays
+    * exact-int. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, query: String,
+                   qVec: Long = 0L, kCand: Int = 20, k: Int = 10)
+      : DataFrame = {
+    require(k > 0 && kCand >= k, s"need kCand >= k > 0: $kCand, $k")
+    graft.functions.VecDot.register(docs.sparkSession)
+    val cands = termSearch(docs, query, kCand)
+      .withColumnRenamed("rnk", "term_rnk")
+      .withColumnRenamed("score", "term_score")
+    val withNrm = emb.select(col("vec_id"), col("embedding"),
+      sqrt(expr("graft_vecdot(embedding, embedding)")).as("nrm"))
+    val qv = withNrm.filter(col("vec_id") === qVec)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val cs = when(col("embedding").isNotNull && col("nrm") * col("qn") =!= 0,
+      expr("graft_vecdot(embedding, qv)") / (col("nrm") * col("qn")))
+    // Broadcast the ≤ kCand candidate ids INTO the embedding scan
+    // (inner BHJ builds the tiny side; the 100 TB embedding table is
+    // streamed, never broadcast or shuffled), then restore
+    // embedding-less candidates with a kCand×kCand left join — the
+    // only left-outer in the plan joins two tiny frames.
+    val candEmb = withNrm
+      .join(broadcast(cands.select(col("doc_id").as("e_doc"))),
+        col("vec_id") === col("e_doc"))
+      .select(col("e_doc"), col("embedding"), col("nrm"))
+    cands
+      .join(broadcast(candEmb), col("doc_id") === col("e_doc"), "left")
+      .crossJoin(broadcast(qv))
+      .withColumn("cs", cs)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cs").desc, col("doc_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("term_rnk"),
+        col("term_score"), round(col("cs"), 4).as("cos_sim"))
+      .orderBy("rnk")
+  }
 }

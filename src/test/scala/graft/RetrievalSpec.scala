@@ -34,6 +34,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)) == Seq((1, 2L), (2, 5L)))
   }
 
+  test("hybridSearch re-ranks lexical candidates by cosine to the " +
+      "query vector; embedding-less candidates sink to the bottom") {
+    // all three docs hit 'kiwi'; doc 3 has no embedding row
+    val docs0 = docsFrom(
+      0L -> "kiwi query anchor",
+      1L -> "kiwi something",
+      2L -> "kiwi other",
+      3L -> "kiwi embeddingless")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),         // the query vector
+      (1L, Array(0.2f, 0.9f, 0.0f, 0.0f)),          // low cos to q
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)))          // high cos to q
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hybridSearch(docs0, emb, "kiwi", qVec = 0L,
+      kCand = 4, k = 4)
+      .select("rnk", "doc_id", "cos_sim")
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    // doc 0 is the query itself (cos 1); doc 2 beats doc 1 on cosine
+    // even though term ranks were id-ordered; doc 3 (no embedding) last
+    assert(out.map(_._2) == Seq(0L, 2L, 1L, 3L))
+    assert(out.head._3.contains(1.0))
+    assert(out.last._3.isEmpty)
+  }
+
   test("termSearch repeated query tokens count once (distinct terms)") {
     val a = Retrieval.termSearch(corpus, "apple apple banana", k = 10)
       .as[(Int, Long, Long, Long)].collect().toSeq
