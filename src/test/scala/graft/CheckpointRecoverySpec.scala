@@ -15,6 +15,7 @@ object CheckpointRecoverySpec {
   // foreachBatch sink targets; static so executors/driver share them
   val seen = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
   val nearDup = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
+  val ewma = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
 }
 
 class CheckpointRecoverySpec extends SparkSpec {
@@ -84,6 +85,44 @@ class CheckpointRecoverySpec extends SparkSpec {
       q2.processAllAvailable()
       assert(CheckpointRecoverySpec.nearDup.get(3L) == true,
         "post-restart near-dup must be flagged from recovered bucket state")
+    } finally q2.stop()
+  }
+
+  test("ewma (count, value) state survives a stop/restart from " +
+      "checkpoint: the fold continues, not restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_ew").toString
+    val in = MemoryStream[Streaming.Tick]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def start() = Streaming.ewmaPoints(in.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Streaming.EwmaPoint],
+         _: Long) =>
+          batch.collect().foreach(p =>
+            CheckpointRecoverySpec.ewma.put(p.tick_id, (p.n_seen, p.ewma)))
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      in.addData(
+        Streaming.Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0),
+        Streaming.Tick(2L, 1L, t("2024-01-01 10:00:02"), 20.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CheckpointRecoverySpec.ewma.get(2L) == ((2L, 15.0)))
+
+    val q2 = start()
+    try {
+      // continues from e=15, n=2 — a fold that RESTARTED would emit
+      // (1, 40.0) here
+      in.addData(Streaming.Tick(3L, 1L, t("2024-01-01 10:00:03"), 40.0))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.ewma.get(3L) == ((3L, 27.5)),
+        "post-restart tick must fold onto the recovered (n, ewma) state")
     } finally q2.stop()
   }
 }
