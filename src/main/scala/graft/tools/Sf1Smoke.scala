@@ -101,7 +101,10 @@ object Sf1Smoke {
       // should scale linearly with rows.
       "q_winnow", "q_chunk_docs", "q_hll_ndv", "q_term_search",
       "q_dup_matrix", "q_dedup_incremental", "q_bloom_prefilter",
-      "q_cluster_audit")
+      "q_cluster_audit",
+      // late-session additions over the same replica tables
+      "q_gram_novelty", "q_stratified_split", "q_dedup_report",
+      "q_length_histogram", "q_hybrid_search")
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
