@@ -179,6 +179,9 @@ object SparkEntry {
     // F32 — token-length histogram (64-token buckets).
     "q_length_histogram" -> ((s, d) =>
       CorpusPipeline.lengthHistogram(Tables.documents(s, d), 64)),
+    // F34 — curriculum phases: 10 stop-ratio quality tiers.
+    "q_curriculum" -> ((s, d) =>
+      CorpusPipeline.curriculumPhases(Tables.documents(s, d), 10)),
     // Rollback to snapshot 2: history keeps every append AND gains the
     // head `rollback` entry (Iceberg writes a snapshot; it never erases).
     "q_rollback" -> ((s, d) =>
@@ -988,6 +991,26 @@ object SparkEntry {
         |  count(*) AS n_obs
         |FROM ps JOIN mk USING (sec)
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // Curriculum: decile thresholds via quantile_cont (the established
+    // percentile dual), phase = 10 - count of thresholds strictly
+    // below the doc's exact-ratio score; NULL scores sink to phase 10.
+    "q_curriculum" -> {
+      import graft.functions.PortableText._
+      val qs = (1 until 10).map(i =>
+        s"quantile_cont(score, 0.$i)").mkString(", ")
+      s"""WITH s AS (SELECT doc_id, length(tk) AS n_tokens,
+        |    CASE WHEN length(tk) > 0 THEN
+        |      CAST(length(list_filter(tk, t ->
+        |        list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+        |        / length(tk) END AS score
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
+        |th AS (SELECT [$qs] AS ths FROM s)
+        |SELECT doc_id, n_tokens, score,
+        |  10 - list_reduce(list_prepend(0, list_transform(ths,
+        |    t -> CASE WHEN score > t THEN 1 ELSE 0 END)), (a, b) -> a + b)
+        |    AS phase
+        |FROM s, th ORDER BY doc_id""".stripMargin
+    },
     // Length histogram: exact-int buckets, window running total,
     // exact-int share division.
     "q_length_histogram" -> {

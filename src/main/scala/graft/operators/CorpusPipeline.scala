@@ -321,6 +321,37 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F34 — CURRICULUM phases: rank the corpus into `phases` quality
+    * tiers by stopword ratio (the F15 naturalness signal) so training
+    * can feed cleanest-first — phase 1 = top tier, empty docs land in
+    * the last phase (NULL score sinks). Deliberately NOT `ntile`: a
+    * global ntile window is a single-partition sort (the WindowExec
+    * trap); instead the D5 shape — one exact-percentile aggregation
+    * collapses to a ONE-ROW threshold broadcast and the phase is a
+    * narrow fold `phases − Σ[score > tᵢ]` per doc. Scores are exact
+    * one-step IEEE ratios (identical across engines); threshold
+    * comparisons are the same raw-interpolated-percentile class D5
+    * has hash-checked since round 1. */
+  def curriculumPhases(docs: DataFrame, phases: Int = 10,
+                       stopwords: Seq[String] =
+                         Seq("the", "a", "of", "and", "to")): DataFrame = {
+    require(phases >= 2, s"phases must be >= 2: $phases")
+    val nTok = expr(s"size($tokens)")
+    val scored = docs.select(col("doc_id"), nTok.as("n_tokens"),
+      when(nTok > 0,
+        expr(PortableText.wordHits(stopwords)).cast("double") / nTok)
+        .as("score"))
+    val pcts = (1 until phases).map(i =>
+      s"percentile(score, ${i.toDouble / phases})")
+    val th = scored.agg(expr(s"array(${pcts.mkString(", ")})").as("ths"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("phase", expr(
+        s"""$phases - aggregate(ths, 0, (a, t) ->
+           |  a + CASE WHEN score > t THEN 1 ELSE 0 END)""".stripMargin))
+      .select("doc_id", "n_tokens", "score", "phase")
+      .orderBy("doc_id")
+  }
+
   /** F32 — sequence-LENGTH histogram: document counts and token mass
     * per fixed-width token-length bucket — the distribution a pipeline
     * owner reads BEFORE choosing F20's ctxLen / F29's chunk size

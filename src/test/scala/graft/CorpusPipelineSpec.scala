@@ -188,6 +188,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.groupBy(_._2).size == 3)
   }
 
+  test("curriculumPhases tiers by stop ratio: cleanest docs phase 1, " +
+      "empty docs sink to the last phase, phases partition the corpus") {
+    val docs = docsFrom(
+      ((1L to 20L).map(i => i ->
+        (Seq.fill(i.toInt)("the") ++ Seq.fill(20 - i.toInt)("zz"))
+          .mkString(" ")) :+ (21L -> "")): _*)
+    val out = CorpusPipeline.curriculumPhases(docs, 4)
+      .as[(Long, Int, Option[Double], Int)].collect().toSeq
+    val byId = out.map(r => r._1 -> r._4).toMap
+    // doc 20 (all stopwords) must be top tier, doc 1 (1/20) bottom tier
+    assert(byId(20L) == 1)
+    assert(byId(1L) == 4)
+    // empty doc: NULL score → last phase
+    assert(out.find(_._1 == 21L).exists(r => r._3.isEmpty && r._4 == 4))
+    // monotone: higher stop ratio never gets a later phase
+    val ranked = out.filter(_._3.isDefined).sortBy(-_._3.get)
+    assert(ranked.sliding(2).forall {
+      case Seq(a, b) => a._4 <= b._4
+      case _         => true
+    })
+    assert(out.map(_._4).distinct.sorted == Seq(1, 2, 3, 4))
+  }
+
   test("lengthHistogram buckets by len div width with exact cumulative " +
       "shares; empty docs land in bucket 0") {
     val docs = docsFrom(
