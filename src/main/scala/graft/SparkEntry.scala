@@ -805,7 +805,8 @@ object SparkEntry {
         |ORDER BY symbol, tick_id""".stripMargin,
     "q_log_returns" ->
       s"""SELECT tick_id, symbol,
-        |  CASE WHEN prev <> 0 THEN ln(bid / prev) END AS log_ret
+        |  CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev) END
+        |    AS log_ret
         |FROM (SELECT tick_id, symbol, bid,
         |    lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id) AS prev
         |  FROM $ticksSql t) x
@@ -892,7 +893,7 @@ object SparkEntry {
         |  round(sum(r * r), 4) AS realized_vol,
         |  count(r) AS n_returns
         |FROM (SELECT symbol, _date,
-        |    CASE WHEN prev IS NOT NULL AND prev <> 0
+        |    CASE WHEN prev > 0 AND bid > 0
         |      THEN ln(bid / prev) END AS r
         |  FROM (SELECT symbol, CAST(ts AS DATE) AS _date, bid,
         |      lag(bid, 1) OVER (PARTITION BY symbol, CAST(ts AS DATE)
@@ -991,25 +992,30 @@ object SparkEntry {
         |  count(*) AS n_obs
         |FROM ps JOIN mk USING (sec)
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
-    // Curriculum: decile thresholds via quantile_cont (the established
-    // percentile dual), phase = 10 - count of thresholds strictly
-    // below the doc's exact-ratio score; NULL scores sink to phase 10.
+    // Curriculum: even-grid score snap (2*floor(score*2^20+0.5)) and
+    // ROUNDED quantile_cont thresholds — the parity argument in the
+    // operator's docstring makes round(t) identical across engines, so
+    // every comparison is integer-exact (raw interpolated thresholds
+    // flipped 5/5000 phases at sf0.1).
     "q_curriculum" -> {
       import graft.functions.PortableText._
       val qs = (1 until 10).map(i =>
-        s"quantile_cont(score, 0.$i)").mkString(", ")
+        s"round(quantile_cont(score_q, 0.$i))").mkString(", ")
       s"""WITH s AS (SELECT doc_id, length(tk) AS n_tokens,
         |    CASE WHEN length(tk) > 0 THEN
         |      CAST(length(list_filter(tk, t ->
         |        list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
         |        / length(tk) END AS score
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
-        |th AS (SELECT [$qs] AS ths FROM s)
+        |s2 AS (SELECT doc_id, n_tokens, score,
+        |    2 * CAST(floor(score * 1048576 + 0.5) AS BIGINT) AS score_q
+        |  FROM s),
+        |th AS (SELECT [$qs] AS ths FROM s2)
         |SELECT doc_id, n_tokens, score,
         |  10 - list_reduce(list_prepend(0, list_transform(ths,
-        |    t -> CASE WHEN score > t THEN 1 ELSE 0 END)), (a, b) -> a + b)
+        |    t -> CASE WHEN score_q > t THEN 1 ELSE 0 END)), (a, b) -> a + b)
         |    AS phase
-        |FROM s, th ORDER BY doc_id""".stripMargin
+        |FROM s2, th ORDER BY doc_id""".stripMargin
     },
     // Length histogram: exact-int buckets, window running total,
     // exact-int share division.

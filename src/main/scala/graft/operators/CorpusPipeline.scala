@@ -331,7 +331,21 @@ object CorpusPipeline {
     * narrow fold `phases − Σ[score > tᵢ]` per doc. Scores are exact
     * one-step IEEE ratios (identical across engines); threshold
     * comparisons are the same raw-interpolated-percentile class D5
-    * has hash-checked since round 1. */
+    * has hash-checked since round 1.
+    *
+    * ENGINE-EXACT threshold comparison (the sf0.1 sweep caught raw
+    * interpolated thresholds flipping 5/5000 phases by one ulp —
+    * Spark interpolates `a + (b−a)·f`, DuckDB `a(1−f) + b·f`, and at
+    * a boundary score the two land on opposite sides): scores snap to
+    * an EVEN integer grid (`2·⌊score·2^20 + 0.5⌋`, exact in both
+    * engines) and thresholds are percentiles of that grid ROUNDED to
+    * the nearest integer. The interpolation fraction is k/(phases)
+    * mod 1 (±ulp), so an interpolated threshold's true value is
+    * even·k/phases — a rational with small denominator that can
+    * never equal x.5 for even inputs (parity), and the engines' ≤1-ulp
+    * disagreement cannot bridge the ≥1/phases gap to a rounding
+    * boundary — round(t) is therefore IDENTICAL across engines and
+    * every comparison is integer-exact. */
   def curriculumPhases(docs: DataFrame, phases: Int = 10,
                        stopwords: Seq[String] =
                          Seq("the", "a", "of", "and", "to")): DataFrame = {
@@ -341,13 +355,15 @@ object CorpusPipeline {
       when(nTok > 0,
         expr(PortableText.wordHits(stopwords)).cast("double") / nTok)
         .as("score"))
+      .withColumn("score_q",
+        expr("2 * cast(floor(score * 1048576 + 0.5d) as bigint)"))
     val pcts = (1 until phases).map(i =>
-      s"percentile(score, ${i.toDouble / phases})")
+      s"round(percentile(score_q, ${i.toDouble / phases}))")
     val th = scored.agg(expr(s"array(${pcts.mkString(", ")})").as("ths"))
     scored.crossJoin(broadcast(th))
       .withColumn("phase", expr(
         s"""$phases - aggregate(ths, 0, (a, t) ->
-           |  a + CASE WHEN score > t THEN 1 ELSE 0 END)""".stripMargin))
+           |  a + CASE WHEN score_q > t THEN 1 ELSE 0 END)""".stripMargin))
       .select("doc_id", "n_tokens", "score", "phase")
       .orderBy("doc_id")
   }

@@ -38,15 +38,22 @@ object Features {
       .orderBy("symbol", "tick_id")
   }
 
-  /** D3 — log returns per symbol (lag window). A zero previous price
-    * yields NULL (ANSI x/0 would throw); the first row's NULL lag
-    * already propagates NULL. */
+  /** D3 — log returns per symbol (lag window). Defined only on the
+    * function's true domain — BOTH prices strictly positive: a zero
+    * previous price is an ANSI x/0 hazard, and a zero CURRENT price
+    * is the cross-engine one — Spark's `log(0)` returns NULL while
+    * DuckDB's `ln(0)` is a hard error, so the unguarded form dies in
+    * the oracle the moment a zero-priced row appears (sf0.1 has six;
+    * the sf0.01 gate never sees one — caught by the round-8 sf0.1
+    * float-sensitive sweep). The first row's NULL lag already
+    * propagates NULL. */
   def logReturns(ticks: DataFrame): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("tick_id")
     val prev = lag("bid", 1).over(w)
     ticks.select(
       col("tick_id"), col("symbol"),
-      when(prev =!= 0, log(col("bid") / prev)).as("log_ret"))
+      when(prev > 0 && col("bid") > 0, log(col("bid") / prev))
+        .as("log_ret"))
       .orderBy("symbol", "tick_id")
   }
 
@@ -314,8 +321,9 @@ object Features {
     ticks
       .withColumn("_date", to_date(col("ts")))
       .withColumn("prev", lag(col("bid"), 1).over(w))
+      // positive-price domain guard, as D3 (ln(0) errors in DuckDB)
       .withColumn("r",
-        when(col("prev").isNotNull && col("prev") =!= 0,
+        when(col("prev") > 0 && col("bid") > 0,
           log(col("bid") / col("prev"))))
       .groupBy(col("symbol"), col("_date"))
       .agg(round(sum(col("r") * col("r")), 4).as("realized_vol"),
