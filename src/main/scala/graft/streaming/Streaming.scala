@@ -281,6 +281,40 @@ object Streaming {
       }
   }
 
+  case class TickClass(tick_id: Long, symbol: Long, cls: String)
+
+  /** G12 — streaming TICK-RULE classification: the live twin of
+    * `TickOps.tickRule` (B9). Keyed state per symbol is ONE double —
+    * the last bid — and each tick emits its direction class (`up` /
+    * `down` / `zero`; the symbol's first-ever tick is `first`,
+    * matching the batch rule's unclassified head). Fed in (ts,
+    * tick_id) order, the per-symbol class COUNTS equal the batch
+    * aggregate's — spec'd; the batch op reports the counts, the
+    * stream reports the per-tick stream a live monitor consumes. */
+  def tickClasses(ticks: Dataset[Tick]): Dataset[TickClass] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[Double]) =>
+          var prev = state.getOption
+          val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id))
+            .map { t =>
+              val cls = prev match {
+                case None                  => "first"
+                case Some(p) if t.bid > p  => "up"
+                case Some(p) if t.bid < p  => "down"
+                case _                     => "zero"
+              }
+              prev = Some(t.bid)
+              TickClass(t.tick_id, symbol, cls)
+            }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class CapDecision(doc_id: Long, source: String, rnk: Long,
                          admitted: Boolean)
 

@@ -240,6 +240,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G12 parity: tickClasses counts match the batch tickRule per " +
+      "symbol across micro-batches, first tick unclassified") {
+    import graft.streaming.Streaming.TickClass
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0),  // first
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 11.0),  // up
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 11.0),  // zero (x-batch)
+      Tick(4L, 1L, t("2024-01-01 10:00:04"), 10.5),  // down
+      Tick(5L, 2L, t("2024-01-01 10:00:01"), 5.0))   // first
+    val batch = graft.operators.TickOps.tickRule(
+      rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+        .toDF("tick_id", "symbol", "ts", "bid", "ask"))
+      .select("symbol", "n_up", "n_down", "n_zero")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.tickClasses(in.toDS())
+      .writeStream.format("memory").queryName("p_tc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val out = spark.table("p_tc").as[TickClass].collect()
+      assert(out.length == rows.length)
+      assert(out.find(_.tick_id == 1L).get.cls == "first")
+      assert(out.find(_.tick_id == 3L).get.cls == "zero",
+        "state must carry the last bid across micro-batches")
+      val counts = out.groupBy(_.symbol).map { case (s, cs) =>
+        s -> ((cs.count(_.cls == "up").toLong,
+          cs.count(_.cls == "down").toLong,
+          cs.count(_.cls == "zero").toLong))
+      }
+      assert(counts == batch)
+    } finally q.stop()
+  }
+
   test("G11 parity: ewmaPoints' last emitted value per (symbol, day) " +
       "equals the batch ewma when ticks arrive in order, state " +
       "persisting across batches") {
