@@ -60,6 +60,21 @@ def main():
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             print(f"FAIL {name}: cols spark={list(a.columns)} duck={list(b.columns)}"); continue
+        # Dtype-CLASS gate: the driver's row hash stringifies values, so
+        # an int64 Spark column vs a float64 oracle column ("32" vs
+        # "32.0") hash-mismatches even when values are equal. r8 shipped
+        # exactly that (DuckDB HUGEINT window sums -> float64) because
+        # check_dtype=False below masked it. Int-vs-float drift is now a
+        # hard local failure so local green predicts driver green.
+        dtype_bad = []
+        for c in a.columns:
+            sa, sb = a[c].dtype, b[c].dtype
+            ia, ib = np.issubdtype(sa, np.integer), np.issubdtype(sb, np.integer)
+            fa, fb = np.issubdtype(sa, np.floating), np.issubdtype(sb, np.floating)
+            if (ia and fb) or (fa and ib):
+                dtype_bad.append(f"{c}: spark={sa} duck={sb}")
+        if dtype_bad:
+            print(f"FAIL {name}: int/float dtype drift ({'; '.join(dtype_bad)})"); continue
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); continue
         try:

@@ -93,22 +93,35 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     // failures carry a -1 sentinel; they must not (negatively!) offset
     // the headline total — sum only successful queries
     val total = results.collect { case (_, _, t) if t >= 0 => t }.sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The stdout line must not grow with query count: at 106 queries
+    // the full per-query map hit 2357 chars and the driver's 2000-char
+    // stdout tail cap recorded BENCH_r08 as parsed:null. The line now
+    // carries only the total, SF, query count, any failures, and the
+    // slowest five — a fixed-size shape regardless of registry growth.
+    // The full per-query/compile maps for both runs live in
+    // bench_metric.json (written below, read by the judge).
+    val failed = results.collect { case (k, _, t) if t < 0 => k }
+    val slow5 = results.filter(_._3 >= 0).sortBy(-_._3).take(5)
+    val qs = (slow5.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) } ++
+      failed.map { k => "\"" + k + "\":-1" }).mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     // Bare line on stdout for the driver's tail parser (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.
     println(line)
-    // Tripwire for the round-3 failure mode: warn (stderr, never the
-    // parsed stdout) while the line still parses, so the overflow is
-    // caught the round BEFORE the driver records parsed:null.
-    if (line.length > 1800)
-      System.err.println(s"[bench] WARNING: metric line ${line.length} chars " +
-        "— approaching the driver's 2000-char stdout tail cap")
+    // Hard tripwire (r8 lesson: the warning fired and was ignored —
+    // the round shipped with parsed:null). An oversize line is a bench
+    // FAILURE now; it cannot happen with the fixed-size shape above,
+    // so tripping means someone re-added a growing field.
+    if (line.length > 1800) {
+      System.err.println(s"[bench] FATAL: metric line ${line.length} chars " +
+        "exceeds the 1800-byte budget (driver cap 2000) — shrink the line")
+      spark.stop()
+      sys.exit(1)
+    }
     // bench_metric.json carries BOTH runs at full precision (the stdout
     // line stays run-1-only: adding a second per-query map is exactly
     // what blew the driver's 2000-char tail cap in round 3). Top-level

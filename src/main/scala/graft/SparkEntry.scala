@@ -1731,6 +1731,10 @@ object SparkEntry {
     // Same pmod spelling as q_hash_split for the shard; `//` in DuckDB
     // truncates toward zero like Spark's `div` (probed r4) — equal to
     // floor here because every operand is non-negative.
+    // The window sum is CAST AS BIGINT: DuckDB's sum(BIGINT) OVER
+    // returns HUGEINT, which materializes as float64 and fails the
+    // driver's type-sensitive row hash despite identical values (the
+    // r8 q_pack_sequences/q_token_budget failure).
     "q_pack_sequences" -> {
       import graft.functions.PortableText._
       s"""SELECT doc_id, shard, n_tokens,
@@ -1739,8 +1743,8 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN (tok_end - 1) // 512 END AS bin_last
         |FROM (
         |  SELECT doc_id, shard, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS tok_end
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
         |  FROM (
         |    SELECT doc_id,
         |      CAST(${duckHashOrder("doc_id")} % 4 AS INT) AS shard,
@@ -1832,13 +1836,15 @@ object SparkEntry {
     },
     // Keep-iff-prefix-fits semantics: the window sum INCLUDES the
     // current doc, so the doc that would cross the budget is dropped.
+    // CAST AS BIGINT for the same HUGEINT->float64 reason as
+    // q_pack_sequences (r8 driver-hash failure).
     "q_token_budget" -> {
       import graft.functions.PortableText._
       s"""SELECT doc_id, lang, source, n_tokens, cum_tokens FROM (
         |  SELECT doc_id, lang, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source
         |      ORDER BY ${duckHashOrder("doc_id")}, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
         |  FROM (
         |    SELECT doc_id, lang, source,
         |      CAST(length($duckTokens) AS BIGINT) AS n_tokens
