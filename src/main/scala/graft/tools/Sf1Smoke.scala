@@ -35,6 +35,10 @@ object Sf1Smoke {
     // sf1); 100 gives the second scaling point (~sf10: 500k docs /
     // 200k vectors) for the 1x → 10x → 100x curve in SURVEY §5.
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    // SPARK_GRAFT_FAMILY selects which replica family to time:
+    // "docs" (dedup/vector/curation), "events" (temporal joins/tick
+    // features — round-9 addition), or "all" (default).
+    val whichFamily = sys.env.getOrElse("SPARK_GRAFT_FAMILY", "all")
     val outDir =
       if (replicas == 10) "tmp/sf1smoke" else s"tmp/smoke${replicas}x"
     val spark = GraftSession.local(cpus)
@@ -82,13 +86,46 @@ object Sf1Smoke {
         s"delete $outDir and rerun")
     println(s"[sf1-smoke] embedding rows=$nv (${replicas}x $src)")
 
+    // Events replica for the temporal-join/tick family (round-9: the
+    // only block whose scale claims rested solely on plan reads).
+    // Symbols remap like doc_id: each replica is a fresh symbol set
+    // (user_id + replica * 5e9), so per-symbol tick counts stay at
+    // sf0.1 density while the GROUP/JOIN-KEY cardinality — the
+    // dimension that actually grows on a real tick lake (more symbols
+    // × more days) — scales 10x/100x. The as-of/nearest window state
+    // per key is constant; what must NOT blow up is the shuffle and
+    // the per-key window machinery across 10-100x more keys.
+    // ts is kept as RAW int64 nanos (read under nanosAsLong) so the
+    // replica parquet round-trips through Tables.events identically
+    // to the driver-generated table.
+    val eventsPath = s"$outDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcEvents = spark.read.parquet(s"$src/events.parquet").count()
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$eventsPath/_SUCCESS"))) {
+      spark.read.parquet(s"$src/events.parquet")
+        .crossJoin(spark.range(replicas).select(col("id").as("replica")))
+        .select(
+          (col("event_id") + col("replica") * lit(5000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("replica") * lit(5000000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(eventsPath)
+    }
+    val ne = spark.read.parquet(eventsPath).count()
+    require(ne == replicas * srcEvents,
+      s"events replica has $ne rows, expected ${replicas * srcEvents} — " +
+        s"delete $outDir and rerun")
+    println(s"[sf1-smoke] events rows=$ne (${replicas}x $src)")
+
     def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
       val s = (System.nanoTime() - t0) / 1e9
       println(f"[sf1-smoke] $label%-28s $s%.2f s")
       s
     }
-    val family = Seq("q_dedup_minhash", "q_dedup_greedy", "q_dedup_clusters",
+    val docsFamily = Seq("q_dedup_minhash", "q_dedup_greedy", "q_dedup_clusters",
       "q_decontaminate", "q_dedup_exact", "q_corpus_select",
       // round-8 curation + vector additions at the same 10x scale
       "q_line_dedup", "q_pii_scrub", "q_corpus_curate",
@@ -105,6 +142,19 @@ object Sf1Smoke {
       // late-session additions over the same replica tables
       "q_gram_novelty", "q_stratified_split", "q_dedup_report",
       "q_length_histogram", "q_hybrid_search")
+    // The temporal-join/tick family over the symbol-remapped events
+    // replica: as-of ladder (plain, tolerance-gated, nearest-either-
+    // side), the per-(symbol, day) EWMA fold, market beta (the one
+    // query whose per-second market agg WIDENS with symbol count),
+    // tick-rule direction counts, and the range-join/sessionization
+    // pair.
+    val eventsFamily = Seq("q_asof_join", "q_asof_tolerance",
+      "q_nearest_join", "q_ewma", "q_market_beta", "q_tick_rule",
+      "q_range_join", "q_sessionize")
+    val family =
+      if (whichFamily == "docs") docsFamily
+      else if (whichFamily == "events") eventsFamily
+      else docsFamily ++ eventsFamily
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
@@ -113,11 +163,13 @@ object Sf1Smoke {
         }
       }
     }
-    // Sanity: cluster structure should reflect the 10x replication —
-    // cluster count ~= distinct texts, not rows.
-    val reps = SparkEntry.queries("q_dedup_clusters")(spark, outDir)
-      .agg(countDistinct("cluster")).head().getLong(0)
-    println(s"[sf1-smoke] distinct clusters=$reps (rows=$n)")
+    if (whichFamily != "events") {
+      // Sanity: cluster structure should reflect the 10x replication —
+      // cluster count ~= distinct texts, not rows.
+      val reps = SparkEntry.queries("q_dedup_clusters")(spark, outDir)
+        .agg(countDistinct("cluster")).head().getLong(0)
+      println(s"[sf1-smoke] distinct clusters=$reps (rows=$n)")
+    }
     spark.stop()
   }
 }
