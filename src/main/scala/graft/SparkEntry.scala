@@ -240,6 +240,13 @@ object SparkEntry {
     "q_realized_vol" -> ((s, d) => Features.realizedVol(Tables.ticks(s, d))),
     // B9 — tick-rule up/down/zero classification per symbol.
     "q_tick_rule" -> ((s, d) => TickOps.tickRule(Tables.ticks(s, d))),
+    // D19 — Roll implied effective spread from serial covariance.
+    "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
+    // D20 — Amihud illiquidity: avg |log return| per traded dollar.
+    "q_amihud" -> ((s, d) => Microstructure.amihud(Tables.events(s, d))),
+    // D21 — tick-rule signed order-flow imbalance per symbol-day.
+    "q_flow_imbalance" -> ((s, d) =>
+      Microstructure.flowImbalance(Tables.events(s, d))),
     // F30 — boilerplate share: fraction of a doc's distinct 3-grams
     // occurring in other docs.
     "q_gram_novelty" -> ((s, d) =>
@@ -918,6 +925,82 @@ object SparkEntry {
         |      AS prev
         |  FROM $ticksSql t) x
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D19 — Roll spread: Δp in exact integer cents, covar_samp
+    // rounded to 4, spread DERIVED from the rounded covariance so the
+    // sqrt sees bit-identical inputs in both engines (SURVEY §6).
+    "q_roll_spread" ->
+      s"""SELECT symbol, n_pairs, cov_cents2,
+        |  CASE WHEN cov_cents2 < 0
+        |    THEN round(2.0 * sqrt(-cov_cents2), 4) END
+        |    AS roll_spread_cents
+        |FROM (
+        |  SELECT symbol,
+        |    round(covar_samp(dp, dp_prev), 4) AS cov_cents2,
+        |    count(CASE WHEN dp IS NOT NULL AND dp_prev IS NOT NULL
+        |      THEN 1 END) AS n_pairs
+        |  FROM (
+        |    SELECT symbol, dp,
+        |      lag(dp, 1) OVER (PARTITION BY symbol ORDER BY tick_id)
+        |        AS dp_prev
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CAST(cents - lag(cents, 1) OVER (PARTITION BY symbol
+        |          ORDER BY tick_id) AS DOUBLE) AS dp
+        |      FROM (SELECT symbol, tick_id,
+        |          CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |        FROM $ticksSql t) c) d) e
+        |  GROUP BY symbol) x
+        |ORDER BY symbol""".stripMargin,
+    // D20 — Amihud: intraday lag in exact cents; the ln/divide/avg
+    // chain matches the Spark expression term-for-term; aggregate
+    // double → round(4).
+    "q_amihud" ->
+      """SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  round(avg(impact), 4) AS amihud_e9,
+        |  count(impact) AS n_obs
+        |FROM (
+        |  SELECT symbol, _date,
+        |    CASE WHEN prev > 0 AND cents > 0 AND k > 0 THEN
+        |      abs(ln(CAST(cents AS DOUBLE) / prev))
+        |        / CAST(cents * k AS DOUBLE) * 1e9
+        |    END AS impact
+        |  FROM (
+        |    SELECT user_id AS symbol, CAST(ts AS DATE) AS _date,
+        |      CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |      CAST(props->>'$.k' AS INT) AS k,
+        |      lag(CAST(round(value * 100.0, 0) AS BIGINT), 1) OVER (
+        |        PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY event_id) AS prev
+        |    FROM events) y) x
+        |GROUP BY symbol, _date
+        |ORDER BY symbol, date""".stripMargin,
+    // D21 — flow imbalance: int64-exact signed-volume sums (CAST AS
+    // BIGINT — the r8 HUGEINT lesson), ratio one IEEE division of
+    // exact ints, unrounded.
+    "q_flow_imbalance" ->
+      """SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  buy_qty, sell_qty,
+        |  CASE WHEN buy_qty + sell_qty > 0 THEN
+        |    CAST(buy_qty - sell_qty AS DOUBLE)
+        |      / CAST(buy_qty + sell_qty AS DOUBLE) END AS imbalance,
+        |  n_classified
+        |FROM (
+        |  SELECT symbol, _date,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+        |      THEN k ELSE 0 END) AS BIGINT) AS buy_qty,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND cents < prev
+        |      THEN k ELSE 0 END) AS BIGINT) AS sell_qty,
+        |    count(prev) AS n_classified
+        |  FROM (
+        |    SELECT user_id AS symbol, CAST(ts AS DATE) AS _date,
+        |      CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |      CAST(props->>'$.k' AS INT) AS k,
+        |      lag(CAST(round(value * 100.0, 0) AS BIGINT), 1) OVER (
+        |        PARTITION BY user_id, CAST(ts AS DATE)
+        |        ORDER BY event_id) AS prev
+        |    FROM events) y
+        |  GROUP BY symbol, _date) x
+        |ORDER BY symbol, date""".stripMargin,
     "q_autocorr" ->
       s"""SELECT symbol, round(corr(bid, lag_bid), 4) AS autocorr_5,
         |  count(lag_bid) AS n_pairs

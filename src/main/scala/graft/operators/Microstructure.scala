@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure estimators (SURVEY §2.D19–D21) — the
+  * liquidity/flow statistics the reference's per-symbol research
+  * pipeline implies but computes only partially (ref: `Symbol Data And
+  * Stats/symbol_statistics_generate.py` stops at tick counts;
+  * `ML Model/Scripts/train.py` consumes spread features): Roll's
+  * implied effective spread, Amihud's price-impact illiquidity, and
+  * tick-rule signed order-flow imbalance.
+  *
+  * All three share one physical discipline: a single hash exchange on
+  * `symbol` (D19) or `(symbol, day)` (D20/D21), the window lag and the
+  * aggregate reusing that same partitioning — lag + groupBy plan into
+  * one shuffle, exactly the D17 realized-vol shape. Nothing here is
+  * per-row Python or a driver loop; at 100 TB each estimator is one
+  * pass over the tick scan with map-side partial aggregation.
+  *
+  * Engine-exactness (SURVEY §6): price deltas are computed in exact
+  * integer CENTS (the B8 VWAP convention — `round(bid*100)::long` is
+  * bit-identical across engines, then integer subtraction is exact);
+  * only the final covariance / mean aggregates are IEEE doubles and
+  * those are `round(4)` like D10/D18. Quantity-weighted sums (D21) are
+  * pure int64 arithmetic; the imbalance ratio is one IEEE division of
+  * exact ints, emitted unrounded.
+  */
+object Microstructure {
+
+  private def centsOf(bid: org.apache.spark.sql.Column) =
+    round(bid * 100.0, 0).cast("long")
+
+  /** D19 — ROLL EFFECTIVE-SPREAD estimator per symbol: Roll (1984)
+    * infers the effective spread from the negative serial covariance
+    * of consecutive price changes — `s = 2·√(−cov(Δpₜ, Δpₜ₋₁))` —
+    * the classic "what spread did traders actually pay" estimator
+    * that needs no quote data. Δp in exact integer cents; the
+    * covariance is `covar_samp` over the lagged-change pairs
+    * (round 4), and the spread is derived FROM the rounded covariance
+    * (√ of equal inputs is IEEE-exact, so both engines agree
+    * bit-for-bit). Positive-autocovariance symbols (momentum regime,
+    * estimator undefined) report a NULL spread, never √(negative).
+    * Shape: one exchange on symbol; the two lags and the aggregate
+    * share its sort. */
+  def rollSpread(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("dp",
+        (col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .withColumn("dp_prev", lag(col("dp"), 1).over(w))
+      .groupBy("symbol")
+      .agg(
+        round(expr("covar_samp(dp, dp_prev)"), 4).as("cov_cents2"),
+        count(when(col("dp").isNotNull && col("dp_prev").isNotNull, 1))
+          .as("n_pairs"))
+      .withColumn("roll_spread_cents",
+        when(col("cov_cents2") < 0,
+          round(lit(2.0) * sqrt(-col("cov_cents2")), 4)))
+      .select("symbol", "n_pairs", "cov_cents2", "roll_spread_cents")
+      .orderBy("symbol")
+  }
+
+  /** D20 — AMIHUD ILLIQUIDITY per (symbol, trading day):
+    * `avg(|log return| / dollar volume)` — the price-impact-per-
+    * traded-dollar measure (Amihud 2002), scaled by 1e9 to a
+    * readable magnitude. Quantity comes from the event payload
+    * (`props->'$.k'`, the B8 VWAP source); dollar volume is exact
+    * int64 `cents·k`; the log-return lag runs WITHIN the day (D17's
+    * overnight-gap rule). Zero-volume or non-positive-price rows
+    * contribute no observation (NULL, ANSI-safe). Aggregate double →
+    * round(4). One (symbol, day) exchange shared by lag + aggregate. */
+  def amihud(events: DataFrame): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("_date"),
+      centsOf(col("value")).as("cents"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy("symbol", "_date").orderBy("event_id")
+    parsed
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("impact",
+        when(col("prev") > 0 && col("cents") > 0 && col("k") > 0,
+          abs(log(col("cents").cast("double") / col("prev")))
+            / (col("cents") * col("k")).cast("double") * lit(1e9)))
+      .groupBy("symbol", "_date")
+      .agg(round(avg(col("impact")), 4).as("amihud_e9"),
+        count(col("impact")).as("n_obs"))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("amihud_e9"), col("n_obs"))
+      .orderBy("symbol", "date")
+  }
+
+  /** D21 — ORDER-FLOW IMBALANCE per (symbol, trading day): tick-rule
+    * signs (B9's up/down heuristic, in exact cents) weight the traded
+    * quantity into buy/sell volume; imbalance = (buy−sell)/(buy+sell).
+    * All sums int64-exact; the ratio is one IEEE division of exact
+    * ints (unrounded, SURVEY §6) and NULL when no tick is signed
+    * (flat-only day). First tick of each day is unclassified (NULL
+    * prev), zero-ticks count volume into `n_classified` but neither
+    * side. Same one-exchange shape as D20. */
+  def flowImbalance(events: DataFrame): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("_date"),
+      centsOf(col("value")).as("cents"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy("symbol", "_date").orderBy("event_id")
+    parsed
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .groupBy("symbol", "_date")
+      .agg(
+        sum(when(col("prev").isNotNull && col("cents") > col("prev"),
+          col("k").cast("long")).otherwise(0L)).as("buy_qty"),
+        sum(when(col("prev").isNotNull && col("cents") < col("prev"),
+          col("k").cast("long")).otherwise(0L)).as("sell_qty"),
+        count(col("prev")).as("n_classified"))
+      .withColumn("imbalance",
+        when(col("buy_qty") + col("sell_qty") > 0,
+          (col("buy_qty") - col("sell_qty")).cast("double")
+            / (col("buy_qty") + col("sell_qty")).cast("double")))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("buy_qty"), col("sell_qty"), col("imbalance"),
+        col("n_classified"))
+      .orderBy("symbol", "date")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Microstructure
+
+/** Hand-computed oracles for the D19–D21 microstructure estimators. */
+class MicrostructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def ticks(rows: (Long, Long, String, Double, Double)*) =
+    rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+  private def events(rows: (Long, Long, String, Double, Int)*) =
+    rows.toSeq.map { case (id, u, ts, v, k) =>
+      (id, u, t(ts), "trade", v, s"""{"k":$k}""") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+
+  test("rollSpread: bid-bounce series has negative autocov and a spread") {
+    // Price alternates 10.00 / 10.02: Δp = +2,−2,+2,… (cents). Over
+    // the 7 (Δpₜ₋₁, Δpₜ) pairs: Σxy = −28, Σx = 2, Σy = −2, so
+    // covar_samp = (−28 + 4/7)/6 = −32/7 = −4.5714 (round 4).
+    val rows = (1 to 9).map { i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d",
+        if (i % 2 == 0) 10.02 else 10.00, 10.03)
+    }
+    val r = Microstructure.rollSpread(ticks(rows: _*)).collect().head
+    assert(r.getAs[Long]("n_pairs") == 7L)
+    assert(r.getAs[Double]("cov_cents2") == -4.5714)
+    assert(math.abs(r.getAs[Double]("roll_spread_cents")
+      - math.rint(2.0 * math.sqrt(4.5714) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("rollSpread: trending symbol (positive autocov) reports NULL spread") {
+    val rows = (1 to 6).map { i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d", 10.0 + i * 0.05, 11.0)
+    }
+    val r = Microstructure.rollSpread(ticks(rows: _*)).collect().head
+    assert(r.isNullAt(r.fieldIndex("roll_spread_cents")))
+  }
+
+  test("amihud: single return, hand-computed impact") {
+    // 100.00 -> 101.00, k=5: |ln(10100/10000)| / (10100*5) * 1e9
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:01", 100.00, 3),
+      (2L, 1L, "2024-01-01 00:00:02", 101.00, 5))
+    val r = Microstructure.amihud(e).collect().head
+    val expected = math.abs(math.log(10100.0 / 10000.0)) / (10100.0 * 5) * 1e9
+    assert(r.getAs[Long]("n_obs") == 1L)
+    assert(math.abs(r.getAs[Double]("amihud_e9")
+      - math.rint(expected * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("amihud: overnight gap contributes no observation") {
+    val e = events(
+      (1L, 1L, "2024-01-01 23:59:59", 100.00, 1),
+      (2L, 1L, "2024-01-02 00:00:01", 200.00, 1))
+    val rs = Microstructure.amihud(e).collect()
+    assert(rs.length == 2 && rs.forall(_.getAs[Long]("n_obs") == 0L))
+  }
+
+  test("flowImbalance: signed volume and ratio") {
+    // day 1 for symbol 1: prev-less head, then up(k=3), down(k=1),
+    // zero(k=7): buy=3 sell=1 imbalance=0.5, n_classified=3
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:01", 10.00, 9),
+      (2L, 1L, "2024-01-01 00:00:02", 10.01, 3),
+      (3L, 1L, "2024-01-01 00:00:03", 10.00, 1),
+      (4L, 1L, "2024-01-01 00:00:04", 10.00, 7))
+    val r = Microstructure.flowImbalance(e).collect().head
+    assert(r.getAs[Long]("buy_qty") == 3L)
+    assert(r.getAs[Long]("sell_qty") == 1L)
+    assert(r.getAs[Double]("imbalance") == 0.5)
+    assert(r.getAs[Long]("n_classified") == 3L)
+  }
+
+  test("flowImbalance: flat-only day yields NULL imbalance") {
+    val e = events(
+      (1L, 1L, "2024-01-01 00:00:01", 10.00, 2),
+      (2L, 1L, "2024-01-01 00:00:02", 10.00, 2))
+    val r = Microstructure.flowImbalance(e).collect().head
+    assert(r.isNullAt(r.fieldIndex("imbalance")))
+    assert(r.getAs[Long]("n_classified") == 1L)
+  }
+}
