@@ -103,6 +103,9 @@ object SparkEntry {
       Analytics.topKPerGroup(Tables.part(s, d), "p_brand", "p_retailprice",
         "p_partkey", 3)),
     "q_rollup" -> ((s, d) => Analytics.rollupSummary(Tables.lineitem(s, d))),
+    // C13 — four-set GROUPING SETS lattice (marginals + grand total).
+    "q_grouping_sets" -> ((s, d) =>
+      Analytics.groupingSetsSummary(Tables.lineitem(s, d))),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -563,6 +566,20 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // C13 — gid from CASE-on-nullness (engine-portable, not native
+    // grouping_id whose bit order is engine-defined).
+    "q_grouping_sets" ->
+      """SELECT CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END
+        |     + CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice*(1.0-l_discount)), 4) AS revenue,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey

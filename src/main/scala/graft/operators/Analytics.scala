@@ -123,6 +123,35 @@ object Analytics {
         col("sum_qty"), col("cnt"))
       .orderBy("returnflag", "linestatus")
 
+  /** C13 — GROUPING SETS aggregation: the four-set lattice
+    * ((flag,status),(flag),(status),()) that neither rollup (C5) nor
+    * cube alone expresses — the "marginals + total in one pass" OLAP
+    * shape (Trino/ad-hoc SQL surface, ref README §7.3). One Expand +
+    * one aggregate: Spark plans grouping sets as a 4× row expansion
+    * feeding a single hash aggregate with map-side partials — one
+    * shuffle regardless of set count, never four scans. The set id
+    * (`gid`) is derived from grouping-column nullness with CASE
+    * arithmetic rather than `grouping_id()` so both engines compute
+    * an identical int32 (bit order of native grouping_id is
+    * engine-defined); sound here because the TPC-H grouping columns
+    * are NOT NULL by construction. */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum(expr("l_extendedprice*(1.0-l_discount)")), 4).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .select(
+        (when(col("l_returnflag").isNull, 2).otherwise(0) +
+          when(col("l_linestatus").isNull, 1).otherwise(0)).as("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("revenue"), col("cnt"))
+      .orderBy("gid", "returnflag", "linestatus")
+
   /** Customers with no orders — left-anti join (research/validation
     * query shape; no row explosion, shuffles on custkey only). */
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =

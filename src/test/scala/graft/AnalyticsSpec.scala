@@ -25,6 +25,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.contains(("B", "x", 3.0, 1L)))
   }
 
+  test("groupingSetsSummary emits both marginals, the cross table and " +
+      "the grand total with distinct gids") {
+    val df = Seq(("A", "x", 1.0, 10.0, 0.0), ("A", "y", 2.0, 10.0, 0.0),
+      ("B", "x", 3.0, 10.0, 0.5))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val out = Analytics.groupingSetsSummary(df)
+      .as[(Int, String, String, Double, Double, Long)].collect().toSeq
+    assert(out.contains((0, "A", "x", 1.0, 10.0, 1L)))   // cross cell
+    assert(out.contains((1, "A", "ALL", 3.0, 20.0, 2L))) // flag marginal
+    assert(out.contains((2, "ALL", "x", 4.0, 15.0, 2L))) // status marginal
+    assert(out.contains((3, "ALL", "ALL", 6.0, 25.0, 3L))) // grand total
+    assert(out.length == 3 + 2 + 2 + 1) // cells + 2 marginals + total
+  }
+
   test("minCostSupplier keeps every supplier tied at the per-part " +
       "minimum, restricted to the brand, deduped across lineitems") {
     val part = Seq(
