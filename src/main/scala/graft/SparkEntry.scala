@@ -147,6 +147,8 @@ object SparkEntry {
           .when(col("o_orderkey") % 97 === 0, "U").otherwise("K"))
         .orderBy("o_orderkey")
     }),
+    // A15 — SCD2 compaction: per-user value-tier version history.
+    "q_scd2" -> ((s, d) => Scd.scd2History(Tables.events(s, d))),
     "q_quality_scan" -> ((s, d) =>
       Lakehouse.qualityScan(Tables.events(s, d), "event_type",
         Seq("user_id", "value", "props"))),
@@ -743,6 +745,32 @@ object SparkEntry {
         |FROM (SELECT total FROM h WHERE snapshot_id = 2) t,
         |     (SELECT max(snapshot_id) AS m FROM h) mx
         |ORDER BY snapshot_id""".stripMargin,
+    // A15 — SCD2: order by (second-truncated ts, event_id) — the
+    // only cross-engine-total order (raw ts is ns in DuckDB, µs in
+    // Spark); consecutive-equal tiers collapse into the earlier row.
+    "q_scd2" ->
+      """WITH tiered AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    CASE WHEN value < 25.0 THEN 'low'
+        |         WHEN value < 75.0 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts_s, event_id, tier FROM (
+        |    SELECT user_id, ts_s, event_id, tier,
+        |      lag(tier, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts_s, event_id) AS prev_tier
+        |    FROM tiered) x
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS version,
+        |  tier, ts_s AS valid_from,
+        |  lead(ts_s, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) AS valid_to,
+        |  lead(ts_s, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts_s, event_id) IS NULL AS is_current
+        |FROM chg ORDER BY user_id, version""".stripMargin,
     "q_snapshot_diff" ->
       """SELECT CAST(2 AS BIGINT) AS snap_a, CAST(5 AS BIGINT) AS snap_b,
         |  count(*) FILTER (WHERE event_id // 2000 <= 2) AS rows_a,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history (SURVEY §2.A15) — the
+  * lakehouse CDC pattern the reference's Iceberg layer implies but
+  * never materializes (ref: `Apache Iceberg/iceberg_migration.py`
+  * keeps only current-state gold tables; an SCD2 dimension is what a
+  * MERGE-driven warehouse keeps instead): compact an append-only
+  * event stream into per-key attribute VERSIONS with
+  * `valid_from`/`valid_to`/`is_current`.
+  *
+  * Shape: one hash exchange on the dimension key; the change-point
+  * lag, the version row_number and the valid_to lead all share that
+  * partitioning and sort, and the change-point filter between them
+  * preserves the sort order — Spark plans the whole compaction as a
+  * single shuffle + one in-partition sort. At 100 TB this is the
+  * only shape that works: per-key history is embarrassingly parallel
+  * and nothing global is ever ordered.
+  *
+  * Engine-exactness (SURVEY §6): rows are ordered by
+  * `(second-truncated ts, event_id)` — the raw `ts` is ns in DuckDB
+  * and µs in Spark, so raw-ts ordering could disagree on sub-µs
+  * neighbors; the truncated key is computed identically in both
+  * engines and `event_id` makes the order total. Emitted timestamps
+  * are second-truncated for the same reason.
+  */
+object Scd {
+
+  /** A15 — SCD2 compaction of `events` into a value-tier dimension:
+    * each user's tier (`low`/`mid`/`high` price band) over time,
+    * one row per CHANGE with its validity interval. `valid_to` is
+    * NULL on the open (current) version; `version` is 1-based per
+    * user. Consecutive-equal tiers collapse into the earlier row —
+    * the defining SCD2 compaction step. */
+  def scd2History(events: DataFrame): DataFrame = {
+    val tiered = events.select(
+      col("user_id"),
+      col("event_id"),
+      date_trunc("second", col("ts")).as("ts_s"),
+      when(col("value") < 25.0, "low")
+        .when(col("value") < 75.0, "mid")
+        .otherwise("high").as("tier"))
+    val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    tiered
+      .withColumn("prev_tier", lag(col("tier"), 1).over(w))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col("ts_s"))
+      .withColumn("valid_to", lead(col("ts_s"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "version", "tier", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("user_id", "version")
+  }
+}

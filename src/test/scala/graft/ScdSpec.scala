@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Scd
+
+class ScdSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String, Double)*) =
+    rows.toSeq.map { case (id, u, ts, v) =>
+      (id, u, Timestamp.valueOf(ts), "e", v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+
+  test("scd2History: consecutive-equal tiers collapse, intervals chain, " +
+      "last version is open") {
+    // user 1: low(10) low(20) mid(30) high(90) mid(50)
+    //   → versions low[t1,t3) mid[t3,t4) high[t4,t5) mid[t5,∞)
+    val out = Scd.scd2History(ev(
+      (1L, 1L, "2024-01-01 00:00:01", 10.0),
+      (2L, 1L, "2024-01-01 00:00:02", 20.0),
+      (3L, 1L, "2024-01-01 00:00:03", 30.0),
+      (4L, 1L, "2024-01-01 00:00:04", 90.0),
+      (5L, 1L, "2024-01-01 00:00:05", 50.0)))
+      .collect()
+    assert(out.length == 4)
+    val tiers = out.map(_.getAs[String]("tier")).toSeq
+    assert(tiers == Seq("low", "mid", "high", "mid"))
+    assert(out.map(_.getAs[Int]("version")).toSeq == Seq(1, 2, 3, 4))
+    // interval chaining: each valid_to equals the next valid_from
+    val froms = out.map(_.getAs[Timestamp]("valid_from"))
+    val tos = out.map(_.getAs[Timestamp]("valid_to"))
+    assert(tos.init.toSeq == froms.tail.toSeq)
+    assert(tos.last == null && out.last.getAs[Boolean]("is_current"))
+    assert(out.init.forall(!_.getAs[Boolean]("is_current")))
+  }
+
+  test("scd2History: single-tier user yields exactly one open version") {
+    val out = Scd.scd2History(ev(
+      (1L, 7L, "2024-01-01 00:00:01", 80.0),
+      (2L, 7L, "2024-01-01 00:00:02", 99.0))).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("tier") == "high")
+    assert(out.head.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2History: same-second events order by event_id") {
+    // both events in the same second — event_id breaks the tie, so
+    // the tier sequence is low(1) -> high(2), two versions
+    val out = Scd.scd2History(ev(
+      (2L, 3L, "2024-01-01 00:00:01", 90.0),
+      (1L, 3L, "2024-01-01 00:00:01", 10.0))).collect()
+    assert(out.map(_.getAs[String]("tier")).toSeq == Seq("low", "high"))
+  }
+}
