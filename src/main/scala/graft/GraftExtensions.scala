@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharGrams, MinHashes, PolyHash, PqCodes, SimHash64, VecDot, Winnow, WordGrams}
+import graft.functions.{CharEntropy, CharGrams, MinHashes, PolyHash, PqCodes, SimHash64, VecDot, Winnow, WordGrams}
 
 /** Canonical extension injection point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` makes ALL graft
@@ -47,5 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow.fromArgs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_charentropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "graft_charentropy"),
+      (exprs: Seq[Expression]) => CharEntropy.fromArgs(exprs)))
   }
 }

@@ -356,6 +356,17 @@ object SparkEntry {
       TextDedup.qualityScore(Tables.documents(s, d),
         Seq("the", "a", "of", "and", "to"))),
     "q_token_count" -> ((s, d) => TextDedup.tokenCount(Tables.documents(s, d))),
+    // F35 — corpus-trained unigram-LM mean surprisal per document.
+    "q_lm_surprisal" -> ((s, d) =>
+      LangModel.unigramSurprisal(Tables.documents(s, d))),
+    // F36 — codepoint Shannon-entropy profile (native expression).
+    "q_char_entropy" -> ((s, d) => LangModel.charEntropy(Tables.documents(s, d))),
+    // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
+    "q_mixture_sample" -> ((s, d) =>
+      CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
+    // F38 — kNN-density outlier score: 100 targets, k=10.
+    "q_knn_density" -> ((s, d) =>
+      Vectors.knnDensity(Tables.embeddings(s, d), 100, 10)),
     "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
     // F11b — winnowing fingerprint selection (char 5-grams, window 8).
     "q_winnow" -> ((s, d) =>
@@ -1768,6 +1779,93 @@ object SparkEntry {
         |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
     },
+    // F35 — unigram surprisal: freq/N exact ints, one IEEE division,
+    // ln parity per D3; per-doc mean is an aggregate → round(4).
+    "q_lm_surprisal" -> {
+      import graft.functions.PortableText._
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    round(avg(-ln(CAST(freq AS DOUBLE) / n_total)), 4)
+        |      AS avg_surprisal
+        |  FROM toks JOIN freq USING (token), tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_tokens, 0) AS n_tokens,
+        |  per.avg_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // F36 — codepoint entropy, UNROUNDED: both engines fold
+    // cnt·ln(cnt) over distinct codepoints in ascending order
+    // (list_sort = binary collation = codepoint order), exact int
+    // counts — bit-identical doubles by construction.
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, length(text) AS len_cp,
+        |    string_split(text, '') AS cs FROM documents)
+        |SELECT doc_id, len_cp,
+        |  CASE WHEN len_cp > 0 THEN length(list_distinct(cs))
+        |       ELSE 0 END AS n_distinct_cp,
+        |  CASE WHEN len_cp > 0 THEN
+        |    ln(CAST(len_cp AS DOUBLE)) -
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(list_sort(list_distinct(cs)),
+        |        ch -> CAST(length(list_filter(cs, x -> x = ch)) AS DOUBLE)
+        |          * ln(CAST(length(list_filter(cs, x -> x = ch))
+        |              AS DOUBLE)))),
+        |      (a, b) -> a + b) / len_cp
+        |  END AS entropy
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // F37 — mixture sampling: quantized-sqrt weights make the whole
+    // allocation int64-exact (floor(√n·1e6) is bit-identical — sqrt
+    // is IEEE-correctly-rounded); // and div both truncate.
+    "q_mixture_sample" -> {
+      import graft.functions.PortableText._
+      s"""WITH c AS (SELECT source, count(*) AS n_docs
+        |  FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+        |      AS sq FROM c),
+        |z AS (SELECT CAST(sum(sq) AS BIGINT) AS z FROM q),
+        |t AS (SELECT source, n_docs, sq,
+        |    least(n_docs, (200 * sq) // z) AS tgt FROM q, z),
+        |r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ${duckHashOrder("doc_id")}, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, r.rnk, t.tgt
+        |FROM r JOIN t USING (source) WHERE r.rnk <= t.tgt
+        |ORDER BY source, rnk""".stripMargin
+    },
+    // F38 — kNN density: q_ann_topk's pair CTE with a per-target
+    // mean over the top-k; out_rank orders the ROUNDED density.
+    "q_knn_density" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS target_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 100),
+        |r AS (SELECT target_id, cs,
+        |    row_number() OVER (PARTITION BY target_id
+        |      ORDER BY cs DESC, neighbor_id) AS rnk FROM p),
+        |d AS (SELECT target_id, round(avg(cs), 4) AS density,
+        |    count(cs) AS n_neighbors
+        |  FROM r WHERE rnk <= 10 GROUP BY target_id)
+        |SELECT target_id, n_neighbors, density,
+        |  row_number() OVER (ORDER BY density ASC NULLS FIRST, target_id)
+        |    AS out_rank
+        |FROM d ORDER BY target_id""".stripMargin,
     // tf/df is one IEEE division of exact counts: values AND ordering
     // are bit-identical across engines, so score stays unrounded.
     "q_term_saliency" -> {

@@ -140,6 +140,45 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F37 — TEMPERATURE-SCALED MIXTURE SAMPLING: allocate a global
+    * document budget across sources proportional to `n_source^α` with
+    * α = 1/2 — the standard temperature flattening (T = 1/α = 2) that
+    * up-weights small sources against head domains (the mixture knob
+    * behind every multi-domain pre-training recipe), then admit each
+    * source's share in deterministic multiplicative-hash order.
+    *
+    * QUANTIZED-WEIGHT exactness (the F28 linear-idf discipline):
+    * `sqrt` is IEEE-correctly-rounded, so `sq = floor(√n · 1e6)` is
+    * bit-identical across engines; from there the allocation
+    * `tgt = min(n, budget·sq div Σsq)` is pure int64 arithmetic —
+    * reduction-order free, no float sum over sources anywhere. The
+    * admission reuses [[hashOrder]] (same reproducibility contract as
+    * F18: growing a source swaps members by hash rank, never re-deals
+    * other sources).
+    *
+    * Scale shape: per-source counts are a tiny aggregate, the integer
+    * allocation happens on that tiny frame, broadcast back; admission
+    * is F18's one window per source. Rounding-down keeps the total at
+    * most `budget` (never over-admits); the remainder seats are left
+    * empty by design — deterministic beats exactly-full. */
+  def mixtureSample(docs: DataFrame, budget: Long): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e6)).cast("long"))
+    val z = counts.agg(sum("sq").as("z"))
+    val targets = counts.crossJoin(broadcast(z))
+      .withColumn("tgt", least(col("n_docs"), expr(s"($budget * sq) div z")))
+      .select("source", "n_docs", "tgt")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(hashOrder(col("doc_id")).asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rnk", row_number().over(w))
+      .join(broadcast(targets), "source")
+      .filter(col("rnk") <= col("tgt"))
+      .select("source", "doc_id", "rnk", "tgt")
+      .orderBy("source", "rnk")
+  }
+
   /** F21 — TOKEN-BUDGET source mixing: keep documents per source in
     * deterministic multiplicative-hash order until the source's TOKEN
     * budget is exhausted — the mixture-rebalancing step a pre-training

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableText.tokens
+
+/** Statistical-language-model quality scoring (SURVEY §2.F35/F36) —
+  * the model-based tier of the corpus-quality ladder: F9's rule
+  * scores catch structural junk, these catch DISTRIBUTIONAL junk
+  * (word salad with clean punctuation scores high surprisal; looped
+  * or base64 text shows up at the entropy extremes). The real-world
+  * counterpart is KenLM-perplexity filtering (CCNet and every
+  * Common-Crawl pipeline since); a corpus-trained unigram model is
+  * its exactly-oracle-checkable core.
+  */
+object LangModel {
+
+  /** F35 — UNIGRAM-LM SURPRISAL per document: train the unigram model
+    * on the corpus itself (count/total over all token occurrences),
+    * then score each document by its mean negative log-likelihood
+    * `avg(−ln(freq/N))`. No smoothing needed: self-scoring means
+    * every scored token has freq ≥ 1.
+    *
+    * Scale shape: explode → one token-keyed aggregate (map-side
+    * partials collapse each partition's repeats) → join BACK on the
+    * token key — the frequency table co-partitions with the token
+    * stream, so the join adds no extra exchange beyond the aggregate's;
+    * never a driver-side vocabulary. N is a one-row aggregate,
+    * broadcast. Docs with no tokens report n_tokens=0, NULL score
+    * (left join), not a lost row.
+    *
+    * Engine-exactness: freq and N are exact int64; `freq/N` is one
+    * IEEE division, ln parity per D3; the per-doc MEAN is an
+    * aggregate double → round(4) (SURVEY §6). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum("freq").as("n_total"))
+    val perDoc = toks
+      .join(freq, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        -log(col("freq").cast("double") / col("n_total")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("nll")), 4).as("avg_surprisal"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** F36 — CODEPOINT-ENTROPY profile per document: Shannon entropy
+    * (nats) of the character distribution via the native
+    * [[graft.functions.CharEntropy]] expression (defined fold order →
+    * bit-exact vs the oracle, emitted UNROUNDED), plus the codepoint
+    * length and distinct-codepoint count that contextualize it.
+    * Narrow one-pass projection — no shuffle, no explode; the
+    * per-row loop is the whole cost. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    graft.functions.CharEntropy.register(docs.sparkSession)
+    graft.functions.CharGrams.register(docs.sparkSession)
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("len_cp"),
+      expr("size(graft_grams(text, 1))").as("n_distinct_cp"),
+      expr("graft_charentropy(text)").as("entropy"))
+      .orderBy("doc_id")
+  }
+}

@@ -66,6 +66,54 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** F38 — kNN-DENSITY outlier score: for each of the first
+    * `nTargets` vectors, the mean cosine similarity to its `k`
+    * nearest neighbors in the full corpus — low density = isolated
+    * embedding = mislabeled/garbage/out-of-distribution candidate
+    * (the embedding-space twin of the F9 text-quality rules; SemDeDup
+    * -family pipelines cut on exactly this signal). `out_rank` orders
+    * targets most-isolated-first for triage.
+    *
+    * Same physical shape as F6: the bounded target batch broadcasts,
+    * the corpus side streams — no shuffle of the big side, per-target
+    * top-k via window on the broadcast key. At 100 TB the same scan
+    * runs per IVF/LSH bucket (F7/F7b) instead of globally; this exact
+    * form is the oracle-checkable baseline the bucketed variant is
+    * validated against. Density is an aggregate double → round(4);
+    * the outlier rank orders the ROUNDED density (vec_id tiebreak) so
+    * rank and value agree across engines; zero-norm targets rank
+    * last with NULL density. */
+  def knnDensity(emb: DataFrame, nTargets: Int, k: Int,
+                 dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    val n = withNorm(emb, dim)
+    val q = n.filter(col("vec_id") < nTargets)
+      .select(col("vec_id").as("target_id"), col("embedding").as("va"),
+        col("nrm").as("na"))
+    val c = n.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val wTop = Window.partitionBy("target_id")
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    val dens = c.join(broadcast(q), col("neighbor_id") =!= col("target_id"))
+      .withColumn("cos_sim_raw",
+        when(col("na") * col("nb") =!= 0,
+          call_function("graft_vecdot", col("va"), col("vb"))
+            / (col("na") * col("nb"))))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .groupBy("target_id")
+      .agg(round(avg(col("cos_sim_raw")), 4).as("density"),
+        count(col("cos_sim_raw")).as("n_neighbors"))
+    // nTargets rows — bounded-by-construction global window (§ WindowExec note)
+    dens
+      .withColumn("out_rank",
+        row_number().over(Window.orderBy(col("density").asc_nulls_first,
+          col("target_id"))))
+      .select(col("target_id"), col("n_neighbors"), col("density"),
+        col("out_rank"))
+      .orderBy("target_id")
+  }
+
   /** Random-hyperplane LSH bucket of `embedding`: packed sign bits of
     * `nPlanes` dot products. Hyperplane j's component i is the
     * deterministic pseudo-random ±2..∓2 value `((j*31 + i*17) % 5) - 2`

@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{CorpusPipeline, LangModel, Vectors}
+
+/** Hand-computed oracles for the F35–F38 model-based quality ops. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("unigramSurprisal: repeated-token doc scores below a rare-token doc") {
+    // corpus: "a a a b" → freq(a)=3 freq(b)=1, N=4
+    // doc 1 = "a a a": avg(-ln(3/4)) = ln(4/3)
+    // doc 2 = "b":     -ln(1/4) = ln 4
+    val out = LangModel.unigramSurprisal(docs((1L, "a a a"), (2L, "b")))
+      .collect()
+    val s1 = out(0).getAs[Double]("avg_surprisal")
+    val s2 = out(1).getAs[Double]("avg_surprisal")
+    assert(math.abs(s1 - math.rint(math.log(4.0 / 3) * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(s2 - math.rint(math.log(4.0) * 1e4) / 1e4) < 1e-9)
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+  }
+
+  test("unigramSurprisal: empty doc keeps its row with zero tokens") {
+    val out = LangModel.unigramSurprisal(docs((1L, "x"), (2L, "")))
+      .collect()
+    assert(out.length == 2)
+    assert(out(1).getAs[Long]("n_tokens") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("avg_surprisal")))
+  }
+
+  test("charEntropy: uniform string hits ln(n), constant string hits 0, " +
+      "empty is NULL") {
+    val out = LangModel.charEntropy(docs(
+      (1L, "abcd"), (2L, "aaaa"), (3L, ""))).collect()
+    assert(math.abs(out(0).getAs[Double]("entropy") - math.log(4.0)) < 1e-12)
+    assert(out(0).getAs[Int]("n_distinct_cp") == 4)
+    assert(out(1).getAs[Double]("entropy") == 0.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("entropy")))
+  }
+
+  test("charEntropy: skewed distribution, hand-computed nats") {
+    // "aab": H = ln(3) - (2·ln2 + 1·ln1)/3
+    val out = LangModel.charEntropy(docs((1L, "aab"))).collect().head
+    val expected = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(math.abs(out.getAs[Double]("entropy") - expected) < 1e-12)
+  }
+
+  test("mixtureSample: sqrt-temperature allocation, hand-checked targets") {
+    // sources: A=16 docs, B=4 docs, budget 6.
+    // sq_A=4e6, sq_B=2e6, z=6e6 → tgt_A=min(16, 6·4e6 div 6e6)=4,
+    // tgt_B=min(4, 6·2e6 div 6e6)=2 — small source keeps a 2/6 share
+    // (proportional-to-n would give it 6·4/20 = 1).
+    val rows = (1 to 16).map(i => (i.toLong, s"t$i", "en", "A", 2L)) ++
+      (17 to 20).map(i => (i.toLong, s"t$i", "en", "B", 2L))
+    val df = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.mixtureSample(df, 6L).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    assert(bySource("A").length == 4 && bySource("B").length == 2)
+    assert(bySource("A").forall(_.getAs[Long]("tgt") == 4L))
+    assert(out.forall(r => r.getAs[Int]("rnk") <= r.getAs[Long]("tgt")))
+  }
+
+  test("mixtureSample: tiny source is capped at its own size") {
+    val rows = (1 to 100).map(i => (i.toLong, "t", "en", "big", 1L)) ++
+      Seq((101L, "t", "en", "tiny", 1L))
+    val out = CorpusPipeline.mixtureSample(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"), 50L)
+      .collect()
+    val tiny = out.filter(_.getAs[String]("source") == "tiny")
+    assert(tiny.length == 1) // min(1, share) = 1, never over its size
+  }
+
+  test("knnDensity: the far-out vector ranks most isolated") {
+    // 5 near-identical vectors + 1 orthogonal outlier (vec 0 must be
+    // among targets: nTargets covers all ids here)
+    val dim = 4
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (0L, v(0, 0, 0, 1), 0),  // outlier: orthogonal to the cluster
+      (1L, v(1, 0.01, 0, 0), 0), (2L, v(1, 0.02, 0, 0), 0),
+      (3L, v(1, 0.03, 0, 0), 0), (4L, v(1, 0.04, 0, 0), 0),
+      (5L, v(1, 0.05, 0, 0), 0))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Vectors.knnDensity(df, 6, 3, dim).collect()
+    val byId = out.map(r => r.getAs[Long]("target_id") -> r).toMap
+    assert(byId(0L).getAs[Int]("out_rank") == 1) // lowest density
+    assert(byId(0L).getAs[Double]("density") <
+      byId(1L).getAs[Double]("density"))
+    assert(out.forall(_.getAs[Long]("n_neighbors") == 3L))
+  }
+}
