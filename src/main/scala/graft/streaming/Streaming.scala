@@ -16,6 +16,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Streaming {
 
   case class Tick(tick_id: Long, symbol: Long, ts: Timestamp, bid: Double)
+  case class Ev(event_id: Long, user_id: Long, ts: Timestamp,
+                value: Double, props: String)
   case class AnomalyFlag(symbol: Long, n: Long, mean: Double, isAnomaly: Boolean)
 
   /** G1 — streaming 1-second downsample of the session windows: the
@@ -155,6 +157,32 @@ object Streaming {
         count(lit(1)).as("n_ticks"))
       .select(col("symbol"), col("w.start").as("bucket_start"),
         col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+
+  /** G13 — streaming VWAP: the live twin of `TickOps.vwap` (B8), same
+    * exact-integer-cents arithmetic so the streamed bar equals the
+    * batch bar bit-for-bit (the e4 rounding happens in int space —
+    * engine- and mode-independent). Day windows + watermark; the
+    * whole aggregate is sums and counts, so Spark runs it as a
+    * streaming partial-agg with per-key state = four longs per open
+    * (symbol, day) window — bounded by live keys, not by rate. */
+  def vwapBars(events: DataFrame, bucket: String = "1 day",
+               watermark: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(
+        col("user_id").as("symbol"), col("ts"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        round(col("value") * 100.0, 0).cast("long").as("cents"))
+      .groupBy(col("symbol"), window(col("ts"), bucket).as("w"))
+      .agg(
+        sum(col("cents") * col("k")).as("_n"),
+        nullif(sum(col("k")), lit(0)).as("_d"),
+        sum(col("k")).as("total_qty"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap",
+        expr("(_n * 200 + _d) div (_d * 2)").cast("double") / 10000.0)
+      .select(col("symbol"), col("w.start").as("bucket_start"),
+        col("vwap"), col("total_qty"), col("n_trades"))
 
   case class BandFlag(doc_id: Long, band: Int, dup_band: Boolean)
 

@@ -127,6 +127,42 @@ class StreamingSpec extends SparkSpec {
     assert(batch == twin)
   }
 
+  test("G13 parity: vwapBars batch run == streaming run == TickOps.vwap") {
+    import graft.streaming.Streaming.Ev
+    val evs = Seq(
+      Ev(1L, 1L, t("2024-01-01 09:00:01"), 100.00, """{"k":3}"""),
+      Ev(2L, 1L, t("2024-01-01 09:00:02"), 101.00, """{"k":5}"""),
+      Ev(3L, 1L, t("2024-01-02 09:00:03"), 102.00, """{"k":2}"""), // day 2
+      Ev(4L, 2L, t("2024-01-01 09:00:04"), 50.00, """{"k":7}"""),
+      Ev(5L, 2L, t("2024-01-01 09:00:05"), 50.55, """{"k":0}"""))  // zero qty
+    val batch = Streaming.vwapBars(evs.toDF()).collect().toSet
+    // two-micro-batch streamed run
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.vwapBars(in.toDF()).writeStream.format("memory")
+      .queryName("p_vwap").outputMode(OutputMode.Complete).start()
+    val stream = try {
+      val (a, b) = evs.splitAt(2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_vwap").collect().toSet
+    } finally q.stop()
+    assert(stream == batch)
+    // batch twin: same bars keyed by day string (session-TZ rendering
+    // on both sides, so the comparison is TZ-independent)
+    import org.apache.spark.sql.functions.{col, date_format, lit}
+    val twin = graft.operators.TickOps.vwap(
+      evs.toDF().withColumn("event_type", lit("e")))
+      .select("symbol", "date", "vwap", "total_qty", "n_trades")
+      .collect().toSet
+    val batchKeyed = Streaming.vwapBars(evs.toDF())
+      .select(col("symbol"),
+        date_format(col("bucket_start"), "yyyy-MM-dd").as("date"),
+        col("vwap"), col("total_qty"), col("n_trades"))
+      .collect().toSet
+    assert(batchKeyed == twin)
+  }
+
   test("G5 parity: sessionWindows batch run == streaming run") {
     val batch = Streaming.sessionWindows(parityTicks.toDF(), "5 minutes")
       .collect().toSet
