@@ -270,6 +270,19 @@ object SparkEntry {
       TemporalJoins.asOfJoin(trades, quotes, "symbol", "ts",
         "trade_id", "quote_id", Seq("bid"))
     }),
+    // E6 — FORWARD as-of: the next quote at-or-after each trade.
+    "q_asof_forward" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"))
+      TemporalJoins.asOfJoinForward(trades, quotes, "symbol", "ts",
+        "trade_id", "quote_id", Seq("bid"))
+    }),
     // E4 — tolerance as-of: quotes older than 600 s must not price a
     // trade (left flavor; this corpus yields fresh + stale + no-match).
     "q_asof_tolerance" -> ((s, d) => {
@@ -1203,6 +1216,15 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
         |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
+        |ORDER BY trade_id""".stripMargin,
+    // E6 — forward as-of: DuckDB ASOF with the inequality flipped.
+    "q_asof_forward" ->
+      """SELECT t.event_id AS trade_id, t.user_id AS symbol,
+        |  date_trunc('second', t.ts) AS ts_s,
+        |  q.event_id AS next_id, q.value AS next_bid
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) q
+        |  ON t.user_id = q.user_id AND t.ts <= q.ts
         |ORDER BY trade_id""".stripMargin,
     "q_range_join" ->
       """SELECT t.event_id AS trade_id, t.user_id AS symbol,

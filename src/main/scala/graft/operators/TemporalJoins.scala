@@ -55,6 +55,54 @@ object TemporalJoins {
       .orderBy(leftId)
   }
 
+  /** E6 — FORWARD as-of join: for every left row, the EARLIEST right
+    * row of the same key with `r.ts >= l.ts` (pandas
+    * `merge_asof(direction='forward')`; the label-lookup join of
+    * event-study pipelines — "the next quote after each trade").
+    *
+    * Same one-shuffle discipline as [[asOfJoin]], with the scan
+    * REVERSED instead of a following-frame window: ordered by ts
+    * DESC, the running `last(ignoreNulls)` over the preceding frame
+    * is exactly the smallest right ts ≥ the current left row. The
+    * following-frame spelling (`rowsBetween(current, unboundedFollowing)`
+    * + `first`) computes the same thing but Spark's
+    * UnboundedFollowing frame re-evaluates per row — O(n²) per
+    * partition; the reversed running frame is the O(n) form. Equal
+    * timestamps: right sorts before left in the reversed scan
+    * (`side` desc), keeping `>=` inclusive, same rule as E1. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, leftId: String, rightId: String,
+                      rightVals: Seq[String]): DataFrame = {
+    val lCols = Seq(col(key), col(ts), col(leftId),
+      lit(null).cast("long").as(rightId)) ++
+      rightVals.map(v => lit(null).cast("double").as(v)) :+ lit(0).as("side")
+    val rCols = Seq(col(key), col(ts), lit(null).cast("long").as(leftId),
+      col(rightId)) ++ rightVals.map(col) :+ lit(1).as("side")
+    val l = left.select(lCols: _*)
+    val r = right.select(rCols: _*)
+    // ts desc: rows already seen have ts >= current; last non-null
+    // right among them is the earliest such quote. id asc tiebreak =
+    // among equal-ts quotes the LARGEST id is carried last — mirror
+    // the id DESC order so the SMALLEST right id wins, matching the
+    // oracle's ASOF determinism on (ts, id).
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts).desc, col("side").desc,
+        coalesce(col(rightId), col(leftId)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = l.unionByName(r)
+      .withColumn("next_id", last(rightId, ignoreNulls = true).over(w))
+    val fills = rightVals.map(v =>
+      last(v, ignoreNulls = true).over(w).as(s"next_$v"))
+    filled
+      .select(Seq(col(key), col(ts), col(leftId), col("side"),
+        col("next_id")) ++ fills: _*)
+      .filter(col("side") === 0 && col("next_id").isNotNull)
+      .select(Seq(col(leftId), col(key),
+        date_trunc("second", col(ts)).as("ts_s"),
+        col("next_id")) ++ rightVals.map(v => col(s"next_$v")): _*)
+      .orderBy(leftId)
+  }
+
   /** E4 — as-of join with a STALENESS TOLERANCE: the tick-data
     * variant every live pricing join actually runs — a quote older
     * than `toleranceSec` must not price a trade. LEFT flavor: every

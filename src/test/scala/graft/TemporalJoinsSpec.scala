@@ -27,6 +27,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!pairs.contains(13L))
   }
 
+  test("asOfJoinForward picks earliest right row at-or-after left ts, " +
+      "per key") {
+    val trades = Seq(
+      (1L, 10L, t("2024-01-01 10:00:01")), // next quote at :03
+      (1L, 11L, t("2024-01-01 10:00:03")), // equal-ts quote visible
+      (2L, 12L, t("2024-01-01 09:59:59")), // other key
+      (1L, 13L, t("2024-01-01 11:00:00"))) // after every quote -> dropped
+      .toDF("symbol", "trade_id", "ts")
+    val quotes = Seq(
+      (1L, 100L, t("2024-01-01 10:00:00"), 1.5), // before all trades
+      (1L, 101L, t("2024-01-01 10:00:03"), 1.6),
+      (2L, 102L, t("2024-01-01 10:00:00"), 2.5))
+      .toDF("symbol", "quote_id", "ts", "bid")
+    val out = TemporalJoins.asOfJoinForward(trades, quotes, "symbol", "ts",
+      "trade_id", "quote_id", Seq("bid"))
+      .select("trade_id", "next_id", "next_bid")
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => r._1 -> r._2).toMap
+    assert(pairs == Map(10L -> 101L, 11L -> 101L, 12L -> 102L))
+    assert(!pairs.contains(13L))
+    assert(out.find(_._1 == 10L).get._3 == 1.6)
+  }
+
   test("asOfJoinTolerance: fresh quote priced with exact age, stale " +
       "quote nullified, quote-less trade kept with nulls, boundary age " +
       "== tolerance is fresh") {
