@@ -149,6 +149,16 @@ object SparkEntry {
     }),
     // A15 — SCD2 compaction: per-user value-tier version history.
     "q_scd2" -> ((s, d) => Scd.scd2History(Tables.events(s, d))),
+    // A16 — CDC apply: error events are deletes, everything else an
+    // upsert; last writer (by event_id) wins per user.
+    "q_cdc_apply" -> ((s, d) => Scd.cdcApply(
+      Tables.events(s, d).select(
+        org.apache.spark.sql.functions.col("user_id").as("key"),
+        org.apache.spark.sql.functions.col("event_id").as("seq"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("event_type") === "error", "D")
+          .otherwise("U").as("op"),
+        org.apache.spark.sql.functions.col("value")))),
     "q_quality_scan" -> ((s, d) =>
       Lakehouse.qualityScan(Tables.events(s, d), "event_type",
         Seq("user_id", "value", "props"))),
@@ -769,6 +779,18 @@ object SparkEntry {
         |FROM (SELECT total FROM h WHERE snapshot_id = 2) t,
         |     (SELECT max(snapshot_id) AS m FROM h) mx
         |ORDER BY snapshot_id""".stripMargin,
+    // A16 — CDC apply: arg_max twice on the unique seq (deterministic),
+    // delete-tailed keys dropped in HAVING.
+    "q_cdc_apply" ->
+      """SELECT user_id AS key,
+        |  arg_max(value, event_id) AS value,
+        |  count(*) AS n_changes,
+        |  CAST(max(event_id) AS BIGINT) AS last_seq
+        |FROM events
+        |GROUP BY user_id
+        |HAVING arg_max(CASE WHEN event_type = 'error' THEN 'D'
+        |  ELSE 'U' END, event_id) <> 'D'
+        |ORDER BY key""".stripMargin,
     // A15 — SCD2: order by (second-truncated ts, event_id) — the
     // only cross-engine-total order (raw ts is ns in DuckDB, µs in
     // Spark); consecutive-equal tiers collapse into the earlier row.

@@ -35,6 +35,32 @@ object Scd {
     * NULL on the open (current) version; `version` is 1-based per
     * user. Consecutive-equal tiers collapse into the earlier row —
     * the defining SCD2 compaction step. */
+  /** A16 — CDC CHANGELOG APPLY: collapse an ordered upsert/delete
+    * changelog into final table state — last writer wins per key, and
+    * a key whose LAST operation is a delete vanishes (the MERGE
+    * `WHEN MATCHED DELETE` / Debezium-apply semantics that complete
+    * A8's insert/update-only upsert).
+    *
+    * Deliberately an AGGREGATE, not a window: `max_by(payload, seq)`
+    * needs one shuffle with map-side partial aggregation and keeps
+    * only one candidate row per key per partition in flight — the
+    * compaction form that survives a 100 TB changelog, where a
+    * per-key window sort would order every version just to discard
+    * all but one. `seq` is unique by contract (event ids), so
+    * `max_by` is deterministic; the payload value is a picked raw
+    * double — element-wise, emitted unrounded (SURVEY §6). */
+  def cdcApply(changes: DataFrame): DataFrame =
+    changes
+      .groupBy("key")
+      .agg(
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("value"), col("seq")).as("value"),
+        count(lit(1)).as("n_changes"),
+        max(col("seq")).as("last_seq"))
+      .filter(col("last_op") =!= "D")
+      .select("key", "value", "n_changes", "last_seq")
+      .orderBy("key")
+
   def scd2History(events: DataFrame): DataFrame = {
     val tiered = events.select(
       col("user_id"),

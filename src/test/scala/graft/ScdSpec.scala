@@ -35,6 +35,25 @@ class ScdSpec extends SparkSpec {
     assert(out.init.forall(!_.getAs[Boolean]("is_current")))
   }
 
+  test("cdcApply: last writer wins, delete-tailed key vanishes, " +
+      "delete-then-reinsert survives") {
+    val changes = Seq(
+      // key 1: U(v=1) U(v=2) → survives with v=2
+      (1L, 1L, "U", 1.0), (2L, 1L, "U", 2.0),
+      // key 2: U then D → gone
+      (3L, 2L, "U", 5.0), (4L, 2L, "D", 0.0),
+      // key 3: D then U (reinsert) → survives with v=7
+      (5L, 3L, "D", 0.0), (6L, 3L, "U", 7.0))
+      .toDF("seq", "key", "op", "value")
+    val out = graft.operators.Scd.cdcApply(changes).collect()
+    val byKey = out.map(r => r.getAs[Long]("key") -> r).toMap
+    assert(byKey.keySet == Set(1L, 3L))
+    assert(byKey(1L).getAs[Double]("value") == 2.0)
+    assert(byKey(1L).getAs[Long]("n_changes") == 2L)
+    assert(byKey(3L).getAs[Double]("value") == 7.0)
+    assert(byKey(3L).getAs[Long]("last_seq") == 6L)
+  }
+
   test("scd2History: single-tier user yields exactly one open version") {
     val out = Scd.scd2History(ev(
       (1L, 7L, "2024-01-01 00:00:01", 80.0),
