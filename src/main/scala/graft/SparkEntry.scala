@@ -390,6 +390,9 @@ object SparkEntry {
     // F38 — kNN-density outlier score: 100 targets, k=10.
     "q_knn_density" -> ((s, d) =>
       Vectors.knnDensity(Tables.embeddings(s, d), 100, 10)),
+    // F39 — IVF-PQ composed search: coarse cell prune + ADC rerank.
+    "q_ivfpq_search" -> ((s, d) =>
+      Vectors.ivfPqSearch(Tables.embeddings(s, d), 10, 5)),
     "q_doc_fingerprint" -> ((s, d) => TextDedup.fingerprint(Tables.documents(s, d))),
     // F11b — winnowing fingerprint selection (char 5-grams, window 8).
     "q_winnow" -> ((s, d) =>
@@ -2287,6 +2290,63 @@ object SparkEntry {
         |  round(ex.exact_dist, 4) AS exact_dist
         |FROM codes JOIN adc USING (vec_id) JOIN ex USING (vec_id)
         |ORDER BY vec_id""".stripMargin
+    },
+    // F39 — IVF-PQ replay: q_ann_ivf's cell CTEs + q_pq_codes' code
+    // CTEs, ADC terms per (query, candidate) summed in subspace order
+    // (matching Spark's reduceLeft over the driver-built tables),
+    // rank on the RAW double, round(4) display only.
+    "q_ivfpq_search" -> {
+      def dot(n: Int)(a: String, b: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range($n), i -> $a[CAST(i+1 AS INT)] * " +
+          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      val d8 = dot(8) _; val d64 = dot(64) _
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c.cid, ${d64("v", "cv")} AS dt FROM e, c),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |  (SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rn
+        |   FROM d) x WHERE rn = 1),
+        |ss AS (SELECT unnest(range(8)) AS s),
+        |sub AS (SELECT e.vec_id, ss.s,
+        |    v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv FROM e, ss),
+        |cb AS (SELECT s, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+        |sc AS (SELECT sub.vec_id, sub.s, cb.j,
+        |    ${d8("cv", "cv")} - 2 * ${d8("sv", "cv")} AS score
+        |  FROM sub JOIN cb ON cb.s = sub.s),
+        |code AS (SELECT vec_id, s, j AS code
+        |  FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j)
+        |      AS rn FROM sc) x WHERE rn = 1),
+        |qsub AS (SELECT vec_id AS query_id, s, sv AS qs
+        |  FROM sub WHERE vec_id < 10),
+        |term AS (SELECT qsub.query_id, code.vec_id, code.s,
+        |    ${d8("qs", "qs")} + ${d8("cv", "cv")} - 2 * ${d8("qs", "cv")}
+        |      AS term
+        |  FROM code JOIN cb ON cb.s = code.s AND cb.j = code.code
+        |  JOIN qsub ON qsub.s = code.s),
+        |adc AS (SELECT query_id, vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(term ORDER BY s)), (a, b) -> a + b) AS adc_raw
+        |  FROM term GROUP BY query_id, vec_id),
+        |qc AS (SELECT vec_id AS query_id, cell FROM cell
+        |  WHERE vec_id < 10),
+        |cand AS (SELECT adc.query_id, qc.cell, adc.neighbor_id,
+        |    adc.adc_raw
+        |  FROM adc JOIN qc USING (query_id)
+        |  JOIN cell nb ON nb.vec_id = adc.neighbor_id
+        |    AND nb.cell = qc.cell
+        |  WHERE adc.neighbor_id <> adc.query_id),
+        |r AS (SELECT query_id, cell, neighbor_id, adc_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc_raw, neighbor_id) AS rnk
+        |  FROM cand)
+        |SELECT query_id, cell, neighbor_id, rnk,
+        |  round(adc_raw, 4) AS adc_dist
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     },
     // The composed curation plan replayed stage by stage: the line
     // dedup CTEs are q_line_dedup's over the contact-injected text,

@@ -200,6 +200,87 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** F39 — IVF-PQ COMPOSED SEARCH: the production ANN index shape —
+    * IVF cells prune the corpus to one coarse cell per query
+    * (F7b's argmax-dot assignment) and the surviving candidates are
+    * ranked by PQ Asymmetric Distance against 64-bit codes (F27's
+    * codebook + ADC), so the scan touches codes, never raw floats.
+    * This is the memory-AND-compute ladder end-state: at 100 TB the
+    * candidate scan reads `cell`-partitioned code columns (8 bytes a
+    * vector), and the per-query ADC tables (nSub·k doubles) ride the
+    * broadcast — nothing per-candidate is recomputed.
+    *
+    * Determinism: the ADC lookup tables are built DRIVER-side with
+    * the exact [[graft.functions.VecDot]] arithmetic (left-to-right
+    * double accumulation of float-promoted products), so table
+    * entries equal what the oracle's list_reduce computes; per-pair
+    * distance is the s-ordered sum of table hits (reduceLeft —
+    * duals' 0.0-seeded ordered fold); ranking on the RAW double with
+    * neighbor_id tiebreak, round(4) display only. Bounded collects
+    * only: centroids, codebook, query batch. */
+  def ivfPqSearch(emb: DataFrame, nQueries: Int, k: Int,
+                  nCentroids: Int = 8, nSub: Int = 8, subDim: Int = 8,
+                  kCode: Int = 16): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    graft.functions.PqCodes.register(emb.sparkSession)
+    import emb.sparkSession.implicits._
+    def ddot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cents = emb.filter(col("vec_id") < nCentroids).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val first = emb.filter(col("vec_id") < kCode).orderBy("vec_id")
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val queries = emb.filter(col("vec_id") < nQueries).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.length == nCentroids && first.length == kCode,
+      s"ivfPqSearch: need vec_ids 0..${math.max(nCentroids, kCode) - 1} " +
+        "present for centroids + codebook")
+    val cbook = (0 until nSub).map(s =>
+      (0 until kCode).map(j => first(j).slice(s * subDim, (s + 1) * subDim)))
+    val tabs: Seq[(Long, Seq[Seq[Double]])] = queries.toSeq.map {
+      case (qid, qv) =>
+        (qid, (0 until nSub).map { s =>
+          val qs = qv.slice(s * subDim, (s + 1) * subDim)
+          val qq = ddot(qs, qs)
+          (0 until kCode).map { j =>
+            val c = cbook(s)(j)
+            qq + ddot(c, c) - 2.0 * ddot(qs, c)
+          }
+        })
+    }
+    val dots = array(cents.map(c =>
+      call_function("graft_vecdot", col("embedding"), typedlit(c.toSeq))): _*)
+    val flatCents: Seq[Float] = cbook.flatten.flatten
+    val coded = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("_dots", dots)
+      .withColumn("cell",
+        (array_position(col("_dots"), array_max(col("_dots"))) - 1).cast("int"))
+      .withColumn("codes", call_function("graft_pqcodes",
+        col("embedding"), typedlit(flatCents),
+        lit(nSub), lit(subDim), lit(kCode)))
+      .select("vec_id", "cell", "codes")
+    val qdf = coded.select(col("vec_id").as("query_id"), col("cell"))
+      .join(broadcast(tabs.toDF("query_id", "tab")), "query_id")
+    val adcCol = (0 until nSub).map(s =>
+      element_at(element_at(col("tab"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_raw").asc, col("neighbor_id"))
+    coded.select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qdf), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_raw", adcCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
+        round(col("adc_raw"), 4).as("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** F24 — deterministic QUANTIZED k-means over embeddings: the
     * semantic-clustering stage a corpus pipeline runs to balance a
     * training mix by TOPIC (cluster) rather than by crawl source —

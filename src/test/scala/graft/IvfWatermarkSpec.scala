@@ -29,6 +29,36 @@ class IvfWatermarkSpec extends SparkSpec {
     assert(out.sortBy(_._3).map(_._2).toSeq == Seq(4L, 2L))
   }
 
+  test("ivfPqSearch: candidates come from the query's cell only and a " +
+      "codebook-exact duplicate ranks first with ADC distance 0") {
+    // 64-dim, two orthogonal clusters around e0 (ids even) and e1
+    // (ids odd). vec_ids 0..15 double as the PQ codebook and 0..7 as
+    // the IVF centroids; vec 20 is an exact copy of vec 0 (a codebook
+    // entry), so its codes reproduce vec 0 exactly and ADC(0, 20) = 0.
+    def v(axis: Int, eps: Float): Array[Float] =
+      Array.tabulate(64)(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == 32 + axis) eps else 0.0f))
+    // even ids: e0 + growing eps (they argmax to the largest-eps even
+    // centroid, leaving query 0 alone with its exact dup); odd ids:
+    // exactly e1 (all tie to centroid 1 — one shared cell for query 1)
+    val rows = (0 until 20).map { id =>
+      (id.toLong, v(id % 2, if (id % 2 == 0) 0.01f * (id / 2) else 0.0f), 0)
+    } :+ ((20L, v(0, 0.0f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Vectors.ivfPqSearch(emb, nQueries = 2, k = 3)
+      .collect()
+    val q0 = out.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(q0.head.getAs[Long]("neighbor_id") == 20L)
+    assert(q0.head.getAs[Double]("adc_dist") == 0.0)
+    // cell purity: every neighbor of query 0 (e0 cluster) is even or
+    // the dup 20; query 1's neighbors are all odd
+    assert(q0.forall(r => r.getAs[Long]("neighbor_id") % 2 == 0))
+    val q1 = out.filter(_.getAs[Long]("query_id") == 1L)
+    assert(q1.nonEmpty && q1.forall(r =>
+      r.getAs[Long]("neighbor_id") % 2 == 1))
+  }
+
   test("ivfKnn recall vs brute force is perfect when clusters are separated") {
     val emb = (0 until 20).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
