@@ -262,6 +262,9 @@ object SparkEntry {
     // D21 — tick-rule signed order-flow imbalance per symbol-day.
     "q_flow_imbalance" -> ((s, d) =>
       Microstructure.flowImbalance(Tables.events(s, d))),
+    // D22 — Lo–MacKinlay variance ratio, q=4.
+    "q_variance_ratio" -> ((s, d) =>
+      Microstructure.varianceRatio(Tables.ticks(s, d), 4)),
     // F30 — boilerplate share: fraction of a doc's distinct 3-grams
     // occurring in other docs.
     "q_gram_novelty" -> ((s, d) =>
@@ -1043,6 +1046,27 @@ object SparkEntry {
         |      FROM (SELECT symbol, tick_id,
         |          CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
         |        FROM $ticksSql t) c) d) e
+        |  GROUP BY symbol) x
+        |ORDER BY symbol""".stripMargin,
+    // D22 — variance ratio: Δp in exact cents, var_samp round(4),
+    // ratio derived from the ROUNDED variances (D19's rule).
+    "q_variance_ratio" ->
+      s"""SELECT symbol, n_obs, var_1, var_q,
+        |  CASE WHEN var_1 > 0
+        |    THEN round(var_q / (4 * var_1), 4) END AS vr
+        |FROM (
+        |  SELECT symbol,
+        |    round(var_samp(dp1), 4) AS var_1,
+        |    round(var_samp(dpq), 4) AS var_q,
+        |    count(dpq) AS n_obs
+        |  FROM (
+        |    SELECT symbol,
+        |      CAST(cents - lag(cents, 1) OVER w AS DOUBLE) AS dp1,
+        |      CAST(cents - lag(cents, 4) OVER w AS DOUBLE) AS dpq
+        |    FROM (SELECT symbol, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |      FROM $ticksSql t) c
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) d
         |  GROUP BY symbol) x
         |ORDER BY symbol""".stripMargin,
     // D20 — Amihud: intraday lag in exact cents; the ln/divide/avg

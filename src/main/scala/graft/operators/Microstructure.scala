@@ -63,6 +63,37 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D22 — VARIANCE-RATIO test per symbol (Lo–MacKinlay): the
+    * random-walk diagnostic `VR(q) = var(q-period Δp) / (q · var(Δp))`
+    * — ≈1 for a random walk, <1 mean-reverting, >1 trending; the
+    * regime statistic that decides whether D15/D16-style momentum
+    * features carry signal for an instrument at all. Δp in exact
+    * integer cents (B8 convention); both lags ride ONE symbol
+    * exchange with the aggregate; `var_samp` doubles → round(4), and
+    * the ratio is derived FROM the rounded variances (D19's rule: a
+    * division of equal inputs is deterministic, a division of
+    * last-ulp-different ones is not). Zero one-period variance
+    * (constant price) → NULL ratio, no ANSI x/0. */
+  def varianceRatio(ticks: DataFrame, q: Int = 4): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("dp1",
+        (col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .withColumn("dpq",
+        (col("cents") - lag(col("cents"), q).over(w)).cast("double"))
+      .groupBy("symbol")
+      .agg(
+        round(expr("var_samp(dp1)"), 4).as("var_1"),
+        round(expr("var_samp(dpq)"), 4).as(s"var_q"),
+        count(col("dpq")).as("n_obs"))
+      .withColumn("vr",
+        when(col("var_1") > 0,
+          round(col("var_q") / (lit(q) * col("var_1")), 4)))
+      .select("symbol", "n_obs", "var_1", "var_q", "vr")
+      .orderBy("symbol")
+  }
+
   /** D20 — AMIHUD ILLIQUIDITY per (symbol, trading day):
     * `avg(|log return| / dollar volume)` — the price-impact-per-
     * traded-dollar measure (Amihud 2002), scaled by 1e9 to a

@@ -40,6 +40,25 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("roll_spread_cents")))
   }
 
+  test("varianceRatio: perfect bounce gives VR 0, constant drift gives " +
+      "NULL (zero base variance)") {
+    // symbol 1 alternates 10.00/10.02: every 4-period change is 0 →
+    // var_q = 0 → vr = 0. symbol 2 climbs 1 cent per tick: dp1 is
+    // constant → var_1 = 0 → vr NULL.
+    val rows = (1 to 9).map { i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d",
+        if (i % 2 == 0) 10.02 else 10.00, 11.0)
+    } ++ (1 to 9).map { i =>
+      (100L + i, 2L, f"2024-01-01 00:01:$i%02d", 10.00 + i * 0.01, 11.0)
+    }
+    val out = Microstructure.varianceRatio(ticks(rows: _*), 4).collect()
+    val bysym = out.map(r => r.getAs[Long]("symbol") -> r).toMap
+    assert(bysym(1L).getAs[Double]("vr") == 0.0)
+    assert(bysym(1L).getAs[Long]("n_obs") == 5L) // 9 ticks, lag 4
+    assert(bysym(2L).isNullAt(bysym(2L).fieldIndex("vr")))
+    assert(bysym(2L).getAs[Double]("var_q") == 0.0)
+  }
+
   test("amihud: single return, hand-computed impact") {
     // 100.00 -> 101.00, k=5: |ln(10100/10000)| / (10100*5) * 1e9
     val e = events(
