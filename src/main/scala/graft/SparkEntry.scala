@@ -106,6 +106,10 @@ object SparkEntry {
     // C13 — four-set GROUPING SETS lattice (marginals + grand total).
     "q_grouping_sets" -> ((s, d) =>
       Analytics.groupingSetsSummary(Tables.lineitem(s, d))),
+    // C14 — Q4-style decorrelated EXISTS → semi join priority count.
+    "q_exists_priority" -> ((s, d) =>
+      Analytics.priorityExists(Tables.orders(s, d), Tables.lineitem(s, d),
+        "2001-01-01 00:00:00", "2001-07-01 00:00:00", 0.07)),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -608,6 +612,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    // C14 — the EXISTS spelled natively; DuckDB decorrelates it to
+    // the same semi join the Spark plan declares.
+    "q_exists_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2001-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_discount > 0.07)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // C13 — gid from CASE-on-nullness (engine-portable, not native
     // grouping_id whose bit order is engine-defined).
     "q_grouping_sets" ->

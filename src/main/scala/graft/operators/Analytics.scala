@@ -123,6 +123,26 @@ object Analytics {
         col("sum_qty"), col("cnt"))
       .orderBy("returnflag", "linestatus")
 
+  /** C14 — decorrelated-EXISTS priority count (TPC-H Q4's essence on
+    * this schema: "orders in a quarter with at least one deeply
+    * discounted line, counted by priority"): the correlated
+    * `EXISTS (SELECT … WHERE l_orderkey = o_orderkey AND …)` becomes
+    * a LEFT SEMI join — one existence probe per order, no fact-side
+    * duplication (an inner join + distinct would carry every matching
+    * line through the shuffle just to collapse them). Date filter
+    * pushed to the orders scan, discount filter pushed to the
+    * lineitem scan, then one small groupBy. */
+  def priorityExists(orders: DataFrame, lineitem: DataFrame,
+                     lo: String, hi: String, discount: Double): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .join(lineitem.filter(col("l_discount") > discount),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** C13 — GROUPING SETS aggregation: the four-set lattice
     * ((flag,status),(flag),(status),()) that neither rollup (C5) nor
     * cube alone expresses — the "marginals + total in one pass" OLAP

@@ -40,6 +40,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.length == 3 + 2 + 2 + 1) // cells + 2 marginals + total
   }
 
+  test("priorityExists counts each qualifying order once regardless of " +
+      "how many lines match, and respects the date range") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, "1-URGENT", ts("2001-02-01 00:00:00")),  // 2 matching lines → 1
+      (2L, "1-URGENT", ts("2001-03-01 00:00:00")),  // no matching line
+      (3L, "2-HIGH", ts("2001-08-01 00:00:00")),    // out of range
+      (4L, "2-HIGH", ts("2001-04-01 00:00:00")))    // 1 matching line
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 0.10), (1L, 0.09), (2L, 0.01), (3L, 0.10), (4L, 0.08))
+      .toDF("l_orderkey", "l_discount")
+    val out = Analytics.priorityExists(orders, lineitem,
+      "2001-01-01 00:00:00", "2001-07-01 00:00:00", 0.07)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("1-URGENT" -> 1L, "2-HIGH" -> 1L))
+  }
+
   test("minCostSupplier keeps every supplier tied at the per-part " +
       "minimum, restricted to the brand, deduped across lineitems") {
     val part = Seq(
