@@ -391,6 +391,9 @@ object SparkEntry {
       LangModel.unigramSurprisal(Tables.documents(s, d))),
     // F36 — codepoint Shannon-entropy profile (native expression).
     "q_char_entropy" -> ((s, d) => LangModel.charEntropy(Tables.documents(s, d))),
+    // F40 — conditional bigram-LM surprisal (the ≥2-gram quality rung).
+    "q_bigram_surprisal" -> ((s, d) =>
+      LangModel.bigramSurprisal(Tables.documents(s, d))),
     // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
     "q_mixture_sample" -> ((s, d) =>
       CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
@@ -1883,6 +1886,33 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(per.n_tokens, 0) AS n_tokens,
         |  per.avg_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // F40 — bigram LM: c2/c_head exact ints (c_head = sum of c2 —
+    // CAST, the HUGEINT rule), one division, ln per D3, mean round(4).
+    "q_bigram_surprisal" -> {
+      import graft.functions.PortableText._
+      s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(tk)),
+        |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]))
+        |      AS bigram
+        |  FROM tk),
+        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY bigram),
+        |ch AS (SELECT split_part(bigram, ' ', 1) AS head,
+        |    CAST(sum(c2) AS BIGINT) AS c_head
+        |  FROM c2 GROUP BY split_part(bigram, ' ', 1)),
+        |sc AS (SELECT bg.doc_id,
+        |    -ln(CAST(c2.c2 AS DOUBLE) / ch.c_head) AS nll
+        |  FROM bg JOIN c2 USING (bigram)
+        |  JOIN ch ON ch.head = split_part(bg.bigram, ' ', 1)),
+        |per AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(nll), 4) AS avg_cond_surprisal
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        |  per.avg_cond_surprisal
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin
     },

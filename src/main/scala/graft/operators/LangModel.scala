@@ -52,6 +52,48 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** F40 — CONDITIONAL BIGRAM-LM SURPRISAL per document: one rung up
+    * the LM ladder from F35 — score each token by its probability
+    * GIVEN the previous token, `avg(−ln(c(w₁w₂) / c_head(w₁)))`,
+    * where `c_head(w₁) = Σ_w c(w₁w)` is the bigram-head mass (so the
+    * conditional distribution sums to exactly 1 and, like F35,
+    * self-scoring needs no smoothing). Word salad with plausible
+    * unigrams (the F35 blind spot) scores high here — the standard
+    * reason pipelines grade on a ≥2-gram model.
+    *
+    * Scale shape: the native `graft_wordgrams` pass emits bigram
+    * occurrences; ONE bigram-keyed aggregate builds c₂; the head
+    * mass is an aggregate OF that aggregate (vocabulary-sized, not
+    * corpus-sized); both join back on their own grouping keys. The
+    * head extraction is `split_part` — exact, since whitespace
+    * tokens cannot contain the separator.
+    *
+    * Engine-exactness: counts exact int64, one IEEE division, ln
+    * parity per D3, per-doc mean round(4). Sub-2-token docs report
+    * n_bigrams=0 with NULL score (left join). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+    val c2 = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val cHead = c2
+      .groupBy(expr("split_part(bigram, ' ', 1)").as("head"))
+      .agg(sum("c2").as("c_head"))
+    val perDoc = bigrams
+      .join(c2, "bigram")
+      .withColumn("head", expr("split_part(bigram, ' ', 1)"))
+      .join(cHead, "head")
+      .withColumn("nll", -log(col("c2").cast("double") / col("c_head")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_cond_surprisal"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_cond_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** F36 — CODEPOINT-ENTROPY profile per document: Shannon entropy
     * (nats) of the character distribution via the native
     * [[graft.functions.CharEntropy]] expression (defined fold order →

@@ -274,6 +274,37 @@ object Streaming {
       }
   }
 
+  case class Change(seq: Long, key: Long, op: String, value: Double)
+  case class CdcRow(key: Long, last_seq: Long, last_op: String,
+                    value: Double, n_changes: Long)
+
+  /** G14 — streaming CDC APPLY: the live twin of `Scd.cdcApply`
+    * (A16). Keyed state is the minimal CDC register — (last_seq,
+    * last_op, value, n_changes), four scalars per key — updated by
+    * max-seq wins within and across micro-batches (late/reordered
+    * changes with a lower seq never regress the register, the same
+    * rule the batch `max_by` encodes). Each batch emits the key's
+    * CURRENT register (Update mode); a delete is visible as
+    * `last_op = "D"` so the sink can drop or tombstone it —
+    * filtering those rows reproduces the batch operator's output
+    * exactly (spec'd three ways). */
+  def cdcState(changes: Dataset[Change]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[Change],
+         state: GroupState[(Long, String, Double, Long)]) =>
+          var (lseq, lop, v, n) =
+            state.getOption.getOrElse((Long.MinValue, "", 0.0, 0L))
+          rows.foreach { c =>
+            n += 1
+            if (c.seq > lseq) { lseq = c.seq; lop = c.op; v = c.value }
+          }
+          state.update((lseq, lop, v, n))
+          CdcRow(key, lseq, lop, v, n)
+      }
+  }
+
   case class EwmaPoint(tick_id: Long, symbol: Long, date: String,
                        n_seen: Long, ewma: Double)
 

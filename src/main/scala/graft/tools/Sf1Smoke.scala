@@ -141,7 +141,13 @@ object Sf1Smoke {
       "q_cluster_audit",
       // late-session additions over the same replica tables
       "q_gram_novelty", "q_stratified_split", "q_dedup_report",
-      "q_length_histogram", "q_hybrid_search")
+      "q_length_histogram", "q_hybrid_search",
+      // round-9 model-based quality + composed-ANN ops: the LM join
+      // is token-keyed (vocab stays fixed while occurrences 10x),
+      // entropy is a narrow native pass, mixture/knn/ivfpq ride the
+      // same broadcast/bucket shapes as their parents.
+      "q_lm_surprisal", "q_char_entropy", "q_mixture_sample",
+      "q_knn_density", "q_ivfpq_search")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -150,7 +156,12 @@ object Sf1Smoke {
     // pair.
     val eventsFamily = Seq("q_asof_join", "q_asof_tolerance",
       "q_nearest_join", "q_ewma", "q_market_beta", "q_tick_rule",
-      "q_range_join", "q_sessionize")
+      "q_range_join", "q_sessionize",
+      // round-9 microstructure + CDC family: all one-exchange
+      // window+agg shapes on (symbol[, day]) like the EWMA/tick-rule
+      // pair; the forward as-of is E1's scan reversed.
+      "q_roll_spread", "q_amihud", "q_flow_imbalance",
+      "q_variance_ratio", "q_asof_forward", "q_scd2", "q_cdc_apply")
     val family =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily

@@ -31,6 +31,28 @@ class LangModelSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("avg_surprisal")))
   }
 
+  test("bigramSurprisal: conditional probabilities, hand-computed") {
+    // corpus bigrams: doc1 "a b a b" → (a b),(b a),(a b); doc2 "a c"
+    // c2: (a b)=2, (b a)=1, (a c)=1; c_head: a=3, b=1
+    // doc1: avg(−ln(2/3), −ln(1/1), −ln(2/3)) = 2·ln(1.5)/3
+    // doc2: −ln(1/3) = ln 3
+    val out = LangModel.bigramSurprisal(docs((1L, "a b a b"), (2L, "a c")))
+      .collect()
+    val s1 = out(0).getAs[Double]("avg_cond_surprisal")
+    val s2 = out(1).getAs[Double]("avg_cond_surprisal")
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(s1 -
+      math.rint(2.0 * math.log(1.5) / 3 * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(s2 - math.rint(math.log(3.0) * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("bigramSurprisal: sub-2-token doc keeps its row with zero bigrams") {
+    val out = LangModel.bigramSurprisal(docs((1L, "a b"), (2L, "x")))
+      .collect()
+    assert(out(1).getAs[Long]("n_bigrams") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("avg_cond_surprisal")))
+  }
+
   test("charEntropy: uniform string hits ln(n), constant string hits 0, " +
       "empty is NULL") {
     val out = LangModel.charEntropy(docs(

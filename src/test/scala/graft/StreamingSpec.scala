@@ -163,6 +163,40 @@ class StreamingSpec extends SparkSpec {
     assert(batchKeyed == twin)
   }
 
+  test("G14 parity: streaming CDC register == batch cdcApply after " +
+      "delete filtering, with max-seq-wins across micro-batches") {
+    import graft.streaming.Streaming.Change
+    val changes = Seq(
+      Change(1L, 1L, "U", 1.0), Change(2L, 1L, "U", 2.0), // key 1 → 2.0
+      Change(3L, 2L, "U", 5.0), Change(4L, 2L, "D", 0.0), // key 2 → gone
+      Change(6L, 3L, "U", 7.0), Change(5L, 3L, "D", 0.0)) // late lower seq
+    // streamed: first batch carries seq 1,3,6 — the late seq 2,4,5
+    // arrive in batch two and must not regress key 3's register
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Change]
+    val q = Streaming.cdcState(in.toDS()).writeStream.format("memory")
+      .queryName("p_cdc").outputMode(OutputMode.Update).start()
+    val streamed = try {
+      in.addData(changes(0), changes(2), changes(4)); q.processAllAvailable()
+      in.addData(changes(1), changes(3), changes(5)); q.processAllAvailable()
+      spark.table("p_cdc")
+        .as[(Long, Long, String, Double, Long)].collect()
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._5) }.toSet
+    } finally q.stop()
+    // batch-mode run of the same stateful plan
+    val batch = Streaming.cdcState(changes.toDS())
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    assert(streamed == batch)
+    // both == the batch operator after dropping delete-tailed keys
+    val live = streamed.filter(_._3 != "D")
+      .map(r => (r._1, r._4, r._5, r._2))
+    val twin = graft.operators.Scd.cdcApply(
+      changes.map(c => (c.seq, c.key, c.op, c.value))
+        .toDF("seq", "key", "op", "value"))
+      .as[(Long, Double, Long, Long)].collect().toSet
+    assert(live == twin)
+  }
+
   test("G5 parity: sessionWindows batch run == streaming run") {
     val batch = Streaming.sessionWindows(parityTicks.toDF(), "5 minutes")
       .collect().toSet
