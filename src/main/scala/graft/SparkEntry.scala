@@ -269,6 +269,9 @@ object SparkEntry {
     // D22 — Lo–MacKinlay variance ratio, q=4.
     "q_variance_ratio" -> ((s, d) =>
       Microstructure.varianceRatio(Tables.ticks(s, d), 4)),
+    // D23 — intraday seasonality: |move| by minute of day.
+    "q_intraday_profile" -> ((s, d) =>
+      Microstructure.intradayProfile(Tables.ticks(s, d))),
     // F30 — boilerplate share: fraction of a doc's distinct 3-grams
     // occurring in other docs.
     "q_gram_novelty" -> ((s, d) =>
@@ -1087,6 +1090,21 @@ object SparkEntry {
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) d
         |  GROUP BY symbol) x
         |ORDER BY symbol""".stripMargin,
+    // D23 — intraday profile: within-day lag in exact cents, pooled
+    // mean round(4); minute-of-day via hour·60+minute in both engines.
+    "q_intraday_profile" ->
+      s"""SELECT hour(ts) * 60 + minute(ts) AS minute_od,
+        |  count(*) AS n_ticks,
+        |  round(avg(mv), 4) AS avg_abs_move_cents
+        |FROM (
+        |  SELECT ts, CAST(abs(cents - lag(cents, 1) OVER (
+        |      PARTITION BY symbol, CAST(ts AS DATE) ORDER BY tick_id))
+        |    AS DOUBLE) AS mv
+        |  FROM (SELECT symbol, tick_id, ts,
+        |      CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |    FROM $ticksSql t) c) d
+        |GROUP BY hour(ts) * 60 + minute(ts)
+        |ORDER BY minute_od""".stripMargin,
     // D20 — Amihud: intraday lag in exact cents; the ln/divide/avg
     // chain matches the Spark expression term-for-term; aggregate
     // double → round(4).

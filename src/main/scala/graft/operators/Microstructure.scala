@@ -94,6 +94,28 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D23 — INTRADAY SEASONALITY profile: mean absolute price move and
+    * activity by MINUTE OF DAY, pooled across symbols and days — the
+    * U-shape curve (open/close volatility spikes) every execution
+    * scheduler and vol model conditions on. The within-day lag rides
+    * the same (symbol, day) exchange as D17/D20; the minute-of-day
+    * regroup is a second, 1440-key aggregate — tiny output, map-side
+    * combined. Moves in exact integer cents; the pooled mean is an
+    * aggregate double → round(4). First tick of each day contributes
+    * activity but no move (NULL diff, avg ignores). */
+  def intradayProfile(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy("tick_id")
+    ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("mv",
+        abs(col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .groupBy((hour(col("ts")) * 60 + minute(col("ts"))).as("minute_od"))
+      .agg(count(lit(1)).as("n_ticks"),
+        round(avg(col("mv")), 4).as("avg_abs_move_cents"))
+      .orderBy("minute_od")
+  }
+
   /** D20 — AMIHUD ILLIQUIDITY per (symbol, trading day):
     * `avg(|log return| / dollar volume)` — the price-impact-per-
     * traded-dollar measure (Amihud 2002), scaled by 1e9 to a

@@ -147,7 +147,7 @@ object Sf1Smoke {
       // entropy is a narrow native pass, mixture/knn/ivfpq ride the
       // same broadcast/bucket shapes as their parents.
       "q_lm_surprisal", "q_char_entropy", "q_mixture_sample",
-      "q_knn_density", "q_ivfpq_search")
+      "q_knn_density", "q_ivfpq_search", "q_bigram_surprisal")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one

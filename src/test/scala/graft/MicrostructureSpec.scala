@@ -59,6 +59,20 @@ class MicrostructureSpec extends SparkSpec {
     assert(bysym(2L).getAs[Double]("var_q") == 0.0)
   }
 
+  test("intradayProfile pools |moves| by minute of day across days, " +
+      "day-first ticks contribute activity but no move") {
+    val out = Microstructure.intradayProfile(ticks(
+      (1L, 1L, "2024-01-01 00:05:01", 10.00, 11.0),
+      (2L, 1L, "2024-01-01 00:05:30", 10.02, 11.0), // move 2 cents
+      (3L, 1L, "2024-01-02 00:05:10", 10.10, 11.0), // new day: no move
+      (4L, 1L, "2024-01-02 00:07:00", 10.06, 11.0)) // move 4, min 7
+    ).collect()
+    val byMin = out.map(r => r.getAs[Int]("minute_od") -> r).toMap
+    assert(byMin(5).getAs[Long]("n_ticks") == 3L)
+    assert(byMin(5).getAs[Double]("avg_abs_move_cents") == 2.0)
+    assert(byMin(7).getAs[Double]("avg_abs_move_cents") == 4.0)
+  }
+
   test("amihud: single return, hand-computed impact") {
     // 100.00 -> 101.00, k=5: |ln(10100/10000)| / (10100*5) * 1e9
     val e = events(
