@@ -1894,7 +1894,7 @@ object SparkEntry {
         |  SELECT doc_id, unnest($duckTokens) AS token FROM documents),
         |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
         |  FROM toks GROUP BY token),
-        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_total FROM freq),
+        |tot AS (SELECT count(*) AS n_total FROM toks),
         |per AS (
         |  SELECT doc_id, count(*) AS n_tokens,
         |    round(avg(-ln(CAST(freq AS DOUBLE) / n_total)), 4)

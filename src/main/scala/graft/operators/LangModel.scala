@@ -35,7 +35,13 @@ object LangModel {
     * aggregate double → round(4) (SURVEY §6). */
   def unigramSurprisal(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
+    // The frequency table feeds BOTH the score join and the N total —
+    // checkpoint the vocab-sized frame so the token aggregate runs
+    // once (the F2d barrier discipline; the plan audit showed the
+    // un-checkpointed spelling re-running the whole explode+aggregate
+    // subtree just to produce N's one row).
     val freq = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
     val total = freq.agg(sum("freq").as("n_total"))
     val perDoc = toks
       .join(freq, "token")
@@ -75,7 +81,10 @@ object LangModel {
     graft.functions.WordGrams.register(docs.sparkSession)
     val bigrams = docs.select(col("doc_id"),
       explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+    // c2 feeds the head-mass aggregate AND the score join — same
+    // checkpoint-once discipline as F35's frequency table.
     val c2 = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
     val cHead = c2
       .groupBy(expr("split_part(bigram, ' ', 1)").as("head"))
       .agg(sum("c2").as("c_head"))
