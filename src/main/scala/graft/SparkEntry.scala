@@ -397,6 +397,10 @@ object SparkEntry {
     // F40 — conditional bigram-LM surprisal (the ≥2-gram quality rung).
     "q_bigram_surprisal" -> ((s, d) =>
       LangModel.bigramSurprisal(Tables.documents(s, d))),
+    // F41 — dedup-pair audit: exact Jaccard vs MinHash estimate over
+    // a deterministic 5% hash sample of the candidate pairs.
+    "q_dedup_audit" -> ((s, d) =>
+      TextDedup.dedupAudit(Tables.documents(s, d), samplePct = 5)),
     // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
     "q_mixture_sample" -> ((s, d) =>
       CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
@@ -1350,6 +1354,43 @@ object SparkEntry {
         |    AS band_hash
         |FROM m, (SELECT unnest(range($Bands)) AS band) b
         |ORDER BY doc_id, band""".stripMargin
+    },
+    // F41 — audit: same band/bucket CTEs as the minhash family; the
+    // exact intersection runs only on flagged pairs; ratios are
+    // exact-int divisions, unrounded.
+    "q_dedup_audit" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, th, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  WHERE x.band_hash IS NOT NULL),
+        |p AS (SELECT doc_a, doc_b FROM p0
+        |  WHERE ${duckHashOrder("(doc_a * 31 + doc_b)")} % 100 < 5),
+        |j AS (SELECT p.doc_a, p.doc_b,
+        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |      AS n_common,
+        |    length(ma.th) + length(mb.th) AS sz,
+        |    length(list_filter(range($MinHashK),
+        |      i -> ma.mh[CAST(i+1 AS INT)] = mb.mh[CAST(i+1 AS INT)]))
+        |      AS mh_agree
+        |  FROM p JOIN m ma ON ma.doc_id = p.doc_a
+        |  JOIN m mb ON mb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sz - n_common AS BIGINT) AS n_union,
+        |  CAST(n_common AS DOUBLE) / (sz - n_common) AS jaccard,
+        |  CAST(mh_agree AS BIGINT) AS mh_agree,
+        |  CAST(mh_agree AS DOUBLE) / $MinHashK AS mh_est,
+        |  abs(CAST(mh_agree AS DOUBLE) / $MinHashK
+        |    - CAST(n_common AS DOUBLE) / (sz - n_common)) AS abs_err
+        |FROM j ORDER BY doc_a, doc_b""".stripMargin
     },
     // Greedy arrival-order near-dup: dup iff any band bucket holds an
     // earlier doc — bucket-min vs own doc_id, no recursion needed.

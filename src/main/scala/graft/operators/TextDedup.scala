@@ -217,6 +217,64 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** F41 — DEDUP-PAIR AUDIT: for every LSH candidate pair, the EXACT
+    * distinct-token Jaccard next to the MinHash sketch's estimate
+    * (component agreement / K) and their absolute error — the
+    * precision audit that answers "is the sketch lying at our band
+    * settings" with numbers instead of folklore (the measured
+    * est-vs-exact discipline F25/F27 apply to quantizers, applied to
+    * the dedup sketch itself).
+    *
+    * Scale shape: candidates come from the band-bucket equi-join
+    * (F2b — never all-pairs); the exact intersection then runs ONLY
+    * on flagged pairs, each a JVM set-intersect of two distinct-hash
+    * arrays carried through hash joins on the pair ids. The sketch
+    * projection materializes once (the greedyNearDup barrier
+    * discipline). All emitted ratios are exact-int divisions and a
+    * subtraction of identical doubles — unrounded (SURVEY §6).
+    *
+    * `samplePct` deterministically hash-samples the PAIR list before
+    * the exact intersections: the candidate set is O(Σ cluster²) on a
+    * dup-heavy corpus (7.7M pairs at sf0.1 here), and an audit needs
+    * an unbiased sample, not the census — the multiplicative hash of
+    * the pair key keeps the sample reproducible and engine-portable. */
+  def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashes.register(docs.sparkSession)
+    val base = docs
+      .withColumn("th", expr(tokenHashes))
+      .withColumn("mh", expr(minHashes))
+      .select("doc_id", "th", "mh")
+      .localCheckpoint(true)
+    val bands = base
+      .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("band_hash",
+        expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
+      .filter(col("band_hash").isNotNull)
+      .select("doc_id", "band", "band_hash")
+    val pairs = candidatePairs(bands)
+      .filter(pmod(CorpusPipeline.hashOrder(
+        col("doc_a") * 31 + col("doc_b")), lit(100)) < samplePct)
+    val pa = base.select(col("doc_id").as("doc_a"), col("th").as("th_a"),
+      col("mh").as("mh_a"))
+    val pb = base.select(col("doc_id").as("doc_b"), col("th").as("th_b"),
+      col("mh").as("mh_b"))
+    pairs.join(pa, "doc_a").join(pb, "doc_b")
+      .withColumn("n_common", expr("size(array_intersect(th_a, th_b))"))
+      .withColumn("n_union",
+        expr("size(th_a) + size(th_b)") - col("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / col("n_union"))
+      .withColumn("mh_agree",
+        expr("size(filter(zip_with(mh_a, mh_b, (p, q) -> p = q), x -> x))"))
+      .withColumn("mh_est",
+        col("mh_agree").cast("double") / lit(graft.functions.PortableText.MinHashK))
+      .withColumn("abs_err", abs(col("mh_est") - col("jaccard")))
+      .select("doc_a", "doc_b", "n_common", "n_union", "jaccard",
+        "mh_agree", "mh_est", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** F3 — SimHash signature per document ([[PortableText.SimHashBits]]
     * bits). */
   def simHashSig(docs: DataFrame): DataFrame = {

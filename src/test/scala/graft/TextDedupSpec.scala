@@ -16,6 +16,32 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("dedupAudit: identical docs audit at jaccard 1 / est 1 / err 0, " +
+      "and every row's ratios reconcile") {
+    val out = TextDedup.dedupAudit(docs(
+      (1L, "a b c d"), (2L, "a b c d"),   // identical → certain candidate
+      (3L, "a b c q"),                    // 3/5 overlap with 1 and 2
+      (4L, "x y z w")))                   // disjoint
+      .collect()
+    val byPair = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    val ident = byPair((1L, 2L))
+    assert(ident.getAs[Double]("jaccard") == 1.0)
+    assert(ident.getAs[Double]("mh_est") == 1.0)
+    assert(ident.getAs[Double]("abs_err") == 0.0)
+    // invariants on whatever the bands flagged
+    out.foreach { r =>
+      assert(r.getAs[Double]("jaccard") ==
+        r.getAs[Int]("n_common").toDouble / r.getAs[Int]("n_union"))
+      assert(r.getAs[Double]("abs_err") ==
+        math.abs(r.getAs[Double]("mh_est") - r.getAs[Double]("jaccard")))
+    }
+    // the partial-overlap pair, if flagged, audits at exactly 3/5
+    byPair.get((1L, 3L)).foreach { r =>
+      assert(r.getAs[Double]("jaccard") == 0.6)
+    }
+  }
+
   test("dupMatrix counts cross-source pairs as cnt_a*cnt_b and diagonal " +
       "as C(cnt,2), omitting dup-free pairs") {
     val df = Seq(
