@@ -110,6 +110,14 @@ object SparkEntry {
     "q_exists_priority" -> ((s, d) =>
       Analytics.priorityExists(Tables.orders(s, d), Tables.lineitem(s, d),
         "2001-01-01 00:00:00", "2001-07-01 00:00:00", 0.07)),
+    // C15 — Q17-style decorrelated scalar-avg subquery (small-qty revenue).
+    "q_small_qty_revenue" -> ((s, d) =>
+      Analytics.smallQuantityRevenue(Tables.part(s, d), Tables.lineitem(s, d),
+        "Brand#23", 0.2)),
+    // C16 — Q13-style customer order-count distribution (zero tail kept).
+    "q_order_count_dist" -> ((s, d) =>
+      Analytics.orderCountDistribution(Tables.customer(s, d),
+        Tables.orders(s, d), "1-URGENT")),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -633,6 +641,29 @@ object SparkEntry {
         |    WHERE l_orderkey = o_orderkey AND l_discount > 0.07)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // C15 — the correlated scalar subquery spelled natively; the avg is
+    // rounded BEFORE the compare on both sides (derived-from-rounded rule).
+    "q_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT l_partkey AS a_partkey,
+        |        round(avg(l_quantity), 4) AS avg_qty
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey
+        |      WHERE p_brand = 'Brand#23'
+        |      GROUP BY l_partkey) a ON l_partkey = a_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    // C16 — Q13 two-level aggregation; zero-order customers kept by the
+    // left join, counts exact int64.
+    "q_order_count_dist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     // C13 — gid from CASE-on-nullness (engine-portable, not native
     // grouping_id whose bit order is engine-defined).
     "q_grouping_sets" ->

@@ -250,4 +250,52 @@ object Analytics {
       round(cume_dist().over(w), 4).as("price_cume_dist"))
       .orderBy("p_partkey")
   }
+
+  /** C15 — TPC-H Q17's essence: revenue locked up in small-quantity
+    * line items of one brand's parts. The correlated scalar subquery
+    * `l_quantity < frac * (SELECT avg(l_quantity) WHERE same part)`
+    * is DECORRELATED: per-part averages come from ONE groupBy over
+    * the brand-pruned fact slice and join back on the same part key
+    * — never a per-row subquery. The brand filter is pushed to the
+    * part scan and the pruned key set broadcast into the fact join
+    * (C12's shape), so the 100 TB lineitem streams once and is
+    * filtered map-side before the partkey shuffle; the avg and the
+    * join-back share that one exchange. Cross-engine determinism:
+    * the avg is ROUNDED (4dp) BEFORE the threshold compare, so both
+    * engines compare every row against an identical double (the
+    * D18/D19 derived-from-rounded rule). */
+  def smallQuantityRevenue(part: DataFrame, lineitem: DataFrame,
+                           brand: String, frac: Double): DataFrame = {
+    val parts = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgs = li.groupBy("p_partkey")
+      .agg(round(avg("l_quantity"), 4).as("avg_qty"))
+    li.join(avgs, Seq("p_partkey"))
+      .filter(col("l_quantity") < lit(frac) * col("avg_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** C16 — TPC-H Q13's essence: how many customers placed exactly k
+    * (non-excluded) orders, including the zero-order long tail. The
+    * scale-correct shape aggregates orders per custkey FIRST — the
+    * partial-agg shuffle moves one count per customer, never whole
+    * order rows — and only then left-joins the customer roster so
+    * orderless customers surface as k = 0. A left join BEFORE a
+    * groupBy(c_custkey) would shuffle every order row through the
+    * join just to collapse it. All counts exact int64. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    customer
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
 }

@@ -58,6 +58,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map("1-URGENT" -> 1L, "2-HIGH" -> 1L))
   }
 
+  test("smallQuantityRevenue sums only lines under frac*avg of their " +
+      "own part, restricted to the brand") {
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#2"))
+      .toDF("p_partkey", "p_brand")
+    // part 1: avg qty = 10 → threshold 5; only the qty-4 line passes.
+    // part 2: avg qty = 2 → threshold 1; nothing passes.
+    // part 3: other brand, would pass but is filtered out.
+    val lineitem = Seq(
+      (1L, 4.0, 70.0), (1L, 16.0, 99.0), (2L, 2.0, 50.0), (3L, 0.1, 11.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val out = Analytics.smallQuantityRevenue(part, lineitem, "Brand#1", 0.5)
+      .as[Double].collect().toSeq
+    assert(out == Seq(10.0)) // 70 / 7
+  }
+
+  test("orderCountDistribution keeps zero-order customers and drops the " +
+      "excluded priority before counting") {
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),   // cust 1 → 2 orders
+      (12L, 2L, "1-URGENT"),                    // excluded → cust 2 at 0
+      (13L, 3L, "2-HIGH"))                      // cust 3 → 1 order
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Analytics.orderCountDistribution(customer, orders, "1-URGENT")
+      .as[(Long, Long)].collect().toSeq
+    // two customers (2 and 4) at zero, one at one, one at two
+    assert(out == Seq((0L, 2L), (2L, 1L), (1L, 1L)))
+  }
+
   test("minCostSupplier keeps every supplier tied at the per-part " +
       "minimum, restricted to the brand, deduped across lineitems") {
     val part = Seq(
