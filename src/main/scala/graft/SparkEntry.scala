@@ -277,6 +277,9 @@ object SparkEntry {
     // D22 — Lo–MacKinlay variance ratio, q=4.
     "q_variance_ratio" -> ((s, d) =>
       Microstructure.varianceRatio(Tables.ticks(s, d), 4)),
+    // D24 — Kyle's lambda: price-impact OLS slope from exact int sums.
+    "q_kyle_lambda" -> ((s, d) =>
+      Microstructure.kyleLambda(Tables.events(s, d))),
     // D23 — intraday seasonality: |move| by minute of day.
     "q_intraday_profile" -> ((s, d) =>
       Microstructure.intradayProfile(Tables.ticks(s, d))),
@@ -1190,6 +1193,36 @@ object SparkEntry {
         |    FROM events) y
         |  GROUP BY symbol, _date) x
         |ORDER BY symbol, date""".stripMargin,
+    // D24 — Kyle's lambda: all five regression sums CAST AS BIGINT (the
+    // r8 HUGEINT rule), slope ONE division of exact ints, unrounded.
+    "q_kyle_lambda" ->
+      """SELECT symbol, n_obs, sx,
+        |  CASE WHEN n_obs * sxx - sx * sx > 0 THEN
+        |    CAST(n_obs * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_obs * sxx - sx * sx AS DOUBLE) END AS kyle_lambda
+        |FROM (
+        |  SELECT symbol,
+        |    CAST(sum(sv * dp) AS BIGINT) AS sxy,
+        |    CAST(sum(sv) AS BIGINT) AS sx,
+        |    CAST(sum(CASE WHEN sv IS NOT NULL THEN dp END) AS BIGINT)
+        |      AS sy,
+        |    CAST(sum(sv * sv) AS BIGINT) AS sxx,
+        |    count(sv) AS n_obs
+        |  FROM (
+        |    SELECT symbol, cents - prev AS dp,
+        |      CASE WHEN cents > prev THEN CAST(k AS BIGINT)
+        |           WHEN cents < prev THEN -CAST(k AS BIGINT)
+        |           WHEN prev IS NOT NULL THEN 0 END AS sv
+        |    FROM (
+        |      SELECT user_id AS symbol,
+        |        CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |        CAST(props->>'$.k' AS INT) AS k,
+        |        lag(CAST(round(value * 100.0, 0) AS BIGINT), 1) OVER (
+        |          PARTITION BY user_id, CAST(ts AS DATE)
+        |          ORDER BY event_id) AS prev
+        |      FROM events) y) z
+        |  GROUP BY symbol) agg
+        |ORDER BY symbol""".stripMargin,
     "q_autocorr" ->
       s"""SELECT symbol, round(corr(bid, lag_bid), 4) AS autocorr_5,
         |  count(lag_bid) AS n_pairs

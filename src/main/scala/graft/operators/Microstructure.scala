@@ -116,6 +116,53 @@ object Microstructure {
       .orderBy("minute_od")
   }
 
+  /** D24 — KYLE'S LAMBDA per symbol (Kyle 1985 price-impact slope):
+    * the OLS slope of Δp on tick-rule-SIGNED traded quantity — "how
+    * many cents does one unit of net order flow move the price", the
+    * microstructure counterpart of D20's Amihud ratio (regression
+    * impact vs average impact). Engine-exactness goes one step beyond
+    * D19's rounded-covariance rule: the slope is assembled from the
+    * FIVE EXACT INT64 REGRESSION SUMS (Σxy, Σx, Σy, Σx², n — Δp and
+    * signed qty are both exact integers, so every sum is
+    * reduction-order-free) and becomes ONE IEEE division of exact
+    * ints, emitted UNROUNDED — bit-identical across engines with no
+    * rounding compromise at all. Constant-flow symbols (zero
+    * regressor variance) report NULL. The within-day lag rides the
+    * (symbol, day) exchange (D17's overnight rule); the per-symbol
+    * regression is a second, symbol-count-sized aggregate with
+    * map-side partials — at 100 TB the output is one row per
+    * instrument. */
+  def kyleLambda(events: DataFrame): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("_date"),
+      centsOf(col("value")).as("cents"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    val w = Window.partitionBy("symbol", "_date").orderBy("event_id")
+    parsed
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("dp", col("cents") - col("prev"))
+      .withColumn("sv",
+        when(col("cents") > col("prev"), col("k").cast("long"))
+          .when(col("cents") < col("prev"), -col("k").cast("long"))
+          .when(col("prev").isNotNull, 0L))
+      .groupBy("symbol")
+      .agg(
+        sum(col("sv") * col("dp")).as("sxy"),
+        sum(col("sv")).as("sx"),
+        sum(when(col("sv").isNotNull, col("dp"))).as("sy"),
+        sum(col("sv") * col("sv")).as("sxx"),
+        count(col("sv")).as("n_obs"))
+      .withColumn("kyle_lambda",
+        when(col("n_obs") * col("sxx") - col("sx") * col("sx") > 0,
+          (col("n_obs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_obs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")))
+      .select("symbol", "n_obs", "sx", "kyle_lambda")
+      .orderBy("symbol")
+  }
+
   /** D20 — AMIHUD ILLIQUIDITY per (symbol, trading day):
     * `avg(|log return| / dollar volume)` — the price-impact-per-
     * traded-dollar measure (Amihud 2002), scaled by 1e9 to a

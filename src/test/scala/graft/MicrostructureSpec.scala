@@ -40,6 +40,32 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("roll_spread_cents")))
   }
 
+  test("kyleLambda: slope equals the hand-built OLS ratio of exact " +
+      "integer sums; constant-price symbol reports NULL") {
+    // symbol 1, one day: (dp, sv) pairs after the unclassified first
+    // tick are (2,2), (-1,-4), (0,0), (2,1):
+    //   Σxy=10 Σx=-1 Σy=3 Σxx=21, n=4
+    //   λ = (4·10 − (−1)·3) / (4·21 − 1) = 43/83
+    // symbol 2: constant price → every sv=0 → zero regressor variance.
+    val ev = events(
+      (1L, 1L, "2024-01-01 10:00:01", 10.00, 5),
+      (2L, 1L, "2024-01-01 10:00:02", 10.02, 2),
+      (3L, 1L, "2024-01-01 10:00:03", 10.01, 4),
+      (4L, 1L, "2024-01-01 10:00:04", 10.01, 3),
+      (5L, 1L, "2024-01-01 10:00:05", 10.03, 1),
+      (6L, 2L, "2024-01-01 10:00:01", 20.00, 9),
+      (7L, 2L, "2024-01-01 10:00:02", 20.00, 9),
+      (8L, 2L, "2024-01-01 10:00:03", 20.00, 9))
+    val out = Microstructure.kyleLambda(ev).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_obs") == 4L)
+    assert(s1.getAs[Long]("sx") == -1L)
+    assert(s1.getAs[Double]("kyle_lambda") == 43.0 / 83.0)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.getAs[Long]("n_obs") == 2L)
+    assert(s2.isNullAt(s2.fieldIndex("kyle_lambda")))
+  }
+
   test("varianceRatio: perfect bounce gives VR 0, constant drift gives " +
       "NULL (zero base variance)") {
     // symbol 1 alternates 10.00/10.02: every 4-period change is 0 →
