@@ -408,6 +408,9 @@ object SparkEntry {
     // F40 — conditional bigram-LM surprisal (the ≥2-gram quality rung).
     "q_bigram_surprisal" -> ((s, d) =>
       LangModel.bigramSurprisal(Tables.documents(s, d))),
+    // F42 — top-256 vocab coverage / per-doc OOV rate.
+    "q_vocab_coverage" -> ((s, d) =>
+      LangModel.vocabCoverage(Tables.documents(s, d), 256)),
     // F41 — dedup-pair audit: exact Jaccard vs MinHash estimate over
     // a deterministic 5% hash sample of the candidate pairs.
     "q_dedup_audit" -> ((s, d) =>
@@ -2009,6 +2012,28 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(per.n_tokens, 0) AS n_tokens,
         |  per.avg_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // F42 — vocab coverage: boundary tie broken by (freq desc, token
+    // asc) total order; oov_rate one division of exact ints, unrounded.
+    "q_vocab_coverage" -> {
+      import graft.functions.PortableText._
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest($duckTokens) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+        |vocab AS (SELECT token FROM freq
+        |  ORDER BY freq DESC, token LIMIT 256),
+        |per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE v.token IS NULL) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v USING (token)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_oov, 0) AS n_oov,
+        |  CASE WHEN per.n_tokens > 0 THEN
+        |    CAST(per.n_oov AS DOUBLE) / per.n_tokens END AS oov_rate
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin
     },

@@ -103,6 +103,47 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** F42 — TOKENIZER-VOCABULARY COVERAGE / OOV-rate per document:
+    * build the top-`vocabSize` corpus vocabulary (the fixed-size
+    * vocab a tokenizer would train) and report each document's
+    * out-of-vocabulary token count and rate — the "will the tokenizer
+    * shred this doc into bytes" signal that decides re-training vs
+    * re-filtering, and the standard pre-flight check before committing
+    * a corpus to an existing tokenizer.
+    *
+    * Scale shape: one token-keyed aggregate builds the frequency
+    * table; the top-V cut is `orderBy(freq desc, token).limit(V)` —
+    * Spark plans a distributed TakeOrdered (per-partition heaps + one
+    * V-sized merge), never a global sort or single-partition window —
+    * and V rows are bounded BY CONSTRUCTION, so the vocab broadcasts
+    * into the token stream (map-side membership, no corpus shuffle
+    * beyond the aggregate's). Tie at the boundary is deterministic:
+    * (freq desc, token asc) is a total order in both engines (ASCII
+    * tokens, binary collation).
+    *
+    * Engine-exactness: counts exact int64; oov_rate is ONE IEEE
+    * division of exact ints, UNROUNDED; token-less docs report zero
+    * counts and NULL rate (left join), not a lost row. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    val per = toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** F36 — CODEPOINT-ENTROPY profile per document: Shannon entropy
     * (nats) of the character distribution via the native
     * [[graft.functions.CharEntropy]] expression (defined fold order →

@@ -31,6 +31,21 @@ class LangModelSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("avg_surprisal")))
   }
 
+  test("vocabCoverage: top-V cut breaks the boundary tie by token, " +
+      "OOV rate is exact-int division, empty doc keeps its row") {
+    // freqs: a=3, b=1, c=1 → top-2 vocab = {a, b} (tie b/c broken
+    // by token asc). doc 1 all in-vocab; doc 2 has OOV 'c'.
+    val out = LangModel.vocabCoverage(
+      docs((1L, "a a b"), (2L, "a c"), (3L, "")), 2).collect()
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(0).getAs[Long]("n_oov") == 0L)
+    assert(out(0).getAs[Double]("oov_rate") == 0.0)
+    assert(out(1).getAs[Long]("n_oov") == 1L)
+    assert(out(1).getAs[Double]("oov_rate") == 0.5)
+    assert(out(2).getAs[Long]("n_tokens") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("oov_rate")))
+  }
+
   test("bigramSurprisal: conditional probabilities, hand-computed") {
     // corpus bigrams: doc1 "a b a b" → (a b),(b a),(a b); doc2 "a c"
     // c2: (a b)=2, (b a)=1, (a c)=1; c_head: a=3, b=1
