@@ -302,6 +302,10 @@ object SparkEntry {
         "trade_id", "quote_id", Seq("bid"))
     }),
     // E6 — FORWARD as-of: the next quote at-or-after each trade.
+    // E7 — lead-lag cross-correlation on the daily grid, lag 1 day.
+    "q_leadlag_corr" -> ((s, d) =>
+      TemporalJoins.leadLagCorr(Tables.ticks(s, d),
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)), "day", 1)),
     "q_asof_forward" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -1374,6 +1378,33 @@ object SparkEntry {
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY trade_id""".stripMargin,
     // E6 — forward as-of: DuckDB ASOF with the inequality flipped.
+    // E7 — lead-lag: grid = first tick per (symbol, day) by tick_id
+    // (B2's rule), moves exact cents on the grid, corr round(4); pairs
+    // with no overlap drop out (inner join) on both sides.
+    "q_leadlag_corr" ->
+      s"""WITH grid AS (
+        |  SELECT symbol, date_trunc('day', ts) AS bucket,
+        |    arg_min(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS cents
+        |  FROM $ticksSql t
+        |  GROUP BY symbol, date_trunc('day', ts)),
+        |rets AS (
+        |  SELECT symbol, bucket,
+        |    CAST(cents - lag(cents, 1) OVER (
+        |      PARTITION BY symbol ORDER BY bucket) AS DOUBLE) AS d
+        |  FROM grid),
+        |pairs(sym_lead, sym_lag) AS (
+        |  VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |         (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |         (CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
+        |SELECT p.sym_lead, p.sym_lag, count(*) AS n_pairs,
+        |  round(corr(a.d, b.d), 4) AS leadlag_corr
+        |FROM pairs p
+        |JOIN rets a ON a.symbol = p.sym_lead AND a.d IS NOT NULL
+        |JOIN rets b ON b.symbol = p.sym_lag AND b.d IS NOT NULL
+        |  AND b.bucket = a.bucket + INTERVAL 1 DAY
+        |GROUP BY p.sym_lead, p.sym_lag
+        |ORDER BY sym_lead, sym_lag""".stripMargin,
     "q_asof_forward" ->
       """SELECT t.event_id AS trade_id, t.user_id AS symbol,
         |  date_trunc('second', t.ts) AS ts_s,

@@ -264,4 +264,54 @@ object TemporalJoins {
         date_trunc("second", max(col(ts))).as("session_end"))
       .orderBy(key, "session_id")
   }
+
+  /** E7 — LEAD-LAG cross-correlation between instrument pairs: does
+    * symbol A's move predict symbol B's move `lagN` buckets later —
+    * the cross-asset predictability scan behind pairs trading and
+    * lead-lag discovery (Hayashi–Yoshida / Hoffmann-style studies,
+    * run on a common time grid). Both series are first regularized to
+    * a (symbol, `bucketUnit`) grid with B2's rule (first tick of the
+    * bucket by tick_id), moves are exact integer-cent deltas on that
+    * grid, and each requested (lead, lag) pair correlates A's move at
+    * t with B's move at t + lagN.
+    *
+    * Scale shape: the grid aggregate and its within-symbol lag share
+    * one (symbol) exchange; the pair list is bounded BY CONSTRUCTION
+    * and broadcasts into the grid scan, replicating each grid row at
+    * most |pairs-containing-it| times; the shifted equi-join keys on
+    * (symbol, bucket) — never a cross product over raw ticks, and at
+    * 100 TB the joined frames are bucket-grid-sized (downsampled),
+    * not tick-sized. Correlation is an aggregate double → round(4)
+    * (SURVEY §6); pairs with no overlapping grid points drop out
+    * (inner join — no 0/0 corr row to disagree on). */
+  def leadLagCorr(ticks: DataFrame, pairs: Seq[(Long, Long)],
+                  bucketUnit: String, lagN: Int): DataFrame = {
+    val ss = ticks.sparkSession
+    import ss.implicits._
+    val pairsDf = pairs.toDF("sym_lead", "sym_lag")
+    val grid = ticks
+      .groupBy(col("symbol"), date_trunc(bucketUnit, col("ts")).as("bucket"))
+      .agg(min_by(col("bid"), col("tick_id")).as("bid"))
+      .select(col("symbol"), col("bucket"),
+        round(col("bid") * 100.0, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("symbol").orderBy("bucket")
+    val rets = grid
+      .withColumn("d", (col("cents") - lag(col("cents"), 1).over(w))
+        .cast("double"))
+      .filter(col("d").isNotNull)
+    val lead = rets.select(col("symbol").as("sym_lead"), col("bucket"),
+      col("d").as("d_lead"))
+    val lagged = rets.select(col("symbol").as("_lagsym"),
+      col("bucket").as("bucket_lag"), col("d").as("d_lag"))
+    lead
+      .join(broadcast(pairsDf), Seq("sym_lead"))
+      .join(lagged,
+        col("sym_lag") === col("_lagsym") &&
+          col("bucket_lag") ===
+            col("bucket") + expr(s"INTERVAL $lagN $bucketUnit"))
+      .groupBy("sym_lead", "sym_lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("d_lead"), col("d_lag")), 4).as("leadlag_corr"))
+      .orderBy("sym_lead", "sym_lag")
+  }
 }

@@ -138,4 +138,30 @@ class TemporalJoinsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
+
+  test("leadLagCorr: grid takes the first tick per bucket, corr matches " +
+      "the hand-built formula, pairs without overlap drop out") {
+    // symbol 1 per-second cents 100,102,101,105 → d = +2,−1,+4
+    // symbol 2 per-second cents 200,201,203,202,210 → d = +1,+2,−1,+8
+    // pair (1,2) lag 1: x=(2,−1,4) vs y=(2,−1,8).
+    // Second tick in symbol 1's first bucket (id 99) must be ignored.
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:01", 1.00), (99L, 1L, "2024-01-01 10:00:01", 9.99),
+      (2L, 1L, "2024-01-01 10:00:02", 1.02), (3L, 1L, "2024-01-01 10:00:03", 1.01),
+      (4L, 1L, "2024-01-01 10:00:04", 1.05),
+      (5L, 2L, "2024-01-01 10:00:01", 2.00), (6L, 2L, "2024-01-01 10:00:02", 2.01),
+      (7L, 2L, "2024-01-01 10:00:03", 2.03), (8L, 2L, "2024-01-01 10:00:04", 2.02),
+      (9L, 2L, "2024-01-01 10:00:05", 2.10))
+      .map { case (id, s, ts, b) => (id, s, t(ts), b, b + 0.01) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.leadLagCorr(df,
+      Seq((1L, 2L), (1L, 3L)), "second", 1).collect()
+    assert(out.length == 1) // (1,3) has no overlap → dropped
+    val r = out.head
+    assert(r.getAs[Long]("sym_lead") == 1L && r.getAs[Long]("sym_lag") == 2L)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    val expected = 66.0 / math.sqrt(38.0 * 126.0)
+    assert(r.getAs[Double]("leadlag_corr") ==
+      math.rint(expected * 1e4) / 1e4)
+  }
 }
