@@ -280,6 +280,9 @@ object SparkEntry {
     // D24 — Kyle's lambda: price-impact OLS slope from exact int sums.
     "q_kyle_lambda" -> ((s, d) =>
       Microstructure.kyleLambda(Tables.events(s, d))),
+    // D25 — Hurst exponent from the dyadic variance ladder.
+    "q_hurst" -> ((s, d) =>
+      Microstructure.hurstExponent(Tables.ticks(s, d))),
     // D23 — intraday seasonality: |move| by minute of day.
     "q_intraday_profile" -> ((s, d) =>
       Microstructure.intradayProfile(Tables.ticks(s, d))),
@@ -1200,6 +1203,34 @@ object SparkEntry {
         |    FROM events) y
         |  GROUP BY symbol, _date) x
         |ORDER BY symbol, date""".stripMargin,
+    // D25 — Hurst: lns see ROUNDED variances (identical inputs both
+    // engines), slope a fixed linear combination spelled identically.
+    "q_hurst" ->
+      s"""SELECT symbol, n_obs, var_1, var_8,
+        |  CASE WHEN var_1 > 0 AND var_2 > 0 AND var_4 > 0 AND var_8 > 0
+        |    THEN round(((-3.0 * ln(var_1) - ln(var_2) + ln(var_4)
+        |      + 3.0 * ln(var_8)) / (10.0 * ln(2.0))) / 2.0, 4)
+        |  END AS hurst
+        |FROM (
+        |  SELECT symbol,
+        |    round(var_samp(d1), 4) AS var_1,
+        |    round(var_samp(d2), 4) AS var_2,
+        |    round(var_samp(d4), 4) AS var_4,
+        |    round(var_samp(d8), 4) AS var_8,
+        |    count(d8) AS n_obs
+        |  FROM (
+        |    SELECT symbol,
+        |      CAST(cents - lag(cents, 1) OVER w AS DOUBLE) AS d1,
+        |      CAST(cents - lag(cents, 2) OVER w AS DOUBLE) AS d2,
+        |      CAST(cents - lag(cents, 4) OVER w AS DOUBLE) AS d4,
+        |      CAST(cents - lag(cents, 8) OVER w AS DOUBLE) AS d8
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |      FROM $ticksSql t) y
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) z
+        |  GROUP BY symbol) agg
+        |ORDER BY symbol""".stripMargin,
     // D24 — Kyle's lambda: all five regression sums CAST AS BIGINT (the
     // r8 HUGEINT rule), slope ONE division of exact ints, unrounded.
     "q_kyle_lambda" ->

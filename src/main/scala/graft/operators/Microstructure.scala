@@ -116,6 +116,54 @@ object Microstructure {
       .orderBy("minute_od")
   }
 
+  /** D25 — HURST EXPONENT per symbol (aggregated-variance method):
+    * `var(k-period Δp) ∝ k^{2H}`, so H is half the OLS slope of
+    * `ln var(k)` on `ln k` over the dyadic ladder k ∈ {1,2,4,8} —
+    * H≈0.5 random walk, <0.5 mean-reverting, >0.5 trending/persistent.
+    * The long-memory generalization of D22's two-point variance ratio
+    * (VR is exactly the k=q rung of this regression).
+    *
+    * Shape: all four lags ride ONE symbol exchange with the aggregate
+    * (the D22 pattern, widened); output is one row per instrument.
+    * Engine-exactness: Δp in exact integer cents; the four `var_samp`
+    * aggregates are round(4); every ln then sees a bit-identical
+    * input (D3's ln-parity rule) and the slope is a FIXED linear
+    * combination of the four lns — `(−3·ln v₁ − ln v₂ + ln v₄ +
+    * 3·ln v₈) / (10·ln 2)` (equally-log-spaced OLS weights, spelled
+    * identically in the dual) — so H is deterministic with no further
+    * rounding compromise. Any non-positive rounded variance (constant
+    * or near-constant price at some k) → NULL H. */
+  def hurstExponent(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val withLags = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("d1",
+        (col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .withColumn("d2",
+        (col("cents") - lag(col("cents"), 2).over(w)).cast("double"))
+      .withColumn("d4",
+        (col("cents") - lag(col("cents"), 4).over(w)).cast("double"))
+      .withColumn("d8",
+        (col("cents") - lag(col("cents"), 8).over(w)).cast("double"))
+    withLags
+      .groupBy("symbol")
+      .agg(
+        round(expr("var_samp(d1)"), 4).as("var_1"),
+        round(expr("var_samp(d2)"), 4).as("var_2"),
+        round(expr("var_samp(d4)"), 4).as("var_4"),
+        round(expr("var_samp(d8)"), 4).as("var_8"),
+        count(col("d8")).as("n_obs"))
+      .withColumn("hurst",
+        when(col("var_1") > 0 && col("var_2") > 0 &&
+            col("var_4") > 0 && col("var_8") > 0,
+          round(
+            (lit(-3.0) * log(col("var_1")) - log(col("var_2"))
+              + log(col("var_4")) + lit(3.0) * log(col("var_8")))
+              / (lit(10.0) * log(lit(2.0))) / 2.0, 4)))
+      .select("symbol", "n_obs", "var_1", "var_8", "hurst")
+      .orderBy("symbol")
+  }
+
   /** D24 — KYLE'S LAMBDA per symbol (Kyle 1985 price-impact slope):
     * the OLS slope of Δp on tick-rule-SIGNED traded quantity — "how
     * many cents does one unit of net order flow move the price", the

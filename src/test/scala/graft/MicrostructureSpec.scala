@@ -40,6 +40,36 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("roll_spread_cents")))
   }
 
+  test("hurstExponent: matches the formula computed directly from the " +
+      "series; constant-price symbol reports NULL") {
+    // symbol 1: +2/−1 zig-zag with drift; symbol 2: constant.
+    val cents = Seq(10000, 10002, 10001, 10005, 10004, 10008, 10007,
+      10011, 10010, 10014, 10013, 10017)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong + 1, 1L, f"2024-01-01 00:00:${i + 1}%02d", c / 100.0, 99.0)
+    } ++ (1 to 12).map { i =>
+      (100L + i, 2L, f"2024-01-01 00:00:$i%02d", 50.0, 99.0)
+    }
+    def varSamp(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    def rv(k: Int): Double = {
+      val ds = cents.drop(k).zip(cents.dropRight(k))
+        .map { case (a, b) => (a - b).toDouble }
+      math.rint(varSamp(ds) * 1e4) / 1e4
+    }
+    val expected = math.rint(
+      ((-3.0 * math.log(rv(1)) - math.log(rv(2)) + math.log(rv(4))
+        + 3.0 * math.log(rv(8))) / (10.0 * math.log(2.0))) / 2.0 * 1e4) / 1e4
+    val out = Microstructure.hurstExponent(ticks(rows: _*)).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_obs") == 4L)
+    assert(s1.getAs[Double]("hurst") == expected)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.isNullAt(s2.fieldIndex("hurst")))
+  }
+
   test("kyleLambda: slope equals the hand-built OLS ratio of exact " +
       "integer sums; constant-price symbol reports NULL") {
     // symbol 1, one day: (dp, sv) pairs after the unclassified first
