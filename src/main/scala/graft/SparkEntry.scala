@@ -267,6 +267,9 @@ object SparkEntry {
     "q_realized_vol" -> ((s, d) => Features.realizedVol(Tables.ticks(s, d))),
     // B9 — tick-rule up/down/zero classification per symbol.
     "q_tick_rule" -> ((s, d) => TickOps.tickRule(Tables.ticks(s, d))),
+    // B10 — quote-burst seconds above the per-symbol p90 rate.
+    "q_burst_detect" -> ((s, d) =>
+      TickOps.burstDetection(Tables.ticks(s, d), 0.90)),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -1091,6 +1094,25 @@ object SparkEntry {
         |      AS prev
         |  FROM $ticksSql t) x
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // B10 — burst detection: threshold = exact percentile ROUNDED
+    // before the strict compare (integer rates sit on interpolation
+    // knots — the rounded value is the only safe comparand).
+    "q_burst_detect" ->
+      s"""WITH per AS (
+        |  SELECT symbol, date_trunc('second', ts) AS sec,
+        |    count(*) AS n
+        |  FROM $ticksSql t
+        |  GROUP BY symbol, date_trunc('second', ts)),
+        |thr AS (
+        |  SELECT symbol, round(quantile_cont(n, 0.90), 4) AS thr
+        |  FROM per GROUP BY symbol)
+        |SELECT p.symbol, count(*) AS n_seconds,
+        |  CAST(sum(CASE WHEN n > thr THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_burst,
+        |  max(n) AS max_rate, thr
+        |FROM per p JOIN thr USING (symbol)
+        |GROUP BY p.symbol, thr
+        |ORDER BY symbol""".stripMargin,
     // D19 — Roll spread: Δp in exact integer cents, covar_samp
     // rounded to 4, spread DERIVED from the rounded covariance so the
     // sqrt sees bit-identical inputs in both engines (SURVEY §6).

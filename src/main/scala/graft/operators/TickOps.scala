@@ -203,4 +203,34 @@ object TickOps {
       .withColumn("net_flow", col("n_up") - col("n_down"))
       .orderBy("symbol")
   }
+
+  /** B10 — QUOTE-BURST (stuffing) detection per symbol: seconds whose
+    * tick rate exceeds the symbol's own `pct`-percentile rate — the
+    * market-surveillance screen for quote stuffing / feed storms, and
+    * the data-quality screen for duplicated feed replays (a burst
+    * second in a gold table usually means an ingest bug, not a market
+    * event). Shape: one (symbol, second) grid aggregate (B2's
+    * exchange), a per-symbol percentile over the grid (symbol-count-
+    * sized), joined back on its own grouping key — no extra exchange
+    * (F35's join-back rule) and never a broadcast of anything
+    * data-scale-sized. The threshold is an exact `percentile` ROUNDED
+    * (4dp) before the strict compare — integer rates sit exactly on
+    * interpolation knots, so comparing against the rounded value is
+    * the only cross-engine-safe spelling (D18's rule); counts exact
+    * int64. At 100 TB swap `percentile` for `approx_percentile` and
+    * keep everything else (F14's documented trade). */
+  def burstDetection(ticks: DataFrame, pct: Double): DataFrame = {
+    val perSec = ticks
+      .groupBy(col("symbol"), date_trunc("second", col("ts")).as("sec"))
+      .agg(count(lit(1)).as("n"))
+    val thr = perSec.groupBy("symbol")
+      .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr"))
+    perSec.join(thr, "symbol")
+      .groupBy("symbol", "thr")
+      .agg(count(lit(1)).as("n_seconds"),
+        sum(when(col("n") > col("thr"), 1L).otherwise(0L)).as("n_burst"),
+        max(col("n")).as("max_rate"))
+      .select("symbol", "n_seconds", "n_burst", "max_rate", "thr")
+      .orderBy("symbol")
+  }
 }

@@ -129,4 +129,22 @@ class TickOpsSpec extends SparkSpec {
     assert(r.getTimestamp(2) == t("2024-01-02 01:30:00"))
     assert(r.getInt(3) == 1)
   }
+
+  test("burstDetection flags seconds above the rounded per-symbol " +
+      "percentile rate") {
+    // symbol 1 per-second counts (3,1,1,1): p75 of sorted (1,1,1,3)
+    // interpolates to 1.5 → only the 3-tick second is a burst.
+    val df = ticks(
+      (1L, 1L, "2024-01-01 10:00:01", 1.0, 1.1),
+      (2L, 1L, "2024-01-01 10:00:01", 1.0, 1.1),
+      (3L, 1L, "2024-01-01 10:00:01", 1.0, 1.1),
+      (4L, 1L, "2024-01-01 10:00:02", 1.0, 1.1),
+      (5L, 1L, "2024-01-01 10:00:03", 1.0, 1.1),
+      (6L, 1L, "2024-01-01 10:00:04", 1.0, 1.1))
+    val r = TickOps.burstDetection(df, 0.75).collect().head
+    assert(r.getAs[Long]("n_seconds") == 4L)
+    assert(r.getAs[Long]("n_burst") == 1L)
+    assert(r.getAs[Long]("max_rate") == 3L)
+    assert(r.getAs[Double]("thr") == 1.5)
+  }
 }
