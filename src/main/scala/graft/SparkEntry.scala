@@ -461,6 +461,9 @@ object SparkEntry {
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
       CorpusPipeline.decontaminate(Tables.documents(s, d))),
+    // F43 — graded contamination score (overlap fraction, not a flag).
+    "q_contamination_score" -> ((s, d) =>
+      CorpusPipeline.contaminationScore(Tables.documents(s, d))),
     // F17c — Bloom prefilter for the same 5-gram decontamination split.
     "q_bloom_prefilter" -> ((s, d) =>
       CorpusPipeline.bloomPrefilter(Tables.documents(s, d))),
@@ -2730,6 +2733,26 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap,
         |  coalesce(ov.n_overlap, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        |WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""".stripMargin
+    },
+    // F43 — overlap_frac one division of exact counts, unrounded.
+    "q_contamination_score" -> {
+      import graft.functions.PortableText._
+      s"""WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(tk) - 3),
+        |    i -> array_to_string(tk[i:i+4], ' '))) AS gram
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x),
+        |tr AS (SELECT DISTINCT gram, 1 AS hit FROM g
+        |       WHERE doc_id % 50 <> 0),
+        |te AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 = 0),
+        |per AS (SELECT te.doc_id, count(*) AS n_grams,
+        |         count(tr.hit) AS n_overlap
+        |       FROM te LEFT JOIN tr USING (gram) GROUP BY te.doc_id)
+        |SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_overlap, 0) AS n_overlap,
+        |  CASE WHEN per.n_grams > 0 THEN
+        |    CAST(per.n_overlap AS DOUBLE) / per.n_grams END AS overlap_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""".stripMargin
     },
     "q_json_extract" ->

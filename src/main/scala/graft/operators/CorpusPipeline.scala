@@ -287,6 +287,44 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F43 — graded CONTAMINATION SCORE: F17's binary flag upgraded to
+    * the measured overlap fraction — per held-out doc, the share of
+    * its DISTINCT word n-grams that occur anywhere in the training
+    * side. The number that separates "one boilerplate phrase leaked"
+    * (harmless, frac ≈ 0.02) from "the eval doc IS in the training
+    * set" (frac ≈ 1.0) — the threshold call every decontamination
+    * pipeline actually makes, where F17 only answers yes/no. Same
+    * scale shape as F17 (per-side distinct → gram-keyed join, never
+    * doc×doc) with the train side folded in as a membership flag so
+    * ONE per-doc aggregate counts both totals. overlap_frac is one
+    * IEEE division of exact int64 counts, UNROUNDED; gram-less
+    * held-out docs keep their row (zero counts, NULL frac). */
+  def contaminationScore(docs: DataFrame, n: Int = 5, holdoutMod: Int = 50)
+      : DataFrame = {
+    WordGrams.register(docs.sparkSession)
+    val grams = docs.select(col("doc_id"),
+      explode(gramsCol(n)).as("gram"))
+    val trainGrams = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+      .select("gram").distinct().withColumn("hit", lit(1))
+    val testGrams = grams.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .distinct()
+    val per = testGrams
+      .join(trainGrams, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_overlap"))
+    docs.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+      .select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_overlap").cast("double") / col("n_grams").cast("double")))
+      .orderBy("doc_id")
+  }
+
   /** F17c — BLOOM-FILTER decontamination PREFILTER: the two-stage
     * shape F17 runs at 100 TB. Stage 1 folds every distinct training
     * word n-gram into a 65,536-bit Bloom filter (2048 32-bit words,

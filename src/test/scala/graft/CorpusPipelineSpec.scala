@@ -120,6 +120,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(100L) == ((0L, false)))
   }
 
+  test("contaminationScore grades the overlap fraction; clean and " +
+      "gram-less held-out docs keep rows with NULL/zero frac") {
+    val leaked = "alpha bravo charlie delta echo foxtrot"
+    val docs = docsFrom(
+      0L -> s"intro words then $leaked trailing tail",  // 11 tokens → 7 distinct 5-grams, 2 leaked
+      1L -> s"train copy holds $leaked inside body",
+      50L -> "totally unique held out document phrasing here", // 3 grams, 0 hit
+      100L -> "tiny doc",
+      2L -> "unrelated training document with other words entirely")
+    val out = CorpusPipeline.contaminationScore(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 50L, 100L))
+    val r0 = out(0)
+    assert(r0.getAs[Long]("n_grams") == 7L)
+    assert(r0.getAs[Long]("n_overlap") == 2L)
+    assert(r0.getAs[Double]("overlap_frac") == 2.0 / 7.0)
+    assert(out(1).getAs[Double]("overlap_frac") == 0.0)
+    assert(out(2).getAs[Long]("n_grams") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("overlap_frac")))
+  }
+
   test("tokenBudgetPerSource keeps the hash-ordered prefix whose " +
       "running token total fits the budget; the crossing doc is " +
       "dropped and growth only swaps by hash rank") {
