@@ -200,4 +200,40 @@ object CatalogOps {
       .format("parquet")
       .saveAsTable(table)
   }
+
+  /** A17 — additive SCHEMA EVOLUTION on plain parquet (the Iceberg
+    * `ALTER TABLE … ADD COLUMN` analog, ref:
+    * `Apache Iceberg/iceberg_migration.py` evolves per-symbol DDL):
+    * each ingest generation is written under a `gen=<n>` directory
+    * and may ADD columns; `mergeSchema` reconciles every
+    * generation's footer into one superset schema at read time, with
+    * pre-evolution rows surfacing NULL in late-added columns (no
+    * rewrite of old files — the whole point at 100 TB). `gen` itself
+    * rides partition discovery, so generation predicates prune
+    * directories like any partition filter.
+    *
+    * Schema merging is a FOOTER-level operation (one footer per
+    * file, merged on the driver) — the data pages of unchanged
+    * columns are untouched, which is why additive evolution is free
+    * while type CHANGES (int→string) are a rewrite and deliberately
+    * out of scope (mergeSchema fails fast on them rather than
+    * guessing a cast). */
+  def mergedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** The per-generation BACKFILL report over a [[mergedRead]]: row
+    * count and NULL count of each late-added column by generation —
+    * the audit that says which generations predate which column (and
+    * whether a backfill job is worth scheduling). One scan, one
+    * generation-keyed aggregate with map-side partials; `addedCols`
+    * is the evolved-column list (bounded by construction). */
+  def evolutionReport(spark: SparkSession, path: String,
+                      addedCols: Seq[String]): DataFrame = {
+    val df = mergedRead(spark, path)
+    val aggs = (count(lit(1)).as("n_rows") +: addedCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_null_$c")))
+    df.groupBy(col("gen"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("gen")
+  }
 }

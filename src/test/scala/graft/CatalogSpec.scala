@@ -182,4 +182,36 @@ class CatalogSpec extends SparkSpec {
         == rows)
     }
   }
+
+  test("schema evolution: mergeSchema reconciles generations, old rows " +
+      "backfill NULL in late-added columns, gen predicates prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    // gen 1: (tick_id, bid); gen 2 adds venue; gen 3 adds venue + qty
+    Seq((1L, 1.0), (2L, 1.1)).toDF("tick_id", "bid")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, 1.2, "X")).toDF("tick_id", "bid", "venue")
+      .write.parquet(s"$dir/gen=2")
+    Seq((4L, 1.3, "Y", 7L), (5L, 1.4, "X", 9L))
+      .toDF("tick_id", "bid", "venue", "qty")
+      .write.parquet(s"$dir/gen=3")
+    val merged = CatalogOps.mergedRead(spark, dir)
+    assert(merged.columns.toSet == Set("tick_id", "bid", "venue", "qty", "gen"))
+    assert(merged.count() == 5L)
+    // late-added columns are NULL exactly for pre-evolution rows
+    assert(merged.filter($"venue".isNull).select("tick_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(merged.filter($"qty".isNotNull).count() == 2L)
+    val rep = CatalogOps.evolutionReport(spark, dir, Seq("venue", "qty"))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(rep == Seq((1, 2L, 2L, 2L), (2, 1L, 0L, 1L), (3, 2L, 0L, 0L)))
+    // generation predicate reaches the scan as a partition filter
+    val plan = merged.filter($"gen" === 3).queryExecution.executedPlan
+    val scans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    assert(scans.nonEmpty && scans.forall(
+      _.partitionFilters.exists(_.references.exists(_.name == "gen"))))
+  }
 }
