@@ -45,6 +45,23 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** H4 — CO-LOCATED BUCKETED WRITE: persist a table hash-bucketed
+    * (and sorted) on its join/agg key so every later equi-join or
+    * aggregation on that key is SHUFFLE-FREE — Spark's bucket spec
+    * satisfies the join's required distribution at plan time, turning
+    * the 100 TB fact-fact join into a scan-side zipped merge (proof:
+    * BucketedJoinSpec counts exchanges — bucketed join 1 (the final
+    * one-row agg), plain parquet join 3). The bucket count is the
+    * write-time knob that fixes downstream parallelism; both sides
+    * must agree on (key, nBuckets) to co-locate — the same contract
+    * Iceberg's `bucket(n, key)` partition transform carries
+    * (ref: `Apache Iceberg/iceberg_migration.py` table layout). */
+  def bucketedWrite(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** Linear baseline: the same data sorted and ranged by `colA` only. */
   def linearWrite(df: DataFrame, path: String, colA: String,
                   nFiles: Int): Unit =

@@ -33,10 +33,8 @@ class BucketedJoinSpec extends SparkSpec {
         .toDF("symbol", "tick_id", "bid")
       val stats = (0L until 50L).map(s => (s, s * 10.0)).toDF("symbol", "ref_price")
 
-      ticks.write.mode("overwrite").bucketBy(8, "symbol")
-        .sortBy("symbol").saveAsTable("t_bucketed")
-      stats.write.mode("overwrite").bucketBy(8, "symbol")
-        .sortBy("symbol").saveAsTable("s_bucketed")
+      graft.operators.Layout.bucketedWrite(ticks, "t_bucketed", "symbol", 8)
+      graft.operators.Layout.bucketedWrite(stats, "s_bucketed", "symbol", 8)
 
       val bucketed = spark.table("t_bucketed")
         .join(spark.table("s_bucketed"), "symbol")
