@@ -118,6 +118,10 @@ object SparkEntry {
     "q_order_count_dist" -> ((s, d) =>
       Analytics.orderCountDistribution(Tables.customer(s, d),
         Tables.orders(s, d), "1-URGENT")),
+    // C17 — cumulative monthly revenue share per priority (exact cc).
+    "q_cumulative_share" -> ((s, d) =>
+      Analytics.cumulativeRevenue(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -673,6 +677,30 @@ object SparkEntry {
         |      GROUP BY l_partkey) a ON l_partkey = a_partkey
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < 0.2 * avg_qty""".stripMargin,
+    // C17 — revenue in exact int64 centi-cents → every sum (monthly,
+    // running, partition total) order-free; window sums CAST AS BIGINT
+    // (the r8 HUGEINT rule); share one division of exact ints.
+    "q_cumulative_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+        |      AS rev_cc
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mn,
+        |    CAST(sum(rev_cc) AS BIGINT) AS rev_cc
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderpriority, date_trunc('month', o_orderdate))
+        |SELECT o_orderpriority, strftime(mn, '%Y-%m') AS month, rev_cc,
+        |  CAST(sum(rev_cc) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY mn) AS BIGINT) AS cum_cc,
+        |  CAST(CAST(sum(rev_cc) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY mn) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(rev_cc) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS DOUBLE) AS share
+        |FROM m
+        |ORDER BY o_orderpriority, month""".stripMargin,
     // C16 — Q13 two-level aggregation; zero-order customers kept by the
     // left join, counts exact int64.
     "q_order_count_dist" ->

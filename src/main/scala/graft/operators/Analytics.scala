@@ -277,6 +277,43 @@ object Analytics {
       .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"))
   }
 
+  /** C17 — CUMULATIVE monthly revenue + running share per order
+    * priority (the "how fast does each segment accrete revenue"
+    * running-total report — the window-function OLAP shape C8's ranks
+    * don't cover). Engine-exactness is total: revenue is computed in
+    * exact integer CENTI-CENTS — `cents(price) · (100 − pct(discount))`
+    * is int64 (both factors are exact 2-decimal quantizations) — so
+    * the monthly sums, the running window sum AND the whole-partition
+    * total are reduction-order-free, and the share is ONE IEEE
+    * division of exact ints, UNROUNDED (D24's discipline applied to
+    * a window shape). One shuffle for the monthly aggregate; both
+    * windows reuse its (priority) exchange; months are unique within
+    * a priority so the RANGE-to-current-row default frame is
+    * identical in both engines. */
+  def cumulativeRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+      (round(col("l_extendedprice") * 100.0, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100.0, 0).cast("long")))
+        .as("rev_cc"))
+    val monthly = orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("_month"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority", "_month")
+      .agg(sum("rev_cc").as("rev_cc"))
+    val wRun = Window.partitionBy("o_orderpriority").orderBy("_month")
+    val wAll = Window.partitionBy("o_orderpriority")
+    monthly
+      .withColumn("cum_cc", sum("rev_cc").over(wRun))
+      .withColumn("share",
+        col("cum_cc").cast("double") /
+          sum("rev_cc").over(wAll).cast("double"))
+      .select(col("o_orderpriority"),
+        date_format(col("_month"), "yyyy-MM").as("month"),
+        col("rev_cc"), col("cum_cc"), col("share"))
+      .orderBy("o_orderpriority", "month")
+  }
+
   /** C16 — TPC-H Q13's essence: how many customers placed exactly k
     * (non-excluded) orders, including the zero-order long tail. The
     * scale-correct shape aggregates orders per custkey FIRST — the

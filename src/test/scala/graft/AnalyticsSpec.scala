@@ -73,6 +73,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq(10.0)) // 70 / 7
   }
 
+  test("cumulativeRevenue: exact centi-cent sums, running cumulative " +
+      "and share per priority") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val orders = Seq(
+      (1L, "A", ts("2024-01-05 00:00:00")),
+      (2L, "A", ts("2024-02-10 00:00:00")),
+      (3L, "B", ts("2024-01-20 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 10.0, 0.10),  // 1000 cents · 90 = 90000 cc
+      (2L, 5.0, 0.00),   // 500 · 100 = 50000 cc
+      (3L, 1.0, 0.50))   // 100 · 50  = 5000 cc
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val out = Analytics.cumulativeRevenue(orders, lineitem)
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("A", "2024-01", 90000L, 90000L, 90000.0 / 140000.0),
+      ("A", "2024-02", 50000L, 140000L, 1.0),
+      ("B", "2024-01", 5000L, 5000L, 1.0)))
+  }
+
   test("orderCountDistribution keeps zero-order customers and drops the " +
       "excluded priority before counting") {
     val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
