@@ -355,6 +355,10 @@ object SparkEntry {
     }),
     "q_sessionize" -> ((s, d) =>
       TemporalJoins.sessionize(Tables.ticks(s, d), "symbol", "ts", 6 * 3600L)),
+    // E8 — co-trading session overlap for the E7 pair list, same gap.
+    "q_session_overlap" -> ((s, d) =>
+      TemporalJoins.sessionOverlap(Tables.ticks(s, d), "symbol", "ts",
+        6 * 3600L, Seq((1L, 2L), (2L, 3L), (1L, 3L)))),
 
     // ---- F. LLM-training-data ops (SURVEY §2.F) ----
     "q_dedup_exact" -> ((s, d) => TextDedup.exactDedup(Tables.documents(s, d))),
@@ -1523,6 +1527,37 @@ object SparkEntry {
         |  date_trunc('second', max(ts)) AS session_end
         |FROM s2 GROUP BY symbol, session_id
         |ORDER BY symbol, session_id""".stripMargin,
+    // E8 — session overlap: second-truncated bounds → exact int64
+    // second durations, all sums order-free (CAST — HUGEINT rule).
+    "q_session_overlap" ->
+      """WITH t AS (SELECT event_id AS tick_id, user_id AS symbol, ts FROM events),
+        |s AS (SELECT tick_id, symbol, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+        |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)),
+        |s2 AS (SELECT symbol, ts,
+        |    sum(new_s) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM s),
+        |sess AS (SELECT symbol,
+        |    date_trunc('second', min(ts)) AS st,
+        |    date_trunc('second', max(ts)) AS en
+        |  FROM s2 GROUP BY symbol, session_id),
+        |pairs(sym_a, sym_b) AS (
+        |  VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+        |         (CAST(2 AS BIGINT), CAST(3 AS BIGINT)),
+        |         (CAST(1 AS BIGINT), CAST(3 AS BIGINT)))
+        |SELECT p.sym_a, p.sym_b, count(*) AS n_overlaps,
+        |  CAST(sum(date_diff('second',
+        |    greatest(a.st, b.st), least(a.en, b.en))) AS BIGINT)
+        |    AS total_overlap_s
+        |FROM pairs p
+        |JOIN sess a ON a.symbol = p.sym_a
+        |JOIN sess b ON b.symbol = p.sym_b
+        |  AND b.st <= a.en AND a.st <= b.en
+        |GROUP BY p.sym_a, p.sym_b
+        |ORDER BY sym_a, sym_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, md5(text) AS h,
         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep

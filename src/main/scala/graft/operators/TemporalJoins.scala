@@ -265,6 +265,44 @@ object TemporalJoins {
       .orderBy(key, "session_id")
   }
 
+  /** E8 — co-trading SESSION-OVERLAP aggregate between symbol pairs:
+    * how much wall-clock time do two instruments' trading sessions
+    * actually overlap — the liquidity-alignment number behind venue
+    * routing and the sanity check before any E7 lead-lag claim (a
+    * "correlation" between symbols that never trade simultaneously is
+    * an artifact). Composes E3's gap sessionization with an interval-
+    * overlap join: sessions are bounded BY CONSTRUCTION (≤ ticks, in
+    * practice a handful per symbol-day), the pair list broadcasts,
+    * and the join keeps its equi-key (the paired symbol) so Spark
+    * plans a keyed join with the overlap range as a residual filter —
+    * never a cross product over ticks. Touching sessions (equal
+    * boundary) count as a zero-second overlap. Second-truncated
+    * session bounds make every duration an exact int64 of seconds —
+    * all sums order-free, no doubles anywhere. */
+  def sessionOverlap(ticks: DataFrame, key: String, ts: String,
+                     gapSec: Long, pairs: Seq[(Long, Long)]): DataFrame = {
+    val ss = ticks.sparkSession
+    import ss.implicits._
+    val sess = sessionize(ticks, key, ts, gapSec)
+      .select(col(key).as("_sym"),
+        col("session_start").as("st"), col("session_end").as("en"))
+    val a = sess.select(col("_sym").as("sym_a"),
+      col("st").as("a_st"), col("en").as("a_en"))
+    val b = sess.select(col("_sym").as("_bsym"),
+      col("st").as("b_st"), col("en").as("b_en"))
+    a.join(broadcast(pairs.toDF("sym_a", "sym_b")), Seq("sym_a"))
+      .join(b,
+        col("sym_b") === col("_bsym") &&
+          col("b_st") <= col("a_en") && col("a_st") <= col("b_en"))
+      .withColumn("ovl_s",
+        unix_seconds(least(col("a_en"), col("b_en"))) -
+          unix_seconds(greatest(col("a_st"), col("b_st"))))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("ovl_s").as("total_overlap_s"))
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** E7 — LEAD-LAG cross-correlation between instrument pairs: does
     * symbol A's move predict symbol B's move `lagN` buckets later —
     * the cross-asset predictability scan behind pairs trading and

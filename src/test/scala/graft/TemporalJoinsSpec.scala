@@ -139,6 +139,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("sessionOverlap: interval intersection per pair, touching " +
+      "sessions count zero seconds, non-overlapping pairs drop") {
+    // symbol 1 sessions (gap 60 s): [10:00:00,10:00:10], [10:05:00,10:05:30]
+    // symbol 2 sessions:            [10:00:05,10:00:20], [10:05:30,10:05:40]
+    // overlaps: 5 s (00:05..00:10) and 0 s (touching at 05:30)
+    // symbol 3: [11:00:00] — no overlap with symbol 1
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 1L, "2024-01-01 10:00:10"),
+      (3L, 1L, "2024-01-01 10:05:00"), (4L, 1L, "2024-01-01 10:05:30"),
+      (5L, 2L, "2024-01-01 10:00:05"), (6L, 2L, "2024-01-01 10:00:20"),
+      (7L, 2L, "2024-01-01 10:05:30"), (8L, 2L, "2024-01-01 10:05:40"),
+      (9L, 3L, "2024-01-01 11:00:00"))
+      .map { case (id, s, ts) => (id, s, t(ts), 1.0, 1.1) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.sessionOverlap(df, "symbol", "ts", 60L,
+      Seq((1L, 2L), (1L, 3L))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("sym_a") == 1L && r.getAs[Long]("sym_b") == 2L)
+    assert(r.getAs[Long]("n_overlaps") == 2L)
+    assert(r.getAs[Long]("total_overlap_s") == 5L)
+  }
+
   test("leadLagCorr: grid takes the first tick per bucket, corr matches " +
       "the hand-built formula, pairs without overlap drop out") {
     // symbol 1 per-second cents 100,102,101,105 → d = +2,−1,+4
