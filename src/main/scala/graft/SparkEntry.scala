@@ -262,6 +262,9 @@ object SparkEntry {
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
+    // D26 — time-under-water stretches per symbol (exact-int windows).
+    "q_drawdown_duration" -> ((s, d) =>
+      Features.drawdownDuration(Tables.ticks(s, d))),
     "q_interarrival" -> ((s, d) => Features.interArrival(Tables.ticks(s, d))),
     // D15 — per-(symbol, day) EWMA of the bid, α = 1/2.
     "q_ewma" -> ((s, d) => Features.ewma(Tables.ticks(s, d))),
@@ -1097,6 +1100,41 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cummax
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
+    // D26 — all exact ints: cent compares, tick counts, window sums
+    // CAST AS BIGINT (HUGEINT rule); zero-fill via the roster join.
+    "q_drawdown_duration" ->
+      s"""WITH m AS (
+        |  SELECT symbol, below,
+        |    CAST(sum(strt) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS stretch_id
+        |  FROM (
+        |    SELECT symbol, tick_id, below,
+        |      CASE WHEN below = 1 AND coalesce(lag(below, 1) OVER (
+        |        PARTITION BY symbol ORDER BY tick_id), 0) = 0
+        |        THEN 1 ELSE 0 END AS strt
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CASE WHEN cents < max(cents) OVER (
+        |          PARTITION BY symbol ORDER BY tick_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          THEN 1 ELSE 0 END AS below
+        |      FROM (SELECT symbol, tick_id,
+        |          CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |        FROM $ticksSql t) y) z) zz),
+        |st AS (SELECT symbol, stretch_id, count(*) AS len
+        |  FROM m WHERE below = 1 GROUP BY symbol, stretch_id),
+        |per AS (SELECT symbol, count(*) AS n_stretches,
+        |    CAST(sum(len) AS BIGINT) AS n_underwater,
+        |    max(len) AS max_stretch_ticks
+        |  FROM st GROUP BY symbol)
+        |SELECT r.symbol,
+        |  coalesce(per.n_stretches, 0) AS n_stretches,
+        |  coalesce(per.n_underwater, 0) AS n_underwater,
+        |  coalesce(per.max_stretch_ticks, 0) AS max_stretch_ticks
+        |FROM (SELECT DISTINCT symbol FROM $ticksSql t) r
+        |LEFT JOIN per ON r.symbol = per.symbol
+        |ORDER BY r.symbol""".stripMargin,
     // Realized vol: intraday lag (partition includes the day), ln
     // parity per q_log_returns, aggregate round(4).
     "q_realized_vol" ->

@@ -264,6 +264,47 @@ object Features {
       .orderBy("symbol", "tick_id")
   }
 
+  /** D26 — DRAWDOWN DURATION (time-under-water) per symbol: how long
+    * does the price sit below its running peak — the duration
+    * dimension D13's depth ratio misses (a 1% dip lasting a week is a
+    * different risk than a 5% flash dip). A tick is UNDERWATER when
+    * its exact-cent price is strictly below the running peak; a
+    * stretch starts where an underwater tick follows an at-peak (or
+    * first) tick — detected with one lag on the same exchange — and
+    * stretch ids come from the running sum of starts, so a single
+    * (symbol) exchange carries the peak window, the lag, and both
+    * aggregations. Everything is exact int64 (cents compares and tick
+    * counts); never-underwater symbols report zeros via the roster
+    * left join, not a lost row. */
+  def drawdownDuration(ticks: DataFrame): DataFrame = {
+    val wRun = Window.partitionBy("symbol").orderBy("tick_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.partitionBy("symbol").orderBy("tick_id")
+    val marked = ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("peak", max("cents").over(wRun))
+      .withColumn("below", when(col("cents") < col("peak"), 1).otherwise(0))
+      .withColumn("start",
+        when(col("below") === 1 &&
+          coalesce(lag(col("below"), 1).over(wLag), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("stretch_id", sum("start").over(wRun))
+    val stretches = marked.filter(col("below") === 1)
+      .groupBy("symbol", "stretch_id")
+      .agg(count(lit(1)).as("len"))
+    val per = stretches.groupBy("symbol")
+      .agg(count(lit(1)).as("n_stretches"),
+        sum("len").as("n_underwater"),
+        max("len").as("max_stretch_ticks"))
+    ticks.select("symbol").distinct()
+      .join(per, Seq("symbol"), "left")
+      .select(col("symbol"),
+        coalesce(col("n_stretches"), lit(0L)).as("n_stretches"),
+        coalesce(col("n_underwater"), lit(0L)).as("n_underwater"),
+        coalesce(col("max_stretch_ticks"), lit(0L)).as("max_stretch_ticks"))
+      .orderBy("symbol")
+  }
+
   /** D14 — inter-arrival statistics per symbol: mean/max gap between
     * consecutive ticks in seconds (liquidity profile; the stat behind
     * the reference's tick-count monitoring). Gap uses µs integer

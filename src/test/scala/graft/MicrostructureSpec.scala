@@ -40,6 +40,28 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("roll_spread_cents")))
   }
 
+  test("drawdownDuration: stretches split at peak recoveries; " +
+      "never-underwater symbol reports zeros") {
+    // symbol 1 cents: 100,99,98,100,101,100,99,101 —
+    //   ticks 2-3 below peak 100 (stretch 1, len 2); tick 4 recovers
+    //   to the peak (equal is NOT below); tick 5 sets peak 101;
+    //   ticks 6-7 below it (stretch 2, len 2); tick 8 recovers.
+    val prices = Seq(1.00, 0.99, 0.98, 1.00, 1.01, 1.00, 0.99, 1.01)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      (i.toLong + 1, 1L, f"2024-01-01 00:00:${i + 1}%02d", p, 9.9)
+    } ++ Seq((100L, 2L, "2024-01-01 00:00:01", 5.0, 9.9),
+      (101L, 2L, "2024-01-01 00:00:02", 6.0, 9.9)) // rising: never below
+    val out = graft.operators.Features.drawdownDuration(ticks(rows: _*))
+      .collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_stretches") == 2L)
+    assert(s1.getAs[Long]("n_underwater") == 4L)
+    assert(s1.getAs[Long]("max_stretch_ticks") == 2L)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert((s2.getAs[Long]("n_stretches"), s2.getAs[Long]("n_underwater"),
+      s2.getAs[Long]("max_stretch_ticks")) == ((0L, 0L, 0L)))
+  }
+
   test("hurstExponent: matches the formula computed directly from the " +
       "series; constant-price symbol reports NULL") {
     // symbol 1: +2/−1 zig-zag with drift; symbol 2: constant.
