@@ -73,6 +73,31 @@ object Streaming {
       .select(col("symbol"), col("w.start").as("win_start"),
         col("n_ticks"), col("first_bid"), col("last_bid"))
 
+  /** G15 — streaming QUOTE-BURST flagger: B10's live twin, split the
+    * way production surveillance actually splits it — the percentile
+    * THRESHOLDS are trained by the batch job (B10 needs a global
+    * per-symbol quantile, which no bounded-state stream can compute
+    * exactly) and the stream APPLIES them: per-second windowed counts
+    * (stateless partial agg, state = one count per open window)
+    * joined to the BROADCAST threshold table, emitting only seconds
+    * whose rate strictly exceeds the symbol's threshold. The
+    * stream-side compare uses the same ROUNDED threshold B10 emits,
+    * so a flagged second here is exactly a burst second there
+    * (parity spec'd). Unknown symbols (no trained threshold) are
+    * never flagged — inner join, the conservative surveillance
+    * default. */
+  def burstFlags(ticks: DataFrame, thresholds: DataFrame,
+                 watermark: String = "10 seconds"): DataFrame =
+    ticks
+      .withWatermark("ts", watermark)
+      .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(thresholds.select(col("symbol"), col("thr"))),
+        Seq("symbol"))
+      .filter(col("n") > col("thr"))
+      .select(col("symbol"), col("w.start").as("sec"), col("n"),
+        col("thr"))
+
   /** G5 — streaming gap-based sessionization via the native
     * `session_window` (the streaming twin of
     * `TemporalJoins.sessionize`): a session closes when no tick

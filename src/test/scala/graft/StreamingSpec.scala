@@ -127,6 +127,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch == twin)
   }
 
+  test("G15 parity: streaming burst flags == batch flags over " +
+      "B10-trained thresholds; symbols without a threshold never flag") {
+    val bursty = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01.100"), 1.0),
+      Tick(2L, 1L, t("2024-01-01 10:00:01.200"), 1.0),
+      Tick(3L, 1L, t("2024-01-01 10:00:01.300"), 1.0),
+      Tick(4L, 1L, t("2024-01-01 10:00:02.000"), 1.0),
+      Tick(5L, 1L, t("2024-01-01 10:00:03.000"), 1.0),
+      Tick(6L, 1L, t("2024-01-01 10:00:04.000"), 1.0),
+      Tick(7L, 2L, t("2024-01-01 10:00:05.000"), 1.0), // untrained symbol
+      Tick(8L, 2L, t("2024-01-01 10:00:05.100"), 1.0))
+    // batch job trains the thresholds (symbol 1 only): p75 of
+    // (3,1,1,1) = 1.5
+    val trained = graft.operators.TickOps.burstDetection(
+      bursty.toDF().withColumn("ask", $"bid"), 0.75)
+      .filter($"symbol" === 1L).select("symbol", "thr")
+    assert(trained.collect().head.getDouble(1) == 1.5)
+    val batch = Streaming.burstFlags(bursty.toDF(), trained).collect().toSet
+    val stream = streamed(bursty, "p_burst")(Streaming.burstFlags(_, trained))
+    assert(stream == batch)
+    // exactly B10's burst second, and none from the untrained symbol
+    assert(batch.map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      == Set((1L, t("2024-01-01 10:00:01"), 3L)))
+  }
+
   test("G13 parity: vwapBars batch run == streaming run == TickOps.vwap") {
     import graft.streaming.Streaming.Ev
     val evs = Seq(
