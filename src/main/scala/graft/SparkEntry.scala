@@ -210,6 +210,9 @@ object SparkEntry {
     // F32 — token-length histogram (64-token buckets).
     "q_length_histogram" -> ((s, d) =>
       CorpusPipeline.lengthHistogram(Tables.documents(s, d), 64)),
+    // F44 — pairwise source drift (exact-int TV distance, width 16).
+    "q_source_drift" -> ((s, d) =>
+      CorpusPipeline.sourceDrift(Tables.documents(s, d), 16)),
     // F34 — curriculum phases: 10 stop-ratio quality tiers.
     "q_curriculum" -> ((s, d) =>
       CorpusPipeline.curriculumPhases(Tables.documents(s, d), 10)),
@@ -1474,6 +1477,35 @@ object SparkEntry {
         |  GROUP BY n_tokens // 64) g,
         |  (SELECT count(*) AS n_total FROM documents) n
         |ORDER BY bucket""".stripMargin
+    },
+    // F44 — TV numerator pure int64 (counts × counts, order-free),
+    // distance ONE division, unrounded; sums CAST (HUGEINT rule).
+    "q_source_drift" -> {
+      import graft.functions.PortableText._
+      s"""WITH hist AS (
+        |  SELECT source,
+        |    CAST(length($duckTokens) // 16 AS BIGINT) AS bucket,
+        |    count(*) AS c
+        |  FROM documents GROUP BY source, bucket),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM hist GROUP BY source),
+        |pairs AS (SELECT a.source AS src_a, a.n AS n_a,
+        |    b.source AS src_b, b.n AS n_b
+        |  FROM tot a, tot b WHERE a.source < b.source),
+        |univ AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b, u.bucket
+        |  FROM pairs p, (SELECT DISTINCT bucket FROM hist) u),
+        |j AS (SELECT src_a, src_b, n_a, n_b,
+        |    abs(coalesce(ha.c, 0) * n_b - coalesce(hb.c, 0) * n_a) AS num
+        |  FROM univ
+        |  LEFT JOIN hist ha ON ha.source = univ.src_a
+        |    AND ha.bucket = univ.bucket
+        |  LEFT JOIN hist hb ON hb.source = univ.src_b
+        |    AND hb.bucket = univ.bucket)
+        |SELECT src_a, src_b, n_a, n_b,
+        |  CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+        |    / CAST(2.0 * n_a * n_b AS DOUBLE) AS tv_dist
+        |FROM j GROUP BY src_a, src_b, n_a, n_b
+        |ORDER BY src_a, src_b""".stripMargin
     },
     // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
     // gate nullifies the match columns (age in exact integer µs; both

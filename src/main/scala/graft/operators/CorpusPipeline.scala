@@ -470,6 +470,50 @@ object CorpusPipeline {
       .orderBy("bucket")
   }
 
+  /** F44 — SOURCE-DRIFT detector: total-variation distance between
+    * every source pair's token-length distributions — the ingest
+    * monitor that catches a crawl snapshot silently changing shape
+    * (truncated fetches, a new boilerplate injector, a parser
+    * regression) BEFORE it pollutes the mix; F32's histogram turned
+    * into a pairwise comparison. TV = ½·Σ_buckets |cₐ/Nₐ − c_b/N_b|,
+    * computed EXACTLY: the numerator is Σ|cₐ·N_b − c_b·Nₐ| — pure
+    * int64 (counts × counts) summed order-free — and the distance is
+    * ONE IEEE division by 2·Nₐ·N_b, UNROUNDED. Shape: one narrow
+    * histogram aggregate (source × bucket, tiny), the source pair
+    * list built from the source totals (bounded by construction),
+    * the bucket UNIVERSE cross-joined so one-sided buckets count
+    * their full mass (a bucket only source A has contributes cₐ·N_b);
+    * everything after the histogram is vocabulary-sized. 0 = same
+    * shape, 1 = disjoint. */
+  def sourceDrift(docs: DataFrame, bucketWidth: Int = 16): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val hist = docs
+      .select(col("source"),
+        expr(s"(size($tokens) div $bucketWidth)").cast("long").as("bucket"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("source").agg(sum("c").as("n"))
+    val pairs = tot.select(col("source").as("src_a"), col("n").as("n_a"))
+      .crossJoin(tot.select(col("source").as("src_b"), col("n").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    val univ = pairs.crossJoin(hist.select("bucket").distinct())
+    univ
+      .join(hist.select(col("source").as("src_a"), col("bucket"),
+        col("c").as("c_a")), Seq("src_a", "bucket"), "left")
+      .join(hist.select(col("source").as("src_b"), col("bucket"),
+        col("c").as("c_b")), Seq("src_b", "bucket"), "left")
+      .withColumn("num",
+        abs(coalesce(col("c_a"), lit(0L)) * col("n_b") -
+          coalesce(col("c_b"), lit(0L)) * col("n_a")))
+      .groupBy("src_a", "src_b", "n_a", "n_b")
+      .agg(sum("num").as("tv_num"))
+      .withColumn("tv_dist",
+        col("tv_num").cast("double") /
+          (lit(2.0) * col("n_a") * col("n_b")).cast("double"))
+      .select("src_a", "src_b", "n_a", "n_b", "tv_dist")
+      .orderBy("src_a", "src_b")
+  }
+
   /** F29 — RAG/context-window CHUNKING: split each document's token
     * stream into fixed windows of `chunkTokens` whitespace tokens,
     * consecutive chunks sharing `overlap` tokens (the retrieval-index

@@ -120,6 +120,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(100L) == ((0L, false)))
   }
 
+  test("sourceDrift: exact-int TV distance over the bucket universe, " +
+      "one-sided buckets count full mass") {
+    def toks(k: Int) = ("t " * k).trim
+    // A: lengths 1,1,17 → buckets {0:2, 1:1}, N=3
+    // B: lengths 1,33   → buckets {0:1, 2:1}, N=2
+    // TV = (|2·2−1·3| + |1·2−0| + |0−1·3|) / (2·3·2) = 6/12 = 0.5
+    val docs = Seq(
+      (1L, toks(1), "A"), (2L, toks(1), "A"), (3L, toks(17), "A"),
+      (4L, toks(1), "B"), (5L, toks(33), "B"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = CorpusPipeline.sourceDrift(docs, 16).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "A" && r.getAs[String]("src_b") == "B")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("tv_dist") == 0.5)
+  }
+
   test("contaminationScore grades the overlap fraction; clean and " +
       "gram-less held-out docs keep rows with NULL/zero frac") {
     val leaked = "alpha bravo charlie delta echo foxtrot"
