@@ -122,6 +122,37 @@ object SparkEntry {
     "q_cumulative_share" -> ((s, d) =>
       Analytics.cumulativeRevenue(Tables.orders(s, d),
         Tables.lineitem(s, d))),
+    // C18 — Q7-style bilateral nation-pair volume by ship year.
+    "q_nation_volume" -> ((s, d) =>
+      Analytics.shippingVolume(Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+        "1996-01-01 00:00:00", "1997-12-31 23:59:59")),
+    // C19 — Q8-style nation market share of a part type per year.
+    "q_market_share" -> ((s, d) =>
+      Analytics.marketShare(Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d),
+        Tables.part(s, d), "PROMO", "NATION_7")),
+    // C20 — Q10-style top-20 customers by returned-item revenue.
+    "q_returned_revenue" -> ((s, d) =>
+      Analytics.returnedItemRevenue(Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        "1996-10-01 00:00:00", "1997-01-01 00:00:00")),
+    // C21 — Q14-style promo revenue share per ship month.
+    "q_promo_share" -> ((s, d) =>
+      Analytics.promoRevenueShare(Tables.part(s, d), Tables.lineitem(s, d),
+        "PROMO")),
+    // C22 — Q19-style disjunctive brand/size/quantity revenue.
+    "q_disjunctive_revenue" -> ((s, d) =>
+      Analytics.disjunctiveRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    // C23 — Q22-style quiet well-funded customers by nation.
+    "q_idle_balance" -> ((s, d) =>
+      Analytics.idleCustomerBalance(Tables.nation(s, d),
+        Tables.customer(s, d), Tables.orders(s, d),
+        "2000-01-01 00:00:00")),
+    // C24 — Q11-style supplier global-value-share threshold.
+    "q_value_share" -> ((s, d) =>
+      Analytics.supplierValueShare(Tables.supplier(s, d),
+        Tables.lineitem(s, d), 80L)),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -711,6 +742,121 @@ object SparkEntry {
         |      AS BIGINT) AS DOUBLE) AS share
         |FROM m
         |ORDER BY o_orderpriority, month""".stripMargin,
+    // C18 — revenue in exact centi-cents (the C17 rule) so nation-pair
+    // sums are reduction-order-free; sum CAST AS BIGINT (HUGEINT rule).
+    "q_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cc
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |    AND TIMESTAMP '1997-12-31 23:59:59'
+        |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // C19 — conditional two-sum aggregate; share is ONE division of
+    // exact int64 sums (unrounded, bit-identical both engines).
+    "q_market_share" ->
+      """WITH f AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+        |      AS rev_cc,
+        |    n_name
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(sum(rev_cc) AS BIGINT) AS total_cc,
+        |  CAST(sum(CASE WHEN n_name = 'NATION_7' THEN rev_cc ELSE 0 END)
+        |    AS BIGINT) AS nation_cc,
+        |  CAST(CAST(sum(CASE WHEN n_name = 'NATION_7' THEN rev_cc ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(rev_cc) AS BIGINT) AS DOUBLE) AS mkt_share
+        |FROM f GROUP BY o_year ORDER BY o_year""".stripMargin,
+    // C20 — agg-before-dim-join; top 20 by (revenue desc, custkey).
+    "q_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cc
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_cc DESC, c_custkey LIMIT 20""".stripMargin,
+    // C21 — promo share per ship month; one conditional aggregate,
+    // share one division of exact ints.
+    "q_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cc ELSE 0 END)
+        |    AS BIGINT) AS promo_cc,
+        |  CAST(sum(rev_cc) AS BIGINT) AS total_cc,
+        |  CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cc ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(rev_cc) AS BIGINT) AS DOUBLE) AS promo_share
+        |FROM (SELECT l_shipdate, p_type,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+        |      AS rev_cc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey) f
+        |GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+    // C22 — OR-of-ANDs residual predicate, single exact int64 sum.
+    "q_disjunctive_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cc
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 20
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // C23 — the avg-positive-balance compare is CROSS-MULTIPLIED into
+    // exact int64 cents (bal·n_pos > sum_pos) so neither engine ever
+    // materializes the average as a double.
+    "q_idle_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100.0, 0) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |p AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_pos_cents,
+        |    count(*) AS n_pos FROM c WHERE bal_cents > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, p
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_cents * n_pos > sum_pos_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // C24 — global-share HAVING cross-multiplied into exact basis
+    // points: value·10000 > total·80.
+    "q_value_share" ->
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+        |      AS BIGINT) AS value_cc
+        |  FROM lineitem GROUP BY l_suppkey),
+        |t AS (SELECT CAST(sum(value_cc) AS BIGINT) AS total_cc FROM v)
+        |SELECT s_suppkey, s_name, value_cc
+        |FROM v, t JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE value_cc * 10000 > total_cc * 80
+        |ORDER BY value_cc DESC, s_suppkey""".stripMargin,
     // C16 — Q13 two-level aggregation; zero-order customers kept by the
     // left join, counts exact int64.
     "q_order_count_dist" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -334,5 +334,212 @@ object Analytics {
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Exact centi-cent revenue `cents(price)·(100 − pct(discount))` as
+    * int64 — both factors are exact 2-decimal quantizations, so sums
+    * are reduction-order-free across engines (C17's discipline). */
+  private def revCc(price: Column, discount: Column): Column =
+    round(price * 100.0, 0).cast("long") *
+      (lit(100L) - round(discount * 100.0, 0).cast("long"))
+
+  /** C18 — TPC-H Q7's essence: bilateral shipping volume between
+    * nation pairs by ship year. The fact table streams ONCE: the
+    * supplier side resolves through a supplier⨝nation broadcast-able
+    * dim (supplier is the small fact here; AQE picks broadcast where
+    * it fits), the customer side through orders⨝customer, which is
+    * the one unavoidable fact-fact shuffle — on orderkey, after the
+    * shipdate range is pushed to the lineitem scan. The ≠-nation
+    * predicate is applied AFTER both dims resolve, as a cheap
+    * map-side filter, never as a join condition (a ≠ join degenerates
+    * to NL). Revenue in exact centi-cents → int64 sums. */
+  def shippingVolume(nation: DataFrame, customer: DataFrame,
+                     orders: DataFrame, lineitem: DataFrame,
+                     supplier: DataFrame,
+                     fromDate: String, toDate: String): DataFrame = {
+    val li = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+        col("l_shipdate") <= lit(toDate).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li.join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_cc").as("revenue_cc"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** C19 — TPC-H Q8's essence: one supplier nation's market share of
+    * a part type's revenue, per order year. Two-level conditional
+    * aggregate: the year groupBy sums BOTH total revenue and the
+    * CASE-gated nation slice in one pass (never two scans). The
+    * p_type filter prunes parts first and the pruned key set is
+    * broadcast into the fact join, so lineitem is filtered map-side
+    * before the orderkey shuffle. Share = ONE IEEE division of two
+    * exact int64 centi-cent sums, unrounded — bit-identical across
+    * engines (D24's rule). */
+  def marketShare(nation: DataFrame, customer: DataFrame,
+                  orders: DataFrame, lineitem: DataFrame,
+                  supplier: DataFrame, part: DataFrame,
+                  pType: String, suppNationName: String): DataFrame = {
+    val parts = part.filter(col("p_type") === pType).select("p_partkey")
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_year")
+      .agg(
+        sum("rev_cc").as("total_cc"),
+        sum(when(col("supp_nation") === suppNationName, col("rev_cc"))
+          .otherwise(lit(0L))).as("nation_cc"))
+      .withColumn("mkt_share",
+        col("nation_cc").cast("double") / col("total_cc").cast("double"))
+      .orderBy("o_year")
+  }
+
+  /** C20 — TPC-H Q10's essence: top-20 customers by revenue lost to
+    * returned items in one quarter. Aggregation BEFORE the dim join:
+    * the returned-flag + orderdate filters prune at the scans, the
+    * orders⨝lineitem shuffle carries only pruned rows, and the
+    * per-customer sum collapses the fact side to ≤|customer| rows
+    * before customer/nation attach. Top-20 via TakeOrderedAndProject
+    * (revenue desc, custkey) — total order, no global sort. */
+  def returnedItemRevenue(nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame,
+                          qStart: String, qEnd: String): DataFrame = {
+    val perCust = lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit(qStart).cast("timestamp") &&
+          col("o_orderdate") < lit(qEnd).cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_cc").as("revenue_cc"))
+    perCust
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue_cc"))
+      .orderBy(col("revenue_cc").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** C21 — TPC-H Q14's essence: promo-type revenue share per order
+    * month. One conditional aggregate over the part-typed fact slice;
+    * p_type rides a broadcast-able part dim join (partkey is the
+    * shuffle key only if part outgrows broadcast — AQE's call).
+    * Share = ONE IEEE division of exact int64 sums, unrounded. */
+  def promoRevenueShare(part: DataFrame, lineitem: DataFrame,
+                        promoType: String): DataFrame = {
+    lineitem
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("p_type"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+      .groupBy("ship_month")
+      .agg(
+        sum(when(col("p_type") === promoType, col("rev_cc"))
+          .otherwise(lit(0L))).as("promo_cc"),
+        sum("rev_cc").as("total_cc"))
+      .withColumn("promo_share",
+        col("promo_cc").cast("double") / col("total_cc").cast("double"))
+      .orderBy("ship_month")
+  }
+
+  /** C22 — TPC-H Q19's essence: revenue under a DISJUNCTION of three
+    * conjunctive brand/size/quantity envelopes. The semantically
+    * interesting bit is predicate handling: the OR-of-ANDs stays ONE
+    * residual filter on the joined row (Catalyst extracts the common
+    * `p_partkey` equi-join and pushes per-table conjuncts — the size
+    * floor, the quantity envelope — below the join where possible),
+    * never three scans unioned. Single exact int64 sum out. */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val joined = lineitem.join(part, col("l_partkey") === col("p_partkey"))
+    val arm1 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#20" &&
+      col("p_size").between(1, 20) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#25" &&
+      col("p_size").between(1, 30) && col("l_quantity").between(20, 30)
+    joined.filter(arm1 || arm2 || arm3)
+      .agg(sum(revCc(col("l_extendedprice"), col("l_discount")))
+        .as("revenue_cc"))
+  }
+
+  /** C23 — TPC-H Q22's essence: well-funded customers gone QUIET (no
+    * order since `sinceDate`), by nation. The scalar subquery (global
+    * average positive balance) is ONE tiny aggregate broadcast as a
+    * 1-row cross join; the NOT EXISTS is a left-anti join on custkey
+    * against the date-pruned orders slice (pre-projected to its key
+    * column, so the anti shuffle moves 8 bytes/row and the date
+    * filter is pushed to the orders scan). Exactness without rounding
+    * the average: the compare is CROSS-MULTIPLIED into int64 —
+    * `cents·n_pos > sum_pos_cents` ⟺ `acctbal > avg(positive
+    * acctbal)` — so no engine ever materializes the average as a
+    * double. */
+  def idleCustomerBalance(nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, sinceDate: String): DataFrame = {
+    val cust = customer.select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100.0, 0).cast("long").as("bal_cents"))
+    val posAgg = cust.filter(col("bal_cents") > 0L)
+      .agg(sum("bal_cents").as("sum_pos_cents"),
+        count(lit(1)).as("n_pos"))
+    cust
+      .join(orders
+        .filter(col("o_orderdate") >= lit(sinceDate).cast("timestamp"))
+        .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(posAgg))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos_cents"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+      .orderBy("n_name")
+  }
+
+  /** C24 — TPC-H Q11's essence: suppliers whose shipped value exceeds
+    * a global-share threshold. Two aggregates share ONE exchange
+    * shape: per-supplier value (partial-agg shuffle on suppkey) and
+    * the global total (a second full aggregate over the per-supplier
+    * rows — tiny, it reads the already-collapsed frame, not the
+    * fact). The HAVING-vs-global-scalar compare is cross-multiplied
+    * into exact int64 basis points: `supp_cc · 10000 > total_cc ·
+    * thresholdBp` — no double threshold ever exists. */
+  def supplierValueShare(supplier: DataFrame, lineitem: DataFrame,
+                         thresholdBp: Long): DataFrame = {
+    val perSupp = lineitem
+      .select(col("l_suppkey"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev_cc").as("value_cc"))
+    val total = perSupp.agg(sum("value_cc").as("total_cc"))
+    perSupp
+      .crossJoin(broadcast(total))
+      .filter(col("value_cc") * lit(10000L) > col("total_cc") * lit(thresholdBp))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("value_cc"))
+      .orderBy(col("value_cc").desc, col("s_suppkey"))
   }
 }

@@ -155,4 +155,145 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("a", 2L)))
   }
+
+  private val ts = java.sql.Timestamp.valueOf(_: String)
+
+  test("shippingVolume drops same-nation flows, splits by ship year and " +
+      "sums exact centi-cents") {
+    val nation = Seq((0, "N0", 0), (1, "N1", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "s0", 0), (11L, "s1", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val customer = Seq((20L, "c", 1, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((30L, 20L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      // supp N0 → cust N1, 1996: kept. 10.00 * (100-5) = 95000 cc
+      (30L, 10L, 10.0, 0.05, ts("1996-03-01 00:00:00")),
+      // supp N1 → cust N1: same nation, dropped
+      (30L, 11L, 10.0, 0.00, ts("1996-03-01 00:00:00")),
+      // supp N0 → cust N1, 1997: separate year row
+      (30L, 10L, 1.0, 0.00, ts("1997-03-01 00:00:00")),
+      // out of date range, dropped
+      (30L, 10L, 9.0, 0.00, ts("1999-03-01 00:00:00")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val out = Analytics.shippingVolume(nation, customer, orders, lineitem,
+      supplier, "1996-01-01 00:00:00", "1997-12-31 23:59:59")
+      .as[(String, String, Int, Long)].collect().toSeq
+    assert(out == Seq(("N0", "N1", 1996, 95000L), ("N0", "N1", 1997, 10000L)))
+  }
+
+  test("marketShare divides the CASE-gated nation slice by the year total") {
+    val nation = Seq((0, "N0", 0), (1, "N1", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((10L, "s0", 0), (11L, "s1", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val customer = Seq((20L, "c", 1, 0.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val part = Seq((40L, "p", "B", "PROMO", 1, 1.0),
+      (41L, "p2", "B", "LARGE", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val orders = Seq((30L, ts("1996-05-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (30L, 40L, 10L, 3.0, 0.0),  // N0 promo: 30000 cc
+      (30L, 40L, 11L, 1.0, 0.0),  // N1 promo: 10000 cc
+      (30L, 41L, 10L, 9.0, 0.0))  // non-promo type, dropped
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val out = Analytics.marketShare(nation, customer, orders, lineitem,
+      supplier, part, "PROMO", "N0")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1996, 40000L, 30000L, 0.75)))
+  }
+
+  test("promoRevenueShare emits one row per ship month with the exact " +
+      "conditional ratio") {
+    val part = Seq((1L, "PROMO"), (2L, "SMALL")).toDF("p_partkey", "p_type")
+    val lineitem = Seq(
+      (1L, 1.0, 0.0, ts("1996-01-10 00:00:00")),
+      (2L, 3.0, 0.0, ts("1996-01-20 00:00:00")),
+      (2L, 5.0, 0.0, ts("1996-02-20 00:00:00")))
+      .toDF("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = Analytics.promoRevenueShare(part, lineitem, "PROMO")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("1996-01", 10000L, 40000L, 0.25),
+      ("1996-02", 0L, 50000L, 0.0)))
+  }
+
+  test("disjunctiveRevenue keeps a row iff ANY arm's brand+size+qty " +
+      "envelope matches") {
+    val part = Seq(
+      (1L, "n", "Brand#13", "T", 5, 1.0),   // arm1 sized
+      (2L, "n", "Brand#20", "T", 15, 1.0),  // arm2 sized
+      (3L, "n", "Brand#13", "T", 40, 1.0))  // size out of every arm
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    val lineitem = Seq(
+      (1L, 5.0, 2.0, 0.0),   // arm1: qty 5 in [1,11] → 20000 cc
+      (1L, 15.0, 2.0, 0.0),  // qty 15 out of arm1 envelope
+      (2L, 12.0, 1.0, 0.0),  // arm2: qty 12 in [10,20] → 10000 cc
+      (3L, 5.0, 9.0, 0.0))   // part excluded by size
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val out = Analytics.disjunctiveRevenue(part, lineitem)
+      .as[Long].collect().toSeq
+    assert(out == Seq(30000L))
+  }
+
+  test("idleCustomerBalance keeps above-average-balance customers with " +
+      "no RECENT order, via the cross-multiplied compare") {
+    val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    // positive balances: 10.00, 20.00, 30.00 → avg 20.00; strict >
+    val customer = Seq(
+      (1L, "a", 0, 10.0, "M"),   // below avg
+      (2L, "b", 0, 20.0, "M"),   // equal to avg → excluded (strict)
+      (3L, "c", 0, 30.0, "M"),   // above avg, old order only → kept
+      (4L, "d", 0, -5.0, "M"))   // negative, excluded from avg and result
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (3L, ts("1999-06-01 00:00:00")),  // old → does not disqualify
+      (2L, ts("2000-06-01 00:00:00")))
+      .toDF("o_custkey", "o_orderdate")
+    val out = Analytics.idleCustomerBalance(nation, customer, orders,
+      "2000-01-01 00:00:00")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("N0", 1L, 3000L)))
+  }
+
+  test("supplierValueShare keeps suppliers strictly above the basis-point " +
+      "threshold of the global total") {
+    val supplier = Seq((1L, "s1", 0), (2L, "s2", 0), (3L, "s3", 0))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val lineitem = Seq(
+      (1L, 96.0, 0.0),  // 960000 cc = 96% of total
+      (2L, 3.5, 0.0),   // 35000 cc = 3.5% > 80bp? 3.5% = 350bp yes
+      (3L, 0.5, 0.0))   // 50bp < 80bp threshold → dropped
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.supplierValueShare(supplier, lineitem, 80L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "s1", 960000L), (2L, "s2", 35000L)))
+  }
+
+  test("returnedItemRevenue aggregates only R-flagged lines inside the " +
+      "order-date quarter, top-k by revenue then custkey") {
+    val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((1L, "a", 0, 1.0, "M"), (2L, "b", 0, 2.0, "M"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (10L, 1L, ts("1996-11-01 00:00:00")),  // in quarter
+      (11L, 2L, ts("1997-02-01 00:00:00")))  // out of quarter
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (10L, "R", 4.0, 0.0),   // kept: 40000 cc
+      (10L, "N", 9.0, 0.0),   // wrong flag
+      (11L, "R", 9.0, 0.0))   // out-of-quarter order
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val out = Analytics.returnedItemRevenue(nation, customer, orders,
+      lineitem, "1996-10-01 00:00:00", "1997-01-01 00:00:00")
+      .as[(Long, String, String, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", "N0", 1.0, 40000L)))
+  }
 }

@@ -29,7 +29,8 @@ class RegistrySpec extends AnyFunSuite {
 
   /** Single-row global aggregates — ordering is vacuous. */
   private val singleRowOutputs =
-    Set("q_ndv_profile", "q_snapshot_diff", "q_small_qty_revenue")
+    Set("q_ndv_profile", "q_snapshot_diff", "q_small_qty_revenue",
+      "q_disjunctive_revenue")
 
   test("oracle SQL ends in an explicit ORDER BY (the compare sorts " +
       "rows, but deterministic output is the §6 contract)") {
