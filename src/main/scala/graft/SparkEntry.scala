@@ -324,6 +324,9 @@ object SparkEntry {
     // D24 — Kyle's lambda: price-impact OLS slope from exact int sums.
     "q_kyle_lambda" -> ((s, d) =>
       Microstructure.kyleLambda(Tables.events(s, d))),
+    // D27 — Parkinson + Garman-Klass range volatility per symbol.
+    "q_range_vol" -> ((s, d) =>
+      Microstructure.rangeVolatility(Tables.ticks(s, d))),
     // D25 — Hurst exponent from the dyadic variance ladder.
     "q_hurst" -> ((s, d) =>
       Microstructure.hurstExponent(Tables.ticks(s, d))),
@@ -353,6 +356,10 @@ object SparkEntry {
     "q_leadlag_corr" -> ((s, d) =>
       TemporalJoins.leadLagCorr(Tables.ticks(s, d),
         Seq((1L, 2L), (2L, 3L), (1L, 3L)), "day", 1)),
+    // E9 — view→click→purchase funnel, greedy earliest chain, τ=1 day.
+    "q_funnel" -> ((s, d) =>
+      TemporalJoins.funnel(Tables.events(s, d), "view", "click",
+        "purchase", 86400000000L)),
     "q_asof_forward" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -445,6 +452,9 @@ object SparkEntry {
       TextDedup.simHashPairs(TextDedup.simHashSig(Tables.documents(s, d)), 1)),
     "q_dedup_ngram" -> ((s, d) =>
       TextDedup.ngramJaccard(Tables.documents(s, d), 0.5)),
+    // F45 — asymmetric containment |A∩B|/|A| (subset-doc detection).
+    "q_containment" -> ((s, d) =>
+      TextDedup.containmentPairs(Tables.documents(s, d), 0.5)),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
     "q_ann_topk" -> ((s, d) =>
@@ -466,6 +476,9 @@ object SparkEntry {
     // F42 — top-256 vocab coverage / per-doc OOV rate.
     "q_vocab_coverage" -> ((s, d) =>
       LangModel.vocabCoverage(Tables.documents(s, d), 256)),
+    // F46 — DSIR-style quantized importance weights vs target source.
+    "q_importance_weights" -> ((s, d) =>
+      LangModel.importanceWeights(Tables.documents(s, d), "src3")),
     // F41 — dedup-pair audit: exact Jaccard vs MinHash estimate over
     // a deterministic 5% hash sample of the candidate pairs.
     "q_dedup_audit" -> ((s, d) =>
@@ -1363,6 +1376,34 @@ object SparkEntry {
         |ORDER BY symbol""".stripMargin,
     // D22 — variance ratio: Δp in exact cents, var_samp round(4),
     // ratio derived from the ROUNDED variances (D19's rule).
+    // D27 — daily OHLC in exact cents; elementwise ln on identical
+    // inputs; pooled sums round(4); estimator constants as HARD double
+    // literals (4·ln2, 2·ln2−1) so neither engine computes its own ln2.
+    "q_range_vol" ->
+      s"""SELECT symbol, n_days, sum_lhl2, sum_lco2,
+        |  round(sum_lhl2 / (CAST(n_days AS DOUBLE) * 2.772588722239781), 4)
+        |    AS parkinson_var,
+        |  round((0.5 * sum_lhl2 - 0.3862943611198906 * sum_lco2)
+        |    / CAST(n_days AS DOUBLE), 4) AS gk_var
+        |FROM (
+        |  SELECT symbol, count(*) AS n_days,
+        |    round(sum(lhl * lhl), 4) AS sum_lhl2,
+        |    round(sum(lco * lco), 4) AS sum_lco2
+        |  FROM (
+        |    SELECT symbol,
+        |      ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)) AS lhl,
+        |      ln(CAST(c AS DOUBLE) / CAST(o AS DOUBLE)) AS lco
+        |    FROM (
+        |      SELECT symbol, CAST(ts AS DATE) AS d,
+        |        arg_min(cents, tick_id) AS o, max(cents) AS h,
+        |        min(cents) AS l, arg_max(cents, tick_id) AS c
+        |      FROM (SELECT symbol, tick_id, ts,
+        |          CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |        FROM $ticksSql t) c
+        |      GROUP BY symbol, CAST(ts AS DATE)) ohlc
+        |    WHERE l > 0 AND o > 0) terms
+        |  GROUP BY symbol) agg
+        |ORDER BY symbol""".stripMargin,
     "q_variance_ratio" ->
       s"""SELECT symbol, n_obs, var_1, var_q,
         |  CASE WHEN var_1 > 0
@@ -1681,6 +1722,25 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY trade_id""".stripMargin,
+    // E9 — funnel: chained conditional MINs in exact int64 epoch µs
+    // (ns→µs cast rule); dropouts keep NULLs via left joins.
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(us) AS t2_us
+        |  FROM ev JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1_us
+        |    AND us <= t1_us + 86400000000 GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(us) AS t3_us
+        |  FROM ev JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2_us
+        |    AND us <= t2_us + 86400000000 GROUP BY ev.user_id)
+        |SELECT t1.user_id, t1_us, t2_us, t3_us,
+        |  t3_us IS NOT NULL AS completed
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // E6 — forward as-of: DuckDB ASOF with the inequality flipped.
     // E7 — lead-lag: grid = first tick per (symbol, day) by tick_id
     // (B2's rule), moves exact cents on the grid, corr round(4); pairs
@@ -2009,6 +2069,30 @@ object SparkEntry {
         |FROM p JOIN g ca ON ca.doc_id = p.doc_a
         |  JOIN g cb ON cb.doc_id = p.doc_b
         |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // F45 — asymmetric containment: ORDERED pairs (a≠b), score =
+    // inter/|A| — one division of exact int64 counts, unrounded; same
+    // df-capped inverted index as q_dedup_ngram.
+    "q_containment" -> {
+      import graft.functions.PortableText._
+      s"""WITH g0 AS (SELECT doc_id, lang, source, $duckGrams3 AS grams
+        |    FROM documents WHERE doc_id % 5 = 0),
+        |g AS (SELECT doc_id, length(grams) AS n FROM g0),
+        |inv AS (SELECT doc_id, lang, source, unnest(grams) AS gram FROM g0),
+        |invk AS (SELECT * FROM (SELECT doc_id, lang, source, gram,
+        |    count(*) OVER (PARTITION BY lang, source, gram) AS df FROM inv)
+        |  WHERE df <= 20),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.lang = b.lang AND a.source = b.source
+        |    AND a.gram = b.gram AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(p.inter AS BIGINT) AS inter,
+        |  CAST(ca.n AS BIGINT) AS na,
+        |  CAST(p.inter AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
+        |FROM p JOIN g ca ON ca.doc_id = p.doc_a
+        |WHERE CAST(p.inter AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     },
     // Candidates from shared LSH bucket (same hyperplane arithmetic as
@@ -2378,6 +2462,36 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  coalesce(per.n_tokens, 0) AS n_tokens,
         |  per.avg_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // F46 — DSIR-lite: C = (N_all·10⁴) div N_target fixed once, then
+    // w_bp = (tf_target·C) div tf_all — all exact int64 (`//` = Spark
+    // DIV, both truncate toward zero, operands non-negative); mean one
+    // IEEE division of exact ints, unrounded.
+    "q_importance_weights" -> {
+      import graft.functions.PortableText._
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, unnest($duckTokens) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, CAST(count(*) AS BIGINT) AS tf_all,
+        |    CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tf_target
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT (CAST(sum(tf_all) AS BIGINT) * 10000)
+        |      // CAST(sum(tf_target) AS BIGINT) AS c_ratio
+        |  FROM freq),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum((tf_target * c_ratio) // tf_all) AS BIGINT)
+        |      AS sum_w_bp
+        |  FROM toks JOIN freq USING (token), tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.sum_w_bp, 0) AS sum_w_bp,
+        |  CAST(per.sum_w_bp AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+        |    AS avg_w_bp
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin
     },

@@ -161,4 +161,58 @@ object LangModel {
       expr("graft_charentropy(text)").as("entropy"))
       .orderBy("doc_id")
   }
+
+  /** F46 — DSIR-style IMPORTANCE WEIGHTS for domain-targeted
+    * selection (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): score every document by how much
+    * its token distribution resembles a TARGET domain relative to
+    * the whole corpus, then sample high scorers to shift the mixture
+    * toward the target without hand-written rules.
+    *
+    * DSIR's hashed-n-gram likelihood ratio is QUANTIZED here to keep
+    * both engines bit-identical: the corpus-to-target size ratio is
+    * fixed ONCE as `C = (N_all · 10⁴) div N_target` (a 1-row
+    * scalar), then per token `w_bp = (tf_target · C) div tf_all` —
+    * an exact int64 basis-point ratio (>10⁴ ⇔ token
+    * over-represented in the target; 0 for tokens the target never
+    * uses — the linear-space stand-in for DSIR's log ratio that
+    * needs no smoothing). The two-step quantization is also the
+    * overflow-safe spelling: `tf_target · C` stays under 2⁶³ for any
+    * real corpus (tf ≤ 10¹⁰, C ≤ 10⁷), where the naive triple
+    * product `tf·N_all·10⁴` overflows int64 already at ~10¹⁴ total
+    * tokens. Per-doc score = Σ w_bp over token OCCURRENCES (exact
+    * int64); the mean is ONE IEEE division of exact ints, unrounded.
+    *
+    * Scale shape: the vocab aggregate computes corpus AND target
+    * counts in one conditional pass (one token-keyed shuffle);
+    * scoring joins the doc tokens back on the same token key — the
+    * F35 shape, still two exchanges total at any corpus size. The
+    * grand totals ride a 1-row broadcast. */
+  def importanceWeights(docs: DataFrame, targetSource: String): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(expr(tokens)).as("token"))
+    val freq = toks.groupBy("token")
+      .agg(count(lit(1)).as("tf_all"),
+        sum(when(col("source") === targetSource, 1L).otherwise(0L))
+          .as("tf_target"))
+      .localCheckpoint(true)
+    val totals = freq.agg(sum("tf_all").as("n_all"),
+      sum("tf_target").as("n_target"))
+      .select(expr("(n_all * 10000) DIV n_target").as("c_ratio"))
+    val perDoc = toks
+      .join(freq, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("w_bp", expr("(tf_target * c_ratio) DIV tf_all"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("w_bp").as("sum_w_bp"))
+      .withColumn("avg_w_bp",
+        col("sum_w_bp").cast("double") / col("n_tokens").cast("double"))
+    docs.select("doc_id", "source").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_w_bp"), lit(0L)).as("sum_w_bp"),
+        col("avg_w_bp"))
+      .orderBy("doc_id")
+  }
 }

@@ -278,4 +278,52 @@ object Microstructure {
         col("n_classified"))
       .orderBy("symbol", "date")
   }
+
+  /** D27 — RANGE-BASED VOLATILITY per symbol: Parkinson (1980) and
+    * Garman–Klass (1980) estimators pooled over the symbol's trading
+    * days. Daily OHLC comes from exact integer cents (arg_min/arg_max
+    * by tick_id for open/close — B7's rule; min/max for low/high), so
+    * the per-day log terms `ln(h/l)` and `ln(c/o)` are elementwise
+    * IEEE on identical inputs in both engines. The pooled sums are
+    * aggregate doubles → round(4); the estimator variances divide the
+    * ROUNDED sums by day count and the 4ln2 / (2ln2−1) constants as
+    * HARD double literals (never each engine's own ln(2) — derived-
+    * from-rounded rule, D19). Days with a non-positive low or open
+    * are excluded from BOTH terms (ln domain guard, same class as
+    * D17's return guard). Shape: one (symbol, day) partial-agg
+    * shuffle collapses ticks to |days| rows, then a tiny per-symbol
+    * aggregate — the 100 TB fact streams once. */
+  def rangeVolatility(ticks: DataFrame): DataFrame = {
+    val daily = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(
+        min_by(col("cents"), col("tick_id")).as("o"),
+        max(col("cents")).as("h"),
+        min(col("cents")).as("l"),
+        max_by(col("cents"), col("tick_id")).as("c"))
+      .filter(col("l") > 0L && col("o") > 0L)
+      .withColumn("lhl",
+        log(col("h").cast("double") / col("l").cast("double")))
+      .withColumn("lco",
+        log(col("c").cast("double") / col("o").cast("double")))
+    daily
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(sum(col("lhl") * col("lhl")), 4).as("sum_lhl2"),
+        round(sum(col("lco") * col("lco")), 4).as("sum_lco2"))
+      // 4·ln2 and 2·ln2−1 as shared literals: both engines divide the
+      // same rounded sums by the same doubles — bit-identical out.
+      .withColumn("parkinson_var",
+        round(col("sum_lhl2") /
+          (col("n_days").cast("double") * lit(2.772588722239781)), 4))
+      .withColumn("gk_var",
+        round((lit(0.5) * col("sum_lhl2") -
+          lit(0.3862943611198906) * col("sum_lco2")) /
+          col("n_days").cast("double"), 4))
+      .select("symbol", "n_days", "sum_lhl2", "sum_lco2",
+        "parkinson_var", "gk_var")
+      .orderBy("symbol")
+  }
 }

@@ -352,4 +352,46 @@ object TemporalJoins {
         round(corr(col("d_lead"), col("d_lag")), 4).as("leadlag_corr"))
       .orderBy("sym_lead", "sym_lag")
   }
+
+  /** E9 — FUNNEL MATCH: the ordered event-sequence operator behind
+    * every conversion report — per user, the earliest greedy chain
+    * `step1 → step2 → step3` where each step is the FIRST qualifying
+    * event strictly after the previous one and within `tauUs`
+    * microseconds of it. Greedy-earliest is the standard funnel
+    * semantic (deterministic, and a user who completes at all has a
+    * greedy chain).
+    *
+    * Scale shape: NOT a per-user sort-and-scan — three tiny
+    * conditional MIN aggregates, each keyed on user_id so all three
+    * reuse one exchange footprint, chained by per-user joins whose
+    * left side shrinks at every step (viewers ⊇ clickers ⊇ buyers).
+    * The fact table streams once per step with the step's type filter
+    * pushed to the scan; nothing is ever collected or windowed over
+    * an unbounded frame.
+    *
+    * Engine-exactness: all comparisons in exact int64 epoch
+    * MICROseconds (the ns-parquet truncation rule — DuckDB casts its
+    * ns timestamps to µs the same way), emitted as BIGINT columns;
+    * MIN over int64 is total; dropouts keep NULL step-2/3 times via
+    * left joins, so the report covers the whole entry cohort. */
+  def funnel(events: DataFrame, step1: String, step2: String,
+             step3: String, tauUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val t2 = ev.filter(col("event_type") === step2)
+      .join(t1, "user_id")
+      .filter(col("us") > col("t1_us") && col("us") <= col("t1_us") + tauUs)
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val t3 = ev.filter(col("event_type") === step3)
+      .join(t2, "user_id")
+      .filter(col("us") > col("t2_us") && col("us") <= col("t2_us") + tauUs)
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("t3_us").isNotNull.as("completed"))
+      .orderBy("user_id")
+  }
 }

@@ -424,6 +424,59 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** F45 — ASYMMETRIC CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    * char-3-gram sets — the "is document A substantially INSIDE
+    * document B" relation (quotation, boilerplate inclusion, a short
+    * doc embedded in a long aggregate page). Jaccard (F4) misses
+    * exactly these: a 100-gram doc fully contained in a 10,000-gram
+    * doc has Jaccard ≈ 0.01 but containment 1.0 — and containment-
+    * pruning subset docs is standard corpus practice alongside
+    * near-dup removal.
+    *
+    * Same scale shape as F4's inverted index (the only shape that
+    * survives a quadratic pair space): gram-keyed equi-join computes
+    * |A∩B| without materializing non-overlapping pairs, df-capped so
+    * a stop-gram shared by k docs can't mint k² rows. ORDERED pairs
+    * (a≠b, both directions) since containment is asymmetric; the
+    * score divides exact int64 counts — one IEEE division, unrounded.
+    * Reported score is a LOWER bound (intersection counts capped
+    * grams only, |A| stays full) — true containments survive because
+    * their low-df grams dominate. */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       maxDf: Int = 20): DataFrame = {
+    graft.functions.CharGrams.register(docs.sparkSession)
+    val g = docs
+      .filter(col("doc_id") % 5 === 0)
+      .withColumn("grams", expr(grams3))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("grams"), size(col("grams")).cast("long").as("n"))
+      .localCheckpoint(true)
+    val counts = g.select("doc_id", "n")
+    val inv = g
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(col("grams")).as("gram"))
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("source"), col("gram")).as("gkey"))
+    val capped = inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gkey")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val a = capped.select(col("gkey"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("gkey"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("gkey"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .withColumn("containment",
+        col("inter").cast("double") / col("na").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "inter", "na", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** F13 — dedup CLUSTERING: connected components over a near-dup
     * candidate pair graph, canonical representative = the component's
     * minimum doc_id. This is the step after every pair generator

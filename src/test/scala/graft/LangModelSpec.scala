@@ -128,4 +128,21 @@ class LangModelSpec extends SparkSpec {
       byId(1L).getAs[Double]("density"))
     assert(out.forall(_.getAs[Long]("n_neighbors") == 3L))
   }
+
+  test("importanceWeights: target-exclusive tokens score the size " +
+      "ratio over their frequency, absent-from-target tokens zero") {
+    // corpus: target doc "x x" (src T), other doc "y y" (src W)
+    // N_all=4, N_target=2 → C = (4·10000) div 2 = 20000
+    // token x: tf_all=2 tf_target=2 → w = (2·20000) div 2 = 20000
+    // token y: tf_target=0 → w = 0
+    val df = Seq(
+      (1L, "x x", "en", "T", 3L),
+      (2L, "y y", "en", "W", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LangModel.importanceWeights(df, "T")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "T", 2L, 40000L, 20000.0),
+      (2L, "W", 2L, 0L, 0.0)))
+  }
 }

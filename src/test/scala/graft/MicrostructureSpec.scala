@@ -194,4 +194,33 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("imbalance")))
     assert(r.getAs[Long]("n_classified") == 1L)
   }
+
+  test("rangeVolatility: OHLC by tick order, Parkinson/GK from the " +
+      "literal constants, non-positive days excluded") {
+    val tk = ticks(
+      // day 1: o=10.00 h=12.00 l=8.00 c=9.00 (open/close by tick_id)
+      (1L, 1L, "2024-01-01 10:00:00", 10.00, 0.0),
+      (2L, 1L, "2024-01-01 11:00:00", 12.00, 0.0),
+      (3L, 1L, "2024-01-01 12:00:00", 8.00, 0.0),
+      (4L, 1L, "2024-01-01 13:00:00", 9.00, 0.0),
+      // day 2 has a non-positive low → excluded entirely
+      (5L, 1L, "2024-01-02 10:00:00", 0.00, 0.0),
+      (6L, 1L, "2024-01-02 11:00:00", 5.00, 0.0))
+    val r = Microstructure.rangeVolatility(tk).collect().head
+    assert(r.getAs[Long]("n_days") == 1L)
+    val lhl = math.log(1200.0 / 800.0)
+    val lco = math.log(900.0 / 1000.0)
+    val sumLhl2 = BigDecimal(lhl * lhl)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sumLco2 = BigDecimal(lco * lco)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("sum_lhl2") == sumLhl2)
+    assert(r.getAs[Double]("sum_lco2") == sumLco2)
+    val park = BigDecimal(sumLhl2 / 2.772588722239781)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("parkinson_var") == park)
+    val gk = BigDecimal(0.5 * sumLhl2 - 0.3862943611198906 * sumLco2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("gk_var") == gk)
+  }
 }

@@ -187,4 +187,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r.getAs[Double]("leadlag_corr") ==
       math.rint(expected * 1e4) / 1e4)
   }
+
+  test("funnel: greedy earliest chain, out-of-window steps ignored, " +
+      "dropouts keep NULLs") {
+    def ev(id: Long, u: Long, ty: String, s: String) =
+      (id, u, t(s), ty, 0.0, "{}")
+    val events = Seq(
+      // user 1 completes: view 10:00, click 10:30, purchase 11:00
+      ev(1L, 1L, "view", "2024-01-01 10:00:00"),
+      ev(2L, 1L, "click", "2024-01-01 10:30:00"),
+      // an EARLIER click before the first view must not count
+      ev(3L, 1L, "click", "2024-01-01 09:00:00"),
+      ev(4L, 1L, "purchase", "2024-01-01 11:00:00"),
+      // user 2: click arrives past the 1h window → funnel stops at t1
+      ev(5L, 2L, "view", "2024-01-01 10:00:00"),
+      ev(6L, 2L, "click", "2024-01-01 12:00:01"),
+      // user 3: no view at all → not in the cohort
+      ev(7L, 3L, "purchase", "2024-01-01 10:00:00"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = TemporalJoins.funnel(events, "view", "click", "purchase",
+      3600000000L) // 1 hour
+      .collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 2L))
+    val u1 = out(0)
+    assert(u1.getAs[Boolean]("completed"))
+    assert(u1.getAs[Long]("t2_us") - u1.getAs[Long]("t1_us") == 1800000000L)
+    val u2 = out(1)
+    assert(!u2.getAs[Boolean]("completed"))
+    assert(u2.isNullAt(u2.fieldIndex("t2_us")))
+    assert(u2.isNullAt(u2.fieldIndex("t3_us")))
+  }
 }

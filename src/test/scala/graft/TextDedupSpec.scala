@@ -96,6 +96,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((5L, 10L, 1.0)))
   }
 
+  test("containmentPairs: a short doc inside a long one scores 1.0 " +
+      "forward and lower backward") {
+    // sampled ids (% 5 == 0); doc 5's grams all appear in doc 10
+    val out = TextDedup.containmentPairs(docs(
+      (5L, "abcdef"), (10L, "abcdefghijkl"), (15L, "qqqqrrrr")), 0.3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // doc5: grams {abc,bcd,cde,def} (4); doc10 has 10 grams, 4 shared
+    assert(out.contains((5L, 10L, 4L, 4L, 1.0)))
+    assert(out.contains((10L, 5L, 4L, 10L, 0.4)))
+    assert(out.length == 2) // doc15 shares nothing
+  }
+
   test("dedupClusters finds connected components with min-id representative") {
     // Graph: 1-2, 2-3 chain (component min 1); 5-6 pair; 4 isolated.
     val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
