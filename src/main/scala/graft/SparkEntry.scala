@@ -455,6 +455,12 @@ object SparkEntry {
     // F45 — asymmetric containment |A∩B|/|A| (subset-doc detection).
     "q_containment" -> ((s, d) =>
       TextDedup.containmentPairs(Tables.documents(s, d), 0.5)),
+    // F47 — Count-Min heavy hitters with exact audit columns.
+    "q_cms_heavy_hitters" -> ((s, d) =>
+      TextDedup.cmsHeavyHitters(Tables.documents(s, d), 20)),
+    // F48 — BPE merge-pair statistics over the weighted vocabulary.
+    "q_bpe_pairs" -> ((s, d) =>
+      TextDedup.bpePairStats(Tables.documents(s, d), 20)),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
     "q_ann_topk" -> ((s, d) =>
@@ -2070,6 +2076,50 @@ object SparkEntry {
         |  JOIN g cb ON cb.doc_id = p.doc_b
         |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // F47 — CMS: identical sketch both engines (minhash affine family
+    // over PolyHash, mod 1024), est = min over 4 rows, exact audit
+    // beside; top-20 by (est desc, token) total order.
+    "q_cms_heavy_hitters" -> {
+      import graft.functions.PortableText._
+      s"""WITH occ AS (SELECT token, ${duckPolyHash("token")} AS h
+        |  FROM (SELECT unnest($duckTokens) AS token FROM documents) t),
+        |cells AS (SELECT rc.j AS rw, ((2*rc.j+3)*occ.h + 5*rc.j+7) % $P % 1024 AS cell,
+        |    count(*) AS cnt
+        |  FROM occ, (SELECT unnest(range(4)) AS j) rc
+        |  GROUP BY 1, 2),
+        |exact AS (SELECT token, h, count(*) AS exact_cnt
+        |  FROM occ GROUP BY token, h),
+        |probes AS (SELECT token, exact_cnt, rc.j AS rw,
+        |    ((2*rc.j+3)*h + 5*rc.j+7) % $P % 1024 AS cell
+        |  FROM exact, (SELECT unnest(range(4)) AS j) rc),
+        |est AS (SELECT token, exact_cnt,
+        |    CAST(min(cnt) AS BIGINT) AS est_cnt
+        |  FROM probes JOIN cells USING (rw, cell)
+        |  GROUP BY token, exact_cnt)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY est_cnt DESC, token) AS BIGINT) AS rnk,
+        |  token, est_cnt, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+        |  est_cnt - CAST(exact_cnt AS BIGINT) AS overcount
+        |FROM est
+        |ORDER BY rnk LIMIT 20""".stripMargin
+    },
+    // F48 — BPE pair stats: substring scan with multiplicity (NOT the
+    // distinct gram set); counts exact int64; (cnt desc, pair) order.
+    "q_bpe_pairs" -> {
+      import graft.functions.PortableText._
+      s"""WITH vocab AS (SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest($duckTokens) AS word FROM documents) t
+        |  GROUP BY word),
+        |pairs AS (SELECT substr(word, CAST(i AS INT), 2) AS pair,
+        |    CAST(sum(freq) AS BIGINT) AS pair_cnt
+        |  FROM vocab, unnest(range(1, length(word))) AS u(i)
+        |  WHERE length(word) >= 2
+        |  GROUP BY 1)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY pair_cnt DESC, pair) AS BIGINT) AS rnk,
+        |  pair, pair_cnt
+        |FROM pairs ORDER BY rnk LIMIT 20""".stripMargin
     },
     // F45 — asymmetric containment: ORDERED pairs (a≠b), score =
     // inter/|A| — one division of exact int64 counts, unrounded; same

@@ -856,6 +856,86 @@ object TextDedup {
         "exact_ndv", "rel_err")
   }
 
+  /** F47 — COUNT-MIN SKETCH heavy hitters with an exact audit: the
+    * mergeable frequency sketch a 100 TB token profile maintains
+    * instead of an exact vocabulary count (4×1024 int64 cells per
+    * partition, counts ADD across partitions/streams — the property
+    * that lets a fleet of executors or days of stream micro-batches
+    * merge by summation). Engine-exact by construction: row hashes
+    * are the minhash affine family over the portable PolyHash —
+    * `cell_j = ((2j+3)·h + 5j+7) mod P mod 1024` — so both engines
+    * build the IDENTICAL sketch, and `est = min_j sketch[j][cell_j]`
+    * reproduces bit-for-bit. The report emits the top-k tokens by
+    * estimate with their exact counts beside (est ≥ exact is the CMS
+    * one-sided guarantee — spec'd), the F41 audit discipline applied
+    * to a frequency sketch.
+    *
+    * Scale shape: ONE occurrence-keyed aggregate builds the sketch
+    * (4 rows per token occurrence collapse in map-side partials to
+    * ≤4096 cells per partition), one vocab aggregate for the exact
+    * side; the probe joins the 4096-row sketch BROADCAST. */
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val occ = docs.select(explode(expr(tokens)).as("token"))
+      .withColumn("h", expr("graft_polyhash(token)"))
+      .localCheckpoint(true)
+    val cells = occ
+      .select(explode(expr(s"transform(sequence(0, 3), j -> " +
+        s"struct(j AS rw, ((2*j+3)*h + 5*j+7) % $P % 1024 AS cell))"))
+        .as("rc"))
+      .select(col("rc.rw").as("rw"), col("rc.cell").as("cell"))
+      .groupBy("rw", "cell").agg(count(lit(1)).as("cnt"))
+    val exact = occ.groupBy("token", "h")
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact
+      .select(col("token"), col("exact_cnt"),
+        explode(expr(s"transform(sequence(0, 3), j -> " +
+          s"struct(j AS rw, ((2*j+3)*h + 5*j+7) % $P % 1024 AS cell))"))
+          .as("rc"))
+      .select(col("token"), col("exact_cnt"),
+        col("rc.rw").as("rw"), col("rc.cell").as("cell"))
+    probes
+      .join(broadcast(cells), Seq("rw", "cell"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("cnt").as("est_cnt"))
+      .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("est_cnt").desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select("rnk", "token", "est_cnt", "exact_cnt", "overcount")
+      .orderBy("rnk")
+  }
+
+  /** F48 — BPE MERGE-PAIR statistics: the inner loop of byte-pair-
+    * encoding tokenizer training — for every adjacent symbol pair in
+    * the corpus, its total occurrence count `Σ_words freq(word) ·
+    * occurrences_in_word(pair)`; the argmax is the next merge rule.
+    * Run over the VOCABULARY, not the corpus: one token-keyed
+    * aggregate collapses the 100 TB text to (word, freq) — the shape
+    * every real BPE trainer (SentencePiece, HF tokenizers) uses —
+    * then the char-pair explode touches each distinct word once,
+    * weighted by its count. Pairs with multiplicity (substring scan,
+    * NOT the distinct gram set — 'aaa' contributes 'aa' twice); all
+    * counts exact int64; top-k by (count desc, pair asc) — a total
+    * order both engines share. */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    val vocab = docs.select(explode(expr(tokens)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    vocab
+      // 1-char words have no pair; Spark's sequence(1, 0) would count
+      // DOWN rather than produce an empty list — filter, don't rely.
+      .filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("freq").as("pair_cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pair_cnt").desc, col("pair"))))
+      .filter(col("rnk") <= k)
+      .select("rnk", "pair", "pair_cnt")
+      .orderBy("rnk")
+  }
+
   /** F10c — per-document term saliency: top-k tokens ranked by tf/df
     * (term frequency over corpus document frequency) — the keyword
     * extraction a curation pipeline runs to label corpus slices. The

@@ -437,6 +437,59 @@ object Streaming {
       }
   }
 
+  case class FunnelEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                         event_type: String)
+  case class FunnelAdvance(user_id: Long, stage: Int, t_us: Long,
+                           completed: Boolean)
+
+  /** G16 — STREAMING FUNNEL: the live twin of `TemporalJoins.funnel`
+    * (E9). Per-user keyed state holds the greedy chain's three step
+    * times (−1 = unreached); each event either advances the next
+    * unreached stage — first `step1`, then the first `step2` strictly
+    * after it within τ, then the first `step3` — or is ignored. One
+    * FunnelAdvance row is emitted per stage advance, `completed` on
+    * the third.
+    *
+    * Batch parity (spec'd): with events arriving in event-time order,
+    * decisions match E9's chained-MIN result exactly — greedy-first
+    * IS min when the feed is ordered, and a step that fails the τ
+    * window can never be rescued by a later event (timestamps only
+    * grow), so "ignore and keep waiting" loses nothing. Within a
+    * micro-batch, rows are (ts, event_id)-sorted; across batches
+    * arrival order governs (G7's ordering contract). All times exact
+    * int64 epoch µs — the same ns→µs truncation as the batch side.
+    * State is three scalars per user, independent of rate; completed
+    * users' state is left in place (further events no-op). */
+  def funnelProgress(events: Dataset[FunnelEvent], step1: String,
+                     step2: String, step3: String,
+                     tauUs: Long): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    def us(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          rows.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            val u = us(e.ts)
+            if (t1 < 0 && e.event_type == step1) {
+              t1 = u; out += FunnelAdvance(uid, 1, u, completed = false)
+            } else if (t1 >= 0 && t2 < 0 && e.event_type == step2 &&
+                u > t1 && u <= t1 + tauUs) {
+              t2 = u; out += FunnelAdvance(uid, 2, u, completed = false)
+            } else if (t2 >= 0 && t3 < 0 && e.event_type == step3 &&
+                u > t2 && u <= t2 + tauUs) {
+              t3 = u; out += FunnelAdvance(uid, 3, u, completed = true)
+            }
+          }
+          state.update((t1, t2, t3))
+          out.iterator
+      }
+  }
+
   /** Per-doc verdict over one micro-batch of [[nearDupBandFlags]]
     * output (use inside `foreachBatch`): duplicate iff any band hit a
     * previously-claimed bucket. */

@@ -496,4 +496,45 @@ class StreamingSpec extends SparkSpec {
       assert(verdicts(3L) && verdicts(4L) && !verdicts(1L))
     } finally q.stop()
   }
+
+  test("G16 parity: funnelProgress fed in event-time order matches the " +
+      "batch funnel chain, state persisting across micro-batches") {
+    import graft.streaming.Streaming.{FunnelEvent, FunnelAdvance}
+    val evs = Seq(
+      FunnelEvent(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(2L, 1L, t("2024-01-01 10:20:00"), "view"),   // later view: no-op
+      FunnelEvent(3L, 1L, t("2024-01-01 10:30:00"), "click"),  // batch 2
+      FunnelEvent(4L, 1L, t("2024-01-01 11:00:00"), "purchase"),
+      FunnelEvent(5L, 2L, t("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(6L, 2L, t("2024-01-01 11:30:00"), "click"))  // past 1h window
+    val batch = graft.operators.TemporalJoins.funnel(
+      evs.map(e => (e.event_id, e.user_id, e.ts, e.event_type, 0.0, "{}"))
+        .toDF("event_id", "user_id", "ts", "event_type", "value", "props"),
+      "view", "click", "purchase", 3600000000L)
+      .select("user_id", "t1_us", "t2_us", "t3_us")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = Streaming.funnelProgress(in.toDS(), "view", "click",
+      "purchase", 3600000000L)
+      .writeStream.format("memory").queryName("p_fn")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(evs.take(2): _*); q.processAllAvailable()
+      in.addData(evs.drop(2): _*); q.processAllAvailable()
+      val adv = spark.table("p_fn").as[FunnelAdvance].collect()
+      // user 1: three advances, times equal the batch chain
+      val u1 = adv.filter(_.user_id == 1L).sortBy(_.stage)
+      assert(u1.map(_.stage).toSeq == Seq(1, 2, 3))
+      assert(u1(0).t_us == batch(1L)._2)
+      assert(Some(u1(1).t_us) == batch(1L)._3)
+      assert(Some(u1(2).t_us) == batch(1L)._4)
+      assert(u1(2).completed && !u1(0).completed)
+      // user 2: only stage 1 (click missed the window), same as batch
+      val u2 = adv.filter(_.user_id == 2L)
+      assert(u2.map(_.stage).toSeq == Seq(1))
+      assert(batch(2L)._3.isEmpty)
+    } finally q.stop()
+  }
 }

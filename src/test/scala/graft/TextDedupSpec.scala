@@ -108,6 +108,31 @@ class TextDedupSpec extends SparkSpec {
     assert(out.length == 2) // doc15 shares nothing
   }
 
+  test("cmsHeavyHitters: estimates are never below exact counts and the " +
+      "top token ranks first") {
+    val out = TextDedup.cmsHeavyHitters(docs(
+      (1L, "a a a a b"), (2L, "a b c"), (3L, "c c b")), 10)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // exact: a=5, b=3, c=3
+    assert(out.head._2 == "a" && out.head._4 == 5L)
+    assert(out.forall { case (_, _, est, exact, over) =>
+      est >= exact && over == est - exact })
+    assert(out.map(_._2).toSet == Set("a", "b", "c"))
+  }
+
+  test("bpePairStats: pair counts weight word frequency times " +
+      "within-word multiplicity") {
+    val out = TextDedup.bpePairStats(docs(
+      (1L, "aaa ab"), (2L, "aaa x")), 10)
+      .as[(Long, String, Long)].collect().toSeq
+    val counts = out.map(r => r._2 -> r._3).toMap
+    // 'aaa' freq 2 contributes 'aa' twice each → 4; 'ab' freq 1 → 1
+    assert(counts("aa") == 4L)
+    assert(counts("ab") == 1L)
+    assert(!counts.contains("x")) // 1-char word: no pair
+    assert(out.head._2 == "aa") // top by count
+  }
+
   test("dedupClusters finds connected components with min-id representative") {
     // Graph: 1-2, 2-3 chain (component min 1); 5-6 pair; 4 isolated.
     val ds = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
