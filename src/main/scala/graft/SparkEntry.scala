@@ -153,6 +153,10 @@ object SparkEntry {
     "q_value_share" -> ((s, d) =>
       Analytics.supplierValueShare(Tables.supplier(s, d),
         Tables.lineitem(s, d), 80L)),
+    // C25 — Q15-style top-revenue supplier(s) over a quarter, ties kept.
+    "q_top_supplier" -> ((s, d) =>
+      Analytics.topSupplier(Tables.supplier(s, d), Tables.lineitem(s, d),
+        "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -327,6 +331,9 @@ object SparkEntry {
     // D27 — Parkinson + Garman-Klass range volatility per symbol.
     "q_range_vol" -> ((s, d) =>
       Microstructure.rangeVolatility(Tables.ticks(s, d))),
+    // D28 — Corwin-Schultz high-low spread per (symbol, day-pair).
+    "q_cs_spread" -> ((s, d) =>
+      Microstructure.corwinSchultz(Tables.ticks(s, d))),
     // D25 — Hurst exponent from the dyadic variance ladder.
     "q_hurst" -> ((s, d) =>
       Microstructure.hurstExponent(Tables.ticks(s, d))),
@@ -863,6 +870,22 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // C25 — groupwise-max view with ties kept; "= max" is an exact
+    // int64 compare on centi-cent sums.
+    "q_top_supplier" ->
+      """WITH v AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT)))
+        |      AS BIGINT) AS total_revenue_cc
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_revenue_cc) AS max_cc FROM v)
+        |SELECT s_suppkey, s_name, total_revenue_cc
+        |FROM v, m JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_cc = max_cc
+        |ORDER BY s_suppkey""".stripMargin,
     // C24 — global-share HAVING cross-multiplied into exact basis
     // points: value·10000 > total·80.
     "q_value_share" ->
@@ -1382,6 +1405,46 @@ object SparkEntry {
         |ORDER BY symbol""".stripMargin,
     // D22 — variance ratio: Δp in exact cents, var_samp round(4),
     // ratio derived from the ROUNDED variances (D19's rule).
+    // D28 — Corwin-Schultz: daily H/L exact cents; beta/gamma ROUNDED
+    // (4dp) BEFORE alpha — at the beta=gamma boundary alpha cancels to
+    // ±1e-16 with engine-dependent sign, flipping the >=0 gate; from
+    // identical rounded inputs the sqrt/exp chain is bit-identical.
+    // 3−2√2 as a HARD literal; negative alpha → NULL spread.
+    "q_cs_spread" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  beta, gamma, alpha,
+        |  CASE WHEN alpha >= 0
+        |    THEN 2.0 * (exp(alpha) - 1.0) / (exp(alpha) + 1.0)
+        |  END AS cs_spread
+        |FROM (
+        |  SELECT symbol, _date, beta, gamma,
+        |    (sqrt(2.0 * beta) - sqrt(beta)) / 0.1715728752538099
+        |      - sqrt(gamma / 0.1715728752538099) AS alpha
+        |  FROM (
+        |    SELECT symbol, _date,
+        |      round(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |        * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+        |      + ln(CAST(h_next AS DOUBLE) / CAST(l_next AS DOUBLE))
+        |        * ln(CAST(h_next AS DOUBLE) / CAST(l_next AS DOUBLE)), 4)
+        |        AS beta,
+        |      round(ln(CAST(greatest(h, h_next) AS DOUBLE)
+        |          / CAST(least(l, l_next) AS DOUBLE))
+        |      * ln(CAST(greatest(h, h_next) AS DOUBLE)
+        |          / CAST(least(l, l_next) AS DOUBLE)), 4) AS gamma
+        |    FROM (
+        |      SELECT symbol, _date, h, l,
+        |        lead(h) OVER w AS h_next, lead(l) OVER w AS l_next
+        |      FROM (
+        |        SELECT symbol, CAST(ts AS DATE) AS _date,
+        |          max(cents) AS h, min(cents) AS l
+        |        FROM (SELECT symbol, ts,
+        |            CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |          FROM $ticksSql t) c
+        |        GROUP BY symbol, CAST(ts AS DATE)
+        |        HAVING min(cents) > 0) d
+        |      WINDOW w AS (PARTITION BY symbol ORDER BY _date)) p
+        |    WHERE h_next IS NOT NULL) g) a
+        |ORDER BY symbol, date""".stripMargin,
     // D27 — daily OHLC in exact cents; elementwise ln on identical
     // inputs; pooled sums round(4); estimator constants as HARD double
     // literals (4·ln2, 2·ln2−1) so neither engine computes its own ln2.

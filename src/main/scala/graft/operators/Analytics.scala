@@ -518,6 +518,34 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** C25 — TPC-H Q15's essence: the top-revenue supplier(s) over a
+    * quarter, TIES KEPT — the `revenue = (SELECT max(revenue))`
+    * groupwise-max view shape (C12's min-join-back applied to a
+    * global max). One partial-agg shuffle on suppkey builds the
+    * revenue view; the scalar max reads the already-collapsed frame
+    * and rides back as a 1-row broadcast cross join — the fact is
+    * never rescanned and no window-over-everything exists. Exact
+    * int64 centi-cents throughout, so "equal to the max" is an exact
+    * integer compare, not a float trap. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  qStart: String, qEnd: String): DataFrame = {
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(qStart).cast("timestamp") &&
+        col("l_shipdate") < lit(qEnd).cast("timestamp"))
+      .select(col("l_suppkey"),
+        revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev_cc").as("total_revenue_cc"))
+    val top = perSupp.agg(max("total_revenue_cc").as("max_cc"))
+    perSupp
+      .crossJoin(broadcast(top))
+      .filter(col("total_revenue_cc") === col("max_cc"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_cc"))
+      .orderBy("s_suppkey")
+  }
+
   /** C24 — TPC-H Q11's essence: suppliers whose shipped value exceeds
     * a global-share threshold. Two aggregates share ONE exchange
     * shape: per-supplier value (partial-agg shuffle on suppkey) and

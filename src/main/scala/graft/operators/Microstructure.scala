@@ -279,6 +279,68 @@ object Microstructure {
       .orderBy("symbol", "date")
   }
 
+  /** D28 — CORWIN–SCHULTZ high-low spread estimator per (symbol,
+    * day-pair): infers the bid-ask spread from the ratio of the
+    * 2-day price range to the two 1-day ranges (Corwin & Schultz
+    * 2012) — like Roll (D19) it needs no quote data, but it reads
+    * RANGES, not serial covariance, so it works on daily bars.
+    *
+    * Per consecutive-day pair (t, t+1):
+    * β = ln(Hₜ/Lₜ)² + ln(Hₜ₊₁/Lₜ₊₁)², γ = ln(H₂/L₂)² over the
+    * 2-day high/low, α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)),
+    * spread = 2(eᵅ−1)/(1+eᵅ). Negative α (inverted ranges, estimator
+    * undefined like D19's positive autocov) → NULL spread, the
+    * standard set-to-missing treatment.
+    *
+    * Determinism: daily H/L are exact-cent aggregates; β and γ are
+    * elementwise on them but get ROUNDED (4dp) before α — the
+    * derived-from-rounded rule (D19), and here it is LOAD-BEARING,
+    * not belt-and-braces: when a constant day sits inside the
+    * previous day's range, β = γ exactly and α cancels to ±1e−16
+    * whose SIGN is engine-dependent, flipping the α ≥ 0 gate (found
+    * as a 0.0-vs-NULL sf0.01 oracle failure). From identical rounded
+    * β/γ, both engines evaluate the identical sqrt/exp chain →
+    * bit-identical α and spread, emitted unrounded. `3−2√2` is a
+    * HARD literal (0.1715728752538099), never each engine's own
+    * sqrt(2). The day-pair alignment is one `lead` over the
+    * (symbol, day) frame — the daily collapse happens FIRST, so the
+    * window sees |days| rows, not ticks. */
+  def corwinSchultz(ticks: DataFrame): DataFrame = {
+    val daily = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(max("cents").as("h"), min("cents").as("l"))
+      .filter(col("l") > 0L)
+    val w = Window.partitionBy("symbol").orderBy("_date")
+    val k = 0.1715728752538099 // 3 − 2·√2
+    daily
+      .withColumn("h_next", lead(col("h"), 1).over(w))
+      .withColumn("l_next", lead(col("l"), 1).over(w))
+      .filter(col("h_next").isNotNull)
+      .withColumn("lhl",
+        log(col("h").cast("double") / col("l").cast("double")))
+      .withColumn("lhl_next",
+        log(col("h_next").cast("double") / col("l_next").cast("double")))
+      .withColumn("beta",
+        round(col("lhl") * col("lhl") + col("lhl_next") * col("lhl_next"), 4))
+      .withColumn("gamma", {
+        val l2 = log(greatest(col("h"), col("h_next")).cast("double") /
+          least(col("l"), col("l_next")).cast("double"))
+        round(l2 * l2, 4)
+      })
+      .withColumn("alpha",
+        (sqrt(lit(2.0) * col("beta")) - sqrt(col("beta"))) / lit(k) -
+          sqrt(col("gamma") / lit(k)))
+      .withColumn("cs_spread",
+        when(col("alpha") >= 0,
+          lit(2.0) * (exp(col("alpha")) - lit(1.0)) /
+            (exp(col("alpha")) + lit(1.0))))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("beta"), col("gamma"), col("alpha"), col("cs_spread"))
+      .orderBy("symbol", "date")
+  }
+
   /** D27 — RANGE-BASED VOLATILITY per symbol: Parkinson (1980) and
     * Garman–Klass (1980) estimators pooled over the symbol's trading
     * days. Daily OHLC comes from exact integer cents (arg_min/arg_max

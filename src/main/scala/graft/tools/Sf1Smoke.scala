@@ -147,7 +147,14 @@ object Sf1Smoke {
       // entropy is a narrow native pass, mixture/knn/ivfpq ride the
       // same broadcast/bucket shapes as their parents.
       "q_lm_surprisal", "q_char_entropy", "q_mixture_sample",
-      "q_knn_density", "q_ivfpq_search", "q_bigram_surprisal")
+      "q_knn_density", "q_ivfpq_search", "q_bigram_surprisal",
+      // round-9 session-3 additions: containment rides F4's capped
+      // inverted index (worst case: every replica text shares every
+      // gram), CMS/BPE/DSIR are vocab-keyed aggregates whose key
+      // space is FIXED while occurrences 10x — the shapes that must
+      // stay linear.
+      "q_containment", "q_cms_heavy_hitters", "q_bpe_pairs",
+      "q_importance_weights")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -161,7 +168,11 @@ object Sf1Smoke {
       // window+agg shapes on (symbol[, day]) like the EWMA/tick-rule
       // pair; the forward as-of is E1's scan reversed.
       "q_roll_spread", "q_amihud", "q_flow_imbalance",
-      "q_variance_ratio", "q_asof_forward", "q_scd2", "q_cdc_apply")
+      "q_variance_ratio", "q_asof_forward", "q_scd2", "q_cdc_apply",
+      // round-9 session-3: range vol collapses to (symbol, day) in
+      // its first aggregate; the funnel is three shrinking user-keyed
+      // conditional MINs.
+      "q_range_vol", "q_funnel")
     val family =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily

@@ -277,6 +277,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((1L, "s1", 960000L), (2L, "s2", 35000L)))
   }
 
+  test("topSupplier keeps ALL suppliers tied at the max quarter revenue") {
+    val supplier = Seq((1L, "s1", 0), (2L, "s2", 0), (3L, "s3", 0))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val lineitem = Seq(
+      (1L, 5.0, 0.0, ts("1996-02-01 00:00:00")),
+      (2L, 5.0, 0.0, ts("1996-02-01 00:00:00")),  // tie with s1
+      (3L, 4.0, 0.0, ts("1996-02-01 00:00:00")),  // below max
+      (1L, 9.0, 0.0, ts("1996-06-01 00:00:00")))  // outside quarter
+      .toDF("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = Analytics.topSupplier(supplier, lineitem,
+      "1996-01-01 00:00:00", "1996-04-01 00:00:00")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "s1", 50000L), (2L, "s2", 50000L)))
+  }
+
   test("returnedItemRevenue aggregates only R-flagged lines inside the " +
       "order-date quarter, top-k by revenue then custkey") {
     val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")

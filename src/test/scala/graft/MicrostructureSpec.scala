@@ -195,6 +195,36 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.getAs[Long]("n_classified") == 1L)
   }
 
+  test("corwinSchultz: beta=gamma boundary is deterministic, widening " +
+      "ranges drive alpha negative (NULL spread), pairs need a next day") {
+    val tk = ticks(
+      // day 1: range [8.00, 12.00]
+      (1L, 1L, "2024-01-01 10:00:00", 12.00, 0.0),
+      (2L, 1L, "2024-01-01 11:00:00", 8.00, 0.0),
+      // day 2: constant 10.00 inside day 1's range → beta == gamma,
+      // alpha cancels to ±1e-16 — deterministic from rounded inputs
+      (3L, 1L, "2024-01-02 10:00:00", 10.00, 0.0),
+      // day 3: [1.00, 100.00] contains day 2 → beta == gamma again
+      (4L, 1L, "2024-01-03 10:00:00", 100.00, 0.0),
+      (5L, 1L, "2024-01-03 11:00:00", 1.00, 0.0),
+      // day 4: constant far outside day 3 → gamma >> beta, alpha < 0
+      (6L, 1L, "2024-01-04 10:00:00", 200.00, 0.0))
+    val out = Microstructure.corwinSchultz(tk).collect()
+    assert(out.length == 3) // last day has no successor
+    val p1 = out(0) // (day1, day2): boundary — spread NULL or ≈0
+    assert(p1.getAs[Double]("beta") == p1.getAs[Double]("gamma"))
+    assert(math.abs(p1.getAs[Double]("alpha")) < 1e-10)
+    assert(p1.isNullAt(p1.fieldIndex("cs_spread")) ||
+      math.abs(p1.getAs[Double]("cs_spread")) < 1e-10)
+    val p2 = out(1) // (day2, day3): boundary again, same guarantee
+    assert(p2.getAs[Double]("beta") == p2.getAs[Double]("gamma"))
+    assert(math.abs(p2.getAs[Double]("alpha")) < 1e-10)
+    val p3 = out(2) // (day3, day4): gamma >> beta
+    assert(p3.getAs[Double]("gamma") > p3.getAs[Double]("beta"))
+    assert(p3.getAs[Double]("alpha") < -1.0)
+    assert(p3.isNullAt(p3.fieldIndex("cs_spread")))
+  }
+
   test("rangeVolatility: OHLC by tick order, Parkinson/GK from the " +
       "literal constants, non-positive days excluded") {
     val tk = ticks(
