@@ -315,6 +315,17 @@ object SparkEntry {
     // B10 — quote-burst seconds above the per-symbol p90 rate.
     "q_burst_detect" -> ((s, d) =>
       TickOps.burstDetection(Tables.ticks(s, d), 0.90)),
+    // B11 — late-arrival audit replaying a ±10 min hash-jittered feed
+    // against a 60 s watermark (the watermark-sizing backtest).
+    "q_late_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod, unix_micros}
+      val jitter = pmod(
+        pmod(col("tick_id"), lit(graft.functions.PortableText.P)) *
+          lit(2654435761L), lit(graft.functions.PortableText.P))
+        .%(lit(1200000000L)).-(lit(600000000L))
+      TickOps.lateArrivalAudit(Tables.ticks(s, d), 60000000L,
+        unix_micros(col("ts")) + jitter)
+    }),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -1360,6 +1371,33 @@ object SparkEntry {
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
     // B10 — burst detection: threshold = exact percentile ROUNDED
     // before the strict compare (integer rates sit on interpolation
+    // B11 — late audit: jittered arrival = us + pmod-hash(tick_id) %
+    // 20min − 10min (the F16 hash, first reduction pmod-spelled);
+    // running max over (arrival, tick_id) with a 1-PRECEDING frame
+    // (never late against itself); all µs exact int64.
+    "q_late_audit" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (
+        |  SELECT symbol, tick_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + (${duckHashOrder("tick_id")}) % 1200000000 - 600000000
+        |      AS arr
+        |  FROM $ticksSql t),
+        |w AS (
+        |  SELECT symbol, us,
+        |    max(us) OVER (PARTITION BY symbol ORDER BY arr, tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM t)
+        |SELECT symbol, count(*) AS n_ticks,
+        |  CAST(sum(CASE WHEN wm IS NOT NULL AND us < wm - 60000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(CASE WHEN wm IS NOT NULL AND wm - us > 0
+        |    THEN wm - us ELSE 0 END) AS BIGINT) AS max_lateness_us,
+        |  CAST(sum(CASE WHEN wm IS NOT NULL AND us < wm - 60000000
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS late_ratio
+        |FROM w GROUP BY symbol ORDER BY symbol""".stripMargin
+    },
     // knots — the rounded value is the only safe comparand).
     "q_burst_detect" ->
       s"""WITH per AS (

@@ -62,6 +62,22 @@ object Layout {
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** H5 — HIVE-PARTITIONED write: one directory per `partCol` value,
+    * the layout that makes BOTH static partition pruning (a literal
+    * filter on partCol never opens other directories) and DYNAMIC
+    * partition pruning work — Spark inserts a runtime `dynamicpruning`
+    * subquery into the fact scan when the fact is joined on partCol
+    * to a broadcastable dim with a selective filter, so the fact
+    * reads only the partitions the dim's surviving keys name. At
+    * 100 TB this is THE difference between scanning a date-keyed
+    * fact's whole history and its queried slice (LayoutSpec proves
+    * both prunings on this layout). */
+  def partitionedWrite(df: DataFrame, path: String, partCol: String,
+                       filesPerPartition: Int = 1): Unit =
+    df.repartition(filesPerPartition, col(partCol))
+      .write.mode("overwrite")
+      .partitionBy(partCol).parquet(path)
+
   /** Linear baseline: the same data sorted and ranged by `colA` only. */
   def linearWrite(df: DataFrame, path: String, colA: String,
                   nFiles: Int): Unit =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,6 +231,49 @@ object TickOps {
         sum(when(col("n") > col("thr"), 1L).otherwise(0L)).as("n_burst"),
         max(col("n")).as("max_rate"))
       .select("symbol", "n_seconds", "n_burst", "max_rate", "thr")
+      .orderBy("symbol")
+  }
+
+  /** B11 — LATE-ARRIVAL AUDIT per symbol: how disordered is the feed,
+    * in watermark terms — a tick is LATE iff its event time is more
+    * than `delayUs` behind the maximum event time already seen on its
+    * symbol (arrival order = tick_id, the file/ingest sequence). This
+    * is exactly the row a Structured Streaming watermark of the same
+    * delay would DROP, so the report doubles as the watermark-sizing
+    * tool: pick the delay where n_late goes to zero and that is the
+    * safe `withWatermark` setting for every G-block query. Streaming
+    * twin: [[graft.streaming.Streaming.lateFlags]] (G17), decisions
+    * identical when the stream replays in tick_id order (spec'd).
+    *
+    * `arrival` is the replay order to audit — `col("tick_id")` for
+    * the feed's own order (degenerate 0-late on an already-sorted
+    * feed), or a deterministic jittered order to BACKTEST a watermark
+    * against simulated feed disorder before deploying it (the
+    * registry query replays with ±10 min portable-hash jitter).
+    *
+    * Shape: ONE symbol exchange — the running max (1-preceding frame,
+    * so a tick is never late against itself) and the aggregate share
+    * it. All event times exact int64 epoch µs (ns→µs rule);
+    * max/count/sums are order-free. First tick per symbol has no
+    * predecessor → on time by definition. */
+  def lateArrivalAudit(ticks: DataFrame, delayUs: Long,
+                       arrival: Column): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(arrival, col("tick_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ticks
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("wm_us", max(col("us")).over(w))
+      .withColumn("late",
+        col("wm_us").isNotNull && col("us") < col("wm_us") - delayUs)
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max(when(col("wm_us").isNotNull && col("wm_us") - col("us") > 0,
+          col("wm_us") - col("us")).otherwise(0L)).as("max_lateness_us"))
+      .withColumn("late_ratio",
+        col("n_late").cast("double") / col("n_ticks").cast("double"))
+      .select("symbol", "n_ticks", "n_late", "max_lateness_us", "late_ratio")
       .orderBy("symbol")
   }
 }

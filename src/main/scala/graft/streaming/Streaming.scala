@@ -490,6 +490,43 @@ object Streaming {
       }
   }
 
+  case class LateFlag(tick_id: Long, symbol: Long, us: Long,
+                      wm_us: Option[Long], late: Boolean)
+
+  /** G17 — STREAMING LATE-ARRIVAL FLAGS: B11's live twin — per
+    * symbol, keyed state holds the maximum event time seen; a tick is
+    * flagged late iff it trails that maximum by more than `delayUs`
+    * (the row a real watermark of the same delay would silently
+    * DROP — this operator makes the drop set observable, which is how
+    * you SIZE the watermark before turning it on). State is one int64
+    * per symbol. Parity (spec'd): replayed in tick_id order the flags
+    * equal `TickOps.lateArrivalAudit`'s per-tick decisions — the
+    * batch running max IS the stream's state max under that order;
+    * within a micro-batch rows are (tick_id)-sorted, across batches
+    * arrival order governs (G7's contract). `wm_us` reports the max
+    * BEFORE this tick (None for a symbol's first tick — on time by
+    * definition), exactly the batch op's 1-preceding frame. */
+  def lateFlags(ticks: Dataset[Tick], delayUs: Long): Dataset[LateFlag] = {
+    import ticks.sparkSession.implicits._
+    def us(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick], state: GroupState[Long]) =>
+          var maxUs = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(_.tick_id).map { t =>
+            val u = us(t.ts)
+            val wm = if (maxUs == Long.MinValue) None else Some(maxUs)
+            val late = wm.exists(m => u < m - delayUs)
+            if (u > maxUs) maxUs = u
+            LateFlag(t.tick_id, symbol, u, wm, late)
+          }
+          state.update(maxUs)
+          out.iterator
+      }
+  }
+
   /** Per-doc verdict over one micro-batch of [[nearDupBandFlags]]
     * output (use inside `foreachBatch`): duplicate iff any band hit a
     * previously-claimed bucket. */

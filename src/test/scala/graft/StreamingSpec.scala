@@ -497,6 +497,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G17 parity: lateFlags replayed in tick_id order matches the " +
+      "batch lateArrivalAudit counts, watermark state crossing batches") {
+    import graft.streaming.Streaming.LateFlag
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:00"), 1.0),
+      Tick(2L, 1L, t("2024-01-01 10:05:00"), 1.0),
+      // 4 min behind the max seen (10:05) — late under 60s, batch 2
+      Tick(3L, 1L, t("2024-01-01 10:01:00"), 1.0),
+      // 30 s behind the max — within the 60 s allowance
+      Tick(4L, 1L, t("2024-01-01 10:04:30"), 1.0),
+      Tick(5L, 2L, t("2024-01-01 10:00:00"), 1.0)) // other symbol: first
+    val batch = graft.operators.TickOps.lateArrivalAudit(
+      rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid))
+        .toDF("tick_id", "symbol", "ts", "bid", "ask"),
+      60000000L, col("tick_id"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.lateFlags(in.toDS(), 60000000L)
+      .writeStream.format("memory").queryName("p_lf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val flags = spark.table("p_lf").as[LateFlag].collect()
+      assert(flags.count(_.late) == 1)
+      assert(flags.find(_.tick_id == 3L).get.late) // the 4-min straggler
+      assert(!flags.find(_.tick_id == 4L).get.late) // inside allowance
+      assert(flags.find(_.tick_id == 5L).get.wm_us.isEmpty) // first of sym 2
+      // per-symbol late counts equal the batch audit
+      val streamCounts = flags.groupBy(_.symbol)
+        .map { case (s, fs) => s -> fs.count(_.late).toLong }
+      assert(streamCounts(1L) == batch(1L)._3 && streamCounts(2L) == batch(2L)._3)
+    } finally q.stop()
+  }
+
   test("G16 parity: funnelProgress fed in event-time order matches the " +
       "batch funnel chain, state persisting across micro-batches") {
     import graft.streaming.Streaming.{FunnelEvent, FunnelAdvance}
