@@ -157,6 +157,25 @@ object SparkEntry {
     "q_top_supplier" -> ((s, d) =>
       Analytics.topSupplier(Tables.supplier(s, d), Tables.lineitem(s, d),
         "1996-01-01 00:00:00", "1996-04-01 00:00:00")),
+    // C26 — trailing 3-month RANGE-frame revenue per priority.
+    "q_trailing_revenue" -> ((s, d) =>
+      Analytics.trailingRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // A18 — declarative constraint audit over lineitem (one scan) +
+    // referential orphan check, one report.
+    "q_constraint_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val row = Lakehouse.constraintAudit(Tables.lineitem(s, d), Seq(
+        ("quantity_positive", col("l_quantity") <= 0),
+        ("discount_in_range", col("l_discount") < 0 || col("l_discount") > 1),
+        ("shipdate_not_null", col("l_shipdate").isNull),
+        ("price_positive", col("l_extendedprice") <= 0)))
+      val ref = Lakehouse.referentialViolations(Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey", "orderkey_in_orders")
+      row.unionByName(ref
+        .select(col("constraint_name"), col("n_violations"),
+          col("total_rows"), col("pass")))
+        .orderBy(col("constraint_name"))
+    }),
     "q_having" -> ((s, d) =>
       Analytics.largeVolumeOrders(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), 210.0)),
@@ -881,6 +900,60 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // C26 — trailing 3-month RANGE frame on an integer month index
+    // (gap months count out of the window — the RANGE-vs-ROWS point);
+    // window sums CAST AS BIGINT (HUGEINT rule).
+    "q_trailing_revenue" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+        |      AS rev_cc
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT o_orderpriority,
+        |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS month_idx,
+        |    CAST(sum(rev_cc) AS BIGINT) AS rev_cc
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT o_orderpriority, CAST(month_idx AS BIGINT) AS month_idx,
+        |  rev_cc,
+        |  CAST(sum(rev_cc) OVER w AS BIGINT) AS trailing3_cc,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_months_in_window
+        |FROM m
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month_idx
+        |  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, month_idx""".stripMargin,
+    // A18 — all row predicates in ONE conditional aggregate; the
+    // referential check is an anti-join count UNION'd in.
+    "q_constraint_audit" ->
+      """WITH base AS (
+        |  SELECT count(*) AS total_rows,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ship,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price
+        |  FROM lineitem),
+        |ref AS (
+        |  SELECT (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |    AS n_violations,
+        |    (SELECT count(*) FROM lineitem) AS total_rows)
+        |SELECT constraint_name, n_violations, total_rows,
+        |  n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'quantity_positive' AS constraint_name, v_qty AS n_violations,
+        |    total_rows FROM base
+        |  UNION ALL SELECT 'discount_in_range', v_disc, total_rows FROM base
+        |  UNION ALL SELECT 'shipdate_not_null', v_ship, total_rows FROM base
+        |  UNION ALL SELECT 'price_positive', v_price, total_rows FROM base
+        |  UNION ALL SELECT 'orderkey_in_orders', n_violations, total_rows
+        |    FROM ref) u
+        |ORDER BY constraint_name""".stripMargin,
     // C25 — groupwise-max view with ties kept; "= max" is an exact
     // int64 compare on centi-cent sums.
     "q_top_supplier" ->

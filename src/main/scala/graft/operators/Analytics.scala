@@ -518,6 +518,37 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** C26 — TRAILING 3-MONTH revenue per priority via a RANGE window
+    * frame — the moving-aggregate OLAP shape C17's running total
+    * doesn't cover, and deliberately RANGE, not ROWS: a priority with
+    * a silent month still gets that month counted out of its trailing
+    * window (a 2-PRECEDING-ROWS frame would wrongly stretch across
+    * the gap). The frame key is an INTEGER month index (yr·12+mo) so
+    * both engines share exact frame-boundary arithmetic — interval
+    * range frames are engine-dialect quicksand. Same scale shape as
+    * C17: one monthly partial-agg shuffle, the window reuses its
+    * (priority) exchange; revenue exact int64 centi-cents so the
+    * trailing sums are order-free. */
+  def trailingRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+      revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
+    val monthly = orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("month_idx"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority", "month_idx")
+      .agg(sum("rev_cc").as("rev_cc"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month_idx")
+      .rangeBetween(-2, 0)
+    monthly
+      .withColumn("trailing3_cc", sum("rev_cc").over(w))
+      .withColumn("n_months_in_window", count(lit(1)).over(w))
+      .select(col("o_orderpriority"), col("month_idx"), col("rev_cc"),
+        col("trailing3_cc"), col("n_months_in_window"))
+      .orderBy("o_orderpriority", "month_idx")
+  }
+
   /** C25 — TPC-H Q15's essence: the top-revenue supplier(s) over a
     * quarter, TIES KEPT — the `revenue = (SELECT max(revenue))`
     * groupwise-max view shape (C12's min-join-back applied to a

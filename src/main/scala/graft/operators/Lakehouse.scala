@@ -188,4 +188,48 @@ object Lakehouse {
                      targetSnapshot: Long, tsCol: String, valCol: String): DataFrame =
     partitionStats(rollbackTo(df, idCol, rowsPerSnapshot, targetSnapshot),
       tsCol, valCol)
+
+  /** A18 — DECLARATIVE CONSTRAINT AUDIT (the dbt-test / expectations
+    * contract layer): each constraint is (name, violation-predicate
+    * Column) and the report is one row per constraint — violation
+    * count and pass flag — the artifact a write-audit-publish gate
+    * reads before promoting a snapshot. ALL predicates evaluate in
+    * ONE scan (a single aggregate of conditional sums — adding a
+    * constraint adds a column, never a pass); the unpivot to rows is
+    * a stack() over the 1-row aggregate, size |constraints|.
+    * Referential checks (FK ⊆ PK) don't fit a row predicate — use
+    * [[referentialViolations]] and UNION the reports. */
+  def constraintAudit(df: DataFrame,
+                      constraints: Seq[(String, Column)]): DataFrame = {
+    val sums = constraints.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    val agg = df.agg(count(lit(1)).as("total_rows"), sums: _*)
+    val stackArgs = constraints.map { case (name, _) =>
+      s"'$name', v_$name"
+    }.mkString(", ")
+    agg.select(col("total_rows"),
+      expr(s"stack(${constraints.size}, $stackArgs) AS (constraint_name, n_violations)"))
+      .select(col("constraint_name"), col("n_violations"),
+        col("total_rows"), (col("n_violations") === 0L).as("pass"))
+      .orderBy("constraint_name")
+  }
+
+  /** A18b — referential-integrity half of the audit: count fact rows
+    * whose key has NO match in the dimension (orphan FKs). Left-anti
+    * join on the key — the dim side is pre-projected to its key
+    * column, so the anti shuffle carries 8 bytes/row; at 100 TB this
+    * is the same shape as C6. */
+  def referentialViolations(fact: DataFrame, factKey: String,
+                            dim: DataFrame, dimKey: String,
+                            name: String): DataFrame = {
+    val total = fact.agg(count(lit(1)).as("total_rows"))
+    fact.select(col(factKey))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(total)
+      .select(lit(name).as("constraint_name"), col("n_violations"),
+        col("total_rows"), (col("n_violations") === 0L).as("pass"))
+  }
 }

@@ -277,6 +277,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Seq((1L, "s1", 960000L), (2L, "s2", 35000L)))
   }
 
+  test("trailingRevenue: RANGE frame counts gap months OUT of the " +
+      "window where a ROWS frame would stretch across") {
+    val orders = Seq(
+      (1L, "P", ts("1996-01-15 00:00:00")),
+      (2L, "P", ts("1996-02-15 00:00:00")),
+      // March silent, April active: trailing window at April must
+      // cover {Feb, Mar, Apr} -> Feb + Apr only, NOT Jan.
+      (3L, "P", ts("1996-04-15 00:00:00")))
+      .toDF("o_orderkey", "o_custkey_unused", "o_orderdate")
+      .withColumnRenamed("o_custkey_unused", "o_orderpriority")
+    val li = Seq((1L, 1.0, 0.0), (2L, 2.0, 0.0), (3L, 4.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val out = Analytics.trailingRevenue(orders, li)
+      .as[(String, Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._3, r._4, r._5)) == Seq(
+      (10000L, 10000L, 1L),            // Jan: itself
+      (20000L, 30000L, 2L),            // Feb: Jan+Feb
+      (40000L, 60000L, 2L)))           // Apr: Feb+Apr (Jan aged out)
+  }
+
+  test("constraintAudit evaluates every predicate in one scan and " +
+      "referentialViolations counts orphan keys") {
+    val li = Seq(
+      (1L, 5.0, 0.1, Some(ts("1996-01-01 00:00:00"))),
+      (2L, -1.0, 0.5, Some(ts("1996-01-02 00:00:00"))),  // qty violation
+      (3L, 3.0, 1.5, None))                              // disc + null ship
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val audit = Lakehouse.constraintAudit(li, Seq(
+      ("qty_pos", col("l_quantity") <= 0),
+      ("disc_range", col("l_discount") < 0 || col("l_discount") > 1),
+      ("ship_nn", col("l_shipdate").isNull)))
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(audit == Seq(
+      ("disc_range", 1L, 3L, false),
+      ("qty_pos", 1L, 3L, false),
+      ("ship_nn", 1L, 3L, false)))
+    val orders = Seq(Tuple1(1L), Tuple1(3L)).toDF("o_orderkey")
+    val ref = Lakehouse.referentialViolations(li, "l_orderkey",
+      orders, "o_orderkey", "fk")
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(ref == ("fk", 1L, 3L, false)) // orderkey 2 is orphan
+  }
+
   test("topSupplier keeps ALL suppliers tied at the max quarter revenue") {
     val supplier = Seq((1L, "s1", 0), (2L, "s2", 0), (3L, "s3", 0))
       .toDF("s_suppkey", "s_name", "s_nationkey")
