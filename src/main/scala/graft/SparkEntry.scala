@@ -453,6 +453,13 @@ object SparkEntry {
       TextDedup.dedupClustersFromBuckets(docs,
         TextDedup.minhashBucketAssignments(docs))
     }),
+    // F50 — cluster-size distribution over the F13 clustering.
+    "q_cluster_sizes" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.clusterSizeProfile(
+        TextDedup.dedupClustersFromBuckets(docs,
+          TextDedup.minhashBucketAssignments(docs)))
+    }),
     "q_dedup_minhash" -> ((s, d) => TextDedup.minHashBands(Tables.documents(s, d))),
     "q_dedup_greedy" -> ((s, d) => TextDedup.greedyNearDup(Tables.documents(s, d))),
     // F16b — source-stratified eval split (10% of each source).
@@ -500,6 +507,9 @@ object SparkEntry {
       TextDedup.bpePairStats(Tables.documents(s, d), 20)),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
+    // F49 — per-label centroid drift vs the global centroid.
+    "q_centroid_drift" -> ((s, d) =>
+      Vectors.centroidDrift(Tables.embeddings(s, d))),
     "q_ann_topk" -> ((s, d) =>
       Vectors.bruteForceKnn(Tables.embeddings(s, d), 10, 5)),
     "q_ann_lsh" -> ((s, d) => Vectors.lshBuckets(Tables.embeddings(s, d), 8)),
@@ -2209,6 +2219,33 @@ object SparkEntry {
         |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+    // F50 — same recursive-CTE CC as q_dedup_clusters, then the two
+    // exact-int histogram aggregates.
+    "q_cluster_sizes" -> {
+      import graft.functions.PortableText._
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cc(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b),
+        |lab AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab
+        |  GROUP BY cluster)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  cluster_size * count(*) AS n_docs
+        |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+    },
     "q_dedup_simhash" -> {
       import graft.functions.PortableText._
       s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents)
@@ -2319,6 +2356,37 @@ object SparkEntry {
         |WHERE CAST(p.inter AS DOUBLE) / CAST(ca.n AS DOUBLE) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // F49 — centroid drift: per-(label,pos) mean scaled+rounded to
+    // exact int64; global centroid DEFINED from those quantized means
+    // (n-weighted, one division + round); dots/norms exact ints,
+    // cosine one IEEE division, unrounded.
+    "q_centroid_drift" ->
+      """WITH inv AS (
+        |  SELECT label, i.i AS pos,
+        |    CAST(embedding[CAST(i.i + 1 AS INT)] AS DOUBLE) AS v
+        |  FROM embeddings, (SELECT unnest(range(64)) AS i) i),
+        |comps AS (
+        |  SELECT label, pos,
+        |    CAST(round(sum(v) / count(*) * 1000000.0, 0) AS BIGINT) AS cq,
+        |    count(*) AS n
+        |  FROM inv GROUP BY label, pos),
+        |g AS (
+        |  SELECT pos,
+        |    CAST(round(CAST(sum(cq * n) AS DOUBLE)
+        |      / CAST(sum(n) AS DOUBLE), 0) AS BIGINT) AS gq
+        |  FROM comps GROUP BY pos),
+        |dots AS (
+        |  SELECT label, max(n) AS n_vectors,
+        |    CAST(sum(cq * cq) AS BIGINT) AS ll,
+        |    CAST(sum(gq * gq) AS BIGINT) AS gg,
+        |    CAST(sum(cq * gq) AS BIGINT) AS lg
+        |  FROM comps JOIN g USING (pos) GROUP BY label)
+        |SELECT label, n_vectors,
+        |  sqrt(CAST(ll AS DOUBLE)) / 1000000.0 AS centroid_norm,
+        |  CASE WHEN ll > 0 AND gg > 0 THEN CAST(lg AS DOUBLE)
+        |    / (sqrt(CAST(ll AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE))) END
+        |    AS cos_to_global
+        |FROM dots ORDER BY label""".stripMargin,
     // Candidates from shared LSH bucket (same hyperplane arithmetic as
     // q_ann_lsh); label equality is a filter, not the bucket key.
     "q_dedup_cosine" ->

@@ -856,6 +856,23 @@ object TextDedup {
         "exact_ndv", "rel_err")
   }
 
+  /** F50 — DEDUP CLUSTER-SIZE PROFILE: the size distribution of
+    * near-dup clusters (how much of the corpus sits in 2-dup pairs
+    * vs 1000-copy template families) plus the doc mass per size —
+    * the report that decides whether dedup should drop-all-but-one
+    * (long tail of small clusters) or needs template-aware handling
+    * (few massive clusters). Two further aggregates on the F13
+    * output's cluster key: sizes (|docs|-keyed) then the
+    * size-histogram (≤ |distinct sizes| rows) — both map-side
+    * combined; everything exact int64. */
+  def clusterSizeProfile(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select("cluster_size", "n_clusters", "n_docs")
+      .orderBy("cluster_size")
+
   /** F47 — COUNT-MIN SKETCH heavy hitters with an exact audit: the
     * mergeable frequency sketch a 100 TB token profile maintains
     * instead of an exact vocabulary count (4×1024 int64 cells per

@@ -36,6 +36,59 @@ object Vectors {
   private def withNorm(emb: DataFrame, dim: Int = Dim): DataFrame =
     emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"), dim)))
 
+  /** F49 — EMBEDDING CENTROID DRIFT monitor: per-label centroid vs
+    * the global centroid — the embedding-space ingest monitor (a new
+    * crawl snapshot or a changed encoder shifts a slice's centroid
+    * long before downstream eval catches it; F44's drift idea lifted
+    * from token space to vector space). Report per label: vector
+    * count, centroid L2 norm, and cosine(label centroid, global
+    * centroid).
+    *
+    * Engine-exactness via CENTROID QUANTIZATION: per-dimension means
+    * (the only float aggregates) are rounded at 1e-6 and scaled to
+    * exact int64; every dot/norm after that is EXACT integer
+    * arithmetic (64 products ≤ 1e12·64 — no overflow), the norms are
+    * sqrt of ints (IEEE-exact) and each cosine ONE division —
+    * nothing depends on a float reduction order past the rounded
+    * mean (the D19 discipline applied per dimension).
+    *
+    * Shape: one posexplode → (label, pos) partial-agg shuffle
+    * (|labels|·dim rows out), the global centroid aggregated FROM
+    * that collapsed frame, joined back on pos (dim-sized broadcast).
+    * The 100 TB embedding scan happens once. */
+  def centroidDrift(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val comps = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      // scale THEN round to an integer (round(x,6)*1e6 can land at
+      // 123455.9999… and truncate differently per engine)
+      .select(col("label"), col("pos"),
+        round(col("s") / col("n") * 1000000.0, 0).cast("long").as("cq"),
+        col("n"))
+      .localCheckpoint(true)
+    // Global centroid DEFINED from the quantized per-label means
+    // (n-weighted), so it too is derived-from-rounded: gq =
+    // round(Σ cq·n / Σ n) — the numerator is exact int64.
+    val globalC = comps.groupBy("pos")
+      .agg(round(sum(col("cq") * col("n")).cast("double") /
+        sum(col("n")).cast("double"), 0).cast("long").as("gq"))
+    comps.join(broadcast(globalC), "pos")
+      .groupBy("label")
+      .agg(
+        max("n").as("n_vectors"),
+        sum(col("cq") * col("cq")).as("ll"),
+        sum(col("gq") * col("gq")).as("gg"),
+        sum(col("cq") * col("gq")).as("lg"))
+      .withColumn("centroid_norm", sqrt(col("ll").cast("double")) / 1e6)
+      .withColumn("cos_to_global",
+        when(col("ll") > 0 && col("gg") > 0,
+          col("lg").cast("double") /
+            (sqrt(col("ll").cast("double")) * sqrt(col("gg").cast("double")))))
+      .select("label", "n_vectors", "centroid_norm", "cos_to_global")
+      .orderBy("label")
+  }
+
   /** F6 — brute-force cosine top-k: the first `nQueries` vectors are
     * queries; each scans all candidates. The query side is tiny by
     * construction → `broadcast`, so the candidate scan never shuffles;

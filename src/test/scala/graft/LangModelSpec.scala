@@ -129,6 +129,24 @@ class LangModelSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_neighbors") == 3L))
   }
 
+  test("centroidDrift: a label aligned with the global mean scores " +
+      "cosine ~1, an orthogonal label scores ~0") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // label 0 dominates the global centroid along dim 0; label 1 is
+    // orthogonal along dim 1.
+    val rows = Seq(
+      (0L, v(1, 0, 0, 0), 0), (1L, v(1, 0, 0, 0), 0),
+      (2L, v(1, 0, 0, 0), 0), (3L, v(1, 0, 0, 0), 0),
+      (4L, v(0, 1, 0, 0), 1))
+    val out = Vectors.centroidDrift(
+      rows.toDF("vec_id", "embedding", "label"), 4).collect()
+    val byLabel = out.map(r => r.getAs[Int]("label") -> r).toMap
+    assert(byLabel(0).getAs[Long]("n_vectors") == 4L)
+    assert(byLabel(0).getAs[Double]("cos_to_global") > 0.95)
+    assert(byLabel(1).getAs[Double]("cos_to_global") < 0.3)
+    assert(math.abs(byLabel(0).getAs[Double]("centroid_norm") - 1.0) < 1e-6)
+  }
+
   test("importanceWeights: target-exclusive tokens score the size " +
       "ratio over their frequency, absent-from-target tokens zero") {
     // corpus: target doc "x x" (src T), other doc "y y" (src W)

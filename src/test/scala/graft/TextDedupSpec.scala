@@ -108,6 +108,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out.length == 2) // doc15 shares nothing
   }
 
+  test("clusterSizeProfile histograms cluster sizes with doc mass") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),  // one 3-cluster
+      (4L, 4L), (5L, 5L))            // two singletons
+      .toDF("doc_id", "cluster")
+    val out = TextDedup.clusterSizeProfile(clusters)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L), (3L, 1L, 3L)))
+  }
+
   test("cmsHeavyHitters: estimates are never below exact counts and the " +
       "top token ranks first") {
     val out = TextDedup.cmsHeavyHitters(docs(
