@@ -397,6 +397,13 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       TemporalJoins.funnel(Tables.events(s, d), "view", "click",
         "purchase", 86400000000L)),
+    // E10 — per-symbol calendar coverage / missing-day report.
+    "q_calendar_coverage" -> ((s, d) =>
+      TemporalJoins.calendarCoverage(Tables.ticks(s, d))),
+    // D29 — trailing 5-day rolling correlation per symbol pair.
+    "q_rolling_corr" -> ((s, d) =>
+      TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)), 5)),
     "q_asof_forward" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -1912,6 +1919,55 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type IN ('click','view')) q
         |  ON t.user_id = q.user_id AND t.ts >= q.ts
         |ORDER BY trade_id""".stripMargin,
+    // E10 — coverage: per-symbol generate_series day grid left-joined
+    // to the collapsed (symbol, day) frame; exact int counts, one
+    // unrounded division.
+    "q_calendar_coverage" ->
+      s"""WITH days AS (
+        |  SELECT symbol, CAST(ts AS DATE) AS d, count(*) AS n_ticks
+        |  FROM $ticksSql t GROUP BY symbol, CAST(ts AS DATE)),
+        |span AS (SELECT symbol, min(d) AS d0, max(d) AS d1
+        |  FROM days GROUP BY symbol),
+        |grid AS (SELECT symbol, CAST(g.g AS DATE) AS d
+        |  FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(g))
+        |SELECT symbol,
+        |  count(*) AS n_days_span,
+        |  CAST(sum(CASE WHEN days.n_ticks IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_days_active,
+        |  CAST(sum(CASE WHEN days.n_ticks IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_days_missing,
+        |  CAST(sum(CASE WHEN days.n_ticks IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*) AS coverage
+        |FROM grid LEFT JOIN days USING (symbol, d)
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D29 — rolling corr over a ROWS frame on the shared daily grid;
+    // moves exact cents, corr round(4), <2-point windows NULL.
+    "q_rolling_corr" ->
+      s"""WITH grid AS (
+        |  SELECT symbol, CAST(ts AS DATE) AS d,
+        |    arg_min(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS cents
+        |  FROM $ticksSql t GROUP BY symbol, CAST(ts AS DATE)),
+        |rets AS (
+        |  SELECT symbol, d,
+        |    CAST(cents - lag(cents) OVER (PARTITION BY symbol ORDER BY d)
+        |      AS DOUBLE) AS mv
+        |  FROM grid),
+        |r AS (SELECT * FROM rets WHERE mv IS NOT NULL),
+        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |  AS p(sym_a, sym_b)),
+        |al AS (
+        |  SELECT p.sym_a, p.sym_b, a.d, a.mv AS d_a, b.mv AS d_b
+        |  FROM pairs p
+        |  JOIN r a ON a.symbol = p.sym_a
+        |  JOIN r b ON b.symbol = p.sym_b AND b.d = a.d)
+        |SELECT sym_a, sym_b, strftime(d, '%Y-%m-%d') AS date,
+        |  round(corr(d_a, d_b) OVER w, 4) AS roll_corr,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_in_window
+        |FROM al
+        |WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY d
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY sym_a, sym_b, date""".stripMargin,
     // E9 — funnel: chained conditional MINs in exact int64 epoch µs
     // (ns→µs cast rule); dropouts keep NULLs via left joins.
     "q_funnel" ->

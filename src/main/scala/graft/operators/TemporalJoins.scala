@@ -353,6 +353,94 @@ object TemporalJoins {
       .orderBy("sym_lead", "sym_lag")
   }
 
+  /** E10 — CALENDAR COVERAGE / GAP report per symbol: which days of
+    * each instrument's own [first, last] span have NO ticks — the
+    * completeness check behind every D-block daily statistic (a
+    * missing day silently biases realized vol, beta, drawdown; this
+    * op makes the bias measurable BEFORE trusting them). The grid is
+    * GENERATED, not joined from a reference table: `sequence(first,
+    * last, 1 day)` exploded per symbol — |span| rows per instrument,
+    * bounded by calendar time, never by tick volume.
+    *
+    * Shape: one (symbol, day) partial-agg collapse of the fact, one
+    * per-symbol min/max aggregate OF that collapsed frame, the grid
+    * explode off the 1-row-per-symbol frame, and a left join back on
+    * the collapsed days — the 100 TB scan happens once; everything
+    * after is calendar-sized. Counts exact int64; coverage is one
+    * IEEE division of exact ints, unrounded. */
+  def calendarCoverage(ticks: DataFrame): DataFrame = {
+    val days = ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(count(lit(1)).as("n_ticks"))
+      .localCheckpoint(true)
+    val span = days.groupBy("symbol")
+      .agg(min("_date").as("d0"), max("_date").as("d1"))
+    val grid = span
+      .select(col("symbol"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("_date"))
+    grid.join(days, Seq("symbol", "_date"), "left")
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_days_span"),
+        sum(when(col("n_ticks").isNotNull, 1L).otherwise(0L))
+          .as("n_days_active"),
+        sum(when(col("n_ticks").isNull, 1L).otherwise(0L))
+          .as("n_days_missing"))
+      .withColumn("coverage",
+        col("n_days_active").cast("double") /
+          col("n_days_span").cast("double"))
+      .select("symbol", "n_days_span", "n_days_active", "n_days_missing",
+        "coverage")
+      .orderBy("symbol")
+  }
+
+  /** D29 — ROLLING pairwise CORRELATION on the daily grid: E7's
+    * lead-lag statistic turned into a TIME SERIES — for each symbol
+    * pair, the trailing `windowDays`-day Pearson correlation of
+    * daily moves, the rolling co-movement monitor risk models read
+    * (a regime break shows as the rolling corr walking away from its
+    * long-run value). Same grid as E7 (first tick per (symbol, day)
+    * by tick_id, moves in exact cents); the pair frame aligns on the
+    * shared bucket via the broadcast pair list; `corr` runs as a
+    * WINDOW aggregate over a ROWS frame partitioned by pair — one
+    * exchange on the pair key, |pairs|·|days| rows total, calendar-
+    * bounded. Rolling corr round(4) (aggregate-double rule); windows
+    * narrower than 2 points give NULL (corr undefined). */
+  def rollingPairCorr(ticks: DataFrame, pairs: Seq[(Long, Long)],
+                      windowDays: Int): DataFrame = {
+    val ss = ticks.sparkSession
+    import ss.implicits._
+    val pairsDf = pairs.toDF("sym_a", "sym_b")
+    val grid = ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(min_by(col("bid"), col("tick_id")).as("bid"))
+      .select(col("symbol"), col("_date"),
+        round(col("bid") * 100.0, 0).cast("long").as("cents"))
+    val w = Window.partitionBy("symbol").orderBy("_date")
+    val rets = grid
+      .withColumn("d", (col("cents") - lag(col("cents"), 1).over(w))
+        .cast("double"))
+      .filter(col("d").isNotNull)
+      .localCheckpoint(true)
+    val a = rets.select(col("symbol").as("sym_a"), col("_date"),
+      col("d").as("d_a"))
+    val b = rets.select(col("symbol").as("_bsym"),
+      col("_date").as("_bdate"), col("d").as("d_b"))
+    val aligned = a
+      .join(broadcast(pairsDf), Seq("sym_a"))
+      .join(b, col("sym_b") === col("_bsym") && col("_date") === col("_bdate"))
+    val wRoll = Window.partitionBy("sym_a", "sym_b").orderBy("_date")
+      .rowsBetween(-(windowDays - 1), 0)
+    aligned
+      .withColumn("roll_corr", round(corr(col("d_a"), col("d_b")).over(wRoll), 4))
+      .withColumn("n_in_window", count(lit(1)).over(wRoll))
+      .select(col("sym_a"), col("sym_b"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("roll_corr"), col("n_in_window"))
+      .orderBy("sym_a", "sym_b", "date")
+  }
+
   /** E9 — FUNNEL MATCH: the ordered event-sequence operator behind
     * every conversion report — per user, the earliest greedy chain
     * `step1 → step2 → step3` where each step is the FIRST qualifying

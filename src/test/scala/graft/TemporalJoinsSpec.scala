@@ -188,6 +188,42 @@ class TemporalJoinsSpec extends SparkSpec {
       math.rint(expected * 1e4) / 1e4)
   }
 
+  test("calendarCoverage counts missing days inside each symbol's own span") {
+    val tk = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), 1.0, 1.0),
+      (2L, 1L, t("2024-01-03 10:00:00"), 1.0, 1.0),  // Jan 2 missing
+      (3L, 1L, t("2024-01-04 10:00:00"), 1.0, 1.0),
+      (4L, 2L, t("2024-02-01 10:00:00"), 1.0, 1.0))  // single day
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.calendarCoverage(tk)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, 3L, 1L, 0.75),
+      (2L, 1L, 1L, 0L, 1.0)))
+  }
+
+  test("rollingPairCorr: perfectly co-moving symbols give corr 1.0 and " +
+      "sub-2-point windows give NULL") {
+    // bid = base + day²·sym → daily move (2·day−1)·sym varies with the
+    // day (a constant move would zero the variance and NULL the corr)
+    // while staying an exact affine multiple across the two symbols.
+    val rows = for {
+      day <- 1 to 5
+      (sym, base) <- Seq((1L, 100.0), (2L, 200.0))
+    } yield ((day * 10 + sym), sym,
+      t(f"2024-01-$day%02d 10:00:00"), base + day * day * sym, 0.0)
+    val tk = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.rollingPairCorr(tk, Seq((1L, 2L)), 3)
+      .collect()
+    assert(out.length == 4) // 4 move days
+    val first = out.head // single-point window → corr NULL
+    assert(first.isNullAt(first.fieldIndex("roll_corr")))
+    assert(first.getAs[Long]("n_in_window") == 1L)
+    // moves are affine multiples → corr exactly 1 once ≥2 points
+    assert(out.drop(1).forall(_.getAs[Double]("roll_corr") == 1.0))
+    assert(out.last.getAs[Long]("n_in_window") == 3L) // capped at window
+  }
+
   test("funnel: greedy earliest chain, out-of-window steps ignored, " +
       "dropouts keep NULLs") {
     def ev(id: Long, u: Long, ty: String, s: String) =
