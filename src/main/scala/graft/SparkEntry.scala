@@ -509,6 +509,13 @@ object SparkEntry {
     // F47 — Count-Min heavy hitters with exact audit columns.
     "q_cms_heavy_hitters" -> ((s, d) =>
       TextDedup.cmsHeavyHitters(Tables.documents(s, d), 20)),
+    // F51 — quantized-PMI collocation pairs (df-capped, presence).
+    "q_pmi_pairs" -> ((s, d) =>
+      TextDedup.pmiPairs(Tables.documents(s, d), 1000, 20, 3L)),
+    // F52 — training-mix audit vs declared target weights.
+    "q_mixture_audit" -> ((s, d) =>
+      CorpusPipeline.mixtureAudit(Tables.documents(s, d),
+        Seq(("src0", 2000L), ("src3", 3000L), ("src7", 1000L)))),
     // F48 — BPE merge-pair statistics over the weighted vocabulary.
     "q_bpe_pairs" -> ((s, d) =>
       TextDedup.bpePairStats(Tables.documents(s, d), 20)),
@@ -2343,6 +2350,62 @@ object SparkEntry {
         |  JOIN g cb ON cb.doc_id = p.doc_b
         |WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // F51 — quantized PMI: presence (distinct) tokens; two-step
+    // overflow-safe score (c_ab·((n_docs·10⁴) div c_b)) div c_a exact
+    // int64; df cap inoperative on the tiny synthetic vocab (quality
+    // knob, not a scale guard — the pair join is doc-keyed/linear);
+    // top-20 by (score desc, tok_a, tok_b).
+    "q_pmi_pairs" -> {
+      import graft.functions.PortableText._
+      s"""WITH toks AS (
+        |  SELECT DISTINCT doc_id, token
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS token
+        |    FROM documents) t),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |cap AS (SELECT doc_id, token, c FROM toks JOIN df USING (token)
+        |  WHERE c <= 1000),
+        |p AS (SELECT a.token AS tok_a, b.token AS tok_b,
+        |    a.c AS c_a, b.c AS c_b, count(*) AS c_ab
+        |  FROM cap a JOIN cap b ON a.doc_id = b.doc_id
+        |    AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING count(*) >= 3)
+        |SELECT CAST(row_number() OVER (ORDER BY score_bp DESC, tok_a,
+        |    tok_b) AS BIGINT) AS rnk,
+        |  tok_a, tok_b, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(c_b AS BIGINT) AS c_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  score_bp
+        |FROM (SELECT tok_a, tok_b, c_a, c_b, c_ab,
+        |    CAST((c_ab * ((n_docs * 10000) // c_b)) // c_a AS BIGINT)
+        |      AS score_bp
+        |  FROM p, nd) s
+        |ORDER BY rnk LIMIT 20""".stripMargin
+    },
+    // F52 — mix audit: actual share exact basis points, deviation
+    // int64, scale factor one IEEE division, absent targets 0.
+    "q_mixture_audit" -> {
+      import graft.functions.PortableText._
+      s"""WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(length($duckTokens)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+        |  FROM per),
+        |tgt AS (SELECT * FROM (VALUES ('src0', 2000), ('src3', 3000),
+        |  ('src7', 1000)) AS v(source, target_bp))
+        |SELECT per.source, n_docs, n_tokens,
+        |  (n_tokens * 10000) // tokens_total AS actual_bp,
+        |  CAST(coalesce(tgt.target_bp, 0) AS BIGINT) AS target_bp,
+        |  (n_tokens * 10000) // tokens_total
+        |    - CAST(coalesce(tgt.target_bp, 0) AS BIGINT) AS deviation_bp,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    CAST(coalesce(tgt.target_bp, 0) AS DOUBLE)
+        |      * CAST(tokens_total AS DOUBLE)
+        |      / (10000.0 * CAST(n_tokens AS DOUBLE)) END AS scale_to_target
+        |FROM per LEFT JOIN tgt USING (source), tot
+        |ORDER BY per.source""".stripMargin
     },
     // F47 — CMS: identical sketch both engines (minhash affine family
     // over PolyHash, mod 1024), est = min over 4 rows, exact audit

@@ -550,4 +550,43 @@ object CorpusPipeline {
         "chunk_fp")
       .orderBy("doc_id", "chunk_idx")
   }
+
+  /** F52 — TRAINING-MIX AUDIT: target mixture weights vs the actual
+    * token shares — the standing monitor a curated corpus runs after
+    * every ingest (F37 SAMPLES toward a mix; this MEASURES how far
+    * the current corpus sits from it, and by how much each source
+    * must be up/down-sampled to land on target). Actual share in
+    * exact basis points — `(tokens_src · 10⁴) div tokens_total` —
+    * so the deviation `actual_bp − target_bp` is pure int64;
+    * `scale_to_target` (the resampling multiplier) is ONE IEEE
+    * division of exact ints, unrounded, NULL for a source with no
+    * tokens. Sources missing from the target map audit against 0
+    * (they should not be in the mix). One token-count aggregate per
+    * source + a 1-row total — the F18 shape; the target map rides a
+    * broadcast. */
+  def mixtureAudit(docs: DataFrame,
+                   targetBp: Seq[(String, Long)]): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val targets = targetBp.toDF("source", "target_bp")
+    val perSource = docs
+      .select(col("source"), expr(s"size($tokens)").cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val total = perSource.agg(sum("n_tokens").as("tokens_total"))
+    perSource
+      .join(broadcast(targets), Seq("source"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("target_bp", coalesce(col("target_bp"), lit(0L)))
+      .withColumn("actual_bp",
+        expr("(n_tokens * 10000) DIV tokens_total"))
+      .withColumn("deviation_bp", col("actual_bp") - col("target_bp"))
+      .withColumn("scale_to_target",
+        when(col("n_tokens") > 0,
+          col("target_bp").cast("double") * col("tokens_total").cast("double")
+            / (lit(10000.0) * col("n_tokens").cast("double"))))
+      .select("source", "n_docs", "n_tokens", "actual_bp", "target_bp",
+        "deviation_bp", "scale_to_target")
+      .orderBy("source")
+  }
 }

@@ -856,6 +856,55 @@ object TextDedup {
         "exact_ndv", "rel_err")
   }
 
+  /** F51 — TOKEN CO-OCCURRENCE / quantized-PMI pairs: which token
+    * pairs co-occur in documents far beyond chance — collocation
+    * mining (phrase discovery, topic seeds) over the corpus. Score is
+    * PMI's ratio in exact basis points instead of its log:
+    * `score_bp = (c_ab · n_docs · 10⁴) div (c_a · c_b)` — >10⁴ ⇔
+    * positive PMI, monotone with it, and pure int64 (the F46
+    * quantization discipline; no libm, no smoothing).
+    *
+    * Scale shape: the pair join is keyed on DOC_ID, so its output is
+    * Σ_docs k_d² with k_d = distinct tokens per doc — bounded by
+    * document LENGTH, linear in corpus size (unlike F4's gram-keyed
+    * join, which the df cap protects from quadratic bucket blowup).
+    * The df cap here is a QUALITY knob, not a scale guard: it drops
+    * ubiquitous stop-tokens whose PMI ≈ 0 by construction before
+    * they dominate the pair stream. Doc-level DISTINCT tokens
+    * (presence, not tf); marginals from the same frame pre-join.
+    * Top-k by (score desc, pair) total order. The score uses F46's
+    * overflow-safe two-step spelling — `C = (n_docs·10⁴) div c_b`
+    * then `(c_ab·C) div c_a` — because the naive triple product
+    * overflows int64 already at ~10⁹-doc corpora; two-step keeps
+    * every intermediate ≤ n_docs·10⁴ (c_ab ≤ c_b). */
+  def pmiPairs(docs: DataFrame, maxDf: Int = 50, k: Int = 20,
+               minPairCount: Long = 3L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(expr(tokens)).as("token"))
+      .distinct()
+      .localCheckpoint(true)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dfreq = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val capped = toks.join(dfreq.filter(col("c") <= maxDf), "token")
+    val a = capped.select(col("doc_id"), col("token").as("tok_a"),
+      col("c").as("c_a"))
+    val b = capped.select(col("doc_id"), col("token").as("tok_b"),
+      col("c").as("c_b"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "c_a", "c_b")
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_bp",
+        expr("(c_ab * ((n_docs * 10000) DIV c_b)) DIV c_a"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_bp").desc, col("tok_a"), col("tok_b"))))
+      .filter(col("rnk") <= k)
+      .select("rnk", "tok_a", "tok_b", "c_a", "c_b", "c_ab", "score_bp")
+      .orderBy("rnk")
+  }
+
   /** F50 — DEDUP CLUSTER-SIZE PROFILE: the size distribution of
     * near-dup clusters (how much of the corpus sits in 2-dup pairs
     * vs 1000-copy template families) plus the doc mass per size —

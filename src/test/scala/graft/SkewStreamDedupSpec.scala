@@ -22,6 +22,44 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime " +
+      "(H6: the built-in complement to H1's manual salting)") {
+    // 200k rows on ONE key vs 2k spread over 200 keys — a single
+    // shuffle partition carries ~99% of the data.
+    val fact = spark.range(202000L)
+      .selectExpr("id", "CASE WHEN id < 200000 THEN 0 ELSE id % 200 END AS k")
+    val dim = spark.range(200L).selectExpr("id AS k", "id * 7 AS attr")
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"))
+    try {
+      // force a sort-merge join (no broadcast escape hatch) and set
+      // the skew thresholds low enough that test-sized partitions
+      // qualify: factor 2 over the median, 64 KB absolute floor,
+      // 32 KB advisory target for the split pieces.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val joined = fact.join(dim, "k")
+      // collect() executes THIS DataFrame's adaptive plan (count()
+      // would wrap it in a new aggregate plan and leave this one
+      // un-finalized at isFinalPlan=false)
+      assert(joined.collect().length == 202000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.toLowerCase.contains("skew"),
+        s"no skew-split in the final adaptive plan:\n$plan")
+    } finally prev.foreach { case (key, v) => spark.conf.set(key, v) }
+  }
+
   test("resampleSessionWindow keeps morning/afternoon groups separate") {
     def t(s: String) = Timestamp.valueOf(s)
     val rows = (0 until 10).map(i =>
