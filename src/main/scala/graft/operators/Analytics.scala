@@ -567,6 +567,7 @@ object Analytics {
         revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
       .groupBy("l_suppkey")
       .agg(sum("rev_cc").as("total_revenue_cc"))
+      .localCheckpoint(true) // same double-scan barrier as C24
     val top = perSupp.agg(max("total_revenue_cc").as("max_cc"))
     perSupp
       .crossJoin(broadcast(top))
@@ -587,11 +588,17 @@ object Analytics {
     * thresholdBp` — no double threshold ever exists. */
   def supplierValueShare(supplier: DataFrame, lineitem: DataFrame,
                          thresholdBp: Long): DataFrame = {
+    // Materialization barrier: perSupp feeds BOTH the threshold
+    // compare and the global total — without it Catalyst re-expands
+    // the shared subtree and the 100 TB fact is scanned twice (plan
+    // audit showed two lineitem FileScans). The frame is
+    // supplier-sized, so the checkpoint is free at any scale.
     val perSupp = lineitem
       .select(col("l_suppkey"),
         revCc(col("l_extendedprice"), col("l_discount")).as("rev_cc"))
       .groupBy("l_suppkey")
       .agg(sum("rev_cc").as("value_cc"))
+      .localCheckpoint(true)
     val total = perSupp.agg(sum("value_cc").as("total_cc"))
     perSupp
       .crossJoin(broadcast(total))
