@@ -160,6 +160,15 @@ object SparkEntry {
     // C26 — trailing 3-month RANGE-frame revenue per priority.
     "q_trailing_revenue" -> ((s, d) =>
       Analytics.trailingRevenue(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // C27 — Q9-style product-line profit by nation and order year.
+    "q_product_profit" -> ((s, d) =>
+      Analytics.productProfit(Tables.nation(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d), Tables.supplier(s, d), Tables.part(s, d),
+        "red")),
+    // C28 — Q16-style distinct-supplier count per part family.
+    "q_supplier_candidates" -> ((s, d) =>
+      Analytics.supplierCandidates(Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d))),
     // A18 — declarative constraint audit over lineitem (one scan) +
     // referential orphan check, one report.
     "q_constraint_audit" -> ((s, d) => {
@@ -364,6 +373,12 @@ object SparkEntry {
     // D28 — Corwin-Schultz high-low spread per (symbol, day-pair).
     "q_cs_spread" -> ((s, d) =>
       Microstructure.corwinSchultz(Tables.ticks(s, d))),
+    // D30 — volume bars: OHLC cut every 500 traded units.
+    "q_volume_bars" -> ((s, d) =>
+      Microstructure.volumeBars(Tables.events(s, d), 500L)),
+    // D31 — VPIN toxicity on the 500-unit volume clock, 3-bucket window.
+    "q_vpin" -> ((s, d) =>
+      Microstructure.vpin(Tables.events(s, d), 500L, 3)),
     // D25 — Hurst exponent from the dyadic variance ladder.
     "q_hurst" -> ((s, d) =>
       Microstructure.hurstExponent(Tables.ticks(s, d))),
@@ -400,6 +415,9 @@ object SparkEntry {
     // E10 — per-symbol calendar coverage / missing-day report.
     "q_calendar_coverage" -> ((s, d) =>
       TemporalJoins.calendarCoverage(Tables.ticks(s, d))),
+    // E11 — linear-interpolation gap fill onto the hourly grid.
+    "q_interp_grid" -> ((s, d) =>
+      TemporalJoins.interpolateGrid(Tables.ticks(s, d), "hour")),
     // D29 — trailing 5-day rolling correlation per symbol pair.
     "q_rolling_corr" -> ((s, d) =>
       TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
@@ -841,6 +859,35 @@ object SparkEntry {
         |    AND TIMESTAMP '1997-12-31 23:59:59'
         |GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    // C27 — profit exact int64 end-to-end: centi-cent revenue minus
+    // retail_cents·qty·100 (whole quantities); LIKE filter on part.
+    "q_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0, 0) AS BIGINT))
+        |    - CAST(round(p_retailprice * 100.0, 0) AS BIGINT)
+        |      * CAST(round(l_quantity, 0) AS BIGINT) * 100)
+        |    AS BIGINT) AS profit_cc,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year""".stripMargin,
+    // C28 — distinct (partkey, suppkey) pairs first, blacklist
+    // excluded via anti semantics (NOT IN on a NULL-free list).
+    "q_supplier_candidates" ->
+      """SELECT p_brand, p_type,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
     // C19 — conditional two-sum aggregate; share is ONE division of
     // exact int64 sums (unrounded, bit-identical both engines).
     "q_market_share" ->
@@ -1692,6 +1739,70 @@ object SparkEntry {
         |    FROM events) y
         |  GROUP BY symbol, _date) x
         |ORDER BY symbol, date""".stripMargin,
+    // D30 — volume bars: running-qty bucket in pure int64 (both
+    // engines' integer division truncates toward zero), OHLC in exact
+    // cents via arg_min/arg_max, bar edges second-truncated strings.
+    "q_volume_bars" ->
+      """SELECT symbol, bar_id,
+        |  CAST(sum(k) AS BIGINT) AS bar_qty,
+        |  count(*) AS n_ticks,
+        |  arg_min(cents, event_id) AS open_cents,
+        |  max(cents) AS high_cents,
+        |  min(cents) AS low_cents,
+        |  arg_max(cents, event_id) AS close_cents,
+        |  strftime(date_trunc('second', min(ts)), '%Y-%m-%d %H:%M:%S')
+        |    AS ts_first,
+        |  strftime(date_trunc('second', max(ts)), '%Y-%m-%d %H:%M:%S')
+        |    AS ts_last
+        |FROM (
+        |  SELECT symbol, event_id, ts, cents, k,
+        |    CAST(greatest(sum(k) OVER (PARTITION BY symbol ORDER BY event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1, 0) // 500 AS BIGINT) AS bar_id
+        |  FROM (
+        |    SELECT user_id AS symbol, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |      CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |      coalesce(CAST(props->>'$.k' AS BIGINT), 0) AS k
+        |    FROM events) y) x
+        |GROUP BY symbol, bar_id
+        |ORDER BY symbol, bar_id""".stripMargin,
+    // D31 — VPIN: tick-rule sign lags across bucket boundaries; the
+    // trailing 3-bucket ratio is two int64 window sums, one IEEE
+    // division of exact ints (D21's rule, unrounded).
+    "q_vpin" ->
+      """SELECT symbol, bar_id, buy_qty, sell_qty,
+        |  CASE WHEN buy_qty + sell_qty > 0 THEN
+        |    CAST(abs(buy_qty - sell_qty) AS DOUBLE)
+        |      / CAST(buy_qty + sell_qty AS DOUBLE) END AS toxicity,
+        |  CASE WHEN _vol > 0 THEN
+        |    CAST(_imb AS DOUBLE) / CAST(_vol AS DOUBLE) END AS vpin,
+        |  n_bars_in_window
+        |FROM (
+        |  SELECT symbol, bar_id, buy_qty, sell_qty,
+        |    CAST(sum(abs(buy_qty - sell_qty)) OVER w AS BIGINT) AS _imb,
+        |    CAST(sum(buy_qty + sell_qty) OVER w AS BIGINT) AS _vol,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_bars_in_window
+        |  FROM (
+        |    SELECT symbol, bar_id,
+        |      CAST(sum(CASE WHEN prev IS NOT NULL AND cents > prev
+        |        THEN k ELSE 0 END) AS BIGINT) AS buy_qty,
+        |      CAST(sum(CASE WHEN prev IS NOT NULL AND cents < prev
+        |        THEN k ELSE 0 END) AS BIGINT) AS sell_qty
+        |    FROM (
+        |      SELECT symbol, event_id, cents, k,
+        |        lag(cents, 1) OVER (PARTITION BY symbol ORDER BY event_id)
+        |          AS prev,
+        |        CAST(greatest(sum(k) OVER (PARTITION BY symbol
+        |          ORDER BY event_id ROWS UNBOUNDED PRECEDING) - 1, 0) // 500
+        |          AS BIGINT) AS bar_id
+        |      FROM (
+        |        SELECT user_id AS symbol, event_id,
+        |          CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |          coalesce(CAST(props->>'$.k' AS BIGINT), 0) AS k
+        |        FROM events) z) y
+        |    GROUP BY symbol, bar_id) b
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) v
+        |ORDER BY symbol, bar_id""".stripMargin,
     // D25 — Hurst: lns see ROUNDED variances (identical inputs both
     // engines), slope a fixed linear combination spelled identically.
     "q_hurst" ->
@@ -1947,6 +2058,45 @@ object SparkEntry {
         |      AS DOUBLE) / count(*) AS coverage
         |FROM grid LEFT JOIN days USING (symbol, d)
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // E11 — interpolation never leaves int64: grid INDEX as time
+    // (uniform grid ⇒ index interp ≡ time interp), B8's half-up
+    // integer rounding formula, both engines' integer division
+    // truncates toward zero on the non-negative operands.
+    "q_interp_grid" ->
+      s"""WITH anchors AS (
+        |  SELECT symbol, date_trunc('hour', ts) AS bucket,
+        |    arg_min(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS a_cents
+        |  FROM $ticksSql t GROUP BY symbol, date_trunc('hour', ts)),
+        |span AS (SELECT symbol, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM anchors GROUP BY symbol),
+        |grid AS (SELECT symbol, CAST(g.g AS TIMESTAMP) AS bucket
+        |  FROM span, unnest(generate_series(b0, b1, INTERVAL 1 HOUR))
+        |    AS g(g)),
+        |j AS (SELECT grid.symbol, grid.bucket, a.a_cents,
+        |    row_number() OVER (PARTITION BY grid.symbol
+        |      ORDER BY grid.bucket) AS idx
+        |  FROM grid LEFT JOIN anchors a
+        |    ON a.symbol = grid.symbol AND a.bucket = grid.bucket),
+        |f AS (SELECT symbol, bucket, a_cents, idx,
+        |    last_value(a_cents IGNORE NULLS) OVER wp AS p_cents,
+        |    last_value(CASE WHEN a_cents IS NOT NULL THEN idx END
+        |      IGNORE NULLS) OVER wp AS p_idx,
+        |    first_value(a_cents IGNORE NULLS) OVER wn AS n_cents,
+        |    first_value(CASE WHEN a_cents IS NOT NULL THEN idx END
+        |      IGNORE NULLS) OVER wn AS n_idx
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY symbol ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wn AS (PARTITION BY symbol ORDER BY bucket
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT symbol,
+        |  strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  CASE WHEN a_cents IS NOT NULL THEN a_cents
+        |    ELSE (2 * (p_cents * (n_idx - idx) + n_cents * (idx - p_idx))
+        |      + (n_idx - p_idx)) // (2 * (n_idx - p_idx)) END AS cents,
+        |  a_cents IS NOT NULL AS is_observed
+        |FROM f ORDER BY symbol, bucket_ts""".stripMargin,
     // D29 — rolling corr over a ROWS frame on the shared daily grid;
     // moves exact cents, corr round(4), <2-point windows NULL.
     "q_rolling_corr" ->

@@ -608,4 +608,70 @@ object Analytics {
       .select(col("s_suppkey"), col("s_name"), col("value_cc"))
       .orderBy(col("value_cc").desc, col("s_suppkey"))
   }
+
+  /** C27 — TPC-H Q9's essence: product-line PROFIT by supplier nation
+    * and order year. The testdata has no partsupp, so unit cost is
+    * proxied by the part's retail price (the join SHAPE — fact
+    * resolving through a name-filtered part dim, a supplier→nation
+    * dim and orders for the year — is Q9's; only the cost column
+    * differs). Profit stays exact int64 end-to-end: revenue in
+    * centi-cents (C17's rule) minus `retail_cents · qty · 100`
+    * (quantities are whole in this corpus; the cast is a checked
+    * truncation, not a rounding). The p_name LIKE filter prunes part
+    * FIRST and the pruned key set broadcasts into the fact join —
+    * lineitem never shuffles unfiltered. One fact-fact shuffle
+    * (orderkey), one group aggregate. */
+  def productProfit(nation: DataFrame, orders: DataFrame,
+                    lineitem: DataFrame, supplier: DataFrame,
+                    part: DataFrame, nameContains: String): DataFrame = {
+    val parts = part.filter(col("p_name").contains(nameContains))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100.0, 0).cast("long")
+          .as("retail_cents"))
+    val suppNation = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (revCc(col("l_extendedprice"), col("l_discount")) -
+          col("retail_cents") * round(col("l_quantity"), 0).cast("long")
+            * lit(100L)).as("profit_cc"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum("profit_cc").as("profit_cc"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("nation", "o_year")
+  }
+
+  /** C28 — TPC-H Q16's essence: how many DISTINCT suppliers can
+    * provide each (brand, type) part family, excluding suppliers on a
+    * quality blacklist (Q16's complaints NOT IN; here the predicate is
+    * a negative account balance). Shape discipline: the fact bridge
+    * collapses to DISTINCT (partkey, suppkey) PAIRS first — one
+    * dedup shuffle on the pair, map-side combined, so the count-
+    * distinct aggregate downstream never sees fact-table multiplicity
+    * — then resolves part attrs via broadcast and drops blacklisted
+    * suppliers with a broadcast LEFT ANTI (C6's shape; the blacklist
+    * is dim-sized). supplier_cnt is an exact distinct count per
+    * (brand, type) — at 100 TB swap to approx_count_distinct is NOT
+    * offered here: Q16's semantics are exact and the pair-dedup'd
+    * input is dim×dim bounded. */
+  def supplierCandidates(part: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    val blacklist = supplier.filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    val pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(blacklist),
+        col("l_suppkey") === col("bad_suppkey"), "left_anti")
+    pairs
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
 }

@@ -388,4 +388,106 @@ object Microstructure {
         "parkinson_var", "gk_var")
       .orderBy("symbol")
   }
+
+  /** D30 — VOLUME BARS (event-based candles) per symbol: OHLC bars cut
+    * every `barQty` traded units instead of every clock interval — the
+    * information-driven sampling scheme (López de Prado's "advances"
+    * family) that gives volatile sessions more bars and quiet ones
+    * fewer, so downstream return series are closer to i.i.d. than
+    * clock bars. Bar assignment is a running quantity sum in pure
+    * int64: `bar_id = greatest(cum_qty − 1, 0) div barQty` — a trade
+    * belongs to the bar its LAST unit falls in (straddling trades are
+    * not split; the convention is documented because both engines must
+    * share it), zero/NULL-quantity rows ride along into the bar open
+    * at their position. Spark's `div` and DuckDB's `//` both truncate
+    * toward zero (D21's probe), so assignment is engine-exact.
+    *
+    * Shape: ONE hash exchange on `symbol` — the running sum's window,
+    * the (symbol, bar_id) aggregate (symbol partitioning already
+    * clusters every bar) and the final sort all reuse it. At 100 TB
+    * the fact streams once; per-bar state is OHLC + counters. The
+    * trailing bar of each symbol is usually partial (fewer than
+    * `barQty` units) and is emitted — it is the live bar, and
+    * `bar_qty` makes partialness observable. */
+  def volumeBars(events: DataFrame, barQty: Long): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      col("ts"),
+      centsOf(col("value")).as("cents"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+    val w = Window.partitionBy("symbol").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parsed
+      .withColumn("_cum", sum(col("k")).over(w))
+      .withColumn("bar_id", expr(s"greatest(_cum - 1, 0L) div ${barQty}L"))
+      .groupBy("symbol", "bar_id")
+      .agg(
+        sum(col("k")).as("bar_qty"),
+        count(lit(1)).as("n_ticks"),
+        min_by(col("cents"), col("event_id")).as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        max_by(col("cents"), col("event_id")).as("close_cents"),
+        date_format(date_trunc("second", min(col("ts"))),
+          "yyyy-MM-dd HH:mm:ss").as("ts_first"),
+        date_format(date_trunc("second", max(col("ts"))),
+          "yyyy-MM-dd HH:mm:ss").as("ts_last"))
+      .orderBy("symbol", "bar_id")
+  }
+
+  /** D31 — VPIN (volume-synchronized probability of informed trading,
+    * Easley–López de Prado–O'Hara) per symbol: order-flow toxicity
+    * measured on D30's volume clock. Each trade is signed by the tick
+    * rule over the FULL per-symbol series (lag crosses bar boundaries
+    * — the standard construction; B9's heuristic in exact cents), the
+    * signed quantity is summed per volume bucket, and
+    * `vpin = Σ|buy−sell| / Σ(buy+sell)` over a trailing `nWindow`-
+    * bucket ROWS frame — the ratio of two int64 window sums, ONE IEEE
+    * division of exact ints (D21's rule, unrounded). Per-bucket
+    * `toxicity` is the same ratio at window 1. Buckets where no trade
+    * is classified (first-ever trade, flat-only) contribute zeros to
+    * both sums and report NULL toxicity rather than 0/0.
+    *
+    * Shape: identical to D30 — one `symbol` exchange carries the lag,
+    * the running sum, the bucket aggregate AND the trailing window
+    * (bucket count per symbol is data-sized but the frame holds
+    * `nWindow` scalars). The 100 TB fact is read once. */
+  def vpin(events: DataFrame, barQty: Long, nWindow: Int): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      centsOf(col("value")).as("cents"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+    val w = Window.partitionBy("symbol").orderBy("event_id")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bars = parsed
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("_cum", sum(col("k")).over(wCum))
+      .withColumn("bar_id", expr(s"greatest(_cum - 1, 0L) div ${barQty}L"))
+      .groupBy("symbol", "bar_id")
+      .agg(
+        sum(when(col("prev").isNotNull && col("cents") > col("prev"),
+          col("k")).otherwise(0L)).as("buy_qty"),
+        sum(when(col("prev").isNotNull && col("cents") < col("prev"),
+          col("k")).otherwise(0L)).as("sell_qty"))
+    val wv = Window.partitionBy("symbol").orderBy("bar_id")
+      .rowsBetween(-(nWindow - 1), Window.currentRow)
+    bars
+      .withColumn("toxicity",
+        when(col("buy_qty") + col("sell_qty") > 0L,
+          abs(col("buy_qty") - col("sell_qty")).cast("double")
+            / (col("buy_qty") + col("sell_qty")).cast("double")))
+      .withColumn("_imb", sum(abs(col("buy_qty") - col("sell_qty"))).over(wv))
+      .withColumn("_vol", sum(col("buy_qty") + col("sell_qty")).over(wv))
+      .withColumn("vpin",
+        when(col("_vol") > 0L,
+          col("_imb").cast("double") / col("_vol").cast("double")))
+      .withColumn("n_bars_in_window", count(lit(1)).over(wv))
+      .select("symbol", "bar_id", "buy_qty", "sell_qty", "toxicity",
+        "vpin", "n_bars_in_window")
+      .orderBy("symbol", "bar_id")
+  }
 }

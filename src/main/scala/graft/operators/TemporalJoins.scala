@@ -482,4 +482,61 @@ object TemporalJoins {
         col("t3_us").isNotNull.as("completed"))
       .orderBy("user_id")
   }
+
+  /** E11 — LINEAR-INTERPOLATION GAP FILL onto a uniform time grid per
+    * symbol: the resampling step every model-prep pipeline runs before
+    * fixed-step learners (the reference ffills — `ML Model/Scripts/
+    * model.py:227-229`; this is the interpolating upgrade, B4's
+    * forward-fill generalized to two-sided). Each symbol's span
+    * [first, last] `unit`-bucket is expanded to a dense calendar grid
+    * (E10's `sequence` explode — calendar-bounded, never tick-volume-
+    * bounded); buckets with ticks anchor to the FIRST tick's exact
+    * cents (B2's rule, arg_min by tick_id); missing buckets
+    * interpolate between the nearest anchors on either side.
+    *
+    * Engine-exactness: the interpolation never leaves int64. Because
+    * the grid is uniform, time is the per-symbol grid INDEX (no epoch
+    * arithmetic, no overflow): with prev anchor (i₁,p₁) and next
+    * (i₂,p₂) at index i, `v = (2·(p₁·(i₂−i) + p₂·(i−i₁)) + (i₂−i₁))
+    * div (2·(i₂−i₁))` — the B8 half-up integer rounding formula, so
+    * both engines emit the same cent. No IEEE value ever materializes.
+    *
+    * Shape: the 100 TB fact collapses in the FIRST aggregate (one
+    * (symbol, bucket) exchange with map-side partials); the grid,
+    * span, both IGNORE NULLS window scans and the join all run on
+    * calendar-sized data partitioned by symbol. Edges are safe by
+    * construction: the span starts and ends at observed anchors. */
+  def interpolateGrid(ticks: DataFrame, unit: String): DataFrame = {
+    val anchors = ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .groupBy(col("symbol"), date_trunc(unit, col("ts")).as("bucket"))
+      .agg(min_by(col("cents"), col("tick_id")).as("a_cents"))
+      .localCheckpoint(true)
+    val grid = anchors
+      .groupBy("symbol")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("symbol"),
+        explode(sequence(col("b0"), col("b1"),
+          expr(s"INTERVAL 1 ${unit.toUpperCase}"))).as("bucket"))
+    val w = Window.partitionBy("symbol").orderBy("bucket")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(anchors, Seq("symbol", "bucket"), "left")
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("a_idx", when(col("a_cents").isNotNull, col("idx")))
+      .withColumn("p_cents", last(col("a_cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("p_idx", last(col("a_idx"), ignoreNulls = true).over(wPrev))
+      .withColumn("n_cents", first(col("a_cents"), ignoreNulls = true).over(wNext))
+      .withColumn("n_idx", first(col("a_idx"), ignoreNulls = true).over(wNext))
+      .withColumn("cents",
+        when(col("a_cents").isNotNull, col("a_cents"))
+          .otherwise(expr(
+            "(2 * (p_cents * (n_idx - idx) + n_cents * (idx - p_idx)) " +
+              "+ (n_idx - p_idx)) div (2 * (n_idx - p_idx))")))
+      .select(col("symbol"),
+        date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+        col("cents"),
+        col("a_cents").isNotNull.as("is_observed"))
+      .orderBy("symbol", "bucket_ts")
+  }
 }

@@ -22,18 +22,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS) which Spark 4
-    * refuses by default ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos
-    * (`nanosAsLong`) and truncate to a µs TimestampType with integer
-    * division (`div`, not `/` — a double roundtrip of an ~1.7e18 nanos
-    * value loses ~256 ns of precision). DuckDB keeps the native ns
-    * value, so queries only emit second-or-coarser truncations
-    * (SURVEY §6).
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations, so the reader branches on the LOADED type:
+    *
+    *  - parquet TIMESTAMP(NANOS) (rounds ≤8), which Spark 4 refuses by
+    *    default ([PARQUET_TYPE_ILLEGAL]) — read as raw nanos
+    *    (`nanosAsLong`) and truncate to a µs TimestampType with integer
+    *    division (`div`, not `/` — a double roundtrip of an ~1.7e18
+    *    nanos value loses ~256 ns of precision);
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (round-9
+    *    regeneration), which Spark loads as TIMESTAMP_NTZ — cast to
+    *    TimestampType, value-preserving because every graft session
+    *    pins `spark.sql.session.timeZone=UTC` (GraftSession.scala:29).
+    *
+    * DuckDB reads the native value either way, so queries only emit
+    * second-or-coarser truncations (SURVEY §6); under the µs encoding
+    * both engines see bit-identical timestamps.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -354,4 +354,46 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Long, String, String, Double, Long)].collect().toSeq
     assert(out == Seq((1L, "a", "N0", 1.0, 40000L)))
   }
+
+  test("productProfit: exact int64 profit, name filter prunes parts, " +
+      "grouped by supplier nation and order year") {
+    val nation = Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "s1", 0, 10.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq(
+      (1L, "red widget", 2.00),   // matches "red": cost 200c/unit
+      (2L, "blue bolt", 3.00))    // pruned by the name filter
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val orders = Seq((10L, ts("1996-05-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      // rev_cc = 1000c * 90 = 90000; cost = 200c * 3 * 100 = 60000.
+      (10L, 1L, 1L, 3.0, 10.00, 0.10),
+      (10L, 2L, 1L, 1.0, 99.00, 0.00)) // filtered part
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val out = Analytics.productProfit(nation, orders, lineitem, supplier,
+      part, "red").as[(String, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(("N0", 1996, 30000L, 1L)))
+  }
+
+  test("supplierCandidates: fact multiplicity collapses to distinct " +
+      "pairs, blacklisted suppliers are excluded") {
+    val part = Seq((1L, "B1", "T1"), (2L, "B1", "T2"))
+      .toDF("p_partkey", "p_brand", "p_type")
+    val supplier = Seq(
+      (1L, "s1", 0, 5.0),
+      (2L, "s2", 0, -1.0), // blacklisted: negative balance
+      (3L, "s3", 0, 0.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 1L), // duplicate pair counts once
+      (1L, 2L),           // blacklisted supplier
+      (1L, 3L),
+      (2L, 2L))           // part 2 served ONLY by the blacklisted one
+      .toDF("l_partkey", "l_suppkey")
+    val out = Analytics.supplierCandidates(part, supplier, lineitem)
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(("B1", "T1", 2L)))
+  }
 }

@@ -253,4 +253,60 @@ class MicrostructureSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("gk_var") == gk)
   }
+
+  test("volumeBars: straddling trade lands in the bar of its LAST unit, " +
+      "zero-qty rows ride along, trailing bar is partial") {
+    // V=10. k: 4,4,4,10,0,3 → cum 4,8,12,22,22,25 → bars 0,0,1,2,2,2.
+    val ev = events(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 4),
+      (2L, 1L, "2024-01-01 00:00:02", 1.02, 4),
+      (3L, 1L, "2024-01-01 00:00:03", 0.99, 4),
+      (4L, 1L, "2024-01-01 00:00:04", 1.05, 10),
+      (5L, 1L, "2024-01-01 00:00:05", 1.01, 0),
+      (6L, 1L, "2024-01-01 00:00:06", 1.03, 3))
+    val out = Microstructure.volumeBars(ev, 10L).collect()
+    assert(out.length == 3)
+    val b0 = out(0); val b1 = out(1); val b2 = out(2)
+    assert(b0.getAs[Long]("bar_id") == 0L &&
+      b0.getAs[Long]("bar_qty") == 8L && b0.getAs[Long]("n_ticks") == 2L)
+    assert(b0.getAs[Long]("open_cents") == 100L &&
+      b0.getAs[Long]("close_cents") == 102L)
+    assert(b1.getAs[Long]("bar_id") == 1L &&
+      b1.getAs[Long]("bar_qty") == 4L &&
+      b1.getAs[Long]("open_cents") == 99L)
+    assert(b2.getAs[Long]("bar_id") == 2L &&
+      b2.getAs[Long]("bar_qty") == 13L && b2.getAs[Long]("n_ticks") == 3L)
+    assert(b2.getAs[Long]("open_cents") == 105L &&
+      b2.getAs[Long]("high_cents") == 105L &&
+      b2.getAs[Long]("low_cents") == 101L &&
+      b2.getAs[Long]("close_cents") == 103L)
+    assert(b2.getAs[String]("ts_first") == "2024-01-01 00:00:04" &&
+      b2.getAs[String]("ts_last") == "2024-01-01 00:00:06")
+  }
+
+  test("vpin: tick-rule sign crosses bucket boundaries; trailing window " +
+      "ratio is exact-int sums; first trade is unclassified") {
+    // V=10, window 2. cents/k: (100,4) (102,4) (99,4) (105,10) (95,5)
+    // (103,3) → bars 0,0,1,2,2,2. Signs: -,up,down,up,down,up.
+    val ev = events(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 4),
+      (2L, 1L, "2024-01-01 00:00:02", 1.02, 4),
+      (3L, 1L, "2024-01-01 00:00:03", 0.99, 4),
+      (4L, 1L, "2024-01-01 00:00:04", 1.05, 10),
+      (5L, 1L, "2024-01-01 00:00:05", 0.95, 5),
+      (6L, 1L, "2024-01-01 00:00:06", 1.03, 3))
+    val out = Microstructure.vpin(ev, 10L, 2).collect()
+    assert(out.length == 3)
+    val b0 = out(0); val b1 = out(1); val b2 = out(2)
+    // bar0: buy 4 (trade 2), sell 0 (trade 1 unclassified).
+    assert(b0.getAs[Long]("buy_qty") == 4L && b0.getAs[Long]("sell_qty") == 0L)
+    assert(b0.getAs[Double]("toxicity") == 1.0)
+    // bar1: sell 4. bar2: buy 10+3, sell 5.
+    assert(b1.getAs[Long]("sell_qty") == 4L)
+    assert(b2.getAs[Long]("buy_qty") == 13L && b2.getAs[Long]("sell_qty") == 5L)
+    assert(b2.getAs[Double]("toxicity") == 8.0 / 18.0)
+    // vpin at bar2 over (bar1, bar2): (4 + 8) / (4 + 18).
+    assert(b2.getAs[Double]("vpin") == 12.0 / 22.0)
+    assert(b2.getAs[Long]("n_bars_in_window") == 2L)
+  }
 }

@@ -253,4 +253,38 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("t2_us")))
     assert(u2.isNullAt(u2.fieldIndex("t3_us")))
   }
+
+  test("interpolateGrid: missing buckets interpolate in exact int64 with " +
+      "half-up rounding; observed buckets pass the anchor through") {
+    val ticks = Seq(
+      // symbol 1: anchors at hours 0 (100c), 3 (106c), 4 (105c);
+      // hour 0 has a second tick that must NOT win (anchor = first
+      // tick by tick_id). Hours 1-2 interpolate on the 100->106 line.
+      (1L, 1L, t("2024-01-01 00:05:00"), 1.00, 0.0),
+      (2L, 1L, t("2024-01-01 00:50:00"), 9.99, 0.0),
+      (3L, 1L, t("2024-01-01 03:10:00"), 1.06, 0.0),
+      (4L, 1L, t("2024-01-01 04:20:00"), 1.05, 0.0),
+      // symbol 2: 100c then 101c two hours later -> midpoint 100.5
+      // rounds HALF-UP to 101 (the B8 integer formula).
+      (5L, 2L, t("2024-01-01 00:00:00"), 1.00, 0.0),
+      (6L, 2L, t("2024-01-01 02:00:00"), 1.01, 0.0))
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.interpolateGrid(ticks, "hour").collect()
+    val bySym = out.groupBy(_.getAs[Long]("symbol"))
+    val s1 = bySym(1L).map(r =>
+      r.getAs[String]("bucket_ts") -> (r.getAs[Long]("cents"),
+        r.getAs[Boolean]("is_observed"))).toMap
+    assert(s1.size == 5)
+    assert(s1("2024-01-01 00:00:00") == (100L, true))
+    assert(s1("2024-01-01 01:00:00") == (102L, false))
+    assert(s1("2024-01-01 02:00:00") == (104L, false))
+    assert(s1("2024-01-01 03:00:00") == (106L, true))
+    assert(s1("2024-01-01 04:00:00") == (105L, true))
+    val s2 = bySym(2L).map(r =>
+      r.getAs[String]("bucket_ts") -> r.getAs[Long]("cents")).toMap
+    assert(s2 == Map(
+      "2024-01-01 00:00:00" -> 100L,
+      "2024-01-01 01:00:00" -> 101L, // 100.5 half-up
+      "2024-01-01 02:00:00" -> 101L))
+  }
 }
