@@ -537,6 +537,12 @@ object SparkEntry {
     // F48 — BPE merge-pair statistics over the weighted vocabulary.
     "q_bpe_pairs" -> ((s, d) =>
       TextDedup.bpePairStats(Tables.documents(s, d), 20)),
+    // F53 — tokenizer fertility (tokens per char) per (lang, source).
+    "q_tokenizer_fertility" -> ((s, d) =>
+      CorpusPipeline.tokenizerFertility(Tables.documents(s, d))),
+    // F54 — corpus head-heaviness: top-20 share + Herfindahl index.
+    "q_token_concentration" -> ((s, d) =>
+      TextDedup.tokenConcentration(Tables.documents(s, d), 20)),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
     // F49 — per-label centroid drift vs the global centroid.
@@ -2556,6 +2562,54 @@ object SparkEntry {
         |      / (10000.0 * CAST(n_tokens AS DOUBLE)) END AS scale_to_target
         |FROM per LEFT JOIN tgt USING (source), tot
         |ORDER BY per.source""".stripMargin
+    },
+    // F53 — fertility exact int64 bps; chars_per_bpe_token one IEEE
+    // division of exact ints (unrounded).
+    "q_tokenizer_fertility" -> {
+      import graft.functions.PortableText._
+      s"""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_total,
+        |  CAST(sum(length($duckTokens)) AS BIGINT) AS ws_tokens_total,
+        |  CAST(sum(length(regexp_extract_all(text,
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS bpe_tokens_total,
+        |  CASE WHEN sum(length(text)) > 0 THEN
+        |    (CAST(sum(length($duckTokens)) AS BIGINT) * 10000)
+        |      // CAST(sum(length(text)) AS BIGINT) END AS ws_fertility_bp,
+        |  CASE WHEN sum(length(text)) > 0 THEN
+        |    (CAST(sum(length(regexp_extract_all(text,
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) * 10000)
+        |      // CAST(sum(length(text)) AS BIGINT) END AS bpe_fertility_bp,
+        |  CASE WHEN sum(length(regexp_extract_all(text,
+        |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) > 0 THEN
+        |    CAST(sum(length(text)) AS DOUBLE)
+        |      / CAST(sum(length(regexp_extract_all(text,
+        |        '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE)
+        |  END AS chars_per_bpe_token
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin
+    },
+    // F54 — top-k share exact int64 bps (total-ordered head), HHI =
+    // Σf²/N² with N² one IEEE multiply of the same exact int.
+    "q_token_concentration" -> {
+      import graft.functions.PortableText._
+      s"""WITH freqs AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM (SELECT unnest($duckTokens) AS token FROM documents) t
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n_occurrences,
+        |    count(*) AS n_vocab,
+        |    CAST(sum(freq * freq) AS BIGINT) AS sum_f2
+        |  FROM freqs),
+        |head AS (SELECT CAST(sum(freq) AS BIGINT) AS topk_occ FROM (
+        |  SELECT freq FROM freqs ORDER BY freq DESC, token LIMIT 20) h)
+        |SELECT n_occurrences, n_vocab, topk_occ,
+        |  CASE WHEN n_occurrences > 0 THEN
+        |    (topk_occ * 10000) // n_occurrences END AS topk_share_bp,
+        |  sum_f2,
+        |  CASE WHEN n_occurrences > 0 THEN
+        |    CAST(sum_f2 AS DOUBLE) / (CAST(n_occurrences AS DOUBLE)
+        |      * CAST(n_occurrences AS DOUBLE)) END AS hhi
+        |FROM tot, head""".stripMargin
     },
     // F47 — CMS: identical sketch both engines (minhash affine family
     // over PolyHash, mod 1024), est = min over 4 rows, exact audit

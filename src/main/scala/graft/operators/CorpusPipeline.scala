@@ -589,4 +589,41 @@ object CorpusPipeline {
         "deviation_bp", "scale_to_target")
       .orderBy("source")
   }
+
+  /** F53 — TOKENIZER FERTILITY per (lang, source): tokens produced per
+    * character of raw text — the number that sizes a training mix in
+    * TOKENS when the inventory is in BYTES (a high-fertility slice
+    * eats budget faster; fertility drift across sources flags
+    * tokenizer mismatch with the corpus). Both tokenizations are
+    * counted in one narrow pass: whitespace tokens (PortableText) and
+    * the BPE-ish regex of F10 (letter runs / digit runs / single
+    * punctuation). Fertility is exact int64 basis points —
+    * `(tokens·10⁴) div chars` (F52's quantization; Spark `DIV` ≡
+    * DuckDB `//` on non-negatives) — and `chars_per_token` is ONE
+    * IEEE division of exact ints, unrounded, NULL when a group has no
+    * tokens. One (lang, source)-keyed aggregate with map-side
+    * partials; group count is vocabulary-of-sources sized. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr(s"size($tokens)").cast("long").as("n_ws"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')")
+          .cast("long").as("n_bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("chars_total"),
+        sum("n_ws").as("ws_tokens_total"),
+        sum("n_bpe").as("bpe_tokens_total"))
+      .withColumn("ws_fertility_bp",
+        when(col("chars_total") > 0,
+          expr("(ws_tokens_total * 10000) DIV chars_total")))
+      .withColumn("bpe_fertility_bp",
+        when(col("chars_total") > 0,
+          expr("(bpe_tokens_total * 10000) DIV chars_total")))
+      .withColumn("chars_per_bpe_token",
+        when(col("bpe_tokens_total") > 0,
+          col("chars_total").cast("double")
+            / col("bpe_tokens_total").cast("double")))
+      .orderBy("lang", "source")
 }

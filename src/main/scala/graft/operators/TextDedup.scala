@@ -770,6 +770,49 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F54 — TOKEN CONCENTRATION profile: how head-heavy is the corpus
+    * vocabulary — the top-k occurrence share and the Herfindahl
+    * index of the token distribution (the two scalars that flag a
+    * boilerplate-flooded or near-single-template corpus long before
+    * eyeballing a Zipf plot; a natural-language corpus has HHI ~1e-3,
+    * a log-spam corpus ~1e-1). Share is exact int64 basis points —
+    * `(Σ top-k freq · 10⁴) div N` (F52's quantization). The HHI
+    * numerator `Σ f²` stays exact int64 (safe to ~3·10⁹ total
+    * occurrences; at 100 TB swap the f² sum to a DOUBLE aggregate —
+    * documented, not silently done); the index itself is `Σf² / N²`
+    * with N² formed in ONE IEEE multiply of the same exact int — two
+    * IEEE ops on identical inputs, bit-identical across engines.
+    * Top-k selection is total-ordered (freq desc, token) so ties are
+    * engine-stable. Shape: one explode+agg whose shuffle carries
+    * distinct tokens (map-side partials), then a vocab-sized sort for
+    * the k head rows and two 1-row aggregates. */
+  def tokenConcentration(docs: DataFrame, k: Int): DataFrame = {
+    val freqs = docs
+      .select(explode(expr(tokens)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+    val totals = freqs.agg(
+      sum("freq").as("n_occurrences"),
+      count(lit(1)).as("n_vocab"),
+      sum(col("freq") * col("freq")).as("sum_f2"))
+    val head = freqs
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+      .agg(sum("freq").as("topk_occ"))
+    totals.crossJoin(head)
+      .withColumn("topk_share_bp",
+        when(col("n_occurrences") > 0,
+          expr("(topk_occ * 10000) DIV n_occurrences")))
+      .withColumn("hhi",
+        when(col("n_occurrences") > 0,
+          col("sum_f2").cast("double") /
+            (col("n_occurrences").cast("double")
+              * col("n_occurrences").cast("double"))))
+      .select("n_occurrences", "n_vocab", "topk_occ", "topk_share_bp",
+        "sum_f2", "hhi")
+  }
+
   /** F30 — BOILERPLATE-SHARE profile: per document, how many of its
     * DISTINCT word `n`-grams occur in at least one other document, and
     * the resulting shared fraction — the per-doc "how templated is

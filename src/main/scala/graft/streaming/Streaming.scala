@@ -552,4 +552,74 @@ object Streaming {
     state.update((n, mean, m2))
     flags.reverseIterator
   }
+
+  case class BarTrade(event_id: Long, symbol: Long, ts: Timestamp,
+                      cents: Long, k: Long)
+  /** G18 keyed state: running cum-qty + the OPEN bar's register;
+    * `barId < 0` marks "no open bar yet". */
+  case class BarState(cum: Long, barId: Long, barQty: Long, nTicks: Long,
+                      open: Long, high: Long, low: Long, close: Long,
+                      tsFirstMs: Long, tsLastMs: Long)
+  case class VolumeBar(symbol: Long, bar_id: Long, bar_qty: Long,
+                       n_ticks: Long, open_cents: Long, high_cents: Long,
+                       low_cents: Long, close_cents: Long,
+                       ts_first: String, ts_last: String)
+
+  /** G18 — STREAMING VOLUME BARS: the live twin of
+    * `Microstructure.volumeBars` (D30), and the one bar family a
+    * watermarked time window CANNOT express — the bar boundary is a
+    * data-dependent running-quantity threshold, not a clock edge, so
+    * it is keyed state by construction. State per symbol is the
+    * running cum-qty plus the OPEN bar's OHLC register (9 scalars);
+    * a trade whose `greatest(cum−1,0) div V` bar id advances past the
+    * open bar EMITS the open bar as final and starts the new one with
+    * this trade (D30's straddle convention: the trade belongs to the
+    * bar of its LAST unit, so the closed bar never contains it).
+    * Append mode emits CLOSED bars only; each symbol's live partial
+    * bar lives in state — batch parity is therefore
+    * `streamed == batch minus each symbol's trailing partial bar`
+    * (spec'd). Within a micro-batch rows sort by event_id; across
+    * batches the feed must be per-symbol in-order (the same
+    * assumption the EWMA/tick-class twins make — G11/G12). */
+  // Object-level so the stateful closure resolves it statically —
+  // DateTimeFormatter is not Serializable and must not be captured.
+  private val barTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+  private def barTs(ms: Long): String =
+    barTsFmt.format(java.time.Instant.ofEpochMilli(ms))
+
+  def volumeBarState(trades: Dataset[BarTrade], barQty: Long)
+  : Dataset[VolumeBar] = {
+    import trades.sparkSession.implicits._
+    trades.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[BarTrade],
+         state: GroupState[BarState]) =>
+          var s = state.getOption.getOrElse(
+            BarState(0L, -1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          var out = List.empty[VolumeBar]
+          rows.toSeq.sortBy(_.event_id).foreach { t =>
+            val cum = s.cum + t.k
+            val tb = math.max(cum - 1, 0L) / barQty
+            val ms = t.ts.getTime
+            if (s.barId >= 0L && tb > s.barId) {
+              out = VolumeBar(symbol, s.barId, s.barQty, s.nTicks,
+                s.open, s.high, s.low, s.close,
+                barTs(s.tsFirstMs), barTs(s.tsLastMs)) :: out
+              s = s.copy(barId = -1L)
+            }
+            s = if (s.barId < 0L)
+              BarState(cum, tb, t.k, 1L, t.cents, t.cents, t.cents,
+                t.cents, ms, ms)
+            else
+              BarState(cum, s.barId, s.barQty + t.k, s.nTicks + 1L,
+                s.open, math.max(s.high, t.cents),
+                math.min(s.low, t.cents), t.cents, s.tsFirstMs, ms)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
 }

@@ -346,4 +346,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.count(_._1 == 2L) == 0)
     assert(out.filter(_._1 == 3L).map(_._4) == Seq("solo"))
   }
+
+  test("tokenizerFertility: exact basis-point fertility per group, " +
+      "both tokenizations counted, div truncates") {
+    val docs = Seq(
+      // "ab cd" → 5 chars, 2 ws tokens, 2 bpe tokens
+      (1L, "ab cd", "en", "s1"),
+      // "a,b" → 3 chars, 1 ws token, 3 bpe tokens (a / , / b)
+      (2L, "a,b", "en", "s1"),
+      (3L, "xyz", "fr", "s2")) // 3 chars, 1 ws, 1 bpe
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.tokenizerFertility(docs).collect()
+    val g1 = out.find(r => r.getAs[String]("lang") == "en").get
+    assert(g1.getAs[Long]("chars_total") == 8L)
+    assert(g1.getAs[Long]("ws_tokens_total") == 3L)
+    assert(g1.getAs[Long]("bpe_tokens_total") == 5L)
+    assert(g1.getAs[Long]("ws_fertility_bp") == 3L * 10000 / 8)  // 3750
+    assert(g1.getAs[Long]("bpe_fertility_bp") == 5L * 10000 / 8) // 6250
+    assert(g1.getAs[Double]("chars_per_bpe_token") == 8.0 / 5.0)
+    val g2 = out.find(r => r.getAs[String]("lang") == "fr").get
+    assert(g2.getAs[Long]("ws_fertility_bp") == 3333L)
+  }
 }

@@ -575,4 +575,47 @@ class StreamingSpec extends SparkSpec {
       assert(batch(2L)._3.isEmpty)
     } finally q.stop()
   }
+
+  test("G18 parity: streamed volume bars == batch bars minus each " +
+      "symbol's trailing partial bar, across micro-batch splits") {
+    import graft.streaming.Streaming.BarTrade
+    // D30's fixture: k 4,4,4,10,0,3 at V=10 → bars 0 (qty 8),
+    // 1 (qty 4), 2 (qty 13, trailing partial). Symbol 2: one bar only
+    // (never closed).
+    val trades = Seq(
+      BarTrade(1L, 1L, t("2024-01-01 00:00:01"), 100L, 4L),
+      BarTrade(2L, 1L, t("2024-01-01 00:00:02"), 102L, 4L),
+      BarTrade(3L, 1L, t("2024-01-01 00:00:03"), 99L, 4L),
+      BarTrade(4L, 1L, t("2024-01-01 00:00:04"), 105L, 10L),
+      BarTrade(5L, 1L, t("2024-01-01 00:00:05"), 101L, 0L),
+      BarTrade(6L, 1L, t("2024-01-01 00:00:06"), 103L, 3L),
+      BarTrade(7L, 2L, t("2024-01-01 00:00:07"), 50L, 6L))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BarTrade]
+    val q = Streaming.volumeBarState(in.toDS(), 10L)
+      .writeStream.format("memory").queryName("p_vbars")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      // split INSIDE bar 1's straddling trade's bar: trade 3 closes
+      // bar 0 in batch one; trades 4-7 arrive later.
+      val (a, b) = trades.splitAt(3)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_vbars")
+        .as[graft.streaming.Streaming.VolumeBar].collect().toSet
+    } finally q.stop()
+    // batch twin on the same rows via the events path
+    val evDf = trades.map(bt => (bt.event_id, bt.symbol, bt.ts,
+      bt.cents / 100.0, s"""{"k":${bt.k}}""", "trade"))
+      .toDF("event_id", "user_id", "ts", "value", "props", "event_type")
+    val batch = graft.operators.Microstructure.volumeBars(evDf, 10L)
+      .as[graft.streaming.Streaming.VolumeBar].collect().toSeq
+    val trailing = batch.groupBy(_.symbol).values
+      .map(_.maxBy(_.bar_id)).toSet
+    assert(streamed == batch.toSet -- trailing)
+    assert(streamed.map(_.bar_id).toSeq.sorted == Seq(0L, 1L))
+    val b0 = streamed.find(_.bar_id == 0L).get
+    assert(b0.bar_qty == 8L && b0.open_cents == 100L &&
+      b0.close_cents == 102L && b0.ts_last == "2024-01-01 00:00:02")
+  }
 }

@@ -488,4 +488,21 @@ class TextDedupSpec extends SparkSpec {
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((0L, 5L)))
   }
+
+  test("tokenConcentration: exact top-k share in bps, HHI from exact " +
+      "integer sums, ties broken by token text") {
+    // tokens: a×4, b×3, c×2, d×1 → N=10, vocab 4, Σf² = 16+9+4+1 = 30.
+    val docs = Seq(
+      (1L, "a a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    val r = graft.operators.TextDedup.tokenConcentration(docs, 2)
+      .collect().head
+    assert(r.getAs[Long]("n_occurrences") == 10L)
+    assert(r.getAs[Long]("n_vocab") == 4L)
+    assert(r.getAs[Long]("topk_occ") == 7L)          // a(4) + b(3)
+    assert(r.getAs[Long]("topk_share_bp") == 7000L)
+    assert(r.getAs[Long]("sum_f2") == 30L)
+    assert(r.getAs[Double]("hhi") == 30.0 / (10.0 * 10.0))
+  }
 }
