@@ -354,6 +354,14 @@ object SparkEntry {
       TickOps.lateArrivalAudit(Tables.ticks(s, d), 60000000L,
         unix_micros(col("ts")) + jitter)
     }),
+    // B12 — spike-tick repair: 50% jumps reverting against both
+    // neighbors flag + midpoint-repair (synthetic feed is iid-noisy,
+    // so both classes are dense at every threshold).
+    "q_spike_repair" -> ((s, d) =>
+      TickOps.spikeRepair(Tables.ticks(s, d), 5000L)),
+    // D32 — order-flow sign persistence (zero-ticks transparent).
+    "q_sign_persistence" -> ((s, d) =>
+      Microstructure.signPersistence(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -1548,6 +1556,61 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS late_ratio
         |FROM w GROUP BY symbol ORDER BY symbol""".stripMargin
     },
+    // B12 — bp compare cross-multiplied to pure int64; repair is the
+    // neighbor midpoint via the half-up integer formula.
+    "q_spike_repair" ->
+      s"""SELECT tick_id, symbol, cents, is_spike,
+        |  CASE WHEN is_spike THEN (prev + next + 1) // 2
+        |    ELSE cents END AS repaired_cents
+        |FROM (
+        |  SELECT tick_id, symbol, cents, prev, next,
+        |    prev IS NOT NULL AND next IS NOT NULL
+        |      AND abs(cents - prev) * 10000 > 5000 * prev
+        |      AND abs(cents - next) * 10000 > 5000 * next
+        |      AND (cents - prev) * (cents - next) > 0 AS is_spike
+        |  FROM (
+        |    SELECT tick_id, symbol,
+        |      CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |      lag(CAST(round(bid * 100.0, 0) AS BIGINT), 1)
+        |        OVER w AS prev,
+        |      lead(CAST(round(bid * 100.0, 0) AS BIGINT), 1)
+        |        OVER w AS next
+        |    FROM $ticksSql t
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
+        |ORDER BY tick_id""".stripMargin,
+    // D32 — signs int64, zero-ticks carry the previous nonzero sign
+    // (IGNORE NULLS lag); persistence one IEEE division of exact ints.
+    "q_sign_persistence" ->
+      s"""SELECT symbol,
+        |  CAST(sum(CASE WHEN sign IS NOT NULL AND prev_sign IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN sign IS NOT NULL AND prev_sign IS NOT NULL
+        |    AND sign = prev_sign THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repeat,
+        |  CASE WHEN sum(CASE WHEN sign IS NOT NULL
+        |      AND prev_sign IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+        |    CAST(sum(CASE WHEN sign IS NOT NULL AND prev_sign IS NOT NULL
+        |      AND sign = prev_sign THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN sign IS NOT NULL
+        |      AND prev_sign IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS persistence
+        |FROM (
+        |  SELECT symbol, sign,
+        |    last_value(sign IGNORE NULLS) OVER (PARTITION BY symbol
+        |      ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_sign
+        |  FROM (
+        |    SELECT symbol, tick_id,
+        |      CASE WHEN prev IS NOT NULL AND cents > prev THEN 1
+        |        WHEN prev IS NOT NULL AND cents < prev THEN -1 END AS sign
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |        lag(CAST(round(bid * 100.0, 0) AS BIGINT), 1) OVER (
+        |          PARTITION BY symbol ORDER BY tick_id) AS prev
+        |      FROM $ticksSql t) a) b) c
+        |GROUP BY symbol ORDER BY symbol""".stripMargin,
     // knots — the rounded value is the only safe comparand).
     "q_burst_detect" ->
       s"""WITH per AS (

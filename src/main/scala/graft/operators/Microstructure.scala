@@ -490,4 +490,40 @@ object Microstructure {
         "vpin", "n_bars_in_window")
       .orderBy("symbol", "bar_id")
   }
+
+  /** D32 — ORDER-FLOW SIGN PERSISTENCE per symbol: among consecutive
+    * pairs of NONZERO tick-rule signs, how often does the sign repeat
+    * — the order-splitting / herding diagnostic (empirically ~0.6-0.8
+    * in equity markets, the LMF "long memory of order flow" fact; a
+    * persistence near 0.5 means flow is unpredictable, near 1 means
+    * large parents are being sliced). Signs from B9's rule in exact
+    * cents; zero-ticks are TRANSPARENT — the previous nonzero sign
+    * carries across them (an ignoreNulls lag of the sign series), so
+    * a run interrupted by flat prints still counts as a run.
+    * `persistence = n_repeat / n_pairs` is ONE IEEE division of exact
+    * int64 counts (D21's rule, unrounded), NULL when no pair exists.
+    * Shape: one symbol exchange carries both lags and the aggregate. */
+  def signPersistence(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("sign",
+        when(col("prev").isNotNull && col("cents") > col("prev"), 1L)
+          .when(col("prev").isNotNull && col("cents") < col("prev"), -1L))
+      .withColumn("prev_sign", last(col("sign"), ignoreNulls = true).over(wPrev))
+      .groupBy("symbol")
+      .agg(
+        sum(when(col("sign").isNotNull && col("prev_sign").isNotNull, 1L)
+          .otherwise(0L)).as("n_pairs"),
+        sum(when(col("sign").isNotNull && col("prev_sign").isNotNull &&
+          col("sign") === col("prev_sign"), 1L).otherwise(0L))
+          .as("n_repeat"))
+      .withColumn("persistence",
+        when(col("n_pairs") > 0,
+          col("n_repeat").cast("double") / col("n_pairs").cast("double")))
+      .select("symbol", "n_pairs", "n_repeat", "persistence")
+      .orderBy("symbol")
+  }
 }

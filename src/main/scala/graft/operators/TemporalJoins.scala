@@ -518,16 +518,25 @@ object TemporalJoins {
       .select(col("symbol"),
         explode(sequence(col("b0"), col("b1"),
           expr(s"INTERVAL 1 ${unit.toUpperCase}"))).as("bucket"))
+    // Forward pass: running (UnboundedPreceding, CurrentRow) frames are
+    // O(n) streaming aggregates. The NEXT anchor deliberately re-sorts
+    // the SAME symbol partition DESCENDING and reuses the running-frame
+    // form — Spark evaluates an (CurrentRow, UnboundedFollowing) frame
+    // by re-scanning the partition tail per row, O(n²) on a 90%-null
+    // anchor column (measured 67 s at sf0.1 vs ~2 s for this shape; the
+    // E2-nearest-join reversed-sort rule). Two in-partition sorts, ONE
+    // exchange.
     val w = Window.partitionBy("symbol").orderBy("bucket")
     val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wNextRev = Window.partitionBy("symbol").orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(anchors, Seq("symbol", "bucket"), "left")
       .withColumn("idx", row_number().over(w).cast("long"))
       .withColumn("a_idx", when(col("a_cents").isNotNull, col("idx")))
       .withColumn("p_cents", last(col("a_cents"), ignoreNulls = true).over(wPrev))
       .withColumn("p_idx", last(col("a_idx"), ignoreNulls = true).over(wPrev))
-      .withColumn("n_cents", first(col("a_cents"), ignoreNulls = true).over(wNext))
-      .withColumn("n_idx", first(col("a_idx"), ignoreNulls = true).over(wNext))
+      .withColumn("n_cents", last(col("a_cents"), ignoreNulls = true).over(wNextRev))
+      .withColumn("n_idx", last(col("a_idx"), ignoreNulls = true).over(wNextRev))
       .withColumn("cents",
         when(col("a_cents").isNotNull, col("a_cents"))
           .otherwise(expr(

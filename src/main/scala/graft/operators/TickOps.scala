@@ -276,4 +276,41 @@ object TickOps {
       .select("symbol", "n_ticks", "n_late", "max_lateness_us", "late_ratio")
       .orderBy("symbol")
   }
+
+  /** B12 — SPIKE-TICK detection and repair: a tick whose price jumps
+    * more than `thresholdBp` basis points away from BOTH neighbors —
+    * in OPPOSITE directions — is a feed glitch, not a move (the
+    * classic single-point outlier rule every tick cleaner applies
+    * before stats; the reference's cleaner drops malformed rows at
+    * ingest — `spark_session_window_tick_cleaner.py` — this is the
+    * price-level completion of that screen). A genuine jump that
+    * PERSISTS (both deltas same direction) is kept. The repaired
+    * value for a spike is the neighbor MIDPOINT in exact cents (B8's
+    * half-up integer formula); edge ticks (no lag or no lead) are
+    * never spikes.
+    *
+    * Engine-exactness: the bp comparison is CROSS-MULTIPLIED into
+    * pure int64 — `|Δ|·10⁴ > threshold·prev_cents` — so no ratio
+    * double ever materializes (C23/C24's discipline); products stay
+    * < 10¹⁴ for any real price. Shape: ONE symbol exchange carries
+    * lag, lead and the emit sort. */
+  def spikeRepair(ticks: DataFrame, thresholdBp: Long): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("next", lead(col("cents"), 1).over(w))
+      .withColumn("is_spike",
+        col("prev").isNotNull && col("next").isNotNull &&
+          abs(col("cents") - col("prev")) * lit(10000L) >
+            lit(thresholdBp) * col("prev") &&
+          abs(col("cents") - col("next")) * lit(10000L) >
+            lit(thresholdBp) * col("next") &&
+          (col("cents") - col("prev")) * (col("cents") - col("next")) > 0L)
+      .withColumn("repaired_cents",
+        when(col("is_spike"), expr("(prev + next + 1) div 2"))
+          .otherwise(col("cents")))
+      .select("tick_id", "symbol", "cents", "is_spike", "repaired_cents")
+      .orderBy("tick_id")
+  }
 }

@@ -14,8 +14,10 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q_nation_volume", "q_value_share", "q_cms_heavy_hitters",
-        "q_trailing_revenue", "q_idle_balance", "q_rolling_corr")) {
+    val targets = if (args.nonEmpty) args.toSeq
+      else Seq("q_nation_volume", "q_value_share", "q_cms_heavy_hitters",
+        "q_trailing_revenue", "q_idle_balance", "q_rolling_corr")
+    for (q <- targets) {
       println(s"========== $q ==========")
       val df = graft.SparkEntry.queries(q)(spark, d)
       val plan = df.queryExecution.executedPlan.toString

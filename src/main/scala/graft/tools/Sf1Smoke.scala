@@ -154,7 +154,11 @@ object Sf1Smoke {
       // space is FIXED while occurrences 10x — the shapes that must
       // stay linear.
       "q_containment", "q_cms_heavy_hitters", "q_bpe_pairs",
-      "q_importance_weights")
+      "q_importance_weights",
+      // round-9 session-5: fertility is a (lang, source) aggregate
+      // whose key space is fixed while rows 10x; concentration is the
+      // F10b token-freq shuffle plus two 1-row aggregates.
+      "q_tokenizer_fertility", "q_token_concentration")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -172,7 +176,12 @@ object Sf1Smoke {
       // round-9 session-3: range vol collapses to (symbol, day) in
       // its first aggregate; the funnel is three shrinking user-keyed
       // conditional MINs.
-      "q_range_vol", "q_funnel")
+      "q_range_vol", "q_funnel",
+      // round-9 session-5: volume bars + VPIN are the one-exchange
+      // cumsum/window shape whose per-symbol state is constant while
+      // the symbol count 10x; interp grid is calendar-bounded after
+      // its first aggregate (the property the replica must not break).
+      "q_volume_bars", "q_vpin", "q_interp_grid")
     val family =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily

@@ -309,4 +309,21 @@ class MicrostructureSpec extends SparkSpec {
     assert(b2.getAs[Double]("vpin") == 12.0 / 22.0)
     assert(b2.getAs[Long]("n_bars_in_window") == 2L)
   }
+
+  test("signPersistence: zero-ticks are transparent to the sign chain; " +
+      "ratio is exact-count division") {
+    // cents 100,101,102,102,101,100 → signs -,+,+,0,-,- :
+    // pairs (+,+) repeat, (+,-) across the zero-tick, (-,-) repeat.
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 1.01, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.02, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 1.02, 0.0),
+      (5L, 1L, "2024-01-01 00:00:05", 1.01, 0.0),
+      (6L, 1L, "2024-01-01 00:00:06", 1.00, 0.0))
+    val r = Microstructure.signPersistence(tk).collect().head
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_repeat") == 2L)
+    assert(r.getAs[Double]("persistence") == 2.0 / 3.0)
+  }
 }

@@ -147,4 +147,27 @@ class TickOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_rate") == 3L)
     assert(r.getAs[Double]("thr") == 1.5)
   }
+
+  test("spikeRepair: only both-direction reverting jumps flag; " +
+      "persistent jumps and edges are kept; repair is the midpoint") {
+    // cents: 100, 160, 160, 100, 250, 101 (threshold 50%).
+    // t2 jumps +60 but PERSISTS (next is equal) -> kept.
+    // t4 drops -60 from 160: 600000 <= 5000*160 -> below threshold.
+    // t5 spikes to 250 against 100 and 101 -> repaired to 101.
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 1.60, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.60, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 1.00, 0.0),
+      (5L, 1L, "2024-01-01 00:00:05", 2.50, 0.0),
+      (6L, 1L, "2024-01-01 00:00:06", 1.01, 0.0))
+    val out = TickOps.spikeRepair(tk, 5000L).collect()
+    val spikes = out.filter(_.getAs[Boolean]("is_spike"))
+      .map(_.getAs[Long]("tick_id")).toSeq
+    assert(spikes == Seq(5L))
+    val t5 = out.find(_.getAs[Long]("tick_id") == 5L).get
+    assert(t5.getAs[Long]("repaired_cents") == 101L) // (100+101+1) div 2
+    val t2 = out.find(_.getAs[Long]("tick_id") == 2L).get
+    assert(t2.getAs[Long]("repaired_cents") == 160L)
+  }
 }
