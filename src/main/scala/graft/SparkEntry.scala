@@ -426,6 +426,10 @@ object SparkEntry {
     // E11 — linear-interpolation gap fill onto the hourly grid.
     "q_interp_grid" -> ((s, d) =>
       TemporalJoins.interpolateGrid(Tables.ticks(s, d), "hour")),
+    // D33 — Hayashi-Yoshida async covariance, hourly overlap buckets.
+    "q_hy_cov" -> ((s, d) =>
+      TemporalJoins.hayashiYoshida(Tables.ticks(s, d),
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)), 3600L)),
     // D29 — trailing 5-day rolling correlation per symbol pair.
     "q_rolling_corr" -> ((s, d) =>
       TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
@@ -2127,6 +2131,47 @@ object SparkEntry {
         |      AS DOUBLE) / count(*) AS coverage
         |FROM grid LEFT JOIN days USING (symbol, d)
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D33 — HY: exact cent-delta products summed int64; overlap pairs
+    // counted once in the bucket of the overlap START (integer div on
+    // both engines); hy_corr IEEE sqrt/mul/div on identical exact ints.
+    "q_hy_cov" ->
+      s"""WITH rets AS (
+        |  SELECT symbol, cents - prev_c AS r, prev_us AS t0, us AS t1
+        |  FROM (
+        |    SELECT symbol, tick_id,
+        |      CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |      lag(CAST(round(bid * 100.0, 0) AS BIGINT)) OVER w AS prev_c,
+        |      lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+        |    FROM $ticksSql t
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x
+        |  WHERE prev_c IS NOT NULL),
+        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |  AS p(sym_a, sym_b)),
+        |ex AS (SELECT symbol, r, t0, t1, CAST(g.g AS BIGINT) AS bucket
+        |  FROM rets, unnest(generate_series(t0 // 3600000000,
+        |    t1 // 3600000000)) AS g(g)),
+        |cov AS (
+        |  SELECT p.sym_a, p.sym_b, count(*) AS n_overlaps,
+        |    CAST(sum(a.r * b.r) AS BIGINT) AS hy_cov_cc2
+        |  FROM pairs p
+        |  JOIN ex a ON a.symbol = p.sym_a
+        |  JOIN ex b ON b.symbol = p.sym_b AND b.bucket = a.bucket
+        |  WHERE a.t0 < b.t1 AND b.t0 < a.t1
+        |    AND greatest(a.t0, b.t0) // 3600000000 = a.bucket
+        |  GROUP BY p.sym_a, p.sym_b),
+        |vars AS (SELECT symbol, CAST(sum(r * r) AS BIGINT) AS v
+        |  FROM rets GROUP BY symbol)
+        |SELECT sym_a, sym_b, n_overlaps, hy_cov_cc2,
+        |  va.v AS var_a_cc2, vb.v AS var_b_cc2,
+        |  CASE WHEN va.v > 0 AND vb.v > 0 THEN
+        |    CAST(hy_cov_cc2 AS DOUBLE)
+        |      / (sqrt(CAST(va.v AS DOUBLE)) * sqrt(CAST(vb.v AS DOUBLE)))
+        |  END AS hy_corr
+        |FROM cov
+        |JOIN vars va ON va.symbol = cov.sym_a
+        |JOIN vars vb ON vb.symbol = cov.sym_b
+        |ORDER BY sym_a, sym_b""".stripMargin,
     // E11 — interpolation never leaves int64: grid INDEX as time
     // (uniform grid ⇒ index interp ≡ time interp), B8's half-up
     // integer rounding formula, both engines' integer division

@@ -232,4 +232,29 @@ object Lakehouse {
       .select(lit(name).as("constraint_name"), col("n_violations"),
         col("total_rows"), (col("n_violations") === 0L).as("pass"))
   }
+
+  /** A19 — WRITE-AUDIT-PUBLISH gate: the commit protocol that makes
+    * A18's audit load-bearing (Iceberg's WAP / `wap.branch` pattern,
+    * dbt's test-before-swap): a staged batch is audited in ONE scan
+    * ([[constraintAudit]]), and only a fully-green report lets the
+    * batch join the published table — a red report leaves the
+    * published table BIT-IDENTICAL and ships the violation report
+    * instead of silently dropping rows (audit-don't-filter; the batch
+    * is someone's bug report). The publish verdict is ONE bounded
+    * driver-side action over the constraint-count-sized report — a
+    * real commit IS a driver decision; the 100 TB scan happens once,
+    * inside the audit aggregate.
+    *
+    * Returns (report with the `published` verdict column, the
+    * resulting published table — `current ∪ staged` on green,
+    * `current` unchanged on red). */
+  def wapPublish(current: DataFrame, staged: DataFrame,
+                 constraints: Seq[(String, Column)])
+  : (DataFrame, DataFrame) = {
+    val report = constraintAudit(staged, constraints).localCheckpoint(true)
+    val ok = report.agg(expr("bool_and(pass)").as("ok"))
+      .head().getBoolean(0)
+    (report.withColumn("published", lit(ok)),
+      if (ok) current.unionByName(staged) else current)
+  }
 }

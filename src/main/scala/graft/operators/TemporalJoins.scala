@@ -483,6 +483,83 @@ object TemporalJoins {
       .orderBy("user_id")
   }
 
+  /** D33 — HAYASHI–YOSHIDA asynchronous covariance per symbol pair:
+    * the estimator that reads covariance straight off RAW ASYNCHRONOUS
+    * ticks — no grid, no alignment, no ffill (Hayashi & Yoshida 2005,
+    * Bernoulli 11(2); the fix for the Epps-effect bias that grid
+    * estimators like E7/D29 inherit at fine scales):
+    * `cov = Σᵢⱼ rₐ,ᵢ·r_b,ⱼ · 1[intervals overlap]` over consecutive-
+    * tick return intervals `(t₋₁, t]`.
+    *
+    * The pair join is NEVER an inequality join (Spark would plan a
+    * nested loop): each return interval explodes onto the
+    * `bucketSec`-grain time buckets it spans, the two sides equi-join
+    * on (pair, bucket), and the overlap predicate runs as a cheap
+    * post-join filter. An overlapping pair can meet in several
+    * buckets, so it COUNTS exactly once: in the bucket holding the
+    * overlap's START, `greatest(t₀ₐ, t₀_b) div bucket` — the same
+    * dedup rule F2's band buckets use. Explode volume is bounded by
+    * `span/bucketSec + n_ticks` per symbol — calendar-bounded on
+    * sparse feeds, tick-bounded on dense ones (both regimes safe at
+    * 100 TB; pick bucketSec ≈ median inter-tick gap).
+    *
+    * Engine-exactness: returns are exact cent deltas; the covariance
+    * and both variances are int64 sums of int products; `hy_corr =
+    * cov/(√vₐ·√v_b)` is IEEE sqrt/multiply/divide on identical exact
+    * ints — correctly-rounded ops, bit-identical across engines,
+    * emitted unrounded (D21's rule). */
+  def hayashiYoshida(ticks: DataFrame, pairs: Seq[(Long, Long)],
+                     bucketSec: Long): DataFrame = {
+    val ss = ticks.sparkSession
+    import ss.implicits._
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val bUs = bucketSec * 1000000L
+    val rets = ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_c", lag(col("cents"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_c").isNotNull)
+      .select(col("symbol"), (col("cents") - col("prev_c")).as("r"),
+        col("prev_us").as("t0"), col("us").as("t1"))
+      .localCheckpoint(true)
+    val pairsDf = broadcast(pairs.toDF("sym_a", "sym_b"))
+    def exploded = rets.withColumn("bucket",
+      explode(sequence(expr(s"t0 div ${bUs}L"), expr(s"t1 div ${bUs}L"))))
+    val a = exploded.join(pairsDf, col("symbol") === col("sym_a"))
+      .select(col("sym_a"), col("sym_b"), col("bucket"),
+        col("r").as("r_a"), col("t0").as("t0_a"), col("t1").as("t1_a"))
+    val b = exploded.join(pairsDf, col("symbol") === col("sym_b"))
+      .select(col("sym_a").as("pa"), col("sym_b").as("pb"), col("bucket"),
+        col("r").as("r_b"), col("t0").as("t0_b"), col("t1").as("t1_b"))
+    val cov = a.join(b,
+      col("sym_a") === col("pa") && col("sym_b") === col("pb") &&
+        a("bucket") === b("bucket") &&
+        col("t0_a") < col("t1_b") && col("t0_b") < col("t1_a") &&
+        // integer div, never a double quotient: epoch-µs values sit
+        // near 2^51 where a double ratio can round across the bucket
+        // edge and double-count or drop an overlap
+        expr(s"greatest(t0_a, t0_b) div ${bUs}L") === a("bucket"))
+      .groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("r_a") * col("r_b")).as("hy_cov_cc2"))
+    val vars = rets.groupBy("symbol")
+      .agg(sum(col("r") * col("r")).as("v"))
+    cov
+      .join(broadcast(vars.select(col("symbol").as("sym_a"),
+        col("v").as("var_a_cc2"))), Seq("sym_a"))
+      .join(broadcast(vars.select(col("symbol").as("sym_b"),
+        col("v").as("var_b_cc2"))), Seq("sym_b"))
+      .withColumn("hy_corr",
+        when(col("var_a_cc2") > 0L && col("var_b_cc2") > 0L,
+          col("hy_cov_cc2").cast("double") /
+            (sqrt(col("var_a_cc2").cast("double"))
+              * sqrt(col("var_b_cc2").cast("double")))))
+      .select("sym_a", "sym_b", "n_overlaps", "hy_cov_cc2",
+        "var_a_cc2", "var_b_cc2", "hy_corr")
+      .orderBy("sym_a", "sym_b")
+  }
+
   /** E11 — LINEAR-INTERPOLATION GAP FILL onto a uniform time grid per
     * symbol: the resampling step every model-prep pipeline runs before
     * fixed-step learners (the reference ffills — `ML Model/Scripts/

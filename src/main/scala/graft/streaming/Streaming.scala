@@ -553,6 +553,54 @@ object Streaming {
     flags.reverseIterator
   }
 
+  case class SpikeDecision(tick_id: Long, symbol: Long, cents: Long,
+                           is_spike: Boolean, repaired_cents: Long)
+  /** G19 keyed state: the previous CLASSIFIED tick's cents (−1 = none)
+    * plus the tick currently AWAITING its successor (−1 id = none). */
+  case class SpikeState(prevCents: Long, curId: Long, curCents: Long)
+
+  /** G19 — STREAMING SPIKE FILTER: the live twin of
+    * `TickOps.spikeRepair` (B12), and the canonical ONE-TICK-LOOKAHEAD
+    * stateful shape — a spike verdict needs the NEXT tick, so the
+    * stream holds each symbol's newest tick in state and emits its
+    * decision when the successor arrives (decision latency = one
+    * tick, the minimum the semantics permit). Same pure-int64
+    * cross-multiplied bp compare and midpoint repair as batch. Parity
+    * is exact minus the frontier: streamed == batch minus each
+    * symbol's LAST tick (still awaiting a successor in state —
+    * spec'd). In-batch rows sort by tick_id; per-symbol in-order feed
+    * assumed (G11's contract). */
+  def spikeFlags(ticks: Dataset[Tick], thresholdBp: Long)
+  : Dataset[SpikeDecision] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[SpikeState]) =>
+          var s = state.getOption.getOrElse(SpikeState(-1L, -1L, 0L))
+          var out = List.empty[SpikeDecision]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            if (s.curId >= 0L) {
+              val cur = s.curCents
+              val spike = s.prevCents >= 0L &&
+                math.abs(cur - s.prevCents) * 10000L >
+                  thresholdBp * s.prevCents &&
+                math.abs(cur - c) * 10000L > thresholdBp * c &&
+                (cur - s.prevCents) * (cur - c) > 0L
+              val rep = if (spike) (s.prevCents + c + 1L) / 2L else cur
+              out = SpikeDecision(s.curId, symbol, cur, spike, rep) :: out
+              s = SpikeState(cur, t.tick_id, c)
+            } else {
+              s = SpikeState(s.prevCents, t.tick_id, c)
+            }
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
+
   case class BarTrade(event_id: Long, symbol: Long, ts: Timestamp,
                       cents: Long, k: Long)
   /** G18 keyed state: running cum-qty + the OPEN bar's register;

@@ -54,4 +54,27 @@ class LakehouseSpec extends SparkSpec {
     assert(Lakehouse.rollbackTo(log, "event_id", 1000L, 3L).count() ==
       head._3)
   }
+
+  test("wapPublish: a red audit leaves the published table untouched " +
+      "and ships the report; a green audit appends the batch") {
+    import org.apache.spark.sql.functions.col
+    val current = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val badBatch = Seq((3L, -5.0), (4L, 40.0)).toDF("id", "v")
+    val goodBatch = Seq((5L, 50.0), (6L, 60.0)).toDF("id", "v")
+    val constraints = Seq(
+      "v_nonnegative" -> (col("v") < 0.0),      // violation predicate
+      "id_present" -> col("id").isNull)
+    val (redReport, afterRed) =
+      Lakehouse.wapPublish(current, badBatch, constraints)
+    val red = redReport.collect()
+    assert(red.forall(!_.getAs[Boolean]("published")))
+    assert(red.find(_.getAs[String]("constraint_name") == "v_nonnegative")
+      .get.getAs[Long]("n_violations") == 1L)
+    assert(afterRed.collect().toSet == current.collect().toSet)
+    val (greenReport, afterGreen) =
+      Lakehouse.wapPublish(current, goodBatch, constraints)
+    assert(greenReport.collect().forall(_.getAs[Boolean]("published")))
+    assert(afterGreen.count() == 4L)
+    assert(afterGreen.filter(col("id") === 5L).count() == 1L)
+  }
 }

@@ -618,4 +618,44 @@ class StreamingSpec extends SparkSpec {
     assert(b0.bar_qty == 8L && b0.open_cents == 100L &&
       b0.close_cents == 102L && b0.ts_last == "2024-01-01 00:00:02")
   }
+
+  test("G19 parity: streamed spike decisions == batch spikeRepair minus " +
+      "each symbol's frontier tick; decision waits for the successor") {
+    import graft.streaming.Streaming.SpikeDecision
+    // B12's fixture: spike only at tick 5 (250 against 100/101).
+    val ticks = Seq(
+      Tick(1L, 1L, t("2024-01-01 00:00:01"), 1.00),
+      Tick(2L, 1L, t("2024-01-01 00:00:02"), 1.60),
+      Tick(3L, 1L, t("2024-01-01 00:00:03"), 1.60),
+      Tick(4L, 1L, t("2024-01-01 00:00:04"), 1.00),
+      Tick(5L, 1L, t("2024-01-01 00:00:05"), 2.50),
+      Tick(6L, 1L, t("2024-01-01 00:00:06"), 1.01),
+      Tick(7L, 2L, t("2024-01-01 00:00:07"), 5.00))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.spikeFlags(in.toDS(), 5000L)
+      .writeStream.format("memory").queryName("p_spikes")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      // split right before the spike tick: its decision must only
+      // appear after tick 6 arrives in the second batch
+      val (a, b) = ticks.splitAt(4)
+      in.addData(a: _*); q.processAllAvailable()
+      val early = spark.table("p_spikes").as[SpikeDecision].collect()
+      assert(!early.exists(_.tick_id >= 4L)) // tick 4 still frontier
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_spikes").as[SpikeDecision].collect().toSet
+    } finally q.stop()
+    val batch = graft.operators.TickOps.spikeRepair(
+      ticks.toDF("tick_id", "symbol", "ts", "bid"), 5000L)
+      .as[SpikeDecision].collect().toSeq
+    val frontier = batch.groupBy(_.symbol).values
+      .map(_.maxBy(_.tick_id)).toSet
+    assert(streamed == batch.toSet -- frontier)
+    assert(streamed.count(_.is_spike) == 1)
+    val s5 = streamed.find(_.tick_id == 5L).get
+    assert(s5.repaired_cents == 101L)
+    // symbol 2 has a single tick: frontier only, nothing emitted
+    assert(!streamed.exists(_.symbol == 2L))
+  }
 }

@@ -254,6 +254,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("t3_us")))
   }
 
+  test("hayashiYoshida: overlap products in exact cents, a pair meeting " +
+      "in several buckets counts ONCE (overlap-start dedup rule)") {
+    // sym 1: cents 100,102,101 at 0s,10s,20s → r=+2 on (0,10], r=−1 on
+    // (10,20]. sym 2: cents 200,203 at 5s,15s → r=+3 on (5,15].
+    // Overlaps: (+2,+3) and (−1,+3) → cov = 6 − 3 = 3; var₁ = 5,
+    // var₂ = 9. bucketSec=7 makes every interval span ≥2 buckets, so
+    // the dedup rule is load-bearing: double-counting would give 6.
+    val tk = Seq(
+      (1L, 1L, t("2024-01-01 00:00:00"), 1.00, 0.0),
+      (2L, 1L, t("2024-01-01 00:00:10"), 1.02, 0.0),
+      (3L, 1L, t("2024-01-01 00:00:20"), 1.01, 0.0),
+      (4L, 2L, t("2024-01-01 00:00:05"), 2.00, 0.0),
+      (5L, 2L, t("2024-01-01 00:00:15"), 2.03, 0.0))
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val r = TemporalJoins.hayashiYoshida(tk, Seq((1L, 2L)), 7L)
+      .collect().head
+    assert(r.getAs[Long]("n_overlaps") == 2L)
+    assert(r.getAs[Long]("hy_cov_cc2") == 3L)
+    assert(r.getAs[Long]("var_a_cc2") == 5L)
+    assert(r.getAs[Long]("var_b_cc2") == 9L)
+    assert(r.getAs[Double]("hy_corr") ==
+      3.0 / (math.sqrt(5.0) * math.sqrt(9.0)))
+  }
+
   test("interpolateGrid: missing buckets interpolate in exact int64 with " +
       "half-up rounding; observed buckets pass the anchor through") {
     val ticks = Seq(
