@@ -362,6 +362,9 @@ object SparkEntry {
     // D32 — order-flow sign persistence (zero-ticks transparent).
     "q_sign_persistence" -> ((s, d) =>
       Microstructure.signPersistence(Tables.ticks(s, d))),
+    // D34 — bipower variation + jump share per (symbol, day).
+    "q_bipower" -> ((s, d) =>
+      Microstructure.bipowerVariation(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -1582,6 +1585,37 @@ object SparkEntry {
         |    FROM $ticksSql t
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
         |ORDER BY tick_id""".stripMargin,
+    // D34 — RV and the bipower sum round(4) as aggregates; BV =
+    // rounded-sum × π/2 HARD literal, re-rounded; jump share divides
+    // the two ROUNDED aggregates (derived-from-rounded).
+    "q_bipower" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date, n_pairs,
+        |  rv, sum_bp,
+        |  round(sum_bp * 1.5707963267948966, 4) AS bv,
+        |  CASE WHEN rv > 0 THEN greatest(0.0,
+        |    1.0 - round(sum_bp * 1.5707963267948966, 4) / rv)
+        |  END AS jump_share
+        |FROM (
+        |  SELECT symbol, _date,
+        |    round(sum(r * r), 4) AS rv,
+        |    round(sum(abs(r) * abs(r_prev)), 4) AS sum_bp,
+        |    count(CASE WHEN r IS NOT NULL AND r_prev IS NOT NULL
+        |      THEN 1 END) AS n_pairs
+        |  FROM (
+        |    SELECT symbol, _date, r,
+        |      lag(r) OVER (PARTITION BY symbol, _date ORDER BY tick_id)
+        |        AS r_prev
+        |    FROM (
+        |      SELECT symbol, _date, tick_id,
+        |        CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev)
+        |          END AS r
+        |      FROM (
+        |        SELECT symbol, CAST(ts AS DATE) AS _date, tick_id, bid,
+        |          lag(bid) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |            ORDER BY tick_id) AS prev
+        |        FROM $ticksSql t) p) q) s
+        |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign
     // (IGNORE NULLS lag); persistence one IEEE division of exact ints.
     "q_sign_persistence" ->

@@ -526,4 +526,47 @@ object Microstructure {
       .select("symbol", "n_pairs", "n_repeat", "persistence")
       .orderBy("symbol")
   }
+
+  /** D34 — BIPOWER VARIATION and jump detection per (symbol, day):
+    * Barndorff-Nielsen & Shephard's jump-robust volatility —
+    * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` converges to integrated variance even
+    * through jumps, while realized variance `RV = Σrᵢ²` (D17) absorbs
+    * them, so `max(0, 1 − BV/RV)` is the relative JUMP share of the
+    * day's variance (the statistic behind every "was that move a jump
+    * or diffusion" screen). Log returns are elementwise IEEE on the
+    * same guarded ratios as D17 (ln domain guard); both pooled sums
+    * are aggregate doubles → round(4); BV multiplies the ROUNDED sum
+    * by π/2 as a HARD literal (1.5707963267948966 — never each
+    * engine's own pi(), D27's constant rule) and is itself re-rounded;
+    * the jump share divides the two ROUNDED aggregates
+    * (derived-from-rounded, SURVEY §6), NULL when RV is 0. A pair
+    * needs BOTH adjacent returns non-null — day boundaries reset the
+    * partition, so overnight gaps never form a pair. Shape: one
+    * (symbol, day) exchange carries both lags and the aggregate. */
+  def bipowerVariation(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .withColumn("r",
+        when(col("prev") > 0 && col("bid") > 0,
+          log(col("bid") / col("prev"))))
+      .withColumn("r_prev", lag(col("r"), 1).over(w))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(
+        round(sum(col("r") * col("r")), 4).as("rv"),
+        round(sum(abs(col("r")) * abs(col("r_prev"))), 4).as("sum_bp"),
+        count(when(col("r").isNotNull && col("r_prev").isNotNull, 1))
+          .as("n_pairs"))
+      .withColumn("bv", round(col("sum_bp") * lit(1.5707963267948966), 4))
+      .withColumn("jump_share",
+        when(col("rv") > 0,
+          greatest(lit(0.0), lit(1.0) - col("bv") / col("rv"))))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_pairs"), col("rv"), col("sum_bp"), col("bv"),
+        col("jump_share"))
+      .orderBy("symbol", "date")
+  }
 }

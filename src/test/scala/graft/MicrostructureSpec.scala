@@ -326,4 +326,30 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.getAs[Long]("n_repeat") == 2L)
     assert(r.getAs[Double]("persistence") == 2.0 / 3.0)
   }
+
+  test("bipowerVariation: BV from adjacent |return| products, jump " +
+      "share from the rounded aggregates, day boundary resets pairs") {
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // day 1: bids 1,2,1,2 → r = ln2, −ln2, ln2: rv = 3ln²2,
+    // sum_bp = 2ln²2. day 2 (one tick): no returns at all.
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 2.00, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.00, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 2.00, 0.0),
+      (5L, 1L, "2024-01-02 00:00:05", 9.00, 0.0))
+    val out = Microstructure.bipowerVariation(tk).collect()
+    val d1 = out.find(_.getAs[String]("date") == "2024-01-01").get
+    val l2 = math.log(2.0)
+    assert(d1.getAs[Long]("n_pairs") == 2L)
+    assert(d1.getAs[Double]("rv") == r4(3 * l2 * l2))
+    assert(d1.getAs[Double]("sum_bp") == r4(2 * l2 * l2))
+    val bv = r4(r4(2 * l2 * l2) * 1.5707963267948966)
+    assert(d1.getAs[Double]("bv") == bv)
+    assert(d1.getAs[Double]("jump_share") ==
+      math.max(0.0, 1.0 - bv / r4(3 * l2 * l2)))
+    val d2 = out.find(_.getAs[String]("date") == "2024-01-02").get
+    assert(d2.getAs[Long]("n_pairs") == 0L)
+  }
 }
