@@ -365,6 +365,8 @@ object SparkEntry {
     // D34 — bipower variation + jump share per (symbol, day).
     "q_bipower" -> ((s, d) =>
       Microstructure.bipowerVariation(Tables.ticks(s, d))),
+    // B13 — TWAP per (symbol, day), next-tick holding intervals.
+    "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -1585,6 +1587,29 @@ object SparkEntry {
         |    FROM $ticksSql t
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
         |ORDER BY tick_id""".stripMargin,
+    // B13 — TWAP: int64 time-weighted cent sums (day-bounded, no
+    // overflow), B8's half-up integer e4 formula — no double sum.
+    "q_twap" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  CAST((_s * 200 + _d) // (_d * 2) AS DOUBLE) / 10000.0 AS twap,
+        |  n_weighted
+        |FROM (
+        |  SELECT symbol, _date,
+        |    CAST(sum(CASE WHEN dur IS NOT NULL THEN cents * dur
+        |      ELSE 0 END) AS BIGINT) AS _s,
+        |    nullif(CAST(sum(coalesce(dur, 0)) AS BIGINT), 0) AS _d,
+        |    count(dur) AS n_weighted
+        |  FROM (
+        |    SELECT symbol, _date, cents,
+        |      lead(us) OVER (PARTITION BY symbol, _date
+        |        ORDER BY tick_id) - us AS dur
+        |    FROM (
+        |      SELECT symbol, CAST(ts AS DATE) AS _date, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM $ticksSql t) p) q
+        |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
     // D34 — RV and the bipower sum round(4) as aggregates; BV =
     // rounded-sum × π/2 HARD literal, re-rounded; jump share divides
     // the two ROUNDED aggregates (derived-from-rounded).

@@ -313,4 +313,43 @@ object TickOps {
       .select("tick_id", "symbol", "cents", "is_spike", "repaired_cents")
       .orderBy("tick_id")
   }
+
+  /** B13 — TWAP per (symbol, day): time-weighted average price, the
+    * execution benchmark beside B8's volume-weighted one — a quote is
+    * worth the TIME it stood, not the prints it got (the right
+    * average for quote-driven series where B8's trade weights don't
+    * exist). Holding convention: each tick holds from its ts to the
+    * NEXT tick's ts within the day; the day's last tick has no
+    * holding interval and carries no weight (documented — the
+    * alternative, padding to midnight, weights a quote into hours
+    * that may belong to a halted session).
+    *
+    * Engine-exactness: Σ(cents·dur_µs) and Σdur_µs are pure int64
+    * (day-bounded: ≤ 5·10⁴ cents × 8.64·10¹⁰ µs ≈ 4·10¹⁵, no
+    * overflow); `twap` reuses B8's half-up integer e4 formula
+    * `(S·200 + D) div (2D)` so no double sum ever exists. Zero-
+    * duration ticks (same-µs prints) carry zero weight on both
+    * engines identically. Shape: one (symbol, day) exchange carries
+    * the lead and the aggregate (B9's shape). */
+  def twap(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy("symbol", "_date")
+      .agg(
+        sum(when(col("dur").isNotNull, col("cents") * col("dur"))
+          .otherwise(0L)).as("_s"),
+        nullif(sum(coalesce(col("dur"), lit(0L))), lit(0L)).as("_d"),
+        count(col("dur")).as("n_weighted"))
+      .withColumn("twap",
+        expr("(_s * 200 + _d) div (_d * 2)").cast("double") / 10000.0)
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("twap"), col("n_weighted"))
+      .orderBy("symbol", "date")
+  }
 }

@@ -170,4 +170,22 @@ class TickOpsSpec extends SparkSpec {
     val t2 = out.find(_.getAs[Long]("tick_id") == 2L).get
     assert(t2.getAs[Long]("repaired_cents") == 160L)
   }
+
+  test("twap: next-tick holding weights, last tick weightless, " +
+      "single-tick day reports NULL") {
+    // day 1: 100c held 10 s, 200c held 30 s, 110c weightless →
+    // (100·10 + 200·30) / 40 = 175c = 1.75.
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:00", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:10", 2.00, 0.0),
+      (3L, 1L, "2024-01-01 00:00:40", 1.10, 0.0),
+      (4L, 2L, "2024-01-01 05:00:00", 9.00, 0.0)) // lone tick
+    val out = TickOps.twap(tk).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Double]("twap") == 1.75)
+    assert(s1.getAs[Long]("n_weighted") == 2L)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.isNullAt(s2.fieldIndex("twap")))
+    assert(s2.getAs[Long]("n_weighted") == 0L)
+  }
 }
