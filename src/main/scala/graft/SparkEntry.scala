@@ -435,6 +435,10 @@ object SparkEntry {
     "q_hy_cov" -> ((s, d) =>
       TemporalJoins.hayashiYoshida(Tables.ticks(s, d),
         Seq((1L, 2L), (2L, 3L), (1L, 3L)), 3600L)),
+    // D35 — Epps curve: grid corr swept over 1min/10min/1h/1day.
+    "q_epps_curve" -> ((s, d) =>
+      TemporalJoins.eppsCurve(Tables.ticks(s, d),
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(60L, 600L, 3600L, 86400L))),
     // D29 — trailing 5-day rolling correlation per symbol pair.
     "q_rolling_corr" -> ((s, d) =>
       TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
@@ -2190,6 +2194,43 @@ object SparkEntry {
         |      AS DOUBLE) / count(*) AS coverage
         |FROM grid LEFT JOIN days USING (symbol, d)
         |GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D35 — Epps curve: per-scale anchors via arg_min, moves exact
+    // cents, bucket ids integer div (no double quotient), corr
+    // round(4), <2-point pair-scales NULL.
+    "q_epps_curve" ->
+      s"""WITH scales AS (SELECT CAST(s.scale_sec AS BIGINT) AS scale_sec
+        |  FROM (VALUES (60), (600), (3600), (86400)) AS s(scale_sec)),
+        |t AS (SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM $ticksSql tk),
+        |anchors AS (
+        |  SELECT symbol, scale_sec,
+        |    us // (scale_sec * 1000000) AS bucket,
+        |    arg_min(cents, tick_id) AS a_cents
+        |  FROM t, scales
+        |  GROUP BY symbol, scale_sec, us // (scale_sec * 1000000)),
+        |moves AS (
+        |  SELECT symbol, scale_sec, bucket,
+        |    CAST(a_cents - lag(a_cents) OVER (
+        |      PARTITION BY symbol, scale_sec ORDER BY bucket)
+        |      AS DOUBLE) AS mv
+        |  FROM anchors),
+        |m AS (SELECT * FROM moves WHERE mv IS NOT NULL),
+        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |  AS p(sym_a, sym_b))
+        |SELECT p.sym_a, p.sym_b, a.scale_sec,
+        |  count(*) AS n_buckets,
+        |  round(CASE WHEN stddev_samp(a.mv) > 0 AND stddev_samp(b.mv) > 0
+        |    THEN covar_samp(a.mv, b.mv)
+        |      / (stddev_samp(a.mv) * stddev_samp(b.mv)) END, 4)
+        |    AS grid_corr
+        |FROM pairs p
+        |JOIN m a ON a.symbol = p.sym_a
+        |JOIN m b ON b.symbol = p.sym_b AND b.scale_sec = a.scale_sec
+        |  AND b.bucket = a.bucket
+        |GROUP BY p.sym_a, p.sym_b, a.scale_sec
+        |ORDER BY sym_a, sym_b, a.scale_sec""".stripMargin,
     // D33 — HY: exact cent-delta products summed int64; overlap pairs
     // counted once in the bucket of the overlap START (integer div on
     // both engines); hy_corr IEEE sqrt/mul/div on identical exact ints.

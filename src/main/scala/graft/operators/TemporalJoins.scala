@@ -483,6 +483,63 @@ object TemporalJoins {
       .orderBy("user_id")
   }
 
+  /** D35 — EPPS-EFFECT CURVE per symbol pair: the pairwise correlation
+    * of grid-aligned moves AS A FUNCTION of the sampling scale (Epps
+    * 1979: measured correlation decays toward zero as the grid gets
+    * finer than the quote arrival rate — the bias D33's HY estimator
+    * removes; this measures it, and together they bracket the truth).
+    * E7's statistic swept across `scalesSec` in ONE pass: scales ride
+    * an explode (factor = |scales|, a handful — documented, never
+    * data-sized), anchors are the first tick per (symbol, scale,
+    * bucket) by tick_id (B2's rule), moves are exact cent deltas on
+    * the per-scale grid, and `corr` aggregates per (pair, scale) with
+    * map-side partials. Bucket ids are INTEGER `div` of epoch-µs
+    * (D33's rule — no double quotient). corr round(4) (aggregate
+    * rule), NULL when a pair shares <2 buckets at a scale. */
+  def eppsCurve(ticks: DataFrame, pairs: Seq[(Long, Long)],
+                scalesSec: Seq[Long]): DataFrame = {
+    val ss = ticks.sparkSession
+    import ss.implicits._
+    val scalesDf = broadcast(scalesSec.toDF("scale_sec"))
+    val anchors = ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+      .crossJoin(scalesDf)
+      .withColumn("bucket", expr("us div (scale_sec * 1000000L)"))
+      .groupBy("symbol", "scale_sec", "bucket")
+      .agg(min_by(col("cents"), col("tick_id")).as("a_cents"))
+    val w = Window.partitionBy("symbol", "scale_sec").orderBy("bucket")
+    val moves = anchors
+      .withColumn("mv",
+        (col("a_cents") - lag(col("a_cents"), 1).over(w)).cast("double"))
+      .filter(col("mv").isNotNull)
+      .localCheckpoint(true)
+    val pairsDf = broadcast(pairs.toDF("sym_a", "sym_b"))
+    val a = moves.join(pairsDf, col("symbol") === col("sym_a"))
+      .select(col("sym_a"), col("sym_b"), col("scale_sec"),
+        col("bucket"), col("mv").as("mv_a"))
+    val b = moves
+      .select(col("symbol").as("sym_b"), col("scale_sec"),
+        col("bucket"), col("mv").as("mv_b"))
+    a.join(b, Seq("sym_b", "scale_sec", "bucket"))
+      .groupBy("sym_a", "sym_b", "scale_sec")
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("covar_samp(mv_a, mv_b)").as("_cov"),
+        expr("stddev_samp(mv_a)").as("_sa"),
+        expr("stddev_samp(mv_b)").as("_sb"))
+      // Pearson r from its components, NOT the corr aggregate: under
+      // ANSI mode Spark's corr THROWS Division-by-zero on a
+      // zero-variance group (a constant move series at a sparse scale
+      // makes this reachable — spec'd), where DuckDB's corr returns
+      // NULL. The guarded component form is spelled identically in
+      // the oracle, so both engines divide the same aggregates.
+      .withColumn("grid_corr",
+        round(when(col("_sa") > 0.0 && col("_sb") > 0.0,
+          col("_cov") / (col("_sa") * col("_sb"))), 4))
+      .select("sym_a", "sym_b", "scale_sec", "n_buckets", "grid_corr")
+      .orderBy("sym_a", "sym_b", "scale_sec")
+  }
+
   /** D33 — HAYASHI–YOSHIDA asynchronous covariance per symbol pair:
     * the estimator that reads covariance straight off RAW ASYNCHRONOUS
     * ticks — no grid, no alignment, no ffill (Hayashi & Yoshida 2005,

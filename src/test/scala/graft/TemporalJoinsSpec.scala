@@ -254,6 +254,29 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(u2.isNullAt(u2.fieldIndex("t3_us")))
   }
 
+  test("eppsCurve: per-scale grid corr, scales with <2 shared moves " +
+      "drop, zero-variance pair reports NULL (never NaN)") {
+    // 10 s scale: s1 moves +1,+2,+1; s2 moves +2,+4,+2 → corr 1.0.
+    // s3 moves +1,+1,+1 (zero variance) → corr(1,3) NULL.
+    // 40 s scale: every symbol has ONE bucket → no moves → no rows.
+    def tks(sym: Long, base: Long, cents: Seq[Long]) =
+      cents.zipWithIndex.map { case (c, i) =>
+        (base + i, sym, t(f"2024-01-01 00:00:${i * 10}%02d"), c / 100.0, 0.0)
+      }
+    val tk = (tks(1L, 10L, Seq(100L, 101L, 103L, 104L)) ++
+      tks(2L, 20L, Seq(200L, 202L, 206L, 208L)) ++
+      tks(3L, 30L, Seq(300L, 301L, 302L, 303L)))
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val out = TemporalJoins.eppsCurve(tk, Seq((1L, 2L), (1L, 3L)),
+      Seq(10L, 40L)).collect()
+    assert(out.forall(_.getAs[Long]("scale_sec") == 10L))
+    val p12 = out.find(_.getAs[Long]("sym_b") == 2L).get
+    assert(p12.getAs[Long]("n_buckets") == 3L)
+    assert(p12.getAs[Double]("grid_corr") == 1.0)
+    val p13 = out.find(_.getAs[Long]("sym_b") == 3L).get
+    assert(p13.isNullAt(p13.fieldIndex("grid_corr")))
+  }
+
   test("hayashiYoshida: overlap products in exact cents, a pair meeting " +
       "in several buckets counts ONCE (overlap-start dedup rule)") {
     // sym 1: cents 100,102,101 at 0s,10s,20s → r=+2 on (0,10], r=−1 on
