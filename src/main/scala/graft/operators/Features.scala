@@ -357,8 +357,10 @@ object Features {
     * an aggregate double → round(4) (SURVEY §6). One window lag +
     * grouped sum on the same (symbol, day) exchange. */
   def realizedVol(ticks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
-      .orderBy("tick_id")
+    // _date attribute in the window key, not to_date(ts): Catalyst
+    // does not unify the expression with the groupBy attribute and
+    // planned a second exchange (B13's audit finding, fixed here too).
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
     ticks
       .withColumn("_date", to_date(col("ts")))
       .withColumn("prev", lag(col("bid"), 1).over(w))

@@ -544,8 +544,9 @@ object Microstructure {
     * partition, so overnight gaps never form a pair. Shape: one
     * (symbol, day) exchange carries both lags and the aggregate. */
   def bipowerVariation(ticks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
-      .orderBy("tick_id")
+    // _date attribute in the window key, not to_date(ts) — Catalyst
+    // plans a second exchange otherwise (B13's audit finding).
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
     ticks
       .withColumn("_date", to_date(col("ts")))
       .withColumn("prev", lag(col("bid"), 1).over(w))

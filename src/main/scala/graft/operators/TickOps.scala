@@ -332,8 +332,11 @@ object TickOps {
     * engines identically. Shape: one (symbol, day) exchange carries
     * the lead and the aggregate (B9's shape). */
   def twap(ticks: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
-      .orderBy("tick_id")
+    // Window keyed on the _date ATTRIBUTE, not a fresh to_date(ts)
+    // expression: semantically equal, but Catalyst does not unify the
+    // expression with the groupBy attribute and plans a SECOND
+    // exchange (audited: 2 → 1).
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
     ticks
       .withColumn("_date", to_date(col("ts")))
       .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
