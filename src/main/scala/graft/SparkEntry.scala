@@ -564,6 +564,10 @@ object SparkEntry {
     // F54 — corpus head-heaviness: top-20 share + Herfindahl index.
     "q_token_concentration" -> ((s, d) =>
       TextDedup.tokenConcentration(Tables.documents(s, d), 20)),
+    // F55 — min-token threshold sensitivity sweep per source.
+    "q_threshold_sweep" -> ((s, d) =>
+      CorpusPipeline.thresholdSweep(Tables.documents(s, d),
+        Seq(5L, 10L, 20L, 40L))),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
     // F49 — per-label centroid drift vs the global centroid.
@@ -2795,6 +2799,25 @@ object SparkEntry {
         |  END AS chars_per_bpe_token
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin
+    },
+    // F55 — sweep: |thresholds|-factor explode into one conditional
+    // aggregate; kept share exact int64 bps.
+    "q_threshold_sweep" -> {
+      import graft.functions.PortableText._
+      s"""SELECT source, min_tokens,
+        |  count(*) AS n_docs_total,
+        |  CAST(sum(CASE WHEN n >= min_tokens THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_kept,
+        |  CAST(sum(CASE WHEN n >= min_tokens THEN n ELSE 0 END)
+        |    AS BIGINT) AS tokens_kept,
+        |  (CAST(sum(CASE WHEN n >= min_tokens THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000) // count(*) AS kept_share_bp
+        |FROM (SELECT source, CAST(length($duckTokens) AS BIGINT) AS n
+        |  FROM documents) d,
+        |  (SELECT CAST(t.min_tokens AS BIGINT) AS min_tokens
+        |   FROM (VALUES (5), (10), (20), (40)) AS t(min_tokens)) t
+        |GROUP BY source, min_tokens
+        |ORDER BY source, min_tokens""".stripMargin
     },
     // F54 — top-k share exact int64 bps (total-ordered head), HHI =
     // Σf²/N² with N² one IEEE multiply of the same exact int.

@@ -626,4 +626,34 @@ object CorpusPipeline {
           col("chars_total").cast("double")
             / col("bpe_tokens_total").cast("double")))
       .orderBy("lang", "source")
+
+  /** F55 — QUALITY-THRESHOLD SENSITIVITY SWEEP per source: how many
+    * docs and tokens survive each candidate min-token cut — the
+    * artifact that turns "pick a filter threshold" from a guess into
+    * a read (a cliff between two candidate cuts means the threshold
+    * sits inside a real mode of the length distribution; F16's filter
+    * then runs with the chosen value). One narrow token-count pass;
+    * thresholds ride a |thresholds|-factor explode (a handful,
+    * documented — the D35 scale-sweep pattern) into ONE
+    * (source, threshold) aggregate with map-side partials.
+    * `kept_share_bp` is exact int64 basis points (F52's quantization
+    * — survivors·10⁴ div total docs of the source). */
+  def thresholdSweep(docs: DataFrame, thresholds: Seq[Long]): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val tDf = broadcast(thresholds.toDF("min_tokens"))
+    docs
+      .select(col("source"), expr(s"size($tokens)").cast("long").as("n"))
+      .crossJoin(tDf)
+      .groupBy("source", "min_tokens")
+      .agg(
+        count(lit(1)).as("n_docs_total"),
+        sum(when(col("n") >= col("min_tokens"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(when(col("n") >= col("min_tokens"), col("n")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("kept_share_bp",
+        expr("(n_docs_kept * 10000) DIV n_docs_total"))
+      .orderBy("source", "min_tokens")
+  }
 }

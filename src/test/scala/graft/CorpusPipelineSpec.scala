@@ -367,4 +367,22 @@ class CorpusPipelineSpec extends SparkSpec {
     val g2 = out.find(r => r.getAs[String]("lang") == "fr").get
     assert(g2.getAs[Long]("ws_fertility_bp") == 3333L)
   }
+
+  test("thresholdSweep: per-(source, cut) survivor counts and exact " +
+      "basis-point shares") {
+    // source s1: docs with 2, 3, 5 tokens; s2: one 4-token doc.
+    val docs = Seq(
+      (1L, "a b", "s1"), (2L, "a b c", "s1"), (3L, "a b c d e", "s1"),
+      (4L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = CorpusPipeline.thresholdSweep(docs, Seq(3L, 5L)).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("min_tokens")) ->
+        (r.getAs[Long]("n_docs_kept"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Long]("kept_share_bp"))).toMap
+    assert(out(("s1", 3L)) == ((2L, 8L, 6666L)))
+    assert(out(("s1", 5L)) == ((1L, 5L, 3333L)))
+    assert(out(("s2", 3L)) == ((1L, 4L, 10000L)))
+    assert(out(("s2", 5L)) == ((0L, 0L, 0L)))
+  }
 }
