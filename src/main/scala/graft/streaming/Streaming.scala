@@ -553,6 +553,56 @@ object Streaming {
     flags.reverseIterator
   }
 
+  case class TwapPoint(symbol: Long, date: String, n_weighted: Long,
+                       twap: Double)
+
+  /** G20 — STREAMING TWAP: the live twin of `TickOps.twap` (B13),
+    * completing the execution-benchmark pair (G13 streams the
+    * volume-weighted side). Keyed by (symbol, day) like G11; state is
+    * the day's register — last tick's cents + µs and the two exact
+    * int64 sums Σ(cents·dur), Σdur. Each arriving tick COMPLETES the
+    * previous tick's holding interval (B13's next-tick convention
+    * falls out of the state machine for free: the day's last tick
+    * never completes an interval, so it never contributes) and emits
+    * the running TWAP through B8's half-up integer formula — the
+    * stream a live execution monitor consumes. Nothing emits while
+    * Σdur = 0 (no time has stood yet), mirroring the batch NULL.
+    * Parity (spec'd): the LAST emitted point per (symbol, day) equals
+    * the batch operator's day row. Timestamps carry µs through
+    * `getTime`-ms + nanos re-assembly — `getTime·1000` alone drops
+    * sub-ms and would diverge from the batch `unix_micros` sums. */
+  def twapPoints(ticks: Dataset[Tick]): Dataset[TwapPoint] = {
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (lastC, lastUs, s, d, n) =
+            state.getOption.getOrElse((-1L, 0L, 0L, 0L, 0L))
+          var out = List.empty[TwapPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            val us = micros(t.ts)
+            if (lastC >= 0L) {
+              val dur = us - lastUs
+              s += lastC * dur; d += dur; n += 1L
+              if (d > 0L)
+                out = TwapPoint(key._1, key._2, n,
+                  ((s * 200L + d) / (d * 2L)).toDouble / 10000.0) :: out
+            }
+            lastC = c; lastUs = us
+          }
+          state.update((lastC, lastUs, s, d, n))
+          out.reverseIterator
+      }
+  }
+
   case class SpikeDecision(tick_id: Long, symbol: Long, cents: Long,
                            is_spike: Boolean, repaired_cents: Long)
   /** G19 keyed state: the previous CLASSIFIED tick's cents (−1 = none)

@@ -619,6 +619,41 @@ class StreamingSpec extends SparkSpec {
       b0.close_cents == 102L && b0.ts_last == "2024-01-01 00:00:02")
   }
 
+  test("G20 parity: last streamed TWAP point per (symbol, day) == batch " +
+      "twap; weightless days never emit") {
+    import graft.streaming.Streaming.TwapPoint
+    val ticks = Seq(
+      Tick(1L, 1L, t("2024-01-01 00:00:00"), 1.00),
+      Tick(2L, 1L, t("2024-01-01 00:00:10"), 2.00),
+      Tick(3L, 1L, t("2024-01-01 00:00:40"), 1.10),
+      Tick(4L, 2L, t("2024-01-01 05:00:00"), 9.00)) // lone tick
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.twapPoints(in.toDS())
+      .writeStream.format("memory").queryName("p_twap")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      val (a, b) = ticks.splitAt(2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_twap").as[TwapPoint].collect().toSeq
+    } finally q.stop()
+    // running points: 1.00 held 10 s -> 1.0, then +2.00 held 30 s
+    assert(streamed.map(p => (p.n_weighted, p.twap)).sorted ==
+      Seq((1L, 1.0), (2L, 1.75)))
+    assert(!streamed.exists(_.symbol == 2L))
+    // last point per (symbol, day) == the batch row
+    val batch = graft.operators.TickOps.twap(
+      ticks.toDF("tick_id", "symbol", "ts", "bid"))
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[String]("date")) ->
+        (r.getAs[Double]("twap"), r.getAs[Long]("n_weighted"))).toMap
+    val lastPts = streamed.groupBy(p => (p.symbol, p.date))
+      .map { case (k, ps) => k -> {
+        val p = ps.maxBy(_.n_weighted); (p.twap, p.n_weighted) } }
+    assert(lastPts == batch)
+  }
+
   test("G19 parity: streamed spike decisions == batch spikeRepair minus " +
       "each symbol's frontier tick; decision waits for the successor") {
     import graft.streaming.Streaming.SpikeDecision
