@@ -568,6 +568,9 @@ object SparkEntry {
     "q_threshold_sweep" -> ((s, d) =>
       CorpusPipeline.thresholdSweep(Tables.documents(s, d),
         Seq(5L, 10L, 20L, 40L))),
+    // F56 — declared-vs-detected language confusion matrix.
+    "q_lang_confusion" -> ((s, d) =>
+      TextDedup.langConfusion(Tables.documents(s, d))),
     "q_dedup_cosine" -> ((s, d) =>
       Vectors.cosineDedup(Tables.embeddings(s, d), 0.05)),
     // F49 — per-label centroid drift vs the global centroid.
@@ -3085,6 +3088,35 @@ object SparkEntry {
         |    length(list_filter(tk, t -> list_contains(['el','los','las','y','es'], t))) AS hits_es
         |  FROM (SELECT doc_id, lang, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
+    },
+    // F56 — confusion cells from the SAME detector SQL as
+    // q_text_langid; shares exact int64 bps.
+    "q_lang_confusion" -> {
+      import graft.functions.PortableText._
+      s"""WITH pred AS (
+        |  SELECT lang AS declared,
+        |    CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr
+        |           AND hits_en >= hits_es THEN 'en'
+        |         WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+        |         WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es'
+        |    END AS predicted
+        |  FROM (SELECT lang,
+        |      length(list_filter(tk, t -> list_contains(['the','a','is','of','and'], t))) AS hits_en,
+        |      length(list_filter(tk, t -> list_contains(['der','die','das','und','ist'], t))) AS hits_de,
+        |      length(list_filter(tk, t -> list_contains(['le','la','et','les','des'], t))) AS hits_fr,
+        |      length(list_filter(tk, t -> list_contains(['el','los','las','y','es'], t))) AS hits_es
+        |    FROM (SELECT lang, $duckTokens AS tk FROM documents) x) y),
+        |cells AS (
+        |  SELECT declared, predicted, count(*) AS n_docs
+        |  FROM pred GROUP BY declared, predicted),
+        |marg AS (
+        |  SELECT declared, CAST(sum(n_docs) AS BIGINT) AS n_declared
+        |  FROM cells GROUP BY declared)
+        |SELECT cells.declared, predicted, n_docs, n_declared,
+        |  (n_docs * 10000) // n_declared AS cell_share_bp,
+        |  cells.declared = predicted AS agree
+        |FROM cells JOIN marg ON marg.declared = cells.declared
+        |ORDER BY cells.declared, predicted""".stripMargin
     },
     "q_text_quality" -> {
       import graft.functions.PortableText._

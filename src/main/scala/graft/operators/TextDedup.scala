@@ -689,6 +689,33 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** F56 — LANGUAGE CONFUSION MATRIX: declared `lang` label vs F8's
+    * detected language, as (declared, predicted) pair counts with the
+    * per-declared-label agreement share — the metadata-trust audit
+    * every multilingual corpus needs before `lang` drives a mix or a
+    * filter (a declared label that disagrees with detection at 40% is
+    * not a label, it is noise; F52's mix weights would inherit it).
+    * Built ON [[langId]] (one definition of the detector), collapsed
+    * by one (declared, predicted) aggregate — |langs|² rows. The
+    * agreement share joins back on the declared-label marginal via
+    * its own grouping key (F35's join-back rule); exact int64 counts,
+    * share exact bps (F52's quantization). */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = langId(docs)
+      .groupBy(col("lang").as("declared"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
+    val marginals = cells.groupBy("declared")
+      .agg(sum("n_docs").as("n_declared"))
+    cells.join(marginals, Seq("declared"))
+      .withColumn("cell_share_bp",
+        expr("(n_docs * 10000) DIV n_declared"))
+      .withColumn("agree", col("declared") === col("predicted"))
+      .select("declared", "predicted", "n_docs", "n_declared",
+        "cell_share_bp", "agree")
+      .orderBy("declared", "predicted")
+  }
+
   /** F9 — document quality scoring: length, punctuation ratio,
     * stopword ratio, mean word length — the classic pre-training
     * corpus filters (all narrow, codegen'd). */

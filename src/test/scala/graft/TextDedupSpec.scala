@@ -489,6 +489,23 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Seq((0L, 5L)))
   }
 
+  test("langConfusion: declared-vs-detected cell counts with exact " +
+      "bps shares; disagreement cells carry agree=false") {
+    val docs = Seq(
+      (1L, "the a is of and", "en", "s"),   // en detected, declared en
+      (2L, "the a is of and", "fr", "s"),   // en detected, declared fr
+      (3L, "le la et les des", "fr", "s"),  // fr detected, declared fr
+      (4L, "le la et les des", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.TextDedup.langConfusion(docs).collect()
+      .map(r => (r.getAs[String]("declared"), r.getAs[String]("predicted")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_declared"),
+          r.getAs[Long]("cell_share_bp"), r.getAs[Boolean]("agree"))).toMap
+    assert(out(("en", "en")) == ((1L, 1L, 10000L, true)))
+    assert(out(("fr", "en")) == ((1L, 3L, 3333L, false)))
+    assert(out(("fr", "fr")) == ((2L, 3L, 6666L, true)))
+  }
+
   test("tokenConcentration: exact top-k share in bps, HHI from exact " +
       "integer sums, ties broken by token text") {
     // tokens: a×4, b×3, c×2, d×1 → N=10, vocab 4, Σf² = 16+9+4+1 = 30.
