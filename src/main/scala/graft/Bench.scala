@@ -27,7 +27,8 @@ object Bench {
     // warm the noop sink (the timed action) so its one-time datasource
     // init is not billed to the alphabetically-first query
     spark.range(1000L).write.format("noop").mode("overwrite").save()
-    // events.ts is TIMESTAMP(NANOS); same conf Tables.events sets.
+    // Harmless under the round-9 µs testdata (applies only to NANOS
+    // files); kept so pre-regeneration ns parquet still warms.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>

@@ -676,10 +676,13 @@ object TemporalJoins {
           .otherwise(expr(
             "(2 * (p_cents * (n_idx - idx) + n_cents * (idx - p_idx)) " +
               "+ (n_idx - p_idx)) div (2 * (n_idx - p_idx))")))
+      // sort on the TIMESTAMP, then format: the yyyy-MM-dd render is
+      // monotonic in the bucket, so the order is identical and the
+      // 1M-row sort runs on 8-byte keys instead of strings
+      .orderBy("symbol", "bucket")
       .select(col("symbol"),
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
         col("cents"),
         col("a_cents").isNotNull.as("is_observed"))
-      .orderBy("symbol", "bucket_ts")
   }
 }
