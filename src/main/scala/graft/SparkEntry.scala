@@ -380,6 +380,20 @@ object SparkEntry {
     // D24 — Kyle's lambda: price-impact OLS slope from exact int sums.
     "q_kyle_lambda" -> ((s, d) =>
       Microstructure.kyleLambda(Tables.events(s, d))),
+    // D36 — Lee-Ready: purchases are trades, click/view are quotes
+    // (the q_asof_forward split); mid test in doubled int cents.
+    "q_lee_ready" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"), col("value").as("price"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"),
+          (col("value") * 1.0002 + 0.01).as("ask"))
+      Microstructure.leeReady(trades, quotes)
+    }),
     // D27 — Parkinson + Garman-Klass range volatility per symbol.
     "q_range_vol" -> ((s, d) =>
       Microstructure.rangeVolatility(Tables.ticks(s, d))),
@@ -1598,6 +1612,54 @@ object SparkEntry {
         |    FROM $ticksSql t
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
         |ORDER BY tick_id""".stripMargin,
+    // D36 — Lee-Ready: as-of via the union + IGNORE NULLS running
+    // last (quotes sort before trades at equal ts); mid test pure
+    // int64 in doubled cents; ask spelled exactly as ticksSql.
+    "q_lee_ready" ->
+      """WITH q AS (
+        |  SELECT user_id AS symbol, ts, 0 AS kind, event_id AS id,
+        |    CAST(NULL AS BIGINT) AS p,
+        |    CAST(round(value * 100.0, 0) AS BIGINT)
+        |      + CAST(round((value*1.0002+0.01) * 100.0, 0) AS BIGINT)
+        |      AS mid2
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |t AS (
+        |  SELECT user_id AS symbol, ts, 1 AS kind, event_id AS id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS p,
+        |    CAST(NULL AS BIGINT) AS mid2
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT *, last_value(mid2 IGNORE NULLS) OVER (
+        |    PARTITION BY symbol ORDER BY ts, kind, id
+        |    ROWS UNBOUNDED PRECEDING) AS q_mid2
+        |  FROM (SELECT * FROM q UNION ALL SELECT * FROM t) z),
+        |c AS (
+        |  SELECT symbol, p, q_mid2,
+        |    lag(p) OVER (PARTITION BY symbol ORDER BY ts, id) AS prev_p
+        |  FROM u WHERE kind = 1),
+        |d AS (
+        |  SELECT symbol,
+        |    CASE WHEN q_mid2 IS NOT NULL AND p * 2 > q_mid2 THEN 'buy'
+        |         WHEN q_mid2 IS NOT NULL AND p * 2 < q_mid2 THEN 'sell'
+        |         WHEN prev_p IS NOT NULL AND p > prev_p THEN 'buy'
+        |         WHEN prev_p IS NOT NULL AND p < prev_p THEN 'sell'
+        |         ELSE 'none' END AS cls,
+        |    CASE WHEN q_mid2 IS NOT NULL AND p * 2 <> q_mid2 THEN 'mid'
+        |         WHEN prev_p IS NOT NULL AND p <> prev_p THEN 'tick'
+        |         ELSE 'none' END AS method
+        |  FROM c)
+        |SELECT symbol, count(*) AS n_trades,
+        |  CAST(sum(CASE WHEN cls = 'buy' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_buy,
+        |  CAST(sum(CASE WHEN cls = 'sell' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sell,
+        |  CAST(sum(CASE WHEN method = 'mid' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_by_mid,
+        |  CAST(sum(CASE WHEN method = 'tick' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_by_tick,
+        |  CAST(sum(CASE WHEN cls = 'none' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unclassified
+        |FROM d GROUP BY symbol ORDER BY symbol""".stripMargin,
     // B13 — TWAP: int64 time-weighted cent sums (day-bounded, no
     // overflow), B8's half-up integer e4 formula — no double sum.
     "q_twap" ->

@@ -527,6 +527,69 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D36 — LEE–READY trade classification per symbol: the canonical
+    * buy/sell signing algorithm (Lee & Ready 1991) that B9's tick rule
+    * approximates when quotes are missing — each trade compares to the
+    * PREVAILING quote midpoint (latest quote at-or-before the trade;
+    * same-timestamp quotes are visible, E1's convention), above-mid =
+    * buy, below-mid = sell, AT-mid falls back to the tick rule against
+    * the previous trade price, still-tied = unclassified. The
+    * estimator behind effective-spread and order-flow studies; D21/D31
+    * upgrade from tick-rule to this wherever quotes exist.
+    *
+    * Engine-exactness: the mid test never builds a midpoint double —
+    * `2·price_cents vs bid_cents + ask_cents` is a pure int64 compare
+    * (the half-cent mid is exact in doubled units; C24's
+    * cross-multiply discipline). Shape: quotes and trades UNION into
+    * one (symbol)-keyed stream — the as-of is an IGNORE-NULLS running
+    * last over (ts, kind, id) with quotes sorting first at equal ts —
+    * and the trade-only lag rides a second window on the SAME symbol
+    * exchange; one exchange total, never a per-trade quote join. */
+  def leeReady(trades: DataFrame, quotes: DataFrame): DataFrame = {
+    val q = quotes.select(
+      col("symbol"), col("ts"), lit(0).as("kind"),
+      col("quote_id").as("id"), lit(null).cast("long").as("p"),
+      (centsOf(col("bid")) + centsOf(col("ask"))).as("mid2"))
+    val t = trades.select(
+      col("symbol"), col("ts"), lit(1).as("kind"),
+      col("trade_id").as("id"), centsOf(col("price")).as("p"),
+      lit(null).cast("long").as("mid2"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("kind"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTrades = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("id"))
+    val classified = q.unionByName(t)
+      .withColumn("q_mid2", last(col("mid2"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("prev_p", lag(col("p"), 1).over(wTrades))
+      .withColumn("cls",
+        when(col("q_mid2").isNotNull && col("p") * 2L > col("q_mid2"), "buy")
+          .when(col("q_mid2").isNotNull && col("p") * 2L < col("q_mid2"),
+            "sell")
+          .when(col("prev_p").isNotNull && col("p") > col("prev_p"), "buy")
+          .when(col("prev_p").isNotNull && col("p") < col("prev_p"), "sell")
+          .otherwise("none"))
+      .withColumn("method",
+        when(col("q_mid2").isNotNull && col("p") * 2L =!= col("q_mid2"),
+          "mid")
+          .when(col("prev_p").isNotNull && col("p") =!= col("prev_p"),
+            "tick")
+          .otherwise("none"))
+    classified
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_trades"),
+        sum(when(col("cls") === "buy", 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("cls") === "sell", 1L).otherwise(0L)).as("n_sell"),
+        sum(when(col("method") === "mid", 1L).otherwise(0L)).as("n_by_mid"),
+        sum(when(col("method") === "tick", 1L).otherwise(0L))
+          .as("n_by_tick"),
+        sum(when(col("cls") === "none", 1L).otherwise(0L))
+          .as("n_unclassified"))
+      .orderBy("symbol")
+  }
+
   /** D34 — BIPOWER VARIATION and jump detection per (symbol, day):
     * Barndorff-Nielsen & Shephard's jump-robust volatility —
     * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` converges to integrated variance even

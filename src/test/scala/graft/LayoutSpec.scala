@@ -83,4 +83,42 @@ class LayoutSpec extends SparkSpec {
       s"no dynamicpruning subquery in plan:\n$plan")
     assert(joined.count() == 2000L) // yr 3 and 7 only
   }
+
+  test("H7: parquet AGGREGATE PUSHDOWN answers count/min/max from " +
+      "footer statistics — no data scan (requires the V2 read path)") {
+    // At 100 TB a profile query that reads every page to COUNT is a
+    // cluster-day; pushed to footer stats it is a metadata listing.
+    // Two rules of engagement found by probing: (1) the v1 parquet
+    // path silently ignores the conf — parquet must leave
+    // useV1SourceList; (2) any residual data filter disables the
+    // pushdown (stats cannot answer it) — proven both ways below.
+    val dir = Files.createTempDirectory("aggpush").toString
+    spark.range(100000L)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val agg = spark.read.parquet(s"$dir/t")
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      // the scan prints `PushedAggregation: [...]` even when empty —
+      // assert on the pushed COUNT itself
+      assert(plan.contains("PushedAggregation: [COUNT(*)"),
+        s"aggregation not pushed:\n${plan.take(2000)}")
+      val r = agg.collect().head
+      assert(r.getAs[Long]("n") == 100000L &&
+        r.getAs[Double]("lo") == 0.0 && r.getAs[Double]("hi") == 99999.0)
+      // a residual filter must fall back to a real scan
+      val filtered = spark.read.parquet(s"$dir/t")
+        .filter(col("v") > 10.0).agg(count(lit(1)))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: []"))
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    }
+  }
 }

@@ -327,6 +327,30 @@ class MicrostructureSpec extends SparkSpec {
     assert(r.getAs[Double]("persistence") == 2.0 / 3.0)
   }
 
+  test("leeReady: above/below mid classifies by quote, at-mid falls " +
+      "back to tick rule, tied-tick stays unclassified") {
+    // mid = 1.05 (mid2 = 210). trades: 1.06 buy-by-mid, 1.05 at-mid ->
+    // tick vs 1.06 -> sell, 1.05 again -> tick tied -> none.
+    val quotes = Seq(
+      (1L, t("2024-01-01 00:00:01"), 100L, 1.00, 1.10))
+      .toDF("symbol", "ts", "quote_id", "bid", "ask")
+    val trades = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1L, 1.06),
+      (1L, t("2024-01-01 00:00:03"), 2L, 1.05),
+      (1L, t("2024-01-01 00:00:04"), 3L, 1.05),
+      (2L, t("2024-01-01 00:00:01"), 4L, 5.00)) // no quote, no prev
+      .toDF("symbol", "ts", "trade_id", "price")
+    val out = Microstructure.leeReady(trades, quotes).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_trades") == 3L)
+    assert(s1.getAs[Long]("n_buy") == 1L && s1.getAs[Long]("n_sell") == 1L)
+    assert(s1.getAs[Long]("n_by_mid") == 1L &&
+      s1.getAs[Long]("n_by_tick") == 1L &&
+      s1.getAs[Long]("n_unclassified") == 1L)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.getAs[Long]("n_unclassified") == 1L)
+  }
+
   test("bipowerVariation: BV from adjacent |return| products, jump " +
       "share from the rounded aggregates, day boundary resets pairs") {
     def r4(x: Double) =
