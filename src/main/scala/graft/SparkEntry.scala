@@ -394,6 +394,19 @@ object SparkEntry {
           (col("value") * 1.0002 + 0.01).as("ask"))
       Microstructure.leeReady(trades, quotes)
     }),
+    // D37 — effective spread / price improvement vs prevailing quote.
+    "q_effective_spread" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"), col("value").as("price"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"),
+          (col("value") * 1.0002 + 0.01).as("ask"))
+      Microstructure.effectiveSpread(trades, quotes)
+    }),
     // D27 — Parkinson + Garman-Klass range volatility per symbol.
     "q_range_vol" -> ((s, d) =>
       Microstructure.rangeVolatility(Tables.ticks(s, d))),
@@ -1612,6 +1625,49 @@ object SparkEntry {
         |    FROM $ticksSql t
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
         |ORDER BY tick_id""".stripMargin,
+    // D37 — effective spread: es2 = |2p − mid2| vs spread2 in doubled
+    // cents; avg e4 via the half-up integer spelling (Σ·100+n) div 2n.
+    "q_effective_spread" ->
+      """WITH q AS (
+        |  SELECT user_id AS symbol, ts, 0 AS kind, event_id AS id,
+        |    CAST(NULL AS BIGINT) AS p,
+        |    CAST(round(value * 100.0, 0) AS BIGINT)
+        |      + CAST(round((value*1.0002+0.01) * 100.0, 0) AS BIGINT)
+        |      AS mid2,
+        |    (CAST(round((value*1.0002+0.01) * 100.0, 0) AS BIGINT)
+        |      - CAST(round(value * 100.0, 0) AS BIGINT)) * 2 AS spread2
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |t AS (
+        |  SELECT user_id AS symbol, ts, 1 AS kind, event_id AS id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS p,
+        |    CAST(NULL AS BIGINT) AS mid2, CAST(NULL AS BIGINT) AS spread2
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT *,
+        |    last_value(mid2 IGNORE NULLS) OVER w AS q_mid2,
+        |    last_value(spread2 IGNORE NULLS) OVER w AS q_spread2
+        |  FROM (SELECT * FROM q UNION ALL SELECT * FROM t) z
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, kind, id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |c AS (
+        |  SELECT symbol,
+        |    CASE WHEN q_mid2 IS NOT NULL THEN abs(p * 2 - q_mid2) END
+        |      AS es2,
+        |    q_spread2
+        |  FROM u WHERE kind = 1)
+        |SELECT symbol, count(*) AS n_trades, count(es2) AS n_quoted,
+        |  CASE WHEN count(es2) > 0 THEN
+        |    CAST((CAST(sum(coalesce(es2, 0)) AS BIGINT) * 100
+        |      + count(es2)) // (count(es2) * 2) AS DOUBLE) / 10000.0
+        |  END AS avg_eff_spread,
+        |  CAST(sum(CASE WHEN es2 < q_spread2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_inside,
+        |  CAST(sum(CASE WHEN es2 > q_spread2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outside,
+        |  CASE WHEN count(es2) > 0 THEN
+        |    CAST(sum(CASE WHEN es2 < q_spread2 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(es2) END AS inside_share
+        |FROM c GROUP BY symbol ORDER BY symbol""".stripMargin,
     // D36 — Lee-Ready: as-of via the union + IGNORE NULLS running
     // last (quotes sort before trades at equal ts); mid test pure
     // int64 in doubled cents; ask spelled exactly as ticksSql.

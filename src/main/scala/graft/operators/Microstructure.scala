@@ -590,6 +590,65 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D37 — EFFECTIVE SPREAD and price improvement per symbol: what
+    * trades ACTUALLY paid vs what the quote advertised — effective
+    * spread `2·|p − mid|` against the prevailing quote's quoted
+    * spread, and the share of trades filling INSIDE the quote (price
+    * improvement) or OUTSIDE it (walked the book / stale quote) — the
+    * execution-quality numbers (SEC 605 family) beside D36's signs.
+    *
+    * All comparisons in pure int64 DOUBLED-cent units (D36's rule):
+    * `es2 = |2p − mid2|` vs `spread2 = 2·(ask−bid)` — inside-fill ⇔
+    * es2 < spread2, at-quote ⇔ es2 = spread2. Averages are e4-exact
+    * via B8's half-up integer formula on Σes2 (cents·2 units →
+    * dollars-4dp = Σ/(200n)); only the shares are IEEE divisions of
+    * exact counts. Unquoted trades (no quote yet) are counted,
+    * excluded from spread stats. Same single-exchange union shape as
+    * D36. */
+  def effectiveSpread(trades: DataFrame, quotes: DataFrame): DataFrame = {
+    val q = quotes.select(
+      col("symbol"), col("ts"), lit(0).as("kind"),
+      col("quote_id").as("id"), lit(null).cast("long").as("p"),
+      (centsOf(col("bid")) + centsOf(col("ask"))).as("mid2"),
+      ((centsOf(col("ask")) - centsOf(col("bid"))) * 2L).as("spread2"))
+    val t = trades.select(
+      col("symbol"), col("ts"), lit(1).as("kind"),
+      col("trade_id").as("id"), centsOf(col("price")).as("p"),
+      lit(null).cast("long").as("mid2"),
+      lit(null).cast("long").as("spread2"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("kind"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.unionByName(t)
+      .withColumn("q_mid2", last(col("mid2"), ignoreNulls = true).over(w))
+      .withColumn("q_spread2",
+        last(col("spread2"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("es2",
+        when(col("q_mid2").isNotNull, abs(col("p") * 2L - col("q_mid2"))))
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n_trades"),
+        count(col("es2")).as("n_quoted"),
+        sum(coalesce(col("es2"), lit(0L))).as("_sum_es2"),
+        sum(when(col("es2") < col("q_spread2"), 1L).otherwise(0L))
+          .as("n_inside"),
+        sum(when(col("es2") > col("q_spread2"), 1L).otherwise(0L))
+          .as("n_outside"))
+      // Σes2 is in DOUBLED cents: dollars-e4 = Σ/(200n) → the B8
+      // half-up spelling is (Σ·100 + n) div (2n), then /1e4.
+      .withColumn("avg_eff_spread",
+        when(col("n_quoted") > 0,
+          expr("(_sum_es2 * 100 + n_quoted) div (n_quoted * 2)")
+            .cast("double") / 10000.0))
+      .withColumn("inside_share",
+        when(col("n_quoted") > 0,
+          col("n_inside").cast("double") / col("n_quoted").cast("double")))
+      .select("symbol", "n_trades", "n_quoted", "avg_eff_spread",
+        "n_inside", "n_outside", "inside_share")
+      .orderBy("symbol")
+  }
+
   /** D34 — BIPOWER VARIATION and jump detection per (symbol, day):
     * Barndorff-Nielsen & Shephard's jump-robust volatility —
     * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` converges to integrated variance even

@@ -351,6 +351,33 @@ class MicrostructureSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_unclassified") == 1L)
   }
 
+  test("effectiveSpread: es in doubled cents vs quoted spread; " +
+      "inside/at/outside classification; unquoted trades excluded") {
+    // quote: bid 1.00 ask 1.10 -> mid2 210, spread2 20.
+    // trades: 1.06 -> es2 2 (inside), 1.15 -> es2 20 (AT quote,
+    // neither inside nor outside), 1.30 -> es2 50 (outside).
+    // avg = (2+20+50)/(2*3) = 12 cents = 0.12.
+    val quotes = Seq((1L, t("2024-01-01 00:00:01"), 100L, 1.00, 1.10))
+      .toDF("symbol", "ts", "quote_id", "bid", "ask")
+    val trades = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1L, 1.06),
+      (1L, t("2024-01-01 00:00:03"), 2L, 1.15),
+      (1L, t("2024-01-01 00:00:04"), 3L, 1.30),
+      (2L, t("2024-01-01 00:00:01"), 4L, 5.00)) // unquoted
+      .toDF("symbol", "ts", "trade_id", "price")
+    val out = Microstructure.effectiveSpread(trades, quotes).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_trades") == 3L &&
+      s1.getAs[Long]("n_quoted") == 3L)
+    assert(s1.getAs[Double]("avg_eff_spread") == 0.12)
+    assert(s1.getAs[Long]("n_inside") == 1L &&
+      s1.getAs[Long]("n_outside") == 1L)
+    assert(s1.getAs[Double]("inside_share") == 1.0 / 3.0)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.getAs[Long]("n_quoted") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("avg_eff_spread")))
+  }
+
   test("bipowerVariation: BV from adjacent |return| products, jump " +
       "share from the rounded aggregates, day boundary resets pairs") {
     def r4(x: Double) =
