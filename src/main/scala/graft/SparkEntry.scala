@@ -228,6 +228,11 @@ object SparkEntry {
     }),
     // A15 — SCD2 compaction: per-user value-tier version history.
     "q_scd2" -> ((s, d) => Scd.scd2History(Tables.events(s, d))),
+    // E13 — bitemporal as-of: history as known at ingestion id 5000,
+    // attribute in effect mid-month.
+    "q_bitemporal" -> ((s, d) =>
+      Scd.bitemporalAsOf(Tables.events(s, d), 5000L,
+        "2024-01-15 00:00:00")),
     // A16 — CDC apply: error events are deletes, everything else an
     // upsert; last writer (by event_id) wins per user.
     "q_cdc_apply" -> ((s, d) => Scd.cdcApply(
@@ -1317,6 +1322,36 @@ object SparkEntry {
     // A15 — SCD2: order by (second-truncated ts, event_id) — the
     // only cross-engine-total order (raw ts is ns in DuckDB, µs in
     // Spark); consecutive-equal tiers collapse into the earlier row.
+    // E13 — q_scd2's history restricted to the tx cutoff, then the
+    // valid-interval membership filter.
+    "q_bitemporal" ->
+      """WITH tiered AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
+        |    CASE WHEN value < 25.0 THEN 'low'
+        |         WHEN value < 75.0 THEN 'mid'
+        |         ELSE 'high' END AS tier
+        |  FROM events WHERE event_id <= 5000),
+        |chg AS (
+        |  SELECT user_id, ts_s, event_id, tier FROM (
+        |    SELECT user_id, ts_s, event_id, tier,
+        |      lag(tier, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts_s, event_id) AS prev_tier
+        |    FROM tiered) x
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |hist AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS version,
+        |    tier, ts_s AS valid_from,
+        |    lead(ts_s, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS valid_to,
+        |    lead(ts_s, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) IS NULL AS is_current
+        |  FROM chg)
+        |SELECT * FROM hist
+        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """WITH tiered AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,

@@ -81,4 +81,29 @@ object Scd {
         "is_current")
       .orderBy("user_id", "version")
   }
+
+  /** E13 — BITEMPORAL AS-OF: "as the system KNEW at transaction time
+    * Tx, what was each key's attribute at valid time Tv" — the
+    * two-axis query that audit, restatement and backtest-honesty all
+    * reduce to (a backtest reading TODAY'S corrected history for
+    * YESTERDAY'S decision is look-ahead bias; this is the query that
+    * cannot commit it). Transaction time is INGESTION order
+    * (`event_id`, A4's append-log convention), valid time is the
+    * event-time interval A15's compaction derives. Composition, not a
+    * new engine: restrict the log to what had been ingested
+    * (`event_id ≤ txCutoff` — pushed to the scan), rebuild the SCD2
+    * history THE SYSTEM WOULD HAVE BUILT THEN, pick the version whose
+    * [valid_from, valid_to) covers Tv. A late-arriving correction
+    * ingested after Tx is invisible — re-running with a later cutoff
+    * REVISES the answer, which is the semantics (spec'd both ways).
+    * Keys whose first known version starts after Tv drop out. Same
+    * one-exchange shape as A15. */
+  def bitemporalAsOf(events: DataFrame, txCutoffId: Long,
+                     validTs: String): DataFrame = {
+    val tv = lit(validTs).cast("timestamp")
+    scd2History(events.filter(col("event_id") <= txCutoffId))
+      .filter(col("valid_from") <= tv &&
+        (col("valid_to").isNull || col("valid_to") > tv))
+      .orderBy("user_id")
+  }
 }

@@ -71,4 +71,27 @@ class ScdSpec extends SparkSpec {
       (1L, 3L, "2024-01-01 00:00:01", 10.0))).collect()
     assert(out.map(_.getAs[String]("tier")).toSeq == Seq("low", "high"))
   }
+
+  test("bitemporalAsOf: a late-arriving correction is invisible before " +
+      "its ingestion — the same valid-time answer REVISES across tx " +
+      "cutoffs") {
+    // ingestion order: low@10:00 (id 1), high@12:00 (id 2), then a
+    // LATE mid@11:00 (id 3). Asking "tier at 11:30"...
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", 10.0),
+      (2L, 1L, "2024-01-01 12:00:00", 80.0),
+      (3L, 1L, "2024-01-01 11:00:00", 50.0))
+    // ...as known after id 2: the 10:00 'low' still covers 11:30
+    val before = Scd.bitemporalAsOf(events, 2L, "2024-01-01 11:30:00")
+      .collect()
+    assert(before.length == 1 && before.head.getAs[String]("tier") == "low")
+    // ...as known after id 3: the correction splits the interval
+    val after = Scd.bitemporalAsOf(events, 3L, "2024-01-01 11:30:00")
+      .collect()
+    assert(after.length == 1 && after.head.getAs[String]("tier") == "mid")
+    assert(!after.head.getAs[Boolean]("is_current")) // high follows
+    // a key whose first KNOWN version starts after Tv drops out
+    assert(Scd.bitemporalAsOf(events, 2L, "2024-01-01 09:00:00")
+      .collect().isEmpty)
+  }
 }
