@@ -158,7 +158,9 @@ object Sf1Smoke {
       // round-9 session-5: fertility is a (lang, source) aggregate
       // whose key space is fixed while rows 10x; concentration is the
       // F10b token-freq shuffle plus two 1-row aggregates.
-      "q_tokenizer_fertility", "q_token_concentration")
+      "q_tokenizer_fertility", "q_token_concentration",
+      // sweep/confusion: fixed (source × cut) / |langs|² key spaces.
+      "q_threshold_sweep", "q_lang_confusion")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -181,7 +183,15 @@ object Sf1Smoke {
       // cumsum/window shape whose per-symbol state is constant while
       // the symbol count 10x; interp grid is calendar-bounded after
       // its first aggregate (the property the replica must not break).
-      "q_volume_bars", "q_vpin", "q_interp_grid")
+      "q_volume_bars", "q_vpin", "q_interp_grid",
+      // session-5 second half: TWAP/bipower/spike/sign ride the same
+      // one-exchange (symbol[, day]) shapes; HY + Epps explode onto
+      // bounded bucket/scale factors; LR + effective spread are the
+      // quote∪trade union on one symbol exchange; bitemporal is A15's
+      // shape behind a pushed event_id prefix filter.
+      "q_twap", "q_bipower", "q_spike_repair", "q_sign_persistence",
+      "q_hy_cov", "q_epps_curve", "q_lee_ready", "q_effective_spread",
+      "q_bitemporal")
     val family =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
