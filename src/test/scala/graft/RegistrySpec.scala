@@ -32,6 +32,20 @@ class RegistrySpec extends AnyFunSuite {
     Set("q_ndv_profile", "q_snapshot_diff", "q_small_qty_revenue",
       "q_disjunctive_revenue")
 
+  test("each registry key is declared exactly once in the source (a " +
+      "duplicate in a Map literal silently DROPS the earlier query — " +
+      "the built Map cannot reveal it, so the guard reads the source)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")))
+    val Array(qPart, oPart) = src.split("def oracleSql", 2)
+    val key = """"(q[a-z0-9_]+)" *->""".r
+    for ((name, part) <- Seq("queries" -> qPart, "oracleSql" -> oPart)) {
+      val keys = key.findAllMatchIn(part).map(_.group(1)).toSeq
+      val dups = keys.groupBy(identity).filter(_._2.size > 1).keys.toSeq
+      assert(dups.isEmpty, s"duplicate $name keys: ${dups.sorted}")
+    }
+  }
+
   test("oracle SQL ends in an explicit ORDER BY (the compare sorts " +
       "rows, but deterministic output is the §6 contract)") {
     val unordered = SparkEntry.oracleSql.filterNot { case (_, sql) =>
