@@ -108,7 +108,12 @@ object Bench {
     val slow5 = results.filter(_._3 >= 0).sortBy(-_._3).take(5)
     val qs = (slow5.map { case (k, _, v) => "\"" + k + "\":" + fmt(v) } ++
       failed.map { k => "\"" + k + "\":-1" }).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // run2 = the warm repeat's total (r9 verdict #6): one fixed-size
+    // field that lets a round comparison separate contention/cold-JIT
+    // noise (run1 spikes, run2 at floor) from real plan regressions
+    // (both runs move) without digging into bench_metric.json.
+    val total2 = results2.collect { case (_, _, t) if t >= 0 => t }.sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","run2":${fmt(total2)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     // Bare line on stdout for the driver's tail parser (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.

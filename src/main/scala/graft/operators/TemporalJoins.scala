@@ -505,42 +505,61 @@ object TemporalJoins {
     // every coarser scale derives from the next finer one: the coarse
     // anchor is the cents of the globally-minimal tick_id in the
     // coarse bucket, which is exactly min_by over the fine winners.
-    // Requires nested scales (each divides the next — checked); the
-    // naive |scales|-explode re-scanned the fact once per scale
-    // (measured 24 s vs ~6 s at the 100× replica). Cascade aggregates
-    // run on anchor-sized frames, not the fact.
-    require(scalesSec.sliding(2).forall {
+    // Needs nested scales (each divides the next); the naive
+    // |scales|-explode re-scanned the fact once per scale (measured
+    // 24 s vs ~6 s at the 100× replica). Cascade aggregates run on
+    // anchor-sized frames, not the fact. Non-nested sweeps FALL BACK
+    // to direct per-scale aggregation off one checkpointed projection
+    // — same semantics as the DuckDB oracle's per-scale arg_min, so
+    // both engines accept the same parameter space.
+    val nested = scalesSec.sliding(2).forall {
       case Seq(a, b) => b % a == 0
       case _         => true
-    }, s"eppsCurve scales must be nested multiples: $scalesSec")
-    val baseUs = scalesSec.head * 1000000L
-    val finest = ticks
-      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
-      .withColumn("us", unix_micros(col("ts")))
-      .groupBy(col("symbol"), expr(s"us div ${baseUs}L").as("bucket"))
-      .agg(min(col("tick_id")).as("win_id"),
-        min_by(col("cents"), col("tick_id")).as("a_cents"))
-      .localCheckpoint(true)
-    val perScale = scalesSec.scanLeft((0L, finest)) {
-      case ((prevSec, prevAnc), sec) =>
-        if (prevSec == 0L) (sec, prevAnc)
-        else {
-          val f = sec / prevSec
-          // checkpoint every rung: without it, rung k's aggregate is
-          // re-planned inside every coarser rung's lineage AND its own
-          // union branch — on a sparse feed (anchors ≈ ticks) that
-          // k²-recompute costs more than the explode it replaced
-          (sec, prevAnc
-            .groupBy(col("symbol"), expr(s"bucket div ${f}L").as("bucket"))
-            .agg(min(col("win_id")).as("win_id"),
-              min_by(col("a_cents"), col("win_id")).as("a_cents"))
-            .localCheckpoint(true))
-        }
-    }.drop(1)
-    val anchors = perScale.map { case (sec, df) =>
-      df.select(col("symbol"), lit(sec).as("scale_sec"), col("bucket"),
-        col("a_cents"))
-    }.reduce(_ unionByName _)
+    }
+    val anchors: DataFrame = if (nested) {
+      val baseUs = scalesSec.head * 1000000L
+      val finest = ticks
+        .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("symbol"), expr(s"us div ${baseUs}L").as("bucket"))
+        .agg(min(col("tick_id")).as("win_id"),
+          min_by(col("cents"), col("tick_id")).as("a_cents"))
+        .localCheckpoint(true)
+      val perScale = scalesSec.scanLeft((0L, finest)) {
+        case ((prevSec, prevAnc), sec) =>
+          if (prevSec == 0L) (sec, prevAnc)
+          else {
+            val f = sec / prevSec
+            // checkpoint every rung: without it, rung k's aggregate is
+            // re-planned inside every coarser rung's lineage AND its own
+            // union branch — on a sparse feed (anchors ≈ ticks) that
+            // k²-recompute costs more than the explode it replaced
+            (sec, prevAnc
+              .groupBy(col("symbol"), expr(s"bucket div ${f}L").as("bucket"))
+              .agg(min(col("win_id")).as("win_id"),
+                min_by(col("a_cents"), col("win_id")).as("a_cents"))
+              .localCheckpoint(true))
+          }
+      }.drop(1)
+      perScale.map { case (sec, df) =>
+        df.select(col("symbol"), lit(sec).as("scale_sec"), col("bucket"),
+          col("a_cents"))
+      }.reduce(_ unionByName _)
+    } else {
+      val base = ticks
+        .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+        .withColumn("us", unix_micros(col("ts")))
+        .select(col("symbol"), col("us"), col("cents"), col("tick_id"))
+        .localCheckpoint(true)
+      scalesSec.map { sec =>
+        val sUs = sec * 1000000L
+        base
+          .groupBy(col("symbol"), expr(s"us div ${sUs}L").as("bucket"))
+          .agg(min_by(col("cents"), col("tick_id")).as("a_cents"))
+          .select(col("symbol"), lit(sec).as("scale_sec"), col("bucket"),
+            col("a_cents"))
+      }.reduce(_ unionByName _)
+    }
     val w = Window.partitionBy("symbol", "scale_sec").orderBy("bucket")
     val moves = anchors
       .withColumn("mv",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.PolyHash
@@ -160,15 +160,47 @@ object TextDedup {
       .select(col("band"), col("band_hash"),
         lit(false).as("is_existing"), col("doc_id"))
       .localCheckpoint(true)
-    val buckets = exBands.union(inBands)
+    incrementalVerdicts(exBands.union(inBands),
+      incoming.select(col("doc_id")))
+  }
+
+  /** F2d, single-corpus form: when existing and incoming are a
+    * PREDICATE SPLIT of one table (the registry's `doc_id % 5` split,
+    * or any ingest where the delta rides the same store), the two-
+    * frame API pays the dominant tokenize→polyhash→minhash projection
+    * TWICE — once per side. This variant computes the band sketch in
+    * ONE corpus scan, checkpoints it, and derives both sides by
+    * flagging rows with `existingPred` (evaluated over the band
+    * frame's `doc_id`). Verdicts are bit-identical to
+    * `incrementalNearDup(docs.where(pred), docs.where(!pred))`
+    * (spec'd — minhashes are per-row, so splitting before or after
+    * the sketch cannot differ). Halves the 100 TB pass count AND the
+    * Catalyst tree (one sketch subtree, not two). */
+  def incrementalNearDupSplit(docs: DataFrame, existingPred: Column)
+      : DataFrame = {
+    val bands = minHashBands(docs, ordered = false)
+      .filter(col("band_hash").isNotNull)
+      .localCheckpoint(true)
+    incrementalVerdicts(
+      bands.select(col("band"), col("band_hash"),
+        existingPred.as("is_existing"), col("doc_id")),
+      docs.where(!existingPred).select(col("doc_id")))
+  }
+
+  /** Shared F2d verdict tail: bucket aggregation over flagged bands,
+    * verdict join carrying only incoming rows, token-less restore. */
+  private def incrementalVerdicts(flagged: DataFrame,
+                                  incomingIds: DataFrame): DataFrame = {
+    val buckets = flagged
       .groupBy("band", "band_hash")
       .agg(max(when(col("is_existing"), 1).otherwise(0)).as("has_existing"),
         min(when(!col("is_existing"), col("doc_id"))).as("first_incoming"))
-    val verdict = inBands.join(buckets, Seq("band", "band_hash"))
+    val verdict = flagged.filter(!col("is_existing"))
+      .join(buckets, Seq("band", "band_hash"))
       .groupBy("doc_id")
       .agg(expr("bool_or(has_existing = 1)").as("dup_ex"),
         expr("bool_or(first_incoming < doc_id)").as("dup_batch"))
-    incoming.select(col("doc_id"))
+    incomingIds
       .join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("dup_ex") || col("dup_batch"), lit(false))
@@ -968,9 +1000,13 @@ object TextDedup {
       .crossJoin(broadcast(nDocs))
       .withColumn("score_bp",
         expr("(c_ab * ((n_docs * 10000) DIV c_b)) DIV c_a"))
+      // Top-k via TakeOrderedAndProject (per-partition heaps) — the
+      // co-occurrence pair frame is Σ per-doc k_d², far larger than
+      // the vocabulary, so a global rank window over it would funnel
+      // everything through one partition (termSearch discipline).
+      .orderBy(col("score_bp").desc, col("tok_a"), col("tok_b")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("score_bp").desc, col("tok_a"), col("tok_b"))))
-      .filter(col("rnk") <= k)
       .select("rnk", "tok_a", "tok_b", "c_a", "c_b", "c_ab", "score_bp")
       .orderBy("rnk")
   }
@@ -1035,9 +1071,13 @@ object TextDedup {
       .groupBy("token", "exact_cnt")
       .agg(min("cnt").as("est_cnt"))
       .withColumn("overcount", col("est_cnt") - col("exact_cnt"))
+      // Top-k via TakeOrderedAndProject — the probe frame is the full
+      // vocabulary (10⁸–10⁹ rows at 100 TB); a global rank window
+      // would push it through ONE partition. Heap-select the k rows
+      // first, then rank the k-row frame (termSearch discipline).
+      .orderBy(col("est_cnt").desc, col("token")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("est_cnt").desc, col("token"))))
-      .filter(col("rnk") <= k)
       .select("rnk", "token", "est_cnt", "exact_cnt", "overcount")
       .orderBy("rnk")
   }
@@ -1065,9 +1105,12 @@ object TextDedup {
         "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
         .as("pair"))
       .groupBy("pair").agg(sum("freq").as("pair_cnt"))
+      // Top-k via TakeOrderedAndProject — the distinct-pair frame is
+      // charset²-bounded (small for ASCII, NOT for CJK corpora), so
+      // the heap-select shape is the safe spelling here too.
+      .orderBy(col("pair_cnt").desc, col("pair")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("pair_cnt").desc, col("pair"))))
-      .filter(col("rnk") <= k)
       .select("rnk", "pair", "pair_cnt")
       .orderBy("rnk")
   }

@@ -654,8 +654,10 @@ object Streaming {
   case class BarTrade(event_id: Long, symbol: Long, ts: Timestamp,
                       cents: Long, k: Long)
   /** G18 keyed state: running cum-qty + the OPEN bar's register;
-    * `barId < 0` marks "no open bar yet". */
-  case class BarState(cum: Long, barId: Long, barQty: Long, nTicks: Long,
+    * `barId < 0` marks "no open bar yet". `accQty` is the quantity
+    * ACCUMULATED in the open bar — deliberately not named after the
+    * fixed bar-size parameter it is compared against. */
+  case class BarState(cum: Long, barId: Long, accQty: Long, nTicks: Long,
                       open: Long, high: Long, low: Long, close: Long,
                       tsFirstMs: Long, tsLastMs: Long)
   case class VolumeBar(symbol: Long, bar_id: Long, bar_qty: Long,
@@ -678,7 +680,14 @@ object Streaming {
     * `streamed == batch minus each symbol's trailing partial bar`
     * (spec'd). Within a micro-batch rows sort by event_id; across
     * batches the feed must be per-symbol in-order (the same
-    * assumption the EWMA/tick-class twins make — G11/G12). */
+    * assumption the EWMA/tick-class twins make — G11/G12).
+    *
+    * CONTRACT: trade quantities must be non-negative (`k >= 0`),
+    * same as the batch twin. A negative k regresses the running
+    * cum-qty, and the two twins would then DISAGREE (the stream
+    * absorbs the trade into the open bar; the batch's computed
+    * bar_id assigns it to an earlier, already-closed bar) — so a
+    * malformed feed is rejected here rather than silently diverging. */
   // Object-level so the stateful closure resolves it statically —
   // DateTimeFormatter is not Serializable and must not be captured.
   private val barTsFmt = java.time.format.DateTimeFormatter
@@ -699,11 +708,13 @@ object Streaming {
             BarState(0L, -1L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
           var out = List.empty[VolumeBar]
           rows.toSeq.sortBy(_.event_id).foreach { t =>
+            require(t.k >= 0L,
+              s"volumeBarState: negative qty ${t.k} (event ${t.event_id})")
             val cum = s.cum + t.k
             val tb = math.max(cum - 1, 0L) / barQty
             val ms = t.ts.getTime
             if (s.barId >= 0L && tb > s.barId) {
-              out = VolumeBar(symbol, s.barId, s.barQty, s.nTicks,
+              out = VolumeBar(symbol, s.barId, s.accQty, s.nTicks,
                 s.open, s.high, s.low, s.close,
                 barTs(s.tsFirstMs), barTs(s.tsLastMs)) :: out
               s = s.copy(barId = -1L)
@@ -712,7 +723,7 @@ object Streaming {
               BarState(cum, tb, t.k, 1L, t.cents, t.cents, t.cents,
                 t.cents, ms, ms)
             else
-              BarState(cum, s.barId, s.barQty + t.k, s.nTicks + 1L,
+              BarState(cum, s.barId, s.accQty + t.k, s.nTicks + 1L,
                 s.open, math.max(s.high, t.cents),
                 math.min(s.low, t.cents), t.cents, s.tsFirstMs, ms)
           }

@@ -234,6 +234,26 @@ class TextDedupSpec extends SparkSpec {
       (8L, false, None)))
   }
 
+  test("incrementalNearDupSplit ≡ incrementalNearDup on a predicate " +
+      "split of one corpus (the single-scan form must not change " +
+      "verdicts)") {
+    import org.apache.spark.sql.functions.expr
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "an entirely different document about winter mountain storms"
+    val corpus = docs(
+      (1L, base), (2L, other), (3L, base), (4L, other),
+      (5L, "completely novel text about summer river valleys flowing"),
+      (6L, ""), (10L, base))
+    val pred = "doc_id % 2 = 0" // existing = even ids
+    val split = TextDedup.incrementalNearDupSplit(corpus, expr(pred))
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    val twoFrame = TextDedup.incrementalNearDup(
+      corpus.where(pred), corpus.where(s"NOT ($pred)"))
+      .as[(Long, Boolean, Option[String])].collect().toSeq
+    assert(split == twoFrame)
+    assert(split.nonEmpty && split.exists(_._2)) // non-vacuous
+  }
+
   test("incrementalNearDup against an empty corpus degenerates to " +
       "greedyNearDup") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
