@@ -105,6 +105,10 @@ object SparkEntry {
   val rollCorrDays = 5          // D29 trailing window (days)
   val bitemporalTxId = 5000L    // E13 transaction-time cutoff
   val validTsLit = "2024-01-15 00:00:00" // E13/D8 valid-time cut
+  val tbEntryEvery = 25         // D38 entry sampling stride
+  val tbHorizon = 40            // D38 lookahead ticks
+  val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
+  val zipfTopK = 100            // F57 tokens in the fit
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
@@ -445,6 +449,15 @@ object SparkEntry {
     // D25 — Hurst exponent from the dyadic variance ladder.
     "q_hurst" -> ((s, d) =>
       Microstructure.hurstExponent(Tables.ticks(s, d))),
+    // D38 — triple-barrier labels: every 25th tick enters, ±8000 bp
+    // barriers, 40-tick horizon (all three classes present at every
+    // gate SF — probed).
+    "q_triple_barrier" -> ((s, d) =>
+      Features.tripleBarrier(Tables.ticks(s, d), tbEntryEvery, tbHorizon,
+        tbBarrierBp)),
+    // D39 — realized skewness / excess kurtosis per (symbol, day).
+    "q_realized_moments" -> ((s, d) =>
+      Microstructure.realizedMoments(Tables.ticks(s, d))),
     // D23 — intraday seasonality: |move| by minute of day.
     "q_intraday_profile" -> ((s, d) =>
       Microstructure.intradayProfile(Tables.ticks(s, d))),
@@ -674,6 +687,9 @@ object SparkEntry {
       TextDedup.repeatedSpans(Tables.documents(s, d), 3)),
     "q_token_freq" -> ((s, d) =>
       TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
+    // F57 — Zipf-law OLS over the top-100 token spectrum.
+    "q_zipf_fit" -> ((s, d) =>
+      TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
     // F14b — portable HLL over word 2-grams (m=32 registers).
     "q_hll_ndv" -> ((s, d) => TextDedup.hllNdv(Tables.documents(s, d), 2)),
     "q_term_saliency" -> ((s, d) =>
@@ -2126,6 +2142,63 @@ object SparkEntry {
         |ORDER BY symbol, bar_id""".stripMargin,
     // D25 — Hurst: lns see ROUNDED variances (identical inputs both
     // engines), slope a fixed linear combination spelled identically.
+    // D38 — triple barrier: the oracle spells the RANGE join directly
+    // (DuckDB handles it at gate scale); the Spark plan's block-
+    // bucketed equi-join is semantically identical. Barriers compare
+    // cross-multiplied int64 — no ratio double on either engine.
+    "q_triple_barrier" ->
+      s"""WITH x AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS BIGINT) AS idx
+        |  FROM $ticksSql t),
+        |e AS (SELECT symbol, idx AS e_idx, tick_id AS entry_id, c AS e_c
+        |  FROM x WHERE idx % $tbEntryEvery = 1),
+        |j AS (
+        |  SELECT e.symbol, e.e_idx, e.entry_id, e.e_c,
+        |    min(CASE WHEN f.c * 10000 >= e.e_c * (10000 + $tbBarrierBp)
+        |      THEN f.idx END) AS up_idx,
+        |    min(CASE WHEN f.c * 10000 <= e.e_c * (10000 - $tbBarrierBp)
+        |      THEN f.idx END) AS dn_idx,
+        |    count(*) AS n_lookahead
+        |  FROM e JOIN x f ON f.symbol = e.symbol
+        |    AND f.idx > e.e_idx AND f.idx <= e.e_idx + $tbHorizon
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT symbol, e_idx, entry_id, e_c, up_idx, dn_idx, n_lookahead,
+        |  CASE WHEN up_idx IS NOT NULL AND (dn_idx IS NULL OR up_idx < dn_idx)
+        |    THEN 1
+        |  WHEN dn_idx IS NOT NULL AND (up_idx IS NULL OR dn_idx < up_idx)
+        |    THEN -1
+        |  ELSE 0 END AS label
+        |FROM j ORDER BY symbol, e_idx""".stripMargin,
+    // D39 — realized moments: unrounded avg moments (corr-aggregate
+    // discipline — raw power sums pass 2^53 where rounding is
+    // meaningless), scale-invariant finals round(4); var^1.5 spelled
+    // var*sqrt(var) on both engines (pow is not correctly rounded).
+    "q_realized_moments" ->
+      s"""WITH d AS (
+        |  SELECT symbol, _date,
+        |    CAST(c - lag(c) OVER (PARTITION BY symbol, _date
+        |      ORDER BY tick_id) AS DOUBLE) AS d
+        |  FROM (SELECT symbol, tick_id, CAST(ts AS DATE) AS _date,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c FROM $ticksSql t) x),
+        |a AS (
+        |  SELECT symbol, _date, count(d) AS n_moves,
+        |    avg(d) AS m1, avg(d * d) AS m2, avg(d * d * d) AS m3,
+        |    avg(d * d * d * d) AS m4
+        |  FROM d GROUP BY 1, 2),
+        |v AS (SELECT *, m2 - m1 * m1 AS _var FROM a)
+        |SELECT symbol, strftime(_date, '%Y-%m-%d') AS date, n_moves,
+        |  round(_var, 4) AS variance,
+        |  CASE WHEN _var > 0 THEN
+        |    round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+        |      / (_var * sqrt(_var)), 4) END AS skewness,
+        |  CASE WHEN _var > 0 THEN
+        |    round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |      - 3.0 * m1 * m1 * m1 * m1) / (_var * _var) - 3.0, 4)
+        |  END AS ex_kurtosis
+        |FROM v ORDER BY symbol, date""".stripMargin,
     "q_hurst" ->
       s"""SELECT symbol, n_obs, var_1, var_8,
         |  CASE WHEN var_1 > 0 AND var_2 > 0 AND var_4 > 0 AND var_8 > 0
@@ -3499,6 +3572,45 @@ object SparkEntry {
       s"""SELECT token, count(*) AS freq
         |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+    },
+    // F57 — Zipf fit: ln inputs are IDENTICAL exact ints (count, rank)
+    // both engines; the five OLS sums round(4) over the k-row frame
+    // (D25's ln-input discipline); slope/intercept/r2 derive from the
+    // ROUNDED sums with identically-spelled IEEE expressions.
+    "q_zipf_fit" -> {
+      import graft.functions.PortableText._
+      s"""WITH top AS (
+        |  SELECT count(*) AS cnt, token
+        |  FROM (SELECT unnest($duckTokens) AS token FROM documents) x
+        |  GROUP BY token ORDER BY cnt DESC, token LIMIT $zipfTopK),
+        |ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token)
+        |    AS BIGINT) AS rnk, cnt FROM top),
+        |sums AS (
+        |  SELECT count(*) AS n_tokens,
+        |    round(sum(ln(CAST(rnk AS DOUBLE))), 4) AS sx,
+        |    round(sum(ln(CAST(cnt AS DOUBLE))), 4) AS sy,
+        |    round(sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))), 4)
+        |      AS sxx,
+        |    round(sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))), 4)
+        |      AS sxy,
+        |    round(sum(ln(CAST(cnt AS DOUBLE)) * ln(CAST(cnt AS DOUBLE))), 4)
+        |      AS syy
+        |  FROM ranked)
+        |SELECT n_tokens,
+        |  CASE WHEN n_tokens * sxx - sx * sx > 0 THEN
+        |    round((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 4)
+        |  END AS slope,
+        |  CASE WHEN n_tokens * sxx - sx * sx > 0 THEN
+        |    round((sy - ((n_tokens * sxy - sx * sy)
+        |      / (n_tokens * sxx - sx * sx)) * sx) / n_tokens, 4)
+        |  END AS intercept,
+        |  CASE WHEN n_tokens * sxx - sx * sx > 0
+        |    AND n_tokens * syy - sy * sy > 0 THEN
+        |    round(((n_tokens * sxy - sx * sy) * (n_tokens * sxy - sx * sy))
+        |      / ((n_tokens * sxx - sx * sx) * (n_tokens * syy - sy * sy)), 4)
+        |  END AS r2
+        |FROM sums""".stripMargin
     },
     // F35 — unigram surprisal: freq/N exact ints, one IEEE division,
     // ln parity per D3; per-doc mean is an aggregate → round(4).

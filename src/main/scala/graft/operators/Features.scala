@@ -481,4 +481,76 @@ object Features {
       .select("fold", "date", "role")
       .orderBy("fold", "date")
   }
+
+  /** D38 — TRIPLE-BARRIER LABELING (López de Prado, Advances in
+    * Financial Machine Learning ch.3): the label-generation op a
+    * financial training pipeline runs between feature prep (D1–D8)
+    * and the walk-forward split (D9). Every `entryEvery`-th tick per
+    * symbol opens a position; the label is decided by the FIRST event
+    * among — price rising `barrierBp` over entry (+1), falling
+    * `barrierBp` under it (−1), or `horizon` ticks elapsing (0).
+    * Entries whose lookahead is empty (a symbol's final tick) carry
+    * no label and are dropped — a truncated horizon is neither a hit
+    * nor a timeout; `n_lookahead < horizon` makes partially-observed
+    * tail entries auditable rather than silently mislabeled.
+    *
+    * Scale shape: NEVER an inequality join. The per-symbol tick index
+    * rides ONE symbol exchange (row_number), and the entry→future
+    * lookup is D33's bucketize trick: future ticks key on `idx div
+    * horizon`, each entry explodes onto the ≤2 blocks its window
+    * `(e_idx, e_idx+horizon]` can span, and the (symbol, block)
+    * equi-join + post-filter replaces the range predicate. Joined
+    * volume is entries × 2·horizon = (n/entryEvery)·2·horizon rows —
+    * a constant multiple of the fact, tunable by sampling. First-hit
+    * selection is two conditional MINs with map-side partials (≤2
+    * partials per entry — the two blocks).
+    *
+    * Engine-exactness: barriers compare CROSS-MULTIPLIED int64 cents
+    * (`f_c·10⁴ ≥ e_c·(10⁴+bp)` — no ratio double ever exists, B12's
+    * rule); a tick cannot satisfy both barriers (bp > 0), so the
+    * first-hit tie cannot arise. All emitted values exact ints. */
+  def tripleBarrier(ticks: DataFrame, entryEvery: Int, horizon: Int,
+                    barrierBp: Long): DataFrame = {
+    require(entryEvery > 0 && horizon > 0,
+      s"entryEvery and horizon must be positive: $entryEvery, $horizon")
+    require(barrierBp > 0 && barrierBp < 10000,
+      s"barrierBp must be in (0, 10000) for a reachable down barrier: " +
+        s"$barrierBp")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val x = ticks
+      .withColumn("c", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select("symbol", "tick_id", "c", "idx")
+      .localCheckpoint(true) // feeds both the entry and future sides
+    val entries = x
+      // `1 % entryEvery` so stride 1 means EVERY tick (idx % 1 is 0)
+      .filter(pmod(col("idx"), lit(entryEvery.toLong)) === (1L % entryEvery))
+      .select(col("symbol"), col("idx").as("e_idx"),
+        col("tick_id").as("entry_id"), col("c").as("e_c"))
+      .withColumn("blk", explode(array(
+        expr(s"e_idx div ${horizon}L"),
+        expr(s"e_idx div ${horizon}L + 1L"))))
+    val futures = x.select(col("symbol"), col("idx").as("f_idx"),
+      col("c").as("f_c"), expr(s"idx div ${horizon}L").as("blk"))
+    entries
+      .join(futures, Seq("symbol", "blk"))
+      .filter(col("f_idx") > col("e_idx") &&
+        col("f_idx") <= col("e_idx") + horizon)
+      .groupBy("symbol", "e_idx", "entry_id", "e_c")
+      .agg(
+        min(when(col("f_c") * 10000L >= col("e_c") * (10000L + barrierBp),
+          col("f_idx"))).as("up_idx"),
+        min(when(col("f_c") * 10000L <= col("e_c") * (10000L - barrierBp),
+          col("f_idx"))).as("dn_idx"),
+        count(lit(1)).as("n_lookahead"))
+      .withColumn("label",
+        when(col("up_idx").isNotNull &&
+          (col("dn_idx").isNull || col("up_idx") < col("dn_idx")), 1)
+          .when(col("dn_idx").isNotNull &&
+            (col("up_idx").isNull || col("dn_idx") < col("up_idx")), -1)
+          .otherwise(0))
+      .select("symbol", "e_idx", "entry_id", "e_c", "up_idx", "dn_idx",
+        "n_lookahead", "label")
+      .orderBy("symbol", "e_idx")
+  }
 }

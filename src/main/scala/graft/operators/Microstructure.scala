@@ -699,4 +699,57 @@ object Microstructure {
         col("jump_share"))
       .orderBy("symbol", "date")
   }
+
+  /** D39 — REALIZED HIGHER MOMENTS per (symbol, day): skewness and
+    * excess kurtosis of tick-to-tick cent moves — the distribution
+    * diagnostics read next to D17's realized variance (heavy tails ⇒
+    * kurtosis ≫ 0 ⇒ variance alone understates risk; asymmetry shows
+    * as skew) and the screen that decides whether D4's z-score
+    * anomaly threshold is even meaningful on a given day.
+    *
+    * Engine-exactness: this is deliberately NOT the D34 rounded-sum
+    * discipline — raw power sums reach Σd⁴ ≈ 10¹⁸, past 2⁵³, where
+    * addition order costs whole integers and `round(·,4)` stabilizes
+    * nothing. Instead the CORR-AGGREGATE discipline (E7/D29): moments
+    * are unrounded `avg` aggregates (ulp-level cross-engine
+    * agreement, like every corr/stddev in the repo), the emitted
+    * statistics are scale-invariant O(1)–O(10⁸) ratios of them, and
+    * ONLY those finals round(4). `var^1.5` is `var·√var` (sqrt is
+    * correctly rounded; pow is NOT — never pow). Zero-variance days
+    * emit NULL (ANSI-safe guard). Shape: one (symbol, day) exchange
+    * carries the lag and the aggregate; four moment averages per
+    * group are map-side partials, not passes. */
+  def realizedMoments(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("d",
+        (col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(
+        count(col("d")).as("n_moves"),
+        avg(col("d")).as("m1"),
+        avg(col("d") * col("d")).as("m2"),
+        avg(col("d") * col("d") * col("d")).as("m3"),
+        avg(col("d") * col("d") * col("d") * col("d")).as("m4"))
+      .withColumn("_var", col("m2") - col("m1") * col("m1"))
+      .withColumn("variance", round(col("_var"), 4))
+      .withColumn("skewness",
+        when(col("_var") > 0, round(
+          (col("m3") - lit(3.0) * col("m1") * col("m2") +
+            lit(2.0) * col("m1") * col("m1") * col("m1")) /
+            (col("_var") * sqrt(col("_var"))), 4)))
+      .withColumn("ex_kurtosis",
+        when(col("_var") > 0, round(
+          (col("m4") - lit(4.0) * col("m1") * col("m3") +
+            lit(6.0) * col("m1") * col("m1") * col("m2") -
+            lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")) /
+            (col("_var") * col("_var")) - lit(3.0), 4)))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_moves"), col("variance"), col("skewness"),
+        col("ex_kurtosis"))
+      .orderBy("symbol", "date")
+  }
 }

@@ -1115,6 +1115,55 @@ object TextDedup {
       .orderBy("rnk")
   }
 
+  /** F57 — ZIPF-LAW FIT over the token frequency spectrum: OLS of
+    * ln(count) on ln(rank) across the top-`k` tokens — the corpus-
+    * health profile a curation pipeline reads before trusting token
+    * statistics (natural text sits near slope −1; templated or
+    * machine-generated dumps bend the spectrum, and a drifting slope
+    * across snapshots flags a contaminated crawl). One explode +
+    * token-keyed aggregate (map-side combined) collapses the corpus
+    * to its vocabulary; the top-k selection is TakeOrderedAndProject
+    * (F47's heap discipline — never a global rank window); the OLS
+    * runs on the k-row frame.
+    *
+    * Engine-exactness: ln inputs are IDENTICAL exact ints (counts and
+    * ranks) on both engines, the five OLS sums are `round(sum(·),4)`
+    * aggregates (D25's ln-input discipline), and slope/intercept/r²
+    * derive from the ROUNDED sums with identically-spelled IEEE
+    * expressions. In the float-sensitive sweep set. */
+  def zipfFit(docs: DataFrame, k: Int = 100): DataFrame = {
+    require(k >= 2, s"need k >= 2 tokens to fit a line: $k")
+    val top = docs.select(explode(expr(tokens)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val sums = top
+      .withColumn("x", log(col("rnk").cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("x")), 4).as("sx"),
+        round(sum(col("y")), 4).as("sy"),
+        round(sum(col("x") * col("x")), 4).as("sxx"),
+        round(sum(col("x") * col("y")), 4).as("sxy"),
+        round(sum(col("y") * col("y")), 4).as("syy"))
+    sums
+      .withColumn("_cov", col("n_tokens") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("_vx", col("n_tokens") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("_vy", col("n_tokens") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope",
+        when(col("_vx") > 0, round(col("_cov") / col("_vx"), 4)))
+      .withColumn("intercept",
+        when(col("_vx") > 0, round(
+          (col("sy") - (col("_cov") / col("_vx")) * col("sx")) /
+            col("n_tokens"), 4)))
+      .withColumn("r2",
+        when(col("_vx") > 0 && col("_vy") > 0, round(
+          (col("_cov") * col("_cov")) / (col("_vx") * col("_vy")), 4)))
+      .select("n_tokens", "slope", "intercept", "r2")
+  }
+
   /** F10c — per-document term saliency: top-k tokens ranked by tf/df
     * (term frequency over corpus document frequency) — the keyword
     * extraction a curation pipeline runs to label corpus slices. The

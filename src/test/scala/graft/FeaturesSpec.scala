@@ -200,4 +200,86 @@ class FeaturesSpec extends SparkSpec {
     val f1train = out.filter(r => r._1 == 1L && r._3 == "train").map(_._2)
     assert(f1train.head == "2024-01-04") // fold 1 starts at day 4
   }
+
+  test("tripleBarrier: first barrier hit wins, timeout labels 0, " +
+      "truncated-horizon tail entries are dropped") {
+    // entryEvery=2 → entries at idx 1, 3, 5, ...; horizon=3; ±2000 bp.
+    // prices (cents): 1000, 1000, 1250, 1000, 790, 1000, 1000, 1000
+    //   entry idx1 (1000): up needs ≥1200, dn ≤800. idx3=1000, idx2=1000?
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 10.00, 10.1),
+      (2L, 1L, "2024-01-01 00:00:02", 10.00, 10.1),
+      (3L, 1L, "2024-01-01 00:00:03", 12.50, 12.6), // +25% from 10.00
+      (4L, 1L, "2024-01-01 00:00:04", 10.00, 10.1),
+      (5L, 1L, "2024-01-01 00:00:05", 7.90, 8.0),  // −21% from 10.00
+      (6L, 1L, "2024-01-01 00:00:06", 10.00, 10.1),
+      (7L, 1L, "2024-01-01 00:00:07", 10.00, 10.1),
+      (8L, 1L, "2024-01-01 00:00:08", 10.00, 10.1))
+    val out = Features.tripleBarrier(df, 2, 3, 2000L)
+      .select("e_idx", "label", "up_idx", "dn_idx", "n_lookahead")
+      .as[(Long, Int, Option[Long], Option[Long], Long)].collect().toSeq
+    // idx1 entry: lookahead idx 2..4 — up hit at idx3 (1250 ≥ 1200) → +1
+    // idx3 entry (1250): lookahead 4..6 — dn needs ≤1000: idx4=1000 → −1
+    // idx5 entry (790): lookahead 6..8 — up needs ≥948: idx6=1000 → +1
+    // idx7 entry (1000): lookahead idx8 only — no hit → 0, n_lookahead=1
+    assert(out == Seq(
+      (1L, 1, Some(3L), None, 3L),
+      (3L, -1, None, Some(4L), 3L),
+      (5L, 1, Some(6L), None, 3L),
+      (7L, 0, None, None, 1L)))
+  }
+
+  test("tripleBarrier: both-hit race resolved by FIRST index; entry " +
+      "with empty lookahead vanishes") {
+    // up hit late (idx4), dn hit early (idx3) → label −1 even though
+    // the up excursion is larger.
+    val df = ticks(
+      (1L, 7L, "2024-01-01 00:00:01", 10.00, 10.1),
+      (2L, 7L, "2024-01-01 00:00:02", 10.00, 10.1),
+      (3L, 7L, "2024-01-01 00:00:03", 7.00, 7.1),
+      (4L, 7L, "2024-01-01 00:00:04", 14.00, 14.1))
+    val out = Features.tripleBarrier(df, 4, 10, 2000L)
+      .select("e_idx", "label").as[(Long, Int)].collect().toSeq
+    // single entry at idx1; dn at idx3 precedes up at idx4
+    assert(out == Seq((1L, -1)))
+    // entry stride hitting the LAST tick produces no labeled row
+    val tail = Features.tripleBarrier(
+      ticks((1L, 9L, "2024-01-01 00:00:01", 10.0, 10.1)), 1, 5, 2000L)
+    assert(tail.count() == 0L)
+  }
+
+  test("tripleBarrier matches a straight-line per-symbol reference " +
+      "scan on a deterministic multi-symbol feed") {
+    val rows = for {
+      sym <- 1L to 3L
+      i <- 1L to 60L
+    } yield {
+      val c = 1000 + ((i * 137 + sym * 59) % 400) - 200 // 800..1199
+      (sym * 1000 + i, sym, f"2024-01-01 00:${(i / 60) % 60}%02d:${i % 60}%02d",
+        c / 100.0, c / 100.0 + 0.1)
+    }
+    val (n, h, bp) = (7, 12, 900L)
+    val df = ticks(rows: _*)
+    val got = Features.tripleBarrier(df, n, h, bp)
+      .select("symbol", "e_idx", "label")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    // reference: brute-force scan per symbol in plain Scala
+    val bySym = rows.groupBy(_._2).view.mapValues(_.sortBy(_._1)).toMap
+    val want = (for {
+      (sym, ts) <- bySym.toSeq
+      cents = ts.map(r => math.round(r._4 * 100))
+      eIdx <- cents.indices.filter(i => (i + 1) % n == 1 % n)
+      future = cents.slice(eIdx + 1, eIdx + 1 + h)
+      if future.nonEmpty
+    } yield {
+      val ec = cents(eIdx)
+      val up = future.indexWhere(c => c * 10000L >= ec * (10000L + bp))
+      val dn = future.indexWhere(c => c * 10000L <= ec * (10000L - bp))
+      val label =
+        if (up >= 0 && (dn < 0 || up < dn)) 1
+        else if (dn >= 0 && (up < 0 || dn < up)) -1 else 0
+      (sym, (eIdx + 1).toLong, label)
+    }).sorted
+    assert(got == want)
+  }
 }

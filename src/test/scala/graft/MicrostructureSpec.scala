@@ -403,4 +403,36 @@ class MicrostructureSpec extends SparkSpec {
     val d2 = out.find(_.getAs[String]("date") == "2024-01-02").get
     assert(d2.getAs[Long]("n_pairs") == 0L)
   }
+
+  test("realizedMoments: hand-computed skew/kurtosis on a known move " +
+      "set; constant day NULL; single-tick day NULL with n_moves 0") {
+    // day 1 moves (cents): +100, +100, -200  → m1 = 0, m2 = 60000/3,
+    // m3 = (1e6 + 1e6 - 8e6)/3, m4 = (1e8+1e8+16e8)/3
+    val df = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 10.00, 10.1),
+      (2L, 1L, "2024-01-01 00:00:02", 11.00, 11.1),
+      (3L, 1L, "2024-01-01 00:00:03", 12.00, 12.1),
+      (4L, 1L, "2024-01-01 00:00:04", 10.00, 10.1),
+      // day 2: constant price → zero variance → NULL stats
+      (5L, 1L, "2024-01-02 00:00:01", 10.00, 10.1),
+      (6L, 1L, "2024-01-02 00:00:02", 10.00, 10.1),
+      // day 3: single tick → no moves
+      (7L, 1L, "2024-01-03 00:00:01", 10.00, 10.1))
+    val out = Microstructure.realizedMoments(df).collect()
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_moves") == 3L)
+    val m1 = 0.0; val m2 = 60000.0 / 3; val m3 = -6e6 / 3; val m4 = 18e8 / 3
+    val v = m2 - m1 * m1
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(d1.getAs[Double]("variance") == r4(v))
+    assert(d1.getAs[Double]("skewness") ==
+      r4((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (v * math.sqrt(v))))
+    assert(d1.getAs[Double]("ex_kurtosis") ==
+      r4((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1) /
+        (v * v) - 3.0))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_moves") == 1L && d2.isNullAt(4) && d2.isNullAt(5))
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_moves") == 0L && d3.isNullAt(3))
+  }
 }

@@ -234,6 +234,31 @@ class TextDedupSpec extends SparkSpec {
       (8L, false, None)))
   }
 
+  test("zipfFit: exact OLS on a constructed frequency spectrum") {
+    // corpus engineered so the top-3 spectrum is (aa:4, bb:2, cc:1):
+    // slope of ln(cnt) on ln(rank) over 3 points.
+    val df = docs(
+      (1L, "aa aa bb cc"), (2L, "aa aa bb"))
+    val out = TextDedup.zipfFit(df, 3).collect().head
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    // mirror the operator: ROUNDED sums, then the derived OLS
+    val n = 3.0
+    val sx = r4(xs.sum); val sy = r4(ys.sum)
+    val sxx = r4(xs.map(x => x * x).sum)
+    val sxy = r4(xs.zip(ys).map { case (x, y) => x * y }.sum)
+    val syy = r4(ys.map(y => y * y).sum)
+    val cov = n * sxy - sx * sy; val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    assert(out.getAs[Double]("slope") == r4(cov / vx))
+    assert(out.getAs[Double]("intercept") == r4((sy - (cov / vx) * sx) / n))
+    assert(out.getAs[Double]("r2") == r4((cov * cov) / (vx * vy)))
+    // near −1.23 for this 4:2:1 spectrum (hand regression)
+    assert(math.abs(out.getAs[Double]("slope") + 1.2334) < 0.02)
+  }
+
   test("incrementalNearDupSplit ≡ incrementalNearDup on a predicate " +
       "split of one corpus (the single-scan form must not change " +
       "verdicts)") {
