@@ -731,4 +731,71 @@ object Streaming {
           out.reverseIterator
       }
   }
+
+  case class BarrierLabel(symbol: Long, e_idx: Long, entry_id: Long,
+                          e_c: Long, label: Int, decided_idx: Long)
+  /** G21 keyed state: ticks seen so far + the OPEN entries' registers. */
+  case class BarrierState(nSeen: Long, open: List[(Long, Long, Long)])
+
+  /** G21 — STREAMING TRIPLE-BARRIER LABELS: the live twin of
+    * `Features.tripleBarrier` (D38) — labels stream out the moment
+    * the deciding tick arrives (first barrier hit, or the horizon'th
+    * lookahead tick without one), which is exactly when a live
+    * training-data pipeline can act on them. Keyed state per symbol
+    * is the tick count plus the OPEN entries' (idx, cents, tick_id)
+    * registers — at most ⌈horizon/entryEvery⌉+1 entries are ever
+    * open (an entry lives ≤ horizon ticks and entries open every
+    * entryEvery-th), so state is BOUNDED BY PARAMETERS, independent
+    * of rate — the D38 lookahead never materializes.
+    *
+    * Decision order matches batch exactly: a tick is lookahead for
+    * every entry already open (hits checked before the timeout at
+    * `idx − e_idx = horizon`, and before this tick can open its own
+    * entry — an entry is never its own lookahead). Barriers compare
+    * cross-multiplied int64 cents (D38's spelling).
+    *
+    * Batch parity (spec'd): streamed == batch MINUS the rows batch
+    * labels 0 on a TRUNCATED horizon (`n_lookahead < horizon` — the
+    * feed ended; the stream correctly keeps those entries open
+    * awaiting more ticks) — i.e. exactly the batch rows with
+    * `label ≠ 0 OR n_lookahead = horizon`. Within a micro-batch rows
+    * sort by tick_id; across batches the per-symbol feed must be
+    * in-order (G11/G12's assumption). */
+  def tripleBarrierState(ticks: Dataset[Tick], entryEvery: Int,
+                         horizon: Int, barrierBp: Long)
+  : Dataset[BarrierLabel] = {
+    require(entryEvery > 0 && horizon > 0,
+      s"entryEvery and horizon must be positive: $entryEvery, $horizon")
+    require(barrierBp > 0 && barrierBp < 10000,
+      s"barrierBp must be in (0, 10000): $barrierBp")
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[BarrierState]) =>
+          var s = state.getOption.getOrElse(BarrierState(0L, Nil))
+          var out = List.empty[BarrierLabel]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val idx = s.nSeen + 1L
+            val c = math.round(t.bid * 100.0)
+            val still = s.open.filter { case (eIdx, eC, eId) =>
+              val up = c * 10000L >= eC * (10000L + barrierBp)
+              val dn = c * 10000L <= eC * (10000L - barrierBp)
+              if (up || dn)
+                out = BarrierLabel(symbol, eIdx, eId, eC,
+                  if (up) 1 else -1, idx) :: out
+              else if (idx - eIdx >= horizon)
+                out = BarrierLabel(symbol, eIdx, eId, eC, 0, idx) :: out
+              !(up || dn || idx - eIdx >= horizon)
+            }
+            val opened =
+              if (idx % entryEvery == 1L % entryEvery)
+                still :+ ((idx, c, t.tick_id)) else still
+            s = BarrierState(idx, opened)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
 }

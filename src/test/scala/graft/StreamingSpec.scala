@@ -693,4 +693,56 @@ class StreamingSpec extends SparkSpec {
     // symbol 2 has a single tick: frontier only, nothing emitted
     assert(!streamed.exists(_.symbol == 2L))
   }
+
+  test("G21 parity: streamed triple-barrier labels == batch rows with " +
+      "a hit or a FULL observed horizon; truncated-tail entries stay " +
+      "open; decided_idx matches the batch hit index") {
+    import graft.streaming.Streaming.BarrierLabel
+    val (n, h, bp) = (3, 5, 1500L)
+    val ticks = for {
+      sym <- Seq(1L, 2L)
+      i <- 1L to 25L
+    } yield {
+      // flat tail (i >= 21): the idx-22 entry cannot hit within its
+      // TRUNCATED lookahead → the batch-only label-0 row the parity
+      // statement excludes
+      val c = if (i >= 21) 1000
+              else 1000 + ((i * 173 + sym * 97) % 340) - 170 // 830..1169
+      Tick(sym * 1000 + i, sym, t(f"2024-01-01 00:00:${i % 60}%02d"), c / 100.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.tripleBarrierState(in.toDS(), n, h, bp)
+      .writeStream.format("memory").queryName("p_tbar")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      // split mid-lookahead so open entries cross a batch boundary
+      val (a, b) = ticks.splitAt(11)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_tbar").as[BarrierLabel].collect().toSet
+    } finally q.stop()
+    // batch twin over the same rows
+    val df = ticks.map(tk => (tk.tick_id, tk.symbol, tk.ts, tk.bid,
+      tk.bid + 0.01)).toSeq.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val batch = graft.operators.Features.tripleBarrier(df, n, h, bp)
+      .collect().map { r =>
+        val label = r.getAs[Int]("label")
+        val decided =
+          if (label == 1) r.getAs[Long]("up_idx")
+          else if (label == -1) r.getAs[Long]("dn_idx")
+          else r.getAs[Long]("e_idx") + h
+        (BarrierLabel(r.getAs[Long]("symbol"), r.getAs[Long]("e_idx"),
+          r.getAs[Long]("entry_id"), r.getAs[Long]("e_c"), label, decided),
+          r.getAs[Long]("n_lookahead"))
+      }
+    val completed = batch.collect {
+      case (bl, nLook) if bl.label != 0 || nLook == h => bl
+    }.toSet
+    assert(streamed == completed)
+    assert(streamed.nonEmpty &&
+      streamed.exists(_.label == 1) && streamed.exists(_.label == -1))
+    // at least one truncated-tail entry exists and stayed open
+    assert(batch.exists { case (bl, nLook) => bl.label == 0 && nLook < h })
+  }
 }
