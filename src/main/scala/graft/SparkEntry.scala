@@ -322,6 +322,10 @@ object SparkEntry {
         Seq("user_id", "event_type", "value"))),
     "q_ann_ivf" -> ((s, d) =>
       Vectors.ivfKnn(Tables.embeddings(s, d), 10, 5, 8)),
+    // F58 — recall@5 of the IVF index vs the exact scan (same params
+    // as q_ann_topk / q_ann_ivf, so the audit measures THAT index).
+    "q_ann_recall" -> ((s, d) =>
+      Vectors.annRecall(Tables.embeddings(s, d), 10, 5, 8)),
 
     // ---- B. Tick cleaning (SURVEY §2.B) ----
     "q_session_filter" -> ((s, d) => TickOps.sessionWindowFilter(Tables.ticks(s, d))),
@@ -3291,6 +3295,58 @@ object SparkEntry {
         |      AS rnk FROM p)
         |SELECT query_id, cell, neighbor_id, rnk, round(cs, 4) AS cos_sim
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // F58 — composes the two verified CTE chains (brute + IVF) and
+    // joins their top-k sets; recall is one exact-int division.
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |bp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |bt AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |        AS rnk FROM bp) WHERE rnk <= 5),
+        |cc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |dd AS (SELECT e.vec_id, cc.cid,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> e.v[CAST(i+1 AS INT)] * cc.cv[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) AS dt
+        |  FROM e, cc),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |  (SELECT vec_id, cid,
+        |     row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rn
+        |   FROM dd) WHERE rn = 1),
+        |n2 AS (SELECT n.vec_id, n.v, cell.cell, n.nrm
+        |  FROM n JOIN cell ON cell.vec_id = n.vec_id),
+        |ip AS (SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * nb.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(q.nrm * nb.nrm, 0) AS cs
+        |  FROM n2 q JOIN n2 nb ON nb.cell = q.cell AND nb.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |it AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |        AS rnk FROM ip) WHERE rnk <= 5),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM bt GROUP BY 1),
+        |na AS (SELECT query_id, count(*) AS n_approx FROM it GROUP BY 1),
+        |ov AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM bt b JOIN it i ON i.query_id = b.query_id
+        |    AND i.neighbor_id = b.neighbor_id GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact,
+        |  coalesce(na.n_approx, 0) AS n_approx,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5 AS recall
+        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN ov USING (query_id)
+        |ORDER BY query_id""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

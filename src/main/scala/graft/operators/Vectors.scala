@@ -253,6 +253,42 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** F58 — ANN RECALL AUDIT: per query, how much of the exact
+    * top-k ([[bruteForceKnn]]) the IVF index ([[ivfKnn]]) actually
+    * returned — recall@k, the number every ANN deployment quotes and
+    * the est-vs-exact audit discipline (F41/F25/F27) applied to the
+    * index itself. `n_approx < k` additionally exposes CELL
+    * STARVATION (the query's cell holds fewer than k candidates —
+    * the failure mode nProbe=1 IVF hits on skewed corpora) separately
+    * from ranking misses.
+    *
+    * Shape: both sides are the bounded-query-batch broadcast scans of
+    * their parents (the corpus streams, never shuffles); the overlap
+    * join runs on two ≤ nQueries·k row frames. At 100 TB the audit
+    * runs on a sampled query set exactly like this. `recall` is one
+    * IEEE division of exact ints (n_overlap / k), unrounded. */
+  def annRecall(emb: DataFrame, nQueries: Int, k: Int, nCentroids: Int,
+                dim: Int = Dim): DataFrame = {
+    val exact = bruteForceKnn(emb, nQueries, k, dim)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val approx = ivfKnn(emb, nQueries, k, nCentroids, dim)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nApprox = approx.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    nExact
+      .join(nApprox, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** F39 — IVF-PQ COMPOSED SEARCH: the production ANN index shape —
     * IVF cells prune the corpus to one coarse cell per query
     * (F7b's argmax-dot assignment) and the surviving candidates are

@@ -71,6 +71,33 @@ class IvfWatermarkSpec extends SparkSpec {
     assert(ivf == bf) // same-cluster neighbors dominate -> full recall
   }
 
+  test("annRecall reports the cross-cell miss the IVF index makes and " +
+      "full recall where cells align") {
+    // centroids = vecs 0 and 1. Vec 3 sits in cell 1 (dot c1 > dot c0)
+    // but is query 0's 2nd-best neighbor by cosine → IVF (nProbe=1)
+    // misses it: recall@2 = 0.5 for both queries, with n_approx = 1
+    // exposing cell starvation (each cell holds 1 non-query candidate).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),    // centroid/query A
+      (1L, Array(0.0f, 1.0f), 0),    // centroid/query B
+      (2L, Array(0.9f, 0.1f), 0),    // cell 0
+      (3L, Array(0.7f, 0.72f), 0))   // cell 1, still close to A
+      .toDF("vec_id", "embedding", "label")
+    val out = Vectors.annRecall(emb, 2, 2, 2, dim = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 1L, 0.5),
+      (1L, 2L, 1L, 1L, 0.5)))
+    // separated clusters → recall 1.0 everywhere
+    val sep = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i.toLong, Array(base(0) + i * 0.001f, base(1) + i * 0.0005f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Vectors.annRecall(sep, 2, 3, 2, dim = 2)
+      .select("recall").as[Double].collect().toSeq
+    assert(r == Seq(1.0, 1.0))
+  }
+
   test("streaming downsampler drops late data past the watermark (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
