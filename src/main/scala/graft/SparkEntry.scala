@@ -105,6 +105,7 @@ object SparkEntry {
   val rollCorrDays = 5          // D29 trailing window (days)
   val bitemporalTxId = 5000L    // E13 transaction-time cutoff
   val validTsLit = "2024-01-15 00:00:00" // E13/D8 valid-time cut
+  val lateDaysParam = 60        // C29 lateness threshold (days)
   val tbEntryEvery = 25         // D38 entry sampling stride
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
@@ -191,6 +192,11 @@ object SparkEntry {
     "q_supplier_candidates" -> ((s, d) =>
       Analytics.supplierCandidates(Tables.part(s, d), Tables.supplier(s, d),
         Tables.lineitem(s, d))),
+    // C29 — Q21 essence: sole-late supplier on multi-supplier orders
+    // (late = shipped > 60 days after order date).
+    "q_waiting_supplier" -> ((s, d) =>
+      Analytics.waitingSuppliers(Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.supplier(s, d), lateDaysParam)),
     // A18 — declarative constraint audit over lineitem (one scan) +
     // referential orphan check, one report.
     "q_constraint_audit" -> ((s, d) => {
@@ -999,6 +1005,25 @@ object SparkEntry {
         |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
         |GROUP BY p_brand, p_type
         |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    // C29 — Q21 essence, decorrelated: EXISTS/NOT-EXISTS become two
+    // stacked aggregates; sole-late is a row-local predicate.
+    "q_waiting_supplier" ->
+      s"""WITH pos AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate
+        |      + INTERVAL $lateDaysParam DAYS THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey),
+        |po AS (
+        |  SELECT l_orderkey, count(*) AS n_suppliers,
+        |    CAST(sum(was_late) AS BIGINT) AS n_late_suppliers
+        |  FROM pos GROUP BY l_orderkey)
+        |SELECT s_name, count(*) AS numwait
+        |FROM pos JOIN po USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE was_late = 1 AND n_suppliers > 1 AND n_late_suppliers = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     // C19 — conditional two-sum aggregate; share is ONE division of
     // exact int64 sums (unrounded, bit-identical both engines).
     "q_market_share" ->

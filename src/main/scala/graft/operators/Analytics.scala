@@ -674,4 +674,47 @@ object Analytics {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
   }
+
+  /** C29 — TPC-H Q21's essence: suppliers who kept orders WAITING —
+    * for each supplier, the number of multi-supplier orders on which
+    * it was the ONLY late supplier (late := l_shipdate more than
+    * `lateDays` after o_orderdate — the trimmed schema's stand-in for
+    * receipt-past-commit). Q21 is the canonical correlated
+    * EXISTS + NOT-EXISTS pair; the Spark-first form DECORRELATES both
+    * into two stacked aggregates instead of three fact self-joins:
+    * per (order, supplier) collapse the lines to one `was_late` bit
+    * (first aggregate — fact multiplicity dies here), then per order
+    * count suppliers and late suppliers (second aggregate, order-
+    * sized input); "sole late on a shared order" is then a pure
+    * row-local predicate (`was_late ∧ n_suppliers > 1 ∧
+    * n_late_suppliers = 1`) — the EXISTS and NOT EXISTS both became
+    * counts. Supplier names resolve via broadcast at the end
+    * (dim-sized). Counts exact int64; Q21's ORDER BY numwait DESC,
+    * name kept (total order via the name tiebreak). */
+  def waitingSuppliers(orders: DataFrame, lineitem: DataFrame,
+                       supplier: DataFrame, lateDays: Int): DataFrame = {
+    val perOrderSupp = lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"), 1L)
+        .otherwise(0L)).as("was_late"))
+      // barrier: feeds BOTH the per-order rollup and the verdict join —
+      // without it the fact⨝orders join and first aggregate run twice
+      .localCheckpoint(true)
+    val perOrder = perOrderSupp
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("was_late")).as("n_late_suppliers"))
+    perOrderSupp
+      .join(perOrder, Seq("l_orderkey"))
+      .filter(col("was_late") === 1L && col("n_suppliers") > 1L &&
+        col("n_late_suppliers") === 1L)
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
 }

@@ -396,4 +396,31 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(out == Seq(("B1", "T1", 2L)))
   }
+
+  test("waitingSuppliers: only the SOLE late supplier on a multi-" +
+      "supplier order counts (Q21 essence)") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, t("2024-01-01")), (2L, t("2024-01-01")),
+      (3L, t("2024-01-01")), (4L, t("2024-01-01")))
+      .toDF("o_orderkey", "o_orderdate")
+    // late = shipped > 10 days after order date
+    val li = Seq(
+      // O1: A late (two lines, one late), B on time → A counted
+      (1L, 100L, t("2024-01-20")), (1L, 100L, t("2024-01-02")),
+      (1L, 200L, t("2024-01-05")),
+      // O2: A and B both late → nobody
+      (2L, 100L, t("2024-01-20")), (2L, 200L, t("2024-01-20")),
+      // O3: single-supplier order, late → not counted
+      (3L, 100L, t("2024-01-20")),
+      // O4: nobody late → nobody
+      (4L, 100L, t("2024-01-02")), (4L, 200L, t("2024-01-03")))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val supp = Seq((100L, "Supplier#A"), (200L, "Supplier#B"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.waitingSuppliers(orders, li, supp, 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("Supplier#A", 1L)))
+  }
 }
