@@ -106,6 +106,9 @@ object SparkEntry {
   val bitemporalTxId = 5000L    // E13 transaction-time cutoff
   val validTsLit = "2024-01-15 00:00:00" // E13/D8 valid-time cut
   val lateDaysParam = 60        // C29 lateness threshold (days)
+  val sessionGapSec = 86400L    // E12 browsing-session gap (24 h —
+                                // probed: ~50/50 contained/orphan at
+                                // the gate SFs, 0 interval overlaps)
   val tbEntryEvery = 25         // D38 entry sampling stride
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
@@ -516,6 +519,19 @@ object SparkEntry {
     "q_rolling_corr" -> ((s, d) =>
       TemporalJoins.rollingPairCorr(Tables.ticks(s, d),
         symPairs, rollCorrDays)),
+    // E12 — purchases assigned to their enclosing browsing session
+    // (sessions from non-purchase activity, 24 h gap); orphans NULL.
+    "q_session_assign" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val src = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("tick_id"),
+          col("user_id").as("symbol"), col("ts"))
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("point_id"),
+          col("user_id").as("symbol"), col("ts"))
+      TemporalJoins.sessionAssign(src, pts, sessionGapSec)
+    }),
     "q_asof_forward" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val ev = Tables.events(s, d)
@@ -2691,6 +2707,35 @@ object SparkEntry {
         |  ON q.user_id = t.user_id
         |  AND q.ts >= t.ts - INTERVAL 3600 SECONDS AND q.ts < t.ts
         |GROUP BY t.event_id, t.user_id ORDER BY trade_id""".stripMargin,
+    // E12 — containment: non-overlapping gap sessions ⇒ LEFT range
+    // join matches at most one interval; second-grain compares.
+    "q_session_assign" ->
+      s"""WITH t AS (SELECT event_id AS tick_id, user_id AS symbol, ts
+        |  FROM events WHERE event_type <> 'purchase'),
+        |s AS (SELECT tick_id, symbol, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL $sessionGapSec SECOND
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)),
+        |s2 AS (SELECT symbol, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM s),
+        |sess AS (SELECT symbol, session_id,
+        |    date_trunc('second', min(ts)) AS st,
+        |    date_trunc('second', max(ts)) AS en
+        |  FROM s2 GROUP BY symbol, session_id),
+        |p AS (SELECT event_id AS point_id, user_id AS symbol,
+        |    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.point_id, p.symbol,
+        |  strftime(p.ts_s, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  sess.session_id,
+        |  sess.session_id IS NOT NULL AS in_session
+        |FROM p LEFT JOIN sess ON sess.symbol = p.symbol
+        |  AND p.ts_s >= sess.st AND p.ts_s <= sess.en
+        |ORDER BY point_id""".stripMargin,
     "q_sessionize" ->
       """WITH t AS (SELECT event_id AS tick_id, user_id AS symbol, ts FROM events),
         |s AS (SELECT tick_id, symbol, ts,

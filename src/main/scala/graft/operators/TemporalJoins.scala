@@ -265,6 +265,57 @@ object TemporalJoins {
       .orderBy(key, "session_id")
   }
 
+  /** E12 — SESSION CONTAINMENT JOIN (point-in-interval): tag each
+    * point event with the enclosing session interval of its key, or
+    * NULL when it falls in a gap — the third temporal-join family
+    * member beside as-of (E1) and range (E2), and the attribution
+    * step behind "which browsing session does this purchase belong
+    * to". Intervals come from [[sessionize]] (gap-derived, hence
+    * NON-OVERLAPPING per key by construction) — which is what lets
+    * containment run as ONE as-of pass instead of an interval join:
+    * union session-boundary rows with point rows, per-key running
+    * IGNORE-NULLS last carries (session_id, end) forward, and a point
+    * is inside iff its second ≤ the carried end. One key exchange
+    * total (E1's union discipline); the interval set never joins the
+    * point set.
+    *
+    * Engine-exactness: session bounds are second-truncated (E3's
+    * rule), so points compare at the SAME grain — the point ts is
+    * floored to its second first (a point in its interval's final
+    * second is inside). Boundary ties: the session row sorts before
+    * the point row of the same second, so a point at exactly
+    * session_start matches. All comparisons exact int64 µs. */
+  def sessionAssign(ticks: DataFrame, points: DataFrame,
+                    gapSec: Long): DataFrame = {
+    val sess = sessionize(ticks, "symbol", "ts", gapSec)
+      .select(col("symbol"),
+        unix_micros(col("session_start")).as("us"),
+        lit(0).as("kind"),
+        col("session_id"),
+        unix_micros(col("session_end")).as("end_us"),
+        lit(null).cast("long").as("point_id"))
+    val pts = points.select(col("symbol"),
+      unix_micros(date_trunc("second", col("ts"))).as("us"),
+      lit(1).as("kind"),
+      lit(null).cast("long").as("session_id"),
+      lit(null).cast("long").as("end_us"),
+      col("point_id"))
+    val w = Window.partitionBy("symbol").orderBy("us", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess.unionByName(pts)
+      .withColumn("last_sid", last(col("session_id"), ignoreNulls = true).over(w))
+      .withColumn("last_end", last(col("end_us"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("in_session",
+        col("last_sid").isNotNull && col("us") <= col("last_end"))
+      .select(col("point_id"), col("symbol"),
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_s"),
+        when(col("in_session"), col("last_sid")).as("session_id"),
+        col("in_session"))
+      .orderBy("point_id")
+  }
+
   /** E8 — co-trading SESSION-OVERLAP aggregate between symbol pairs:
     * how much wall-clock time do two instruments' trading sessions
     * actually overlap — the liquidity-alignment number behind venue

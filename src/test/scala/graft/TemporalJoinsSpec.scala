@@ -334,4 +334,34 @@ class TemporalJoinsSpec extends SparkSpec {
       "2024-01-01 01:00:00" -> 101L, // 100.5 half-up
       "2024-01-01 02:00:00" -> 101L))
   }
+
+  test("sessionAssign: inside/boundary points get the session id, " +
+      "gap and pre-session points get NULL") {
+    // sessions (gap 60 s) for symbol 1: [10:00:00, 10:00:30] (ticks at
+    // 0 s and 30 s) and [10:05:00, 10:05:00] (single tick).
+    val src = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 10:00:30")),
+      (3L, 1L, t("2024-01-01 10:05:00")),
+      (4L, 2L, t("2024-01-01 09:00:00"))) // other key
+      .toDF("tick_id", "symbol", "ts")
+    val pts = Seq(
+      (101L, 1L, t("2024-01-01 10:00:15")),   // inside session 1
+      (102L, 1L, t("2024-01-01 10:00:30.7")), // final second → inside
+      (103L, 1L, t("2024-01-01 10:02:00")),   // gap → NULL
+      (104L, 1L, t("2024-01-01 10:05:00")),   // boundary tie → session 2
+      (105L, 1L, t("2024-01-01 09:59:59")),   // before any session
+      (106L, 2L, t("2024-01-01 09:00:00")))   // other key, inside
+      .toDF("point_id", "symbol", "ts")
+    val out = TemporalJoins.sessionAssign(src, pts, 60L)
+      .select("point_id", "session_id", "in_session")
+      .as[(Long, Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (101L, Some(1L), true),
+      (102L, Some(1L), true),
+      (103L, None, false),
+      (104L, Some(2L), true),
+      (105L, None, false),
+      (106L, Some(1L), true)))
+  }
 }
