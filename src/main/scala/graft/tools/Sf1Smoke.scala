@@ -160,7 +160,10 @@ object Sf1Smoke {
       // F10b token-freq shuffle plus two 1-row aggregates.
       "q_tokenizer_fertility", "q_token_concentration",
       // sweep/confusion: fixed (source × cut) / |langs|² key spaces.
-      "q_threshold_sweep", "q_lang_confusion")
+      "q_threshold_sweep", "q_lang_confusion",
+      // round-10: zipf is the token-freq shuffle + a 100-row OLS;
+      // ann_recall composes the two bounded-query broadcast scans.
+      "q_zipf_fit", "q_ann_recall")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -191,11 +194,23 @@ object Sf1Smoke {
       // shape behind a pushed event_id prefix filter.
       "q_twap", "q_bipower", "q_spike_repair", "q_sign_persistence",
       "q_hy_cov", "q_epps_curve", "q_lee_ready", "q_effective_spread",
-      "q_bitemporal")
-    val family =
+      "q_bitemporal",
+      // round-10: triple barrier's lookahead join volume is
+      // (n/stride)·2·horizon — linear in rows with 10-100x more
+      // symbols; moments ride the (symbol, day) exchange; session
+      // containment is the one-exchange as-of union.
+      "q_triple_barrier", "q_realized_moments", "q_session_assign")
+    val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
       else docsFamily ++ eventsFamily
+    // SPARK_GRAFT_ONLY=q_a,q_b narrows a run to named queries (new-op
+    // smokes without re-timing the whole family).
+    val family = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) => val keep = f.split(',').map(_.trim).toSet
+        family0.filter(keep)
+      case None => family0
+    }
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
         time(s"$q $phase") {
