@@ -113,6 +113,7 @@ object SparkEntry {
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
+  val bpeMergeRounds = 5        // F59 adaptive merge rounds
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
@@ -716,6 +717,9 @@ object SparkEntry {
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
+    // F59 — the BPE trainer loop: 5 adaptive merge rounds.
+    "q_bpe_train" -> ((s, d) =>
+      TextDedup.bpeTrain(Tables.documents(s, d), bpeMergeRounds)),
     // F14b — portable HLL over word 2-grams (m=32 registers).
     "q_hll_ndv" -> ((s, d) => TextDedup.hllNdv(Tables.documents(s, d), 2)),
     "q_term_saliency" -> ((s, d) =>
@@ -3698,6 +3702,46 @@ object SparkEntry {
       s"""SELECT token, count(*) AS freq
         |FROM (SELECT unnest($duckTokens) AS token FROM documents) x
         |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+    },
+    // F59 — the BPE trainer's oracle recomputes the SAME adaptive
+    // cascade in pure SQL: per round, an argmax CTE (cnt DESC, pair —
+    // exact ints, total order) and a list_reduce string fold spelled
+    // identically to the Spark `aggregate` (both seed with the first
+    // symbol; `acc || t` completes the merge in place because the
+    // accumulator's last symbol IS pa when the guard holds). The CTE
+    // chain is GENERATED by the same loop count as the operator, so
+    // round count cannot drift.
+    "q_bpe_train" -> {
+      import graft.functions.PortableText._
+      val rounds = (1 to bpeMergeRounds).map { r =>
+        s"""p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+          |  FROM (SELECT unnest(list_transform(range(len(tok) - 1),
+          |      i -> tok[CAST(i + 1 AS INT)] || ' ' || tok[CAST(i + 2 AS INT)]))
+          |      AS pair, freq
+          |    FROM (SELECT string_split(seg, ' ') AS tok, freq
+          |      FROM seg${r - 1}) x
+          |    WHERE len(tok) >= 2) y
+          |  GROUP BY pair),
+          |m$r AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS pa,
+          |    split_part(pair, ' ', 2) AS pb
+          |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+          |seg$r AS (SELECT list_reduce(string_split(s.seg, ' '),
+          |    (acc, t) -> CASE WHEN (acc = m.pa
+          |        OR ends_with(acc, ' ' || m.pa)) AND t = m.pb
+          |      THEN acc || t ELSE acc || ' ' || t END) AS seg, s.freq
+          |  FROM seg${r - 1} s, m$r m)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to bpeMergeRounds).map(r =>
+        s"SELECT $r AS merge_idx, pair, cnt AS pair_cnt FROM m$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH vocab AS (SELECT word, count(*) AS freq
+        |  FROM (SELECT unnest($duckTokens) AS word FROM documents) t
+        |  GROUP BY word),
+        |seg0 AS (SELECT array_to_string(list_transform(range(length(word)),
+        |    i -> word[CAST(i + 1 AS INT)]), ' ') AS seg, freq FROM vocab),
+        |$rounds
+        |$out
+        |ORDER BY merge_idx""".stripMargin
     },
     // F57 — Zipf fit: ln inputs are IDENTICAL exact ints (count, rank)
     // both engines; the five OLS sums round(4) over the k-row frame

@@ -1164,6 +1164,76 @@ object TextDedup {
       .select("n_tokens", "slope", "intercept", "r2")
   }
 
+  /** F59 — BPE TOKENIZER TRAINING LOOP: F48 computed ONE round's
+    * merge-pair statistics; this runs the actual trainer — `nMerges`
+    * rounds of (count adjacent symbol pairs over the weighted
+    * vocabulary → take the argmax pair → merge every non-overlapping
+    * occurrence left-to-right), emitting the ordered MERGE TABLE
+    * (merge_idx, pair, pair_cnt at selection time): the artifact a
+    * real BPE trainer (SentencePiece, HF tokenizers) produces.
+    *
+    * Scale shape: the corpus collapses ONCE to the (word, freq)
+    * vocabulary (F48's move — the 100 TB text never re-scans); every
+    * round then runs one vocab-sized pair aggregate (map-side
+    * combined), ONE argmax row collected (a bounded driver action —
+    * the merge decision IS a driver decision, like A19's publish
+    * verdict), and one narrow re-segmentation pass over the
+    * checkpointed vocab frame. Iteration cost is rounds × vocab, the
+    * same cascade discipline as F13's CC rounds.
+    *
+    * Engine-exactness: the re-segmentation is a LEFT-TO-RIGHT STRING
+    * FOLD spelled identically on both engines (Spark `aggregate`,
+    * DuckDB `list_reduce` — both seed with the first symbol): the
+    * accumulator ends with ` pa` exactly when its LAST symbol is pa
+    * (symbols never contain spaces), so `acc || pb` completes the
+    * merged symbol in place — no sentinel tricks, no regex, and
+    * "aaa" under (a,a) merges to "aa a" (non-overlapping
+    * left-to-right, the HF rule). The winner rides a broadcast
+    * COLUMN (never an interpolated literal — corpus tokens may
+    * contain quote characters); argmax total order (cnt DESC, pair)
+    * over exact int64 counts. */
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need at least one merge round: $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var seg = docs.select(explode(expr(tokens)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(expr("array_join(transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1)), ' ')").as("seg"), col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    for (r <- 1 to nMerges) {
+      val top = seg
+        .withColumn("tok", split(col("seg"), " "))
+        // 1-symbol segs have no pair; Spark's sequence(1, 0) counts
+        // DOWN rather than yielding empty — filter (F48's rule).
+        .filter(size(col("tok")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(tok) - 1), " +
+          "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
+          .as("pair"), col("freq"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .withColumn("pa", expr("split_part(pair, ' ', 1)"))
+        .withColumn("pb", expr("split_part(pair, ' ', 2)"))
+        .localCheckpoint(true)
+      val w = top.select("pair", "cnt").collect()
+      require(w.nonEmpty,
+        s"bpeTrain: vocabulary exhausted before merge round $r")
+      merges += ((r, w(0).getString(0), w(0).getLong(1)))
+      seg = seg
+        .crossJoin(broadcast(top.select("pa", "pb")))
+        .withColumn("tok", split(col("seg"), " "))
+        .select(expr("aggregate(slice(tok, 2, size(tok) - 1), " +
+          "element_at(tok, 1), (acc, t) -> " +
+          "CASE WHEN (acc = pa OR endswith(acc, concat(' ', pa))) " +
+          "AND t = pb THEN concat(acc, t) " +
+          "ELSE concat(acc, ' ', t) END)").as("seg"), col("freq"))
+        .localCheckpoint(true)
+    }
+    merges.toSeq.toDF("merge_idx", "pair", "pair_cnt")
+      .orderBy("merge_idx")
+  }
+
   /** F10c — per-document term saliency: top-k tokens ranked by tf/df
     * (term frequency over corpus document frequency) — the keyword
     * extraction a curation pipeline runs to label corpus slices. The

@@ -162,8 +162,11 @@ object Sf1Smoke {
       // sweep/confusion: fixed (source × cut) / |langs|² key spaces.
       "q_threshold_sweep", "q_lang_confusion",
       // round-10: zipf is the token-freq shuffle + a 100-row OLS;
-      // ann_recall composes the two bounded-query broadcast scans.
-      "q_zipf_fit", "q_ann_recall")
+      // ann_recall composes the two bounded-query broadcast scans;
+      // bpe_train iterates 5 vocab-sized aggregates + folds (the
+      // vocabulary is FIXED while occurrences 10x — rounds must not
+      // grow with rows).
+      "q_zipf_fit", "q_ann_recall", "q_bpe_train")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one

@@ -234,6 +234,27 @@ class TextDedupSpec extends SparkSpec {
       (8L, false, None)))
   }
 
+  test("bpeTrain: hand-traced adaptive merge cascade, left-to-right " +
+      "non-overlapping merges, weighted by word frequency") {
+    // vocab: 'aaab'×2, 'ab'×1 → seg0 'a a a b'(2), 'a b'(1)
+    // round 1: pairs {a a: 4, a b: 3} → merge 'a a' → 'aa a b', 'a b'
+    //   ('aaa' prefix merges ONCE — non-overlapping left-to-right)
+    // round 2: pairs {a b: 3, aa a: 2} → merge 'a b' → 'aa ab', 'ab'
+    // round 3: pairs {aa ab: 2} → merge 'aa ab'
+    val df = docs((1L, "aaab aaab ab"))
+    val out = TextDedup.bpeTrain(df, 3)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
+  test("bpeTrain fails fast when the vocabulary has no pairs left") {
+    val df = docs((1L, "a b c a")) // every word 1 char → zero pairs
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.bpeTrain(df, 1)
+    }
+    assert(e.getMessage.contains("vocabulary exhausted"))
+  }
+
   test("zipfFit: exact OLS on a constructed frequency spectrum") {
     // corpus engineered so the top-3 spectrum is (aa:4, bb:2, cc:1):
     // slope of ln(cnt) on ln(rank) over 3 points.
