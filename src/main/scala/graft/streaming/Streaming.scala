@@ -603,6 +603,73 @@ object Streaming {
       }
   }
 
+  case class MomentPoint(symbol: Long, date: String, n_moves: Long,
+                         variance: Double, skewness: Double,
+                         ex_kurtosis: Double)
+  /** G22 keyed state: last cents + the four raw power sums. */
+  case class MomentState(lastC: Long, n: Long, s1: Double, s2: Double,
+                         s3: Double, s4: Double)
+
+  /** G22 — STREAMING REALIZED MOMENTS: the live twin of
+    * `Microstructure.realizedMoments` (D39) — per (symbol, day), the
+    * running variance / skewness / excess kurtosis of tick cent
+    * moves, emitted as a point per arrival (Append; the last point
+    * of a day is the day's final statistic). State per key is SEVEN
+    * scalars: the previous cents plus count and the four raw power
+    * sums — the moment formulas are then the SAME rounded
+    * expressions the batch twin evaluates over its avg aggregates.
+    *
+    * Parity (spec'd): the last streamed point per (symbol, day)
+    * equals the batch row EXACTLY while the raw power sums stay
+    * inside 2⁵³ (integer-valued doubles add exactly in any order —
+    * the spec regime); past that boundary the two accumulation
+    * orders can differ in final ulps, which the batch twin's
+    * round(4) absorbs except exactly at rounding knots — the same
+    * caveat every double-aggregate parity in this file carries.
+    * Zero-variance prefixes emit NOTHING (the batch twin's NULL
+    * skew/kurt has no streaming analog in a flat case class) — once
+    * two distinct moves exist, variance stays positive and every
+    * later arrival emits; so the parity set is exactly the batch
+    * rows with variance > 0. */
+  def momentPoints(ticks: Dataset[Tick]): Dataset[MomentPoint] = {
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def r4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[MomentState]) =>
+          var s = state.getOption.getOrElse(
+            MomentState(-1L, 0L, 0.0, 0.0, 0.0, 0.0))
+          var out = List.empty[MomentPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            if (s.lastC >= 0L) {
+              val d = (c - s.lastC).toDouble
+              s = MomentState(c, s.n + 1L, s.s1 + d, s.s2 + d * d,
+                s.s3 + d * d * d, s.s4 + d * d * d * d)
+              val n = s.n.toDouble
+              val m1 = s.s1 / n; val m2 = s.s2 / n
+              val m3 = s.s3 / n; val m4 = s.s4 / n
+              val v = m2 - m1 * m1
+              if (v > 0)
+                out = MomentPoint(key._1, key._2, s.n, r4(v),
+                  r4((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1) /
+                    (v * math.sqrt(v))),
+                  r4((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 -
+                    3.0 * m1 * m1 * m1 * m1) / (v * v) - 3.0)) :: out
+            } else s = s.copy(lastC = c)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
+
   case class SpikeDecision(tick_id: Long, symbol: Long, cents: Long,
                            is_spike: Boolean, repaired_cents: Long)
   /** G19 keyed state: the previous CLASSIFIED tick's cents (−1 = none)

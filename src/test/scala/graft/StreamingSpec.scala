@@ -694,6 +694,41 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_.symbol == 2L))
   }
 
+  test("G22 parity: last streamed moment point per (symbol, day) == " +
+      "the batch realizedMoments row; zero-variance days never emit") {
+    import graft.streaming.Streaming.MomentPoint
+    val ticks = (1L to 30L).map { i =>
+      val c = 1000 + ((i * 97) % 210) - 100 // 900..1109, varied moves
+      Tick(i, 1L, t(f"2024-01-01 00:00:${i % 60}%02d"), c / 100.0)
+    } ++ Seq( // symbol 2: constant price → zero variance → no points
+      Tick(101L, 2L, t("2024-01-01 00:01:00"), 5.0),
+      Tick(102L, 2L, t("2024-01-01 00:01:01"), 5.0),
+      Tick(103L, 2L, t("2024-01-01 00:01:02"), 5.0))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.momentPoints(in.toDS())
+      .writeStream.format("memory").queryName("p_moments")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      val (a, b) = ticks.splitAt(13)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_moments").as[MomentPoint].collect().toSeq
+    } finally q.stop()
+    assert(!streamed.exists(_.symbol == 2L))
+    val lastPoint = streamed.filter(_.symbol == 1L).maxBy(_.n_moves)
+    val df = ticks.map(tk => (tk.tick_id, tk.symbol, tk.ts, tk.bid,
+      tk.bid + 0.01)).toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val batch = graft.operators.Microstructure.realizedMoments(df)
+      .collect().filter(r => !r.isNullAt(4))
+    assert(batch.length == 1)
+    val b1 = batch.head
+    assert(lastPoint.n_moves == b1.getAs[Long]("n_moves"))
+    assert(lastPoint.variance == b1.getAs[Double]("variance"))
+    assert(lastPoint.skewness == b1.getAs[Double]("skewness"))
+    assert(lastPoint.ex_kurtosis == b1.getAs[Double]("ex_kurtosis"))
+  }
+
   test("G21 parity: streamed triple-barrier labels == batch rows with " +
       "a hit or a FULL observed horizon; truncated-tail entries stay " +
       "open; decided_idx matches the batch hit index") {

@@ -255,6 +255,64 @@ class TextDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("vocabulary exhausted"))
   }
 
+  test("bpeTrain equals a straight-line reference BPE on random " +
+      "corpora (fixed-seed property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // reference trainer: mutable pair counts + explicit left-to-right
+    // merge scan — nothing shared with the operator's fold spelling.
+    def refBpe(words: Seq[(String, Long)], n: Int)
+    : Seq[(Int, String, Long)] = {
+      def mergeLR(syms: List[String], pa: String, pb: String)
+      : List[String] = {
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == pa && syms(i + 1) == pb) {
+            buf += (pa + pb); i += 2
+          } else { buf += syms(i); i += 1 }
+        }
+        buf.toList
+      }
+      var segs = words.map { case (w, f) => (w.map(_.toString).toList, f) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      for (r <- 1 to n) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((syms, f) <- segs; Seq(a, b) <- syms.sliding(2))
+          counts((a, b)) += f
+        if (counts.isEmpty) return out.toSeq // exhausted
+        val ((pa, pb), c) = counts.toSeq
+          .minBy { case ((a, b), cnt) => (-cnt, s"$a $b") }
+        out += ((r, s"$pa $pb", c))
+        segs = segs.map { case (syms, f) => (mergeLR(syms, pa, pb), f) }
+      }
+      out.toSeq
+    }
+    val corpusGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(3, 7)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ws
+    (1L to 5L).foreach { seed =>
+      val words = corpusGen.pureApply(Gen.Parameters.default, Seed(seed))
+      val vocab = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val want = refBpe(vocab, 3)
+      val df = docs((1L, words.mkString(" ")))
+      val got =
+        try TextDedup.bpeTrain(df, 3)
+          .as[(Int, String, Long)].collect().toSeq
+        catch { case _: IllegalArgumentException => Seq.empty }
+      // operator fails fast on exhaustion; reference returns short —
+      // compare the shared prefix semantics
+      if (want.size == 3) assert(got == want, s"seed=$seed words=$words")
+      else assert(got.isEmpty || got == want, s"seed=$seed words=$words")
+    }
+  }
+
   test("zipfFit: exact OLS on a constructed frequency spectrum") {
     // corpus engineered so the top-3 spectrum is (aa:4, bb:2, cc:1):
     // slope of ln(cnt) on ln(rank) over 3 points.
