@@ -406,6 +406,12 @@ object SparkEntry {
     // D34 — bipower variation + jump share per (symbol, day).
     "q_bipower" -> ((s, d) =>
       Microstructure.bipowerVariation(Tables.ticks(s, d))),
+    // D40 — realized semivariance halves + signed-jump variation.
+    "q_semivariance" -> ((s, d) =>
+      Microstructure.realizedSemivariance(Tables.ticks(s, d))),
+    // D41 — median realized variance (jump-robust IV) + jump share.
+    "q_medrv" -> ((s, d) =>
+      Microstructure.medianRealizedVariance(Tables.ticks(s, d))),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -1893,6 +1899,83 @@ object SparkEntry {
         |          lag(bid) OVER (PARTITION BY symbol, CAST(ts AS DATE)
         |            ORDER BY tick_id) AS prev
         |        FROM $ticksSql t) p) q) s
+        |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
+    // D40 — each semivariance half round(4) as an aggregate; SJ and
+    // up_share derive from the ROUNDED halves. Zero returns join
+    // neither half; an all-NULL day emits NULL halves (outer CASE).
+    "q_semivariance" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  n_ret, n_up, n_down, rs_up, rs_down,
+        |  rs_up - rs_down AS signed_jump,
+        |  CASE WHEN rs_up + rs_down > 0
+        |    THEN rs_up / (rs_up + rs_down) END AS up_share
+        |FROM (
+        |  SELECT symbol, _date,
+        |    round(sum(CASE WHEN r IS NOT NULL THEN
+        |      CASE WHEN r > 0 THEN r * r ELSE 0.0 END END), 4) AS rs_up,
+        |    round(sum(CASE WHEN r IS NOT NULL THEN
+        |      CASE WHEN r < 0 THEN r * r ELSE 0.0 END END), 4) AS rs_down,
+        |    count(r) AS n_ret,
+        |    CAST(sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down
+        |  FROM (
+        |    SELECT symbol, _date,
+        |      CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev)
+        |        END AS r
+        |    FROM (
+        |      SELECT symbol, CAST(ts AS DATE) AS _date, tick_id, bid,
+        |        lag(bid) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |          ORDER BY tick_id) AS prev
+        |      FROM $ticksSql t) p) q
+        |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
+    // D41 — 3-median as a+b+c−max−min (branch-free, identical IEEE
+    // spelling); Σmed² and RV round(4) as aggregates; MedRV = rounded
+    // sum × HARD constant 1.4193583020224412 × exact-int N/(N−2),
+    // re-rounded; jump share divides the two rounded aggregates.
+    "q_medrv" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  n_trip, rv, sum_med2,
+        |  CASE WHEN n_trip > 2 THEN
+        |    round(1.4193583020224412 * sum_med2 *
+        |      (CAST(n_trip AS DOUBLE) / CAST(n_trip - 2 AS DOUBLE)), 4)
+        |  END AS medrv,
+        |  CASE WHEN rv > 0 AND n_trip > 2 THEN greatest(0.0,
+        |    1.0 - round(1.4193583020224412 * sum_med2 *
+        |      (CAST(n_trip AS DOUBLE) / CAST(n_trip - 2 AS DOUBLE)), 4)
+        |      / rv)
+        |  END AS med_jump_share
+        |FROM (
+        |  SELECT symbol, _date,
+        |    round(sum(r * r), 4) AS rv,
+        |    round(sum(med3 * med3), 4) AS sum_med2,
+        |    count(med3) AS n_trip
+        |  FROM (
+        |    SELECT symbol, _date,  r,
+        |      CASE WHEN r IS NOT NULL AND r1 IS NOT NULL
+        |          AND r2 IS NOT NULL THEN
+        |        abs(r) + abs(r1) + abs(r2)
+        |          - greatest(abs(r), abs(r1), abs(r2))
+        |          - least(abs(r), abs(r1), abs(r2))
+        |      END AS med3
+        |    FROM (
+        |      SELECT symbol, _date, r,
+        |        lag(r) OVER (PARTITION BY symbol, _date ORDER BY tick_id)
+        |          AS r1,
+        |        lag(r, 2) OVER (PARTITION BY symbol, _date
+        |          ORDER BY tick_id) AS r2
+        |      FROM (
+        |        SELECT symbol, _date, tick_id,
+        |          CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev)
+        |            END AS r
+        |        FROM (
+        |          SELECT symbol, CAST(ts AS DATE) AS _date, tick_id, bid,
+        |            lag(bid) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |              ORDER BY tick_id) AS prev
+        |          FROM $ticksSql t) p) q) s) m
         |  GROUP BY symbol, _date) agg
         |ORDER BY symbol, date""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign

@@ -752,4 +752,103 @@ object Microstructure {
         col("ex_kurtosis"))
       .orderBy("symbol", "date")
   }
+
+  /** D40 — REALIZED SEMIVARIANCE per (symbol, day): Barndorff-Nielsen,
+    * Kinnebrock & Shephard's decomposition of realized variance into
+    * its upside and downside halves — `RS⁺ = Σ rᵢ²·1[rᵢ>0]`,
+    * `RS⁻ = Σ rᵢ²·1[rᵢ<0]` — plus the signed-jump variation
+    * `SJ = RS⁺ − RS⁻` (the sign-asymmetry screen behind downside-risk
+    * forecasting: negative SJ days are dominated by downward jumps).
+    * Log returns are the D17/D34 spelling (guarded `ln(bid/prev)`,
+    * day-bounded lag so overnight gaps never form a return); each
+    * half-sum is an aggregate double → round(4); SJ and the upside
+    * share divide/subtract the ROUNDED aggregates
+    * (derived-from-rounded, SURVEY §6). Zero-move returns (r = 0)
+    * belong to neither half — both engines spell the CASE identically,
+    * so RS⁺+RS⁻ ≤ RV with equality iff no exact-zero returns. A day
+    * whose returns are all NULL (single-tick day) emits NULL halves,
+    * not zeros. Shape: one (symbol, day) exchange shared by the lag
+    * window and the aggregate — the D17 single-shuffle discipline. */
+  def realizedSemivariance(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .withColumn("r",
+        when(col("prev") > 0 && col("bid") > 0,
+          log(col("bid") / col("prev"))))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(
+        round(sum(when(col("r").isNotNull,
+          when(col("r") > 0, col("r") * col("r")).otherwise(lit(0.0)))), 4)
+          .as("rs_up"),
+        round(sum(when(col("r").isNotNull,
+          when(col("r") < 0, col("r") * col("r")).otherwise(lit(0.0)))), 4)
+          .as("rs_down"),
+        count(col("r")).as("n_ret"),
+        sum(when(col("r") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("r") < 0, 1L).otherwise(0L)).as("n_down"))
+      .withColumn("signed_jump", col("rs_up") - col("rs_down"))
+      .withColumn("up_share",
+        when(col("rs_up") + col("rs_down") > 0,
+          col("rs_up") / (col("rs_up") + col("rs_down"))))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_ret"), col("n_up"), col("n_down"),
+        col("rs_up"), col("rs_down"), col("signed_jump"), col("up_share"))
+      .orderBy("symbol", "date")
+  }
+
+  /** D41 — MEDIAN REALIZED VARIANCE per (symbol, day): Andersen,
+    * Dobrev & Schaumburg's jump-robust IV estimator —
+    * `MedRV = (π/(6−4√3+π)) · (N/(N−2)) · Σ med(|rᵢ₋₂|,|rᵢ₋₁|,|rᵢ|)²`
+    * — the finite-sample-robust alternative to D34's bipower (a single
+    * jump contaminates TWO bipower products but only the triplets
+    * whose MEDIAN it is, i.e. usually none). The 3-element median is
+    * branch-free exact arithmetic: `a+b+c − max − min` (identical IEEE
+    * spelling both engines — no percentile function, no sort). Returns
+    * are the D34 spelling; a triplet needs all three returns non-null,
+    * so day boundaries reset and the first two returns of a day never
+    * form one. `Σmed²` and RV are aggregate doubles → round(4); MedRV
+    * multiplies the ROUNDED sum by the HARD constant literal
+    * 1.4193583020224412 (π/(6−4√3+π) — never each engine's own
+    * pi()/sqrt(3), D27's rule) and the exact-int ratio N/(N−2), then
+    * re-rounds; the jump share vs RV divides the two rounded
+    * aggregates (NULL when RV = 0 or N ≤ 2). Shape: one (symbol, day)
+    * exchange carries all three lags and the aggregate. */
+  def medianRealizedVariance(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .withColumn("r",
+        when(col("prev") > 0 && col("bid") > 0,
+          log(col("bid") / col("prev"))))
+      .withColumn("r1", lag(col("r"), 1).over(w))
+      .withColumn("r2", lag(col("r"), 2).over(w))
+      .withColumn("med3",
+        when(col("r").isNotNull && col("r1").isNotNull
+            && col("r2").isNotNull,
+          abs(col("r")) + abs(col("r1")) + abs(col("r2"))
+            - greatest(abs(col("r")), abs(col("r1")), abs(col("r2")))
+            - least(abs(col("r")), abs(col("r1")), abs(col("r2")))))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(
+        round(sum(col("r") * col("r")), 4).as("rv"),
+        round(sum(col("med3") * col("med3")), 4).as("sum_med2"),
+        count(col("med3")).as("n_trip"))
+      .withColumn("medrv",
+        when(col("n_trip") > 2,
+          round(lit(1.4193583020224412) * col("sum_med2") *
+            (col("n_trip").cast("double") /
+              (col("n_trip") - lit(2L)).cast("double")), 4)))
+      .withColumn("med_jump_share",
+        when(col("rv") > 0 && col("medrv").isNotNull,
+          greatest(lit(0.0), lit(1.0) - col("medrv") / col("rv"))))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_trip"), col("rv"), col("sum_med2"), col("medrv"),
+        col("med_jump_share"))
+      .orderBy("symbol", "date")
+  }
 }

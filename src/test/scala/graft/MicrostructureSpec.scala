@@ -435,4 +435,71 @@ class MicrostructureSpec extends SparkSpec {
     val d3 = out(2)
     assert(d3.getAs[Long]("n_moves") == 0L && d3.isNullAt(3))
   }
+
+  test("realizedSemivariance: halves split by return sign, zero " +
+      "returns join neither, SJ/up_share from rounded halves, " +
+      "single-tick day NULL") {
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    // day 1: bids 1,2,1,1 → r = ln2, −ln2, 0:
+    //   rs_up = ln²2, rs_down = ln²2, zero return in neither half.
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 2.00, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.00, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 1.00, 0.0),
+      // day 2: rising only → rs_down = 0, up_share = 1
+      (5L, 1L, "2024-01-02 00:00:01", 1.00, 0.0),
+      (6L, 1L, "2024-01-02 00:00:02", 4.00, 0.0),
+      // day 3: single tick → no returns, NULL halves
+      (7L, 1L, "2024-01-03 00:00:01", 9.00, 0.0))
+    val out = Microstructure.realizedSemivariance(tk).collect()
+    val l2 = math.log(2.0)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_ret") == 3L)
+    assert(d1.getAs[Long]("n_up") == 1L && d1.getAs[Long]("n_down") == 1L)
+    assert(d1.getAs[Double]("rs_up") == r4(l2 * l2))
+    assert(d1.getAs[Double]("rs_down") == r4(l2 * l2))
+    assert(d1.getAs[Double]("signed_jump") == 0.0)
+    assert(d1.getAs[Double]("up_share") == 0.5)
+    val d2 = out(1)
+    assert(d2.getAs[Double]("rs_down") == 0.0)
+    assert(d2.getAs[Double]("up_share") == 1.0)
+    assert(d2.getAs[Double]("signed_jump") == r4(math.log(4.0) *
+      math.log(4.0)))
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_ret") == 0L)
+    assert(d3.isNullAt(d3.fieldIndex("rs_up")))
+    assert(d3.isNullAt(d3.fieldIndex("up_share")))
+  }
+
+  test("medianRealizedVariance: med3 = a+b+c−max−min over |returns|, " +
+      "MedRV scales the rounded Σmed² by the hard constant and " +
+      "N/(N−2), short days NULL") {
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    // day 1: bids 1,2,1,2,1,2 → r = ln2,−ln2,ln2,−ln2,ln2 (5 returns,
+    // 3 triplets, every |r| = ln2 → med3 = ln2 each).
+    val rows = (1 to 6).map { i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d",
+        if (i % 2 == 0) 2.00 else 1.00, 0.0)
+    } ++ Seq(
+      // day 2: 3 ticks → 2 returns → 0 triplets → NULL medrv
+      (7L, 1L, "2024-01-02 00:00:01", 1.00, 0.0),
+      (8L, 1L, "2024-01-02 00:00:02", 2.00, 0.0),
+      (9L, 1L, "2024-01-02 00:00:03", 4.00, 0.0))
+    val out = Microstructure.medianRealizedVariance(ticks(rows: _*))
+      .collect()
+    val l2 = math.log(2.0)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_trip") == 3L)
+    assert(d1.getAs[Double]("rv") == r4(5 * l2 * l2))
+    assert(d1.getAs[Double]("sum_med2") == r4(3 * l2 * l2))
+    val expected = r4(1.4193583020224412 * r4(3 * l2 * l2) * (3.0 / 1.0))
+    assert(d1.getAs[Double]("medrv") == expected)
+    assert(d1.getAs[Double]("med_jump_share") ==
+      math.max(0.0, 1.0 - expected / r4(5 * l2 * l2)))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_trip") == 0L)
+    assert(d2.isNullAt(d2.fieldIndex("medrv")))
+    assert(d2.isNullAt(d2.fieldIndex("med_jump_share")))
+  }
 }
