@@ -114,6 +114,9 @@ object SparkEntry {
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val bpeMergeRounds = 5        // F59 adaptive merge rounds
+  val pcaComps = 2              // F61 principal components emitted
+  val pcaIters = 60             // F61 power-iteration rounds (both
+                                // engines unroll the SAME count)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
@@ -674,6 +677,13 @@ object SparkEntry {
     // F49 — per-label centroid drift vs the global centroid.
     "q_centroid_drift" -> ((s, d) =>
       Vectors.centroidDrift(Tables.embeddings(s, d))),
+    // F60 — d×d gram matrix (upper triangle) in one collapsed pass.
+    "q_gram_matrix" -> ((s, d) =>
+      Vectors.gramMatrix(Tables.embeddings(s, d))),
+    // F61 — distributed PCA: top components via the fixed power-
+    // iteration cascade (driver eigen on the collapsed gram).
+    "q_pca_power" -> ((s, d) =>
+      Vectors.pcaPower(Tables.embeddings(s, d), pcaComps, pcaIters)),
     "q_ann_topk" -> ((s, d) =>
       Vectors.bruteForceKnn(Tables.embeddings(s, d), 10, 5)),
     "q_ann_lsh" -> ((s, d) => Vectors.lshBuckets(Tables.embeddings(s, d), 8)),
@@ -3329,6 +3339,101 @@ object SparkEntry {
     // exact int64; global centroid DEFINED from those quantized means
     // (n-weighted, one division + round); dots/norms exact ints,
     // cosine one IEEE division, unrounded.
+    // F61 — the oracle replays the IDENTICAL fixed power-iteration
+    // recurrence as an unrolled CTE cascade GENERATED from the same
+    // (pcaComps, pcaIters) constants the registry call uses, so the
+    // loops cannot drift (F59's discipline). Covariance derives from
+    // the round(4) gram + sums; every fold (`list_reduce` with a
+    // prepended 0.0) accumulates left-to-right over ascending index,
+    // matching the Scala foldLeft — the engines agree bit-for-bit
+    // before the final round(6).
+    "q_pca_power" -> {
+      val dim = 64
+      def mv(c: String, v: String): String =
+        s"list_transform(range($dim), i -> list_reduce(list_prepend(0.0, " +
+          s"list_transform(range($dim), j -> $c[CAST(i + 1 AS INT)]" +
+          s"[CAST(j + 1 AS INT)] * $v[CAST(j + 1 AS INT)])), " +
+          "(a, b) -> a + b))"
+      val head =
+        s"""pair AS (
+          |  SELECT i, j,
+          |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+          |            * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)), 4)
+          |      AS g
+          |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti,
+          |    (SELECT unnest(range($dim)) AS j) tj
+          |  WHERE i <= j GROUP BY i, j),
+          |sums AS (
+          |  SELECT i,
+          |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)), 4)
+          |      AS s
+          |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti
+          |  GROUP BY i),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+          |cell AS (
+          |  SELECT p.i AS i, p.j AS j,
+          |    (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0) AS cv
+          |  FROM pair p JOIN sums si ON si.i = p.i
+          |    JOIN sums sj ON sj.i = p.j, nn
+          |  UNION ALL
+          |  SELECT p.j, p.i, (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0)
+          |  FROM pair p JOIN sums si ON si.i = p.i
+          |    JOIN sums sj ON sj.i = p.j, nn
+          |  WHERE p.i < p.j),
+          |cm0 AS (
+          |  SELECT list(rw ORDER BY i) AS c FROM (
+          |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
+          |    rows_),
+          |trace AS (
+          |  SELECT list_reduce(list_prepend(0.0, list_transform(
+          |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
+          |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
+      val comps = (0 until pcaComps).flatMap { m =>
+        val iterBlocks = (1 to pcaIters).map { t =>
+          s"p${m}v$t AS (SELECT c, list_transform(w, x -> x / " +
+            "sqrt(list_reduce(list_prepend(0.0, list_transform(w, " +
+            "y -> y * y)), (a, b) -> a + b))) AS v " +
+            s"FROM (SELECT c, ${mv("c", "v")} AS w FROM p${m}v${t - 1}) t$t)"
+        }
+        Seq(s"p${m}v0 AS (SELECT c, list_transform(range($dim), " +
+            s"x -> 1.0) AS v FROM cm$m)") ++ iterBlocks ++ Seq(
+          s"p${m}f AS (SELECT c, CASE WHEN v[CAST(list_position(" +
+            "list_transform(v, x -> abs(x)), list_max(list_transform(v, " +
+            "x -> abs(x)))) AS INT)] < 0 THEN list_transform(v, x -> -x) " +
+            s"ELSE v END AS v FROM p${m}v$pcaIters)",
+          s"p${m}e AS (SELECT c, v, list_reduce(list_prepend(0.0, " +
+            s"list_transform(range($dim), i -> v[CAST(i + 1 AS INT)] * " +
+            "w[CAST(i + 1 AS INT)])), (a, b) -> a + b) AS lam " +
+            s"FROM (SELECT c, v, ${mv("c", "v")} AS w FROM p${m}f) tf)",
+          s"cm${m + 1} AS (SELECT list_transform(range($dim), i -> " +
+            s"list_transform(range($dim), j -> c[CAST(i + 1 AS INT)]" +
+            "[CAST(j + 1 AS INT)] - lam * v[CAST(i + 1 AS INT)] * " +
+            s"v[CAST(j + 1 AS INT)])) AS c FROM p${m}e)")
+      }
+      val finals = (0 until pcaComps).map { m =>
+        s"SELECT CAST($m AS BIGINT) AS comp, CAST(p AS BIGINT) AS pos, " +
+          "round(v[CAST(p + 1 AS INT)], 6) AS loading, " +
+          "round(lam, 6) AS eigenvalue, " +
+          "round(lam / tr, 6) AS explained_share " +
+          s"FROM p${m}e, trace, (SELECT unnest(range($dim)) AS p) pp"
+      }
+      "WITH " + (Seq(head) ++ comps).mkString(",\n") +
+        "\nSELECT * FROM (" + finals.mkString(" UNION ALL ") +
+        ") u ORDER BY comp, pos"
+    },
+    // F60 — pair products cast float→double BEFORE multiply (exact,
+    // bit-identical across engines); per-cell sums round(4).
+    "q_gram_matrix" ->
+      """SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |          * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)), 4)
+        |    AS sum_prod
+        |FROM embeddings,
+        |  (SELECT unnest(range(64)) AS i) ti,
+        |  (SELECT unnest(range(64)) AS j) tj
+        |WHERE i <= j
+        |GROUP BY i, j ORDER BY i, j""".stripMargin,
     "q_centroid_drift" ->
       """WITH inv AS (
         |  SELECT label, i.i AS pos,

@@ -89,6 +89,121 @@ object Vectors {
       .orderBy("label")
   }
 
+  /** F60 — EMBEDDING GRAM MATRIX: the d×d second-moment matrix
+    * `G = Σ x xᵀ` (upper triangle), the one aggregate every
+    * spectral/covariance analysis of an embedding corpus starts from
+    * (PCA, whitening, effective-rank, feature-correlation audits).
+    * This is THE correct 100 TB shape for covariance: the N×d scan
+    * collapses to d(d+1)/2 cells via map-side combine — each task
+    * emits its partial sums, the shuffle carries ≤ 2080 rows per
+    * partition regardless of N, and nothing ever materializes N×N or
+    * collects vectors to the driver.
+    *
+    * Engine-exactness: each product casts BOTH floats to double
+    * BEFORE multiplying (float→double is exact, so the products are
+    * bit-identical across engines); the per-cell sums are aggregate
+    * doubles → round(4) (SURVEY §6). Diagonal cells double as the
+    * per-dimension raw second moments.
+    *
+    * Shape: one generator (row → d(d+1)/2 pair structs) feeding a
+    * partial-aggregated groupBy — ONE exchange of a
+    * dimension-bounded frame. */
+  def gramMatrix(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val d1 = dim - 1
+    val pairs = expr(
+      s"""flatten(transform(sequence(0, $d1), i ->
+         |  transform(sequence(i, $d1), j -> struct(i AS i, j AS j,
+         |    CAST(element_at(embedding, i + 1) AS DOUBLE) *
+         |    CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))"""
+        .stripMargin)
+    emb
+      .select(explode(pairs).as("pr"))
+      .groupBy(col("pr.i").cast("long").as("i"),
+        col("pr.j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"), round(sum(col("pr.p")), 4).as("sum_prod"))
+      .orderBy("i", "j")
+  }
+
+  /** F61 — DISTRIBUTED PCA via deterministic power iteration: top
+    * `nComp` principal components (loadings + eigenvalue + explained
+    * variance share) of the embedding covariance. The 100 TB division
+    * of labor: the DATA-sized work is one [[gramMatrix]] pass plus a
+    * per-dimension sum pass (both collapse to ≤ d(d+1)/2 rows via
+    * map-side combine); the d×d eigen problem is O(d³) DRIVER math on
+    * the collapsed frame (A19's driver-decision rule — the matrix is
+    * dimension-bounded, never data-bounded). No vector ever leaves
+    * the executors; nothing is O(N) on the driver.
+    *
+    * Engine-exactness (the F59 generated-cascade discipline): the
+    * covariance is DERIVED-FROM-ROUNDED aggregates — C_ij =
+    * (G_ij − sᵢsⱼ/n)/(n−1) from the round(4) gram and round(4) sums —
+    * and from there EVERY operation is deterministic IEEE arithmetic
+    * with pinned accumulation order (matvec inner sums, norms, λ =
+    * vᵀCv, and the trace all fold left-to-right over ascending index;
+    * normalization divides by a correctly-rounded sqrt; deflation
+    * C ← C − λvvᵀ is elementwise). The DuckDB oracle replays the
+    * SAME fixed iteration cascade (`iters` unrolled CTE blocks
+    * GENERATED from the same constant) with `list_reduce` folds in
+    * the same order, so the two engines agree BIT-FOR-BIT before the
+    * final round(6). Sign is canonicalized per component (the entry
+    * of largest |loading| — first index on ties — is made positive),
+    * eliminating the ±v ambiguity. `iters` trades convergence for
+    * plan size on near-flat spectra; parity holds at ANY iteration
+    * count because both engines run the identical recurrence. */
+  def pcaPower(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
+               dim: Int = Dim): DataFrame = {
+    val spark = emb.sparkSession
+    val gramRows = gramMatrix(emb, dim).collect()
+    val n = gramRows.head.getAs[Long]("n")
+    val g = Array.ofDim[Double](dim, dim)
+    gramRows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      val j = r.getAs[Long]("j").toInt
+      val v = r.getAs[Double]("sum_prod")
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val sumMap = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(round(sum(col("v").cast("double")), 4).as("s"))
+      .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("s")).toMap
+    val s = Array.tabulate(dim)(sumMap)
+    val nd = n.toDouble
+    val c0 = Array.tabulate(dim, dim)((i, j) =>
+      (g(i)(j) - s(i) * s(j) / nd) / (nd - 1.0))
+    val trace = (0 until dim).foldLeft(0.0)((a, i) => a + c0(i)(i))
+    def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + m(i)(j) * v(j)))
+    val out = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+    var cur = c0
+    for (m <- 0 until nComp) {
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 0 until iters) {
+        val w = matvec(cur, v)
+        val nrm =
+          math.sqrt((0 until dim).foldLeft(0.0)((a, i) => a + w(i) * w(i)))
+        v = w.map(_ / nrm)
+      }
+      val maxAbs = v.map(math.abs).max
+      if (v(v.indexWhere(x => math.abs(x) == maxAbs)) < 0) v = v.map(-_)
+      val vv = v
+      val w = matvec(cur, vv)
+      val lam = (0 until dim).foldLeft(0.0)((a, i) => a + vv(i) * w(i))
+      for (p <- 0 until dim)
+        out += ((m.toLong, p.toLong, vv(p), lam, lam / trace))
+      cur = Array.tabulate(dim, dim)((i, j) =>
+        cur(i)(j) - lam * vv(i) * vv(j))
+    }
+    import spark.implicits._
+    out.result()
+      .toDF("comp", "pos", "loading", "eigenvalue", "explained_share")
+      .select(col("comp"), col("pos"), round(col("loading"), 6).as("loading"),
+        round(col("eigenvalue"), 6).as("eigenvalue"),
+        round(col("explained_share"), 6).as("explained_share"))
+      .orderBy("comp", "pos")
+  }
+
   /** F6 — brute-force cosine top-k: the first `nQueries` vectors are
     * queries; each scans all candidates. The query side is tiny by
     * construction → `broadcast`, so the candidate scan never shuffles;

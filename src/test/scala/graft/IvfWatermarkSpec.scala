@@ -124,4 +124,51 @@ class IvfWatermarkSpec extends SparkSpec {
       assert(!rows.values.toSet.contains(99.0))
     } finally q.stop()
   }
+
+  test("gramMatrix: upper-triangle second moments, products exact " +
+      "float->double, n carried per cell") {
+    // vectors (1,2), (3,4): G = [[10, 14], [14, 20]]
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f), 0),
+      (1L, Array(3.0f, 4.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Vectors.gramMatrix(emb, dim = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2L, 10.0), (0L, 1L, 2L, 14.0),
+      (1L, 1L, 2L, 20.0)))
+  }
+
+  test("pcaPower: recovers a planted 2-component spectrum — " +
+      "loadings, eigenvalues, explained shares, canonical sign") {
+    // x = t·(0.6, 0.8, 0, 0) + q·(0, 0, 1, 0) with t ⊥ q ⊥ 1:
+    // sample covariance has exact eigenpairs λ1 = Σt²/(n−1) = 20/9,
+    // v1 = (0.6, 0.8, 0, 0) and λ2 = Σq²/(n−1) = 8/9, v2 = e3.
+    val t = Seq(-2.0, -1.0, 0.0, 1.0, 2.0, -2.0, -1.0, 0.0, 1.0, 2.0)
+    val q = Seq(1.0, -1.0, -1.0, 1.0, 0.0, 1.0, -1.0, -1.0, 1.0, 0.0)
+    val emb = t.zip(q).zipWithIndex.map { case ((ti, qi), id) =>
+      (id.toLong,
+        Array((0.6 * ti).toFloat, (0.8 * ti).toFloat, qi.toFloat, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Vectors.pcaPower(emb, nComp = 2, iters = 60, dim = 4)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val c0 = out.filter(_._1 == 0L).sortBy(_._2)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2)
+    def close(a: Double, b: Double, tol: Double = 1e-3) =
+      math.abs(a - b) <= tol
+    // comp 0: direction (0.6, 0.8, 0, 0), sign canonical (0.8 > 0)
+    assert(close(c0(0)._3, 0.6) && close(c0(1)._3, 0.8))
+    assert(close(c0(2)._3, 0.0) && close(c0(3)._3, 0.0))
+    assert(close(c0.head._4, 20.0 / 9))
+    // comp 1: e3, positive after canonicalization
+    assert(close(c1(2)._3, 1.0))
+    assert(close(c1(0)._3, 0.0) && close(c1(1)._3, 0.0))
+    assert(close(c1.head._4, 8.0 / 9))
+    // explained shares: λ / trace = Σ dim variances = 28/9
+    val tr = 28.0 / 9
+    assert(close(c0.head._5, (20.0 / 9) / tr))
+    assert(close(c1.head._5, (8.0 / 9) / tr))
+    // loadings orthonormal across the two components
+    val dot01 = c0.map(_._3).zip(c1.map(_._3)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-3)
+  }
 }
