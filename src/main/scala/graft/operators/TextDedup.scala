@@ -1046,17 +1046,25 @@ object TextDedup {
     * (4 rows per token occurrence collapse in map-side partials to
     * ≤4096 cells per partition), one vocab aggregate for the exact
     * side; the probe joins the 4096-row sketch BROADCAST. */
-  def cmsHeavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
-    PolyHash.register(docs.sparkSession)
-    val occ = docs.select(explode(expr(tokens)).as("token"))
-      .withColumn("h", expr("graft_polyhash(token)"))
-      .localCheckpoint(true)
-    val cells = occ
+  /** The F47 sketch-cell frame on its own: token occurrences hashed
+    * into the 4×1024 CMS grid and counted. Factored out so the G23
+    * streaming twin maintains the IDENTICAL cells as a live
+    * aggregation (counts add across micro-batches exactly as they add
+    * across partitions — the mergeability that makes a CMS a CMS). */
+  def cmsCells(tokenOcc: DataFrame): DataFrame =
+    tokenOcc
       .select(explode(expr(s"transform(sequence(0, 3), j -> " +
         s"struct(j AS rw, ((2*j+3)*h + 5*j+7) % $P % 1024 AS cell))"))
         .as("rc"))
       .select(col("rc.rw").as("rw"), col("rc.cell").as("cell"))
       .groupBy("rw", "cell").agg(count(lit(1)).as("cnt"))
+
+  def cmsHeavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    val occ = docs.select(explode(expr(tokens)).as("token"))
+      .withColumn("h", expr("graft_polyhash(token)"))
+      .localCheckpoint(true)
+    val cells = cmsCells(occ)
     val exact = occ.groupBy("token", "h")
       .agg(count(lit(1)).as("exact_cnt"))
     val probes = exact

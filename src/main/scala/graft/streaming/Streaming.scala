@@ -865,4 +865,24 @@ object Streaming {
           out.reverseIterator
       }
   }
+
+  /** G23 — STREAMING COUNT-MIN SKETCH: the F47 cell grid maintained
+    * as a live aggregation over a document stream. The whole point of
+    * a CMS is that its cells ADD — across executors, across days,
+    * across micro-batches — so the streaming twin is literally the
+    * batch cell builder ([[graft.operators.TextDedup.cmsCells]], same
+    * portable PolyHash affine family) running in a streaming groupBy:
+    * Spark's incremental aggregation state IS the sketch, bounded at
+    * ≤ 4·1024 int64 cells regardless of stream length. Complete/update
+    * output modes expose the current sketch each micro-batch; a batch
+    * rebuild over the same documents produces the IDENTICAL frame
+    * (parity spec'd), so a backfilled sketch and the live one can be
+    * compared — or summed — cell by cell. */
+  def cmsCellCounts(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    graft.operators.TextDedup.cmsCells(
+      docs.select(explode(expr(graft.functions.PortableText.tokens))
+          .as("token"))
+        .withColumn("h", expr("graft_polyhash(token)")))
+  }
 }

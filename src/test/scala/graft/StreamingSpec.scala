@@ -780,4 +780,31 @@ class StreamingSpec extends SparkSpec {
     // at least one truncated-tail entry exists and stayed open
     assert(batch.exists { case (bl, nLook) => bl.label == 0 && nLook < h })
   }
+
+  test("G23: streaming CMS cells equal the batch sketch cell-for-cell " +
+      "after the last micro-batch (counts add across batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    val texts = Seq("the cat sat", "the dog sat on the mat",
+      "a cat and a dog chased the cat", "the end")
+    val in = MemoryStream[Streaming.Doc]
+    val q = Streaming.cmsCellCounts(in.toDF())
+      .writeStream.format("memory").queryName("cmsg")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(Streaming.Doc(0L, texts(0)), Streaming.Doc(1L, texts(1)))
+      q.processAllAvailable()
+      in.addData(Streaming.Doc(2L, texts(2)), Streaming.Doc(3L, texts(3)))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT rw, cell, cnt FROM cmsg")
+        .collect().map(_.toSeq).toSet
+      val batch = Streaming.cmsCellCounts(
+        texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("doc_id", "text"))
+        .select("rw", "cell", "cnt").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // "the" occurs 5 times — its cells count ≥ 5 in every row
+      assert(batch.nonEmpty &&
+        batch.exists(_.last.asInstanceOf[Long] >= 5L))
+    } finally q.stop()
+  }
 }
