@@ -113,7 +113,12 @@ object SparkEntry {
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
+  val dupSpanW = 8              // F62 minimum duplicated-span width
   val bpeMergeRounds = 5        // F59 adaptive merge rounds
+  val q6Year = 1996             // C30 shipdate year
+  val q6DiscLo = 0.05           // C30 discount band (inclusive)
+  val q6DiscHi = 0.07
+  val q6MaxQty = 24.0           // C30 small-quantity cutoff
   val pcaComps = 2              // F61 principal components emitted
   val pcaIters = 60             // F61 power-iteration rounds (both
                                 // engines unroll the SAME count)
@@ -125,6 +130,10 @@ object SparkEntry {
     "q_join_agg" -> ((s, d) =>
       Analytics.shippingPriority(Tables.customer(s, d), Tables.orders(s, d),
         Tables.lineitem(s, d), "BUILDING")),
+    // C30 — TPC-H Q6 essence: the pure-pushdown scan aggregate.
+    "q_forecast_revenue" -> ((s, d) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, d), q6Year, q6DiscLo,
+        q6DiscHi, q6MaxQty)),
     "q_multi_join" -> ((s, d) =>
       Analytics.regionRevenue(Tables.region(s, d), Tables.nation(s, d),
         Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
@@ -733,6 +742,9 @@ object SparkEntry {
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
+    // F62 — maximal cross-doc duplicated token spans per document.
+    "q_dup_spans" -> ((s, d) =>
+      TextDedup.dupSpans(Tables.documents(s, d), dupSpanW)),
     // F59 — the BPE trainer loop: 5 adaptive merge rounds.
     "q_bpe_train" -> ((s, d) =>
       TextDedup.bpeTrain(Tables.documents(s, d), bpeMergeRounds)),
@@ -899,6 +911,16 @@ object SparkEntry {
          }.mkString(", ")})
         |  AS t(feature, n_rows, sum_q)
         |ORDER BY feature""".stripMargin,
+    // C30 — Q6 essence: every predicate in the WHERE, one aggregate.
+    "q_forecast_revenue" ->
+      s"""SELECT
+        |  round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '$q6Year-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '${q6Year + 1}-01-01 00:00:00'
+        |  AND l_discount >= $q6DiscLo AND l_discount <= $q6DiscHi
+        |  AND l_quantity < $q6MaxQty""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity),4) AS sum_qty,
@@ -3764,6 +3786,56 @@ object SparkEntry {
     },
     // Boilerplate share: distinct per-doc grams → df → join back; the
     // ratio is one exact-int division, NULL for gram-less docs.
+    // F62 — positional w-gram hashes, cross-doc df on the hash,
+    // gap ≤ w clustering into maximal spans; share = exact-int IEEE
+    // division, unrounded.
+    "q_dup_spans" -> {
+      import graft.functions.PortableText._
+      val w = dupSpanW
+      val gramHash = duckPolyHash(
+        s"array_to_string(tk[CAST(p + 1 AS INT):CAST(p + $w AS INT)], ' ')")
+      s"""WITH sized AS (
+        |  SELECT doc_id, CAST(length(tk) AS BIGINT) AS n_tokens, tk
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) b),
+        |grams AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, $gramHash AS h
+        |  FROM (SELECT doc_id, tk, unnest(range(length(tk) - ${w - 1}))
+        |      AS p
+        |    FROM sized WHERE length(tk) >= $w) gp),
+        |dup AS (SELECT h FROM grams GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+        |        IS NULL
+        |      OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $w
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM grams JOIN dup USING (h)),
+        |clust AS (
+        |  SELECT doc_id, p, sum(ns) OVER (PARTITION BY doc_id
+        |    ORDER BY p ROWS UNBOUNDED PRECEDING) AS cl
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, cl, max(p) - min(p) + $w AS span_tokens
+        |  FROM clust GROUP BY doc_id, cl),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(span_tokens) AS BIGINT) AS covered_tokens,
+        |    CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_tokens,
+        |  CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(a.covered_tokens, 0) AS BIGINT)
+        |    AS covered_tokens,
+        |  CAST(coalesce(a.max_span_tokens, 0) AS BIGINT)
+        |    AS max_span_tokens,
+        |  CASE WHEN s.n_tokens > 0 THEN
+        |    CAST(coalesce(a.covered_tokens, 0) AS DOUBLE)
+        |      / CAST(s.n_tokens AS DOUBLE)
+        |  ELSE 0.0 END AS dup_share
+        |FROM sized s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin
+    },
     "q_gram_novelty" -> {
       import graft.functions.PortableText._
       s"""WITH g0 AS (SELECT doc_id,

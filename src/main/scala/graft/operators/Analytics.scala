@@ -32,6 +32,30 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** C30 — TPC-H Q6's essence (the forecasting-revenue-change probe):
+    * a single scan whose ENTIRE cost is the scan — every predicate
+    * (shipdate year range, discount band, small quantity) is pushed
+    * to the parquet reader and the lone global aggregate collapses
+    * map-side, so `.explain` shows PushedFilters carrying the whole
+    * WHERE clause and zero joins. The canonical pushdown benchmark:
+    * at 100 TB this query reads only the row groups whose min/max
+    * stats intersect the year. Revenue Σ(price·discount) round(4),
+    * line count beside it (the H5 discipline: the aggregate's
+    * correctness is auditable against the row count). */
+  def forecastRevenue(lineitem: DataFrame, year: Int, discLo: Double,
+                      discHi: Double, maxQty: Double): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01 00:00:00")
+          .cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01 00:00:00")
+          .cast("timestamp") &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** TPC-H Q3-style: revenue of top orders for a segment.
     * `orders⨝lineitem` shuffles on orderkey; the customer join strategy
     * is left to AQE (broadcast where it fits, shuffle-hash where not).

@@ -903,6 +903,68 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** F62 — CROSS-DOC DUPLICATED SPANS: per document, the MAXIMAL
+    * stretches of ≥ `w` consecutive tokens that also occur verbatim
+    * in at least one OTHER document — the exact-substring dedup
+    * signal ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022) at token-gram granularity, the
+    * memorization-risk screen between F30's per-doc boilerplate ratio
+    * (which spans are shared) and F22's line dedup (which only sees
+    * newline-delimited units). Pipeline: positional w-gram PolyHash
+    * per doc → cross-doc df on the HASH (count-distinct docs) →
+    * duplicated positions joined back → adjacent/overlapping starts
+    * (gap ≤ w) merged into maximal spans via gap-clustering (E3's
+    * sessionize discipline on token positions). Per doc: span count,
+    * covered tokens (disjoint by construction), longest span, and
+    * the covered share (one IEEE division of exact ints, unrounded).
+    *
+    * Probabilistic like the rest of the sketch family: grams join on
+    * the 10⁹+7 PolyHash, so a hash collision can mark a span shared —
+    * both engines share the spelling (and the false-positive), and at
+    * 100 TB the hash join is the difference between shuffling 8-token
+    * strings and shuffling int64s. Shape: gram frame → map-side df
+    * agg → equi-join back (F4's inverted-index discipline, never
+    * doc×doc) → one per-doc window + two bounded aggregates. */
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val grams = docs.select(col("doc_id"),
+        posexplode(expr(s"transform(graft_wordgrams($tokens, $w), " +
+          "g -> graft_polyhash(g))")).as(Seq("p", "h")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val spans = grams.join(dup, "h")
+      .withColumn("prev", lag(col("p"), 1).over(byDoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("p") - col("prev") > w, 1L)
+          .otherwise(0L))
+      .withColumn("cl",
+        sum("ns").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "cl")
+      .agg((max("p") - min("p") + lit(w.toLong)).as("span_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("span_tokens").as("covered_tokens"),
+        max("span_tokens").as("max_span_tokens"))
+    docs
+      .select(col("doc_id"),
+        expr(s"size($tokens)").cast("bigint").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_span_tokens"), lit(0L)).as("max_span_tokens"))
+      .withColumn("dup_share",
+        when(col("n_tokens") > 0,
+          col("covered_tokens").cast("double") /
+            col("n_tokens").cast("double")).otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   /** F14b — ENGINE-EXACT HyperLogLog NDV over word `n`-grams: the
     * approximate-distinct sketch a 100 TB profile runs instead of an
     * exact distinct (F14's ApproxPathSpec measures Spark's own

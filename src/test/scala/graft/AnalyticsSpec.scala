@@ -423,4 +423,22 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("Supplier#A", 1L)))
   }
+
+  test("forecastRevenue (Q6 essence): only the year/discount/quantity " +
+      "slice contributes; revenue = sum(price * discount)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val li = Seq(
+      // qualifies: 1996, disc in band, qty < 24
+      (t("1996-03-01 00:00:00"), 100.0, 0.06, 10.0),
+      (t("1996-12-31 00:00:00"), 200.0, 0.05, 23.0),
+      // out: wrong year / discount below band / above band / big qty
+      (t("1995-03-01 00:00:00"), 100.0, 0.06, 10.0),
+      (t("1996-03-01 00:00:00"), 100.0, 0.04, 10.0),
+      (t("1996-03-01 00:00:00"), 100.0, 0.08, 10.0),
+      (t("1996-03-01 00:00:00"), 100.0, 0.06, 24.0))
+      .toDF("l_shipdate", "l_extendedprice", "l_discount", "l_quantity")
+    val out = Analytics.forecastRevenue(li, 1996, 0.05, 0.07, 24.0)
+      .as[(Double, Long)].head()
+    assert(out == (16.0, 2L)) // 100*0.06 + 200*0.05
+  }
 }

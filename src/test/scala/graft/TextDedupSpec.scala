@@ -646,4 +646,46 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Long]("sum_f2") == 30L)
     assert(r.getAs[Double]("hhi") == 30.0 / (10.0 * 10.0))
   }
+
+  test("dupSpans: shared 10-token run merges three overlapping 8-gram " +
+      "starts into one maximal span; unique doc reports zeros") {
+    // docs 0/1 share tokens a..j (10 tokens) at different offsets;
+    // with w=8 the duplicated gram starts are {0,1,2} in doc 0 and
+    // {2,3,4} in doc 1 — each merges (gap 1 ≤ w) into ONE span of
+    // max−min+w = 10 covered tokens. doc 2 shares nothing.
+    val d = docs(
+      (0L, "a b c d e f g h i j u0 u1 u2"),
+      (1L, "z0 z1 a b c d e f g h i j z2"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8"))
+    val out = TextDedup.dupSpans(d, w = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 13L, 1L, 10L, 10L, 10.0 / 13.0),
+      (1L, 13L, 1L, 10L, 10L, 10.0 / 13.0),
+      (2L, 9L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: two disjoint shared runs (gap > w) stay separate " +
+      "spans; a short doc below w reports zeros") {
+    // doc 0: shared run A at p=0 (8 tokens), 9 unique tokens, shared
+    // run B at start 17 (8 tokens) — gap 17 > w=8 → two spans.
+    val runA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val mid = (1 to 9).map(i => s"m$i").mkString(" ")
+    val d = docs(
+      (0L, s"$runA $mid $runB"),
+      (1L, s"x0 $runA x1"),
+      (2L, s"y0 y1 $runB"),
+      (3L, "short doc here"))
+    val r0 = TextDedup.dupSpans(d, w = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .find(_._1 == 0L).get
+    assert(r0._3 == 2L)   // two disjoint spans
+    assert(r0._4 == 16L)  // 8 + 8 covered
+    assert(r0._5 == 8L)
+    val r3 = TextDedup.dupSpans(d, w = 8)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .find(_._1 == 3L).get
+    assert(r3._2 == 3L && r3._3 == 0L && r3._6 == 0.0)
+  }
 }
