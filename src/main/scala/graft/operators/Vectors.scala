@@ -20,6 +20,51 @@ object Vectors {
   /** Embedding dimensionality of the test tables; dots unroll over it. */
   val Dim = 64
 
+  /** The F60 accumulation kernel: ONE flat buffer of d(d+1)/2 upper-
+    * triangle product sums (+ a trailing row counter) per task,
+    * merged pairwise — Spark's typed `Aggregator` contract gives
+    * map-side partial aggregation for free, so the shuffle carries
+    * one ~16 KB buffer per task instead of N·d²/2 generator rows
+    * (the first spelling, an interpreted HOF explode, cost ~2.7 s on
+    * 5 000 rows — 10⁶× more rows in flight for the same 2080 sums).
+    * Products cast float→double BEFORE multiplying (exact, engine-
+    * identical); rows shorter than `dim` contribute only their
+    * in-bounds products, matching the SQL dual where out-of-range
+    * `element_at` is NULL and sum skips it. */
+  private class GramAggregator(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Float], Array[Double], Seq[Double]] {
+    private val tri = dim * (dim + 1) / 2
+    def zero: Array[Double] = new Array[Double](tri + 1)
+    def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = {
+      b(tri) += 1.0
+      if (a != null) {
+        val arr = a.toArray
+        val lim = math.min(dim, arr.length)
+        var i = 0
+        while (i < lim) {
+          val ai = arr(i).toDouble
+          // flat index of (i, i) in the row-major upper triangle
+          var k = i * dim - i * (i - 1) / 2
+          var j = i
+          while (j < lim) { b(k) += ai * arr(j).toDouble; k += 1; j += 1 }
+          i += 1
+        }
+      }
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var k = 0
+      while (k <= tri) { x(k) += y(k); k += 1 }
+      x
+    }
+    def finish(b: Array[Double]): Seq[Double] = b.toSeq
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Double]]
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Dot product via the native [[VecDot]] expression: left-to-right
     * double accumulation over the raw float arrays (bit-identical to
     * the oracle's `list_reduce`), O(1) expression-tree size. History:
@@ -109,18 +154,24 @@ object Vectors {
     * partial-aggregated groupBy — ONE exchange of a
     * dimension-bounded frame. */
   def gramMatrix(emb: DataFrame, dim: Int = Dim): DataFrame = {
-    val d1 = dim - 1
-    val pairs = expr(
-      s"""flatten(transform(sequence(0, $d1), i ->
-         |  transform(sequence(i, $d1), j -> struct(i AS i, j AS j,
-         |    CAST(element_at(embedding, i + 1) AS DOUBLE) *
-         |    CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))"""
-        .stripMargin)
-    emb
-      .select(explode(pairs).as("pr"))
-      .groupBy(col("pr.i").cast("long").as("i"),
-        col("pr.j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"), round(sum(col("pr.p")), 4).as("sum_prod"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val buf = emb.select(col("embedding").as[Seq[Float]])
+      .select(new GramAggregator(dim).toColumn.name("b")).head()
+    val n = buf.last.toLong
+    val rows = Seq.newBuilder[(Long, Long, Long, Double)]
+    var k = 0
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        rows += ((i.toLong, j.toLong, n, buf(k))); k += 1; j += 1
+      }
+      i += 1
+    }
+    rows.result().toDF("i", "j", "n", "sum_prod")
+      .select(col("i"), col("j"), col("n"),
+        round(col("sum_prod"), 4).as("sum_prod"))
       .orderBy("i", "j")
   }
 
