@@ -391,6 +391,9 @@ object SparkEntry {
     "q_autocorr" -> ((s, d) => Features.autocorr(Tables.ticks(s, d), 5)),
     // D17 — realized volatility (sum of squared intraday log returns).
     "q_realized_vol" -> ((s, d) => Features.realizedVol(Tables.ticks(s, d))),
+    // D42 — AR(1) mean-reversion half-life per symbol.
+    "q_mean_reversion" -> ((s, d) =>
+      Features.meanReversion(Tables.ticks(s, d))),
     // B9 — tick-rule up/down/zero classification per symbol.
     "q_tick_rule" -> ((s, d) => TickOps.tickRule(Tables.ticks(s, d))),
     // B10 — quote-burst seconds above the per-symbol p90 rate.
@@ -1720,6 +1723,28 @@ object SparkEntry {
         |    FROM $ticksSql t) y) x
         |GROUP BY symbol, _date
         |ORDER BY symbol, date""".stripMargin,
+    // D42 — slope = quotient of unrounded aggregates over exact int
+    // cents, round(4) once; half-life = hard −ln2 literal over ln of
+    // the ROUNDED slope, NULL outside 0 < rho < 1.
+    "q_mean_reversion" ->
+      s"""SELECT symbol, n_pairs, rho,
+        |  CASE WHEN rho > 0 AND rho < 1
+        |    THEN round(-0.6931471805599453 / ln(rho), 4)
+        |  END AS halflife_ticks
+        |FROM (
+        |  SELECT symbol, count(cp) AS n_pairs,
+        |    CASE WHEN var_pop(cp) > 0
+        |      THEN round(covar_pop(c, cp) / var_pop(cp), 4)
+        |    END AS rho
+        |  FROM (
+        |    SELECT symbol, c,
+        |      lag(c) OVER (PARTITION BY symbol ORDER BY tick_id) AS cp
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS c
+        |      FROM $ticksSql t) p) q
+        |  GROUP BY symbol) agg
+        |ORDER BY symbol""".stripMargin,
     "q_tick_rule" ->
       s"""SELECT symbol,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND bid > prev

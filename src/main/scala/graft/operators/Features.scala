@@ -349,6 +349,37 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D42 — MEAN-REVERSION HALF-LIFE per symbol: the AR(1) fit
+    * `pₜ = c + ρ·pₜ₋₁ + ε` on exact integer cents, with the
+    * Ornstein-Uhlenbeck half-life `−ln2 / ln ρ` (in ticks) — the
+    * "how fast does a shock decay" screen that decides whether D4's
+    * z-score anomalies are tradeable reversions or permanent moves.
+    * ρ is the regression slope `covar_pop(p, p_prev)/var_pop(p_prev)`
+    * (D18's corr-aggregate discipline: the quotient of unrounded
+    * aggregates over EXACT int inputs, round(4) once); the half-life
+    * divides the HARD literal −0.6931471805599453 (−ln 2, D27's
+    * constant rule) by `ln ρ` of the ROUNDED slope — defined only for
+    * 0 < ρ < 1 (a random-walk ρ ≥ 1 or oscillating ρ ≤ 0 has no
+    * half-life; NULL). Pairs need a non-null lag, so each symbol's
+    * first tick drops; one symbol exchange carries lag + aggregate
+    * (D16's shape). In the float-sensitive sweep. */
+  def meanReversion(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("c", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .withColumn("cp", lag(col("c"), 1).over(w))
+      .groupBy("symbol")
+      .agg(
+        count(col("cp")).as("n_pairs"),
+        when(expr("var_pop(cp)") > 0,
+          round(expr("covar_pop(c, cp) / var_pop(cp)"), 4)).as("rho"))
+      .withColumn("halflife_ticks",
+        when(col("rho") > 0 && col("rho") < 1,
+          round(lit(-0.6931471805599453) / log(col("rho")), 4)))
+      .select("symbol", "n_pairs", "rho", "halflife_ticks")
+      .orderBy("symbol")
+  }
+
   /** D17 — REALIZED VOLATILITY per (symbol, trading day): the sum of
     * squared intraday log returns (the standard RV estimator; the
     * lag runs WITHIN the day so overnight gaps never contaminate a

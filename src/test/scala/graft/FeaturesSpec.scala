@@ -12,6 +12,30 @@ class FeaturesSpec extends SparkSpec {
     rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
       .toDF("tick_id", "symbol", "ts", "bid", "ask")
 
+  test("meanReversion: a noiseless half-decaying shock fits rho = 0.5 " +
+      "with half-life exactly 1 tick; an alternator (rho = -1) has none") {
+    // symbol 1: cents 260,180,140,120,110 — deviations from 100 halve
+    // each tick, so c = 0.5·c_prev + 50 EXACTLY: slope 0.5,
+    // half-life −ln2/ln(0.5) = 1. symbol 2: 100/102 alternator →
+    // slope −1 → no half-life.
+    val rows = Seq(2.60, 1.80, 1.40, 1.20, 1.10).zipWithIndex.map {
+      case (p, i) => (i.toLong + 1, 1L, f"2024-01-01 00:00:0${i + 1}", p, 9.9)
+    } ++ Seq(
+      (10L, 2L, "2024-01-01 00:00:01", 1.00, 9.9),
+      (11L, 2L, "2024-01-01 00:00:02", 1.02, 9.9),
+      (12L, 2L, "2024-01-01 00:00:03", 1.00, 9.9),
+      (13L, 2L, "2024-01-01 00:00:04", 1.02, 9.9),
+      (14L, 2L, "2024-01-01 00:00:05", 1.00, 9.9))
+    val out = Features.meanReversion(ticks(rows: _*)).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_pairs") == 4L)
+    assert(s1.getAs[Double]("rho") == 0.5)
+    assert(s1.getAs[Double]("halflife_ticks") == 1.0)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.getAs[Double]("rho") == -1.0)
+    assert(s2.isNullAt(s2.fieldIndex("halflife_ticks")))
+  }
+
   test("tickFeatures clamps negative spread to zero (np.maximum semantics)") {
     val df = ticks((1L, 1L, "2024-01-01 00:00:00", 10.0, 9.5))
     val r = Features.tickFeatures(df).collect().head
