@@ -100,6 +100,7 @@ object SparkEntry {
   val vpinWindowBars = 3        // D31 trailing bucket count
   val spikeBp = 5000L           // B12 spike threshold (basis points)
   val eppsScales: Seq[Long] = Seq(60L, 600L, 3600L, 86400L)
+  val sigScales: Seq[Long] = Seq(60L, 600L, 3600L) // D43 RV ladder (s)
   val eppsScalesSql: String = eppsScales.map(s => s"($s)").mkString(", ")
   val hyBucketSec = 3600L       // D33 overlap-bucket grain
   val rollCorrDays = 5          // D29 trailing window (days)
@@ -394,6 +395,9 @@ object SparkEntry {
     // D42 — AR(1) mean-reversion half-life per symbol.
     "q_mean_reversion" -> ((s, d) =>
       Features.meanReversion(Tables.ticks(s, d))),
+    // D43 — volatility signature: RV across the sampling-scale ladder.
+    "q_vol_signature" -> ((s, d) =>
+      Microstructure.volSignature(Tables.ticks(s, d), sigScales)),
     // B9 — tick-rule up/down/zero classification per symbol.
     "q_tick_rule" -> ((s, d) => TickOps.tickRule(Tables.ticks(s, d))),
     // B10 — quote-burst seconds above the per-symbol p90 rate.
@@ -1723,6 +1727,33 @@ object SparkEntry {
         |    FROM $ticksSql t) y) x
         |GROUP BY symbol, _date
         |ORDER BY symbol, date""".stripMargin,
+    // D43 — the oracle computes each rung DIRECTLY from the fact
+    // (per-scale arg_min grids); equivalent to the Spark cascade
+    // because first-tick-per-bucket is associative over nested
+    // scales. Generated from the same sigScales constant.
+    "q_vol_signature" -> (sigScales.map { s =>
+      s"""SELECT symbol, CAST($s AS BIGINT) AS scale_s, rv, n_ret,
+        |  CASE WHEN n_ret > 0 THEN rv / CAST(n_ret AS DOUBLE)
+        |  END AS rv_per_ret
+        |FROM (
+        |  SELECT symbol, round(sum(r * r), 4) AS rv, count(r) AS n_ret
+        |  FROM (
+        |    SELECT symbol,
+        |      CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev)
+        |        END AS r
+        |    FROM (
+        |      SELECT symbol, _date, bucket, bid,
+        |        lag(bid) OVER (PARTITION BY symbol, _date
+        |          ORDER BY bucket) AS prev
+        |      FROM (
+        |        SELECT symbol, CAST(ts AS DATE) AS _date,
+        |          epoch_us(CAST(ts AS TIMESTAMP)) // ${s * 1000000L}
+        |            AS bucket,
+        |          arg_min(bid, tick_id) AS bid
+        |        FROM $ticksSql t
+        |        GROUP BY 1, 2, 3) g) l) q
+        |  GROUP BY symbol) a""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY symbol, scale_s"),
     // D42 — slope = quotient of unrounded aggregates over exact int
     // cents, round(4) once; half-life = hard −ln2 literal over ln of
     // the ROUNDED slope, NULL outside 0 < rho < 1.

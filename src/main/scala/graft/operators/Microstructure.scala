@@ -753,6 +753,69 @@ object Microstructure {
       .orderBy("symbol", "date")
   }
 
+  /** D43 — VOLATILITY SIGNATURE PLOT per symbol: realized variance at
+    * a ladder of sampling scales (e.g. 1 s / 10 s / 60 s) — THE
+    * microstructure-noise diagnostic (Andersen-Bollerslev-Diebold-
+    * Labys): a flat signature means diffusion; RV exploding as the
+    * scale shrinks means bid-ask bounce dominates, and the knee picks
+    * the sampling frequency every RV-based estimator (D17, D34, D41)
+    * should run at. Scales must be NESTED (each divides the next) so
+    * the ladder is a CASCADE (the D35 Epps discipline): the tick fact
+    * collapses ONCE into the finest-scale grid (per-bucket FIRST tick:
+    * `min_by(bid, tick_id)` + `min(tick_id)`, both associative — the
+    * first tick of a coarse bucket IS the first among its fine
+    * buckets' firsts, so each coarser rung re-aggregates the
+    * PREVIOUS rung, never the fact). Returns are the D17 spelling on
+    * each rung's grid (day-bounded lag, guarded ln); per (symbol,
+    * scale): pooled RV round(4), return count, and the per-return
+    * average `rv/n` (derived-from-rounded). Buckets are exact int64
+    * µs division. One fact-sized exchange total; every rung after the
+    * first is grid-sized. */
+  def volSignature(ticks: DataFrame,
+                   scales: Seq[Long] = Seq(1L, 10L, 60L)): DataFrame = {
+    require(scales.nonEmpty && scales == scales.sorted,
+      s"scales must be ascending: $scales")
+    require(scales.sliding(2).forall {
+      case Seq(a, b) => b % a == 0
+      case _ => true
+    }, s"scales must be nested (each divides the next): $scales")
+    val finest = scales.head
+    var rung = ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("bucket",
+        expr(s"unix_micros(ts) div ${finest * 1000000L}"))
+      .groupBy("symbol", "_date", "bucket")
+      .agg(min_by(col("bid"), col("tick_id")).as("bid"),
+        min("tick_id").as("tick_id"))
+      .localCheckpoint(true)
+    val perScale = scales.zipWithIndex.map { case (s, i) =>
+      if (i > 0) {
+        val k = s / scales(i - 1)
+        rung = rung
+          .withColumn("bucket", expr(s"bucket div $k"))
+          .groupBy("symbol", "_date", "bucket")
+          .agg(min_by(col("bid"), col("tick_id")).as("bid"),
+            min("tick_id").as("tick_id"))
+          .localCheckpoint(true)
+      }
+      val w = Window.partitionBy("symbol", "_date").orderBy("bucket")
+      rung
+        .withColumn("prev", lag(col("bid"), 1).over(w))
+        .withColumn("r",
+          when(col("prev") > 0 && col("bid") > 0,
+            log(col("bid") / col("prev"))))
+        .groupBy("symbol")
+        .agg(round(sum(col("r") * col("r")), 4).as("rv"),
+          count(col("r")).as("n_ret"))
+        .withColumn("scale_s", lit(s))
+    }
+    perScale.reduce(_ unionByName _)
+      .withColumn("rv_per_ret",
+        when(col("n_ret") > 0, col("rv") / col("n_ret").cast("double")))
+      .select("symbol", "scale_s", "rv", "n_ret", "rv_per_ret")
+      .orderBy("symbol", "scale_s")
+  }
+
   /** D40 — REALIZED SEMIVARIANCE per (symbol, day): Barndorff-Nielsen,
     * Kinnebrock & Shephard's decomposition of realized variance into
     * its upside and downside halves — `RS⁺ = Σ rᵢ²·1[rᵢ>0]`,

@@ -436,6 +436,30 @@ class MicrostructureSpec extends SparkSpec {
     assert(d3.getAs[Long]("n_moves") == 0L && d3.isNullAt(3))
   }
 
+  test("volSignature: cascade rungs equal direct per-scale grids; " +
+      "non-nested scales rejected") {
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val l2 = math.log(2.0)
+    // seconds 0..3, bids 1,2,4,8: scale 1 → returns ln2×3, rv=3ln²2;
+    // scale 2 → first ticks of {0,1},{2,3} = bids 1,4 → rv=ln²4=4ln²2
+    val tk = ticks(
+      (1L, 1L, "2024-01-01 00:00:00", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:01", 2.00, 0.0),
+      (3L, 1L, "2024-01-01 00:00:02", 4.00, 0.0),
+      (4L, 1L, "2024-01-01 00:00:03", 8.00, 0.0))
+    val out = Microstructure.volSignature(tk, Seq(1L, 2L)).collect()
+    val s1 = out.find(_.getAs[Long]("scale_s") == 1L).get
+    val s2 = out.find(_.getAs[Long]("scale_s") == 2L).get
+    assert(s1.getAs[Long]("n_ret") == 3L)
+    assert(s1.getAs[Double]("rv") == r4(3 * l2 * l2))
+    assert(s1.getAs[Double]("rv_per_ret") == r4(3 * l2 * l2) / 3.0)
+    assert(s2.getAs[Long]("n_ret") == 1L)
+    assert(s2.getAs[Double]("rv") == r4(4 * l2 * l2))
+    intercept[IllegalArgumentException] {
+      Microstructure.volSignature(tk, Seq(2L, 3L))
+    }
+  }
+
   test("realizedSemivariance: halves split by return sign, zero " +
       "returns join neither, SJ/up_share from rounded halves, " +
       "single-tick day NULL") {
