@@ -124,6 +124,39 @@ object SparkEntry {
   val pcaIters = 60             // F61 power-iteration rounds (both
                                 // engines unroll the SAME count)
 
+  /** The F59 training cascade as a WITH-body (vocab → seg0 → per-round
+    * pair-count/argmax/refold CTEs), GENERATED from `bpeMergeRounds` —
+    * shared verbatim by the q_bpe_train and q_bpe_encode oracles so
+    * the two cannot drift on the loop (the same one-spelling rule the
+    * Scala side enforces via `TextDedup.bpeCore`). */
+  private lazy val bpeCascadeSql: String = {
+    import graft.functions.PortableText._
+    val rounds = (1 to bpeMergeRounds).map { r =>
+      s"""p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_transform(range(len(tok) - 1),
+        |      i -> tok[CAST(i + 1 AS INT)] || ' ' || tok[CAST(i + 2 AS INT)]))
+        |      AS pair, freq
+        |    FROM (SELECT string_split(seg, ' ') AS tok, freq
+        |      FROM seg${r - 1}) x
+        |    WHERE len(tok) >= 2) y
+        |  GROUP BY pair),
+        |m$r AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS pa,
+        |    split_part(pair, ' ', 2) AS pb
+        |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+        |seg$r AS (SELECT list_reduce(string_split(s.seg, ' '),
+        |    (acc, t) -> CASE WHEN (acc = m.pa
+        |        OR ends_with(acc, ' ' || m.pa)) AND t = m.pb
+        |      THEN acc || t ELSE acc || ' ' || t END) AS seg, s.freq
+        |  FROM seg${r - 1} s, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""vocab AS (SELECT word, count(*) AS freq
+      |  FROM (SELECT unnest($duckTokens) AS word FROM documents) t
+      |  GROUP BY word),
+      |seg0 AS (SELECT array_to_string(list_transform(range(length(word)),
+      |    i -> word[CAST(i + 1 AS INT)]), ' ') AS seg, freq FROM vocab),
+      |$rounds""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- C. SQL analytics (SURVEY §2.C) ----
     "q1_agg" -> ((s, d) =>
@@ -755,6 +788,9 @@ object SparkEntry {
     // F59 — the BPE trainer loop: 5 adaptive merge rounds.
     "q_bpe_train" -> ((s, d) =>
       TextDedup.bpeTrain(Tables.documents(s, d), bpeMergeRounds)),
+    // F63 — encode the corpus with the trained tokenizer.
+    "q_bpe_encode" -> ((s, d) =>
+      TextDedup.bpeEncode(Tables.documents(s, d), bpeMergeRounds)),
     // F14b — portable HLL over word 2-grams (m=32 registers).
     "q_hll_ndv" -> ((s, d) => TextDedup.hllNdv(Tables.documents(s, d), 2)),
     "q_term_saliency" -> ((s, d) =>
@@ -4028,36 +4064,42 @@ object SparkEntry {
     // chain is GENERATED by the same loop count as the operator, so
     // round count cannot drift.
     "q_bpe_train" -> {
-      import graft.functions.PortableText._
-      val rounds = (1 to bpeMergeRounds).map { r =>
-        s"""p$r AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
-          |  FROM (SELECT unnest(list_transform(range(len(tok) - 1),
-          |      i -> tok[CAST(i + 1 AS INT)] || ' ' || tok[CAST(i + 2 AS INT)]))
-          |      AS pair, freq
-          |    FROM (SELECT string_split(seg, ' ') AS tok, freq
-          |      FROM seg${r - 1}) x
-          |    WHERE len(tok) >= 2) y
-          |  GROUP BY pair),
-          |m$r AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS pa,
-          |    split_part(pair, ' ', 2) AS pb
-          |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
-          |seg$r AS (SELECT list_reduce(string_split(s.seg, ' '),
-          |    (acc, t) -> CASE WHEN (acc = m.pa
-          |        OR ends_with(acc, ' ' || m.pa)) AND t = m.pb
-          |      THEN acc || t ELSE acc || ' ' || t END) AS seg, s.freq
-          |  FROM seg${r - 1} s, m$r m)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to bpeMergeRounds).map(r =>
         s"SELECT $r AS merge_idx, pair, cnt AS pair_cnt FROM m$r")
         .mkString("\n UNION ALL ")
-      s"""WITH vocab AS (SELECT word, count(*) AS freq
-        |  FROM (SELECT unnest($duckTokens) AS word FROM documents) t
-        |  GROUP BY word),
-        |seg0 AS (SELECT array_to_string(list_transform(range(length(word)),
-        |    i -> word[CAST(i + 1 AS INT)]), ' ') AS seg, freq FROM vocab),
-        |$rounds
+      s"""WITH $bpeCascadeSql
         |$out
         |ORDER BY merge_idx""".stripMargin
+    },
+    // F63 — the encode oracle replays the SAME generated training
+    // cascade, reconstructs each word from its final segmentation
+    // (replace(seg, ' ', '') — symbols never contain spaces) and
+    // joins the corpus back on the word; ratios are IEEE divisions
+    // of exact ints, unrounded.
+    "q_bpe_encode" -> {
+      import graft.functions.PortableText._
+      s"""WITH $bpeCascadeSql,
+        |tok AS (SELECT replace(seg, ' ', '') AS word,
+        |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sym
+        |  FROM seg$bpeMergeRounds),
+        |dw AS (SELECT doc_id, unnest($duckTokens) AS word
+        |  FROM documents),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+        |    CAST(sum(length(word)) AS BIGINT) AS n_chars
+        |  FROM dw JOIN tok USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_words, 0) AS n_words,
+        |  coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+        |  coalesce(a.n_chars, 0) AS n_chars,
+        |  CASE WHEN coalesce(a.n_words, 0) > 0 THEN
+        |    CAST(a.n_bpe_tokens AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+        |  END AS fertility,
+        |  CASE WHEN coalesce(a.n_bpe_tokens, 0) > 0 THEN
+        |    CAST(a.n_chars AS DOUBLE) / CAST(a.n_bpe_tokens AS DOUBLE)
+        |  END AS chars_per_token
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
     },
     // F57 — Zipf fit: ln inputs are IDENTICAL exact ints (count, rank)
     // both engines; the five OLS sums round(4) over the k-row frame

@@ -1262,10 +1262,13 @@ object TextDedup {
     * COLUMN (never an interpolated literal — corpus tokens may
     * contain quote characters); argmax total order (cnt DESC, pair)
     * over exact int64 counts. */
-  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+  /** The F59 training loop's shared core: runs `nMerges` adaptive
+    * rounds over the (word, freq) vocabulary and returns both the
+    * ordered merge decisions and the FINAL segmented vocab — so the
+    * trainer (F59) and the encoder (F63) cannot drift on the loop. */
+  private def bpeCore(docs: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"need at least one merge round: $nMerges")
-    val spark = docs.sparkSession
-    import spark.implicits._
     var seg = docs.select(explode(expr(tokens)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("array_join(transform(sequence(1, length(word)), " +
@@ -1300,8 +1303,56 @@ object TextDedup {
           "ELSE concat(acc, ' ', t) END)").as("seg"), col("freq"))
         .localCheckpoint(true)
     }
-    merges.toSeq.toDF("merge_idx", "pair", "pair_cnt")
+    (merges.toSeq, seg)
+  }
+
+  def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, nMerges)._1.toDF("merge_idx", "pair", "pair_cnt")
       .orderBy("merge_idx")
+  }
+
+  /** F63 — BPE ENCODE with the F59-trained tokenizer: the apply step
+    * that closes the tokenizer loop (train F59 → encode F63 → the
+    * corpus-level fertility F53 now has a doc-level, trained-merge
+    * twin). The final segmented vocabulary IS the tokenizer — a word
+    * maps to its segmentation's symbol count — so encoding is one
+    * vocab-keyed equi-join (symbols never re-derived per document;
+    * the un-spaced segmentation reconstructs the word EXACTLY because
+    * symbols never contain spaces, the F59 invariant). Per doc:
+    * word count, BPE token count, char count, fertility
+    * (tokens/word) and compression (chars/token) — both single IEEE
+    * divisions of exact ints, unrounded (§6). Token-less docs report
+    * zeros with NULL ratios. Shape: the training cascade (vocab-sized
+    * rounds, A19 driver argmax) + ONE corpus-sized explode joined to
+    * the vocab frame — at 100 TB the join key is the word, the vocab
+    * side is |V| rows. */
+  def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
+    val (_, seg) = bpeCore(docs, nMerges)
+    val vocab = seg.select(
+      expr("replace(seg, ' ', '')").as("word"),
+      expr("size(split(seg, ' '))").cast("bigint").as("n_sym"))
+    val per = docs.select(col("doc_id"), explode(expr(tokens)).as("word"))
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").as("n_bpe_tokens"),
+        sum(length(col("word")).cast("bigint")).as("n_chars"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double")))
+      .withColumn("chars_per_token",
+        when(col("n_bpe_tokens") > 0,
+          col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double")))
+      .orderBy("doc_id")
   }
 
   /** F10c — per-document term saliency: top-k tokens ranked by tf/df

@@ -647,6 +647,18 @@ class TextDedupSpec extends SparkSpec {
     assert(r.getAs[Double]("hhi") == 30.0 / (10.0 * 10.0))
   }
 
+  test("bpeEncode: doc token counts follow the trained segmentation " +
+      "(one merge: 'a a' -> 'aa')") {
+    // vocab: aa(2), ab(1), b(1); round 1 merges the dominant pair
+    // "a a", so aa -> 1 symbol, ab stays 2, b stays 1.
+    val d = docs((1L, "aa aa ab"), (2L, "b"))
+    val out = TextDedup.bpeEncode(d, nMerges = 1)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 4L, 6L, 4.0 / 3.0, 6.0 / 4.0),
+      (2L, 1L, 1L, 1L, 1.0, 1.0)))
+  }
+
   test("dupSpans: shared 10-token run merges three overlapping 8-gram " +
       "starts into one maximal span; unique doc reports zeros") {
     // docs 0/1 share tokens a..j (10 tokens) at different offsets;
