@@ -166,7 +166,14 @@ object Sf1Smoke {
       // bpe_train iterates 5 vocab-sized aggregates + folds (the
       // vocabulary is FIXED while occurrences 10x — rounds must not
       // grow with rows).
-      "q_zipf_fit", "q_ann_recall", "q_bpe_train")
+      "q_zipf_fit", "q_ann_recall", "q_bpe_train",
+      // round-10 session-2: dup_spans is the F4 inverted-index shape
+      // on positional gram hashes (worst case here — every replica
+      // doc shares every gram, all positions duplicated); gram/PCA
+      // ride the one-buffer-per-task Aggregator (N-invariant
+      // shuffle); bpe_encode joins the corpus back to the FIXED
+      // vocab frame.
+      "q_dup_spans", "q_gram_matrix", "q_pca_power", "q_bpe_encode")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -202,7 +209,13 @@ object Sf1Smoke {
       // (n/stride)·2·horizon — linear in rows with 10-100x more
       // symbols; moments ride the (symbol, day) exchange; session
       // containment is the one-exchange as-of union.
-      "q_triple_barrier", "q_realized_moments", "q_session_assign")
+      "q_triple_barrier", "q_realized_moments", "q_session_assign",
+      // round-10 session-2: semivariance/medrv/mean-reversion ride
+      // the one-exchange (symbol[, day]) lag+agg shape; the vol
+      // signature's cascade re-aggregates grids, never the fact —
+      // rung cost must stay grid-sized as symbols 10-100x.
+      "q_semivariance", "q_medrv", "q_mean_reversion",
+      "q_vol_signature")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
