@@ -785,6 +785,9 @@ object SparkEntry {
     // F62 — maximal cross-doc duplicated token spans per document.
     "q_dup_spans" -> ((s, d) =>
       TextDedup.dupSpans(Tables.documents(s, d), dupSpanW)),
+    // F64 — rewrite docs with the duplicated spans excised.
+    "q_dup_excise" -> ((s, d) =>
+      TextDedup.dupSpanExcise(Tables.documents(s, d), dupSpanW)),
     // F59 — the BPE trainer loop: 5 adaptive merge rounds.
     "q_bpe_train" -> ((s, d) =>
       TextDedup.bpeTrain(Tables.documents(s, d), bpeMergeRounds)),
@@ -3927,6 +3930,66 @@ object SparkEntry {
         |  ELSE 0.0 END AS dup_share
         |FROM sized s LEFT JOIN agg a USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin
+    },
+    // F64 — same gram/df CTEs as q_dup_spans (one spelling of
+    // "duplicated"); coverage via the union + running-max window
+    // (starts sort BEFORE the token at the same position); cleaned
+    // text = kept tokens re-joined in position order.
+    "q_dup_excise" -> {
+      import graft.functions.PortableText._
+      val w = dupSpanW
+      val gramHash = duckPolyHash(
+        s"array_to_string(tk[CAST(p + 1 AS INT):CAST(p + $w AS INT)], ' ')")
+      s"""WITH sized AS (
+        |  SELECT doc_id, CAST(length(tk) AS BIGINT) AS n_tokens, tk
+        |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) b),
+        |grams AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS p, $gramHash AS h
+        |  FROM (SELECT doc_id, tk, unnest(range(length(tk) - ${w - 1}))
+        |      AS p
+        |    FROM sized WHERE length(tk) >= $w) gp),
+        |dup AS (SELECT h FROM grams GROUP BY h
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |starts AS (
+        |  SELECT doc_id, p AS pos, CAST(NULL AS VARCHAR) AS token,
+        |    1 AS is_start, p + ${w - 1} AS cover_end
+        |  FROM grams JOIN dup USING (h)),
+        |toks AS (
+        |  SELECT doc_id, CAST(t AS BIGINT) AS pos,
+        |    tk[CAST(t + 1 AS INT)] AS token, 0 AS is_start,
+        |    CAST(NULL AS BIGINT) AS cover_end
+        |  FROM (SELECT doc_id, tk, unnest(range(length(tk))) AS t
+        |    FROM sized) x),
+        |markd AS (
+        |  SELECT doc_id, pos, token, is_start,
+        |    max(cover_end) OVER (PARTITION BY doc_id
+        |      ORDER BY pos, is_start DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS run_end
+        |  FROM (SELECT * FROM toks UNION ALL SELECT * FROM starts) m),
+        |tokd AS (
+        |  SELECT doc_id, pos, token,
+        |    (run_end IS NULL OR run_end < pos) AS kept
+        |  FROM markd WHERE is_start = 0),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_kept,
+        |    string_agg(CASE WHEN kept THEN token END, ' '
+        |      ORDER BY pos) AS cleaned_text
+        |  FROM tokd GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(p.n_tokens, 0) - coalesce(p.n_kept, 0)
+        |    AS BIGINT) AS n_removed,
+        |  CASE WHEN coalesce(p.n_tokens, 0) > 0 THEN
+        |    CAST(p.n_tokens - p.n_kept AS DOUBLE)
+        |      / CAST(p.n_tokens AS DOUBLE)
+        |  END AS removed_share,
+        |  coalesce(p.cleaned_text, '') AS cleaned_text
+        |FROM documents d LEFT JOIN per p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
     },
     "q_gram_novelty" -> {
       import graft.functions.PortableText._

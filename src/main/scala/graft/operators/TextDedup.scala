@@ -925,7 +925,11 @@ object TextDedup {
     * strings and shuffling int64s. Shape: gram frame → map-side df
     * agg → equi-join back (F4's inverted-index discipline, never
     * doc×doc) → one per-doc window + two bounded aggregates. */
-  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
+  /** F62/F64 shared stage: the (doc_id, p) positions whose w-gram
+    * hash occurs in ≥ 2 documents — one spelling of the positional
+    * hash + df + join-back, so the span REPORT (F62) and the span
+    * EXCISION (F64) cannot disagree on what counts as duplicated. */
+  private def dupGramStarts(docs: DataFrame, w: Int): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.WordGrams.register(docs.sparkSession)
     val grams = docs.select(col("doc_id"),
@@ -936,8 +940,12 @@ object TextDedup {
       .agg(countDistinct("doc_id").as("n_docs"))
       .filter(col("n_docs") >= 2)
       .select("h")
+    grams.join(dup, "h").select("doc_id", "p")
+  }
+
+  def dupSpans(docs: DataFrame, w: Int = 8): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
-    val spans = grams.join(dup, "h")
+    val spans = dupGramStarts(docs, w)
       .withColumn("prev", lag(col("p"), 1).over(byDoc))
       .withColumn("ns",
         when(col("prev").isNull || col("p") - col("prev") > w, 1L)
@@ -962,6 +970,64 @@ object TextDedup {
         when(col("n_tokens") > 0,
           col("covered_tokens").cast("double") /
             col("n_tokens").cast("double")).otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** F64 — DUPLICATED-SPAN EXCISION: the dedup ACTION on F62's
+    * signal — rewrite each document with every cross-doc duplicated
+    * span (tokens covered by any shared w-gram) removed, keeping the
+    * novel remainder. This is the Lee-et-al substring-dedup transform
+    * a training-corpus pipeline actually applies (drop the memorized
+    * boilerplate, keep the document), where F1/F13 drop whole docs.
+    *
+    * Coverage without an interval join: duplicated gram STARTS
+    * (shared stage with F62 — one spelling) are UNIONED into the
+    * token-position stream and a single per-doc running-max window
+    * computes the furthest covered position (`max(p + w − 1)` over
+    * starts at-or-before the token, starts ordered BEFORE the token
+    * at the same position); a token is kept iff the running cover
+    * end is absent or short. One window pass over tokens+starts —
+    * never tokens × spans. The cleaned text is the kept tokens
+    * re-joined in position order (single-space canon — tokens never
+    * contain spaces, the F59 invariant); exact counts beside it;
+    * removed share is one IEEE division of exact ints (§6). */
+  def dupSpanExcise(docs: DataFrame, w: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(expr(tokens)).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token"), lit(0).as("is_start"),
+        lit(null).cast("long").as("cover_end"))
+    val starts = dupGramStarts(docs, w)
+      .select(col("doc_id"), col("p").as("pos"),
+        lit(null).cast("string").as("token"), lit(1).as("is_start"),
+        (col("p") + lit(w.toLong - 1L)).as("cover_end"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("pos"), col("is_start").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = toks.unionByName(starts)
+      .withColumn("run_end", max(col("cover_end")).over(win))
+      .filter(col("is_start") === 0)
+      .withColumn("kept",
+        col("run_end").isNull || col("run_end") < col("pos"))
+    val per = marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN kept THEN " +
+            "struct(pos, token) END)), s -> s.token)"), " ")
+          .as("cleaned_text"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .withColumn("n_removed", col("n_tokens") - col("n_kept"))
+      .withColumn("removed_share",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_kept")).cast("double") /
+            col("n_tokens").cast("double")))
+      .select("doc_id", "n_tokens", "n_kept", "n_removed",
+        "removed_share", "cleaned_text")
       .orderBy("doc_id")
   }
 

@@ -173,7 +173,8 @@ object Sf1Smoke {
       // ride the one-buffer-per-task Aggregator (N-invariant
       // shuffle); bpe_encode joins the corpus back to the FIXED
       // vocab frame.
-      "q_dup_spans", "q_gram_matrix", "q_pca_power", "q_bpe_encode")
+      "q_dup_spans", "q_gram_matrix", "q_pca_power", "q_bpe_encode",
+      "q_dup_excise")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one

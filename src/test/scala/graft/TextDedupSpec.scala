@@ -677,6 +677,26 @@ class TextDedupSpec extends SparkSpec {
       (2L, 9L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("dupSpanExcise: covered tokens drop, the novel remainder " +
+      "re-joins in order; untouched doc passes through verbatim") {
+    val d = docs(
+      (0L, "a b c d e f g h i j u0 u1 u2"),
+      (1L, "z0 z1 a b c d e f g h i j z2"),
+      (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8"))
+    val out = TextDedup.dupSpanExcise(d, w = 8).collect()
+    val r0 = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(r0.getAs[Long]("n_kept") == 3L &&
+      r0.getAs[Long]("n_removed") == 10L)
+    assert(r0.getAs[String]("cleaned_text") == "u0 u1 u2")
+    assert(r0.getAs[Double]("removed_share") == 10.0 / 13.0)
+    val r1 = out.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(r1.getAs[String]("cleaned_text") == "z0 z1 z2")
+    val r2 = out.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(r2.getAs[Long]("n_removed") == 0L)
+    assert(r2.getAs[String]("cleaned_text") ==
+      "q0 q1 q2 q3 q4 q5 q6 q7 q8")
+  }
+
   test("dupSpans: two disjoint shared runs (gap > w) stay separate " +
       "spans; a short doc below w reports zeros") {
     // doc 0: shared run A at p=0 (8 tokens), 9 unique tokens, shared
