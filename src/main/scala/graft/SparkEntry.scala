@@ -124,6 +124,81 @@ object SparkEntry {
   val pcaIters = 60             // F61 power-iteration rounds (both
                                 // engines unroll the SAME count)
 
+  val pcaDim = 64               // F61/F65 embedding dimensionality
+
+  /** The F61 covariance + power-iteration cascade as a WITH-body
+    * (rounded gram/sums → covariance lists → `pcaIters` unrolled
+    * normalize-matvec blocks → sign-canonicalized eigenpair CTEs
+    * `p{m}e` + `trace`), GENERATED from (pcaComps, pcaIters, pcaDim)
+    * — shared by the q_pca_power and q_pca_project oracles so the
+    * recurrence has ONE spelling (the SQL twin of
+    * `Vectors.pcaCore`). */
+  private lazy val pcaCascadeSql: String = {
+    val dim = pcaDim
+    def mv(c: String, v: String): String =
+      s"list_transform(range($dim), i -> list_reduce(list_prepend(0.0, " +
+        s"list_transform(range($dim), j -> $c[CAST(i + 1 AS INT)]" +
+        s"[CAST(j + 1 AS INT)] * $v[CAST(j + 1 AS INT)])), " +
+        "(a, b) -> a + b))"
+    val head =
+      s"""pair AS (
+        |  SELECT i, j,
+        |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |            * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)), 4)
+        |      AS g
+        |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti,
+        |    (SELECT unnest(range($dim)) AS j) tj
+        |  WHERE i <= j GROUP BY i, j),
+        |sums AS (
+        |  SELECT i,
+        |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)), 4)
+        |      AS s
+        |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti
+        |  GROUP BY i),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+        |cell AS (
+        |  SELECT p.i AS i, p.j AS j,
+        |    (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0) AS cv
+        |  FROM pair p JOIN sums si ON si.i = p.i
+        |    JOIN sums sj ON sj.i = p.j, nn
+        |  UNION ALL
+        |  SELECT p.j, p.i, (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0)
+        |  FROM pair p JOIN sums si ON si.i = p.i
+        |    JOIN sums sj ON sj.i = p.j, nn
+        |  WHERE p.i < p.j),
+        |cm0 AS (
+        |  SELECT list(rw ORDER BY i) AS c FROM (
+        |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
+        |    rows_),
+        |trace AS (
+        |  SELECT list_reduce(list_prepend(0.0, list_transform(
+        |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
+        |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
+    val comps = (0 until pcaComps).flatMap { m =>
+      val iterBlocks = (1 to pcaIters).map { t =>
+        s"p${m}v$t AS (SELECT c, list_transform(w, x -> x / " +
+          "sqrt(list_reduce(list_prepend(0.0, list_transform(w, " +
+          "y -> y * y)), (a, b) -> a + b))) AS v " +
+          s"FROM (SELECT c, ${mv("c", "v")} AS w FROM p${m}v${t - 1}) t$t)"
+      }
+      Seq(s"p${m}v0 AS (SELECT c, list_transform(range($dim), " +
+          s"x -> 1.0) AS v FROM cm$m)") ++ iterBlocks ++ Seq(
+        s"p${m}f AS (SELECT c, CASE WHEN v[CAST(list_position(" +
+          "list_transform(v, x -> abs(x)), list_max(list_transform(v, " +
+          "x -> abs(x)))) AS INT)] < 0 THEN list_transform(v, x -> -x) " +
+          s"ELSE v END AS v FROM p${m}v$pcaIters)",
+        s"p${m}e AS (SELECT c, v, list_reduce(list_prepend(0.0, " +
+          s"list_transform(range($dim), i -> v[CAST(i + 1 AS INT)] * " +
+          "w[CAST(i + 1 AS INT)])), (a, b) -> a + b) AS lam " +
+          s"FROM (SELECT c, v, ${mv("c", "v")} AS w FROM p${m}f) tf)",
+        s"cm${m + 1} AS (SELECT list_transform(range($dim), i -> " +
+          s"list_transform(range($dim), j -> c[CAST(i + 1 AS INT)]" +
+          "[CAST(j + 1 AS INT)] - lam * v[CAST(i + 1 AS INT)] * " +
+          s"v[CAST(j + 1 AS INT)])) AS c FROM p${m}e)")
+    }
+    (Seq(head) ++ comps).mkString(",\n")
+  }
+
   /** The F59 training cascade as a WITH-body (vocab → seg0 → per-round
     * pair-count/argmax/refold CTEs), GENERATED from `bpeMergeRounds` —
     * shared verbatim by the q_bpe_train and q_bpe_encode oracles so
@@ -733,6 +808,9 @@ object SparkEntry {
     // iteration cascade (driver eigen on the collapsed gram).
     "q_pca_power" -> ((s, d) =>
       Vectors.pcaPower(Tables.embeddings(s, d), pcaComps, pcaIters)),
+    // F65 — per-vector projection scores on the F61 basis.
+    "q_pca_project" -> ((s, d) =>
+      Vectors.pcaProject(Tables.embeddings(s, d), pcaComps, pcaIters)),
     "q_ann_topk" -> ((s, d) =>
       Vectors.bruteForceKnn(Tables.embeddings(s, d), 10, 5)),
     "q_ann_lsh" -> ((s, d) => Vectors.lshBuckets(Tables.embeddings(s, d), 8)),
@@ -3465,78 +3543,32 @@ object SparkEntry {
     // matching the Scala foldLeft — the engines agree bit-for-bit
     // before the final round(6).
     "q_pca_power" -> {
-      val dim = 64
-      def mv(c: String, v: String): String =
-        s"list_transform(range($dim), i -> list_reduce(list_prepend(0.0, " +
-          s"list_transform(range($dim), j -> $c[CAST(i + 1 AS INT)]" +
-          s"[CAST(j + 1 AS INT)] * $v[CAST(j + 1 AS INT)])), " +
-          "(a, b) -> a + b))"
-      val head =
-        s"""pair AS (
-          |  SELECT i, j,
-          |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
-          |            * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)), 4)
-          |      AS g
-          |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti,
-          |    (SELECT unnest(range($dim)) AS j) tj
-          |  WHERE i <= j GROUP BY i, j),
-          |sums AS (
-          |  SELECT i,
-          |    round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)), 4)
-          |      AS s
-          |  FROM embeddings, (SELECT unnest(range($dim)) AS i) ti
-          |  GROUP BY i),
-          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-          |cell AS (
-          |  SELECT p.i AS i, p.j AS j,
-          |    (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0) AS cv
-          |  FROM pair p JOIN sums si ON si.i = p.i
-          |    JOIN sums sj ON sj.i = p.j, nn
-          |  UNION ALL
-          |  SELECT p.j, p.i, (p.g - si.s * sj.s / nn.n) / (nn.n - 1.0)
-          |  FROM pair p JOIN sums si ON si.i = p.i
-          |    JOIN sums sj ON sj.i = p.j, nn
-          |  WHERE p.i < p.j),
-          |cm0 AS (
-          |  SELECT list(rw ORDER BY i) AS c FROM (
-          |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
-          |    rows_),
-          |trace AS (
-          |  SELECT list_reduce(list_prepend(0.0, list_transform(
-          |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
-          |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
-      val comps = (0 until pcaComps).flatMap { m =>
-        val iterBlocks = (1 to pcaIters).map { t =>
-          s"p${m}v$t AS (SELECT c, list_transform(w, x -> x / " +
-            "sqrt(list_reduce(list_prepend(0.0, list_transform(w, " +
-            "y -> y * y)), (a, b) -> a + b))) AS v " +
-            s"FROM (SELECT c, ${mv("c", "v")} AS w FROM p${m}v${t - 1}) t$t)"
-        }
-        Seq(s"p${m}v0 AS (SELECT c, list_transform(range($dim), " +
-            s"x -> 1.0) AS v FROM cm$m)") ++ iterBlocks ++ Seq(
-          s"p${m}f AS (SELECT c, CASE WHEN v[CAST(list_position(" +
-            "list_transform(v, x -> abs(x)), list_max(list_transform(v, " +
-            "x -> abs(x)))) AS INT)] < 0 THEN list_transform(v, x -> -x) " +
-            s"ELSE v END AS v FROM p${m}v$pcaIters)",
-          s"p${m}e AS (SELECT c, v, list_reduce(list_prepend(0.0, " +
-            s"list_transform(range($dim), i -> v[CAST(i + 1 AS INT)] * " +
-            "w[CAST(i + 1 AS INT)])), (a, b) -> a + b) AS lam " +
-            s"FROM (SELECT c, v, ${mv("c", "v")} AS w FROM p${m}f) tf)",
-          s"cm${m + 1} AS (SELECT list_transform(range($dim), i -> " +
-            s"list_transform(range($dim), j -> c[CAST(i + 1 AS INT)]" +
-            "[CAST(j + 1 AS INT)] - lam * v[CAST(i + 1 AS INT)] * " +
-            s"v[CAST(j + 1 AS INT)])) AS c FROM p${m}e)")
-      }
       val finals = (0 until pcaComps).map { m =>
         s"SELECT CAST($m AS BIGINT) AS comp, CAST(p AS BIGINT) AS pos, " +
           "round(v[CAST(p + 1 AS INT)], 6) AS loading, " +
           "round(lam, 6) AS eigenvalue, " +
           "round(lam / tr, 6) AS explained_share " +
-          s"FROM p${m}e, trace, (SELECT unnest(range($dim)) AS p) pp"
+          s"FROM p${m}e, trace, (SELECT unnest(range($pcaDim)) AS p) pp"
       }
-      "WITH " + (Seq(head) ++ comps).mkString(",\n") +
-        "\nSELECT * FROM (" + finals.mkString(" UNION ALL ") +
-        ") u ORDER BY comp, pos"
+      s"WITH $pcaCascadeSql\nSELECT * FROM (" +
+        finals.mkString(" UNION ALL ") + ") u ORDER BY comp, pos"
+    },
+    // F65 — projection scores from the SAME cascade (unrounded basis,
+    // the Scala twin of pcaCore); per-vector fold in ascending-index
+    // order, bit-identical to the Spark aggregate/zip_with spelling.
+    "q_pca_project" -> {
+      val scoreCols = (0 until pcaComps).map { m =>
+        s"round(list_reduce(list_prepend(0.0, list_transform(" +
+          s"range($pcaDim), i -> CAST(e.embedding[CAST(i + 1 AS INT)] " +
+          s"AS DOUBLE) * p$m.v[CAST(i + 1 AS INT)])), " +
+          s"(a, b) -> a + b), 6) AS pc$m"
+      }.mkString(",\n  ")
+      val froms = (0 until pcaComps).map(m => s"p${m}e p$m").mkString(", ")
+      s"""WITH $pcaCascadeSql
+        |SELECT e.vec_id, e.label,
+        |  $scoreCols
+        |FROM embeddings e, $froms
+        |ORDER BY e.vec_id""".stripMargin
     },
     // F60 — pair products cast float→double BEFORE multiply (exact,
     // bit-identical across engines); per-cell sums round(4).

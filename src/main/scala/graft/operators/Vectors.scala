@@ -201,9 +201,11 @@ object Vectors {
     * eliminating the ±v ambiguity. `iters` trades convergence for
     * plan size on near-flat spectra; parity holds at ANY iteration
     * count because both engines run the identical recurrence. */
-  def pcaPower(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
-               dim: Int = Dim): DataFrame = {
-    val spark = emb.sparkSession
+  /** The F61 eigen core: (unrounded loadings, eigenvalue, explained
+    * share) per component — shared by the basis report (F61) and the
+    * projection (F65) so the two cannot diverge on the recurrence. */
+  private def pcaCore(emb: DataFrame, nComp: Int, iters: Int,
+                      dim: Int): Seq[(Array[Double], Double, Double)] = {
     val gramRows = gramMatrix(emb, dim).collect()
     val n = gramRows.head.getAs[Long]("n")
     val g = Array.ofDim[Double](dim, dim)
@@ -226,9 +228,9 @@ object Vectors {
     def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(dim)(i =>
         (0 until dim).foldLeft(0.0)((a, j) => a + m(i)(j) * v(j)))
-    val out = Seq.newBuilder[(Long, Long, Double, Double, Double)]
+    val out = Seq.newBuilder[(Array[Double], Double, Double)]
     var cur = c0
-    for (m <- 0 until nComp) {
+    for (_ <- 0 until nComp) {
       var v = Array.fill(dim)(1.0)
       for (_ <- 0 until iters) {
         val w = matvec(cur, v)
@@ -241,18 +243,54 @@ object Vectors {
       val vv = v
       val w = matvec(cur, vv)
       val lam = (0 until dim).foldLeft(0.0)((a, i) => a + vv(i) * w(i))
-      for (p <- 0 until dim)
-        out += ((m.toLong, p.toLong, vv(p), lam, lam / trace))
+      out += ((vv, lam, lam / trace))
       cur = Array.tabulate(dim, dim)((i, j) =>
         cur(i)(j) - lam * vv(i) * vv(j))
     }
-    import spark.implicits._
     out.result()
-      .toDF("comp", "pos", "loading", "eigenvalue", "explained_share")
+  }
+
+  def pcaPower(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
+               dim: Int = Dim): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = pcaCore(emb, nComp, iters, dim).zipWithIndex.flatMap {
+      case ((v, lam, share), m) =>
+        (0 until dim).map(p => (m.toLong, p.toLong, v(p), lam, share))
+    }
+    rows.toDF("comp", "pos", "loading", "eigenvalue", "explained_share")
       .select(col("comp"), col("pos"), round(col("loading"), 6).as("loading"),
         round(col("eigenvalue"), 6).as("eigenvalue"),
         round(col("explained_share"), 6).as("explained_share"))
       .orderBy("comp", "pos")
+  }
+
+  /** F65 — PCA PROJECTION: every embedding's scores on the F61
+    * components — the dimensionality-reduced view (visualization,
+    * whitening, cheap pre-filters for ANN) that is the point of
+    * running PCA at all. The component basis comes from the SHARED
+    * [[pcaCore]] (unrounded loadings — rounding the basis before
+    * projecting would break parity with the oracle, which projects
+    * its own unrounded cascade output); each score is one per-row
+    * fold `Σ CAST(eᵢ AS DOUBLE)·vᵢ` with the accumulation order
+    * pinned ascending-index (`aggregate` over `zip_with`, the exact
+    * `list_reduce` order the oracle uses), so scores agree
+    * BIT-FOR-BIT before the final round(6). Shape: the distributed
+    * cost is the same two collapsed passes as F61 plus ONE narrow
+    * projection map over the embedding scan — loadings ride the plan
+    * as literals, nothing joins or shuffles. */
+  def pcaProject(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
+                 dim: Int = Dim): DataFrame = {
+    val comps = pcaCore(emb, nComp, iters, dim)
+    val scoreCols = comps.zipWithIndex.map { case ((v, _, _), m) =>
+      val basis = array(v.map(lit): _*)
+      round(aggregate(
+        zip_with(col("embedding"), basis,
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x), 6).as(s"pc$m")
+    }
+    emb.select(col("vec_id") +: col("label") +: scoreCols: _*)
+      .orderBy("vec_id")
   }
 
   /** F6 — brute-force cosine top-k: the first `nQueries` vectors are

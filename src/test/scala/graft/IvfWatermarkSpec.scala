@@ -171,4 +171,20 @@ class IvfWatermarkSpec extends SparkSpec {
     val dot01 = c0.map(_._3).zip(c1.map(_._3)).map { case (a, b) => a * b }.sum
     assert(math.abs(dot01) < 1e-3)
   }
+
+  test("pcaProject: scores recover the planted coefficients (pc0 = t, " +
+      "pc1 = q on the unit-basis construction)") {
+    val t = Seq(-2.0, -1.0, 0.0, 1.0, 2.0, -2.0, -1.0, 0.0, 1.0, 2.0)
+    val q = Seq(1.0, -1.0, -1.0, 1.0, 0.0, 1.0, -1.0, -1.0, 1.0, 0.0)
+    val emb = t.zip(q).zipWithIndex.map { case ((ti, qi), id) =>
+      (id.toLong,
+        Array((0.6 * ti).toFloat, (0.8 * ti).toFloat, qi.toFloat, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Vectors.pcaProject(emb, nComp = 2, iters = 60, dim = 4)
+      .as[(Long, Int, Double, Double)].collect().sortBy(_._1)
+    out.zipWithIndex.foreach { case ((_, _, pc0, pc1), i) =>
+      assert(math.abs(pc0 - t(i)) < 1e-3, s"pc0($i): $pc0 vs ${t(i)}")
+      assert(math.abs(pc1 - q(i)) < 1e-3, s"pc1($i): $pc1 vs ${q(i)}")
+    }
+  }
 }
