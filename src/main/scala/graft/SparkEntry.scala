@@ -539,6 +539,9 @@ object SparkEntry {
     // D41 — median realized variance (jump-robust IV) + jump share.
     "q_medrv" -> ((s, d) =>
       Microstructure.medianRealizedVariance(Tables.ticks(s, d))),
+    // D44 — BNS jump test: z-stat from RV/BV/tri-power quarticity.
+    "q_bns_jump" -> ((s, d) =>
+      Microstructure.bnsJumpTest(Tables.ticks(s, d))),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2182,6 +2185,62 @@ object SparkEntry {
         |              ORDER BY tick_id) AS prev
         |          FROM $ticksSql t) p) q) s) m
         |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
+    // D44 — BNS jump test: RV / Σ|r||r₋₁| / Σ tri-power all round(4)
+    // as aggregates (sf0.01 day sums 5.8e-6..1.25e3 — the tolerance
+    // swallows sum-order drift AND pow() libm ulps); BV/TQ multiply
+    // the rounded sums by HARD literals (π/2, μ₄⁄₃⁻³) + exact-int
+    // n_trip; z derives from the rounded aggregates with θ as the
+    // hard literal; jump_99 compares rounded z to Φ⁻¹(0.99).
+    "q_bns_jump" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
+        |  n_ret, n_trip, rv, bv, tq, z_stat,
+        |  CASE WHEN z_stat IS NOT NULL THEN z_stat > 2.3263 END
+        |    AS jump_99
+        |FROM (
+        |  SELECT symbol, _date, n_ret, n_trip, rv, bv, tq,
+        |    CASE WHEN rv > 0 AND bv > 0 AND n_ret > 0 THEN
+        |      round((1.0 - bv / rv) / sqrt(0.6089937538621326 *
+        |        greatest(1.0, tq / (bv * bv)) /
+        |        CAST(n_ret AS DOUBLE)), 4)
+        |    END AS z_stat
+        |  FROM (
+        |    SELECT symbol, _date, n_ret, n_trip, rv,
+        |      round(sum_bp * 1.5707963267948966, 4) AS bv,
+        |      round(1.7434720745319836 * CAST(n_trip AS DOUBLE) *
+        |        sum_tp, 4) AS tq
+        |    FROM (
+        |      SELECT symbol, _date,
+        |        round(sum(r * r), 4) AS rv,
+        |        round(sum(abs(r) * abs(r1)), 4) AS sum_bp,
+        |        round(sum(tp), 4) AS sum_tp,
+        |        count(r) AS n_ret,
+        |        count(tp) AS n_trip
+        |      FROM (
+        |        SELECT symbol, _date, r, r1,
+        |          CASE WHEN r IS NOT NULL AND r1 IS NOT NULL
+        |              AND r2 IS NOT NULL THEN
+        |            pow(abs(r), 1.3333333333333333) *
+        |              pow(abs(r1), 1.3333333333333333) *
+        |              pow(abs(r2), 1.3333333333333333)
+        |          END AS tp
+        |        FROM (
+        |          SELECT symbol, _date, r,
+        |            lag(r) OVER (PARTITION BY symbol, _date
+        |              ORDER BY tick_id) AS r1,
+        |            lag(r, 2) OVER (PARTITION BY symbol, _date
+        |              ORDER BY tick_id) AS r2
+        |          FROM (
+        |            SELECT symbol, _date, tick_id,
+        |              CASE WHEN prev > 0 AND bid > 0 THEN ln(bid / prev)
+        |                END AS r
+        |            FROM (
+        |              SELECT symbol, CAST(ts AS DATE) AS _date, tick_id,
+        |                bid,
+        |                lag(bid) OVER (PARTITION BY symbol,
+        |                  CAST(ts AS DATE) ORDER BY tick_id) AS prev
+        |              FROM $ticksSql t) p) q) s) u
+        |      GROUP BY symbol, _date) agg) d1) d2
         |ORDER BY symbol, date""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign
     // (IGNORE NULLS lag); persistence one IEEE division of exact ints.

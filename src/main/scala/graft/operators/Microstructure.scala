@@ -914,4 +914,68 @@ object Microstructure {
         col("med_jump_share"))
       .orderBy("symbol", "date")
   }
+
+  /** D44 — BNS JUMP TEST per (symbol, day): Barndorff-Nielsen &
+    * Shephard's ratio-statistic turning D34's RV−BV gap into an
+    * actual hypothesis test — `z = (1 − BV/RV) / √(θ·max(1, TQ/BV²)/N)`
+    * with tri-power quarticity `TQ = N·μ₄⁄₃⁻³·Σ|rᵢ₋₂|⁴ᐟ³|rᵢ₋₁|⁴ᐟ³|rᵢ|⁴ᐟ³`
+    * estimating the integrated quarticity that scales the asymptotic
+    * variance. z ≳ 2.33 rejects "no jump today" at 1% — the screen
+    * that tells D34's jump_share apart from sampling noise.
+    *
+    * Discipline: returns are the D34 spelling (guarded day-bounded
+    * ln); RV / Σ|r||r₋₁| / Σ tri-power are aggregate doubles →
+    * round(4) (measured at sf0.01: day sums 5.8e-6..1.25e3, so the
+    * 5e-5 rounding tolerance swallows both the cross-engine sum-order
+    * drift AND the pow() libm ulps — the exponent is the HARD literal
+    * 1.3333333333333333, never each engine's own 4/3). BV multiplies
+    * the rounded sum by the hard π/2 literal (D34's constant); TQ
+    * multiplies the rounded tri-power sum by hard μ₄⁄₃⁻³ =
+    * 1.7434720745319836 and exact-int N_trip, re-rounded; z derives
+    * from the ROUNDED aggregates with θ = π²/4+π−5 as the hard
+    * literal 0.6089937538621326, NULL when RV, BV or the counts
+    * can't support it. jump_99 compares the rounded z to 2.3263
+    * (Φ⁻¹(0.99)). Shape: one (symbol, day) exchange carries both lags
+    * and the aggregate — same single-exchange plan as D34/D41. */
+  def bnsJumpTest(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    val l43 = lit(1.3333333333333333)
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("prev", lag(col("bid"), 1).over(w))
+      .withColumn("r",
+        when(col("prev") > 0 && col("bid") > 0,
+          log(col("bid") / col("prev"))))
+      .withColumn("r1", lag(col("r"), 1).over(w))
+      .withColumn("r2", lag(col("r"), 2).over(w))
+      .withColumn("tp",
+        when(col("r").isNotNull && col("r1").isNotNull
+            && col("r2").isNotNull,
+          pow(abs(col("r")), l43) * pow(abs(col("r1")), l43) *
+            pow(abs(col("r2")), l43)))
+      .groupBy(col("symbol"), col("_date"))
+      .agg(
+        round(sum(col("r") * col("r")), 4).as("rv"),
+        round(sum(abs(col("r")) * abs(col("r1"))), 4).as("sum_bp"),
+        round(sum(col("tp")), 4).as("sum_tp"),
+        count(col("r")).as("n_ret"),
+        count(col("tp")).as("n_trip"))
+      .withColumn("bv", round(col("sum_bp") * lit(1.5707963267948966), 4))
+      .withColumn("tq",
+        round(lit(1.7434720745319836) * col("n_trip").cast("double") *
+          col("sum_tp"), 4))
+      .withColumn("z_stat",
+        when(col("rv") > 0 && col("bv") > 0 && col("n_ret") > 0,
+          round((lit(1.0) - col("bv") / col("rv")) /
+            sqrt(lit(0.6089937538621326) *
+              greatest(lit(1.0), col("tq") / (col("bv") * col("bv"))) /
+              col("n_ret").cast("double")), 4)))
+      .withColumn("jump_99",
+        when(col("z_stat").isNotNull, col("z_stat") > lit(2.3263)))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_ret"), col("n_trip"), col("rv"), col("bv"),
+        col("tq"), col("z_stat"), col("jump_99"))
+      .orderBy("symbol", "date")
+  }
 }

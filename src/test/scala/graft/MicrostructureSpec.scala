@@ -526,4 +526,38 @@ class MicrostructureSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("medrv")))
     assert(d2.isNullAt(d2.fieldIndex("med_jump_share")))
   }
+
+  test("bnsJumpTest: z replicates the hand-built BNS ratio statistic " +
+      "from the rounded RV/BV/TQ aggregates; pairless days NULL") {
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    // day 1: bids 1,2,1,2,1,2 → 5 returns all |ln2|, 4 bipower
+    // pairs, 3 tri-power triplets (each term = (ln2^(4/3))^3).
+    val rows = (1 to 6).map { i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:$i%02d",
+        if (i % 2 == 0) 2.00 else 1.00, 0.0)
+    } ++ Seq(
+      // day 2: 2 ticks → 1 return, 0 pairs → bv NULL → z NULL.
+      (7L, 1L, "2024-01-02 00:00:01", 1.00, 0.0),
+      (8L, 1L, "2024-01-02 00:00:02", 2.00, 0.0))
+    val out = Microstructure.bnsJumpTest(ticks(rows: _*)).collect()
+    val l2 = math.log(2.0)
+    val x = math.pow(l2, 1.3333333333333333)
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_ret") == 5L && d1.getAs[Long]("n_trip") == 3L)
+    val rv = r4(5 * l2 * l2)
+    val bv = r4(r4(4 * l2 * l2) * 1.5707963267948966)
+    val tq = r4(1.7434720745319836 * 3.0 * r4(3 * x * x * x))
+    assert(d1.getAs[Double]("rv") == rv)
+    assert(d1.getAs[Double]("bv") == bv)
+    assert(d1.getAs[Double]("tq") == tq)
+    val z = r4((1.0 - bv / rv) / math.sqrt(0.6089937538621326 *
+      math.max(1.0, tq / (bv * bv)) / 5.0))
+    assert(d1.getAs[Double]("z_stat") == z)
+    assert(d1.getAs[Boolean]("jump_99") == (z > 2.3263))
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_ret") == 1L)
+    assert(d2.isNullAt(d2.fieldIndex("bv")))
+    assert(d2.isNullAt(d2.fieldIndex("z_stat")))
+    assert(d2.isNullAt(d2.fieldIndex("jump_99")))
+  }
 }
