@@ -114,6 +114,7 @@ object SparkEntry {
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
+  val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val dupSpanW = 8              // F62 minimum duplicated-span width
   val bpeMergeRounds = 5        // F59 adaptive merge rounds
   val q6Year = 1996             // C30 shipdate year
@@ -542,6 +543,9 @@ object SparkEntry {
     // D44 — BNS jump test: z-stat from RV/BV/tri-power quarticity.
     "q_bns_jump" -> ((s, d) =>
       Microstructure.bnsJumpTest(Tables.ticks(s, d))),
+    // D45 — Bouchaud price-response function R(lag) per symbol.
+    "q_price_response" -> ((s, d) =>
+      Microstructure.responseFunction(Tables.ticks(s, d), respLags)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2242,6 +2246,39 @@ object SparkEntry {
         |              FROM $ticksSql t) p) q) s) u
         |      GROUP BY symbol, _date) agg) d1) d2
         |ORDER BY symbol, date""".stripMargin,
+    // D45 — exact int64 contributions sign·(cents_{t+l} − cents_t);
+    // the avg is one IEEE division of exact sums, UNROUNDED (D21's
+    // rule). Lead columns and union branches GENERATED from respLags
+    // so the lag list has one spelling in both engines.
+    "q_price_response" ->
+      s"""WITH base AS (
+        |  SELECT symbol, tick_id, cents,
+        |    lag(cents) OVER w AS prev,
+        |${respLags.map(l =>
+            s"    lead(cents, $l) OVER w AS fwd_$l").mkString(",\n")}
+        |  FROM (
+        |    SELECT symbol, tick_id,
+        |      CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |    FROM $ticksSql t)
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)
+        |), signed AS (
+        |  SELECT symbol, cents,
+        |    CASE WHEN prev IS NOT NULL AND cents > prev THEN 1
+        |      WHEN prev IS NOT NULL AND cents < prev THEN -1
+        |    END AS sign,
+        |${respLags.map(l => s"    fwd_$l").mkString(",\n")}
+        |  FROM base
+        |), u AS (
+        |${respLags.map(l =>
+            s"""  SELECT symbol, $l AS lag,
+              |    CASE WHEN sign IS NOT NULL AND fwd_$l IS NOT NULL
+              |      THEN sign * (fwd_$l - cents) END AS contrib
+              |  FROM signed""".stripMargin).mkString("\n  UNION ALL\n")}
+        |)
+        |SELECT symbol, lag, count(contrib) AS n_obs,
+        |  avg(contrib) AS resp_cents
+        |FROM u GROUP BY symbol, lag
+        |ORDER BY symbol, lag""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign
     // (IGNORE NULLS lag); persistence one IEEE division of exact ints.
     "q_sign_persistence" ->

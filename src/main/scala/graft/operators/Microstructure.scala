@@ -978,4 +978,47 @@ object Microstructure {
         col("tq"), col("z_stat"), col("jump_99"))
       .orderBy("symbol", "date")
   }
+
+  /** D45 — PRICE-RESPONSE FUNCTION per symbol: Bouchaud's lagged
+    * impact curve `R(ℓ) = E[εₜ·(pₜ₊ℓ − pₜ)]` — the average price move
+    * ℓ ticks after a signed trade, in the trade's direction. Kyle's
+    * lambda (D24) measures CONTEMPORANEOUS impact; R(ℓ)'s growth/decay
+    * across ℓ separates permanent impact from transient bounce-back —
+    * the market-maker's inventory-risk curve.
+    *
+    * Signs are the bare tick rule on exact integer cents (zero moves
+    * and first ticks carry no sign and join no average — unlike D32
+    * there is no carry: R(ℓ) conditions on a move AT t). Every
+    * contribution `sign·(centsₜ₊ℓ − centsₜ)` is exact int64; the per
+    * (symbol, lag) average is ONE IEEE division of exact sums (D21's
+    * rule — emitted unrounded; integer-valued doubles add exactly in
+    * any order below 2⁵³, the G22 argument). Shape: ONE symbol-ordered
+    * window pass computes the sign and every lead, a `stack` unpivots
+    * to (lag, contrib) rows, one aggregate — the lag list multiplies
+    * output rows, never window passes. */
+  def responseFunction(ticks: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1: $lags")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val base = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("sign",
+        when(col("prev").isNotNull && col("cents") > col("prev"), 1L)
+          .when(col("prev").isNotNull && col("cents") < col("prev"), -1L))
+    val withFwd = lags.foldLeft(base) { (df, l) =>
+      df.withColumn(s"fwd_$l", lead(col("cents"), l).over(w))
+    }
+    val stacked = lags.map { l =>
+      s"$l, CASE WHEN sign IS NOT NULL AND fwd_$l IS NOT NULL " +
+        s"THEN sign * (fwd_$l - cents) END"
+    }.mkString(", ")
+    withFwd
+      .select(col("symbol"),
+        expr(s"stack(${lags.size}, $stacked) AS (lag, contrib)"))
+      .groupBy("symbol", "lag")
+      .agg(count(col("contrib")).as("n_obs"),
+        avg(col("contrib")).as("resp_cents"))
+      .orderBy("symbol", "lag")
+  }
 }

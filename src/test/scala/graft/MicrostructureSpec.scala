@@ -560,4 +560,28 @@ class MicrostructureSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("z_stat")))
     assert(d2.isNullAt(d2.fieldIndex("jump_99")))
   }
+
+  test("responseFunction: hand-built R(1)/R(2) — zero moves and the " +
+      "first tick carry no sign, tail ticks without the lead drop") {
+    // cents: 100, 102, 101, 103, 103, 105
+    // signs:   -,  +1,  -1,  +1,   -,  +1 (t5 zero move, t1 first)
+    val out = Microstructure.responseFunction(ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 1.02, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.01, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 1.03, 0.0),
+      (5L, 1L, "2024-01-01 00:00:05", 1.03, 0.0),
+      (6L, 1L, "2024-01-01 00:00:06", 1.05, 0.0)), Seq(1, 2)).collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Int]("lag") == 1)
+    // t2: +1·(101−102) = −1; t3: −1·(103−101) = −2; t4: +1·0 = 0
+    assert(r1.getAs[Long]("n_obs") == 3L)
+    assert(r1.getAs[Double]("resp_cents") == -1.0)
+    val r2 = out(1)
+    assert(r2.getAs[Int]("lag") == 2)
+    // t2: +1·(103−102) = 1; t3: −1·(103−101) = −2; t4: +1·(105−103) = 2
+    assert(r2.getAs[Long]("n_obs") == 3L)
+    assert(r2.getAs[Double]("resp_cents") == 1.0 / 3.0)
+  }
 }
