@@ -115,6 +115,7 @@ object SparkEntry {
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
+  val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val dupSpanW = 8              // F62 minimum duplicated-span width
   val bpeMergeRounds = 5        // F59 adaptive merge rounds
   val q6Year = 1996             // C30 shipdate year
@@ -834,6 +835,9 @@ object SparkEntry {
     // F40 — conditional bigram-LM surprisal (the ≥2-gram quality rung).
     "q_bigram_surprisal" -> ((s, d) =>
       LangModel.bigramSurprisal(Tables.documents(s, d))),
+    // F66 — Kneser-Ney smoothed bigram surprisal (continuation counts).
+    "q_kn_surprisal" -> ((s, d) =>
+      LangModel.knSurprisal(Tables.documents(s, d), knDiscount)),
     // F42 — top-256 vocab coverage / per-doc OOV rate.
     "q_vocab_coverage" -> ((s, d) =>
       LangModel.vocabCoverage(Tables.documents(s, d), 256)),
@@ -4428,6 +4432,47 @@ object SparkEntry {
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
         |  per.avg_cond_surprisal
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+    },
+    // F66 — interpolated Kneser-Ney: all counts exact int64 (c2,
+    // c_head, the N1+ continuation counts, B); the probability is ONE
+    // identically-spelled IEEE expression with the hoisted discount
+    // literal; self-scoring keeps c2 >= 1 > D so it is strictly
+    // positive; per-doc mean round(4).
+    "q_kn_surprisal" -> {
+      import graft.functions.PortableText._
+      s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, length(tk)),
+        |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]))
+        |      AS bigram
+        |  FROM tk),
+        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY bigram),
+        |hd AS (SELECT split_part(bigram, ' ', 1) AS head,
+        |    CAST(sum(c2) AS BIGINT) AS c_head,
+        |    CAST(count(*) AS BIGINT) AS n1_head
+        |  FROM c2 GROUP BY split_part(bigram, ' ', 1)),
+        |ct AS (SELECT split_part(bigram, ' ', 2) AS tail,
+        |    CAST(count(*) AS BIGINT) AS n1_cont
+        |  FROM c2 GROUP BY split_part(bigram, ' ', 2)),
+        |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2),
+        |sc AS (SELECT bg.doc_id,
+        |    -ln((CAST(c2.c2 AS DOUBLE) - $knDiscount +
+        |      $knDiscount * CAST(hd.n1_head AS DOUBLE) *
+        |        (CAST(ct.n1_cont AS DOUBLE) /
+        |          CAST(ty.n_types AS DOUBLE))) /
+        |      CAST(hd.c_head AS DOUBLE)) AS nll
+        |  FROM bg JOIN c2 USING (bigram)
+        |  JOIN hd ON hd.head = split_part(bg.bigram, ' ', 1)
+        |  JOIN ct ON ct.tail = split_part(bg.bigram, ' ', 2)
+        |  CROSS JOIN ty),
+        |per AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(nll), 4) AS avg_kn_surprisal
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+        |  per.avg_kn_surprisal
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin
     },

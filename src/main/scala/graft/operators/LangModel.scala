@@ -215,4 +215,64 @@ object LangModel {
         col("avg_w_bp"))
       .orderBy("doc_id")
   }
+
+  /** F66 — KNESER-NEY SMOOTHED BIGRAM SURPRISAL per document: F40's
+    * raw conditional model upgraded to interpolated KN — THE n-gram
+    * smoothing (Chen & Goodman 1999) every KenLM filter actually
+    * ships. The fix over raw counts: a bigram's backoff mass goes to
+    * words by how many CONTEXTS they follow, not raw frequency
+    * ("Francisco" is frequent but only ever follows "San" — KN
+    * backoff scores it low in new contexts):
+    *
+    * `P(w₂|w₁) = (c(w₁w₂) − D + D·N₁₊(w₁·)·(N₁₊(·w₂)/B)) / c(w₁)`
+    *
+    * with D the absolute discount, N₁₊(w₁·) distinct continuations
+    * of w₁, N₁₊(·w₂) distinct contexts preceding w₂, B total distinct
+    * bigram types. Self-scoring keeps c(w₁w₂) ≥ 1 > D so the max(·,0)
+    * clamp is vacuous and the probability is strictly positive.
+    *
+    * Scale shape (F40's): bigram explode → ONE bigram-keyed aggregate
+    * (vocab²-bounded, map-side combined); N₁₊/c(w₁) aggregates OF
+    * that aggregate (head- and tail-keyed, vocab-sized); B a one-row
+    * broadcast; score join back on bigram/head/tail keys — never a
+    * driver vocabulary. Engine-exactness: all counts exact int64;
+    * the probability is ONE identically-spelled IEEE expression of
+    * cast counts and the hoisted discount literal; ln per D3; per-doc
+    * mean round(4); token-less docs 0/NULL via left join. */
+  def knSurprisal(docs: DataFrame, discount: Double): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    graft.functions.WordGrams.register(docs.sparkSession)
+    val bigrams = docs.select(col("doc_id"),
+      explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+    val c2 = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .localCheckpoint(true)
+    val heads = c2
+      .groupBy(expr("split_part(bigram, ' ', 1)").as("head"))
+      .agg(sum("c2").as("c_head"), count(lit(1)).as("n1_head"))
+    val conts = c2
+      .groupBy(expr("split_part(bigram, ' ', 2)").as("tail"))
+      .agg(count(lit(1)).as("n1_cont"))
+    val types = c2.agg(count(lit(1)).as("n_types"))
+    val d = lit(discount)
+    val perDoc = bigrams
+      .join(c2, "bigram")
+      .withColumn("head", expr("split_part(bigram, ' ', 1)"))
+      .withColumn("tail", expr("split_part(bigram, ' ', 2)"))
+      .join(heads, "head")
+      .join(conts, "tail")
+      .crossJoin(broadcast(types))
+      .withColumn("nll",
+        -log((col("c2").cast("double") - d +
+          d * col("n1_head").cast("double") *
+            (col("n1_cont").cast("double") / col("n_types").cast("double"))) /
+          col("c_head").cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_kn_surprisal"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_kn_surprisal"))
+      .orderBy("doc_id")
+  }
 }

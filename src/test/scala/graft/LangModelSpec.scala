@@ -163,4 +163,26 @@ class LangModelSpec extends SparkSpec {
       (1L, "T", 2L, 40000L, 20000.0),
       (2L, "W", 2L, 0L, 0.0)))
   }
+
+  test("knSurprisal: hand-built interpolated-KN probabilities; " +
+      "empty doc keeps its row with NULL score") {
+    // corpus bigrams: "a b"×2 (doc 1), "b a"×1 (doc 1), "a c"×1
+    // (doc 2) → B = 3 types; heads: a(c=3, n1=2), b(c=1, n1=1);
+    // continuations: a,b,c each follow exactly 1 distinct head.
+    val out = LangModel.knSurprisal(
+      docs((1L, "a b a b"), (2L, "a c"), (3L, "")), 0.75).collect()
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val pAB = (2.0 - 0.75 + 0.75 * 2.0 * (1.0 / 3.0)) / 3.0
+    val pBA = (1.0 - 0.75 + 0.75 * 1.0 * (1.0 / 3.0)) / 1.0
+    val pAC = (1.0 - 0.75 + 0.75 * 2.0 * (1.0 / 3.0)) / 3.0
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    assert(out(0).getAs[Double]("avg_kn_surprisal") ==
+      r4((-math.log(pAB) * 2 - math.log(pBA)) / 3.0))
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Double]("avg_kn_surprisal") == r4(-math.log(pAC)))
+    assert(out(2).getAs[Long]("n_bigrams") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("avg_kn_surprisal")))
+    // KN sanity: the smoothed conditional masses of head 'a' sum < 1.
+    assert(pAB + pAC < 1.0)
+  }
 }
