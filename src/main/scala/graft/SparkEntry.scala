@@ -116,6 +116,11 @@ object SparkEntry {
   val zipfTopK = 100            // F57 tokens in the fit
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
+  val packWidths: Seq[Int] = Seq(16, 32, 64) // F67 bucket widths; the
+                                // last is the truncation context (64
+                                // keeps all three buckets AND the
+                                // cap non-vacuous: corpus token
+                                // counts span 10..99 at the gate SFs)
   val dupSpanW = 8              // F62 minimum duplicated-span width
   val bpeMergeRounds = 5        // F59 adaptive merge rounds
   val q6Year = 1996             // C30 shipdate year
@@ -912,6 +917,10 @@ object SparkEntry {
       CorpusPipeline.capPerSource(Tables.documents(s, d), 10)),
     "q_pack_sequences" -> ((s, d) =>
       CorpusPipeline.packSequences(Tables.documents(s, d), 512, 4)),
+    // F67 — length-bucket packing audit: padding waste per bucket vs
+    // pad-to-max, exact int64 slots.
+    "q_length_buckets" -> ((s, d) =>
+      CorpusPipeline.lengthBucketAudit(Tables.documents(s, d), packWidths)),
     "q_token_budget" -> ((s, d) =>
       CorpusPipeline.tokenBudgetPerSource(Tables.documents(s, d), 1000L)),
     // F29 — RAG chunking: 32-token windows, 8 shared between
@@ -3538,6 +3547,32 @@ object SparkEntry {
         |   FROM (VALUES (5), (10), (20), (40)) AS t(min_tokens)) t
         |GROUP BY source, min_tokens
         |ORDER BY source, min_tokens""".stripMargin
+    },
+    // F67 — bucket ladder GENERATED once (CorpusPipeline
+    // .widthLadderSql) and run verbatim by both engines; slot math
+    // exact int64; the two waste shares single IEEE divisions,
+    // unrounded.
+    "q_length_buckets" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT least(CAST(length($duckTokens) AS BIGINT),
+        |    ${packWidths.last}) AS t FROM documents),
+        |b AS (SELECT ${CorpusPipeline.widthLadderSql("t", packWidths)}
+        |    AS bucket_len, t FROM t),
+        |agg AS (SELECT bucket_len, count(*) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY bucket_len)
+        |SELECT bucket_len, n_docs, sum_tokens,
+        |  CAST(bucket_len AS BIGINT) * n_docs - sum_tokens AS pad_slots,
+        |  CAST(CAST(bucket_len AS BIGINT) * n_docs - sum_tokens
+        |      AS DOUBLE) /
+        |    CAST(CAST(bucket_len AS BIGINT) * n_docs AS DOUBLE)
+        |    AS waste_share,
+        |  ${packWidths.last} * n_docs - sum_tokens AS flat_pad_slots,
+        |  CAST(${packWidths.last} * n_docs - sum_tokens AS DOUBLE) /
+        |    CAST(${packWidths.last} * n_docs AS DOUBLE)
+        |    AS flat_waste_share
+        |FROM agg
+        |ORDER BY bucket_len""".stripMargin
     },
     // F54 — top-k share exact int64 bps (total-ordered head), HHI =
     // Σf²/N² with N² one IEEE multiply of the same exact int.

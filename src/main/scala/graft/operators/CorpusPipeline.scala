@@ -656,4 +656,52 @@ object CorpusPipeline {
         expr("(n_docs_kept * 10000) DIV n_docs_total"))
       .orderBy("source", "min_tokens")
   }
+
+  /** The F67 bucket-assignment CASE ladder over a (pre-capped) token
+    * count column — ONE spelling shared by the Spark operator and the
+    * DuckDB oracle (both engines run this generated SQL verbatim), so
+    * the bucket boundaries cannot drift. Widths must be ascending;
+    * the final ELSE is the largest width (unreachable once the count
+    * is capped to it, but total). */
+  def widthLadderSql(colName: String, widths: Seq[Int]): String = {
+    require(widths.nonEmpty && widths == widths.sorted && widths.distinct == widths,
+      s"widths must be ascending and distinct: $widths")
+    widths.init.map(w => s"WHEN $colName <= $w THEN $w")
+      .mkString("CASE ", " ", s" ELSE ${widths.last} END")
+  }
+
+  /** F67 — LENGTH-BUCKET PACKING AUDIT: the batch-shape decision every
+    * training pipeline makes before F20 packs anything — bucket docs
+    * by (truncated) token length into power-of-two-ish context
+    * widths, and measure the padding each bucket pays vs padding
+    * EVERYTHING to the max context (the naive collator). Output per
+    * bucket: doc count, real tokens, pad slots, waste share, plus the
+    * same two under pad-to-max — the bucketing-vs-flat saving the
+    * audit exists to quantify.
+    *
+    * All arithmetic exact int64 (token counts capped at maxLen =
+    * the last width, Σ over buckets, width·n_docs slot totals); the
+    * two waste shares are single IEEE divisions of exact ints,
+    * UNROUNDED (D21's rule). One aggregate over the bucket key —
+    * |widths| output rows; the ladder is a generated CASE both
+    * engines run verbatim ([[widthLadderSql]]). */
+  def lengthBucketAudit(docs: DataFrame, widths: Seq[Int]): DataFrame = {
+    val maxLen = widths.last
+    docs
+      .select(least(expr(s"size($tokens)"), lit(maxLen)).cast("long").as("t"))
+      .withColumn("bucket_len", expr(widthLadderSql("t", widths)))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+      .withColumn("pad_slots",
+        col("bucket_len").cast("long") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_share",
+        col("pad_slots").cast("double") /
+          (col("bucket_len").cast("long") * col("n_docs")).cast("double"))
+      .withColumn("flat_pad_slots",
+        lit(maxLen.toLong) * col("n_docs") - col("sum_tokens"))
+      .withColumn("flat_waste_share",
+        col("flat_pad_slots").cast("double") /
+          (lit(maxLen.toLong) * col("n_docs")).cast("double"))
+      .orderBy("bucket_len")
+  }
 }

@@ -385,4 +385,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(("s2", 3L)) == ((1L, 4L, 10000L)))
     assert(out(("s2", 5L)) == ((0L, 0L, 0L)))
   }
+
+  test("lengthBucketAudit: ladder assigns the smallest covering width, " +
+      "over-long docs truncate to the last width, waste is exact") {
+    // token counts: 2 → bucket 4; 4 → bucket 4; 5 → bucket 8;
+    // 11 → capped at 8 → bucket 8 (zero pad).
+    val docs = docsFrom(
+      1L -> "a b",
+      2L -> "a b c d",
+      3L -> "a b c d e",
+      4L -> ("t " * 11).trim)
+    val out = CorpusPipeline.lengthBucketAudit(docs, Seq(4, 8)).collect()
+    assert(out.length == 2)
+    val b4 = out(0)
+    assert(b4.getAs[Int]("bucket_len") == 4)
+    assert(b4.getAs[Long]("n_docs") == 2L &&
+      b4.getAs[Long]("sum_tokens") == 6L)
+    assert(b4.getAs[Long]("pad_slots") == 2L)
+    assert(b4.getAs[Double]("waste_share") == 2.0 / 8.0)
+    assert(b4.getAs[Long]("flat_pad_slots") == 10L)
+    assert(b4.getAs[Double]("flat_waste_share") == 10.0 / 16.0)
+    val b8 = out(1)
+    assert(b8.getAs[Int]("bucket_len") == 8)
+    // counts 5 + capped 8 = 13 tokens in 16 slots.
+    assert(b8.getAs[Long]("n_docs") == 2L &&
+      b8.getAs[Long]("sum_tokens") == 13L)
+    assert(b8.getAs[Long]("pad_slots") == 3L)
+    assert(b8.getAs[Double]("waste_share") == 3.0 / 16.0)
+    assert(b8.getAs[Long]("flat_pad_slots") == 3L)
+    assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
+  }
 }
