@@ -116,6 +116,19 @@ object SparkEntry {
   val zipfTopK = 100            // F57 tokens in the fit
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
+  val auditQueries: Seq[String] =          // F68 multi-term queries —
+    // each mixes the one RARE corpus term ('dup', df≈5% of docs) with
+    // common terms (df≈78%) so the idf weighting actually reorders
+    // vs the raw-hit ideal (probed: all-common queries give NDCG
+    // 1.0000 at every SF — vacuous).
+    Seq("dup data", "dup scan small", "dup join slow batch")
+  val auditK = 10                          // F68 NDCG cutoff
+  /** F68's (query_id, query, term) map as a VALUES body — generated
+    * from `auditQueries` so both engines rank the SAME term sets. */
+  val auditQueriesSql: String = auditQueries.zipWithIndex.flatMap {
+    case (q, i) =>
+      q.split(' ').filter(_.nonEmpty).distinct.map(t => s"($i, '$q', '$t')")
+  }.mkString(", ")
   val packWidths: Seq[Int] = Seq(16, 32, 64) // F67 bucket widths; the
                                 // last is the truncation context (64
                                 // keeps all three buckets AND the
@@ -931,6 +944,9 @@ object SparkEntry {
     // one rare token (df ~25 vs ~390 for the rest) so idf ordering is
     // actually exercised; 'xyzzy' hits nothing (dropped by the df
     // join, not scored zero).
+    // F68 — NDCG@k of the idf-weighted ranking vs the raw-tf ideal.
+    "q_ranking_audit" -> ((s, d) =>
+      Retrieval.rankingAudit(Tables.documents(s, d), auditQueries, auditK)),
     "q_term_search" -> ((s, d) =>
       Retrieval.termSearch(Tables.documents(s, d), "dup scan spark xyzzy", 15)),
     // F33 — hybrid retrieval: top-20 lexical candidates re-ranked by
@@ -4692,6 +4708,50 @@ object SparkEntry {
     // Quantized linear-idf relevance: weight = (N*1000) // df (exact
     // int), score = sum(tf*weight) — reduction-order-free, so the
     // engines agree bit-for-bit. Top-15 by (score DESC, doc_id).
+    // F68 — the (query, term) map is GENERATED from auditQueries;
+    // tf/df/score reuse F28's exact-int spelling; discounts use the
+    // hard ln2 literal; DCG/IDCG round(4), NDCG from the rounded pair.
+    "q_ranking_audit" -> {
+      import graft.functions.PortableText._
+      s"""WITH qm AS (SELECT * FROM (VALUES $auditQueriesSql)
+        |    AS v(query_id, query, term)),
+        |tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |tf AS (SELECT qm.query_id, qm.query, tok.doc_id, qm.term,
+        |    count(*) AS tf
+        |  FROM tok JOIN qm ON qm.term = tok.tok
+        |  GROUP BY qm.query_id, qm.query, tok.doc_id, qm.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT term, doc_id FROM tf) x GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |per AS (SELECT query_id, query, doc_id,
+        |    CAST(sum(tf * ((n_docs * 1000) // df)) AS BIGINT) AS score,
+        |    CAST(sum(tf) AS BIGINT) AS rel
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |  GROUP BY query_id, query, doc_id),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk_score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rel DESC, doc_id) AS rnk_ideal
+        |  FROM per),
+        |d AS (SELECT query_id, query,
+        |    round(sum(CAST(rel AS DOUBLE) * 0.6931471805599453 /
+        |      ln(CAST(rnk_score AS DOUBLE) + 1.0)), 4) AS dcg,
+        |    count(*) AS n_ranked
+        |  FROM rk WHERE rnk_score <= $auditK GROUP BY query_id, query),
+        |i AS (SELECT query_id,
+        |    round(sum(CAST(rel AS DOUBLE) * 0.6931471805599453 /
+        |      ln(CAST(rnk_ideal AS DOUBLE) + 1.0)), 4) AS idcg
+        |  FROM rk WHERE rnk_ideal <= $auditK GROUP BY query_id),
+        |c AS (SELECT query_id, count(*) AS n_cand FROM rk
+        |  GROUP BY query_id)
+        |SELECT d.query_id, d.query, c.n_cand, d.n_ranked, d.dcg,
+        |  i.idcg,
+        |  CASE WHEN i.idcg > 0 THEN round(d.dcg / i.idcg, 4) END AS ndcg
+        |FROM d JOIN i USING (query_id) JOIN c USING (query_id)
+        |ORDER BY d.query_id""".stripMargin
+    },
     "q_term_search" -> {
       import graft.functions.PortableText._
       s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS token

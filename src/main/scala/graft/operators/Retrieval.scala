@@ -119,4 +119,76 @@ object Retrieval {
         col("term_score"), round(col("cs"), 4).as("cos_sim"))
       .orderBy("rnk")
   }
+
+  /** F68 — RANKING-QUALITY AUDIT: NDCG@k of F28's idf-weighted
+    * ranking against the raw-hit-count ideal — the eval loop every
+    * retrieval stack runs before trusting its ranker (F58 is the
+    * vector twin: ANN recall vs exact). Gain = Σ query-term tf (exact
+    * int); the audit asks how much of the total-hit mass the idf
+    * weighting's REORDERING forfeits: NDCG@k = DCG@k(ranking by
+    * score) / DCG@k(ranking by gain). Single-term queries are
+    * vacuously 1.0 (score is monotone in tf) — callers pass
+    * multi-term queries.
+    *
+    * Shape: ONE corpus scan — the (query, term) map rides a broadcast
+    * join that filters the exploded tokens to query terms BEFORE any
+    * aggregation (F28's inverted-index discipline); tf/df/score reuse
+    * F28's exact-int spelling. The two rankings are row_numbers over
+    * per-QUERY windows (parallel across queries; candidates = docs
+    * with ≥ 1 hit — at 100 TB you'd pre-cut by the rarest term's
+    * posting list before ranking, same as F28's k-row discipline).
+    * Discounts `gain·ln2/ln(r+1)` with the HARD ln2 literal; DCG/IDCG
+    * aggregate ≤ k doubles → round(4); NDCG derives from the rounded
+    * pair. A query with no matching docs emits no row (spec'd). */
+  def rankingAudit(docs: DataFrame, queries: Seq[String], k: Int = 10,
+                   scale: Long = 1000L): DataFrame = {
+    require(queries.nonEmpty && k > 0 && scale > 0,
+      s"need queries and k, scale > 0: $queries, $k, $scale")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val qmap = queries.zipWithIndex.flatMap { case (q, i) =>
+      q.split(' ').filter(_.nonEmpty).distinct.map(t => (i, q, t))
+    }
+    val qdf = broadcast(qmap.toDF("query_id", "query", "term"))
+    val tf = docs
+      .select(col("doc_id"), explode(expr(tokens)).as("term"))
+      .join(qdf, "term")
+      .groupBy("query_id", "query", "doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("w", expr(s"(n_docs * $scale) div df"))
+      .groupBy("query_id", "query", "doc_id")
+      .agg(sum(expr("tf * w")).as("score"), sum("tf").as("rel"))
+    val wScore = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val ranked = perDoc
+      .withColumn("rnk_score", row_number().over(wScore))
+      .withColumn("rnk_ideal", row_number().over(wIdeal))
+      .localCheckpoint(true)
+    def discounted(rnk: String) =
+      round(sum(col("rel").cast("double") * lit(0.6931471805599453) /
+        log(col(rnk).cast("double") + lit(1.0))), 4)
+    val dcg = ranked.filter(col("rnk_score") <= k)
+      .groupBy("query_id", "query")
+      .agg(discounted("rnk_score").as("dcg"),
+        count(lit(1)).as("n_ranked"))
+    val idcg = ranked.filter(col("rnk_ideal") <= k)
+      .groupBy("query_id")
+      .agg(discounted("rnk_ideal").as("idcg"))
+    val cand = ranked.groupBy("query_id").agg(count(lit(1)).as("n_cand"))
+    dcg.join(idcg, "query_id").join(cand, "query_id")
+      .withColumn("ndcg",
+        when(col("idcg") > 0, round(col("dcg") / col("idcg"), 4)))
+      .select(col("query_id"), col("query"), col("n_cand"),
+        col("n_ranked"), col("dcg"), col("idcg"), col("ndcg"))
+      .orderBy("query_id")
+  }
 }

@@ -58,6 +58,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out.last._3.isEmpty)
   }
 
+  test("rankingAudit: idf reordering vs raw-hit ideal gives the " +
+      "hand-built NDCG < 1; zero-hit queries emit no row") {
+    // N=4; df(rare)=1 → w=4000; df(common)=3 → w=1333.
+    // scores: d1=4000 (rel 1), d2=3999 (rel 3), d3=d4=1333 (rel 1)
+    // score order: d1, d2, … — ideal order: d2, d1, ….
+    val c4 = docsFrom(
+      1L -> "rare",
+      2L -> "common common common",
+      3L -> "common",
+      4L -> "common x")
+    val out = Retrieval.rankingAudit(c4, Seq("rare common", "zzz qqq"),
+      k = 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val ln2 = 0.6931471805599453
+    val dcg = r4(1.0 * ln2 / math.log(2.0) + 3.0 * ln2 / math.log(3.0))
+    val idcg = r4(3.0 * ln2 / math.log(2.0) + 1.0 * ln2 / math.log(3.0))
+    assert(r.getAs[Int]("query_id") == 0)
+    assert(r.getAs[Long]("n_cand") == 4L && r.getAs[Long]("n_ranked") == 2L)
+    assert(r.getAs[Double]("dcg") == dcg)
+    assert(r.getAs[Double]("idcg") == idcg)
+    assert(r.getAs[Double]("ndcg") == r4(dcg / idcg))
+    assert(r.getAs[Double]("ndcg") < 1.0)
+  }
+
   test("termSearch repeated query tokens count once (distinct terms)") {
     val a = Retrieval.termSearch(corpus, "apple apple banana", k = 10)
       .as[(Int, Long, Long, Long)].collect().toSeq
