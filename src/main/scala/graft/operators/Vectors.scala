@@ -153,11 +153,22 @@ object Vectors {
     * Shape: one generator (row → d(d+1)/2 pair structs) feeding a
     * partial-aggregated groupBy — ONE exchange of a
     * dimension-bounded frame. */
+  /** The F60 aggregation as an UN-collected one-row frame — the
+    * measurement seam H8's proof drives: running this and reading the
+    * plan's exchange `dataSize` metric shows the shuffle payload is
+    * the flat buffer (per task), invariant in row count. */
+  private[graft] def gramBuffer(emb: DataFrame, dim: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("embedding").as[Seq[Float]])
+      .select(new GramAggregator(dim).toColumn.name("b"))
+      .toDF("b")
+  }
+
   def gramMatrix(emb: DataFrame, dim: Int = Dim): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val buf = emb.select(col("embedding").as[Seq[Float]])
-      .select(new GramAggregator(dim).toColumn.name("b")).head()
+    val buf = gramBuffer(emb, dim).as[Seq[Double]].head()
     val n = buf.last.toLong
     val rows = Seq.newBuilder[(Long, Long, Long, Double)]
     var k = 0

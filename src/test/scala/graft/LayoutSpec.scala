@@ -121,4 +121,44 @@ class LayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     }
   }
+
+  test("H8: the F60 gram Aggregator's shuffle payload is N-INVARIANT " +
+      "— measured exchange dataSize flat under 10x the rows") {
+    // The 100 TB covariance claim (SURVEY §5) as a measurement: the
+    // typed Aggregator ships ONE flat d(d+1)/2+1 buffer per task
+    // through the exchange, so 10x the rows at the same partition
+    // count must move the SAME shuffle bytes. AQE off so the plan
+    // keeps a plain ShuffleExchangeExec whose dataSize metric we can
+    // read after the action (H6 documented that AQE re-wraps plans).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffleBytes(n: Long): Long = {
+        // range with pinned partitions — NO repartition: its exchange
+        // would scale with N and pollute the measurement (observed:
+        // 165 KB -> 453 KB with repartition(8) in the pipeline).
+        val emb = spark.range(0, n, 1, 8)
+          .select(expr("transform(sequence(0, 63), i -> " +
+            "CAST(id % 7 + i AS FLOAT))").as("embedding"))
+        val df = graft.operators.Vectors.gramBuffer(emb, 64)
+        val qe = df.queryExecution
+        df.collect()
+        val sizes = qe.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.metrics("dataSize").value
+        }
+        assert(sizes.nonEmpty, "no exchange in the aggregation plan")
+        sizes.sum
+      }
+      val small = shuffleBytes(2000L)
+      val big = shuffleBytes(20000L)
+      // 8 buffers of (64*65/2 + 1) doubles ≈ 17 KB each; allow serde
+      // overhead but demand N-invariance: 10x rows < 1.2x bytes.
+      assert(small > 8 * 2081 * 8 / 2, s"implausibly small: $small")
+      assert(big.toDouble < small.toDouble * 1.2,
+        s"shuffle payload scaled with N: $small -> $big")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }
