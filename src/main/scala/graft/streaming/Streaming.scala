@@ -885,4 +885,69 @@ object Streaming {
           .as("token"))
         .withColumn("h", expr("graft_polyhash(token)")))
   }
+
+  case class RespEntry(cents: Long, sign: Long)
+  case class RespState(recent: Seq[RespEntry],
+                       counts: Seq[Long], sums: Seq[Long])
+  case class RespPoint(symbol: Long, lag: Int, n_obs: Long,
+                       resp_cents: Double)
+
+  /** G24 — STREAMING PRICE-RESPONSE FUNCTION: D45's live twin — the
+    * running R(ℓ) curve updated the moment the ℓ-ahead price arrives,
+    * the market-maker's impact monitor as a live gauge instead of a
+    * nightly batch. State per symbol = a ring of the last max(lags)
+    * (cents, sign) registers + one exact-int64 (count, sum) pair per
+    * lag — BOUNDED BY PARAMETERS, independent of rate (the G21
+    * discipline); D45's lead windows never materialize. Each arrival
+    * settles every ring entry exactly ℓ back (its forward move is now
+    * known), then joins the ring with its own tick-rule sign (zero
+    * moves and first ticks sign 0 = never settle, matching the batch
+    * NULL). Emitted points divide the exact sums per arrival; parity:
+    * the last point per (symbol, lag) == the batch row EXACTLY —
+    * same ints, same single IEEE division. */
+  def responsePoints(ticks: Dataset[Tick], lags: Seq[Int])
+      : Dataset[RespPoint] = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1: $lags")
+    import ticks.sparkSession.implicits._
+    val maxLag = lags.max
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[RespState]) =>
+          var s = state.getOption.getOrElse(RespState(Seq.empty,
+            lags.map(_ => 0L), lags.map(_ => 0L)))
+          var out = List.empty[RespPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            var counts = s.counts
+            var sums = s.sums
+            lags.zipWithIndex.foreach { case (l, i) =>
+              if (s.recent.length >= l) {
+                val past = s.recent(l - 1)
+                if (past.sign != 0L) {
+                  counts = counts.updated(i, counts(i) + 1L)
+                  sums = sums.updated(i,
+                    sums(i) + past.sign * (c - past.cents))
+                }
+              }
+            }
+            val sign =
+              if (s.recent.isEmpty) 0L
+              else if (c > s.recent.head.cents) 1L
+              else if (c < s.recent.head.cents) -1L
+              else 0L
+            s = RespState((RespEntry(c, sign) +: s.recent).take(maxLag),
+              counts, sums)
+            lags.zipWithIndex.foreach { case (l, i) =>
+              if (counts(i) > 0L)
+                out = RespPoint(symbol, l, counts(i),
+                  sums(i).toDouble / counts(i).toDouble) :: out
+            }
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
 }

@@ -729,6 +729,44 @@ class StreamingSpec extends SparkSpec {
     assert(lastPoint.ex_kurtosis == b1.getAs[Double]("ex_kurtosis"))
   }
 
+  test("G24 parity: last streamed response point per (symbol, lag) == " +
+      "the batch responseFunction row; zero-move ticks never settle") {
+    import graft.streaming.Streaming.RespPoint
+    val ticks = (1L to 24L).map { i =>
+      // varied moves incl. repeats (i=7,8 equal → a zero-move tick)
+      val c = 1000 + ((i * 131) % 170) - 85 + (if (i == 8) (7 * 131) % 170 - ((8 * 131) % 170) else 0)
+      Tick(i, 1L, t(f"2024-01-01 00:00:${i % 60}%02d"), c / 100.0)
+    } ++ (1L to 9L).map { i =>
+      Tick(100L + i, 2L, t(f"2024-01-01 00:01:${i % 60}%02d"),
+        (1000 + (if (i % 2 == 0) 40 else -40)) / 100.0)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.responsePoints(in.toDS(), Seq(1, 3))
+      .writeStream.format("memory").queryName("p_resp")
+      .outputMode(OutputMode.Append).start()
+    val streamed = try {
+      val (a, b) = ticks.splitAt(11) // open ring entries cross batches
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      spark.table("p_resp").as[RespPoint].collect().toSeq
+    } finally q.stop()
+    val df = ticks.map(tk => (tk.tick_id, tk.symbol, tk.ts, tk.bid,
+      tk.bid + 0.01)).toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val batch = graft.operators.Microstructure
+      .responseFunction(df, Seq(1, 3)).collect()
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[Int]("lag")) ->
+        (r.getAs[Long]("n_obs"), r.getAs[Double]("resp_cents"))).toMap
+    assert(batch.nonEmpty)
+    for (((sym, lag), (nB, respB)) <- batch if nB > 0) {
+      val last = streamed.filter(p => p.symbol == sym && p.lag == lag)
+        .maxBy(_.n_obs)
+      assert(last.n_obs == nB, s"($sym, $lag) n: ${last.n_obs} != $nB")
+      assert(last.resp_cents == respB,
+        s"($sym, $lag) resp: ${last.resp_cents} != $respB")
+    }
+  }
+
   test("G21 parity: streamed triple-barrier labels == batch rows with " +
       "a hit or a FULL observed horizon; truncated-tail entries stay " +
       "open; decided_idx matches the batch hit index") {
