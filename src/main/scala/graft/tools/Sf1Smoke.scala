@@ -174,7 +174,14 @@ object Sf1Smoke {
       // shuffle); bpe_encode joins the corpus back to the FIXED
       // vocab frame.
       "q_dup_spans", "q_gram_matrix", "q_pca_power", "q_bpe_encode",
-      "q_dup_excise")
+      "q_dup_excise",
+      // round-10 session-3: KN rides F40's bigram shuffle + three
+      // vocab-sized side aggregates (key space FIXED while
+      // occurrences 10x); length buckets is one |widths|-row
+      // aggregate; the ranking audit's per-query windows rank docs-
+      // with-hits — on the all-dup replica EVERY doc hits, the
+      // worst case for the per-query partitions.
+      "q_kn_surprisal", "q_length_buckets", "q_ranking_audit")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -216,7 +223,12 @@ object Sf1Smoke {
       // signature's cascade re-aggregates grids, never the fact —
       // rung cost must stay grid-sized as symbols 10-100x.
       "q_semivariance", "q_medrv", "q_mean_reversion",
-      "q_vol_signature")
+      "q_vol_signature",
+      // round-10 session-3: BNS rides the same (symbol, day)
+      // lag+agg exchange as bipower/medrv; the response function is
+      // ONE symbol window carrying sign + |lags| leads, then a
+      // (symbol, lag) aggregate.
+      "q_bns_jump", "q_price_response")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
