@@ -565,6 +565,9 @@ object SparkEntry {
     // D45 — Bouchaud price-response function R(lag) per symbol.
     "q_price_response" -> ((s, d) =>
       Microstructure.responseFunction(Tables.ticks(s, d), respLags)),
+    // D46 — LMF flow-persistence curve over the same lag ladder.
+    "q_flow_persistence" -> ((s, d) =>
+      Microstructure.flowPersistenceCurve(Tables.ticks(s, d), respLags)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2307,6 +2310,49 @@ object SparkEntry {
         |SELECT symbol, lag, count(contrib) AS n_obs,
         |  avg(contrib) AS resp_cents
         |FROM u GROUP BY symbol, lag
+        |ORDER BY symbol, lag""".stripMargin,
+    // D46 — the ℓ-back nonzero sign is lag(sign, ℓ) over the FILTERED
+    // frame (D32's zero-transparency generalized); counts exact
+    // int64, repeat fraction one IEEE division, unrounded. Lag
+    // branches generated from respLags.
+    "q_flow_persistence" ->
+      s"""WITH sg AS (
+        |  SELECT symbol, tick_id,
+        |    CASE WHEN prev IS NOT NULL AND cents > prev THEN 1
+        |      WHEN prev IS NOT NULL AND cents < prev THEN -1
+        |    END AS sign
+        |  FROM (
+        |    SELECT symbol, tick_id, cents,
+        |      lag(cents) OVER (PARTITION BY symbol ORDER BY tick_id)
+        |        AS prev
+        |    FROM (
+        |      SELECT symbol, tick_id,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |      FROM $ticksSql t) c) p),
+        |f AS (SELECT symbol, tick_id, sign FROM sg
+        |  WHERE sign IS NOT NULL),
+        |l AS (
+        |  SELECT symbol, sign,
+        |${respLags.map(l =>
+            s"""    lag(sign, $l) OVER (PARTITION BY symbol
+              |      ORDER BY tick_id) AS back_$l""".stripMargin)
+           .mkString(",\n")}
+        |  FROM f),
+        |u AS (
+        |${respLags.map(l =>
+            s"""  SELECT symbol, $l AS lag, sign, back_$l AS back
+              |  FROM l""".stripMargin).mkString("\n  UNION ALL\n")}
+        |),
+        |agg AS (
+        |  SELECT symbol, lag, count(back) AS n_pairs,
+        |    CAST(sum(CASE WHEN back = sign THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_repeat
+        |  FROM u GROUP BY symbol, lag)
+        |SELECT symbol, lag, n_pairs, n_repeat,
+        |  CASE WHEN n_pairs > 0 THEN
+        |    CAST(n_repeat AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+        |  END AS p_repeat
+        |FROM agg
         |ORDER BY symbol, lag""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign
     // (IGNORE NULLS lag); persistence one IEEE division of exact ints.

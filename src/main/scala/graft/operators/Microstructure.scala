@@ -1021,4 +1021,49 @@ object Microstructure {
         avg(col("contrib")).as("resp_cents"))
       .orderBy("symbol", "lag")
   }
+
+  /** D46 — FLOW-PERSISTENCE CURVE per symbol: D32's repeat fraction
+    * extended to a LAG LADDER over the nonzero-sign sequence — the
+    * LMF long-memory diagnostic proper (order-flow sign correlation
+    * decays as a slow power law when parent orders are sliced;
+    * the decay RATE across ℓ is the fingerprint, not any single
+    * point). Position ℓ back is counted in EVENT time of moves
+    * (the nonzero subsequence), which is exactly D32's
+    * zero-transparent convention generalized: filtering the signed
+    * rows first makes `lag(sign, ℓ)` over the filtered frame the
+    * ℓ-th previous nonzero sign, no ignore-nulls machinery needed.
+    *
+    * All counts exact int64; the repeat fraction is ONE IEEE division
+    * (D21's rule, unrounded; NULL when pairless). Shape: the sign
+    * window and the ladder's lags share ONE symbol-ordered exchange
+    * (the filter between them preserves the distribution — no second
+    * shuffle); `stack` unpivots; |lags| multiplies rows, never
+    * passes. */
+  def flowPersistenceCurve(ticks: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1),
+      s"lags must be >= 1: $lags")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val signed = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("sign",
+        when(col("prev").isNotNull && col("cents") > col("prev"), 1L)
+          .when(col("prev").isNotNull && col("cents") < col("prev"), -1L))
+      .filter(col("sign").isNotNull)
+    val withLag = lags.foldLeft(signed) { (df, l) =>
+      df.withColumn(s"back_$l", lag(col("sign"), l).over(w))
+    }
+    val stacked = lags.map(l => s"$l, back_$l").mkString(", ")
+    withLag
+      .select(col("symbol"), col("sign"),
+        expr(s"stack(${lags.size}, $stacked) AS (lag, back)"))
+      .groupBy("symbol", "lag")
+      .agg(count(col("back")).as("n_pairs"),
+        sum(when(col("back") === col("sign"), 1L).otherwise(0L))
+          .as("n_repeat"))
+      .withColumn("p_repeat",
+        when(col("n_pairs") > 0,
+          col("n_repeat").cast("double") / col("n_pairs").cast("double")))
+      .orderBy("symbol", "lag")
+  }
 }

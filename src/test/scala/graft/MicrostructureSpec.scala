@@ -561,6 +561,34 @@ class MicrostructureSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("jump_99")))
   }
 
+  test("flowPersistenceCurve: repeat fractions over the nonzero-sign " +
+      "sequence at each lag; zero moves are transparent; pairless " +
+      "symbols NULL") {
+    // cents 100,101,102,101,101,102,103 → nonzero signs
+    // [+1,+1,−1,+1,+1] (the equal pair at t4/t5 is transparent).
+    val rows = Seq(1.00, 1.01, 1.02, 1.01, 1.01, 1.02, 1.03)
+      .zipWithIndex.map { case (b, i) =>
+        ((i + 1).toLong, 1L, f"2024-01-01 00:00:0${i + 1}", b, 0.0)
+      } ++ Seq(
+      (11L, 2L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (12L, 2L, "2024-01-01 00:00:02", 1.01, 0.0))
+    val out = Microstructure.flowPersistenceCurve(ticks(rows: _*),
+      Seq(1, 2)).collect()
+    val m = out.map(r => (r.getAs[Long]("symbol"), r.getAs[Int]("lag")) -> r)
+      .toMap
+    val s1l1 = m((1L, 1))
+    assert(s1l1.getAs[Long]("n_pairs") == 4L &&
+      s1l1.getAs[Long]("n_repeat") == 2L &&
+      s1l1.getAs[Double]("p_repeat") == 0.5)
+    val s1l2 = m((1L, 2))
+    assert(s1l2.getAs[Long]("n_pairs") == 3L &&
+      s1l2.getAs[Long]("n_repeat") == 1L &&
+      s1l2.getAs[Double]("p_repeat") == 1.0 / 3.0)
+    val s2l1 = m((2L, 1))
+    assert(s2l1.getAs[Long]("n_pairs") == 0L &&
+      s2l1.isNullAt(s2l1.fieldIndex("p_repeat")))
+  }
+
   test("responseFunction: hand-built R(1)/R(2) — zero moves and the " +
       "first tick carry no sign, tail ticks without the lead drop") {
     // cents: 100, 102, 101, 103, 103, 105
