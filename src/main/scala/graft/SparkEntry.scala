@@ -772,6 +772,15 @@ object SparkEntry {
     // injects a deterministic 'mirror' dump (every 10th doc re-sourced,
     // ids offset) — the mirrored-crawl situation the matrix detects;
     // the oracle builds the identical union.
+    // F69 — near-dup leakage matrix over the same mirrored corpus as
+    // F1b (the raw corpus has no cross-source near-dups — probed).
+    "q_near_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mirror = docs.where("doc_id % 10 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang",
+        "'mirror' AS source", "n_chars")
+      TextDedup.nearDupLeakage(docs.unionByName(mirror))
+    }),
     "q_dup_matrix" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val mirror = docs.where("doc_id % 10 = 0").selectExpr(
@@ -3365,6 +3374,42 @@ object SparkEntry {
     },
     // Dup matrix: per-(fp, source) counts first, then count-level pair
     // join — cross pairs cnt_a*cnt_b, diagonal C(cnt,2), exact ints.
+    // F69 — F1b's mirror CTE + the F2 band/bucket CTEs; candidate
+    // pairs get sources via two doc-keyed joins, roll up by the
+    // least/greatest source pair; counts exact int64.
+    "q_near_leakage" -> {
+      import graft.functions.PortableText._
+      s"""WITH d AS (SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, 'mirror' FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM d),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id),
+        |ps AS (SELECT p0.doc_a, p0.doc_b,
+        |    least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b
+        |  FROM p0 JOIN d sa ON sa.doc_id = p0.doc_a
+        |  JOIN d sb ON sb.doc_id = p0.doc_b),
+        |c AS (SELECT source_a, source_b, count(*) AS n_pairs
+        |  FROM ps GROUP BY source_a, source_b),
+        |dv AS (SELECT source_a, source_b,
+        |    count(DISTINCT doc) AS n_docs
+        |  FROM (SELECT source_a, source_b,
+        |      unnest([doc_a, doc_b]) AS doc FROM ps) u
+        |  GROUP BY source_a, source_b)
+        |SELECT c.source_a, c.source_b, c.n_pairs, dv.n_docs,
+        |  c.source_a <> c.source_b AS cross_source
+        |FROM c JOIN dv USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin
+    },
     "q_dup_matrix" -> {
       import graft.functions.PortableText._
       s"""WITH d AS (SELECT doc_id, text, source FROM documents

@@ -69,6 +69,51 @@ object TextDedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** F69 — NEAR-DUP LEAKAGE MATRIX: F1b's cross-source audit at
+    * MINHASH granularity — candidate near-dup pairs (the F2 band
+    * join, never doc×doc) rolled up by unordered source pair, the
+    * screen that tells WHICH feeds leak near-copies into each other
+    * (exact fingerprints catch verbatim mirrors; band candidates also
+    * catch the templated/lightly-edited mass that F1b is blind to).
+    * `n_pairs` counts distinct candidate pairs, `n_docs` the distinct
+    * documents behind them (how concentrated the leak is),
+    * `cross_source` flags the off-diagonal — the contamination rows
+    * a mixture designer acts on.
+    *
+    * Shape: bands → bucket equi-join → distinct pairs (all F2's
+    * exact-int spelling, one shared discipline), two doc-keyed joins
+    * attach sources, the pair frame checkpoints ONCE and feeds both
+    * aggregates (count + distinct-doc) — the F28 barrier rule. All
+    * counts exact int64. */
+  def nearDupLeakage(docs: DataFrame): DataFrame = {
+    val bands = minHashBands(docs, ordered = false)
+    val src = docs.select(col("doc_id"), col("source"))
+    val a = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), "doc_b")
+      .withColumn("source_a", least(col("src_a"), col("src_b")))
+      .withColumn("source_b", greatest(col("src_a"), col("src_b")))
+      .localCheckpoint(true)
+    val counts = pairs.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+    val involved = pairs
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("source_a", "source_b")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    counts.join(involved, Seq("source_a", "source_b"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** F2 — MinHash LSH band assignment: shingle→minhash→band. Docs
     * sharing a (band, band_hash) bucket are near-dup candidates; the
     * join stage is `candidatePairs`. */

@@ -61,6 +61,24 @@ class TextDedupSpec extends SparkSpec {
       ("s2", "s3", 1L, 1L))) // 1×1 beta pair
   }
 
+  test("nearDupLeakage rolls candidate pairs up by unordered source " +
+      "pair with distinct involved docs; disjoint texts never pair") {
+    // identical texts 1/2/3 across s1/s1/s2 → pairs (1,2) s1-s1,
+    // (1,3)+(2,3) s1-s2; doc 4 shares nothing.
+    val df = Seq(
+      (1L, "the quick brown fox", "s1"),
+      (2L, "the quick brown fox", "s1"),
+      (3L, "the quick brown fox", "s2"),
+      (4L, "completely different words here", "s2"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = TextDedup.nearDupLeakage(df)
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "s1", 1L, 2L, false),
+      ("s1", "s2", 2L, 3L, true)))
+  }
+
   test("identical docs share all minhash bands; candidatePairs finds them") {
     val bands = TextDedup.minHashBands(docs(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
