@@ -568,6 +568,9 @@ object SparkEntry {
     // D46 — LMF flow-persistence curve over the same lag ladder.
     "q_flow_persistence" -> ((s, d) =>
       Microstructure.flowPersistenceCurve(Tables.ticks(s, d), respLags)),
+    // D47 — hourly volume participation curve (exact int64 bps).
+    "q_participation" -> ((s, d) =>
+      Microstructure.participationCurve(Tables.events(s, d))),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2363,6 +2366,30 @@ object SparkEntry {
         |  END AS p_repeat
         |FROM agg
         |ORDER BY symbol, lag""".stripMargin,
+    // D47 — all-integer participation curve: hourly/total/cumulative
+    // quantity sums are exact int64 (CAST — the r8 HUGEINT lesson),
+    // shares in bps via exact integer division. Zero rounding
+    // discipline needed anywhere.
+    "q_participation" ->
+      """WITH p AS (SELECT user_id AS symbol, hour(ts) AS hour_od,
+        |    coalesce(CAST(props->>'$.k' AS INT), 0) AS k FROM events),
+        |h AS (SELECT symbol, hour_od, count(*) AS n_trades,
+        |    CAST(sum(k) AS BIGINT) AS hour_qty
+        |  FROM p GROUP BY symbol, hour_od),
+        |w AS (SELECT symbol, hour_od, n_trades, hour_qty,
+        |    CAST(sum(hour_qty) OVER (PARTITION BY symbol) AS BIGINT)
+        |      AS total_qty,
+        |    CAST(sum(hour_qty) OVER (PARTITION BY symbol
+        |      ORDER BY hour_od ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_qty
+        |  FROM h)
+        |SELECT symbol, hour_od, n_trades, hour_qty,
+        |  CASE WHEN total_qty > 0 THEN (hour_qty * 10000) // total_qty
+        |    END AS share_bp,
+        |  CASE WHEN total_qty > 0 THEN (cum_qty * 10000) // total_qty
+        |    END AS cum_share_bp
+        |FROM w
+        |ORDER BY symbol, hour_od""".stripMargin,
     // D32 — signs int64, zero-ticks carry the previous nonzero sign
     // (IGNORE NULLS lag); persistence one IEEE division of exact ints.
     "q_sign_persistence" ->

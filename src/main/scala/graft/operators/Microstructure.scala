@@ -1066,4 +1066,47 @@ object Microstructure {
           col("n_repeat").cast("double") / col("n_pairs").cast("double")))
       .orderBy("symbol", "lag")
   }
+
+  /** D47 — VOLUME PARTICIPATION CURVE per symbol: each hour-of-day's
+    * share of the symbol's total traded quantity, with the running
+    * cumulative — the execution-scheduling profile behind every
+    * VWAP/POV algo (the curve D23 draws for volatility, drawn for
+    * VOLUME, which is what a scheduler actually follows). B8 prices
+    * one day's executions against realized volume; this is the
+    * ex-ante curve a scheduler commits to before the day starts.
+    *
+    * Everything is exact int64: hourly quantity sums, the symbol
+    * total and running total (window sums of exact ints), and the
+    * shares in BASIS POINTS via exact integer division (D21's
+    * `(x*10000) div total` rule — no doubles anywhere, so the oracle
+    * matches bit-for-bit with zero rounding discipline). Zero-volume
+    * symbols emit NULL shares. Shape: ONE symbol exchange serves the
+    * (symbol, hour) aggregate (subset-key clustering) AND both
+    * windows — the repartition is the only shuffle. */
+  def participationCurve(events: DataFrame): DataFrame = {
+    val parsed = events.select(
+      col("user_id").as("symbol"),
+      hour(col("ts")).as("hour_od"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+    val byHour = parsed
+      .repartition(col("symbol"))
+      .groupBy("symbol", "hour_od")
+      .agg(count(lit(1)).as("n_trades"), sum(col("k")).as("hour_qty"))
+    val wTot = Window.partitionBy("symbol")
+    val wCum = Window.partitionBy("symbol").orderBy("hour_od")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byHour
+      .withColumn("total_qty", sum(col("hour_qty")).over(wTot))
+      .withColumn("cum_qty", sum(col("hour_qty")).over(wCum))
+      .withColumn("share_bp",
+        when(col("total_qty") > 0,
+          expr("(hour_qty * 10000) div total_qty")))
+      .withColumn("cum_share_bp",
+        when(col("total_qty") > 0,
+          expr("(cum_qty * 10000) div total_qty")))
+      .select("symbol", "hour_od", "n_trades", "hour_qty",
+        "share_bp", "cum_share_bp")
+      .orderBy("symbol", "hour_od")
+  }
 }

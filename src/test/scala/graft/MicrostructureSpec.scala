@@ -561,6 +561,29 @@ class MicrostructureSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("jump_99")))
   }
 
+  test("participationCurve: exact-bps hourly shares with running " +
+      "cumulative; zero-volume symbols NULL") {
+    val out = Microstructure.participationCurve(events(
+      (1L, 1L, "2024-01-01 01:10:00", 1.0, 10),
+      (2L, 1L, "2024-01-01 01:20:00", 1.0, 20),
+      (3L, 1L, "2024-01-02 02:00:00", 1.0, 30),
+      (4L, 2L, "2024-01-01 03:00:00", 1.0, 0))).collect()
+    val h1 = out(0)
+    assert(h1.getAs[Int]("hour_od") == 1 &&
+      h1.getAs[Long]("n_trades") == 2L &&
+      h1.getAs[Long]("hour_qty") == 30L &&
+      h1.getAs[Long]("share_bp") == 5000L &&
+      h1.getAs[Long]("cum_share_bp") == 5000L)
+    val h2 = out(1)
+    assert(h2.getAs[Int]("hour_od") == 2 &&
+      h2.getAs[Long]("share_bp") == 5000L &&
+      h2.getAs[Long]("cum_share_bp") == 10000L)
+    val s2 = out(2)
+    assert(s2.getAs[Long]("symbol") == 2L &&
+      s2.isNullAt(s2.fieldIndex("share_bp")) &&
+      s2.isNullAt(s2.fieldIndex("cum_share_bp")))
+  }
+
   test("flowPersistenceCurve: repeat fractions over the nonzero-sign " +
       "sequence at each lag; zero moves are transparent; pairless " +
       "symbols NULL") {
