@@ -116,6 +116,7 @@ object SparkEntry {
   val zipfTopK = 100            // F57 tokens in the fit
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
+  val srcSimK = 64              // F70 source-signature minhash length
   val auditQueries: Seq[String] =          // F68 multi-term queries —
     // each mixes the one RARE corpus term ('dup', df≈5% of docs) with
     // common terms (df≈78%) so the idf weighting actually reorders
@@ -775,6 +776,10 @@ object SparkEntry {
     // injects a deterministic 'mirror' dump (every 10th doc re-sourced,
     // ids offset) — the mirrored-crawl situation the matrix detects;
     // the oracle builds the identical union.
+    // F70 — source-similarity matrix: k-minhash estimate vs exact
+    // trigram-set Jaccard per source pair, with the error beside.
+    "q_source_similarity" -> ((s, d) =>
+      TextDedup.sourceSimilarity(Tables.documents(s, d), srcSimK)),
     // F69 — near-dup leakage matrix over the same mirrored corpus as
     // F1b (the raw corpus has no cross-source near-dups — probed).
     "q_near_leakage" -> ((s, d) => {
@@ -3401,6 +3406,54 @@ object SparkEntry {
     },
     // Dup matrix: per-(fp, source) counts first, then count-level pair
     // join — cross pairs cnt_a*cnt_b, diagonal C(cnt,2), exact ints.
+    // F70 — distinct (source, word-trigram) set → polyhash → k affine
+    // minhashes (the F2 family) per source; est = matches/k, exact =
+    // inter/union, err — all unrounded IEEE over exact ints. Word
+    // TRIGRAMS: char trigrams and word bigrams both saturate on the
+    // shared synthetic vocab (pairs at/near 1.0) while trigram J
+    // spreads 0.013..0.26 across SFs.
+    "q_source_similarity" -> {
+      import graft.functions.PortableText._
+      s"""WITH sg AS (SELECT DISTINCT source, gram FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, length(tk) - 1),
+        |        i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]
+        |          || ' ' || tk[CAST(i+2 AS INT)])) AS gram
+        |    FROM (SELECT source, $duckTokens AS tk
+        |      FROM documents) t) x),
+        |sh AS (SELECT source, ${duckPolyHash("gram")} AS h FROM sg),
+        |sz AS (SELECT source, count(*) AS n_grams FROM sh
+        |  GROUP BY source),
+        |sig AS (SELECT source, j,
+        |    min(((2*j + 3) * h + 5*j + 7) % $P) AS mh
+        |  FROM sh, (SELECT unnest(range($srcSimK)) AS j) js
+        |  GROUP BY source, j),
+        |est AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_match
+        |  FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+        |  GROUP BY a.source, b.source),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT e.source_a, e.source_b, sa.n_grams AS n_gram_a,
+        |  sb.n_grams AS n_gram_b, coalesce(iv.n_inter, 0) AS n_inter,
+        |  e.n_match,
+        |  CAST(e.n_match AS DOUBLE) / CAST($srcSimK AS DOUBLE)
+        |    AS est_jaccard,
+        |  CAST(coalesce(iv.n_inter, 0) AS DOUBLE) /
+        |    CAST(sa.n_grams + sb.n_grams - coalesce(iv.n_inter, 0)
+        |      AS DOUBLE) AS exact_jaccard,
+        |  CAST(e.n_match AS DOUBLE) / CAST($srcSimK AS DOUBLE) -
+        |    CAST(coalesce(iv.n_inter, 0) AS DOUBLE) /
+        |      CAST(sa.n_grams + sb.n_grams - coalesce(iv.n_inter, 0)
+        |        AS DOUBLE) AS err
+        |FROM est e LEFT JOIN iv USING (source_a, source_b)
+        |JOIN sz sa ON sa.source = e.source_a
+        |JOIN sz sb ON sb.source = e.source_b
+        |ORDER BY source_a, source_b""".stripMargin
+    },
     // F69 — F1b's mirror CTE + the F2 band/bucket CTEs; candidate
     // pairs get sources via two doc-keyed joins, roll up by the
     // least/greatest source pair; counts exact int64.

@@ -79,6 +79,33 @@ class TextDedupSpec extends SparkSpec {
       ("s1", "s2", 2L, 3L, true)))
   }
 
+  test("sourceSimilarity: exact trigram-set Jaccard by hand, identical " +
+      "sources estimate 1.0 with zero error") {
+    // word-trigram sets: s1 = {a b c, b c d, c d e} (from "a b c d" +
+    // "b c d e"), s2 = s3 = {a b c, b c d}. J(s1,s2) = 2/3.
+    val df = Seq(
+      (1L, "a b c d", "s1"), (2L, "b c d e", "s1"),
+      (3L, "a b c d", "s2"), (4L, "a b c d", "s3"))
+      .toDF("doc_id", "text", "source")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+    val out = TextDedup.sourceSimilarity(df, 64).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r).toMap
+    val s12 = out(("s1", "s2"))
+    assert(s12.getAs[Long]("n_gram_a") == 3L &&
+      s12.getAs[Long]("n_gram_b") == 2L &&
+      s12.getAs[Long]("n_inter") == 2L)
+    assert(s12.getAs[Double]("exact_jaccard") == 2.0 / 3.0)
+    val est12 = s12.getAs[Double]("est_jaccard")
+    assert(est12 >= 0.0 && est12 <= 1.0)
+    assert(s12.getAs[Double]("err") == est12 - 2.0 / 3.0)
+    val s23 = out(("s2", "s3"))
+    assert(s23.getAs[Long]("n_match") == 64L &&
+      s23.getAs[Double]("est_jaccard") == 1.0 &&
+      s23.getAs[Double]("exact_jaccard") == 1.0 &&
+      s23.getAs[Double]("err") == 0.0)
+  }
+
   test("identical docs share all minhash bands; candidatePairs finds them") {
     val bands = TextDedup.minHashBands(docs(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
