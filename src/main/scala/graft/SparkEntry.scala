@@ -117,6 +117,12 @@ object SparkEntry {
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val srcSimK = 64              // F70 source-signature minhash length
+  val seasonalZThr = 1.4        // D48 |z| cutoff — probed: the
+                                // synthetic moves are near-uniform,
+                                // so max |z| is only 1.47/2.88/4+ at
+                                // the three SFs; 1.4 keeps the scan
+                                // non-vacuous at EVERY gate SF
+                                // (1/589/5821 rows)
   val auditQueries: Seq[String] =          // F68 multi-term queries —
     // each mixes the one RARE corpus term ('dup', df≈5% of docs) with
     // common terms (df≈78%) so the idf weighting actually reorders
@@ -572,6 +578,9 @@ object SparkEntry {
     // D47 — hourly volume participation curve (exact int64 bps).
     "q_participation" -> ((s, d) =>
       Microstructure.participationCurve(Tables.events(s, d))),
+    // D48 — minute-of-day-adjusted anomaly scan (de-seasonalized D4).
+    "q_seasonal_anomaly" -> ((s, d) =>
+      Microstructure.seasonalAnomaly(Tables.ticks(s, d), seasonalZThr)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2371,6 +2380,33 @@ object SparkEntry {
         |  END AS p_repeat
         |FROM agg
         |ORDER BY symbol, lag""".stripMargin,
+    // D48 — D4's discipline: μ/σ unrounded aggregate doubles, z
+    // derived then round(4) once, flag on the unrounded z; moves are
+    // exact |Δcents| per (symbol, day).
+    "q_seasonal_anomaly" ->
+      s"""WITH mv AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(hour(ts) * 60 + minute(ts) AS INT) AS minute_od,
+        |    CAST(abs(cents - prev) AS DOUBLE) AS mv
+        |  FROM (
+        |    SELECT symbol, tick_id, ts, cents,
+        |      lag(cents) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |        ORDER BY tick_id) AS prev
+        |    FROM (
+        |      SELECT symbol, tick_id, ts,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |      FROM $ticksSql t) c) p
+        |  WHERE prev IS NOT NULL),
+        |base AS (SELECT minute_od, avg(mv) AS mu,
+        |    stddev_samp(mv) AS sigma
+        |  FROM mv GROUP BY minute_od)
+        |SELECT symbol, tick_id, minute_od, mv,
+        |  round(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END, 4)
+        |    AS zscore
+        |FROM mv JOIN base USING (minute_od)
+        |WHERE abs(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END)
+        |  > $seasonalZThr
+        |ORDER BY symbol, tick_id""".stripMargin,
     // D47 — all-integer participation curve: hourly/total/cumulative
     // quantity sums are exact int64 (CAST — the r8 HUGEINT lesson),
     // shares in bps via exact integer division. Zero rounding

@@ -1083,6 +1083,41 @@ object Microstructure {
     * symbols emit NULL shares. Shape: ONE symbol exchange serves the
     * (symbol, hour) aggregate (subset-key clustering) AND both
     * windows — the repartition is the only shuffle. */
+  /** D48 — SEASONALITY-ADJUSTED ANOMALY SCAN: |tick move| z-scored
+    * against its MINUTE-OF-DAY baseline (D23's intraday profile as
+    * mean AND dispersion) — the de-seasonalized upgrade of D4: a
+    * 3-cent move at the quiet midday is an event, the same move in
+    * the volatile open is noise; a raw z-score can't tell them apart.
+    * Emits only the anomalous ticks (|z| > threshold).
+    *
+    * Discipline mirrors D4 exactly: μ/σ are UNROUNDED aggregate
+    * doubles, z is derived from them and rounded(4) once at the
+    * output; the flag tests the unrounded z; σ=0 minutes (or
+    * pairless) yield NULL z → never flagged. Moves are exact |Δcents|
+    * per (symbol, day) like D23. Shape: one (symbol, day) window
+    * exchange + one 1440-row baseline aggregate broadcast back —
+    * the anomaly join adds no shuffle. */
+  def seasonalAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
+      .orderBy("tick_id")
+    val moves = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("mv",
+        abs(col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
+      .filter(col("mv").isNotNull)
+      .withColumn("minute_od", hour(col("ts")) * 60 + minute(col("ts")))
+    val base = moves.groupBy("minute_od").agg(
+      avg(col("mv")).as("_mu"), stddev_samp(col("mv")).as("_sigma"))
+    val z = when(col("_sigma") =!= 0,
+      (col("mv") - col("_mu")) / col("_sigma"))
+    moves.join(broadcast(base), Seq("minute_od"))
+      .filter(abs(z) > threshold)
+      .select(col("symbol"), col("tick_id"), col("minute_od"),
+        col("mv"), round(z, 4).as("zscore"))
+      .orderBy("symbol", "tick_id")
+  }
+
   def participationCurve(events: DataFrame): DataFrame = {
     val parsed = events.select(
       col("user_id").as("symbol"),

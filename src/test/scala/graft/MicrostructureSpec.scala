@@ -561,6 +561,24 @@ class MicrostructureSpec extends SparkSpec {
     assert(d2.isNullAt(d2.fieldIndex("jump_99")))
   }
 
+  test("seasonalAnomaly: z against the minute-of-day baseline by " +
+      "hand; only outliers emit") {
+    // minute-0 moves: 1,1,1,10 → μ=3.25, σ_samp=4.5; z(10)=1.5,
+    // z(1)=−0.5 — threshold 1.4 flags only the 10-cent move.
+    val out = Microstructure.seasonalAnomaly(ticks(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00, 0.0),
+      (2L, 1L, "2024-01-01 00:00:02", 1.01, 0.0),
+      (3L, 1L, "2024-01-01 00:00:03", 1.02, 0.0),
+      (4L, 1L, "2024-01-01 00:00:04", 1.03, 0.0),
+      (5L, 1L, "2024-01-01 00:00:05", 1.13, 0.0)), 1.4).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("tick_id") == 5L &&
+      r.getAs[Int]("minute_od") == 0 &&
+      r.getAs[Double]("mv") == 10.0 &&
+      r.getAs[Double]("zscore") == 1.5)
+  }
+
   test("participationCurve: exact-bps hourly shares with running " +
       "cumulative; zero-volume symbols NULL") {
     val out = Microstructure.participationCurve(events(
