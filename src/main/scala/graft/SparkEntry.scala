@@ -117,6 +117,9 @@ object SparkEntry {
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val srcSimK = 64              // F70 source-signature minhash length
+  val dedupThrTenths: Seq[Int] = Seq(5, 6, 7, 8, 9) // F71 J cutoffs (×0.1)
+  val dedupThrTenthsSql: String =
+    dedupThrTenths.map(t => s"($t)").mkString(", ")
   val seasonalZThr = 1.4        // D48 |z| cutoff — probed: the
                                 // synthetic moves are near-uniform,
                                 // so max |z| is only 1.47/2.88/4+ at
@@ -895,6 +898,10 @@ object SparkEntry {
     // a deterministic 5% hash sample of the candidate pairs.
     "q_dedup_audit" -> ((s, d) =>
       TextDedup.dedupAudit(Tables.documents(s, d), samplePct = 5)),
+    // F71 — dedup-threshold calibration curve (exact-int cutoffs).
+    "q_dedup_curve" -> ((s, d) =>
+      TextDedup.dedupThresholdCurve(Tables.documents(s, d),
+        dedupThrTenths)),
     // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
     "q_mixture_sample" -> ((s, d) =>
       CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
@@ -3373,6 +3380,47 @@ object SparkEntry {
         |  abs(CAST(mh_agree AS DOUBLE) / $MinHashK
         |    - CAST(n_common AS DOUBLE) / (sz - n_common)) AS abs_err
         |FROM j ORDER BY doc_a, doc_b""".stripMargin
+    },
+    // F71 — F41's band/pair/intersection CTEs (full population, no
+    // sample), thresholds from the generated VALUES list; the cutoff
+    // is the exact-int cross-multiplication 10·n_common >= t·n_union;
+    // zero-pair thresholds keep their row; drop share exact bps.
+    "q_dedup_curve" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, th, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  WHERE x.band_hash IS NOT NULL),
+        |j AS (SELECT p0.doc_a, p0.doc_b,
+        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |      AS n_common,
+        |    length(ma.th) + length(mb.th)
+        |      - length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |      AS n_union
+        |  FROM p0 JOIN m ma ON ma.doc_id = p0.doc_a
+        |  JOIN m mb ON mb.doc_id = p0.doc_b),
+        |thr AS (SELECT CAST(v.t AS INT) AS thr_tenths
+        |  FROM (VALUES $dedupThrTenthsSql) v(t)),
+        |q AS (SELECT thr_tenths, count(*) AS n_pairs,
+        |    count(DISTINCT doc_b) AS n_docs_dropped
+        |  FROM j, thr
+        |  WHERE n_common * 10 >= thr_tenths * n_union
+        |  GROUP BY thr_tenths),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT thr.thr_tenths,
+        |  coalesce(q.n_pairs, 0) AS n_pairs,
+        |  coalesce(q.n_docs_dropped, 0) AS n_docs_dropped,
+        |  (coalesce(q.n_docs_dropped, 0) * 10000) // n.n_docs
+        |    AS drop_share_bp
+        |FROM thr LEFT JOIN q USING (thr_tenths) CROSS JOIN n
+        |ORDER BY thr.thr_tenths""".stripMargin
     },
     // Greedy arrival-order near-dup: dup iff any band bucket holds an
     // earlier doc — bucket-min vs own doc_id, no recursion needed.

@@ -82,9 +82,11 @@ object TextDedup {
     *
     * Shape: bands → bucket equi-join → distinct pairs (all F2's
     * exact-int spelling, one shared discipline), two doc-keyed joins
-    * attach sources, the pair frame checkpoints ONCE and feeds both
-    * aggregates (count + distinct-doc) — the F28 barrier rule. All
-    * counts exact int64. */
+    * attach sources, then ONE aggregate over the 2-rows-per-pair
+    * explode computes pair AND distinct-doc counts together —
+    * `count div 2` is exact because every pair contributes exactly
+    * two doc rows (no checkpoint, no second pass over the pair
+    * frame). All counts exact int64. */
   def nearDupLeakage(docs: DataFrame): DataFrame = {
     val bands = minHashBands(docs, ordered = false)
     val src = docs.select(col("doc_id"), col("source"))
@@ -92,7 +94,7 @@ object TextDedup {
       col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_b"))
-    val pairs = a.join(b, Seq("band", "band_hash"))
+    a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
       .join(src.select(col("doc_id").as("doc_a"),
@@ -101,15 +103,11 @@ object TextDedup {
         col("source").as("src_b")), "doc_b")
       .withColumn("source_a", least(col("src_a"), col("src_b")))
       .withColumn("source_b", greatest(col("src_a"), col("src_b")))
-      .localCheckpoint(true)
-    val counts = pairs.groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_pairs"))
-    val involved = pairs
       .select(col("source_a"), col("source_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .groupBy("source_a", "source_b")
-      .agg(countDistinct(col("doc")).as("n_docs"))
-    counts.join(involved, Seq("source_a", "source_b"))
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"))
       .withColumn("cross_source", col("source_a") =!= col("source_b"))
       .orderBy("source_a", "source_b")
   }
@@ -386,7 +384,13 @@ object TextDedup {
     * dup-heavy corpus (7.7M pairs at sf0.1 here), and an audit needs
     * an unbiased sample, not the census — the multiplicative hash of
     * the pair key keeps the sample reproducible and engine-portable. */
-  def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {
+  /** Shared F41/F71 stage: banded candidate pairs (optionally
+    * hash-sampled) joined back to both docs' token-hash sets and
+    * minhash signatures, with the exact intersection/union counts —
+    * ONE spelling of "candidate pair with exact overlap" for the
+    * audit and the threshold curve. */
+  private def candidatePairStats(docs: DataFrame, samplePct: Int)
+      : DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashes.register(docs.sparkSession)
     val base = docs
@@ -411,6 +415,10 @@ object TextDedup {
       .withColumn("n_common", expr("size(array_intersect(th_a, th_b))"))
       .withColumn("n_union",
         expr("size(th_a) + size(th_b)") - col("n_common"))
+  }
+
+  def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {
+    candidatePairStats(docs, samplePct)
       .withColumn("jaccard",
         col("n_common").cast("double") / col("n_union"))
       .withColumn("mh_agree",
@@ -421,6 +429,46 @@ object TextDedup {
       .select("doc_a", "doc_b", "n_common", "n_union", "jaccard",
         "mh_agree", "mh_est", "abs_err")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** F71 — DEDUP-THRESHOLD CALIBRATION CURVE: for each candidate
+    * Jaccard cutoff (in TENTHS), how many candidate pairs qualify and
+    * how many documents the pairwise drop-the-higher-id rule would
+    * remove — the "which threshold do we ship" curve every dedup
+    * rollout reads before committing (F55 sweeps length cutoffs; this
+    * sweeps SIMILARITY). The comparison `J ≥ t/10` is spelled as the
+    * EXACT-int cross-multiplication `10·n_common ≥ t·n_union` (B12's
+    * rule) — membership can never drift on a float boundary, which
+    * matters precisely here because every row IS a boundary test.
+    *
+    * Shape: [[candidatePairStats]]'s banded pairs (full population —
+    * the curve is the decision artifact, not a sample), one
+    * |tenths|-factor broadcast explode, one aggregate (count +
+    * distinct-dropped-doc), corpus size a 1-row broadcast; thresholds
+    * with zero qualifying pairs keep their row via the left join.
+    * Drop share in exact int64 bps. */
+  def dedupThresholdCurve(docs: DataFrame, tenths: Seq[Int]): DataFrame = {
+    require(tenths.nonEmpty && tenths.forall(t => t >= 0 && t <= 10),
+      s"tenths must be in 0..10: $tenths")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val thr = broadcast(tenths.toDF("thr_tenths"))
+    val qual = candidatePairStats(docs, 100)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
+      .crossJoin(thr)
+      .filter(col("n_common") * lit(10) >= col("thr_tenths") * col("n_union"))
+      .groupBy("thr_tenths")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    thr.join(qual, Seq("thr_tenths"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("thr_tenths"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        expr("(coalesce(n_docs_dropped, 0L) * 10000) div n_docs")
+          .as("drop_share_bp"))
+      .orderBy("thr_tenths")
   }
 
   /** F3 — SimHash signature per document ([[PortableText.SimHashBits]]

@@ -181,7 +181,12 @@ object Sf1Smoke {
       // aggregate; the ranking audit's per-query windows rank docs-
       // with-hits — on the all-dup replica EVERY doc hits, the
       // worst case for the per-query partitions.
-      "q_kn_surprisal", "q_length_buckets", "q_ranking_audit")
+      "q_kn_surprisal", "q_length_buckets", "q_ranking_audit",
+      // F69-F71: leakage + threshold curve ride the F2 band join
+      // (the replica makes every bucket 10x hot — worst case);
+      // source similarity's k-explode multiplies the bounded
+      // distinct-gram frame only.
+      "q_near_leakage", "q_source_similarity", "q_dedup_curve")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one

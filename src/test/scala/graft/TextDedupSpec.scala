@@ -106,6 +106,22 @@ class TextDedupSpec extends SparkSpec {
       s23.getAs[Double]("err") == 0.0)
   }
 
+  test("dedupThresholdCurve: duplicate pair counts at every cutoff " +
+      "with the higher id dropped; dup-free corpus keeps zero rows") {
+    // docs 1/2 identical (J=1 qualifies at every tenth), 3 disjoint.
+    val out = TextDedup.dedupThresholdCurve(docs(
+      (1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "completely different words here"), (4L, "and again other")),
+      Seq(5, 10))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((5, 1L, 1L, 2500L), (10, 1L, 1L, 2500L)))
+    val none = TextDedup.dedupThresholdCurve(docs(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")), Seq(5, 9))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(none == Seq((5, 0L, 0L, 0L), (9, 0L, 0L, 0L)))
+  }
+
   test("identical docs share all minhash bands; candidatePairs finds them") {
     val bands = TextDedup.minHashBands(docs(
       (1L, "the quick brown fox"), (2L, "the quick brown fox"),
