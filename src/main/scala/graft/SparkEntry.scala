@@ -683,6 +683,10 @@ object SparkEntry {
     // E10 — per-symbol calendar coverage / missing-day report.
     "q_calendar_coverage" -> ((s, d) =>
       TemporalJoins.calendarCoverage(Tables.ticks(s, d))),
+    // E14 — cohort retention matrix: first-seen-day cohorts × day
+    // offsets, distinct active users + retention share.
+    "q_cohort_retention" -> ((s, d) =>
+      TemporalJoins.cohortRetention(Tables.events(s, d))),
     // E11 — linear-interpolation gap fill onto the hourly grid.
     "q_interp_grid" -> ((s, d) =>
       TemporalJoins.interpolateGrid(Tables.ticks(s, d), "hour")),
@@ -3208,6 +3212,26 @@ object SparkEntry {
         |  t3_us IS NOT NULL AS completed
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // E14 — cohort retention: distinct (user, day) frame, first-seen
+    // min as the cohort, calendar²-bounded matrix; counts exact int64,
+    // retention ONE IEEE division of exact ints (unrounded).
+    "q_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_size
+        |  FROM coh GROUP BY cohort_day),
+        |act AS (SELECT c.cohort_day,
+        |    CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT)
+        |      AS day_offset,
+        |    count(*) AS n_active
+        |  FROM days d JOIN coh c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_date,
+        |  a.day_offset, a.n_active, s.cohort_size,
+        |  CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
+        |FROM act a JOIN sz s USING (cohort_day)
+        |ORDER BY cohort_date, day_offset""".stripMargin,
     // E6 — forward as-of: DuckDB ASOF with the inequality flipped.
     // E7 — lead-lag: grid = first tick per (symbol, day) by tick_id
     // (B2's rule), moves exact cents on the grid, corr round(4); pairs

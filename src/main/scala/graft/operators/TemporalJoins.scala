@@ -796,4 +796,51 @@ object TemporalJoins {
         date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
         col("cents"), col("is_observed"))
   }
+
+  /** E14 — COHORT RETENTION MATRIX over the event log: users grouped
+    * by their first-seen calendar day (the cohort), then for each
+    * (cohort day, days-since-cohort offset) the count of cohort
+    * members active on that offset day — the retention triangle every
+    * product-analytics deployment reads daily, and the temporal dual
+    * of E9's funnel (E9 orders WITHIN a user's stream; this aligns
+    * ACROSS users on relative time). Ref capability: the live
+    * endpoint's per-user session monitoring (README §8.5) rolled up
+    * to the population level.
+    *
+    * Shape: the fact collapses immediately to distinct (user, day) —
+    * one exchange with map-side partial dedup; first-seen is a
+    * per-user min on that deduped frame (same key — no second
+    * exchange under subset-key clustering); the cohort frame is
+    * |users| rows joined back BY USER KEY, and the final aggregate's
+    * output is calendar² rows (bounded: a year of data is ≤ 365²
+    * rows whatever the user count). Nothing is ever per-event past
+    * the first aggregate — the 100 TB shape.
+    *
+    * Determinism: counts are exact int64 (the distinct frame makes
+    * `count(*)` a distinct-user count with map-side partials —
+    * no count_distinct shuffle-explosion); `retention` is ONE IEEE
+    * division of exact ints (F58's rule), unrounded. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // distinct (user, day): checkpointed once, read by both the
+    // cohort min and the activity join
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_size"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      // sizes is calendar-bounded (one row per cohort day) — broadcast
+      .join(broadcast(sizes), Seq("cohort_day"))
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_date", "day_offset")
+  }
 }

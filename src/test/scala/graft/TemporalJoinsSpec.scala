@@ -364,4 +364,26 @@ class TemporalJoinsSpec extends SparkSpec {
       (105L, None, false),
       (106L, Some(1L), true)))
   }
+
+  test("cohortRetention: first-seen-day cohorts, distinct-user offsets, " +
+      "exact shares") {
+    // user 1 first seen Jan 1, active Jan 1 (twice — must dedup) + Jan 3;
+    // user 2 first seen Jan 1, active Jan 1 only;
+    // user 3 first seen Jan 2, active Jan 2 + Jan 3.
+    val ev = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00")),
+      (2L, 1L, t("2024-01-01 11:00:00")), // same user+day → one active row
+      (3L, 1L, t("2024-01-03 09:00:00")),
+      (4L, 2L, t("2024-01-01 12:00:00")),
+      (5L, 3L, t("2024-01-02 08:00:00")),
+      (6L, 3L, t("2024-01-03 23:59:59")))
+      .toDF("event_id", "user_id", "ts")
+    val out = TemporalJoins.cohortRetention(ev)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0), // both Jan-1 users active day 0
+      ("2024-01-01", 2L, 1L, 2L, 0.5), // user 1 back on offset 2
+      ("2024-01-02", 0L, 1L, 1L, 1.0),
+      ("2024-01-02", 1L, 1L, 1L, 1.0))) // user 3 back next day
+  }
 }
