@@ -117,6 +117,12 @@ object SparkEntry {
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val srcSimK = 64              // F70 source-signature minhash length
+  val semDedupTau = 0.35        // F72 within-cluster cosine cutoff —
+                                // probed: drops 69/82/791 of
+                                // 500/500/2000 vectors at the three
+                                // SFs (0.2 dropped ~90% — vacuous the
+                                // other way; max within-cluster sim
+                                // tops out near 0.6 on this corpus)
   val dedupThrTenths: Seq[Int] = Seq(5, 6, 7, 8, 9) // F71 J cutoffs (×0.1)
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
@@ -1022,6 +1028,10 @@ object SparkEntry {
     // F25 — int8 scalar quantization + reconstruction-error profile.
     "q_embed_quant" -> ((s, d) =>
       Vectors.quantizeInt8(Tables.embeddings(s, d))),
+    // F72 — SemDeDup: k-means blocks + within-cluster cosine,
+    // drop-higher-id verdict at τ.
+    "q_semantic_dedup" -> ((s, d) =>
+      Vectors.semanticDedup(Tables.embeddings(s, d), semDedupTau)),
     // F27 — product-quantization codes + ADC vs exact distance audit
     // (8 subspaces x 16-entry codebooks, query vec 0).
     "q_pq_codes" -> ((s, d) =>
@@ -5206,6 +5216,37 @@ object SparkEntry {
         |        vec_id) AS rnk
         |  FROM a2) x
         |WHERE rnk <= 30 ORDER BY vec_id""".stripMargin,
+    // F72 — SemDeDup: the kmeans assignment CTEs give the blocks;
+    // cosines re-run q_dedup_cosine's raw-float left-fold spelling
+    // inside each cluster; verdict tests the RAW order-free max,
+    // n_dups is a BIGINT count (not a HUGEINT sum), round(4) display.
+    "q_semantic_dedup" -> {
+      def dot(a: String, b: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(64), i -> $a[CAST(i+1 AS INT)] * " +
+          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      s"""$duckKmeansCtes,
+        |en AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |nn AS (SELECT vec_id, ev, sqrt(${dot("ev", "ev")}) AS nrm
+        |  FROM en),
+        |mm AS (SELECT a2.vec_id, a2.cluster, nn.ev, nn.nrm
+        |  FROM a2 JOIN nn USING (vec_id)),
+        |pp AS (SELECT hi.vec_id,
+        |    ${dot("hi.ev", "lo.ev")} / nullif(hi.nrm * lo.nrm, 0) AS cs
+        |  FROM mm hi JOIN mm lo ON hi.cluster = lo.cluster
+        |    AND lo.vec_id < hi.vec_id),
+        |ag AS (SELECT vec_id, max(cs) AS mx,
+        |    count(CASE WHEN cs >= $semDedupTau THEN 1 END) AS n_dups
+        |  FROM pp GROUP BY vec_id)
+        |SELECT m.vec_id, m.cluster,
+        |  coalesce(ag.n_dups, 0) AS n_dups,
+        |  round(ag.mx, 4) AS max_sim,
+        |  coalesce(ag.mx >= $semDedupTau, false) AS dropped
+        |FROM mm m LEFT JOIN ag USING (vec_id)
+        |ORDER BY vec_id""".stripMargin
+    },
     // Same IEEE op sequence as Vectors.quantizeInt8: ((x-mn)/(mx-mn))
     // *255+0.5 floored, dequant mn + q/255*(mx-mn), error fold
     // left-to-right; a constant dimension (mx == mn) codes to 0.

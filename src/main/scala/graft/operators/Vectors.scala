@@ -939,4 +939,57 @@ object Vectors {
         round(col("cos_sim_raw"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** F72 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means
+    * clusters as the candidate blocks, pairwise cosine INSIDE each
+    * cluster, drop a vector when any LOWER-id cluster-mate sits at
+    * cosine ≥ τ — the published recipe for pruning semantic
+    * redundancy that string dedup (F1–F4) cannot see (paraphrases,
+    * translations, re-renders of one underlying page). F5's LSH
+    * buckets block on RANDOM hyperplanes; this blocks on LEARNED
+    * topic structure, which is the variant that survives when
+    * near-dups straddle hyperplane boundaries.
+    *
+    * Scale shape: the block join is the F24 assignment (never
+    * all-pairs — candidates meet only inside a cluster), and k is
+    * the scale knob: at 100 TB k grows ∝ N so per-cluster
+    * populations stay bounded (the paper runs k ≈ √N·c), keeping
+    * the within-block pair count near-linear. Drop-higher-id is the
+    * same pairwise verdict rule as F71/F2c (deterministic, one
+    * aggregate — no iterative transitive closure; F13 covers that).
+    *
+    * Determinism: assignment is [[kmeansAssign]]'s exact-int
+    * quantized Lloyd; cosines run the raw-float [[VecDot]]
+    * left-to-right fold over NULL-guarded norms (q_dedup_cosine's
+    * engine-exact spelling); max is order-free; `n_dups` counts
+    * qualifying mates (BIGINT count, not a HUGEINT sum); verdicts
+    * test the RAW max, round(4) is display only. */
+  def semanticDedup(emb: DataFrame, tau: Double, k: Int = 8,
+                    iters: Int = 2, scale: Int = 32,
+                    dim: Int = Dim): DataFrame = {
+    val assign = kmeansAssign(emb, k, iters, scale, dim)
+      .select("vec_id", "cluster")
+    val m = withNorm(emb, dim)
+      .join(assign, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id"), col("embedding"), col("nrm"))
+      .localCheckpoint(true)
+    val lo = m.select(col("cluster"), col("vec_id").as("lo_id"),
+      col("embedding").as("lo_emb"), col("nrm").as("lo_nrm"))
+    val pairs = m.join(lo, Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .withColumn("cs",
+        when(col("nrm") * col("lo_nrm") =!= 0,
+          dot(col("embedding"), col("lo_emb"), dim) /
+            (col("nrm") * col("lo_nrm"))))
+    val agg = pairs.groupBy("vec_id")
+      .agg(max(col("cs")).as("max_sim_raw"),
+        count(when(col("cs") >= tau, lit(1))).as("n_dups"))
+    m.select("vec_id", "cluster")
+      .join(agg, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        round(col("max_sim_raw"), 4).as("max_sim"),
+        coalesce(col("max_sim_raw") >= tau, lit(false)).as("dropped"))
+      .orderBy("vec_id")
+  }
 }

@@ -154,6 +154,35 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("init"))
   }
 
+  // ---------- F72 semanticDedup ----------
+
+  test("semanticDedup drops the higher id of a near-parallel " +
+      "within-cluster pair, keeps dissimilar mates, never drops a " +
+      "zero vector") {
+    val rows = Seq(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),   // seeds cluster 0
+      1L -> Array(0.0f, 9.0f, 9.0f, 0.0f),   // seeds cluster 1
+      2L -> Array(2.0f, 0.0f, 0.0f, 0.01f),  // ∥ vec 0 → dropped
+      3L -> Array(0.0f, 8.5f, 9.2f, 0.0f),   // ≈∥ vec 1 → dropped
+      4L -> Array(0.0f, 0.0f, 0.0f, 1.0f),   // ⊥ cluster-0 mates → kept
+      6L -> Array(0.0f, 0.0f, 0.0f, 0.0f))   // zero norm → NULL cs, kept
+    val out = Vectors.semanticDedup(embFrom(rows: _*), tau = 0.9, k = 2,
+      iters = 2, scale = 32, dim = 4)
+      .as[(Long, Int, Long, Option[Double], Boolean)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L, 6L))
+    // verdicts: exactly the two near-parallel higher ids drop
+    assert(out.filter(_._5).map(_._1) == Seq(2L, 3L))
+    assert(byId(2L)._3 == 1L && byId(3L)._3 == 1L)
+    assert(byId(2L)._4.get > 0.99 && byId(3L)._4.get > 0.99)
+    // lowest id of each cluster has no lower-id mate → NULL max_sim
+    assert(byId(0L)._4.isEmpty && byId(1L)._4.isEmpty)
+    // orthogonal mate: pairs exist but none qualify
+    assert(byId(4L)._3 == 0L && byId(4L)._4.get < 0.1)
+    // zero vector: every cosine NULL-guarded, never flagged
+    assert(byId(6L)._3 == 0L && byId(6L)._4.isEmpty && !byId(6L)._5)
+  }
+
   // ---------- F9c repeatedSpans ----------
 
   test("repeatedSpans scores looped passages that token-level " +
