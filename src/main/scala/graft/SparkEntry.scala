@@ -959,6 +959,10 @@ object SparkEntry {
     // codes, deterministic hash split, n-gram decontamination.
     "q_quality_filter" -> ((s, d) =>
       CorpusPipeline.qualityFilter(Tables.documents(s, d))),
+    // F73 — hashed-feature linear classifier inference (broadcast
+    // weight table, exact-int margin, sign verdict).
+    "q_classifier_score" -> ((s, d) =>
+      CorpusPipeline.classifierScore(Tables.documents(s, d))),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -4921,6 +4925,31 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F73 — classifier inference: per-token polyhash buckets (the
+    // duckPolyHash dual, non-negative so plain % is pmod), the SAME
+    // integer weight formula on a range() table, margin CAST back to
+    // BIGINT from DuckDB's HUGEINT sum, avg one IEEE division, label
+    // on the exact int; token-less docs keep margin 0 via left join.
+    "q_classifier_score" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |ft AS (SELECT doc_id, ${duckPolyHash("tok")} % 1024 AS bucket
+        |  FROM tok),
+        |w AS (SELECT r AS bucket, (r * 37 + 11) % 21 - 10 AS w
+        |  FROM (SELECT unnest(range(1024)) AS r)),
+        |ag AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(w.w) AS BIGINT) AS margin
+        |  FROM ft JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ag.n_tokens, 0) AS n_tokens,
+        |  coalesce(ag.margin, 0) AS margin,
+        |  CASE WHEN ag.n_tokens > 0
+        |    THEN CAST(ag.margin AS DOUBLE) / ag.n_tokens END AS avg_margin,
+        |  coalesce(ag.margin, 0) >= 0 AS label
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
     },
     // The shared pmod hash spelling lives in PortableText.duckHashOrder
     // (negative-id parity rationale documented there).

@@ -704,4 +704,53 @@ object CorpusPipeline {
           (lit(maxLen.toLong) * col("n_docs")).cast("double"))
       .orderBy("bucket_len")
   }
+
+  /** F73 — HASHED-FEATURE LINEAR CLASSIFIER INFERENCE: the fastText /
+    * DCLM-style quality-classifier scoring pass every production
+    * corpus filter runs — tokens hash into `nBuckets` feature buckets
+    * (feature hashing, Weinberger et al. 2009), each bucket carries a
+    * weight from a BROADCAST weight table, a document's margin is the
+    * sum of its token-weights and the sign is the keep/cull verdict.
+    * F15's quality filter is hand-written rules; this is the LEARNED-
+    * filter deployment shape (weights are an input artifact — stood
+    * in here by a deterministic integer formula of the bucket id, the
+    * same stand-in discipline as F46's importance weights).
+    *
+    * Scale shape: tokenize+hash is narrow per-doc work (native
+    * codegen'd [[graft.functions.PolyHash]]); the weight table is
+    * nBuckets rows — BROADCAST, never shuffled; the only exchange is
+    * the doc-key aggregate with map-side partial sums. At 100 TB this
+    * is one scan + one aggregate, the same plan a trained-weights
+    * deployment would run.
+    *
+    * Determinism: INTEGER weights ([-10, 10], exact in both engines),
+    * margin an exact int64 sum (order-free; the oracle CASTs its
+    * HUGEINT sum back); `avg_margin` ONE IEEE division of exact ints,
+    * unrounded; `label` tests the exact integer margin. Docs with no
+    * tokens keep a zero margin and NULL avg_margin via the left join
+    * (never dropped — a filter that silently loses empty docs
+    * miscounts its own reject rate). */
+  def classifierScore(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    import graft.functions.PortableText.tokens
+    val feats = docs
+      .select(col("doc_id"), explode(expr(tokens)).as("tok"))
+      .withColumn("bucket", expr(s"graft_polyhash(tok) % $nBuckets"))
+    val weights = docs.sparkSession.range(nBuckets)
+      .select(col("id").as("bucket"),
+        ((col("id") * 37 + 11) % 21 - 10).as("w"))
+    val agg = feats.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("margin"))
+    docs.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        when(col("n_tokens") > 0,
+          col("margin").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_margin"),
+        (coalesce(col("margin"), lit(0L)) >= 0).as("label"))
+      .orderBy("doc_id")
+  }
 }

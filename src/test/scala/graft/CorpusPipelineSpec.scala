@@ -415,4 +415,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Long]("flat_pad_slots") == 3L)
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
+
+  // ---------- F73 classifierScore ----------
+
+  test("classifierScore: margins are the exact sum of bucket weights, " +
+      "repeated tokens count per occurrence, empty docs keep zero") {
+    // nBuckets = 7 forces collisions; weights re-derived here from the
+    // same PolyHash + formula the operator uses.
+    def weight(tok: String): Long = {
+      val b = graft.functions.PolyHash.hash(tok) % 7
+      (b * 37 + 11) % 21 - 10
+    }
+    val docs = docsFrom(
+      1L -> "good text here",
+      2L -> "",                 // zero tokens
+      3L -> "good good")        // occurrence-weighted, not distinct
+    val out = CorpusPipeline.classifierScore(docs, nBuckets = 7)
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().toSeq
+    val m1 = weight("good") + weight("text") + weight("here")
+    val m3 = 2 * weight("good")
+    assert(out == Seq(
+      (1L, 3L, m1, Some(m1.toDouble / 3.0), m1 >= 0),
+      (2L, 0L, 0L, None, true),
+      (3L, 2L, m3, Some(m3.toDouble / 2.0), m3 >= 0)))
+  }
 }
