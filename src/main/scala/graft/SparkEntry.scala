@@ -124,6 +124,8 @@ object SparkEntry {
                                 // other way; max within-cluster sim
                                 // tops out near 0.6 on this corpus)
   val dedupThrTenths: Seq[Int] = Seq(5, 6, 7, 8, 9) // F71 J cutoffs (×0.1)
+  val lshPlanConfigs: Seq[(Int, Int)] =  // F74 (bands, rows/band) grid —
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)) // all k=16 layouts
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
   val seasonalZThr = 1.4        // D48 |z| cutoff — probed: the
@@ -912,6 +914,10 @@ object SparkEntry {
     "q_dedup_curve" -> ((s, d) =>
       TextDedup.dedupThresholdCurve(Tables.documents(s, d),
         dedupThrTenths)),
+    // F74 — LSH (bands × rows) S-curve planner over the candidate
+    // pairs' exact Jaccard distribution.
+    "q_lsh_planner" -> ((s, d) =>
+      TextDedup.lshPlanner(Tables.documents(s, d), lshPlanConfigs)),
     // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
     "q_mixture_sample" -> ((s, d) =>
       CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
@@ -3459,6 +3465,55 @@ object SparkEntry {
         |    AS drop_share_bp
         |FROM thr LEFT JOIN q USING (thr_tenths) CROSS JOIN n
         |ORDER BY thr.thr_tenths""".stripMargin
+    },
+    // F74 — LSH planner: the SAME t/m/bands/p0/j candidate chain as
+    // q_dedup_curve; per config the product-chain S-curve from
+    // TextDedup.detectProbExpr (one spelling, both engines — no libm
+    // pow), ppm-quantized per pair before order-free integer sums
+    // (HUGEINT sums CAST back), wanted = exact-int cross-mult.
+    "q_lsh_planner" -> {
+      import graft.functions.PortableText._
+      val cfgSelects = lshPlanConfigs.map { case (b, r) =>
+        s"""SELECT $b AS n_bands, $r AS rows_per_band,
+          |    CAST(round((${graft.operators.TextDedup.detectProbExpr(b, r)})
+          |      * 1000000.0, 0) AS BIGINT) AS p_q,
+          |    2 * n_common >= n_union AS wanted
+          |  FROM jac""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, th, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  WHERE x.band_hash IS NOT NULL),
+        |j AS (SELECT p0.doc_a, p0.doc_b,
+        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |      AS n_common,
+        |    length(ma.th) + length(mb.th)
+        |      - length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |      AS n_union
+        |  FROM p0 JOIN m ma ON ma.doc_id = p0.doc_a
+        |  JOIN m mb ON mb.doc_id = p0.doc_b),
+        |jac AS (SELECT n_common, n_union,
+        |    CAST(n_common AS DOUBLE) / n_union AS jacc
+        |  FROM j),
+        |u AS ($cfgSelects)
+        |SELECT n_bands, rows_per_band, count(*) AS n_pairs,
+        |  CAST(sum(p_q) AS BIGINT) AS det_ppm,
+        |  count(CASE WHEN wanted THEN 1 END) AS n_wanted,
+        |  CAST(sum(CASE WHEN wanted THEN p_q ELSE 0 END) AS BIGINT)
+        |    AS det_wanted_ppm,
+        |  CAST(sum(CASE WHEN NOT wanted THEN p_q ELSE 0 END) AS BIGINT)
+        |    AS det_unwanted_ppm,
+        |  CAST(CAST(sum(p_q) AS BIGINT) AS DOUBLE) / 1000000.0 / count(*)
+        |    AS mean_det
+        |FROM u GROUP BY n_bands, rows_per_band
+        |ORDER BY rows_per_band, n_bands""".stripMargin
     },
     // Greedy arrival-order near-dup: dup iff any band bucket holds an
     // earlier doc — bucket-min vs own doc_id, no recursion needed.

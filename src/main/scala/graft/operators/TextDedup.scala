@@ -471,6 +471,70 @@ object TextDedup {
       .orderBy("thr_tenths")
   }
 
+  /** The LSH S-curve detection probability 1 − (1 − J^r)^b as a SQL
+    * expression over a column named `jacc` — integer exponents spelled
+    * as LEFT-ASSOCIATIVE repeated multiplication so both engines run
+    * the SAME IEEE op sequence (libm `pow` is NOT cross-engine
+    * reproducible; a product chain is). ONE spelling interpolated into
+    * both the Spark plan and the DuckDB oracle (the ticksSql
+    * discipline). */
+  private[graft] def detectProbExpr(b: Int, r: Int): String = {
+    require(b >= 1 && r >= 1, s"LSH config needs b,r >= 1: ($b, $r)")
+    val jr = Seq.fill(r)("jacc").mkString(" * ")
+    val miss = Seq.fill(b)(s"(1.0 - ($jr))").mkString(" * ")
+    s"(1.0 - $miss)"
+  }
+
+  /** F74 — LSH PARAMETER PLANNER (the S-curve calibration artifact):
+    * for each candidate (bands × rows-per-band) signature layout, the
+    * expected near-dup detection the banding would achieve on THIS
+    * corpus — 1 − (1 − J^r)^b evaluated at every candidate pair's
+    * EXACT Jaccard, split into wanted (J ≥ 0.5) vs unwanted mass.
+    * F71 sweeps the VERDICT threshold for one fixed banding; this
+    * sweeps the BANDING itself — recall on true near-dups vs
+    * candidate leakage per config is the "which (b, r) do we ship"
+    * decision table (Leskovec et al., MMDS ch. 3).
+    *
+    * Population: the banded candidate pairs with exact Jaccard
+    * ([[candidatePairStats]] — the same bounded frame F41/F71 audit;
+    * all-pairs J is quadratic and never materialized, so the curve
+    * calibrates RELATIVE detection over the recall-biased candidate
+    * population — stated on the artifact, standard practice at scale).
+    *
+    * Determinism: J is ONE IEEE division of exact ints; the S-curve
+    * runs the [[detectProbExpr]] product chain (no libm pow); per-pair
+    * probabilities quantize ppm-HALF_UP into int64 BEFORE the
+    * order-free sums (the F12b discipline); wanted tests the exact-int
+    * cross-multiplication 2·n_common ≥ n_union; `mean_det` divides
+    * exact ints in one fixed left-assoc chain. */
+  def lshPlanner(docs: DataFrame, configs: Seq[(Int, Int)]): DataFrame = {
+    require(configs.nonEmpty, "lshPlanner: need at least one (b, r)")
+    val pairs = candidatePairStats(docs, 100)
+      .select(col("n_common"), col("n_union"),
+        (col("n_common").cast("double") / col("n_union").cast("double"))
+          .as("jacc"))
+      .localCheckpoint(true)
+    val cfgExprs = configs.map { case (b, r) =>
+      s"$b, $r, ${detectProbExpr(b, r)}"
+    }.mkString(", ")
+    pairs
+      .selectExpr("n_common", "n_union",
+        s"stack(${configs.size}, $cfgExprs) AS (n_bands, rows_per_band, p)")
+      .withColumn("p_q", expr("CAST(round(p * 1000000.0, 0) AS BIGINT)"))
+      .withColumn("wanted", expr("2 * n_common >= n_union"))
+      .groupBy("n_bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("p_q").as("det_ppm"),
+        count(when(col("wanted"), lit(1))).as("n_wanted"),
+        sum(when(col("wanted"), col("p_q")).otherwise(lit(0L)))
+          .as("det_wanted_ppm"),
+        sum(when(!col("wanted"), col("p_q")).otherwise(lit(0L)))
+          .as("det_unwanted_ppm"))
+      .withColumn("mean_det",
+        expr("CAST(det_ppm AS DOUBLE) / 1000000.0 / n_pairs"))
+      .orderBy("rows_per_band", "n_bands")
+  }
+
   /** F3 — SimHash signature per document ([[PortableText.SimHashBits]]
     * bits). */
   def simHashSig(docs: DataFrame): DataFrame = {

@@ -781,4 +781,41 @@ class TextDedupSpec extends SparkSpec {
       .find(_._1 == 3L).get
     assert(r3._2 == 3L && r3._3 == 0L && r3._6 == 0.0)
   }
+
+  // ---------- F74 lshPlanner ----------
+
+  test("detectProbExpr evaluates the S-curve as the left-assoc " +
+      "product chain (no pow)") {
+    import org.apache.spark.sql.functions.expr
+    val js = Seq(0.0, 0.2, 0.5, 0.8, 1.0)
+    val cfgs = Seq((16, 1), (4, 4), (2, 8))
+    val in = js.toDF("jacc")
+    for ((b, r) <- cfgs) {
+      val got = in.select(expr(TextDedup.detectProbExpr(b, r)))
+        .as[Double].collect().toSeq
+      val want = js.map { j =>
+        val jr = Seq.fill(r)(j).reduceLeft(_ * _)
+        1.0 - Seq.fill(b)(1.0 - jr).reduceLeft(_ * _)
+      }
+      assert(got == want, s"config ($b, $r)")
+    }
+  }
+
+  test("lshPlanner: an exact-dup candidate pair contributes full " +
+      "detection mass to every config") {
+    val d = docs(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),  // J = 1 with doc 0
+      (2L, "epsilon zeta eta theta iota kappa"))
+    val out = TextDedup.lshPlanner(d, Seq((16, 1), (4, 4), (1, 16)))
+      .as[(Int, Int, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out.size == 3)
+    out.foreach { case (_, _, nPairs, detPpm, nWanted, detW, detU, mean) =>
+      // only the identical pair can band-join; J = 1 → p = 1 exactly
+      assert(nPairs == 1L && detPpm == 1000000L)
+      assert(nWanted == 1L && detW == 1000000L && detU == 0L)
+      assert(mean == 1.0)
+    }
+  }
 }
