@@ -592,6 +592,9 @@ object SparkEntry {
     // D48 — minute-of-day-adjusted anomaly scan (de-seasonalized D4).
     "q_seasonal_anomaly" -> ((s, d) =>
       Microstructure.seasonalAnomaly(Tables.ticks(s, d), seasonalZThr)),
+    // D49 — overnight vs intraday variance decomposition (French–Roll).
+    "q_overnight_intraday" -> ((s, d) =>
+      Microstructure.overnightIntraday(Tables.ticks(s, d))),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2438,6 +2441,41 @@ object SparkEntry {
         |WHERE abs(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END)
         |  > $seasonalZThr
         |ORDER BY symbol, tick_id""".stripMargin,
+    // D49 — French–Roll decomposition: first/last cents per (symbol,
+    // day) by tick_id, exact int diffs, variance via the SHARED
+    // Microstructure.varFromSums spelling (exact sums — no engine
+    // var_samp), share of RAW vars, round(4) display only.
+    "q_overnight_intraday" -> {
+      import graft.operators.Microstructure.varFromSums
+      s"""WITH daily AS (SELECT symbol, date_trunc('day', ts) AS day,
+        |    arg_min(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS open_c,
+        |    arg_max(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS close_c
+        |  FROM $ticksSql t GROUP BY symbol, date_trunc('day', ts)),
+        |rets AS (SELECT symbol,
+        |    open_c - lag(close_c, 1) OVER (PARTITION BY symbol
+        |      ORDER BY day) AS r_on,
+        |    close_c - open_c AS r_id
+        |  FROM daily),
+        |ag AS (SELECT symbol, count(*) AS n_days, count(r_on) AS n_on,
+        |    CAST(sum(r_on) AS BIGINT) AS s_on,
+        |    CAST(sum(r_on * r_on) AS BIGINT) AS sq_on,
+        |    CAST(sum(r_id) AS BIGINT) AS s_id,
+        |    CAST(sum(r_id * r_id) AS BIGINT) AS sq_id
+        |  FROM rets GROUP BY symbol),
+        |v AS (SELECT symbol, n_days,
+        |    ${varFromSums("s_on", "sq_on", "n_on")} AS v_on,
+        |    ${varFromSums("s_id", "sq_id", "n_days")} AS v_id
+        |  FROM ag)
+        |SELECT symbol, n_days,
+        |  round(v_on, 4) AS var_overnight,
+        |  round(v_id, 4) AS var_intraday,
+        |  round(CASE WHEN v_on IS NOT NULL AND v_id IS NOT NULL
+        |      AND v_on + v_id > 0
+        |    THEN v_on / (v_on + v_id) END, 4) AS overnight_share
+        |FROM v ORDER BY symbol""".stripMargin
+    },
     // D47 — all-integer participation curve: hourly/total/cumulative
     // quantity sums are exact int64 (CAST — the r8 HUGEINT lesson),
     // shares in bps via exact integer division. Zero rounding

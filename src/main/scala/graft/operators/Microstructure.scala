@@ -1144,4 +1144,68 @@ object Microstructure {
         "share_bp", "cum_share_bp")
       .orderBy("symbol", "hour_od")
   }
+
+  /** The two-pass-free sample variance from EXACT integer sums —
+    * `(Σd² − (Σd)²/n) / (n−1)` with every cast and division in ONE
+    * fixed left-assoc spelling, interpolated verbatim into both the
+    * Spark plan and the DuckDB oracle: variance of exact ints is
+    * deterministic where engine `var_samp` (Welford vs textbook
+    * accumulation) is not. NULL below 2 observations. */
+  private[graft] def varFromSums(s: String, sq: String, n: String): String =
+    s"CASE WHEN $n > 1 THEN (CAST($sq AS DOUBLE) " +
+      s"- CAST($s AS DOUBLE) * CAST($s AS DOUBLE) / $n) / ($n - 1) END"
+
+  /** D49 — OVERNIGHT vs INTRADAY VARIANCE DECOMPOSITION: per symbol,
+    * how much daily price variance accrues while the market is CLOSED
+    * (prev close → open gap) vs while it TRADES (open → close) — the
+    * classic French–Roll (1986) decomposition behind every
+    * close-to-close risk model's "is volatility trading or
+    * information" question, and the D-block's missing bridge between
+    * per-tick RV (D17) and day-grain stats (D13): a symbol whose
+    * variance is mostly overnight gaps cannot be hedged intraday.
+    *
+    * Shape: the 100 TB tick fact collapses in ONE (symbol, day)
+    * aggregate (first/last tick per day by tick_id — B2/B7's OHLC
+    * rule, map-side partials); everything after runs on the
+    * calendar-sized daily frame — a per-symbol lag window and a
+    * per-symbol aggregate, one exchange total.
+    *
+    * Determinism: opens/closes are exact cents; gap and intraday
+    * moves exact int64 diffs (overnight pairs each open with the
+    * previous OBSERVED day's close — calendar gaps don't null the
+    * series, E10 measures those); variances via [[varFromSums]]
+    * (exact sums, fixed IEEE spelling — no engine var_samp); the
+    * share divides the two RAW variances before a single display
+    * round(4); symbols with < 2 overnight obs report NULL vars and
+    * share (never a 0/0). */
+  def overnightIntraday(ticks: DataFrame): DataFrame = {
+    val daily = ticks
+      .withColumn("cents", round(col("bid") * 100.0, 0).cast("long"))
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(min_by(col("cents"), col("tick_id")).as("open_c"),
+        max_by(col("cents"), col("tick_id")).as("close_c"))
+    val w = Window.partitionBy("symbol").orderBy("day")
+    val rets = daily
+      .withColumn("r_on", col("open_c") - lag(col("close_c"), 1).over(w))
+      .withColumn("r_id", col("close_c") - col("open_c"))
+    val agg = rets.groupBy("symbol").agg(
+      count(lit(1)).as("n_days"),
+      count(col("r_on")).as("n_on"),
+      sum(col("r_on")).as("s_on"),
+      sum(expr("r_on * r_on")).as("sq_on"),
+      sum(col("r_id")).as("s_id"),
+      sum(expr("r_id * r_id")).as("sq_id"))
+    agg
+      .withColumn("v_on", expr(varFromSums("s_on", "sq_on", "n_on")))
+      .withColumn("v_id", expr(varFromSums("s_id", "sq_id", "n_days")))
+      .withColumn("on_share",
+        when(col("v_on").isNotNull && col("v_id").isNotNull &&
+          col("v_on") + col("v_id") > 0,
+          col("v_on") / (col("v_on") + col("v_id"))))
+      .select(col("symbol"), col("n_days"),
+        round(col("v_on"), 4).as("var_overnight"),
+        round(col("v_id"), 4).as("var_intraday"),
+        round(col("on_share"), 4).as("overnight_share"))
+      .orderBy("symbol")
+  }
 }

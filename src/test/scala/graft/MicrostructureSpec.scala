@@ -653,4 +653,28 @@ class MicrostructureSpec extends SparkSpec {
     assert(r2.getAs[Long]("n_obs") == 3L)
     assert(r2.getAs[Double]("resp_cents") == 1.0 / 3.0)
   }
+
+  test("overnightIntraday: exact-sum variances of gap vs session moves, " +
+      "single-day symbols report NULL") {
+    // symbol 1 daily (open, close) cents:
+    //   d1 (100, 110), d2 (112, 109), d3 (115, 120)
+    //   r_on = [2, 6]        → var = ((4+36) − 8²/2) / 1 = 8
+    //   r_id = [10, −3, 5]   → var = (134 − 12²/3) / 2 = 43
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.00), // d1 open
+      (2L, 1L, "2024-01-01 15:00:00", 1.10), // d1 close
+      (3L, 1L, "2024-01-02 10:00:00", 1.12),
+      (4L, 1L, "2024-01-02 15:00:00", 1.09),
+      (5L, 1L, "2024-01-03 10:00:00", 1.15),
+      (6L, 1L, "2024-01-03 15:00:00", 1.20),
+      (7L, 2L, "2024-01-01 10:00:00", 5.00), // one day only
+      (8L, 2L, "2024-01-01 15:00:00", 5.50))
+      .map { case (id, sym, ts, b) => (id, sym, ts, b, b + 0.01) }
+    val out = Microstructure.overnightIntraday(ticks(rows: _*))
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, Some(8.0), Some(43.0), Some(math.rint(8.0 / 51.0 * 1e4) / 1e4)),
+      (2L, 1L, None, None, None))) // 1 day: both vars need n > 1
+  }
 }
