@@ -1097,21 +1097,35 @@ object Microstructure {
     * per (symbol, day) like D23. Shape: one (symbol, day) window
     * exchange + one 1440-row baseline aggregate broadcast back —
     * the anomaly join adds no shuffle. */
-  def seasonalAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
-    require(threshold > 0, s"threshold must be > 0: $threshold")
+  /** D48's per-tick |move| frame: in-day cent moves (the first tick of
+    * each (symbol, day) has no move) tagged with minute-of-day.
+    * Factored out so the batch scan and the G25 baseline trainer share
+    * one spelling. */
+  private def seasonalMoves(ticks: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("symbol"), to_date(col("ts")))
       .orderBy("tick_id")
-    val moves = ticks
+    ticks
       .withColumn("cents", centsOf(col("bid")))
       .withColumn("mv",
         abs(col("cents") - lag(col("cents"), 1).over(w)).cast("double"))
       .filter(col("mv").isNotNull)
       .withColumn("minute_od", hour(col("ts")) * 60 + minute(col("ts")))
-    val base = moves.groupBy("minute_od").agg(
-      avg(col("mv")).as("_mu"), stddev_samp(col("mv")).as("_sigma"))
-    val z = when(col("_sigma") =!= 0,
-      (col("mv") - col("_mu")) / col("_sigma"))
-    moves.join(broadcast(base), Seq("minute_od"))
+  }
+
+  /** The minute-of-day (μ, σ) baseline D48 scores against — ≤ 1440
+    * rows, broadcastable. Exposed separately so the G25 streaming
+    * twin can train it on batch history and score a live feed against
+    * it (the train-offline / score-online deployment split). */
+  def seasonalBaseline(ticks: DataFrame): DataFrame =
+    seasonalMoves(ticks).groupBy("minute_od").agg(
+      avg(col("mv")).as("mu"), stddev_samp(col("mv")).as("sigma"))
+
+  def seasonalAnomaly(ticks: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    val moves = seasonalMoves(ticks)
+    val z = when(col("sigma") =!= 0,
+      (col("mv") - col("mu")) / col("sigma"))
+    moves.join(broadcast(seasonalBaseline(ticks)), Seq("minute_od"))
       .filter(abs(z) > threshold)
       .select(col("symbol"), col("tick_id"), col("minute_od"),
         col("mv"), round(z, 4).as("zscore"))

@@ -950,4 +950,66 @@ object Streaming {
           out.reverseIterator
       }
   }
+
+  case class MovePoint(symbol: Long, tick_id: Long, minute_od: Int,
+                       mv: Double)
+
+  /** G25 — STREAMING SEASONAL-ANOMALY SCORING: the live twin of
+    * `Microstructure.seasonalAnomaly` (D48) in the deployment split a
+    * real surveillance stack runs — the minute-of-day (mu, sigma)
+    * baseline is TRAINED OFFLINE on batch history
+    * (`Microstructure.seasonalBaseline`, <= 1440 rows) and the live
+    * feed is scored against it as a STREAM-STATIC BROADCAST join
+    * (G4's pattern at per-tick grain, composed with keyed move
+    * state). Keyed state per (symbol, day) is ONE long — the last
+    * cents — so the in-day |move| matches the batch lag window
+    * exactly; the day key retires naturally at the day boundary
+    * (the first tick of a new (symbol, day) emits no move, the
+    * batch's NULL-lag rule).
+    *
+    * The z spelling is the batch's verbatim: NULL when sigma = 0 or
+    * the minute is untrained (inner join drops unknown minutes — the
+    * conservative G4 default), flag on |z| > threshold against the
+    * RAW z, round(4) display. Fed per-symbol in-order (G11/G12's
+    * assumption); within a micro-batch rows sort by tick_id. */
+  def seasonalFlags(ticks: Dataset[Tick], baseline: DataFrame,
+                    threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0: $threshold")
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def minuteOd(ts: Timestamp): Int = {
+      val t = java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalTime
+      t.getHour * 60 + t.getMinute
+    }
+    val moves = ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(-1L)
+          val out = rows.toSeq.sortBy(_.tick_id).flatMap { t =>
+            val c = math.round(t.bid * 100.0)
+            val r =
+              if (last >= 0L)
+                Some(MovePoint(key._1, t.tick_id, minuteOd(t.ts),
+                  math.abs(c - last).toDouble))
+              else None
+            last = c
+            r
+          }
+          state.update(last)
+          out.iterator
+      }
+    val z = when(col("sigma") =!= 0,
+      (col("mv") - col("mu")) / col("sigma"))
+    moves.toDF()
+      .join(broadcast(baseline.select("minute_od", "mu", "sigma")),
+        Seq("minute_od"))
+      .filter(abs(z) > threshold)
+      .select(col("symbol"), col("tick_id"), col("minute_od"),
+        col("mv"), round(z, 4).as("zscore"))
+  }
 }

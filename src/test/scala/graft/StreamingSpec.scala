@@ -845,4 +845,41 @@ class StreamingSpec extends SparkSpec {
         batch.exists(_.last.asInstanceOf[Long] >= 5L))
     } finally q.stop()
   }
+
+  test("G25 parity: seasonalFlags (offline baseline + stream-static " +
+      "scoring) == batch seasonalAnomaly; day boundary resets the " +
+      "move state") {
+    // minute 0 moves across both days: [1, 1, 4] → μ = 2, σ = √3;
+    // only the 4-cent move scores |z| = 2/√3 ≈ 1.1547 > 1.0.
+    // minute 1 has a single move → σ NULL → never flagged.
+    // Day-2 head tick (2.00 after day-1 close 1.03) emits NO move.
+    val ticks = Seq(
+      Tick(1L, 1L, t("2024-01-01 00:00:01"), 1.00),
+      Tick(2L, 1L, t("2024-01-01 00:00:05"), 1.01),
+      Tick(3L, 1L, t("2024-01-01 00:00:20"), 1.02),
+      Tick(4L, 1L, t("2024-01-01 00:01:10"), 1.03),
+      Tick(5L, 1L, t("2024-01-02 00:00:02"), 2.00),
+      Tick(6L, 1L, t("2024-01-02 00:00:40"), 2.04),
+      Tick(7L, 2L, t("2024-01-01 00:00:30"), 5.00))
+    val batch = graft.operators.Microstructure
+      .seasonalAnomaly(ticks.toDF(), 1.0).collect().toSet
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getDouble(3), r.getDouble(4))) ==
+      Set((1L, 6L, 0, 4.0, math.rint(2.0 / math.sqrt(3.0) * 1e4) / 1e4)))
+    val baseline = graft.operators.Microstructure
+      .seasonalBaseline(ticks.toDF())
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.seasonalFlags(in.toDS(), baseline, 1.0)
+      .writeStream.format("memory").queryName("p_seasonal")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split before tick 6: its move spans the batch boundary, so
+      // the flag depends on state carried from batch 1
+      val (a, b) = (ticks.take(5), ticks.drop(5))
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      assert(spark.table("p_seasonal").collect().toSet == batch)
+    } finally q.stop()
+  }
 }
