@@ -111,6 +111,7 @@ object SparkEntry {
                                 // probed: ~50/50 contained/orphan at
                                 // the gate SFs, 0 interval overlaps)
   val tbEntryEvery = 25         // D38 entry sampling stride
+  val tcaFillEvery = 20         // D50 fill sampling stride
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
@@ -595,6 +596,9 @@ object SparkEntry {
     // D49 — overnight vs intraday variance decomposition (French–Roll).
     "q_overnight_intraday" -> ((s, d) =>
       Microstructure.overnightIntraday(Tables.ticks(s, d))),
+    // D50 — TCA: sampled fills benchmarked against day VWAP, signed bp.
+    "q_vwap_slippage" -> ((s, d) =>
+      Microstructure.vwapSlippage(Tables.events(s, d), tcaFillEvery)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2441,6 +2445,29 @@ object SparkEntry {
         |WHERE abs(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END)
         |  > $seasonalZThr
         |ORDER BY symbol, tick_id""".stripMargin,
+    // D50 — TCA: (symbol, day) VWAP sums exact int64 (HUGEINT CAST
+    // back), both vwap_cents and slip_bp ONE IEEE division of exact
+    // ints (signed integer div deliberately avoided — Spark truncates
+    // where DuckDB floors), day-frame join, fills every Nth event.
+    "q_vwap_slippage" ->
+      s"""WITH p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS INT), 0) AS k
+        |  FROM events),
+        |t AS (SELECT * FROM p WHERE k > 0),
+        |d AS (SELECT symbol, day, CAST(sum(k) AS BIGINT) AS day_qty,
+        |    CAST(sum(cents * k) AS BIGINT) AS day_pv
+        |  FROM t GROUP BY symbol, day)
+        |SELECT t.symbol, t.event_id AS fill_id,
+        |  strftime(t.day, '%Y-%m-%d') AS day,
+        |  t.cents AS exec_cents, d.day_qty,
+        |  CAST(d.day_pv AS DOUBLE) / d.day_qty AS vwap_cents,
+        |  CAST((t.cents * d.day_qty - d.day_pv) * 10000 AS DOUBLE)
+        |    / d.day_pv AS slip_bp
+        |FROM t JOIN d USING (symbol, day)
+        |WHERE t.event_id % $tcaFillEvery = 0
+        |ORDER BY symbol, fill_id""".stripMargin,
     // D49 — French–Roll decomposition: first/last cents per (symbol,
     // day) by tick_id, exact int diffs, variance via the SHARED
     // Microstructure.varFromSums spelling (exact sums — no engine

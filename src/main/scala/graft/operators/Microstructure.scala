@@ -1159,6 +1159,58 @@ object Microstructure {
       .orderBy("symbol", "hour_od")
   }
 
+  /** D50 — VWAP SLIPPAGE / TRANSACTION-COST ANALYSIS: each sampled
+    * fill benchmarked against its (symbol, day) volume-weighted
+    * average price — the implementation-shortfall number every
+    * execution desk's TCA report leads with (Perold 1988: did we pay
+    * more than the market's own average?). B8 prices the day's tape
+    * ex-post; this scores INDIVIDUAL executions against it, signed —
+    * a positive bp is money left on the table for a buyer. D47's
+    * participation curve says WHEN to trade; this says how well the
+    * fills actually did.
+    *
+    * Fills are every `fillEvery`-th event (D38's deterministic
+    * sampling rule — a real deployment joins its own order log).
+    *
+    * Shape: the tape collapses in ONE (symbol, day) aggregate
+    * (map-side partials; qty and price·qty exact int64 sums); the
+    * daily frame is calendar-bounded and BROADCAST back onto the
+    * sampled fills — the fact never shuffles. Slippage avoids signed
+    * integer `div` entirely (Spark truncates, DuckDB floors —
+    * opposite on negatives): both `vwap_cents` and `slip_bp` are ONE
+    * IEEE division of exact ints (D21's rule, unrounded). Headroom:
+    * cents·day_qty·10⁴ needs < 2⁶³ — at 10⁵ cents and 10⁹ daily
+    * units that is 10¹⁸, inside int64 with one order of magnitude to
+    * spare; a larger venue shards the day key. */
+  def vwapSlippage(events: DataFrame, fillEvery: Int): DataFrame = {
+    require(fillEvery >= 1, s"fillEvery must be >= 1: $fillEvery")
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("day"),
+      centsOf(col("value")).as("cents"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+      .filter(col("k") > 0)
+    val daily = parsed.groupBy("symbol", "day")
+      .agg(sum(col("k")).as("day_qty"),
+        sum(col("cents") * col("k")).as("day_pv"))
+    parsed
+      .filter(col("event_id") % fillEvery === 0)
+      .join(broadcast(daily), Seq("symbol", "day"))
+      .select(col("symbol"),
+        col("event_id").as("fill_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents").as("exec_cents"),
+        col("day_qty"),
+        (col("day_pv").cast("double") / col("day_qty").cast("double"))
+          .as("vwap_cents"),
+        ((col("cents") * col("day_qty") - col("day_pv")) * 10000L)
+          .cast("double").divide(col("day_pv").cast("double"))
+          .as("slip_bp"))
+      .orderBy("symbol", "fill_id")
+  }
+
   /** The two-pass-free sample variance from EXACT integer sums —
     * `(Σd² − (Σd)²/n) / (n−1)` with every cast and division in ONE
     * fixed left-assoc spelling, interpolated verbatim into both the

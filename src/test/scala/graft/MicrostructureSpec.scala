@@ -677,4 +677,24 @@ class MicrostructureSpec extends SparkSpec {
       (1L, 3L, Some(8.0), Some(43.0), Some(math.rint(8.0 / 51.0 * 1e4) / 1e4)),
       (2L, 1L, None, None, None))) // 1 day: both vars need n > 1
   }
+
+  test("vwapSlippage: signed bp vs the day VWAP from exact int sums; " +
+      "zero-qty events join neither tape nor fills") {
+    // day tape (symbol 1): 100c×10 + 102c×30 + 104c×10 → VWAP 102c.
+    val ev = events(
+      (20L, 1L, "2024-01-01 10:00:00", 1.00, 10),  // fill (20 % 20 = 0)
+      (21L, 1L, "2024-01-01 11:00:00", 1.02, 30),
+      (40L, 1L, "2024-01-01 12:00:00", 1.04, 10),  // fill
+      (60L, 1L, "2024-01-01 13:00:00", 9.99, 0),   // quote: k = 0
+      (22L, 2L, "2024-01-01 10:00:00", 5.00, 5))   // no fill-aligned id
+    val out = Microstructure.vwapSlippage(ev, 20)
+      .as[(Long, Long, String, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, "2024-01-01", 100L, 50L, 102.0,
+        (100L * 50L - 5100L) * 10000L / 5100.0),
+      (1L, 40L, "2024-01-01", 104L, 50L, 102.0,
+        (104L * 50L - 5100L) * 10000L / 5100.0)))
+    assert(out.head._7 < 0 && out(1)._7 > 0) // buy below / above VWAP
+  }
 }
