@@ -112,6 +112,7 @@ object SparkEntry {
                                 // the gate SFs, 0 interval overlaps)
   val tbEntryEvery = 25         // D38 entry sampling stride
   val tcaFillEvery = 20         // D50 fill sampling stride
+  val waterfillPct = 95         // F75 budget as % of corpus tokens
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
@@ -976,6 +977,11 @@ object SparkEntry {
     // weight table, exact-int margin, sign verdict).
     "q_classifier_score" -> ((s, d) =>
       CorpusPipeline.classifierScore(Tables.documents(s, d))),
+    // F75 — token-budget waterfill: max-min fair allocation at the
+    // solved water level.
+    "q_waterfill" -> ((s, d) =>
+      CorpusPipeline.waterfillAllocation(Tables.documents(s, d),
+        waterfillPct)),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -5045,6 +5051,42 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F75 — waterfill: same rank/prefix windows on the source frame,
+    // band pick by exact-int cross-mult (ORDER BY j LIMIT 1), level
+    // via // on non-negative ints (== Spark div), slack CAST back
+    // from the HUGEINT sum.
+    "q_waterfill" -> {
+      import graft.functions.PortableText._
+      s"""WITH tk AS (SELECT source,
+        |    CAST(sum(length($duckTokens)) AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS n_src,
+        |    CAST(sum(avail_tokens) AS BIGINT) AS total_avail FROM tk),
+        |r AS (SELECT source, avail_tokens,
+        |    (n.total_avail * $waterfillPct) // 100 AS budget,
+        |    row_number() OVER (ORDER BY avail_tokens, source) AS j,
+        |    coalesce(CAST(sum(avail_tokens) OVER (
+        |      ORDER BY avail_tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS pb,
+        |    n.n_src - row_number() OVER (ORDER BY avail_tokens, source)
+        |      + 1 AS rem
+        |  FROM tk, n),
+        |lv AS (SELECT (budget - pb) // rem AS water_level, 1 AS _one
+        |  FROM r WHERE budget - pb <= avail_tokens * rem
+        |  ORDER BY j LIMIT 1),
+        |al AS (SELECT r.source, r.avail_tokens, r.budget, lv.water_level,
+        |    CASE WHEN lv.water_level IS NOT NULL
+        |      THEN least(r.avail_tokens, lv.water_level)
+        |      ELSE r.avail_tokens END AS alloc_tokens
+        |  FROM r LEFT JOIN lv ON true)
+        |SELECT source, avail_tokens, alloc_tokens,
+        |  alloc_tokens = avail_tokens AS fully_funded,
+        |  water_level, budget,
+        |  budget - CAST((SELECT sum(alloc_tokens) FROM al) AS BIGINT)
+        |    AS budget_slack
+        |FROM al ORDER BY source""".stripMargin
     },
     // F73 — classifier inference: per-token polyhash buckets (the
     // duckPolyHash dual, non-negative so plain % is pmod), the SAME

@@ -705,6 +705,73 @@ object CorpusPipeline {
       .orderBy("bucket_len")
   }
 
+  /** F75 — TOKEN-BUDGET WATERFILL across sources: allocate a token
+    * budget (`budgetPct`% of the corpus) fairly — every source is
+    * funded up to the common WATER LEVEL λ with Σ min(availᵢ, λ) =
+    * budget, so small sources keep everything and the oversized ones
+    * absorb the whole cut (max-min fairness, the allocation rule
+    * congestion control and mixture planning share). F18 caps at a
+    * FIXED per-source ceiling a human picked; this SOLVES for the
+    * ceiling the budget implies — the "what cap does a 500 B-token
+    * target actually mean" planning artifact that precedes every F37
+    * mixture run.
+    *
+    * Algorithm, closed-form on the |sources|-row frame: rank sources
+    * by avail asc; the level's band is the FIRST rank j where the
+    * remaining budget fits under that source's avail —
+    * `B − prefix_below ≤ availⱼ · (n − j + 1)` (exact-int
+    * cross-multiplication) — and λ = (B − prefix_below) div remaining
+    * (both non-negative at the picked band by the band-failure
+    * invariant, so Spark-truncate == DuckDB-floor). Fully-funded
+    * sources below the band are unaffected by the floor because
+    * λ ≥ avail_{j−1} there (sorted order). If the budget exceeds the
+    * corpus (pct > 100), no band qualifies: λ is NULL, everyone is
+    * fully funded, the slack column carries the surplus.
+    *
+    * Scale shape: the corpus collapses in ONE source aggregate
+    * (map-side partials); ranking, prefix sums, the band pick and the
+    * slack total all run on the |sources|-row frame — the global
+    * windows are bounded-by-construction (§ WindowExec note). All
+    * token counts, prefixes, the level and the slack are exact int64;
+    * floor remainder (< n_src tokens) is REPORTED as slack, never
+    * silently re-spread. */
+  def waterfillAllocation(docs: DataFrame, budgetPct: Int): DataFrame = {
+    require(budgetPct >= 0, s"budgetPct must be >= 0: $budgetPct")
+    import org.apache.spark.sql.expressions.Window
+    val avail = docs.groupBy("source")
+      .agg(sum(expr(s"size($tokens)").cast("bigint")).as("avail_tokens"))
+    val tot = avail.agg(count(lit(1)).as("n_src"),
+      sum("avail_tokens").as("total_avail"))
+    val w = Window.orderBy(col("avail_tokens").asc, col("source").asc)
+    val ranked = avail.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"(total_avail * $budgetPct) div 100L"))
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("pb", coalesce(sum(col("avail_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rem", col("n_src") - col("j") + 1L)
+      .localCheckpoint(true)
+    val level = ranked
+      .filter(col("budget") - col("pb") <= col("avail_tokens") * col("rem"))
+      .orderBy("j").limit(1)
+      .select(expr("(budget - pb) div rem").as("water_level"),
+        lit(1).as("_one"))
+    val alloc = ranked.withColumn("_one", lit(1))
+      .join(broadcast(level), Seq("_one"), "left")
+      .withColumn("alloc_tokens",
+        when(col("water_level").isNotNull,
+          least(col("avail_tokens"), col("water_level")))
+          .otherwise(col("avail_tokens")))
+    alloc
+      .withColumn("budget_slack",
+        col("budget") - sum(col("alloc_tokens"))
+          .over(Window.partitionBy(lit(1)))) // |sources|-bounded frame
+      .select(col("source"), col("avail_tokens"), col("alloc_tokens"),
+        (col("alloc_tokens") === col("avail_tokens")).as("fully_funded"),
+        col("water_level"), col("budget"), col("budget_slack"))
+      .orderBy("source")
+  }
+
   /** F73 — HASHED-FEATURE LINEAR CLASSIFIER INFERENCE: the fastText /
     * DCLM-style quality-classifier scoring pass every production
     * corpus filter runs — tokens hash into `nBuckets` feature buckets

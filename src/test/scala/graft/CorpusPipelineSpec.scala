@@ -416,6 +416,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F75 waterfillAllocation ----------
+
+  test("waterfillAllocation: level funds small sources fully, caps the " +
+      "large one, reports the floor remainder as slack; over-budget " +
+      "gives NULL level and surplus slack") {
+    def words(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // per-source avail: a=10, b=25, c=70 → total 105
+    val docs = Seq(
+      (1L, words("a", 10), "en", "srcA"),
+      (2L, words("b", 25), "en", "srcB"),
+      (3L, words("c", 70), "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+    // pct 41 → budget 105·41 div 100 = 43; band at srcB (j=2):
+    // 43−10 = 33 ≤ 25·2 → λ = 33 div 2 = 16; alloc 10+16+16 = 42,
+    // slack 1 (the floor remainder is REPORTED, not re-spread).
+    val out = CorpusPipeline.waterfillAllocation(docs, 41)
+      .as[(String, Long, Long, Boolean, Option[Long], Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("srcA", 10L, 10L, true, Some(16L), 43L, 1L),
+      ("srcB", 25L, 16L, false, Some(16L), 43L, 1L),
+      ("srcC", 70L, 16L, false, Some(16L), 43L, 1L)))
+    // pct 120 → budget 126 > corpus: no band, NULL level, surplus 21.
+    val over = CorpusPipeline.waterfillAllocation(docs, 120)
+      .as[(String, Long, Long, Boolean, Option[Long], Long, Long)]
+      .collect().toSeq
+    assert(over == Seq(
+      ("srcA", 10L, 10L, true, None, 126L, 21L),
+      ("srcB", 25L, 25L, true, None, 126L, 21L),
+      ("srcC", 70L, 70L, true, None, 126L, 21L)))
+  }
+
   // ---------- F73 classifierScore ----------
 
   test("classifierScore: margins are the exact sum of bucket weights, " +
