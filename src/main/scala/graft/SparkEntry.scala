@@ -982,6 +982,9 @@ object SparkEntry {
     "q_waterfill" -> ((s, d) =>
       CorpusPipeline.waterfillAllocation(Tables.documents(s, d),
         waterfillPct)),
+    // F76 — KS drift test (one source vs rest) on exact length CDFs.
+    "q_ks_drift" -> ((s, d) =>
+      CorpusPipeline.ksDrift(Tables.documents(s, d))),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -5051,6 +5054,48 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F76 — KS drift: same (source, len) collapse, bounded CDF grid,
+    // exact-int cumulatives, one IEEE division per CDF value, sup
+    // picked by (|diff| desc, len asc) — identical doubles rank
+    // identically; int-len tiebreak.
+    "q_ks_drift" -> {
+      import graft.functions.PortableText._
+      s"""WITH sl AS (SELECT source, CAST(length($duckTokens) AS BIGINT)
+        |      AS len
+        |  FROM documents),
+        |bysl AS (SELECT source, len, count(*) AS c_sl
+        |  FROM sl GROUP BY source, len),
+        |byl AS (SELECT len, CAST(sum(c_sl) AS BIGINT) AS c_l
+        |  FROM bysl GROUP BY len),
+        |ns AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s
+        |  FROM bysl GROUP BY source),
+        |nall AS (SELECT CAST(sum(c_sl) AS BIGINT) AS n_all FROM bysl),
+        |grid AS (SELECT ns.source, byl.len, ns.n_s, nall.n_all, byl.c_l,
+        |    coalesce(bysl.c_sl, 0) AS c_sl
+        |  FROM ns CROSS JOIN byl CROSS JOIN nall
+        |  LEFT JOIN bysl ON bysl.source = ns.source AND bysl.len = byl.len),
+        |cdf AS (SELECT source, len, n_s, n_all,
+        |    CAST(sum(c_sl) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_s,
+        |    CAST(sum(c_l) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_all
+        |  FROM grid),
+        |d AS (SELECT source, len, n_s, n_all,
+        |    CASE WHEN n_all - n_s > 0 THEN
+        |      abs(CAST(cum_s AS DOUBLE) / n_s
+        |        - CAST(cum_all - cum_s AS DOUBLE) / (n_all - n_s)) END
+        |      AS absdiff
+        |  FROM cdf),
+        |r AS (SELECT source, len, n_s, n_all, absdiff,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY absdiff DESC NULLS LAST, len) AS rnk
+        |  FROM d)
+        |SELECT source, n_s AS n_docs, n_all - n_s AS n_rest,
+        |  absdiff AS ks_stat, len AS ks_at_len
+        |FROM r WHERE rnk = 1 ORDER BY source""".stripMargin
     },
     // F75 — waterfill: same rank/prefix windows on the source frame,
     // band pick by exact-int cross-mult (ORDER BY j LIMIT 1), level

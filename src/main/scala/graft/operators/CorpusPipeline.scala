@@ -705,6 +705,62 @@ object CorpusPipeline {
       .orderBy("bucket_len")
   }
 
+  /** F76 — KOLMOGOROV–SMIRNOV DRIFT TEST, one source vs the rest of
+    * the corpus, on the document token-length distribution: the
+    * two-sample KS statistic sup_x |F_s(x) − F_rest(x)| evaluated on
+    * EXACT empirical CDFs — the distribution-shift alarm a corpus
+    * monitor raises when a feed's docs quietly get shorter (F44's L1
+    * histogram drift is bucket-width-sensitive and pairwise; KS is
+    * the classical binning-free test, scored one-vs-rest so the
+    * alarm names the drifting FEED, with the max location reported
+    * as the diagnostic).
+    *
+    * Shape: the corpus collapses in ONE (source, len) count aggregate
+    * (map-side partials); the CDF grid is |sources| × |distinct
+    * lens| — bounded by construction, built by a broadcast cross
+    * join; cumulatives are per-source windows on that grid; the
+    * argmax is a per-source rank on the same bounded frame. Nothing
+    * downstream of the first aggregate touches data-scale rows.
+    *
+    * Determinism: counts and cumulative counts exact int64; each CDF
+    * value ONE IEEE division of exact ints; the sup and its location
+    * are picked by (|diff| desc, len asc) — both engines rank
+    * identical doubles, ties break on the exact int len. The stat is
+    * unrounded (derived, not an aggregate-double); a single-source
+    * corpus has no rest side and reports NULL. */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySL = docs
+      .select(col("source"), expr(s"size($tokens)").cast("long").as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c_sl"))
+      .localCheckpoint(true)
+    val byL = bySL.groupBy("len").agg(sum("c_sl").as("c_l"))
+    val nS = bySL.groupBy("source").agg(sum("c_sl").as("n_s"))
+    val nAll = bySL.agg(sum("c_sl").as("n_all"))
+    val grid = nS.crossJoin(broadcast(byL)).crossJoin(broadcast(nAll))
+      .join(bySL, Seq("source", "len"), "left")
+      .withColumn("c_sl", coalesce(col("c_sl"), lit(0L)))
+    val w = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = grid
+      .withColumn("cum_s", sum(col("c_sl")).over(w))
+      .withColumn("cum_all", sum(col("c_l")).over(w))
+      .withColumn("absdiff",
+        when(col("n_all") - col("n_s") > 0,
+          abs(col("cum_s").cast("double") / col("n_s").cast("double") -
+            (col("cum_all") - col("cum_s")).cast("double") /
+              (col("n_all") - col("n_s")).cast("double"))))
+    cdf
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("absdiff").desc_nulls_last, col("len").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("source"), col("n_s").as("n_docs"),
+        (col("n_all") - col("n_s")).as("n_rest"),
+        col("absdiff").as("ks_stat"), col("len").as("ks_at_len"))
+      .orderBy("source")
+  }
+
   /** F75 — TOKEN-BUDGET WATERFILL across sources: allocate a token
     * budget (`budgetPct`% of the corpus) fairly — every source is
     * funded up to the common WATER LEVEL λ with Σ min(availᵢ, λ) =

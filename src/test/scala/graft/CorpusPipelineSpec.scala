@@ -416,6 +416,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F76 ksDrift ----------
+
+  test("ksDrift: sup of the exact one-vs-rest CDF gap with its " +
+      "location; lens absent from a source still enter its CDF") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // source A lens [2, 2, 4]; source B lens [4, 6]:
+    //   len 2: F_A = 2/3, F_B = 0   → gap 2/3  (the sup, both sides)
+    //   len 4: F_A = 1,   F_B = 1/2 → gap 1/2
+    //   len 6: 1 vs 1               → gap 0
+    val docs = Seq(
+      (1L, words(2), "en", "A"), (2L, words(2), "en", "A"),
+      (3L, words(4), "en", "A"),
+      (4L, words(4), "en", "B"), (5L, words(6), "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.ksDrift(docs)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 2L, 2.0 / 3.0, 2L),
+      ("B", 2L, 3L, 2.0 / 3.0, 2L)))
+  }
+
   // ---------- F75 waterfillAllocation ----------
 
   test("waterfillAllocation: level funds small sources fully, caps the " +
