@@ -985,6 +985,9 @@ object SparkEntry {
     // F76 — KS drift test (one source vs rest) on exact length CDFs.
     "q_ks_drift" -> ((s, d) =>
       CorpusPipeline.ksDrift(Tables.documents(s, d))),
+    // F77 — hashed-TF doc vectors, verified via exact scalar profile.
+    "q_text_embed" -> ((s, d) =>
+      CorpusPipeline.textEmbedProfile(Tables.documents(s, d))),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -5054,6 +5057,27 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F77 — hashed-TF profile: dense 64-bucket grid per doc (left
+    // join), exact-int count/support/checksum sums (HUGEINT CAST),
+    // nrm = sqrt of an exact int — every scalar engine-identical.
+    "q_text_embed" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |bk AS (SELECT doc_id, ${duckPolyHash("tok")} % 64 AS b,
+        |    count(*) AS c
+        |  FROM tok GROUP BY doc_id, b),
+        |g AS (SELECT d.doc_id, r.r AS b
+        |  FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS r) r),
+        |v AS (SELECT g.doc_id, g.b, coalesce(bk.c, 0) AS c
+        |  FROM g LEFT JOIN bk ON bk.doc_id = g.doc_id AND bk.b = g.b)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(CASE WHEN c > 0 THEN 1 END) AS nnz,
+        |  CAST(sum((b + 1) * c * c) AS BIGINT) AS vec_checksum,
+        |  sqrt(CAST(CAST(sum(c * c) AS BIGINT) AS DOUBLE)) AS nrm
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // F76 — KS drift: same (source, len) collapse, bounded CDF grid,
     // exact-int cumulatives, one IEEE division per CDF value, sup

@@ -705,6 +705,57 @@ object CorpusPipeline {
       .orderBy("bucket_len")
   }
 
+  /** F77 — HASHED-TF DOCUMENT VECTORS: the text→vector BRIDGE — each
+    * doc becomes a dense `dim`-bucket term-frequency vector by
+    * feature hashing (the F73 trick lifted from a scalar margin to a
+    * vector), which is what lets every embedding-side operator
+    * (F5–F7b ANN, F24 clustering, F49 drift) run on a corpus that
+    * shipped with NO embedding column. Counts are EXACT int64 per
+    * bucket, so the vector itself is engine-reproducible — the
+    * property no float encoder output has.
+    *
+    * Shape: explode + one (doc, bucket) count aggregate + one per-doc
+    * collect into the dense array via a map lookup over the bucket
+    * range (order-independent — collect_list order never matters);
+    * token-less docs keep the zero vector via the left join. */
+  def hashedTfVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val bk = docs.select(col("doc_id"), explode(expr(tokens)).as("tok"))
+      .withColumn("b", expr(s"graft_polyhash(tok) % $dim"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    val vecs = bk.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c"))))
+        .as("m"))
+      .withColumn("vec", expr(s"transform(sequence(0, ${dim - 1}), " +
+        "j -> coalesce(element_at(m, CAST(j AS BIGINT)), 0L))"))
+      .select("doc_id", "vec")
+    docs.select("doc_id")
+      .join(vecs, Seq("doc_id"), "left")
+      .withColumn("vec",
+        coalesce(col("vec"), expr(s"array_repeat(0L, $dim)")))
+  }
+
+  /** F77's driver-checkable profile: the vector surface reduced to
+    * per-doc scalars (total count, support, a position-weighted
+    * checksum Σ(j+1)·cⱼ², and the L2 norm as √ of an exact-int sum) —
+    * the oracle compare carries no array columns (no list-hash
+    * precedent in the gate), so the registry verifies the bridge
+    * through these exact reductions while [[hashedTfVectors]] serves
+    * the composable vector (ScalaTest proves the ANN composition). */
+  def textEmbedProfile(docs: DataFrame, dim: Int = 64): DataFrame =
+    hashedTfVectors(docs, dim)
+      .withColumn("n_tokens", expr("aggregate(vec, 0L, (a, x) -> a + x)"))
+      .withColumn("nnz", expr("size(filter(vec, x -> x > 0))").cast("long"))
+      .withColumn("vec_checksum",
+        expr(s"aggregate(zip_with(vec, sequence(1, $dim), " +
+          "(c, j) -> j * c * c), 0L, (a, x) -> a + x)"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(vec, 0L, (a, x) -> a + x * x)")
+          .cast("double")))
+      .select("doc_id", "n_tokens", "nnz", "vec_checksum", "nrm")
+      .orderBy("doc_id")
+
   /** F76 — KOLMOGOROV–SMIRNOV DRIFT TEST, one source vs the rest of
     * the corpus, on the document token-length distribution: the
     * two-sample KS statistic sup_x |F_s(x) − F_rest(x)| evaluated on

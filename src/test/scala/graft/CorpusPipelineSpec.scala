@@ -416,6 +416,45 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F77 hashedTfVectors ----------
+
+  test("hashedTfVectors: exact bucket counts, zero vector for empty " +
+      "docs, profile scalars re-derive from the vector") {
+    val dim = 4
+    def bucket(tok: String): Int =
+      (graft.functions.PolyHash.hash(tok) % dim).toInt
+    val docs = docsFrom(1L -> "x y x", 2L -> "")
+    val vecs = CorpusPipeline.hashedTfVectors(docs, dim)
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = Array.fill(dim)(0L)
+    expected(bucket("x")) += 2L; expected(bucket("y")) += 1L
+    assert(vecs(1L) == expected.toSeq)
+    assert(vecs(2L) == Seq.fill(dim)(0L))
+    val prof = CorpusPipeline.textEmbedProfile(docs, dim)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val chk = expected.zipWithIndex.map { case (c, j) => (j + 1) * c * c }.sum
+    assert(prof(1L) == (1L, 3L, expected.count(_ > 0).toLong, chk,
+      math.sqrt(expected.map(c => c * c).sum.toDouble)))
+    assert(prof(2L) == (2L, 0L, 0L, 0L, 0.0))
+  }
+
+  test("hashedTfVectors composes with the ANN family: identical docs " +
+      "are each other's top cosine neighbor") {
+    val docs = docsFrom(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta gamma",          // identical to doc 0
+      2L -> "delta epsilon zeta eta")
+    val emb = CorpusPipeline.hashedTfVectors(docs, 8)
+      .selectExpr("doc_id AS vec_id",
+        "transform(vec, x -> CAST(x AS FLOAT)) AS embedding")
+    val top = graft.operators.Vectors.bruteForceKnn(emb, 3, 1, 8)
+      .as[(Long, Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(top(0L) == ((1L, 1.0)) && top(1L) == ((0L, 1.0)))
+    assert(top(2L)._2 < 1.0)
+  }
+
   // ---------- F76 ksDrift ----------
 
   test("ksDrift: sup of the exact one-vs-rest CDF gap with its " +
