@@ -1136,6 +1136,15 @@ object SparkEntry {
     // is the spec-written fixture table interpolated from the SAME
     // constant MediaSummarySpec pins with hand-derived anchors.
     "q_media_summary" -> ((s, _) => Multimodal.mediaSummary(s, 300)),
+    // F78 — media content dedup on the planted-duplicate lake: ground
+    // truth is by construction (keep ⟺ id < 96, groups of 2), so the
+    // verdict frame has a formula-generated oracle even though the
+    // codec math isn't SQL-expressible. nDistinct = 96 sits BELOW the
+    // audio generator's content period (samples vary only with
+    // key % 32 ⇒ audio keys collide at lcm(3,32) = 96 apart — the
+    // first oracle run at 150 caught exactly that as n_copies 4).
+    "q_media_dedup" -> ((s, _) =>
+      Multimodal.mediaDedup(Multimodal.syntheticDupMedia(s, 96))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1150,6 +1159,21 @@ object SparkEntry {
          }.mkString(", ")})
         |  AS t(feature, n_rows, sum_q)
         |ORDER BY feature""".stripMargin,
+    // F78 — media dedup on the planted-dup lake: the oracle IS the
+    // construction formula (kind by id % 3 — 96 ≡ 0 mod 3 keeps the
+    // replica aligned; keep ⟺ id < 96; every content group size 2,
+    // which HOLDS only below the audio content period — see the
+    // registry note). A codec/fingerprint corruption flips keep bits
+    // or n_copies and goes red — a real check despite no SQL codec
+    // math.
+    "q_media_dedup" ->
+      """SELECT r AS media_id,
+        |  CASE WHEN r % 3 = 1 THEN 'image'
+        |       WHEN r % 3 = 2 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(2 AS BIGINT) AS n_copies,
+        |  r < 96 AS keep
+        |FROM range(192) t(r) ORDER BY media_id""".stripMargin,
     // C30 — Q6 essence: every predicate in the WHERE, one aggregate.
     "q_forecast_revenue" ->
       s"""SELECT

@@ -156,27 +156,94 @@ object Multimodal {
     * horizontally scrolling luma gradient, so the motion proxy is
     * provably nonzero) — every modality exercises genuine decode, not
     * a transform of arbitrary bytes. */
+  /** The per-CONTENT-KEY row builder both generators share: the
+    * payload derives from `key` by fixed integer formulas while the
+    * row keeps its own `id` — so [[syntheticDupMedia]] can plant
+    * byte-exact replicas (same key, different id) without duplicating
+    * the formulas [[syntheticRealMedia]]'s fixtures pin. */
+  private def mediaRowFor(key: Long, id: Long): MediaRow =
+    (key % 3) match {
+      case 1 =>
+        val w = 4 + (key % 3).toInt; val h = 3 + (key % 2).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => (key.toInt * 11 + i * 5) % 256)
+        MediaRow(id, "image", MediaCodecs.Ppm.encode(w, h, rgb), w, h, 1)
+      case 2 =>
+        val samples = Array.tabulate[Short](64 + (key % 32).toInt)(i =>
+          if ((i / 4) % 2 == 0) 1000.toShort else (-1000).toShort)
+        MediaRow(id, "audio", MediaCodecs.Wav.encode(8000, samples), 0, 0, 0)
+      case _ =>
+        val w = 8; val h = 6
+        val nf = 4 + (key % 5).toInt
+        val frames = (0 until nf).map(f =>
+          Array.tabulate[Byte](w * h)(i =>
+            (((i % w) * 32 + f * 16 + key * 7) % 256).toByte))
+        MediaRow(id, "video", MediaCodecs.Y4m.encode(w, h, 25, frames), w, h, nf)
+    }
+
   def syntheticRealMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.range(n).map { id =>
-      (id % 3) match {
-        case 1 =>
-          val w = 4 + (id % 3).toInt; val h = 3 + (id % 2).toInt
-          val rgb = Array.tabulate(w * h * 3)(i => (id.toInt * 11 + i * 5) % 256)
-          MediaRow(id, "image", MediaCodecs.Ppm.encode(w, h, rgb), w, h, 1)
-        case 2 =>
-          val samples = Array.tabulate[Short](64 + (id % 32).toInt)(i =>
-            if ((i / 4) % 2 == 0) 1000.toShort else (-1000).toShort)
-          MediaRow(id, "audio", MediaCodecs.Wav.encode(8000, samples), 0, 0, 0)
+    spark.range(n).map(id => mediaRowFor(id, id))
+  }
+
+  /** A media lake with PLANTED duplicates: ids 0..nDistinct−1 carry
+    * distinct content, ids nDistinct..2·nDistinct−1 replicate the
+    * content of `id − nDistinct` — so ground truth is BY
+    * CONSTRUCTION (keep ⟺ id < nDistinct, every group size 2) and
+    * the F78 verdict frame has a formula-generated DuckDB oracle
+    * even though codec math itself is not SQL-expressible.
+    * `nDistinct % 3 == 0` keeps the replica's kind formula aligned
+    * with `id % 3`, and `nDistinct <= 96` keeps the distinct range
+    * below the AUDIO content period — the square-wave samples vary
+    * only with `key % 32`, so audio keys lcm(3, 32) = 96 apart carry
+    * identical content and the "every group has size 2" ground truth
+    * would silently break (caught by the oracle at 150: n_copies 4). */
+  def syntheticDupMedia(spark: SparkSession, nDistinct: Int): Dataset[MediaRow] = {
+    require(nDistinct % 3 == 0,
+      s"nDistinct must be divisible by 3: $nDistinct")
+    require(nDistinct <= 96,
+      s"nDistinct must be <= 96 (audio content period): $nDistinct")
+    import spark.implicits._
+    spark.range(2L * nDistinct).map(id => mediaRowFor(id % nDistinct, id))
+  }
+
+  /** F78 — MEDIA EXACT-CONTENT DEDUP: F1's hash-groupBy dedup lifted
+    * to binary media, keyed on the DECODED canonical content (pixels
+    * / samples / frames), not the raw bytes — two encodings of the
+    * same image (header whitespace, field order) collide here and
+    * would not under a byte hash (spec'd with two distinct PPM
+    * byte-encodings of one pixel grid). Per row: decode with the real
+    * codec, fold content into the shared mod-1e9+7 rolling hash
+    * (dims/rate folded first so a 2×3 and 3×2 of the same pixel
+    * stream differ); then the standard exact-dedup shape — one
+    * (kind, fp) aggregate, keeper = min id, verdict join. Narrow
+    * decode pass, one shuffle on the fingerprint key; group frame is
+    * content-cardinality-sized (never broadcast — at 100 TB it
+    * shuffles like F1). */
+  def mediaDedup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val P = 1000000007L
+    def fold(h: Long, v: Long): Long = (h * 31 + v) % P
+    val fp = media.map { r =>
+      val f = r.kind match {
+        case "image" =>
+          val (w, h, rgb) = MediaCodecs.Ppm.decode(r.payload)
+          rgb.foldLeft(fold(fold(0L, w), h))((a, v) => fold(a, v))
+        case "audio" =>
+          val (rate, samples) = MediaCodecs.Wav.decode(r.payload)
+          samples.foldLeft(fold(0L, rate))((a, v) => fold(a, v & 0xffffL))
         case _ =>
-          val w = 8; val h = 6
-          val nf = 4 + (id % 5).toInt
-          val frames = (0 until nf).map(f =>
-            Array.tabulate[Byte](w * h)(i =>
-              (((i % w) * 32 + f * 16 + id * 7) % 256).toByte))
-          MediaRow(id, "video", MediaCodecs.Y4m.encode(w, h, 25, frames), w, h, nf)
+          val (w, h, frames) = MediaCodecs.Y4m.decode(r.payload)
+          frames.foldLeft(fold(fold(0L, w), h))((a, fr) =>
+            fr.foldLeft(fold(a, 255L))((x, b) => fold(x, b & 0xffL)))
       }
-    }
+      (r.media_id, r.kind, f)
+    }.toDF("media_id", "kind", "fp")
+    val groups = fp.groupBy("kind", "fp")
+      .agg(count(lit(1)).as("n_copies"), min("media_id").as("_keeper"))
+    fp.join(groups, Seq("kind", "fp"))
+      .select(col("media_id"), col("kind"), col("n_copies"),
+        (col("media_id") === col("_keeper")).as("keep"))
+      .orderBy("media_id")
   }
 
   /** F12 — the full long-format feature frame over [[syntheticRealMedia]]:

@@ -138,4 +138,40 @@ class IngestMultimodalSpec extends SparkSpec {
       assert(fs.forall(f => f.mean_luma > 0 && f.mean_luma < 255))
     }
   }
+
+  // ---------- F78 mediaDedup ----------
+
+  test("mediaDedup on the planted-dup lake: replicas drop, originals " +
+      "keep, every content group has exactly its pair") {
+    import spark.implicits._
+    val out = Multimodal.mediaDedup(Multimodal.syntheticDupMedia(spark, 6))
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == (0L until 12L))
+    out.foreach { case (id, kind, nCopies, keep) =>
+      assert(nCopies == 2L, s"id $id grouped $nCopies")
+      assert(keep == (id < 6L), s"id $id keep=$keep")
+      val expectKind = (id % 3) match {
+        case 1 => "image"; case 2 => "audio"; case _ => "video"
+      }
+      assert(kind == expectKind)
+    }
+  }
+
+  test("mediaDedup keys on decoded CONTENT, not payload bytes: two " +
+      "PPM encodings of one pixel grid collide") {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRow
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7) % 256)
+    val canonical = graft.operators.MediaCodecs.Ppm.encode(4, 3, rgb)
+    // same pixels, header whitespace respelled: "P6 4 3 255 " (spaces)
+    val respelled = "P6 4 3 255 ".getBytes("US-ASCII") ++
+      rgb.map(v => (v & 0xff).toByte)
+    assert(!java.util.Arrays.equals(canonical, respelled))
+    val media = Seq(
+      MediaRow(1L, "image", canonical, 4, 3, 1),
+      MediaRow(2L, "image", respelled, 4, 3, 1)).toDS()
+    val out = Multimodal.mediaDedup(media)
+      .as[(Long, String, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, "image", 2L, true), (2L, "image", 2L, false)))
+  }
 }
