@@ -696,6 +696,11 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       TemporalJoins.funnel(Tables.events(s, d), "view", "click",
         "purchase", 86400000000L)),
+    // E15 — sequence match with negation: view → purchase within 1
+    // day and NO click strictly between.
+    "q_funnel_negation" -> ((s, d) =>
+      TemporalJoins.funnelWithout(Tables.events(s, d), "view",
+        "purchase", "click", 86400000000L)),
     // E10 — per-symbol calendar coverage / missing-day report.
     "q_calendar_coverage" -> ((s, d) =>
       TemporalJoins.calendarCoverage(Tables.ticks(s, d))),
@@ -3353,6 +3358,34 @@ object SparkEntry {
         |  CAST(a.n_active AS DOUBLE) / s.cohort_size AS retention
         |FROM act a JOIN sz s USING (cohort_day)
         |ORDER BY cohort_date, day_offset""".stripMargin,
+    // E15 — negation funnel: E9's chained conditional mins + ONE
+    // decorrelated blocker count over the matched window; blocked is
+    // three-valued (NULL when no chain), exact int64 µs throughout.
+    "q_funnel_negation" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(us) AS t2_us
+        |  FROM ev JOIN t1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t1_us
+        |    AND us <= t1_us + 86400000000 GROUP BY ev.user_id),
+        |w AS (SELECT t1.user_id, t1_us, t2_us
+        |  FROM t1 LEFT JOIN t2 USING (user_id)),
+        |b AS (SELECT ev.user_id, count(*) AS n_blockers
+        |  FROM ev JOIN w USING (user_id)
+        |  WHERE event_type = 'click' AND w.t2_us IS NOT NULL
+        |    AND us > w.t1_us AND us < w.t2_us
+        |  GROUP BY ev.user_id)
+        |SELECT w.user_id, w.t1_us, w.t2_us,
+        |  CASE WHEN w.t2_us IS NOT NULL
+        |    THEN coalesce(b.n_blockers, 0) END AS n_blockers,
+        |  CASE WHEN w.t2_us IS NOT NULL
+        |    THEN coalesce(b.n_blockers, 0) > 0 END AS blocked,
+        |  w.t2_us IS NOT NULL AND coalesce(b.n_blockers, 0) = 0
+        |    AS completed
+        |FROM w LEFT JOIN b USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // E6 — forward as-of: DuckDB ASOF with the inequality flipped.
     // E7 — lead-lag: grid = first tick per (symbol, day) by tick_id
     // (B2's rule), moves exact cents on the grid, corr round(4); pairs

@@ -534,6 +534,48 @@ object TemporalJoins {
       .orderBy("user_id")
   }
 
+  /** E15 — SEQUENCE MATCH WITH NEGATION: `step1 → step2` within τ and
+    * NO `blocker` event strictly between — the MATCH_RECOGNIZE-class
+    * pattern E9's pure chain cannot express ("purchase after view
+    * with no cancel in between"); every churn/abandonment report is
+    * this shape. Greedy-earliest anchors as E9 (deterministic: the
+    * earliest qualifying step2 after the earliest step1); negation is
+    * decorrelated into ONE user-keyed count aggregate over the
+    * blocker scan restricted to the matched window — never a per-user
+    * sort-and-scan, never an EXISTS loop.
+    *
+    * `blocked` is NULL when the chain itself never completed (no
+    * window to block — three-valued like the t-columns); `completed`
+    * requires a matched chain AND a blocker-free window. All
+    * comparisons exact int64 epoch µs (E9's truncation rule);
+    * counts exact. One shuffle per aggregate on the user key, left
+    * sides shrinking each step. */
+  def funnelWithout(events: DataFrame, step1: String, step2: String,
+                    blocker: String, tauUs: Long): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val t1 = ev.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val t2 = ev.filter(col("event_type") === step2)
+      .join(t1, "user_id")
+      .filter(col("us") > col("t1_us") && col("us") <= col("t1_us") + tauUs)
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val win = t1.join(t2, Seq("user_id"), "left")
+    val blocks = ev.filter(col("event_type") === blocker)
+      .join(win.filter(col("t2_us").isNotNull), "user_id")
+      .filter(col("us") > col("t1_us") && col("us") < col("t2_us"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_blockers"))
+    win.join(blocks, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"),
+        when(col("t2_us").isNotNull,
+          coalesce(col("n_blockers"), lit(0L))).as("n_blockers"),
+        when(col("t2_us").isNotNull,
+          coalesce(col("n_blockers"), lit(0L)) > 0).as("blocked"),
+        (col("t2_us").isNotNull &&
+          coalesce(col("n_blockers"), lit(0L)) === 0).as("completed"))
+      .orderBy("user_id")
+  }
+
   /** D35 — EPPS-EFFECT CURVE per symbol pair: the pairwise correlation
     * of grid-aligned moves AS A FUNCTION of the sampling scale (Epps
     * 1979: measured correlation decays toward zero as the grid gets

@@ -365,6 +365,40 @@ class TemporalJoinsSpec extends SparkSpec {
       (106L, Some(1L), true)))
   }
 
+  test("funnelWithout: blocker strictly inside the matched window " +
+      "kills completion; boundary and outside blockers do not; no " +
+      "chain gives NULL blocked") {
+    def ev(id: Long, u: Long, ty: String, s: String) =
+      (id, u, t(s), ty, 0.0, "{}")
+    val events = Seq(
+      // user 1: view 10:00 → purchase 11:00 with a click between →
+      // blocked
+      ev(1L, 1L, "view", "2024-01-01 10:00:00"),
+      ev(2L, 1L, "click", "2024-01-01 10:30:00"),
+      ev(3L, 1L, "purchase", "2024-01-01 11:00:00"),
+      // user 2: clean chain; the click AFTER purchase is outside
+      ev(4L, 2L, "view", "2024-01-01 10:00:00"),
+      ev(5L, 2L, "purchase", "2024-01-01 10:30:00"),
+      ev(6L, 2L, "click", "2024-01-01 11:00:00"),
+      // user 3: view only → no window, blocked NULL
+      ev(7L, 3L, "view", "2024-01-01 10:00:00"),
+      // user 4: click lands exactly AT the purchase us → boundary is
+      // strict, chain completes
+      ev(8L, 4L, "view", "2024-01-01 10:00:00"),
+      ev(9L, 4L, "click", "2024-01-01 11:00:00"),
+      ev(10L, 4L, "purchase", "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = TemporalJoins.funnelWithout(events, "view", "purchase",
+      "click", 3600000000L)
+      .select("user_id", "n_blockers", "blocked", "completed")
+      .as[(Long, Option[Long], Option[Boolean], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(1L), Some(true), false),
+      (2L, Some(0L), Some(false), true),
+      (3L, None, None, false),
+      (4L, Some(0L), Some(false), true)))
+  }
+
   test("cohortRetention: first-seen-day cohorts, distinct-user offsets, " +
       "exact shares") {
     // user 1 first seen Jan 1, active Jan 1 (twice — must dedup) + Jan 3;
