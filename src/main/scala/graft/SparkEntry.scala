@@ -113,6 +113,7 @@ object SparkEntry {
   val tbEntryEvery = 25         // D38 entry sampling stride
   val tcaFillEvery = 20         // D50 fill sampling stride
   val waterfillPct = 95         // F75 budget as % of corpus tokens
+  val nwMaxLag = 3              // D51 Newey–West bandwidth
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
@@ -600,6 +601,9 @@ object SparkEntry {
     // D50 — TCA: sampled fills benchmarked against day VWAP, signed bp.
     "q_vwap_slippage" -> ((s, d) =>
       Microstructure.vwapSlippage(Tables.events(s, d), tcaFillEvery)),
+    // D51 — Newey–West long-run variance (Bartlett, L=3) + inflation.
+    "q_newey_west" -> ((s, d) =>
+      Microstructure.neweyWestVariance(Tables.ticks(s, d), nwMaxLag)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2486,6 +2490,54 @@ object SparkEntry {
         |WHERE abs(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END)
         |  > $seasonalZThr
         |ORDER BY symbol, tick_id""".stripMargin,
+    // D51 — Newey–West: per-lag exact sums via generated UNION ALL
+    // (the stack dual), γ̂ and the Bartlett combination through the
+    // SHARED nwGammaExpr / nwSigmaExpr spellings — no float aggregate
+    // past the exact sums in either engine.
+    "q_newey_west" -> {
+      import graft.operators.Microstructure.{nwGammaExpr, nwSigmaExpr}
+      val perK = (0 to nwMaxLag).map { k =>
+        if (k == 0)
+          """SELECT symbol, 0 AS k, count(*) AS n_k,
+            |    CAST(sum(d * d) AS BIGINT) AS sxy,
+            |    CAST(sum(d) AS BIGINT) AS sx,
+            |    CAST(sum(d) AS BIGINT) AS sy
+            |  FROM moves GROUP BY symbol""".stripMargin
+        else
+          s"""SELECT symbol, $k AS k, count(*) AS n_k,
+            |    CAST(sum(d * dl) AS BIGINT) AS sxy,
+            |    CAST(sum(d) AS BIGINT) AS sx,
+            |    CAST(sum(dl) AS BIGINT) AS sy
+            |  FROM (SELECT symbol, d, lag(d, $k) OVER (
+            |      PARTITION BY symbol ORDER BY tick_id) AS dl
+            |    FROM moves) x
+            |  WHERE dl IS NOT NULL GROUP BY symbol""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val pivots = (0 to nwMaxLag).map(k =>
+        s"max(CASE WHEN k = $k THEN gamma END) AS g$k").mkString(",\n    ")
+      s"""WITH c AS (SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |  FROM $ticksSql t),
+        |moves AS (SELECT symbol, tick_id, d FROM (
+        |    SELECT symbol, tick_id, cents - lag(cents, 1) OVER (
+        |      PARTITION BY symbol ORDER BY tick_id) AS d FROM c) x
+        |  WHERE d IS NOT NULL),
+        |tot AS (SELECT symbol, count(*) AS n, CAST(sum(d) AS BIGINT) AS s
+        |  FROM moves GROUP BY symbol),
+        |pk AS ($perK),
+        |gg AS (SELECT pk.symbol, pk.k, pk.n_k, pk.sxy, pk.sx, pk.sy,
+        |    tot.n, CAST(tot.s AS DOUBLE) / tot.n AS m
+        |  FROM pk JOIN tot USING (symbol)),
+        |ga AS (SELECT symbol, k, n, $nwGammaExpr AS gamma FROM gg),
+        |pv AS (SELECT symbol, max(n) AS n_moves,
+        |    $pivots
+        |  FROM ga GROUP BY symbol)
+        |SELECT symbol, n_moves, round(g0, 4) AS gamma0,
+        |  round(${nwSigmaExpr(nwMaxLag)}, 4) AS nw_var,
+        |  round(CASE WHEN g0 <> 0
+        |    THEN (${nwSigmaExpr(nwMaxLag)}) / g0 END, 4) AS inflation
+        |FROM pv ORDER BY symbol""".stripMargin
+    },
     // D50 — TCA: (symbol, day) VWAP sums exact int64 (HUGEINT CAST
     // back), both vwap_cents and slip_bp ONE IEEE division of exact
     // ints (signed integer div deliberately avoided — Spark truncates

@@ -1022,6 +1022,84 @@ object Microstructure {
       .orderBy("symbol", "lag")
   }
 
+  /** D51's autocovariance from exact sums — the [[varFromSums]] idea
+    * at lag k: γ̂_k = (Σxy − m·Σx − m·Σy + n_k·m²) / n with m the
+    * full-series mean, every cast and op in ONE fixed left-assoc
+    * spelling shared by both engines (expects columns sxy, sx, sy,
+    * n_k, m, n). 1/n (population) normalization — the standard NW
+    * convention. */
+  private[graft] val nwGammaExpr: String =
+    "(CAST(sxy AS DOUBLE) - m * CAST(sx AS DOUBLE) " +
+      "- m * CAST(sy AS DOUBLE) + CAST(n_k AS DOUBLE) * m * m) / n"
+
+  /** D51's Bartlett combination γ₀ + Σ 2·(1 − k/(L+1))·γ_k as ONE
+    * generated left-assoc expression over pivoted columns g0..gL —
+    * a float aggregate over the lag rows would be summation-order
+    * nondeterministic; this is a fixed op sequence. */
+  private[graft] def nwSigmaExpr(maxLag: Int): String =
+    (1 to maxLag).map(k =>
+      s"2.0 * (1.0 - CAST($k AS DOUBLE) / ${maxLag + 1}.0) * g$k")
+      .foldLeft("g0")((a, t) => s"$a + $t")
+
+  /** D51 — NEWEY–WEST LONG-RUN VARIANCE per symbol: the
+    * autocorrelation-robust variance of tick moves — γ₀ alone
+    * understates risk when flow is persistent (D32/D46 measure THAT
+    * persistence; this prices it into the variance the way every HAC
+    * standard error does, Newey–West 1987 with Bartlett weights).
+    * The inflation ratio σ²_NW / γ₀ is the headline: how much the
+    * naive variance misses at horizon L.
+    *
+    * Shape: ONE symbol-ordered exchange carries the move and all L
+    * lags (D45's rule); `stack` unpivots into (k, products); per-(
+    * symbol, k) sums aggregate with map-side partials; the lag
+    * pivot and Bartlett combination run on L+1 rows per symbol.
+    *
+    * Determinism: moves exact cents; all per-lag sums exact int64;
+    * m is ONE division; γ̂_k via [[nwGammaExpr]] and the combination
+    * via [[nwSigmaExpr]] — fixed op sequences, no float aggregate
+    * anywhere past the exact sums; round(4) display. Symbols with
+    * no pairs at some lag keep γ_k NULL → NULL σ² (reported, not
+    * silently shortened). */
+  def neweyWestVariance(ticks: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val base = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(w))
+      .filter(col("d").isNotNull)
+    val withLags = (1 to maxLag).foldLeft(base) { (df, k) =>
+      df.withColumn(s"dl_$k", lag(col("d"), k).over(w))
+    }
+    val stacked = (0 to maxLag).map { k =>
+      val dk = if (k == 0) "d" else s"dl_$k"
+      s"$k, CASE WHEN $dk IS NOT NULL THEN d * $dk END, " +
+        s"CASE WHEN $dk IS NOT NULL THEN d END, " +
+        s"CASE WHEN $dk IS NOT NULL THEN $dk END"
+    }.mkString(", ")
+    val perLag = withLags
+      .select(col("symbol"),
+        expr(s"stack(${maxLag + 1}, $stacked) AS (k, xy, x, y)"))
+      .groupBy("symbol", "k")
+      .agg(count(col("xy")).as("n_k"), sum("xy").as("sxy"),
+        sum("x").as("sx"), sum("y").as("sy"))
+    val tot = base.groupBy("symbol")
+      .agg(count(lit(1)).as("n"), sum("d").as("s"))
+    val g = perLag.join(tot, "symbol")
+      .withColumn("m", expr("CAST(s AS DOUBLE) / n"))
+      .withColumn("gamma", expr(nwGammaExpr))
+    val pivots = max(col("n")).as("n_moves") +: (0 to maxLag).map(k =>
+      max(when(col("k") === k, col("gamma"))).as(s"g$k"))
+    g.groupBy("symbol")
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("nw_var", expr(nwSigmaExpr(maxLag)))
+      .select(col("symbol"), col("n_moves"),
+        round(col("g0"), 4).as("gamma0"),
+        round(col("nw_var"), 4).as("nw_var"),
+        round(when(col("g0") =!= 0, col("nw_var") / col("g0")), 4)
+          .as("inflation"))
+      .orderBy("symbol")
+  }
+
   /** D46 — FLOW-PERSISTENCE CURVE per symbol: D32's repeat fraction
     * extended to a LAG LADDER over the nonzero-sign sequence — the
     * LMF long-memory diagnostic proper (order-flow sign correlation

@@ -678,6 +678,29 @@ class MicrostructureSpec extends SparkSpec {
       (2L, 1L, None, None, None))) // 1 day: both vars need n > 1
   }
 
+  test("neweyWestVariance: bid-bounce series — negative lag-1 autocov " +
+      "shrinks the long-run variance; missing lags give NULL, zero " +
+      "gamma0 gives NULL inflation") {
+    // symbol 1 moves d = [1,−1,1,−1] (m = 0): γ = [1, −0.75, 0.5,
+    // −0.25]; Bartlett L=3 → σ² = 1 − 2·0.75·0.75 + 2·0.5·0.5
+    // − 2·0.25·0.25 = 0.25 — bounce noise, so long-run < naive.
+    // symbol 2 has 2 moves: no lag-3 pairs → NULL σ²; constant moves
+    // → γ₀ = 0 → NULL inflation.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 00:00:01", 1.00), (2L, 1L, "2024-01-01 00:00:02", 1.01),
+      (3L, 1L, "2024-01-01 00:00:03", 1.00), (4L, 1L, "2024-01-01 00:00:04", 1.01),
+      (5L, 1L, "2024-01-01 00:00:05", 1.00),
+      (6L, 2L, "2024-01-01 00:00:01", 2.00), (7L, 2L, "2024-01-01 00:00:02", 2.01),
+      (8L, 2L, "2024-01-01 00:00:03", 2.02))
+      .map { case (id, sym, ts, b) => (id, sym, ts, b, b + 0.01) }
+    val out = Microstructure.neweyWestVariance(ticks(rows: _*), 3)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 4L, Some(1.0), Some(0.25), Some(0.25)),
+      (2L, 2L, Some(0.0), None, None)))
+  }
+
   test("vwapSlippage: signed bp vs the day VWAP from exact int sums; " +
       "zero-qty events join neither tape nor fills") {
     // day tape (symbol 1): 100c×10 + 102c×30 + 104c×10 → VWAP 102c.
