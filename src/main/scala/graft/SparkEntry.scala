@@ -604,6 +604,11 @@ object SparkEntry {
     // D51 — Newey–West long-run variance (Bartlett, L=3) + inflation.
     "q_newey_west" -> ((s, d) =>
       Microstructure.neweyWestVariance(Tables.ticks(s, d), nwMaxLag)),
+    // D52 — running-VWAP (participation-benchmark) slippage; the G26
+    // streaming twin carries the same two running sums as state.
+    "q_running_vwap" -> ((s, d) =>
+      Microstructure.runningVwapSlippage(Tables.events(s, d),
+        tcaFillEvery)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2538,6 +2543,33 @@ object SparkEntry {
         |    THEN (${nwSigmaExpr(nwMaxLag)}) / g0 END, 4) AS inflation
         |FROM pv ORDER BY symbol""".stripMargin
     },
+    // D52 — running-VWAP slippage: one running window per (symbol,
+    // day), fills filtered AFTER the cumsum, both outputs ONE IEEE
+    // division of exact ints (D50's signed-div rule).
+    "q_running_vwap" ->
+      s"""WITH p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS INT), 0) AS k
+        |  FROM events),
+        |t AS (SELECT * FROM p WHERE k > 0),
+        |r AS (SELECT symbol, event_id, day, cents,
+        |    CAST(sum(k) OVER (PARTITION BY symbol, day ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_qty,
+        |    CAST(sum(cents * k) OVER (PARTITION BY symbol, day
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_pv
+        |  FROM t)
+        |SELECT symbol, event_id AS fill_id,
+        |  strftime(day, '%Y-%m-%d') AS day,
+        |  cents AS exec_cents, cum_qty,
+        |  CAST(cum_pv AS DOUBLE) / cum_qty AS run_vwap_cents,
+        |  CAST((cents * cum_qty - cum_pv) * 10000 AS DOUBLE) / cum_pv
+        |    AS slip_bp
+        |FROM r WHERE event_id % $tcaFillEvery = 0
+        |ORDER BY symbol, fill_id""".stripMargin,
     // D50 — TCA: (symbol, day) VWAP sums exact int64 (HUGEINT CAST
     // back), both vwap_cents and slip_bp ONE IEEE division of exact
     // ints (signed integer div deliberately avoided — Spark truncates

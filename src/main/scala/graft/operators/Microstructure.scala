@@ -1289,6 +1289,52 @@ object Microstructure {
       .orderBy("symbol", "fill_id")
   }
 
+  /** D52 — RUNNING-VWAP SLIPPAGE: D50's TCA at the benchmark a LIVE
+    * desk can actually compute at fill time — the day's
+    * VWAP-SO-FAR (inclusive of the current trade), i.e. the
+    * participation benchmark, not the ex-post full-day print D50
+    * scores against (which needs the close). A fill's first-trade
+    * slippage is 0 by construction; the two reports together split
+    * "how we did vs the day" into "how we did vs what was knowable".
+    * Deliberately the exact semantics of the G26 streaming twin —
+    * whose keyed state is just the two running int64 sums — so
+    * live and batch TCA numbers reconcile row for row (parity
+    * spec'd).
+    *
+    * Shape: one (symbol, day)-partitioned running window ordered by
+    * event_id (running frames are O(n) streaming aggregates), fills
+    * filtered AFTER the cumsum (the benchmark must see every trade).
+    * Exact int64 running sums; `run_vwap_cents` and `slip_bp` are
+    * each ONE IEEE division of exact ints (D50's signed-div rule). */
+  def runningVwapSlippage(events: DataFrame, fillEvery: Int): DataFrame = {
+    require(fillEvery >= 1, s"fillEvery must be >= 1: $fillEvery")
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("day"),
+      centsOf(col("value")).as("cents"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+      .filter(col("k") > 0)
+    val w = Window.partitionBy("symbol", "day").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parsed
+      .withColumn("cum_qty", sum(col("k")).over(w))
+      .withColumn("cum_pv", sum(col("cents") * col("k")).over(w))
+      .filter(col("event_id") % fillEvery === 0)
+      .select(col("symbol"),
+        col("event_id").as("fill_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cents").as("exec_cents"),
+        col("cum_qty"),
+        (col("cum_pv").cast("double") / col("cum_qty").cast("double"))
+          .as("run_vwap_cents"),
+        ((col("cents") * col("cum_qty") - col("cum_pv")) * 10000L)
+          .cast("double").divide(col("cum_pv").cast("double"))
+          .as("slip_bp"))
+      .orderBy("symbol", "fill_id")
+  }
+
   /** The two-pass-free sample variance from EXACT integer sums —
     * `(Σd² − (Σd)²/n) / (n−1)` with every cast and division in ONE
     * fixed left-assoc spelling, interpolated verbatim into both the

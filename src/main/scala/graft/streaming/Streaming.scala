@@ -951,6 +951,54 @@ object Streaming {
       }
   }
 
+  case class FillPoint(symbol: Long, fill_id: Long, day: String,
+                       exec_cents: Long, cum_qty: Long,
+                       run_vwap_cents: Double, slip_bp: Double)
+
+  /** G26 — STREAMING RUNNING-VWAP SLIPPAGE: the live twin of
+    * `Microstructure.runningVwapSlippage` (D52) — the TCA report a
+    * desk watches DURING the day. Keyed state per (symbol, day) is
+    * exactly the benchmark's definition: the two running int64 sums
+    * (cum qty, cum price·qty); every trade updates them, fill-aligned
+    * ids emit their slippage against the vwap-so-far INCLUSIVE of
+    * themselves (the batch spelling verbatim — both divisions of
+    * exact ints, so live and batch reports reconcile row for row;
+    * parity spec splits a micro-batch mid-day). Zero-qty events
+    * update nothing and never emit (quotes, not trades). Fed
+    * per-symbol in-order (G11/G12's assumption); within a
+    * micro-batch rows sort by event_id. */
+  def runningVwapPoints(trades: Dataset[BarTrade], fillEvery: Int)
+      : Dataset[FillPoint] = {
+    require(fillEvery >= 1, s"fillEvery must be >= 1: $fillEvery")
+    import trades.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    trades.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[BarTrade],
+         state: GroupState[(Long, Long)]) =>
+          var (cumQty, cumPv) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_.event_id).flatMap { t =>
+            if (t.k <= 0L) None
+            else {
+              cumQty += t.k
+              cumPv += t.cents * t.k
+              if (t.event_id % fillEvery == 0L)
+                Some(FillPoint(key._1, t.event_id, key._2, t.cents,
+                  cumQty,
+                  cumPv.toDouble / cumQty.toDouble,
+                  ((t.cents * cumQty - cumPv) * 10000L).toDouble
+                    / cumPv.toDouble))
+              else None
+            }
+          }
+          state.update((cumQty, cumPv))
+          out.iterator
+      }
+  }
+
   case class MovePoint(symbol: Long, tick_id: Long, minute_od: Int,
                        mv: Double)
 

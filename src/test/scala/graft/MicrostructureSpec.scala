@@ -701,6 +701,24 @@ class MicrostructureSpec extends SparkSpec {
       (2L, 2L, Some(0.0), None, None)))
   }
 
+  test("runningVwapSlippage: benchmark is the vwap-so-far inclusive " +
+      "of the fill — first fill scores zero, later fills score " +
+      "against accumulated tape only") {
+    val ev = events(
+      (20L, 1L, "2024-01-01 10:00:00", 1.00, 10),  // fill: vwap-so-far 100
+      (21L, 1L, "2024-01-01 11:00:00", 1.02, 30),
+      (40L, 1L, "2024-01-01 12:00:00", 1.04, 10),  // fill: vwap-so-far 102
+      (60L, 1L, "2024-01-01 13:00:00", 9.99, 0),   // quote, never counted
+      (22L, 2L, "2024-01-01 10:00:00", 5.00, 5))   // no fill-aligned id
+    val out = Microstructure.runningVwapSlippage(ev, 20)
+      .as[(Long, Long, String, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 20L, "2024-01-01", 100L, 10L, 100.0, 0.0),
+      (1L, 40L, "2024-01-01", 104L, 50L, 102.0,
+        (104L * 50L - 5100L) * 10000L / 5100.0)))
+  }
+
   test("vwapSlippage: signed bp vs the day VWAP from exact int sums; " +
       "zero-qty events join neither tape nor fills") {
     // day tape (symbol 1): 100c×10 + 102c×30 + 104c×10 → VWAP 102c.

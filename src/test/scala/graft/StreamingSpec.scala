@@ -846,6 +846,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G26 parity: runningVwapPoints == batch runningVwapSlippage " +
+      "with the cumsum spanning the micro-batch split; quotes (k=0) " +
+      "neither update nor emit") {
+    import graft.streaming.Streaming.{BarTrade, FillPoint}
+    val trades = Seq(
+      BarTrade(20L, 1L, t("2024-01-01 10:00:00"), 100L, 10L),
+      BarTrade(21L, 1L, t("2024-01-01 11:00:00"), 102L, 30L),
+      BarTrade(40L, 1L, t("2024-01-01 12:00:00"), 104L, 10L),
+      BarTrade(60L, 1L, t("2024-01-01 13:00:00"), 999L, 0L),
+      BarTrade(22L, 2L, t("2024-01-01 10:00:00"), 500L, 5L))
+    // the equivalent events frame for the batch twin
+    val ev = trades.map(b => (b.event_id, b.symbol, b.ts, "trade",
+      b.cents / 100.0, s"""{"k":${b.k}}"""))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val batch = graft.operators.Microstructure
+      .runningVwapSlippage(ev, 20)
+      .as[(Long, Long, String, Long, Long, Double, Double)]
+      .collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[BarTrade]
+    val q = Streaming.runningVwapPoints(in.toDS(), 20)
+      .writeStream.format("memory").queryName("p_runvwap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split between trade 21 and fill 40: fill 40's benchmark
+      // depends on sums carried across the batch boundary
+      val (a, b) = trades.splitAt(2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val streamed = spark.table("p_runvwap").as[FillPoint].collect()
+        .map(f => (f.symbol, f.fill_id, f.day, f.exec_cents, f.cum_qty,
+          f.run_vwap_cents, f.slip_bp)).toSet
+      assert(streamed == batch)
+      assert(batch.map(_._2) == Set(20L, 40L)) // non-vacuous: 2 fills
+    } finally q.stop()
+  }
+
   test("G25 parity: seasonalFlags (offline baseline + stream-static " +
       "scoring) == batch seasonalAnomaly; day boundary resets the " +
       "move state") {
