@@ -1050,6 +1050,15 @@ object SparkEntry {
     // newline form on real multi-line documents.
     "q_line_dedup" -> ((s, d) =>
       Curation.lineDedup(Tables.documents(s, d), " ", 50)),
+    // F79 — per-source boilerplate report. Same delimiter note as
+    // q_line_dedup: the synthetic docs are single-line, so the
+    // registry splits on spaces (boiler "lines" = the source's
+    // template tokens); CurationSpec drives the newline form on real
+    // multi-line documents. dfPct probed: 30 flagged ~97% of lines
+    // (vacuous — template corpus); 80 splits 52/49/20% at the three
+    // SFs, two-sided everywhere.
+    "q_boilerplate" -> ((s, d) =>
+      Curation.boilerplateReport(Tables.documents(s, d), " ", 80)),
     // F23 — PII scrub. The synthetic corpus is PII-free word soup, so
     // the registry appends a deterministic contact line derived from
     // (doc_id, source) before scrubbing — the redaction itself (and
@@ -5564,6 +5573,43 @@ object SparkEntry {
         |  coalesce(agg.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // F79 — boilerplate: q_line_dedup's split spelling, df on the
+    // distinct (source, line, doc) frame, occurrences on the raw
+    // frame, exact-int cross-mult threshold with the df >= 2 guard,
+    // share ONE IEEE division; counts CAST from HUGEINT.
+    "q_boilerplate" ->
+      """WITH p AS (SELECT source, doc_id, string_split(text, ' ')
+        |    AS parts FROM documents),
+        |l0 AS (SELECT source, doc_id,
+        |    unnest(range(1, length(parts) + 1)) AS pos, parts FROM p),
+        |l AS (SELECT source, doc_id, parts[CAST(pos AS INT)] AS line
+        |  FROM l0 WHERE parts[CAST(pos AS INT)] <> ''),
+        |sd AS (SELECT source, count(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |dfs AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |  FROM l GROUP BY source, line),
+        |occ AS (SELECT source, line, count(*) AS occ
+        |  FROM l GROUP BY source, line),
+        |fl AS (SELECT dfs.source, dfs.line, dfs.df, occ.occ, sd.n_docs,
+        |    dfs.df >= 2 AND dfs.df * 100 >= sd.n_docs * 80 AS boiler
+        |  FROM dfs JOIN occ USING (source, line)
+        |  JOIN sd USING (source)),
+        |agg AS (SELECT source, count(*) AS n_distinct_lines,
+        |    count(CASE WHEN boiler THEN 1 END) AS n_boiler_lines,
+        |    CAST(sum(occ) AS BIGINT) AS occ_total,
+        |    CAST(sum(CASE WHEN boiler THEN occ ELSE 0 END) AS BIGINT)
+        |      AS occ_boiler
+        |  FROM fl GROUP BY source)
+        |SELECT sd.source, sd.n_docs,
+        |  coalesce(agg.n_distinct_lines, 0) AS n_distinct_lines,
+        |  coalesce(agg.n_boiler_lines, 0) AS n_boiler_lines,
+        |  coalesce(agg.occ_total, 0) AS occ_total,
+        |  coalesce(agg.occ_boiler, 0) AS occ_boiler,
+        |  CASE WHEN agg.occ_total > 0
+        |    THEN CAST(agg.occ_boiler AS DOUBLE) / agg.occ_total END
+        |    AS boiler_share
+        |FROM sd LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin,
     // The regex constants interpolate from Curation so the Spark plan
     // and the oracle can never drift; DuckDB single-quoted literals do
     // not escape-process, so the backslashes arrive verbatim (RE2 and

@@ -113,4 +113,54 @@ object Curation {
       clean.as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** F79 — PER-SOURCE BOILERPLATE REPORT: lines whose WITHIN-SOURCE
+    * document frequency clears `dfPct`% of that source's docs (and
+    * df ≥ 2 — in a tiny source every line clears a percentage bar)
+    * are template boilerplate (nav bars, footers, license headers) —
+    * the CCNet-style signal F22's corpus-wide threshold structurally
+    * misses: a footer on every page of a feed that is 5% of the
+    * corpus never reaches a corpus-wide bar, yet is exactly what a
+    * curator strips first. The report ranks FEEDS by templated-ness:
+    * per source, distinct/boiler line counts and the share of line
+    * OCCURRENCES that are boilerplate.
+    *
+    * Shape: one explode + two (source, line) aggregates (df on the
+    * distinct doc frame, occurrences on the raw frame — same key, no
+    * extra exchange under subset-key clustering), source doc-counts
+    * broadcast; output is |sources| rows. Counts exact int64;
+    * thresholds exact-int cross-multiplication; `boiler_share` ONE
+    * IEEE division (NULL for a line-less source, never 0/0). */
+  def boilerplateReport(docs: DataFrame, delim: String = "\n",
+                        dfPct: Int = 30): DataFrame = {
+    require(dfPct >= 1 && dfPct <= 100, s"dfPct must be in 1..100: $dfPct")
+    val lines = docs
+      .select(col("source"), col("doc_id"),
+        explode(split(col("text"), Pattern.quote(delim))).as("line"))
+      .filter(col("line") =!= "")
+    val srcDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val dfs = lines.select("source", "line", "doc_id").distinct()
+      .groupBy("source", "line").agg(count(lit(1)).as("df"))
+    val occ = lines.groupBy("source", "line").agg(count(lit(1)).as("occ"))
+    val agg = dfs.join(occ, Seq("source", "line"))
+      .join(broadcast(srcDocs), "source")
+      .withColumn("boiler",
+        col("df") >= 2 && col("df") * 100 >= col("n_docs") * dfPct)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_lines"),
+        count(when(col("boiler"), lit(1))).as("n_boiler_lines"),
+        sum(col("occ")).as("occ_total"),
+        sum(when(col("boiler"), col("occ")).otherwise(lit(0L)))
+          .as("occ_boiler"))
+    srcDocs.join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_distinct_lines"), lit(0L)).as("n_distinct_lines"),
+        coalesce(col("n_boiler_lines"), lit(0L)).as("n_boiler_lines"),
+        coalesce(col("occ_total"), lit(0L)).as("occ_total"),
+        coalesce(col("occ_boiler"), lit(0L)).as("occ_boiler"),
+        when(col("occ_total") > 0,
+          col("occ_boiler").cast("double") / col("occ_total").cast("double"))
+          .as("boiler_share"))
+      .orderBy("source")
+  }
 }

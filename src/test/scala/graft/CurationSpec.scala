@@ -78,6 +78,30 @@ class CurationSpec extends SparkSpec {
     assert(out(1)._4 == 0 && out(1)._5.contains("1234-5678"))
   }
 
+  // ---------- F79 boilerplateReport ----------
+
+  test("boilerplateReport: within-source df threshold flags the " +
+      "shared footer, the df>=2 guard spares single-doc sources, " +
+      "line-less sources report NULL share") {
+    val docs = Seq(
+      (1L, "FOOTER\ncontent one", "en", "A"),
+      (2L, "FOOTER\ncontent two", "en", "A"),
+      (3L, "unique text", "en", "A"),
+      (4L, "FOOTER\nFOOTER\nsolo", "en", "B"), // df=1 (one doc) → spared
+      (5L, "", "en", "C"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Curation.boilerplateReport(docs, "\n", 30)
+      .as[(String, Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    assert(out == Seq(
+      // FOOTER: df 2 of 3 docs (67% ≥ 30%) → boiler; 2 of 5
+      // occurrences are boilerplate
+      ("A", 3L, 4L, 1L, 5L, 2L, Some(0.4)),
+      // same-line repetition inside ONE doc is df=1 → not boilerplate
+      ("B", 1L, 2L, 0L, 3L, 0L, Some(0.0)),
+      ("C", 1L, 0L, 0L, 0L, 0L, None)))
+  }
+
   // ---------- F24 kmeansAssign ----------
 
   private def embFrom(rows: (Long, Array[Float])*) =
