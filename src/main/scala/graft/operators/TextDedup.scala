@@ -360,7 +360,11 @@ object TextDedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-      .orderBy("doc_a", "doc_b")
+    // no terminal sort: the only consumer (candidatePairStats)
+    // filters + joins + re-aggregates, and a global orderBy here
+    // costs a range-partitioner SAMPLING pass that re-executes the
+    // whole band join (the interp_grid double-evaluation trap) plus
+    // a full sort of the multi-million-row pair frame
   }
 
   /** F41 — DEDUP-PAIR AUDIT: for every LSH candidate pair, the EXACT
@@ -393,10 +397,17 @@ object TextDedup {
       : DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashes.register(docs.sparkSession)
+    graft.functions.SortedCommon.register(docs.sparkSession)
+    // ths: th ascending-sorted ONCE here (n log n per doc) so the
+    // pair stage's |A∩B| is the allocation-free native two-pointer
+    // walk instead of a per-pair hash set (same count — th is
+    // distinct by construction; measured the array_intersect
+    // spelling at ~15-19 s/query on the sf0.1 candidate frame).
     val base = docs
       .withColumn("th", expr(tokenHashes))
+      .withColumn("ths", expr("array_sort(th)"))
       .withColumn("mh", expr(minHashes))
-      .select("doc_id", "th", "mh")
+      .select("doc_id", "th", "ths", "mh")
       .localCheckpoint(true)
     val bands = base
       .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
@@ -407,14 +418,15 @@ object TextDedup {
     val pairs = candidatePairs(bands)
       .filter(pmod(CorpusPipeline.hashOrder(
         col("doc_a") * 31 + col("doc_b")), lit(100)) < samplePct)
-    val pa = base.select(col("doc_id").as("doc_a"), col("th").as("th_a"),
+    val pa = base.select(col("doc_id").as("doc_a"), col("ths").as("ths_a"),
       col("mh").as("mh_a"))
-    val pb = base.select(col("doc_id").as("doc_b"), col("th").as("th_b"),
+    val pb = base.select(col("doc_id").as("doc_b"), col("ths").as("ths_b"),
       col("mh").as("mh_b"))
     pairs.join(pa, "doc_a").join(pb, "doc_b")
-      .withColumn("n_common", expr("size(array_intersect(th_a, th_b))"))
+      .withColumn("n_common",
+        expr("graft_sorted_ncommon(ths_a, ths_b)").cast("int"))
       .withColumn("n_union",
-        expr("size(th_a) + size(th_b)") - col("n_common"))
+        expr("size(ths_a) + size(ths_b)") - col("n_common"))
   }
 
   def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {

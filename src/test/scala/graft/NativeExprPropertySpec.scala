@@ -144,6 +144,30 @@ class NativeExprPropertySpec extends SparkSpec {
       }
   }
 
+  test("SortedCommon == size(array_intersect) on random sorted " +
+      "distinct arrays, and rejects unsorted input") {
+    graft.functions.SortedCommon.register(spark)
+    val arr = Gen.listOfN(20, Gen.choose(0L, 40L))
+      .map(_.distinct.sorted)
+    samples(for { a <- arr; b <- arr } yield (a, b), 40)
+      .foreach { case ((a, b), seed) =>
+        val native = Seq((a.toArray, b.toArray)).toDF("a", "b")
+          .select(expr("graft_sorted_ncommon(a, b)"))
+          .as[Long].collect().head
+        assert(native == a.toSet.intersect(b.toSet).size.toLong,
+          s"seed=$seed")
+      }
+    // the order guard is best-effort over the SCANNED prefix (the
+    // two-pointer walk can exit before reaching a late violation);
+    // this descent is hit mid-walk and must throw
+    val e = intercept[Exception] {
+      Seq((Array(2L, 1L, 3L), Array(2L, 3L))).toDF("a", "b")
+        .select(expr("graft_sorted_ncommon(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("sorted") ||
+      e.getCause != null && e.getCause.getMessage.contains("sorted"))
+  }
+
   test("hashSplit is total and subset-invariant on random id sets") {
     val idsGen = Gen.listOfN(30, Gen.choose(0L, 3000000000L))
     samples(idsGen, 10).foreach { case (idsRaw, seed) =>
