@@ -1002,6 +1002,19 @@ object SparkEntry {
     // F77 — hashed-TF doc vectors, verified via exact scalar profile.
     "q_text_embed" -> ((s, d) =>
       CorpusPipeline.textEmbedProfile(Tables.documents(s, d))),
+    // F80 — corpus snapshot delta: old = even ids, new = ids not
+    // divisible by 3 with %5 docs content-mutated — all four classes
+    // populated by construction.
+    "q_corpus_delta" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 2 === 0)
+      val newSnap = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      CorpusPipeline.corpusDelta(oldSnap, newSnap)
+    }),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -5207,6 +5220,35 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F80 — corpus delta: both snapshots via the SAME duckPolyHash
+    // fingerprint (text-equality in the oracle could disagree with a
+    // Spark fp collision — one spelling, both engines), full outer
+    // join on doc_id, exact class counts, churn one IEEE division.
+    "q_corpus_delta" -> {
+      import graft.functions.PortableText._
+      s"""WITH o AS (SELECT doc_id, source, $duckDocFingerprint AS fp
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |n AS (SELECT doc_id, source,
+        |    ${duckPolyHash(
+               "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' " +
+                 "ELSE text END")} AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |j AS (SELECT coalesce(n.source, o.source) AS source,
+        |    CASE WHEN o.fp IS NULL THEN 'added'
+        |         WHEN n.fp IS NULL THEN 'removed'
+        |         WHEN o.fp = n.fp THEN 'unchanged'
+        |         ELSE 'changed' END AS cls
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT source,
+        |  count(CASE WHEN cls = 'added' THEN 1 END) AS n_added,
+        |  count(CASE WHEN cls = 'removed' THEN 1 END) AS n_removed,
+        |  count(CASE WHEN cls = 'changed' THEN 1 END) AS n_changed,
+        |  count(CASE WHEN cls = 'unchanged' THEN 1 END) AS n_unchanged,
+        |  count(*) AS n_tracked,
+        |  CAST(count(CASE WHEN cls <> 'unchanged' THEN 1 END) AS DOUBLE)
+        |    / count(*) AS churn
+        |FROM j GROUP BY source ORDER BY source""".stripMargin
     },
     // F77 — hashed-TF profile: dense 64-bucket grid per doc (left
     // join), exact-int count/support/checksum sums (HUGEINT CAST),

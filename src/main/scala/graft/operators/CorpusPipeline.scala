@@ -705,6 +705,52 @@ object CorpusPipeline {
       .orderBy("bucket_len")
   }
 
+  /** F80 — CORPUS SNAPSHOT DELTA: release-over-release diff of two
+    * corpus versions by CONTENT fingerprint — per source, how many
+    * docs were added, removed, changed (same id, different content)
+    * or untouched, plus the churn share. The A12 snapshot-diff idea
+    * applied to the CORPUS artifact: every training-data release
+    * ships next to exactly this report ("what moved since v1"), and
+    * its churn number is what decides whether downstream dedup /
+    * decontamination must re-run. Comparison is by the whole-doc
+    * polynomial fingerprint (F11's docFingerprint — the content
+    * hash a release manifest carries), never by text shipping: at
+    * 100 TB the join moves 16 bytes a doc, not documents.
+    *
+    * Shape: both sides collapse to (doc_id, source, fp) scans; ONE
+    * full outer join on doc_id (the id key is the join, content only
+    * decides changed-vs-unchanged); one source aggregate. Counts
+    * exact int64; churn ONE IEEE division. A doc present in both
+    * snapshots under different sources counts to the NEW side's
+    * source (the release owns its docs). */
+  def corpusDelta(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(oldDocs.sparkSession)
+    def fp(df: DataFrame, suffix: String) = df.select(
+      col("doc_id"),
+      col("source").as(s"source_$suffix"),
+      expr(PortableText.docFingerprint).as(s"fp_$suffix"))
+    val joined = fp(oldDocs, "old")
+      .join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .withColumn("source",
+        coalesce(col("source_new"), col("source_old")))
+      .withColumn("cls",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_new").isNull, lit("removed"))
+          .when(col("fp_old") === col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")))
+    joined.groupBy("source")
+      .agg(
+        count(when(col("cls") === "added", lit(1))).as("n_added"),
+        count(when(col("cls") === "removed", lit(1))).as("n_removed"),
+        count(when(col("cls") === "changed", lit(1))).as("n_changed"),
+        count(when(col("cls") === "unchanged", lit(1))).as("n_unchanged"),
+        count(lit(1)).as("n_tracked"))
+      .withColumn("churn",
+        (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") / col("n_tracked").cast("double"))
+      .orderBy("source")
+  }
+
   /** F77 — HASHED-TF DOCUMENT VECTORS: the text→vector BRIDGE — each
     * doc becomes a dense `dim`-bucket term-frequency vector by
     * feature hashing (the F73 trick lifted from a scalar margin to a

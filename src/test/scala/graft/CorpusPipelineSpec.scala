@@ -416,6 +416,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F80 corpusDelta ----------
+
+  test("corpusDelta classifies added/removed/changed/unchanged by " +
+      "content fingerprint and attributes to the new side's source") {
+    val oldSnap = Seq(
+      (2L, "x", "en", "A"), (4L, "y", "en", "A"), (6L, "z", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+    val newSnap = Seq(
+      (2L, "x", "en", "A"),   // unchanged
+      (4L, "y2", "en", "A"),  // changed content
+      (8L, "w", "en", "B"))   // added
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.corpusDelta(oldSnap, newSnap)
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", 0L, 0L, 1L, 1L, 2L, 0.5),
+      ("B", 1L, 1L, 0L, 0L, 2L, 1.0))) // doc 6 removed, doc 8 added
+  }
+
   // ---------- F77 hashedTfVectors ----------
 
   test("hashedTfVectors: exact bucket counts, zero vector for empty " +
