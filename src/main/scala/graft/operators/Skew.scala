@@ -26,4 +26,53 @@ object Skew {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** H9 — TRIANGULAR-TILED SELF-PAIR-JOIN: unordered within-bucket
+    * pairs `{a, b}` (a < b) from a bucketed frame, with each bucket's
+    * quadratic pair space decomposed into `tiles·(tiles+1)/2`
+    * triangular tiles so a HOT bucket's pairs land on many reducers
+    * instead of one. H1's salting fixes a hot FACT-DIM key; this is
+    * the self-join analog the minhash band join needs at 100 TB —
+    * there the bands frame is too big to broadcast, the pair join
+    * shuffles on (band, band_hash), and one 10⁵-doc bucket becomes
+    * one reducer computing 10¹⁰ pairs. Locally the band frame
+    * broadcasts (the explosion is already spread across the probe
+    * side's tasks), so the F2-family queries deliberately keep the
+    * simple spelling — this operator is the documented, spec-proven
+    * lever for the scale where they can't (SURVEY §5).
+    *
+    * Construction: each row gets a deterministic chunk
+    * `xxhash64(id) mod tiles`; the LEFT role replicates to tiles
+    * (chunk, j ≥ chunk), the RIGHT role to (i ≤ chunk, chunk); the
+    * equi-join on (bucket key, i, j) meets every cross-chunk pair in
+    * EXACTLY its (min, max) tile and same-chunk pairs in the
+    * diagonal, where `id_a < id_b` removes self-pairs and mirror
+    * duplicates; off-diagonal pairs normalize by least/greatest.
+    * Per-row replication ≤ tiles (the classic fragment-replicate /
+    * "one-bucket theta-join" layout, Okcan & Riedewald 2011). Output
+    * equals the naive bucket self-join EXACTLY (spec'd), with a
+    * DISTINCT for rows sharing several buckets left to the caller,
+    * same as the naive form. */
+  def tiledSelfPairs(items: DataFrame, bucketCols: Seq[String],
+                     idCol: String, tiles: Int): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1: $tiles")
+    val chunk = pmod(xxhash64(col(idCol)), lit(tiles.toLong))
+    val lhs = items
+      .withColumn("_i", chunk)
+      .withColumn("_j", explode(sequence(col("_i"), lit(tiles.toLong - 1))))
+      .select(bucketCols.map(col) ++
+        Seq(col("_i"), col("_j"), col(idCol).as("_id_a")): _*)
+    val rhs = items
+      .withColumn("_j", chunk)
+      .withColumn("_i", explode(sequence(lit(0L), col("_j"))))
+      .select(bucketCols.map(col) ++
+        Seq(col("_i"), col("_j"), col(idCol).as("_id_b")): _*)
+    lhs.join(rhs, bucketCols ++ Seq("_i", "_j"))
+      // diagonal: order the pair; off-diagonal: chunks differ, so the
+      // mirror never meets — normalize instead of filter
+      .filter(col("_i") =!= col("_j") || col("_id_a") < col("_id_b"))
+      .select(bucketCols.map(col) ++ Seq(
+        least(col("_id_a"), col("_id_b")).as("id_a"),
+        greatest(col("_id_a"), col("_id_b")).as("id_b")): _*)
+  }
 }

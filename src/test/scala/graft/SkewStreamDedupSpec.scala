@@ -22,6 +22,38 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("tiledSelfPairs == naive bucket self-join pairs, every pair " +
+      "exactly once, and the hot bucket spreads across tiles") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    // one hot bucket (60 docs) + one small bucket (5 docs) + a
+    // 1-doc bucket (no pairs)
+    val rows = ((1 to 60).map(i => ("b0", i.toLong)) ++
+      (101 to 105).map(i => ("b1", i.toLong)) ++ Seq(("b2", 200L)))
+      .toDF("bucket", "doc_id")
+    val tiled = Skew.tiledSelfPairs(rows, Seq("bucket"), "doc_id", 4)
+    val naiveA = rows.select(col("bucket"), col("doc_id").as("id_a"))
+    val naive = naiveA
+      .join(rows.select(col("bucket"), col("doc_id").as("id_b")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+    assert(tiled.count() == 60L * 59 / 2 + 5L * 4 / 2) // exactly once
+    assert(tiled.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(tiled).count() == 0)
+    // balance: the hot bucket's 1770 pairs split over the 10 tiles,
+    // no tile holding more than ~a quarter (one reducer's share drops
+    // from 100% to the max tile's)
+    val perTile = Skew.tiledSelfPairs(rows, Seq("bucket"), "doc_id", 4)
+      .filter(col("bucket") === "b0")
+    val counts = rows.filter(col("bucket") === "b0")
+      .withColumn("c", pmod(xxhash64(col("doc_id")), lit(4L)))
+      .groupBy("c").count().as[(Long, Long)].collect().toMap
+    val maxTile = (for {
+      i <- 0L until 4L; j <- i until 4L
+    } yield if (i == j) counts.getOrElse(i, 0L) * (counts.getOrElse(i, 0L) - 1) / 2
+      else counts.getOrElse(i, 0L) * counts.getOrElse(j, 0L)).max
+    assert(perTile.count() == 1770L)
+    assert(maxTile < 1770L / 3, s"max tile $maxTile of 1770")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime " +
       "(H6: the built-in complement to H1's manual salting)") {
     // 200k rows on ONE key vs 2k spread over 200 keys — a single
