@@ -201,6 +201,63 @@ object CatalogOps {
       .saveAsTable(table)
   }
 
+  /** A20 — SUBJECT-KEY ERASURE: the right-to-be-forgotten pass
+    * (GDPR art. 17) as a PARTITION-PRUNED rewrite — the lakehouse
+    * DELETE the A-block's upsert (A8) is missing. One scan finds
+    * which partitions contain the subjects (and how many rows — the
+    * erasure AUDIT a compliance request must return); only those
+    * partitions rewrite, via the same dynamic-overwrite discipline
+    * as [[upsertTable]]/`compactPartitions` — untouched partitions
+    * keep their files byte-for-byte (spec'd at file level), which at
+    * 100 TB is the difference between rewriting a year and
+    * rewriting everything.
+    *
+    * Returns the per-partition erased-row audit; an empty map means
+    * the subjects were already absent and NOTHING was rewritten
+    * (idempotent — a re-run of a compliance job must not churn
+    * files). Erasure here is physical removal from the CURRENT table
+    * state; a deployment keeping time-travel snapshots must also
+    * expire them (A14 `expireSnapshots` — the two ops compose, and
+    * compliance REQUIRES the composition). */
+  def eraseKeys(spark: SparkSession, table: String, keyCol: String,
+                keys: Seq[Long],
+                partitionCol: String = "year"): Map[Int, Long] = {
+    require(keys.nonEmpty, "eraseKeys: empty subject list")
+    val hits = spark.table(table)
+      .filter(col(keyCol).isin(keys: _*))
+      .groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hits.nonEmpty) {
+      val affected = hits.keys.toSeq
+      val cleaned = spark.table(table)
+        .filter(col(partitionCol).isin(affected: _*))
+        .filter(!col(keyCol).isin(keys: _*))
+        .localCheckpoint(true)
+      // Dynamic overwrite only rewrites partitions PRESENT in the
+      // written data — a partition whose every row was a subject's
+      // would silently keep its old files. Those must DROP instead.
+      val remaining = cleaned.groupBy(col(partitionCol)).agg(count(lit(1)))
+        .collect().map(_.getInt(0)).toSet
+      val emptied = affected.filterNot(remaining)
+      val prev =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        cleaned.write.mode(SaveMode.Overwrite).format("parquet")
+          .insertInto(table)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      emptied.foreach(p => spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partitionCol=$p)"))
+    }
+    hits
+  }
+
   /** A17 — additive SCHEMA EVOLUTION on plain parquet (the Iceberg
     * `ALTER TABLE … ADD COLUMN` analog, ref:
     * `Apache Iceberg/iceberg_migration.py` evolves per-symbol DDL):

@@ -214,4 +214,42 @@ class CatalogSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.forall(
       _.partitionFilters.exists(_.references.exists(_.name == "gen"))))
   }
+
+  test("eraseKeys rewrites only partitions holding subjects, reports " +
+      "the audit, no-ops on absent keys, and drops a fully-erased " +
+      "partition") {
+    withTable("gold_erase") {
+      CatalogOps.createGoldTable(ticksDf, "gold_erase")
+      def files(year: Int): Set[String] = {
+        val loc = spark.sql("DESCRIBE FORMATTED gold_erase")
+          .filter($"col_name" === "Location")
+          .select("data_type").head().getString(0)
+        val dir = new org.apache.hadoop.fs.Path(loc, s"year=$year")
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dir)) Set.empty
+        else fs.listStatus(dir).filter(_.isFile)
+          .map(f => f.getPath.getName + ":" + f.getModificationTime).toSet
+      }
+      val before2024 = files(2024)
+      // subject tick 2 lives only in year=2023
+      assert(CatalogOps.eraseKeys(spark, "gold_erase", "tick_id",
+        Seq(2L)) == Map(2023 -> 1L))
+      val t = spark.table("gold_erase")
+      assert(t.count() == 3 && t.filter($"tick_id" === 2L).count() == 0)
+      // the untouched partition keeps its exact files
+      assert(files(2024) == before2024)
+      // absent subjects: audit empty, nothing rewritten
+      val before2023 = files(2023)
+      assert(CatalogOps.eraseKeys(spark, "gold_erase", "tick_id",
+        Seq(2L, 999L)).isEmpty)
+      assert(files(2023) == before2023)
+      // erasing the last 2023 row must DROP the partition (dynamic
+      // overwrite alone would leave the old files in place)
+      assert(CatalogOps.eraseKeys(spark, "gold_erase", "tick_id",
+        Seq(1L)) == Map(2023 -> 1L))
+      assert(spark.sql("SHOW PARTITIONS gold_erase")
+        .as[String].collect().toSet == Set("year=2024"))
+      assert(spark.table("gold_erase").count() == 2)
+    }
+  }
 }
