@@ -1002,6 +1002,10 @@ object SparkEntry {
     // F77 — hashed-TF doc vectors, verified via exact scalar profile.
     "q_text_embed" -> ((s, d) =>
       CorpusPipeline.textEmbedProfile(Tables.documents(s, d))),
+    // F81 — curation attribution: quality × near-dup joint verdicts
+    // per source (the drop Sankey).
+    "q_curation_matrix" -> ((s, d) =>
+      CorpusPipeline.curationAttribution(Tables.documents(s, d))),
     // F80 — corpus snapshot delta: old = even ids, new = ids not
     // divisible by 3 with %5 docs content-mutated — all four classes
     // populated by construction.
@@ -5220,6 +5224,52 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F81 — attribution: the q_corpus_select qf/dup CTE chains
+    // re-composed into the 2×2 per-source matrix; counts exact,
+    // share one IEEE division.
+    "q_curation_matrix" -> {
+      import graft.functions.PortableText._
+      s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |qf AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(tk) < 20 THEN 'short'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              1.0 - CAST(length(list_distinct(tk)) AS DOUBLE)
+        |                / length(tk) END > 0.65 THEN 'repetitive'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              CAST(length(list_filter(tk, t -> list_contains(
+        |                ['the','a','of','and','to'], t))) AS DOUBLE)
+        |                / length(tk) END < 0.01 THEN 'low_stop'
+        |     END) IS NULL AS keep
+        |  FROM tk),
+        |th AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM th),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |bf AS (SELECT band, band_hash, min(doc_id) AS first_doc
+        |       FROM bands WHERE band_hash IS NOT NULL
+        |       GROUP BY band, band_hash),
+        |dup AS (SELECT bands.doc_id,
+        |         bool_or(first_doc < bands.doc_id) AS is_dup
+        |       FROM bands JOIN bf USING (band, band_hash)
+        |       GROUP BY bands.doc_id),
+        |v AS (SELECT d.source, qf.keep,
+        |    coalesce(dup.is_dup, false) AS is_dup
+        |  FROM documents d
+        |  JOIN qf ON qf.doc_id = d.doc_id
+        |  LEFT JOIN dup ON dup.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN keep AND NOT is_dup THEN 1 END) AS n_clean,
+        |  count(CASE WHEN NOT keep AND NOT is_dup THEN 1 END)
+        |    AS n_quality_only,
+        |  count(CASE WHEN keep AND is_dup THEN 1 END) AS n_dup_only,
+        |  count(CASE WHEN NOT keep AND is_dup THEN 1 END) AS n_both,
+        |  CAST(count(CASE WHEN keep AND NOT is_dup THEN 1 END) AS DOUBLE)
+        |    / count(*) AS clean_share
+        |FROM v GROUP BY source ORDER BY source""".stripMargin
     },
     // F80 — corpus delta: both snapshots via the SAME duckPolyHash
     // fingerprint (text-equality in the oracle could disagree with a

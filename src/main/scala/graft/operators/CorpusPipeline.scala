@@ -705,6 +705,40 @@ object CorpusPipeline {
       .orderBy("bucket_len")
   }
 
+  /** F81 — CURATION ATTRIBUTION MATRIX: the 2×2 joint verdict of the
+    * two independent drop gates — quality (F15) × near-dup (F2c) —
+    * per source: clean / quality-only / dup-only / both counts and
+    * the clean share. This is the Sankey every curation run prints:
+    * `q_corpus_select` keeps the INTERSECTION silently; this says
+    * WHO dropped each doc and whether the gates overlap (a feed
+    * whose drops are all `both` is templated junk; all
+    * `quality-only` is a prompt to re-tune thresholds, not dedup).
+    * Pure composition — both verdict frames are the registry-proven
+    * operators, joined on the doc key and collapsed to |sources|
+    * rows; counts exact int64, share ONE IEEE division. */
+  def curationAttribution(docs: DataFrame): DataFrame = {
+    val q = qualityFilter(docs).select(col("doc_id"), col("keep"))
+    val dup = graft.operators.TextDedup.greedyNearDup(docs)
+      .select(col("doc_id"), col("is_duplicate"))
+    docs.select("doc_id", "source")
+      .join(q, "doc_id")
+      .join(dup, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep") && !col("is_duplicate"), lit(1)))
+          .as("n_clean"),
+        count(when(!col("keep") && !col("is_duplicate"), lit(1)))
+          .as("n_quality_only"),
+        count(when(col("keep") && col("is_duplicate"), lit(1)))
+          .as("n_dup_only"),
+        count(when(!col("keep") && col("is_duplicate"), lit(1)))
+          .as("n_both"))
+      .withColumn("clean_share",
+        col("n_clean").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
   /** F80 — CORPUS SNAPSHOT DELTA: release-over-release diff of two
     * corpus versions by CONTENT fingerprint — per source, how many
     * docs were added, removed, changed (same id, different content)

@@ -416,6 +416,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F81 curationAttribution ----------
+
+  test("curationAttribution: the 2x2 quality x dup matrix per source " +
+      "with every cell populated") {
+    val long = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to the old barn of the tall hill"  // 21 tokens
+    val docs = Seq(
+      (1L, long, "en", "A"),          // clean
+      (2L, long, "en", "A"),          // exact dup of 1 → dup_only
+      (3L, "too short here", "en", "A"), // quality_only
+      (4L, "x y z", "en", "B"),       // quality_only (first of the pair)
+      (5L, "x y z", "en", "B"))       // both: short AND a later dup
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.curationAttribution(docs)
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("A", 3L, 1L, 1L, 1L, 0L, 1.0 / 3.0),
+      ("B", 2L, 0L, 1L, 0L, 1L, 0.0)))
+  }
+
   // ---------- F80 corpusDelta ----------
 
   test("corpusDelta classifies added/removed/changed/unchanged by " +
