@@ -609,6 +609,9 @@ object SparkEntry {
     "q_running_vwap" -> ((s, d) =>
       Microstructure.runningVwapSlippage(Tables.events(s, d),
         tcaFillEvery)),
+    // D53 — Ané–Geman clock comparison: time- vs volume-clock kurtosis.
+    "q_clock_kurtosis" -> ((s, d) =>
+      Microstructure.clockKurtosis(Tables.events(s, d), barQtyParam)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2569,6 +2572,60 @@ object SparkEntry {
         |    THEN (${nwSigmaExpr(nwMaxLag)}) / g0 END, 4) AS inflation
         |FROM pv ORDER BY symbol""".stripMargin
     },
+    // D53 — clock kurtosis: D39's adjudicated moment spelling run on
+    // both clocks (time = per-day print moves; volume = D30 bar-close
+    // moves with the q_volume_bars window verbatim); ratio divides
+    // the two ROUNDED finals.
+    "q_clock_kurtosis" ->
+      s"""WITH p AS (SELECT user_id AS symbol, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS BIGINT), 0) AS k
+        |  FROM events),
+        |td AS (SELECT symbol,
+        |    CAST(cents - lag(cents) OVER (PARTITION BY symbol,
+        |      CAST(ts AS DATE) ORDER BY event_id) AS DOUBLE) AS d
+        |  FROM p),
+        |ta AS (SELECT symbol, count(d) AS n_time, avg(d) AS m1,
+        |    avg(d * d) AS m2, avg(d * d * d) AS m3,
+        |    avg(d * d * d * d) AS m4
+        |  FROM td WHERE d IS NOT NULL GROUP BY symbol),
+        |tk AS (SELECT symbol, n_time,
+        |    CASE WHEN m2 - m1 * m1 > 0 THEN
+        |      round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |        - 3.0 * m1 * m1 * m1 * m1)
+        |        / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 4)
+        |    END AS kurt_time
+        |  FROM ta),
+        |bars AS (SELECT symbol, bar_id,
+        |    arg_max(cents, event_id) AS close_cents
+        |  FROM (SELECT symbol, event_id, cents,
+        |      CAST(greatest(sum(k) OVER (PARTITION BY symbol
+        |        ORDER BY event_id ROWS UNBOUNDED PRECEDING) - 1, 0)
+        |        // $barQtyParam AS BIGINT) AS bar_id
+        |    FROM p) x
+        |  GROUP BY symbol, bar_id),
+        |vd AS (SELECT symbol,
+        |    CAST(close_cents - lag(close_cents) OVER (
+        |      PARTITION BY symbol ORDER BY bar_id) AS DOUBLE) AS d
+        |  FROM bars),
+        |va AS (SELECT symbol, count(d) AS n_vol, avg(d) AS m1,
+        |    avg(d * d) AS m2, avg(d * d * d) AS m3,
+        |    avg(d * d * d * d) AS m4
+        |  FROM vd WHERE d IS NOT NULL GROUP BY symbol),
+        |vk AS (SELECT symbol, n_vol,
+        |    CASE WHEN m2 - m1 * m1 > 0 THEN
+        |      round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |        - 3.0 * m1 * m1 * m1 * m1)
+        |        / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 4)
+        |    END AS kurt_vol
+        |  FROM va)
+        |SELECT tk.symbol, tk.n_time, tk.kurt_time, vk.n_vol, vk.kurt_vol,
+        |  CASE WHEN tk.kurt_time IS NOT NULL AND vk.kurt_vol IS NOT NULL
+        |      AND tk.kurt_time <> 0
+        |    THEN vk.kurt_vol / tk.kurt_time END AS kurt_ratio
+        |FROM tk JOIN vk USING (symbol)
+        |ORDER BY symbol""".stripMargin,
     // D52 — running-VWAP slippage: one running window per (symbol,
     // day), fills filtered AFTER the cumsum, both outputs ONE IEEE
     // division of exact ints (D50's signed-div rule).

@@ -753,6 +753,76 @@ object Microstructure {
       .orderBy("symbol", "date")
   }
 
+  /** D39's excess-kurtosis spelling factored for reuse: central
+    * moments from unrounded avg() aggregates (Σd⁴ can pass 2⁵³, so
+    * the rounded-sum discipline is provably WRONG here — D39's
+    * adjudication), the standard m-expansion, var ≤ 0 guarded NULL,
+    * final round(4). Expects a frame with `symbol` and a double move
+    * column `d`; returns (symbol, n, kurt) with the given column
+    * names. */
+  private def kurtBySymbol(moves: DataFrame, nName: String,
+                           kName: String): DataFrame =
+    moves.groupBy("symbol")
+      .agg(
+        count(col("d")).as(nName),
+        avg(col("d")).as("m1"),
+        avg(col("d") * col("d")).as("m2"),
+        avg(col("d") * col("d") * col("d")).as("m3"),
+        avg(col("d") * col("d") * col("d") * col("d")).as("m4"))
+      .withColumn("_var", col("m2") - col("m1") * col("m1"))
+      .withColumn(kName,
+        when(col("_var") > 0, round(
+          (col("m4") - lit(4.0) * col("m1") * col("m3") +
+            lit(6.0) * col("m1") * col("m1") * col("m2") -
+            lit(3.0) * col("m1") * col("m1") * col("m1") * col("m1")) /
+            (col("_var") * col("_var")) - lit(3.0), 4)))
+      .select(col("symbol"), col(nName), col(kName))
+
+  /** D53 — CLOCK-COMPARISON KURTOSIS (Ané–Geman 2000): the excess
+    * kurtosis of price moves sampled on the TIME clock (every print)
+    * vs the VOLUME clock (D30's bar closes) — the classic result
+    * that returns are fat-tailed in calendar time but near-Gaussian
+    * once the clock ticks in traded volume, i.e. volatility
+    * clustering is largely ACTIVITY clustering. The `kurt_ratio`
+    * says how much of the fat tail the volume clock explains — the
+    * empirical justification for running D31's VPIN and D38's
+    * labels on volume bars at all.
+    *
+    * Shape: the time leg is one (symbol, day) lag window collapsed
+    * per symbol; the volume leg reuses [[volumeBars]] verbatim (its
+    * window + aggregate) and diffs bar closes per symbol — bar
+    * frames are volume-bounded, tiny next to the tape. Moments per
+    * D39's adjudicated discipline via [[kurtBySymbol]] — ONE
+    * spelling for both clocks and both engines. Symbols with < 2
+    * bars report NULL volume-clock kurtosis (never 0/0); the ratio
+    * divides the two ROUNDED finals (derived-from-rounded, the
+    * displayed numbers must reconcile). */
+  def clockKurtosis(events: DataFrame, barQty: Long): DataFrame = {
+    val wT = Window.partitionBy("symbol", "_date").orderBy("event_id")
+    val timeMoves = events.select(
+        col("event_id"),
+        col("user_id").as("symbol"),
+        to_date(col("ts")).as("_date"),
+        centsOf(col("value")).as("cents"))
+      .withColumn("d",
+        (col("cents") - lag(col("cents"), 1).over(wT)).cast("double"))
+      .filter(col("d").isNotNull)
+    val wV = Window.partitionBy("symbol").orderBy("bar_id")
+    val volMoves = volumeBars(events, barQty)
+      .select(col("symbol"), col("bar_id"), col("close_cents"))
+      .withColumn("d",
+        (col("close_cents") - lag(col("close_cents"), 1).over(wV))
+          .cast("double"))
+      .filter(col("d").isNotNull)
+    kurtBySymbol(timeMoves, "n_time", "kurt_time")
+      .join(kurtBySymbol(volMoves, "n_vol", "kurt_vol"), Seq("symbol"))
+      .withColumn("kurt_ratio",
+        when(col("kurt_time").isNotNull && col("kurt_vol").isNotNull &&
+          col("kurt_time") =!= 0,
+          col("kurt_vol") / col("kurt_time")))
+      .orderBy("symbol")
+  }
+
   /** D43 — VOLATILITY SIGNATURE PLOT per symbol: realized variance at
     * a ladder of sampling scales (e.g. 1 s / 10 s / 60 s) — THE
     * microstructure-noise diagnostic (Andersen-Bollerslev-Diebold-

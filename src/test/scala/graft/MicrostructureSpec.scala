@@ -701,6 +701,39 @@ class MicrostructureSpec extends SparkSpec {
       (2L, 2L, Some(0.0), None, None)))
   }
 
+  test("clockKurtosis: re-derived moments on both clocks; the bar " +
+      "clock absorbs the jump that fattens the time-clock tail") {
+    def kurt(moves: Seq[Double]): Option[Double] = {
+      val n = moves.size.toDouble
+      val m1 = moves.sum / n
+      val m2 = moves.map(d => d * d).sum / n
+      val m3 = moves.map(d => d * d * d).sum / n
+      val m4 = moves.map(d => d * d * d * d).sum / n
+      val v = m2 - m1 * m1
+      if (v <= 0) None
+      else Some(math.rint(((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        - 3.0 * m1 * m1 * m1 * m1) / (v * v) - 3.0) * 1e4) / 1e4)
+    }
+    // one +50 jump among ±1 bounces; barQty=4 with k=1 per trade
+    val cents = Seq(100, 101, 100, 101, 100, 150, 149, 150, 149, 150,
+      149, 150, 149)
+    val ev = events(cents.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, 1L, f"2024-01-01 10:00:${i}%02d", c / 100.0, 1)
+    }: _*)
+    val out = Microstructure.clockKurtosis(ev, 4L).collect().head
+    val tMoves = cents.sliding(2).map(p => (p(1) - p(0)).toDouble).toSeq
+    // bars close at trades 4/8/12 (101, 150, 150), partial bar at 149
+    val vMoves = Seq(49.0, 0.0, -1.0)
+    assert(out.getAs[Long]("n_time") == 12L)
+    assert(Option(out.getAs[java.lang.Double]("kurt_time"))
+      .map(_.toDouble) == kurt(tMoves))
+    assert(out.getAs[Long]("n_vol") == 3L)
+    assert(Option(out.getAs[java.lang.Double]("kurt_vol"))
+      .map(_.toDouble) == kurt(vMoves))
+    // the jump dominates calendar time but spreads into one bar move
+    assert(kurt(tMoves).get > kurt(vMoves).get)
+  }
+
   test("runningVwapSlippage: benchmark is the vwap-so-far inclusive " +
       "of the fill — first fill scores zero, later fills score " +
       "against accumulated tape only") {
