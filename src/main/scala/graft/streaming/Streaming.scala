@@ -951,6 +951,34 @@ object Streaming {
       }
   }
 
+  /** G27 — STREAMING LEARNED-QUALITY ADMISSION: the ingest gate run
+    * with F73's hashed-feature classifier — the G25 deployment split
+    * (train offline, score the live crawl) applied to ADMISSION,
+    * completing the gate family (G13 budgets, G14 source caps, this
+    * one learned quality). Stateless by design: each arriving doc
+    * tokenizes, feature-hashes through the native PolyHash, sums its
+    * bucket weights from the BROADCAST weight table, and is admitted
+    * on the sign of the exact int64 margin — the batch spelling
+    * verbatim, so live admissions equal F73's labels row for row
+    * (parity spec'd). No state, no watermark, no shuffle — the
+    * margin folds PER ROW over the token array (a streaming groupBy
+    * would demand aggregation state the gate doesn't need; the
+    * broadcast-weight-table join is the batch reporting shape, the
+    * per-row fold is its streaming-map equivalent — same integer
+    * weight formula, occurrence-weighted like the batch explode). */
+  def classifierAdmission(docs: Dataset[Doc], nBuckets: Int = 1024)
+      : DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val toks = graft.functions.PortableText.tokens
+    docs.toDF().select(
+      col("doc_id"),
+      expr(s"size($toks)").cast("long").as("n_tokens"),
+      expr(s"aggregate(transform($toks, t -> " +
+        s"((graft_polyhash(t) % $nBuckets) * 37 + 11) % 21 - 10), " +
+        "0L, (a, x) -> a + x)").as("margin"))
+      .withColumn("admitted", col("margin") >= 0)
+  }
+
   case class FillPoint(symbol: Long, fill_id: Long, day: String,
                        exec_cents: Long, cum_qty: Long,
                        run_vwap_cents: Double, slip_bp: Double)

@@ -846,6 +846,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G27 parity: streaming classifierAdmission == batch " +
+      "classifierScore margins and labels, including empty docs") {
+    import graft.streaming.Streaming.Doc
+    val docs = Seq(
+      Doc(1L, "good text here"),
+      Doc(2L, ""),               // zero tokens → margin 0, admitted
+      Doc(3L, "good good"),      // occurrence-weighted
+      Doc(4L, "some other words entirely different"))
+    val batch = graft.operators.CorpusPipeline
+      .classifierScore(docs.map(d => (d.doc_id, d.text, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"), nBuckets = 7)
+      .select("doc_id", "n_tokens", "margin", "label")
+      .collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streaming.classifierAdmission(in.toDS(), nBuckets = 7)
+      .writeStream.format("memory").queryName("p_admit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docs.splitAt(2)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      assert(spark.table("p_admit").collect().toSet == batch)
+    } finally q.stop()
+  }
+
   test("G26 parity: runningVwapPoints == batch runningVwapSlippage " +
       "with the cumsum spanning the micro-batch split; quotes (k=0) " +
       "neither update nor emit") {
