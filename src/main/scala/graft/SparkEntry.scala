@@ -1104,6 +1104,9 @@ object SparkEntry {
     // drop-higher-id verdict at τ.
     "q_semantic_dedup" -> ((s, d) =>
       Vectors.semanticDedup(Tables.embeddings(s, d), semDedupTau)),
+    // F82 — per-dimension Fisher separability of the label classes.
+    "q_label_fisher" -> ((s, d) =>
+      Vectors.labelSeparability(Tables.embeddings(s, d))),
     // F27 — product-quantization codes + ADC vs exact distance audit
     // (8 subspaces x 16-entry codebooks, query vec 0).
     "q_pq_codes" -> ((s, d) =>
@@ -5812,6 +5815,37 @@ object SparkEntry {
         |        vec_id) AS rnk
         |  FROM a2) x
         |WHERE rnk <= 30 ORDER BY vec_id""".stripMargin,
+    // F82 — Fisher audit: same 1e-6 quantize grid, exact (label, dim)
+    // sums, per-row-rounded s²/n terms subtracted from exact ints
+    // (the F12b rule), one division per variance, round(4).
+    "q_label_fisher" ->
+      """WITH e AS (SELECT label, r.r AS pos,
+        |    CAST(round(CAST(embedding[CAST(r.r + 1 AS INT)] AS DOUBLE)
+        |      * 1000000.0, 0) AS BIGINT) AS vq
+        |  FROM embeddings, (SELECT unnest(range(64)) AS r) r),
+        |pl AS (SELECT label, pos, count(*) AS n_c,
+        |    CAST(sum(vq) AS BIGINT) AS s_c,
+        |    CAST(sum(vq * vq) AS BIGINT) AS sq_c
+        |  FROM e GROUP BY label, pos),
+        |pl2 AS (SELECT *, CAST(round(CAST(s_c AS DOUBLE)
+        |    * CAST(s_c AS DOUBLE) / n_c, 0) AS BIGINT) AS t_c
+        |  FROM pl),
+        |pp AS (SELECT pos, CAST(sum(n_c) AS BIGINT) AS n,
+        |    CAST(sum(s_c) AS BIGINT) AS s,
+        |    CAST(sum(sq_c) AS BIGINT) AS sq,
+        |    CAST(sum(t_c) AS BIGINT) AS t_within
+        |  FROM pl2 GROUP BY pos),
+        |v AS (SELECT pos, n,
+        |    CAST(sq - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / n, 0) AS BIGINT) AS DOUBLE) / n AS _vt,
+        |    CAST(sq - t_within AS DOUBLE) / n AS _vw
+        |  FROM pp)
+        |SELECT pos, n,
+        |  round(_vt / 1e12, 4) AS var_total,
+        |  round(_vw / 1e12, 4) AS var_within,
+        |  round(CASE WHEN _vw > 0 THEN (_vt - _vw) / _vw END, 4)
+        |    AS fisher
+        |FROM v ORDER BY pos""".stripMargin,
     // F72 — SemDeDup: the kmeans assignment CTEs give the blocks;
     // cosines re-run q_dedup_cosine's raw-float left-fold spelling
     // inside each cluster; verdict tests the RAW order-free max,

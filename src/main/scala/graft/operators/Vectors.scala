@@ -940,6 +940,56 @@ object Vectors {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** F82 — LABEL-SEPARABILITY (FISHER) AUDIT per embedding dimension:
+    * the between-class / within-class variance ratio — "are the
+    * labels even separable in this embedding space, and on which
+    * dimensions" — the data-quality gate a team runs BEFORE training
+    * a classifier on labeled embeddings (a near-zero Fisher ratio on
+    * every dimension means the labels are noise or the encoder is
+    * blind to them; F49 monitors centroid DRIFT, this scores
+    * centroid SEPARATION against spread).
+    *
+    * Decomposition by the law of total variance on EXACT sums:
+    * values quantize to 1e-6 ints (F49's grid — the determinism
+    * trade F24 makes for vectors), per-(label, dim) n/Σ/Σ² are exact
+    * int64, and both N·Var_total = SQ − round(S²/N) and
+    * N·Var_within = SQ − Σ_c round(s_c²/n_c) subtract PER-ROW-ROUNDED
+    * int terms from exact sums (the F12b quantize-then-sum rule —
+    * a float Σ over label rows would be reduction-order-
+    * nondeterministic; s² sits above 2⁵³ so the double product is
+    * inexact but its IEEE op sequence is identical in both engines).
+    * Fisher = (total − within)/within, NULL when within = 0;
+    * variances reported in original units (÷ 1e12), round(4).
+    *
+    * Shape: one exploded (label, dim) aggregate with map-side
+    * partials; everything after runs on |labels|·dim rows. */
+  def labelSeparability(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    val perLabel = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vq",
+        round(col("v").cast("double") * 1000000.0, 0).cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_c"), sum(col("vq")).as("s_c"),
+        sum(col("vq") * col("vq")).as("sq_c"))
+      .withColumn("t_c", expr(
+        "CAST(round(CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE) / n_c, 0) " +
+          "AS BIGINT)"))
+    perLabel.groupBy("pos")
+      .agg(sum(col("n_c")).as("n"), sum(col("s_c")).as("s"),
+        sum(col("sq_c")).as("sq"), sum(col("t_c")).as("t_within"))
+      .withColumn("t_g", expr(
+        "CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0) " +
+          "AS BIGINT)"))
+      .withColumn("_vt", expr("CAST(sq - t_g AS DOUBLE) / n"))
+      .withColumn("_vw", expr("CAST(sq - t_within AS DOUBLE) / n"))
+      .select(col("pos"), col("n"),
+        round(col("_vt") / lit(1e12), 4).as("var_total"),
+        round(col("_vw") / lit(1e12), 4).as("var_within"),
+        round(when(col("_vw") > 0,
+          (col("_vt") - col("_vw")) / col("_vw")), 4).as("fisher"))
+      .orderBy("pos")
+  }
+
   /** F72 — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means
     * clusters as the candidate blocks, pairwise cosine INSIDE each
     * cluster, drop a vector when any LOWER-id cluster-mate sits at

@@ -178,6 +178,25 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("init"))
   }
 
+  // ---------- F82 labelSeparability ----------
+
+  test("labelSeparability: law-of-total-variance decomposition on " +
+      "exact quantized sums — the separating dimension scores high, " +
+      "the overlapping one low") {
+    // dim 0: label 0 → {0, 1}, label 1 → {4, 5}: total var 4.25,
+    // within 0.25 → Fisher 16. dim 1: {5, 7} vs {6, 8}: total 1.25,
+    // within 1 → Fisher 0.25.
+    val emb = Seq(
+      (0, Array(0.0f, 5.0f)), (0, Array(1.0f, 7.0f)),
+      (1, Array(4.0f, 6.0f)), (1, Array(5.0f, 8.0f)))
+      .toDF("label", "embedding")
+    val out = Vectors.labelSeparability(emb, dim = 2)
+      .as[(Int, Long, Double, Double, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (0, 4L, 4.25, 0.25, Some(16.0)),
+      (1, 4L, 1.25, 1.0, Some(0.25))))
+  }
+
   // ---------- F72 semanticDedup ----------
 
   test("semanticDedup drops the higher id of a near-parallel " +
