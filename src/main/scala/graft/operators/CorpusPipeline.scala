@@ -836,6 +836,57 @@ object CorpusPipeline {
       .select("doc_id", "n_tokens", "nnz", "vec_checksum", "nrm")
       .orderBy("doc_id")
 
+  /** F76b — the reference-CDF side of the KS family: the corpus'
+    * token-length CDF on a CLAMPED bin grid (0..maxLen, overflow in
+    * the top bin) as a driver array — bounded by construction, the
+    * artifact a monitoring deployment trains offline and broadcasts
+    * to G28's live scorer. */
+  def lengthCdf(docs: DataFrame, maxLen: Int): Array[Double] = {
+    require(maxLen >= 1, s"maxLen must be >= 1: $maxLen")
+    val hist = docs
+      .select(least(expr(s"size($tokens)"), lit(maxLen)).as("len"))
+      .groupBy("len").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = hist.values.sum.toDouble
+    val cdf = new Array[Double](maxLen + 1)
+    var cum = 0L
+    for (i <- 0 to maxLen) {
+      cum += hist.getOrElse(i, 0L)
+      cdf(i) = cum.toDouble / total
+    }
+    cdf
+  }
+
+  /** KS of each source's length distribution against a FIXED
+    * reference CDF ([[lengthCdf]]) — the batch twin of G28's live
+    * monitor and the cross-RELEASE complement of F76 (which scores
+    * one source against the rest of the SAME corpus). The sup walks
+    * the bounded bin grid ascending; ties resolve to the lowest bin
+    * (the G28 walk's strict-greater rule — one spelling, parity
+    * spec'd). */
+  def ksAgainstReference(docs: DataFrame, refCdf: Array[Double],
+                         maxLen: Int): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val perSrc = docs
+      .select(col("source"),
+        least(expr(s"size($tokens)"), lit(maxLen)).as("len"))
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getString(0))
+    perSrc.toSeq.map { case (src, rows) =>
+      val hist = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      val total = hist.values.sum
+      var cum = 0L; var ks = 0.0; var at = 0
+      for (i <- 0 to maxLen) {
+        cum += hist.getOrElse(i, 0L)
+        val diff = math.abs(cum.toDouble / total - refCdf(i))
+        if (diff > ks) { ks = diff; at = i }
+      }
+      (src, total, math.rint(ks * 1e4) / 1e4, at)
+    }.sortBy(_._1)
+      .toDF("source", "n_docs", "ks_stat", "ks_at_len")
+  }
+
   /** F76 — KOLMOGOROV–SMIRNOV DRIFT TEST, one source vs the rest of
     * the corpus, on the document token-length distribution: the
     * two-sample KS statistic sup_x |F_s(x) − F_rest(x)| evaluated on

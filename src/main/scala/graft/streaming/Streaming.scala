@@ -951,6 +951,55 @@ object Streaming {
       }
   }
 
+  case class KsPoint(source: String, n_docs: Long, ks_stat: Double,
+                     ks_at_len: Int)
+
+  /** G28 — STREAMING KS DRIFT MONITOR: F76's distribution test as a
+    * LIVE per-source alarm — the reference token-length CDF trains
+    * offline (`CorpusPipeline.lengthCdf`, a bounded clamped-bin
+    * array shipped into the closure like the G18/G21 parameter
+    * registers) and each source's keyed state is its own clamped
+    * length HISTOGRAM (maxLen+1 int64 bins — bounded by the
+    * parameter, never by the stream); every micro-batch folds the
+    * new docs in and emits the source's CURRENT KS vs the reference
+    * and its location. This is the monitor that pages when a feed's
+    * docs quietly get shorter — BEFORE the nightly batch job would
+    * notice.
+    *
+    * The sup walk ascends the bin grid with a strict-greater update,
+    * so ties resolve to the lowest bin — the SAME rule as the batch
+    * twin `ksAgainstReference` (parity spec'd on the stream's final
+    * emission). Token counts use the PortableText whitespace rule. */
+  def ksDriftPoints(docs: Dataset[SourcedDoc], refCdf: Array[Double],
+                    maxLen: Int): Dataset[KsPoint] = {
+    require(maxLen >= 1 && refCdf.length == maxLen + 1,
+      s"refCdf must have maxLen+1 bins: ${refCdf.length} vs ${maxLen + 1}")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[SourcedDoc],
+         state: GroupState[Array[Long]]) =>
+          val h = state.getOption.getOrElse(new Array[Long](maxLen + 1))
+          rows.foreach { d =>
+            val n = d.text.split(" ").count(_.nonEmpty)
+            h(math.min(n, maxLen)) += 1
+          }
+          state.update(h)
+          val total = h.sum
+          var cum = 0L; var ks = 0.0; var at = 0
+          var i = 0
+          while (i <= maxLen) {
+            cum += h(i)
+            val diff = math.abs(cum.toDouble / total - refCdf(i))
+            if (diff > ks) { ks = diff; at = i }
+            i += 1
+          }
+          Iterator.single(
+            KsPoint(source, total, math.rint(ks * 1e4) / 1e4, at))
+      }
+  }
+
   /** G27 — STREAMING LEARNED-QUALITY ADMISSION: the ingest gate run
     * with F73's hashed-feature classifier — the G25 deployment split
     * (train offline, score the live crawl) applied to ADMISSION,

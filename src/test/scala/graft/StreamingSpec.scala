@@ -846,6 +846,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G28: streaming KS drift vs an offline reference CDF — the " +
+      "shifted feed alarms, the conforming feed stays low, and the " +
+      "final emission equals the batch twin") {
+    import graft.streaming.Streaming.SourcedDoc
+    import graft.operators.CorpusPipeline
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val maxLen = 8
+    // reference corpus: lens 4 and 6 in equal measure
+    val refDocs = (1 to 10).map(i =>
+      (i.toLong, words(if (i % 2 == 0) 4 else 6), "en", "ref"))
+      .toDF("doc_id", "text", "lang", "source")
+    val ref = CorpusPipeline.lengthCdf(refDocs, maxLen)
+    // stream: source "ok" mirrors the reference; "short" collapsed to 2
+    val live = (1 to 8).map(i =>
+      SourcedDoc(i.toLong, "ok", words(if (i % 2 == 0) 4 else 6))) ++
+      (11 to 18).map(i => SourcedDoc(i.toLong, "short", words(2)))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SourcedDoc]
+    val q = Streaming.ksDriftPoints(in.toDS(), ref, maxLen)
+      .writeStream.format("memory").queryName("p_ksdrift")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = live.splitAt(9)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val ems = spark.table("p_ksdrift")
+        .as[(String, Long, Double, Int)].collect()
+      // final emission per source = the max-cumulative-count row
+      val fin = ems.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }
+        .toSeq.sortBy(_._1)
+      val batch = CorpusPipeline.ksAgainstReference(
+        live.map(d => (d.doc_id, d.text, "en", d.source))
+          .toDF("doc_id", "text", "lang", "source"), ref, maxLen)
+        .as[(String, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+      assert(fin == batch)
+      val bySrc = fin.map(r => r._1 -> r._3).toMap
+      assert(bySrc("short") == 1.0) // whole mass below the ref support
+      assert(bySrc("ok") < 0.2)     // conforming feed: small KS
+    } finally q.stop()
+  }
+
   test("G27 parity: streaming classifierAdmission == batch " +
       "classifierScore margins and labels, including empty docs") {
     import graft.streaming.Streaming.Doc
