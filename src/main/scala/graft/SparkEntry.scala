@@ -114,6 +114,7 @@ object SparkEntry {
   val tcaFillEvery = 20         // D50 fill sampling stride
   val waterfillPct = 95         // F75 budget as % of corpus tokens
   val nwMaxLag = 3              // D51 Newey–West bandwidth
+  val rsHorizon = 5             // D54 realized-spread settle (trades)
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
@@ -653,6 +654,20 @@ object SparkEntry {
           col("event_id").as("quote_id"), col("value").as("bid"),
           (col("value") * 1.0002 + 0.01).as("ask"))
       Microstructure.effectiveSpread(trades, quotes)
+    }),
+    // D54 — Huang–Stoll decomposition: eff = realized + impact over
+    // the same trade/quote derivation as D37, horizon 5 trades.
+    "q_spread_decomp" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("trade_id"), col("value").as("price"))
+      val quotes = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("quote_id"), col("value").as("bid"),
+          (col("value") * 1.0002 + 0.01).as("ask"))
+      Microstructure.spreadDecomposition(trades, quotes, rsHorizon)
     }),
     // D27 — Parkinson + Garman-Klass range volatility per symbol.
     "q_range_vol" -> ((s, d) =>
@@ -2148,6 +2163,51 @@ object SparkEntry {
         |ORDER BY tick_id""".stripMargin,
     // D37 — effective spread: es2 = |2p − mid2| vs spread2 in doubled
     // cents; avg e4 via the half-up integer spelling (Σ·100+n) div 2n.
+    // D54 — decomposition: D37's union/carry dual + a lead over the
+    // trade frame; exact signed int sums, one division chain to
+    // dollars, midpoint trades excluded (sign NULL).
+    "q_spread_decomp" ->
+      s"""WITH q AS (
+        |  SELECT user_id AS symbol, ts, 0 AS kind, event_id AS id,
+        |    CAST(NULL AS BIGINT) AS p,
+        |    CAST(round(value * 100.0, 0) AS BIGINT)
+        |      + CAST(round((value*1.0002+0.01) * 100.0, 0) AS BIGINT)
+        |      AS mid2
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |t AS (
+        |  SELECT user_id AS symbol, ts, 1 AS kind, event_id AS id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS p,
+        |    CAST(NULL AS BIGINT) AS mid2
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT *,
+        |    last_value(mid2 IGNORE NULLS) OVER w AS q_mid2
+        |  FROM (SELECT * FROM q UNION ALL SELECT * FROM t) z
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY ts, kind, id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |tr AS (
+        |  SELECT symbol, p, q_mid2,
+        |    lead(q_mid2, $rsHorizon) OVER (PARTITION BY symbol
+        |      ORDER BY ts, id) AS mid2_fut
+        |  FROM u WHERE kind = 1),
+        |c AS (
+        |  SELECT symbol, p, q_mid2, mid2_fut,
+        |    CASE WHEN p * 2 > q_mid2 THEN 1
+        |         WHEN p * 2 < q_mid2 THEN -1 END AS sgn
+        |  FROM tr
+        |  WHERE q_mid2 IS NOT NULL AND mid2_fut IS NOT NULL),
+        |s AS (
+        |  SELECT symbol, count(*) AS n_signed,
+        |    CAST(sum(sgn * (p * 2 - q_mid2)) AS BIGINT) AS s_eff,
+        |    CAST(sum(sgn * (p * 2 - mid2_fut)) AS BIGINT) AS s_real,
+        |    CAST(sum(sgn * (mid2_fut - q_mid2)) AS BIGINT) AS s_imp
+        |  FROM c WHERE sgn IS NOT NULL GROUP BY symbol)
+        |SELECT symbol, n_signed,
+        |  CAST(s_eff AS DOUBLE) / n_signed / 2.0 / 10000.0 AS avg_eff,
+        |  CAST(s_real AS DOUBLE) / n_signed / 2.0 / 10000.0
+        |    AS avg_realized,
+        |  CAST(s_imp AS DOUBLE) / n_signed / 2.0 / 10000.0 AS avg_impact
+        |FROM s ORDER BY symbol""".stripMargin,
     "q_effective_spread" ->
       """WITH q AS (
         |  SELECT user_id AS symbol, ts, 0 AS kind, event_id AS id,

@@ -656,6 +656,69 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D54 — SPREAD DECOMPOSITION: the signed effective half-spread
+    * split into REALIZED spread (what liquidity provision actually
+    * earned once the price settled `horizon` trades later) and PRICE
+    * IMPACT (what the trade moved the mid) — eff = realized + impact,
+    * the Huang–Stoll decomposition every market-quality report runs
+    * on top of D37's effective spread (a venue can show a tight
+    * effective spread that is ALL impact — makers earn nothing).
+    *
+    * All three components are EXACT signed int64 in doubled cents:
+    * prevailing mid via D37's union + running IGNORE-NULLS carry (one
+    * exchange), future mid = the prevailing mid at the `horizon`-th
+    * NEXT trade (a lead over the trade frame — same exchange), trade
+    * sign by the exact midpoint test (2p vs mid2; midpoint trades
+    * carry sign 0 and are EXCLUDED from the signed averages, the
+    * standard convention). The identity eff2 = real2 + imp2 holds
+    * EXACTLY in integers (spec'd row-wise); per-symbol averages are
+    * ONE IEEE division chain of exact sums (÷2n÷10⁴ to dollars),
+    * unrounded. Trades with no prevailing or no future mid drop out
+    * (counted — the tail `horizon` trades of each symbol have no
+    * settled price by construction). */
+  def spreadDecomposition(trades: DataFrame, quotes: DataFrame,
+                          horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1: $horizon")
+    val q = quotes.select(
+      col("symbol"), col("ts"), lit(0).as("kind"),
+      col("quote_id").as("id"), lit(null).cast("long").as("p"),
+      (centsOf(col("bid")) + centsOf(col("ask"))).as("mid2"))
+    val t = trades.select(
+      col("symbol"), col("ts"), lit(1).as("kind"),
+      col("trade_id").as("id"), centsOf(col("price")).as("p"),
+      lit(null).cast("long").as("mid2"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("kind"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTrades = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("id"))
+    val tr = q.unionByName(t)
+      .withColumn("q_mid2", last(col("mid2"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("mid2_fut", lead(col("q_mid2"), horizon).over(wTrades))
+      .withColumn("sgn",
+        when(col("p") * 2L > col("q_mid2"), 1L)
+          .when(col("p") * 2L < col("q_mid2"), -1L))
+      .filter(col("q_mid2").isNotNull && col("mid2_fut").isNotNull &&
+        col("sgn").isNotNull)
+      .withColumn("eff2", col("sgn") * (col("p") * 2L - col("q_mid2")))
+      .withColumn("real2", col("sgn") * (col("p") * 2L - col("mid2_fut")))
+      .withColumn("imp2", col("sgn") * (col("mid2_fut") - col("q_mid2")))
+    tr.groupBy("symbol")
+      .agg(count(lit(1)).as("n_signed"),
+        sum(col("eff2")).as("s_eff"),
+        sum(col("real2")).as("s_real"),
+        sum(col("imp2")).as("s_imp"))
+      .select(col("symbol"), col("n_signed"),
+        expr("CAST(s_eff AS DOUBLE) / n_signed / 2.0 / 10000.0")
+          .as("avg_eff"),
+        expr("CAST(s_real AS DOUBLE) / n_signed / 2.0 / 10000.0")
+          .as("avg_realized"),
+        expr("CAST(s_imp AS DOUBLE) / n_signed / 2.0 / 10000.0")
+          .as("avg_impact"))
+      .orderBy("symbol")
+  }
+
   /** D34 — BIPOWER VARIATION and jump detection per (symbol, day):
     * Barndorff-Nielsen & Shephard's jump-robust volatility —
     * `BV = (π/2)·Σ|rᵢ||rᵢ₋₁|` converges to integrated variance even

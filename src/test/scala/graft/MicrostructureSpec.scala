@@ -701,6 +701,27 @@ class MicrostructureSpec extends SparkSpec {
       (2L, 2L, Some(0.0), None, None)))
   }
 
+  test("spreadDecomposition: eff = realized + impact exactly; " +
+      "midpoint trades and unsettled tail trades are excluded") {
+    val quotes = Seq(
+      (1L, t("2024-01-01 00:00:01"), 100L, 1.00, 1.02), // mid2 202
+      (1L, t("2024-01-01 00:00:03"), 101L, 1.01, 1.03), // mid2 204
+      (1L, t("2024-01-01 00:00:05"), 102L, 1.02, 1.04)) // mid2 206
+      .toDF("symbol", "ts", "quote_id", "bid", "ask")
+    val trades = Seq(
+      (1L, t("2024-01-01 00:00:02"), 1L, 1.02), // buy at 204 > 202
+      (1L, t("2024-01-01 00:00:04"), 2L, 1.01), // sell at 202 < 204
+      (1L, t("2024-01-01 00:00:06"), 3L, 1.03), // AT mid 206 → excluded
+      (1L, t("2024-01-01 00:00:07"), 4L, 1.04)) // no next trade → out
+      .toDF("symbol", "ts", "trade_id", "price")
+    val out = Microstructure.spreadDecomposition(trades, quotes, 1)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    // T1: eff2 +2, real2 0, imp2 +2; T2: eff2 +2, real2 +4, imp2 −2.
+    // averages over 2 signed trades, ÷2 to cents, ÷1e4 to dollars.
+    assert(out == Seq((1L, 2L, 0.0001, 0.0001, 0.0)))
+    assert(out.head._3 == out.head._4 + out.head._5) // the identity
+  }
+
   test("clockKurtosis: re-derived moments on both clocks; the bar " +
       "clock absorbs the jump that fattens the time-clock tail") {
     def kurt(moves: Seq[Double]): Option[Double] = {
