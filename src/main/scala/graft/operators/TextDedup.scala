@@ -465,15 +465,32 @@ object TextDedup {
     val ss = docs.sparkSession
     import ss.implicits._
     val thr = broadcast(tenths.toDF("thr_tenths"))
-    val qual = candidatePairStats(docs, 100)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_union"))
-      .crossJoin(thr)
-      .filter(col("n_common") * lit(10) >= col("thr_tenths") * col("n_union"))
-      .groupBy("thr_tenths")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    // Each pair's LARGEST qualifying tenth is the exact-int floor
+    // t = (10·n_common) div n_union (non-negative, so Spark-truncate
+    // == DuckDB-floor), because 10·nc ≥ t·nu ⟺ t ≤ (10·nc) div nu.
+    // The whole curve then reads off two ≤11-row histograms — pair
+    // counts by t, dropped-doc counts by each doc's MAX t — instead
+    // of a ×|thresholds| pair explode + a per-threshold
+    // countDistinct expand (measured: the explode spelling put 38M
+    // rows + a 77M-row expand through the aggregate at sf0.1).
+    val stats = candidatePairStats(docs, 100)
+      .select(col("doc_b"),
+        expr("(10 * n_common) div n_union").as("t_pair"))
+      .localCheckpoint(true)
+    val pairHist = broadcast(stats.groupBy("t_pair")
+      .agg(count(lit(1)).as("c_pairs")))
+    val docHist = broadcast(stats.groupBy("doc_b")
+      .agg(max(col("t_pair")).as("t_doc"))
+      .groupBy("t_doc").agg(count(lit(1)).as("c_docs")))
     val total = docs.agg(count(lit(1)).as("n_docs"))
-    thr.join(qual, Seq("thr_tenths"), "left")
+    // suffix sums over the tiny histograms via a threshold cross join
+    val perThr = thr
+      .join(pairHist, col("t_pair") >= col("thr_tenths"), "left")
+      .groupBy("thr_tenths").agg(sum(col("c_pairs")).as("n_pairs"))
+      .join(thr.join(docHist, col("t_doc") >= col("thr_tenths"), "left")
+        .groupBy("thr_tenths").agg(sum(col("c_docs")).as("n_docs_dropped")),
+        Seq("thr_tenths"))
+    perThr
       .crossJoin(broadcast(total))
       .select(col("thr_tenths"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
