@@ -1024,6 +1024,9 @@ object SparkEntry {
     // per source (the drop Sankey).
     "q_curation_matrix" -> ((s, d) =>
       CorpusPipeline.curationAttribution(Tables.documents(s, d))),
+    // F83 — classifier-vs-rules calibration by margin bin.
+    "q_clf_calibration" -> ((s, d) =>
+      CorpusPipeline.classifierCalibration(Tables.documents(s, d))),
     // F80 — corpus snapshot delta: old = even ids, new = ids not
     // divisible by 3 with %5 docs content-mutated — all four classes
     // populated by construction.
@@ -5344,6 +5347,49 @@ object SparkEntry {
         |       WHEN rep_ratio > 0.65 THEN 'repetitive'
         |       WHEN stop_ratio < 0.01 THEN 'low_stop' END AS drop_reason
         |FROM q ORDER BY doc_id""".stripMargin
+    },
+    // F83 — calibration: F73's margin CTE + F15's keep CTE joined,
+    // floor-binned on the double (signed // vs div — the D50 rule),
+    // clamped, exact counts, one division per share.
+    "q_clf_calibration" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |ft AS (SELECT doc_id, ${duckPolyHash("tok")} % 1024 AS bucket
+        |  FROM tok),
+        |w AS (SELECT r AS bucket, (r * 37 + 11) % 21 - 10 AS w
+        |  FROM (SELECT unnest(range(1024)) AS r)),
+        |ag AS (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS margin
+        |  FROM ft JOIN w USING (bucket) GROUP BY doc_id),
+        |clf AS (SELECT d.doc_id, coalesce(ag.margin, 0) AS margin,
+        |    coalesce(ag.margin, 0) >= 0 AS label
+        |  FROM documents d LEFT JOIN ag USING (doc_id)),
+        |tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |qf AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(tk) < 20 THEN 'short'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              1.0 - CAST(length(list_distinct(tk)) AS DOUBLE)
+        |                / length(tk) END > 0.65 THEN 'repetitive'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              CAST(length(list_filter(tk, t -> list_contains(
+        |                ['the','a','of','and','to'], t))) AS DOUBLE)
+        |                / length(tk) END < 0.01 THEN 'low_stop'
+        |     END) IS NULL AS keep
+        |  FROM tk),
+        |j AS (SELECT clf.margin, clf.label, qf.keep,
+        |    greatest(least(CAST(floor(CAST(clf.margin AS DOUBLE)
+        |      / 40.0) AS BIGINT), 3), -3) AS bin
+        |  FROM clf JOIN qf USING (doc_id))
+        |SELECT bin, count(*) AS n_docs,
+        |  count(CASE WHEN label THEN 1 END) AS n_clf_keep,
+        |  count(CASE WHEN keep THEN 1 END) AS n_rule_keep,
+        |  count(CASE WHEN label = keep THEN 1 END) AS n_agree,
+        |  CAST(count(CASE WHEN keep THEN 1 END) AS DOUBLE) / count(*)
+        |    AS rule_keep_share,
+        |  CAST(count(CASE WHEN label = keep THEN 1 END) AS DOUBLE)
+        |    / count(*) AS agree_share
+        |FROM j GROUP BY bin ORDER BY bin""".stripMargin
     },
     // F81 — attribution: the q_corpus_select qf/dup CTE chains
     // re-composed into the 2×2 per-source matrix; counts exact,

@@ -739,6 +739,50 @@ object CorpusPipeline {
       .orderBy("source")
   }
 
+  /** F83 — CLASSIFIER-vs-RULES CALIBRATION AUDIT: F73's learned
+    * margins binned, each bin scored against F15's hand-written
+    * verdicts — "does the model agree with the rules where it is
+    * confident, and where do they part" (the margin-bin agreement
+    * curve an MLOps review reads before swapping a rule filter for a
+    * learned one; F81 attributes DROPS, this calibrates the SCORER).
+    * Bin boundaries align with zero (margin div binWidth, clamped to
+    * ±maxBin) so the classifier's own verdict is constant within
+    * every bin — `agree_share` then reads directly as per-bin
+    * precision against the rules.
+    *
+    * Shape: two registry-proven verdict frames joined on the doc key,
+    * collapsed to ≤ 2·maxBin+1 rows. Binning is FLOOR division
+    * spelled as floor(margin/width) on the double — signed integer
+    * `div` is off the table (Spark truncates, DuckDB floors —
+    * opposite on negative margins, the D50 rule) while the double
+    * floor is one identical IEEE op sequence and keeps bin −1 as
+    * "all negative margins up to −1", zero-aligned; counts exact
+    * int64, shares ONE IEEE division each. */
+  def classifierCalibration(docs: DataFrame, binWidth: Int = 40,
+                            maxBin: Int = 3): DataFrame = {
+    require(binWidth >= 1 && maxBin >= 1,
+      s"binWidth/maxBin must be >= 1: $binWidth/$maxBin")
+    val clf = classifierScore(docs).select(col("doc_id"),
+      col("margin"), col("label"))
+    val rules = qualityFilter(docs).select(col("doc_id"), col("keep"))
+    clf.join(rules, "doc_id")
+      .withColumn("bin",
+        greatest(least(
+          expr(s"CAST(floor(CAST(margin AS DOUBLE) / $binWidth.0) " +
+            "AS BIGINT)"),
+          lit(maxBin.toLong)), lit(-maxBin.toLong)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("label"), lit(1))).as("n_clf_keep"),
+        count(when(col("keep"), lit(1))).as("n_rule_keep"),
+        count(when(col("label") === col("keep"), lit(1))).as("n_agree"))
+      .withColumn("rule_keep_share",
+        col("n_rule_keep").cast("double") / col("n_docs").cast("double"))
+      .withColumn("agree_share",
+        col("n_agree").cast("double") / col("n_docs").cast("double"))
+      .orderBy("bin")
+  }
+
   /** F80 — CORPUS SNAPSHOT DELTA: release-over-release diff of two
     * corpus versions by CONTENT fingerprint — per source, how many
     * docs were added, removed, changed (same id, different content)

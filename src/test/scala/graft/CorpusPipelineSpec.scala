@@ -416,6 +416,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(b8.getAs[Double]("flat_waste_share") == 3.0 / 16.0)
   }
 
+  // ---------- F83 classifierCalibration ----------
+
+  test("classifierCalibration: floor-binned margins (zero-aligned), " +
+      "per-bin agreement re-derived from the scalar building blocks") {
+    def weight(tok: String): Long = {
+      val b = graft.functions.PolyHash.hash(tok) % 1024
+      (b * 37 + 11) % 21 - 10
+    }
+    val long = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to the old barn of the tall hill"  // 21 tokens: keep
+    val docs = docsFrom(
+      1L -> long,
+      2L -> "short stuff",
+      3L -> "",
+      4L -> (long + " extra trailing words here"))
+    val expected = Seq(1L -> long, 2L -> "short stuff", 3L -> "",
+      4L -> (long + " extra trailing words here")).map { case (id, txt) =>
+      val toks = txt.split(" ").filter(_.nonEmpty)
+      val margin = toks.map(weight).sum
+      val label = margin >= 0
+      val keep = toks.length >= 20 // rep/stop rules don't fire here
+      val bin = math.max(-3L, math.min(3L,
+        math.floor(margin.toDouble / 40.0).toLong))
+      (bin, label, keep)
+    }
+    val want = expected.groupBy(_._1).map { case (bin, rs) =>
+      (bin, rs.size.toLong, rs.count(_._2).toLong, rs.count(_._3).toLong,
+        rs.count(r => r._2 == r._3).toLong)
+    }.toSeq.sortBy(_._1)
+    val out = CorpusPipeline.classifierCalibration(docs)
+      .select("bin", "n_docs", "n_clf_keep", "n_rule_keep", "n_agree")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == want)
+  }
+
   // ---------- F81 curationAttribution ----------
 
   test("curationAttribution: the 2x2 quality x dup matrix per source " +
