@@ -613,6 +613,9 @@ object SparkEntry {
     // D53 — Ané–Geman clock comparison: time- vs volume-clock kurtosis.
     "q_clock_kurtosis" -> ((s, d) =>
       Microstructure.clockKurtosis(Tables.events(s, d), barQtyParam)),
+    // D55 — square-root-law fit: ln|slip| on ln(participation) slope.
+    "q_impact_exponent" -> ((s, d) =>
+      Microstructure.impactExponent(Tables.events(s, d), tcaFillEvery)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2638,6 +2641,32 @@ object SparkEntry {
         |    THEN (${nwSigmaExpr(nwMaxLag)}) / g0 END, 4) AS inflation
         |FROM pv ORDER BY symbol""".stripMargin
     },
+    // D55 — impact exponent: D50's tape/fill derivation, ln of exact
+    // ratio divisions, covar_pop/var_pop slope round(4) (D18 class),
+    // singular fills excluded.
+    "q_impact_exponent" ->
+      s"""WITH p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS INT), 0) AS k
+        |  FROM events),
+        |t AS (SELECT * FROM p WHERE k > 0),
+        |d AS (SELECT symbol, day, CAST(sum(k) AS BIGINT) AS day_qty,
+        |    CAST(sum(cents * k) AS BIGINT) AS day_pv
+        |  FROM t GROUP BY symbol, day),
+        |f AS (SELECT t.symbol,
+        |    CAST((t.cents * d.day_qty - d.day_pv) * 10000 AS DOUBLE)
+        |      / d.day_pv AS slip_bp,
+        |    CAST(t.k AS DOUBLE) / d.day_qty AS part,
+        |    t.k, d.day_qty
+        |  FROM t JOIN d USING (symbol, day)
+        |  WHERE t.event_id % $tcaFillEvery = 0),
+        |g AS (SELECT symbol, ln(part) AS x, ln(abs(slip_bp)) AS y
+        |  FROM f WHERE abs(slip_bp) > 0 AND k < day_qty)
+        |SELECT symbol, count(*) AS n_fills,
+        |  round(CASE WHEN var_pop(x) > 0
+        |    THEN covar_pop(y, x) / var_pop(x) END, 4) AS impact_exp
+        |FROM g GROUP BY symbol ORDER BY symbol""".stripMargin,
     // D53 — clock kurtosis: D39's adjudicated moment spelling run on
     // both clocks (time = per-day print moves; volume = D30 bar-close
     // moves with the q_volume_bars window verbatim); ratio divides

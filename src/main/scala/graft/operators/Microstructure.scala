@@ -1468,6 +1468,54 @@ object Microstructure {
       .orderBy("symbol", "fill_id")
   }
 
+  /** D55 — MARKET-IMPACT EXPONENT (square-root-law fit): per symbol,
+    * the OLS slope of ln|slippage| on ln(participation) over the
+    * sampled fills — the empirical test of the square-root impact
+    * law (impact ∝ √(Q/V), Torre/BARRA through Gatheral: slope ≈ 0.5
+    * on real tapes). D50 reports each fill's cost; this asks how
+    * cost SCALES with size, which is the only question a
+    * schedule-optimizing desk actually has (linear impact ⇒ slice
+    * freely; sqrt ⇒ front-load).
+    *
+    * Same derivation as D50 (exact-int tape sums, one broadcast-back
+    * day frame); regressors are ln of deterministic IEEE ratios
+    * (exact-int divisions), zero-slip and full-participation fills
+    * excluded (ln singularities — counted via n_fills vs D50's
+    * output). Slope = covar_pop/var_pop of aggregate doubles,
+    * round(4) — D18's corr-aggregate determinism class (float-sweep
+    * proven at sf0.1); symbols with degenerate x-variance report
+    * NULL. */
+  def impactExponent(events: DataFrame, fillEvery: Int): DataFrame = {
+    require(fillEvery >= 1, s"fillEvery must be >= 1: $fillEvery")
+    val parsed = events.select(
+      col("event_id"),
+      col("user_id").as("symbol"),
+      to_date(col("ts")).as("day"),
+      centsOf(col("value")).as("cents"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+        .as("k"))
+      .filter(col("k") > 0)
+    val daily = parsed.groupBy("symbol", "day")
+      .agg(sum(col("k")).as("day_qty"),
+        sum(col("cents") * col("k")).as("day_pv"))
+    parsed
+      .filter(col("event_id") % fillEvery === 0)
+      .join(broadcast(daily), Seq("symbol", "day"))
+      .withColumn("slip_bp",
+        ((col("cents") * col("day_qty") - col("day_pv")) * 10000L)
+          .cast("double") / col("day_pv").cast("double"))
+      .withColumn("part",
+        col("k").cast("double") / col("day_qty").cast("double"))
+      .filter(abs(col("slip_bp")) > 0 && col("k") < col("day_qty"))
+      .withColumn("x", log(col("part")))
+      .withColumn("y", log(abs(col("slip_bp"))))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_fills"),
+        round(when(expr("var_pop(x)") > 0,
+          expr("covar_pop(y, x) / var_pop(x)")), 4).as("impact_exp"))
+      .orderBy("symbol")
+  }
+
   /** The two-pass-free sample variance from EXACT integer sums —
     * `(Σd² − (Σd)²/n) / (n−1)` with every cast and division in ONE
     * fixed left-assoc spelling, interpolated verbatim into both the

@@ -701,6 +701,36 @@ class MicrostructureSpec extends SparkSpec {
       (2L, 2L, Some(0.0), None, None)))
   }
 
+  test("impactExponent: OLS slope of ln|slip| on ln(participation) " +
+      "matches the scalar re-derivation; singular fills excluded") {
+    val ev = events(
+      (20L, 1L, "2024-01-01 10:00:00", 1.00, 10),
+      (21L, 1L, "2024-01-01 10:30:00", 1.02, 30),
+      (40L, 1L, "2024-01-01 11:00:00", 1.04, 10),
+      (60L, 1L, "2024-01-01 12:00:00", 1.03, 5),
+      (80L, 1L, "2024-01-01 13:00:00", 0.99, 45),
+      // symbol 2: two fills at EQUAL participation → x-variance 0
+      (100L, 2L, "2024-01-01 10:00:00", 5.00, 10),
+      (120L, 2L, "2024-01-01 11:00:00", 5.10, 10),
+      (121L, 2L, "2024-01-01 12:00:00", 5.05, 20))
+    val out = Microstructure.impactExponent(ev, 20)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // scalar re-derivation from the same tape math
+    val dayQty = 100L; val dayPv = 10070L
+    val fills = Seq((100L, 10L), (104L, 10L), (103L, 5L), (99L, 45L))
+    val pts = fills.map { case (c, k) =>
+      (math.log(k.toDouble / dayQty),
+        math.log(math.abs((c * dayQty - dayPv) * 10000L.toDouble / dayPv)))
+    }
+    val n = pts.size
+    val mx = pts.map(_._1).sum / n; val my = pts.map(_._2).sum / n
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 4L), (2L, 2L)))
+    assert(math.abs(out.head._3.get - slope) < 1e-3)
+    assert(out(1)._3.isEmpty) // equal participations → zero x-var → NULL
+  }
+
   test("spreadDecomposition: eff = realized + impact exactly; " +
       "midpoint trades and unsettled tail trades are excluded") {
     val quotes = Seq(
