@@ -186,7 +186,28 @@ object Sf1Smoke {
       // (the replica makes every bucket 10x hot — worst case);
       // source similarity's k-explode multiplies the bounded
       // distinct-gram frame only.
-      "q_near_leakage", "q_source_similarity", "q_dedup_curve")
+      "q_near_leakage", "q_source_similarity",
+      // q_dedup_curve / q_lsh_planner deliberately NOT smoked here:
+      // the all-dup replica is QUADRATIC BY CONSTRUCTION for the
+      // full-candidate exact-Jaccard artifacts (every band bucket
+      // 10x hot => raw matches ~100x => gigarow pair frames - a
+      // measured >11 min non-completion, not a plan defect). At
+      // scale those artifacts run on band parameters the F74
+      // planner picks to keep buckets bounded, or on the sampled
+      // audit path (q_dedup_audit's 5%). Adjudicated in SURVEY §5.
+      // round-10 waves 4-8: SemDeDup rides kmeans blocks (all-dup
+      // replica → hot clusters, the within-cluster pair worst case);
+      // classifier/calibration are explode + broadcast-weight joins
+      // with a FIXED weight table; the LSH planner shares the F71
+      // candidate frame (band-hot worst case); waterfill/KS/
+      // boilerplate/delta/attribution collapse to |sources|-bounded
+      // frames in their first aggregate; text_embed is explode + two
+      // doc-keyed aggregates; Fisher is one (label, dim) exploded
+      // aggregate over a FIXED key space.
+      "q_semantic_dedup", "q_classifier_score", "q_clf_calibration",
+      "q_waterfill", "q_ks_drift", "q_boilerplate",
+      "q_corpus_delta", "q_curation_matrix", "q_text_embed",
+      "q_label_fisher")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -233,7 +254,16 @@ object Sf1Smoke {
       // lag+agg exchange as bipower/medrv; the response function is
       // ONE symbol window carrying sign + |lags| leads, then a
       // (symbol, lag) aggregate.
-      "q_bns_jump", "q_price_response")
+      "q_bns_jump", "q_price_response",
+      // round-10 waves 4-8: cohort/negation-funnel are user-keyed
+      // shrinking aggregates; overnight/newey-west/clock-kurtosis/
+      // spread-decomp ride the one-exchange (symbol[, day]) lag+agg
+      // shape; the TCA pair's day frame is calendar-bounded and
+      // broadcast; the impact fit adds one covar aggregate on top.
+      "q_cohort_retention", "q_funnel_negation", "q_overnight_intraday",
+      "q_vwap_slippage", "q_running_vwap", "q_newey_west",
+      "q_clock_kurtosis", "q_spread_decomp", "q_impact_exponent",
+      "q_participation", "q_seasonal_anomaly")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
