@@ -738,6 +738,19 @@ object SparkEntry {
     // offsets, distinct active users + retention share.
     "q_cohort_retention" -> ((s, d) =>
       TemporalJoins.cohortRetention(Tables.events(s, d))),
+    // E16 — multi-table point-in-time feature join: purchases
+    // enriched with the latest click AND view values in ONE pass.
+    "q_pit_features" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ev = Tables.events(s, d)
+      def leg(t: String) = ev.filter(col("event_type") === t)
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("id"), col("value").as("v"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("symbol"), col("ts"),
+          col("event_id").as("id"))
+      TemporalJoins.pointInTimeJoin(facts, leg("click"), leg("view"))
+    }),
     // E11 — linear-interpolation gap fill onto the hourly grid.
     "q_interp_grid" -> ((s, d) =>
       TemporalJoins.interpolateGrid(Tables.ticks(s, d), "hour")),
@@ -3390,6 +3403,22 @@ object SparkEntry {
     // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
     // gate nullifies the match columns (age in exact integer µs; both
     // engines floor ns→µs identically).
+    // E16 — the two-ASOF dual of the one-union-one-window plan;
+    // values picked raw, ages exact µs, left semantics.
+    "q_pit_features" ->
+      """SELECT t.event_id AS fact_id, t.user_id AS symbol,
+        |  a.value AS a_val,
+        |  epoch_us(t.ts) - epoch_us(a.ts) AS a_age_us,
+        |  b.value AS b_val,
+        |  epoch_us(t.ts) - epoch_us(b.ts) AS b_age_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |    WHERE event_type = 'click') a
+        |  ON t.user_id = a.user_id AND t.ts >= a.ts
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |    WHERE event_type = 'view') b
+        |  ON t.user_id = b.user_id AND t.ts >= b.ts
+        |ORDER BY fact_id""".stripMargin,
     "q_asof_tolerance" ->
       """SELECT trade_id, symbol, ts_s,
         |  CASE WHEN fresh THEN qid END AS asof_id,

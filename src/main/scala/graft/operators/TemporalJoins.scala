@@ -839,6 +839,57 @@ object TemporalJoins {
         col("cents"), col("is_observed"))
   }
 
+  /** E16 — MULTI-TABLE POINT-IN-TIME FEATURE JOIN: each fact row
+    * enriched with the LATEST at-or-before value from TWO feature
+    * tables with independent update cadences — the feature-store
+    * read that prevents training-serving skew (a model trained on
+    * features the serving path couldn't have known is E13's
+    * look-ahead bias at the feature level; every feature platform's
+    * `get_historical_features` is this join). E1 composes twice, but
+    * NOT as two joins: all three tables union into ONE stream with a
+    * per-table value column, and a single symbol-keyed window carries
+    * BOTH running IGNORE-NULLS lasts — one exchange total where the
+    * naive two-ASOF plan pays two (the same union trick E1 itself
+    * plays on one table, widened to n feature columns).
+    *
+    * Per fact row: each feature's value (picked raw — element-wise,
+    * unrounded) and its exact µs age; a feature with no prior update
+    * is NULL with NULL age (left semantics — facts never drop).
+    * Quote-vs-fact ts ties resolve feature-first (kind ordering), so
+    * an update stamped exactly at the fact ts is visible — E1's
+    * inclusive rule. */
+  def pointInTimeJoin(facts: DataFrame, featA: DataFrame,
+                      featB: DataFrame): DataFrame = {
+    def side(df: DataFrame, kind: Int, valCol: String,
+             aName: String, bName: String) = df.select(
+      col("symbol"), col("ts"), lit(kind).as("kind"),
+      col("id"),
+      (if (valCol == "a") col("v") else lit(null).cast("double")).as(aName),
+      (if (valCol == "b") col("v") else lit(null).cast("double")).as(bName))
+    val a = side(featA, 0, "a", "va", "vb")
+    val b = side(featB, 0, "b", "va", "vb")
+    val f = facts.select(col("symbol"), col("ts"), lit(1).as("kind"),
+      col("id"), lit(null).cast("double").as("va"),
+      lit(null).cast("double").as("vb"))
+    val w = Window.partitionBy("symbol")
+      .orderBy(col("ts"), col("kind"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.unionByName(b).unionByName(f)
+      .withColumn("a_val", last(col("va"), ignoreNulls = true).over(w))
+      .withColumn("a_ts", last(when(col("va").isNotNull, col("ts")),
+        ignoreNulls = true).over(w))
+      .withColumn("b_val", last(col("vb"), ignoreNulls = true).over(w))
+      .withColumn("b_ts", last(when(col("vb").isNotNull, col("ts")),
+        ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("id").as("fact_id"), col("symbol"),
+        col("a_val"),
+        (unix_micros(col("ts")) - unix_micros(col("a_ts"))).as("a_age_us"),
+        col("b_val"),
+        (unix_micros(col("ts")) - unix_micros(col("b_ts"))).as("b_age_us"))
+      .orderBy("fact_id")
+  }
+
   /** E14 — COHORT RETENTION MATRIX over the event log: users grouped
     * by their first-seen calendar day (the cohort), then for each
     * (cohort day, days-since-cohort offset) the count of cohort

@@ -399,6 +399,33 @@ class TemporalJoinsSpec extends SparkSpec {
       (4L, Some(0L), Some(false), true)))
   }
 
+  test("pointInTimeJoin: each fact carries the latest at-or-before " +
+      "value from BOTH feature tables independently; missing history " +
+      "is NULL with NULL age; equal-ts updates are visible") {
+    def tbl(rows: (Long, Long, String, Double)*) =
+      rows.map { case (sym, id, s, v) => (sym, t(s), id, v) }
+        .toDF("symbol", "ts", "id", "v")
+    val featA = tbl(
+      (1L, 10L, "2024-01-01 10:00:00", 1.0),
+      (1L, 11L, "2024-01-01 10:00:20", 2.0))
+    val featB = tbl(
+      (1L, 20L, "2024-01-01 10:00:10", 5.0))
+    val facts = Seq(
+      (1L, t("2024-01-01 10:00:05"), 100L), // A@1.0; B has no history
+      (1L, t("2024-01-01 10:00:10"), 101L), // B@5.0 exactly at fact ts
+      (1L, t("2024-01-01 10:00:30"), 102L), // A@2.0, B@5.0
+      (2L, t("2024-01-01 10:00:30"), 103L)) // other key: no features
+      .toDF("symbol", "ts", "id")
+    val out = TemporalJoins.pointInTimeJoin(facts, featA, featB)
+      .as[(Long, Long, Option[Double], Option[Long],
+        Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      (100L, 1L, Some(1.0), Some(5000000L), None, None),
+      (101L, 1L, Some(1.0), Some(10000000L), Some(5.0), Some(0L)),
+      (102L, 1L, Some(2.0), Some(10000000L), Some(5.0), Some(20000000L)),
+      (103L, 2L, None, None, None, None)))
+  }
+
   test("cohortRetention: first-seen-day cohorts, distinct-user offsets, " +
       "exact shares") {
     // user 1 first seen Jan 1, active Jan 1 (twice — must dedup) + Jan 3;
