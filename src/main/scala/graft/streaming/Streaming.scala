@@ -1000,6 +1000,60 @@ object Streaming {
       }
   }
 
+  case class PitEvent(symbol: Long, ts: Timestamp, kind: Int, id: Long,
+                      v: Double)
+  /** G29 keyed register: latest (value, event-µs) per feature table. */
+  case class PitReg(a: Option[(Double, Long)], b: Option[(Double, Long)])
+  case class PitRow(fact_id: Long, symbol: Long,
+                    a_val: Option[Double], a_age_us: Option[Long],
+                    b_val: Option[Double], b_age_us: Option[Long])
+
+  /** G29 — STREAMING POINT-IN-TIME FEATURE SERVING: E16's twin on
+    * the ONLINE side of the feature-store split — the same two
+    * feature registers a serving cache keeps per key (latest value +
+    * its event time for each table), updated by feature rows and
+    * read by fact rows, so online enrichment equals the offline
+    * training join ROW FOR ROW (the training-serving-skew guarantee
+    * is precisely this parity, and the spec asserts it across a
+    * mid-stream batch split). Input is the unioned feed E16 builds
+    * internally (kind 0 = feature A, 2 = feature B, 1 = fact);
+    * per-symbol state is FOUR scalars; ties at equal ts resolve
+    * feature-first via the (ts, kind, id) sort — E16's inclusive
+    * rule. Fed per-symbol in-order across batches (G11/G12's
+    * assumption). */
+  def pitServePoints(events: Dataset[PitEvent]): Dataset[PitRow] = {
+    import events.sparkSession.implicits._
+    // exact µs (the lateFlags rule — getTime is only ms-grained)
+    def usOf(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    events.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[PitEvent],
+         state: GroupState[PitReg]) =>
+          var reg = state.getOption.getOrElse(PitReg(None, None))
+          var a = reg.a
+          var b = reg.b
+          val out = rows.toSeq
+            // ties: features (kinds 0 and 2) BEFORE facts (kind 1) —
+            // E16's inclusive rule; kind 2 must not sort after facts
+            .sortBy(e => (usOf(e.ts), if (e.kind == 1) 1 else 0, e.id))
+            .flatMap { e =>
+              val us = usOf(e.ts)
+              e.kind match {
+                case 0 => a = Some((e.v, us)); None
+                case 2 => b = Some((e.v, us)); None
+                case _ =>
+                  Some(PitRow(e.id, symbol,
+                    a.map(_._1), a.map(us - _._2),
+                    b.map(_._1), b.map(us - _._2)))
+              }
+            }
+          state.update(PitReg(a, b))
+          out.iterator
+      }
+  }
+
   /** G27 — STREAMING LEARNED-QUALITY ADMISSION: the ingest gate run
     * with F73's hashed-feature classifier — the G25 deployment split
     * (train offline, score the live crawl) applied to ADMISSION,

@@ -846,6 +846,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G29 parity: pitServePoints == batch pointInTimeJoin row for " +
+      "row; feature registers carry across the micro-batch split") {
+    import graft.streaming.Streaming.{PitEvent, PitRow}
+    val feed = Seq(
+      PitEvent(1L, t("2024-01-01 10:00:00"), 0, 10L, 1.0),
+      PitEvent(1L, t("2024-01-01 10:00:05"), 1, 100L, 0.0),
+      PitEvent(1L, t("2024-01-01 10:00:10"), 2, 20L, 5.0),
+      PitEvent(1L, t("2024-01-01 10:00:10"), 1, 101L, 0.0), // B at same ts
+      PitEvent(1L, t("2024-01-01 10:00:20"), 0, 11L, 2.0),
+      PitEvent(1L, t("2024-01-01 10:00:30"), 1, 102L, 0.0),
+      PitEvent(2L, t("2024-01-01 10:00:30"), 1, 103L, 0.0)) // featureless
+    val facts = feed.filter(_.kind == 1)
+      .map(e => (e.symbol, e.ts, e.id)).toDF("symbol", "ts", "id")
+    def leg(k: Int) = feed.filter(_.kind == k)
+      .map(e => (e.symbol, e.ts, e.id, e.v)).toDF("symbol", "ts", "id", "v")
+    val batch = graft.operators.TemporalJoins
+      .pointInTimeJoin(facts, leg(0), leg(2))
+      .as[(Long, Long, Option[Double], Option[Long],
+        Option[Double], Option[Long])].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PitEvent]
+    val q = Streaming.pitServePoints(in.toDS())
+      .writeStream.format("memory").queryName("p_pit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split after the same-ts pair: fact 102's A register (updated
+      // at 10:00:20) crosses the batch boundary
+      val (x, y) = feed.splitAt(4)
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val streamed = spark.table("p_pit").as[PitRow].collect()
+        .map(r => (r.fact_id, r.symbol, r.a_val, r.a_age_us,
+          r.b_val, r.b_age_us)).toSet
+      assert(streamed == batch)
+      assert(batch.map(_._1) == Set(100L, 101L, 102L, 103L))
+    } finally q.stop()
+  }
+
   test("G28: streaming KS drift vs an offline reference CDF — the " +
       "shifted feed alarms, the conforming feed stays low, and the " +
       "final emission equals the batch twin") {
