@@ -130,6 +130,7 @@ object SparkEntry {
   val dedupThrTenths: Seq[Int] = Seq(5, 6, 7, 8, 9) // F71 J cutoffs (×0.1)
   val lshPlanConfigs: Seq[(Int, Int)] =  // F74 (bands, rows/band) grid —
     Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)) // all k=16 layouts
+  val recallSeverities: Seq[Int] = Seq(2, 3, 5, 10) // F85 drop-every-k
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
   val seasonalZThr = 1.4        // D48 |z| cutoff — probed: the
@@ -966,6 +967,10 @@ object SparkEntry {
     // a deterministic 5% hash sample of the candidate pairs.
     "q_dedup_audit" -> ((s, d) =>
       TextDedup.dedupAudit(Tables.documents(s, d), samplePct = 5)),
+    // F85 — planted-mutation dedup recall benchmark (severity ladder).
+    "q_dedup_recall" -> ((s, d) =>
+      TextDedup.dedupRecallBench(Tables.documents(s, d),
+        recallSeverities)),
     // F71 — dedup-threshold calibration curve (exact-int cutoffs).
     "q_dedup_curve" -> ((s, d) =>
       TextDedup.dedupThresholdCurve(Tables.documents(s, d),
@@ -3812,6 +3817,45 @@ object SparkEntry {
         |    AS band_hash
         |FROM m, (SELECT unnest(range($Bands)) AS band) b
         |ORDER BY doc_id, band""".stripMargin
+    },
+    // F85 — recall benchmark: the SAME mutation arithmetic (DuckDB
+    // list lambdas are 1-based where Spark's are 0-based — aligned so
+    // both drop exactly the k·i-th tokens), the F2 band CTEs over the
+    // constructed corpus, detection via a left join of the planted
+    // list; counts exact, recall/kept_share one division each.
+    "q_dedup_recall" -> {
+      import graft.functions.PortableText._
+      val muts = recallSeverities.map { k =>
+        s"""SELECT doc_id + ${k * 10000000L} AS doc_id,
+          |    array_to_string(list_filter($duckTokens,
+          |      (t, i) -> i % $k <> 0), ' ') AS text, lang, source
+          |  FROM base""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val sev = recallSeverities.map(k => s"($k)").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |mut AS ($muts),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM corpus),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |p0 AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.band_hash = y.band_hash
+        |    AND x.doc_id < y.doc_id
+        |  WHERE x.band_hash IS NOT NULL),
+        |planted AS (SELECT s.k AS severity, b.doc_id AS doc_a,
+        |    b.doc_id + s.k * 10000000 AS doc_b
+        |  FROM (VALUES $sev) s(k), base b)
+        |SELECT severity, count(*) AS n_planted,
+        |  count(p0.doc_a) AS n_detected,
+        |  CAST(count(p0.doc_a) AS DOUBLE) / count(*) AS recall,
+        |  CAST(severity - 1 AS DOUBLE) / severity AS kept_share
+        |FROM planted LEFT JOIN p0 USING (doc_a, doc_b)
+        |GROUP BY severity ORDER BY severity""".stripMargin
     },
     // F41 — audit: same band/bucket CTEs as the minhash family; the
     // exact intersection runs only on flagged pairs; ratios are

@@ -443,6 +443,61 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** F85 — DEDUP RECALL BENCHMARK with PLANTED mutations: ground
+    * truth by construction (F78's media trick applied to TEXT) — a
+    * deterministic sample of documents is mutated at a ladder of
+    * severities (drop every k-th token ⇒ a known token-set overlap
+    * of (k−1)/k against the original), the banded detector runs on
+    * originals ∪ mutants, and the report is RECALL per severity: did
+    * the bands find each planted (original, mutant) pair. This is
+    * F74's S-curve measured EMPIRICALLY instead of computed — the
+    * two must agree in shape, and together they are the evidence a
+    * dedup deployment shows for "our banding catches J ≥ 0.8".
+    *
+    * Determinism: the mutation is pure token-index arithmetic both
+    * engines spell identically (Spark's 0-based filter lambda vs
+    * DuckDB's 1-based — aligned by construction); recall detection
+    * is a left join of the CONSTRUCTED pair list against the band
+    * candidates (never the quadratic pair space); sampling keeps the
+    * benchmark corpus tiny (a pair's detection probability depends
+    * only on its own signatures, not corpus size, so sampled recall
+    * IS recall). Counts exact int64; recall and the expected overlap
+    * (k−1)/k are ONE IEEE division each, unrounded. */
+  def dedupRecallBench(docs: DataFrame, severities: Seq[Int],
+                       sampleMod: Int = 20): DataFrame = {
+    require(severities.nonEmpty && severities.forall(_ >= 2),
+      s"severities must be >= 2: $severities")
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val base = docs
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
+      .select("doc_id", "text", "lang", "source")
+      .localCheckpoint(true)
+    val mutants = severities.map { k =>
+      base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        expr(s"array_join(filter($tokens, (t, i) -> (i + 1) % $k != 0), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+    val pairs = candidatePairs(
+      minHashBands(base.unionByName(mutants), ordered = false))
+      .withColumn("_hit", lit(1))
+    val planted = severities.toDF("severity")
+      .crossJoin(base.select(col("doc_id").as("doc_a")))
+      .withColumn("doc_b", col("doc_a") + col("severity") * lit(10000000L))
+    planted
+      .join(pairs, Seq("doc_a", "doc_b"), "left")
+      .groupBy("severity")
+      .agg(count(lit(1)).as("n_planted"),
+        count(col("_hit")).as("n_detected"))
+      .withColumn("recall",
+        col("n_detected").cast("double") / col("n_planted").cast("double"))
+      .withColumn("kept_share",
+        (col("severity") - 1).cast("double") / col("severity").cast("double"))
+      .orderBy("severity")
+  }
+
   /** F71 — DEDUP-THRESHOLD CALIBRATION CURVE: for each candidate
     * Jaccard cutoff (in TENTHS), how many candidate pairs qualify and
     * how many documents the pairwise drop-the-higher-id rule would

@@ -782,6 +782,26 @@ class TextDedupSpec extends SparkSpec {
     assert(r3._2 == 3L && r3._3 == 0L && r3._6 == 0.0)
   }
 
+  // ---------- F85 dedupRecallBench ----------
+
+  test("dedupRecallBench: a severity past the token count plants an " +
+      "exact dup (recall 1); heavier mutation can only lower recall") {
+    // 3-token docs: k=5 never drops a token → mutant == original →
+    // the bands MUST find it; k=2 drops the middle token (J = 1/2 on
+    // distinct sets) → detection is the bands' business, recall ≤ 1.
+    val d = docs(
+      (0L, "alpha beta gamma"),
+      (20L, "delta epsilon zeta"),
+      (40L, "eta theta iota"))
+    val out = TextDedup.dedupRecallBench(d, Seq(2, 5), sampleMod = 20)
+      .as[(Int, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((2, 3L), (5, 3L)))
+    val byK = out.map(r => r._1 -> r).toMap
+    assert(byK(5)._4 == 1.0)             // exact dups always detected
+    assert(byK(2)._4 <= byK(5)._4)       // monotone in severity
+    assert(byK(2)._5 == 0.5 && byK(5)._5 == 0.8) // (k−1)/k shares
+  }
+
   // ---------- F74 lshPlanner ----------
 
   test("detectProbExpr evaluates the S-curve as the left-assoc " +
