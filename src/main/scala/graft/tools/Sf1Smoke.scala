@@ -263,7 +263,12 @@ object Sf1Smoke {
       "q_cohort_retention", "q_funnel_negation", "q_overnight_intraday",
       "q_vwap_slippage", "q_running_vwap", "q_newey_west",
       "q_clock_kurtosis", "q_spread_decomp", "q_impact_exponent",
-      "q_participation", "q_seasonal_anomaly")
+      "q_participation", "q_seasonal_anomaly",
+      // session close: the PIT feature join is E1's one-union-one-
+      // window shape (two carries instead of one); the recall bench
+      // runs on a SAMPLED mini-corpus by design (bounded regardless
+      // of corpus scale — only the sample's band join grows).
+      "q_pit_features", "q_dedup_recall")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
