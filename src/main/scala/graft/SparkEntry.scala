@@ -3876,9 +3876,9 @@ object SparkEntry {
         |p AS (SELECT doc_a, doc_b FROM p0
         |  WHERE ${duckHashOrder("(doc_a * 31 + doc_b)")} % 100 < 5),
         |j AS (SELECT p.doc_a, p.doc_b,
-        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |    length(list_filter(list_distinct(ma.th), v -> list_contains(mb.th, v)))
         |      AS n_common,
-        |    length(ma.th) + length(mb.th) AS sz,
+        |    length(list_distinct(ma.th)) + length(list_distinct(mb.th)) AS sz,
         |    length(list_filter(range($MinHashK),
         |      i -> ma.mh[CAST(i+1 AS INT)] = mb.mh[CAST(i+1 AS INT)]))
         |      AS mh_agree
@@ -3912,10 +3912,10 @@ object SparkEntry {
         |    AND x.doc_id < y.doc_id
         |  WHERE x.band_hash IS NOT NULL),
         |j AS (SELECT p0.doc_a, p0.doc_b,
-        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |    length(list_filter(list_distinct(ma.th), v -> list_contains(mb.th, v)))
         |      AS n_common,
-        |    length(ma.th) + length(mb.th)
-        |      - length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |    length(list_distinct(ma.th)) + length(list_distinct(mb.th))
+        |      - length(list_filter(list_distinct(ma.th), v -> list_contains(mb.th, v)))
         |      AS n_union
         |  FROM p0 JOIN m ma ON ma.doc_id = p0.doc_a
         |  JOIN m mb ON mb.doc_id = p0.doc_b),
@@ -3961,10 +3961,10 @@ object SparkEntry {
         |    AND x.doc_id < y.doc_id
         |  WHERE x.band_hash IS NOT NULL),
         |j AS (SELECT p0.doc_a, p0.doc_b,
-        |    length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |    length(list_filter(list_distinct(ma.th), v -> list_contains(mb.th, v)))
         |      AS n_common,
-        |    length(ma.th) + length(mb.th)
-        |      - length(list_filter(ma.th, v -> list_contains(mb.th, v)))
+        |    length(list_distinct(ma.th)) + length(list_distinct(mb.th))
+        |      - length(list_filter(list_distinct(ma.th), v -> list_contains(mb.th, v)))
         |      AS n_union
         |  FROM p0 JOIN m ma ON ma.doc_id = p0.doc_a
         |  JOIN m mb ON mb.doc_id = p0.doc_b),

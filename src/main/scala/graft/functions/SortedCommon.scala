@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Native |A ∩ B| of two ASCENDING-sorted distinct long-array columns
-  * — the two-pointer merge count, no per-row hash set, no
-  * materialized intersection array.
+/** Native |A ∩ B| — SET semantics — of two ASCENDING-sorted
+  * long-array columns: the two-pointer merge count, no per-row hash
+  * set, no materialized intersection array.
   *
   * `size(array_intersect(a, b))` is semantically identical but builds
   * a boxed hash set AND the intersection array per row just to count
@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * The walk VERIFIES ascending order as it scans (one compare per
   * step — free) and throws on violation: a caller passing unsorted
   * arrays would otherwise get silently wrong counts, the worst
-  * failure mode a dedup verdict can have.
+  * failure mode a dedup verdict can have. Duplicate values are
+  * SKIPPED after a match, so the count is distinct-common-values
+  * (set intersection) even if the inputs carry duplicates — token
+  * hashes are mod p, so distinct TOKENS do not guarantee distinct
+  * HASHES, and a multiset count would diverge from the set-semantic
+  * oracle on the first collision.
   */
 case class SortedCommon(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -47,7 +52,12 @@ case class SortedCommon(left: Expression, right: Expression)
       if (x < prevA || y < prevB)
         throw new IllegalArgumentException(
           "graft_sorted_ncommon: input array not ascending-sorted")
-      if (x == y) { n += 1; prevA = x; prevB = y; i += 1; j += 1 }
+      if (x == y) {
+        n += 1; prevA = x; prevB = y; i += 1; j += 1
+        // set semantics: a run of equal values counts once
+        while (i < na && a.getLong(i) == x) i += 1
+        while (j < nb && b.getLong(j) == y) j += 1
+      }
       else if (x < y) { prevA = x; i += 1 }
       else { prevB = y; j += 1 }
     }

@@ -223,6 +223,19 @@ object CatalogOps {
                 keys: Seq[Long],
                 partitionCol: String = "year"): Map[Int, Long] = {
     require(keys.nonEmpty, "eraseKeys: empty subject list")
+    // INT-ONLY partition contract, checked BEFORE any rewrite: the
+    // audit map is keyed Int and the DROP PARTITION DDL interpolates
+    // the value unquoted — a date/string partition column would
+    // otherwise throw (or emit invalid DDL) MID-erasure, after the
+    // overwrite already ran. Fail fast while the table is untouched.
+    val pType = spark.table(table).schema
+      .find(_.name == partitionCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"eraseKeys: no column '$partitionCol' in $table"))
+      .dataType
+    require(pType == org.apache.spark.sql.types.IntegerType,
+      s"eraseKeys: partition column '$partitionCol' must be INT " +
+        s"(audit map + unquoted DROP PARTITION DDL), got $pType")
     val hits = spark.table(table)
       .filter(col(keyCol).isin(keys: _*))
       .groupBy(col(partitionCol))

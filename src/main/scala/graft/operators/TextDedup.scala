@@ -398,14 +398,18 @@ object TextDedup {
     PolyHash.register(docs.sparkSession)
     graft.functions.MinHashes.register(docs.sparkSession)
     graft.functions.SortedCommon.register(docs.sparkSession)
-    // ths: th ascending-sorted ONCE here (n log n per doc) so the
-    // pair stage's |A∩B| is the allocation-free native two-pointer
-    // walk instead of a per-pair hash set (same count — th is
-    // distinct by construction; measured the array_intersect
-    // spelling at ~15-19 s/query on the sf0.1 candidate frame).
+    // ths: th deduped + ascending-sorted ONCE here (n log n per doc)
+    // so the pair stage's |A∩B| is the allocation-free native
+    // two-pointer walk instead of a per-pair hash set (measured the
+    // array_intersect spelling at ~15-19 s/query on the sf0.1
+    // candidate frame). array_distinct is explicit even though
+    // tokens are distinct: HASHES mod p are not guaranteed distinct,
+    // and both |A∩B| (set-semantic graft_sorted_ncommon) and the
+    // size() terms of n_union must count distinct VALUES to match
+    // the list_distinct-wrapped oracle under a collision.
     val base = docs
       .withColumn("th", expr(tokenHashes))
-      .withColumn("ths", expr("array_sort(th)"))
+      .withColumn("ths", expr("array_sort(array_distinct(th))"))
       .withColumn("mh", expr(minHashes))
       .select("doc_id", "th", "ths", "mh")
       .localCheckpoint(true)
@@ -473,6 +477,20 @@ object TextDedup {
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select("doc_id", "text", "lang", "source")
       .localCheckpoint(true)
+    // Mutant ids live at doc_id + k·10⁷ — ground truth by
+    // construction ONLY while the id bands cannot overlap. A corpus
+    // with doc_id ≥ 10⁷ would silently alias mutants onto real docs
+    // (or onto another severity's band) and BOTH engines would
+    // compute the same wrong recall, so the gate could never catch
+    // it — fail fast instead. One tiny agg on the checkpointed
+    // sample (already materialized).
+    val idBounds = base.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!idBounds.isNullAt(0) && idBounds.getLong(0) >= 0L &&
+      idBounds.getLong(1) < 10000000L,
+      s"dedupRecallBench: sampled doc_id range [${idBounds.get(0)}, " +
+        s"${idBounds.get(1)}] must sit in [0, 10^7) so mutant ids " +
+        "(doc_id + k*10^7) cannot collide with real docs or other " +
+        "severities")
     val mutants = severities.map { k =>
       base.select(
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
@@ -509,11 +527,15 @@ object TextDedup {
     * matters precisely here because every row IS a boundary test.
     *
     * Shape: [[candidatePairStats]]'s banded pairs (full population —
-    * the curve is the decision artifact, not a sample), one
-    * |tenths|-factor broadcast explode, one aggregate (count +
-    * distinct-dropped-doc), corpus size a 1-row broadcast; thresholds
-    * with zero qualifying pairs keep their row via the left join.
-    * Drop share in exact int64 bps. */
+    * the curve is the decision artifact, not a sample) collapse to
+    * each pair's LARGEST qualifying tenth t = (10·n_common) div
+    * n_union, then the whole curve reads off two ≤11-row broadcast
+    * histograms — pair counts by t, dropped-doc counts by each doc's
+    * max t — as suffix sums over the threshold list (a pair
+    * qualifies at every tenth ≤ its max). No ×|thresholds| pair
+    * explode, no per-threshold countDistinct expand; corpus size a
+    * 1-row broadcast; thresholds with zero qualifying pairs keep
+    * their row via the left join. Drop share in exact int64 bps. */
   def dedupThresholdCurve(docs: DataFrame, tenths: Seq[Int]): DataFrame = {
     require(tenths.nonEmpty && tenths.forall(t => t >= 0 && t <= 10),
       s"tenths must be in 0..10: $tenths")

@@ -964,7 +964,14 @@ object Vectors {
     * Shape: one exploded (label, dim) aggregate with map-side
     * partials; everything after runs on |labels|·dim rows. */
   def labelSeparability(emb: DataFrame, dim: Int = Dim): DataFrame = {
+    // `dim` is a CONTRACT, not a hint: the DuckDB oracle runs on a
+    // fixed range(dim) grid, so a non-dim embedding must fail fast
+    // here rather than silently diverge between engines (posexplode
+    // would happily cover whatever length arrives). assert_true in a
+    // filter evaluates per row and keeps every row that passes.
     val perLabel = emb
+      .filter(assert_true(size(col("embedding")) === lit(dim),
+        lit(s"labelSeparability: embedding size must be $dim")).isNull)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("vq",
         round(col("v").cast("double") * 1000000.0, 0).cast("long"))

@@ -157,6 +157,18 @@ class NativeExprPropertySpec extends SparkSpec {
         assert(native == a.toSet.intersect(b.toSet).size.toLong,
           s"seed=$seed")
       }
+    // SET semantics under duplicates (hash collisions make dup
+    // values possible even over distinct tokens): sorted-with-dups
+    // inputs must count distinct common values, like array_intersect
+    val arrDup = Gen.listOfN(20, Gen.choose(0L, 10L)).map(_.sorted)
+    samples(for { a <- arrDup; b <- arrDup } yield (a, b), 40)
+      .foreach { case ((a, b), seed) =>
+        val native = Seq((a.toArray, b.toArray)).toDF("a", "b")
+          .select(expr("graft_sorted_ncommon(a, b)"))
+          .as[Long].collect().head
+        assert(native == a.toSet.intersect(b.toSet).size.toLong,
+          s"dup seed=$seed a=$a b=$b")
+      }
     // the order guard is best-effort over the SCANNED prefix (the
     // two-pointer walk can exit before reaching a late violation);
     // this descent is hit mid-walk and must throw
