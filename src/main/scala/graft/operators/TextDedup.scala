@@ -88,15 +88,17 @@ object TextDedup {
     * two doc rows (no checkpoint, no second pass over the pair
     * frame). All counts exact int64. */
   def nearDupLeakage(docs: DataFrame): DataFrame = {
-    val bands = minHashBands(docs, ordered = false)
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashes.register(docs.sparkSession)
+    // first-match band join ([[candidatePairsFromSigs]]) — the pair
+    // set is identical to the old bands→join→DISTINCT plan but the
+    // candidate-sized dedup shuffle is gone
+    val sigs = docs
+      .withColumn("th", expr(tokenHashes))
+      .withColumn("mh", expr(minHashes))
+      .select("doc_id", "mh")
     val src = docs.select(col("doc_id"), col("source"))
-    val a = bands.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    candidatePairsFromSigs(sigs)
       .join(src.select(col("doc_id").as("doc_a"),
         col("source").as("src_a")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"),
@@ -367,6 +369,64 @@ object TextDedup {
     // a full sort of the multi-million-row pair frame
   }
 
+  /** [[candidatePairs]] without the pair DISTINCT: each candidate
+    * pair is emitted ONLY at its FIRST matching band — both sides of
+    * the band join carry the full minhash signature (k = 8 longs on
+    * a frame whose pre-join size is |docs|·Bands — trivial), and a
+    * generated, fully-codegen'd conjunction re-derives the earlier
+    * bands' hashes from the two signatures and keeps the row iff
+    * none matched. Exactly one surviving row per distinct candidate
+    * pair (its minimal matching band), so the output SET is
+    * identical to `candidatePairs(minHashBands(...))` — spec-proven
+    * — while the multi-million-row exact-dedup SHUFFLE disappears
+    * (the wave-6 PairProfile measured that distinct at 10.6 s of
+    * the ~13 s family queries at sf0.1: THE dominant stage; here it
+    * becomes a per-row filter of ≤ Bands−1 integer hashes over
+    * already-loaded arrays, no exchange). At 100 TB the distinct was
+    * the one shuffle whose volume is the CANDIDATE count rather than
+    * the corpus size — the scale-hostile term — and it is gone.
+    *
+    * Input: (doc_id, mh) signature rows (token-less docs carry NULL
+    * minhash components and drop with their NULL band hashes, same
+    * as the banded path). */
+  def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
+    def bh(m: String, j: Int) =
+      s"(element_at($m, ${2 * j + 1}) * 31 + element_at($m, ${2 * j + 2})) % $P"
+    val bands = sigs
+      .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("band_hash",
+        expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
+      .filter(col("band_hash").isNotNull)
+    // The build side broadcasts, so the probe side may be partitioned
+    // ANY way — round-robin it across the full task count so a hot
+    // bucket's probe rows (and the quadratic join output + downstream
+    // per-pair work that FUSES into this stage) spread evenly instead
+    // of landing in whichever partition held the bucket (measured:
+    // the fused ncommon scan ran single-task on the 3847-doc hot
+    // bucket without this — a 5 s straggler at sf0.1). Explicit
+    // numPartitions: AQE does not coalesce user-numbered
+    // repartitions, and the shuffled frame is |docs|·Bands sketch
+    // rows — corpus-linear, never candidate-sized.
+    val nPart = sigs.sparkSession.conf.get(
+      "spark.sql.shuffle.partitions").toInt
+    val a = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+      .repartition(nPart)
+    val b = bands.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+    // "no earlier band matched", unrolled over the constant band
+    // count so the whole predicate stays inside whole-stage codegen
+    // (an exists() HOF would interpret its lambda per row; band-0
+    // rows short-circuit every clause via band <= j)
+    val noEarlier = (0 until Bands - 1).map { j =>
+      s"(band <= $j OR ${bh("mh_a", j)} != ${bh("mh_b", j)})"
+    }.mkString(" AND ")
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(noEarlier))
+      .select("doc_a", "doc_b")
+  }
+
   /** F41 — DEDUP-PAIR AUDIT: for every LSH candidate pair, the EXACT
     * distinct-token Jaccard next to the MinHash sketch's estimate
     * (component agreement / K) and their absolute error — the
@@ -413,13 +473,10 @@ object TextDedup {
       .withColumn("mh", expr(minHashes))
       .select("doc_id", "th", "ths", "mh")
       .localCheckpoint(true)
-    val bands = base
-      .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
-      .withColumn("band_hash",
-        expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
-      .filter(col("band_hash").isNotNull)
-      .select("doc_id", "band", "band_hash")
-    val pairs = candidatePairs(bands)
+    // first-match band join (no pair-distinct shuffle); the sample
+    // filter runs per pair, identical to the distinct-then-sample
+    // plan because the pair SET is identical
+    val pairs = candidatePairsFromSigs(base.select("doc_id", "mh"))
       .filter(pmod(CorpusPipeline.hashOrder(
         col("doc_a") * 31 + col("doc_b")), lit(100)) < samplePct)
     val pa = base.select(col("doc_id").as("doc_a"), col("ths").as("ths_a"),
@@ -473,6 +530,8 @@ object TextDedup {
       s"severities must be >= 2: $severities")
     val ss = docs.sparkSession
     import ss.implicits._
+    PolyHash.register(ss)
+    graft.functions.MinHashes.register(ss)
     val base = docs
       .filter(pmod(col("doc_id"), lit(sampleMod)) === 0)
       .select("doc_id", "text", "lang", "source")
@@ -498,8 +557,11 @@ object TextDedup {
           .as("text"),
         col("lang"), col("source"))
     }.reduce(_ unionByName _)
-    val pairs = candidatePairs(
-      minHashBands(base.unionByName(mutants), ordered = false))
+    val pairs = candidatePairsFromSigs(
+      base.unionByName(mutants)
+        .withColumn("th", expr(tokenHashes))
+        .withColumn("mh", expr(minHashes))
+        .select("doc_id", "mh"))
       .withColumn("_hit", lit(1))
     val planted = severities.toDF("severity")
       .crossJoin(base.select(col("doc_id").as("doc_a")))

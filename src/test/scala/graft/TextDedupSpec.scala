@@ -132,6 +132,37 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("candidatePairsFromSigs == candidatePairs(minHashBands) as a " +
+      "set, with exactly one row per pair (first-match, no distinct)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.PolyHash.register(spark)
+    graft.functions.MinHashes.register(spark)
+    // a corpus with exact dups (match ALL 4 bands — the multi-band
+    // collapse the first-match filter must dedup), near-dups (some
+    // bands), non-dups, and a token-less doc (NULL bands, dropped)
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "utterly unrelated content sits here instead now"),
+      (5L, "utterly unrelated content sits here instead now"),
+      (6L, ""))
+    val viaBands = TextDedup.candidatePairs(
+      TextDedup.minHashBands(d, ordered = false))
+      .as[(Long, Long)].collect().toSet
+    val sigs = d
+      .withColumn("th", expr(graft.functions.PortableText.tokenHashes))
+      .withColumn("mh", expr(graft.functions.PortableText.minHashes))
+      .select(col("doc_id"), col("mh"))
+    val viaSigs = TextDedup.candidatePairsFromSigs(sigs)
+      .as[(Long, Long)].collect()
+    assert(viaSigs.toSet == viaBands)
+    assert(viaSigs.length == viaSigs.toSet.size,
+      s"first-match filter must emit each pair exactly once: " +
+        s"${viaSigs.toSeq.sorted}")
+    assert(viaBands.contains((1L, 2L)) && viaBands.contains((4L, 5L)))
+  }
+
   test("near-identical docs agree on most bands (LSH recall)") {
     val bands = TextDedup.minHashBands(docs(
       (1L, "the quick brown fox jumps over the lazy dog today"),
