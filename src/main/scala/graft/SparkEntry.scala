@@ -118,6 +118,7 @@ object SparkEntry {
   val tbHorizon = 40            // D38 lookahead ticks
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
+  val velocityDays = 90         // E17 trailing-interval window (days)
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val srcSimK = 64              // F70 source-signature minhash length
@@ -477,6 +478,12 @@ object SparkEntry {
     // F44 — pairwise source drift (exact-int TV distance, width 16).
     "q_source_drift" -> ((s, d) =>
       CorpusPipeline.sourceDrift(Tables.documents(s, d), 16)),
+    // F86 — per-source unigram KL to the corpus mixture.
+    "q_source_kl" -> ((s, d) =>
+      CorpusPipeline.sourceKl(Tables.documents(s, d))),
+    // F87 — per-source type-token ratio + hapax share.
+    "q_lexical_diversity" -> ((s, d) =>
+      CorpusPipeline.lexicalDiversity(Tables.documents(s, d))),
     // F34 — curriculum phases: 10 stop-ratio quality tiers.
     "q_curriculum" -> ((s, d) =>
       CorpusPipeline.curriculumPhases(Tables.documents(s, d), 10)),
@@ -617,6 +624,16 @@ object SparkEntry {
     // D55 — square-root-law fit: ln|slip| on ln(participation) slope.
     "q_impact_exponent" -> ((s, d) =>
       Microstructure.impactExponent(Tables.events(s, d), tcaFillEvery)),
+    // D56 — leverage-effect corr(move, next |move|) on exact cents.
+    "q_leverage_effect" -> ((s, d) =>
+      Microstructure.leverageEffect(Tables.ticks(s, d))),
+    // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
+    "q_volume_elasticity" -> ((s, d) =>
+      Microstructure.volumeVolElasticity(Tables.events(s, d))),
+    // E17 — trailing-interval count join: orders per customer in the
+    // prior 90 strictly-earlier days.
+    "q_order_velocity" -> ((s, d) =>
+      TemporalJoins.orderVelocity(Tables.orders(s, d), velocityDays)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -2685,6 +2702,67 @@ object SparkEntry {
         |  round(CASE WHEN var_pop(x) > 0
         |    THEN covar_pop(y, x) / var_pop(x) END, 4) AS impact_exp
         |FROM g GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D56 — leverage effect: exact-cent diffs, five exact int64 sums,
+    // the shared corrFromSums IEEE spelling, round(4) once.
+    "q_leverage_effect" ->
+      s"""WITH t AS (SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c
+        |  FROM $ticksSql t),
+        |d AS (SELECT symbol, tick_id,
+        |    c - lag(c) OVER (PARTITION BY symbol ORDER BY tick_id) AS d
+        |  FROM t),
+        |p AS (SELECT symbol, d,
+        |    abs(lead(d) OVER (PARTITION BY symbol ORDER BY tick_id))
+        |      AS a_next
+        |  FROM d),
+        |g AS (SELECT symbol, count(*) AS n_pairs,
+        |    CAST(sum(d) AS BIGINT) AS sx,
+        |    CAST(sum(a_next) AS BIGINT) AS sy,
+        |    CAST(sum(d * a_next) AS BIGINT) AS sxy,
+        |    CAST(sum(d * d) AS BIGINT) AS sxx,
+        |    CAST(sum(a_next * a_next) AS BIGINT) AS syy
+        |  FROM p WHERE d IS NOT NULL AND a_next IS NOT NULL
+        |  GROUP BY symbol)
+        |SELECT symbol, n_pairs,
+        |  round(${Microstructure.corrFromSums("sx", "sy", "sxy",
+             "sxx", "syy", "n_pairs")}, 4) AS leverage_corr
+        |FROM g ORDER BY symbol""".stripMargin,
+    // D57 — volume–volatility elasticity: within-day exact-cent move
+    // mass vs exact volume, ln of exact ints, covar_pop/var_pop slope
+    // round(4) (D55's accepted spelling), zero days dropped pre-ln.
+    "q_volume_elasticity" ->
+      s"""WITH p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS BIGINT), 0) AS k
+        |  FROM events),
+        |l AS (SELECT symbol, day, k,
+        |    abs(cents - lag(cents) OVER (PARTITION BY symbol, day
+        |      ORDER BY event_id)) AS ad
+        |  FROM p),
+        |d AS (SELECT symbol, day, CAST(sum(ad) AS BIGINT) AS move,
+        |    CAST(sum(k) AS BIGINT) AS vol
+        |  FROM l GROUP BY symbol, day
+        |  HAVING CAST(sum(ad) AS BIGINT) > 0
+        |    AND CAST(sum(k) AS BIGINT) > 0),
+        |g AS (SELECT symbol, ln(CAST(vol AS DOUBLE)) AS x,
+        |    ln(CAST(move AS DOUBLE)) AS y
+        |  FROM d)
+        |SELECT symbol, count(*) AS n_days,
+        |  round(CASE WHEN var_pop(x) > 0
+        |    THEN covar_pop(y, x) / var_pop(x) END, 4) AS elasticity
+        |FROM g GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // E17 — trailing-interval count: the same integer-epoch-day RANGE
+    // frame, strictly-earlier days, empty frame an exact 0.
+    "q_order_velocity" ->
+      s"""SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN $velocityDays PRECEDING AND 1 PRECEDING)
+        |    AS n_prior
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // D53 — clock kurtosis: D39's adjudicated moment spelling run on
     // both clocks (time = per-day print moves; volume = D30 bar-close
     // moves with the q_volume_bars window verbatim); ratio divides
@@ -3404,6 +3482,57 @@ object SparkEntry {
         |    / CAST(2.0 * n_a * n_b AS DOUBLE) AS tv_dist
         |FROM j GROUP BY src_a, src_b, n_a, n_b
         |ORDER BY src_a, src_b""".stripMargin
+    },
+    // F86 — per-source unigram KL: one (source, token) collapse,
+    // ln-sum per-term spelling (cross-multiplied int ratio would
+    // overflow), vocab-sized float sum round(4) (float sweep).
+    "q_source_kl" -> {
+      import graft.functions.PortableText._
+      s"""WITH st AS (SELECT source, token, count(*) AS c_st
+        |  FROM (SELECT source, unnest($duckTokens) AS token
+        |    FROM documents)
+        |  GROUP BY source, token),
+        |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t
+        |  FROM st GROUP BY token),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+        |  FROM st GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM ns)
+        |SELECT st.source, max(ns.n_s) AS n_tokens, count(*) AS n_terms,
+        |  round(sum((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+        |    (ln(CAST(c_st AS DOUBLE)) + ln(CAST(n_total AS DOUBLE))
+        |     - ln(CAST(n_s AS DOUBLE)) - ln(CAST(c_t AS DOUBLE)))), 4)
+        |    AS kl
+        |FROM st JOIN ct USING (token) JOIN ns USING (source), tot
+        |GROUP BY st.source ORDER BY st.source""".stripMargin
+    },
+    // F87 — lexical diversity: exact int counts, two unrounded IEEE
+    // divisions of exact ints, NULL guards on empty marginals.
+    "q_lexical_diversity" -> {
+      import graft.functions.PortableText._
+      s"""WITH st AS (SELECT source, token, count(*) AS c_st
+        |  FROM (SELECT source, unnest($duckTokens) AS token
+        |    FROM documents)
+        |  GROUP BY source, token),
+        |sg AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    CAST(sum(CASE WHEN c_st = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hapax
+        |  FROM st GROUP BY source),
+        |dg AS (SELECT source,
+        |    round(avg(CAST(length(list_distinct($duckTokens)) AS DOUBLE)
+        |      / length($duckTokens)), 4) AS mean_doc_ttr
+        |  FROM documents WHERE length($duckTokens) > 0
+        |  GROUP BY source)
+        |SELECT sg.source, n_tokens, n_types, n_hapax,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+        |    AS type_token_ratio,
+        |  CASE WHEN n_types > 0
+        |    THEN CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) END
+        |    AS hapax_share,
+        |  dg.mean_doc_ttr
+        |FROM sg LEFT JOIN dg USING (source)
+        |ORDER BY source""".stripMargin
     },
     // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
     // gate nullifies the match columns (age in exact integer µs; both

@@ -514,6 +514,107 @@ object CorpusPipeline {
       .orderBy("src_a", "src_b")
   }
 
+  /** F86 — PER-SOURCE UNIGRAM KL-DIVERGENCE to the corpus mixture:
+    * KL(P_source ‖ P_corpus) over whitespace-token unigram
+    * distributions — the mixture-design audit that says HOW FAR each
+    * feed's language sits from the blend the model will actually see
+    * (F44 measures pairwise total-variation on LENGTH histograms;
+    * this measures distributional distance on the VOCABULARY itself,
+    * the signal DSIR/DoReMi-style reweighting consumes). Support is
+    * total by construction: every token of source s appears in the
+    * corpus marginal (c_t ≥ c_st ≥ 1), so no smoothing is needed and
+    * KL is finite.
+    *
+    * Per-term ln products are spelled as SUMS of lns —
+    * ln(c_st)+ln(N)−ln(n_s)−ln(c_t) — because the cross-multiplied
+    * integer ratio (c_st·N vs n_s·c_t) overflows int64 at
+    * ~10⁹-token corpora; each term is then identical IEEE arithmetic
+    * in both engines and the vocab-sized sum rounds to 4 at the end
+    * (aggregate-derived double, SURVEY §6; gated by the sf0.1
+    * float sweep).
+    *
+    * Shape: ONE corpus scan collapses to the (source, token) count
+    * frame (map-side combined — the only corpus-sized aggregate);
+    * marginals re-aggregate that checkpointed frame, the score join
+    * is vocab-sized, per-source totals broadcast. 100 TB cost is the
+    * one token aggregate every unigram audit already pays. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(expr(tokens)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val ns = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val tot = ns.agg(sum("n_s").as("n_total"))
+    st.join(ct, "token")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("c_st").cast("double") / col("n_s").cast("double")) *
+          (log(col("c_st").cast("double")) +
+            log(col("n_total").cast("double")) -
+            log(col("n_s").cast("double")) -
+            log(col("c_t").cast("double"))))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        round(sum(col("term")), 4).as("kl"))
+      .orderBy("source")
+  }
+
+  /** F87 — PER-SOURCE LEXICAL-DIVERSITY AUDIT: type-token ratio and
+    * hapax-legomenon share of the vocabulary — the cheap lexical
+    * fingerprint that separates template/boilerplate mills (low TTR,
+    * low hapax) from organic text (high hapax) BEFORE any model-based
+    * scoring; a complement to F9's within-doc quality ratios at the
+    * SOURCE grain where mixture decisions are made. `n_types` counts
+    * the source's distinct tokens, `n_hapax` the types occurring
+    * exactly once IN THAT SOURCE.
+    *
+    * `mean_doc_ttr` — the mean PER-DOCUMENT type-token ratio — rides
+    * along because the source-grain stats are structurally flat on a
+    * template corpus (probed at sf0.1: every source carries the same
+    * 31-type vocabulary, so n_hapax ≡ 0 and source-level TTR ~2e-3
+    * everywhere — which IS the audit's finding, the F82 Fisher-noise
+    * precedent) while the doc-grain mean genuinely spreads
+    * (0.478–0.527 across sources).
+    *
+    * Shape: the [[sourceKl]] one-scan (source, token) collapse for
+    * the source-grain stats plus one narrow per-doc pass (array
+    * functions, no explode) for the doc-grain mean, joined on the
+    * |sources|-bounded frame. Counts exact int64; ratios are single
+    * unrounded IEEE divisions of exact ints (element-wise, SURVEY
+    * §6); the doc-TTR mean is an aggregate double → round(4).
+    * Zero-token docs drop from the doc-grain mean; a fully
+    * token-less source reports NULL ratios via the guards. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val srcGrain = docs
+      .select(col("source"), explode(expr(tokens)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .groupBy("source")
+      .agg(sum(col("c_st")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c_st") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    val docGrain = docs
+      .select(col("source"),
+        expr(s"size(array_distinct($tokens))").as("ty"),
+        expr(s"size($tokens)").as("tk"))
+      .filter(col("tk") > 0)
+      .groupBy("source")
+      .agg(round(avg(col("ty").cast("double") / col("tk").cast("double")),
+        4).as("mean_doc_ttr"))
+    srcGrain.join(docGrain, Seq("source"), "left")
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0,
+          col("n_types").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("hapax_share",
+        when(col("n_types") > 0,
+          col("n_hapax").cast("double") / col("n_types").cast("double")))
+      .select("source", "n_tokens", "n_types", "n_hapax",
+        "type_token_ratio", "hapax_share", "mean_doc_ttr")
+      .orderBy("source")
+  }
+
   /** F29 — RAG/context-window CHUNKING: split each document's token
     * stream into fixed windows of `chunkTokens` whitespace tokens,
     * consecutive chunks sharing `overlap` tokens (the retrieval-index

@@ -1579,4 +1579,100 @@ object Microstructure {
         round(col("on_share"), 4).as("overnight_share"))
       .orderBy("symbol")
   }
+
+  /** Pearson correlation from EXACT integer sums — the bivariate
+    * sibling of [[varFromSums]]: `(Σxy − ΣxΣy/n) / √((Σx² − Σx²/n)
+    * (Σy² − Σy²/n))` with every cast in ONE fixed left-assoc
+    * spelling interpolated verbatim into both engines (engine
+    * `corr()` implementations — Welford vs textbook, fused vs split
+    * multiply — are not cross-engine reproducible; sums of exact
+    * ints are, and sqrt is IEEE-correctly-rounded in both). NULL
+    * below 2 observations or when either marginal is constant. */
+  private[graft] def corrFromSums(sx: String, sy: String, sxy: String,
+      sxx: String, syy: String, n: String): String = {
+    val vx = s"(CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE) / $n)"
+    val vy = s"(CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE) / $n)"
+    val cxy = s"(CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE) / $n)"
+    s"CASE WHEN $n > 1 AND $vx > 0 AND $vy > 0 " +
+      s"THEN $cxy / sqrt($vx * $vy) END"
+  }
+
+  /** D56 — LEVERAGE-EFFECT CORRELATION (Black 1976 asymmetry) per
+    * symbol: corr between a tick move and the MAGNITUDE of the next
+    * move, `corr(dₜ, |dₜ₊₁|)` on exact integer-cent differences —
+    * the return-vol asymmetry screen behind every asymmetric-GARCH
+    * deployment decision (equities classically show it negative:
+    * down-moves breed volatility; a symmetric tape shows ~0, which
+    * is what the synthetic tape should report — the operator is the
+    * instrument, D55's rule). D32 measures sign persistence, D42
+    * level reversion; this is the SIGNED-move → NEXT-MAGNITUDE
+    * cross-moment none of them sees.
+    *
+    * Shape: one symbol-window lag/lead carries both series, then ONE
+    * per-symbol aggregate of five exact int64 sums; the correlation
+    * is [[corrFromSums]] (fixed IEEE spelling, no engine corr()),
+    * round(4) once. Each symbol's last pair drops with its NULL
+    * lead; sums of cent-diffs and their squares stay far below 2⁶³
+    * at any per-symbol tick count this side of 10¹⁰. */
+  def leverageEffect(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    ticks
+      .withColumn("c", centsOf(col("bid")))
+      .withColumn("d", col("c") - lag(col("c"), 1).over(w))
+      .withColumn("a_next", abs(lead(col("d"), 1).over(w)))
+      .filter(col("d").isNotNull && col("a_next").isNotNull)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sx"),
+        sum(col("a_next")).as("sy"),
+        sum(col("d") * col("a_next")).as("sxy"),
+        sum(col("d") * col("d")).as("sxx"),
+        sum(col("a_next") * col("a_next")).as("syy"))
+      .withColumn("leverage_corr", round(expr(
+        corrFromSums("sx", "sy", "sxy", "sxx", "syy", "n_pairs")), 4))
+      .select("symbol", "n_pairs", "leverage_corr")
+      .orderBy("symbol")
+  }
+
+  /** D57 — VOLUME–VOLATILITY ELASTICITY (Clark's mixture-of-
+    * distributions test) per symbol: the OLS slope of ln(daily
+    * absolute-move mass) on ln(daily volume) across trading days —
+    * elasticity ≈ 1 is the MDH signature (volume and volatility
+    * driven by one latent information clock; the empirical license
+    * for D30/D53's volume-clock constructions), ≈ 0 means volume
+    * carries no vol information on this tape. D24 regresses move on
+    * SIGNED flow per day; this regresses log-magnitudes ACROSS days.
+    *
+    * Shape: the tick fact collapses in ONE (symbol, day) aggregate —
+    * Σ|Δcents| (exact int64, the day's absolute-move mass) and Σk
+    * (exact volume) — then a per-symbol slope over the
+    * calendar-bounded daily frame via engine var_pop/covar_pop on
+    * logs (D55 impactExponent's accepted spelling; in the float
+    * sweep). Days with zero volume or zero movement drop before the
+    * logs (ln(0) domain); slope NULL when ln-volume is constant. */
+  def volumeVolElasticity(events: DataFrame): DataFrame = {
+    // lag WITHIN the day (D17's rule): an overnight gap is not part
+    // of the day's traded movement, and (symbol, day) partitions
+    // bound the window state at any scale
+    val w = Window.partitionBy("symbol", "day").orderBy("event_id")
+    val daily = events.select(
+        col("event_id"),
+        col("user_id").as("symbol"),
+        to_date(col("ts")).as("day"),
+        centsOf(col("value")).as("cents"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L))
+          .as("k"))
+      .withColumn("ad", abs(col("cents") - lag(col("cents"), 1).over(w)))
+      .groupBy("symbol", "day")
+      .agg(sum(col("ad")).as("move"), sum(col("k")).as("vol"))
+      .filter(col("move") > 0 && col("vol") > 0)
+    daily
+      .withColumn("x", log(col("vol").cast("double")))
+      .withColumn("y", log(col("move").cast("double")))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        round(when(expr("var_pop(x)") > 0,
+          expr("covar_pop(y, x) / var_pop(x)")), 4).as("elasticity"))
+      .orderBy("symbol")
+  }
 }

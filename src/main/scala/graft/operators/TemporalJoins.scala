@@ -936,4 +936,36 @@ object TemporalJoins {
           .as("retention"))
       .orderBy("cohort_date", "day_offset")
   }
+
+  /** E17 — TRAILING-INTERVAL COUNT JOIN (order velocity): for every
+    * order, how many orders the SAME customer placed in the trailing
+    * `windowDays`-day interval ENDING THE DAY BEFORE — the
+    * velocity/fraud-screen shape ("3rd order in 90 days?") that every
+    * event-stream risk system computes, and the one temporal-join
+    * class the E-block lacked: a bounded-interval AGGREGATE join
+    * (E1/E5 pick ONE row across streams, E2/E12 test containment,
+    * D26's trailing windows are row-count frames; this aggregates a
+    * VALUE-RANGE frame per row).
+    *
+    * Spelled as ONE per-customer RANGE window over integer
+    * epoch-days — `RANGE BETWEEN w PRECEDING AND 1 PRECEDING` — so
+    * same-day sibling orders are excluded symmetrically (strictly
+    * earlier DAYS count; tie order can never matter) and the empty
+    * frame is an exact 0, not NULL. One exchange on the customer
+    * key; per-customer state is the order history inside one
+    * window — bounded by the key's order count, the same contract
+    * as every partitioned window in the D-block (a pathological
+    * single-customer firehose is a skew problem H1's salting
+    * addresses, not a plan problem). Counts exact int64. */
+  def orderVelocity(orders: DataFrame, windowDays: Int = 90): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_i"))
+      .rangeBetween(-windowDays, -1)
+    orders.select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day_i"))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "o_day", "n_prior")
+      .orderBy("o_orderkey")
+  }
 }

@@ -607,4 +607,48 @@ class CorpusPipelineSpec extends SparkSpec {
       (2L, 0L, 0L, None, true),
       (3L, 2L, m3, Some(m3.toDouble / 2.0), m3 >= 0)))
   }
+
+  private def srcDocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "source")
+
+  test("sourceKl: hand-computed KL against the corpus unigram mix; " +
+      "identical-mix sources report 0") {
+    // A: [x, x, y], B: [x, y, y, y] ⇒ N=7, c_x=3, c_y=4
+    // KL_A = 2/3·ln(2·7/(3·3)) + 1/3·ln(1·7/(3·4))
+    // KL_B = 1/4·ln(1·7/(4·3)) + 3/4·ln(3·7/(4·4))
+    val out = CorpusPipeline.sourceKl(srcDocs(
+      (1L, "A", "x x y"), (2L, "B", "x y y y")))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_terms"),
+        r.getAs[Double]("kl"))).toSeq
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    val klA = 2.0 / 3 * math.log(14.0 / 9) + 1.0 / 3 * math.log(7.0 / 12)
+    val klB = 1.0 / 4 * math.log(7.0 / 12) + 3.0 / 4 * math.log(21.0 / 16)
+    assert(out == Seq(("A", 3L, 2L, r4(klA)), ("B", 4L, 2L, r4(klB))))
+    // two sources with the SAME unigram mix sit exactly at the
+    // corpus marginal ⇒ every ln term is ln(1) = 0
+    val same = CorpusPipeline.sourceKl(srcDocs(
+      (1L, "A", "x y"), (2L, "B", "x y")))
+      .collect().map(_.getAs[Double]("kl"))
+    assert(same.toSeq == Seq(0.0, 0.0))
+  }
+
+  test("lexicalDiversity: exact counts, ratios, and per-doc TTR mean; " +
+      "zero-token docs drop from the doc-grain mean") {
+    // source A: docs "a a b" (ttr 2/3) and "c" (ttr 1), plus an
+    // empty doc (no tokens — excluded from mean_doc_ttr)
+    // ⇒ n_tokens 4, types {a:2, b:1, c:1} ⇒ n_types 3, hapax {b, c}
+    val out = CorpusPipeline.lexicalDiversity(srcDocs(
+      (1L, "A", "a a b"), (2L, "A", "c"), (3L, "A", ""),
+      (4L, "B", "z z")))
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+        r.getAs[Long]("n_hapax"), r.getAs[Double]("type_token_ratio"),
+        r.getAs[Double]("hapax_share"), r.getAs[Double]("mean_doc_ttr")))
+      .toSeq
+    assert(out == Seq(
+      ("A", 4L, 3L, 2L, 0.75, 2.0 / 3.0, 0.8333),
+      ("B", 2L, 1L, 0L, 0.5, 0.0, 0.5)))
+  }
 }

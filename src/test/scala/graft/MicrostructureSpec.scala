@@ -822,4 +822,56 @@ class MicrostructureSpec extends SparkSpec {
         (104L * 50L - 5100L) * 10000L / 5100.0)))
     assert(out.head._7 < 0 && out(1)._7 > 0) // buy below / above VWAP
   }
+
+  test("leverageEffect: hand-computed corr on a signed/magnitude " +
+      "series; constant symbol reports NULL") {
+    // Symbol 1 cents: 100, 102, 101, 104, 102, 107 ⇒
+    // d = [+2, −1, +3, −2, +5]; pairs (d, |d_next|):
+    // (2,1), (−1,3), (3,2), (−2,5) — n=4
+    // Σx=2 Σy=11 Σxy=(2−3+6−10)=−5 Σx²=18 Σy²=39
+    // cov = −5 − 2·11/4 = −10.5; vx = 18 − 1 = 17; vy = 39 − 121/4 = 8.75
+    // corr = −10.5/√(17·8.75) = −0.860983… → −0.8610
+    val prices = Seq(1.00, 1.02, 1.01, 1.04, 1.02, 1.07)
+    val rows = prices.zipWithIndex.map { case (p, i) =>
+      ((i + 1).toLong, 1L, f"2024-01-01 00:00:${i + 1}%02d", p, p + 0.01)
+    } ++ (1 to 4).map { i => // constant symbol: every d = 0, vx = 0
+      ((i + 100).toLong, 2L, f"2024-01-01 00:00:$i%02d", 5.00, 5.01)
+    }
+    val out = Microstructure.leverageEffect(ticks(rows: _*)).collect()
+    val s1 = out.find(_.getAs[Long]("symbol") == 1L).get
+    assert(s1.getAs[Long]("n_pairs") == 4L)
+    assert(s1.getAs[Double]("leverage_corr") ==
+      math.rint(-10.5 / math.sqrt(17.0 * 8.75) * 1e4) / 1e4)
+    val s2 = out.find(_.getAs[Long]("symbol") == 2L).get
+    assert(s2.isNullAt(s2.fieldIndex("leverage_corr")))
+  }
+
+  test("volumeVolElasticity: move == volume days fit slope exactly 1; " +
+      "zero-volume and zero-move days drop; overnight gap excluded") {
+    // Symbol 1: three days, each day two prints so the within-day
+    // |Δcents| mass equals the chosen move; volumes equal the move ⇒
+    // ln(move) = ln(vol) exactly ⇒ OLS slope 1. Day boundaries carry
+    // a huge level jump that MUST NOT enter any day's move.
+    val rows = Seq(
+      // day 1: 100 → 102 cents (move 2), k: 1 + 1 (vol 2)
+      (1L, 1L, "2024-01-01 10:00:00", 1.00, 1),
+      (2L, 1L, "2024-01-01 11:00:00", 1.02, 1),
+      // day 2: 900 → 904 (move 4), vol 4
+      (3L, 1L, "2024-01-02 10:00:00", 9.00, 2),
+      (4L, 1L, "2024-01-02 11:00:00", 9.04, 2),
+      // day 3: 100 → 108 (move 8), vol 8
+      (5L, 1L, "2024-01-03 10:00:00", 1.00, 3),
+      (6L, 1L, "2024-01-03 11:00:00", 1.08, 5),
+      // symbol 2: a zero-volume day and a zero-move day only → no rows
+      (7L, 2L, "2024-01-01 10:00:00", 1.00, 0),
+      (8L, 2L, "2024-01-01 11:00:00", 1.05, 0),
+      (9L, 2L, "2024-01-02 10:00:00", 2.00, 5),
+      (10L, 2L, "2024-01-02 11:00:00", 2.00, 5))
+    val out = Microstructure.volumeVolElasticity(events(rows: _*))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("symbol") == 1L)
+    assert(out.head.getAs[Long]("n_days") == 3L)
+    assert(out.head.getAs[Double]("elasticity") == 1.0)
+  }
 }

@@ -447,4 +447,25 @@ class TemporalJoinsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L, 1L, 1.0),
       ("2024-01-02", 1L, 1L, 1L, 1.0))) // user 3 back next day
   }
+
+  test("orderVelocity: strictly-earlier days inside the window count; " +
+      "same-day siblings and window-edge days do not") {
+    val orders = Seq(
+      // customer 1: days 0, 30, 100, 150 — plus a same-day sibling
+      (1L, 1L, "2020-01-01 00:00:00"),
+      (2L, 1L, "2020-01-31 00:00:00"),  // +30d: sees day 0
+      (3L, 1L, "2020-04-10 00:00:00"),  // +100d: sees +30 only (day 0
+                                        // is exactly 100 days back)
+      (4L, 1L, "2020-05-30 00:00:00"),  // +150d: sees +100 only
+      (5L, 1L, "2020-05-30 00:00:00"),  // same-day sibling of 4
+      // customer 2: exactly-90-days-back boundary IS inside RANGE 90
+      (6L, 2L, "2020-01-01 00:00:00"),
+      (7L, 2L, "2020-03-31 00:00:00"))  // +90d
+      .map { case (k, c, d) => (k, c, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = TemporalJoins.orderVelocity(orders, 90)
+      .select("o_orderkey", "n_prior").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 0L, 7L -> 1L))
+  }
 }
