@@ -306,4 +306,77 @@ object CatalogOps {
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("gen")
   }
+
+  /** A21 — ORPHAN-FILE GARBAGE COLLECTION (the Iceberg
+    * `remove_orphan_files` maintenance action, ref: `Apache Iceberg/
+    * iceberg_migration.py` runs real catalog maintenance): find data
+    * files physically present under the table's location that the
+    * CURRENT table state does not reference — failed-write leftovers,
+    * never-published WAP stages (A19's audit branch), files a killed
+    * compaction (A10b) abandoned — and optionally delete them.
+    * Without this, A14's snapshot expiry frees only MANIFESTS; the
+    * dead bytes themselves stay until an orphan sweep runs — at
+    * 100 TB the orphan sweep is where the storage bill actually
+    * shrinks, and the two ops compose exactly as Iceberg's
+    * expire_snapshots → remove_orphan_files pair does.
+    *
+    * On this directory-manifested (Hive-layout) emulation a file
+    * INSIDE a live partition directory is referenced by construction
+    * (the directory IS the manifest), so the orphan class is
+    * precisely the files under paths the metastore no longer (or
+    * never) registered: a partition DROPped on an external table
+    * ([[eraseKeys]]' empty-partition case leaves the directory on
+    * external tables), dead WAP stages, killed-overwrite temp dirs.
+    * A real Iceberg catalog additionally orphans in-directory files
+    * its manifests skip — same sweep, stricter manifest.
+    *
+    * "Referenced" here is the engine's own answer — the DISTINCT
+    * `input_file_name()` set of a full table read (on a real catalog
+    * this is the manifest union, a metadata read; both are file-count
+    * sized, never data-sized). The disk side is one recursive listing
+    * of the table location. Only `*.parquet` data files are
+    * candidates — commit markers (`_SUCCESS`) and any `_`/`.`-
+    * prefixed bookkeeping files are never touched, same as Iceberg's
+    * hidden-file rule. `graceMs` skips files younger than the grace
+    * window (an in-flight writer's files LOOK orphaned until its
+    * commit lands — the race the production default of days
+    * protects; 0 sweeps everything, the test spelling).
+    *
+    * Returns the per-file audit (path, bytes, referenced, deleted) —
+    * the artifact a storage team reviews; `delete = false` is a dry
+    * run (Iceberg's default posture too). Deletion is idempotent:
+    * a re-run reports zero orphans and rewrites nothing. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+                        delete: Boolean = false,
+                        graceMs: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced = spark.table(table)
+      .select(input_file_name().as("f")).distinct()
+      .as[String].collect()
+      .map(u => new org.apache.hadoop.fs.Path(
+        new java.net.URI(u)).toUri.getPath)
+      .toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val it = fs.listFiles(loc, true)
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Boolean, Boolean)]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val hidden = p.getName.startsWith("_") || p.getName.startsWith(".")
+      if (!hidden && p.getName.endsWith(".parquet")) {
+        val isRef = referenced.contains(p.toUri.getPath)
+        val orphan = !isRef && st.getModificationTime <= cutoff
+        val doomed = orphan && delete
+        if (doomed) fs.delete(p, false)
+        rows += ((p.toUri.getPath, st.getLen, isRef, doomed))
+      }
+    }
+    rows.toSeq.toDF("path", "bytes", "referenced", "deleted")
+      .orderBy("path")
+  }
 }

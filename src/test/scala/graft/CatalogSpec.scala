@@ -252,4 +252,71 @@ class CatalogSpec extends SparkSpec {
       assert(spark.table("gold_erase").count() == 2)
     }
   }
+
+  test("removeOrphanFiles: dry run reports, delete sweeps only the " +
+      "planted orphan, table rows and referenced files survive, " +
+      "re-run is idempotent, grace window protects young files") {
+    withTable("gold_gc") {
+      CatalogOps.createGoldTable(ticksDf, "gold_gc")
+      val loc = spark.sql("DESCRIBE FORMATTED gold_gc")
+        .filter($"col_name" === "Location")
+        .select("data_type").head().getString(0)
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // plant an orphan data file under an UNREGISTERED partition dir
+      // (what an eraseKeys partition DROP on an external table, a
+      // dead WAP stage, or a killed dynamic overwrite leaves behind —
+      // a directory-manifested table reads every file inside LIVE
+      // partition dirs, so in-partition files are referenced by
+      // construction and the orphan class is exactly the
+      // outside-the-manifest dirs) plus a commit marker that must
+      // survive any sweep
+      val orphan = new org.apache.hadoop.fs.Path(
+        loc + "/year=2099/part-orphan-deadbeef.parquet")
+      val marker = new org.apache.hadoop.fs.Path(
+        loc + "/year=2099/_stray_marker")
+      Seq((99L, "X")).toDF("a", "b").coalesce(1).write
+        .mode("overwrite").parquet(loc + "/_tmp_orphan_src")
+      val src = fs.listStatus(new org.apache.hadoop.fs.Path(
+          loc + "/_tmp_orphan_src"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, orphan, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(loc + "/_tmp_orphan_src"),
+        true)
+      fs.create(marker).close()
+      val rowsBefore = spark.table("gold_gc").orderBy("tick_id")
+        .collect().toSeq
+
+      // grace window: a just-written orphan LOOKS in-flight — kept
+      val graced = CatalogOps.removeOrphanFiles(spark, "gold_gc",
+        delete = true, graceMs = 3600L * 1000)
+      assert(graced.filter($"deleted").count() == 0)
+      assert(fs.exists(orphan))
+
+      // dry run: the orphan is reported unreferenced, nothing deleted
+      val dry = CatalogOps.removeOrphanFiles(spark, "gold_gc")
+      val dryOrphans = dry.filter(!$"referenced")
+        .select("path").as[String].collect()
+      assert(dryOrphans.length == 1 &&
+        dryOrphans.head.endsWith("part-orphan-deadbeef.parquet"))
+      assert(dry.filter($"deleted").count() == 0 && fs.exists(orphan))
+
+      // delete: exactly the orphan goes; referenced files, the
+      // marker, and the table contents survive byte-for-byte
+      val swept = CatalogOps.removeOrphanFiles(spark, "gold_gc",
+        delete = true)
+      assert(swept.filter($"deleted").select("path").as[String]
+        .collect().toSeq.forall(_.endsWith("part-orphan-deadbeef.parquet")))
+      assert(swept.filter($"deleted").count() == 1)
+      assert(!fs.exists(orphan) && fs.exists(marker))
+      assert(spark.table("gold_gc").orderBy("tick_id").collect().toSeq
+        == rowsBefore)
+
+      // idempotent: second sweep finds nothing
+      val again = CatalogOps.removeOrphanFiles(spark, "gold_gc",
+        delete = true)
+      assert(again.filter(!$"referenced").count() == 0)
+    }
+  }
 }

@@ -1024,4 +1024,38 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("p_seasonal").collect().toSet == batch)
     } finally q.stop()
   }
+
+  test("G30 parity: orderVelocityPoints == batch orderVelocity; " +
+      "window registers carry and prune across the batch split") {
+    import graft.streaming.Streaming.{OrderArrival, VelocityRow}
+    // customer 1: days 0, 30, 100, 150 + a same-day sibling at 150
+    // (split lands BETWEEN the siblings — the second must still
+    // exclude the first's day); customer 2: the exactly-90 boundary
+    val feed = Seq(
+      OrderArrival(1L, 1L, 0), OrderArrival(2L, 1L, 30),
+      OrderArrival(3L, 1L, 100), OrderArrival(4L, 1L, 150),
+      OrderArrival(5L, 1L, 150),
+      OrderArrival(6L, 2L, 0), OrderArrival(7L, 2L, 90))
+    val ordersDf = feed.map(o => (o.o_orderkey, o.o_custkey,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.ofEpochDay(
+          o.day_i.toLong).atStartOfDay())))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val batch = graft.operators.TemporalJoins.orderVelocity(ordersDf, 90)
+      .select("o_orderkey", "n_prior").as[(Long, Long)].collect().toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[OrderArrival]
+    val q = Streaming.orderVelocityPoints(in.toDS(), 90)
+      .writeStream.format("memory").queryName("p_velocity")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.splitAt(4) // between the day-150 siblings
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val streamed = spark.table("p_velocity").as[VelocityRow]
+        .collect().map(r => r.o_orderkey -> r.n_prior).toMap
+      assert(streamed == batch)
+      assert(batch == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        5L -> 1L, 6L -> 0L, 7L -> 1L))
+    } finally q.stop()
+  }
 }
