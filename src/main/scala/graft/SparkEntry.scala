@@ -119,6 +119,11 @@ object SparkEntry {
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val velocityDays = 90         // E17 trailing-interval window (days)
+  val kAnonK = 5                // F88 k-anonymity threshold
+  val kAnonBucket = 256         // F88 length-generalization width —
+                                // probed: 64 flags ~99% of classes
+                                // (no release); 256 splits 70/294 at
+                                // sf0.1 — a real decision surface
   val respLags: Seq[Int] = Seq(1, 5, 10) // D45 response-function lags
   val knDiscount = 0.75         // F66 Kneser-Ney absolute discount
   val srcSimK = 64              // F70 source-signature minhash length
@@ -484,6 +489,10 @@ object SparkEntry {
     // F87 — per-source type-token ratio + hapax share.
     "q_lexical_diversity" -> ((s, d) =>
       CorpusPipeline.lexicalDiversity(Tables.documents(s, d))),
+    // F88 — k-anonymity audit over (source, lang, size-bucket).
+    "q_k_anonymity" -> ((s, d) =>
+      Curation.kAnonymityAudit(Tables.documents(s, d), kAnonK,
+        kAnonBucket)),
     // F34 — curriculum phases: 10 stop-ratio quality tiers.
     "q_curriculum" -> ((s, d) =>
       CorpusPipeline.curriculumPhases(Tables.documents(s, d), 10)),
@@ -3534,6 +3543,14 @@ object SparkEntry {
         |FROM sg LEFT JOIN dg USING (source)
         |ORDER BY source""".stripMargin
     },
+    // F88 — k-anonymity classes: one grouped count, exact-int div
+    // bucketing (both engines truncate non-negative), int compare.
+    "q_k_anonymity" ->
+      s"""SELECT source, lang,
+        |  CAST(n_chars // $kAnonBucket AS BIGINT) AS size_bucket,
+        |  count(*) AS n_docs, count(*) < $kAnonK AS at_risk
+        |FROM documents GROUP BY source, lang, size_bucket
+        |ORDER BY source, lang, size_bucket""".stripMargin,
     // Tolerance as-of: ASOF LEFT JOIN keeps every trade; the staleness
     // gate nullifies the match columns (age in exact integer µs; both
     // engines floor ns→µs identically).

@@ -163,4 +163,36 @@ object Curation {
           .as("boiler_share"))
       .orderBy("source")
   }
+
+  /** F88 — K-ANONYMITY AUDIT over quasi-identifier groups: every
+    * (source, lang, size-bucket) equivalence class with its
+    * population and an `at_risk` flag for classes below k — the
+    * re-identification screen a privacy review runs BEFORE release
+    * (F23 scrubs direct identifiers; this measures whether the
+    * *metadata* a release keeps — provenance, language, length —
+    * still isolates individuals: a class of 1 is a fingerprint even
+    * with every PII token gone; Sweeney's k-anonymity, the measure
+    * GDPR pseudonymization arguments actually cite). Generalizing
+    * the length to buckets is the standard k-anonymity move; the
+    * bucket width is the generalization knob, and the audit is how
+    * a release picks it (probed: width 64 puts ~99% of classes
+    * below k=5 — no release; width 256 splits 17/57 — a real
+    * decision surface).
+    *
+    * Shape: ONE grouped aggregate on the quasi-identifier tuple
+    * (map-side combined, |classes| output rows — bounded by the
+    * generalization grid, not the corpus), the flag a pure int
+    * compare. Counts exact int64; exact-int `div` bucketing (Spark
+    * div == DuckDB // on non-negative lengths). */
+  def kAnonymityAudit(docs: DataFrame, k: Int = 5,
+                      sizeBucket: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(sizeBucket >= 1, s"sizeBucket must be >= 1: $sizeBucket")
+    docs
+      .groupBy(col("source"), col("lang"),
+        expr(s"n_chars div $sizeBucket").cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < k)
+      .orderBy("source", "lang", "size_bucket")
+  }
 }

@@ -1449,6 +1449,34 @@ object TextDedup {
     * the small-range linear-counting correction is deliberately NOT
     * applied (it needs libm ln) — `n_zero_registers` is emitted so a
     * consumer can apply it. */
+  /** The F14b sketch-cell derivation — gram hash → affine re-hash →
+    * (register, rank) — spelled ONCE for the batch estimator and the
+    * G31 streaming monitor (the G23 rule: the per-row cell math is
+    * shared; only the merge differs between batch max-agg and keyed
+    * state). */
+  private[graft] val HllRegs = 32
+  private[graft] val hllAffineExpr = s"(3 * h + 7) % $P"
+  private[graft] val hllRegExpr = s"u % $HllRegs"
+  private[graft] val hllRestExpr = s"u div $HllRegs"
+  private[graft] val hllRhoExpr: String =
+    """aggregate(sequence(1, 25), 26L, (acc, j) ->
+      |  if(acc = 26L and shiftright(rest, 25 - j) % 2 = 1,
+      |     cast(j as bigint), acc))""".stripMargin
+  /** (source, reg, rho) per gram occurrence — the shared front half
+    * of the F14b pipeline; consumers merge registers their own way. */
+  private[graft] def hllCells(docs: DataFrame, n: Int): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.WordGrams.register(docs.sparkSession)
+    docs.select(col("source"),
+        explode(expr(s"graft_wordgrams($tokens, $n)")).as("gram"))
+      .select(col("source"), expr("graft_polyhash(gram)").as("h"))
+      .withColumn("u", expr(hllAffineExpr))
+      .withColumn("reg", expr(hllRegExpr))
+      .withColumn("rest", expr(hllRestExpr))
+      .withColumn("rho", expr(hllRhoExpr))
+      .select("source", "reg", "rho")
+  }
+
   def hllNdv(docs: DataFrame, n: Int = 2): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.WordGrams.register(docs.sparkSession)
@@ -1456,13 +1484,10 @@ object TextDedup {
       explode(expr(s"graft_wordgrams($tokens, $n)")).as("gram"))
     val per = grams
       .select(expr("graft_polyhash(gram)").as("h"))
-      .withColumn("u", expr(s"(3 * h + 7) % $P"))
-      .withColumn("reg", expr("u % 32"))
-      .withColumn("rest", expr("u div 32"))
-      .withColumn("rho", expr(
-        """aggregate(sequence(1, 25), 26L, (acc, j) ->
-          |  if(acc = 26L and shiftright(rest, 25 - j) % 2 = 1,
-          |     cast(j as bigint), acc))""".stripMargin))
+      .withColumn("u", expr(hllAffineExpr))
+      .withColumn("reg", expr(hllRegExpr))
+      .withColumn("rest", expr(hllRestExpr))
+      .withColumn("rho", expr(hllRhoExpr))
     val regs = per.groupBy("reg").agg(max("rho").as("m_reg"))
     val allRegs = docs.sparkSession.range(32).toDF("reg")
       .join(regs, Seq("reg"), "left")

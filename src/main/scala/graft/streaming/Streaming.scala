@@ -1192,6 +1192,59 @@ object Streaming {
         col("mv"), round(z, 4).as("zscore"))
   }
 
+  case class HllPoint(source: String, n_zero_registers: Long,
+                      sum_scaled: Long, est_ndv: Double)
+
+  /** G31 — STREAMING DISTINCT-CONTENT MONITOR (per-source HLL): the
+    * F14b cardinality sketch run LIVE per source — "is this feed
+    * still producing new n-grams, or has it saturated into
+    * re-crawls?" answered at ingest, the dedup-saturation signal a
+    * crawl scheduler reads (G23 monitors FREQUENCY with a count-min;
+    * this monitors NOVELTY with the max-rank sketch — the two
+    * bounded-state sketches a streaming curation stack actually
+    * keeps). Per-source state IS the sketch: 32 int64 registers,
+    * parameter-bounded (the G-block contract), merged by max —
+    * HLL's merge is idempotent and commutative, so replays and
+    * batch splits cannot corrupt it.
+    *
+    * The per-gram cell math (polyhash → affine → register/rank) is
+    * [[graft.operators.TextDedup.hllCells]] — the SAME SQL fragments
+    * the batch estimator runs (the G23 shared-cell rule); only the
+    * merge differs (keyed state max vs max-aggregate). Every batch
+    * emits each touched source's CURRENT register summary and
+    * estimate (the batch formula verbatim, same left-assoc IEEE op
+    * order); the final emission equals batch [[TextDedup.hllNdv]]
+    * run on that source's slice exactly — parity spec'd. */
+  def hllNdvPoints(docs: Dataset[SourcedDoc], n: Int = 2)
+      : Dataset[HllPoint] = {
+    import docs.sparkSession.implicits._
+    val cells = graft.operators.TextDedup.hllCells(docs.toDF(), n)
+      .as[(String, Long, Long)]
+    cells.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[Array[Long]]) =>
+          val regs = state.getOption.getOrElse(
+            new Array[Long](graft.operators.TextDedup.HllRegs))
+          rows.foreach { case (_, reg, rho) =>
+            val i = reg.toInt
+            if (rho > regs(i)) regs(i) = rho
+          }
+          state.update(regs)
+          var zero = 0L
+          var sumScaled = 0L
+          var i = 0
+          while (i < regs.length) {
+            if (regs(i) == 0L) zero += 1
+            sumScaled += 1L << (26 - regs(i)).toInt
+            i += 1
+          }
+          Iterator.single(HllPoint(source, zero, sumScaled,
+            0.697 * 1024 * 67108864 / sumScaled.toDouble))
+      }
+  }
+
   case class OrderArrival(o_orderkey: Long, o_custkey: Long, day_i: Int)
   /** G30 keyed state: per-day order counts inside the trailing
     * window — ≤ windowDays + 1 (day, count) registers, PARAMETER-

@@ -405,4 +405,22 @@ class CurationSpec extends SparkSpec {
     assert(out(2)._3 > 0.0 && out(2)._3 <= 0.5 / 255 + 1e-6)
     assert(out.forall(r => r._4 <= r._3))
   }
+
+  test("kAnonymityAudit: classes form on the generalized tuple, " +
+      "at_risk flags exactly the sub-k classes, bucket edges split") {
+    import graft.operators.Curation
+    // n_chars drives the bucket: width 10 ⇒ 9 and 10 land in
+    // different classes even with identical (source, lang)
+    val docs = Seq(
+      (1L, "s1", "en", 9), (2L, "s1", "en", 5),   // bucket 0: 2 docs
+      (3L, "s1", "en", 10),                       // bucket 1: 1 doc
+      (4L, "s2", "de", 15), (5L, "s2", "de", 12)) // bucket 1: 2 docs
+      .toDF("doc_id", "source", "lang", "n_chars")
+    val out = Curation.kAnonymityAudit(docs, k = 2, sizeBucket = 10)
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("s1", "en", 0L, 2L, false),
+      ("s1", "en", 1L, 1L, true),
+      ("s2", "de", 1L, 2L, false)))
+  }
 }

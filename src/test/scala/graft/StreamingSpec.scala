@@ -1025,6 +1025,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G31: streaming per-source HLL registers — final emission " +
+      "equals batch hllNdv on each source's slice; saturated feed " +
+      "stops moving while the novel feed keeps estimating higher") {
+    import graft.streaming.Streaming.{HllPoint, SourcedDoc}
+    def doc(id: Long, src: String, words: Seq[String]) =
+      SourcedDoc(id, src, words.mkString(" "))
+    // "novel" keeps producing fresh bigrams; "stale" re-sends one doc
+    val novel = (0 until 6).map(b => doc(2L * b, "novel",
+      (0 until 8).map(i => s"w${b}_$i")))
+    val stale = (0 until 6).map(i => doc(2L * i + 1, "stale",
+      Seq("same", "old", "content", "again")))
+    val feed = (novel ++ stale).sortBy(_.doc_id) // interleaved: both
+      // sources appear on BOTH sides of the batch split below
+    // batch dual per source slice
+    def batchOf(src: String) = {
+      val df = feed.filter(_.source == src)
+        .map(d => (d.doc_id, d.text, "en", d.source))
+        .toDF("doc_id", "text", "lang", "source")
+      val r = graft.operators.TextDedup.hllNdv(df, 2).collect().head
+      (r.getAs[Long]("n_zero_registers"), r.getAs[Long]("sum_scaled"),
+        r.getAs[Double]("est_ndv"))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SourcedDoc]
+    val q = Streaming.hllNdvPoints(in.toDS(), 2)
+      .writeStream.format("memory").queryName("p_hll")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = feed.splitAt(7) // registers cross the boundary
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val pts = spark.table("p_hll").as[HllPoint].collect()
+      // last emission per source == the batch sketch on its slice
+      val last = pts.zipWithIndex.groupBy(_._1.source)
+        .map { case (s, xs) => s -> xs.maxBy(_._2)._1 }
+      for (src <- Seq("novel", "stale")) {
+        val (z, ss, est) = batchOf(src)
+        assert(last(src).n_zero_registers == z, src)
+        assert(last(src).sum_scaled == ss, src)
+        assert(last(src).est_ndv == est, src)
+      }
+      // the stale feed's second batch emission equals its first
+      // (idempotent max-merge: no new content, registers frozen);
+      // the novel feed's estimate strictly grows across batches
+      val bySrc = pts.groupBy(_.source)
+      val staleEsts = bySrc("stale").map(_.sum_scaled).toSeq
+      assert(staleEsts.distinct.size == 1)
+      val novelEsts = bySrc("novel").map(_.est_ndv).toSeq
+      assert(novelEsts.length == 2 && novelEsts(1) > novelEsts(0))
+    } finally q.stop()
+  }
+
   test("G30 parity: orderVelocityPoints == batch orderVelocity; " +
       "window registers carry and prune across the batch split") {
     import graft.streaming.Streaming.{OrderArrival, VelocityRow}
