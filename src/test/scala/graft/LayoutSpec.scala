@@ -161,4 +161,50 @@ class LayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("H10: ANALYZE column statistics flip a selective-filter join " +
+      "from sort-merge to broadcast at COMPILE time (CBO)") {
+    // The statistics lever a 100 TB deployment pulls BEFORE runtime:
+    // without column stats the optimizer prices a Filter at its
+    // child's size (file bytes), so a dimension that filters to a
+    // handful of rows still plans as a sort-merge join; ANALYZE ...
+    // FOR COLUMNS gives the CBO min/max/NDV, the filter estimate
+    // collapses, and the SAME query compiles to a broadcast join.
+    // AQE can rescue this at runtime from shuffle statistics — H6's
+    // lever — but only after paying the map side of the shuffle;
+    // compile-time stats skip the shuffle entirely, which is why
+    // production catalogs run ANALYZE as part of ingest. AQE off so
+    // the compile-time decision is what we read.
+    val prev = Seq("spark.sql.adaptive.enabled", "spark.sql.cbo.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS h10_fact")
+      spark.sql("DROP TABLE IF EXISTS h10_dim")
+      spark.range(20000L).selectExpr("id AS k", "id % 97 AS payload")
+        .write.saveAsTable("h10_fact")
+      spark.range(20000L).selectExpr("id AS k", "id AS v")
+        .write.saveAsTable("h10_dim")
+      def joinPlan: String = spark.table("h10_fact")
+        .join(spark.table("h10_dim").filter(col("v") < 100), "k")
+        .queryExecution.executedPlan.toString
+      // threshold sits between the dim's FILE size (~200 KB) and its
+      // post-filter estimated size (~100 rows)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "51200")
+      val noStats = joinPlan
+      assert(noStats.contains("SortMergeJoin"),
+        s"expected SMJ without stats:\n$noStats")
+      spark.sql("ANALYZE TABLE h10_dim COMPUTE STATISTICS FOR COLUMNS v")
+      spark.sql("ANALYZE TABLE h10_fact COMPUTE STATISTICS")
+      val withStats = joinPlan
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"expected BHJ with column stats:\n$withStats")
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sql("DROP TABLE IF EXISTS h10_fact")
+      spark.sql("DROP TABLE IF EXISTS h10_dim")
+    }
+  }
 }
