@@ -119,6 +119,7 @@ object SparkEntry {
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val velocityDays = 90         // E17 trailing-interval window (days)
+  val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
                                 // probed: 64 flags ~99% of classes
@@ -1011,6 +1012,9 @@ object SparkEntry {
     // F38 — kNN-density outlier score: 100 targets, k=10.
     "q_knn_density" -> ((s, d) =>
       Vectors.knnDensity(Tables.embeddings(s, d), 100, 10)),
+    // F89 — filtered vector search: F6's top-k among label==3 only.
+    "q_ann_filtered" -> ((s, d) =>
+      Vectors.filteredKnn(Tables.embeddings(s, d), 10, 5, annFilterLabel)),
     // F39 — IVF-PQ composed search: coarse cell prune + ADC rerank.
     "q_ivfpq_search" -> ((s, d) =>
       Vectors.ivfPqSearch(Tables.embeddings(s, d), 10, 5)),
@@ -4885,6 +4889,27 @@ object SparkEntry {
         |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
         |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+        |r AS (SELECT query_id, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rnk FROM p)
+        |SELECT query_id, neighbor_id, rnk, round(cs, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // F89 — F6's oracle with the metadata predicate on the CANDIDATE
+    // side only (queries come from anywhere — asymmetric by design).
+    "q_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> q.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
+        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10 AND c.label = $annFilterLabel),
         |r AS (SELECT query_id, neighbor_id, cs,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
         |      AS rnk FROM p)

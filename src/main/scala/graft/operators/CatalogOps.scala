@@ -192,6 +192,12 @@ object CatalogOps {
   def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
                   keys: Seq[String],
                   partitionCols: Seq[String] = Seq.empty): Unit = {
+    // A long-lived session (a streaming foreachBatch sink — G32) can
+    // hold a cached file listing from before the PREVIOUS upsert's
+    // overwrite; reading through it throws FILE_NOT_EXIST mid-merge.
+    // Refresh costs one metadata invalidation and makes repeated
+    // upserts safe from any session.
+    spark.catalog.refreshTable(table)
     val merged = upsertPlan(spark.table(table), updates, keys)
       .localCheckpoint(true)
     merged.write
@@ -199,6 +205,10 @@ object CatalogOps {
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+    // ... and after: readers holding pre-overwrite plans (the session
+    // that drove the G32 stream wiring) must not list the files the
+    // overwrite just replaced.
+    spark.catalog.refreshTable(table)
   }
 
   /** A20 — SUBJECT-KEY ERASURE: the right-to-be-forgotten pass

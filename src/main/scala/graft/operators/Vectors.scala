@@ -334,6 +334,49 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** F89 — FILTERED VECTOR SEARCH: F6's exact top-k restricted to
+    * candidates satisfying a METADATA predicate (here `label`) — the
+    * filtered-ANN read every production vector store serves
+    * ("nearest docs in THIS language / from THIS source / after THIS
+    * date") and the place naive pipelines go quadratic by searching
+    * first and filtering after (post-filtering k results leaves
+    * fewer than k survivors; the correct shape filters the
+    * CANDIDATE SET first and ranks inside it, which is what this
+    * does). The predicate lands on the scan side BEFORE any distance
+    * math — Catalyst pushes it into the parquet scan (PushedFilters;
+    * at 100 TB with label-partitioned or z-ordered layout, H3/H5
+    * turn it into pruned I/O, and the IVF variant intersects cell
+    * lists with the filter instead) — so cost is proportional to the
+    * MATCHING slice, not the corpus.
+    *
+    * Same physical shape as F6 otherwise: bounded query batch
+    * broadcasts, the filtered corpus streams, per-query top-k via
+    * window on the broadcast key; queries are NOT label-filtered (a
+    * query may come from anywhere — asymmetric by design). Rounding
+    * and tie rules identical to F6. */
+  def filteredKnn(emb: DataFrame, nQueries: Int, k: Int, label: Int,
+                  dim: Int = Dim): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    val n = withNorm(emb, dim)
+    val q = n.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"),
+        col("nrm").as("na"))
+    val c = n.filter(col("label") === label)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim_raw",
+        when(col("na") * col("nb") =!= 0,
+          dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos_sim_raw"), 4).as("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** F38 — kNN-DENSITY outlier score: for each of the first
     * `nTargets` vectors, the mean cosine similarity to its `k`
     * nearest neighbors in the full corpus — low density = isolated

@@ -1025,6 +1025,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G32: idempotent upsert sink — a REPLAYED micro-batch leaves " +
+      "the table unchanged; the stream wiring lands every tick once") {
+    import graft.streaming.Streaming.Tick
+    val ticks = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:00"), 1.00),
+      Tick(2L, 1L, t("2024-01-01 10:00:01"), 1.02),
+      Tick(3L, 2L, t("2024-01-01 10:00:02"), 2.00))
+    try {
+      // seed the table with batch 0's shape (the sink's target must
+      // exist — production creates it at deploy time)
+      Seq(ticks.head).toDF().write.saveAsTable("g32_sink")
+      val b1 = ticks.drop(1).toDF()
+      Streaming.upsertBatch("g32_sink", Seq("tick_id"))(b1, 1L)
+      val once = spark.table("g32_sink").orderBy("tick_id")
+        .collect().toSeq
+      assert(once.length == 3)
+      // THE failure mode: the same micro-batch applies again after a
+      // checkpoint-less restart — content must not change
+      Streaming.upsertBatch("g32_sink", Seq("tick_id"))(b1, 1L)
+      val twice = spark.table("g32_sink").orderBy("tick_id")
+        .collect().toSeq
+      assert(twice == once)
+      // and the real stream wiring drives the same path end-to-end
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Tick]
+      val q = Streaming.idempotentTickSink(in.toDS(), "g32_sink").start()
+      try {
+        in.addData(Tick(4L, 2L, t("2024-01-01 10:00:03"), 2.02))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the stream ran in a CLONED session; its refresh clears the
+      // clone's relation cache, not this session's — refresh before
+      // reading through the overwrite (the upsert-sink contract:
+      // same-session readers are refreshed by upsertTable itself,
+      // other sessions refresh on read like any external writer)
+      spark.catalog.refreshTable("g32_sink")
+      assert(spark.table("g32_sink").count() == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS g32_sink")
+  }
+
   test("G31: streaming per-source HLL registers — final emission " +
       "equals batch hllNdv on each source's slice; saturated feed " +
       "stops moving while the novel feed keeps estimating higher") {

@@ -682,6 +682,22 @@ class TextDedupSpec extends SparkSpec {
     assert(top1 == Seq(1L))
   }
 
+  test("filteredKnn ranks only candidates matching the metadata " +
+      "predicate — the filter changes the answer, not just trims it") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.7f, 0.3f), 1), (3L, Array(-1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    // unfiltered nearest to query 0 is vec 1 (label 0); restricted to
+    // label 1 the answer CHANGES to vec 2 — post-filtering F6's top-1
+    // would instead return nothing
+    val got = Vectors.filteredKnn(emb, 1, 1, label = 1, dim = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+    // and the query itself sits OUTSIDE the filtered label (vec 0 is
+    // label 0) — the asymmetry a post-filtering pipeline gets wrong
+  }
+
   test("lshBuckets puts identical vectors in the same bucket") {
     val emb = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f), 0), (1L, Array(1.0f, 2.0f, 3.0f), 0),
