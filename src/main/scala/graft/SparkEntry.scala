@@ -1091,6 +1091,9 @@ object SparkEntry {
             .otherwise(col("text")))
       CorpusPipeline.corpusDelta(oldSnap, newSnap)
     }),
+    // F90 — release manifest: per-split counts + content checksum.
+    "q_release_manifest" -> ((s, d) =>
+      CorpusPipeline.releaseManifest(Tables.documents(s, d))),
     "q_hash_split" -> ((s, d) =>
       CorpusPipeline.hashSplit(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) =>
@@ -5865,6 +5868,29 @@ object SparkEntry {
     },
     // The shared pmod hash spelling lives in PortableText.duckHashOrder
     // (negative-id parity rationale documented there).
+    // F90 — release manifest: F16's split CASE + fingerprint sums;
+    // checksum reduced mod p after the sum (HUGEINT rule).
+    "q_release_manifest" -> {
+      import graft.functions.PortableText._
+      s"""WITH s AS (SELECT doc_id,
+        |    CASE WHEN ${duckHashOrder("doc_id")} % 100 < 80
+        |           THEN 'train'
+        |         WHEN ${duckHashOrder("doc_id")} % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(length($duckTokens) AS BIGINT) AS n_toks,
+        |    $duckDocFingerprint AS fp
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(fp) AS HUGEINT) % $P AS BIGINT)
+        |    AS content_checksum,
+        |  min(f.doc_id) AS min_doc_id, max(f.doc_id) AS max_doc_id
+        |FROM f JOIN s USING (doc_id)
+        |GROUP BY split ORDER BY split""".stripMargin
+    },
     "q_hash_split" -> {
       import graft.functions.PortableText.duckHashOrder
       s"""SELECT doc_id, lang, source,

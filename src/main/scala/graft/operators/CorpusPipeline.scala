@@ -94,6 +94,39 @@ object CorpusPipeline {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** F90 — RELEASE MANIFEST: the verifiable dataset-card footer a
+    * corpus release ships — per split (F16's deterministic carve),
+    * document and token counts plus a CONTENT CHECKSUM both engines
+    * (and any future re-materialization) can recompute: the sum of
+    * per-document polynomial fingerprints mod p. Equal checksums ⇔
+    * same document MULTISET per split (order-free, partition-free) —
+    * the property a consumer audits before training ("is this the
+    * corpus the card describes?") and the one a silent row loss or
+    * duplication breaks. F80 diffs two snapshots doc-by-doc; this is
+    * the one-line attestation of a single release.
+    *
+    * Shape: one narrow per-doc pass (fingerprint + token count — no
+    * explode), one |splits|-row aggregate. Counts exact int64; the
+    * checksum sums sub-p ints then reduces mod p (exact to ~9·10⁹
+    * docs per split in int64; at true scale swap to a modular
+    * partial-sum reduce — documented, F54's rule). */
+  def releaseManifest(docs: DataFrame): DataFrame = {
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val split = hashSplit(docs).select("doc_id", "split")
+    docs
+      .select(col("doc_id"),
+        expr(s"size($tokens)").cast("long").as("n_toks"),
+        expr(PortableText.docFingerprint).as("fp"))
+      .join(split, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        expr(s"sum(fp) % ${PortableText.P}").as("content_checksum"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy("split")
+  }
+
   /** F16b — SOURCE-STRATIFIED eval split: carve `testPct`% of EACH
     * source into the held-out side (the per-domain eval carving F16's
     * corpus-wide hash split cannot guarantee — a small domain can land

@@ -1224,6 +1224,55 @@ object Streaming {
       .outputMode(OutputMode.Update)
       .foreachBatch(upsertBatch(table, Seq("tick_id")) _)
 
+  case class DormantFlag(symbol: Long, last_tick_id: Long,
+                         last_ts: Timestamp, n_ticks: Long)
+
+  /** G33 — EVENT-TIME-TIMEOUT DORMANCY DETECTOR: emit a row when a
+    * key goes QUIET — no tick for `gapMs` of EVENT time — carrying
+    * the key's last-seen state. This is the one stateful-streaming
+    * mechanism the G-block hadn't exercised: TIMEOUT-driven emission
+    * (every other G op emits on arrival; G5's session_window closes
+    * sessions but aggregates — it cannot emit a dormancy EVENT with
+    * last-state payload, which is what a stale-feed pager or an
+    * abandoned-cart trigger needs). State is one (id, ts, count)
+    * register per live key and is REMOVED on timeout — dormant keys
+    * cost nothing, the state-TTL discipline any unbounded-key-space
+    * deployment requires.
+    *
+    * Event-time timeouts fire when the WATERMARK passes last_ts +
+    * gap, so emission is deterministic under replay (processing-time
+    * timeouts are not — deliberately avoided). A key that resumes
+    * after dormancy starts a fresh register and may flag again —
+    * each quiet period is its own event (spec'd). */
+  def dormancyFlags(ticks: Dataset[Tick], gapMs: Long)
+      : Dataset[DormantFlag] = {
+    import ticks.sparkSession.implicits._
+    require(gapMs > 0, s"gapMs must be positive: $gapMs")
+    ticks
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (id, tsMs, n) = state.get
+            state.remove()
+            Iterator.single(
+              DormantFlag(symbol, id, new Timestamp(tsMs), n))
+          } else {
+            var (id, tsMs, n) = state.getOption.getOrElse((0L, 0L, 0L))
+            rows.foreach { t =>
+              n += 1
+              if (t.ts.getTime >= tsMs) { id = t.tick_id; tsMs = t.ts.getTime }
+            }
+            state.update((id, tsMs, n))
+            state.setTimeoutTimestamp(tsMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   case class HllPoint(source: String, n_zero_registers: Long,
                       sum_scaled: Long, est_ndv: Double)
 

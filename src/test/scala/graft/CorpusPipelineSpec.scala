@@ -612,6 +612,35 @@ class CorpusPipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "source", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "source")
 
+  test("releaseManifest: checksum is order/partition-free, content-" +
+      "sensitive, and counts reconcile with the split carve") {
+    import graft.operators.CorpusPipeline
+    val rows = (1L to 40L).map(i => (i, s"doc number $i words"))
+    val base = CorpusPipeline.releaseManifest(docsFrom(rows: _*))
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("content_checksum"))).toSeq
+    assert(base.map(_._2).sum == 40L)
+    assert(base.map(_._3).sum == 40L * 4)
+    // same docs, shuffled arrival order + different partitioning ⇒
+    // identical manifest (the multiset attestation property)
+    val shuffled = CorpusPipeline.releaseManifest(
+      docsFrom(rows.reverse: _*).repartition(7))
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("content_checksum"))).toSeq
+    assert(shuffled == base)
+    // one changed character in one doc ⇒ that split's checksum moves
+    val tampered = CorpusPipeline.releaseManifest(docsFrom(
+      (rows.init :+ (40L, "doc number 40 wordz")): _*))
+      .collect().map(r => (r.getAs[String]("split"),
+        r.getAs[Long]("content_checksum"))).toMap
+    val baseMap = base.map(r => r._1 -> r._4).toMap
+    assert(tampered != baseMap)
+    assert((tampered.keySet == baseMap.keySet) &&
+      tampered.count { case (k, v) => baseMap(k) != v } == 1)
+  }
+
   test("sourceKl: hand-computed KL against the corpus unigram mix; " +
       "identical-mix sources report 0") {
     // A: [x, x, y], B: [x, y, y, y] ⇒ N=7, c_x=3, c_y=4

@@ -1025,6 +1025,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G33: event-time-timeout dormancy — a quiet key flags with its " +
+      "last state once the watermark passes the gap; live keys don't; " +
+      "a resumed key can flag again") {
+    import graft.streaming.Streaming.{DormantFlag, Tick}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.dormancyFlags(in.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("p_dormant")
+      .outputMode(OutputMode.Append).start()
+    def flags = spark.table("p_dormant").as[DormantFlag].collect().toSeq
+    try {
+      // batch 1: symbols 1 and 2 alive at 10:00
+      in.addData(
+        Tick(1L, 1L, t("2024-01-01 10:00:00"), 1.00),
+        Tick(2L, 1L, t("2024-01-01 10:00:30"), 1.01),
+        Tick(3L, 2L, t("2024-01-01 10:00:30"), 2.00))
+      q.processAllAvailable()
+      assert(flags.isEmpty)
+      // batch 2: only symbol 2 keeps ticking — watermark moves past
+      // symbol 1's 10:00:30 + 60 s (timeouts evaluate on the NEXT
+      // batch after the watermark update, hence the empty nudge)
+      in.addData(Tick(4L, 2L, t("2024-01-01 10:05:00"), 2.01))
+      q.processAllAvailable()
+      in.addData(Tick(5L, 2L, t("2024-01-01 10:05:01"), 2.02))
+      q.processAllAvailable()
+      assert(flags == Seq(DormantFlag(1L, 2L,
+        t("2024-01-01 10:00:30"), 2L)))
+      // symbol 1 resumes, then goes quiet again — a SECOND dormancy
+      // event for the same key (fresh register, n_ticks restarts)
+      in.addData(Tick(6L, 1L, t("2024-01-01 10:06:00"), 1.02))
+      q.processAllAvailable()
+      in.addData(Tick(7L, 2L, t("2024-01-01 10:10:00"), 2.03))
+      q.processAllAvailable()
+      in.addData(Tick(8L, 2L, t("2024-01-01 10:10:01"), 2.04))
+      q.processAllAvailable()
+      assert(flags.toSet == Set(
+        DormantFlag(1L, 2L, t("2024-01-01 10:00:30"), 2L),
+        DormantFlag(1L, 6L, t("2024-01-01 10:06:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("G32: idempotent upsert sink — a REPLAYED micro-batch leaves " +
       "the table unchanged; the stream wiring lands every tick once") {
     import graft.streaming.Streaming.Tick
