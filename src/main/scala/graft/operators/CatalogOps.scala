@@ -317,6 +317,75 @@ object CatalogOps {
       .orderBy("gen")
   }
 
+  /** A22 — PARQUET STORAGE PROFILE: per-column bytes, values and
+    * encodings read from the FOOTERS of a table's data files — the
+    * storage-bill introspection behind every "which column is
+    * eating the lake" question and the input to layout decisions
+    * (a column compressing 50:1 under RLE says sort by it — H3; a
+    * 1.05:1 column says its encoding budget is spent; the reference
+    * tunes parquet layout empirically — `spark_session_window_tick
+    * _cleaner.py`'s split-size choice — and this is the evidence
+    * side of that loop). Footer reads are METADATA-scale: one footer
+    * per file regardless of data volume (the same file-count-bounded
+    * driver contract as [[removeOrphanFiles]]; a real deployment
+    * fans the footer reads out per partition — documented, not
+    * needed below ~10⁵ files).
+    *
+    * Emitted per column: file-spanning totals of compressed/
+    * uncompressed bytes, value count, the encoding set actually
+    * used (sorted, comma-joined — engine-stable), the codec ratio,
+    * and `bytes_per_value` — the number a storage review actually
+    * ranks by. NOTE the footer's "uncompressed" is ENCODED-but-
+    * uncodec'd bytes: a constant column RLE/dictionary-encodes to
+    * almost nothing BEFORE the codec, so its codec ratio can sit
+    * near (even below) 1.0 while bytes_per_value — the true cost —
+    * is tiny; ranking by codec ratio alone misreads exactly the
+    * best-behaved columns. Divisions are unrounded IEEE over exact
+    * int64 counts. */
+  def storageProfile(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = loc.getFileSystem(conf)
+    val agg = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Set[String])]
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.endsWith(".parquet") && !p.getName.startsWith("_")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { c =>
+              val key = c.getPath.toDotString
+              val (cb, ub, nv, enc) =
+                agg.getOrElse(key, (0L, 0L, 0L, Set.empty[String]))
+              agg(key) = (cb + c.getTotalSize,
+                ub + c.getTotalUncompressedSize,
+                nv + c.getValueCount,
+                enc ++ c.getEncodings.asScala.map(_.toString))
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    agg.toSeq.map { case (col, (cb, ub, nv, enc)) =>
+      (col, nv, cb, ub,
+        if (cb > 0) ub.toDouble / cb.toDouble else 0.0,
+        if (nv > 0) cb.toDouble / nv.toDouble else 0.0,
+        enc.toSeq.sorted.mkString(","))
+    }.toDF("column", "n_values", "compressed_bytes",
+        "uncompressed_bytes", "codec_ratio", "bytes_per_value",
+        "encodings")
+      .orderBy("column")
+  }
+
   /** A21 — ORPHAN-FILE GARBAGE COLLECTION (the Iceberg
     * `remove_orphan_files` maintenance action, ref: `Apache Iceberg/
     * iceberg_migration.py` runs real catalog maintenance): find data

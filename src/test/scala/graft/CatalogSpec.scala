@@ -253,6 +253,33 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("storageProfile: footer-level per-column telemetry — value " +
+      "counts reconcile with rows, the constant column compresses " +
+      "far better than the unique one, encodings surface") {
+    withTable("a22_prof") {
+      spark.range(10000L)
+        .selectExpr("id AS uniq", "CAST(7 AS BIGINT) AS const",
+          "CAST(id % 3 AS INT) AS lowcard")
+        .coalesce(2).write.saveAsTable("a22_prof")
+      val prof = CatalogOps.storageProfile(spark, "a22_prof")
+        .collect().map(r => r.getAs[String]("column") ->
+          (r.getAs[Long]("n_values"), r.getAs[Long]("compressed_bytes"),
+            r.getAs[Double]("bytes_per_value"),
+            r.getAs[String]("encodings"))).toMap
+      assert(prof.keySet == Set("uniq", "const", "lowcard"))
+      assert(prof.values.forall(_._1 == 10000L)) // one value per row
+      assert(prof.values.forall(_._2 > 0L))
+      // the constant column's true storage cost must be a fraction of
+      // the unique int64 column's (RLE/dictionary collapse it BEFORE
+      // the codec — which is why bytes_per_value, not codec ratio, is
+      // the ranking metric; the op's doc carries the distinction)
+      assert(prof("const")._3 * 4 < prof("uniq")._3,
+        s"const ${prof("const")._3} vs uniq ${prof("uniq")._3}")
+      // dictionary/RLE machinery visible on the low-cardinality side
+      assert(prof("lowcard")._4.nonEmpty && prof("uniq")._4.nonEmpty)
+    }
+  }
+
   test("removeOrphanFiles: dry run reports, delete sweeps only the " +
       "planted orphan, table rows and referenced files survive, " +
       "re-run is idempotent, grace window protects young files") {
