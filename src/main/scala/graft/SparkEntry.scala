@@ -115,7 +115,12 @@ object SparkEntry {
   val waterfillPct = 95         // F75 budget as % of corpus tokens
   val nwMaxLag = 3              // D51 Newey–West bandwidth
   val rsHorizon = 5             // D54 realized-spread settle (trades)
-  val tbHorizon = 40            // D38 lookahead ticks
+  val tbHorizon = 40            // D38/D58 lookahead ticks
+  val shockBpParam = 3000L      // D58 jump threshold (basis points) —
+                                // probed at sf0.01 with recover 1000:
+                                // 8216 shocks, 63% recover, mean 11.7
+                                // ticks — two-sided
+  val shockRecoverBp = 1000L    // D58 recovery band (basis points)
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val velocityDays = 90         // E17 trailing-interval window (days)
@@ -637,6 +642,10 @@ object SparkEntry {
     // D56 — leverage-effect corr(move, next |move|) on exact cents.
     "q_leverage_effect" -> ((s, d) =>
       Microstructure.leverageEffect(Tables.ticks(s, d))),
+    // D58 — shock-recovery event study (D38's lookahead machinery).
+    "q_shock_recovery" -> ((s, d) =>
+      Features.shockRecovery(Tables.ticks(s, d), shockBpParam,
+        shockRecoverBp, tbHorizon)),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -3268,6 +3277,36 @@ object SparkEntry {
         |    THEN -1
         |  ELSE 0 END AS label
         |FROM j ORDER BY symbol, e_idx""".stripMargin,
+    // D58 — shock recovery: D38's oracle shape (plain range join at
+    // gate SFs), cross-multiplied exact-cent thresholds, first
+    // recovery one conditional MIN, non-negative exact div move.
+    "q_shock_recovery" ->
+      s"""WITH x AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS BIGINT) AS idx
+        |  FROM $ticksSql t),
+        |s AS (SELECT symbol, idx AS s_idx, tick_id AS shock_id,
+        |    lag(c) OVER (PARTITION BY symbol ORDER BY idx) AS pre_c,
+        |    c AS shock_c
+        |  FROM x),
+        |sh AS (SELECT * FROM s WHERE pre_c > 0
+        |  AND abs(shock_c - pre_c) * 10000 >= pre_c * $shockBpParam),
+        |j AS (
+        |  SELECT sh.symbol, sh.s_idx, sh.shock_id, sh.pre_c, sh.shock_c,
+        |    min(CASE WHEN abs(f.c - sh.pre_c) * 10000
+        |      <= sh.pre_c * $shockRecoverBp THEN f.idx END) AS r_idx,
+        |    count(*) AS n_lookahead
+        |  FROM sh JOIN x f ON f.symbol = sh.symbol
+        |    AND f.idx > sh.s_idx AND f.idx <= sh.s_idx + $tbHorizon
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT symbol, shock_id, pre_c, shock_c,
+        |  (abs(shock_c - pre_c) * 10000) // pre_c AS abs_move_bp,
+        |  r_idx - s_idx AS recovery_ticks,
+        |  r_idx IS NOT NULL AS recovered,
+        |  n_lookahead
+        |FROM j ORDER BY symbol, shock_id""".stripMargin,
     // D39 — realized moments: unrounded avg moments (corr-aggregate
     // discipline — raw power sums pass 2^53 where rounding is
     // meaningless), scale-invariant finals round(4); var^1.5 spelled

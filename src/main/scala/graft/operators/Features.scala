@@ -584,4 +584,68 @@ object Features {
         "n_lookahead", "label")
       .orderBy("symbol", "e_idx")
   }
+
+  /** D58 — SHOCK-RECOVERY TIME (liquidity resilience event study):
+    * for every tick that JUMPS ≥ `shockBp` off the previous print,
+    * how many ticks until price first returns within `recoverBp` of
+    * the PRE-shock level (NULL if not within `horizon`) — the
+    * event-study that separates transient liquidity dislocations
+    * (fast reversion: the B12-class glitch a resilient book absorbs)
+    * from permanent information moves (no recovery: repricing).
+    * D42 fits reversion as one AR(1) number per symbol; this
+    * measures it PER EVENT, which is what an execution desk reads
+    * before trading through a dislocation. Probed at sf0.01
+    * (3000/1000 bp, H=40): 8216 shocks, 63% recover, mean 11.7
+    * ticks — genuinely two-sided.
+    *
+    * Scale shape: D38's machinery verbatim — shocks are a filtered
+    * subset, the lookahead is the `idx div horizon` block bucketize
+    * (≤2 blocks per shock, equi-join + post-filter, never an
+    * inequality join), first-recovery is one conditional MIN with
+    * map-side partials. Both thresholds compare CROSS-MULTIPLIED
+    * exact int64 cents (B12's rule — no ratio double exists);
+    * `abs_move_bp` is a non-negative exact `div` (Spark div ==
+    * DuckDB // on non-negatives); truncated-tail shocks stay
+    * auditable via `n_lookahead`. */
+  def shockRecovery(ticks: DataFrame, shockBp: Long, recoverBp: Long,
+                    horizon: Int): DataFrame = {
+    require(shockBp > 0 && recoverBp > 0 && recoverBp < shockBp,
+      s"need 0 < recoverBp < shockBp: $recoverBp, $shockBp")
+    require(horizon > 0, s"horizon must be positive: $horizon")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val x = ticks
+      .withColumn("c", round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select("symbol", "tick_id", "c", "idx")
+      .localCheckpoint(true) // feeds both the shock and future sides
+    val shocks = x
+      .withColumn("prev", lag(col("c"), 1).over(
+        Window.partitionBy("symbol").orderBy("idx")))
+      .filter(col("prev") > 0 &&
+        abs(col("c") - col("prev")) * 10000L >= col("prev") * shockBp)
+      .select(col("symbol"), col("idx").as("s_idx"),
+        col("tick_id").as("shock_id"), col("prev").as("pre_c"),
+        col("c").as("shock_c"))
+      .withColumn("blk", explode(array(
+        expr(s"s_idx div ${horizon}L"),
+        expr(s"s_idx div ${horizon}L + 1L"))))
+    val futures = x.select(col("symbol"), col("idx").as("f_idx"),
+      col("c").as("f_c"), expr(s"idx div ${horizon}L").as("blk"))
+    shocks
+      .join(futures, Seq("symbol", "blk"))
+      .filter(col("f_idx") > col("s_idx") &&
+        col("f_idx") <= col("s_idx") + horizon)
+      .groupBy("symbol", "s_idx", "shock_id", "pre_c", "shock_c")
+      .agg(
+        min(when(abs(col("f_c") - col("pre_c")) * 10000L <=
+          col("pre_c") * recoverBp, col("f_idx"))).as("r_idx"),
+        count(lit(1)).as("n_lookahead"))
+      .withColumn("abs_move_bp",
+        expr("(abs(shock_c - pre_c) * 10000) div pre_c"))
+      .withColumn("recovery_ticks", col("r_idx") - col("s_idx"))
+      .withColumn("recovered", col("r_idx").isNotNull)
+      .select("symbol", "shock_id", "pre_c", "shock_c", "abs_move_bp",
+        "recovery_ticks", "recovered", "n_lookahead")
+      .orderBy("symbol", "shock_id")
+  }
 }

@@ -306,4 +306,34 @@ class FeaturesSpec extends SparkSpec {
     }).sorted
     assert(got == want)
   }
+
+  test("shockRecovery: a reverting jump reports its recovery tick, " +
+      "a permanent move reports NULL, quiet ticks never flag, and " +
+      "the tail shock stays auditable via n_lookahead") {
+    // symbol 1 cents: 100, 150 (shock +50%), 140, 105 (recovers at
+    // +2 — within 10% of pre=100), then quiet; symbol 1 second
+    // shock at the very tail: 105 -> 160 with NO lookahead left...
+    // actually give it one lookahead row that does NOT recover.
+    val df = ticks(
+      (1L, 1L, "2024-01-01 10:00:01", 1.00, 1.01),
+      (2L, 1L, "2024-01-01 10:00:02", 1.50, 1.51), // shock, pre=100
+      (3L, 1L, "2024-01-01 10:00:03", 1.40, 1.41),
+      (4L, 1L, "2024-01-01 10:00:04", 1.05, 1.06), // recovers shock 2
+      (5L, 1L, "2024-01-01 10:00:05", 1.60, 1.61), // shock, pre=105
+      (6L, 1L, "2024-01-01 10:00:06", 1.58, 1.59), // no recovery
+      // symbol 2: drifts gently, never shocks
+      (7L, 2L, "2024-01-01 10:00:01", 2.00, 2.01),
+      (8L, 2L, "2024-01-01 10:00:02", 2.02, 2.03))
+    val out = Features.shockRecovery(df, 3000L, 1000L, 40)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Boolean, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      // shock at tick 2: pre 100, move 5000 bp, recovers 2 ticks on
+      // (idx 4: |105-100| = 5% <= 10%), 4 lookahead rows exist
+      (1L, 2L, 100L, 150L, 5000L, Some(2L), true, 4L),
+      // shock at tick 5: pre 105, |160-105|*1e4/105 = 5238 bp,
+      // lookahead sees ONE row (158: |158-105|=50% > 10%) — no
+      // recovery, auditable truncation
+      (1L, 5L, 105L, 160L, 5238L, None, false, 1L)))
+  }
 }
