@@ -34,19 +34,30 @@ case class PolyHash(child: Expression) extends UnaryExpression
     PolyHash.hash(input.asInstanceOf[UTF8String].toString)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName on EVERY local: two polyhash calls fused into one
+      // whole-stage region otherwise redeclare the same Java locals
+      // and Janino rejects the stage ("Redefinition of local
+      // variable"), silently dropping the WHOLE stage to the
+      // interpreted path (observed on a two-call projection).
+      val s = ctx.freshName("phStr")
+      val h = ctx.freshName("phAcc")
+      val n = ctx.freshName("phLen")
+      val i = ctx.freshName("phIdx")
+      val cp = ctx.freshName("phCp")
       s"""
-         |java.lang.String s = $c.toString();
-         |long h = 0L;
-         |int n = s.length();
-         |int i = 0;
-         |while (i < n) {
-         |  int cp = s.codePointAt(i);
-         |  h = (h * 31L + (long) cp) % ${PolyHash.P}L;
-         |  i += java.lang.Character.charCount(cp);
+         |java.lang.String $s = $c.toString();
+         |long $h = 0L;
+         |int $n = $s.length();
+         |int $i = 0;
+         |while ($i < $n) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 31L + (long) $cp) % ${PolyHash.P}L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
-         |${ev.value} = h;
-       """.stripMargin)
+         |${ev.value} = $h;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)

@@ -21,6 +21,32 @@ class PolyHashSpec extends SparkSpec {
     }
   }
 
+  test("two PolyHash calls compile into ONE generated projection " +
+      "(freshName regression: shared locals broke Janino and dropped " +
+      "the whole stage to the interpreted path)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    // GenerateUnsafeProjection THROWS on a Janino error (no silent
+    // fallback at this API level) — exactly the redefinition the
+    // hardcoded locals caused with two calls in one generated class
+    val proj = GenerateUnsafeProjection.generate(Seq(
+      PolyHash(BoundReference(0, StringType, nullable = true)),
+      PolyHash(BoundReference(1, StringType, nullable = true))))
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("xyz"))
+    val out = proj(row)
+    assert(out.getLong(0) == PolyHash.hash("abc"))
+    assert(out.getLong(1) == PolyHash.hash("xyz"))
+    // and the end-to-end DataFrame path agrees
+    PolyHash.register(spark)
+    val r = Seq(("abc", "xyz")).toDF("a", "b")
+      .selectExpr("graft_polyhash(a)", "graft_polyhash(b)")
+      .as[(Long, Long)].collect().head
+    assert(r == (PolyHash.hash("abc"), PolyHash.hash("xyz")))
+  }
+
   test("PolyHash is callable inside HOF lambdas (token hashing path)") {
     PolyHash.register(spark)
     val out = Seq("aa bb").toDF("text")
