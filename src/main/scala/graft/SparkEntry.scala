@@ -872,6 +872,10 @@ object SparkEntry {
       TextDedup.dedupClustersFromBuckets(docs,
         TextDedup.minhashBucketAssignments(docs))
     }),
+    // F91 — quality-aware canonical selection: longest cluster member
+    // survives (ties to smallest id), two-phase argmax.
+    "q_canonical_docs" -> ((s, d) =>
+      TextDedup.canonicalSelection(Tables.documents(s, d))),
     // F50 — cluster-size distribution over the F13 clustering.
     "q_cluster_sizes" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -4403,6 +4407,40 @@ object SparkEntry {
         |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b)
         |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    // F91 — the CC CTE + per-doc token counts; canonical = two-phase
+    // max-then-min (engine-stable ties, no arg_max).
+    "q_canonical_docs" -> {
+      import graft.functions.PortableText._
+      s"""WITH RECURSIVE
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band
+        |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |cc(doc_id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b),
+        |cl AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+        |s AS (SELECT doc_id, CAST(length($duckTokens) AS BIGINT)
+        |    AS n_tokens FROM documents),
+        |j AS (SELECT cl.doc_id, cl.cluster, s.n_tokens
+        |  FROM cl JOIN s USING (doc_id)),
+        |mt AS (SELECT cluster, max(n_tokens) AS mt FROM j GROUP BY cluster),
+        |canon AS (SELECT j.cluster, min(j.doc_id) AS canonical_id
+        |  FROM j JOIN mt ON mt.cluster = j.cluster AND j.n_tokens = mt.mt
+        |  GROUP BY j.cluster)
+        |SELECT j.doc_id, j.cluster, j.n_tokens, canon.canonical_id,
+        |  j.doc_id = canon.canonical_id AS is_canonical
+        |FROM j JOIN canon ON canon.cluster = j.cluster
+        |ORDER BY j.doc_id""".stripMargin
     },
     // F50 — same recursive-CTE CC as q_dedup_clusters, then the two
     // exact-int histogram aggregates.

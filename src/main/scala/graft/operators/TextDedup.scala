@@ -922,6 +922,41 @@ object TextDedup {
     *
     * Unclustered docs (no candidate pair) are their own cluster.
     */
+  /** F91 — QUALITY-AWARE CANONICAL SELECTION: which copy of each
+    * near-dup cluster SURVIVES. F13's drop-the-label-min rule keeps
+    * whichever member happens to carry the smallest id — fine for
+    * counting, wrong for curation: the member worth keeping is the
+    * most complete one (truncated mirrors, stripped boilerplate
+    * copies, and partial re-crawls all lose tokens relative to the
+    * original — "keep the longest" is the standard canonicalization
+    * heuristic, and any other scalar quality score drops into the
+    * same argmax). Canonical = max token count, ties to the SMALLEST
+    * doc_id — spelled as the collision-free two-phase max-then-min
+    * (a struct/arg_max spelling has engine-specific tie behavior;
+    * two grouped aggregates have none).
+    *
+    * Shape: the F13 bipartite CC (pair graph never materialized)
+    * plus one narrow per-doc token count, then two |clusters|-sized
+    * aggregates and a broadcast-scale join back. The cluster frame
+    * checkpoints once — it feeds the max phase, the tie phase, and
+    * the final projection. */
+  def canonicalSelection(docs: DataFrame): DataFrame = {
+    val j = dedupClustersFromBuckets(docs, minhashBucketAssignments(docs))
+      .select("doc_id", "cluster")
+      .join(docs.select(col("doc_id"),
+        expr(s"size($tokens)").cast("long").as("n_tokens")), "doc_id")
+      .localCheckpoint(true)
+    val mt = j.groupBy("cluster").agg(max(col("n_tokens")).as("_mt"))
+    val canon = j.join(mt, "cluster")
+      .filter(col("n_tokens") === col("_mt"))
+      .groupBy("cluster").agg(min(col("doc_id")).as("canonical_id"))
+    j.join(canon, "cluster")
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .select("doc_id", "cluster", "n_tokens", "canonical_id",
+        "is_canonical")
+      .orderBy("doc_id")
+  }
+
   def dedupClusters(docs: DataFrame, pairs: DataFrame,
                     maxIter: Int = 20): DataFrame = {
     // Symmetric edge list; every doc is a node (isolated docs too).

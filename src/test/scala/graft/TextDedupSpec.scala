@@ -672,6 +672,26 @@ class TextDedupSpec extends SparkSpec {
     assert(fps(1L) == fps(3L) && fps(1L) != fps(2L))
   }
 
+  test("canonicalSelection keeps the LONGEST cluster member (ties to " +
+      "the smallest id), not the smallest-id member; singletons are " +
+      "their own canonicals") {
+    // docs 1/2/3 near-dup (shared text, 3 bands+): 3 is LONGER and
+    // must win over the smaller ids; docs 10/11 identical twins of
+    // equal length — tie resolves to 10; doc 20 is a singleton
+    val base = "the quick brown fox jumps over the lazy dog"
+    val out = TextDedup.canonicalSelection(docs(
+      (1L, base), (2L, base), (3L, base + " tonight"),
+      (10L, "completely different words sit here"),
+      (11L, "completely different words sit here"),
+      (20L, "a lonely singleton document")))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(out(1L) == (3L, false) && out(2L) == (3L, false) &&
+      out(3L) == (3L, true))
+    assert(out(10L) == (10L, true) && out(11L) == (10L, false))
+    assert(out(20L) == (20L, true))
+  }
+
   test("bruteForceKnn finds the exact nearest vector") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
