@@ -121,6 +121,7 @@ object SparkEntry {
                                 // 8216 shocks, 63% recover, mean 11.7
                                 // ticks — two-sided
   val shockRecoverBp = 1000L    // D58 recovery band (basis points)
+  val sortQuantiles = 5         // D59 portfolio-sort buckets
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val velocityDays = 90         // E17 trailing-interval window (days)
@@ -646,6 +647,9 @@ object SparkEntry {
     "q_shock_recovery" -> ((s, d) =>
       Features.shockRecovery(Tables.ticks(s, d), shockBpParam,
         shockRecoverBp, tbHorizon)),
+    // D59 — cross-sectional reversal spread (portfolio sort, q=5).
+    "q_reversal_spread" -> ((s, d) =>
+      Microstructure.reversalSpread(Tables.ticks(s, d), sortQuantiles)),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -3281,6 +3285,35 @@ object SparkEntry {
         |    THEN -1
         |  ELSE 0 END AS label
         |FROM j ORDER BY symbol, e_idx""".stripMargin,
+    // D59 — reversal spread: B7's exact-cent OHLC collapse, one
+    // identically-spelled IEEE bp return, ntile over a total order,
+    // bucket means round(4), spread from the rounded finals.
+    "q_reversal_spread" ->
+      s"""WITH d AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    min_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS o,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS cl
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT symbol, day,
+        |    CAST(cl - o AS DOUBLE) / o * 10000 AS ret_bp,
+        |    lag(CAST(cl - o AS DOUBLE) / o * 10000)
+        |      OVER (PARTITION BY symbol ORDER BY day) AS prev_bp
+        |  FROM d WHERE o > 0),
+        |rk AS (SELECT day, ret_bp,
+        |    ntile($sortQuantiles)
+        |      OVER (PARTITION BY day ORDER BY prev_bp, symbol) AS q
+        |  FROM r WHERE prev_bp IS NOT NULL),
+        |g AS (SELECT strftime(day, '%Y-%m-%d') AS day,
+        |    count(*) AS n_symbols,
+        |    round(avg(CASE WHEN q = 1 THEN ret_bp END), 4) AS loser_bp,
+        |    round(avg(CASE WHEN q = $sortQuantiles THEN ret_bp END), 4)
+        |      AS winner_bp
+        |  FROM rk GROUP BY 1)
+        |SELECT day, n_symbols, loser_bp, winner_bp,
+        |  round(loser_bp - winner_bp, 4) AS reversal_spread_bp
+        |FROM g ORDER BY day""".stripMargin,
     // D58 — shock recovery: D38's oracle shape (plain range join at
     // gate SFs), cross-multiplied exact-cent thresholds, first
     // recovery one conditional MIN, non-negative exact div move.

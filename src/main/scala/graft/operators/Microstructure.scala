@@ -1580,6 +1580,54 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D59 — CROSS-SECTIONAL REVERSAL SPREAD (the portfolio-sort
+    * backtest, Jegadeesh 1990 shape): each day, rank symbols by the
+    * PREVIOUS day's open→close return, split into `quantiles`
+    * buckets, and report yesterday's losers' vs winners' mean return
+    * TODAY — the daily long-losers/short-winners artifact every
+    * stat-arb desk monitors, and the D-block's first CROSS-SECTIONAL
+    * op (everything else conditions within a symbol; this ranks
+    * ACROSS symbols at each date, the dimension a portfolio actually
+    * trades). Positive spread = reversal (losers bounce), negative =
+    * momentum.
+    *
+    * Determinism: daily open/close exact cents (B7's min_by/max_by
+    * rule), returns ONE identically-spelled IEEE expression in bp,
+    * ntile over a TOTAL order (prev_ret, symbol — ANSI remainder
+    * semantics agree across engines given a total order), bucket
+    * means round(4), spread from the ROUNDED finals (derived-from-
+    * rounded rule). Days with fewer symbols than buckets leave the
+    * top bucket empty → NULL winner and spread (no fabricated
+    * zeros). Shape: one (symbol, day) collapse of the tick fact,
+    * then calendar-bounded windows — a per-symbol lag and a per-day
+    * ntile — and one |days|-row aggregate. */
+  def reversalSpread(ticks: DataFrame, quantiles: Int = 5): DataFrame = {
+    require(quantiles >= 2, s"quantiles must be >= 2: $quantiles")
+    val daily = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(min_by(col("cents"), col("tick_id")).as("o"),
+        max_by(col("cents"), col("tick_id")).as("cl"))
+      .filter(col("o") > 0)
+    val wSym = Window.partitionBy("symbol").orderBy("day")
+    val r = daily
+      .withColumn("ret_bp",
+        expr("CAST(cl - o AS DOUBLE) / o * 10000"))
+      .withColumn("prev_bp", lag(col("ret_bp"), 1).over(wSym))
+      .filter(col("prev_bp").isNotNull)
+    val ranked = r.withColumn("q", ntile(quantiles).over(
+      Window.partitionBy("day").orderBy(col("prev_bp"), col("symbol"))))
+    ranked
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_symbols"),
+        round(avg(when(col("q") === 1, col("ret_bp"))), 4).as("loser_bp"),
+        round(avg(when(col("q") === quantiles, col("ret_bp"))), 4)
+          .as("winner_bp"))
+      .withColumn("reversal_spread_bp",
+        round(col("loser_bp") - col("winner_bp"), 4))
+      .orderBy("day")
+  }
+
   /** Pearson correlation from EXACT integer sums — the bivariate
     * sibling of [[varFromSums]]: `(Σxy − ΣxΣy/n) / √((Σx² − Σx²/n)
     * (Σy² − Σy²/n))` with every cast in ONE fixed left-assoc

@@ -823,6 +823,38 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.head._7 < 0 && out(1)._7 > 0) // buy below / above VWAP
   }
 
+  test("reversalSpread: losers/winners by PREVIOUS-day rank, spread " +
+      "from rounded finals; an under-populated day reports NULL " +
+      "winner and spread") {
+    // day1 ret for symbol s = s*100 bp (sets day2's ranking);
+    // day2 ret for symbol s = (6-s)*100 bp ⇒ yesterday's loser
+    // (s=1) earns 500 bp, yesterday's winner (s=5) earns 100 bp.
+    // day3 has only symbols 1-2 ⇒ ntile(5) never fills bucket 5.
+    val rows = (1 to 5).flatMap { s =>
+      Seq(
+        (s * 10L + 1, s.toLong, "2024-01-01 10:00:00", 1.00, 1.01),
+        (s * 10L + 2, s.toLong, "2024-01-01 11:00:00", 1.00 + s * 0.01, 1.2),
+        (s * 10L + 3, s.toLong, "2024-01-02 10:00:00", 1.00, 1.01),
+        (s * 10L + 4, s.toLong, "2024-01-02 11:00:00", 1.00 + (6 - s) * 0.01, 1.2))
+    } ++ Seq(
+      (101L, 1L, "2024-01-03 10:00:00", 1.00, 1.01),
+      (102L, 1L, "2024-01-03 11:00:00", 1.02, 1.03),
+      (103L, 2L, "2024-01-03 10:00:00", 1.00, 1.01),
+      (104L, 2L, "2024-01-03 11:00:00", 1.01, 1.02))
+    val out = Microstructure.reversalSpread(ticks(rows: _*), 5)
+      .collect().map(r => r.getAs[String]("day") ->
+        (r.getAs[Long]("n_symbols"), Option(r.getAs[java.lang.Double]("loser_bp")),
+          Option(r.getAs[java.lang.Double]("winner_bp")),
+          Option(r.getAs[java.lang.Double]("reversal_spread_bp")))).toMap
+    assert(out("2024-01-02") ==
+      (5L, Some(500.0), Some(100.0), Some(400.0)))
+    val d3 = out("2024-01-03")
+    assert(d3._1 == 2L && d3._3.isEmpty && d3._4.isEmpty)
+    // day-3 ranking: symbol 1's day-2 ret (500bp) > symbol 2's
+    // (400bp) ⇒ q1 = symbol 2, whose day-3 ret is 100 bp
+    assert(d3._2 == Some(100.0))
+  }
+
   test("leverageEffect: hand-computed corr on a signed/magnitude " +
       "series; constant symbol reports NULL") {
     // Symbol 1 cents: 100, 102, 101, 104, 102, 107 ⇒
