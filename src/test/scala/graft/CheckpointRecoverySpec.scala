@@ -16,6 +16,7 @@ object CheckpointRecoverySpec {
   val seen = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
   val nearDup = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
   val ewma = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
+  val velocity = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
 }
 
 class CheckpointRecoverySpec extends SparkSpec {
@@ -123,6 +124,45 @@ class CheckpointRecoverySpec extends SparkSpec {
       q2.processAllAvailable()
       assert(CheckpointRecoverySpec.ewma.get(3L) == ((3L, 27.5)),
         "post-restart tick must fold onto the recovered (n, ewma) state")
+    } finally q2.stop()
+  }
+
+  test("order-velocity day-ring state survives a stop/restart from " +
+      "checkpoint (G30)") {
+    import graft.streaming.Streaming.{OrderArrival, VelocityRow}
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_vel").toString
+    val in = MemoryStream[OrderArrival]
+    def start() = Streaming.orderVelocityPoints(in.toDS(), 90)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[VelocityRow],
+                       _: Long) =>
+        batch.collect().foreach(r =>
+          CheckpointRecoverySpec.velocity.put(r.o_orderkey, r.n_prior))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(OrderArrival(1L, 7L, 0), OrderArrival(2L, 7L, 30))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(CheckpointRecoverySpec.velocity.get(2L) == 1L)
+    // restart against the SAME checkpoint: the day ring (days 0 and
+    // 30) must be restored — the day-100 order sees ONLY day 30
+    // (day 0 pruned from its window), and a day-100 sibling-day
+    // order arriving later still excludes same-day counts
+    val q2 = start()
+    try {
+      in.addData(OrderArrival(3L, 7L, 100))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.velocity.get(3L) == 1L,
+        "post-restart count must come from the recovered day ring")
+      in.addData(OrderArrival(4L, 7L, 100))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.velocity.get(4L) == 1L,
+        "same-day sibling must not count post-restart either")
     } finally q2.stop()
   }
 }
