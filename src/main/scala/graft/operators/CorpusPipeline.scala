@@ -69,6 +69,24 @@ object CorpusPipeline {
   private[operators] def splitKey(id: Column): Column =
     pmod(hashOrder(id), lit(100))
 
+  /** JVM twins of [[hashOrder]]/[[splitKey]] for streaming operators
+    * whose keyed state folds PER ROW (G34): same reduce-first
+    * arithmetic (intermediates ≤ (p−1)·K ≈ 2.65e18 < 2⁶³), same
+    * pmod non-negativity; spelled once here beside the Column form
+    * and pinned equal by spec so the two can never drift. */
+  private[graft] def hashOrderJvm(id: Long): Long = {
+    val p = PortableText.P
+    val m = ((id % p) + p) % p
+    (m * 2654435761L) % p
+  }
+  private[graft] def splitNameJvm(id: Long, trainPct: Int = 80,
+                                  valPct: Int = 10): String = {
+    val k = hashOrderJvm(id) % 100
+    if (k < trainPct) "train"
+    else if (k < trainPct + valPct) "val"
+    else "test"
+  }
+
   /** ((id mod P) * K) mod P — the overflow-safe multiplicative hash
     * shared by [[hashSplit]] and [[capPerSource]]. Both mods are
     * `pmod`, so the hash is well-defined (non-negative) for NEGATIVE

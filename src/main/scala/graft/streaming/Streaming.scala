@@ -1326,6 +1326,48 @@ object Streaming {
       }
   }
 
+  case class ManifestPoint(split: String, n_docs: Long, n_tokens: Long,
+                           content_checksum: Long, min_doc_id: Long,
+                           max_doc_id: Long)
+
+  /** G34 — STREAMING RELEASE-MANIFEST ACCUMULATION (F90's online
+    * twin): the dataset-card attestation maintained AS the corpus
+    * builds — per split, running doc/token counts, id bounds, and
+    * the order-free content checksum, emitted each micro-batch so a
+    * continuous ingest always has a current, recomputable manifest
+    * (the artifact a release cut reads WITHOUT a full batch pass).
+    * Keyed state is five int64 registers per split — parameter-
+    * bounded by the split alphabet. The checksum folds `(acc + fp)
+    * mod p` per doc, exactly equal to F90's sum-then-mod because the
+    * accumulator stays sub-p; split assignment and fingerprint use
+    * the JVM twins pinned to the Column spellings
+    * ([[graft.operators.CorpusPipeline.splitNameJvm]],
+    * `PolyHash.hash`), so the final emission equals batch
+    * [[graft.operators.CorpusPipeline.releaseManifest]] EXACTLY
+    * (parity spec'd across a mid-split batch boundary). */
+  def manifestPoints(docs: Dataset[Doc]): Dataset[ManifestPoint] = {
+    import docs.sparkSession.implicits._
+    val p = graft.functions.PortableText.P
+    docs.groupByKey(d =>
+      graft.operators.CorpusPipeline.splitNameJvm(d.doc_id))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (split: String, rows: Iterator[Doc],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (n, toks, ck, mn, mx) = state.getOption
+            .getOrElse((0L, 0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { d =>
+            n += 1
+            toks += d.text.split(" ").count(_.nonEmpty).toLong
+            ck = (ck + graft.functions.PolyHash.hash(d.text)) % p
+            if (d.doc_id < mn) mn = d.doc_id
+            if (d.doc_id > mx) mx = d.doc_id
+          }
+          state.update((n, toks, ck, mn, mx))
+          Iterator.single(ManifestPoint(split, n, toks, ck, mn, mx))
+      }
+  }
+
   case class OrderArrival(o_orderkey: Long, o_custkey: Long, day_i: Int)
   /** G30 keyed state: per-day order counts inside the trailing
     * window — ≤ windowDays + 1 (day, count) registers, PARAMETER-

@@ -612,6 +612,21 @@ class CorpusPipelineSpec extends SparkSpec {
     rows.toDF("doc_id", "source", "text")
       .selectExpr("doc_id", "text", "'en' AS lang", "source")
 
+  test("splitNameJvm/hashOrderJvm equal the Column spellings on a " +
+      "grid including negative and multi-billion ids") {
+    import graft.operators.CorpusPipeline
+    val ids = Seq(-5000000000L, -1L, 0L, 1L, 99L, 1000000006L,
+      1000000007L, 3500000001L, 5000000000L) ++
+      (1L to 50L).map(_ * 987654321L)
+    val fromCol = ids.toDF("doc_id")
+      .selectExpr("doc_id", "'x' AS text", "'en' AS lang", "'s' AS source")
+    val colSplit = CorpusPipeline.hashSplit(fromCol)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    ids.foreach { id =>
+      assert(CorpusPipeline.splitNameJvm(id) == colSplit(id), s"id=$id")
+    }
+  }
+
   test("releaseManifest: checksum is order/partition-free, content-" +
       "sensitive, and counts reconcile with the split carve") {
     import graft.operators.CorpusPipeline

@@ -1025,6 +1025,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G34 parity: streaming manifest accumulation — final emission " +
+      "per split equals batch releaseManifest exactly across a " +
+      "mid-split batch boundary") {
+    import graft.streaming.Streaming.{Doc, ManifestPoint}
+    val docsSeq = (1L to 40L).map(i => Doc(i, s"doc number $i words"))
+    val batch = graft.operators.CorpusPipeline.releaseManifest(
+      docsSeq.map(d => (d.doc_id, d.text, "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+      .collect().map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("content_checksum"), r.getAs[Long]("min_doc_id"),
+          r.getAs[Long]("max_doc_id"))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val q = Streaming.manifestPoints(in.toDS())
+      .writeStream.format("memory").queryName("p_manifest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (a, b) = docsSeq.splitAt(17) // every split straddles this
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      val pts = spark.table("p_manifest").as[ManifestPoint].collect()
+      val last = pts.zipWithIndex.groupBy(_._1.split)
+        .map { case (s, xs) => s -> xs.maxBy(_._2)._1 }
+      assert(last.keySet == batch.keySet)
+      for ((s, m) <- last) {
+        assert((m.n_docs, m.n_tokens, m.content_checksum,
+          m.min_doc_id, m.max_doc_id) == batch(s), s)
+      }
+    } finally q.stop()
+  }
+
   test("G33: event-time-timeout dormancy — a quiet key flags with its " +
       "last state once the watermark passes the gap; live keys don't; " +
       "a resumed key can flag again") {
