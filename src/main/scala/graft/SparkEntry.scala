@@ -125,6 +125,9 @@ object SparkEntry {
   val tbBarrierBp = 8000L       // D38 symmetric barrier (basis points)
   val zipfTopK = 100            // F57 tokens in the fit
   val velocityDays = 90         // E17 trailing-interval window (days)
+  val coverageWindowDays = 30   // E18 activity-interval length (days)
+  val nbMinTok = 20             // F92 teaching-rule min token count
+  val nbMinStopPct = 5          // F92 teaching-rule min stopword pct
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -650,6 +653,10 @@ object SparkEntry {
     // D59 — cross-sectional reversal spread (portfolio sort, q=5).
     "q_reversal_spread" -> ((s, d) =>
       Microstructure.reversalSpread(Tables.ticks(s, d), sortQuantiles)),
+    // D60 — Engle–Granger pairwise cointegration screen on the daily
+    // close grid: hedge ratio, residual AR(1), half-life.
+    "q_cointegration" -> ((s, d) =>
+      Microstructure.cointegrationScreen(Tables.ticks(s, d))),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -657,6 +664,11 @@ object SparkEntry {
     // prior 90 strictly-earlier days.
     "q_order_velocity" -> ((s, d) =>
       TemporalJoins.orderVelocity(Tables.orders(s, d), velocityDays)),
+    // E18 — interval-union coverage: per-customer gaps-and-islands
+    // merge of [orderdate, +30d) activity intervals.
+    "q_interval_coverage" -> ((s, d) =>
+      TemporalJoins.intervalCoverage(Tables.orders(s, d),
+        coverageWindowDays)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
@@ -1061,6 +1073,10 @@ object SparkEntry {
     // F63 — encode the corpus with the trained tokenizer.
     "q_bpe_encode" -> ((s, d) =>
       TextDedup.bpeEncode(Tables.documents(s, d), bpeMergeRounds)),
+    // F93 — BPE compression curve: token mass per merge rung.
+    "q_bpe_curve" -> ((s, d) =>
+      TextDedup.bpeCompressionCurve(Tables.documents(s, d),
+        bpeMergeRounds)),
     // F14b — portable HLL over word 2-grams (m=32 registers).
     "q_hll_ndv" -> ((s, d) => TextDedup.hllNdv(Tables.documents(s, d), 2)),
     "q_term_saliency" -> ((s, d) =>
@@ -1077,6 +1093,11 @@ object SparkEntry {
     // weight table, exact-int margin, sign verdict).
     "q_classifier_score" -> ((s, d) =>
       CorpusPipeline.classifierScore(Tables.documents(s, d))),
+    // F92 — Naive Bayes quality-classifier TRAINING: rule-labeled
+    // corpus, Laplace-smoothed class counts, learned-vs-rule audit.
+    "q_nb_classifier" -> ((s, d) =>
+      LangModel.nbQualityClassifier(Tables.documents(s, d),
+        minTok = nbMinTok, minStopPct = nbMinStopPct)),
     // F75 — token-budget waterfill: max-min fair allocation at the
     // solved water level.
     "q_waterfill" -> ((s, d) =>
@@ -2760,6 +2781,50 @@ object SparkEntry {
         |  round(${Microstructure.corrFromSums("sx", "sy", "sxy",
              "sxx", "syy", "n_pairs")}, 4) AS leverage_corr
         |FROM g ORDER BY symbol""".stripMargin,
+    // D60 — cointegration screen: exact-cent daily closes (max_by
+    // tick_id), exact-int OLS sums, the shared olsSlopeFromSums /
+    // olsInterceptFromSums spellings, residual AR(1) ratio round(4),
+    // half-life derived from the ROUNDED rho (float sweep).
+    "q_cointegration" ->
+      s"""WITH closes AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day,
+        |    a.cents AS ca, b.cents AS cb
+        |  FROM closes a JOIN closes b
+        |    ON a.day = b.day AND a.symbol < b.symbol),
+        |fit AS (SELECT sym_a, sym_b, count(*) AS n_days,
+        |    CAST(sum(cb) AS BIGINT) AS sx,
+        |    CAST(sum(ca) AS BIGINT) AS sy,
+        |    CAST(sum(cb * ca) AS BIGINT) AS sxy,
+        |    CAST(sum(cb * cb) AS BIGINT) AS sxx
+        |  FROM grid GROUP BY sym_a, sym_b),
+        |fb AS (SELECT *, ${Microstructure.olsSlopeFromSums("sx", "sy",
+             "sxy", "sxx", "n_days")} AS beta FROM fit),
+        |fab AS (SELECT *, ${Microstructure.olsInterceptFromSums("sx",
+             "sy", "beta", "n_days")} AS alpha FROM fb),
+        |e0 AS (SELECT g.sym_a, g.sym_b, f.n_days, f.beta, g.day,
+        |    CAST(g.ca AS DOUBLE) - f.alpha - f.beta * CAST(g.cb AS DOUBLE)
+        |      AS e
+        |  FROM grid g JOIN fab f USING (sym_a, sym_b)
+        |  WHERE f.beta IS NOT NULL),
+        |e1 AS (SELECT *, lag(e) OVER (PARTITION BY sym_a, sym_b
+        |      ORDER BY day) AS e_lag
+        |  FROM e0),
+        |s AS (SELECT sym_a, sym_b, n_days, beta,
+        |    sum(e * e_lag) AS s_cross, sum(e_lag * e_lag) AS s_lag2
+        |  FROM e1 WHERE e_lag IS NOT NULL
+        |  GROUP BY sym_a, sym_b, n_days, beta),
+        |rr AS (SELECT sym_a, sym_b, n_days, beta,
+        |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) END
+        |      AS rho
+        |  FROM s)
+        |SELECT sym_a, sym_b, n_days, round(beta, 4) AS beta, rho,
+        |  CASE WHEN rho > 0 AND rho < 1
+        |    THEN round(-ln(2.0) / ln(rho), 4) END AS half_life_days
+        |FROM rr ORDER BY sym_a, sym_b""".stripMargin,
     // D57 — volume–volatility elasticity: within-day exact-cent move
     // mass vs exact volume, ln of exact ints, covar_pop/var_pop slope
     // round(4) (D55's accepted spelling), zero days dropped pre-ln.
@@ -2796,6 +2861,37 @@ object SparkEntry {
         |    RANGE BETWEEN $velocityDays PRECEDING AND 1 PRECEDING)
         |    AS n_prior
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // E18 — interval-union coverage: strictly-preceding running-max
+    // window for island starts, running sum for island ids, exact
+    // int64 epoch-day arithmetic throughout; coverage is one IEEE
+    // division of exact ints. Tied same-day orders carry identical
+    // (s, e), so tie order cannot move any aggregate.
+    "q_interval_coverage" ->
+      s"""WITH iv AS (SELECT o_custkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + $coverageWindowDays AS e
+        |  FROM orders),
+        |m AS (SELECT o_custkey, s, e,
+        |    max(e) OVER (PARTITION BY o_custkey ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv),
+        |m2 AS (SELECT *, CASE WHEN pme IS NULL OR s > pme
+        |    THEN 1 ELSE 0 END AS ni FROM m),
+        |m3 AS (SELECT *, sum(ni) OVER (PARTITION BY o_custkey ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM m2),
+        |isl AS (SELECT o_custkey, island, count(*) AS n_orders,
+        |    min(s) AS i_s, max(e) AS i_e
+        |  FROM m3 GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  count(*) AS n_intervals,
+        |  CAST(sum(i_e - i_s) AS BIGINT) AS covered_days,
+        |  CAST(max(i_e) - min(i_s) AS BIGINT) AS span_days,
+        |  CAST(sum(i_e - i_s) AS DOUBLE)
+        |    / CAST(max(i_e) - min(i_s) AS DOUBLE) AS coverage
+        |FROM isl GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // D53 — clock kurtosis: D39's adjudicated moment spelling run on
     // both clocks (time = per-day print moves; volume = D30 bar-close
     // moves with the q_volume_bars window verbatim); ratio divides
@@ -5418,6 +5514,28 @@ object SparkEntry {
         |$out
         |ORDER BY merge_idx""".stripMargin
     },
+    // F93 — the compression-curve oracle replays the SAME generated
+    // cascade and aggregates Σ freq·|symbols| at every rung (0 = the
+    // character baseline from seg0); saved via lag, compression one
+    // IEEE division of exact ints round(4).
+    "q_bpe_curve" -> {
+      val rungs = (0 to bpeMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_idx, " +
+          "CAST(sum(freq * len(string_split(seg, ' '))) AS BIGINT) " +
+          s"AS corpus_tokens FROM seg$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH $bpeCascadeSql,
+        |u AS ($rungs),
+        |w AS (SELECT merge_idx, corpus_tokens,
+        |    CAST(coalesce(lag(corpus_tokens) OVER (ORDER BY merge_idx)
+        |      - corpus_tokens, 0) AS BIGINT) AS tokens_saved
+        |  FROM u),
+        |b AS (SELECT corpus_tokens AS m0 FROM u WHERE merge_idx = 0)
+        |SELECT merge_idx, corpus_tokens, tokens_saved,
+        |  round(CAST(m0 AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 4)
+        |    AS compression
+        |FROM w, b ORDER BY merge_idx""".stripMargin
+    },
     // F63 — the encode oracle replays the SAME generated training
     // cascade, reconstructs each word from its final segmentation
     // (replace(seg, ' ', '') — symbols never contain spaces) and
@@ -5956,6 +6074,57 @@ object SparkEntry {
     // integer weight formula on a range() table, margin CAST back to
     // BIGINT from DuckDB's HUGEINT sum, avg one IEEE division, label
     // on the exact int; token-less docs keep margin 0 via left join.
+    // F92 — NB trainer: rule labels via integer cross-multiply, class
+    // counts exact int64, each log-odds term ONE fixed left-assoc ln
+    // spelling (F86 rule), margins = prior + per-doc term sum, mean
+    // margin round(4) (float sweep), agree_rate exact-int division.
+    "q_nb_classifier" -> {
+      import graft.functions.PortableText._
+      s"""WITH lab AS (SELECT doc_id, source, length(tk) AS n_tok,
+        |    length(list_filter(tk, t ->
+        |      list_contains(['the','a','of','and','to'], t))) AS n_stop
+        |  FROM (SELECT doc_id, source, $duckTokens AS tk
+        |    FROM documents) x),
+        |lab2 AS (SELECT *, n_tok >= $nbMinTok
+        |    AND n_stop * 100 >= n_tok * $nbMinStopPct AS pos FROM lab),
+        |tl AS (SELECT t.doc_id, t.token, l.pos
+        |  FROM (SELECT doc_id, unnest($duckTokens) AS token
+        |    FROM documents) t JOIN lab2 l USING (doc_id)),
+        |cc AS (SELECT token,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c0
+        |  FROM tl GROUP BY token),
+        |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1w,
+        |    CAST(sum(c0) AS BIGINT) AS n0w, count(*) AS v FROM cc),
+        |pr AS (SELECT
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n1d,
+        |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0d
+        |  FROM lab2),
+        |pd AS (SELECT tl.doc_id,
+        |    sum(ln(CAST(c1 AS DOUBLE) + 1.0)
+        |      - ln(CAST(n1w AS DOUBLE) + CAST(v AS DOUBLE))
+        |      - ln(CAST(c0 AS DOUBLE) + 1.0)
+        |      + ln(CAST(n0w AS DOUBLE) + CAST(v AS DOUBLE))) AS tsum
+        |  FROM tl JOIN cc USING (token), tot GROUP BY tl.doc_id),
+        |sc AS (SELECT l.source, l.pos,
+        |    ln(CAST(n1d AS DOUBLE) + 1.0) - ln(CAST(n0d AS DOUBLE) + 1.0)
+        |      + coalesce(pd.tsum, 0.0) AS margin
+        |  FROM lab2 l LEFT JOIN pd USING (doc_id), pr),
+        |sc2 AS (SELECT source, pos, margin, margin > 0 AS pred FROM sc)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos_label,
+        |  CAST(sum(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos_pred,
+        |  CAST(sum(CASE WHEN pos = pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  CAST(sum(CASE WHEN pos = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS agree_rate,
+        |  round(avg(margin), 4) AS mean_margin
+        |FROM sc2 GROUP BY source ORDER BY source""".stripMargin
+    },
     "q_classifier_score" -> {
       import graft.functions.PortableText._
       s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok

@@ -275,4 +275,86 @@ object LangModel {
         col("avg_kn_surprisal"))
       .orderBy("doc_id")
   }
+
+  /** F92 — NAIVE BAYES QUALITY-CLASSIFIER TRAINING (the learning step
+    * F73 skips): distill the rule gate into a multinomial NB model —
+    * label every doc by the cheap structural rule (≥ `minTok` tokens
+    * AND stopword share ≥ `minStopPct`%, the F15 essence as one
+    * integer cross-multiply), TRAIN per-token class counts with
+    * Laplace α=1 smoothing, then SCORE the corpus with the learned
+    * log-odds and report, per source, how far the learned model and
+    * the teaching rule agree — exactly the fastText/DCLM
+    * quality-classifier bootstrap (label by heuristic, train a bag-of-
+    * words model, deploy the model where the rule is too brittle),
+    * with the train→infer loop closed in one plan the way F59→F63
+    * closes the tokenizer loop. Disagreement is the SIGNAL: the model
+    * generalizes the rule through vocabulary co-occurrence, so docs
+    * flipping verdict are exactly the rule's edge cases.
+    *
+    * Shape: one corpus token explode feeds BOTH the class-count
+    * aggregate (vocab-sized, map-side combined, checkpointed) and the
+    * scoring join back on the token key — the F35 train-on-
+    * yourself shape with a class axis; priors and totals are one-row
+    * broadcasts. At 100 TB: two token-keyed exchanges, nothing
+    * driver-side, vocabulary never collected.
+    *
+    * Engine-exactness: labels and counts are exact int64 (the
+    * stopword gate is an integer cross-multiply — no ratio
+    * doubles); each per-occurrence log-odds term is ONE fixed
+    * left-assoc ln spelling of exact-int casts (the F86 ln-sum rule:
+    * cross-multiplied count ratios would overflow at ~10⁹ tokens);
+    * per-doc margins sum those terms plus the prior; the per-source
+    * mean margin is an aggregate double → round(4) (float sweep).
+    * `agree_rate` is one IEEE division of exact ints, unrounded.
+    * Token-less docs score margin = prior (empty sum, not a lost
+    * row). */
+  def nbQualityClassifier(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+      minTok: Int = 20, minStopPct: Int = 5): DataFrame = {
+    import graft.functions.PortableText.wordHits
+    val labeled = docs.select(col("doc_id"), col("source"),
+        expr(s"size($tokens)").as("n_tok"),
+        expr(wordHits(stopwords)).as("n_stop"))
+      .withColumn("pos", col("n_tok") >= minTok &&
+        col("n_stop") * 100 >= col("n_tok") * minStopPct)
+      .localCheckpoint(true)
+    val toks = docs.select(col("doc_id"), explode(expr(tokens)).as("token"))
+      .join(labeled.select("doc_id", "pos"), "doc_id")
+    val cc = toks.groupBy("token")
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("c0"))
+      .localCheckpoint(true)
+    val tot = cc.agg(sum("c1").as("n1w"), sum("c0").as("n0w"),
+      count(lit(1)).as("v"))
+    val priors = labeled.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("n1d"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("n0d"))
+    val perDoc = toks.join(cc, "token")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        log(col("c1").cast("double") + lit(1.0)) -
+          log(col("n1w").cast("double") + col("v").cast("double")) -
+          log(col("c0").cast("double") + lit(1.0)) +
+          log(col("n0w").cast("double") + col("v").cast("double")))
+      .groupBy("doc_id").agg(sum("term").as("tsum"))
+    labeled.join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(priors))
+      .withColumn("margin",
+        log(col("n1d").cast("double") + lit(1.0)) -
+          log(col("n0d").cast("double") + lit(1.0)) +
+          coalesce(col("tsum"), lit(0.0)))
+      .withColumn("pred", col("margin") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos_label"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pos_pred"),
+        sum(when(col("pos") === col("pred"), 1L).otherwise(0L))
+          .as("n_agree"),
+        round(avg(col("margin")), 4).as("mean_margin"))
+      .withColumn("agree_rate",
+        col("n_agree").cast("double") / col("n_docs").cast("double"))
+      .select("source", "n_docs", "n_pos_label", "n_pos_pred",
+        "n_agree", "agree_rate", "mean_margin")
+      .orderBy("source")
+  }
 }

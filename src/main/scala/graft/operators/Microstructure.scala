@@ -1723,4 +1723,93 @@ object Microstructure {
           expr("covar_pop(y, x) / var_pop(x)")), 4).as("elasticity"))
       .orderBy("symbol")
   }
+
+  /** The D60 OLS-from-exact-sums fragments, interpolated verbatim into
+    * BOTH engines so the regression arithmetic cannot drift: slope
+    * `(Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n)` and intercept `ȳ − βx̄`,
+    * every cast and association fixed (the [[corrFromSums]] rule). */
+  private[graft] def olsSlopeFromSums(sx: String, sy: String,
+      sxy: String, sxx: String, n: String): String = {
+    val vx = s"(CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE) / $n)"
+    val cxy = s"(CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE) / $n)"
+    s"CASE WHEN $n > 1 AND $vx > 0 THEN $cxy / $vx END"
+  }
+  private[graft] def olsInterceptFromSums(sx: String, sy: String,
+      beta: String, n: String): String =
+    s"CAST($sy AS DOUBLE) / $n - $beta * (CAST($sx AS DOUBLE) / $n)"
+
+  /** D60 — PAIRWISE COINTEGRATION SCREEN (Engle–Granger two-step
+    * essence) over the daily close grid: for every symbol pair
+    * (a, b), the OLS hedge ratio `β` of a's close on b's close, then
+    * the AR(1) coefficient `ρ` of the RESIDUAL spread
+    * `eₜ = cₐ − α − β·c_b` and its mean-reversion HALF-LIFE
+    * `−ln2 / ln ρ` — the stat-arb pair-selection screen (Engle &
+    * Granger 1987; the production shape of "find tradeable pairs" at
+    * a 150–10⁴-symbol cross-section). D10/D29 correlate RETURNS —
+    * which says nothing about LEVEL spread reversion; D42 fits AR(1)
+    * on a single symbol's own price. This is the cross-symbol
+    * residual version both of them miss.
+    *
+    * Shape: the tick fact collapses ONCE in a (symbol, day) aggregate
+    * (exact-cents close via max_by tick_id — deterministic, the D59
+    * discipline); the pair grid is a DAY-keyed self-join of that
+    * calendar-bounded frame (|days| × |pairs| rows — quadratic in
+    * SYMBOLS, independent of tick volume: the 100 TB cost lives
+    * entirely in the first collapse). Two aggregates over the
+    * checkpointed grid: exact-int OLS sums per pair, then — after the
+    * β/α join-back and one per-pair day-ordered lag — the residual
+    * AR(1) sums. At 10⁴ symbols the grid is 5·10⁷ pairs × |days|;
+    * partitioned by pair key, no skew (every pair has |days| rows).
+    *
+    * Engine-exactness: closes are exact int64 cents, the five OLS
+    * sums exact int64 (cents² × days stays < 2⁶³ below ~10⁶-cent
+    * prices × 10⁵ days); β/α/residuals are the fixed
+    * [[olsSlopeFromSums]] spelling; ρ is a ratio of residual-product
+    * sums rounded 4 (aggregate-derived double, float sweep); the
+    * half-life derives from the ROUNDED ρ (ln of equal inputs is
+    * IEEE-identical), NULL outside 0 < ρ < 1. Pairs with constant
+    * b-leg report NULL β. */
+  def cointegrationScreen(ticks: DataFrame): DataFrame = {
+    val closes = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("cents"), col("tick_id")).as("cents"))
+      .localCheckpoint(true)
+    val grid = closes.select(col("symbol").as("sym_a"), col("day"),
+        col("cents").as("ca"))
+      .join(closes.select(col("symbol").as("sym_b"), col("day"),
+        col("cents").as("cb")), Seq("day"))
+      .filter(col("sym_a") < col("sym_b"))
+      .localCheckpoint(true)
+    val fit = grid.groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cb")).as("sx"), sum(col("ca")).as("sy"),
+        sum(col("cb") * col("ca")).as("sxy"),
+        sum(col("cb") * col("cb")).as("sxx"))
+      .withColumn("beta",
+        expr(olsSlopeFromSums("sx", "sy", "sxy", "sxx", "n_days")))
+      .withColumn("alpha",
+        expr(olsInterceptFromSums("sx", "sy", "beta", "n_days")))
+    val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
+    val resid = grid.join(fit.select("sym_a", "sym_b", "n_days",
+        "beta", "alpha"), Seq("sym_a", "sym_b"))
+      .filter(col("beta").isNotNull)
+      .withColumn("e",
+        expr("CAST(ca AS DOUBLE) - alpha - beta * CAST(cb AS DOUBLE)"))
+      .withColumn("e_lag", lag(col("e"), 1).over(wPair))
+      .filter(col("e_lag").isNotNull)
+      .groupBy("sym_a", "sym_b", "n_days", "beta")
+      .agg(sum(col("e") * col("e_lag")).as("s_cross"),
+        sum(col("e_lag") * col("e_lag")).as("s_lag2"))
+    resid
+      .withColumn("rho",
+        when(col("s_lag2") > 0, round(col("s_cross") / col("s_lag2"), 4)))
+      .withColumn("half_life_days",
+        when(col("rho") > 0 && col("rho") < 1,
+          round(-log(lit(2.0)) / log(col("rho")), 4)))
+      .select(col("sym_a"), col("sym_b"), col("n_days"),
+        round(col("beta"), 4).as("beta"), col("rho"),
+        col("half_life_days"))
+      .orderBy("sym_a", "sym_b")
+  }
 }

@@ -968,4 +968,55 @@ object TemporalJoins {
       .select("o_orderkey", "o_custkey", "o_day", "n_prior")
       .orderBy("o_orderkey")
   }
+
+  /** E18 — INTERVAL-UNION COVERAGE (the gaps-and-islands AGGREGATE):
+    * each order opens a half-open activity interval
+    * `[orderdate, orderdate + windowDays)`; per customer, merge every
+    * overlapping/touching run into maximal ISLANDS and report how
+    * much of the customer's own [first, last] span those islands
+    * actually cover — the canonical "total time under contract /
+    * on-treatment / in-position" aggregate (the measure E8 computes
+    * for ONE pair of sessions and E10 for a POINT grid, here as the
+    * general overlapping-interval union). A union's island is
+    * contiguous by construction — every member starts at-or-before
+    * the running max end — so its length is exactly `max(end) −
+    * min(start)`, and island detection is ONE strictly-preceding
+    * running-max window (start > all previous ends ⇒ new island)
+    * plus a running sum of starts: the D26 stretch-id discipline
+    * lifted from points to intervals.
+    *
+    * Shape: one hash exchange on the customer key; both windows and
+    * both aggregates reuse that partitioning — a single-shuffle plan
+    * at any scale (islands are per-key sequential state, exactly what
+    * a sort-within-partition window expresses; never a self-join).
+    * Everything is exact int64 epoch-day arithmetic; `coverage` is
+    * one IEEE division of exact ints, unrounded (§6). Tied
+    * same-day orders carry identical (start, end), so the running
+    * max and the island partition are permutation-invariant under
+    * engine tie order. */
+  def intervalCoverage(orders: DataFrame, windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val base = orders.select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("s"))
+      .withColumn("e", col("s") + lit(windowDays))
+    val wOrd = Window.partitionBy("o_custkey").orderBy("s")
+    val marked = base
+      .withColumn("pme",
+        max("e").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("pme").isNull || col("s") > col("pme"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum("ni").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = marked.groupBy("o_custkey", "island")
+      .agg(count(lit(1)).as("n_orders"),
+        min("s").as("i_s"), max("e").as("i_e"))
+    islands.groupBy("o_custkey")
+      .agg(sum("n_orders").as("n_orders"),
+        count(lit(1)).as("n_intervals"),
+        sum((col("i_e") - col("i_s")).cast("long")).as("covered_days"),
+        (max(col("i_e")) - min(col("i_s"))).cast("long").as("span_days"))
+      .withColumn("coverage",
+        col("covered_days").cast("double") / col("span_days").cast("double"))
+      .orderBy("o_custkey")
+  }
 }

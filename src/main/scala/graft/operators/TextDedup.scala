@@ -1788,14 +1788,23 @@ object TextDedup {
     * rounds over the (word, freq) vocabulary and returns both the
     * ordered merge decisions and the FINAL segmented vocab — so the
     * trainer (F59) and the encoder (F63) cannot drift on the loop. */
-  private def bpeCore(docs: DataFrame, nMerges: Int)
-      : (Seq[(Int, String, Long)], DataFrame) = {
+  private def bpeCore(docs: DataFrame, nMerges: Int,
+      trackMass: Boolean = false)
+      : (Seq[(Int, String, Long)], DataFrame, Seq[Long]) = {
     require(nMerges >= 1, s"need at least one merge round: $nMerges")
     var seg = docs.select(explode(expr(tokens)).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(expr("array_join(transform(sequence(1, length(word)), " +
         "i -> substring(word, i, 1)), ' ')").as("seg"), col("freq"))
       .localCheckpoint(true)
+    // Corpus BPE-token mass of the current segmentation — Σ freq ·
+    // |symbols|; one vocab-sized aggregate per round, only when the
+    // F93 curve asks for it (the trainer/encoder pay nothing).
+    def massOf(f: DataFrame): Long =
+      f.agg(sum(expr("freq * size(split(seg, ' '))")))
+        .collect()(0).getLong(0)
+    val masses = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (trackMass) masses += massOf(seg)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     for (r <- 1 to nMerges) {
       val top = seg
@@ -1824,14 +1833,49 @@ object TextDedup {
           "AND t = pb THEN concat(acc, t) " +
           "ELSE concat(acc, ' ', t) END)").as("seg"), col("freq"))
         .localCheckpoint(true)
+      if (trackMass) masses += massOf(seg)
     }
-    (merges.toSeq, seg)
+    (merges.toSeq, seg, masses.toSeq)
   }
 
   def bpeTrain(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     bpeCore(docs, nMerges)._1.toDF("merge_idx", "pair", "pair_cnt")
+      .orderBy("merge_idx")
+  }
+
+  /** F93 — BPE COMPRESSION CURVE (the vocab-size ROI the trainer's
+    * stopping rule reads): corpus BPE-token mass after EACH merge
+    * rung, 0 (character baseline) through `nMerges` — the
+    * tokens-per-merge diminishing-returns curve that decides how big
+    * a vocabulary is worth training (SentencePiece's vocab-size
+    * sweep, priced without re-encoding: the mass falls out of the
+    * SAME training cascade F59 already runs, one extra vocab-sized
+    * aggregate per rung). `tokens_saved` is the rung's marginal win;
+    * `compression` the cumulative chars-per-token ratio vs the
+    * character baseline. Note saved ≤ the rung's selected pair_cnt:
+    * overlapping occurrences ("aaa" under (a,a)) merge
+    * non-overlapping left-to-right, so the CURVE, not the pair
+    * count, is the truthful ROI.
+    *
+    * Shape: the F59 cascade (vocab-sized rounds, driver argmax) plus
+    * one Σ freq·|symbols| aggregate per rung — each a bounded driver
+    * action on the checkpointed vocab frame; the resulting
+    * (nMerges+1)-row frame is driver-built like the trainer's merge
+    * table. Engine-exactness: masses are exact int64; `compression`
+    * is one IEEE division of exact ints, round(4). */
+  def bpeCompressionCurve(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val masses = bpeCore(docs, nMerges, trackMass = true)._3
+    val rows = masses.zipWithIndex.map { case (m, i) =>
+      (i.toLong, m, if (i == 0) 0L else masses(i - 1) - m)
+    }
+    rows.toDF("merge_idx", "corpus_tokens", "tokens_saved")
+      .withColumn("compression",
+        round(lit(masses.head).cast("double") /
+          col("corpus_tokens").cast("double"), 4))
       .orderBy("merge_idx")
   }
 
@@ -1851,7 +1895,7 @@ object TextDedup {
     * the vocab frame — at 100 TB the join key is the word, the vocab
     * side is |V| rows. */
   def bpeEncode(docs: DataFrame, nMerges: Int): DataFrame = {
-    val (_, seg) = bpeCore(docs, nMerges)
+    val (_, seg, _) = bpeCore(docs, nMerges)
     val vocab = seg.select(
       expr("replace(seg, ' ', '')").as("word"),
       expr("size(split(seg, ' '))").cast("bigint").as("n_sym"))

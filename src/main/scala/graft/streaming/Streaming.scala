@@ -399,6 +399,41 @@ object Streaming {
       }
   }
 
+  case class DrawdownPoint(tick_id: Long, symbol: Long, cummax: Double,
+                           drawdown: Option[Double])
+
+  /** G35 — STREAMING DRAWDOWN MONITOR: the live twin of
+    * `Features.drawdown` (D13). Keyed state per symbol is ONE double
+    * — the running peak bid — and each tick emits the current peak
+    * and its drawdown ratio `(peak − bid)/peak` (None on a zero
+    * peak, the batch NULL guard): the risk monitor a live desk
+    * actually watches, where the batch op reports the same series
+    * after the fact. Fed in (ts, tick_id) order the per-tick values
+    * equal the batch window's row-for-row — spec'd. State is
+    * parameter-free and bounded: one double per live symbol. */
+  def drawdownPoints(ticks: Dataset[Tick]): Dataset[DrawdownPoint] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[Double]) =>
+          var peak = state.getOption
+          val out = rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id))
+            .map { t =>
+              val p = peak match {
+                case Some(x) => math.max(x, t.bid)
+                case None    => t.bid
+              }
+              peak = Some(p)
+              DrawdownPoint(t.tick_id, symbol, p,
+                if (p != 0.0) Some((p - t.bid) / p) else None)
+            }
+          peak.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class CapDecision(doc_id: Long, source: String, rnk: Long,
                          admitted: Boolean)
 

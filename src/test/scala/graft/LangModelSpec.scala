@@ -185,4 +185,37 @@ class LangModelSpec extends SparkSpec {
     // KN sanity: the smoothed conditional masses of head 'a' sum < 1.
     assert(pAB + pAC < 1.0)
   }
+
+  test("nbQualityClassifier: disjoint-vocabulary corpus distills the " +
+      "rule exactly; empty doc scores the bare prior") {
+    // "good" docs: 20 stopword tokens → rule-pos; their vocabulary
+    // ('the') is exclusive to the positive class, so the learned
+    // log-odds are strongly positive. "junk" docs: 2 non-stop tokens
+    // → rule-neg, exclusively negative vocabulary. The empty doc is
+    // rule-neg and scores margin = the bare prior
+    // ln(2+1) − ln(3+1) = −0.2877 → pred neg.
+    val good = ("the " * 20).trim
+    val rows = Seq(
+      (1L, good, "en", "good", 80L),
+      (2L, good, "en", "good", 80L),
+      (3L, "zz yy", "en", "junk", 5L),
+      (4L, "zz yy", "en", "junk", 5L),
+      (5L, "", "en", "empty", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = LangModel.nbQualityClassifier(rows, minTok = 20,
+        minStopPct = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    val g = out("good")
+    assert((g._1, g._2, g._3, g._4, g._5) == ((2L, 2L, 2L, 2L, 1.0)))
+    assert(g._6 > 0, "positive-vocabulary margin must be positive")
+    val j = out("junk")
+    assert((j._1, j._2, j._3, j._4, j._5) == ((2L, 0L, 0L, 2L, 1.0)))
+    assert(j._6 < 0, "negative-vocabulary margin must be negative")
+    val e = out("empty")
+    assert((e._1, e._2, e._3, e._4, e._5, e._6) ==
+      ((1L, 0L, 0L, 1L, 1.0, -0.2877)),
+      "token-less doc must score the prior, not drop")
+  }
 }

@@ -207,4 +207,30 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS h10_dim")
     }
   }
+
+  test("H11: a rank<=k filter over a window compiles to " +
+      "WindowGroupLimit — per-partition top-k heaps on BOTH sides " +
+      "of the exchange, never a full-group sort-then-filter") {
+    // The optimizer lever behind every top-k-per-group at 100 TB:
+    // Spark rewrites `row_number().over(w) <= k` into a
+    // WindowGroupLimit pair (Partial before the shuffle, Final
+    // after), so each map task ships at most k rows per group
+    // instead of the whole group — the difference between a k-row
+    // and a group-sized exchange. C4's operator inherits this by
+    // being spelled declaratively; this spec pins the contract so a
+    // refactor that breaks the rewrite (e.g. filtering on a derived
+    // column) is caught.
+    val df = spark.range(100000L)
+      .selectExpr("id % 100 AS g", "id AS v", "id AS tid").toDF()
+    val top = graft.operators.Analytics.topKPerGroup(df, "g", "v", "tid", 5)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the group-limit rewrite:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected Partial (map-side) AND Final group limits:\n$plan")
+    import spark.implicits._
+    assert(top.groupBy("g").count().agg(max("count"))
+      .as[Long].head() == 5L)
+    assert(top.count() == 500L)
+  }
 }

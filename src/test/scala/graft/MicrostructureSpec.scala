@@ -906,4 +906,38 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_days") == 3L)
     assert(out.head.getAs[Double]("elasticity") == 1.0)
   }
+
+  test("cointegrationScreen: hand-computed hedge ratio, intercept-" +
+      "consistent residual AR(1); constant-b pairs dropped; " +
+      "negative rho reports NULL half-life") {
+    // Pair (1,2): b-leg (sym 2) closes 100/200/300 cents, a-leg
+    // (sym 1) 200/410/590 = 2x + [0,+10,−10].
+    // Σx=600 Σy=1200 Σxy=279000 Σxx=140000 ⇒ vx=20000, cxy=39000
+    // beta = 1.95, alpha = 400 − 1.95·200 = 10
+    // e = [−5, 10, −5] ⇒ s_cross = −100, s_lag2 = 125 ⇒ rho = −0.8
+    // (not in (0,1) ⇒ half-life NULL).
+    // Sym 4 is constant ⇒ every (a, 4) pair has vx = 0 ⇒ dropped.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 2.00, 2.1),
+      (2L, 1L, "2024-01-02 10:00:00", 4.10, 4.2),
+      (3L, 1L, "2024-01-03 10:00:00", 5.90, 6.0),
+      (4L, 2L, "2024-01-01 10:00:00", 1.00, 1.1),
+      (5L, 2L, "2024-01-02 10:00:00", 2.00, 2.1),
+      (6L, 2L, "2024-01-03 10:00:00", 3.00, 3.1),
+      (7L, 4L, "2024-01-01 10:00:00", 1.00, 1.1),
+      (8L, 4L, "2024-01-02 10:00:00", 1.00, 1.1),
+      (9L, 4L, "2024-01-03 10:00:00", 1.00, 1.1))
+    val out = Microstructure.cointegrationScreen(ticks(rows: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3),
+          Option(r.getAs[java.lang.Double]("rho")),
+          Option(r.getAs[java.lang.Double]("half_life_days"))))).toMap
+    assert(out((1L, 2L)) == ((3L, 1.95, Some(-0.8), None)))
+    assert(!out.contains((1L, 4L)) && !out.contains((2L, 4L)),
+      "constant b-leg pairs must drop with NULL beta")
+    // (4, a>4) pairs do not exist here (no symbols above 4), and the
+    // a-leg-constant direction (4 as a) keeps its pair only when the
+    // b-leg varies — not applicable in this roster either way.
+    assert(out.keySet == Set((1L, 2L)))
+  }
 }

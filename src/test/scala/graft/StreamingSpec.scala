@@ -1223,4 +1223,42 @@ class StreamingSpec extends SparkSpec {
         5L -> 1L, 6L -> 0L, 7L -> 1L))
     } finally q.stop()
   }
+
+  test("G35 parity: drawdownPoints match the batch drawdown " +
+      "row-for-row, peak carrying across micro-batches, zero-peak " +
+      "guarded") {
+    import graft.streaming.Streaming.DrawdownPoint
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0),
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 12.0),  // new peak
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 9.0),   // dd vs 12 (x-batch)
+      Tick(4L, 1L, t("2024-01-01 10:00:04"), 11.0),  // still below 12
+      Tick(5L, 2L, t("2024-01-01 10:00:01"), 0.0))   // zero peak → None
+    val batch = graft.operators.Features.drawdown(
+      rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+        .toDF("tick_id", "symbol", "ts", "bid", "ask"))
+      .select("tick_id", "cummax", "drawdown")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.drawdownPoints(in.toDS())
+      .writeStream.format("memory").queryName("p_dd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val out = spark.table("p_dd").as[DrawdownPoint].collect()
+      assert(out.length == rows.length)
+      assert(out.find(_.tick_id == 3L).get.cummax == 12.0,
+        "running peak must carry across micro-batches")
+      assert(out.find(_.tick_id == 5L).get.drawdown.isEmpty)
+      out.foreach { p =>
+        assert(batch(p.tick_id) == ((p.cummax, p.drawdown)),
+          s"tick ${p.tick_id}")
+      }
+    } finally q.stop()
+  }
 }

@@ -468,4 +468,28 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 1L, 6L -> 0L, 7L -> 1L))
   }
+
+  test("intervalCoverage: overlapping intervals merge into islands, " +
+      "exactly-touching intervals merge (half-open), gaps split; " +
+      "coverage = union/span") {
+    val orders = Seq(
+      // customer 1: [0,30)+[14,44) merge (covered 44), gap, [59,89)
+      (1L, 1L, "1995-01-01 00:00:00"),
+      (2L, 1L, "1995-01-15 00:00:00"),
+      (3L, 1L, "1995-03-01 00:00:00"),
+      // customer 2: a single interval
+      (4L, 2L, "1995-06-01 00:00:00"),
+      // customer 3: [0,30) and [30,60) touch exactly → ONE island
+      (5L, 3L, "1995-01-01 00:00:00"),
+      (6L, 3L, "1995-01-31 00:00:00"))
+      .map { case (k, c, d) => (k, c, t(d)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = TemporalJoins.intervalCoverage(orders, 30)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 2L, 74L, 89L, 74.0 / 89.0)))
+    assert(out(2L) == ((1L, 1L, 30L, 30L, 1.0)))
+    assert(out(3L) == ((2L, 1L, 60L, 60L, 1.0)))
+  }
 }

@@ -339,6 +339,18 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
   }
 
+  test("bpeCompressionCurve: per-rung token mass on the hand-traced " +
+      "cascade; saved < selected pair_cnt under overlap") {
+    // Same corpus as the bpeTrain trace: masses 10 → 8 → 5 → 3.
+    // Round 1 selects 'a a' with pair_cnt 4 but saves only 2 tokens
+    // ('aaa' merges non-overlapping left-to-right, once per word).
+    val df = docs((1L, "aaab aaab ab"))
+    val out = TextDedup.bpeCompressionCurve(df, 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 10L, 0L, 1.0), (1L, 8L, 2L, 1.25),
+      (2L, 5L, 3L, 2.0), (3L, 3L, 2L, 3.3333)))
+  }
+
   test("bpeTrain fails fast when the vocabulary has no pairs left") {
     val df = docs((1L, "a b c a")) // every word 1 char → zero pairs
     val e = intercept[IllegalArgumentException] {
