@@ -671,6 +671,8 @@ object SparkEntry {
         coverageWindowDays)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
+    // D61 — time-weighted quoted spread (+ flicker-bias contrast).
+    "q_tw_spread" -> ((s, d) => TickOps.twQuotedSpread(Tables.ticks(s, d))),
     // D19 — Roll implied effective spread from serial covariance.
     "q_roll_spread" -> ((s, d) => Microstructure.rollSpread(Tables.ticks(s, d))),
     // D20 — Amihud illiquidity: avg |log return| per traded dollar.
@@ -2394,6 +2396,33 @@ object SparkEntry {
         |FROM d GROUP BY symbol ORDER BY symbol""".stripMargin,
     // B13 — TWAP: int64 time-weighted cent sums (day-bounded, no
     // overflow), B8's half-up integer e4 formula — no double sum.
+    // D61 — TW quoted spread: the TWAP holding-interval discipline on
+    // exact-cent spreads; both ratios single IEEE divisions of exact
+    // int sums, unrounded; single-tick days NULL via nullif.
+    "q_tw_spread" ->
+      s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date, n_ticks,
+        |  CAST(_s AS DOUBLE) / CAST(_d AS DOUBLE) AS twq_spread_cents,
+        |  CAST(_ss AS DOUBLE) / CAST(n_ticks AS DOUBLE)
+        |    AS avg_spread_cents
+        |FROM (
+        |  SELECT symbol, _date,
+        |    CAST(sum(CASE WHEN dur IS NOT NULL THEN sp * dur
+        |      ELSE 0 END) AS BIGINT) AS _s,
+        |    nullif(CAST(sum(coalesce(dur, 0)) AS BIGINT), 0) AS _d,
+        |    CAST(sum(sp) AS BIGINT) AS _ss,
+        |    count(*) AS n_ticks
+        |  FROM (
+        |    SELECT symbol, _date, sp,
+        |      lead(us) OVER (PARTITION BY symbol, _date
+        |        ORDER BY tick_id) - us AS dur
+        |    FROM (
+        |      SELECT symbol, CAST(ts AS DATE) AS _date, tick_id,
+        |        CAST(round(ask * 100.0, 0) AS BIGINT)
+        |          - CAST(round(bid * 100.0, 0) AS BIGINT) AS sp,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |      FROM $ticksSql t) p) q
+        |  GROUP BY symbol, _date) agg
+        |ORDER BY symbol, date""".stripMargin,
     "q_twap" ->
       s"""SELECT symbol, strftime(_date, '%Y-%m-%d') AS date,
         |  CAST((_s * 200 + _d) // (_d * 2) AS DOUBLE) / 10000.0 AS twap,
@@ -2782,9 +2811,11 @@ object SparkEntry {
              "sxx", "syy", "n_pairs")}, 4) AS leverage_corr
         |FROM g ORDER BY symbol""".stripMargin,
     // D60 — cointegration screen: exact-cent daily closes (max_by
-    // tick_id), exact-int OLS sums, the shared olsSlopeFromSums /
-    // olsInterceptFromSums spellings, residual AR(1) ratio round(4),
-    // half-life derived from the ROUNDED rho (float sweep).
+    // tick_id), ONE lag window + ONE 17-sum aggregate, beta/alpha via
+    // the shared olsSlopeFromSums spellings, the residual AR(1) sums
+    // expanded algebraically (arCrossFromSums — shared verbatim with
+    // the Spark side), rho round(4), half-life from the ROUNDED rho
+    // (float sweep).
     "q_cointegration" ->
       s"""WITH closes AS (SELECT user_id AS symbol,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -2795,28 +2826,39 @@ object SparkEntry {
         |    a.cents AS ca, b.cents AS cb
         |  FROM closes a JOIN closes b
         |    ON a.day = b.day AND a.symbol < b.symbol),
+        |lg AS (SELECT *,
+        |    lag(ca) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS ya,
+        |    lag(cb) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS xa
+        |  FROM grid),
         |fit AS (SELECT sym_a, sym_b, count(*) AS n_days,
         |    CAST(sum(cb) AS BIGINT) AS sx,
         |    CAST(sum(ca) AS BIGINT) AS sy,
         |    CAST(sum(cb * ca) AS BIGINT) AS sxy,
-        |    CAST(sum(cb * cb) AS BIGINT) AS sxx
-        |  FROM grid GROUP BY sym_a, sym_b),
+        |    CAST(sum(cb * cb) AS BIGINT) AS sxx,
+        |    count(ya) AS n1,
+        |    CAST(sum(ca * ya) AS BIGINT) AS c_yy1,
+        |    CAST(sum(ca * xa) AS BIGINT) AS c_yx1,
+        |    CAST(sum(cb * ya) AS BIGINT) AS c_xy1,
+        |    CAST(sum(cb * xa) AS BIGINT) AS c_xx1,
+        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN ca END) AS BIGINT)
+        |      AS c_y,
+        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN cb END) AS BIGINT)
+        |      AS c_x,
+        |    CAST(sum(ya) AS BIGINT) AS c_y1,
+        |    CAST(sum(xa) AS BIGINT) AS c_x1,
+        |    CAST(sum(ya * ya) AS BIGINT) AS c_y1sq,
+        |    CAST(sum(xa * xa) AS BIGINT) AS c_x1sq,
+        |    CAST(sum(ya * xa) AS BIGINT) AS c_x1y1
+        |  FROM lg GROUP BY sym_a, sym_b),
         |fb AS (SELECT *, ${Microstructure.olsSlopeFromSums("sx", "sy",
              "sxy", "sxx", "n_days")} AS beta FROM fit),
         |fab AS (SELECT *, ${Microstructure.olsInterceptFromSums("sx",
-             "sy", "beta", "n_days")} AS alpha FROM fb),
-        |e0 AS (SELECT g.sym_a, g.sym_b, f.n_days, f.beta, g.day,
-        |    CAST(g.ca AS DOUBLE) - f.alpha - f.beta * CAST(g.cb AS DOUBLE)
-        |      AS e
-        |  FROM grid g JOIN fab f USING (sym_a, sym_b)
-        |  WHERE f.beta IS NOT NULL),
-        |e1 AS (SELECT *, lag(e) OVER (PARTITION BY sym_a, sym_b
-        |      ORDER BY day) AS e_lag
-        |  FROM e0),
+             "sy", "beta", "n_days")} AS alpha FROM fb
+        |  WHERE beta IS NOT NULL),
         |s AS (SELECT sym_a, sym_b, n_days, beta,
-        |    sum(e * e_lag) AS s_cross, sum(e_lag * e_lag) AS s_lag2
-        |  FROM e1 WHERE e_lag IS NOT NULL
-        |  GROUP BY sym_a, sym_b, n_days, beta),
+        |    ${Microstructure.arCrossFromSums} AS s_cross,
+        |    ${Microstructure.arLag2FromSums} AS s_lag2
+        |  FROM fab),
         |rr AS (SELECT sym_a, sym_b, n_days, beta,
         |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) END
         |      AS rho

@@ -458,4 +458,49 @@ object CatalogOps {
     rows.toSeq.toDF("path", "bytes", "referenced", "deleted")
       .orderBy("path")
   }
+
+  /** A23 — PARTITION EVOLUTION on plain parquet (the Iceberg
+    * `ALTER TABLE … ADD PARTITION FIELD` analog, ref:
+    * `Apache Iceberg/init-iceberg.sql` declares
+    * `partitioning = ARRAY['year(datetime)']`; a growing deployment
+    * refines it to months without rewriting history): each partition-
+    * SPEC generation lives under its own `spec=<n>` root — spec 0
+    * year-partitioned, spec 1 (year, month)-partitioned — and NEW
+    * appends land in the finest spec while OLD files are NEVER
+    * rewritten, exactly Iceberg's contract (old files stay planned
+    * under the spec that wrote them).
+    *
+    * The read side unions the generations with the evolved column
+    * DERIVED for pre-evolution rows (`month(ts)` — a projected
+    * expression, not a stored column), so every query sees ONE
+    * schema. Pruning follows each generation's own depth: a year
+    * predicate prunes DIRECTORIES in both specs; a month predicate
+    * prunes directories only under spec 1 and falls back to a data
+    * filter on the derived column under spec 0 — still correct, just
+    * scan-bounded, which is the honest cost of not rewriting
+    * history (and why evolution beats re-layout at 100 TB: the new
+    * data gets the new pruning immediately, the old data keeps
+    * working). Spec'd plan-level: the spec-1 scan carries the month
+    * PartitionFilter, the spec-0 scan the same predicate as a data
+    * filter. */
+  def writePartitionSpec(df: DataFrame, root: String, spec: Int): Unit = {
+    require(spec == 0 || spec == 1, s"unknown partition spec: $spec")
+    val base = df.withColumn("yr", year(col("ts")))
+    if (spec == 0)
+      base.write.mode(SaveMode.Overwrite).partitionBy("yr")
+        .parquet(s"$root/spec=0")
+    else
+      base.withColumn("mo", month(col("ts")))
+        .write.mode(SaveMode.Overwrite).partitionBy("yr", "mo")
+        .parquet(s"$root/spec=1")
+  }
+
+  def evolvedPartitionRead(spark: SparkSession, root: String): DataFrame = {
+    val s0 = spark.read.parquet(s"$root/spec=0")
+      .withColumn("mo", month(col("ts")))
+      .withColumn("spec", lit(0))
+    val s1 = spark.read.parquet(s"$root/spec=1")
+      .withColumn("spec", lit(1))
+    s0.unionByName(s1)
+  }
 }

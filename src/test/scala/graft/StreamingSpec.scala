@@ -1224,6 +1224,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G37: pairSpreadZ emits only once both legs ticked, folds the " +
+      "Welford register exactly, and carries it across micro-batches") {
+    import graft.streaming.Streaming.PairZ
+    val feed = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0), // A alone: no spread
+      Tick(2L, 2L, t("2024-01-01 10:00:02"), 9.0),  // spread 1.0, n=1
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 11.0), // spread 2.0, n=2
+      Tick(4L, 2L, t("2024-01-01 10:00:04"), 10.5)) // spread 0.5 (x-batch)
+    // the exact Welford replay the operator must reproduce
+    def fold(spreads: Seq[Double]): Seq[(Double, Option[Double])] =
+      spreads.scanLeft((0L, 0.0, 0.0, Option.empty[Double], 0.0)) {
+        case ((n, mean, m2, _, _), s) =>
+          val n1 = n + 1; val d = s - mean
+          val mean1 = mean + d / n1; val m21 = m2 + d * (s - mean1)
+          val z = if (n1 >= 2 && m21 > 0.0)
+            Some((s - mean1) / math.sqrt(m21 / n1)) else None
+          (n1, mean1, m21, z, s)
+      }.drop(1).map(r => (r._5, r._4))
+    val expected = fold(Seq(1.0, 2.0, 0.5))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.pairSpreadZ(in.toDS(), Seq((1L, 2L)),
+        Map((1L, 2L) -> 1.0))
+      .writeStream.format("memory").queryName("p_pz")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(feed.take(3): _*); q.processAllAvailable()
+      in.addData(feed.drop(3): _*); q.processAllAvailable()
+      val out = spark.table("p_pz").as[PairZ].collect()
+        .sortBy(_.tick_id)
+      assert(out.length == 3, "tick 1 has no opposite leg yet")
+      assert(out.map(p => (p.spread, p.z)).toSeq == expected)
+      assert(out(0).z.isEmpty, "n = 1 has no variance")
+      assert(out(1).z == Some(1.0))
+    } finally q.stop()
+  }
+
+  test("G36 parity: coveragePoints' final emission per customer == " +
+      "batch intervalCoverage; an open island survives the batch " +
+      "split and exactly-touching intervals merge") {
+    import graft.streaming.Streaming.{CoveragePoint, OrderArrival}
+    // customer 1: [0,30)+[14,44) merge, gap, [59,89) — the split
+    // lands INSIDE the first (still-open) island, between days 0
+    // and 14; customer 3: [0,30)+[30,60) touch exactly → one island
+    val feed = Seq(
+      OrderArrival(1L, 1L, 0), OrderArrival(2L, 1L, 14),
+      OrderArrival(3L, 1L, 59),
+      OrderArrival(5L, 3L, 0), OrderArrival(6L, 3L, 30))
+    val ordersDf = feed.map(o => (o.o_orderkey, o.o_custkey,
+        java.sql.Timestamp.valueOf(java.time.LocalDate.ofEpochDay(
+          o.day_i.toLong).atStartOfDay())))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val batch = graft.operators.TemporalJoins.intervalCoverage(ordersDf, 30)
+      .select("o_custkey", "n_orders", "n_intervals", "covered_days",
+        "span_days")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[OrderArrival]
+    val q = Streaming.coveragePoints(in.toDS(), 30)
+      .writeStream.format("memory").queryName("p_cov")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.splitAt(1) // inside customer 1's open island
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val out = spark.table("p_cov").as[CoveragePoint].collect()
+      assert(out.length == feed.length)
+      val finals = out.groupBy(_.o_custkey).map { case (c, ps) =>
+        val last = ps.maxBy(_.n_orders)
+        c -> ((last.n_orders, last.n_intervals, last.covered_days,
+          last.span_days))
+      }
+      assert(finals == batch)
+      assert(batch(1L) == ((3L, 2L, 74L, 89L)))
+      assert(batch(3L) == ((2L, 1L, 60L, 60L)))
+      // the running report after order 2 shows the merged open island
+      val mid = out.find(_.o_orderkey == 2L).get
+      assert((mid.n_intervals, mid.covered_days) == ((1L, 44L)),
+        "open island must merge across the micro-batch split")
+    } finally q.stop()
+  }
+
   test("G35 parity: drawdownPoints match the batch drawdown " +
       "row-for-row, peak carrying across micro-batches, zero-peak " +
       "guarded") {

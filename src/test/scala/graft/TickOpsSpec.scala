@@ -188,4 +188,23 @@ class TickOpsSpec extends SparkSpec {
     assert(s2.isNullAt(s2.fieldIndex("twap")))
     assert(s2.getAs[Long]("n_weighted") == 0L)
   }
+
+  test("twQuotedSpread: holding-interval weights on exact-cent " +
+      "spreads; last quote unweighted; single-tick day NULL " +
+      "time-weighted, plain mean kept") {
+    // symbol 1: spreads 2¢/4¢/6¢ held 10 s/20 s/(open):
+    // tw = (2·10 + 4·20)/30 = 10/3; mean = 4.
+    val out = TickOps.twQuotedSpread(ticks(
+      (1L, 1L, "2024-01-01 10:00:00", 1.00, 1.02),
+      (2L, 1L, "2024-01-01 10:00:10", 1.00, 1.04),
+      (3L, 1L, "2024-01-01 10:00:30", 1.00, 1.06),
+      (4L, 2L, "2024-01-01 10:00:00", 1.00, 1.05)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_ticks"),
+          Option(r.getAs[java.lang.Double]("twq_spread_cents")),
+          r.getAs[Double]("avg_spread_cents")))).toMap
+    assert(out(1L) == ((3L, Some(100.0 / 30.0), 4.0)))
+    assert(out(2L) == ((1L, None, 5.0)),
+      "a single-tick day has no holding interval")
+  }
 }
