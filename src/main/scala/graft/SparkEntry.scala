@@ -128,6 +128,8 @@ object SparkEntry {
   val coverageWindowDays = 30   // E18 activity-interval length (days)
   val nbMinTok = 20             // F92 teaching-rule min token count
   val nbMinStopPct = 5          // F92 teaching-rule min stopword pct
+  val pairsEnterZ = 2.0         // D62 entry |z| threshold
+  val pairsExitZ = 0.5          // D62 exit |z| threshold
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -657,6 +659,11 @@ object SparkEntry {
     // close grid: hedge ratio, residual AR(1), half-life.
     "q_cointegration" -> ((s, d) =>
       Microstructure.cointegrationScreen(Tables.ticks(s, d))),
+    // D62 — pairs-trade backtest on the symPairs roster: z-scored
+    // hedge spread, window state machine, P&L per pair.
+    "q_pairs_backtest" -> ((s, d) =>
+      Microstructure.pairsBacktest(Tables.ticks(s, d), symPairs,
+        pairsEnterZ, pairsExitZ)),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -2816,6 +2823,72 @@ object SparkEntry {
     // expanded algebraically (arCrossFromSums — shared verbatim with
     // the Spark side), rho round(4), half-life from the ROUNDED rho
     // (float sweep).
+    // D62 — pairs backtest: the D60 close grid on the roster, β/mean/σ
+    // from exact-int sums (σ via the arCrossFromSums expansion
+    // discipline), the position state machine as last_value IGNORE
+    // NULLS over threshold-crossing signals, P&L round(4).
+    "q_pairs_backtest" ->
+      s"""WITH closes AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day,
+        |    a.cents AS ca, b.cents AS cb
+        |  FROM closes a JOIN closes b ON a.day = b.day
+        |  JOIN (VALUES $symPairsSql) r(pa, pb)
+        |    ON a.symbol = r.pa AND b.symbol = r.pb),
+        |st AS (SELECT sym_a, sym_b, count(*) AS n_days,
+        |    CAST(sum(cb) AS BIGINT) AS sx,
+        |    CAST(sum(ca) AS BIGINT) AS sy,
+        |    CAST(sum(cb * ca) AS BIGINT) AS sxy,
+        |    CAST(sum(cb * cb) AS BIGINT) AS sxx,
+        |    CAST(sum(ca * ca) AS BIGINT) AS syy
+        |  FROM grid GROUP BY 1, 2),
+        |sb AS (SELECT *, ${Microstructure.olsSlopeFromSums("sx", "sy",
+             "sxy", "sxx", "n_days")} AS beta FROM st),
+        |sm AS (SELECT *,
+        |    (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n_days
+        |      AS mean_s
+        |  FROM sb WHERE beta IS NOT NULL),
+        |sv AS (SELECT *,
+        |    (CAST(syy AS DOUBLE) - 2 * beta * CAST(sxy AS DOUBLE)
+        |      + beta * beta * CAST(sxx AS DOUBLE)) / n_days
+        |      - mean_s * mean_s AS var_s
+        |  FROM sm),
+        |ss AS (SELECT sym_a, sym_b, n_days, beta, mean_s,
+        |    sqrt(var_s) AS sd_s
+        |  FROM sv WHERE var_s > 0),
+        |tz AS (SELECT g.sym_a, g.sym_b, s.n_days, g.day,
+        |    CAST(g.ca AS DOUBLE) - s.beta * CAST(g.cb AS DOUBLE) AS sp,
+        |    (CAST(g.ca AS DOUBLE) - s.beta * CAST(g.cb AS DOUBLE)
+        |      - s.mean_s) / s.sd_s AS z
+        |  FROM grid g JOIN ss s USING (sym_a, sym_b)),
+        |sg AS (SELECT *, CASE
+        |    WHEN abs(z) >= $pairsEnterZ THEN
+        |      CASE WHEN z > 0 THEN -1 ELSE 1 END
+        |    WHEN abs(z) <= $pairsExitZ THEN 0 END AS sig
+        |  FROM tz),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY sym_a, sym_b ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *,
+        |    coalesce(lag(pos) OVER (PARTITION BY sym_a, sym_b
+        |      ORDER BY day), 0) AS pos_prev,
+        |    sp - lag(sp) OVER (PARTITION BY sym_a, sym_b
+        |      ORDER BY day) AS ds
+        |  FROM ps)
+        |SELECT sym_a, sym_b, n_days,
+        |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+        |  CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS days_in_pos,
+        |  round(sum(CASE WHEN ds IS NOT NULL
+        |    THEN CAST(pos_prev AS DOUBLE) * ds ELSE 0.0 END), 4)
+        |    AS pnl_cents
+        |FROM pp GROUP BY 1, 2, 3 ORDER BY sym_a, sym_b""".stripMargin,
     "q_cointegration" ->
       s"""WITH closes AS (SELECT user_id AS symbol,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -1800,6 +1800,93 @@ object Microstructure {
     * float sweep); the half-life derives from the ROUNDED ρ (ln of
     * equal inputs is IEEE-identical), NULL outside 0 < ρ < 1. Pairs
     * with constant b-leg report NULL β and drop. */
+  /** D62 — PAIRS-TRADE BACKTEST (the deployment loop closed: D60
+    * SCREENS the pairs, G37 monitors the spread live, this PRICES the
+    * strategy on history): for each roster pair, the daily hedge
+    * spread `sₜ = cₐ − β·c_b` is z-scored against its own full-sample
+    * mean/σ, a position enters at `|z| ≥ enterZ` (short the spread
+    * when rich, long when cheap), exits at `|z| ≤ exitZ`, and P&L
+    * accrues as `posₜ₋₁ · (sₜ − sₜ₋₁)` — the textbook
+    * Gatev/Engle–Granger pairs backtest, with the position STATE
+    * MACHINE spelled as windows: threshold crossings emit signals,
+    * the running position is `last(signal) IGNORE NULLS` over the
+    * preceding-inclusive frame — no per-pair driver loop, no UDF.
+    * Full-sample calibration (the screen's in-sample diagnostic, like
+    * D59's same-day sort) — walk-forward calibration composes with
+    * D9's folds when needed.
+    *
+    * Shape: the (symbol, day) close collapse, a broadcast-roster
+    * join (|roster| × |days| rows), β/mean/σ from ONE exact-int-sum
+    * aggregate (σ via `Σ(y−βx)² = syy − 2β·sxy + β²·sxx`, the
+    * [[arCrossFromSums]] expansion discipline), then three windows
+    * over the same pair-keyed exchange. Engine-exactness: sums exact
+    * int64; β/mean/σ/z one fixed spelling; positions are integer
+    * consequences of double compares (identical IEEE both engines);
+    * total P&L is an aggregate double → round(4) (float sweep). */
+  def pairsBacktest(ticks: DataFrame, pairs: Seq[(Long, Long)],
+                    enterZ: Double = 2.0, exitZ: Double = 0.5)
+      : DataFrame = {
+    require(pairs.nonEmpty, "pair roster must not be empty")
+    require(enterZ > exitZ && exitZ >= 0,
+      s"need enterZ > exitZ >= 0: $enterZ, $exitZ")
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val roster = pairs.toDF("sym_a", "sym_b")
+    val closes = ticks
+      .withColumn("cents", centsOf(col("bid")))
+      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
+      .agg(max_by(col("cents"), col("tick_id")).as("cents"))
+    val grid = closes.select(col("symbol").as("sym_a"), col("day"),
+        col("cents").as("ca"))
+      .join(closes.select(col("symbol").as("sym_b"), col("day"),
+        col("cents").as("cb")), Seq("day"))
+      .join(broadcast(roster), Seq("sym_a", "sym_b"))
+      .localCheckpoint(true)
+    val stats = grid.groupBy("sym_a", "sym_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("cb")).as("sx"), sum(col("ca")).as("sy"),
+        sum(col("cb") * col("ca")).as("sxy"),
+        sum(col("cb") * col("cb")).as("sxx"),
+        sum(col("ca") * col("ca")).as("syy"))
+      .withColumn("beta",
+        expr(olsSlopeFromSums("sx", "sy", "sxy", "sxx", "n_days")))
+      .filter(col("beta").isNotNull)
+      .withColumn("mean_s", expr(
+        "(CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE)) / n_days"))
+      .withColumn("var_s", expr(
+        "(CAST(syy AS DOUBLE) - 2 * beta * CAST(sxy AS DOUBLE)" +
+          " + beta * beta * CAST(sxx AS DOUBLE)) / n_days" +
+          " - mean_s * mean_s"))
+      .filter(col("var_s") > 0)
+      .withColumn("sd_s", sqrt(col("var_s")))
+      .select("sym_a", "sym_b", "n_days", "beta", "mean_s", "sd_s")
+    val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
+    val wRun = wPair.rowsBetween(Window.unboundedPreceding, 0)
+    val traded = grid.join(broadcast(stats), Seq("sym_a", "sym_b"))
+      .withColumn("s", expr(
+        "CAST(ca AS DOUBLE) - beta * CAST(cb AS DOUBLE)"))
+      .withColumn("z", expr("(s - mean_s) / sd_s"))
+      .withColumn("sig",
+        when(abs(col("z")) >= enterZ,
+          when(col("z") > 0, -1).otherwise(1))
+          .when(abs(col("z")) <= exitZ, 0))
+      .withColumn("pos", coalesce(
+        last(col("sig"), ignoreNulls = true).over(wRun), lit(0)))
+      .withColumn("pos_prev",
+        coalesce(lag(col("pos"), 1).over(wPair), lit(0)))
+      .withColumn("ds", col("s") - lag(col("s"), 1).over(wPair))
+      .withColumn("pnl",
+        when(col("ds").isNotNull,
+          col("pos_prev").cast("double") * col("ds")).otherwise(0.0))
+    traded.groupBy("sym_a", "sym_b", "n_days")
+      .agg(
+        sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("days_in_pos"),
+        round(sum(col("pnl")), 4).as("pnl_cents"))
+      .orderBy("sym_a", "sym_b")
+  }
+
   def cointegrationScreen(ticks: DataFrame): DataFrame = {
     val closes = ticks
       .withColumn("cents", centsOf(col("bid")))

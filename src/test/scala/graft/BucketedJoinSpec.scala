@@ -58,4 +58,40 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.enabled")
     }
   }
+
+  test("H12: a per-key WINDOW over a bucketed table needs NO " +
+      "exchange — the bucket spec satisfies the window's required " +
+      "distribution; plain parquet shuffles first") {
+    // The D-block's whole window family (lags, running sums, ewma,
+    // drawdown) requires ClusteredDistribution(symbol); a table
+    // persisted bucketBy(symbol) already IS hash-partitioned on it,
+    // so every later window pass skips the exchange entirely and
+    // pays only the in-partition sort — at 100 TB the difference
+    // between re-shuffling the tape per feature job and scanning it.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ticks = (1 to 1000).map(i => (i.toLong % 50, i.toLong, i * 1.0))
+        .toDF("symbol", "tick_id", "bid")
+      graft.operators.Layout.bucketedWrite(ticks, "t_bkt_w", "symbol", 8)
+      def lagged(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("symbol").orderBy("tick_id")
+        df.withColumn("prev", lag(col("bid"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .agg(sum(col("bid") - col("prev")).as("x"))
+      }
+      val onBucketed = lagged(spark.table("t_bkt_w"))
+      val onPlain = lagged(ticks)
+      val b = countShuffles(onBucketed)
+      val p = countShuffles(onPlain)
+      // bucketed: only the one-row final agg exchanges; plain adds
+      // the window's hash exchange
+      assert(b < p, s"bucketed=$b plain=$p")
+      assert(onBucketed.collect().head.getDouble(0) ==
+        onPlain.collect().head.getDouble(0))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_bkt_w")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
 }

@@ -907,6 +907,35 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.head.getAs[Double]("elasticity") == 1.0)
   }
 
+  test("pairsBacktest: exact z path (β=1, σ=20 by construction) — " +
+      "spike enters short at z=2.0, exits at |z|<=0.5, P&L = the " +
+      "spread give-back; a sub-threshold pair never trades") {
+    // Pair (1,2): cb = [100,200,150,200,100] cents, spread
+    // s = [10,10,60,10,10] (orthogonal to cb by construction ⇒ the
+    // OLS β is EXACTLY 1; mean_s = 20, var_s = 400, σ = 20) ⇒
+    // z = [−.5, −.5, 2.0, −.5, −.5]: day 3 enters pos −1 (rich
+    // spread), day 4 exits; pnl = (−1)·(10 − 60) = +50.
+    // Pair (3,4): dev pattern [−10,10,0,−10,10] ⇒ |z| ≤ 1.12, and
+    // 1.12 is between exit (0.5) and entry (2.0) ⇒ never trades.
+    val cb = Seq(100, 200, 150, 200, 100)
+    val ca1 = Seq(110, 210, 210, 210, 110)
+    val ca2 = Seq(110, 230, 170, 210, 130)
+    val rows = (0 until 5).flatMap { i =>
+      val day = f"2024-01-${i + 1}%02d 10:00:00"
+      Seq((i * 10L + 1, 1L, day, ca1(i) / 100.0, 9.9),
+        (i * 10L + 2, 2L, day, cb(i) / 100.0, 9.9),
+        (i * 10L + 3, 3L, day, ca2(i) / 100.0, 9.9),
+        (i * 10L + 4, 4L, day, cb(i) / 100.0, 9.9))
+    }
+    val out = Microstructure.pairsBacktest(ticks(rows: _*),
+        Seq((1L, 2L), (3L, 4L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out((1L, 2L)) == ((5L, 1L, 1L, 50.0)))
+    assert(out((3L, 4L)) == ((5L, 0L, 0L, 0.0)))
+  }
+
   test("cointegrationScreen: hand-computed hedge ratio, intercept-" +
       "consistent residual AR(1); constant-b pairs dropped; " +
       "negative rho reports NULL half-life") {
