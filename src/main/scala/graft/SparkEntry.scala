@@ -130,6 +130,8 @@ object SparkEntry {
   val nbMinStopPct = 5          // F92 teaching-rule min stopword pct
   val pairsEnterZ = 2.0         // D62 entry |z| threshold
   val pairsExitZ = 0.5          // D62 exit |z| threshold
+  val incrVocabSplit = 200L     // F94 base/delta doc_id split
+  val incrVocabK = 50           // F94 reported vocabulary head
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -1067,6 +1069,11 @@ object SparkEntry {
       TextDedup.repeatedSpans(Tables.documents(s, d), 3)),
     "q_token_freq" -> ((s, d) =>
       TextDedup.tokenFrequency(Tables.documents(s, d), 20)),
+    // F94 — incremental vocab maintenance: base ⊎ delta merge; the
+    // oracle recomputes from the full corpus (merge == recompute).
+    "q_incr_vocab" -> ((s, d) =>
+      TextDedup.incrementalVocab(Tables.documents(s, d),
+        incrVocabSplit, incrVocabK)),
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
@@ -5606,6 +5613,26 @@ object SparkEntry {
         |      i -> array_to_string(tk[i:i+2], ' ')) AS g
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
+    },
+    // F94 — the oracle computes all three counts from the FULL corpus
+    // in one pass; the Spark side merges two per-release aggregates —
+    // the hash match IS the merge-equals-recompute identity.
+    "q_incr_vocab" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS token
+        |  FROM documents),
+        |c AS (SELECT token,
+        |    CAST(sum(CASE WHEN doc_id <= $incrVocabSplit
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS base_cnt,
+        |    CAST(sum(CASE WHEN doc_id > $incrVocabSplit
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS delta_cnt,
+        |    count(*) AS total_cnt
+        |  FROM tok GROUP BY token),
+        |k AS (SELECT * FROM c
+        |  ORDER BY total_cnt DESC, token LIMIT $incrVocabK)
+        |SELECT row_number() OVER (ORDER BY total_cnt DESC, token)
+        |    AS rnk, token, base_cnt, delta_cnt, total_cnt
+        |FROM k ORDER BY rnk""".stripMargin
     },
     "q_token_freq" -> {
       import graft.functions.PortableText._

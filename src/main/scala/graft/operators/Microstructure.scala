@@ -1836,11 +1836,18 @@ object Microstructure {
       .withColumn("cents", centsOf(col("bid")))
       .groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(max_by(col("cents"), col("tick_id")).as("cents"))
-    val grid = closes.select(col("symbol").as("sym_a"), col("day"),
-        col("cents").as("ca"))
-      .join(closes.select(col("symbol").as("sym_b"), col("day"),
-        col("cents").as("cb")), Seq("day"))
-      .join(broadcast(roster), Seq("sym_a", "sym_b"))
+    // Roster joins FIRST — each leg filters to the roster's symbols
+    // BEFORE the day join, so the grid is |roster| × |days| by
+    // construction (joining the full closes×closes day grid first
+    // and filtering after builds a |symbols|²-sized intermediate:
+    // measured as a non-completion on the 10× symbol replica).
+    val grid = broadcast(roster)
+      .join(closes.select(col("symbol").as("sym_a"), col("day"),
+        col("cents").as("ca")), Seq("sym_a"))
+      .join(closes.select(col("symbol").as("_sb"),
+        col("day").as("_db"), col("cents").as("cb")),
+        col("sym_b") === col("_sb") && col("day") === col("_db"))
+      .select("sym_a", "sym_b", "day", "ca", "cb")
       .localCheckpoint(true)
     val stats = grid.groupBy("sym_a", "sym_b")
       .agg(count(lit(1)).as("n_days"),

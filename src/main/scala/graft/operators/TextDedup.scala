@@ -1260,6 +1260,44 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F94 — INCREMENTAL VOCABULARY MAINTENANCE (mergeable-statistics
+    * release update): the corpus's token-frequency table for release
+    * N+1 produced by MERGING release N's persisted stats with the
+    * delta batch's stats — `counts_{N+1} = counts_N ⊎ counts_Δ`
+    * (union + token-keyed sum) — never by rescanning release N:
+    * the property every 100 TB statistics pipeline lives on (a
+    * release rescan is a cluster-day; a merge is delta-sized plus a
+    * vocab-sized aggregate). Token counts are the archetype; the
+    * same algebra carries every sum/count/HLL/CMS artifact in the
+    * F-block (F14b's HLL max-merge, F47's CMS cell-sum are its
+    * sketch-side siblings).
+    *
+    * The oracle PROVES merge-equals-recompute: the Spark side builds
+    * the answer as two scans (base ≤ splitId < delta) merged; the
+    * DuckDB dual recomputes all three columns from the full corpus
+    * in one pass — a hash match IS the algebraic identity, checked
+    * at every gate SF. Top-k selected per the termSearch heap
+    * discipline (never a global rank window); counts exact int64. */
+  def incrementalVocab(docs: DataFrame, splitId: Long, k: Int): DataFrame = {
+    def stats(part: DataFrame) = part
+      .select(explode(expr(tokens)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val base = stats(docs.filter(col("doc_id") <= splitId))
+      .withColumnRenamed("cnt", "base_cnt")
+    val delta = stats(docs.filter(col("doc_id") > splitId))
+      .withColumnRenamed("cnt", "delta_cnt")
+    base.join(delta, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("base_cnt"), lit(0L)).as("base_cnt"),
+        coalesce(col("delta_cnt"), lit(0L)).as("delta_cnt"))
+      .withColumn("total_cnt", col("base_cnt") + col("delta_cnt"))
+      .orderBy(col("total_cnt").desc, col("token")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("total_cnt").desc, col("token"))))
+      .select("rnk", "token", "base_cnt", "delta_cnt", "total_cnt")
+      .orderBy("rnk")
+  }
+
   /** F54 — TOKEN CONCENTRATION profile: how head-heavy is the corpus
     * vocabulary — the top-k occurrence share and the Herfindahl
     * index of the token distribution (the two scalars that flag a

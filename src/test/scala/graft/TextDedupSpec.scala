@@ -339,6 +339,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
   }
 
+  test("incrementalVocab: base ⊎ delta merge equals the full " +
+      "recompute; split-straddling tokens sum across releases") {
+    // split 200: docs 1, 100 are the base release, 300 the delta
+    val d = docs((1L, "a a b"), (100L, "b c"), (300L, "a c c"))
+    val out = TextDedup.incrementalVocab(d, 200L, 10)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1, "a", 2L, 1L, 3L), (2, "c", 1L, 2L, 3L),
+      (3, "b", 2L, 0L, 2L)))
+  }
+
   test("bpeCompressionCurve: per-rung token mass on the hand-traced " +
       "cascade; saved < selected pair_cnt under overlap") {
     // Same corpus as the bpeTrain trace: masses 10 → 8 → 5 → 3.
