@@ -132,6 +132,7 @@ object SparkEntry {
   val pairsExitZ = 0.5          // D62 exit |z| threshold
   val incrVocabSplit = 200L     // F94 base/delta doc_id split
   val incrVocabK = 50           // F94 reported vocabulary head
+  val pathTopK = 25             // E19 reported transition head
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -678,6 +679,9 @@ object SparkEntry {
     "q_interval_coverage" -> ((s, d) =>
       TemporalJoins.intervalCoverage(Tables.orders(s, d),
         coverageWindowDays)),
+    // E19 — event-path census: consecutive-transition Markov table.
+    "q_event_paths" -> ((s, d) =>
+      TemporalJoins.eventPaths(Tables.events(s, d), pathTopK)),
     // B13 — TWAP per (symbol, day), next-tick holding intervals.
     "q_twap" -> ((s, d) => TickOps.twap(Tables.ticks(s, d))),
     // D61 — time-weighted quoted spread (+ flicker-bias contrast).
@@ -2983,6 +2987,30 @@ object SparkEntry {
         |    RANGE BETWEEN $velocityDays PRECEDING AND 1 PRECEDING)
         |    AS n_prior
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // E19 — event-path census: per-user lag over (ts, event_id) total
+    // order, alphabet-bounded edge aggregate, exact-int share
+    // division, termSearch heap top-k.
+    "q_event_paths" ->
+      s"""WITH lg AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |e AS (SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_edges
+        |  FROM lg WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type),
+        |m AS (SELECT prev_type, CAST(sum(n_edges) AS BIGINT) AS n_out
+        |  FROM e GROUP BY prev_type),
+        |k AS (SELECT e.prev_type, e.next_type, e.n_edges, m.n_out,
+        |    CAST(e.n_edges AS DOUBLE) / CAST(m.n_out AS DOUBLE)
+        |      AS share
+        |  FROM e JOIN m USING (prev_type)
+        |  ORDER BY e.n_edges DESC, e.prev_type, e.next_type
+        |  LIMIT $pathTopK)
+        |SELECT row_number() OVER (ORDER BY n_edges DESC, prev_type,
+        |    next_type) AS rnk,
+        |  prev_type, next_type, n_edges, n_out, share
+        |FROM k ORDER BY rnk""".stripMargin,
     // E18 — interval-union coverage: strictly-preceding running-max
     // window for island starts, running sum for island ids, exact
     // int64 epoch-day arithmetic throughout; coverage is one IEEE

@@ -969,6 +969,47 @@ object TemporalJoins {
       .orderBy("o_orderkey")
   }
 
+  /** E19 — EVENT-PATH CENSUS (consecutive-transition mining): the
+    * count of every observed `prev_type → next_type` transition
+    * across all users' event streams, plus each transition's share
+    * of its source type's outgoing edges — the empirical Markov
+    * transition table behind funnel DISCOVERY (E9/E15 MATCH a given
+    * pattern; this one reports which patterns exist and how often —
+    * what product analytics calls a path/Sankey census and
+    * sessionized clickstream mining runs at web scale). Top-k edges
+    * by count via the termSearch heap discipline.
+    *
+    * Shape: one user-keyed exchange carries the lag window; the
+    * edge aggregate map-side combines (|edges| ≤ |event types|² —
+    * alphabet-bounded, NOT data-bounded); the outgoing-mass
+    * re-aggregate runs on that bounded frame. Ties in the per-user
+    * order broken by event_id (total order — engine tie order can
+    * never move an edge). Counts exact int64; `share` is one IEEE
+    * division of exact ints, unrounded (§6). */
+  def eventPaths(events: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val edges = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_edges"))
+    val outMass = edges.groupBy("prev_type")
+      .agg(sum(col("n_edges")).as("n_out"))
+    edges.join(outMass, Seq("prev_type"))
+      .withColumn("share",
+        col("n_edges").cast("double") / col("n_out").cast("double"))
+      .orderBy(col("n_edges").desc, col("prev_type"), col("next_type"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("n_edges").desc, col("prev_type"), col("next_type"))))
+      .select("rnk", "prev_type", "next_type", "n_edges", "n_out",
+        "share")
+      .orderBy("rnk")
+  }
+
   /** E18 — INTERVAL-UNION COVERAGE (the gaps-and-islands AGGREGATE):
     * each order opens a half-open activity interval
     * `[orderdate, orderdate + windowDays)`; per customer, merge every

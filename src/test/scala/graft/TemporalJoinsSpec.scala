@@ -469,6 +469,30 @@ class TemporalJoinsSpec extends SparkSpec {
       5L -> 1L, 6L -> 0L, 7L -> 1L))
   }
 
+  test("eventPaths: per-user consecutive transitions counted, " +
+      "cross-user edges pooled, share = edge/outgoing mass; no " +
+      "cross-user phantom edge") {
+    def ev(id: Long, u: Long, ty: String, s: String) =
+      (id, u, t(s), ty, 0.0, "{}")
+    val events = Seq(
+      // user 1: view → click → view   user 2: view → click
+      ev(1L, 1L, "view", "2024-01-01 10:00:00"),
+      ev(2L, 1L, "click", "2024-01-01 10:01:00"),
+      ev(3L, 1L, "view", "2024-01-01 10:02:00"),
+      ev(4L, 2L, "view", "2024-01-01 09:00:00"),
+      ev(5L, 2L, "click", "2024-01-01 09:30:00"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val out = TemporalJoins.eventPaths(events, 10)
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getInt(0), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // edges: view→click ×2 (users 1, 2), click→view ×1 (user 1);
+    // user 1's trailing view must NOT chain into user 2's stream
+    assert(out.size == 2)
+    assert(out(("view", "click")) == ((1, 2L, 2L, 1.0)))
+    assert(out(("click", "view")) == ((2, 1L, 1L, 1.0)))
+  }
+
   test("intervalCoverage: overlapping intervals merge into islands, " +
       "exactly-touching intervals merge (half-open), gaps split; " +
       "coverage = union/span") {
