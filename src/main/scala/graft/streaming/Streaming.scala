@@ -1454,6 +1454,41 @@ object Streaming {
       }
   }
 
+  case class PathEvent(event_id: Long, user_id: Long, ts: Timestamp,
+                       event_type: String)
+  case class EdgePoint(user_id: Long, prev_type: String,
+                       next_type: String)
+
+  /** G38 — STREAMING EVENT-PATH EDGES: E19's online leg — each
+    * user's consecutive `prev → next` transition emitted AT ARRIVAL
+    * TIME, so the downstream census (a windowed count on this
+    * stream) is maintained continuously instead of recomputed from
+    * the log. Keyed state per user is ONE string register (the last
+    * event type; G12's last-bid discipline on the categorical
+    * alphabet) — a user's first-ever event emits nothing, exactly
+    * the batch lag's NULL head. Parity spec: pooled emitted edges
+    * across a micro-batch split equal the batch census edge-for-edge
+    * (the split landing BETWEEN one user's events — the register
+    * must carry). */
+  def pathEdges(events: Dataset[PathEvent]): Dataset[EdgePoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[PathEvent],
+         state: GroupState[String]) =>
+          var prev = state.getOption
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .flatMap { e =>
+              val edge = prev.map(p => EdgePoint(user, p, e.event_type))
+              prev = Some(e.event_type)
+              edge
+            }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** G37 keyed state: each leg's last price (NaN = unseen) + the
     * Welford register over the observed spread series. */
   case class PairSpreadState(lastA: Double, lastB: Double, n: Long,

@@ -1224,6 +1224,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G38 parity: pathEdges' pooled emissions equal the batch " +
+      "event-path census edge-for-edge; the last-type register " +
+      "carries across the micro-batch split") {
+    import graft.streaming.Streaming.{EdgePoint, PathEvent}
+    val feed = Seq(
+      PathEvent(1L, 1L, t("2024-01-01 10:00:00"), "view"),
+      PathEvent(2L, 1L, t("2024-01-01 10:01:00"), "click"),
+      // split lands here: user 1's next edge needs the register
+      PathEvent(3L, 1L, t("2024-01-01 10:02:00"), "view"),
+      PathEvent(4L, 2L, t("2024-01-01 09:00:00"), "view"),
+      PathEvent(5L, 2L, t("2024-01-01 09:30:00"), "click"))
+    val eventsDf = feed.map(e => (e.event_id, e.user_id, e.ts,
+        e.event_type, 0.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val batch = graft.operators.TemporalJoins.eventPaths(eventsDf, 10)
+      .select("prev_type", "next_type", "n_edges")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[PathEvent]
+    val q = Streaming.pathEdges(in.toDS())
+      .writeStream.format("memory").queryName("p_edges")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(feed.take(2): _*); q.processAllAvailable()
+      in.addData(feed.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("p_edges").as[EdgePoint].collect()
+        .groupBy(e => (e.prev_type, e.next_type))
+        .map { case (k, es) => k -> es.length.toLong }
+      assert(streamed == batch)
+      assert(batch == Map(("view", "click") -> 2L,
+        ("click", "view") -> 1L))
+    } finally q.stop()
+  }
+
   test("G37: pairSpreadZ emits only once both legs ticked, folds the " +
       "Welford register exactly, and carries it across micro-batches") {
     import graft.streaming.Streaming.PairZ
