@@ -17,6 +17,9 @@ object CheckpointRecoverySpec {
   val nearDup = new java.util.concurrent.ConcurrentHashMap[Long, Boolean]()
   val ewma = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Double)]()
   val velocity = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  val ddown = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+  val pairz =
+    new java.util.concurrent.ConcurrentHashMap[Long, Option[Double]]()
 }
 
 class CheckpointRecoverySpec extends SparkSpec {
@@ -163,6 +166,78 @@ class CheckpointRecoverySpec extends SparkSpec {
       q2.processAllAvailable()
       assert(CheckpointRecoverySpec.velocity.get(4L) == 1L,
         "same-day sibling must not count post-restart either")
+    } finally q2.stop()
+  }
+
+  test("drawdown running-peak state survives a stop/restart from " +
+      "checkpoint: the peak carries, not resets") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_dd").toString
+    val in = MemoryStream[Streaming.Tick]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def start() = Streaming.drawdownPoints(in.toDS())
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Streaming.DrawdownPoint],
+         _: Long) =>
+          batch.collect().foreach(p =>
+            CheckpointRecoverySpec.ddown.put(p.tick_id, p.cummax))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(Streaming.Tick(1L, 1L, t("2024-01-01 10:00:01"), 12.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // a RESTARTED fold would report cummax 9.0 here
+      in.addData(Streaming.Tick(2L, 1L, t("2024-01-01 10:00:02"), 9.0))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.ddown.get(2L) == 12.0,
+        "post-restart tick must see the recovered running peak")
+    } finally q2.stop()
+  }
+
+  test("pair-spread Welford registers survive a stop/restart from " +
+      "checkpoint: n/mean/M2 continue, not restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft_ckpt_pz").toString
+    val in = MemoryStream[Streaming.Tick]
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def start() = Streaming.pairSpreadZ(in.toDS(), Seq((1L, 2L)),
+        Map((1L, 2L) -> 1.0))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Streaming.PairZ],
+         _: Long) =>
+          batch.collect().foreach(p =>
+            CheckpointRecoverySpec.pairz.put(p.tick_id, p.z))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(
+        Streaming.Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.0),
+        Streaming.Tick(2L, 2L, t("2024-01-01 10:00:02"), 9.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // spread 1.0 observed once; n=1 → no z yet
+    assert(CheckpointRecoverySpec.pairz.get(2L) == None)
+    val q2 = start()
+    try {
+      // leg A ticks to 11 → spread 2.0 is the SECOND observation on
+      // the recovered register: n=2, mean 1.5, m2 0.5 → z = 1.0.
+      // A restarted register would have n=1 and emit no z.
+      in.addData(Streaming.Tick(3L, 1L, t("2024-01-01 10:00:03"), 11.0))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.pairz.get(3L) == Some(1.0),
+        "post-restart spread must fold onto the recovered Welford " +
+          "register (and the recovered last-leg prices)")
     } finally q2.stop()
   }
 }
