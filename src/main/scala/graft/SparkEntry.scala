@@ -133,6 +133,8 @@ object SparkEntry {
   val incrVocabSplit = 200L     // F94 base/delta doc_id split
   val incrVocabK = 50           // F94 reported vocabulary head
   val pathTopK = 25             // E19 reported transition head
+  val centIters = 10            // F95 PageRank rounds
+  val centDamping = 0.85        // F95 damping factor
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -1078,6 +1080,10 @@ object SparkEntry {
     "q_incr_vocab" -> ((s, d) =>
       TextDedup.incrementalVocab(Tables.documents(s, d),
         incrVocabSplit, incrVocabK)),
+    // F95 — duplication-graph source centrality (weighted PageRank).
+    "q_source_centrality" -> ((s, d) =>
+      TextDedup.sourceCentrality(Tables.documents(s, d),
+        centIters, centDamping)),
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
@@ -5641,6 +5647,41 @@ object SparkEntry {
         |      i -> array_to_string(tk[i:i+2], ' ')) AS g
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
+    },
+    // F95 — PageRank over the cross-source duplication graph: the
+    // round cascade is GENERATED from centIters (the bpeCascadeSql
+    // rule — round count cannot drift), every double op one shared
+    // spelling, teleport denominator the nodes-count subquery.
+    "q_source_centrality" -> {
+      import graft.functions.PortableText._
+      val rounds = (1 to centIters).map { r =>
+        s"""c$r AS (SELECT e.dst AS source,
+          |    sum(p.pr * (CAST(e.w AS DOUBLE) / CAST(ow.outw AS DOUBLE)))
+          |      AS inflow
+          |  FROM e JOIN ow ON e.src = ow.src
+          |  JOIN pr${r - 1} p ON p.source = e.src
+          |  GROUP BY e.dst),
+          |pr$r AS (SELECT n.source,
+          |    (1.0 - $centDamping) / (SELECT n FROM nn)
+          |      + $centDamping * coalesce(c$r.inflow, 0.0) AS pr
+          |  FROM nodes n LEFT JOIN c$r ON n.source = c$r.source)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH fps AS (SELECT source, $duckDocFingerprint AS fp
+        |  FROM documents),
+        |ps AS (SELECT fp, source, count(*) AS n FROM fps GROUP BY 1, 2),
+        |e AS (SELECT a.source AS src, b.source AS dst,
+        |    CAST(sum(a.n * b.n) AS BIGINT) AS w
+        |  FROM ps a JOIN ps b ON a.fp = b.fp AND a.source <> b.source
+        |  GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT source FROM documents),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+        |  FROM e GROUP BY src),
+        |pr0 AS (SELECT source, 1.0 / (SELECT n FROM nn) AS pr
+        |  FROM nodes),
+        |$rounds
+        |SELECT source, round(pr, 4) AS pagerank FROM pr$centIters
+        |ORDER BY source""".stripMargin
     },
     // F94 — the oracle computes all three counts from the FULL corpus
     // in one pass; the Spark side merges two per-release aggregates —

@@ -1260,6 +1260,67 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F95 — DUPLICATION-GRAPH SOURCE CENTRALITY (weighted PageRank):
+    * the link-analysis representative — nodes are SOURCES, a
+    * directed edge (s → t) weighs how many identical-content doc
+    * pairs the two feeds share (F1b's cross-source dup matrix as a
+    * graph), and `iters` damped PageRank rounds score each source's
+    * centrality IN THE COPYING NETWORK: mirror hubs and scraped-feed
+    * clusters rank high, original feeds low — the curation signal
+    * for "which source is everyone else copying" that pairwise dup
+    * counts can't see (centrality is transitive; a matrix cell
+    * isn't). Dangling sources (no outgoing duplication) keep the
+    * teleport mass only — the standard simplified variant, stated.
+    *
+    * Shape: the corpus-sized work is ONE fingerprint collapse
+    * (per-(fp, source) multiplicities); the edge frame is
+    * |sources|²-bounded and every PageRank round runs on it (the
+    * F13/F59 bounded-cascade discipline, localCheckpoint per round;
+    * |nodes| is a bounded driver count, the A19 rule). At 100 TB the
+    * cost is the one fingerprint aggregate every dedup pass already
+    * pays.
+    *
+    * Engine-exactness: weights exact int64 (multiplicity products);
+    * every per-round double — teleport `(1.0 − d)/N`, edge share
+    * `w/outw`, damped sum — is ONE interpolated spelling shared with
+    * the oracle's GENERATED round cascade (the bpeCascadeSql rule:
+    * same loop count by construction); final score round(4). */
+  def sourceCentrality(docs: DataFrame, iters: Int = 10,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"need at least one round: $iters")
+    import graft.functions.PortableText.docFingerprint
+    graft.functions.PolyHash.register(docs.sparkSession)
+    val perSrcFp = docs
+      .select(col("source"), expr(docFingerprint).as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+    val e = perSrcFp.as("a")
+      .join(perSrcFp.select(col("fp"), col("source").as("dst"),
+        col("n").as("m")), Seq("fp"))
+      .filter(col("source") =!= col("dst"))
+      .groupBy(col("source").as("src"), col("dst"))
+      .agg(sum(col("n") * col("m")).as("w"))
+      .localCheckpoint(true)
+    val nodes = docs.select("source").distinct().localCheckpoint(true)
+    val nN = nodes.count()
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+      .localCheckpoint(true)
+    var pr = nodes.withColumn("pr", expr(s"1.0 / $nN"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outw, Seq("src"))
+        .join(pr.select(col("source").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst").as("source"))
+        .agg(sum(expr("pr * (CAST(w AS DOUBLE) / CAST(outw AS DOUBLE))"))
+          .as("inflow"))
+      pr = nodes.join(contrib, Seq("source"), "left")
+        .withColumn("pr", expr(
+          s"(1.0 - $damping) / $nN + $damping * coalesce(inflow, 0.0)"))
+        .select("source", "pr")
+        .localCheckpoint(true)
+    }
+    pr.select(col("source"), round(col("pr"), 4).as("pagerank"))
+      .orderBy("source")
+  }
+
   /** F94 — INCREMENTAL VOCABULARY MAINTENANCE (mergeable-statistics
     * release update): the corpus's token-frequency table for release
     * N+1 produced by MERGING release N's persisted stats with the

@@ -339,6 +339,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
   }
 
+  test("sourceCentrality: symmetric dup pair holds its fixed point " +
+      "(exactly 1/3 every round); a dangling source keeps only the " +
+      "teleport mass") {
+    // A and B share two identical docs (edges A↔B, weight 2 each
+    // way); C is isolated. N=3: pr(A)=pr(B)=0.05+0.85·(1/3) = 1/3
+    // EXACTLY each round (0.15/3 + 0.85/3), pr(C)=0.15/3=0.05.
+    val rows = Seq(
+      (1L, "x", "en", "A", 1L), (2L, "x", "en", "B", 1L),
+      (3L, "z", "en", "A", 1L), (4L, "z", "en", "B", 1L),
+      (5L, "y", "en", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextDedup.sourceCentrality(rows, iters = 10)
+      .as[(String, Double)].collect().toMap
+    assert(out("A") == 0.3333 && out("B") == 0.3333)
+    assert(out("C") == 0.05)
+  }
+
   test("incrementalVocab: base ⊎ delta merge equals the full " +
       "recompute; split-straddling tokens sum across releases") {
     // split 200: docs 1, 100 are the base release, 300 the delta
