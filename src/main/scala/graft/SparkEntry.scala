@@ -135,6 +135,7 @@ object SparkEntry {
   val pathTopK = 25             // E19 reported transition head
   val centIters = 10            // F95 PageRank rounds
   val centDamping = 0.85        // F95 damping factor
+  val harWeek = 5               // D63 weekly-horizon day count
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -669,6 +670,9 @@ object SparkEntry {
     "q_pairs_backtest" -> ((s, d) =>
       Microstructure.pairsBacktest(Tables.ticks(s, d), symPairs,
         pairsEnterZ, pairsExitZ)),
+    // D63 — HAR-RV two-horizon regression (2x2 normal equations).
+    "q_har_rv" -> ((s, d) =>
+      Microstructure.harRv(Tables.ticks(s, d), harWeek)),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -2840,6 +2844,57 @@ object SparkEntry {
     // expanded algebraically (arCrossFromSums — shared verbatim with
     // the Spark side), rho round(4), half-life from the ROUNDED rho
     // (float sweep).
+    // D63 — HAR-RV: per-day rv exact int64, full-week rows only, the
+    // six centered moments via the shared cmom spelling, Cramer 2x2,
+    // round(4) (float sweep).
+    "q_har_rv" -> {
+      val c11 = Microstructure.cmom("sx1x1", "sx1", "sx1", "n_days")
+      val c22 = Microstructure.cmom("sx2x2", "sx2", "sx2", "n_days")
+      val c12 = Microstructure.cmom("sx1x2", "sx1", "sx2", "n_days")
+      val c1y = Microstructure.cmom("sx1y", "sx1", "sy", "n_days")
+      val c2y = Microstructure.cmom("sx2y", "sx2", "sy", "n_days")
+      val cyy = Microstructure.cmom("syy", "sy", "sy", "n_days")
+      s"""WITH p AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS _date, event_id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT symbol, _date,
+        |    cents - lag(cents) OVER (PARTITION BY symbol, _date
+        |      ORDER BY event_id) AS d
+        |  FROM p),
+        |rv AS (SELECT symbol, _date, CAST(sum(d * d) AS BIGINT) AS rv
+        |  FROM l WHERE d IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT symbol, rv,
+        |    lag(rv) OVER (PARTITION BY symbol ORDER BY _date) AS x1,
+        |    sum(rv) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN $harWeek PRECEDING AND 1 PRECEDING) AS x2,
+        |    count(*) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN $harWeek PRECEDING AND 1 PRECEDING) AS nw
+        |  FROM rv),
+        |s AS (SELECT symbol, count(*) AS n_days,
+        |    CAST(sum(x1) AS BIGINT) AS sx1,
+        |    CAST(sum(x2) AS BIGINT) AS sx2,
+        |    CAST(sum(rv) AS BIGINT) AS sy,
+        |    sum(CAST(x1 AS HUGEINT) * CAST(x1 AS HUGEINT)) AS sx1x1,
+        |    sum(CAST(x2 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS sx2x2,
+        |    sum(CAST(x1 AS HUGEINT) * CAST(x2 AS HUGEINT)) AS sx1x2,
+        |    sum(CAST(x1 AS HUGEINT) * CAST(rv AS HUGEINT)) AS sx1y,
+        |    sum(CAST(x2 AS HUGEINT) * CAST(rv AS HUGEINT)) AS sx2y,
+        |    sum(CAST(rv AS HUGEINT) * CAST(rv AS HUGEINT)) AS syy
+        |  FROM f WHERE nw = $harWeek GROUP BY symbol),
+        |dd AS (SELECT *, ($c11 * $c22 - $c12 * $c12) AS det FROM s),
+        |bb AS (SELECT *,
+        |    CASE WHEN n_days > 2 AND det > 0
+        |      THEN ($c1y * $c22 - $c2y * $c12) / det END AS beta_d,
+        |    CASE WHEN n_days > 2 AND det > 0
+        |      THEN ($c2y * $c11 - $c1y * $c12) / det END AS beta_w
+        |  FROM dd)
+        |SELECT symbol, n_days, round(beta_d, 4) AS beta_d,
+        |  round(beta_w, 4) AS beta_w,
+        |  round(CASE WHEN beta_d IS NOT NULL AND $cyy > 0
+        |    THEN (beta_d * $c1y + beta_w * $c2y) / $cyy END, 4) AS r2
+        |FROM bb ORDER BY symbol""".stripMargin
+    },
     // D62 — pairs backtest: the D60 close grid on the roster, β/mean/σ
     // from exact-int sums (σ via the arCrossFromSums expansion
     // discipline), the position state machine as last_value IGNORE

@@ -1800,6 +1800,91 @@ object Microstructure {
     * float sweep); the half-life derives from the ROUNDED ρ (ln of
     * equal inputs is IEEE-identical), NULL outside 0 < ρ < 1. Pairs
     * with constant b-leg report NULL β and drop. */
+  /** The D63 centered-cross-moment fragment — `Σab − Σa·Σb/n` with
+    * one fixed cast/association spelling (the [[corrFromSums]] rule),
+    * shared by all six moments of the 2×2 normal equations. */
+  private[graft] def cmom(sab: String, sa: String, sb: String,
+      n: String): String =
+    s"(CAST($sab AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE) / $n)"
+
+  /** D63 — HAR-RV REGRESSION (Corsi 2009, two-horizon essence): per
+    * symbol, tomorrow's realized variance regressed on YESTERDAY's
+    * rv and the trailing WEEK's rv mass — `rvₜ = α + β_d·rvₜ₋₁ +
+    * β_w·Σ₅rv + ε` — the workhorse volatility forecaster (the
+    * heterogeneous-horizon structure is why it beats GARCH out of
+    * sample on realized measures), and the D-block's MULTIVARIATE
+    * regression representative: every other fit here is univariate;
+    * this solves the 2×2 normal equations in closed form from EXACT
+    * integer sums (centered cross-moments via one shared [[cmom]]
+    * spelling; Cramer's rule; R² = explained/total). Rows enter only
+    * with a FULL 5-day trailing window (partial windows would bias
+    * the weekly mass — enforced by a window count, deterministic).
+    *
+    * Shape: one (symbol, day) collapse of the tick fact (per-day rv
+    * = Σ Δcents², exact int64), then calendar-bounded per-symbol
+    * windows (lag + trailing RANGE-row sum sharing one exchange) and
+    * ONE 10-sum aggregate. Collinear or degenerate symbols (det ≤ 0
+    * or zero total variance) report NULL coefficients, never a
+    * division blow-up. */
+  def harRv(ticks: DataFrame, week: Int = 5): DataFrame = {
+    require(week >= 2, s"week must be >= 2: $week")
+    val wDay = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    val daily = ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wDay))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol", "_date")
+      .agg(sum(col("d") * col("d")).as("rv"))
+    val wSym = Window.partitionBy("symbol").orderBy("_date")
+    val wWeek = wSym.rowsBetween(-week, -1)
+    val frame = daily
+      .withColumn("x1", lag(col("rv"), 1).over(wSym))
+      .withColumn("x2", sum(col("rv")).over(wWeek))
+      .withColumn("nw", count(lit(1)).over(wWeek))
+      .filter(col("nw") === week)
+    // Per-day rv reaches ~5·10⁹ on this tape, so SECOND-ORDER
+    // products overflow int64 per row (5e9² = 2.5·10¹⁹ > 2⁶³).
+    // Quadratic moments therefore accumulate in exact DECIMAL(38,0)
+    // (the DuckDB dual sums HUGEINT); the cmom fragments cast the
+    // exact integers to double ONCE — both engines correctly round
+    // the same integer, so exactness is preserved.
+    def dprod(a: String, b: String) =
+      sum(col(a).cast("decimal(38,0)") * col(b).cast("decimal(38,0)"))
+    val sums = frame.groupBy("symbol")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("rv")).as("sy"),
+        dprod("x1", "x1").as("sx1x1"),
+        dprod("x2", "x2").as("sx2x2"),
+        dprod("x1", "x2").as("sx1x2"),
+        dprod("x1", "rv").as("sx1y"),
+        dprod("x2", "rv").as("sx2y"),
+        dprod("rv", "rv").as("syy"))
+    val c11 = cmom("sx1x1", "sx1", "sx1", "n_days")
+    val c22 = cmom("sx2x2", "sx2", "sx2", "n_days")
+    val c12 = cmom("sx1x2", "sx1", "sx2", "n_days")
+    val c1y = cmom("sx1y", "sx1", "sy", "n_days")
+    val c2y = cmom("sx2y", "sx2", "sy", "n_days")
+    val cyy = cmom("syy", "sy", "sy", "n_days")
+    sums
+      .withColumn("det", expr(s"$c11 * $c22 - $c12 * $c12"))
+      .withColumn("beta_d", expr(
+        s"CASE WHEN n_days > 2 AND det > 0 " +
+          s"THEN ($c1y * $c22 - $c2y * $c12) / det END"))
+      .withColumn("beta_w", expr(
+        s"CASE WHEN n_days > 2 AND det > 0 " +
+          s"THEN ($c2y * $c11 - $c1y * $c12) / det END"))
+      .withColumn("r2", expr(
+        s"CASE WHEN beta_d IS NOT NULL AND $cyy > 0 " +
+          s"THEN (beta_d * $c1y + beta_w * $c2y) / $cyy END"))
+      .select(col("symbol"), col("n_days"),
+        round(col("beta_d"), 4).as("beta_d"),
+        round(col("beta_w"), 4).as("beta_w"),
+        round(col("r2"), 4).as("r2"))
+      .orderBy("symbol")
+  }
+
   /** D62 — PAIRS-TRADE BACKTEST (the deployment loop closed: D60
     * SCREENS the pairs, G37 monitors the spread live, this PRICES the
     * strategy on history): for each roster pair, the daily hedge

@@ -907,6 +907,33 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.head.getAs[Double]("elasticity") == 1.0)
   }
 
+  test("harRv: hand-solved 2x2 normal equations — rv path " +
+      "[1,1,1,1,1,4,1,4] fits y = 5 − x1 exactly (beta_d=−1, " +
+      "beta_w=0, R²=1); a constant-rv symbol reports NULLs") {
+    // Regression rows (full 5-day window): (y,x1,x2) = (4,1,5),
+    // (1,4,8), (4,1,8). Centered moments: C11=6 C22=6 C12=3
+    // C1y=−6 C2y=−3 Cyy=6 ⇒ det=27, beta_d=−27/27=−1,
+    // beta_w=0/27=0, R²=6/6=1 — every division exact in doubles.
+    val rvs1 = Seq(1, 1, 1, 1, 1, 4, 1, 4) // Δcents per day = √rv
+    val rows = rvs1.zipWithIndex.flatMap { case (rv, i) =>
+      val day = f"2024-01-${i + 1}%02d"
+      val dlt = math.sqrt(rv).toInt
+      Seq((i * 10L + 1, 1L, s"$day 10:00:00", 1.00, 9.9),
+        (i * 10L + 2, 1L, s"$day 11:00:00", 1.00 + dlt * 0.01, 9.9),
+        (i * 10L + 3, 2L, s"$day 10:00:00", 1.00, 9.9),
+        (i * 10L + 4, 2L, s"$day 11:00:00", 1.01, 9.9))
+    }
+    val out = Microstructure.harRv(ticks(rows: _*), 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("beta_d")),
+          Option(r.getAs[java.lang.Double]("beta_w")),
+          Option(r.getAs[java.lang.Double]("r2"))))).toMap
+    assert(out(1L) == ((3L, Some(-1.0), Some(0.0), Some(1.0))))
+    val s2 = out(2L)
+    assert(s2._1 == 3L && s2._2.isEmpty && s2._3.isEmpty &&
+      s2._4.isEmpty, "constant rv ⇒ det = 0 ⇒ NULL fit")
+  }
+
   test("pairsBacktest: exact z path (β=1, σ=20 by construction) — " +
       "spike enters short at z=2.0, exits at |z|<=0.5, P&L = the " +
       "spread give-back; a sub-threshold pair never trades") {
