@@ -136,6 +136,7 @@ object SparkEntry {
   val centIters = 10            // F95 PageRank rounds
   val centDamping = 0.85        // F95 damping factor
   val harWeek = 5               // D63 weekly-horizon day count
+  val wsampleK = 10             // F96 per-source sample size
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -1088,6 +1089,10 @@ object SparkEntry {
     "q_source_centrality" -> ((s, d) =>
       TextDedup.sourceCentrality(Tables.documents(s, d),
         centIters, centDamping)),
+    // F96 — token-mass-weighted WOR sample (Efraimidis–Spirakis,
+    // deterministic hash randomness).
+    "q_weighted_sample" -> ((s, d) =>
+      CorpusPipeline.weightedSample(Tables.documents(s, d), wsampleK)),
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
@@ -5702,6 +5707,29 @@ object SparkEntry {
         |      i -> array_to_string(tk[i:i+2], ' ')) AS g
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
+    },
+    // F96 — ES weighted WOR sample: u from the shared multiplicative
+    // hash ((h+1)/(P+1), never ln(0)), ordering by ln(u)/w (libm pow
+    // avoided), per-source row_number over the (es_key DESC, doc_id)
+    // total order; es_key element-wise unrounded.
+    "q_weighted_sample" -> {
+      import graft.functions.PortableText._
+      s"""WITH b AS (SELECT doc_id, source,
+        |    CAST(length($duckTokens) AS BIGINT) AS weight
+        |  FROM documents),
+        |u AS (SELECT *,
+        |    CAST(${duckHashOrder("doc_id")} + 1 AS DOUBLE)
+        |      / CAST(${P + 1L} AS DOUBLE) AS u
+        |  FROM b WHERE weight > 0),
+        |s AS (SELECT *, ln(u) / CAST(weight AS DOUBLE) AS es_key
+        |  FROM u),
+        |r AS (SELECT source, doc_id, weight, es_key,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY es_key DESC, doc_id) AS rnk
+        |  FROM s)
+        |SELECT source, rnk, doc_id, weight, es_key
+        |FROM r WHERE rnk <= $wsampleK
+        |ORDER BY source, rnk""".stripMargin
     },
     // F95 — PageRank over the cross-source duplication graph: the
     // round cascade is GENERATED from centIters (the bpeCascadeSql

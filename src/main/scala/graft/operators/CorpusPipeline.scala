@@ -1254,4 +1254,42 @@ object CorpusPipeline {
         (coalesce(col("margin"), lit(0L)) >= 0).as("label"))
       .orderBy("doc_id")
   }
+
+  /** F96 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–
+    * Spirakis 2006) with DETERMINISTIC hash randomness: per source,
+    * draw `k` docs with inclusion probability proportional to TOKEN
+    * MASS — the sampler a mixture builder actually needs (uniform
+    * doc sampling under-represents long documents' tokens; the F18
+    * cap and F37 temperature mixing pick doc COUNTS, this picks
+    * WEIGHTED members). ES reduces weighted WOR sampling to a
+    * top-k: each item scores `u^(1/w)` with u ~ U(0,1] and the k
+    * largest win; the engine-portable ordering is the equivalent
+    * `ln(u)/w` DESC (ln is cross-engine exact per D3; libm `pow` is
+    * NOT — the F74 product-chain precedent), and u derives from the
+    * multiplicative doc_id hash (`(h+1)/(P+1)` ∈ (0, 1] — never
+    * ln(0)), so the draw replays bit-identically on both engines
+    * and on every rerun: an auditable sample, not a seedless one.
+    *
+    * Shape: narrow per-row scoring (no shuffle), one source-keyed
+    * exchange for the top-k window (per-group heaps via the H11
+    * WindowGroupLimit rewrite), zero-token docs excluded (w > 0).
+    * `es_key` is element-wise double math, unrounded (§6). */
+  def weightedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import graft.functions.PortableText.{tokens, P}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("es_key").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        expr(s"size($tokens)").cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u",
+        (hashOrder(col("doc_id")) + lit(1L)).cast("double") /
+          lit(P + 1L).cast("double"))
+      .withColumn("es_key", log(col("u")) / col("weight").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "doc_id", "weight", "es_key")
+      .orderBy("source", "rnk")
+  }
 }

@@ -695,4 +695,28 @@ class CorpusPipelineSpec extends SparkSpec {
       ("A", 4L, 3L, 2L, 0.75, 2.0 / 3.0, 0.8333),
       ("B", 2L, 1L, 0L, 0.5, 0.0, 0.5)))
   }
+
+  test("weightedSample: exactly k per source, zero-token docs " +
+      "excluded, es_key replays the hash formula bit-exactly (an " +
+      "auditable draw, not a seedless one)") {
+    val rows = (1L to 30L).map(i =>
+        (i, ("w " * i.toInt).trim, "en", if (i <= 15) "a" else "b")) ++
+      Seq((31L, "", "en", "a")) // zero tokens → excluded
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.weightedSample(df, 5).collect()
+    val bySrc = out.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(bySrc("a") == 5 && bySrc("b") == 5)
+    assert(!out.exists(_.getLong(2) == 31L))
+    // replay: es_key(doc) == ln((h+1)/(P+1)) / n_tokens exactly
+    val p = graft.functions.PortableText.P
+    out.foreach { r =>
+      val h = CorpusPipeline.hashOrderJvm(r.getLong(2))
+      val expect = math.log((h + 1).toDouble / (p + 1).toDouble) /
+        r.getLong(3).toDouble
+      assert(r.getDouble(4) == expect, s"doc ${r.getLong(2)}")
+    }
+    // determinism: a second run returns the identical sample
+    val again = CorpusPipeline.weightedSample(df, 5).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
