@@ -105,6 +105,7 @@ object SparkEntry {
   val hyBucketSec = 3600L       // D33 overlap-bucket grain
   val rollCorrDays = 5          // D29 trailing window (days)
   val bitemporalTxId = 5000L    // E13 transaction-time cutoff
+  val bitemporalTxEarly = 2500L // E20 earlier knowledge cutoff
   val validTsLit = "2024-01-15 00:00:00" // E13/D8 valid-time cut
   val lateDaysParam = 60        // C29 lateness threshold (days)
   val sessionGapSec = 86400L    // E12 browsing-session gap (24 h —
@@ -454,6 +455,10 @@ object SparkEntry {
     "q_bitemporal" -> ((s, d) =>
       Scd.bitemporalAsOf(Tables.events(s, d), bitemporalTxId,
         validTsLit)),
+    // E20 — bitemporal restatement diff between two knowledge times.
+    "q_restatement" -> ((s, d) =>
+      Scd.bitemporalRestatement(Tables.events(s, d), bitemporalTxEarly,
+        bitemporalTxId, validTsLit)),
     // A16 — CDC apply: error events are deletes, everything else an
     // upsert; last writer (by event_id) wins per user.
     "q_cdc_apply" -> ((s, d) => Scd.cdcApply(
@@ -1906,6 +1911,42 @@ object SparkEntry {
     // Spark); consecutive-equal tiers collapse into the earlier row.
     // E13 — q_scd2's history restricted to the tx cutoff, then the
     // valid-interval membership filter.
+    // E20 — restatement diff: the SAME generated bitemporal-read CTE
+    // group at TWO cutoffs (one spelling, two instantiations — the
+    // bpeCascadeSql rule), full-outer joined, CASE verdict.
+    "q_restatement" -> {
+      def read(tag: String, cutoff: Long): String =
+        s"""${tag}t AS (SELECT user_id, event_id,
+          |    date_trunc('second', ts) AS ts_s,
+          |    CASE WHEN value < 25.0 THEN 'low'
+          |         WHEN value < 75.0 THEN 'mid'
+          |         ELSE 'high' END AS tier
+          |  FROM events WHERE event_id <= $cutoff),
+          |${tag}c AS (SELECT user_id, ts_s, event_id, tier FROM (
+          |    SELECT user_id, ts_s, event_id, tier,
+          |      lag(tier, 1) OVER (PARTITION BY user_id
+          |        ORDER BY ts_s, event_id) AS prev_tier
+          |    FROM ${tag}t) x
+          |  WHERE prev_tier IS NULL OR tier <> prev_tier),
+          |${tag}h AS (SELECT user_id, tier, ts_s AS valid_from,
+          |    lead(ts_s, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts_s, event_id) AS valid_to
+          |  FROM ${tag}c),
+          |${tag}r AS (SELECT user_id, tier FROM ${tag}h
+          |  WHERE valid_from <= TIMESTAMP '$validTsLit'
+          |    AND (valid_to IS NULL
+          |      OR valid_to > TIMESTAMP '$validTsLit'))""".stripMargin
+      s"""WITH ${read("e", bitemporalTxEarly)},
+        |${read("l", bitemporalTxId)}
+        |SELECT coalesce(er.user_id, lr.user_id) AS user_id,
+        |  er.tier AS tier_early, lr.tier AS tier_late,
+        |  CASE WHEN er.tier IS NULL THEN 'appeared'
+        |       WHEN lr.tier IS NULL THEN 'retracted'
+        |       WHEN er.tier = lr.tier THEN 'unchanged'
+        |       ELSE 'restated' END AS verdict
+        |FROM er FULL OUTER JOIN lr ON er.user_id = lr.user_id
+        |ORDER BY user_id""".stripMargin
+    },
     "q_bitemporal" ->
       s"""WITH tiered AS (
         |  SELECT user_id, event_id, date_trunc('second', ts) AS ts_s,

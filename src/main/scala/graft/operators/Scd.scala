@@ -106,4 +106,38 @@ object Scd {
         (col("valid_to").isNull || col("valid_to") > tv))
       .orderBy("user_id")
   }
+
+  /** E20 — BITEMPORAL RESTATEMENT DIFF: between two KNOWLEDGE times
+    * Tx₁ < Tx₂, which keys' answer to the SAME valid-time question
+    * changed — the restatement report every audited warehouse owes
+    * its consumers ("what did we tell you then, what do we know now,
+    * and where do they differ"), and the operational complement of
+    * E13's single read (E13 answers one knowledge time; this diffs
+    * two). Verdicts: `unchanged`, `restated` (a late-arriving
+    * correction ingested in (Tx₁, Tx₂] revised the covering
+    * version), `appeared` (the key's history now reaches back to Tv
+    * — late arrivals EXTEND coverage backward). `retracted` is kept
+    * for defensive completeness but is impossible on an append-only
+    * log (adding events can never move a first version later) — the
+    * spec asserts its absence.
+    *
+    * Shape: two E13 reads (each one user-keyed exchange over the
+    * tx-pruned scan — the cutoff predicate pushes down) full-outer
+    * joined on the key; the diff frame is |keys|-bounded. */
+  def bitemporalRestatement(events: DataFrame, txEarly: Long,
+                            txLate: Long, validTs: String): DataFrame = {
+    require(txEarly < txLate,
+      s"need txEarly < txLate: $txEarly, $txLate")
+    val early = bitemporalAsOf(events, txEarly, validTs)
+      .select(col("user_id"), col("tier").as("tier_early"))
+    val late = bitemporalAsOf(events, txLate, validTs)
+      .select(col("user_id"), col("tier").as("tier_late"))
+    early.join(late, Seq("user_id"), "full_outer")
+      .withColumn("verdict",
+        when(col("tier_early").isNull, "appeared")
+          .when(col("tier_late").isNull, "retracted")
+          .when(col("tier_early") === col("tier_late"), "unchanged")
+          .otherwise("restated"))
+      .orderBy("user_id")
+  }
 }

@@ -94,4 +94,28 @@ class ScdSpec extends SparkSpec {
     assert(Scd.bitemporalAsOf(events, 2L, "2024-01-01 09:00:00")
       .collect().isEmpty)
   }
+
+  test("bitemporalRestatement: restated / unchanged / appeared " +
+      "verdicts between two knowledge times; retracted never occurs " +
+      "on an append-only log") {
+    // user 1: 'low' known early; a LATE correction (id 4, ts before
+    // Tv) restates the covering version to 'mid'.
+    // user 2: fully known early, untouched after → unchanged.
+    // user 3: first event ingested after the early cutoff, with a
+    // valid time before Tv → appeared.
+    val events = ev(
+      (1L, 1L, "2024-01-01 10:00:00", 10.0),
+      (2L, 2L, "2024-01-01 10:00:00", 80.0),
+      (4L, 1L, "2024-01-01 11:00:00", 50.0),
+      (5L, 3L, "2024-01-01 10:30:00", 30.0))
+    val out = Scd.bitemporalRestatement(events, 3L, 5L,
+        "2024-01-01 11:30:00")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2)),
+          r.getString(3)))).toMap
+    assert(out(1L) == ((Some("low"), Some("mid"), "restated")))
+    assert(out(2L) == ((Some("high"), Some("high"), "unchanged")))
+    assert(out(3L) == ((None, Some("mid"), "appeared")))
+    assert(!out.values.exists(_._3 == "retracted"))
+  }
 }
