@@ -1098,6 +1098,10 @@ object SparkEntry {
     // deterministic hash randomness).
     "q_weighted_sample" -> ((s, d) =>
       CorpusPipeline.weightedSample(Tables.documents(s, d), wsampleK)),
+    // F97 — held-out perplexity: train on the train split, score the
+    // val split, Laplace over the train vocabulary.
+    "q_heldout_ppl" -> ((s, d) =>
+      CorpusPipeline.heldOutPerplexity(Tables.documents(s, d))),
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
@@ -5748,6 +5752,36 @@ object SparkEntry {
         |      i -> array_to_string(tk[i:i+2], ' ')) AS g
         |  FROM (SELECT doc_id, $duckTokens AS tk FROM documents) x) y
         |ORDER BY doc_id""".stripMargin
+    },
+    // F97 — held-out perplexity: split predicates via the shared F16
+    // hash fragment, Laplace (c+1)/(N+V) in one fixed ln spelling,
+    // OOV rows keep c = 0 through the LEFT join, per-doc mean
+    // round(4) (float sweep).
+    "q_heldout_ppl" -> {
+      import graft.functions.PortableText._
+      s"""WITH tr AS (SELECT token, count(*) AS c
+        |  FROM (SELECT unnest($duckTokens) AS token FROM documents
+        |    WHERE ${duckHashOrder("doc_id")} % 100 < 80) x
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total,
+        |    count(*) AS v FROM tr),
+        |vd AS (SELECT doc_id, text FROM documents
+        |  WHERE ${duckHashOrder("doc_id")} % 100 >= 80
+        |    AND ${duckHashOrder("doc_id")} % 100 < 90),
+        |vt AS (SELECT doc_id, unnest($duckTokens) AS token FROM vd),
+        |sc AS (SELECT vt.doc_id, coalesce(tr.c, 0) AS c
+        |  FROM vt LEFT JOIN tr USING (token)),
+        |pd AS (SELECT sc.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_oov,
+        |    round(avg(-(ln(CAST(c AS DOUBLE) + 1.0)
+        |      - ln(CAST(n_total AS DOUBLE) + CAST(v AS DOUBLE)))), 4)
+        |      AS avg_nll
+        |  FROM sc, tot GROUP BY sc.doc_id)
+        |SELECT vd.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+        |  coalesce(pd.n_oov, 0) AS n_oov, pd.avg_nll
+        |FROM vd LEFT JOIN pd USING (doc_id)
+        |ORDER BY vd.doc_id""".stripMargin
     },
     // F96 — ES weighted WOR sample: u from the shared multiplicative
     // hash ((h+1)/(P+1), never ln(0)), ordering by ln(u)/w (libm pow

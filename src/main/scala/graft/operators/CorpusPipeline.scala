@@ -1255,6 +1255,57 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
+  /** F97 — HELD-OUT PERPLEXITY (split-honest LM evaluation): train
+    * the unigram model ONLY on the F16 train split, score ONLY the
+    * val split — the evaluation F35's self-scoring is not (training
+    * on what you score inflates every quality gate; held-out
+    * surprisal is what a perplexity FILTER's threshold is actually
+    * calibrated on). Unseen tokens take Laplace α=1 mass over the
+    * TRAIN vocabulary — `P(w) = (c_w + 1)/(N + V)` — the practical
+    * smoothing convention (an open vocabulary makes the distribution
+    * improper by the OOV mass; stated, not hidden — per-doc OOV
+    * counts ride along so the consumer can see how much smoothing
+    * carried each score).
+    *
+    * Shape: one train-split token aggregate (checkpointed — feeds
+    * both the totals and the scoring join), one val-split explode
+    * LEFT-joined on the token key (OOV rows keep c = 0), one per-doc
+    * aggregate; split predicates are the shared F16 hash fragment
+    * pushed to the scan. Engine-exactness: counts exact int64, each
+    * term ONE fixed ln spelling of exact-int casts, per-doc mean
+    * round(4) (float sweep); token-less val docs keep their row. */
+  def heldOutPerplexity(docs: DataFrame, trainPct: Int = 80,
+                        valPct: Int = 10): DataFrame = {
+    import graft.functions.PortableText.tokens
+    val keyed = docs.withColumn("k", splitKey(col("doc_id")))
+    val trainToks = keyed.filter(col("k") < trainPct)
+      .select(explode(expr(tokens)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val tot = trainToks.agg(sum("c").as("n_total"),
+      count(lit(1)).as("v"))
+    val valDocs = keyed
+      .filter(col("k") >= trainPct && col("k") < trainPct + valPct)
+    val perDoc = valDocs
+      .select(col("doc_id"), explode(expr(tokens)).as("token"))
+      .join(trainToks, Seq("token"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("nll",
+        -(log(col("c").cast("double") + lit(1.0)) -
+          log(col("n_total").cast("double") + col("v").cast("double"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+    valDocs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   /** F96 — WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–
     * Spirakis 2006) with DETERMINISTIC hash randomness: per source,
     * draw `k` docs with inclusion probability proportional to TOKEN

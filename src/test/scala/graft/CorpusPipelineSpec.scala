@@ -696,6 +696,27 @@ class CorpusPipelineSpec extends SparkSpec {
       ("B", 2L, 1L, 0L, 0.5, 0.0, 0.5)))
   }
 
+  test("heldOutPerplexity: trains ONLY on the train split, scores " +
+      "ONLY the val split, Laplace mass for OOV tokens; test-split " +
+      "docs never scored") {
+    def key(i: Long) = CorpusPipeline.hashOrderJvm(i) % 100
+    val trainId = (1L to 500L).find(key(_) < 80).get
+    val valId = (1L to 500L).find(i => key(i) >= 80 && key(i) < 90).get
+    val testId = (1L to 500L).find(key(_) >= 90).get
+    // train corpus: "a a b" → c(a)=2, c(b)=1, N=3, V=2
+    // val doc "a c": nll(a) = −(ln 3 − ln 5), nll(c OOV) = −(ln 1 − ln 5)
+    val df = docsFrom((trainId, "a a b"), (valId, "a c"),
+      (testId, "zzz"))
+    val out = CorpusPipeline.heldOutPerplexity(df).collect()
+    assert(out.length == 1 && out.head.getLong(0) == valId,
+      "only the val split is scored")
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 1L)
+    val expect = math.rint(
+      ((-(math.log(3.0) - math.log(5.0))) +
+        (-(math.log(1.0) - math.log(5.0)))) / 2 * 1e4) / 1e4
+    assert(math.abs(out.head.getDouble(3) - expect) < 1e-9)
+  }
+
   test("weightedSample: exactly k per source, zero-token docs " +
       "excluded, es_key replays the hash formula bit-exactly (an " +
       "auditable draw, not a seedless one)") {
