@@ -138,6 +138,7 @@ object SparkEntry {
   val centDamping = 0.85        // F95 damping factor
   val harWeek = 5               // D63 weekly-horizon day count
   val wsampleK = 10             // F96 per-source sample size
+  val coneHorizons = Seq(1, 5)  // D64 cone horizons (days)
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -679,6 +680,9 @@ object SparkEntry {
     // D63 — HAR-RV two-horizon regression (2x2 normal equations).
     "q_har_rv" -> ((s, d) =>
       Microstructure.harRv(Tables.ticks(s, d), harWeek)),
+    // D64 — volatility cones: rolling-RV quantile bands by horizon.
+    "q_vol_cones" -> ((s, d) =>
+      Microstructure.volCones(Tables.ticks(s, d), coneHorizons)),
     // D57 — Clark MDH test: ln(day |move| mass) on ln(day volume).
     "q_volume_elasticity" -> ((s, d) =>
       Microstructure.volumeVolElasticity(Tables.events(s, d))),
@@ -2894,6 +2898,45 @@ object SparkEntry {
     // expanded algebraically (arCrossFromSums — shared verbatim with
     // the Spark side), rho round(4), half-life from the ROUNDED rho
     // (float sweep).
+    // D64 — volatility cones: the D63 daily-rv frame, per-horizon
+    // rolling ROWS sums (full windows only), engine exact-percentile
+    // round(4) with picked-int min/max; horizon CTEs GENERATED from
+    // the shared coneHorizons constant.
+    "q_vol_cones" -> {
+      val hs = coneHorizons.map { h =>
+        s"""f$h AS (SELECT symbol,
+          |    sum(rv) OVER (PARTITION BY symbol ORDER BY _date
+          |      ROWS BETWEEN ${h - 1} PRECEDING AND CURRENT ROW)
+          |      AS roll_rv,
+          |    count(*) OVER (PARTITION BY symbol ORDER BY _date
+          |      ROWS BETWEEN ${h - 1} PRECEDING AND CURRENT ROW) AS nw
+          |  FROM rv),
+          |s$h AS (SELECT symbol, CAST($h AS INT) AS horizon_days,
+          |    roll_rv
+          |  FROM f$h WHERE nw = $h)""".stripMargin
+      }.mkString(",\n")
+      val u = coneHorizons.map(h => s"SELECT * FROM s$h")
+        .mkString("\n UNION ALL ")
+      s"""WITH p AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS _date, event_id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (SELECT symbol, _date,
+        |    cents - lag(cents) OVER (PARTITION BY symbol, _date
+        |      ORDER BY event_id) AS d
+        |  FROM p),
+        |rv AS (SELECT symbol, _date, CAST(sum(d * d) AS BIGINT) AS rv
+        |  FROM l WHERE d IS NOT NULL GROUP BY 1, 2),
+        |$hs,
+        |u AS ($u)
+        |SELECT symbol, horizon_days, count(*) AS n_windows,
+        |  CAST(min(roll_rv) AS BIGINT) AS rv_min,
+        |  round(quantile_cont(roll_rv, 0.25), 4) AS rv_p25,
+        |  round(quantile_cont(roll_rv, 0.5), 4) AS rv_med,
+        |  round(quantile_cont(roll_rv, 0.75), 4) AS rv_p75,
+        |  CAST(max(roll_rv) AS BIGINT) AS rv_max
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // D63 — HAR-RV: per-day rv exact int64, full-week rows only, the
     // six centered moments via the shared cmom spelling, Cramer 2x2,
     // round(4) (float sweep).

@@ -1885,6 +1885,57 @@ object Microstructure {
       .orderBy("symbol")
   }
 
+  /** D64 — VOLATILITY CONES (Burghardt–Lane): per symbol and
+    * HORIZON, the distribution of rolling realized variance —
+    * min / p25 / median / p75 / max over every h-day window — the
+    * options-desk chart that says whether TODAY's h-day vol sits
+    * rich or cheap against its own history, and the D-block's
+    * multi-horizon DISTRIBUTIONAL summary (D43's signature plot
+    * tracks the MEAN across scales; the cone keeps the quantile
+    * band). Only FULL h-day windows enter (window count — partial
+    * windows would shrink the cone's short end).
+    *
+    * Shape: ONE (symbol, day) collapse of the tick fact (exact-int
+    * daily rv, the D63 frame), then per horizon a rolling ROWS
+    * window over the calendar-bounded daily frame — all horizons
+    * share the one symbol-keyed exchange — unioned and fed to a
+    * single grouped aggregate. Min/max are picked exact ints;
+    * quantiles are engine exact-percentile on int64 frames
+    * (round(4), the D12 discipline — in the float sweep). */
+  def volCones(ticks: DataFrame, horizons: Seq[Int] = Seq(1, 5))
+      : DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be >= 1: $horizons")
+    val wDay = Window.partitionBy("symbol", "_date").orderBy("tick_id")
+    val daily = ticks
+      .withColumn("_date", to_date(col("ts")))
+      .withColumn("cents", centsOf(col("bid")))
+      .withColumn("d", col("cents") - lag(col("cents"), 1).over(wDay))
+      .filter(col("d").isNotNull)
+      .groupBy("symbol", "_date")
+      .agg(sum(col("d") * col("d")).as("rv"))
+      .localCheckpoint(true)
+    val wSym = Window.partitionBy("symbol").orderBy("_date")
+    val frames = horizons.map { h =>
+      val wRoll = wSym.rowsBetween(-(h - 1), 0)
+      daily
+        .withColumn("roll_rv", sum(col("rv")).over(wRoll))
+        .withColumn("nw", count(lit(1)).over(wRoll))
+        .filter(col("nw") === h)
+        .select(col("symbol"), lit(h).as("horizon_days"),
+          col("roll_rv"))
+    }
+    frames.reduce(_ unionByName _)
+      .groupBy("symbol", "horizon_days")
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("roll_rv")).as("rv_min"),
+        round(expr("percentile(roll_rv, 0.25)"), 4).as("rv_p25"),
+        round(expr("percentile(roll_rv, 0.5)"), 4).as("rv_med"),
+        round(expr("percentile(roll_rv, 0.75)"), 4).as("rv_p75"),
+        max(col("roll_rv")).as("rv_max"))
+      .orderBy("symbol", "horizon_days")
+  }
+
   /** D62 — PAIRS-TRADE BACKTEST (the deployment loop closed: D60
     * SCREENS the pairs, G37 monitors the spread live, this PRICES the
     * strategy on history): for each roster pair, the daily hedge

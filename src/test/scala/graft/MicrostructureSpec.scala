@@ -907,6 +907,26 @@ class MicrostructureSpec extends SparkSpec {
     assert(out.head.getAs[Double]("elasticity") == 1.0)
   }
 
+  test("volCones: rolling-RV quantile bands per horizon — exact " +
+      "interpolated percentiles on the hand-traced series, partial " +
+      "windows excluded") {
+    // daily rv = [1,4,9,16,25,36] (one Δ=k-cent move per day).
+    // h=1: band over the six values — p25 = 5.25, med = 12.5,
+    // p75 = 22.75. h=5: windows [55, 90] — p25 = 63.75, med = 72.5.
+    val rows = (1 to 6).flatMap { i =>
+      val day = f"2024-01-${i}%02d"
+      Seq((i * 10L + 1, 1L, s"$day 10:00:00", 1.00, 9.9),
+        (i * 10L + 2, 1L, s"$day 11:00:00", 1.00 + i * 0.01, 9.9))
+    }
+    val out = Microstructure.volCones(ticks(rows: _*), Seq(1, 5))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getLong(7)))).toMap
+    assert(out(1) == ((6L, 1L, 5.25, 12.5, 22.75, 36L)))
+    assert(out(5) == ((2L, 55L, 63.75, 72.5, 81.25, 90L)),
+      "only FULL 5-day windows may enter the long-horizon cone")
+  }
+
   test("harRv: hand-solved 2x2 normal equations — rv path " +
       "[1,1,1,1,1,4,1,4] fits y = 5 − x1 exactly (beta_d=−1, " +
       "beta_w=0, R²=1); a constant-rv symbol reports NULLs") {
