@@ -25,7 +25,7 @@ CPUS="${SPARK_GRAFT_CPUS:-8}"
 # depends on double comparisons or libm calls over data-scale-many
 # rows (percentile cuts, ln/sqrt/exp, covariance folds, cosine
 # rankings). Grow this list when adding such a query.
-FLOAT_SENSITIVE="q_curriculum,q_market_beta,q_cluster_audit,q_autocorr,q_ewma,q_realized_vol,q_log_returns,q_hll_ndv,q_winnow,q_hybrid_search,q_roll_spread,q_amihud,q_hurst,q_leadlag_corr,q_small_qty_revenue,q_burst_detect,q_range_vol,q_market_share,q_promo_share,q_cs_spread,q_rolling_corr,q_bipower,q_epps_curve,q_zipf_fit,q_realized_moments,q_semivariance,q_medrv,q_gram_matrix,q_pca_power,q_mean_reversion,q_vol_signature,q_bns_jump,q_seasonal_anomaly,q_semantic_dedup,q_overnight_intraday,q_ks_drift,q_newey_west,q_clock_kurtosis,q_impact_exponent,q_leverage_effect,q_volume_elasticity,q_source_kl,q_lexical_diversity,q_reversal_spread,q_cointegration,q_nb_classifier,q_pairs_backtest,q_source_centrality,q_har_rv,q_heldout_ppl,q_vol_cones"
+FLOAT_SENSITIVE="q_curriculum,q_market_beta,q_cluster_audit,q_autocorr,q_ewma,q_realized_vol,q_log_returns,q_hll_ndv,q_winnow,q_hybrid_search,q_roll_spread,q_amihud,q_hurst,q_leadlag_corr,q_small_qty_revenue,q_burst_detect,q_range_vol,q_market_share,q_promo_share,q_cs_spread,q_rolling_corr,q_bipower,q_epps_curve,q_zipf_fit,q_realized_moments,q_semivariance,q_medrv,q_gram_matrix,q_pca_power,q_mean_reversion,q_vol_signature,q_bns_jump,q_seasonal_anomaly,q_semantic_dedup,q_overnight_intraday,q_ks_drift,q_newey_west,q_clock_kurtosis,q_impact_exponent,q_leverage_effect,q_volume_elasticity,q_source_kl,q_lexical_diversity,q_reversal_spread,q_cointegration,q_nb_classifier,q_pairs_backtest,q_source_centrality,q_har_rv,q_heldout_ppl,q_vol_cones,q_heaps_fit"
 
 run_gate() {
   local sf="$1" out="$2" filter="${3:-}"

@@ -139,6 +139,7 @@ object SparkEntry {
   val harWeek = 5               // D63 weekly-horizon day count
   val wsampleK = 10             // F96 per-source sample size
   val coneHorizons = Seq(1, 5)  // D64 cone horizons (days)
+  val heapsBuckets = 10         // F98 corpus prefix points
   val annFilterLabel = 3        // F89 filtered-search metadata label
   val kAnonK = 5                // F88 k-anonymity threshold
   val kAnonBucket = 256         // F88 length-generalization width —
@@ -1106,6 +1107,9 @@ object SparkEntry {
     // val split, Laplace over the train vocabulary.
     "q_heldout_ppl" -> ((s, d) =>
       CorpusPipeline.heldOutPerplexity(Tables.documents(s, d))),
+    // F98 — Heaps'-law vocabulary-growth fit over corpus prefixes.
+    "q_heaps_fit" -> ((s, d) =>
+      TextDedup.heapsFit(Tables.documents(s, d), heapsBuckets)),
     // F57 — Zipf-law OLS over the top-100 token spectrum.
     "q_zipf_fit" -> ((s, d) =>
       TextDedup.zipfFit(Tables.documents(s, d), zipfTopK)),
@@ -5982,6 +5986,57 @@ object SparkEntry {
     // both engines; the five OLS sums round(4) over the k-row frame
     // (D25's ln-input discipline); slope/intercept/r2 derive from the
     // ROUNDED sums with identically-spelled IEEE expressions.
+    // F98 — Heaps fit: exact-int-div prefix buckets off the max-id
+    // scalar, first-bucket cumulative histogram (one explode, never B
+    // distinct scans), F57's rounded-sums-then-closed-form
+    // discipline.
+    "q_heaps_fit" -> {
+      import graft.functions.PortableText._
+      s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |pd AS (SELECT CAST(doc_id * $heapsBuckets // (mx + 1) AS INT)
+        |      AS b,
+        |    CAST(sum(length($duckTokens)) AS BIGINT) AS toks
+        |  FROM documents, mx GROUP BY 1),
+        |fb AS (SELECT CAST(doc_id * $heapsBuckets // (mx + 1) AS INT)
+        |      AS b,
+        |    count(*) AS vocab
+        |  FROM (SELECT token, min(doc_id) AS doc_id
+        |    FROM (SELECT doc_id, unnest($duckTokens) AS token
+        |      FROM documents) t
+        |    GROUP BY token) f, mx
+        |  GROUP BY 1),
+        |pts AS (SELECT coalesce(pd.b, fb.b) AS b,
+        |    coalesce(toks, 0) AS toks, coalesce(vocab, 0) AS vocab
+        |  FROM pd FULL OUTER JOIN fb ON pd.b = fb.b),
+        |cum AS (SELECT b,
+        |    sum(toks) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS ct,
+        |    sum(vocab) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cv
+        |  FROM pts),
+        |xy AS (SELECT ln(CAST(ct AS DOUBLE)) AS x,
+        |    ln(CAST(cv AS DOUBLE)) AS y
+        |  FROM cum WHERE ct > 0 AND cv > 0),
+        |s AS (SELECT count(*) AS n_points,
+        |    round(sum(x), 4) AS sx, round(sum(y), 4) AS sy,
+        |    round(sum(x * x), 4) AS sxx, round(sum(x * y), 4) AS sxy,
+        |    round(sum(y * y), 4) AS syy
+        |  FROM xy)
+        |SELECT n_points,
+        |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
+        |    round((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx), 4) END AS heaps_beta,
+        |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
+        |    round((sy - ((n_points * sxy - sx * sy)
+        |      / (n_points * sxx - sx * sx)) * sx) / n_points, 4)
+        |  END AS ln_k,
+        |  CASE WHEN n_points * sxx - sx * sx > 0
+        |    AND n_points * syy - sy * sy > 0 THEN
+        |    round(((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+        |      / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)),
+        |      4) END AS r2
+        |FROM s""".stripMargin
+    },
     "q_zipf_fit" -> {
       import graft.functions.PortableText._
       s"""WITH top AS (

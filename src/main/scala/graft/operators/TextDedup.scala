@@ -1260,6 +1260,80 @@ object TextDedup {
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
+  /** F98 — HEAPS'-LAW VOCABULARY-GROWTH FIT: how fast does the
+    * vocabulary grow as the corpus grows — `V(N) ≈ K·N^β` fitted as
+    * an ln–ln OLS over B corpus PREFIXES — the dataset-sizing law
+    * that prices "how many new tokens does the next shard buy"
+    * (tokenizer vocab budgeting, dedup-saturation forecasting; the
+    * GROWTH companion to F57's static Zipf fit, and the two
+    * exponents are theoretically linked). Prefixes are doc_id RANGE
+    * buckets (the corpus's ingestion order; equal-mass only for
+    * dense ids — stated, and irrelevant to the fit, which consumes
+    * the exact (N, V) points wherever they sit). A token's first
+    * appearance pins it to ONE bucket (min doc_id), so cumulative
+    * vocabulary is a suffix-free cumulative histogram — never a
+    * distinct-count per prefix (B distinct scans would be the naive
+    * spelling; this is one).
+    *
+    * Shape: one token explode → (token, min doc_id) aggregate + one
+    * per-doc token count — the only corpus-sized work; everything
+    * after runs on B-row frames (the bounded-window exemption).
+    * Engine-exactness: bucket ids exact integer division (both
+    * engines truncate non-negative); cumulative counts exact int64;
+    * the ln–ln sums are ROUNDED 4 before the closed form (the F57
+    * discipline — downstream arithmetic is then deterministic
+    * regardless of engine sum order); slope/intercept/r2 round(4).
+    * Empty-prefix points (zero tokens) drop before the logs. */
+  def heapsFit(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 prefix points: $buckets")
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bkt = s"CAST(doc_id * $buckets DIV (mx + 1) AS INT)"
+    val perDoc = docs
+      .select(col("doc_id"), expr(s"size($tokens)").as("n_tok"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr(bkt).as("b"))
+      .agg(sum(col("n_tok")).as("toks"))
+    val firstB = docs
+      .select(col("doc_id"), explode(expr(tokens)).as("token"))
+      .groupBy("token").agg(min(col("doc_id")).as("doc_id"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr(bkt).as("b"))
+      .agg(count(lit(1)).as("vocab"))
+    val wB = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = perDoc.join(firstB, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+      .withColumn("cum_toks", sum(col("toks")).over(wB))
+      .withColumn("cum_vocab", sum(col("vocab")).over(wB))
+      .filter(col("cum_toks") > 0 && col("cum_vocab") > 0)
+      .withColumn("x", log(col("cum_toks").cast("double")))
+      .withColumn("y", log(col("cum_vocab").cast("double")))
+    val sums = pts.agg(count(lit(1)).as("n_points"),
+      round(sum(col("x")), 4).as("sx"),
+      round(sum(col("y")), 4).as("sy"),
+      round(sum(col("x") * col("x")), 4).as("sxx"),
+      round(sum(col("x") * col("y")), 4).as("sxy"),
+      round(sum(col("y") * col("y")), 4).as("syy"))
+    sums
+      .withColumn("_cov",
+        col("n_points") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("_vx",
+        col("n_points") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("_vy",
+        col("n_points") * col("syy") - col("sy") * col("sy"))
+      .withColumn("heaps_beta",
+        when(col("_vx") > 0, round(col("_cov") / col("_vx"), 4)))
+      .withColumn("ln_k",
+        when(col("_vx") > 0, round(
+          (col("sy") - (col("_cov") / col("_vx")) * col("sx")) /
+            col("n_points"), 4)))
+      .withColumn("r2",
+        when(col("_vx") > 0 && col("_vy") > 0, round(
+          (col("_cov") * col("_cov")) / (col("_vx") * col("_vy")), 4)))
+      .select("n_points", "heaps_beta", "ln_k", "r2")
+  }
+
   /** F95 — DUPLICATION-GRAPH SOURCE CENTRALITY (weighted PageRank):
     * the link-analysis representative — nodes are SOURCES, a
     * directed edge (s → t) weighs how many identical-content doc

@@ -339,6 +339,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
   }
 
+  test("heapsFit: two-prefix corpus fits ln V on ln N through both " +
+      "points; repeated tokens grow N but not V") {
+    // buckets=2, ids 0–3 (mx=3): b0 = {0,1}, b1 = {2,3}.
+    // tokens: b0 mass 4 / vocab {a,b,c}; b1 mass 5 / new {d,e}.
+    // points: (ln 4, ln 3), (ln 9, ln 5) ⇒
+    // β = ln(5/3)/ln(9/4) ≈ 0.6296, perfect two-point fit.
+    val d = docs((0L, "a b"), (1L, "a c"), (2L, "a d"), (3L, "b d e"))
+    val out = TextDedup.heapsFit(d, 2).collect().head
+    assert(out.getLong(0) == 2L)
+    val beta = out.getDouble(1)
+    assert(math.abs(beta - math.log(5.0 / 3) / math.log(9.0 / 4)) < 1e-3,
+      s"beta $beta")
+    assert(out.getDouble(3) > 0.999, "two points fit exactly")
+  }
+
   test("sourceCentrality: symmetric dup pair holds its fixed point " +
       "(exactly 1/3 every round); a dangling source keeps only the " +
       "teleport mass") {
