@@ -1489,6 +1489,77 @@ object Streaming {
       }
   }
 
+  /** G39 keyed state: the OPEN day's (day, prev cents, rv
+    * accumulator) plus the ring of the last h−1 CLOSED days' rv. */
+  case class VolConeState(curDay: String, prevCents: Long,
+                          curRv: Long, ring: List[(String, Long)])
+  case class VolPoint(symbol: Long, day: String, roll_rv: Long,
+                      band: String)
+
+  /** G39 — STREAMING VOL-CONE REGIME MONITOR: D64's deployment side
+    * — the batch job trains the per-symbol cone (p25/p75 of rolling
+    * h-day realized variance); the stream maintains each symbol's
+    * CURRENT rolling rv and, the moment a day CLOSES (its first
+    * next-day tick arrives), emits where the finished window sits
+    * against the historical band: `below` / `in` / `above` — the
+    * live "is vol regime rich or cheap" signal an options desk
+    * watches (G25's offline-trained/online-scored split, on the
+    * D63/D64 exact-cents rv). Keyed state is the OPEN day's
+    * register (day, previous cents, rv accumulator) plus an
+    * (h−1)-entry ring of closed days — parameter-bounded, exact
+    * int64 arithmetic identical to the batch collapse. Only FULL
+    * h-day windows emit (the D64 rule); the final still-open day
+    * never does (a monitor reports finished windows — documented).
+    * Symbols absent from the trained cone emit `untrained`. */
+  def volConeAlerts(ticks: Dataset[Tick],
+                    cones: Map[Long, (Double, Double)], h: Int)
+      : Dataset[VolPoint] = {
+    import ticks.sparkSession.implicits._
+    require(h >= 1, s"h must be >= 1: $h")
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    def cents(bid: Double): Long = math.round(bid * 100.0)
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[VolConeState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[VolPoint]
+          def close(): Unit = if (st != null) {
+            val ring1 = (st.ring :+ ((st.curDay, st.curRv))).takeRight(h)
+            if (ring1.length == h) {
+              val roll = ring1.map(_._2).sum
+              val band = cones.get(symbol) match {
+                case None => "untrained"
+                case Some((lo, hi)) =>
+                  if (roll < lo) "below"
+                  else if (roll > hi) "above" else "in"
+              }
+              out += VolPoint(symbol, st.curDay, roll, band)
+            }
+            st = VolConeState("", 0L, 0L, ring1.takeRight(h - 1))
+          }
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
+            val d = utcDate(t.ts)
+            val c = cents(t.bid)
+            if (st == null || st.curDay.isEmpty)
+              st = VolConeState(d, c, 0L,
+                if (st == null) Nil else st.ring)
+            else if (d != st.curDay) {
+              close()
+              st = st.copy(curDay = d, prevCents = c, curRv = 0L)
+            } else {
+              val dd = c - st.prevCents
+              st = st.copy(prevCents = c, curRv = st.curRv + dd * dd)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** G37 keyed state: each leg's last price (NaN = unseen) + the
     * Welford register over the observed spread series. */
   case class PairSpreadState(lastA: Double, lastB: Double, n: Long,

@@ -1259,6 +1259,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G39: volConeAlerts emits on day close only for FULL h-day " +
+      "windows, bands against the trained cone, open-day register " +
+      "carrying across micro-batches; untrained symbols flagged") {
+    import graft.streaming.Streaming.VolPoint
+    val feed = Seq(
+      // symbol 1 — day 1 rv 1, day 2 rv 4 (split mid-day-2), day 3 open
+      Tick(1L, 1L, t("2024-01-01 10:00:00"), 1.00),
+      Tick(2L, 1L, t("2024-01-01 11:00:00"), 1.01),
+      Tick(3L, 1L, t("2024-01-02 10:00:00"), 1.00),
+      Tick(4L, 1L, t("2024-01-02 11:00:00"), 1.02),
+      Tick(5L, 1L, t("2024-01-03 10:00:00"), 1.00),
+      // symbol 2 — same shape, no trained cone
+      Tick(6L, 2L, t("2024-01-01 10:00:00"), 1.00),
+      Tick(7L, 2L, t("2024-01-01 11:00:00"), 1.01),
+      Tick(8L, 2L, t("2024-01-02 10:00:00"), 1.00),
+      Tick(9L, 2L, t("2024-01-02 11:00:00"), 1.01),
+      Tick(10L, 2L, t("2024-01-03 10:00:00"), 1.00))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.volConeAlerts(in.toDS(),
+        Map(1L -> ((2.0, 4.5))), h = 2)
+      .writeStream.format("memory").queryName("p_vc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.partition(_.tick_id <= 3) // split mid-day-2
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val out = spark.table("p_vc").as[VolPoint].collect()
+      // day 1 closes with only itself in the ring (h=2) → no emit;
+      // day 2 closes with [d1, d2] → one emission per symbol;
+      // day 3 never closes → no emission.
+      assert(out.length == 2)
+      val s1 = out.find(_.symbol == 1L).get
+      assert((s1.day, s1.roll_rv, s1.band) ==
+        (("2024-01-02", 5L, "above")),
+        "rv 1+4 = 5 > hi 4.5, open-day register must carry the split")
+      val s2 = out.find(_.symbol == 2L).get
+      assert((s2.day, s2.roll_rv, s2.band) ==
+        (("2024-01-02", 2L, "untrained")))
+    } finally q.stop()
+  }
+
   test("G37: pairSpreadZ emits only once both legs ticked, folds the " +
       "Welford register exactly, and carries it across micro-batches") {
     import graft.streaming.Streaming.PairZ
