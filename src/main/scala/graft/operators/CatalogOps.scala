@@ -459,6 +459,88 @@ object CatalogOps {
       .orderBy("path")
   }
 
+  /** A24 — MULTI-TABLE ATOMIC PUBLISH (the Iceberg multi-table
+    * transaction / Delta multi-statement-commit analog on plain
+    * parquet): N tables must flip TOGETHER — a fact and its
+    * dimension, a corpus and its manifest — or a reader can join a
+    * new fact against an old dim (the cross-table torn read no
+    * single-table snapshot isolation prevents). Protocol: every
+    * publish writes each updated table into a fresh
+    * `<root>/<table>/v<N>/` directory, then commits by writing ONE
+    * root-level `manifest-v<N>.json` naming every table's directory
+    * (unchanged tables carry forward their old paths) via
+    * temp-file + ATOMIC_MOVE — the manifest rename IS the commit
+    * point. Readers resolve the LATEST manifest and load the named
+    * directories: a crash after the table writes but before the
+    * manifest leaves only unreferenced directories (A21's orphan-GC
+    * class) and readers pinned to the previous CONSISTENT set —
+    * spec'd with a simulated torn publish.
+    *
+    * Driver work is manifest-sized (file list + tiny JSON — the A19
+    * bounded-commit rule); the data writes are ordinary distributed
+    * jobs. Version resolution never trusts directory listings of the
+    * TABLE dirs (those may contain uncommitted versions) — only the
+    * manifest names are authoritative. */
+  def publishTables(spark: SparkSession, root: String,
+                    updates: Map[String, DataFrame]): Int = {
+    require(updates.nonEmpty, "publishTables needs at least one table")
+    val dir = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(dir)
+    val vNew = currentManifestVersion(root) + 1
+    val prev = readManifest(root)
+    updates.foreach { case (t, df) =>
+      require(!t.contains("/") && !t.contains("="),
+        s"illegal table name: $t")
+      df.write.mode("overwrite").parquet(s"$root/$t/v$vNew")
+    }
+    val entries = prev ++ updates.keys.map(t => t -> s"$t/v$vNew").toMap
+    val body = entries.toSeq.sorted
+      .map { case (t, p) => s"""  "$t": "$p"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    val tmp = dir.resolve(s".manifest-v$vNew.tmp")
+    java.nio.file.Files.write(tmp,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, dir.resolve(s"manifest-v$vNew.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    vNew
+  }
+
+  private def manifestVersions(root: String): Seq[Int] = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.map(_.getName)
+      .collect { case n if n.startsWith("manifest-v") &&
+        n.endsWith(".json") =>
+        n.stripPrefix("manifest-v").stripSuffix(".json").toInt }
+      .sorted
+  }
+
+  def currentManifestVersion(root: String): Int =
+    manifestVersions(root).lastOption.getOrElse(0)
+
+  /** The latest committed manifest's table → directory map (empty
+    * before the first publish). Tiny hand-rolled JSON — the writer
+    * above emits exactly this shape, and depending on a JSON library
+    * for a 10-line manifest would be the heavier contract. */
+  def readManifest(root: String): Map[String, String] = {
+    manifestVersions(root).lastOption match {
+      case None => Map.empty
+      case Some(v) =>
+        val src = scala.io.Source.fromFile(s"$root/manifest-v$v.json")
+        val txt = try src.mkString finally src.close()
+        """"([^"]+)":\s*"([^"]+)"""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  def readPublished(spark: SparkSession, root: String,
+                    table: String): DataFrame = {
+    val m = readManifest(root)
+    require(m.contains(table),
+      s"table $table not in the committed manifest: ${m.keys}")
+    spark.read.parquet(s"$root/${m(table)}")
+  }
+
   /** A23 — PARTITION EVOLUTION on plain parquet (the Iceberg
     * `ALTER TABLE … ADD PARTITION FIELD` analog, ref:
     * `Apache Iceberg/init-iceberg.sql` declares

@@ -347,6 +347,39 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("A24 multi-table atomic publish: readers see a CONSISTENT " +
+      "table set; a torn publish (data written, manifest missing) " +
+      "is invisible; unchanged tables carry forward") {
+    val root = java.nio.file.Files.createTempDirectory("a24").toString
+    import spark.implicits._
+    val factV1 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val dimV1 = Seq((1L, "x"), (2L, "y")).toDF("k", "name")
+    val v1 = CatalogOps.publishTables(spark, root,
+      Map("fact" -> factV1, "dim" -> dimV1))
+    assert(v1 == 1)
+    assert(CatalogOps.readPublished(spark, root, "fact").count() == 2)
+    assert(CatalogOps.readPublished(spark, root, "dim").count() == 2)
+
+    // TORN publish: new fact data lands on disk with NO manifest —
+    // readers must stay pinned to v1 for BOTH tables
+    Seq((9L, 99.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$root/fact/v2")
+    assert(CatalogOps.currentManifestVersion(root) == 1)
+    assert(CatalogOps.readPublished(spark, root, "fact")
+      .as[(Long, Double)].collect().toSet == Set((1L, 10.0), (2L, 20.0)),
+      "uncommitted directories must be invisible to readers")
+
+    // real v2 publish updates ONLY the fact; dim carries forward
+    val v2 = CatalogOps.publishTables(spark, root,
+      Map("fact" -> Seq((3L, 30.0)).toDF("k", "v")))
+    assert(v2 == 2)
+    assert(CatalogOps.readPublished(spark, root, "fact")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, 30.0)))
+    assert(CatalogOps.readManifest(root)("dim") == "dim/v1",
+      "unchanged table must keep its committed directory")
+    assert(CatalogOps.readPublished(spark, root, "dim").count() == 2)
+  }
+
   test("A23 partition evolution: old spec keeps year-only pruning, " +
       "new spec prunes on (year, month); unioned read is one schema " +
       "and month predicates stay correct across both generations") {
