@@ -79,12 +79,41 @@ def main():
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}"); continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
-            print(f"OK   {name} ({len(a)} rows)"); n_ok += 1
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1] if str(e) else 'diff'}")
             merged = a.compare(b) if a.shape == b.shape else None
             if merged is not None and not merged.empty:
                 print(merged.head(5))
+            continue
+        # STRICT stringify pass — the driver's hash stringifies each
+        # (rounded) cell, so values pandas treats as equal can still
+        # hash-mismatch: -0.0 vs 0.0 (DuckDB fp-round emits signed
+        # zero; Spark BigDecimal-round never does — the ONLY r11 red),
+        # int-ish floats ("1.0" vs "1"), NaT/None spellings. Exact
+        # string equality on the canon frames is the driver criterion;
+        # the atol pass above stays only for readable diffs.
+        sdiff = []
+        def cell(v):
+            # None/nan/NaT spellings are equal to the driver (r11:
+            # q_bns_jump, q_funnel_negation hashed green with spark
+            # None vs duck nan) — normalize before repr. Tuples
+            # (canon'd list cells) are never null-like.
+            if not isinstance(v, tuple):
+                try:
+                    if pd.isna(v): return "<null>"
+                except (TypeError, ValueError): pass
+            return repr(v)
+        for c in a.columns:
+            sa = a[c].map(cell)
+            sb = b[c].map(cell)
+            bad = sa != sb
+            if bad.any():
+                i = int(np.argmax(bad.values))
+                sdiff.append(f"{c}[{i}]: spark={sa.iloc[i]} duck={sb.iloc[i]} (+{int(bad.sum())-1} more)")
+        if sdiff:
+            print(f"FAIL {name}: strict stringify drift ({'; '.join(sdiff[:4])})")
+            continue
+        print(f"OK   {name} ({len(a)} rows)"); n_ok += 1
     print(f"== {n_ok}/{len([n for n in names if n in oracle])} oracle-checked OK ==")
 
 if __name__ == "__main__":

@@ -5,27 +5,25 @@
 # so far:
 #   1. full registry at sf0.001  (fast catch-all)
 #   2. full registry at sf0.01   (the driver's CORRECTNESS gate SF)
-#   3. float-sensitive sweep at sf0.1 (10x the gate SF) — the
-#      comparison/libm-heavy queries whose cross-engine hazards
-#      (percentile interpolation ulps, ln(0) domain, libm drift) are
-#      invisible at the small SFs; this sweep caught two real defects
-#      in round 8.
+#   3. FULL registry at sf0.1 (10x the gate SF) — round-12 upgrade:
+#      the r11 float-sensitive SUBSET missed nothing at sf0.1, but the
+#      subset selection itself is a judgment call the driver does not
+#      make; running every sql key at sf0.1 removes the gap. The
+#      cross-engine hazards (percentile interpolation ulps, ln(0)
+#      domain, libm drift, signed-zero round()) only show at scale.
 #
 # check.py hard-fails on int-vs-float dtype drift (the r8
-# HUGEINT-window-sum class) as well as on row/column/value mismatch,
-# so a green gate here predicts a green driver hash.
+# HUGEINT-window-sum class), on row/column/value mismatch, AND — since
+# round 12 — on STRICT stringified-cell drift (the driver hashes
+# stringified cells, so -0.0 vs 0.0 is a driver FAIL that atol-based
+# compares wave through; that was the entire r11 red set), so a green
+# gate here predicts a green driver hash.
 #
-# Usage: scripts/gate.sh   (from the repo root; ~4 min)
+# Usage: scripts/gate.sh   (from the repo root; ~15 min)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 CPUS="${SPARK_GRAFT_CPUS:-8}"
-
-# The sf0.1 float-sensitive set: every query whose oracle parity
-# depends on double comparisons or libm calls over data-scale-many
-# rows (percentile cuts, ln/sqrt/exp, covariance folds, cosine
-# rankings). Grow this list when adding such a query.
-FLOAT_SENSITIVE="q_curriculum,q_market_beta,q_cluster_audit,q_autocorr,q_ewma,q_realized_vol,q_log_returns,q_hll_ndv,q_winnow,q_hybrid_search,q_roll_spread,q_amihud,q_hurst,q_leadlag_corr,q_small_qty_revenue,q_burst_detect,q_range_vol,q_market_share,q_promo_share,q_cs_spread,q_rolling_corr,q_bipower,q_epps_curve,q_zipf_fit,q_realized_moments,q_semivariance,q_medrv,q_gram_matrix,q_pca_power,q_mean_reversion,q_vol_signature,q_bns_jump,q_seasonal_anomaly,q_semantic_dedup,q_overnight_intraday,q_ks_drift,q_newey_west,q_clock_kurtosis,q_impact_exponent,q_leverage_effect,q_volume_elasticity,q_source_kl,q_lexical_diversity,q_reversal_spread,q_cointegration,q_nb_classifier,q_pairs_backtest,q_source_centrality,q_har_rv,q_heldout_ppl,q_vol_cones,q_heaps_fit"
 
 run_gate() {
   local sf="$1" out="$2" filter="${3:-}"
@@ -55,6 +53,6 @@ echo "== gate 1/3: full registry @ sf0.001 =="
 run_gate sf0.001 /tmp/gate_sf0.001
 echo "== gate 2/3: full registry @ sf0.01 (driver SF) =="
 run_gate sf0.01 /tmp/gate_sf0.01
-echo "== gate 3/3: float-sensitive sweep @ sf0.1 =="
-run_gate sf0.1 /tmp/gate_sf0.1 "$FLOAT_SENSITIVE"
+echo "== gate 3/3: full registry @ sf0.1 =="
+run_gate sf0.1 /tmp/gate_sf0.1
 echo "== GATE GREEN =="

@@ -3058,6 +3058,13 @@ object SparkEntry {
         |    THEN CAST(pos_prev AS DOUBLE) * ds ELSE 0.0 END), 4)
         |    AS pnl_cents
         |FROM pp GROUP BY 1, 2, 3 ORDER BY sym_a, sym_b""".stripMargin,
+    // D60 — negative-zero discipline: DuckDB's round() is an fp
+    // multiply (round(-1e-9, 4) = -0.0) while Spark's is BigDecimal
+    // (always +0.0); the driver's hash stringifies, so "-0.0" vs
+    // "0.0" is a mismatch on numerically equal cells (the ONLY r11
+    // drift — 2 cells of 67,050). `round(..) + 0.0` normalizes
+    // (-0.0 + 0.0 = +0.0 in IEEE; NULL propagates) on every slope-
+    // like column that can legitimately round to a signed zero.
     "q_cointegration" ->
       s"""WITH closes AS (SELECT user_id AS symbol,
         |    CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -3102,10 +3109,10 @@ object SparkEntry {
         |    ${Microstructure.arLag2FromSums} AS s_lag2
         |  FROM fab),
         |rr AS (SELECT sym_a, sym_b, n_days, beta,
-        |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) END
+        |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) + 0.0 END
         |      AS rho
         |  FROM s)
-        |SELECT sym_a, sym_b, n_days, round(beta, 4) AS beta, rho,
+        |SELECT sym_a, sym_b, n_days, round(beta, 4) + 0.0 AS beta, rho,
         |  CASE WHEN rho > 0 AND rho < 1
         |    THEN round(-ln(2.0) / ln(rho), 4) END AS half_life_days
         |FROM rr ORDER BY sym_a, sym_b""".stripMargin,
@@ -5989,7 +5996,10 @@ object SparkEntry {
     // F98 — Heaps fit: exact-int-div prefix buckets off the max-id
     // scalar, first-bucket cumulative histogram (one explode, never B
     // distinct scans), F57's rounded-sums-then-closed-form
-    // discipline.
+    // discipline. Slope/intercept/r2 carry the D60 `round(..) + 0.0`
+    // negative-zero normalization (DuckDB fp-round emits -0.0 for
+    // tiny negatives; Spark BigDecimal-round never does — the r11
+    // heaps_beta hash drift was exactly this).
     "q_heaps_fit" -> {
       import graft.functions.PortableText._
       s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
@@ -6025,16 +6035,16 @@ object SparkEntry {
         |SELECT n_points,
         |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
         |    round((n_points * sxy - sx * sy)
-        |      / (n_points * sxx - sx * sx), 4) END AS heaps_beta,
+        |      / (n_points * sxx - sx * sx), 4) + 0.0 END AS heaps_beta,
         |  CASE WHEN n_points * sxx - sx * sx > 0 THEN
         |    round((sy - ((n_points * sxy - sx * sy)
-        |      / (n_points * sxx - sx * sx)) * sx) / n_points, 4)
+        |      / (n_points * sxx - sx * sx)) * sx) / n_points, 4) + 0.0
         |  END AS ln_k,
         |  CASE WHEN n_points * sxx - sx * sx > 0
         |    AND n_points * syy - sy * sy > 0 THEN
         |    round(((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
         |      / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)),
-        |      4) END AS r2
+        |      4) + 0.0 END AS r2
         |FROM s""".stripMargin
     },
     "q_zipf_fit" -> {
