@@ -197,6 +197,66 @@ object SparkEntry {
 
   val pcaDim = 64               // F61/F65 embedding dimensionality
 
+  val cointBands = 2            // D65 LSH bands
+  val cointBandBits = 7         // D65 bits per band (candidates ~
+                                // bands * n^2 / 2^(bandBits+1))
+  val tensorSlots = 16          // D66 ticks per window tensor (the
+                                // reference uses 600; same arithmetic)
+
+  /** D60/D65 shared oracle fragments: the daily-close CTE and the
+    * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
+    * day, ca, cb) — factored so the exact and the blocked screen
+    * interpolate ONE spelling of the regression arithmetic. */
+  private lazy val cointClosesSql: String =
+    """closes AS (SELECT user_id AS symbol,
+      |    CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+      |      AS cents
+      |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  private lazy val cointFitTailSql: String =
+    s"""lg AS (SELECT *,
+        |    lag(ca) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS ya,
+        |    lag(cb) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS xa
+        |  FROM grid),
+        |fit AS (SELECT sym_a, sym_b, count(*) AS n_days,
+        |    CAST(sum(cb) AS BIGINT) AS sx,
+        |    CAST(sum(ca) AS BIGINT) AS sy,
+        |    CAST(sum(cb * ca) AS BIGINT) AS sxy,
+        |    CAST(sum(cb * cb) AS BIGINT) AS sxx,
+        |    count(ya) AS n1,
+        |    CAST(sum(ca * ya) AS BIGINT) AS c_yy1,
+        |    CAST(sum(ca * xa) AS BIGINT) AS c_yx1,
+        |    CAST(sum(cb * ya) AS BIGINT) AS c_xy1,
+        |    CAST(sum(cb * xa) AS BIGINT) AS c_xx1,
+        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN ca END) AS BIGINT)
+        |      AS c_y,
+        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN cb END) AS BIGINT)
+        |      AS c_x,
+        |    CAST(sum(ya) AS BIGINT) AS c_y1,
+        |    CAST(sum(xa) AS BIGINT) AS c_x1,
+        |    CAST(sum(ya * ya) AS BIGINT) AS c_y1sq,
+        |    CAST(sum(xa * xa) AS BIGINT) AS c_x1sq,
+        |    CAST(sum(ya * xa) AS BIGINT) AS c_x1y1
+        |  FROM lg GROUP BY sym_a, sym_b),
+        |fb AS (SELECT *, ${Microstructure.olsSlopeFromSums("sx", "sy",
+             "sxy", "sxx", "n_days")} AS beta FROM fit),
+        |fab AS (SELECT *, ${Microstructure.olsInterceptFromSums("sx",
+             "sy", "beta", "n_days")} AS alpha FROM fb
+        |  WHERE beta IS NOT NULL),
+        |s AS (SELECT sym_a, sym_b, n_days, beta,
+        |    ${Microstructure.arCrossFromSums} AS s_cross,
+        |    ${Microstructure.arLag2FromSums} AS s_lag2
+        |  FROM fab),
+        |rr AS (SELECT sym_a, sym_b, n_days, beta,
+        |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) + 0.0 END
+        |      AS rho
+        |  FROM s)
+        |SELECT sym_a, sym_b, n_days, round(beta, 4) + 0.0 AS beta, rho,
+        |  CASE WHEN rho > 0 AND rho < 1
+        |    THEN round(-ln(2.0) / ln(rho), 4) END AS half_life_days
+        |FROM rr ORDER BY sym_a, sym_b""".stripMargin
+
   /** The F61 covariance + power-iteration cascade as a WITH-body
     * (rounded gram/sums → covariance lists → `pcaIters` unrolled
     * normalize-matvec blocks → sign-canonicalized eigenpair CTEs
@@ -574,6 +634,10 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("ts") <=
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
+    // D66 — windowed-tensor export: fixed-length scaled tick arrays
+    // per (symbol, day, session window), the reference's ML handoff.
+    "q_window_tensors" -> ((s, d) =>
+      Features.windowTensors(Tables.ticks(s, d), tensorSlots)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -673,6 +737,11 @@ object SparkEntry {
     // close grid: hedge ratio, residual AR(1), half-life.
     "q_cointegration" -> ((s, d) =>
       Microstructure.cointegrationScreen(Tables.ticks(s, d))),
+    // D65 — blocked screen: LSH-banded candidate prune, exact fit on
+    // survivors only (the 100x-scale path for the quadratic D60).
+    "q_cointegration_blocked" -> ((s, d) =>
+      Microstructure.cointegrationScreenBlocked(Tables.ticks(s, d),
+        cointBands, cointBandBits)),
     // D62 — pairs-trade backtest on the symPairs roster: z-scored
     // hedge spread, window state machine, P&L per pair.
     "q_pairs_backtest" -> ((s, d) =>
@@ -1817,6 +1886,77 @@ object SparkEntry {
         |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
         |  AND b.win = idx.win AND b.rn = idx.target_rn
         |ORDER BY idx.symbol, idx.date, idx.win, idx.i""".stripMargin,
+    // D66 — windowed-tensor export: D6b's linspace slot map extended
+    // with the reference's under-full pad inverse, D7's split
+    // truncation per symbol, sklearn-ddof-0 scaler from exact int64
+    // train sums. Elements quantize to the 1e-6 grid with the
+    // floor(x*1e6 + 0.5) sign-split spelling — identical fp ops both
+    // engines (never round(double, d) on element-wise values; r11's
+    // signed-zero lesson), `+ 0.0` normalizing -0.0.
+    "q_window_tensors" -> {
+      val k = tensorSlots
+      s"""WITH w AS (SELECT event_id AS tick_id, user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50 THEN 'afternoon'
+        |    END AS win,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50),
+        |base AS (SELECT *, row_number() OVER (PARTITION BY symbol, date,
+        |    win ORDER BY tick_id) AS rn FROM w),
+        |g AS (SELECT symbol, date, win, count(*) AS cnt
+        |  FROM w GROUP BY 1, 2, 3),
+        |idx AS (SELECT symbol, date, win, cnt, i,
+        |    CASE WHEN cnt = 1 THEN 1
+        |      WHEN cnt >= $k THEN (i * (cnt - 1)) // ${k - 1} + 1
+        |      ELSE ((i + 1) * (cnt - 1) - 1) // ${k - 1} + 1
+        |    END AS target_rn
+        |  FROM g, (SELECT unnest(range($k)) AS i) ti),
+        |slots AS (SELECT idx.symbol AS symbol, idx.date AS date,
+        |    idx.win AS win, idx.cnt AS cnt, idx.i AS i, b.cents AS cents
+        |  FROM idx JOIN base b ON b.symbol = idx.symbol
+        |    AND b.date = idx.date AND b.win = idx.win
+        |    AND b.rn = idx.target_rn),
+        |rk AS (SELECT symbol, date, win,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY date,
+        |      CASE WHEN win = 'morning' THEN 0 ELSE 1 END) AS rn_w,
+        |    count(*) OVER (PARTITION BY symbol) AS n_w
+        |  FROM g),
+        |sp AS (SELECT symbol, date, win,
+        |    CASE WHEN rn_w <= floor(n_w * 0.6) THEN 'train'
+        |      WHEN rn_w <= floor(n_w * 0.6) + floor(n_w * 0.2) THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM rk),
+        |st AS (SELECT sl.symbol AS symbol, count(*) AS n_tr,
+        |    CAST(sum(sl.cents) AS BIGINT) AS sa,
+        |    CAST(sum(sl.cents * sl.cents) AS BIGINT) AS sq
+        |  FROM slots sl JOIN sp ON sp.symbol = sl.symbol
+        |    AND sp.date = sl.date AND sp.win = sl.win
+        |  WHERE sp.split = 'train' GROUP BY 1),
+        |sc AS (SELECT symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
+        |    CASE WHEN CAST(sq AS DOUBLE) / n_tr
+        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)
+        |        > 0
+        |      THEN sqrt(CAST(sq AS DOUBLE) / n_tr
+        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))
+        |      END AS sd
+        |  FROM st),
+        |sx AS (SELECT sl.symbol AS symbol, sl.date AS date,
+        |    sl.win AS win, sp.split AS split, sl.cnt AS n_ticks, sl.i AS i,
+        |    CASE WHEN sc.sd IS NOT NULL AND sc.sd > 0
+        |      THEN (sl.cents - sc.mu) / sc.sd ELSE 0.0 END AS x
+        |  FROM slots sl
+        |  JOIN sp ON sp.symbol = sl.symbol AND sp.date = sl.date
+        |    AND sp.win = sl.win
+        |  LEFT JOIN sc ON sc.symbol = sl.symbol)
+        |SELECT symbol, date, win, split, n_ticks,
+        |  list((CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |    ELSE -floor(-x * 1000000.0 + 0.5) END) / 1000000.0 + 0.0
+        |    ORDER BY i) AS tensor
+        |FROM sx GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY symbol, date, win""".stripMargin
+    },
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)
@@ -3066,56 +3206,46 @@ object SparkEntry {
     // (-0.0 + 0.0 = +0.0 in IEEE; NULL propagates) on every slope-
     // like column that can legitimately round to a signed zero.
     "q_cointegration" ->
-      s"""WITH closes AS (SELECT user_id AS symbol,
-        |    CAST(date_trunc('day', ts) AS DATE) AS day,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS cents
-        |  FROM events GROUP BY 1, 2),
+      s"""WITH $cointClosesSql,
         |grid AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day,
         |    a.cents AS ca, b.cents AS cb
         |  FROM closes a JOIN closes b
         |    ON a.day = b.day AND a.symbol < b.symbol),
-        |lg AS (SELECT *,
-        |    lag(ca) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS ya,
-        |    lag(cb) OVER (PARTITION BY sym_a, sym_b ORDER BY day) AS xa
-        |  FROM grid),
-        |fit AS (SELECT sym_a, sym_b, count(*) AS n_days,
-        |    CAST(sum(cb) AS BIGINT) AS sx,
-        |    CAST(sum(ca) AS BIGINT) AS sy,
-        |    CAST(sum(cb * ca) AS BIGINT) AS sxy,
-        |    CAST(sum(cb * cb) AS BIGINT) AS sxx,
-        |    count(ya) AS n1,
-        |    CAST(sum(ca * ya) AS BIGINT) AS c_yy1,
-        |    CAST(sum(ca * xa) AS BIGINT) AS c_yx1,
-        |    CAST(sum(cb * ya) AS BIGINT) AS c_xy1,
-        |    CAST(sum(cb * xa) AS BIGINT) AS c_xx1,
-        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN ca END) AS BIGINT)
-        |      AS c_y,
-        |    CAST(sum(CASE WHEN ya IS NOT NULL THEN cb END) AS BIGINT)
-        |      AS c_x,
-        |    CAST(sum(ya) AS BIGINT) AS c_y1,
-        |    CAST(sum(xa) AS BIGINT) AS c_x1,
-        |    CAST(sum(ya * ya) AS BIGINT) AS c_y1sq,
-        |    CAST(sum(xa * xa) AS BIGINT) AS c_x1sq,
-        |    CAST(sum(ya * xa) AS BIGINT) AS c_x1y1
-        |  FROM lg GROUP BY sym_a, sym_b),
-        |fb AS (SELECT *, ${Microstructure.olsSlopeFromSums("sx", "sy",
-             "sxy", "sxx", "n_days")} AS beta FROM fit),
-        |fab AS (SELECT *, ${Microstructure.olsInterceptFromSums("sx",
-             "sy", "beta", "n_days")} AS alpha FROM fb
-        |  WHERE beta IS NOT NULL),
-        |s AS (SELECT sym_a, sym_b, n_days, beta,
-        |    ${Microstructure.arCrossFromSums} AS s_cross,
-        |    ${Microstructure.arLag2FromSums} AS s_lag2
-        |  FROM fab),
-        |rr AS (SELECT sym_a, sym_b, n_days, beta,
-        |    CASE WHEN s_lag2 > 0 THEN round(s_cross / s_lag2, 4) + 0.0 END
-        |      AS rho
-        |  FROM s)
-        |SELECT sym_a, sym_b, n_days, round(beta, 4) + 0.0 AS beta, rho,
-        |  CASE WHEN rho > 0 AND rho < 1
-        |    THEN round(-ln(2.0) / ln(rho), 4) END AS half_life_days
-        |FROM rr ORDER BY sym_a, sym_b""".stripMargin,
+        |$cointFitTailSql""".stripMargin,
+    // D65 — blocked screen: stage-1 LSH banding over fixed-calendar
+    // up-move bits (exact ints both engines), stage-2 the SHARED fit
+    // tail — candidates only. Same negative-zero discipline as D60.
+    "q_cointegration_blocked" -> {
+      val nBits = cointBands * cointBandBits
+      val loHis = (0 until nBits).map(b =>
+        s"max(CASE WHEN j = ${2 * b} THEN cents END) AS lo$b, " +
+          s"max(CASE WHEN j = ${2 * b + 1} THEN cents END) AS hi$b")
+        .mkString(",\n|    ")
+      val sigSum = (0 until nBits).map(b =>
+        s"CASE WHEN hi$b > lo$b THEN CAST(${1L << b} AS BIGINT) " +
+          "ELSE 0 END").mkString(" + ")
+      s"""WITH $cointClosesSql,
+        |d0 AS (SELECT min(day) AS d0 FROM closes),
+        |rel AS (SELECT symbol, (day - d0.d0) AS j, cents
+        |  FROM closes, d0 WHERE (day - d0.d0) < ${2 * nBits}),
+        |lohi AS (SELECT symbol,
+        |    $loHis
+        |  FROM rel GROUP BY symbol),
+        |sig AS (SELECT symbol, $sigSum AS sig FROM lohi),
+        |bandrows AS (SELECT symbol, i AS band_idx,
+        |    (sig // CAST(pow(2, i * $cointBandBits) AS BIGINT))
+        |      % ${1L << cointBandBits} AS band_val
+        |  FROM sig, (SELECT unnest(range($cointBands)) AS i) t),
+        |cand AS (SELECT DISTINCT a.symbol AS sym_a, b.symbol AS sym_b
+        |  FROM bandrows a JOIN bandrows b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |    AND a.symbol < b.symbol),
+        |grid AS (SELECT c.sym_a, c.sym_b, a.day,
+        |    a.cents AS ca, b.cents AS cb
+        |  FROM cand c JOIN closes a ON a.symbol = c.sym_a
+        |    JOIN closes b ON b.symbol = c.sym_b AND b.day = a.day),
+        |$cointFitTailSql""".stripMargin
+    },
     // D57 — volume–volatility elasticity: within-day exact-cent move
     // mass vs exact volume, ln of exact ints, covar_pop/var_pop slope
     // round(4) (D55's accepted spelling), zero days dropped pre-ln.

@@ -648,4 +648,116 @@ object Features {
         "recovery_ticks", "recovered", "n_lookahead")
       .orderBy("symbol", "shock_id")
   }
+
+  /** D66 — WINDOWED-TENSOR FEATURE EXPORT: the reference's actual ML
+    * handoff format (ref: model.py:233-325 `create_window_based_data`
+    * / `prepare_window_data` — fixed-count tick arrays per (symbol,
+    * day, session window); model.py:48-80 deterministic even-spacing
+    * pad; model.py:326-349 chrono window split; model.py:351-384
+    * train-fit scaler applied to all splits). D6b resamples, D7
+    * splits, D8 scales — this assembles the END PRODUCT a trainer
+    * consumes: one row per window, a fixed-length scaled DOUBLE
+    * array.
+    *
+    * Slot mapping (one closed form, both pad and sample):
+    *  - n ≥ k: slot i ← tick `(i·(n−1)) div (k−1)` — the linspace
+    *    downsample (D6's spelling);
+    *  - n < k: the reference places tick j at slot
+    *    `(j·(k−1)) div (n−1)` and forward-fills, so slot i holds the
+    *    LAST tick placed at-or-before it — algebraically tick
+    *    `((i+1)·(n−1)−1) div (k−1)`, no fill pass needed (head
+    *    backfill is vacuous: slot 0 is always placed);
+    *  - n = 1: every slot is that tick.
+    *
+    * Split: per SYMBOL (the reference pipeline runs per symbol),
+    * windows ranked chronologically (date, morning < afternoon),
+    * `train = int(n·0.6)`, `val = next int(n·0.2)` — D7's truncation
+    * arithmetic. Scaler: population mean/std of the TRAIN windows'
+    * slot cents (sklearn StandardScaler ddof=0), from exact int64
+    * sums; a symbol with no train stats or zero variance scales to
+    * 0.0 flat.
+    *
+    * Scale shape: group-level index explosion (k·|windows| rows, not
+    * k·|ticks| — D6's discipline), one broadcastable per-symbol stats
+    * join, one final (window-key) aggregate. No full-table window
+    * functions; every tensor row is independent.
+    *
+    * Engine-exactness: cents exact int64 end-to-end; µ = Σ/n and
+    * σ = √(Σx²/n − µ²) are fixed IEEE spellings of exact ints; each
+    * element is one subtract + one divide, then quantized to the
+    * 1e-6 grid with the floor(x·1e6 + 0.5) sign-split spelling — fp
+    * ops identical in BOTH engines (never `round(double, d)`, whose
+    * BigDecimal-vs-fp-multiply semantics differ at boundaries — the
+    * r11 lesson), `+ 0.0` normalizing the signed zero. */
+  def windowTensors(ticks: DataFrame, k: Int,
+                    trainRatio: Double = 0.6,
+                    valRatio: Double = 0.2): DataFrame = {
+    require(k >= 2, s"need >= 2 slots per window: $k")
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname =
+      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
+        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+          "afternoon")
+    val proj = ticks
+      .withColumn("win", wname).filter(col("win").isNotNull)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cents",
+        expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .select("tick_id", "symbol", "date", "win", "cents")
+    val keys = Seq("symbol", "date", "win")
+    val base = proj.withColumn("target_rn", row_number().over(
+      Window.partitionBy(keys.map(col): _*).orderBy("tick_id")))
+    val groups = proj.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val idx = groups
+      .withColumn("i", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("target_rn",
+        when(col("cnt") === 1, lit(1))
+          .when(col("cnt") >= k, expr(s"(i * (cnt - 1)) div ${k - 1} + 1"))
+          .otherwise(expr(s"((i + 1) * (cnt - 1) - 1) div ${k - 1} + 1")))
+    val slots = idx.join(base, keys :+ "target_rn")
+      .select(col("symbol"), col("date"), col("win"), col("cnt"),
+        col("i"), col("cents"))
+    // chronological split per symbol over the (tiny) window roster
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val ranked = groups
+      .withColumn("rn_w", row_number().over(
+        Window.partitionBy("symbol").orderBy(col("date"), winOrd)))
+      .withColumn("n_w", count(lit(1)).over(Window.partitionBy("symbol")))
+      .withColumn("split",
+        when(col("rn_w") <= floor(col("n_w") * trainRatio), "train")
+          .when(col("rn_w") <= floor(col("n_w") * trainRatio) +
+            floor(col("n_w") * valRatio), "val")
+          .otherwise("test"))
+      .select("symbol", "date", "win", "split")
+    val stats = slots.join(ranked, keys)
+      .filter(col("split") === "train")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_tr"),
+        sum(col("cents")).as("sa"),
+        sum(col("cents") * col("cents")).as("sq"))
+      .withColumn("mu", expr("CAST(sa AS DOUBLE) / n_tr"))
+      .withColumn("sd", expr(
+        "CASE WHEN CAST(sq AS DOUBLE) / n_tr" +
+          " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)" +
+          " > 0 THEN sqrt(CAST(sq AS DOUBLE) / n_tr" +
+          " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))" +
+          " END"))
+      .select("symbol", "mu", "sd")
+    slots.join(ranked, keys)
+      .join(stats, Seq("symbol"), "left")
+      .withColumn("x",
+        when(col("sd").isNotNull && col("sd") > 0,
+          (col("cents") - col("mu")) / col("sd")).otherwise(lit(0.0)))
+      // double-suffixed literals: Spark parses a bare `1000000.0` as
+      // DECIMAL and the whole tensor would silently become DecimalType
+      .withColumn("el", expr(
+        "(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-x * 1000000.0D + 0.5D) END) / 1000000.0D + 0.0D"))
+      .groupBy(col("symbol"), col("date"), col("win"), col("split"),
+        col("cnt").as("n_ticks"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("el")))),
+        s => s.getField("el")).as("tensor"))
+      .orderBy("symbol", "date", "win")
+  }
 }

@@ -2030,16 +2030,29 @@ object Microstructure {
       .orderBy("sym_a", "sym_b")
   }
 
-  def cointegrationScreen(ticks: DataFrame): DataFrame = {
-    val closes = ticks
+  def cointegrationScreen(ticks: DataFrame): DataFrame =
+    cointFit(pairGrid(dailyCloses(ticks)))
+
+  /** The D60 (symbol, day, exact-cents close) collapse — shared by the
+    * exact screen, the blocked screen, and the pairs backtest feed. */
+  private def dailyCloses(ticks: DataFrame): DataFrame =
+    ticks
       .withColumn("cents", centsOf(col("bid")))
       .groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(max_by(col("cents"), col("tick_id")).as("cents"))
-    val grid = closes.select(col("symbol").as("sym_a"), col("day"),
+
+  /** The full |pairs| × |days| grid (quadratic in symbols). */
+  private def pairGrid(closes: DataFrame): DataFrame =
+    closes.select(col("symbol").as("sym_a"), col("day"),
         col("cents").as("ca"))
       .join(closes.select(col("symbol").as("sym_b"), col("day"),
         col("cents").as("cb")), Seq("day"))
       .filter(col("sym_a") < col("sym_b"))
+
+  /** The D60 per-pair OLS + residual-AR(1) fit over a pair-day grid
+    * (sym_a, sym_b, day, ca, cb) — ONE spelling shared by the exact
+    * and the blocked screen so the two cannot drift on the math. */
+  private def cointFit(grid: DataFrame): DataFrame = {
     val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
     val sums = grid
       .withColumn("ya", lag(col("ca"), 1).over(wPair))
@@ -2077,5 +2090,80 @@ object Microstructure {
         round(col("beta"), 4).as("beta"), col("rho"),
         col("half_life_days"))
       .orderBy("sym_a", "sym_b")
+  }
+
+  /** D65 — BLOCKED COINTEGRATION SCREEN: the 100×-scale path for D60
+    * (VERDICT r11 #2). The exact screen's pair grid is quadratic in
+    * symbols — 5·10⁷ pairs at a 10⁴-symbol cross-section. Here a
+    * cheap LSH-banded stage 1 prunes the pair space BEFORE any grid
+    * exists, and the exact [[cointFit]] runs only on survivors:
+    *
+    *  - signature: per symbol, `bands·bandBits` up-move bits — bit b
+    *    is 1 iff the close on relative day 2b+1 exceeds the close on
+    *    relative day 2b (days anchored at the GLOBAL min close day;
+    *    a missing day yields bit 0). Cointegrated/correlated pairs
+    *    share co-moving closes, so their bit vectors agree on most
+    *    positions — the sign-random-projection family (Charikar
+    *    2002), with fixed calendar axes instead of random ones so
+    *    both engines derive identical bits from exact int64 cents.
+    *  - banding: the bit string splits into `bands` bands of
+    *    `bandBits` bits (integer div/mod — no engine-specific shift
+    *    ops); candidate = pair agreeing on ALL bits of ≥1 band
+    *    (min-hash banding, Broder 1997). E[bucket] = n/2^bandBits,
+    *    so candidates ≈ bands·n²/2^(bandBits+1) — 1/64 of the grid
+    *    at the defaults — and the knob is exponential: +1 bit halves
+    *    the pair space, so the 10× cross-section rides bandBits, not
+    *    the quadratic.
+    *  - stage 2: survivors join back to the closes (two broadcastable
+    *    candidate-keyed joins — candidates ≪ |pairs|), then the
+    *    SHARED exact fit. β/ρ/half-life of every surviving pair are
+    *    bit-identical to the exact screen's values for that pair
+    *    (same [[cointFit]] spelling, asserted by the spec).
+    *
+    * It is a SCREEN: recall < 1 by design (a pair can differ in every
+    * band yet cointegrate); the trade is the same one the F2 minhash
+    * dedup family makes, and stage-2 exactness means zero false
+    * positives in the emitted stats. Hot buckets (e.g. the missing-
+    * day all-zero band) would tile via Skew.tiledSelfPairs at 100 TB;
+    * the candidate DISTINCT keeps multiplicity 1 either way.
+    * (ref capability: the pair-selection feed of the reference's ML
+    * layer — SURVEY D60/G37.) */
+  def cointegrationScreenBlocked(ticks: DataFrame, bands: Int = 2,
+                                 bandBits: Int = 7): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 62,
+      s"bad banding: $bands x $bandBits")
+    val closes = dailyCloses(ticks)
+    val nBits = bands * bandBits
+    val d0 = closes.agg(min(col("day")).as("d0"))
+    val rel = closes.crossJoin(broadcast(d0))
+      .withColumn("j", datediff(col("day"), col("d0")))
+      .filter(col("j") < 2 * nBits)
+    // one aggregate computes every (lo, hi) close pair
+    val loHi = (0 until nBits).flatMap { b =>
+      Seq(max(when(col("j") === 2 * b, col("cents"))).as(s"lo$b"),
+        max(when(col("j") === 2 * b + 1, col("cents"))).as(s"hi$b"))
+    }
+    val sigCol = (0 until nBits).map { b =>
+      when(col(s"hi$b") > col(s"lo$b"), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = rel.groupBy("symbol").agg(loHi.head, loHi.tail: _*)
+      .select(col("symbol"), sigCol.as("sig"))
+    val bandMod = 1L << bandBits
+    val bandRows = sig
+      .withColumn("band_idx", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("band_val", expr(
+        s"(sig div CAST(pow(2, band_idx * $bandBits) AS BIGINT)) % $bandMod"))
+      .select("symbol", "band_idx", "band_val")
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"), Seq("band_idx", "band_val"))
+      .filter(col("a.symbol") < col("b.symbol"))
+      .select(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
+      .distinct()
+    val grid = cand
+      .join(closes.select(col("symbol").as("sym_a"), col("day"),
+        col("cents").as("ca")), Seq("sym_a"))
+      .join(closes.select(col("symbol").as("sym_b"), col("day"),
+        col("cents").as("cb")), Seq("sym_b", "day"))
+    cointFit(grid)
   }
 }

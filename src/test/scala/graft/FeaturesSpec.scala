@@ -336,4 +336,54 @@ class FeaturesSpec extends SparkSpec {
       // recovery, auditable truncation
       (1L, 5L, 105L, 160L, 5238L, None, false, 1L)))
   }
+
+  test("windowTensors: linspace downsample, ffill pad, single-tick " +
+      "window, train-fit scaler — hand-derived k=4 case") {
+    // One symbol, three MORNING session windows (07:5x):
+    //   A (01-01): 6 ticks, cents 100..105  -> downsample
+    //   B (01-02): 3 ticks, cents 200,210,220 -> pad
+    //   C (01-03): 1 tick, cents 300          -> constant
+    // Split over 3 windows: train = int(3*0.6) = 1 (A), val =
+    // int(3*0.2) = 0, so B and C are test.
+    def w(id: Long, day: Int, sec: Int, bid: Double) =
+      (id, 1L, f"2024-01-0$day 07:50:$sec%02d", bid, 9.9)
+    val rows =
+      (0 until 6).map(i => w(i + 1, 1, i, 1.00 + i * 0.01)) ++
+        Seq(w(11, 2, 0, 2.00), w(12, 2, 1, 2.10), w(13, 2, 2, 2.20)) ++
+        Seq(w(21, 3, 0, 3.00))
+    val out = Features.windowTensors(ticks(rows: _*), 4)
+      .collect().map(r => (r.getAs[String]("date"),
+        (r.getAs[String]("split"), r.getAs[Long]("n_ticks"),
+          r.getSeq[Double](r.fieldIndex("tensor")))))
+      .toMap
+    // slot maps: n=6>k: i*(5) div 3 -> ranks 1,2,4,6; n=3<k:
+    // ((i+1)*2-1) div 3 -> ranks 1,2,2,3; n=1: all rank 1.
+    val aSlots = Seq(100, 101, 103, 105)
+    // train scaler = population stats of A's SLOT values
+    val mu = aSlots.sum / 4.0
+    val sd = math.sqrt(aSlots.map(c => c.toDouble * c).sum / 4.0 - mu * mu)
+    def q(x: Double): Double =
+      (if (x >= 0) math.floor(x * 1000000.0 + 0.5)
+       else -math.floor(-x * 1000000.0 + 0.5)) / 1000000.0
+    def sc(c: Int): Double = q((c - mu) / sd)
+    assert(out("2024-01-01") ==
+      (("train", 6L, aSlots.map(sc))))
+    assert(out("2024-01-02") ==
+      (("test", 3L, Seq(200, 210, 210, 220).map(sc))))
+    assert(out("2024-01-03") ==
+      (("test", 1L, Seq(300, 300, 300, 300).map(sc))))
+  }
+
+  test("windowTensors: symbol with zero-variance train stats scales " +
+      "flat to 0.0") {
+    val rows = Seq(
+      (1L, 7L, "2024-01-01 07:51:00", 5.00, 9.9),
+      (2L, 7L, "2024-01-01 07:52:00", 5.00, 9.9),
+      (3L, 7L, "2024-01-02 13:55:00", 6.00, 9.9))
+    val out = Features.windowTensors(ticks(rows: _*), 4).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getSeq[Double](r.fieldIndex("tensor")) == Seq(0.0, 0.0, 0.0, 0.0))
+    }
+  }
 }

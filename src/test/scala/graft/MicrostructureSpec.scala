@@ -1016,4 +1016,36 @@ class MicrostructureSpec extends SparkSpec {
     // b-leg varies — not applicable in this roster either way.
     assert(out.keySet == Set((1L, 2L)))
   }
+
+  test("cointegrationScreenBlocked: banding keeps only shared-band " +
+      "pairs, and every survivor carries the exact screen's stats") {
+    // 4 symbols x 12 days, bands = 2 x 3 bits. Up-move bits per
+    // consecutive day pair (2b, 2b+1):
+    //   sym1: 1,0,1 | 0,1,0  -> bands (5, 2)
+    //   sym2 = 2*sym1 + 10   -> same bits -> both bands match sym1
+    //   sym3: 0,1,0 | 1,0,1  -> bands (2, 5): band_idx differs, no match
+    //   sym4: 1,0,1 | 1,1,1  -> bands (5, 7): band0 matches sym1/sym2
+    // Expected candidates: (1,2), (1,4), (2,4) of the 6 grid pairs.
+    val s1 = Seq(100, 110, 120, 115, 110, 130, 140, 135, 130, 150, 160, 155)
+    val s2 = s1.map(2 * _ + 10)
+    val s3 = Seq(200, 190, 180, 195, 210, 205, 195, 220, 230, 225, 220, 240)
+    val s4 = Seq(500, 510, 520, 515, 510, 530, 540, 545, 545, 550, 550, 560)
+    val rows = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4)).flatMap {
+      case (sym, cs) => cs.zipWithIndex.map { case (c, d) =>
+        (sym * 100 + d, sym, f"2024-01-${d + 1}%02d 10:00:00",
+          c / 100.0, 9.9)
+      }
+    }
+    val df = ticks(rows: _*)
+    def keyed(out: org.apache.spark.sql.DataFrame) =
+      out.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.toSeq)).toMap
+    val blocked = keyed(
+      Microstructure.cointegrationScreenBlocked(df, bands = 2, bandBits = 3))
+    assert(blocked.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    val exact = keyed(Microstructure.cointegrationScreen(df))
+    assert(exact.size == 6)
+    // zero false positives: a survivor's row is the exact screen's row
+    blocked.foreach { case (k, v) => assert(exact(k) == v) }
+  }
 }
