@@ -202,6 +202,8 @@ object SparkEntry {
                                 // bands * n^2 / 2^(bandBits+1))
   val tensorSlots = 16          // D66 ticks per window tensor (the
                                 // reference uses 600; same arithmetic)
+  val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
+                                // error percentile (ref test.py:334)
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -1095,6 +1097,11 @@ object SparkEntry {
     // F65 — per-vector projection scores on the F61 basis.
     "q_pca_project" -> ((s, d) =>
       Vectors.pcaProject(Tables.embeddings(s, d), pcaComps, pcaIters)),
+    // F99 — PCA reconstruction-error anomaly scoring (the reference's
+    // autoencoder scorer, linear analog; exact-int flag threshold).
+    "q_recon_anomaly" -> ((s, d) =>
+      Vectors.reconAnomaly(Tables.embeddings(s, d), pcaComps, pcaIters,
+        64, reconFlagPct)),
     "q_ann_topk" -> ((s, d) =>
       Vectors.bruteForceKnn(Tables.embeddings(s, d), 10, 5)),
     "q_ann_lsh" -> ((s, d) => Vectors.lshBuckets(Tables.embeddings(s, d), 8)),
@@ -1404,7 +1411,10 @@ object SparkEntry {
     // (no binary fixtures ship in testdata); the per-row codec values
     // are not SQL-expressible, so this key keeps the rows-only check —
     // its hashable dual is q_media_summary below.
-    "q_media_features" -> ((s, _) => Multimodal.featuresLong(s, 300)),
+    // F12 — full frame, e6-quantized into int64 per row so the driver
+    // hash-checks it against the independently re-derived fixture
+    // (mediaFixture below — formulas-only, no codec roundtrip).
+    "q_media_features" -> ((s, _) => Multimodal.featuresQuantized(s, 300)),
     // F12b — the driver-checkable media oracle (VERDICT r9 #1): per
     // feature, row count + exact int64 sum of the e6-quantized values.
     // Deterministic by construction (integer payload formulas, integer
@@ -1424,7 +1434,77 @@ object SparkEntry {
       Multimodal.mediaDedup(Multimodal.syntheticDupMedia(s, 96))),
   )
 
+  /** F12 fixture — the media feature frame RE-DERIVED from the
+    * generator's integer formulas alone (direct pixel/sample/frame
+    * arithmetic — no PPM/WAV/Y4M encode→decode roundtrip), the
+    * independent spelling the q_media_features oracle interpolates as
+    * a VALUES table. The two implementations must agree cell-for-cell
+    * (MediaSummarySpec asserts it per-run; the driver re-asserts via
+    * the hash). Quantization mirrors Spark's `round(x·1e6, 0)`
+    * exactly: BigDecimal HALF_UP on the double. */
+  private[graft] def mediaFixture(n: Int): Seq[(Long, String, Long)] = {
+    def q6(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    (0L until n.toLong).flatMap { key =>
+      (key % 3) match {
+        case 1 => // image: w = 4 + key%3 = 5, h = 3 + key%2
+          val w = 5; val h = 3 + (key % 2).toInt
+          val rgb = Array.tabulate(w * h * 3)(i =>
+            ((key * 11 + i * 5) % 256).toInt)
+          def bright(px: Array[Int]): Double = {
+            var acc = 0.0; var i = 0
+            while (i < px.length) {
+              acc += 0.299 * px(i) + 0.587 * px(i + 1) + 0.114 * px(i + 2)
+              i += 3
+            }
+            acc / (px.length / 3)
+          }
+          val thumb = new Array[Int](8 * 8 * 3)
+          for (y <- 0 until 8; x <- 0 until 8) {
+            val si = ((y * h / 8) * w + (x * w / 8)) * 3
+            val di = (y * 8 + x) * 3
+            thumb(di) = rgb(si); thumb(di + 1) = rgb(si + 1)
+            thumb(di + 2) = rgb(si + 2)
+          }
+          Seq((key, "brightness", q6(bright(rgb))),
+            (key, "thumb_brightness", q6(bright(thumb))))
+        case 2 => // audio: ±1000 square wave, period 8, len 64 + key%32
+          val len = 64 + (key % 32).toInt
+          val s = Array.tabulate(len)(i =>
+            if ((i / 4) % 2 == 0) 1000.0 else -1000.0)
+          val rms = math.sqrt(s.foldLeft(0.0)((a, x) => a + x * x) / len)
+          val zc = (1 until len).count(i => (s(i - 1) < 0) != (s(i) < 0))
+          Seq((key, "rms", q6(rms)), (key, "zero_crossings", q6(zc.toDouble)))
+        case _ => // video: 8x6 scrolling gradient, nf = 4 + key%5
+          val w = 8; val h = 6; val nf = 4 + (key % 5).toInt
+          def lum(f: Int, i: Int): Int =
+            (((i % w) * 32 + f * 16 + key * 7) % 256).toInt
+          def meanLuma(f: Int): Double =
+            (0 until w * h).foldLeft(0L)((a, i) => a + lum(f, i))
+              .toDouble / (w * h)
+          val luma = (0 until nf).map(meanLuma).sum / nf
+          val motion = (1 until nf).map { f =>
+            (0 until w * h).foldLeft(0L)((a, i) =>
+              a + math.abs(lum(f, i) - lum(f - 1, i))).toDouble / (w * h)
+          }.sum / (nf - 1)
+          Seq((key, "mean_luma", q6(luma)), (key, "motion", q6(motion)),
+            (key, "n_frames", q6(nf.toDouble)))
+      }
+    }.sortBy(t => (t._1, t._2))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // F12 — VALUES table interpolated from the formulas-only
+    // re-derivation (mediaFixture): the codec path and the fixture
+    // must agree cell-for-cell, and the driver hash enforces it.
+    "q_media_features" ->
+      s"""SELECT * FROM (VALUES ${mediaFixture(300).map {
+           case (id, f, q) =>
+             s"(CAST($id AS BIGINT), '$f', CAST($q AS BIGINT))"
+         }.mkString(", ")})
+        |  AS t(media_id, feature, value_q)
+        |ORDER BY media_id, feature""".stripMargin,
     // F12b — spec-written fixture table (codec math isn't SQL-
     // expressible; the summary IS deterministic integers, so the
     // oracle is the same constant the operator must reproduce and
@@ -5341,6 +5421,44 @@ object SparkEntry {
         |  $scoreCols
         |FROM embeddings e, $froms
         |ORDER BY e.vec_id""".stripMargin
+    },
+    // F99 — reconstruction error from the SAME cascade: rows center
+    // on mu = s/n (the cascade's round(4) sums), err = ||e||^2 minus
+    // the component scores' squares (ascending-index folds, the F65
+    // spelling), quantized to int64 micros via the sign-split floor
+    // spelling; the flag compare runs entirely in int64.
+    "q_recon_anomaly" -> {
+      val scoreCols = (0 until pcaComps).map { m =>
+        s"list_reduce(list_prepend(0.0, list_transform(" +
+          s"range($pcaDim), i -> ce[CAST(i + 1 AS INT)] " +
+          s"* p$m.v[CAST(i + 1 AS INT)])), (a, b) -> a + b) AS s$m"
+      }.mkString(",\n|    ")
+      val froms = (0 until pcaComps).map(m => s"p${m}e p$m").mkString(", ")
+      val errExpr = (0 until pcaComps)
+        .foldLeft("ee")((acc, m) => s"($acc - s$m * s$m)")
+      s"""WITH $pcaCascadeSql,
+        |mu AS (SELECT list(s / nn.n ORDER BY i) AS mu FROM sums, nn
+        |  GROUP BY nn.n),
+        |cen AS (SELECT e.vec_id, e.label,
+        |    list_transform(range($pcaDim), i ->
+        |      CAST(e.embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+        |        - mu.mu[CAST(i + 1 AS INT)]) AS ce
+        |  FROM embeddings e, mu),
+        |scx AS (SELECT vec_id, label,
+        |    list_reduce(list_prepend(0.0, list_transform(ce,
+        |      x -> x * x)), (a, b) -> a + b) AS ee,
+        |    $scoreCols
+        |  FROM cen, $froms),
+        |eq AS (SELECT vec_id, label,
+        |    CAST(CASE WHEN $errExpr >= 0
+        |      THEN floor(($errExpr) * 1000000.0 + 0.5)
+        |      ELSE -floor(-($errExpr) * 1000000.0 + 0.5)
+        |    END AS BIGINT) AS u
+        |  FROM scx),
+        |tot AS (SELECT quantile_cont(u, $reconFlagPct) AS qu FROM eq)
+        |SELECT vec_id, label, CAST(u AS DOUBLE) / 1000000.0 + 0.0 AS err,
+        |  (CAST(u AS DOUBLE) > tot.qu) AS is_anomaly
+        |FROM eq, tot ORDER BY vec_id""".stripMargin
     },
     // F60 — pair products cast float→double BEFORE multiply (exact,
     // bit-identical across engines); per-cell sums round(4).

@@ -266,6 +266,19 @@ object Multimodal {
     parts.reduce(_ unionAll _).orderBy("media_id", "feature")
   }
 
+  /** F12 (driver-hashable form) — the feature frame with each value
+    * e6-quantized into int64 (the same per-row HALF_UP quantization
+    * [[mediaSummary]] sums): deterministic on every machine, so the
+    * FULL frame carries a hard driver hash against the independently
+    * re-derived fixture in SparkEntry (VERDICT r11 #5 — this was the
+    * registry's one remaining rows-only key). */
+  def featuresQuantized(spark: SparkSession, n: Int): DataFrame =
+    featuresLong(spark, n)
+      .withColumn("value_q",
+        round(col("value") * 1000000.0, 0).cast("long"))
+      .select("media_id", "feature", "value_q")
+      .orderBy("media_id", "feature")
+
   /** F12b — HASHABLE media-feature summary: per feature, the row count
     * and the exact int64 sum of the e6-quantized values — the driver-
     * checkable dual of [[featuresLong]] (VERDICT r9 #1). Every number

@@ -216,7 +216,14 @@ object Vectors {
     * share) per component — shared by the basis report (F61) and the
     * projection (F65) so the two cannot diverge on the recurrence. */
   private def pcaCore(emb: DataFrame, nComp: Int, iters: Int,
-                      dim: Int): Seq[(Array[Double], Double, Double)] = {
+                      dim: Int): Seq[(Array[Double], Double, Double)] =
+    pcaCoreWithMean(emb, nComp, iters, dim)._1
+
+  /** [[pcaCore]] plus the column-mean vector µᵢ = sᵢ/n (the SAME
+    * round(4) sums the covariance uses), for consumers that center
+    * rows against the fitted basis (F99 reconstruction error). */
+  private def pcaCoreWithMean(emb: DataFrame, nComp: Int, iters: Int,
+      dim: Int): (Seq[(Array[Double], Double, Double)], Array[Double]) = {
     val gramRows = gramMatrix(emb, dim).collect()
     val n = gramRows.head.getAs[Long]("n")
     val g = Array.ofDim[Double](dim, dim)
@@ -258,7 +265,7 @@ object Vectors {
       cur = Array.tabulate(dim, dim)((i, j) =>
         cur(i)(j) - lam * vv(i) * vv(j))
     }
-    out.result()
+    (out.result(), Array.tabulate(dim)(i => s(i) / nd))
   }
 
   def pcaPower(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
@@ -301,6 +308,61 @@ object Vectors {
         lit(0.0), (acc, x) => acc + x), 6).as(s"pc$m")
     }
     emb.select(col("vec_id") +: col("label") +: scoreCols: _*)
+      .orderBy("vec_id")
+  }
+
+  /** F99 — PCA-RECONSTRUCTION-ERROR ANOMALY SCORING: the linear analog
+    * of the reference's autoencoder scorer (ref: model.py:180-185
+    * `get_reconstruction_error` — MSE between input and its
+    * reconstruction; main.py's entire live product flags windows by
+    * that error). Each row centers against the fitted column means µ
+    * and scores `err = ‖x−µ‖² − Σₘ((x−µ)·vᵐ)²` — for the orthonormal
+    * top-k basis this IS the squared reconstruction residual
+    * ‖e − VVᵀe‖², computed without materializing the reconstruction.
+    * Flag rule: err above the `pct` error PERCENTILE — the reference's
+    * own thresholding (ref: test.py:333-344, `np.percentile` over the
+    * test errors, flag = error > threshold), D5's proven
+    * percentile/quantile_cont engine pairing, interpolating over the
+    * exact int64 quantized errors.
+    *
+    * Shape: basis + means ride the plan as literals (same two
+    * collapsed passes as F61), ONE narrow scoring map over the
+    * embedding scan, one 1-row global aggregate broadcast back. No
+    * joins, no shuffle of the vectors; at 100 TB the scan streams.
+    *
+    * Engine-exactness: centered values are IEEE subtract of identical
+    * doubles (µ from the SAME round(4) sums as the covariance); all
+    * folds ascending-index; err quantizes via the sign-split
+    * floor(x·1e6+0.5) spelling into int64, and the emitted double
+    * derives from that exact int (never round(double, d) — the r11
+    * discipline). */
+  def reconAnomaly(emb: DataFrame, nComp: Int = 2, iters: Int = 60,
+                   dim: Int = Dim, pct: Double = 0.99): DataFrame = {
+    val (comps, mu) = pcaCoreWithMean(emb, nComp, iters, dim)
+    val muLit = array(mu.map(lit): _*)
+    val scored0 = emb
+      .withColumn("ce", zip_with(col("embedding"), muLit,
+        (a, b) => a.cast("double") - b))
+      .withColumn("ee", aggregate(
+        transform(col("ce"), x => x * x), lit(0.0), (acc, x) => acc + x))
+    val scored = comps.zipWithIndex.foldLeft(scored0) {
+      case (df, ((v, _, _), m)) =>
+        df.withColumn(s"s$m", aggregate(
+          zip_with(col("ce"), array(v.map(lit): _*), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+    }
+    val errExpr = comps.indices
+      .foldLeft("ee")((acc, m) => s"($acc - s$m * s$m)")
+    val eq = scored
+      .withColumn("err0", expr(errExpr))
+      .withColumn("u", expr(
+        "CAST(CASE WHEN err0 >= 0 THEN floor(err0 * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-err0 * 1000000.0D + 0.5D) END AS BIGINT)"))
+    val tot = eq.agg(expr(s"percentile(u, $pct)").as("qu"))
+    eq.crossJoin(broadcast(tot))
+      .select(col("vec_id"), col("label"),
+        (col("u").cast("double") / lit(1000000.0) + lit(0.0)).as("err"),
+        (col("u").cast("double") > col("qu")).as("is_anomaly"))
       .orderBy("vec_id")
   }
 

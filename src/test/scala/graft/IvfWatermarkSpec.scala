@@ -187,4 +187,43 @@ class IvfWatermarkSpec extends SparkSpec {
       assert(math.abs(pc1 - q(i)) < 1e-3, s"pc1($i): $pc1 vs ${q(i)}")
     }
   }
+
+  test("reconAnomaly: collinear rows score zero error and no flags") {
+    // x = c + t·v — all variance lives in the single component, so
+    // the reconstruction residual is 0 (within 1e-6 quantization).
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val emb = (1 to 30).map { t =>
+      (t.toLong, v.map(x => (10.0 + t * x).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Vectors.reconAnomaly(emb, nComp = 1, iters = 60, dim = 4)
+      .select("err", "is_anomaly").as[(Double, Boolean)].collect()
+    assert(out.length == 30)
+    out.foreach { case (err, flag) => assert(err == 0.0 && !flag) }
+  }
+
+  test("reconAnomaly: an off-subspace outlier carries the error mass " +
+      "and is the only p99 flag") {
+    // 40 rows on the line c + t·v, one row offset 50·w with w ⊥ v:
+    // only the outlier's residual survives projection on the top
+    // component; p99 of 41 errors interpolates between the largest
+    // line error and the outlier, so exactly the outlier flags.
+    val v = Array(1.0, 2.0, 3.0, 4.0)
+    val w = Array(2.0, -1.0, 0.0, 0.0) // v . w = 0
+    val line = (1 to 40).map { t =>
+      (t.toLong, v.map(x => (10.0 + t * x).toFloat), 0)
+    }
+    val outlier =
+      (99L, v.indices.map(i => (10.0 + 20 * v(i) + 50 * w(i)).toFloat)
+        .toArray, 1)
+    val emb = (line :+ outlier).toDF("vec_id", "embedding", "label")
+    val out = Vectors.reconAnomaly(emb, nComp = 1, iters = 60, dim = 4)
+      .select("vec_id", "err", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect()
+    val flagged = out.filter(_._3)
+    assert(flagged.map(_._1).toSeq == Seq(99L))
+    val outErr = out.find(_._1 == 99L).get._2
+    val maxLine = out.filter(_._1 != 99L).map(_._2).max
+    assert(outErr > 100 * maxLine,
+      s"outlier err $outErr should dominate line max $maxLine")
+  }
 }

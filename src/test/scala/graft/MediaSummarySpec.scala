@@ -66,4 +66,14 @@ class MediaSummarySpec extends SparkSpec {
     // and the long frame itself still carries the 700-row rows-check
     assert(Multimodal.featuresLong(spark, n).count() == 700L)
   }
+
+  test("featuresQuantized agrees cell-for-cell with the formulas-only " +
+      "re-derivation the q_media_features oracle interpolates") {
+    val viaCodecs = Multimodal.featuresQuantized(spark, n).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaFormulas = SparkEntry.mediaFixture(n)
+    assert(viaCodecs.size == 700 && viaCodecs == viaFormulas,
+      "codec-path / formula-path drift: " +
+        viaCodecs.zip(viaFormulas).filter(p => p._1 != p._2).take(3))
+  }
 }
