@@ -204,6 +204,7 @@ object SparkEntry {
                                 // reference uses 600; same arithmetic)
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
                                 // error percentile (ref test.py:334)
+  val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -496,6 +497,11 @@ object SparkEntry {
             org.apache.spark.sql.functions.lit("2001-06-01 00:00:00").cast("timestamp")))),
 
     // ---- A. Ingest & storage (SURVEY §2.A) ----
+    // A25 — run-tracking lineage (mlflow phase-tracker analog): as of
+    // the cutoff, each symbol's best validation run and — via the
+    // parent link — the train run's params + model artifact.
+    "q_run_history" -> ((s, d) =>
+      RunTracker.bestRunsAsOf(Tables.ticks(s, d), runCutoff)),
     // MERGE-style upsert (CatalogOps.upsertPlan): every 97th order is
     // updated (price doubled) and re-inserted under a shifted key;
     // src marks kept/updated/inserted provenance.
@@ -2046,6 +2052,57 @@ object SparkEntry {
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // A25 — run registry re-derived end-to-end: per-(symbol, day)
+    // cycle, D7's split arithmetic slices the day's ticks per phase,
+    // loss ppm-exact in int64; ids/params/artifacts pure functions of
+    // (symbol, day index, phase); as-of = pushed-down date predicate.
+    "q_run_history" ->
+      s"""WITH t AS (SELECT event_id AS tick_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |d0 AS (SELECT min(day) AS d0 FROM t),
+        |e AS (SELECT tick_id, symbol, day, (day - d0.d0) AS di, cents
+        |  FROM t, d0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY symbol, day
+        |      ORDER BY tick_id) AS rn,
+        |    count(*) OVER (PARTITION BY symbol, day) AS cnt FROM e),
+        |p AS (SELECT *, CASE WHEN rn <= floor(cnt * 0.6) THEN 'train'
+        |      WHEN rn <= floor(cnt * 0.6) + floor(cnt * 0.2) THEN 'val'
+        |      ELSE 'test' END AS phase FROM r),
+        |dd AS (SELECT *, abs(cents - lag(cents) OVER (PARTITION BY
+        |      symbol, day, phase ORDER BY tick_id)) AS d_cents FROM p),
+        |runs AS (SELECT symbol, day, di, phase,
+        |    count(d_cents) AS n_diffs,
+        |    CAST(sum(d_cents) AS BIGINT) AS sum_abs
+        |  FROM dd GROUP BY 1, 2, 3, 4),
+        |rr AS (SELECT symbol, day, di, phase,
+        |    CASE WHEN n_diffs > 0
+        |      THEN CAST((sum_abs * 1000000) // n_diffs AS BIGINT)
+        |    END AS loss_ppm,
+        |    CAST(symbol * 100000 + di * 3 + (CASE phase WHEN 'train'
+        |      THEN 0 WHEN 'val' THEN 1 ELSE 2 END) AS BIGINT) AS run_id,
+        |    CAST(symbol * 100000 + di * 3 AS BIGINT) AS parent_run_id,
+        |    CAST(1000000 // (di + 10) AS BIGINT) AS lr_ppm,
+        |    CASE WHEN phase = 'train' THEN 'models/'
+        |      || CAST(symbol AS VARCHAR) || '/d' || CAST(di AS VARCHAR)
+        |      || '.pt' END AS artifact_path
+        |  FROM runs),
+        |ao AS (SELECT * FROM rr WHERE day <= DATE '$runCutoff'),
+        |best AS (SELECT symbol, run_id AS best_run_id,
+        |    loss_ppm AS best_val_loss_ppm, parent_run_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY symbol
+        |      ORDER BY loss_ppm ASC NULLS LAST, run_id) AS rk
+        |    FROM ao WHERE phase = 'val' AND loss_ppm IS NOT NULL) x
+        |  WHERE rk = 1),
+        |tr AS (SELECT run_id AS parent_run_id, lr_ppm, artifact_path
+        |  FROM ao WHERE phase = 'train'),
+        |cnts AS (SELECT symbol, count(*) AS n_runs FROM ao GROUP BY 1)
+        |SELECT c.symbol, c.n_runs, b.best_run_id, b.best_val_loss_ppm,
+        |  tr.lr_ppm, tr.artifact_path
+        |FROM cnts c LEFT JOIN best b ON b.symbol = c.symbol
+        |LEFT JOIN tr ON tr.parent_run_id = b.parent_run_id
+        |ORDER BY c.symbol""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,

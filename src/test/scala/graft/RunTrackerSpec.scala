@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.RunTracker
+
+/** Hand-derived lineage for the A25 run registry. */
+class RunTrackerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def ticks(rows: (Long, Long, String, Double, Double)*) =
+    rows.toSeq.map { case (id, sym, ts, b, a) => (id, sym, t(ts), b, a) }
+      .toDF("tick_id", "symbol", "ts", "bid", "ask")
+
+  test("runLog slices phases with the 60/20/20 arithmetic and prices " +
+      "the val loss ppm-exact; bestRunsAsOf links the parent train " +
+      "run's params and artifact, and the cutoff excludes later runs") {
+    // symbol 5, 10 ticks/day: train = ranks 1-6, val = 7-8, test = 9-10.
+    // Day 0 (01-10) val |dcents| = 500 -> loss 500e6 ppm;
+    // day 1 (01-11) val |dcents| = 100 -> loss 100e6 ppm (the best);
+    // day 15 (01-25) sits past the 01-20 cutoff and must not count.
+    def day(d: String, di: Long, valJump: Double) =
+      (1 to 10).map { i =>
+        val bid = if (i == 8) 100.0 + valJump else 100.0
+        (di * 100 + i, 5L, s"$d 10:00:${"%02d".format(i)}", bid, 9.9)
+      }
+    val rows = day("2024-01-10", 0, 5.0) ++ day("2024-01-11", 1, 1.0) ++
+      day("2024-01-25", 15, 0.1)
+    val log = RunTracker.runLog(ticks(rows: _*)).collect()
+      .map(r => ((r.getAs[Long]("run_id")),
+        (r.getAs[String]("phase"), r.getAs[Any]("loss_ppm"),
+          r.getAs[String]("artifact_path")))).toMap
+    assert(log.size == 9) // 3 days x 3 phases
+    // day-0 val run: id 5*100000 + 0*3 + 1; loss (500 * 1e6) / 1
+    assert(log(500001L) == (("val", 500000000L, null)))
+    assert(log(500004L) == (("val", 100000000L, null)))
+    // train runs carry the artifact; val runs do not
+    assert(log(500000L)._3 == "models/5/d0.pt")
+    val best = RunTracker.bestRunsAsOf(ticks(rows: _*), "2024-01-20")
+      .collect()
+    assert(best.length == 1)
+    val r = best.head
+    assert(r.getAs[Long]("n_runs") == 6L) // day 15 excluded
+    assert(r.getAs[Long]("best_run_id") == 500004L)
+    assert(r.getAs[Long]("best_val_loss_ppm") == 100000000L)
+    // parent train run d1: lr = 1000000 div 11, artifact models/5/d1.pt
+    assert(r.getAs[Long]("lr_ppm") == 90909L)
+    assert(r.getAs[String]("artifact_path") == "models/5/d1.pt")
+  }
+}
