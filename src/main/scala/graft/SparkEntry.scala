@@ -646,6 +646,11 @@ object SparkEntry {
     // per (symbol, day, session window), the reference's ML handoff.
     "q_window_tensors" -> ((s, d) =>
       Features.windowTensors(Tables.ticks(s, d), tensorSlots)),
+    // D67 — end-to-end per-symbol anomaly pipeline: session filter →
+    // window tensors → train-centroid error → p99 test-window flags.
+    "q_anomaly_pipeline" -> ((s, d) =>
+      Features.anomalyPipeline(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -1500,6 +1505,72 @@ object SparkEntry {
     }.sortBy(t => (t._1, t._2))
   }
 
+  /** D66/D67 shared oracle body: the session-window slot CTE chain
+    * ending in `uq` (symbol, date, win, split, cnt, i, u int64
+    * micros) — one spelling for the tensor export and the pipeline. */
+  private lazy val tensorSlotsSql: String = {
+    val k = tensorSlots
+    s"""w AS (SELECT event_id AS tick_id, user_id AS symbol,
+      |    strftime(ts, '%Y-%m-%d') AS date,
+      |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+      |         WHEN hour(ts) = 13 AND minute(ts) >= 50 THEN 'afternoon'
+      |    END AS win,
+      |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50),
+      |base AS (SELECT *, row_number() OVER (PARTITION BY symbol, date,
+      |    win ORDER BY tick_id) AS rn FROM w),
+      |g AS (SELECT symbol, date, win, count(*) AS cnt
+      |  FROM w GROUP BY 1, 2, 3),
+      |idx AS (SELECT symbol, date, win, cnt, i,
+      |    CASE WHEN cnt = 1 THEN 1
+      |      WHEN cnt >= $k THEN (i * (cnt - 1)) // ${k - 1} + 1
+      |      ELSE ((i + 1) * (cnt - 1) - 1) // ${k - 1} + 1
+      |    END AS target_rn
+      |  FROM g, (SELECT unnest(range($k)) AS i) ti),
+      |slots AS (SELECT idx.symbol AS symbol, idx.date AS date,
+      |    idx.win AS win, idx.cnt AS cnt, idx.i AS i, b.cents AS cents
+      |  FROM idx JOIN base b ON b.symbol = idx.symbol
+      |    AND b.date = idx.date AND b.win = idx.win
+      |    AND b.rn = idx.target_rn),
+      |rk AS (SELECT symbol, date, win,
+      |    row_number() OVER (PARTITION BY symbol ORDER BY date,
+      |      CASE WHEN win = 'morning' THEN 0 ELSE 1 END) AS rn_w,
+      |    count(*) OVER (PARTITION BY symbol) AS n_w
+      |  FROM g),
+      |sp AS (SELECT symbol, date, win,
+      |    CASE WHEN rn_w <= floor(n_w * 0.6) THEN 'train'
+      |      WHEN rn_w <= floor(n_w * 0.6) + floor(n_w * 0.2) THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM rk),
+      |st AS (SELECT sl.symbol AS symbol, count(*) AS n_tr,
+      |    CAST(sum(sl.cents) AS BIGINT) AS sa,
+      |    CAST(sum(sl.cents * sl.cents) AS BIGINT) AS sq
+      |  FROM slots sl JOIN sp ON sp.symbol = sl.symbol
+      |    AND sp.date = sl.date AND sp.win = sl.win
+      |  WHERE sp.split = 'train' GROUP BY 1),
+      |sc AS (SELECT symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
+      |    CASE WHEN CAST(sq AS DOUBLE) / n_tr
+      |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)
+      |        > 0
+      |      THEN sqrt(CAST(sq AS DOUBLE) / n_tr
+      |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))
+      |      END AS sd
+      |  FROM st),
+      |sx AS (SELECT sl.symbol AS symbol, sl.date AS date,
+      |    sl.win AS win, sp.split AS split, sl.cnt AS n_ticks, sl.i AS i,
+      |    CASE WHEN sc.sd IS NOT NULL AND sc.sd > 0
+      |      THEN (sl.cents - sc.mu) / sc.sd ELSE 0.0 END AS x
+      |  FROM slots sl
+      |  JOIN sp ON sp.symbol = sl.symbol AND sp.date = sl.date
+      |    AND sp.win = sl.win
+      |  LEFT JOIN sc ON sc.symbol = sl.symbol),
+      |uq AS (SELECT symbol, date, win, split, n_ticks, i,
+      |    CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+      |      ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS u
+      |  FROM sx)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // F12 — VALUES table interpolated from the formulas-only
     // re-derivation (mediaFixture): the codec path and the fixture
@@ -1972,77 +2043,44 @@ object SparkEntry {
         |FROM idx JOIN b ON b.symbol = idx.symbol AND b.date = idx.date
         |  AND b.win = idx.win AND b.rn = idx.target_rn
         |ORDER BY idx.symbol, idx.date, idx.win, idx.i""".stripMargin,
-    // D66 — windowed-tensor export: D6b's linspace slot map extended
-    // with the reference's under-full pad inverse, D7's split
-    // truncation per symbol, sklearn-ddof-0 scaler from exact int64
-    // train sums. Elements quantize to the 1e-6 grid with the
-    // floor(x*1e6 + 0.5) sign-split spelling — identical fp ops both
-    // engines (never round(double, d) on element-wise values; r11's
-    // signed-zero lesson), `+ 0.0` normalizing -0.0.
-    "q_window_tensors" -> {
-      val k = tensorSlots
-      s"""WITH w AS (SELECT event_id AS tick_id, user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50 THEN 'afternoon'
-        |    END AS win,
-        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50),
-        |base AS (SELECT *, row_number() OVER (PARTITION BY symbol, date,
-        |    win ORDER BY tick_id) AS rn FROM w),
-        |g AS (SELECT symbol, date, win, count(*) AS cnt
-        |  FROM w GROUP BY 1, 2, 3),
-        |idx AS (SELECT symbol, date, win, cnt, i,
-        |    CASE WHEN cnt = 1 THEN 1
-        |      WHEN cnt >= $k THEN (i * (cnt - 1)) // ${k - 1} + 1
-        |      ELSE ((i + 1) * (cnt - 1) - 1) // ${k - 1} + 1
-        |    END AS target_rn
-        |  FROM g, (SELECT unnest(range($k)) AS i) ti),
-        |slots AS (SELECT idx.symbol AS symbol, idx.date AS date,
-        |    idx.win AS win, idx.cnt AS cnt, idx.i AS i, b.cents AS cents
-        |  FROM idx JOIN base b ON b.symbol = idx.symbol
-        |    AND b.date = idx.date AND b.win = idx.win
-        |    AND b.rn = idx.target_rn),
-        |rk AS (SELECT symbol, date, win,
-        |    row_number() OVER (PARTITION BY symbol ORDER BY date,
-        |      CASE WHEN win = 'morning' THEN 0 ELSE 1 END) AS rn_w,
-        |    count(*) OVER (PARTITION BY symbol) AS n_w
-        |  FROM g),
-        |sp AS (SELECT symbol, date, win,
-        |    CASE WHEN rn_w <= floor(n_w * 0.6) THEN 'train'
-        |      WHEN rn_w <= floor(n_w * 0.6) + floor(n_w * 0.2) THEN 'val'
-        |      ELSE 'test' END AS split
-        |  FROM rk),
-        |st AS (SELECT sl.symbol AS symbol, count(*) AS n_tr,
-        |    CAST(sum(sl.cents) AS BIGINT) AS sa,
-        |    CAST(sum(sl.cents * sl.cents) AS BIGINT) AS sq
-        |  FROM slots sl JOIN sp ON sp.symbol = sl.symbol
-        |    AND sp.date = sl.date AND sp.win = sl.win
-        |  WHERE sp.split = 'train' GROUP BY 1),
-        |sc AS (SELECT symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
-        |    CASE WHEN CAST(sq AS DOUBLE) / n_tr
-        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)
-        |        > 0
-        |      THEN sqrt(CAST(sq AS DOUBLE) / n_tr
-        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))
-        |      END AS sd
-        |  FROM st),
-        |sx AS (SELECT sl.symbol AS symbol, sl.date AS date,
-        |    sl.win AS win, sp.split AS split, sl.cnt AS n_ticks, sl.i AS i,
-        |    CASE WHEN sc.sd IS NOT NULL AND sc.sd > 0
-        |      THEN (sl.cents - sc.mu) / sc.sd ELSE 0.0 END AS x
-        |  FROM slots sl
-        |  JOIN sp ON sp.symbol = sl.symbol AND sp.date = sl.date
-        |    AND sp.win = sl.win
-        |  LEFT JOIN sc ON sc.symbol = sl.symbol)
+    // D66 — windowed-tensor export: the shared slot chain, elements
+    // re-derived from the exact int64 micros (r11 signed-zero
+    // discipline: never round(double, d) on element-wise values).
+    "q_window_tensors" ->
+      s"""WITH $tensorSlotsSql
         |SELECT symbol, date, win, split, n_ticks,
-        |  list((CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
-        |    ELSE -floor(-x * 1000000.0 + 0.5) END) / 1000000.0 + 0.0
-        |    ORDER BY i) AS tensor
-        |FROM sx GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY symbol, date, win""".stripMargin
-    },
+        |  list(CAST(u AS DOUBLE) / 1000000.0 + 0.0 ORDER BY i) AS tensor
+        |FROM uq GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY symbol, date, win""".stripMargin,
+    // D67 — the composed pipeline: D66's slot chain, per-(symbol,
+    // slot) exact-int train sums, ascending-slot ordered list fold
+    // for each window error (never an unordered double SUM),
+    // sign-split floor quantization, per-symbol quantile_cont p99
+    // flag on test windows (the reference's test.py thresholding).
+    "q_anomaly_pipeline" ->
+      s"""WITH $tensorSlotsSql,
+        |tm AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
+        |    count(*) AS n_tr
+        |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
+        |tt AS (SELECT uq.symbol, uq.date, uq.win, uq.split, uq.i,
+        |    CASE WHEN tm.n_tr IS NULL THEN 0.0
+        |      ELSE (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
+        |        * (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
+        |        / 1000000.0 / 1000000.0 END AS t
+        |  FROM uq LEFT JOIN tm ON tm.symbol = uq.symbol AND tm.i = uq.i),
+        |er AS (SELECT symbol, date, win, split,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
+        |      (a, b) -> a + b) / $tensorSlots * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u_err
+        |  FROM tt GROUP BY 1, 2, 3, 4),
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1)
+        |SELECT er.symbol, er.date, er.win, er.split,
+        |  CAST(u_err AS DOUBLE) / 1000000.0 + 0.0 AS err,
+        |  (er.split = 'test' AND th.qu IS NOT NULL
+        |    AND CAST(u_err AS DOUBLE) > th.qu) AS is_anomaly
+        |FROM er LEFT JOIN th ON th.symbol = er.symbol
+        |ORDER BY er.symbol, er.date, er.win""".stripMargin,
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)
@@ -2379,8 +2417,12 @@ object SparkEntry {
         |    lag(bid, 1) OVER (PARTITION BY symbol ORDER BY tick_id) AS prev
         |  FROM $ticksSql t) x
         |ORDER BY symbol, tick_id""".stripMargin,
+    // D4 — `round(z,4) + 0.0`: the D60 negative-zero normalization
+    // (tiny negative z rounds to -0.0 under DuckDB's fp round, +0.0
+    // under Spark's BigDecimal round; 3 cells at sf0.1 — found by the
+    // round-12 full-registry strict sweep before the driver could).
     "q_anomaly_zscore" ->
-      s"""SELECT tick_id, symbol, round(z, 4) AS zscore, abs(z) > 3.0 AS is_anomaly
+      s"""SELECT tick_id, symbol, round(z, 4) + 0.0 AS zscore, abs(z) > 3.0 AS is_anomaly
         |FROM (SELECT tick_id, symbol,
         |    CASE WHEN stddev_samp(bid) OVER (PARTITION BY symbol) <> 0 THEN
         |      (bid - avg(bid) OVER (PARTITION BY symbol))

@@ -692,6 +692,24 @@ object Features {
   def windowTensors(ticks: DataFrame, k: Int,
                     trainRatio: Double = 0.6,
                     valRatio: Double = 0.2): DataFrame = {
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+    slots
+      .withColumn("el", expr("CAST(u AS DOUBLE) / 1000000.0D + 0.0D"))
+      .groupBy(col("symbol"), col("date"), col("win"), col("split"),
+        col("cnt").as("n_ticks"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("el")))),
+        s => s.getField("el")).as("tensor"))
+      .orderBy("symbol", "date", "win")
+  }
+
+  /** The D66 slot-level core: one row per (symbol, date, win, slot i)
+    * with the scaled value held EXACT as int64 micros `u` — shared by
+    * the tensor export (which divides back to doubles) and the D67
+    * anomaly pipeline (which keeps integer/pinned-fold arithmetic).
+    */
+  private[graft] def windowSlots(ticks: DataFrame, k: Int,
+                                 trainRatio: Double,
+                                 valRatio: Double): DataFrame = {
     require(k >= 2, s"need >= 2 slots per window: $k")
     val h = hour(col("ts")); val m = minute(col("ts"))
     val wname =
@@ -751,13 +769,63 @@ object Features {
           (col("cents") - col("mu")) / col("sd")).otherwise(lit(0.0)))
       // double-suffixed literals: Spark parses a bare `1000000.0` as
       // DECIMAL and the whole tensor would silently become DecimalType
-      .withColumn("el", expr(
-        "(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
-          " ELSE -floor(-x * 1000000.0D + 0.5D) END) / 1000000.0D + 0.0D"))
-      .groupBy(col("symbol"), col("date"), col("win"), col("split"),
-        col("cnt").as("n_ticks"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("el")))),
-        s => s.getField("el")).as("tensor"))
+      .withColumn("u", expr(
+        "CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-x * 1000000.0D + 0.5D) END AS BIGINT)"))
+      .select("symbol", "date", "win", "split", "cnt", "i", "u")
+  }
+
+  /** D67 — END-TO-END PER-SYMBOL ANOMALY PIPELINE: the composed
+    * automate_pipeline.py / main.py flow (ref: automate_pipeline.py
+    * per-symbol train→val→test cycle; main.py's live scoring of the
+    * session windows; test.py:333-344 percentile thresholds on test
+    * errors) as ONE declarative plan — session filter (B1) → window
+    * tensors (D66) → train-fit scaler (D8) → per-window error against
+    * the train centroid (the 0-component linear form of F99's
+    * reconstruction error) → per-symbol p99 flag on TEST windows:
+    *
+    *   err(w) = Σᵢ (uᵢ − ūᵢ)²/10¹²/k over the k slots, ū the
+    *   per-(symbol, slot) TRAIN mean — how far the window sits from
+    *   the symbol's trained shape; flags = test windows whose error
+    *   clears the symbol's p99 test-error percentile (the reference's
+    *   own thresholding).
+    *
+    * Engine-exactness: slot values are D66's exact int64 micros;
+    * per-slot train sums are order-free int64; each window's error
+    * folds its k terms in ascending-slot order (ordered list fold,
+    * never an unordered SUM of doubles); the error quantizes via the
+    * sign-split floor spelling; the flag compare is int64-vs-double
+    * percentile over int64 inputs (D5 pairing). */
+  def anomalyPipeline(ticks: DataFrame, k: Int,
+                      trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                      pct: Double = 0.99): DataFrame = {
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+    val trainMeans = slots.filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
+    val terms = slots.join(trainMeans, Seq("symbol", "i"), "left")
+      .withColumn("t", expr(
+        "CASE WHEN n_tr IS NULL THEN 0.0D ELSE" +
+          " (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
+          " * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
+          " / 1000000.0D / 1000000.0D END"))
+    val errs = terms
+      .groupBy(col("symbol"), col("date"), col("win"), col("split"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("e0"))
+      .withColumn("u_err", expr(
+        s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+    errs.join(thr, Seq("symbol"), "left")
+      .select(col("symbol"), col("date"), col("win"), col("split"),
+        (col("u_err").cast("double") / lit(1000000.0) + lit(0.0))
+          .as("err"),
+        (col("split") === "test" && col("qu").isNotNull &&
+          col("u_err").cast("double") > col("qu")).as("is_anomaly"))
       .orderBy("symbol", "date", "win")
   }
 }

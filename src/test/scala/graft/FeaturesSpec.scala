@@ -374,6 +374,31 @@ class FeaturesSpec extends SparkSpec {
       (("test", 1L, Seq(300, 300, 300, 300).map(sc))))
   }
 
+  test("anomalyPipeline: identical windows score zero against the " +
+      "train centroid; the one deviant TEST window is the only flag") {
+    // 10 identical morning windows (days 1-9 share the tick shape);
+    // day 10's second tick spikes. Split: train d1-6, val d7-8, test
+    // d9-10. Centroid = the shared shape, so every err is 0 except
+    // day 10's, and the per-symbol p99 over the two test errors
+    // interpolates BELOW the spike — exactly one flag.
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val out = Features.anomalyPipeline(ticks(rows: _*), 4).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("split"),
+        r.getAs[Double]("err"), r.getAs[Boolean]("is_anomaly")))
+    assert(out.length == 10)
+    val flagged = out.filter(_._4)
+    assert(flagged.map(_._1).toSeq == Seq("2024-01-10"))
+    assert(flagged.head._2 == "test" && flagged.head._3 > 0)
+    out.filterNot(_._1 == "2024-01-10").foreach { w =>
+      assert(w._3 == 0.0, s"non-deviant window scored ${w._3}")
+    }
+  }
+
   test("windowTensors: symbol with zero-variance train stats scales " +
       "flat to 0.0") {
     val rows = Seq(
