@@ -748,7 +748,13 @@ object Features {
             floor(col("n_w") * valRatio), "val")
           .otherwise("test"))
       .select("symbol", "date", "win", "split")
-    val stats = slots.join(ranked, keys)
+    // the split-tagged slot frame feeds BOTH the train stats and the
+    // final scaling — checkpoint the (k·|windows|)-row frame so the
+    // tick-scan chain runs once (the F35 barrier discipline; the plan
+    // audit showed the uncheckpointed spelling recomputing the whole
+    // window chain per consumer)
+    val tagged = slots.join(ranked, keys).localCheckpoint(true)
+    val stats = tagged
       .filter(col("split") === "train")
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_tr"),
@@ -762,8 +768,8 @@ object Features {
           " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))" +
           " END"))
       .select("symbol", "mu", "sd")
-    slots.join(ranked, keys)
-      .join(stats, Seq("symbol"), "left")
+    tagged
+      .join(broadcast(stats), Seq("symbol"), "left")
       .withColumn("x",
         when(col("sd").isNotNull && col("sd") > 0,
           (col("cents") - col("mu")) / col("sd")).otherwise(lit(0.0)))
@@ -803,7 +809,7 @@ object Features {
     val trainMeans = slots.filter(col("split") === "train")
       .groupBy("symbol", "i")
       .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
-    val terms = slots.join(trainMeans, Seq("symbol", "i"), "left")
+    val terms = slots.join(broadcast(trainMeans), Seq("symbol", "i"), "left")
       .withColumn("t", expr(
         "CASE WHEN n_tr IS NULL THEN 0.0D ELSE" +
           " (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
@@ -817,10 +823,11 @@ object Features {
         lit(0.0), (acc, x) => acc + x).as("e0"))
       .withColumn("u_err", expr(
         s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
-    val thr = errs.filter(col("split") === "test")
+    val errsCk = errs.localCheckpoint(true) // feeds thresholds + output
+    val thr = errsCk.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
-    errs.join(thr, Seq("symbol"), "left")
+    errsCk.join(broadcast(thr), Seq("symbol"), "left")
       .select(col("symbol"), col("date"), col("win"), col("split"),
         (col("u_err").cast("double") / lit(1000000.0) + lit(0.0))
           .as("err"),

@@ -10,8 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   /** Queries whose result is not SQL-expressible; the driver records a
-    * weaker rows-only check for these, and SURVEY §2 declares each. */
-  private val declaredRowsOnly = Set("q_media_features")
+    * weaker rows-only check for these, and SURVEY §2 declares each.
+    * Empty since round 12: q_media_features gained a formula-derived
+    * VALUES oracle. */
+  private val declaredRowsOnly = Set.empty[String]
 
   test("every registered query has an oracle or a declared rows-only " +
       "exemption") {
