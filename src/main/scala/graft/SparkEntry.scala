@@ -1571,6 +1571,30 @@ object SparkEntry {
       |  FROM sx)""".stripMargin
   }
 
+  val ccOracleRounds = 6        // unrolled min-label rounds (sf0.1's
+                                // giant component converges in 3)
+
+  /** F13-family oracle CC: GENERATED unrolled min-label rounds over
+    * the `edges` CTE, replacing the transitive-closure recursive CTE
+    * whose intermediate state is O(|component|²) — on sf0.1's 7.7M-
+    * edge near-complete dup graph the closure never finished (the
+    * round-12 full-registry sweep found it), while min-label
+    * propagation converges in 3 measured rounds (6 unrolled = 2×
+    * margin; NON-convergence surfaces as a hash mismatch, never a
+    * silent pass). Ends in `<out>` (doc_id, cluster). */
+  private def ccLabelsSql(out: String): String = {
+    val rounds = (1 to ccOracleRounds).map { r =>
+      s"""l$r AS MATERIALIZED (SELECT l.doc_id,
+        |    least(min(l.lbl), coalesce(min(n.lbl), min(l.lbl))) AS lbl
+        |  FROM l${r - 1} l LEFT JOIN edges e ON e.doc_a = l.doc_id
+        |    LEFT JOIN l${r - 1} n ON n.doc_id = e.doc_b
+        |  GROUP BY l.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT doc_id, doc_id AS lbl FROM documents),
+      |$rounds,
+      |$out AS (SELECT doc_id, lbl AS cluster FROM l$ccOracleRounds)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // F12 — VALUES table interpolated from the formulas-only
     // re-derivation (mediaFixture): the codec path and the fixture
@@ -5137,51 +5161,42 @@ object SparkEntry {
         |LEFT JOIN v USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
     },
-    // Fixpoint min-label propagation == component minimum, which the
-    // recursive CTE computes directly (UNION dedups, so the recursion
-    // terminates; reachable-min = component-min on a symmetric graph).
+    // Fixpoint min-label propagation == component minimum — unrolled
+    // rounds (ccLabelsSql; the transitive-closure recursion blew up
+    // on sf0.1's near-complete dup graph).
     "q_dedup_clusters" -> {
       import graft.functions.PortableText._
-      s"""WITH RECURSIVE
-        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
         |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
         |bands AS (SELECT doc_id, band,
         |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
         |      AS band_hash
         |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band
         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |cc(doc_id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b)
-        |SELECT doc_id, min(lbl) AS cluster, doc_id = min(lbl) AS keep
-        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |${ccLabelsSql("cl")}
+        |SELECT doc_id, cluster, doc_id = cluster AS keep
+        |FROM cl ORDER BY doc_id""".stripMargin
     },
     // F91 — the CC CTE + per-doc token counts; canonical = two-phase
     // max-then-min (engine-stable ties, no arg_max).
     "q_canonical_docs" -> {
       import graft.functions.PortableText._
-      s"""WITH RECURSIVE
-        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
         |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
         |bands AS (SELECT doc_id, band,
         |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
         |      AS band_hash
         |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band
         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |cc(doc_id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b),
-        |cl AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+        |${ccLabelsSql("cl")},
         |s AS (SELECT doc_id, CAST(length($duckTokens) AS BIGINT)
         |    AS n_tokens FROM documents),
         |j AS (SELECT cl.doc_id, cl.cluster, s.n_tokens
@@ -5199,23 +5214,18 @@ object SparkEntry {
     // exact-int histogram aggregates.
     "q_cluster_sizes" -> {
       import graft.functions.PortableText._
-      s"""WITH RECURSIVE
-        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
         |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
         |bands AS (SELECT doc_id, band,
         |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
         |      AS band_hash
         |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM bands a JOIN bands b ON a.band = b.band
         |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-        |edges AS (SELECT doc_a, doc_b FROM pairs
+        |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs
         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |cc(doc_id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.doc_a, cc.lbl FROM edges e JOIN cc ON cc.doc_id = e.doc_b),
-        |lab AS (SELECT doc_id, min(lbl) AS cluster FROM cc GROUP BY doc_id),
+        |${ccLabelsSql("lab")},
         |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab
         |  GROUP BY cluster)
         |SELECT cluster_size, count(*) AS n_clusters,
