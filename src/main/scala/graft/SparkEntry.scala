@@ -2489,7 +2489,8 @@ object SparkEntry {
       """WITH s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sigma
         |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |SELECT event_id,
-        |  CASE WHEN sigma <> 0 THEN round((value - mu) / sigma, 4) END AS scaled
+        |  CASE WHEN sigma <> 0 THEN round((value - mu) / sigma, 4) + 0.0
+        |    END AS scaled
         |FROM events, s ORDER BY event_id""".stripMargin,
     "q_standard_scale_multi" ->
       s"""WITH t AS (SELECT * FROM $ticksSql tk),
@@ -2498,9 +2499,9 @@ object SparkEntry {
         |  FROM t WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
         |SELECT tick_id,
         |  CASE WHEN sigma_bid <> 0
-        |    THEN round((bid - mu_bid) / sigma_bid, 4) END AS bid_scaled,
+        |    THEN round((bid - mu_bid) / sigma_bid, 4) + 0.0 END AS bid_scaled,
         |  CASE WHEN sigma_ask <> 0
-        |    THEN round((ask - mu_ask) / sigma_ask, 4) END AS ask_scaled
+        |    THEN round((ask - mu_ask) / sigma_ask, 4) + 0.0 END AS ask_scaled
         |FROM t, s ORDER BY tick_id""".stripMargin,
     "q_walk_forward" ->
       """SELECT fold, date, role FROM (
@@ -4119,7 +4120,7 @@ object SparkEntry {
       s"""SELECT symbol, n_obs, var_1, var_8,
         |  CASE WHEN var_1 > 0 AND var_2 > 0 AND var_4 > 0 AND var_8 > 0
         |    THEN round(((-3.0 * ln(var_1) - ln(var_2) + ln(var_4)
-        |      + 3.0 * ln(var_8)) / (10.0 * ln(2.0))) / 2.0, 4)
+        |      + 3.0 * ln(var_8)) / (10.0 * ln(2.0))) / 2.0, 4) + 0.0
         |  END AS hurst
         |FROM (
         |  SELECT symbol,
