@@ -1489,6 +1489,111 @@ object Streaming {
       }
   }
 
+  /** G40 keyed state: the OPEN session window's (day, win) and its
+    * tick-cents buffer (bounded by construction — a session window is
+    * ten minutes of one symbol's tape). */
+  case class WindowAnomState(curDay: String, curWin: String,
+                             buf: List[Long])
+  case class WindowScore(symbol: Long, date: String, win: String,
+                         n_ticks: Long, err: Double, is_anomaly: Boolean)
+
+  /** G40 — STREAMING WINDOW-ANOMALY SCORING: the live leg of the
+    * reference's product (ref: main.py:99-184 — live anomaly
+    * detection during the 7:50–8:00 / 13:50–14:00 windows;
+    * live_endpoint.py buffers the open window and scores it with the
+    * trained model + threshold), D67's offline-trained/online-scored
+    * split: the BATCH pipeline trains per-symbol scaler (µ, σ),
+    * centroid ū and p99 threshold; the STREAM buffers each symbol's
+    * open session window and, the moment the tape moves PAST it (the
+    * first tick in a later window, session gap, or day — G39's
+    * close-on-advance rule), replays D66's exact slot arithmetic —
+    * linspace/pad slot map, scale, 1e-6 quantization, ascending-slot
+    * error fold — and emits the window's score against the trained
+    * band. The still-open final window never emits. Trained artifacts
+    * ride in as broadcast maps (registry-scale: |symbols| entries);
+    * keyed state is one bounded cents buffer per symbol. Symbols
+    * outside the trained maps score against zero stats (the batch
+    * rule) and never flag. */
+  def windowAnomalyAlerts(ticks: Dataset[Tick], k: Int,
+                          scalers: Map[Long, (Double, Double)],
+                          centroids: Map[Long, Seq[Long]],
+                          thresholds: Map[Long, Double])
+      : Dataset[WindowScore] = {
+    import ticks.sparkSession.implicits._
+    require(k >= 2, s"need >= 2 slots: $k")
+    def utcParts(ts: Timestamp): (String, Int, Int) = {
+      val z = java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC)
+      (z.toLocalDate.toString, z.getHour, z.getMinute)
+    }
+    // session bounds live in ONE place (TickOps — B1's constants)
+    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
+    // position on the daily session axis: 0 <m | 1 morning | 2 mid |
+    // 3 afternoon | 4 after — a tick CLOSES any open window whose
+    // (day, slot) sorts strictly earlier
+    def slotOf(h: Int, m: Int): Int =
+      if (h < MorningH || (h == MorningH && m < FromMin)) 0
+      else if (h == MorningH) 1
+      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
+      else if (h == AfternoonH) 3
+      else 4
+    def winName(slot: Int): String =
+      if (slot == 1) "morning" else "afternoon"
+    def score(symbol: Long, day: String, win: String,
+              buf: List[Long]): WindowScore = {
+      val n = buf.length
+      val slots = (0 until k).map { i =>
+        val j =
+          if (n == 1) 0
+          else if (n >= k) (i * (n - 1)) / (k - 1)
+          else ((i + 1) * (n - 1) - 1) / (k - 1)
+        buf(j)
+      }
+      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
+      val u = slots.map { c =>
+        val x = if (sd > 0) (c - mu) / sd else 0.0
+        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
+        else -math.floor(-x * 1000000.0 + 0.5).toLong
+      }
+      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
+      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
+      }
+      val uErr = math.floor(e0 / k * 1000000.0 + 0.5).toLong
+      val flag = thresholds.get(symbol).exists(q => uErr.toDouble > q)
+      WindowScore(symbol, day, win, n.toLong,
+        uErr.toDouble / 1000000.0, flag)
+    }
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[WindowAnomState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowScore]
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
+            val (d, h, m) = utcParts(t.ts)
+            val slot = slotOf(h, m)
+            val curSlot = if (st == null || st.curWin == "morning") 1 else 3
+            // close the open window once the tape moves past it
+            if (st != null && st.buf.nonEmpty &&
+                (d > st.curDay || (d == st.curDay && slot > curSlot))) {
+              out += score(symbol, st.curDay, st.curWin, st.buf)
+              st = null
+            }
+            if (slot == 1 || slot == 3) {
+              val w = winName(slot)
+              val c = math.round(t.bid * 100.0)
+              st =
+                if (st == null) WindowAnomState(d, w, List(c))
+                else st.copy(buf = st.buf :+ c)
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
   /** G39 keyed state: the OPEN day's (day, prev cents, rv
     * accumulator) plus the ring of the last h−1 CLOSED days' rv. */
   case class VolConeState(curDay: String, prevCents: Long,

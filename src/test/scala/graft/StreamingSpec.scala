@@ -1259,6 +1259,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G40: windowAnomalyAlerts scores a session window the moment " +
+      "the tape moves past it — pad path exact, deviant window flags " +
+      "against the trained threshold, buffer carries across batches, " +
+      "untrained symbols never flag, the open window never emits") {
+    import graft.streaming.Streaming.WindowScore
+    // trained artifacts for symbol 1 (k = 4): scaler (mu=100, sd=2),
+    // centroid = the u's of the shape (100,102,104,106), thr 0.5e6
+    val scalers = Map(1L -> ((100.0, 2.0)))
+    val centroids = Map(1L -> Seq(0L, 1000000L, 2000000L, 3000000L))
+    val thresholds = Map(1L -> 500000.0)
+    val feed = Seq(
+      Tick(1L, 1L, t("2024-01-08 07:30:00"), 1.00), // pre-window: ignored
+      // morning, 3 ticks (PAD path): slots (100,102,102,106) ->
+      // u = (0,1e6,1e6,3e6); only slot 2 differs from the centroid by
+      // 1e6 -> err = 1.0/4 = 0.25 <= thr -> no flag
+      Tick(2L, 1L, t("2024-01-08 07:51:00"), 1.00),
+      Tick(3L, 1L, t("2024-01-08 07:52:00"), 1.02), // <- batch split
+      Tick(4L, 1L, t("2024-01-08 07:55:00"), 1.06),
+      // afternoon, 4 ticks, deviant slot 2 (120 -> u 10e6 vs 2e6):
+      // err = (8e6)^2/1e12/4 = 16.0 -> u_err 16e6 > thr -> flag
+      Tick(5L, 1L, t("2024-01-08 13:51:00"), 1.00), // closes morning
+      Tick(6L, 1L, t("2024-01-08 13:52:00"), 1.02),
+      Tick(7L, 1L, t("2024-01-08 13:53:00"), 1.20),
+      Tick(8L, 1L, t("2024-01-08 13:55:00"), 1.06),
+      Tick(9L, 1L, t("2024-01-09 07:51:00"), 1.00), // closes afternoon
+      // symbol 2: UNTRAINED; morning window closed by a MIDDAY tick
+      Tick(10L, 2L, t("2024-01-08 07:53:00"), 2.00),
+      Tick(11L, 2L, t("2024-01-08 10:00:00"), 9.99))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.windowAnomalyAlerts(in.toDS(), 4,
+        scalers, centroids, thresholds)
+      .writeStream.format("memory").queryName("p_wa")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.partition(_.tick_id <= 3) // split mid-window
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val out = spark.table("p_wa").as[WindowScore].collect()
+        .map(w => (w.symbol, w.win) -> ((w.date, w.n_ticks, w.err,
+          w.is_anomaly))).toMap
+      assert(out.size == 3) // day-9 morning stays open: no emission
+      assert(out((1L, "morning")) ==
+        (("2024-01-08", 3L, 0.25, false)))
+      assert(out((1L, "afternoon")) ==
+        (("2024-01-08", 4L, 16.0, true)))
+      assert(out((2L, "morning")) ==
+        (("2024-01-08", 1L, 0.0, false)))
+    } finally q.stop()
+  }
+
   test("G39: volConeAlerts emits on day close only for FULL h-day " +
       "windows, bands against the trained cone, open-day register " +
       "carrying across micro-batches; untrained symbols flagged") {
