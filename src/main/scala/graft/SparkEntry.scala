@@ -651,6 +651,10 @@ object SparkEntry {
     "q_anomaly_pipeline" -> ((s, d) =>
       Features.anomalyPipeline(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct)),
+    // D68 — test-phase evaluation table: per split, mean error and
+    // per-percentile thresholds + anomaly counts (test.py report).
+    "q_error_profile" -> ((s, d) =>
+      Features.errorProfile(Tables.ticks(s, d), tensorSlots)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -1571,6 +1575,26 @@ object SparkEntry {
       |  FROM sx)""".stripMargin
   }
 
+  /** D67/D68 shared oracle body: the slot chain plus the per-window
+    * train-centroid error CTEs, ending in `er` (symbol, date, win,
+    * split, u_err int64 micros). */
+  private lazy val windowErrSql: String =
+    s"""$tensorSlotsSql,
+      |tm AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
+      |    count(*) AS n_tr
+      |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
+      |tt AS (SELECT uq.symbol, uq.date, uq.win, uq.split, uq.i,
+      |    CASE WHEN tm.n_tr IS NULL THEN 0.0
+      |      ELSE (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
+      |        * (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
+      |        / 1000000.0 / 1000000.0 END AS t
+      |  FROM uq LEFT JOIN tm ON tm.symbol = uq.symbol AND tm.i = uq.i),
+      |er AS (SELECT symbol, date, win, split,
+      |    CAST(floor(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
+      |      (a, b) -> a + b) / $tensorSlots * 1000000.0 + 0.5)
+      |      AS BIGINT) AS u_err
+      |  FROM tt GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val ccOracleRounds = 6        // unrolled min-label rounds (sf0.1's
                                 // giant component converges in 3)
 
@@ -2081,22 +2105,32 @@ object SparkEntry {
     // for each window error (never an unordered double SUM),
     // sign-split floor quantization, per-symbol quantile_cont p99
     // flag on test windows (the reference's test.py thresholding).
+    // D68 — same error chain, per-split quantile_cont thresholds +
+    // one counting aggregate, UNION per percentile (D5's shape).
+    "q_error_profile" ->
+      s"""WITH $windowErrSql,
+        |thr AS (SELECT split, quantile_cont(u_err, 0.92) AS t0,
+        |    quantile_cont(u_err, 0.995) AS t1
+        |  FROM er GROUP BY 1),
+        |one AS (SELECT er.split, count(*) AS n_windows,
+        |    CAST(sum(u_err) // count(*) AS BIGINT) AS mean_err_ppm,
+        |    CAST(sum(CASE WHEN CAST(u_err AS DOUBLE) > thr.t0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN CAST(u_err AS DOUBLE) > thr.t1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    min(thr.t0) AS t0, min(thr.t1) AS t1
+        |  FROM er JOIN thr USING (split) GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT split, n_windows, mean_err_ppm,
+        |    CAST(92.0 AS DOUBLE) AS pct,
+        |    round(t0, 4) + 0.0 AS threshold_ppm, n0 AS n_above
+        |  FROM one
+        |  UNION ALL
+        |  SELECT split, n_windows, mean_err_ppm, CAST(99.5 AS DOUBLE),
+        |    round(t1, 4) + 0.0, n1 FROM one) u
+        |ORDER BY split, pct""".stripMargin,
     "q_anomaly_pipeline" ->
-      s"""WITH $tensorSlotsSql,
-        |tm AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
-        |    count(*) AS n_tr
-        |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
-        |tt AS (SELECT uq.symbol, uq.date, uq.win, uq.split, uq.i,
-        |    CASE WHEN tm.n_tr IS NULL THEN 0.0
-        |      ELSE (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
-        |        * (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
-        |        / 1000000.0 / 1000000.0 END AS t
-        |  FROM uq LEFT JOIN tm ON tm.symbol = uq.symbol AND tm.i = uq.i),
-        |er AS (SELECT symbol, date, win, split,
-        |    CAST(floor(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
-        |      (a, b) -> a + b) / $tensorSlots * 1000000.0 + 0.5)
-        |      AS BIGINT) AS u_err
-        |  FROM tt GROUP BY 1, 2, 3, 4),
+      s"""WITH $windowErrSql,
         |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
         |  FROM er WHERE split = 'test' GROUP BY 1)
         |SELECT er.symbol, er.date, er.win, er.split,

@@ -835,4 +835,41 @@ object Features {
           col("u_err").cast("double") > col("qu")).as("is_anomaly"))
       .orderBy("symbol", "date", "win")
   }
+
+  /** D68 — ERROR-PROFILE EVALUATION TABLE: the reference's test-phase
+    * report (ref: test.py:326-349 — `np.percentile` thresholds over
+    * the window errors plus the anomaly count each threshold yields,
+    * logged per run): per split, the window count, the ppm-exact mean
+    * error, and per requested percentile the threshold and the number
+    * of windows clearing it. One pass over D67's error frame, one
+    * tiny per-split threshold aggregate broadcast back, ONE final
+    * aggregate, stack() reshaping to a (split, pct) row — D5's
+    * one-aggregation discipline (k threshold scans would re-read the
+    * errors k times). Mean is exact int division of ppm errors;
+    * thresholds are the D5 percentile/quantile_cont pairing. */
+  def errorProfile(ticks: DataFrame, k: Int,
+                   pcts: Seq[Double] = Seq(92.0, 99.5)): DataFrame = {
+    val errs = anomalyPipeline(ticks, k)
+      .withColumn("u",
+        expr("CAST(floor(err * 1000000.0D + 0.5D) AS BIGINT)"))
+    val thrAggs = pcts.zipWithIndex.map { case (p, i) =>
+      expr(s"percentile(u, ${p / 100.0})").as(s"t$i")
+    }
+    val thr = errs.groupBy("split").agg(thrAggs.head, thrAggs.tail: _*)
+    val cAggs = Seq(count(lit(1)).as("n_windows"),
+      expr("sum(u) div count(1)").as("mean_err_ppm")) ++
+      pcts.indices.flatMap(i => Seq(
+        sum(when(col("u").cast("double") > col(s"t$i"), 1L)
+          .otherwise(0L)).as(s"n$i"),
+        first(col(s"t$i")).as(s"thr$i")))
+    val one = errs.join(broadcast(thr), "split")
+      .groupBy("split").agg(cAggs.head, cAggs.tail: _*)
+    val stackArgs = pcts.zipWithIndex.map { case (p, i) =>
+      s"CAST($p AS DOUBLE), round(thr$i, 4) + 0.0D, n$i"
+    }.mkString(", ")
+    one.selectExpr("split", "n_windows", "mean_err_ppm",
+      s"stack(${pcts.length}, $stackArgs)" +
+        " AS (pct, threshold_ppm, n_above)")
+      .orderBy("split", "pct")
+  }
 }
