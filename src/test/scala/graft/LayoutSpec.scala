@@ -233,4 +233,34 @@ class LayoutSpec extends SparkSpec {
       .as[Long].head() == 5L)
     assert(top.count() == 500L)
   }
+
+  test("H13: the window-tensor pipelines broadcast every per-symbol " +
+      "stats join — no SortMergeJoin survives in the scaling or " +
+      "threshold paths") {
+    // The D66/D67 shape at 100 TB: the slot frame is k·|windows| rows
+    // but the per-symbol scaler stats / train centroids / thresholds
+    // are REGISTRY-scale (|symbols| or |symbols|·k rows) — joining
+    // them through a sort-merge would shuffle the slot frame once per
+    // join. The operators pin broadcast() explicitly; this spec
+    // catches a refactor that drops the hint and regresses to SMJ
+    // (the pre-fix plan audit showed exactly that).
+    val rows = (1 to 20).flatMap { d =>
+      (0 to 5).map { i =>
+        (d * 10L + i, (d % 3).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 07:51:0$i"),
+          1.0 + i * 0.01, 9.9)
+      }
+    }
+    val ticks = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    for ((name, df) <- Seq(
+        "windowTensors" -> graft.operators.Features.windowTensors(ticks, 4),
+        "anomalyPipeline" ->
+          graft.operators.Features.anomalyPipeline(ticks, 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name plan regressed to SortMergeJoin:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name expected broadcast stats joins:\n$plan")
+    }
+  }
 }
