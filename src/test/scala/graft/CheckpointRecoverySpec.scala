@@ -20,6 +20,8 @@ object CheckpointRecoverySpec {
   val ddown = new java.util.concurrent.ConcurrentHashMap[Long, Double]()
   val pairz =
     new java.util.concurrent.ConcurrentHashMap[Long, Option[Double]]()
+  val winScore = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), (Long, Double, Boolean)]()
 }
 
 class CheckpointRecoverySpec extends SparkSpec {
@@ -238,6 +240,51 @@ class CheckpointRecoverySpec extends SparkSpec {
       assert(CheckpointRecoverySpec.pairz.get(3L) == Some(1.0),
         "post-restart spread must fold onto the recovered Welford " +
           "register (and the recovered last-leg prices)")
+    } finally q2.stop()
+  }
+
+  test("G40: the open session-window buffer survives a stop/restart " +
+      "from checkpoint — the closed window scores ALL buffered ticks") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ckpt = Files.createTempDirectory("graft_ckpt_wa").toString
+    val in = MemoryStream[Streaming.Tick]
+    // the StreamingSpec pad-path artifacts: expected err 0.25, no flag
+    val scalers = Map(1L -> ((100.0, 2.0)))
+    val centroids = Map(1L -> Seq(0L, 1000000L, 2000000L, 3000000L))
+    val thresholds = Map(1L -> 500000.0)
+    def start() = Streaming.windowAnomalyAlerts(in.toDS(), 4,
+        scalers, centroids, thresholds)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Streaming.WindowScore],
+         _: Long) =>
+          batch.collect().foreach(w =>
+            CheckpointRecoverySpec.winScore.put((w.symbol, w.win),
+              (w.n_ticks, w.err, w.is_anomaly)))
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(
+        Streaming.Tick(1L, 1L, t("2024-01-08 07:51:00"), 1.00),
+        Streaming.Tick(2L, 1L, t("2024-01-08 07:52:00"), 1.02))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // third window tick + the closer arrive AFTER the restart: the
+      // score must see all 3 buffered ticks (n=3, the pad-path err
+      // 0.25); a lost buffer would score n=1 with a different error.
+      in.addData(
+        Streaming.Tick(3L, 1L, t("2024-01-08 07:55:00"), 1.06),
+        Streaming.Tick(4L, 1L, t("2024-01-08 13:51:00"), 1.00))
+      q2.processAllAvailable()
+      assert(CheckpointRecoverySpec.winScore.get((1L, "morning")) ==
+        ((3L, 0.25, false)),
+        "post-restart close must score the recovered buffer")
     } finally q2.stop()
   }
 }
