@@ -642,6 +642,9 @@ object SparkEntry {
         org.apache.spark.sql.functions.col("ts") <=
           org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))),
     "q_walk_forward" -> ((s, d) => Features.walkForward(Tables.ticks(s, d), 4, 5, 10, 3)),
+    // D69 — purged + embargoed walk-forward (leakage-controlled D9).
+    "q_purged_cv" -> ((s, d) =>
+      Features.purgedWalkForward(Tables.ticks(s, d), 4, 5, 10, 3, 2, 2)),
     // D66 — windowed-tensor export: fixed-length scaled tick arrays
     // per (symbol, day, session window), the reference's ML handoff.
     "q_window_tensors" -> ((s, d) =>
@@ -2537,6 +2540,27 @@ object SparkEntry {
         |  CASE WHEN sigma_ask <> 0
         |    THEN round((ask - mu_ask) / sigma_ask, 4) + 0.0 END AS ask_scaled
         |FROM t, s ORDER BY tick_id""".stripMargin,
+    // D69 — D9's ranges with the purge tail carved out of each train
+    // window and the embargo band after each test window (folds 4,
+    // step 5, train 10, test 3, purge 2, embargo 2 — the registry
+    // constants spelled inline like D9).
+    "q_purged_cv" ->
+      """SELECT fold, date, role FROM (
+        |  SELECT fold, date,
+        |    CASE WHEN rn >= fold * 5 + 1 AND rn < fold * 5 + 9
+        |        THEN 'train'
+        |      WHEN rn >= fold * 5 + 9 AND rn < fold * 5 + 11
+        |        THEN 'purged'
+        |      WHEN rn >= fold * 5 + 11 AND rn < fold * 5 + 14
+        |        THEN 'test'
+        |      WHEN rn >= fold * 5 + 14 AND rn < fold * 5 + 16
+        |        THEN 'embargo'
+        |    END AS role
+        |  FROM (SELECT date, row_number() OVER (ORDER BY date) AS rn
+        |    FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+        |      FROM events) d) d2,
+        |    (SELECT unnest(range(4)) AS fold) f) x
+        |WHERE role IS NOT NULL ORDER BY fold, date""".stripMargin,
     "q_walk_forward" ->
       """SELECT fold, date, role FROM (
         |  SELECT fold, date,

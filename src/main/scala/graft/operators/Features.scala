@@ -513,6 +513,46 @@ object Features {
       .orderBy("fold", "date")
   }
 
+  /** D69 — PURGED + EMBARGOED WALK-FORWARD (López de Prado, Advances
+    * in Financial ML ch.7): D9's split with the two leakage controls
+    * a LABELED financial dataset needs — the tail of each train
+    * window PURGES `purge` days (a D38 triple-barrier label there
+    * looks `horizon` ticks FORWARD, i.e. into the fold's test period
+    * — training on it leaks the test answer), and the `embargo` days
+    * after each test window are marked so serial-correlation bleed
+    * from the evaluated period cannot re-enter a later fold's train.
+    * Emits EVERY day of every fold with its role (train / purged /
+    * test / embargo) — exclusions are auditable rows, not silent
+    * drops (the B11/D38 discipline). Same shape as D9: the day roster
+    * is distinct-days-sized, the fold grid broadcasts, roles are pure
+    * integer-range arithmetic — nothing here touches the tick fact. */
+  def purgedWalkForward(ticks: DataFrame, folds: Int, step: Int,
+                        trainLen: Int, testLen: Int,
+                        purge: Int, embargo: Int): DataFrame = {
+    require(purge >= 0 && purge < trainLen,
+      s"purge must sit inside the train window: $purge vs $trainLen")
+    require(embargo >= 0, s"embargo must be >= 0: $embargo")
+    val days = ticks.select(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("date")))
+    val foldIdx = days.sparkSession.range(folds).select(col("id").as("fold"))
+    days.crossJoin(broadcast(foldIdx))
+      .withColumn("start", col("fold") * step + 1)
+      .withColumn("role",
+        when(col("rn") >= col("start") &&
+          col("rn") < col("start") + trainLen - purge, "train")
+          .when(col("rn") >= col("start") + trainLen - purge &&
+            col("rn") < col("start") + trainLen, "purged")
+          .when(col("rn") >= col("start") + trainLen &&
+            col("rn") < col("start") + trainLen + testLen, "test")
+          .when(col("rn") >= col("start") + trainLen + testLen &&
+            col("rn") < col("start") + trainLen + testLen + embargo,
+            "embargo"))
+      .filter(col("role").isNotNull)
+      .select("fold", "date", "role")
+      .orderBy("fold", "date")
+  }
+
   /** D38 — TRIPLE-BARRIER LABELING (López de Prado, Advances in
     * Financial Machine Learning ch.3): the label-generation op a
     * financial training pipeline runs between feature prep (D1–D8)

@@ -374,6 +374,32 @@ class FeaturesSpec extends SparkSpec {
       (("test", 1L, Seq(300, 300, 300, 300).map(sc))))
   }
 
+  test("purgedWalkForward: the purge tail leaves each train window, " +
+      "the embargo band follows each test window, every excluded day " +
+      "is an auditable row") {
+    // 12 days, folds=2 step=3 train=6 test=2 purge=2 embargo=1:
+    //  fold 0 (start rn 1): train 1-4, purged 5-6, test 7-8, embargo 9
+    //  fold 1 (start rn 4): train 4-7, purged 8-9, test 10-11, emb. 12
+    val rows = (1 to 12).map(d =>
+      (d.toLong, 1L, f"2024-01-$d%02d 10:00:00", 1.0, 9.9))
+    val out = Features.purgedWalkForward(ticks(rows: _*),
+        folds = 2, step = 3, trainLen = 6, testLen = 2,
+        purge = 2, embargo = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("fold"), r.getAs[String]("date")) ->
+        r.getAs[String]("role")).toMap
+    def d(i: Int) = f"2024-01-$i%02d"
+    assert(out((0L, d(4))) == "train" && out((0L, d(5))) == "purged")
+    assert(out((0L, d(6))) == "purged" && out((0L, d(7))) == "test")
+    assert(out((0L, d(9))) == "embargo" && !out.contains((0L, d(10))))
+    assert(out((1L, d(7))) == "train" && out((1L, d(8))) == "purged")
+    assert(out((1L, d(10))) == "test" && out((1L, d(12))) == "embargo")
+    // role census: per fold 4 train + 2 purged + 2 test + 1 embargo
+    assert(out.size == 18)
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
+  }
+
   test("anomalyPipeline: identical windows score zero against the " +
       "train centroid; the one deviant TEST window is the only flag") {
     // 10 identical morning windows (days 1-9 share the tick shape);
