@@ -867,6 +867,10 @@ object SparkEntry {
     "q_triple_barrier" -> ((s, d) =>
       Features.tripleBarrier(Tables.ticks(s, d), tbEntryEvery, tbHorizon,
         tbBarrierBp)),
+    // D70 — label-uniqueness sample weights over D38's entry grid.
+    "q_label_uniqueness" -> ((s, d) =>
+      Features.labelUniqueness(Tables.ticks(s, d), tbEntryEvery,
+        tbHorizon)),
     // D39 — realized skewness / excess kurtosis per (symbol, day).
     "q_realized_moments" -> ((s, d) =>
       Microstructure.realizedMoments(Tables.ticks(s, d))),
@@ -4088,6 +4092,34 @@ object SparkEntry {
         |    THEN -1
         |  ELSE 0 END AS label
         |FROM j ORDER BY symbol, e_idx""".stripMargin,
+    // D70 — label uniqueness: the D38 entry grid's span coverage, per
+    // covered tick the exact-int concurrency, per entry the ordered
+    // ascending-f_idx fold of the shared `CAST(1 AS DOUBLE)/c`
+    // inverses, mean quantized via the sign-split floor spelling.
+    // DuckDB side enumerates spans with a plain range join (IEJoin —
+    // oracle scale); the Spark side uses D38's bucketize equi-join.
+    "q_label_uniqueness" ->
+      s"""WITH x AS (SELECT user_id AS symbol, event_id AS tick_id,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS BIGINT) AS idx
+        |  FROM events),
+        |e AS (SELECT symbol, idx AS e_idx, tick_id AS entry_id
+        |  FROM x WHERE idx % $tbEntryEvery = 1 % $tbEntryEvery),
+        |cov AS (SELECT e.symbol, e.e_idx, e.entry_id, f.idx AS f_idx
+        |  FROM e JOIN x f ON f.symbol = e.symbol
+        |    AND f.idx > e.e_idx AND f.idx <= e.e_idx + $tbHorizon),
+        |cc AS (SELECT symbol, f_idx, count(*) AS c
+        |  FROM cov GROUP BY 1, 2),
+        |iv AS (SELECT cov.symbol, cov.e_idx, cov.entry_id, cov.f_idx,
+        |    CAST(1 AS DOUBLE) / cc.c AS inv
+        |  FROM cov JOIN cc ON cc.symbol = cov.symbol
+        |    AND cc.f_idx = cov.f_idx)
+        |SELECT symbol, e_idx, entry_id, count(*) AS n_span,
+        |  CAST(floor(list_reduce(list_prepend(0.0,
+        |      list(inv ORDER BY f_idx)), (a, b) -> a + b)
+        |    / count(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 + 0.0
+        |    AS uniqueness
+        |FROM iv GROUP BY 1, 2, 3 ORDER BY symbol, e_idx""".stripMargin,
     // D59 — reversal spread: B7's exact-cent OHLC collapse, one
     // identically-spelled IEEE bp return, ntile over a total order,
     // bucket means round(4), spread from the rounded finals.

@@ -625,6 +625,67 @@ object Features {
       .orderBy("symbol", "e_idx")
   }
 
+  /** D70 — LABEL-UNIQUENESS SAMPLE WEIGHTS (López de Prado ch.4):
+    * D38's triple-barrier labels OVERLAP — consecutive entries share
+    * lookahead ticks, so their labels are not independent samples and
+    * a trainer that weights them equally over-counts the dense
+    * stretches. The standard fix: per covered tick j the CONCURRENCY
+    * c_j (how many open labels span it), per entry the average
+    * uniqueness `u = mean_{j∈span}(1/c_j)` — the sample weight ch.4
+    * feeds the fit. Entries with an empty lookahead (the tape's final
+    * tick) carry no weight row, the D38 truncation discipline; short
+    * tail spans keep their observed n_span (auditable).
+    *
+    * Scale shape: the span enumeration is D33/D38's bucketize trick
+    * (entries explode onto ≤2 idx-blocks, equi-join + post-filter —
+    * never an inequality join), the coverage frame checkpoints once
+    * (it feeds the concurrency aggregate AND the per-entry fold), and
+    * concurrency joins back on (symbol, f_idx) — all shuffles keyed,
+    * joined volume = entries × horizon.
+    *
+    * Engine-exactness: c_j exact int64; 1/c one IEEE division via the
+    * shared `CAST(1 AS DOUBLE) / c` spelling; the per-entry sum folds
+    * ascending-f_idx (ordered list fold, never an unordered double
+    * SUM); the mean quantizes through the sign-split floor spelling. */
+  def labelUniqueness(ticks: DataFrame, entryEvery: Int,
+                      horizon: Int): DataFrame = {
+    require(entryEvery > 0 && horizon > 0,
+      s"entryEvery and horizon must be positive: $entryEvery, $horizon")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val x = ticks
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select("symbol", "tick_id", "idx")
+      .localCheckpoint(true) // feeds both the entry and future sides
+    val entries = x
+      .filter(pmod(col("idx"), lit(entryEvery.toLong)) === (1L % entryEvery))
+      .select(col("symbol"), col("idx").as("e_idx"),
+        col("tick_id").as("entry_id"))
+      .withColumn("blk", explode(array(
+        expr(s"e_idx div ${horizon}L"),
+        expr(s"e_idx div ${horizon}L + 1L"))))
+    val futures = x.select(col("symbol"), col("idx").as("f_idx"),
+      expr(s"idx div ${horizon}L").as("blk"))
+    val cover = entries.join(futures, Seq("symbol", "blk"))
+      .filter(col("f_idx") > col("e_idx") &&
+        col("f_idx") <= col("e_idx") + horizon)
+      .select("symbol", "e_idx", "entry_id", "f_idx")
+      .localCheckpoint(true) // feeds concurrency AND the entry fold
+    val conc = cover.groupBy("symbol", "f_idx")
+      .agg(count(lit(1)).as("c"))
+    cover.join(conc, Seq("symbol", "f_idx"))
+      .withColumn("inv", expr("CAST(1 AS DOUBLE) / c"))
+      .groupBy("symbol", "e_idx", "entry_id")
+      .agg(count(lit(1)).as("n_span"),
+        aggregate(transform(
+          array_sort(collect_list(struct(col("f_idx"), col("inv")))),
+          s => s.getField("inv")), lit(0.0), (a, b) => a + b).as("s0"))
+      .withColumn("uniqueness", expr(
+        "CAST(floor(s0 / n_span * 1000000.0D + 0.5D) AS BIGINT)" +
+          " / 1000000.0D + 0.0D"))
+      .select("symbol", "e_idx", "entry_id", "n_span", "uniqueness")
+      .orderBy("symbol", "e_idx")
+  }
+
   /** D58 — SHOCK-RECOVERY TIME (liquidity resilience event study):
     * for every tick that JUMPS ≥ `shockBp` off the previous print,
     * how many ticks until price first returns within `recoverBp` of

@@ -400,6 +400,24 @@ class FeaturesSpec extends SparkSpec {
       Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
   }
 
+  test("labelUniqueness: overlapping spans dilute the weight by the " +
+      "exact concurrency; the tape's final entry carries no row") {
+    // 4 ticks, entry every tick, horizon 2. Spans: e1 -> {2,3},
+    // e2 -> {3,4}, e3 -> {4}, e4 -> empty (dropped).
+    // Concurrency: c2 = 1 (e1), c3 = 2 (e1, e2), c4 = 2 (e2, e3).
+    // u(e1) = (1 + 1/2)/2 = 0.75; u(e2) = (1/2 + 1/2)/2 = 0.5;
+    // u(e3) = (1/2)/1 = 0.5.
+    val rows = (1 to 4).map(i =>
+      (i.toLong, 1L, f"2024-01-01 00:00:0$i", 1.0, 9.9))
+    val out = Features.labelUniqueness(ticks(rows: _*), 1, 2)
+      .collect()
+      .map(r => r.getAs[Long]("e_idx") ->
+        ((r.getAs[Long]("n_span"), r.getAs[Double]("uniqueness"))))
+      .toMap
+    assert(out == Map(1L -> ((2L, 0.75)), 2L -> ((2L, 0.5)),
+      3L -> ((1L, 0.5))))
+  }
+
   test("anomalyPipeline: identical windows score zero against the " +
       "train centroid; the one deviant TEST window is the only flag") {
     // 10 identical morning windows (days 1-9 share the tick shape);
