@@ -205,6 +205,8 @@ object SparkEntry {
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
                                 // error percentile (ref test.py:334)
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
+  val fracD = 0.4               // D71 differentiation order
+  val fracK = 10                // D71 truncation lags
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -871,6 +873,9 @@ object SparkEntry {
     "q_label_uniqueness" -> ((s, d) =>
       Features.labelUniqueness(Tables.ticks(s, d), tbEntryEvery,
         tbHorizon)),
+    // D71 — fixed-width fractional differentiation (FFD features).
+    "q_frac_diff" -> ((s, d) =>
+      Features.fracDiff(Tables.ticks(s, d), fracD, fracK)),
     // D39 — realized skewness / excess kurtosis per (symbol, day).
     "q_realized_moments" -> ((s, d) =>
       Microstructure.realizedMoments(Tables.ticks(s, d))),
@@ -4120,6 +4125,33 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 + 0.0
         |    AS uniqueness
         |FROM iv GROUP BY 1, 2, 3 ORDER BY symbol, e_idx""".stripMargin,
+    // D71 — fracdiff: driver-computed (1-B)^d weights interpolated as
+    // shortest-round-trip literals into BOTH engines; the K-lag
+    // combination is one explicit left-associated chain over exact
+    // int64 cents; sign-split floor quantization; complete windows
+    // only.
+    "q_frac_diff" -> {
+      val ws = Features.fracDiffWeights(fracD, fracK)
+      val comb = (1 to fracK).foldLeft(s"${ws(0)} * CAST(c AS DOUBLE)")(
+        (acc, i) => s"($acc + ${ws(i)} * CAST(c$i AS DOUBLE))")
+      val lags = (1 to fracK).map(i =>
+        s"lag(c, $i) OVER (PARTITION BY symbol ORDER BY tick_id) AS c$i")
+        .mkString(",\n|    ")
+      s"""WITH b AS (SELECT user_id AS symbol, event_id AS tick_id,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS idx
+        |  FROM events),
+        |l AS (SELECT symbol, tick_id, idx, c,
+        |    $lags
+        |  FROM b)
+        |SELECT symbol, tick_id,
+        |  CAST(CASE WHEN ($comb) >= 0
+        |    THEN floor(($comb) * 1000000.0 + 0.5)
+        |    ELSE -floor(-($comb) * 1000000.0 + 0.5) END AS BIGINT)
+        |    / 1000000.0 + 0.0 AS ffd
+        |FROM l WHERE idx > $fracK ORDER BY symbol, tick_id""".stripMargin
+    },
     // D59 — reversal spread: B7's exact-cent OHLC collapse, one
     // identically-spelled IEEE bp return, ntile over a total order,
     // bucket means round(4), spread from the rounded finals.

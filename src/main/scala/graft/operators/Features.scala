@@ -686,6 +686,56 @@ object Features {
       .orderBy("symbol", "e_idx")
   }
 
+  /** The D71 fixed-width fracdiff weights: w₀ = 1,
+    * wₖ = −wₖ₋₁·(d−k+1)/k — the binomial-series coefficients of
+    * (1−B)^d, truncated at `k` lags. Computed once on the driver;
+    * both engines receive the SAME shortest-round-trip literals, so
+    * the weight spelling cannot drift. */
+  private[graft] def fracDiffWeights(d: Double, k: Int): Array[Double] = {
+    val w = new Array[Double](k + 1)
+    w(0) = 1.0
+    for (i <- 1 to k) w(i) = -w(i - 1) * (d - i + 1) / i
+    w
+  }
+
+  /** D71 — FRACTIONAL DIFFERENTIATION, fixed-width window (López de
+    * Prado ch.5 FFD): the stationarity transform that keeps MEMORY —
+    * integer differencing (D3's returns) erases all of it, raw levels
+    * are non-stationary; `x̃ₜ = Σₖ wₖ·xₜ₋ₖ` with the (1−B)^d series
+    * truncated at K lags interpolates, and is THE feature transform
+    * ch.5 argues a price-ML pipeline should feed the model instead of
+    * returns. Weights are driver-computed constants (one recursion,
+    * shortest-round-trip literals in both engines); the series is one
+    * K-lag pass over the symbol exchange (Spark evaluates all K lags
+    * in a single WindowExec); the combination is an EXPLICIT
+    * left-associated chain over exact int64 cents — deterministic
+    * IEEE in both engines, quantized via the sign-split floor
+    * spelling. Only complete windows emit (idx > K — a partial
+    * window is a different estimator, the D63 full-window rule). */
+  def fracDiff(ticks: DataFrame, d: Double = 0.4,
+               k: Int = 10): DataFrame = {
+    require(k >= 1 && d > 0 && d < 1, s"bad fracdiff params: d=$d k=$k")
+    val ws = fracDiffWeights(d, k)
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val base = ticks
+      .withColumn("c", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .withColumn("idx", row_number().over(w))
+    val lagged = (1 to k).foldLeft(base)((df, i) =>
+      df.withColumn(s"c$i", lag(col("c"), i).over(w)))
+    val comb = (1 to k).foldLeft(s"${ws(0)} * CAST(c AS DOUBLE)")(
+      (acc, i) => s"($acc + ${ws(i)} * CAST(c$i AS DOUBLE))")
+    lagged
+      .filter(col("idx") > k)
+      .withColumn("ffd", expr(
+        s"CAST(CASE WHEN ($comb) >= 0" +
+          s" THEN floor(($comb) * 1000000.0D + 0.5D)" +
+          s" ELSE -floor(-($comb) * 1000000.0D + 0.5D) END AS BIGINT)"))
+      .withColumn("ffd", expr(
+        "CAST(ffd AS DOUBLE) / 1000000.0D + 0.0D"))
+      .select("symbol", "tick_id", "ffd")
+      .orderBy("symbol", "tick_id")
+  }
+
   /** D58 — SHOCK-RECOVERY TIME (liquidity resilience event study):
     * for every tick that JUMPS ≥ `shockBp` off the previous print,
     * how many ticks until price first returns within `recoverBp` of

@@ -400,6 +400,23 @@ class FeaturesSpec extends SparkSpec {
       Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
   }
 
+  test("fracDiff: (1-B)^d weights match the binomial recursion and " +
+      "the K-lag combination is exact on a hand case") {
+    // d = 0.5, K = 2: w = [1, -0.5, -0.125]
+    val w = Features.fracDiffWeights(0.5, 2)
+    assert(w.toSeq == Seq(1.0, -0.5, -0.125))
+    // cents 100,100,100,400: only idx 3 and 4 emit;
+    //   idx 3: 100*(1-0.5-0.125) = 37.5
+    //   idx 4: 400 - 0.5*100 - 0.125*100 = 337.5
+    val rows = Seq(1.00, 1.00, 1.00, 4.00).zipWithIndex.map {
+      case (p, i) => (i.toLong + 1, 1L, f"2024-01-01 00:00:0${i + 1}", p, 9.9)
+    }
+    val out = Features.fracDiff(ticks(rows: _*), 0.5, 2)
+      .collect().map(r => r.getAs[Long]("tick_id") ->
+        r.getAs[Double]("ffd")).toMap
+    assert(out == Map(3L -> 37.5, 4L -> 337.5))
+  }
+
   test("labelUniqueness: overlapping spans dilute the weight by the " +
       "exact concurrency; the tape's final entry carries no row") {
     // 4 ticks, entry every tick, horizon 2. Spans: e1 -> {2,3},
