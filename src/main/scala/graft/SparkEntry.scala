@@ -207,6 +207,8 @@ object SparkEntry {
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
   val fracD = 0.4               // D71 differentiation order
   val fracK = 10                // D71 truncation lags
+  val cpcvGroups = 5            // D72 CPCV calendar groups (C(5,2)
+                                // = 10 test combinations)
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -876,6 +878,9 @@ object SparkEntry {
     // D71 — fixed-width fractional differentiation (FFD features).
     "q_frac_diff" -> ((s, d) =>
       Features.fracDiff(Tables.ticks(s, d), fracD, fracK)),
+    // D72 — combinatorial purged CV: every C(N,2) test-group pair.
+    "q_combinatorial_cv" -> ((s, d) =>
+      Features.combinatorialCv(Tables.ticks(s, d), cpcvGroups, 1)),
     // D39 — realized skewness / excess kurtosis per (symbol, day).
     "q_realized_moments" -> ((s, d) =>
       Microstructure.realizedMoments(Tables.ticks(s, d))),
@@ -4125,6 +4130,32 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 + 0.0
         |    AS uniqueness
         |FROM iv GROUP BY 1, 2, 3 ORDER BY symbol, e_idx""".stripMargin,
+    // D72 — CPCV: group bounds FROM the day roster (one aggregate),
+    // the C(N,2) combo grid via two ranges, integer-range roles.
+    "q_combinatorial_cv" ->
+      s"""WITH d0 AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+        |    FROM events),
+        |nd AS (SELECT count(*) AS n FROM d0),
+        |r AS (SELECT date, row_number() OVER (ORDER BY date) AS rn
+        |  FROM d0),
+        |g AS (SELECT date, rn, ((rn - 1) * $cpcvGroups) // nd.n AS g
+        |  FROM r, nd),
+        |bd AS (SELECT g, min(rn) AS lo, max(rn) AS hi FROM g GROUP BY 1),
+        |cmb AS (SELECT a.a, b.b, a.a * $cpcvGroups + b.b AS combo_id
+        |  FROM (SELECT unnest(range($cpcvGroups)) AS a) a,
+        |    (SELECT unnest(range($cpcvGroups)) AS b) b
+        |  WHERE a.a < b.b),
+        |cb AS (SELECT cmb.combo_id, cmb.a, cmb.b, ba.lo AS lo_a,
+        |    ba.hi AS hi_a, bb.lo AS lo_b, bb.hi AS hi_b
+        |  FROM cmb JOIN bd ba ON ba.g = cmb.a
+        |    JOIN bd bb ON bb.g = cmb.b)
+        |SELECT cb.combo_id, g.date,
+        |  CASE WHEN g.g = cb.a OR g.g = cb.b THEN 'test'
+        |    WHEN (g.rn >= cb.lo_a - 1 AND g.rn <= cb.hi_a + 1)
+        |      OR (g.rn >= cb.lo_b - 1 AND g.rn <= cb.hi_b + 1)
+        |      THEN 'purged'
+        |    ELSE 'train' END AS role
+        |FROM g, cb ORDER BY combo_id, date""".stripMargin,
     // D71 — fracdiff: driver-computed (1-B)^d weights interpolated as
     // shortest-round-trip literals into BOTH engines; the K-lag
     // combination is one explicit left-associated chain over exact

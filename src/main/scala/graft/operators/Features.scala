@@ -553,6 +553,56 @@ object Features {
       .orderBy("fold", "date")
   }
 
+  /** D72 — COMBINATORIAL PURGED CROSS-VALIDATION (López de Prado
+    * ch.7.4 CPCV): D69 walks forward once — ONE backtest path, so a
+    * strategy can overfit the single train/test seam; CPCV splits the
+    * calendar into N equal GROUPS and evaluates every C(N, 2)
+    * combination of two test groups, purging `purge` days around each
+    * test block — C(N,2) paths from one dataset, the standard defense
+    * against backtest overfitting. Emits (combo_id, date, role ∈
+    * train/purged/test) for EVERY combination × day — exclusions
+    * auditable (D69's rule).
+    *
+    * Shape: the day roster is distinct-days-sized; group bounds come
+    * FROM the roster (one tiny aggregate — never closed-form bounds
+    * that could drift off the group assignment); the C(N,2) combo
+    * grid and the bounds both broadcast; roles are integer-range
+    * compares. The tick fact is never touched. */
+  def combinatorialCv(ticks: DataFrame, groups: Int,
+                      purge: Int): DataFrame = {
+    require(groups >= 2 && purge >= 0,
+      s"bad CPCV params: groups=$groups purge=$purge")
+    val spark = ticks.sparkSession
+    // one tiny driver count pins the group-assignment denominator
+    val nDays = ticks.select(date_format(col("ts"), "yyyy-MM-dd"))
+      .distinct().count()
+    val roster = ticks
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("date")))
+      .withColumn("g", expr(s"((rn - 1) * $groups) div ${nDays}L"))
+      .localCheckpoint(true)
+    val bounds = roster.groupBy("g")
+      .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"))
+    val combos = spark.range(groups).select(col("id").as("a"))
+      .crossJoin(spark.range(groups).select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+      .withColumn("combo_id", col("a") * groups + col("b"))
+      .join(bounds.select(col("g").as("a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a")), Seq("a"))
+      .join(bounds.select(col("g").as("b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b")), Seq("b"))
+    roster.crossJoin(broadcast(combos))
+      .withColumn("role",
+        when(col("g") === col("a") || col("g") === col("b"), "test")
+          .when((col("rn") >= col("lo_a") - purge &&
+            col("rn") <= col("hi_a") + purge) ||
+            (col("rn") >= col("lo_b") - purge &&
+              col("rn") <= col("hi_b") + purge), "purged")
+          .otherwise("train"))
+      .select("combo_id", "date", "role")
+      .orderBy("combo_id", "date")
+  }
+
   /** D38 — TRIPLE-BARRIER LABELING (López de Prado, Advances in
     * Financial Machine Learning ch.3): the label-generation op a
     * financial training pipeline runs between feature prep (D1–D8)

@@ -400,6 +400,31 @@ class FeaturesSpec extends SparkSpec {
       Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
   }
 
+  test("combinatorialCv: every C(N,2) pair appears, test groups are " +
+      "the pair, purge bands hug each test block, the rest trains") {
+    // 8 days, 4 groups of 2, purge 1 -> C(4,2) = 6 combos x 8 days.
+    val rows = (1 to 8).map(d =>
+      (d.toLong, 1L, f"2024-01-0$d 10:00:00", 1.0, 9.9))
+    val out = Features.combinatorialCv(ticks(rows: _*), 4, 1)
+      .collect()
+      .map(r => (r.getAs[Long]("combo_id"), r.getAs[String]("date")) ->
+        r.getAs[String]("role")).toMap
+    assert(out.size == 48)
+    assert(out.keys.map(_._1).toSet ==
+      Set(1L, 2L, 3L, 6L, 7L, 11L)) // a*4+b for a<b
+    // combo (0,2) = id 2: test days 1-2 and 5-6; purge 3 (after blk 0)
+    // and 4, 7 (around blk 2); train: day 8 only.
+    def d(i: Int) = f"2024-01-0$i"
+    val c = (1 to 8).map(i => out((2L, d(i))))
+    assert(c == Seq("test", "test", "purged", "purged", "test", "test",
+      "purged", "train"))
+    // combo (2,3) = id 11: blocks 5-6 and 7-8 test; purge day 4;
+    // train days 1-3.
+    val c2 = (1 to 8).map(i => out((11L, d(i))))
+    assert(c2 == Seq("train", "train", "train", "purged", "test",
+      "test", "test", "test"))
+  }
+
   test("fracDiff: (1-B)^d weights match the binomial recursion and " +
       "the K-lag combination is exact on a hand case") {
     // d = 0.5, K = 2: w = [1, -0.5, -0.125]
