@@ -881,6 +881,11 @@ object SparkEntry {
     // D72 — combinatorial purged CV: every C(N,2) test-group pair.
     "q_combinatorial_cv" -> ((s, d) =>
       Features.combinatorialCv(Tables.ticks(s, d), cpcvGroups, 1)),
+    // D73 — vol-adaptive triple barrier: yesterday's realized vol
+    // sets today's profit-take/stop distance per symbol.
+    "q_vol_barrier" -> ((s, d) =>
+      Features.volAdaptiveBarrier(Tables.ticks(s, d), tbEntryEvery,
+        tbHorizon, 2)),
     // D39 — realized skewness / excess kurtosis per (symbol, day).
     "q_realized_moments" -> ((s, d) =>
       Microstructure.realizedMoments(Tables.ticks(s, d))),
@@ -4130,6 +4135,44 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 + 0.0
         |    AS uniqueness
         |FROM iv GROUP BY 1, 2, 3 ORDER BY symbol, e_idx""".stripMargin,
+    // D73 — vol-adaptive barriers: exact-int day rv, one correctly-
+    // rounded sqrt + floor(+0.5) into int64 CENTS (the compare stays
+    // pure integer), D38's lookahead shape; first days drop.
+    "q_vol_barrier" ->
+      s"""WITH x AS (SELECT user_id AS symbol, event_id AS tick_id,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS BIGINT) AS idx
+        |  FROM events),
+        |dd AS (SELECT *, c - lag(c) OVER (PARTITION BY symbol, day
+        |    ORDER BY tick_id) AS dd FROM x),
+        |rv AS (SELECT symbol, day, CAST(sum(dd * dd) AS BIGINT) AS rv
+        |  FROM dd GROUP BY 1, 2),
+        |rp AS (SELECT symbol, day, lag(rv) OVER (PARTITION BY symbol
+        |    ORDER BY day) AS rv_prev FROM rv),
+        |bcs AS (SELECT symbol, day, greatest(1, CAST(floor(
+        |    2 * sqrt(CAST(rv_prev AS DOUBLE)) + 0.5) AS BIGINT)) AS bc
+        |  FROM rp WHERE rv_prev IS NOT NULL),
+        |e AS (SELECT x.symbol, x.idx AS e_idx, x.tick_id AS entry_id,
+        |    x.c AS e_c, bcs.bc
+        |  FROM x JOIN bcs ON bcs.symbol = x.symbol AND bcs.day = x.day
+        |  WHERE x.idx % $tbEntryEvery = 1 % $tbEntryEvery),
+        |j AS (SELECT e.symbol, e.e_idx, e.entry_id, e.e_c, e.bc,
+        |    min(CASE WHEN f.c >= e.e_c + e.bc THEN f.idx END) AS up_idx,
+        |    min(CASE WHEN f.c <= e.e_c - e.bc THEN f.idx END) AS dn_idx,
+        |    count(*) AS n_lookahead
+        |  FROM e JOIN x f ON f.symbol = e.symbol
+        |    AND f.idx > e.e_idx AND f.idx <= e.e_idx + $tbHorizon
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT symbol, e_idx, entry_id, e_c, bc, up_idx, dn_idx,
+        |  n_lookahead,
+        |  CASE WHEN up_idx IS NOT NULL
+        |      AND (dn_idx IS NULL OR up_idx < dn_idx) THEN 1
+        |    WHEN dn_idx IS NOT NULL
+        |      AND (up_idx IS NULL OR dn_idx < up_idx) THEN -1
+        |    ELSE 0 END AS label
+        |FROM j ORDER BY symbol, e_idx""".stripMargin,
     // D72 — CPCV: group bounds FROM the day roster (one aggregate),
     // the C(N,2) combo grid via two ranges, integer-range roles.
     "q_combinatorial_cv" ->

@@ -786,6 +786,74 @@ object Features {
       .orderBy("symbol", "tick_id")
   }
 
+  /** D73 — VOLATILITY-ADAPTIVE TRIPLE-BARRIER LABELS (López de Prado
+    * ch.3's actual recipe): D38 uses a FIXED barrier — too tight for
+    * a volatile symbol (everything labels ±1 on noise), too wide for
+    * a quiet one (everything times out). Here each (symbol, day)'s
+    * barrier is `m·√rv_prev` cents — the previous day's realized
+    * volatility sets today's profit-take/stop distance, so labels
+    * mean the same thing across symbols and regimes. rv is the exact
+    * int64 Σ(Δcents)² day collapse (D63's frame); the barrier is one
+    * correctly-rounded √ + floor(·+0.5) into int64 CENTS (never a
+    * ratio — the compare stays pure integer); first days (no prior
+    * rv) drop with the D38 truncation discipline. Same
+    * bucketize-equi-join lookahead as D38 — the dynamic barrier rides
+    * the entry row; nothing else changes shape. */
+  def volAdaptiveBarrier(ticks: DataFrame, entryEvery: Int, horizon: Int,
+                         volMult: Int): DataFrame = {
+    require(entryEvery > 0 && horizon > 0 && volMult > 0,
+      s"bad params: $entryEvery $horizon $volMult")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val x = ticks
+      .withColumn("c", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .select("symbol", "tick_id", "day", "c", "idx")
+      .localCheckpoint(true)
+    val rv = x
+      .withColumn("dd", col("c") - lag(col("c"), 1).over(
+        Window.partitionBy("symbol", "day").orderBy("tick_id")))
+      .groupBy("symbol", "day")
+      .agg(sum(col("dd") * col("dd")).as("rv"))
+      .withColumn("rv_prev", lag(col("rv"), 1).over(
+        Window.partitionBy("symbol").orderBy("day")))
+      .filter(col("rv_prev").isNotNull)
+      .withColumn("bc", expr(
+        s"greatest(1L, CAST(floor($volMult * sqrt(CAST(rv_prev" +
+          " AS DOUBLE)) + 0.5) AS BIGINT))"))
+      .select("symbol", "day", "bc")
+    val entries = x
+      .filter(pmod(col("idx"), lit(entryEvery.toLong)) === (1L % entryEvery))
+      .join(rv, Seq("symbol", "day")) // drops no-prior-rv days
+      .select(col("symbol"), col("idx").as("e_idx"),
+        col("tick_id").as("entry_id"), col("c").as("e_c"), col("bc"))
+      .withColumn("blk", explode(array(
+        expr(s"e_idx div ${horizon}L"),
+        expr(s"e_idx div ${horizon}L + 1L"))))
+    val futures = x.select(col("symbol"), col("idx").as("f_idx"),
+      col("c").as("f_c"), expr(s"idx div ${horizon}L").as("blk"))
+    entries
+      .join(futures, Seq("symbol", "blk"))
+      .filter(col("f_idx") > col("e_idx") &&
+        col("f_idx") <= col("e_idx") + horizon)
+      .groupBy("symbol", "e_idx", "entry_id", "e_c", "bc")
+      .agg(
+        min(when(col("f_c") >= col("e_c") + col("bc"), col("f_idx")))
+          .as("up_idx"),
+        min(when(col("f_c") <= col("e_c") - col("bc"), col("f_idx")))
+          .as("dn_idx"),
+        count(lit(1)).as("n_lookahead"))
+      .withColumn("label",
+        when(col("up_idx").isNotNull &&
+          (col("dn_idx").isNull || col("up_idx") < col("dn_idx")), 1)
+          .when(col("dn_idx").isNotNull &&
+            (col("up_idx").isNull || col("dn_idx") < col("up_idx")), -1)
+          .otherwise(0))
+      .select("symbol", "e_idx", "entry_id", "e_c", "bc", "up_idx",
+        "dn_idx", "n_lookahead", "label")
+      .orderBy("symbol", "e_idx")
+  }
+
   /** D58 — SHOCK-RECOVERY TIME (liquidity resilience event study):
     * for every tick that JUMPS ≥ `shockBp` off the previous print,
     * how many ticks until price first returns within `recoverBp` of

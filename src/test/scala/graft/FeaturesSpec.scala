@@ -400,6 +400,30 @@ class FeaturesSpec extends SparkSpec {
       Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
   }
 
+  test("volAdaptiveBarrier: yesterday's exact rv sets today's cent " +
+      "barrier; warm-up-day entries drop") {
+    // Day 1: cents 100,110,105 -> diffs 10,-5 -> rv = 125 ->
+    // bc = floor(2*sqrt(125)+0.5) = 22. Day 2 (entryEvery=2, H=2):
+    // the only odd-idx tick is idx 5 (c=125); lookahead {idx 6,
+    // c=70}: 70 <= 125-22 -> down barrier, label -1. Day-1 entries
+    // (idx 1, 3) have no prior rv and must not appear.
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.00, 9.9),
+      (2L, 1L, "2024-01-01 11:00:00", 1.10, 9.9),
+      (3L, 1L, "2024-01-01 12:00:00", 1.05, 9.9),
+      (4L, 1L, "2024-01-02 10:00:00", 1.00, 9.9),
+      (5L, 1L, "2024-01-02 11:00:00", 1.25, 9.9),
+      (6L, 1L, "2024-01-02 12:00:00", 0.70, 9.9))
+    val out = Features.volAdaptiveBarrier(ticks(rows: _*),
+      entryEvery = 2, horizon = 2, volMult = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("e_idx") == 5L && r.getAs[Long]("bc") == 22L)
+    assert(r.getAs[Long]("dn_idx") == 6L && r.isNullAt(r.fieldIndex("up_idx")))
+    assert(r.getAs[Long]("n_lookahead") == 1L &&
+      r.getAs[Int]("label") == -1)
+  }
+
   test("combinatorialCv: every C(N,2) pair appears, test groups are " +
       "the pair, purge bands hug each test block, the rest trains") {
     // 8 days, 4 groups of 2, purge 1 -> C(4,2) = 6 combos x 8 days.
