@@ -209,6 +209,7 @@ object SparkEntry {
   val fracK = 10                // D71 truncation lags
   val cpcvGroups = 5            // D72 CPCV calendar groups (C(5,2)
                                 // = 10 test combinations)
+  val matryoshkaDims = Seq(8, 16, 32, 64) // F100 prefix lengths
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -614,6 +615,11 @@ object SparkEntry {
     // as q_ann_topk / q_ann_ivf, so the audit measures THAT index).
     "q_ann_recall" -> ((s, d) =>
       Vectors.annRecall(Tables.embeddings(s, d), 10, 5, 8)),
+    // F100 — Matryoshka audit: recall@5 of prefix-dim search vs the
+    // full-dim exact list, per prefix length.
+    "q_matryoshka_recall" -> ((s, d) =>
+      Vectors.matryoshkaRecall(Tables.embeddings(s, d), 10, 5,
+        matryoshkaDims)),
 
     // ---- B. Tick cleaning (SURVEY §2.B) ----
     "q_session_filter" -> ((s, d) => TickOps.sessionWindowFilter(Tables.ticks(s, d))),
@@ -5904,6 +5910,44 @@ object SparkEntry {
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     // F58 — composes the two verified CTE chains (brute + IVF) and
     // joins their top-k sets; recall is one exact-int division.
+    // F100 — generated per-prefix brute-force CTE blocks (the F6/F58
+    // fold spellings at range(m)); hit counts exact ints, recall ppm
+    // by integer division.
+    "q_matryoshka_recall" -> {
+      def knn(dm: Int, tag: String) =
+        s"""n$tag AS (SELECT vec_id, v,
+          |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(range($dm), i -> v[CAST(i+1 AS INT)]
+          |        * v[CAST(i+1 AS INT)])),
+          |      (a, b) -> a + b)) AS nrm FROM e),
+          |p$tag AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(range($dm), i -> q.v[CAST(i+1 AS INT)]
+          |        * c.v[CAST(i+1 AS INT)])),
+          |      (a, b) -> a + b) / nullif(q.nrm * c.nrm, 0) AS cs
+          |  FROM n$tag q JOIN n$tag c ON c.vec_id <> q.vec_id
+          |  WHERE q.vec_id < 10),
+          |t$tag AS (SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cs DESC, neighbor_id) AS rnk
+          |    FROM p$tag) x WHERE rnk <= 5)"""
+      val blocks = (knn(64, "x") +:
+        matryoshkaDims.map(dm => knn(dm, s"d$dm"))).mkString(",\n")
+      val rows = matryoshkaDims.map { dm =>
+        s"SELECT CAST($dm AS BIGINT) AS prefix_dim, " +
+          s"CAST(count(*) AS BIGINT) AS n_hits " +
+          s"FROM td$dm JOIN tx USING (query_id, neighbor_id)"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |$blocks
+        |SELECT prefix_dim, n_hits,
+        |  CAST((n_hits * 1000000) // 50 AS BIGINT) AS recall_ppm
+        |FROM ($rows) u
+        |ORDER BY prefix_dim""".stripMargin
+    },
     "q_ann_recall" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

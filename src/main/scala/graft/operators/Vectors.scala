@@ -396,6 +396,41 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** F100 — DIMENSION-TRUNCATION RECALL CURVE (Matryoshka audit):
+    * recall@k of PREFIX-dimension cosine search against the full-dim
+    * exact top-k — the measurement behind shipping truncated
+    * embeddings (MRL; store 16 of 64 dims → 4× less IO at what
+    * recall?). The same audit shape as F58's IVF recall: candidate
+    * list per setting, id-set intersection with the exact list, exact
+    * int64 hit counts (`recall_ppm = hits·10⁶ div (nQ·k)` — no
+    * doubles). Each prefix search is F6's plan at `dim = m` (norms
+    * and dots fold over the first m positions only — the codegen'd
+    * VecDot path); the exact list checkpoints once and every prefix
+    * joins against it. */
+  def matryoshkaRecall(emb: DataFrame, nQueries: Int, k: Int,
+                       dims: Seq[Int], fullDim: Int = Dim): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"bad prefix dims: $dims")
+    val exact = bruteForceKnn(emb, nQueries, k, fullDim)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // one exact pass, joined by every prefix
+    dims.map { dm =>
+      // physical prefix truncation — VecDot folds whatever arrives,
+      // so the slice IS the "store only m dims" layout under audit
+      val truncated = emb.withColumn("embedding",
+        slice(col("embedding"), 1, dm))
+      bruteForceKnn(truncated, nQueries, k, dm)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("prefix_dim", lit(dm.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("recall_ppm",
+        expr(s"(n_hits * 1000000) div ${nQueries * k}"))
+      .select("prefix_dim", "n_hits", "recall_ppm")
+      .orderBy("prefix_dim")
+  }
+
   /** F89 — FILTERED VECTOR SEARCH: F6's exact top-k restricted to
     * candidates satisfying a METADATA predicate (here `label`) — the
     * filtered-ANN read every production vector store serves

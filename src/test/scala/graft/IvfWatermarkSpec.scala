@@ -188,6 +188,22 @@ class IvfWatermarkSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: a prefix-dominant decoy flips the truncated " +
+      "top-1; the full-prefix row recalls exactly 1.0") {
+    // query v0 = e1. v1 = (.5,.5,0,0): cos .707 at BOTH prefixes.
+    // v2 = (1,0,5,0): cos 1.0 on the 2-prefix, .196 at full dim.
+    // Full top-1 = v1; 2-prefix top-1 = v2 -> 0 hits at m=2, 1 at m=4.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.5f, 0.5f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 5.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Vectors.matryoshkaRecall(emb, 1, 1, Seq(2, 4), 4)
+      .collect().map(r => r.getAs[Long]("prefix_dim") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(m == Map(2L -> ((0L, 0L)), 4L -> ((1L, 1000000L))))
+  }
+
   test("reconAnomaly: collinear rows score zero error and no flags") {
     // x = c + t·v — all variance lives in the single component, so
     // the reconstruction residual is 0 (within 1e-6 quantization).
