@@ -547,6 +547,9 @@ object SparkEntry {
     "q_quality_scan" -> ((s, d) =>
       Lakehouse.qualityScan(Tables.events(s, d), "event_type",
         Seq("user_id", "value", "props"))),
+    // A27 — partition-skew report (ppm max-share + exact-int Gini).
+    "q_partition_skew" -> ((s, d) =>
+      Lakehouse.partitionSkew(Tables.events(s, d), "ts")),
     "q_partition_stats" -> ((s, d) =>
       Lakehouse.partitionStats(Tables.orders(s, d), "o_orderdate", "o_totalprice")),
     "q_time_travel" -> ((s, d) =>
@@ -2255,6 +2258,22 @@ object SparkEntry {
       """SELECT year(o_orderdate) AS yr, count(*) AS n_rows,
         |  round(sum(o_totalprice),4) AS sum_val
         |FROM orders GROUP BY year(o_orderdate) ORDER BY yr""".stripMargin,
+    // A27 — day-partition counts, pairwise exact-int Gini, ppm ints.
+    "q_partition_skew" ->
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT CAST(sum(abs(a.n - b.n)) AS BIGINT) AS sad
+        |  FROM c a, c b),
+        |s AS (SELECT count(*) AS n_partitions,
+        |    CAST(sum(n) AS BIGINT) AS total_rows,
+        |    max(n) AS max_rows, min(n) AS min_rows FROM c)
+        |SELECT n_partitions, total_rows, max_rows, min_rows,
+        |  CAST((max_rows * 1000000) // total_rows AS BIGINT)
+        |    AS max_share_ppm,
+        |  CAST((sad * 1000000) // (2 * n_partitions * total_rows)
+        |    AS BIGINT) AS gini_ppm
+        |FROM s, p""".stripMargin,
     "q_time_travel" ->
       """SELECT event_type, count(*) AS n_rows FROM events
         |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'

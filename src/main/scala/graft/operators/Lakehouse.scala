@@ -35,6 +35,36 @@ object Lakehouse {
         round(sum(col(valCol)), 4).as("sum_val"))
       .orderBy("yr")
 
+  /** A27 — PARTITION-SKEW REPORT: the layout-health check a catalog
+    * runs before a 100 TB table hot-spots — per day partition the row
+    * count, then one summary row: partition count, total, max/min,
+    * `max_share_ppm = max·10⁶ div total` (how much of the table the
+    * hottest partition holds vs the uniform 10⁶/n) and the exact-int
+    * GINI of the partition sizes (`Σᵢⱼ|xᵢ−xⱼ| / (2·n·Σx)`, ppm) —
+    * the one-number skew gauge that decides whether A22's compaction
+    * / repartitioning is due. The pairwise Gini runs on the
+    * PARTITION-COUNT frame (|days| rows — metadata-scale; the fact is
+    * touched once by the count aggregate), every statistic pure
+    * int64. */
+  def partitionSkew(df: DataFrame, tsCol: String): DataFrame = {
+    val counts = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // feeds the summary AND the pair grid
+    val pairs = counts.select(col("n").as("a"))
+      .crossJoin(counts.select(col("n").as("b")))
+      .agg(sum(abs(col("a") - col("b"))).as("sad"))
+    counts.agg(count(lit(1)).as("n_partitions"),
+        sum(col("n")).as("total_rows"),
+        max(col("n")).as("max_rows"), min(col("n")).as("min_rows"))
+      .crossJoin(broadcast(pairs))
+      .withColumn("max_share_ppm",
+        expr("(max_rows * 1000000) div total_rows"))
+      .withColumn("gini_ppm", expr(
+        "(sad * 1000000) div (2 * n_partitions * total_rows)"))
+      .select("n_partitions", "total_rows", "max_rows", "min_rows",
+        "max_share_ppm", "gini_ppm")
+  }
+
   /** A5 — semi-structured JSON extraction: pull typed fields out of a
     * JSON string column and aggregate — the lakehouse path for event
     * payloads (`events.props`). `get_json_object` is codegen'd; at

@@ -234,6 +234,29 @@ class LayoutSpec extends SparkSpec {
     assert(top.count() == 500L)
   }
 
+  test("H14: a dim-filtered join against a partitioned fact compiles " +
+      "with DYNAMIC PARTITION PRUNING — the fact scan's partition " +
+      "filter is the runtime subquery, not a full read") {
+    // THE selective-join lever at 100 TB: the dim filter ('2 hot
+    // days') is only known at run time; DPP injects it into the fact
+    // scan's PartitionFilters so Spark lists/reads only those
+    // partitions. Asserted at plan level (dynamicpruning expression
+    // present) AND at result level.
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    spark.range(1000L)
+      .selectExpr("id", "CAST(id % 10 AS INT) AS day")
+      .write.partitionBy("day").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(10L).selectExpr("CAST(id AS INT) AS day",
+        "id % 5 = 0 AS hot")
+      .filter(col("hot"))
+    val joined = fact.join(dim, Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a DPP subquery in the fact scan:\n$plan")
+    assert(joined.count() == 200L) // days 0 and 5 only
+  }
+
   test("H13: the window-tensor pipelines broadcast every per-symbol " +
       "stats join — no SortMergeJoin survives in the scaling or " +
       "threshold paths") {
