@@ -32,7 +32,8 @@ class RegistrySpec extends AnyFunSuite {
   /** Single-row global aggregates — ordering is vacuous. */
   private val singleRowOutputs =
     Set("q_ndv_profile", "q_snapshot_diff", "q_small_qty_revenue",
-      "q_disjunctive_revenue", "q_zipf_fit", "q_forecast_revenue")
+      "q_disjunctive_revenue", "q_zipf_fit", "q_forecast_revenue",
+      "q_partition_skew")
 
   test("each registry key is declared exactly once in the source (a " +
       "duplicate in a Map literal silently DROPS the earlier query — " +
