@@ -210,6 +210,7 @@ object SparkEntry {
   val cpcvGroups = 5            // D72 CPCV calendar groups (C(5,2)
                                 // = 10 test combinations)
   val matryoshkaDims = Seq(8, 16, 32, 64) // F100 prefix lengths
+  val psiBuckets = 10           // D74 PSI histogram buckets
 
   /** D60/D65 shared oracle fragments: the daily-close CTE and the
     * OLS + residual-AR(1) fit tail over a `grid` CTE (sym_a, sym_b,
@@ -895,6 +896,9 @@ object SparkEntry {
     "q_vol_barrier" -> ((s, d) =>
       Features.volAdaptiveBarrier(Tables.ticks(s, d), tbEntryEvery,
         tbHorizon, 2)),
+    // D74 — PSI feature drift between the chrono train/test slices.
+    "q_psi_drift" -> ((s, d) =>
+      Features.psiDrift(Tables.ticks(s, d), psiBuckets)),
     // D39 — realized skewness / excess kurtosis per (symbol, day).
     "q_realized_moments" -> ((s, d) =>
       Microstructure.realizedMoments(Tables.ticks(s, d))),
@@ -4160,6 +4164,50 @@ object SparkEntry {
         |    / count(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 + 0.0
         |    AS uniqueness
         |FROM iv GROUP BY 1, 2, 3 ORDER BY symbol, e_idx""".stripMargin,
+    // D74 — PSI drift: integer buckets off the exact train range,
+    // +1 smoothing in int space, ONE ln per bucket over a ratio of
+    // exact int64 products, ascending-bucket ordered fold, sign-split
+    // quantization. Single-row output (ORDER BY vacuous).
+    "q_psi_drift" ->
+      s"""WITH dd AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+        |    FROM events),
+        |rk AS (SELECT date, row_number() OVER (ORDER BY date) AS rn,
+        |    (SELECT count(*) FROM dd) AS n FROM dd),
+        |sp AS (SELECT date, CASE WHEN rn <= floor(n * 0.6) THEN 'train'
+        |    WHEN rn <= floor(n * 0.6) + floor(n * 0.2) THEN 'val'
+        |    ELSE 'test' END AS split FROM rk),
+        |x AS (SELECT sp.split,
+        |    CAST(round(e.value * 100.0, 0) AS BIGINT) AS c
+        |  FROM events e JOIN sp ON sp.date = strftime(e.ts, '%Y-%m-%d')
+        |  WHERE sp.split <> 'val'),
+        |r AS (SELECT min(c) AS mn, max(c) AS mx FROM x
+        |  WHERE split = 'train'),
+        |h AS (SELECT CAST(least(${psiBuckets - 1}, greatest(0,
+        |      ((c - mn) * $psiBuckets) // (mx - mn + 1))) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tr,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS te
+        |  FROM x, r GROUP BY 1),
+        |f AS (SELECT i.b, coalesce(h.tr, 0) AS tr, coalesce(h.te, 0) AS te
+        |  FROM (SELECT unnest(range($psiBuckets)) AS b) i
+        |  LEFT JOIN h ON h.b = i.b),
+        |t AS (SELECT CAST(sum(tr) AS BIGINT) AS n_tr,
+        |    CAST(sum(te) AS BIGINT) AS n_te FROM f),
+        |cb AS (SELECT f.b, n_tr, n_te,
+        |    (CAST(tr + 1 AS DOUBLE) / (n_tr + $psiBuckets)
+        |      - CAST(te + 1 AS DOUBLE) / (n_te + $psiBuckets))
+        |    * ln(CAST((tr + 1) * (n_te + $psiBuckets) AS DOUBLE)
+        |      / CAST((te + 1) * (n_tr + $psiBuckets) AS DOUBLE)) AS contrib
+        |  FROM f, t)
+        |SELECT CAST($psiBuckets AS BIGINT) AS n_buckets, n_tr AS n_train,
+        |  n_te AS n_test,
+        |  CAST(CASE WHEN s0 >= 0 THEN floor(s0 * 1000000.0 + 0.5)
+        |    ELSE -floor(-s0 * 1000000.0 + 0.5) END AS BIGINT)
+        |    / 1000000.0 + 0.0 AS psi
+        |FROM (SELECT n_tr, n_te, list_reduce(list_prepend(0.0,
+        |    list(contrib ORDER BY b)), (a, y) -> a + y) AS s0
+        |  FROM cb GROUP BY n_tr, n_te) z""".stripMargin,
     // D73 — vol-adaptive barriers: exact-int day rv, one correctly-
     // rounded sqrt + floor(+0.5) into int64 CENTS (the compare stays
     // pure integer), D38's lookahead shape; first days drop.

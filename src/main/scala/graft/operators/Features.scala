@@ -748,6 +748,75 @@ object Features {
     w
   }
 
+  /** D74 — PSI FEATURE DRIFT (population stability index): the
+    * model-monitoring drift stat between the chronological TRAIN and
+    * TEST slices (D7's 60/20/20 day split) — `Σ(pᵢ−qᵢ)·ln(pᵢ/qᵢ)`
+    * over B fixed-width buckets of the train value range, the number
+    * every scoring pipeline alarms on (rule of thumb: >0.25 = retrain).
+    * F-block's KS drift compares full CDFs; PSI is the BUCKETED,
+    * additive form production monitors actually threshold.
+    *
+    * Engine-exactness: buckets are integer arithmetic off the exact
+    * train cents min/max (test values clamp into the edge buckets);
+    * +1 smoothing keeps empty buckets finite and integer; each
+    * contribution's ln takes ONE ratio of exact int64 products
+    * (`ln((cᵢ+1)(m+B) / ((dᵢ+1)(n+B)))` — identical doubles both
+    * engines); p−q is a difference of two exact-int divisions; the B
+    * contributions fold in ascending-bucket order and the total
+    * quantizes via the sign-split floor spelling. */
+  def psiDrift(ticks: DataFrame, buckets: Int = 10,
+               trainRatio: Double = 0.6,
+               valRatio: Double = 0.2): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets: $buckets")
+    val days = ticks.select(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("date")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rn") <= floor(col("n") * trainRatio), "train")
+          .when(col("rn") <= floor(col("n") * trainRatio) +
+            floor(col("n") * valRatio), "val")
+          .otherwise("test"))
+      .select("date", "split")
+    val x = ticks
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("c", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .join(broadcast(days), Seq("date"))
+      .filter(col("split") =!= "val")
+      .select("split", "c")
+      .localCheckpoint(true) // feeds the range scan and the histogram
+    val range = x.filter(col("split") === "train")
+      .agg(min(col("c")).as("mn"), max(col("c")).as("mx"))
+    val hist = x.crossJoin(broadcast(range))
+      .withColumn("b", expr(
+        s"CAST(least(${buckets - 1}L, greatest(0L," +
+          s" ((c - mn) * $buckets) div (mx - mn + 1))) AS BIGINT)"))
+      .groupBy("b").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("tr"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+    val spark = ticks.sparkSession
+    val full = spark.range(buckets).select(col("id").as("b"))
+      .join(hist, Seq("b"), "left")
+      .select(col("b"), coalesce(col("tr"), lit(0L)).as("tr"),
+        coalesce(col("te"), lit(0L)).as("te"))
+    val tots = full.agg(sum(col("tr")).as("n_tr"), sum(col("te")).as("n_te"))
+    full.crossJoin(broadcast(tots))
+      .withColumn("contrib", expr(
+        s"(CAST(tr + 1 AS DOUBLE) / (n_tr + $buckets)" +
+          s" - CAST(te + 1 AS DOUBLE) / (n_te + $buckets))" +
+          s" * ln(CAST((tr + 1) * (n_te + $buckets) AS DOUBLE)" +
+          s" / CAST((te + 1) * (n_tr + $buckets) AS DOUBLE))"))
+      .groupBy("n_tr", "n_te")
+      .agg(aggregate(transform(
+        array_sort(collect_list(struct(col("b"), col("contrib")))),
+        s => s.getField("contrib")), lit(0.0), (a, y) => a + y).as("s0"))
+      .select(lit(buckets.toLong).as("n_buckets"),
+        col("n_tr").as("n_train"), col("n_te").as("n_test"),
+        expr("CAST(CASE WHEN s0 >= 0 THEN floor(s0 * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-s0 * 1000000.0D + 0.5D) END AS BIGINT)" +
+          " / 1000000.0D + 0.0D").as("psi"))
+  }
+
   /** D71 — FRACTIONAL DIFFERENTIATION, fixed-width window (López de
     * Prado ch.5 FFD): the stationarity transform that keeps MEMORY —
     * integer differencing (D3's returns) erases all of it, raw levels

@@ -400,6 +400,29 @@ class FeaturesSpec extends SparkSpec {
       Map("train" -> 8, "purged" -> 4, "test" -> 4, "embargo" -> 2))
   }
 
+  test("psiDrift: a level shift between train and test slices prices " +
+      "the hand-computed smoothed PSI; out-of-range test values clamp " +
+      "into the edge bucket") {
+    // 3 days -> train d1, test d2-d3 (val empty). B = 2 buckets over
+    // the TRAIN range [100, 199]. Train cents 100,100,199 -> (2,1);
+    // test cents 250,250 clamp to bucket 1 -> (0,2). Smoothed
+    // p=(3/5,2/5), q=(1/4,3/4).
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.00, 9.9),
+      (2L, 1L, "2024-01-01 11:00:00", 1.00, 9.9),
+      (3L, 1L, "2024-01-01 12:00:00", 1.99, 9.9),
+      (4L, 1L, "2024-01-02 10:00:00", 2.50, 9.9),
+      (5L, 1L, "2024-01-03 10:00:00", 2.50, 9.9))
+    val out = Features.psiDrift(ticks(rows: _*), buckets = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_train") == 3L && r.getAs[Long]("n_test") == 2L)
+    val expected0 = (0.6 - 0.25) * math.log(12.0 / 5.0)
+    val expectedPsi = expected0 + (0.4 - 0.75) * math.log(8.0 / 15.0)
+    def q6(x: Double) = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    assert(r.getAs[Double]("psi") == q6(expectedPsi))
+  }
+
   test("volAdaptiveBarrier: yesterday's exact rv sets today's cent " +
       "barrier; warm-up-day entries drop") {
     // Day 1: cents 100,110,105 -> diffs 10,-5 -> rv = 125 ->

@@ -33,7 +33,7 @@ class RegistrySpec extends AnyFunSuite {
   private val singleRowOutputs =
     Set("q_ndv_profile", "q_snapshot_diff", "q_small_qty_revenue",
       "q_disjunctive_revenue", "q_zipf_fit", "q_forecast_revenue",
-      "q_partition_skew")
+      "q_partition_skew", "q_psi_drift")
 
   test("each registry key is declared exactly once in the source (a " +
       "duplicate in a Map literal silently DROPS the earlier query — " +
