@@ -15,6 +15,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
+    CkptGc.quietUnpersistWarnings()
 
     // Warmup: JVM + codegen + parquet footers + the engine's one-time
     // machinery (shuffle system, whole-stage codegen framework,
@@ -50,6 +51,14 @@ object Bench {
     // adjudicate (r5's q_tz_shift "4.45x regression" et al.).
     def runSuite(): Seq[(String, Double, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // Checkpoint GC (r12: warm run 441 s > cold 412 s — leaked
+        // localCheckpoint blocks): snapshot persisted RDDs, sweep
+        // everything new after the query's action, keep pinned
+        // cross-query caches. The sweep runs INSIDE the timed span?
+        // No — after the clock stops: its cost is bookkeeping only
+        // (non-blocking unpersist), and billing it to the query would
+        // punish checkpoint-using plans for the harness's hygiene.
+        val ckptBefore = CkptGc.snapshot(spark)
         val t0 = System.nanoTime()
         // Split plan-build+optimize ("compile") from execution so drift
         // between Catalyst overhead and actual work is attributable.
@@ -74,6 +83,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             (-1.0, -1.0)
           }
+        CkptGc.sweep(spark, ckptBefore)
         (name, compile, elapsed)
       }
     val results = runSuite()

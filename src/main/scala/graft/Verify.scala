@@ -21,6 +21,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CkptGc.quietUnpersistWarnings()
     new java.io.File(outDir).mkdirs()
     // On failure, DELETE the query's output dir: when outDir is
     // reused, a previous run's parquet would otherwise survive a
@@ -36,12 +37,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // sweep per-query localCheckpoint blocks (CkptGc) so the
+      // 270-dump session doesn't accumulate storage memory
+      val ckptBefore = CkptGc.snapshot(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         rmTree(new java.io.File(s"$outDir/$name"))
       }
+      CkptGc.sweep(spark, ckptBefore)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1040,6 +1040,23 @@ object Features {
       .orderBy("symbol", "date", "win")
   }
 
+  /** D66 (driver shape) — the tensor export as SCALAR rows: one row
+    * per (symbol, date, win, split, n_ticks, slot i) with the scaled
+    * element `el`, straight off [[windowSlots]]. Identical values to
+    * [[windowTensors]] (same slot chain, same micro-quantized
+    * element), but no ARRAY column: array cells are unhashable in
+    * pandas-based comparators (the round-12 driver red), and the
+    * downstream consumers (D67/D68) already operate per slot. The
+    * array spelling stays as the library's ML-handoff API. */
+  def windowTensorRows(ticks: DataFrame, k: Int,
+                       trainRatio: Double = 0.6,
+                       valRatio: Double = 0.2): DataFrame =
+    windowSlots(ticks, k, trainRatio, valRatio)
+      .withColumn("el", expr("CAST(u AS DOUBLE) / 1000000.0D + 0.0D"))
+      .select(col("symbol"), col("date"), col("win"), col("split"),
+        col("cnt").as("n_ticks"), col("i"), col("el"))
+      .orderBy("symbol", "date", "win", "i")
+
   /** The D66 slot-level core: one row per (symbol, date, win, slot i)
     * with the scaled value held EXACT as int64 micros `u` — shared by
     * the tensor export (which divides back to doubles) and the D67

@@ -2033,6 +2033,28 @@ object Microstructure {
   def cointegrationScreen(ticks: DataFrame): DataFrame =
     cointFit(pairGrid(dailyCloses(ticks)))
 
+  /** D60 (bounded registry shape) — the EXACT screen on a
+    * deterministic modular roster sample: symbols with
+    * `symbol % sampleMod == 0` enter the pair grid; every emitted
+    * (β, ρ, half-life) row is bit-identical to [[cointegrationScreen]]
+    * for that pair (same [[dailyCloses]]/[[pairGrid]]/[[cointFit]]
+    * path — the sample is a roster filter BEFORE the grid, so per-pair
+    * math is untouched; spec-asserted). Rationale: the full screen is
+    * structurally quadratic in symbols (r12 measured it as the #1
+    * bench head at 38 s / 1.12 M pairs at sf0.1) and exists as the
+    * spec baseline; the production composition is this sampled exact
+    * screen for calibration plus [[cointegrationScreenBlocked]] (D65)
+    * for full-roster candidate discovery — the same two-tier shape the
+    * F2 minhash dedup family uses. The modular sample keeps 1/mod² of
+    * the grid, is engine-portable integer arithmetic, and is unbiased
+    * for screen-level diagnostics (symbol ids carry no economics). */
+  def cointegrationScreenSampled(ticks: DataFrame,
+                                 sampleMod: Int): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
+    cointFit(pairGrid(dailyCloses(ticks)
+      .filter(pmod(col("symbol"), lit(sampleMod)) === 0)))
+  }
+
   /** The D60 (symbol, day, exact-cents close) collapse — shared by the
     * exact screen, the blocked screen, and the pairs backtest feed. */
   private def dailyCloses(ticks: DataFrame): DataFrame =

@@ -374,6 +374,31 @@ class FeaturesSpec extends SparkSpec {
       (("test", 1L, Seq(300, 300, 300, 300).map(sc))))
   }
 
+  test("windowTensorRows: the scalar per-slot frame carries exactly " +
+      "the array export's elements, keyed by slot index") {
+    def w(id: Long, day: Int, sec: Int, bid: Double) =
+      (id, 1L, f"2024-01-0$day 07:50:$sec%02d", bid, 9.9)
+    val rows =
+      (0 until 6).map(i => w(i + 1, 1, i, 1.00 + i * 0.01)) ++
+        Seq(w(11, 2, 0, 2.00), w(12, 2, 1, 2.10), w(13, 2, 2, 2.20)) ++
+        Seq(w(21, 3, 0, 3.00))
+    val df = ticks(rows: _*)
+    val fromArrays = Features.windowTensors(df, 4).collect().flatMap { r =>
+      r.getSeq[Double](r.fieldIndex("tensor")).zipWithIndex.map {
+        case (el, i) =>
+          (r.getAs[String]("date"), r.getAs[String]("win"),
+            r.getAs[String]("split"), r.getAs[Long]("n_ticks"),
+            i, el)
+      }
+    }.toSet
+    val scalarRows = Features.windowTensorRows(df, 4).collect().map { r =>
+      (r.getAs[String]("date"), r.getAs[String]("win"),
+        r.getAs[String]("split"), r.getAs[Long]("n_ticks"),
+        r.getAs[Int]("i"), r.getAs[Double]("el"))
+    }.toSet
+    assert(scalarRows == fromArrays && scalarRows.size == 12)
+  }
+
   test("purgedWalkForward: the purge tail leaves each train window, " +
       "the embargo band follows each test window, every excluded day " +
       "is an auditable row") {

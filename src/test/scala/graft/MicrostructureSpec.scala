@@ -1047,5 +1047,12 @@ class MicrostructureSpec extends SparkSpec {
     assert(exact.size == 6)
     // zero false positives: a survivor's row is the exact screen's row
     blocked.foreach { case (k, v) => assert(exact(k) == v) }
+    // sampled screen (mod 2 → symbols 2, 4): the one surviving pair
+    // carries the exact screen's row bit-for-bit — the sample is a
+    // roster filter before the grid, never a math change
+    val sampled = keyed(
+      Microstructure.cointegrationScreenSampled(df, sampleMod = 2))
+    assert(sampled.keySet == Set((2L, 4L)))
+    sampled.foreach { case (k, v) => assert(exact(k) == v) }
   }
 }
