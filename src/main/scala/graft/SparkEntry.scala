@@ -2232,9 +2232,9 @@ object SparkEntry {
         |    CASE WHEN n_diffs > 0
         |      THEN CAST((sum_abs * 1000000) // n_diffs AS BIGINT)
         |    END AS loss_ppm,
-        |    CAST(symbol * 100000 + di * 3 + (CASE phase WHEN 'train'
+        |    CAST(symbol * 10000000 + di * 3 + (CASE phase WHEN 'train'
         |      THEN 0 WHEN 'val' THEN 1 ELSE 2 END) AS BIGINT) AS run_id,
-        |    CAST(symbol * 100000 + di * 3 AS BIGINT) AS parent_run_id,
+        |    CAST(symbol * 10000000 + di * 3 AS BIGINT) AS parent_run_id,
         |    CAST(1000000 // (di + 10) AS BIGINT) AS lr_ppm,
         |    CASE WHEN phase = 'train' THEN 'models/'
         |      || CAST(symbol AS VARCHAR) || '/d' || CAST(di AS VARCHAR)

@@ -519,8 +519,14 @@ object Features {
     * window PURGES `purge` days (a D38 triple-barrier label there
     * looks `horizon` ticks FORWARD, i.e. into the fold's test period
     * — training on it leaks the test answer), and the `embargo` days
-    * after each test window are marked so serial-correlation bleed
-    * from the evaluated period cannot re-enter a later fold's train.
+    * after each test window are MARKED so the consumer can exclude
+    * serial-correlation bleed from the evaluated period. Roles are
+    * assigned PER FOLD independently: a day labeled embargo in fold
+    * i may legitimately be labeled train in a later fold whose train
+    * range covers it — the embargo row is the audit signal the
+    * consumer applies across folds (matching López de Prado, where
+    * the embargo trims the train set adjacent to each test split),
+    * not a global cross-fold exclusion.
     * Emits EVERY day of every fold with its role (train / purged /
     * test / embargo) — exclusions are auditable rows, not silent
     * drops (the B11/D38 discipline). Same shape as D9: the day roster
@@ -1010,7 +1016,13 @@ object Features {
     * Split: per SYMBOL (the reference pipeline runs per symbol),
     * windows ranked chronologically (date, morning < afternoon),
     * `train = int(n·0.6)`, `val = next int(n·0.2)` — D7's truncation
-    * arithmetic. Scaler: population mean/std of the TRAIN windows'
+    * arithmetic. DELIBERATE deviation from the reference's
+    * `sorted(window_ids)` (model.py:326-349), where the string
+    * '{date}_afternoon' sorts before '{date}_morning': a time-series
+    * split must be chronological or the val/test boundary leaks
+    * half a day — we rank by actual session order, so split
+    * membership can differ from the reference within the boundary
+    * day (documented, r12 advisory). Scaler: population mean/std of the TRAIN windows'
     * slot cents (sklearn StandardScaler ddof=0), from exact int64
     * sums; a symbol with no train stats or zero variance scales to
     * 0.0 flat.

@@ -67,9 +67,15 @@ object RunTracker {
       .withColumn("phase_ord",
         when(col("phase") === "train", 0L)
           .when(col("phase") === "val", 1L).otherwise(2L))
+      // symbol stride 10^7: di*3 + phase_ord stays below it for any
+      // day index under ~3.3M days (9000 years of history); the old
+      // 10^5 stride collided across symbols past di = 33,333,
+      // silently corrupting parent links in long histories (r12
+      // advisory). 1500 symbols × 10^7 ≪ int64 — no overflow risk.
       .withColumn("run_id",
-        col("symbol") * 100000L + col("di") * 3L + col("phase_ord"))
-      .withColumn("parent_run_id", col("symbol") * 100000L + col("di") * 3L)
+        col("symbol") * 10000000L + col("di") * 3L + col("phase_ord"))
+      .withColumn("parent_run_id",
+        col("symbol") * 10000000L + col("di") * 3L)
       .withColumn("lr_ppm", expr("CAST(1000000 div (di + 10) AS BIGINT)"))
       .withColumn("artifact_path", when(col("phase") === "train",
         concat(lit("models/"), col("symbol").cast("string"),

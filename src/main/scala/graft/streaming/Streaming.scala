@@ -1513,7 +1513,11 @@ object Streaming {
     * ride in as broadcast maps (registry-scale: |symbols| entries);
     * keyed state is one bounded cents buffer per symbol. Symbols
     * outside the trained maps score against zero stats (the batch
-    * rule) and never flag. */
+    * rule) and never flag. A late cross-batch tick whose (day, slot)
+    * sorts EARLIER than the open window is DROPPED (its window
+    * already scored and Append mode cannot restate it) — never
+    * appended to the open buffer, keeping stream window membership
+    * identical to the batch windowSlots assignment. */
   def windowAnomalyAlerts(ticks: Dataset[Tick], k: Int,
                           scalers: Map[Long, (Double, Double)],
                           centroids: Map[Long, Seq[Long]],
@@ -1584,9 +1588,20 @@ object Streaming {
             if (slot == 1 || slot == 3) {
               val w = winName(slot)
               val c = math.round(t.bid * 100.0)
-              st =
-                if (st == null) WindowAnomState(d, w, List(c))
-                else st.copy(buf = st.buf :+ c)
+              // a late cross-batch tick whose (day, slot) sorts
+              // EARLIER than the open window is dropped, not
+              // appended: appending would mis-attribute it to the
+              // open window and diverge from the batch windowSlots
+              // assignment (its own window already closed and
+              // emitted — Append mode cannot restate it; G14's
+              // late-data discipline)
+              val late = st != null &&
+                (d < st.curDay || (d == st.curDay && slot < curSlot))
+              if (!late) {
+                st =
+                  if (st == null) WindowAnomState(d, w, List(c))
+                  else st.copy(buf = st.buf :+ c)
+              }
             }
           }
           if (st != null) state.update(st) else state.remove()

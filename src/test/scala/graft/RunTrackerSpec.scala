@@ -31,17 +31,17 @@ class RunTrackerSpec extends SparkSpec {
         (r.getAs[String]("phase"), r.getAs[Any]("loss_ppm"),
           r.getAs[String]("artifact_path")))).toMap
     assert(log.size == 9) // 3 days x 3 phases
-    // day-0 val run: id 5*100000 + 0*3 + 1; loss (500 * 1e6) / 1
-    assert(log(500001L) == (("val", 500000000L, null)))
-    assert(log(500004L) == (("val", 100000000L, null)))
+    // day-0 val run: id 5*10^7 + 0*3 + 1; loss (500 * 1e6) / 1
+    assert(log(50000001L) == (("val", 500000000L, null)))
+    assert(log(50000004L) == (("val", 100000000L, null)))
     // train runs carry the artifact; val runs do not
-    assert(log(500000L)._3 == "models/5/d0.pt")
+    assert(log(50000000L)._3 == "models/5/d0.pt")
     val best = RunTracker.bestRunsAsOf(ticks(rows: _*), "2024-01-20")
       .collect()
     assert(best.length == 1)
     val r = best.head
     assert(r.getAs[Long]("n_runs") == 6L) // day 15 excluded
-    assert(r.getAs[Long]("best_run_id") == 500004L)
+    assert(r.getAs[Long]("best_run_id") == 50000004L)
     assert(r.getAs[Long]("best_val_loss_ppm") == 100000000L)
     // parent train run d1: lr = 1000000 div 11, artifact models/5/d1.pt
     assert(r.getAs[Long]("lr_ppm") == 90909L)

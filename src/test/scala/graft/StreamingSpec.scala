@@ -1310,6 +1310,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G40: a late cross-batch tick from an already-closed session " +
+      "window is dropped, never appended to the open window") {
+    import graft.streaming.Streaming.WindowScore
+    val feed1 = Seq(
+      Tick(1L, 1L, t("2024-01-08 07:51:00"), 1.00),
+      Tick(2L, 1L, t("2024-01-08 07:52:00"), 1.02),
+      Tick(3L, 1L, t("2024-01-08 13:51:00"), 1.00), // closes morning
+      Tick(4L, 1L, t("2024-01-08 13:52:00"), 1.02))
+    val feed2 = Seq(
+      // LATE morning tick arriving while the afternoon window is
+      // open: must be dropped (its window already emitted)
+      Tick(5L, 1L, t("2024-01-08 07:54:00"), 9.99),
+      Tick(6L, 1L, t("2024-01-09 07:51:00"), 1.00)) // closes afternoon
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.windowAnomalyAlerts(in.toDS(), 4,
+        Map.empty, Map.empty, Map.empty)
+      .writeStream.format("memory").queryName("p_wa_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(feed1: _*); q.processAllAvailable()
+      in.addData(feed2: _*); q.processAllAvailable()
+      val out = spark.table("p_wa_late").as[WindowScore].collect()
+        .map(w => (w.date, w.win) -> w.n_ticks).toMap
+      // afternoon scored with its own 2 ticks — the late 9.99 morning
+      // tick neither re-opened the morning nor polluted the afternoon
+      assert(out == Map(("2024-01-08", "morning") -> 2L,
+        ("2024-01-08", "afternoon") -> 2L))
+    } finally q.stop()
+  }
+
   test("G39: volConeAlerts emits on day close only for FULL h-day " +
       "windows, bands against the trained cone, open-day register " +
       "carrying across micro-batches; untrained symbols flagged") {
