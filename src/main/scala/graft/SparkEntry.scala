@@ -209,6 +209,8 @@ object SparkEntry {
                                 // reference uses 600; same arithmetic)
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
                                 // error percentile (ref test.py:334)
+  val signalExitFrac = 0.5      // D76 exit once window error recovers
+                                // below exitFrac * p99 threshold
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
   val fracD = 0.4               // D71 differentiation order
   val fracK = 10                // D71 truncation lags
@@ -680,6 +682,17 @@ object SparkEntry {
     // per-percentile thresholds + anomaly counts (test.py report).
     "q_error_profile" -> ((s, d) =>
       Features.errorProfile(Tables.ticks(s, d), tensorSlots)),
+    // D75 — ELM autoencoder: fixed dyadic hidden layer (softsign),
+    // per-symbol ridge output layer solved closed-form (unrolled
+    // Cholesky over exact int64 sums), p99 reconstruction flags.
+    "q_nn_recon" -> ((s, d) =>
+      Features.elmRecon(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct)),
+    // D76 — model-signal backtest: D67 anomaly flags enter, error
+    // recovery exits, exact-cent close-to-close P&L per symbol.
+    "q_signal_backtest" -> ((s, d) =>
+      Features.anomalySignalBacktest(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, exitFrac = signalExitFrac)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -2195,6 +2208,153 @@ object SparkEntry {
         |    AND CAST(u_err AS DOUBLE) > th.qu) AS is_anomaly
         |FROM er LEFT JOIN th ON th.symbol = er.symbol
         |ORDER BY er.symbol, er.date, er.win""".stripMargin,
+    // D75 — ELM autoencoder: the full train-and-score loop re-derived
+    // in SQL — pivoted slots, the SAME dyadic hidden weights (shared
+    // elmZExpr/elmVExpr fragments — LCG ints over 4096 parse to
+    // identical doubles), exact int64 Gram/cross sums, the SAME
+    // unrolled Cholesky + substitution stages (shared elmCholStages/
+    // elmSolveStages text), per-term quantized errors, integer div k,
+    // quantile_cont p99 flag (the D67 pairing).
+    "q_nn_recon" -> {
+      val k = tensorSlots
+      val piv = (0 until k)
+        .map(i => s"max(CASE WHEN i = $i THEN u END) AS s$i")
+        .mkString(", ")
+      val zs = (1 to Features.ElmHidden)
+        .map(j => s"${Features.elmZExpr(j, k)} AS z$j").mkString(", ")
+      val vs = (1 to Features.ElmHidden)
+        .map(j => s"${Features.elmVExpr(s"z$j")} AS v$j").mkString(", ")
+      val aCols = Features.elmAExprs
+        .map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      val cholCtes = Features.elmCholStages.zipWithIndex.map {
+        case (st, ix) =>
+          val prev = if (ix == 0) "aa" else s"ch$ix"
+          s"ch${ix + 1} AS (SELECT *, " +
+            st.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+            s" FROM $prev)"
+      }.mkString(",\n")
+      val lCols = Features.elmCholStages.flatten
+        .map { case (n, _) => s"ch.$n AS $n" }.mkString(", ")
+      val solveCtes = Features.elmSolveStages.zipWithIndex.map {
+        case (st, ix) =>
+          val prev = if (ix == 0) "f0" else s"f$ix"
+          s"f${ix + 1} AS (SELECT *, " +
+            st.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+            s" FROM $prev)"
+      }.mkString(",\n")
+      val nStages = Features.elmSolveStages.length
+      s"""WITH $tensorSlotsSql,
+        |piv AS (SELECT symbol, date, win, split, $piv
+        |  FROM uq GROUP BY 1, 2, 3, 4),
+        |hz AS (SELECT *, $zs FROM piv),
+        |hid AS (SELECT symbol, date, win, split, $vs FROM hz),
+        |gs AS (SELECT symbol, count(*) AS n_tr,
+        |    CAST(sum(v1*v1) AS BIGINT) AS g11,
+        |    CAST(sum(v2*v1) AS BIGINT) AS g21,
+        |    CAST(sum(v2*v2) AS BIGINT) AS g22,
+        |    CAST(sum(v3*v1) AS BIGINT) AS g31,
+        |    CAST(sum(v3*v2) AS BIGINT) AS g32,
+        |    CAST(sum(v3*v3) AS BIGINT) AS g33,
+        |    CAST(sum(v1) AS BIGINT) AS sv1,
+        |    CAST(sum(v2) AS BIGINT) AS sv2,
+        |    CAST(sum(v3) AS BIGINT) AS sv3
+        |  FROM hid WHERE split = 'train' GROUP BY symbol),
+        |aa AS (SELECT *, $aCols FROM gs),
+        |$cholCtes,
+        |rh AS (SELECT uq.symbol AS symbol, uq.i AS i,
+        |    CAST(sum(h.v1*uq.u) AS BIGINT) AS c1,
+        |    CAST(sum(h.v2*uq.u) AS BIGINT) AS c2,
+        |    CAST(sum(h.v3*uq.u) AS BIGINT) AS c3,
+        |    CAST(sum(uq.u) AS BIGINT) AS c0
+        |  FROM uq JOIN hid h ON h.symbol = uq.symbol
+        |    AND h.date = uq.date AND h.win = uq.win
+        |  WHERE uq.split = 'train' GROUP BY 1, 2),
+        |f0 AS (SELECT rh.symbol AS symbol, rh.i AS i,
+        |    (CAST(c1 AS DOUBLE)/1.0E12) AS r1,
+        |    (CAST(c2 AS DOUBLE)/1.0E12) AS r2,
+        |    (CAST(c3 AS DOUBLE)/1.0E12) AS r3,
+        |    (CAST(c0 AS DOUBLE)/1.0E6) AS r4,
+        |    $lCols
+        |  FROM rh JOIN ch${Features.elmCholStages.length} ch
+        |    ON ch.symbol = rh.symbol),
+        |$solveCtes,
+        |beta AS (SELECT symbol, i, b1, b2, b3, b4 FROM f$nStages),
+        |px AS (SELECT uq.symbol AS symbol, uq.date AS date,
+        |    uq.win AS win, uq.split AS split, uq.u AS u,
+        |    b.b1 AS b1, b.b2 AS b2, b.b3 AS b3, b.b4 AS b4,
+        |    h.v1 AS v1, h.v2 AS v2, h.v3 AS v3
+        |  FROM uq JOIN hid h ON h.symbol = uq.symbol
+        |    AND h.date = uq.date AND h.win = uq.win
+        |  LEFT JOIN beta b ON b.symbol = uq.symbol AND b.i = uq.i),
+        |p2 AS (SELECT *, ${Features.elmXhExpr} AS xh FROM px),
+        |pr AS (SELECT symbol, date, win, split,
+        |    CASE WHEN b1 IS NULL THEN 0
+        |      ELSE ${Features.elmTqExpr} END AS tq
+        |  FROM p2),
+        |er2 AS (SELECT symbol, date, win, split,
+        |    CAST(sum(tq) // $k AS BIGINT) AS err_ppm
+        |  FROM pr GROUP BY 1, 2, 3, 4),
+        |th AS (SELECT symbol, quantile_cont(err_ppm, $reconFlagPct) AS qu
+        |  FROM er2 WHERE split = 'test' GROUP BY 1)
+        |SELECT er2.symbol, er2.date, er2.win, er2.split, er2.err_ppm,
+        |  (er2.split = 'test' AND th.qu IS NOT NULL
+        |    AND CAST(er2.err_ppm AS DOUBLE) > th.qu) AS is_anomaly
+        |FROM er2 LEFT JOIN th ON th.symbol = er2.symbol
+        |ORDER BY er2.symbol, er2.date, er2.win""".stripMargin
+    },
+    // D76 — model-signal backtest: D67's error chain (shared
+    // windowErrSql), per-symbol p99 threshold, D62's last_value
+    // IGNORE NULLS position machine over the TEST window roster,
+    // exact-int close-to-close P&L (no float surface at all).
+    "q_signal_backtest" ->
+      s"""WITH $windowErrSql,
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |lastu AS (SELECT symbol, date, win, u AS u_last
+        |  FROM uq WHERE i = ${tensorSlots - 1}),
+        |closes AS (SELECT user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+        |           THEN 'afternoon' END AS win,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS close_cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |  GROUP BY 1, 2, 3),
+        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    l.u_last, c.close_cents, th.qu
+        |  FROM er
+        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+        |    AND l.win = er.win
+        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+        |    AND c.win = er.win
+        |  JOIN th ON th.symbol = er.symbol
+        |  WHERE er.split = 'test'),
+        |sg AS (SELECT *, CASE
+        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
+        |      THEN 0 END AS sig
+        |  FROM bb),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY symbol ORDER BY date,
+        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
+        |    close_cents - lag(close_cents) OVER w AS dc
+        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |SELECT symbol, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+        |  CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS windows_in_pos,
+        |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
+        |    ELSE 0 END) AS BIGINT) AS pnl_cents
+        |FROM pp GROUP BY 1 ORDER BY symbol""".stripMargin,
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)

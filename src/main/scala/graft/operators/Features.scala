@@ -1172,25 +1172,7 @@ object Features {
   def anomalyPipeline(ticks: DataFrame, k: Int,
                       trainRatio: Double = 0.6, valRatio: Double = 0.2,
                       pct: Double = 0.99): DataFrame = {
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
-    val trainMeans = slots.filter(col("split") === "train")
-      .groupBy("symbol", "i")
-      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
-    val terms = slots.join(broadcast(trainMeans), Seq("symbol", "i"), "left")
-      .withColumn("t", expr(
-        "CASE WHEN n_tr IS NULL THEN 0.0D ELSE" +
-          " (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
-          " * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
-          " / 1000000.0D / 1000000.0D END"))
-    val errs = terms
-      .groupBy(col("symbol"), col("date"), col("win"), col("split"))
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("i"), col("t")))),
-          s => s.getField("t")),
-        lit(0.0), (acc, x) => acc + x).as("e0"))
-      .withColumn("u_err", expr(
-        s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
-    val errsCk = errs.localCheckpoint(true) // feeds thresholds + output
+    val errsCk = windowErrs(windowSlots(ticks, k, trainRatio, valRatio), k)
     val thr = errsCk.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
@@ -1201,6 +1183,32 @@ object Features {
         (col("split") === "test" && col("qu").isNotNull &&
           col("u_err").cast("double") > col("qu")).as("is_anomaly"))
       .orderBy("symbol", "date", "win")
+  }
+
+  /** The D67 per-window train-centroid error chain over a
+    * [[windowSlots]] frame — (symbol, date, win, split, u_err int64
+    * micros), checkpointed (it feeds thresholds + output in every
+    * consumer: D67 pipeline, D68 profile, D76 backtest). */
+  private def windowErrs(slots: DataFrame, k: Int): DataFrame = {
+    val trainMeans = slots.filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
+    val terms = slots.join(broadcast(trainMeans), Seq("symbol", "i"), "left")
+      .withColumn("t", expr(
+        "CASE WHEN n_tr IS NULL THEN 0.0D ELSE" +
+          " (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
+          " * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_tr)" +
+          " / 1000000.0D / 1000000.0D END"))
+    terms
+      .groupBy(col("symbol"), col("date"), col("win"), col("split"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("e0"))
+      .withColumn("u_err", expr(
+        s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
+      .drop("e0")
+      .localCheckpoint(true)
   }
 
   /** D68 — ERROR-PROFILE EVALUATION TABLE: the reference's test-phase
@@ -1238,5 +1246,289 @@ object Features {
       s"stack(${pcts.length}, $stackArgs)" +
         " AS (pct, threshold_ppm, n_above)")
       .orderBy("split", "pct")
+  }
+
+  // ===== D75 — deterministic ELM autoencoder ======================
+
+  /** D75 hidden width (3 hidden units + the bias feature → a 4×4
+    * normal-equation system, unrolled Cholesky). */
+  val ElmHidden = 3
+  /** D75 ridge term added to the unit-scaled Gram diagonal. */
+  val ElmLambda = 0.01
+
+  /** Deterministic pseudo-random stream for the FIXED hidden weights:
+    * one LCG step (Knuth/glibc constants — public arithmetic), kept
+    * in exact int64 so BOTH engines derive identical dyadic-rational
+    * weights. NOT cryptographic and deliberately so: the ELM recipe
+    * (Huang et al. 2006) only needs fixed random-ish projections,
+    * and reproducibility across engines beats entropy here. */
+  def elmHash(t: Long): Long = (1103515245L * t + 12345L) % 2048L
+  /** Hidden weight numerator for unit j, input slot i ∈ [-1024, 1023];
+    * the weight is `elmWInt / 4096.0` (dyadic — exactly representable
+    * in binary, so the decimal literal parses to the identical double
+    * in both engines). The 1/4096 = (1/1024)·(1/4) folds in the
+    * 1/√k input scaling for k = 16. */
+  def elmWInt(j: Int, i: Int, k: Int): Long = elmHash(j.toLong * k + i) - 1024L
+  /** Hidden bias numerator for unit j ∈ [-1024, 1023]; bias is
+    * `elmBInt / 1024.0`. */
+  def elmBInt(j: Int): Long = elmHash(100000L + j) - 1024L
+
+  /** Double literal in E-notation: approximate-numeric literals are
+    * DOUBLE in both Spark SQL and DuckDB, while a bare `0.5` is
+    * DECIMAL in Spark — the one literal-typing divergence that can
+    * silently change arithmetic. Every D75 shared fragment goes
+    * through this. */
+  def dlit(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  /** The hidden pre-activation z_j over pivoted slot columns s0..s(k-1)
+    * (int64 micros): `b_j + Σ_i w_ji · (s_i/1e6)` — a fixed
+    * left-associative chain, ONE text for both engines. */
+  def elmZExpr(j: Int, k: Int): String =
+    s"(${dlit(elmBInt(j) / 1024.0)}" + (0 until k).map { i =>
+      s" + (${dlit(elmWInt(j, i, k) / 4096.0)})*(CAST(s$i AS DOUBLE)/1.0E6)"
+    }.mkString + ")"
+
+  /** Softsign activation z/(1+|z|) quantized to int64 micros via the
+    * sign-split floor spelling (the r11 discipline — identical IEEE
+    * ops in both engines, no round()). */
+  def elmVExpr(z: String): String =
+    s"CAST(CASE WHEN $z >= 0.0E0" +
+      s" THEN floor(($z/(1.0E0 + $z))*1.0E6 + 5.0E-1)" +
+      s" ELSE -floor(((-($z))/(1.0E0 - $z))*1.0E6 + 5.0E-1) END AS BIGINT)"
+
+  /** Unit-scaled regularized normal-equation entries over the exact
+    * int64 Gram sums (g11..g33, sv1..sv3, n_tr); the bias feature is
+    * the constant 1e6 micros, so its cross terms reduce to sv_j/1e6
+    * and the corner to n_tr. */
+  def elmAExprs: Seq[(String, String)] = {
+    val lam = dlit(ElmLambda)
+    Seq(
+      "a11" -> s"(CAST(g11 AS DOUBLE)/1.0E12 + $lam)",
+      "a21" -> "(CAST(g21 AS DOUBLE)/1.0E12)",
+      "a22" -> s"(CAST(g22 AS DOUBLE)/1.0E12 + $lam)",
+      "a31" -> "(CAST(g31 AS DOUBLE)/1.0E12)",
+      "a32" -> "(CAST(g32 AS DOUBLE)/1.0E12)",
+      "a33" -> s"(CAST(g33 AS DOUBLE)/1.0E12 + $lam)",
+      "a41" -> "(CAST(sv1 AS DOUBLE)/1.0E6)",
+      "a42" -> "(CAST(sv2 AS DOUBLE)/1.0E6)",
+      "a43" -> "(CAST(sv3 AS DOUBLE)/1.0E6)",
+      "a44" -> s"(CAST(n_tr AS DOUBLE) + $lam)")
+  }
+
+  /** Unrolled 4×4 Cholesky of the SPD system, as SEQUENTIAL stages
+    * (each entry only references earlier stages — no same-SELECT
+    * alias references, which the two engines resolve differently). */
+  def elmCholStages: Seq[Seq[(String, String)]] = Seq(
+    Seq("l11" -> "sqrt(a11)"),
+    Seq("l21" -> "(a21/l11)", "l31" -> "(a31/l11)", "l41" -> "(a41/l11)"),
+    Seq("l22" -> "sqrt(a22 - l21*l21)"),
+    Seq("l32" -> "((a32 - l31*l21)/l22)",
+      "l42" -> "((a42 - l41*l21)/l22)"),
+    Seq("l33" -> "sqrt(a33 - l31*l31 - l32*l32)"),
+    Seq("l43" -> "((a43 - l41*l31 - l42*l32)/l33)"),
+    Seq("l44" -> "sqrt(a44 - l41*l41 - l42*l42 - l43*l43)"))
+
+  /** Forward (Ly = r) then back (Lᵀβ = y) substitution stages over
+    * the per-slot rhs (r1..r4) and the symbol's factor. */
+  def elmSolveStages: Seq[Seq[(String, String)]] = Seq(
+    Seq("y1" -> "(r1/l11)"),
+    Seq("y2" -> "((r2 - l21*y1)/l22)"),
+    Seq("y3" -> "((r3 - l31*y1 - l32*y2)/l33)"),
+    Seq("y4" -> "((r4 - l41*y1 - l42*y2 - l43*y3)/l44)"),
+    Seq("b4" -> "(y4/l44)"),
+    Seq("b3" -> "((y3 - l43*b4)/l33)"),
+    Seq("b2" -> "((y2 - l32*b3 - l42*b4)/l22)"),
+    Seq("b1" -> "((y1 - l21*b2 - l31*b3 - l41*b4)/l11)"))
+
+  /** Per-slot reconstruction x̂ = β·[h;1] over the window's hidden
+    * micros v1..v3 and the slot's solved β — one fixed chain. */
+  val elmXhExpr: String =
+    "(b1*(CAST(v1 AS DOUBLE)/1.0E6) + b2*(CAST(v2 AS DOUBLE)/1.0E6)" +
+      " + b3*(CAST(v3 AS DOUBLE)/1.0E6) + b4)"
+  /** Per-slot squared reconstruction-error micros (non-negative, so a
+    * plain floor-HALF_UP — no sign split needed). */
+  val elmTqExpr: String =
+    "CAST(floor((CAST(u AS DOUBLE)/1.0E6 - xh)" +
+      "*(CAST(u AS DOUBLE)/1.0E6 - xh)*1.0E6 + 5.0E-1) AS BIGINT)"
+
+  /** D75 — NONLINEAR AUTOENCODER ANOMALY SCORING, trained closed-form
+    * (the round-12 verdict's ML-capability gap, #6): the reference
+    * gradient-trains a per-symbol autoencoder over the session-window
+    * tensors and thresholds reconstruction error (ref: ML Model/
+    * Scripts/train.py:1-515, model.py `Autoencoder`, test.py:333-344
+    * percentile flags). Gradient descent is nondeterministic across
+    * engines, so this is the EXTREME-LEARNING-MACHINE form (Huang et
+    * al. 2006): a FIXED pseudo-random hidden layer (LCG-derived
+    * dyadic weights, softsign activation — rational arithmetic only,
+    * no cross-engine libm tanh) and an OUTPUT layer solved exactly
+    * per symbol via ridge normal equations — F61's exact-sum
+    * discipline, here as an unrolled 4×4 Cholesky whose every entry
+    * is one fixed IEEE expression over exact int64 sums. The model
+    * is nonlinear in the inputs (softsign of 16-slot projections),
+    * deterministic, and ORACLE-CHECKABLE: DuckDB re-derives the same
+    * weights, the same Gram integers, the same factor, the same β.
+    *
+    * Flow per symbol: D66 slots → hidden micros v_j (softsign,
+    * 1e-6-quantized so Gram sums are EXACT int64, order-free) →
+    * train-window Gram + per-slot cross sums → Cholesky solve for
+    * β(slot) → reconstruction error per window (per-term quantized
+    * micros, integer sum, div k) → p99 flag on TEST windows (the D67
+    * pairing). Symbols with no train windows score 0 (D67's rule).
+    *
+    * Scale shape: everything is keyed by symbol — Gram/rhs are
+    * per-symbol aggregates over ≤ k·|windows| rows, the factor is a
+    * 1-row-per-symbol broadcast, β is k rows per symbol; no global
+    * barrier, no driver-side linear algebra. At 10⁴ symbols × years
+    * of days the largest shuffle is the (symbol, window)-keyed slot
+    * frame D66 already pays. */
+  def elmRecon(ticks: DataFrame, k: Int,
+               trainRatio: Double = 0.6, valRatio: Double = 0.2,
+               pct: Double = 0.99): DataFrame = {
+    require(k >= 2, s"need >= 2 slots: $k")
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+      .localCheckpoint(true) // feeds pivot, rhs and prediction
+    val pivAggs = (0 until k).map(i =>
+      max(when(col("i") === i, col("u"))).as(s"s$i"))
+    val winKey = Seq("symbol", "date", "win", "split")
+    var hid0 = slots.groupBy(winKey.map(col): _*)
+      .agg(pivAggs.head, pivAggs.tail: _*)
+    (1 to ElmHidden).foreach { j =>
+      hid0 = hid0.withColumn(s"z$j", expr(elmZExpr(j, k)))
+    }
+    (1 to ElmHidden).foreach { j =>
+      hid0 = hid0.withColumn(s"v$j", expr(elmVExpr(s"z$j")))
+    }
+    val hid = hid0.select(
+      (winKey.map(col) ++ (1 to ElmHidden).map(j => col(s"v$j"))): _*)
+      .localCheckpoint(true) // feeds Gram, rhs and prediction
+    val gs = hid.filter(col("split") === "train")
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_tr"),
+        sum(expr("v1*v1")).as("g11"), sum(expr("v2*v1")).as("g21"),
+        sum(expr("v2*v2")).as("g22"), sum(expr("v3*v1")).as("g31"),
+        sum(expr("v3*v2")).as("g32"), sum(expr("v3*v3")).as("g33"),
+        sum(col("v1")).as("sv1"), sum(col("v2")).as("sv2"),
+        sum(col("v3")).as("sv3"))
+    var ch = elmAExprs.foldLeft(gs) { case (df, (n, e)) =>
+      df.withColumn(n, expr(e))
+    }
+    elmCholStages.foreach { st =>
+      ch = st.foldLeft(ch) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    }
+    val chol = ch.select(col("symbol") +:
+      elmCholStages.flatten.map { case (n, _) => col(n) }: _*)
+    val rh = slots.join(hid, winKey)
+      .filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(expr("v1*u")).as("c1"), sum(expr("v2*u")).as("c2"),
+        sum(expr("v3*u")).as("c3"), sum(col("u")).as("c0"))
+      .withColumn("r1", expr("(CAST(c1 AS DOUBLE)/1.0E12)"))
+      .withColumn("r2", expr("(CAST(c2 AS DOUBLE)/1.0E12)"))
+      .withColumn("r3", expr("(CAST(c3 AS DOUBLE)/1.0E12)"))
+      .withColumn("r4", expr("(CAST(c0 AS DOUBLE)/1.0E6)"))
+    var bt = rh.join(broadcast(chol), Seq("symbol"))
+    elmSolveStages.foreach { st =>
+      bt = st.foldLeft(bt) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+    }
+    val beta = bt.select("symbol", "i", "b1", "b2", "b3", "b4")
+    val errs = slots.join(hid, winKey)
+      .join(broadcast(beta), Seq("symbol", "i"), "left")
+      .withColumn("xh", expr(elmXhExpr))
+      .withColumn("tq",
+        expr(s"CASE WHEN b1 IS NULL THEN 0L ELSE $elmTqExpr END"))
+      .groupBy(winKey.map(col): _*)
+      .agg(sum(col("tq")).as("stq"))
+      .withColumn("err_ppm", expr(s"stq div $k"))
+      .drop("stq")
+      .localCheckpoint(true) // feeds thresholds + output
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
+    errs.join(broadcast(thr), Seq("symbol"), "left")
+      .select(col("symbol"), col("date"), col("win"), col("split"),
+        col("err_ppm"),
+        (col("split") === "test" && col("qu").isNotNull &&
+          col("err_ppm").cast("double") > col("qu")).as("is_anomaly"))
+      .orderBy("symbol", "date", "win")
+  }
+
+  /** D76 — MODEL-SIGNAL BACKTEST (the round-12 verdict's gap #7; ref
+    * README §9.1/9.3 — backtesting the model's signals on history):
+    * D62's position state machine driven by the ANOMALY MODEL's own
+    * flags instead of a cointegration z-score. Per symbol, over the
+    * TEST windows in session order: an anomaly flag (D67's p99 rule)
+    * ENTERS a position against the window's deviation direction
+    * (window above its trained mean → short, below → long — the
+    * mean-reversion read of a shape anomaly), and the position EXITS
+    * once the window error recovers below `exitFrac`·threshold. The
+    * state machine is D62's spelling exactly — threshold crossings
+    * emit signals, position = last(signal) IGNORE NULLS — and P&L
+    * accrues in EXACT int64 cents: posₜ₋₁·(closeₜ − closeₜ₋₁) with
+    * integer closes, so the report has no float surface at all.
+    *
+    * Scale shape: the error chain is D67's (shared [[windowErrs]]);
+    * closes are one more keyed collapse of the session ticks; the
+    * state windows run on the per-symbol WINDOW roster (days×2 rows
+    * per symbol, not ticks). */
+  def anomalySignalBacktest(ticks: DataFrame, k: Int,
+                            trainRatio: Double = 0.6,
+                            valRatio: Double = 0.2,
+                            pct: Double = 0.99,
+                            exitFrac: Double = 0.5): DataFrame = {
+    require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+      .localCheckpoint(true)
+    val errs = windowErrs(slots, k)
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+    // window close = slot k-1 (the linspace/pad map lands the LAST
+    // tick there for every n); deviation direction = its sign
+    val lastU = slots.filter(col("i") === k - 1)
+      .select(col("symbol"), col("date"), col("win"),
+        col("u").as("u_last"))
+    // exact-cent window closes straight off the session ticks (the
+    // slot frame carries scaled micros, P&L wants raw cents)
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname =
+      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
+        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+          "afternoon")
+    val closes = ticks
+      .withColumn("win", wname).filter(col("win").isNotNull)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .groupBy("symbol", "date", "win")
+      .agg(max_by(col("cents"), col("tick_id")).as("close_cents"))
+    val base = errs.filter(col("split") === "test")
+      .join(lastU, Seq("symbol", "date", "win"))
+      .join(closes, Seq("symbol", "date", "win"))
+      .join(broadcast(thr), Seq("symbol"))
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val wSym = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
+    val wRun = wSym.rowsBetween(Window.unboundedPreceding, 0)
+    val traded = base
+      .withColumn("sig",
+        when(col("u_err").cast("double") > col("qu"),
+          when(col("u_last") > 0, -1).otherwise(1))
+          .when(col("u_err").cast("double") <= col("qu") * exitFrac, 0))
+      .withColumn("pos", coalesce(
+        last(col("sig"), ignoreNulls = true).over(wRun), lit(0)))
+      .withColumn("pos_prev",
+        coalesce(lag(col("pos"), 1).over(wSym), lit(0)))
+      .withColumn("dc",
+        col("close_cents") - lag(col("close_cents"), 1).over(wSym))
+      .withColumn("pnl", when(col("dc").isNotNull,
+        col("pos_prev") * col("dc")).otherwise(0L))
+    traded.groupBy("symbol")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("windows_in_pos"),
+        sum(col("pnl")).as("pnl_cents"))
+      .orderBy("symbol")
   }
 }

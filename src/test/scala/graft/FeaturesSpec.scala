@@ -557,6 +557,136 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("elmRecon: the Spark plan's per-window errors equal an " +
+      "independent straight-line Scala mirror of the ELM recipe " +
+      "(same dyadic weights, Gram ints, Cholesky, substitution), " +
+      "and only the deviant TEST window flags") {
+    val k = 4
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val df = ticks(rows: _*)
+    // ---- mirror: plain-Scala re-derivation off the shared slot frame
+    val slots = Features.windowSlots(df, k, 0.6, 0.2).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("win"),
+        r.getAs[String]("split"), r.getAs[Int]("i"), r.getAs[Long]("u")))
+    val wins = slots.groupBy(t => (t._1, t._2, t._3)).map { case (key, g) =>
+      key -> g.sortBy(_._4).map(_._5).toArray
+    }
+    def zOf(j: Int, s: Array[Long]): Double = {
+      var acc = Features.elmBInt(j) / 1024.0
+      (0 until k).foreach { i =>
+        acc += (Features.elmWInt(j, i, k) / 4096.0) * (s(i).toDouble / 1e6)
+      }
+      acc
+    }
+    def vOf(z: Double): Long =
+      if (z >= 0) math.floor((z / (1.0 + z)) * 1e6 + 0.5).toLong
+      else -math.floor(((-z) / (1.0 - z)) * 1e6 + 0.5).toLong
+    val hidden = wins.map { case (key, s) =>
+      key -> (1 to 3).map(j => vOf(zOf(j, s))).toArray
+    }
+    val tr = hidden.filter(_._1._3 == "train").values.toSeq
+    val nTr = tr.size
+    def gsum(f: Array[Long] => Long): Long = tr.map(f).sum
+    val lam = Features.ElmLambda
+    val a11 = gsum(v => v(0) * v(0)).toDouble / 1e12 + lam
+    val a21 = gsum(v => v(1) * v(0)).toDouble / 1e12
+    val a22 = gsum(v => v(1) * v(1)).toDouble / 1e12 + lam
+    val a31 = gsum(v => v(2) * v(0)).toDouble / 1e12
+    val a32 = gsum(v => v(2) * v(1)).toDouble / 1e12
+    val a33 = gsum(v => v(2) * v(2)).toDouble / 1e12 + lam
+    val a41 = gsum(_(0)).toDouble / 1e6
+    val a42 = gsum(_(1)).toDouble / 1e6
+    val a43 = gsum(_(2)).toDouble / 1e6
+    val a44 = nTr.toDouble + lam
+    val l11 = math.sqrt(a11)
+    val l21 = a21 / l11; val l31 = a31 / l11; val l41 = a41 / l11
+    val l22 = math.sqrt(a22 - l21 * l21)
+    val l32 = (a32 - l31 * l21) / l22; val l42 = (a42 - l41 * l21) / l22
+    val l33 = math.sqrt(a33 - l31 * l31 - l32 * l32)
+    val l43 = (a43 - l41 * l31 - l42 * l32) / l33
+    val l44 = math.sqrt(a44 - l41 * l41 - l42 * l42 - l43 * l43)
+    // per-slot rhs over train (window, slot) pairs
+    val trainSlots = slots.filter(_._3 == "train")
+    val beta = (0 until k).map { i =>
+      val rowsI = trainSlots.filter(_._4 == i).map { t =>
+        (hidden((t._1, t._2, t._3)), t._5)
+      }
+      val r1 = rowsI.map { case (v, u) => v(0) * u }.sum.toDouble / 1e12
+      val r2 = rowsI.map { case (v, u) => v(1) * u }.sum.toDouble / 1e12
+      val r3 = rowsI.map { case (v, u) => v(2) * u }.sum.toDouble / 1e12
+      val r4 = rowsI.map(_._2).sum.toDouble / 1e6
+      val y1 = r1 / l11
+      val y2 = (r2 - l21 * y1) / l22
+      val y3 = (r3 - l31 * y1 - l32 * y2) / l33
+      val y4 = (r4 - l41 * y1 - l42 * y2 - l43 * y3) / l44
+      val b4 = y4 / l44
+      val b3 = (y3 - l43 * b4) / l33
+      val b2 = (y2 - l32 * b3 - l42 * b4) / l22
+      val b1 = (y1 - l21 * b2 - l31 * b3 - l41 * b4) / l11
+      i -> (b1, b2, b3, b4)
+    }.toMap
+    val expected = wins.map { case (key, s) =>
+      val v = hidden(key)
+      val tq = (0 until k).map { i =>
+        val (b1, b2, b3, b4) = beta(i)
+        val xh = b1 * (v(0).toDouble / 1e6) + b2 * (v(1).toDouble / 1e6) +
+          b3 * (v(2).toDouble / 1e6) + b4
+        val d = s(i).toDouble / 1e6 - xh
+        math.floor(d * d * 1e6 + 0.5).toLong
+      }.sum
+      key -> tq / k
+    }
+    // ---- the Spark plan
+    val out = Features.elmRecon(df, k).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("win"),
+        r.getAs[String]("split")) ->
+        ((r.getAs[Long]("err_ppm"), r.getAs[Boolean]("is_anomaly"))))
+      .toMap
+    assert(out.size == 10)
+    expected.foreach { case (key, e) =>
+      assert(out(key)._1 == e,
+        s"window $key: spark ${out(key)._1} vs mirror $e")
+    }
+    // ridge fit over 6 identical train windows reconstructs the
+    // shared shape almost exactly; the day-10 spike dominates
+    val flagged = out.filter(_._2._2).keys.toSeq
+    assert(flagged == Seq(("2024-01-10", "morning", "test")))
+    assert(out(("2024-01-05", "morning", "train"))._1 <
+      out(("2024-01-10", "morning", "test"))._1)
+  }
+
+  test("anomalySignalBacktest: flag enters against the deviation, " +
+      "recovery exits, P&L in exact cents — hand-derived") {
+    // 11 morning windows: d1-6 train, d7-8 val, d9-11 test. All share
+    // the shape 100..103 cents except d10 (tick 1 spikes to 500 ->
+    // the only flag; last slot 103 > train mean -> SHORT) and d11
+    // (90..93 -> small error, recovers below exitFrac*qu -> exit).
+    // P&L: enter short at d10 close 103, exit at d11 close 93 ->
+    // pos_prev(-1)*(93-103) = +10 cents.
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val out = Features.anomalySignalBacktest(ticks(rows: _*), 4)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_windows") == 3L)
+    assert(r.getAs[Long]("n_trades") == 1L)
+    assert(r.getAs[Long]("windows_in_pos") == 1L)
+    assert(r.getAs[Long]("pnl_cents") == 10L)
+  }
+
   test("windowTensors: symbol with zero-variance train stats scales " +
       "flat to 0.0") {
     val rows = Seq(
