@@ -35,15 +35,39 @@ object CkptGc {
   private val pinnedIds =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
-  /** Unpersisting a locally-checkpointed RDD logs a WARN ("lineage
-    * has been truncated and cannot be recomputed") — correct here by
-    * design (the consumer is done; see class doc) and at ~90 ckpt
-    * sites × 270 queries it would drown the driver's stdout tail.
-    * Raise the rdd-package logger to ERROR in the contract mains. */
+  /** Quiet two cosmetic WARN floods in the contract mains ONLY
+    * (tests and library users keep full logging):
+    *
+    *  - rdd package: unpersisting a locally-checkpointed RDD logs
+    *    "lineage has been truncated and cannot be recomputed" —
+    *    correct here by design (the consumer is done; see class doc)
+    *    and at ~90 ckpt sites × 270 queries it would drown the
+    *    driver's stdout tail.
+    *  - WindowExec: "No Partition Defined for Window operation" fires
+    *    on every GLOBAL window. Every such site in this engine runs
+    *    on a bounded-by-construction frame — calendar/day rosters,
+    *    vocab/bucket/histogram frames, snapshot logs, file manifests
+    *    (audited site-by-site, r12 verdict §"What's wrong" #4; the
+    *    four named sites carry in-code pins). ~90% of the r12 driver
+    *    tail was this one message repeated. A future UNBOUNDED global
+    *    window would still surface in `sbt test` runs and in plan
+    *    audits (H-block WindowGroupLimit proofs), which keep the
+    *    warning enabled. */
   def quietUnpersistWarnings(): Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
-    catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.window.WindowExec",
+        org.apache.logging.log4j.Level.ERROR)
+      // "function X replaced a previously registered function": the
+      // graft native-expression registrars are idempotent by design
+      // (each registry query re-registers its functions); the notice
+      // is correct and content-free at 270 queries/session
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Mark every persistent RDD NOT yet tracked as pinned. Call
     * immediately after creating a deliberate cross-query cache (the
@@ -58,14 +82,17 @@ object CkptGc {
   def snapshot(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
-  /** Unpersist every RDD persisted since `before`, except pinned ones.
-    * Non-blocking: block removal proceeds async while the next query
-    * compiles. */
+  /** Unpersist every RDD persisted since `before`, except pinned
+    * ones. Blocking: the block-manager removal completes before the
+    * next query starts, so storage memory is deterministically free
+    * (the async spelling let removals lag behind a 272-query session
+    * and the tail of run 2 still ran under pressure). The sweep runs
+    * OUTSIDE the per-query timed span either way. */
   def sweep(spark: SparkSession, before: Set[Int]): Unit = {
     val now = spark.sparkContext.getPersistentRDDs
     now.foreach { case (id, rdd) =>
       if (!before.contains(id) && !pinnedIds.contains(id))
-        rdd.unpersist(blocking = false)
+        rdd.unpersist(blocking = true)
     }
   }
 }

@@ -506,6 +506,9 @@ object CorpusPipeline {
     * tiny bucket aggregation. */
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 64): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // global window BOUNDED by construction: the frame is the bucket
+    // HISTOGRAM (maxTokens/bucketWidth rows), never documents (the
+    // r12 WindowExec-warning audit pin)
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val total = docs.agg(count(lit(1)).as("n_total"))
@@ -1176,6 +1179,9 @@ object CorpusPipeline {
       .agg(sum(expr(s"size($tokens)").cast("bigint")).as("avail_tokens"))
     val tot = avail.agg(count(lit(1)).as("n_src"),
       sum("avail_tokens").as("total_avail"))
+    // global window BOUNDED by construction: the frame is the SOURCE
+    // roster (|sources| rows), never documents (the r12
+    // WindowExec-warning audit pin)
     val w = Window.orderBy(col("avail_tokens").asc, col("source").asc)
     val ranked = avail.crossJoin(broadcast(tot))
       .withColumn("budget",

@@ -1333,6 +1333,9 @@ object TextDedup {
       .crossJoin(broadcast(mx))
       .groupBy(expr(bkt).as("b"))
       .agg(count(lit(1)).as("vocab"))
+    // global window BOUNDED by construction: the frame is the
+    // Heaps-fit BUCKET grid (<= log2(max token count) rows), never
+    // documents (the r12 WindowExec-warning audit pin)
     val wB = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, 0)
     val pts = perDoc.join(firstB, Seq("b"), "full_outer")

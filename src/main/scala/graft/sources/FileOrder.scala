@@ -27,6 +27,9 @@ object FileOrder {
       .agg(count(lit(1)).as("n_ticks"),
         min("ts").as("ts_min"), max("ts").as("ts_max"))
     ranges
+      // global window BOUNDED by construction: the frame is the FILE
+      // manifest (|files| rows), never ticks (the r12
+      // WindowExec-warning audit pin)
       .withColumn("file_order",
         row_number().over(Window.orderBy(col("ts_min"), col("file"))))
       .orderBy("file_order")

@@ -1609,6 +1609,143 @@ object Streaming {
       }
   }
 
+  /** G41 keyed state: the G40 open-window register plus the live
+    * POSITION block — current position, the last traded window's
+    * close cents, and whether one exists yet. */
+  case class SignalPosState(curDay: String, curWin: String,
+                            buf: List[Long], pos: Int,
+                            prevClose: Long, hasPrev: Boolean,
+                            lastClosedDay: String, lastClosedSlot: Int)
+  case class SignalPoint(symbol: Long, date: String, win: String,
+                         err: Double, pos: Int, pos_prev: Int,
+                         pnl_step_cents: Long)
+
+  /** G41 — STREAMING SIGNAL POSITION TRACKER: D76's backtest as the
+    * LIVE deployment (ref README §9.2 — the model's signals traded
+    * live after the training cutoff): the batch side trains the
+    * scaler/centroid/p99 threshold and picks the go-live date; the
+    * stream replays G40's exact window scoring on each CLOSED session
+    * window at-or-after `fromDate` and drives the SAME position rules
+    * — error above the symbol's threshold ENTERS against the
+    * deviation direction (last slot above its trained mean → short,
+    * below → long), recovery below `exitFrac`·threshold EXITS,
+    * otherwise the position holds — accruing P&L in exact int64 cents
+    * `pos_prev·(closeₜ − closeₜ₋₁)` window over window. Emissions
+    * aggregate to the batch D76 report exactly (parity spec'd).
+    * Keyed state = G40's bounded window buffer + three scalars;
+    * symbols without a trained threshold never trade (the batch
+    * inner-join rule). Late cross-batch ticks drop (G40's rule). */
+  def signalPositions(ticks: Dataset[Tick], k: Int,
+                      scalers: Map[Long, (Double, Double)],
+                      centroids: Map[Long, Seq[Long]],
+                      thresholds: Map[Long, Double],
+                      exitFrac: Double, fromDate: String)
+      : Dataset[SignalPoint] = {
+    import ticks.sparkSession.implicits._
+    require(k >= 2, s"need >= 2 slots: $k")
+    require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
+    def utcParts(ts: Timestamp): (String, Int, Int) = {
+      val z = java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC)
+      (z.toLocalDate.toString, z.getHour, z.getMinute)
+    }
+    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
+    def slotOf(h: Int, m: Int): Int =
+      if (h < MorningH || (h == MorningH && m < FromMin)) 0
+      else if (h == MorningH) 1
+      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
+      else if (h == AfternoonH) 3
+      else 4
+    // D66's slot map + scaling + D67's centroid error — G40's exact
+    // arithmetic (uErr micros) plus the scaled LAST slot for the
+    // entry direction
+    def scoreBuf(symbol: Long, buf: List[Long]): (Long, Long) = {
+      val n = buf.length
+      val slots = (0 until k).map { i =>
+        val j =
+          if (n == 1) 0
+          else if (n >= k) (i * (n - 1)) / (k - 1)
+          else ((i + 1) * (n - 1) - 1) / (k - 1)
+        buf(j)
+      }
+      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
+      val u = slots.map { c =>
+        val x = if (sd > 0) (c - mu) / sd else 0.0
+        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
+        else -math.floor(-x * 1000000.0 + 0.5).toLong
+      }
+      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
+      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
+      }
+      (math.floor(e0 / k * 1000000.0 + 0.5).toLong, u.last)
+    }
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[SignalPosState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[SignalPoint]
+          def close(): Unit = if (st != null && st.buf.nonEmpty) {
+            val closedSlot = if (st.curWin == "morning") 1 else 3
+            val traded = st.curDay >= fromDate &&
+              thresholds.contains(symbol)
+            if (traded) {
+              val qu = thresholds(symbol)
+              val (uErr, uLast) = scoreBuf(symbol, st.buf)
+              val closeC = st.buf.last
+              val posPrev = st.pos
+              val pnl = if (st.hasPrev)
+                posPrev.toLong * (closeC - st.prevClose) else 0L
+              val newPos =
+                if (uErr.toDouble > qu) { if (uLast > 0) -1 else 1 }
+                else if (uErr.toDouble <= qu * exitFrac) 0
+                else posPrev
+              out += SignalPoint(symbol, st.curDay, st.curWin,
+                uErr.toDouble / 1000000.0, newPos, posPrev, pnl)
+              st = st.copy(buf = Nil, pos = newPos,
+                prevClose = closeC, hasPrev = true,
+                lastClosedDay = st.curDay, lastClosedSlot = closedSlot)
+            } else st = st.copy(buf = Nil,
+              lastClosedDay = st.curDay, lastClosedSlot = closedSlot)
+          }
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
+            val (d, h, m) = utcParts(t.ts)
+            val slot = slotOf(h, m)
+            val curSlot =
+              if (st == null || st.curWin == "morning") 1 else 3
+            if (st != null && st.buf.nonEmpty &&
+                (d > st.curDay || (d == st.curDay && slot > curSlot))) {
+              close()
+            }
+            if (slot == 1 || slot == 3) {
+              val w = if (slot == 1) "morning" else "afternoon"
+              val c = math.round(t.bid * 100.0)
+              // a tick is LATE if it precedes the open window (G40's
+              // rule) OR sorts at-or-before the last CLOSED window —
+              // the position register outlives window closes, so a
+              // closed window must never re-open and restate
+              val late = st != null && ((st.buf.nonEmpty &&
+                (d < st.curDay || (d == st.curDay && slot < curSlot))) ||
+                d < st.lastClosedDay ||
+                (d == st.lastClosedDay && slot <= st.lastClosedSlot))
+              if (!late) {
+                st =
+                  if (st == null)
+                    SignalPosState(d, w, List(c), 0, 0L,
+                      hasPrev = false, lastClosedDay = "",
+                      lastClosedSlot = -1)
+                  else st.copy(curDay = d, curWin = w,
+                    buf = st.buf :+ c)
+              }
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
   /** G39 keyed state: the OPEN day's (day, prev cents, rv
     * accumulator) plus the ring of the last h−1 CLOSED days' rv. */
   case class VolConeState(curDay: String, prevCents: Long,

@@ -1341,6 +1341,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G41: signalPositions trades the live windows with D76's exact " +
+      "rules — enter on flag against the deviation, exit on recovery, " +
+      "exact-cent P&L — and aggregates to the batch backtest row") {
+    import graft.streaming.Streaming.SignalPoint
+    // The D76 spec corpus: 11 morning windows, train d1-6 (shape
+    // 100..103 cents), d10 spikes (flag -> short), d11 drops to
+    // 90..93 (recovers -> exit at close 93; P&L +10 cents).
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    // stream-only closer: a day-12 tick advances the tape past d11 so
+    // the last traded window emits (the open d12 window never does);
+    // the BATCH frame deliberately excludes it — parity is over the
+    // three closed test windows
+    val feed = rows.map { case (id, sym, ts, b, _) =>
+      Tick(id, sym, t(ts), b)
+    } :+ Tick(200L, 1L, t("2024-01-12 07:51:00"), 1.00)
+    // trained artifacts, derived exactly as the batch trains them
+    val mu = (100 + 101 + 102 + 103) / 4.0
+    val sd = math.sqrt(
+      Seq(100, 101, 102, 103).map(c => c.toDouble * c).sum / 4.0 - mu * mu)
+    def uOf(c: Long): Long = {
+      val x = (c - mu) / sd
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    }
+    val centroid = Seq(100L, 101L, 102L, 103L).map(uOf)
+    // qu = the batch p99 over the three test-window errors, read off
+    // the batch pipeline itself (exact interpolation mirrored)
+    val ticksDf = rows.map { case (id, sym, ts, b, a) =>
+      (id, sym, java.sql.Timestamp.valueOf(ts), b, a)
+    }.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val testErrs = graft.operators.Features.anomalyPipeline(ticksDf, 4)
+      .collect().filter(_.getAs[String]("split") == "test")
+      .map(r => math.floor(r.getAs[Double]("err") * 1e6 + 0.5).toLong)
+      .sorted
+    assert(testErrs.length == 3)
+    val pos99 = 0.99 * 2
+    val qu = testErrs(1) + (pos99 - 1) * (testErrs(2) - testErrs(1)).toDouble
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.signalPositions(in.toDS(), 4,
+        Map(1L -> ((mu, sd))), Map(1L -> centroid), Map(1L -> qu),
+        exitFrac = 0.5, fromDate = "2024-01-09")
+      .writeStream.format("memory").queryName("p_sig")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.partition(_.tick_id <= 95) // split mid-test
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val out = spark.table("p_sig").as[SignalPoint].collect()
+        .sortBy(_.date)
+      // train/val windows never emit (before fromDate)
+      assert(out.map(_.date).toSeq ==
+        Seq("2024-01-09", "2024-01-10", "2024-01-11"))
+      assert(out.map(p => (p.pos, p.pos_prev, p.pnl_step_cents)).toSeq ==
+        Seq((0, 0, 0L), (-1, 0, 0L), (0, -1, 10L)))
+      // aggregate parity with the batch D76 report
+      val batch = graft.operators.Features
+        .anomalySignalBacktest(ticksDf, 4).collect().head
+      assert(out.length.toLong == batch.getAs[Long]("n_windows"))
+      assert(out.count(p => p.pos != 0 && p.pos != p.pos_prev).toLong ==
+        batch.getAs[Long]("n_trades"))
+      assert(out.count(_.pos != 0).toLong ==
+        batch.getAs[Long]("windows_in_pos"))
+      assert(out.map(_.pnl_step_cents).sum ==
+        batch.getAs[Long]("pnl_cents"))
+    } finally q.stop()
+  }
+
   test("G39: volConeAlerts emits on day close only for FULL h-day " +
       "windows, bands against the trained cone, open-day register " +
       "carrying across micro-batches; untrained symbols flagged") {
