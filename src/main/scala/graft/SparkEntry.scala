@@ -211,6 +211,10 @@ object SparkEntry {
                                 // error percentile (ref test.py:334)
   val signalExitFrac = 0.5      // D76 exit once window error recovers
                                 // below exitFrac * p99 threshold
+  val wfFolds = 3               // D77 walk-forward retrain folds
+  val wfMinTrain = 1            // D77 seed train windows (the tape
+                                // carries 1-5 session windows/symbol)
+  val wfStep = 1                // D77 eval windows per fold
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
   val fracD = 0.4               // D71 differentiation order
   val fracK = 10                // D71 truncation lags
@@ -692,6 +696,25 @@ object SparkEntry {
     // recovery exits, exact-cent close-to-close P&L per symbol.
     "q_signal_backtest" -> ((s, d) =>
       Features.anomalySignalBacktest(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, exitFrac = signalExitFrac)),
+    // D77 — walk-forward model retrain: expanding-origin per-fold
+    // scaler/centroid/threshold re-fit, next-step out-of-sample
+    // scoring (README §9.2 retraining cycles). minTrain=1/step=1
+    // because the synthetic tape carries 1-5 session windows per
+    // symbol; deeper folds populate only where history allows.
+    "q_walkforward_model" -> ((s, d) =>
+      Features.walkForwardRetrain(Tables.ticks(s, d), tensorSlots,
+        folds = wfFolds, minTrain = wfMinTrain, step = wfStep,
+        pct = reconFlagPct)),
+    // D78 — backtest performance report: hit rate, exact-cent P&L and
+    // max equity-curve drawdown over D76's per-window frame.
+    "q_backtest_report" -> ((s, d) =>
+      Features.backtestReport(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, exitFrac = signalExitFrac)),
+    // D79 — book-level roll-up: portfolio equity curve + max drawdown
+    // across symbols, best/worst contributors (min-id tie-break).
+    "q_book_report" -> ((s, d) =>
+      Features.bookReport(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct, exitFrac = signalExitFrac)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
@@ -2355,6 +2378,217 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
         |    ELSE 0 END) AS BIGINT) AS pnl_cents
         |FROM pp GROUP BY 1 ORDER BY symbol""".stripMargin,
+    // D77 — walk-forward model retrain: the slot chain's `slots`/`rk`
+    // CTEs crossed with the fold grid, the scaler/centroid/error
+    // chain re-run per fold with the fold key riding along, fold-train
+    // quantile_cont thresholds (the percentile pairing), report per
+    // (fold, symbol). Eval-exhausted symbols drop per fold (D7).
+    "q_walkforward_model" ->
+      s"""WITH $tensorSlotsSql,
+        |fg AS (SELECT unnest(range($wfFolds)) AS fold),
+        |fr AS (SELECT sl.symbol, sl.date, sl.win, sl.i, sl.cents,
+        |    rk.rn_w, fg.fold, $wfMinTrain + fg.fold * $wfStep AS origin
+        |  FROM slots sl JOIN rk ON rk.symbol = sl.symbol
+        |    AND rk.date = sl.date AND rk.win = sl.win CROSS JOIN fg),
+        |ftt AS (SELECT *, CASE WHEN rn_w <= origin THEN 'train'
+        |    WHEN rn_w <= origin + $wfStep THEN 'eval' END AS role
+        |  FROM fr WHERE rn_w <= origin + $wfStep),
+        |wst AS (SELECT fold, symbol, count(*) AS n_tr,
+        |    CAST(sum(cents) AS BIGINT) AS sa,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sq
+        |  FROM ftt WHERE role = 'train' GROUP BY 1, 2),
+        |wsc AS (SELECT fold, symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
+        |    CASE WHEN CAST(sq AS DOUBLE) / n_tr
+        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)
+        |        > 0
+        |      THEN sqrt(CAST(sq AS DOUBLE) / n_tr
+        |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))
+        |      END AS sd
+        |  FROM wst),
+        |wsx AS (SELECT f.fold, f.symbol, f.date, f.win, f.role, f.i,
+        |    CASE WHEN c.sd IS NOT NULL AND c.sd > 0
+        |      THEN (f.cents - c.mu) / c.sd ELSE 0.0 END AS x
+        |  FROM ftt f LEFT JOIN wsc c ON c.fold = f.fold
+        |    AND c.symbol = f.symbol),
+        |wuq AS (SELECT fold, symbol, date, win, role, i,
+        |    CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
+        |      ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS u
+        |  FROM wsx),
+        |wtm AS (SELECT fold, symbol, i, CAST(sum(u) AS BIGINT) AS su,
+        |    count(*) AS n_ct
+        |  FROM wuq WHERE role = 'train' GROUP BY 1, 2, 3),
+        |wtt AS (SELECT q.fold, q.symbol, q.date, q.win, q.role, q.i,
+        |    CASE WHEN m.n_ct IS NULL THEN 0.0
+        |      ELSE (CAST(q.u AS DOUBLE) - CAST(m.su AS DOUBLE) / m.n_ct)
+        |        * (CAST(q.u AS DOUBLE) - CAST(m.su AS DOUBLE) / m.n_ct)
+        |        / 1000000.0 / 1000000.0 END AS t
+        |  FROM wuq q LEFT JOIN wtm m ON m.fold = q.fold
+        |    AND m.symbol = q.symbol AND m.i = q.i),
+        |wer AS (SELECT fold, symbol, date, win, role,
+        |    CAST(floor(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
+        |      (a, b) -> a + b) / $tensorSlots * 1000000.0 + 0.5)
+        |      AS BIGINT) AS u_err
+        |  FROM wtt GROUP BY 1, 2, 3, 4, 5),
+        |wthr AS (SELECT fold, symbol,
+        |    quantile_cont(u_err, $reconFlagPct) AS qu,
+        |    count(*) AS n_train_w
+        |  FROM wer WHERE role = 'train' GROUP BY 1, 2)
+        |SELECT e.fold, e.symbol, max(t.n_train_w) AS n_train_w,
+        |  count(*) AS n_eval_w,
+        |  CAST(CAST(sum(e.u_err) AS BIGINT) AS DOUBLE) / count(*)
+        |    / 1000000.0 AS mean_err,
+        |  CAST(sum(CASE WHEN CAST(e.u_err AS DOUBLE) > t.qu
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM wer e JOIN wthr t ON t.fold = e.fold AND t.symbol = e.symbol
+        |WHERE e.role = 'eval' GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    // D78 — backtest performance report: q_signal_backtest's position
+    // chain extended with the running equity curve (windowed exact-int
+    // sums, CAST AS BIGINT against the HUGEINT widening), running-peak
+    // drawdown, win/loss step counts and the one IEEE hit-rate
+    // division.
+    "q_backtest_report" ->
+      s"""WITH $windowErrSql,
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |lastu AS (SELECT symbol, date, win, u AS u_last
+        |  FROM uq WHERE i = ${tensorSlots - 1}),
+        |closes AS (SELECT user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+        |           THEN 'afternoon' END AS win,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS close_cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |  GROUP BY 1, 2, 3),
+        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    l.u_last, c.close_cents, th.qu
+        |  FROM er
+        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+        |    AND l.win = er.win
+        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+        |    AND c.win = er.win
+        |  JOIN th ON th.symbol = er.symbol
+        |  WHERE er.split = 'test'),
+        |sg AS (SELECT *, CASE
+        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
+        |      THEN 0 END AS sig
+        |  FROM bb),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY symbol ORDER BY date,
+        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
+        |    close_cents - lag(close_cents) OVER w AS dc
+        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |pw AS (SELECT *, CAST(CASE WHEN dc IS NOT NULL
+        |    THEN pos_prev * dc ELSE 0 END AS BIGINT) AS pnl FROM pp),
+        |cm AS (SELECT *, CAST(sum(pnl) OVER wr AS BIGINT) AS cum
+        |  FROM pw WINDOW wr AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |dd AS (SELECT *, max(cum) OVER wr - cum AS ddv
+        |  FROM cm WINDOW wr AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ag AS (SELECT symbol, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+        |  CAST(sum(CASE WHEN pnl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_win_steps,
+        |  CAST(sum(CASE WHEN pnl < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_loss_steps,
+        |  CAST(sum(pnl) AS BIGINT) AS pnl_cents,
+        |  max(ddv) AS max_dd_cents
+        |FROM dd GROUP BY 1)
+        |SELECT symbol, n_windows, n_trades, n_win_steps, n_loss_steps,
+        |  pnl_cents, max_dd_cents,
+        |  CASE WHEN n_win_steps + n_loss_steps > 0 THEN
+        |    CAST(n_win_steps AS DOUBLE) / (n_win_steps + n_loss_steps)
+        |    END AS hit_rate
+        |FROM ag ORDER BY symbol""".stripMargin,
+    // D79 — book-level roll-up: the same position chain collapsed to
+    // per-(date, win) book P&L steps, ONE global running-curve window
+    // over the calendar step roster, extreme contributors via
+    // min-over-equality (engine-stable tie-break).
+    "q_book_report" ->
+      s"""WITH $windowErrSql,
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |lastu AS (SELECT symbol, date, win, u AS u_last
+        |  FROM uq WHERE i = ${tensorSlots - 1}),
+        |closes AS (SELECT user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+        |           THEN 'afternoon' END AS win,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS close_cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |  GROUP BY 1, 2, 3),
+        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    l.u_last, c.close_cents, th.qu
+        |  FROM er
+        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+        |    AND l.win = er.win
+        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+        |    AND c.win = er.win
+        |  JOIN th ON th.symbol = er.symbol
+        |  WHERE er.split = 'test'),
+        |sg AS (SELECT *, CASE
+        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
+        |      THEN 0 END AS sig
+        |  FROM bb),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY symbol ORDER BY date,
+        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
+        |    close_cents - lag(close_cents) OVER w AS dc
+        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |pw AS (SELECT *, CAST(CASE WHEN dc IS NOT NULL
+        |    THEN pos_prev * dc ELSE 0 END AS BIGINT) AS pnl FROM pp),
+        |stp AS (SELECT date, win, CAST(sum(pnl) AS BIGINT) AS book_pnl
+        |  FROM pw GROUP BY 1, 2),
+        |bcm AS (SELECT *, CAST(sum(book_pnl) OVER wr AS BIGINT) AS cum
+        |  FROM stp WINDOW wr AS (ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |bdd AS (SELECT *, max(cum) OVER wr - cum AS ddv
+        |  FROM bcm WINDOW wr AS (ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |bk AS (SELECT count(*) AS n_steps,
+        |    CAST(sum(book_pnl) AS BIGINT) AS pnl_cents,
+        |    max(ddv) AS max_dd_cents FROM bdd),
+        |sy AS (SELECT symbol, CAST(sum(pnl) AS BIGINT) AS sym_pnl
+        |  FROM pw GROUP BY 1),
+        |ex AS (SELECT count(*) AS n_symbols,
+        |    max(sym_pnl) AS best_pnl_cents,
+        |    min(sym_pnl) AS worst_pnl_cents FROM sy),
+        |pk AS (SELECT
+        |    min(CASE WHEN s.sym_pnl = e.best_pnl_cents
+        |      THEN s.symbol END) AS best_symbol,
+        |    min(CASE WHEN s.sym_pnl = e.worst_pnl_cents
+        |      THEN s.symbol END) AS worst_symbol
+        |  FROM sy s CROSS JOIN ex e)
+        |SELECT bk.n_steps, ex.n_symbols, bk.pnl_cents, bk.max_dd_cents,
+        |  pk.best_symbol, ex.best_pnl_cents, pk.worst_symbol,
+        |  ex.worst_pnl_cents
+        |FROM bk CROSS JOIN ex CROSS JOIN pk""".stripMargin,
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)

@@ -1074,9 +1074,16 @@ object Features {
     * the tensor export (which divides back to doubles) and the D67
     * anomaly pipeline (which keeps integer/pinned-fold arithmetic).
     */
-  private[graft] def windowSlots(ticks: DataFrame, k: Int,
-                                 trainRatio: Double,
-                                 valRatio: Double): DataFrame = {
+  /** Shared D66 slot machinery: the UNSCALED slot frame (symbol,
+    * date, win, cnt, i, cents — k rows per session window, the
+    * linspace/pad map applied) and the per-symbol chronological
+    * window-rank roster (symbol, date, win, rn_w, n_w). Factored so
+    * the global-split consumers (D66/D67/D68/D76 via [[windowSlots]])
+    * and the per-fold retrain (D77 [[walkForwardRetrain]], which must
+    * re-fit the scaler inside every fold) share one spelling of the
+    * slot arithmetic. */
+  private[graft] def slotFrames(ticks: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
     require(k >= 2, s"need >= 2 slots per window: $k")
     val h = hour(col("ts")); val m = minute(col("ts"))
     val wname =
@@ -1103,12 +1110,22 @@ object Features {
     val slots = idx.join(base, keys :+ "target_rn")
       .select(col("symbol"), col("date"), col("win"), col("cnt"),
         col("i"), col("cents"))
-    // chronological split per symbol over the (tiny) window roster
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val ranked = groups
       .withColumn("rn_w", row_number().over(
         Window.partitionBy("symbol").orderBy(col("date"), winOrd)))
       .withColumn("n_w", count(lit(1)).over(Window.partitionBy("symbol")))
+      .select("symbol", "date", "win", "rn_w", "n_w")
+    (slots, ranked)
+  }
+
+  private[graft] def windowSlots(ticks: DataFrame, k: Int,
+                                 trainRatio: Double,
+                                 valRatio: Double): DataFrame = {
+    val (slots, rankFrame) = slotFrames(ticks, k)
+    val keys = Seq("symbol", "date", "win")
+    // chronological split per symbol over the (tiny) window roster
+    val ranked = rankFrame
       .withColumn("split",
         when(col("rn_w") <= floor(col("n_w") * trainRatio), "train")
           .when(col("rn_w") <= floor(col("n_w") * trainRatio) +
@@ -1209,6 +1226,117 @@ object Features {
         s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
       .drop("e0")
       .localCheckpoint(true)
+  }
+
+  /** D77 — WALK-FORWARD MODEL RETRAIN (ref: README.md §9.2 "Walk
+    * Forward Validation — rolling window evaluation, mimics
+    * production retraining cycles"; automate_pipeline.py's per-cycle
+    * retrain): the anomaly MODEL itself re-fit at each rolling
+    * origin, not just the fold bookkeeping of D9/D69. Fold f trains
+    * on each symbol's first `minTrain + f·step` session windows
+    * (EXPANDING origin — the production "retrain on everything we
+    * have" cycle) and scores the NEXT `step` windows out-of-sample;
+    * train and eval roles here are per-fold and intentionally overlap
+    * across folds (fold f+1's train absorbs fold f's eval — that IS
+    * the retraining cycle; the eval blocks themselves are disjoint).
+    * Per fold the FULL model re-fits exactly as D66/D67 fit it once:
+    * scaler = population mean/σ of the fold-train slot cents (exact
+    * int64 sums), centroid = per-slot mean of the fold-train scaled
+    * micros, threshold = percentile(pct) of the fold-TRAIN window
+    * errors (the only split that exists at the origin — the
+    * reference's test-phase percentile applied to what production
+    * would have). Report per (fold, symbol): train/eval window
+    * counts, mean out-of-sample error (IEEE division of exact int64
+    * micros, unrounded), and eval windows flagged above the fold's
+    * trained threshold — the overfitting-across-regimes read README
+    * §8.3/9.2 asks for. Symbols whose roster is exhausted at a fold
+    * (no eval windows left) drop from that fold — D7's truncation
+    * discipline.
+    *
+    * Scale shape: ONE tick-fact collapse (shared [[slotFrames]]) to
+    * the k·|windows| slot frame, checkpointed; everything after runs
+    * on that frame × |folds| (calendar-bounded, never tick-bounded) —
+    * per-(fold, symbol) scaler/centroid/threshold aggregates are all
+    * map-side-combinable with bounded broadcast joins back. */
+  def walkForwardRetrain(ticks: DataFrame, k: Int, folds: Int,
+                         minTrain: Int, step: Int,
+                         pct: Double = 0.99): DataFrame = {
+    require(folds >= 1, s"need >= 1 fold: $folds")
+    require(minTrain >= 1, s"need >= 1 seed train window: $minTrain")
+    require(step >= 1, s"need >= 1 eval window per fold: $step")
+    val tagged = slotFrames(ticks, k) match { case (slots, ranks) =>
+      slots.join(ranks.select("symbol", "date", "win", "rn_w"),
+        Seq("symbol", "date", "win")).localCheckpoint(true)
+    }
+    val foldGrid = ticks.sparkSession.range(folds)
+      .select(col("id").cast("long").as("fold"))
+      .withColumn("origin", lit(minTrain.toLong) + col("fold") * step)
+    val ft = tagged.crossJoin(broadcast(foldGrid))
+      .withColumn("role",
+        when(col("rn_w") <= col("origin"), "train")
+          .when(col("rn_w") <= col("origin") + step, "eval"))
+      .filter(col("role").isNotNull)
+    // per-(fold, symbol) scaler — windowSlots' exact spelling with the
+    // fold key riding along
+    val st = ft.filter(col("role") === "train")
+      .groupBy("fold", "symbol")
+      .agg(count(lit(1)).as("n_tr"),
+        sum(col("cents")).as("sa"),
+        sum(col("cents") * col("cents")).as("sq"))
+      .withColumn("mu", expr("CAST(sa AS DOUBLE) / n_tr"))
+      .withColumn("sd", expr(
+        "CASE WHEN CAST(sq AS DOUBLE) / n_tr" +
+          " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)" +
+          " > 0 THEN sqrt(CAST(sq AS DOUBLE) / n_tr" +
+          " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))" +
+          " END"))
+      .select("fold", "symbol", "mu", "sd")
+    val ux = ft.join(broadcast(st), Seq("fold", "symbol"), "left")
+      .withColumn("x",
+        when(col("sd").isNotNull && col("sd") > 0,
+          (col("cents") - col("mu")) / col("sd")).otherwise(lit(0.0)))
+      .withColumn("u", expr(
+        "CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-x * 1000000.0D + 0.5D) END AS BIGINT)"))
+    // per-(fold, symbol, i) train centroid + per-window error — the
+    // windowErrs chain with the fold key riding along
+    val tm = ux.filter(col("role") === "train")
+      .groupBy("fold", "symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_ct"))
+    val terms = ux.join(broadcast(tm), Seq("fold", "symbol", "i"), "left")
+      .withColumn("t", expr(
+        "CASE WHEN n_ct IS NULL THEN 0.0D ELSE" +
+          " (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_ct)" +
+          " * (CAST(u AS DOUBLE) - CAST(su AS DOUBLE) / n_ct)" +
+          " / 1000000.0D / 1000000.0D END"))
+    val errs = terms
+      .groupBy(col("fold"), col("symbol"), col("date"), col("win"),
+        col("role"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          s => s.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("e0"))
+      .withColumn("u_err", expr(
+        s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
+      .drop("e0")
+      .localCheckpoint(true) // feeds threshold + train count + eval
+    val thr = errs.filter(col("role") === "train")
+      .groupBy("fold", "symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"),
+        count(lit(1)).as("n_train_w"))
+    errs.filter(col("role") === "eval")
+      .join(broadcast(thr), Seq("fold", "symbol"))
+      .groupBy("fold", "symbol")
+      .agg(max(col("n_train_w")).as("n_train_w"),
+        count(lit(1)).as("n_eval_w"),
+        sum(col("u_err")).as("se"),
+        sum(when(col("u_err").cast("double") > col("qu"), 1L)
+          .otherwise(0L)).as("n_flagged"))
+      .withColumn("mean_err",
+        expr("CAST(se AS DOUBLE) / n_eval_w / 1000000.0D"))
+      .select("fold", "symbol", "n_train_w", "n_eval_w", "mean_err",
+        "n_flagged")
+      .orderBy("fold", "symbol")
   }
 
   /** D68 — ERROR-PROFILE EVALUATION TABLE: the reference's test-phase
@@ -1477,7 +1605,24 @@ object Features {
                             trainRatio: Double = 0.6,
                             valRatio: Double = 0.2,
                             pct: Double = 0.99,
-                            exitFrac: Double = 0.5): DataFrame = {
+                            exitFrac: Double = 0.5): DataFrame =
+    signalWindowFrame(ticks, k, trainRatio, valRatio, pct, exitFrac)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("windows_in_pos"),
+        sum(col("pnl")).as("pnl_cents"))
+      .orderBy("symbol")
+
+  /** The D76 per-window traded frame — one row per (symbol, TEST
+    * window) carrying the position machine's pos/pos_prev and the
+    * exact-cent P&L step. Shared by the D76 aggregate report and the
+    * D78 performance statistics. */
+  private def signalWindowFrame(ticks: DataFrame, k: Int,
+                                trainRatio: Double, valRatio: Double,
+                                pct: Double,
+                                exitFrac: Double): DataFrame = {
     require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
     val slots = windowSlots(ticks, k, trainRatio, valRatio)
       .localCheckpoint(true)
@@ -1523,12 +1668,97 @@ object Features {
         col("close_cents") - lag(col("close_cents"), 1).over(wSym))
       .withColumn("pnl", when(col("dc").isNotNull,
         col("pos_prev") * col("dc")).otherwise(0L))
-    traded.groupBy("symbol")
+    traded
+  }
+
+  /** D78 — BACKTEST PERFORMANCE REPORT (ref: README.md §9.1 "MT5
+    * Historical Backtest — tests model-generated signals", §8.4
+    * "final performance validation"): the evaluation statistics a
+    * desk actually reads off D76's per-window P&L series before
+    * promoting a model — per symbol: window/trade counts, winning vs
+    * losing steps and the hit rate among them, total P&L, and the
+    * MAXIMUM DRAWDOWN of the cumulative P&L curve (running peak minus
+    * running cumulative, maximized — D13's drawdown discipline
+    * applied to the strategy's own equity curve instead of the
+    * price). Everything exact int64 cents/counts off the shared
+    * [[signalWindowFrame]]; the single float is the hit-rate — ONE
+    * IEEE division of exact counts (D21's rule, unrounded), NULL when
+    * no step ever had P&L (never 0/0). The equity-curve windows run
+    * per symbol over the TEST-window roster (days×2 rows per symbol,
+    * calendar-bounded — never ticks), sharing the position machine's
+    * (symbol) partitioning: one exchange carries the state machine,
+    * both running aggregates, and the final collapse. */
+  def backtestReport(ticks: DataFrame, k: Int,
+                     trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                     pct: Double = 0.99,
+                     exitFrac: Double = 0.5): DataFrame = {
+    val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
+      exitFrac)
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val wRun = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = t
+      .withColumn("cum", sum(col("pnl")).over(wRun))
+      .withColumn("dd", max(col("cum")).over(wRun) - col("cum"))
+    curve.groupBy("symbol")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
           .otherwise(0L)).as("n_trades"),
-        sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("windows_in_pos"),
-        sum(col("pnl")).as("pnl_cents"))
+        sum(when(col("pnl") > 0, 1L).otherwise(0L)).as("n_win_steps"),
+        sum(when(col("pnl") < 0, 1L).otherwise(0L)).as("n_loss_steps"),
+        sum(col("pnl")).as("pnl_cents"),
+        max(col("dd")).as("max_dd_cents"))
+      .withColumn("hit_rate", expr(
+        "CASE WHEN n_win_steps + n_loss_steps > 0 THEN" +
+          " CAST(n_win_steps AS DOUBLE) / (n_win_steps + n_loss_steps)" +
+          " END"))
       .orderBy("symbol")
+  }
+
+  /** D79 — BOOK-LEVEL BACKTEST REPORT (ref: README.md §9.3/10.2 —
+    * the model deployed ACROSS symbols; the reference trades every
+    * symbol's signals from one account): D76's per-window P&L rolled
+    * up to the PORTFOLIO — per (date, session window) step the book's
+    * net P&L across all symbols in a position, the running equity
+    * curve and its max drawdown (the book risk a per-symbol report
+    * structurally hides: symbol drawdowns can offset or stack), plus
+    * the best/worst contributing symbols. All exact int64
+    * cents/counts off the shared [[signalWindowFrame]]; extreme
+    * contributors tie-break to the smallest symbol id (min-over-
+    * equality, engine-stable — never a nondeterministic max_by). The
+    * book curve runs on ONE global window over the (date, win) step
+    * roster — global window BOUNDED by construction: the frame is the
+    * calendar step roster (≤ 2·|days| rows), never ticks or windows×
+    * symbols (the r12 WindowExec-warning audit pin). */
+  def bookReport(ticks: DataFrame, k: Int,
+                 trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                 pct: Double = 0.99,
+                 exitFrac: Double = 0.5): DataFrame = {
+    val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
+      exitFrac).localCheckpoint(true) // feeds book steps + per-symbol
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val steps = t.groupBy("date", "win")
+      .agg(sum(col("pnl")).as("book_pnl"))
+    val wRun = Window.orderBy(col("date"), winOrd)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = steps
+      .withColumn("cum", sum(col("book_pnl")).over(wRun))
+      .withColumn("dd", max(col("cum")).over(wRun) - col("cum"))
+    val book = curve.agg(count(lit(1)).as("n_steps"),
+      sum(col("book_pnl")).as("pnl_cents"),
+      max(col("dd")).as("max_dd_cents"))
+    val perSym = t.groupBy("symbol").agg(sum(col("pnl")).as("sym_pnl"))
+    val ext = perSym.agg(count(lit(1)).as("n_symbols"),
+      max(col("sym_pnl")).as("best_pnl_cents"),
+      min(col("sym_pnl")).as("worst_pnl_cents"))
+    val picks = perSym.crossJoin(broadcast(ext))
+      .agg(min(when(col("sym_pnl") === col("best_pnl_cents"),
+        col("symbol"))).as("best_symbol"),
+        min(when(col("sym_pnl") === col("worst_pnl_cents"),
+          col("symbol"))).as("worst_symbol"))
+    book.crossJoin(broadcast(ext)).crossJoin(broadcast(picks))
+      .select("n_steps", "n_symbols", "pnl_cents", "max_dd_cents",
+        "best_symbol", "best_pnl_cents", "worst_symbol",
+        "worst_pnl_cents")
   }
 }

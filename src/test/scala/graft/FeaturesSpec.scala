@@ -687,6 +687,133 @@ class FeaturesSpec extends SparkSpec {
     assert(r.getAs[Long]("pnl_cents") == 10L)
   }
 
+  test("backtestReport: win/loss steps, hit rate, max equity-curve " +
+      "drawdown — winning and losing symbols hand-derived") {
+    // symbol 1: the D76 corpus with d11 RISING (110..113) instead of
+    // recovering down — the short LOSES 10 cents (d11's moderate error
+    // recovers below exitFrac·qu, exits after the loss). Equity curve
+    // 0, 0, -10 -> running peak 0 -> max drawdown 10.
+    // symbol 2: the original winning corpus (d11 drops to 90..93) ->
+    // +10 cents, curve 0, 0, +10 -> never under water, drawdown 0.
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).flatMap { i =>
+        val bid1 =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 1.10 + i * 0.01
+          else 1.00 + i * 0.01
+        val bid2 =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        Seq((d * 100L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid1, 9.9),
+          (d * 100L + 50 + i, 2L, f"2024-01-$d%02d 07:51:0$i", bid2, 9.9))
+      }
+    }
+    val out = Features.backtestReport(ticks(rows: _*), 4).collect()
+      .map(r => r.getAs[Long]("symbol") -> r).toMap
+    assert(out.size == 2)
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("n_windows") == 3L)
+    assert(s1.getAs[Long]("n_trades") == 1L)
+    assert(s1.getAs[Long]("n_win_steps") == 0L)
+    assert(s1.getAs[Long]("n_loss_steps") == 1L)
+    assert(s1.getAs[Long]("pnl_cents") == -10L)
+    assert(s1.getAs[Long]("max_dd_cents") == 10L)
+    assert(s1.getAs[Double]("hit_rate") == 0.0)
+    val s2 = out(2L)
+    assert(s2.getAs[Long]("n_win_steps") == 1L)
+    assert(s2.getAs[Long]("n_loss_steps") == 0L)
+    assert(s2.getAs[Long]("pnl_cents") == 10L)
+    assert(s2.getAs[Long]("max_dd_cents") == 0L)
+    assert(s2.getAs[Double]("hit_rate") == 1.0)
+  }
+
+  test("bookReport: offsetting symbols net to a flat book curve; " +
+      "extremes tie-break deterministic") {
+    // The backtestReport corpus: symbol 1 shorts d10 and LOSES 10 at
+    // d11 (price rises), symbol 2 shorts d10 and WINS 10 (price
+    // drops). Book steps (d9, d10, d11) net to 0, 0, 0 — the equity
+    // curve is flat and the book drawdown is ZERO even though symbol
+    // 1 alone draws down 10 (the offset a per-symbol report hides).
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).flatMap { i =>
+        val bid1 =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 1.10 + i * 0.01
+          else 1.00 + i * 0.01
+        val bid2 =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        Seq((d * 100L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid1, 9.9),
+          (d * 100L + 50 + i, 2L, f"2024-01-$d%02d 07:51:0$i", bid2, 9.9))
+      }
+    }
+    val out = Features.bookReport(ticks(rows: _*), 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_steps") == 3L)
+    assert(r.getAs[Long]("n_symbols") == 2L)
+    assert(r.getAs[Long]("pnl_cents") == 0L)
+    assert(r.getAs[Long]("max_dd_cents") == 0L)
+    assert(r.getAs[Long]("best_symbol") == 2L)
+    assert(r.getAs[Long]("best_pnl_cents") == 10L)
+    assert(r.getAs[Long]("worst_symbol") == 1L)
+    assert(r.getAs[Long]("worst_pnl_cents") == -10L)
+  }
+
+  test("walkForwardRetrain: expanding-origin re-fit per fold, " +
+      "out-of-sample scoring, fold-train threshold flags; exhausted " +
+      "symbols drop per fold — mirror-derived") {
+    // symbol 1: four morning windows — d1-d3 share the shape 100..103
+    // cents, d4 jumps to 200..203. folds 0/1 train and eval inside
+    // the identical shapes (zero error, zero flags); fold 2 trains on
+    // d1-d3 and meets d4 out-of-sample (large error, flagged against
+    // the fold's qu=0 train threshold).
+    // symbol 2: ONE window — never has an eval window, in no fold.
+    val rows = (1 to 4).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 4) 2.00 + i * 0.01 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-0$d%d 07:51:0$i", bid, 9.9)
+      }
+    } ++ (0 to 3).map { i =>
+      (90L + i, 2L, f"2024-01-01 07:51:0$i", 1.00 + i * 0.01, 9.9)
+    }
+    val out = Features.walkForwardRetrain(ticks(rows: _*), 4,
+        folds = 3, minTrain = 1, step = 1).collect()
+      .map(r => r.getAs[Long]("fold") -> r).toMap
+    assert(out.size == 3 && out.values.forall(_.getAs[Long]("symbol") == 1L))
+    // folds 0/1: eval window identical to the trained shape
+    Seq(0L, 1L).foreach { f =>
+      assert(out(f).getAs[Long]("n_train_w") == f + 1)
+      assert(out(f).getAs[Long]("n_eval_w") == 1L)
+      assert(out(f).getAs[Double]("mean_err") == 0.0)
+      assert(out(f).getAs[Long]("n_flagged") == 0L)
+    }
+    // fold 2: mirror the slot arithmetic — scaler from the 12
+    // identical train cells, centroid = the shared train shape,
+    // eval error = mean squared scaled deviation of 200..203
+    val cents = Seq(100L, 101L, 102L, 103L)
+    val n = 12.0
+    val mu = cents.map(_.toDouble).sum * 3 / n
+    val sd = math.sqrt(cents.map(c => c.toDouble * c).sum * 3 / n - mu * mu)
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    val e0 = (0 to 3).map { i =>
+      val uTr = q((100.0 + i - mu) / sd)
+      val uEv = q((200.0 + i - mu) / sd)
+      val d = uEv.toDouble - uTr.toDouble
+      d * d / 1e6 / 1e6
+    }.sum
+    val uErr = math.floor(e0 / 4 * 1e6 + 0.5).toLong
+    val f2 = out(2L)
+    assert(f2.getAs[Long]("n_train_w") == 3L)
+    assert(f2.getAs[Long]("n_eval_w") == 1L)
+    assert(f2.getAs[Double]("mean_err") == uErr.toDouble / 1e6)
+    assert(f2.getAs[Long]("n_flagged") == 1L)
+  }
+
   test("windowTensors: symbol with zero-variance train stats scales " +
       "flat to 0.0") {
     val rows = Seq(
