@@ -211,6 +211,7 @@ object SparkEntry {
                                 // error percentile (ref test.py:334)
   val signalExitFrac = 0.5      // D76 exit once window error recovers
                                 // below exitFrac * p99 threshold
+  val sweepPcts = Seq(0.9, 0.95, 0.99) // D81 swept flag percentiles
   val wfFolds = 3               // D77 walk-forward retrain folds
   val wfMinTrain = 1            // D77 seed train windows (the tape
                                 // carries 1-5 session windows/symbol)
@@ -716,6 +717,16 @@ object SparkEntry {
     "q_book_report" -> ((s, d) =>
       Features.bookReport(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct, exitFrac = signalExitFrac)),
+    // D80 — execution-latency sensitivity: paper vs one-window-late
+    // P&L and the decay between them, exact cents.
+    "q_latency_sensitivity" -> ((s, d) =>
+      Features.latencySensitivity(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, exitFrac = signalExitFrac)),
+    // D81 — threshold sweep: the position machine at every candidate
+    // flag percentile, one error frame, |pcts| report rows.
+    "q_signal_sweep" -> ((s, d) =>
+      Features.signalSweep(Tables.ticks(s, d), tensorSlots, sweepPcts,
+        exitFrac = signalExitFrac)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -2589,6 +2600,120 @@ object SparkEntry {
         |  pk.best_symbol, ex.best_pnl_cents, pk.worst_symbol,
         |  ex.worst_pnl_cents
         |FROM bk CROSS JOIN ex CROSS JOIN pk""".stripMargin,
+    // D80 — latency sensitivity: the q_signal_backtest chain with one
+    // extra lag (position decided two windows back) re-pricing each
+    // step; decay = paper − delayed, all exact int64.
+    "q_latency_sensitivity" ->
+      s"""WITH $windowErrSql,
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |lastu AS (SELECT symbol, date, win, u AS u_last
+        |  FROM uq WHERE i = ${tensorSlots - 1}),
+        |closes AS (SELECT user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+        |           THEN 'afternoon' END AS win,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS close_cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |  GROUP BY 1, 2, 3),
+        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    l.u_last, c.close_cents, th.qu
+        |  FROM er
+        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+        |    AND l.win = er.win
+        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+        |    AND c.win = er.win
+        |  JOIN th ON th.symbol = er.symbol
+        |  WHERE er.split = 'test'),
+        |sg AS (SELECT *, CASE
+        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
+        |      THEN 0 END AS sig
+        |  FROM bb),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY symbol ORDER BY date,
+        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
+        |    coalesce(lag(pos, 2) OVER w, 0) AS pos_prev2,
+        |    close_cents - lag(close_cents) OVER w AS dc
+        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |SELECT symbol, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
+        |    ELSE 0 END) AS BIGINT) AS pnl_cents,
+        |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev2 * dc
+        |    ELSE 0 END) AS BIGINT) AS pnl_delayed_cents,
+        |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
+        |    ELSE 0 END) AS BIGINT)
+        |    - CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev2 * dc
+        |    ELSE 0 END) AS BIGINT) AS decay_cents
+        |FROM pp GROUP BY 1 ORDER BY symbol""".stripMargin,
+    // D81 — threshold sweep: all swept thresholds from generated
+    // per-pct quantile_cont aggregates (string pct keys), the machine
+    // partitioned (symbol, pct), |pcts| report rows.
+    "q_signal_sweep" -> {
+      val thrUnion = sweepPcts.map { p =>
+        s"""SELECT symbol, '${Features.pctTag(p)}' AS pct,
+          |    quantile_cont(u_err, $p) AS qu
+          |  FROM er WHERE split = 'test' GROUP BY 1""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $windowErrSql,
+        |thr3 AS ($thrUnion),
+        |lastu AS (SELECT symbol, date, win, u AS u_last
+        |  FROM uq WHERE i = ${tensorSlots - 1}),
+        |closes AS (SELECT user_id AS symbol,
+        |    strftime(ts, '%Y-%m-%d') AS date,
+        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+        |           THEN 'afternoon' END AS win,
+        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+        |      AS close_cents
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |  GROUP BY 1, 2, 3),
+        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    l.u_last, c.close_cents, t.pct, t.qu
+        |  FROM er
+        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+        |    AND l.win = er.win
+        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+        |    AND c.win = er.win
+        |  JOIN thr3 t ON t.symbol = er.symbol
+        |  WHERE er.split = 'test'),
+        |sg AS (SELECT *, CASE
+        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
+        |      THEN 0 END AS sig
+        |  FROM bb),
+        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+        |      OVER (PARTITION BY symbol, pct ORDER BY date,
+        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+        |      AS pos
+        |  FROM sg),
+        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
+        |    close_cents - lag(close_cents) OVER w AS dc
+        |  FROM ps WINDOW w AS (PARTITION BY symbol, pct ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |SELECT pct, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
+        |  CAST(sum(CASE WHEN pos <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS windows_in_pos,
+        |  count(DISTINCT CASE WHEN pos <> 0 THEN symbol END)
+        |    AS n_symbols_pos,
+        |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
+        |    ELSE 0 END) AS BIGINT) AS pnl_cents
+        |FROM pp GROUP BY 1 ORDER BY pct""".stripMargin
+    },
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)

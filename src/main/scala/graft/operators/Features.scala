@@ -1715,6 +1715,123 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D81 — SIGNAL-THRESHOLD SWEEP (ref: README.md §8.3 "tunes
+    * hyperparameters"; test.py:326-349 sweeps percentile thresholds):
+    * the "which flag percentile ships" decision table — D76's full
+    * position machine re-run at every candidate threshold percentile
+    * over the SAME error frame, reported per candidate: windows,
+    * trades, windows-in-position, symbols ever in position
+    * (exact distinct count), and total book P&L in exact cents. The
+    * F71/F74 decision-artifact discipline applied to the trading
+    * layer: one artifact, the stakeholder picks a row.
+    *
+    * Scale shape: the error chain runs ONCE (shared [[windowErrs]],
+    * checkpointed); ALL thresholds come out of ONE per-symbol
+    * aggregate (D68's stack discipline — never |pcts| passes), the
+    * machine runs on the TEST-window roster × |pcts| (calendar-
+    * bounded), partitioned (symbol, pct) so every sweep cell rides
+    * the same exchange, and the final collapse is |pcts| rows. */
+  def signalSweep(ticks: DataFrame, k: Int, pcts: Seq[Double],
+                  trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                  exitFrac: Double = 0.5): DataFrame = {
+    require(pcts.nonEmpty, "need at least one percentile to sweep")
+    require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+      .localCheckpoint(true)
+    val errs = windowErrs(slots, k)
+    val aggs = pcts.zipWithIndex.map { case (p, j) =>
+      expr(s"percentile(u_err, ${dlit(p)})").as(s"qu_$j")
+    }
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+    val thrL = thr.select(col("symbol"), expr(
+      s"stack(${pcts.length}, " + pcts.zipWithIndex.map { case (p, j) =>
+        s"'${pctTag(p)}', qu_$j"
+      }.mkString(", ") + ") AS (pct, qu)"))
+    val lastU = slots.filter(col("i") === k - 1)
+      .select(col("symbol"), col("date"), col("win"),
+        col("u").as("u_last"))
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname =
+      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
+        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+          "afternoon")
+    val closes = ticks
+      .withColumn("win", wname).filter(col("win").isNotNull)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .groupBy("symbol", "date", "win")
+      .agg(max_by(col("cents"), col("tick_id")).as("close_cents"))
+    val base = errs.filter(col("split") === "test")
+      .join(lastU, Seq("symbol", "date", "win"))
+      .join(closes, Seq("symbol", "date", "win"))
+      .join(broadcast(thrL), Seq("symbol"))
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val wSym = Window.partitionBy("symbol", "pct")
+      .orderBy(col("date"), winOrd)
+    val wRun = wSym.rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("sig",
+        when(col("u_err").cast("double") > col("qu"),
+          when(col("u_last") > 0, -1).otherwise(1))
+          .when(col("u_err").cast("double") <= col("qu") * exitFrac, 0))
+      .withColumn("pos", coalesce(
+        last(col("sig"), ignoreNulls = true).over(wRun), lit(0)))
+      .withColumn("pos_prev",
+        coalesce(lag(col("pos"), 1).over(wSym), lit(0)))
+      .withColumn("dc",
+        col("close_cents") - lag(col("close_cents"), 1).over(wSym))
+      .withColumn("pnl", when(col("dc").isNotNull,
+        col("pos_prev") * col("dc")).otherwise(0L))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
+          .otherwise(0L)).as("n_trades"),
+        sum(when(col("pos") =!= 0, 1L).otherwise(0L)).as("windows_in_pos"),
+        countDistinct(when(col("pos") =!= 0, col("symbol")))
+          .as("n_symbols_pos"),
+        sum(col("pnl")).as("pnl_cents"))
+      .orderBy("pct")
+  }
+
+  /** Fixed-width percentile tag ('0.90') — a STRING sweep key, so
+    * the grid join/groupBy never compares floats. */
+  def pctTag(p: Double): String = f"$p%.2f"
+
+  /** D80 — EXECUTION-LATENCY SENSITIVITY (ref: README.md §10.2 "live
+    * /demo execution — execution logic separated from model logic";
+    * the MT5 deployment's real slippage question): how much of D76's
+    * backtest P&L survives when every signal executes ONE SESSION
+    * WINDOW LATE — the difference between a signal's paper P&L and
+    * what a live system that trades the NEXT window's close would
+    * have kept. Delayed P&L re-prices each step with the position
+    * decided two windows back (`pos₍t₋₂₎·(cₜ − cₜ₋₁)` — decided at
+    * t−2, live over (t−1, t]); decay = paper − delayed, in exact
+    * int64 cents. A strategy whose decay eats its P&L is trading
+    * microstructure noise, not the model (the classic latency-decay
+    * screen). One more lag on the SAME (symbol) exchange the position
+    * machine already runs on — no new shuffle, calendar-bounded. */
+  def latencySensitivity(ticks: DataFrame, k: Int,
+                         trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                         pct: Double = 0.99,
+                         exitFrac: Double = 0.5): DataFrame = {
+    val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
+      exitFrac)
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val wSym = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
+    t.withColumn("pos_prev2",
+        coalesce(lag(col("pos"), 2).over(wSym), lit(0)))
+      .withColumn("pnl_delayed", when(col("dc").isNotNull,
+        col("pos_prev2") * col("dc")).otherwise(0L))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("pnl")).as("pnl_cents"),
+        sum(col("pnl_delayed")).as("pnl_delayed_cents"))
+      .withColumn("decay_cents",
+        col("pnl_cents") - col("pnl_delayed_cents"))
+      .orderBy("symbol")
+  }
+
   /** D79 — BOOK-LEVEL BACKTEST REPORT (ref: README.md §9.3/10.2 —
     * the model deployed ACROSS symbols; the reference trades every
     * symbol's signals from one account): D76's per-window P&L rolled

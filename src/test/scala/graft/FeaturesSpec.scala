@@ -728,6 +728,62 @@ class FeaturesSpec extends SparkSpec {
     assert(s2.getAs[Double]("hit_rate") == 1.0)
   }
 
+  test("latencySensitivity: one-window-late execution forfeits the " +
+      "single-step reversion profit — decay in exact cents") {
+    // The winning D76 corpus: short entered at d10, price reverts at
+    // d11 (+10 paper). Executed one window late the position is still
+    // flat over (d10, d11] -> delayed P&L 0, decay 10 — the whole
+    // edge is the immediacy.
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val out = Features.latencySensitivity(ticks(rows: _*), 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_windows") == 3L)
+    assert(r.getAs[Long]("pnl_cents") == 10L)
+    assert(r.getAs[Long]("pnl_delayed_cents") == 0L)
+    assert(r.getAs[Long]("decay_cents") == 10L)
+  }
+
+  test("signalSweep: a looser threshold flags the recovery window " +
+      "and flips the position; the tight threshold exits — per-pct " +
+      "machine rows hand-derived") {
+    // errs over the three test windows sort [0, ~80, huge]. qu(0.25)
+    // interpolates below the d11 error -> d11 FLAGS (last slot below
+    // the trained mean -> LONG, flipping the short: 2 trades, 2
+    // windows in position). qu(0.99) sits near the spike -> d11
+    // recovers and exits (1 trade). Both keep the +10 reversion step.
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val out = Features.signalSweep(ticks(rows: _*), 4, Seq(0.25, 0.99))
+      .collect().map(r => r.getAs[String]("pct") -> r).toMap
+    assert(out.size == 2)
+    val loose = out("0.25")
+    assert(loose.getAs[Long]("n_windows") == 3L)
+    assert(loose.getAs[Long]("n_trades") == 2L)
+    assert(loose.getAs[Long]("windows_in_pos") == 2L)
+    assert(loose.getAs[Long]("n_symbols_pos") == 1L)
+    assert(loose.getAs[Long]("pnl_cents") == 10L)
+    val tight = out("0.99")
+    assert(tight.getAs[Long]("n_trades") == 1L)
+    assert(tight.getAs[Long]("windows_in_pos") == 1L)
+    assert(tight.getAs[Long]("pnl_cents") == 10L)
+  }
+
   test("bookReport: offsetting symbols net to a flat book curve; " +
       "extremes tie-break deterministic") {
     // The backtestReport corpus: symbol 1 shorts d10 and LOSES 10 at
