@@ -727,6 +727,11 @@ object SparkEntry {
     "q_signal_sweep" -> ((s, d) =>
       Features.signalSweep(Tables.ticks(s, d), tensorSlots, sweepPcts,
         exitFrac = signalExitFrac)),
+    // D82 — model-parameter manifest: centroid/scaler/threshold as a
+    // queryable table, one row per (symbol, slot).
+    "q_model_params" -> ((s, d) =>
+      Features.modelParams(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -2714,6 +2719,29 @@ object SparkEntry {
         |    ELSE 0 END) AS BIGINT) AS pnl_cents
         |FROM pp GROUP BY 1 ORDER BY pct""".stripMargin
     },
+    // D82 — model-parameter manifest: the slot chain's own `sc`
+    // scaler CTE re-emitted, per-slot train centroids off `uq`,
+    // window counts + threshold off `er` — serving parity by SELECT.
+    "q_model_params" ->
+      s"""WITH $windowErrSql,
+        |tm2 AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
+        |    count(*) AS n_ct
+        |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
+        |tw AS (SELECT symbol,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_train_w,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_test_w
+        |  FROM er GROUP BY 1),
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1)
+        |SELECT m.symbol, m.i, CAST(m.su AS DOUBLE) / m.n_ct
+        |    AS centroid_u,
+        |  t.n_train_w, t.n_test_w, s.mu, s.sd, th.qu
+        |FROM tm2 m JOIN tw t ON t.symbol = m.symbol
+        |  LEFT JOIN sc s ON s.symbol = m.symbol
+        |  LEFT JOIN th ON th.symbol = m.symbol
+        |ORDER BY m.symbol, m.i""".stripMargin,
     "q_having" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS tq
         |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 210.0)

@@ -1119,12 +1119,16 @@ object Features {
     (slots, ranked)
   }
 
-  private[graft] def windowSlots(ticks: DataFrame, k: Int,
+  /** The split-tagged UNSCALED slot frame — [[slotFrames]] joined
+    * with the per-symbol chronological train/val/test roster,
+    * checkpointed: it feeds BOTH the train stats and the final
+    * scaling, so the tick-scan chain must run once (the F35 barrier
+    * discipline; the plan audit showed the uncheckpointed spelling
+    * recomputing the whole window chain per consumer). */
+  private[graft] def taggedSlots(ticks: DataFrame, k: Int,
                                  trainRatio: Double,
                                  valRatio: Double): DataFrame = {
     val (slots, rankFrame) = slotFrames(ticks, k)
-    val keys = Seq("symbol", "date", "win")
-    // chronological split per symbol over the (tiny) window roster
     val ranked = rankFrame
       .withColumn("split",
         when(col("rn_w") <= floor(col("n_w") * trainRatio), "train")
@@ -1132,13 +1136,16 @@ object Features {
             floor(col("n_w") * valRatio), "val")
           .otherwise("test"))
       .select("symbol", "date", "win", "split")
-    // the split-tagged slot frame feeds BOTH the train stats and the
-    // final scaling — checkpoint the (k·|windows|)-row frame so the
-    // tick-scan chain runs once (the F35 barrier discipline; the plan
-    // audit showed the uncheckpointed spelling recomputing the whole
-    // window chain per consumer)
-    val tagged = slots.join(ranked, keys).localCheckpoint(true)
-    val stats = tagged
+    slots.join(ranked, Seq("symbol", "date", "win"))
+      .localCheckpoint(true)
+  }
+
+  /** The per-symbol TRAIN scaler off a [[taggedSlots]] frame —
+    * population mean/σ of the train slot cents from exact int64 sums
+    * (one spelling for D66's scaling, D77's per-fold re-fit and
+    * D82's parameter manifest). */
+  private[graft] def trainScaler(tagged: DataFrame): DataFrame =
+    tagged
       .filter(col("split") === "train")
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_tr"),
@@ -1152,6 +1159,10 @@ object Features {
           " - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))" +
           " END"))
       .select("symbol", "mu", "sd")
+
+  /** Scale a [[taggedSlots]] frame against a [[trainScaler]] frame —
+    * D66's quantized standard scaling. */
+  private def scaleSlots(tagged: DataFrame, stats: DataFrame): DataFrame =
     tagged
       .join(broadcast(stats), Seq("symbol"), "left")
       .withColumn("x",
@@ -1163,6 +1174,12 @@ object Features {
         "CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
           " ELSE -floor(-x * 1000000.0D + 0.5D) END AS BIGINT)"))
       .select("symbol", "date", "win", "split", "cnt", "i", "u")
+
+  private[graft] def windowSlots(ticks: DataFrame, k: Int,
+                                 trainRatio: Double,
+                                 valRatio: Double): DataFrame = {
+    val tagged = taggedSlots(ticks, k, trainRatio, valRatio)
+    scaleSlots(tagged, trainScaler(tagged))
   }
 
   /** D67 — END-TO-END PER-SYMBOL ANOMALY PIPELINE: the composed
@@ -1713,6 +1730,48 @@ object Features {
           " CAST(n_win_steps AS DOUBLE) / (n_win_steps + n_loss_steps)" +
           " END"))
       .orderBy("symbol")
+  }
+
+  /** D82 — MODEL-PARAMETER MANIFEST (ref: ML Model/Model Parameters/
+    * parameters.json + mlflow_utils.py's logged params/artifacts —
+    * the serialized model the live endpoint loads): the trained
+    * anomaly model AS A QUERYABLE TABLE, one row per (symbol, slot):
+    * the per-slot train centroid (exact int64 sum over train count —
+    * ONE IEEE division, unrounded), and the per-symbol scalars riding
+    * along — scaler mean/σ (train population stats off exact sums),
+    * p-percentile flag threshold, train/test window counts. This is
+    * the A25 run registry's ARTIFACT payload made first-class: what
+    * D67/G40/G41 deploy is exactly these numbers, so serving parity
+    * is auditable by SELECT instead of by replaying the pipeline.
+    * Symbols that never trained (no train windows) have no rows;
+    * symbols without test windows carry NULL thresholds (the D67
+    * inner-join conservatism made visible). Scale: one tick collapse
+    * (shared [[taggedSlots]] checkpoint), then symbol-keyed
+    * aggregates on calendar-bounded frames; output k rows/symbol. */
+  def modelParams(ticks: DataFrame, k: Int,
+                  trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                  pct: Double = 0.99): DataFrame = {
+    val tagged = taggedSlots(ticks, k, trainRatio, valRatio)
+    val stats = trainScaler(tagged)
+    val scaled = scaleSlots(tagged, stats)
+    val errs = windowErrs(scaled, k)
+    val tm = scaled.filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_ct"))
+    val tw = errs.groupBy("symbol").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L))
+        .as("n_train_w"),
+      sum(when(col("split") === "test", 1L).otherwise(0L))
+        .as("n_test_w"))
+    val thr = errs.filter(col("split") === "test").groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+    tm.withColumn("centroid_u", expr("CAST(su AS DOUBLE) / n_ct"))
+      .join(tw, Seq("symbol"))
+      .join(broadcast(stats), Seq("symbol"), "left")
+      .join(broadcast(thr), Seq("symbol"), "left")
+      .select("symbol", "i", "centroid_u", "n_train_w", "n_test_w",
+        "mu", "sd", "qu")
+      .orderBy("symbol", "i")
   }
 
   /** D81 — SIGNAL-THRESHOLD SWEEP (ref: README.md §8.3 "tunes

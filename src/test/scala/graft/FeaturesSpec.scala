@@ -728,6 +728,43 @@ class FeaturesSpec extends SparkSpec {
     assert(s2.getAs[Double]("hit_rate") == 1.0)
   }
 
+  test("modelParams: centroid/scaler/threshold manifest mirrors the " +
+      "trained pipeline exactly; untrained symbols absent") {
+    // symbol 1: the D76 corpus — 6 identical train shapes, so the
+    // centroid IS the quantized scaled shape and the scaler is the
+    // population stats of 100..103 cents. symbol 2: ONE window (its
+    // split is 'test' — no train rows) -> absent from the manifest.
+    val rows = (1 to 11).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid =
+          if (d == 10 && i == 1) 5.00
+          else if (d == 11) 0.90 + i * 0.01
+          else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    } ++ (0 to 3).map { i =>
+      (900L + i, 2L, f"2024-01-01 07:51:0$i", 1.00 + i * 0.01, 9.9)
+    }
+    val out = Features.modelParams(ticks(rows: _*), 4).collect()
+    assert(out.map(_.getAs[Long]("symbol")).distinct.toSeq == Seq(1L))
+    assert(out.length == 4)
+    val mu = (100 + 101 + 102 + 103) / 4.0
+    val sd = math.sqrt(
+      Seq(100, 101, 102, 103).map(c => c.toDouble * c).sum / 4.0 - mu * mu)
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    out.sortBy(_.getAs[Int]("i")).zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("mu") == mu)
+      assert(r.getAs[Double]("sd") == sd)
+      assert(r.getAs[Double]("centroid_u") ==
+        q((100.0 + i - mu) / sd).toDouble)
+      assert(r.getAs[Long]("n_train_w") == 6L)
+      assert(r.getAs[Long]("n_test_w") == 3L)
+      assert(!r.isNullAt(r.fieldIndex("qu")))
+    }
+  }
+
   test("latencySensitivity: one-window-late execution forfeits the " +
       "single-step reversion profit — decay in exact cents") {
     // The winning D76 corpus: short entered at d10, price reverts at
