@@ -87,12 +87,17 @@ object Bench {
         (name, compile, elapsed)
       }
     val results = runSuite()
-    // Inter-run hygiene: 272 executed plans leave dead codegen
+    // Inter-run hygiene: 278 executed plans leave dead codegen
     // classes/JIT state behind; one explicit full GC between runs
     // keeps run 2 measuring the QUERIES warm rather than the
     // accumulated session (the r12 warm-slower-than-cold lesson —
     // CkptGc removed the block leak, this removes the heap residue).
+    // The settle sleep lets the ContextCleaner drain its async
+    // broadcast/accumulator removal queue (GC enqueues hundreds of
+    // removals; run 2's first queries otherwise compete with that
+    // RPC burst — measured as a broad ~0.1 s/query run-2 tax).
     System.gc()
+    Thread.sleep(3000)
     val results2 = runSuite()
     // The driver parses the metric line out of a 2000-char stdout tail
     // (sbt's trailing "[success] ..." line eats ~75 of that). Round-3's
