@@ -257,6 +257,40 @@ class LayoutSpec extends SparkSpec {
     assert(joined.count() == 200L) // days 0 and 5 only
   }
 
+  test("H15: the trading-layer plans checkpoint the slot chain once " +
+      "and broadcast every model-artifact join — the tick fact is " +
+      "never re-derived per consumer") {
+    // The D77/D82 shape at 100 TB: the k·|windows| slot frame is the
+    // ONLY artifact derived from the tick fact, checkpointed
+    // (taggedSlots), so every downstream consumer plan reads the
+    // materialized partitions (Scan ExistingRDD) instead of replaying
+    // the window chain against the fact; fold grids ride broadcast
+    // cross joins; per-(fold-)symbol scaler/centroid/threshold frames
+    // join back as broadcasts. A refactor that drops the checkpoint
+    // or a broadcast re-plans the tick scan per consumer — this spec
+    // catches both.
+    val rows = (1 to 20).flatMap { d =>
+      (0 to 5).map { i =>
+        (d * 10L + i, (d % 3).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 07:51:0$i"),
+          1.0 + i * 0.01, 9.9)
+      }
+    }
+    val ticks = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    for ((name, df) <- Seq(
+        "walkForwardRetrain" ->
+          graft.operators.Features.walkForwardRetrain(ticks, 4, 3, 1, 1),
+        "modelParams" -> graft.operators.Features.modelParams(ticks, 4))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$name lost the slot-chain checkpoint barrier:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name expected broadcast model-artifact joins:\n$plan")
+      assert(!plan.contains("Scan parquet"),
+        s"$name re-reads a file fact downstream of the barrier:\n$plan")
+    }
+  }
+
   test("H13: the window-tensor pipelines broadcast every per-symbol " +
       "stats join — no SortMergeJoin survives in the scaling or " +
       "threshold paths") {
