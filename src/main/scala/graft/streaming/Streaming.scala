@@ -1746,6 +1746,130 @@ object Streaming {
       }
   }
 
+  /** G42 keyed state: G40's open-window register plus the
+    * consecutive-breach streak counter and the last-closed-window
+    * marker (the streak outlives window closes, so a late tick must
+    * never re-open and restate a closed window — G41's rule). */
+  case class RetrainAlertState(curDay: String, curWin: String,
+                               buf: List[Long], streak: Int,
+                               lastClosedDay: String,
+                               lastClosedSlot: Int)
+  case class RetrainAlert(symbol: Long, date: String, win: String,
+                          streak: Long, err: Double)
+
+  /** G42 — STREAMING RETRAIN ALERT (model-health monitor): the MLOps
+    * loop the reference's lifecycle implies (ref: README.md §8.2
+    * "mimics production retraining cycles" decides WHEN to retrain;
+    * §11 MLflow tracks the metrics that justify it) — G40 watches the
+    * TAPE for anomalies, this watches the MODEL: a symbol whose
+    * closed session windows score above its trained threshold
+    * `consecutive` times IN A ROW is drifting away from the shape the
+    * model learned (one anomaly is signal; a run of them is staleness
+    * — D77's fold-over-fold degradation read, live). Emits ONE alert
+    * per breach-run, at the moment the run reaches `consecutive`; an
+    * in-band window resets the streak; untrained symbols never alert
+    * (no threshold — the batch inner-join conservatism). Window
+    * close/scoring replays G40's exact arithmetic (close-on-advance,
+    * late-tick drop, linspace/pad slot map, 1e-6 quantization);
+    * keyed state = the bounded open-window buffer + ONE int streak
+    * register, carried across micro-batches (spec'd). */
+  def retrainAlerts(ticks: Dataset[Tick], k: Int,
+                    scalers: Map[Long, (Double, Double)],
+                    centroids: Map[Long, Seq[Long]],
+                    thresholds: Map[Long, Double],
+                    consecutive: Int): Dataset[RetrainAlert] = {
+    import ticks.sparkSession.implicits._
+    require(k >= 2, s"need >= 2 slots: $k")
+    require(consecutive >= 1, s"need >= 1 breach to alert: $consecutive")
+    def utcParts(ts: Timestamp): (String, Int, Int) = {
+      val z = java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC)
+      (z.toLocalDate.toString, z.getHour, z.getMinute)
+    }
+    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
+    def slotOf(h: Int, m: Int): Int =
+      if (h < MorningH || (h == MorningH && m < FromMin)) 0
+      else if (h == MorningH) 1
+      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
+      else if (h == AfternoonH) 3
+      else 4
+    // D66's slot map + scaling + D67's centroid error — G40's exact
+    // spelling (micros int64)
+    def uErrOf(symbol: Long, buf: List[Long]): Long = {
+      val n = buf.length
+      val slots = (0 until k).map { i =>
+        val j =
+          if (n == 1) 0
+          else if (n >= k) (i * (n - 1)) / (k - 1)
+          else ((i + 1) * (n - 1) - 1) / (k - 1)
+        buf(j)
+      }
+      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
+      val u = slots.map { c =>
+        val x = if (sd > 0) (c - mu) / sd else 0.0
+        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
+        else -math.floor(-x * 1000000.0 + 0.5).toLong
+      }
+      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
+      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
+      }
+      math.floor(e0 / k * 1000000.0 + 0.5).toLong
+    }
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[RetrainAlertState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[RetrainAlert]
+          def close(): Unit = if (st != null && st.buf.nonEmpty) {
+            val uErr = uErrOf(symbol, st.buf)
+            val breached = thresholds.get(symbol)
+              .exists(q => uErr.toDouble > q)
+            val streak = if (breached) st.streak + 1 else 0
+            if (breached && streak == consecutive)
+              out += RetrainAlert(symbol, st.curDay, st.curWin,
+                streak.toLong, uErr.toDouble / 1000000.0)
+            st = st.copy(curDay = "", curWin = "", buf = Nil,
+              streak = streak, lastClosedDay = st.curDay,
+              lastClosedSlot = if (st.curWin == "morning") 1 else 3)
+          }
+          rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
+            val (d, h, m) = utcParts(t.ts)
+            val slot = slotOf(h, m)
+            val curSlot =
+              if (st == null || st.curWin == "morning") 1 else 3
+            if (st != null && st.buf.nonEmpty &&
+                (d > st.curDay || (d == st.curDay && slot > curSlot))) {
+              close()
+            }
+            if (slot == 1 || slot == 3) {
+              val w = if (slot == 1) "morning" else "afternoon"
+              val c = math.round(t.bid * 100.0)
+              // G40's late-tick rule PLUS the closed-window marker: a
+              // tick earlier than the open window — or at-or-before
+              // the last CLOSED window — drops (its window already
+              // scored into the streak; Append cannot restate it)
+              val late = st != null && ((st.buf.nonEmpty &&
+                (d < st.curDay || (d == st.curDay && slot < curSlot))) ||
+                d < st.lastClosedDay ||
+                (d == st.lastClosedDay && slot <= st.lastClosedSlot))
+              if (!late) {
+                st =
+                  if (st == null)
+                    RetrainAlertState(d, w, List(c), 0, "", -1)
+                  else if (st.buf.isEmpty)
+                    st.copy(curDay = d, curWin = w, buf = List(c))
+                  else st.copy(buf = st.buf :+ c)
+              }
+            }
+          }
+          if (st != null) state.update(st) else state.remove()
+          out.iterator
+      }
+  }
+
   /** G39 keyed state: the OPEN day's (day, prev cents, rv
     * accumulator) plus the ring of the last h−1 CLOSED days' rv. */
   case class VolConeState(curDay: String, prevCents: Long,

@@ -1341,6 +1341,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G42: retrainAlerts fires once per breach-run at the Nth " +
+      "consecutive out-of-band window, streak carrying across " +
+      "micro-batches; in-band resets; untrained symbols silent") {
+    import graft.streaming.Streaming.RetrainAlert
+    // symbol 1 morning windows: d1-d3 trained shape (err 0), d4-d6
+    // drift to 110..113 (3 consecutive breaches -> ONE alert at d6),
+    // d7 back in band (reset), d8-d9 drift again (streak 2, silent).
+    // symbol 2 drifts identically but has no trained artifacts.
+    def shape(d: Int): Double =
+      if ((d >= 4 && d <= 6) || d == 8 || d == 9) 0.10 else 0.0
+    val rows = (1 to 9).flatMap { d =>
+      (0 to 3).flatMap { i =>
+        val bid = 1.00 + shape(d) + i * 0.01
+        Seq((d * 100L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid),
+          (d * 100L + 50 + i, 2L, f"2024-01-$d%02d 07:51:0$i", bid))
+      }
+    }
+    val feed = rows.map { case (id, sym, ts, b) => Tick(id, sym, t(ts), b) } ++
+      Seq(Tick(990L, 1L, t("2024-01-10 07:51:00"), 1.00),
+        Tick(991L, 2L, t("2024-01-10 07:51:00"), 1.00))
+    val mu = (100 + 101 + 102 + 103) / 4.0
+    val sd = math.sqrt(
+      Seq(100, 101, 102, 103).map(c => c.toDouble * c).sum / 4.0 - mu * mu)
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    val centroid = Seq(100L, 101L, 102L, 103L).map(c => q((c - mu) / sd))
+    val e0 = (0 to 3).map { i =>
+      val d = (q((110.0 + i - mu) / sd) - centroid(i)).toDouble
+      d * d / 1e6 / 1e6
+    }.sum
+    val expErr = math.floor(e0 / 4 * 1e6 + 0.5).toLong / 1e6
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val alerts = Streaming.retrainAlerts(in.toDS(), 4,
+      Map(1L -> ((mu, sd))), Map(1L -> centroid),
+      Map(1L -> 500000.0), consecutive = 3)
+    val qy = alerts.writeStream.format("memory").queryName("p_retrain")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split mid-breach-run: d1-d5 land in batch 1, the streak (2)
+      // must carry into batch 2 where d6 closes and alerts
+      val (x, y) = feed.partition(tk => tk.tick_id % 100 < 50 match {
+        case true  => tk.tick_id < 600
+        case false => tk.tick_id < 650
+      })
+      in.addData(x: _*); qy.processAllAvailable()
+      in.addData(y: _*); qy.processAllAvailable()
+      val out = spark.table("p_retrain").as[RetrainAlert].collect()
+      assert(out.length == 1)
+      val a = out.head
+      assert(a.symbol == 1L)
+      assert(a.date == "2024-01-06" && a.win == "morning")
+      assert(a.streak == 3L)
+      assert(a.err == expErr)
+    } finally qy.stop()
+  }
+
   test("G41: signalPositions trades the live windows with D76's exact " +
       "rules — enter on flag against the deviation, exit on recovery, " +
       "exact-cent P&L — and aggregates to the batch backtest row") {
