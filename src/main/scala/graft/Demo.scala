@@ -104,6 +104,44 @@ object Demo {
     spark.sql("SELECT * FROM demo_sess ORDER BY session_start").show(false)
     qS.stop()
 
+    // --- D82 → G40 → G42: the model lifecycle — train offline, read
+    // the parameter manifest by SELECT, deploy those exact numbers to
+    // the stream, watch the live scores for staleness ---
+    val tape = (1 to 5).flatMap { d =>
+      (0 to 3).map { i =>
+        (d * 10L + i, 1L,
+          java.sql.Timestamp.valueOf(f"2024-01-0$d 07:51:0$i"),
+          1.00 + i * 0.01, 9.9)
+      }
+    }.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val manifest = graft.operators.Features.modelParams(tape, 4)
+    println("=== trained model manifest (D82) ===")
+    manifest.show(false)
+    val mrows = manifest.collect().sortBy(_.getAs[Int]("i"))
+    val (mMu, mSd) = (mrows.head.getAs[Double]("mu"),
+      mrows.head.getAs[Double]("sd"))
+    val mCentroid = mrows.map(_.getAs[Double]("centroid_u").toLong).toSeq
+    val band = 500000.0 // ops-chosen alert band (err micros)
+    val inL = MemoryStream[Tick]
+    val qL = Streaming.retrainAlerts(inL.toDS(), 4,
+        Map(1L -> ((mMu, mSd))), Map(1L -> mCentroid),
+        Map(1L -> band), consecutive = 2)
+      .writeStream.format("memory").queryName("demo_retrain")
+      .outputMode(OutputMode.Append).start()
+    // two drifted sessions in a row, then a closer tick
+    inL.addData((6 to 7).flatMap { d =>
+      (0 to 3).map { i =>
+        Tick(200L + d * 10 + i, 1L,
+          java.sql.Timestamp.valueOf(f"2024-01-0$d 07:51:0$i"),
+          1.10 + i * 0.01)
+      }
+    } :+ Tick(299L, 1L,
+      java.sql.Timestamp.valueOf("2024-01-08 07:51:00"), 1.00): _*)
+    qL.processAllAvailable()
+    println("=== live retrain alert (G42: 2 consecutive drifted windows) ===")
+    spark.sql("SELECT * FROM demo_retrain").show(false)
+    qL.stop()
+
     val in2 = MemoryStream[Tick]
     val q2 = Streaming.anomalyFlags(in2.toDS(), 3.0)
       .writeStream.format("memory").queryName("demo_flags")
