@@ -212,6 +212,7 @@ object SparkEntry {
   val signalExitFrac = 0.5      // D76 exit once window error recovers
                                 // below exitFrac * p99 threshold
   val sweepPcts = Seq(0.9, 0.95, 0.99) // D81 swept flag percentiles
+  val stalenessRun = 3          // D83/G42 consecutive breaches → alert
   val wfFolds = 3               // D77 walk-forward retrain folds
   val wfMinTrain = 1            // D77 seed train windows (the tape
                                 // carries 1-5 session windows/symbol)
@@ -732,6 +733,11 @@ object SparkEntry {
     "q_model_params" -> ((s, d) =>
       Features.modelParams(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct)),
+    // D83 — staleness report: consecutive-breach runs over the window
+    // errors vs the deployed threshold, retrain alerts per G42's rule.
+    "q_staleness_report" -> ((s, d) =>
+      Features.stalenessReport(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, consecutive = stalenessRun)),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>
@@ -2394,6 +2400,51 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
         |    ELSE 0 END) AS BIGINT) AS pnl_cents
         |FROM pp GROUP BY 1 ORDER BY symbol""".stripMargin,
+    // D83 — staleness report: the error chain joined to the deployed
+    // threshold, D26's run-id idiom (lag + running start sum) over
+    // the per-symbol window roster, runs collapsed to the report.
+    "q_staleness_report" ->
+      s"""WITH $windowErrSql,
+        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |fb AS (SELECT er.symbol, er.date, er.win,
+        |    CASE WHEN CAST(er.u_err AS DOUBLE) > th.qu
+        |      THEN 1 ELSE 0 END AS breach
+        |  FROM er JOIN th ON th.symbol = er.symbol),
+        |fs AS (SELECT *, CASE WHEN breach = 1
+        |      AND coalesce(lag(breach) OVER w, 0) = 0
+        |    THEN 1 ELSE 0 END AS start
+        |  FROM fb WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |fr AS (SELECT *, CAST(sum(start) OVER (PARTITION BY symbol
+        |    ORDER BY date, CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run_id
+        |  FROM fs),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY symbol, run_id
+        |    ORDER BY date, CASE WHEN win = 'morning' THEN 0 ELSE 1 END)
+        |    AS rn_in_run
+        |  FROM fr WHERE breach = 1),
+        |runs AS (SELECT symbol, run_id, count(*) AS run_len,
+        |    min(CASE WHEN rn_in_run = $stalenessRun THEN date END)
+        |      AS alert_date
+        |  FROM rr GROUP BY 1, 2),
+        |ps AS (SELECT symbol,
+        |    CAST(sum(run_len) AS BIGINT) AS n_breach_w,
+        |    count(*) AS n_runs, max(run_len) AS longest_run,
+        |    CAST(sum(CASE WHEN run_len >= $stalenessRun
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+        |    min(alert_date) AS first_alert_date
+        |  FROM runs GROUP BY 1),
+        |nw AS (SELECT symbol, count(*) AS n_windows FROM fb GROUP BY 1)
+        |SELECT nw.symbol, nw.n_windows,
+        |  coalesce(ps.n_breach_w, 0) AS n_breach_w,
+        |  coalesce(ps.n_runs, 0) AS n_runs,
+        |  coalesce(ps.longest_run, 0) AS longest_run,
+        |  coalesce(ps.n_alerts, 0) AS n_alerts,
+        |  ps.first_alert_date
+        |FROM nw LEFT JOIN ps ON ps.symbol = nw.symbol
+        |ORDER BY nw.symbol""".stripMargin,
     // D77 — walk-forward model retrain: the slot chain's `slots`/`rk`
     // CTEs crossed with the fold grid, the scaler/centroid/error
     // chain re-run per fold with the fold key riding along, fold-train

@@ -1732,6 +1732,71 @@ object Features {
       .orderBy("symbol")
   }
 
+  /** D83 — MODEL-STALENESS / BREACH-RUN REPORT (G42's batch twin;
+    * ref: README.md §8.2 retraining cycles, §11 metric tracking —
+    * the "does this model need retraining" evidence table): per
+    * symbol, every session window scored against the DEPLOYED
+    * threshold (the test-percentile qu — exactly what G40/G42 ship),
+    * consecutive breaches clustered into maximal runs (D26's
+    * run-id idiom: lag + running sum of run starts on the SAME
+    * (symbol) exchange), reporting windows scored, windows breached,
+    * run count, longest run, retrain alerts (runs reaching
+    * `consecutive` — G42's rule), and the date of the first alert
+    * (min over each run's Nth window — a string min, engine-stable).
+    * Symbols whose threshold exists but never breach report zeros
+    * with NULL first alert (left join back to the roster — auditable
+    * absence, the B11 discipline). All exact int64 counts; the only
+    * doubles are the threshold compares (identical both engines).
+    * One exchange carries the lag, both running sums and the
+    * collapse; the frame is the window roster, never ticks. */
+  def stalenessReport(ticks: DataFrame, k: Int,
+                      trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                      pct: Double = 0.99,
+                      consecutive: Int = 3): DataFrame = {
+    require(consecutive >= 1, s"need >= 1 breach to alert: $consecutive")
+    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+    val errs = windowErrs(slots, k)
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+    val winOrd = when(col("win") === "morning", 0).otherwise(1)
+    val wSym = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
+    val wRun = wSym.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = errs.join(broadcast(thr), Seq("symbol"))
+      .withColumn("breach",
+        when(col("u_err").cast("double") > col("qu"), 1).otherwise(0))
+      .withColumn("start",
+        when(col("breach") === 1 &&
+          coalesce(lag(col("breach"), 1).over(wSym), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("run_id", sum(col("start")).over(wRun))
+      .localCheckpoint(true) // feeds the run stats + the roster
+    val runs = flagged.filter(col("breach") === 1)
+      .withColumn("rn_in_run", row_number().over(
+        Window.partitionBy("symbol", "run_id")
+          .orderBy(col("date"), winOrd)))
+      .groupBy("symbol", "run_id")
+      .agg(count(lit(1)).as("run_len"),
+        min(when(col("rn_in_run") === consecutive, col("date")))
+          .as("alert_date"))
+    val perSym = runs.groupBy("symbol")
+      .agg(sum(col("run_len")).as("n_breach_w"),
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("longest_run"),
+        sum(when(col("run_len") >= consecutive, 1L).otherwise(0L))
+          .as("n_alerts"),
+        min(col("alert_date")).as("first_alert_date"))
+    flagged.groupBy("symbol").agg(count(lit(1)).as("n_windows"))
+      .join(perSym, Seq("symbol"), "left")
+      .select(col("symbol"), col("n_windows"),
+        coalesce(col("n_breach_w"), lit(0L)).as("n_breach_w"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("n_alerts"), lit(0L)).as("n_alerts"),
+        col("first_alert_date"))
+      .orderBy("symbol")
+  }
+
   /** D82 — MODEL-PARAMETER MANIFEST (ref: ML Model/Model Parameters/
     * parameters.json + mlflow_utils.py's logged params/artifacts —
     * the serialized model the live endpoint loads): the trained

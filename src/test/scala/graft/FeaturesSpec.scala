@@ -728,6 +728,45 @@ class FeaturesSpec extends SparkSpec {
     assert(s2.getAs[Double]("hit_rate") == 1.0)
   }
 
+  test("stalenessReport: consecutive breaches cluster into runs, the " +
+      "Nth window of a long run dates the retrain alert; clean " +
+      "symbols report zeros with NULL alert") {
+    // symbol 1: 9 morning windows — d1-d5 train the shape, d6-d7
+    // drift hard (err ~80), d8 recovers, d9 drifts mildly (err ~20).
+    // qu = p99 of the test errors (d7-d9: ~80, 0, ~20) interpolates
+    // just below 80 -> only d6-d7 breach: ONE run of length 2, and
+    // with consecutive=2 the alert lands on d7.
+    // symbol 2: never drifts -> zero runs, NULL alert date.
+    def bump(d: Int): Double =
+      if (d == 6 || d == 7) 0.10 else if (d == 9) 0.05 else 0.0
+    val rows = (1 to 9).flatMap { d =>
+      (0 to 3).flatMap { i =>
+        Seq((d * 100L + i, 1L, f"2024-01-$d%02d 07:51:0$i",
+            1.00 + bump(d) + i * 0.01, 9.9),
+          (d * 100L + 50 + i, 2L, f"2024-01-$d%02d 07:51:0$i",
+            1.00 + i * 0.01, 9.9))
+      }
+    }
+    val out = Features.stalenessReport(ticks(rows: _*), 4,
+        consecutive = 2).collect()
+      .map(r => r.getAs[Long]("symbol") -> r).toMap
+    assert(out.size == 2)
+    val s1 = out(1L)
+    assert(s1.getAs[Long]("n_windows") == 9L)
+    assert(s1.getAs[Long]("n_breach_w") == 2L)
+    assert(s1.getAs[Long]("n_runs") == 1L)
+    assert(s1.getAs[Long]("longest_run") == 2L)
+    assert(s1.getAs[Long]("n_alerts") == 1L)
+    assert(s1.getAs[String]("first_alert_date") == "2024-01-07")
+    val s2 = out(2L)
+    assert(s2.getAs[Long]("n_windows") == 9L)
+    assert(s2.getAs[Long]("n_breach_w") == 0L)
+    assert(s2.getAs[Long]("n_runs") == 0L)
+    assert(s2.getAs[Long]("longest_run") == 0L)
+    assert(s2.getAs[Long]("n_alerts") == 0L)
+    assert(s2.isNullAt(s2.fieldIndex("first_alert_date")))
+  }
+
   test("modelParams: centroid/scaler/threshold manifest mirrors the " +
       "trained pipeline exactly; untrained symbols absent") {
     // symbol 1: the D76 corpus — 6 identical train shapes, so the
