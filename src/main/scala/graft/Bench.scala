@@ -55,9 +55,10 @@ object Bench {
         // localCheckpoint blocks): snapshot persisted RDDs, sweep
         // everything new after the query's action, keep pinned
         // cross-query caches. The sweep runs INSIDE the timed span?
-        // No — after the clock stops: its cost is bookkeeping only
-        // (non-blocking unpersist), and billing it to the query would
-        // punish checkpoint-using plans for the harness's hygiene.
+        // No — after the clock stops: it BLOCKS on block-manager
+        // removal (CkptGc.sweep's deliberate choice — see its doc),
+        // so billing it to the query would punish checkpoint-using
+        // plans for the harness's hygiene.
         val ckptBefore = CkptGc.snapshot(spark)
         val t0 = System.nanoTime()
         // Split plan-build+optimize ("compile") from execution so drift

@@ -32,8 +32,17 @@ import org.apache.spark.sql.SparkSession
   * shared).
   */
 object CkptGc {
+  // Pins are keyed "applicationId:rddId", never a bare RDD id: RDD
+  // ids are per-SparkContext counters starting at 0, so a bare id
+  // pinned by one session would wrongly shield a SAME-NUMBERED
+  // checkpoint of any later session in the same JVM from sweeping —
+  // re-creating the very leak this class exists to fix (r13 review
+  // finding; sbt test JVMs and repeated mains run many sessions).
   private val pinnedIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def pinKey(spark: SparkSession, id: Int): String =
+    s"${spark.sparkContext.applicationId}:$id"
 
   /** Quiet two cosmetic WARN floods in the contract mains ONLY
     * (tests and library users keep full logging):
@@ -74,7 +83,7 @@ object CkptGc {
     * creating thread sees its own localCheckpoint registered). */
   def pinNewSince(spark: SparkSession, before: Set[Int]): Unit = {
     val now = spark.sparkContext.getPersistentRDDs.keySet
-    now.diff(before).foreach(id => pinnedIds.add(id))
+    now.diff(before).foreach(id => pinnedIds.add(pinKey(spark, id)))
   }
 
   /** Snapshot the currently-persisted RDD ids (pass to [[sweep]] /
@@ -91,7 +100,7 @@ object CkptGc {
   def sweep(spark: SparkSession, before: Set[Int]): Unit = {
     val now = spark.sparkContext.getPersistentRDDs
     now.foreach { case (id, rdd) =>
-      if (!before.contains(id) && !pinnedIds.contains(id))
+      if (!before.contains(id) && !pinnedIds.contains(pinKey(spark, id)))
         rdd.unpersist(blocking = true)
     }
   }

@@ -120,7 +120,14 @@ object Demo {
     val mrows = manifest.collect().sortBy(_.getAs[Int]("i"))
     val (mMu, mSd) = (mrows.head.getAs[Double]("mu"),
       mrows.head.getAs[Double]("sd"))
-    val mCentroid = mrows.map(_.getAs[Double]("centroid_u").toLong).toSeq
+    // half-up sign-split quantization — the engine's rule, NOT
+    // .toLong truncation (a fractional centroid would deploy 1 micro
+    // low and silently diverge from the batch model)
+    val mCentroid = mrows.map { r =>
+      val x = r.getAs[Double]("centroid_u")
+      if (x >= 0) math.floor(x + 0.5).toLong
+      else -math.floor(-x + 0.5).toLong
+    }.toSeq
     val band = 500000.0 // ops-chosen alert band (err micros)
     val inL = MemoryStream[Tick]
     val qL = Streaming.retrainAlerts(inL.toDS(), 4,

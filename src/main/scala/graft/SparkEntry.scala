@@ -1707,6 +1707,66 @@ object SparkEntry {
       |      AS BIGINT) AS u_err
       |  FROM tt GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** D76-family shared oracle fragments (r13 review dedup): the
+    * session-close collapse and the position-machine CTE chain —
+    * ONE spelling interpolated into all five trading-layer duals
+    * (q_signal_backtest / q_backtest_report / q_book_report /
+    * q_latency_sensitivity / q_signal_sweep), so a fix can never
+    * desynchronize the copies. */
+  private lazy val sessionClosesSql: String =
+    s"""closes AS (SELECT user_id AS symbol,
+      |    strftime(ts, '%Y-%m-%d') AS date,
+      |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
+      |         WHEN hour(ts) = 13 AND minute(ts) >= 50
+      |           THEN 'afternoon' END AS win,
+      |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
+      |      AS close_cents
+      |  FROM events
+      |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+      |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The position machine over the TEST windows: lastu (entry
+    * direction) + closes + threshold join → signals → running
+    * position → pos_prev/dc, ending in `pp`. `thrJoin` supplies the
+    * threshold CTE join (plain `th` or the sweep's `thr3 t`),
+    * `extraBbCols` its projected columns, `part` the machine's
+    * partition keys, `extraPpCols` optional extra lag columns. */
+  private def positionChainSql(thrJoin: String, extraBbCols: String,
+                               part: String,
+                               extraPpCols: String = ""): String =
+    s"""lastu AS (SELECT symbol, date, win, u AS u_last
+      |  FROM uq WHERE i = ${tensorSlots - 1}),
+      |$sessionClosesSql,
+      |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+      |    l.u_last, c.close_cents$extraBbCols
+      |  FROM er
+      |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
+      |    AND l.win = er.win
+      |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
+      |    AND c.win = er.win
+      |  $thrJoin
+      |  WHERE er.split = 'test'),
+      |sg AS (SELECT *, CASE
+      |    WHEN CAST(u_err AS DOUBLE) > qu THEN
+      |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
+      |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(signalExitFrac)}
+      |      THEN 0 END AS sig
+      |  FROM bb),
+      |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
+      |      OVER (PARTITION BY $part ORDER BY date,
+      |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |      AS pos
+      |  FROM sg),
+      |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,$extraPpCols
+      |    close_cents - lag(close_cents) OVER w AS dc
+      |  FROM ps WINDOW w AS (PARTITION BY $part ORDER BY date,
+      |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))""".stripMargin
+
+  private lazy val testThresholdSql: String =
+    s"""th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
+      |  FROM er WHERE split = 'test' GROUP BY 1)""".stripMargin
+
   val ccOracleRounds = 6        // unrolled min-label rounds (sf0.1's
                                 // giant component converges in 3)
 
@@ -2245,8 +2305,7 @@ object SparkEntry {
         |ORDER BY split, pct""".stripMargin,
     "q_anomaly_pipeline" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1)
+        |$testThresholdSql
         |SELECT er.symbol, er.date, er.win, er.split,
         |  CAST(u_err AS DOUBLE) / 1000000.0 + 0.0 AS err,
         |  (er.split = 'test' AND th.qu IS NOT NULL
@@ -2353,45 +2412,9 @@ object SparkEntry {
     // exact-int close-to-close P&L (no float surface at all).
     "q_signal_backtest" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1),
-        |lastu AS (SELECT symbol, date, win, u AS u_last
-        |  FROM uq WHERE i = ${tensorSlots - 1}),
-        |closes AS (SELECT user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
-        |           THEN 'afternoon' END AS win,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS close_cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
-        |  GROUP BY 1, 2, 3),
-        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
-        |    l.u_last, c.close_cents, th.qu
-        |  FROM er
-        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
-        |    AND l.win = er.win
-        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
-        |    AND c.win = er.win
-        |  JOIN th ON th.symbol = er.symbol
-        |  WHERE er.split = 'test'),
-        |sg AS (SELECT *, CASE
-        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
-        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
-        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
-        |      THEN 0 END AS sig
-        |  FROM bb),
-        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
-        |      OVER (PARTITION BY symbol ORDER BY date,
-        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |      AS pos
-        |  FROM sg),
-        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
-        |    close_cents - lag(close_cents) OVER w AS dc
-        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
-        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |$testThresholdSql,
+        |${positionChainSql("JOIN th ON th.symbol = er.symbol",
+          ", th.qu", "symbol")}
         |SELECT symbol, count(*) AS n_windows,
         |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
@@ -2405,8 +2428,7 @@ object SparkEntry {
     // the per-symbol window roster, runs collapsed to the report.
     "q_staleness_report" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |$testThresholdSql,
         |fb AS (SELECT er.symbol, er.date, er.win,
         |    CASE WHEN CAST(er.u_err AS DOUBLE) > th.qu
         |      THEN 1 ELSE 0 END AS breach
@@ -2516,45 +2538,9 @@ object SparkEntry {
     // division.
     "q_backtest_report" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1),
-        |lastu AS (SELECT symbol, date, win, u AS u_last
-        |  FROM uq WHERE i = ${tensorSlots - 1}),
-        |closes AS (SELECT user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
-        |           THEN 'afternoon' END AS win,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS close_cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
-        |  GROUP BY 1, 2, 3),
-        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
-        |    l.u_last, c.close_cents, th.qu
-        |  FROM er
-        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
-        |    AND l.win = er.win
-        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
-        |    AND c.win = er.win
-        |  JOIN th ON th.symbol = er.symbol
-        |  WHERE er.split = 'test'),
-        |sg AS (SELECT *, CASE
-        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
-        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
-        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
-        |      THEN 0 END AS sig
-        |  FROM bb),
-        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
-        |      OVER (PARTITION BY symbol ORDER BY date,
-        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |      AS pos
-        |  FROM sg),
-        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
-        |    close_cents - lag(close_cents) OVER w AS dc
-        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
-        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |$testThresholdSql,
+        |${positionChainSql("JOIN th ON th.symbol = er.symbol",
+          ", th.qu", "symbol")},
         |pw AS (SELECT *, CAST(CASE WHEN dc IS NOT NULL
         |    THEN pos_prev * dc ELSE 0 END AS BIGINT) AS pnl FROM pp),
         |cm AS (SELECT *, CAST(sum(pnl) OVER wr AS BIGINT) AS cum
@@ -2587,45 +2573,9 @@ object SparkEntry {
     // min-over-equality (engine-stable tie-break).
     "q_book_report" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1),
-        |lastu AS (SELECT symbol, date, win, u AS u_last
-        |  FROM uq WHERE i = ${tensorSlots - 1}),
-        |closes AS (SELECT user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
-        |           THEN 'afternoon' END AS win,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS close_cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
-        |  GROUP BY 1, 2, 3),
-        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
-        |    l.u_last, c.close_cents, th.qu
-        |  FROM er
-        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
-        |    AND l.win = er.win
-        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
-        |    AND c.win = er.win
-        |  JOIN th ON th.symbol = er.symbol
-        |  WHERE er.split = 'test'),
-        |sg AS (SELECT *, CASE
-        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
-        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
-        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
-        |      THEN 0 END AS sig
-        |  FROM bb),
-        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
-        |      OVER (PARTITION BY symbol ORDER BY date,
-        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |      AS pos
-        |  FROM sg),
-        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
-        |    close_cents - lag(close_cents) OVER w AS dc
-        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
-        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |$testThresholdSql,
+        |${positionChainSql("JOIN th ON th.symbol = er.symbol",
+          ", th.qu", "symbol")},
         |pw AS (SELECT *, CAST(CASE WHEN dc IS NOT NULL
         |    THEN pos_prev * dc ELSE 0 END AS BIGINT) AS pnl FROM pp),
         |stp AS (SELECT date, win, CAST(sum(pnl) AS BIGINT) AS book_pnl
@@ -2661,46 +2611,10 @@ object SparkEntry {
     // step; decay = paper − delayed, all exact int64.
     "q_latency_sensitivity" ->
       s"""WITH $windowErrSql,
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1),
-        |lastu AS (SELECT symbol, date, win, u AS u_last
-        |  FROM uq WHERE i = ${tensorSlots - 1}),
-        |closes AS (SELECT user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
-        |           THEN 'afternoon' END AS win,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS close_cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
-        |  GROUP BY 1, 2, 3),
-        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
-        |    l.u_last, c.close_cents, th.qu
-        |  FROM er
-        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
-        |    AND l.win = er.win
-        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
-        |    AND c.win = er.win
-        |  JOIN th ON th.symbol = er.symbol
-        |  WHERE er.split = 'test'),
-        |sg AS (SELECT *, CASE
-        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
-        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
-        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
-        |      THEN 0 END AS sig
-        |  FROM bb),
-        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
-        |      OVER (PARTITION BY symbol ORDER BY date,
-        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |      AS pos
-        |  FROM sg),
-        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
-        |    coalesce(lag(pos, 2) OVER w, 0) AS pos_prev2,
-        |    close_cents - lag(close_cents) OVER w AS dc
-        |  FROM ps WINDOW w AS (PARTITION BY symbol ORDER BY date,
-        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |$testThresholdSql,
+        |${positionChainSql("JOIN th ON th.symbol = er.symbol",
+          ", th.qu", "symbol",
+          " coalesce(lag(pos, 2) OVER w, 0) AS pos_prev2,")}
         |SELECT symbol, count(*) AS n_windows,
         |  CAST(sum(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
         |    ELSE 0 END) AS BIGINT) AS pnl_cents,
@@ -2722,43 +2636,8 @@ object SparkEntry {
       }.mkString("\n  UNION ALL ")
       s"""WITH $windowErrSql,
         |thr3 AS ($thrUnion),
-        |lastu AS (SELECT symbol, date, win, u AS u_last
-        |  FROM uq WHERE i = ${tensorSlots - 1}),
-        |closes AS (SELECT user_id AS symbol,
-        |    strftime(ts, '%Y-%m-%d') AS date,
-        |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
-        |         WHEN hour(ts) = 13 AND minute(ts) >= 50
-        |           THEN 'afternoon' END AS win,
-        |    max_by(CAST(round(value * 100.0, 0) AS BIGINT), event_id)
-        |      AS close_cents
-        |  FROM events
-        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
-        |  GROUP BY 1, 2, 3),
-        |bb AS (SELECT er.symbol, er.date, er.win, er.u_err,
-        |    l.u_last, c.close_cents, t.pct, t.qu
-        |  FROM er
-        |  JOIN lastu l ON l.symbol = er.symbol AND l.date = er.date
-        |    AND l.win = er.win
-        |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
-        |    AND c.win = er.win
-        |  JOIN thr3 t ON t.symbol = er.symbol
-        |  WHERE er.split = 'test'),
-        |sg AS (SELECT *, CASE
-        |    WHEN CAST(u_err AS DOUBLE) > qu THEN
-        |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
-        |    WHEN CAST(u_err AS DOUBLE) <= qu * ${Features.dlit(0.5)}
-        |      THEN 0 END AS sig
-        |  FROM bb),
-        |ps AS (SELECT *, coalesce(last_value(sig IGNORE NULLS)
-        |      OVER (PARTITION BY symbol, pct ORDER BY date,
-        |        CASE WHEN win = 'morning' THEN 0 ELSE 1 END
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
-        |      AS pos
-        |  FROM sg),
-        |pp AS (SELECT *, coalesce(lag(pos) OVER w, 0) AS pos_prev,
-        |    close_cents - lag(close_cents) OVER w AS dc
-        |  FROM ps WINDOW w AS (PARTITION BY symbol, pct ORDER BY date,
-        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END))
+        |${positionChainSql("JOIN thr3 t ON t.symbol = er.symbol",
+          ", t.pct, t.qu", "symbol, pct")}
         |SELECT pct, count(*) AS n_windows,
         |  CAST(sum(CASE WHEN pos <> 0 AND pos <> pos_prev
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_trades,
@@ -2784,8 +2663,7 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_test_w
         |  FROM er GROUP BY 1),
-        |th AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct) AS qu
-        |  FROM er WHERE split = 'test' GROUP BY 1)
+        |$testThresholdSql
         |SELECT m.symbol, m.i, CAST(m.su AS DOUBLE) / m.n_ct
         |    AS centroid_u,
         |  t.n_train_w, t.n_test_w, s.mu, s.sd, th.qu

@@ -1206,7 +1206,10 @@ object Features {
   def anomalyPipeline(ticks: DataFrame, k: Int,
                       trainRatio: Double = 0.6, valRatio: Double = 0.2,
                       pct: Double = 0.99): DataFrame = {
-    val errsCk = windowErrs(windowSlots(ticks, k, trainRatio, valRatio), k)
+    // checkpoint the scaled frame: windowErrs consumes it twice
+    // (train means + terms), the sibling call sites' discipline
+    val errsCk = windowErrs(windowSlots(ticks, k, trainRatio, valRatio)
+      .localCheckpoint(true), k)
     val thr = errsCk.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
@@ -1315,6 +1318,7 @@ object Features {
       .withColumn("u", expr(
         "CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0D + 0.5D)" +
           " ELSE -floor(-x * 1000000.0D + 0.5D) END AS BIGINT)"))
+      .localCheckpoint(true) // feeds the centroid agg + the terms join
     // per-(fold, symbol, i) train centroid + per-window error — the
     // windowErrs chain with the fold key riding along
     val tm = ux.filter(col("role") === "train")
@@ -1632,6 +1636,31 @@ object Features {
         sum(col("pnl")).as("pnl_cents"))
       .orderBy("symbol")
 
+  /** Window close = slot k−1 (the linspace/pad map lands the LAST
+    * tick there for every n); its scaled value signs the deviation
+    * direction. One spelling for D76/D81 (r13 review dedup). */
+  private def lastSlotU(slots: DataFrame, k: Int): DataFrame =
+    slots.filter(col("i") === k - 1)
+      .select(col("symbol"), col("date"), col("win"),
+        col("u").as("u_last"))
+
+  /** Exact-cent session-window closes straight off the ticks (the
+    * slot frame carries scaled micros, P&L wants raw cents). One
+    * spelling for D76/D81 (r13 review dedup). */
+  private def sessionCloses(ticks: DataFrame): DataFrame = {
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname =
+      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
+        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+          "afternoon")
+    ticks
+      .withColumn("win", wname).filter(col("win").isNotNull)
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .groupBy("symbol", "date", "win")
+      .agg(max_by(col("cents"), col("tick_id")).as("close_cents"))
+  }
+
   /** The D76 per-window traded frame — one row per (symbol, TEST
     * window) carrying the position machine's pos/pos_prev and the
     * exact-cent P&L step. Shared by the D76 aggregate report and the
@@ -1647,27 +1676,9 @@ object Features {
     val thr = errs.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
-    // window close = slot k-1 (the linspace/pad map lands the LAST
-    // tick there for every n); deviation direction = its sign
-    val lastU = slots.filter(col("i") === k - 1)
-      .select(col("symbol"), col("date"), col("win"),
-        col("u").as("u_last"))
-    // exact-cent window closes straight off the session ticks (the
-    // slot frame carries scaled micros, P&L wants raw cents)
-    val h = hour(col("ts")); val m = minute(col("ts"))
-    val wname =
-      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
-        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
-          "afternoon")
-    val closes = ticks
-      .withColumn("win", wname).filter(col("win").isNotNull)
-      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
-      .groupBy("symbol", "date", "win")
-      .agg(max_by(col("cents"), col("tick_id")).as("close_cents"))
     val base = errs.filter(col("split") === "test")
-      .join(lastU, Seq("symbol", "date", "win"))
-      .join(closes, Seq("symbol", "date", "win"))
+      .join(lastSlotU(slots, k), Seq("symbol", "date", "win"))
+      .join(sessionCloses(ticks), Seq("symbol", "date", "win"))
       .join(broadcast(thr), Seq("symbol"))
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val wSym = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
@@ -1755,6 +1766,7 @@ object Features {
                       consecutive: Int = 3): DataFrame = {
     require(consecutive >= 1, s"need >= 1 breach to alert: $consecutive")
     val slots = windowSlots(ticks, k, trainRatio, valRatio)
+      .localCheckpoint(true) // windowErrs reads it twice
     val errs = windowErrs(slots, k)
     val thr = errs.filter(col("split") === "test")
       .groupBy("symbol")
@@ -1819,6 +1831,7 @@ object Features {
     val tagged = taggedSlots(ticks, k, trainRatio, valRatio)
     val stats = trainScaler(tagged)
     val scaled = scaleSlots(tagged, stats)
+      .localCheckpoint(true) // feeds windowErrs (twice) + the centroid
     val errs = windowErrs(scaled, k)
     val tm = scaled.filter(col("split") === "train")
       .groupBy("symbol", "i")
@@ -1859,6 +1872,8 @@ object Features {
                   trainRatio: Double = 0.6, valRatio: Double = 0.2,
                   exitFrac: Double = 0.5): DataFrame = {
     require(pcts.nonEmpty, "need at least one percentile to sweep")
+    require(pcts.map(pctTag).distinct.length == pcts.length,
+      s"sweep percentiles collide after tagging: $pcts")
     require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
     val slots = windowSlots(ticks, k, trainRatio, valRatio)
       .localCheckpoint(true)
@@ -1872,23 +1887,9 @@ object Features {
       s"stack(${pcts.length}, " + pcts.zipWithIndex.map { case (p, j) =>
         s"'${pctTag(p)}', qu_$j"
       }.mkString(", ") + ") AS (pct, qu)"))
-    val lastU = slots.filter(col("i") === k - 1)
-      .select(col("symbol"), col("date"), col("win"),
-        col("u").as("u_last"))
-    val h = hour(col("ts")); val m = minute(col("ts"))
-    val wname =
-      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
-        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
-          "afternoon")
-    val closes = ticks
-      .withColumn("win", wname).filter(col("win").isNotNull)
-      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
-      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
-      .groupBy("symbol", "date", "win")
-      .agg(max_by(col("cents"), col("tick_id")).as("close_cents"))
     val base = errs.filter(col("split") === "test")
-      .join(lastU, Seq("symbol", "date", "win"))
-      .join(closes, Seq("symbol", "date", "win"))
+      .join(lastSlotU(slots, k), Seq("symbol", "date", "win"))
+      .join(sessionCloses(ticks), Seq("symbol", "date", "win"))
       .join(broadcast(thrL), Seq("symbol"))
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val wSym = Window.partitionBy("symbol", "pct")
@@ -1918,9 +1919,16 @@ object Features {
       .orderBy("pct")
   }
 
-  /** Fixed-width percentile tag ('0.90') — a STRING sweep key, so
-    * the grid join/groupBy never compares floats. */
-  def pctTag(p: Double): String = f"$p%.2f"
+  /** Percentile tag ('0.9', '0.995') — a STRING sweep key, so the
+    * grid join/groupBy never compares floats. Full decimal expansion
+    * (shortest round-trip repr), never a fixed-width format: %.2f
+    * collapsed 0.99 and 0.995 to the same key and the sweep silently
+    * merged two threshold configurations (r13 review finding). */
+  def pctTag(p: Double): String = {
+    val s = java.math.BigDecimal.valueOf(p).stripTrailingZeros
+      .toPlainString
+    s
+  }
 
   /** D80 — EXECUTION-LATENCY SENSITIVITY (ref: README.md §10.2 "live
     * /demo execution — execution logic separated from model logic";

@@ -506,7 +506,16 @@ object TextDedup {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  def pairCensus(docs: DataFrame, cacheKey: String): DataFrame =
+  def pairCensus(docs: DataFrame, cacheKey: String): DataFrame = {
+    // purge entries of STOPPED sessions first: a stopped session's
+    // checkpoint blocks are unrecoverable (localCheckpoint has no
+    // lineage), so a retained entry would both leak the dead session
+    // and serve a frame that fails on next use (r13 review finding —
+    // sbt test JVMs and repeated mains cycle many sessions)
+    val it = pairCensusCache.keySet.iterator()
+    while (it.hasNext) {
+      if (it.next()._1.sparkContext.isStopped) it.remove()
+    }
     pairCensusCache.computeIfAbsent((docs.sparkSession, cacheKey), _ => {
       val ss = docs.sparkSession
       val before = graft.CkptGc.snapshot(ss)
@@ -518,6 +527,7 @@ object TextDedup {
       graft.CkptGc.sweep(ss, before)      // drop the sig-frame ckpt
       out
     })
+  }
 
   def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {
     candidatePairStats(docs, samplePct)

@@ -1492,8 +1492,65 @@ object Streaming {
   /** G40 keyed state: the OPEN session window's (day, win) and its
     * tick-cents buffer (bounded by construction — a session window is
     * ten minutes of one symbol's tape). */
+  /** ONE spelling of the session-window deployment arithmetic shared
+    * by G40/G41/G42 (the engine's most parity-critical chain — three
+    * private copies drifted in r13 and the review flagged it):
+    * UTC calendar parts, the daily session-axis slot, and the exact
+    * D66/D67 window scoring (linspace/pad slot map, train-scaler
+    * standardization, 1e-6 sign-split quantization, ascending-slot
+    * centroid-error fold) returning (uErr micros, scaled LAST slot —
+    * the entry-direction signal G41 needs). */
+  private[streaming] object SessionScoring extends Serializable {
+    def sessionUtcParts(ts: Timestamp): (String, Int, Int) = {
+      val z = java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC)
+      (z.toLocalDate.toString, z.getHour, z.getMinute)
+    }
+
+    def sessionSlotOf(h: Int, m: Int): Int = {
+      import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
+      if (h < MorningH || (h == MorningH && m < FromMin)) 0
+      else if (h == MorningH) 1
+      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
+      else if (h == AfternoonH) 3
+      else 4
+    }
+
+    def windowUErr(k: Int, scalers: Map[Long, (Double, Double)],
+                   centroids: Map[Long, Seq[Long]])
+                  (symbol: Long, buf: List[Long]): (Long, Long) = {
+      val n = buf.length
+      val slots = (0 until k).map { i =>
+        val j =
+          if (n == 1) 0
+          else if (n >= k) (i * (n - 1)) / (k - 1)
+          else ((i + 1) * (n - 1) - 1) / (k - 1)
+        buf(j)
+      }
+      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
+      val u = slots.map { c =>
+        val x = if (sd > 0) (c - mu) / sd else 0.0
+        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
+        else -math.floor(-x * 1000000.0 + 0.5).toLong
+      }
+      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
+      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
+        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
+      }
+      (math.floor(e0 / k * 1000000.0 + 0.5).toLong, u.last)
+    }
+  }
+  import SessionScoring.{sessionUtcParts, sessionSlotOf, windowUErr}
+
+  /** G40 keyed state: the open-window register plus the last-closed
+    * marker — after a close the state must survive (not be removed)
+    * so a late cross-batch tick can never re-open and RESTATE an
+    * already-scored window (Append cannot retract; found by the r13
+    * review — G41/G42 carried the marker, G40 did not). */
   case class WindowAnomState(curDay: String, curWin: String,
-                             buf: List[Long])
+                             buf: List[Long],
+                             lastClosedDay: String = "",
+                             lastClosedSlot: Int = -1)
   case class WindowScore(symbol: Long, date: String, win: String,
                          n_ticks: Long, err: Double, is_anomaly: Boolean)
 
@@ -1525,47 +1582,17 @@ object Streaming {
       : Dataset[WindowScore] = {
     import ticks.sparkSession.implicits._
     require(k >= 2, s"need >= 2 slots: $k")
-    def utcParts(ts: Timestamp): (String, Int, Int) = {
-      val z = java.time.Instant.ofEpochMilli(ts.getTime)
-        .atZone(java.time.ZoneOffset.UTC)
-      (z.toLocalDate.toString, z.getHour, z.getMinute)
-    }
-    // session bounds live in ONE place (TickOps — B1's constants)
-    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
-    // position on the daily session axis: 0 <m | 1 morning | 2 mid |
-    // 3 afternoon | 4 after — a tick CLOSES any open window whose
-    // (day, slot) sorts strictly earlier
-    def slotOf(h: Int, m: Int): Int =
-      if (h < MorningH || (h == MorningH && m < FromMin)) 0
-      else if (h == MorningH) 1
-      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
-      else if (h == AfternoonH) 3
-      else 4
+    // calendar/slot/scoring arithmetic: the SHARED G40/G41/G42
+    // spelling (sessionUtcParts / sessionSlotOf / windowUErr)
+    val utcParts = sessionUtcParts _
+    val slotOf = sessionSlotOf _
     def winName(slot: Int): String =
       if (slot == 1) "morning" else "afternoon"
     def score(symbol: Long, day: String, win: String,
               buf: List[Long]): WindowScore = {
-      val n = buf.length
-      val slots = (0 until k).map { i =>
-        val j =
-          if (n == 1) 0
-          else if (n >= k) (i * (n - 1)) / (k - 1)
-          else ((i + 1) * (n - 1) - 1) / (k - 1)
-        buf(j)
-      }
-      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
-      val u = slots.map { c =>
-        val x = if (sd > 0) (c - mu) / sd else 0.0
-        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
-        else -math.floor(-x * 1000000.0 + 0.5).toLong
-      }
-      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
-      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
-        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
-      }
-      val uErr = math.floor(e0 / k * 1000000.0 + 0.5).toLong
+      val (uErr, _) = windowUErr(k, scalers, centroids)(symbol, buf)
       val flag = thresholds.get(symbol).exists(q => uErr.toDouble > q)
-      WindowScore(symbol, day, win, n.toLong,
+      WindowScore(symbol, day, win, buf.length.toLong,
         uErr.toDouble / 1000000.0, flag)
     }
     ticks.groupByKey(_.symbol)
@@ -1579,27 +1606,36 @@ object Streaming {
             val (d, h, m) = utcParts(t.ts)
             val slot = slotOf(h, m)
             val curSlot = if (st == null || st.curWin == "morning") 1 else 3
-            // close the open window once the tape moves past it
+            // close the open window once the tape moves past it —
+            // keeping the state alive with the last-closed marker
+            // (st = null would let a later late tick re-open and
+            // restate the scored window)
             if (st != null && st.buf.nonEmpty &&
                 (d > st.curDay || (d == st.curDay && slot > curSlot))) {
               out += score(symbol, st.curDay, st.curWin, st.buf)
-              st = null
+              st = st.copy(curDay = "", curWin = "", buf = Nil,
+                lastClosedDay = st.curDay,
+                lastClosedSlot = if (st.curWin == "morning") 1 else 3)
             }
             if (slot == 1 || slot == 3) {
               val w = winName(slot)
               val c = math.round(t.bid * 100.0)
               // a late cross-batch tick whose (day, slot) sorts
-              // EARLIER than the open window is dropped, not
-              // appended: appending would mis-attribute it to the
-              // open window and diverge from the batch windowSlots
-              // assignment (its own window already closed and
-              // emitted — Append mode cannot restate it; G14's
+              // EARLIER than the open window — or at-or-before the
+              // last CLOSED window — is dropped, not appended:
+              // appending would mis-attribute it to the open window,
+              // and re-opening a closed window would emit a duplicate
+              // restated score (Append mode cannot retract; G14's
               // late-data discipline)
-              val late = st != null &&
-                (d < st.curDay || (d == st.curDay && slot < curSlot))
+              val late = st != null && ((st.buf.nonEmpty &&
+                (d < st.curDay || (d == st.curDay && slot < curSlot))) ||
+                d < st.lastClosedDay ||
+                (d == st.lastClosedDay && slot <= st.lastClosedSlot))
               if (!late) {
                 st =
                   if (st == null) WindowAnomState(d, w, List(c))
+                  else if (st.buf.isEmpty)
+                    st.copy(curDay = d, curWin = w, buf = List(c))
                   else st.copy(buf = st.buf :+ c)
               }
             }
@@ -1644,42 +1680,11 @@ object Streaming {
     import ticks.sparkSession.implicits._
     require(k >= 2, s"need >= 2 slots: $k")
     require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
-    def utcParts(ts: Timestamp): (String, Int, Int) = {
-      val z = java.time.Instant.ofEpochMilli(ts.getTime)
-        .atZone(java.time.ZoneOffset.UTC)
-      (z.toLocalDate.toString, z.getHour, z.getMinute)
-    }
-    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
-    def slotOf(h: Int, m: Int): Int =
-      if (h < MorningH || (h == MorningH && m < FromMin)) 0
-      else if (h == MorningH) 1
-      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
-      else if (h == AfternoonH) 3
-      else 4
-    // D66's slot map + scaling + D67's centroid error — G40's exact
-    // arithmetic (uErr micros) plus the scaled LAST slot for the
-    // entry direction
-    def scoreBuf(symbol: Long, buf: List[Long]): (Long, Long) = {
-      val n = buf.length
-      val slots = (0 until k).map { i =>
-        val j =
-          if (n == 1) 0
-          else if (n >= k) (i * (n - 1)) / (k - 1)
-          else ((i + 1) * (n - 1) - 1) / (k - 1)
-        buf(j)
-      }
-      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
-      val u = slots.map { c =>
-        val x = if (sd > 0) (c - mu) / sd else 0.0
-        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
-        else -math.floor(-x * 1000000.0 + 0.5).toLong
-      }
-      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
-      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
-        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
-      }
-      (math.floor(e0 / k * 1000000.0 + 0.5).toLong, u.last)
-    }
+    // calendar/slot/scoring arithmetic: the SHARED G40/G41/G42
+    // spelling — (uErr micros, scaled LAST slot for entry direction)
+    val utcParts = sessionUtcParts _
+    val slotOf = sessionSlotOf _
+    val scoreBuf = windowUErr(k, scalers, centroids) _
     ticks.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
@@ -1781,41 +1786,12 @@ object Streaming {
     import ticks.sparkSession.implicits._
     require(k >= 2, s"need >= 2 slots: $k")
     require(consecutive >= 1, s"need >= 1 breach to alert: $consecutive")
-    def utcParts(ts: Timestamp): (String, Int, Int) = {
-      val z = java.time.Instant.ofEpochMilli(ts.getTime)
-        .atZone(java.time.ZoneOffset.UTC)
-      (z.toLocalDate.toString, z.getHour, z.getMinute)
-    }
-    import graft.operators.TickOps.{MorningH, AfternoonH, FromMin}
-    def slotOf(h: Int, m: Int): Int =
-      if (h < MorningH || (h == MorningH && m < FromMin)) 0
-      else if (h == MorningH) 1
-      else if (h < AfternoonH || (h == AfternoonH && m < FromMin)) 2
-      else if (h == AfternoonH) 3
-      else 4
-    // D66's slot map + scaling + D67's centroid error — G40's exact
+    // calendar/slot/scoring arithmetic: the SHARED G40/G41/G42
     // spelling (micros int64)
-    def uErrOf(symbol: Long, buf: List[Long]): Long = {
-      val n = buf.length
-      val slots = (0 until k).map { i =>
-        val j =
-          if (n == 1) 0
-          else if (n >= k) (i * (n - 1)) / (k - 1)
-          else ((i + 1) * (n - 1) - 1) / (k - 1)
-        buf(j)
-      }
-      val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
-      val u = slots.map { c =>
-        val x = if (sd > 0) (c - mu) / sd else 0.0
-        if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
-        else -math.floor(-x * 1000000.0 + 0.5).toLong
-      }
-      val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
-      val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
-        acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
-      }
-      math.floor(e0 / k * 1000000.0 + 0.5).toLong
-    }
+    val utcParts = sessionUtcParts _
+    val slotOf = sessionSlotOf _
+    def uErrOf(symbol: Long, buf: List[Long]): Long =
+      windowUErr(k, scalers, centroids)(symbol, buf)._1
     ticks.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {

@@ -1341,6 +1341,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G40: a late tick arriving AFTER its window closed with no " +
+      "window open cannot re-open it — no duplicate restated score") {
+    import graft.streaming.Streaming.WindowScore
+    // batch 1: the morning window closes via a MID-SESSION tick (slot
+    // 2 — nothing opens after the close, so the pre-fix code removed
+    // the state entirely). batch 2: a late morning tick would then
+    // have re-opened 01-08 morning and a second score row for the
+    // same window would appear once the tape moved on.
+    val feed1 = Seq(
+      Tick(1L, 1L, t("2024-01-08 07:51:00"), 1.00),
+      Tick(2L, 1L, t("2024-01-08 07:52:00"), 1.02),
+      Tick(3L, 1L, t("2024-01-08 10:00:00"), 1.00)) // closes morning
+    val feed2 = Seq(
+      Tick(4L, 1L, t("2024-01-08 07:54:00"), 9.99), // late, must drop
+      Tick(5L, 1L, t("2024-01-08 13:51:00"), 1.00), // afternoon opens
+      Tick(6L, 1L, t("2024-01-09 07:00:00"), 1.00)) // closes afternoon
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.windowAnomalyAlerts(in.toDS(), 4,
+        Map.empty, Map.empty, Map.empty)
+      .writeStream.format("memory").queryName("p_wa_late2")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(feed1: _*); q.processAllAvailable()
+      in.addData(feed2: _*); q.processAllAvailable()
+      val out = spark.table("p_wa_late2").as[WindowScore].collect()
+      // exactly ONE morning row (n_ticks 2) and one afternoon row —
+      // the late tick neither restated the morning nor opened a ghost
+      assert(out.map(w => (w.date, w.win) -> w.n_ticks).toMap ==
+        Map(("2024-01-08", "morning") -> 2L,
+          ("2024-01-08", "afternoon") -> 1L))
+      assert(out.length == 2)
+    } finally q.stop()
+  }
+
   test("G42: retrainAlerts fires once per breach-run at the Nth " +
       "consecutive out-of-band window, streak carrying across " +
       "micro-batches; in-band resets; untrained symbols silent") {
