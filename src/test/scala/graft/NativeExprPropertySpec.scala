@@ -265,4 +265,33 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(grownBySrc == refCap(grownIds, 4), s"seed=$seed")
     }
   }
+
+  test("sign-split 1e-6 quantization: the SQL spelling equals the " +
+      "Scala mirror bit-for-bit on arbitrary doubles") {
+    // The engine's most-replicated arithmetic: windowSlots'
+    // `CASE WHEN x >= 0 THEN floor(x*1e6+0.5) ELSE -floor(-x*1e6+0.5)
+    // END` is mirrored in the streaming SessionScoring helper and in
+    // every spec's hand-derivation. A drift between the SQL spelling
+    // and the Scala mirror would silently desynchronize batch,
+    // stream and specs — this property pins them together on random
+    // magnitudes across the whole scale range the scaler can emit.
+    def mirror(x: Double): Long =
+      if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
+      else -math.floor(-x * 1000000.0 + 0.5).toLong
+    val xGen: Gen[Double] = for {
+      mag <- Gen.choose(-12, 6) // 1e-12 .. 1e6 magnitudes
+      m <- Gen.choose(-999999999L, 999999999L)
+    } yield m.toDouble * math.pow(10.0, mag.toDouble - 3)
+    val cases = samples(xGen, 60) ++
+      Seq(0.0 -> 0L, -0.0 -> 0L, 0.4999999 -> 0L, -0.4999999 -> 0L,
+        5.0E-7 -> 0L, -5.0E-7 -> 0L).map { case (x, s) => x -> s }
+    cases.foreach { case (x, seed) =>
+      val got = Seq(Tuple1(x)).toDF("x")
+        .selectExpr("CAST(CASE WHEN x >= 0 THEN" +
+          " floor(x * 1000000.0D + 0.5D)" +
+          " ELSE -floor(-x * 1000000.0D + 0.5D) END AS BIGINT)")
+        .as[Long].collect().head
+      assert(got == mirror(x), s"seed=$seed x=$x")
+    }
+  }
 }
