@@ -91,6 +91,17 @@ object CkptGc {
   def snapshot(spark: SparkSession): Set[Int] =
     spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  /** Drop every pin belonging to `appId` — called by
+    * [[SessionFrameCache]]'s application-end listener so a stopped
+    * session's pins never outlive its (unrecoverable) checkpoint
+    * blocks. Without this the pin set grows monotonically across
+    * sessions in long-lived JVMs such as sbt test runners (r13
+    * advice). */
+  private[graft] def unpinApp(appId: String): Unit = {
+    val it = pinnedIds.iterator()
+    while (it.hasNext) if (it.next().startsWith(appId + ":")) it.remove()
+  }
+
   /** Unpersist every RDD persisted since `before`, except pinned
     * ones. Blocking: the block-manager removal completes before the
     * next query starts, so storage memory is deterministically free
@@ -98,6 +109,13 @@ object CkptGc {
     * and the tail of run 2 still ran under pressure). The sweep runs
     * OUTSIDE the per-query timed span either way. */
   def sweep(spark: SparkSession, before: Set[Int]): Unit = {
+    // Spark allows ONE live SparkContext per JVM, so any pin from a
+    // different applicationId is a dead session's — prune them here
+    // (belt to the listener's braces in SessionFrameCache).
+    val liveApp = spark.sparkContext.applicationId
+    val pit = pinnedIds.iterator()
+    while (pit.hasNext)
+      if (!pit.next().startsWith(liveApp + ":")) pit.remove()
     val now = spark.sparkContext.getPersistentRDDs
     now.foreach { case (id, rdd) =>
       if (!before.contains(id) && !pinnedIds.contains(pinKey(spark, id)))

@@ -678,27 +678,30 @@ object SparkEntry {
     // the ARRAY spelling (windowTensors) stays the library API but
     // array cells are unhashable in pandas comparators (r12 driver).
     "q_window_tensors" -> ((s, d) =>
-      Features.windowTensorRows(Tables.ticks(s, d), tensorSlots)),
+      Features.windowTensorRows(Tables.ticks(s, d), tensorSlots,
+        cacheKey = Some(d))),
     // D67 — end-to-end per-symbol anomaly pipeline: session filter →
     // window tensors → train-centroid error → p99 test-window flags.
     "q_anomaly_pipeline" -> ((s, d) =>
       Features.anomalyPipeline(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct)),
+        pct = reconFlagPct, cacheKey = Some(d))),
     // D68 — test-phase evaluation table: per split, mean error and
     // per-percentile thresholds + anomaly counts (test.py report).
     "q_error_profile" -> ((s, d) =>
-      Features.errorProfile(Tables.ticks(s, d), tensorSlots)),
+      Features.errorProfile(Tables.ticks(s, d), tensorSlots,
+        cacheKey = Some(d))),
     // D75 — ELM autoencoder: fixed dyadic hidden layer (softsign),
     // per-symbol ridge output layer solved closed-form (unrolled
     // Cholesky over exact int64 sums), p99 reconstruction flags.
     "q_nn_recon" -> ((s, d) =>
       Features.elmRecon(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct)),
+        pct = reconFlagPct, cacheKey = Some(d))),
     // D76 — model-signal backtest: D67 anomaly flags enter, error
     // recovery exits, exact-cent close-to-close P&L per symbol.
     "q_signal_backtest" -> ((s, d) =>
       Features.anomalySignalBacktest(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct, exitFrac = signalExitFrac)),
+        pct = reconFlagPct, exitFrac = signalExitFrac,
+        cacheKey = Some(d))),
     // D77 — walk-forward model retrain: expanding-origin per-fold
     // scaler/centroid/threshold re-fit, next-step out-of-sample
     // scoring (README §9.2 retraining cycles). minTrain=1/step=1
@@ -707,37 +710,41 @@ object SparkEntry {
     "q_walkforward_model" -> ((s, d) =>
       Features.walkForwardRetrain(Tables.ticks(s, d), tensorSlots,
         folds = wfFolds, minTrain = wfMinTrain, step = wfStep,
-        pct = reconFlagPct)),
+        pct = reconFlagPct, cacheKey = Some(d))),
     // D78 — backtest performance report: hit rate, exact-cent P&L and
     // max equity-curve drawdown over D76's per-window frame.
     "q_backtest_report" -> ((s, d) =>
       Features.backtestReport(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct, exitFrac = signalExitFrac)),
+        pct = reconFlagPct, exitFrac = signalExitFrac,
+        cacheKey = Some(d))),
     // D79 — book-level roll-up: portfolio equity curve + max drawdown
     // across symbols, best/worst contributors (min-id tie-break).
     "q_book_report" -> ((s, d) =>
       Features.bookReport(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct, exitFrac = signalExitFrac)),
+        pct = reconFlagPct, exitFrac = signalExitFrac,
+        cacheKey = Some(d))),
     // D80 — execution-latency sensitivity: paper vs one-window-late
     // P&L and the decay between them, exact cents.
     "q_latency_sensitivity" -> ((s, d) =>
       Features.latencySensitivity(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct, exitFrac = signalExitFrac)),
+        pct = reconFlagPct, exitFrac = signalExitFrac,
+        cacheKey = Some(d))),
     // D81 — threshold sweep: the position machine at every candidate
     // flag percentile, one error frame, |pcts| report rows.
     "q_signal_sweep" -> ((s, d) =>
       Features.signalSweep(Tables.ticks(s, d), tensorSlots, sweepPcts,
-        exitFrac = signalExitFrac)),
+        exitFrac = signalExitFrac, cacheKey = Some(d))),
     // D82 — model-parameter manifest: centroid/scaler/threshold as a
     // queryable table, one row per (symbol, slot).
     "q_model_params" -> ((s, d) =>
       Features.modelParams(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct)),
+        pct = reconFlagPct, cacheKey = Some(d))),
     // D83 — staleness report: consecutive-breach runs over the window
     // errors vs the deployed threshold, retrain alerts per G42's rule.
     "q_staleness_report" -> ((s, d) =>
       Features.stalenessReport(Tables.ticks(s, d), tensorSlots,
-        pct = reconFlagPct, consecutive = stalenessRun)),
+        pct = reconFlagPct, consecutive = stalenessRun,
+        cacheKey = Some(d))),
     "q_drawdown" -> ((s, d) => Features.drawdown(Tables.ticks(s, d))),
     // D26 — time-under-water stretches per symbol (exact-int windows).
     "q_drawdown_duration" -> ((s, d) =>

@@ -1041,8 +1041,9 @@ object Features {
     * r11 lesson), `+ 0.0` normalizing the signed zero. */
   def windowTensors(ticks: DataFrame, k: Int,
                     trainRatio: Double = 0.6,
-                    valRatio: Double = 0.2): DataFrame = {
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
+                    valRatio: Double = 0.2,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val slots = slotChain(ticks, k, trainRatio, valRatio, cacheKey).scaled
     slots
       .withColumn("el", expr("CAST(u AS DOUBLE) / 1000000.0D + 0.0D"))
       .groupBy(col("symbol"), col("date"), col("win"), col("split"),
@@ -1062,8 +1063,9 @@ object Features {
     * array spelling stays as the library's ML-handoff API. */
   def windowTensorRows(ticks: DataFrame, k: Int,
                        trainRatio: Double = 0.6,
-                       valRatio: Double = 0.2): DataFrame =
-    windowSlots(ticks, k, trainRatio, valRatio)
+                       valRatio: Double = 0.2,
+                       cacheKey: Option[String] = None): DataFrame =
+    slotChain(ticks, k, trainRatio, valRatio, cacheKey).scaled
       .withColumn("el", expr("CAST(u AS DOUBLE) / 1000000.0D + 0.0D"))
       .select(col("symbol"), col("date"), col("win"), col("split"),
         col("cnt").as("n_ticks"), col("i"), col("el"))
@@ -1129,6 +1131,16 @@ object Features {
                                  trainRatio: Double,
                                  valRatio: Double): DataFrame = {
     val (slots, rankFrame) = slotFrames(ticks, k)
+    taggedFrom(slots, rankFrame, trainRatio, valRatio)
+  }
+
+  /** [[taggedSlots]] body over pre-built [[slotFrames]] outputs — the
+    * seam the session-shared [[slotChain]] uses to derive the split
+    * tagging from its CHECKPOINTED slot/rank frames instead of
+    * re-scanning the tick fact. */
+  private def taggedFrom(slots: DataFrame, rankFrame: DataFrame,
+                         trainRatio: Double,
+                         valRatio: Double): DataFrame = {
     val ranked = rankFrame
       .withColumn("split",
         when(col("rn_w") <= floor(col("n_w") * trainRatio), "train")
@@ -1139,6 +1151,62 @@ object Features {
     slots.join(ranked, Seq("symbol", "date", "win"))
       .localCheckpoint(true)
   }
+
+  /** The session-shareable D66 slot-chain bundle: every frame the
+    * trading/model layer derives from the tick fact, checkpointed
+    * once —
+    *  - `slots`/`ranks`: [[slotFrames]]' raw outputs (D77's per-fold
+    *    retrain re-splits from these),
+    *  - `tagged`: the split-tagged unscaled frame (D82's scaler),
+    *  - `scaled`: [[windowSlots]]' scaled int64-micro frame,
+    *  - `errs`: [[windowErrs]]' per-window train-centroid errors.
+    * Values are bit-identical to the per-call spellings (same plans,
+    * checkpoints only add barriers). */
+  private[graft] final case class SlotChain(slots: DataFrame,
+                                            ranks: DataFrame,
+                                            tagged: DataFrame,
+                                            scaled: DataFrame,
+                                            errs: DataFrame)
+
+  private def buildSlotChain(ticks: DataFrame, k: Int,
+                             trainRatio: Double,
+                             valRatio: Double): SlotChain = {
+    val (s0, r0) = slotFrames(ticks, k)
+    val slots = s0.localCheckpoint(true)
+    val ranks = r0.localCheckpoint(true)
+    val tagged = taggedFrom(slots, ranks, trainRatio, valRatio)
+    val scaled = scaleSlots(tagged, trainScaler(tagged))
+      .localCheckpoint(true)
+    val errs = windowErrs(scaled, k)
+    SlotChain(slots, ranks, tagged, scaled, errs)
+  }
+
+  /** D66 slot chain, optionally SESSION-SHARED. Round 13 measured 11
+    * registry consumers (q_anomaly_pipeline … q_staleness_report)
+    * each re-deriving `taggedSlots`→`windowErrs` from the tick fact —
+    * ~20-30 s of redundant scan work per bench run and the reason
+    * q_error_profile led the driver heads at 16.3 s while
+    * q_anomaly_pipeline (the same chain) ran 3.1 s. With `cacheKey`
+    * set (the registry passes the sfDir), the whole bundle builds
+    * ONCE per (session, corpus, k, ratios) — the pairCensus
+    * discipline: pinned localCheckpoints served from
+    * [[graft.SessionFrameCache]], purged when the session stops.
+    * `cacheKey = None` (library callers, specs) builds uncached. */
+  private[graft] def slotChain(ticks: DataFrame, k: Int,
+                               trainRatio: Double, valRatio: Double,
+                               cacheKey: Option[String]): SlotChain =
+    cacheKey match {
+      case None => buildSlotChain(ticks, k, trainRatio, valRatio)
+      case Some(key) =>
+        val ss = ticks.sparkSession
+        graft.SessionFrameCache.getOrBuild(
+          ss, s"slotChain|$key|$k|$trainRatio|$valRatio") {
+          val before = graft.CkptGc.snapshot(ss)
+          val chain = buildSlotChain(ticks, k, trainRatio, valRatio)
+          graft.CkptGc.pinNewSince(ss, before)
+          chain
+        }
+    }
 
   /** The per-symbol TRAIN scaler off a [[taggedSlots]] frame —
     * population mean/σ of the train slot cents from exact int64 sums
@@ -1205,11 +1273,9 @@ object Features {
     * percentile over int64 inputs (D5 pairing). */
   def anomalyPipeline(ticks: DataFrame, k: Int,
                       trainRatio: Double = 0.6, valRatio: Double = 0.2,
-                      pct: Double = 0.99): DataFrame = {
-    // checkpoint the scaled frame: windowErrs consumes it twice
-    // (train means + terms), the sibling call sites' discipline
-    val errsCk = windowErrs(windowSlots(ticks, k, trainRatio, valRatio)
-      .localCheckpoint(true), k)
+                      pct: Double = 0.99,
+                      cacheKey: Option[String] = None): DataFrame = {
+    val errsCk = slotChain(ticks, k, trainRatio, valRatio, cacheKey).errs
     val thr = errsCk.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
@@ -1280,14 +1346,18 @@ object Features {
     * map-side-combinable with bounded broadcast joins back. */
   def walkForwardRetrain(ticks: DataFrame, k: Int, folds: Int,
                          minTrain: Int, step: Int,
-                         pct: Double = 0.99): DataFrame = {
+                         pct: Double = 0.99,
+                         cacheKey: Option[String] = None): DataFrame = {
     require(folds >= 1, s"need >= 1 fold: $folds")
     require(minTrain >= 1, s"need >= 1 seed train window: $minTrain")
     require(step >= 1, s"need >= 1 eval window per fold: $step")
-    val tagged = slotFrames(ticks, k) match { case (slots, ranks) =>
-      slots.join(ranks.select("symbol", "date", "win", "rn_w"),
+    // ratios don't matter to D77 (it re-splits per fold) but the
+    // cache key carries them — use the defaults so the registry
+    // consumers land on the ONE shared bundle
+    val chain = slotChain(ticks, k, 0.6, 0.2, cacheKey)
+    val tagged = chain.slots
+      .join(chain.ranks.select("symbol", "date", "win", "rn_w"),
         Seq("symbol", "date", "win")).localCheckpoint(true)
-    }
     val foldGrid = ticks.sparkSession.range(folds)
       .select(col("id").cast("long").as("fold"))
       .withColumn("origin", lit(minTrain.toLong) + col("fold") * step)
@@ -1372,8 +1442,9 @@ object Features {
     * errors k times). Mean is exact int division of ppm errors;
     * thresholds are the D5 percentile/quantile_cont pairing. */
   def errorProfile(ticks: DataFrame, k: Int,
-                   pcts: Seq[Double] = Seq(92.0, 99.5)): DataFrame = {
-    val errs = anomalyPipeline(ticks, k)
+                   pcts: Seq[Double] = Seq(92.0, 99.5),
+                   cacheKey: Option[String] = None): DataFrame = {
+    val errs = anomalyPipeline(ticks, k, cacheKey = cacheKey)
       .withColumn("u",
         expr("CAST(floor(err * 1000000.0D + 0.5D) AS BIGINT)"))
     val thrAggs = pcts.zipWithIndex.map { case (p, i) =>
@@ -1535,10 +1606,11 @@ object Features {
     * frame D66 already pays. */
   def elmRecon(ticks: DataFrame, k: Int,
                trainRatio: Double = 0.6, valRatio: Double = 0.2,
-               pct: Double = 0.99): DataFrame = {
+               pct: Double = 0.99,
+               cacheKey: Option[String] = None): DataFrame = {
     require(k >= 2, s"need >= 2 slots: $k")
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
-      .localCheckpoint(true) // feeds pivot, rhs and prediction
+    // feeds pivot, rhs and prediction (checkpointed in the chain)
+    val slots = slotChain(ticks, k, trainRatio, valRatio, cacheKey).scaled
     val pivAggs = (0 until k).map(i =>
       max(when(col("i") === i, col("u"))).as(s"s$i"))
     val winKey = Seq("symbol", "date", "win", "split")
@@ -1626,8 +1698,10 @@ object Features {
                             trainRatio: Double = 0.6,
                             valRatio: Double = 0.2,
                             pct: Double = 0.99,
-                            exitFrac: Double = 0.5): DataFrame =
-    signalWindowFrame(ticks, k, trainRatio, valRatio, pct, exitFrac)
+                            exitFrac: Double = 0.5,
+                            cacheKey: Option[String] = None): DataFrame =
+    signalWindowFrame(ticks, k, trainRatio, valRatio, pct, exitFrac,
+      cacheKey)
       .groupBy("symbol")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("pos") =!= 0 && col("pos") =!= col("pos_prev"), 1L)
@@ -1668,11 +1742,12 @@ object Features {
   private def signalWindowFrame(ticks: DataFrame, k: Int,
                                 trainRatio: Double, valRatio: Double,
                                 pct: Double,
-                                exitFrac: Double): DataFrame = {
+                                exitFrac: Double,
+                                cacheKey: Option[String]): DataFrame = {
     require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
-      .localCheckpoint(true)
-    val errs = windowErrs(slots, k)
+    val chain = slotChain(ticks, k, trainRatio, valRatio, cacheKey)
+    val slots = chain.scaled
+    val errs = chain.errs
     val thr = errs.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
@@ -1719,9 +1794,10 @@ object Features {
   def backtestReport(ticks: DataFrame, k: Int,
                      trainRatio: Double = 0.6, valRatio: Double = 0.2,
                      pct: Double = 0.99,
-                     exitFrac: Double = 0.5): DataFrame = {
+                     exitFrac: Double = 0.5,
+                     cacheKey: Option[String] = None): DataFrame = {
     val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
-      exitFrac)
+      exitFrac, cacheKey)
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val wRun = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -1763,11 +1839,10 @@ object Features {
   def stalenessReport(ticks: DataFrame, k: Int,
                       trainRatio: Double = 0.6, valRatio: Double = 0.2,
                       pct: Double = 0.99,
-                      consecutive: Int = 3): DataFrame = {
+                      consecutive: Int = 3,
+                      cacheKey: Option[String] = None): DataFrame = {
     require(consecutive >= 1, s"need >= 1 breach to alert: $consecutive")
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
-      .localCheckpoint(true) // windowErrs reads it twice
-    val errs = windowErrs(slots, k)
+    val errs = slotChain(ticks, k, trainRatio, valRatio, cacheKey).errs
     val thr = errs.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(u_err, $pct)").as("qu"))
@@ -1827,12 +1902,12 @@ object Features {
     * aggregates on calendar-bounded frames; output k rows/symbol. */
   def modelParams(ticks: DataFrame, k: Int,
                   trainRatio: Double = 0.6, valRatio: Double = 0.2,
-                  pct: Double = 0.99): DataFrame = {
-    val tagged = taggedSlots(ticks, k, trainRatio, valRatio)
-    val stats = trainScaler(tagged)
-    val scaled = scaleSlots(tagged, stats)
-      .localCheckpoint(true) // feeds windowErrs (twice) + the centroid
-    val errs = windowErrs(scaled, k)
+                  pct: Double = 0.99,
+                  cacheKey: Option[String] = None): DataFrame = {
+    val chain = slotChain(ticks, k, trainRatio, valRatio, cacheKey)
+    val stats = trainScaler(chain.tagged)
+    val scaled = chain.scaled
+    val errs = chain.errs
     val tm = scaled.filter(col("split") === "train")
       .groupBy("symbol", "i")
       .agg(sum(col("u")).as("su"), count(lit(1)).as("n_ct"))
@@ -1870,14 +1945,15 @@ object Features {
     * the same exchange, and the final collapse is |pcts| rows. */
   def signalSweep(ticks: DataFrame, k: Int, pcts: Seq[Double],
                   trainRatio: Double = 0.6, valRatio: Double = 0.2,
-                  exitFrac: Double = 0.5): DataFrame = {
+                  exitFrac: Double = 0.5,
+                  cacheKey: Option[String] = None): DataFrame = {
     require(pcts.nonEmpty, "need at least one percentile to sweep")
     require(pcts.map(pctTag).distinct.length == pcts.length,
       s"sweep percentiles collide after tagging: $pcts")
     require(exitFrac > 0 && exitFrac < 1, s"exitFrac in (0,1): $exitFrac")
-    val slots = windowSlots(ticks, k, trainRatio, valRatio)
-      .localCheckpoint(true)
-    val errs = windowErrs(slots, k)
+    val chain = slotChain(ticks, k, trainRatio, valRatio, cacheKey)
+    val slots = chain.scaled
+    val errs = chain.errs
     val aggs = pcts.zipWithIndex.map { case (p, j) =>
       expr(s"percentile(u_err, ${dlit(p)})").as(s"qu_$j")
     }
@@ -1946,9 +2022,10 @@ object Features {
   def latencySensitivity(ticks: DataFrame, k: Int,
                          trainRatio: Double = 0.6, valRatio: Double = 0.2,
                          pct: Double = 0.99,
-                         exitFrac: Double = 0.5): DataFrame = {
+                         exitFrac: Double = 0.5,
+                         cacheKey: Option[String] = None): DataFrame = {
     val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
-      exitFrac)
+      exitFrac, cacheKey)
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val wSym = Window.partitionBy("symbol").orderBy(col("date"), winOrd)
     t.withColumn("pos_prev2",
@@ -1982,9 +2059,11 @@ object Features {
   def bookReport(ticks: DataFrame, k: Int,
                  trainRatio: Double = 0.6, valRatio: Double = 0.2,
                  pct: Double = 0.99,
-                 exitFrac: Double = 0.5): DataFrame = {
+                 exitFrac: Double = 0.5,
+                 cacheKey: Option[String] = None): DataFrame = {
     val t = signalWindowFrame(ticks, k, trainRatio, valRatio, pct,
-      exitFrac).localCheckpoint(true) // feeds book steps + per-symbol
+      exitFrac, cacheKey)
+      .localCheckpoint(true) // feeds book steps + per-symbol
     val winOrd = when(col("win") === "morning", 0).otherwise(1)
     val steps = t.groupBy("date", "win")
       .agg(sum(col("pnl")).as("book_pnl"))

@@ -501,22 +501,13 @@ object TextDedup {
     * gone. Intermediates (the signature-frame checkpoint inside
     * candidatePairStats) are swept once the census materializes; the
     * census frame itself is pinned against [[CkptGc]]'s per-query
-    * sweep because it must outlive the query that built it. */
-  private val pairCensusCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), DataFrame]()
-
-  def pairCensus(docs: DataFrame, cacheKey: String): DataFrame = {
-    // purge entries of STOPPED sessions first: a stopped session's
-    // checkpoint blocks are unrecoverable (localCheckpoint has no
-    // lineage), so a retained entry would both leak the dead session
-    // and serve a frame that fails on next use (r13 review finding —
-    // sbt test JVMs and repeated mains cycle many sessions)
-    val it = pairCensusCache.keySet.iterator()
-    while (it.hasNext) {
-      if (it.next()._1.sparkContext.isStopped) it.remove()
-    }
-    pairCensusCache.computeIfAbsent((docs.sparkSession, cacheKey), _ => {
+    * sweep because it must outlive the query that built it. Caching,
+    * stopped-session purge and build-outside-lock concurrency all
+    * live in [[graft.SessionFrameCache]] (r13 advice: the build used
+    * to run Spark jobs inside a ConcurrentHashMap bin lock). */
+  def pairCensus(docs: DataFrame, cacheKey: String): DataFrame =
+    graft.SessionFrameCache.getOrBuild(
+      docs.sparkSession, s"pairCensus|$cacheKey") {
       val ss = docs.sparkSession
       val before = graft.CkptGc.snapshot(ss)
       val stats = candidatePairStats(docs, 100)
@@ -526,8 +517,7 @@ object TextDedup {
       graft.CkptGc.pinNewSince(ss, mid)   // pin the census itself
       graft.CkptGc.sweep(ss, before)      // drop the sig-frame ckpt
       out
-    })
-  }
+    }
 
   def dedupAudit(docs: DataFrame, samplePct: Int = 100): DataFrame = {
     candidatePairStats(docs, samplePct)

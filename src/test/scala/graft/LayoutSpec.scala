@@ -309,6 +309,17 @@ class LayoutSpec extends SparkSpec {
       }
     }
     val ticks = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    // the broadcast-scaler proof reads the PRE-barrier plan: the r14
+    // slot-chain share checkpoints the scaled frame, so downstream
+    // consumers (windowTensors) only see the barrier — the stats
+    // join lives in windowSlots' own plan
+    val scalePlan = graft.operators.Features
+      .windowSlots(ticks, 4, 0.6, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!scalePlan.contains("SortMergeJoin"),
+      s"windowSlots plan regressed to SortMergeJoin:\n$scalePlan")
+    assert(scalePlan.contains("BroadcastHashJoin"),
+      s"windowSlots expected a broadcast scaler join:\n$scalePlan")
     for ((name, df) <- Seq(
         "windowTensors" -> graft.operators.Features.windowTensors(ticks, 4),
         "anomalyPipeline" ->
@@ -316,8 +327,12 @@ class LayoutSpec extends SparkSpec {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
         s"$name plan regressed to SortMergeJoin:\n$plan")
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$name expected broadcast stats joins:\n$plan")
     }
+    // the threshold join downstream of the barrier must still be a
+    // broadcast (anomalyPipeline joins the per-symbol p99 frame)
+    val apPlan = graft.operators.Features.anomalyPipeline(ticks, 4)
+      .queryExecution.executedPlan.toString
+    assert(apPlan.contains("BroadcastHashJoin"),
+      s"anomalyPipeline expected a broadcast threshold join:\n$apPlan")
   }
 }
