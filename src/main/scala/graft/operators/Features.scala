@@ -1486,8 +1486,15 @@ object Features {
   /** Hidden weight numerator for unit j, input slot i ∈ [-1024, 1023];
     * the weight is `elmWInt / 4096.0` (dyadic — exactly representable
     * in binary, so the decimal literal parses to the identical double
-    * in both engines). The 1/4096 = (1/1024)·(1/4) folds in the
-    * 1/√k input scaling for k = 16. */
+    * in both engines). The 1/4096 = (1/1024)·(1/4) folds in a 1/√k
+    * input scaling FOR k = 16 (the registry's tensorSlots); for other
+    * k the projection scale is simply 1/4096 — still a fixed
+    * deterministic hidden layer, which is all the ELM recipe
+    * requires (the ridge output layer absorbs any fixed input scale;
+    * only conditioning, not validity, prefers 1/√k). The constant is
+    * deliberately k-independent so the k=4 spec mirror and the k=16
+    * registry key share one spelling (r13 advice: the doc claimed
+    * the 1/√k fold unconditionally). */
   def elmWInt(j: Int, i: Int, k: Int): Long = elmHash(j.toLong * k + i) - 1024L
   /** Hidden bias numerator for unit j ∈ [-1024, 1023]; bias is
     * `elmBInt / 1024.0`. */

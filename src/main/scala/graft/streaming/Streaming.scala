@@ -1548,7 +1548,7 @@ object Streaming {
     * already-scored window (Append cannot retract; found by the r13
     * review — G41/G42 carried the marker, G40 did not). */
   case class WindowAnomState(curDay: String, curWin: String,
-                             buf: List[Long],
+                             buf: List[(Long, Long)],
                              lastClosedDay: String = "",
                              lastClosedSlot: Int = -1)
   case class WindowScore(symbol: Long, date: String, win: String,
@@ -1589,8 +1589,13 @@ object Streaming {
     def winName(slot: Int): String =
       if (slot == 1) "morning" else "afternoon"
     def score(symbol: Long, day: String, win: String,
-              buf: List[Long]): WindowScore = {
-      val (uErr, _) = windowUErr(k, scalers, centroids)(symbol, buf)
+              buf: List[(Long, Long)]): WindowScore = {
+      // order by tick_id at close: the batch slot map is row_number
+      // over tick_id, and a late intra-window tick arriving in a
+      // LATER micro-batch lands at the buffer tail — appending order
+      // is not tape order on out-of-order tapes (r13 advice)
+      val ordered = buf.sortBy(_._1).map(_._2)
+      val (uErr, _) = windowUErr(k, scalers, centroids)(symbol, ordered)
       val flag = thresholds.get(symbol).exists(q => uErr.toDouble > q)
       WindowScore(symbol, day, win, buf.length.toLong,
         uErr.toDouble / 1000000.0, flag)
@@ -1633,10 +1638,12 @@ object Streaming {
                 (d == st.lastClosedDay && slot <= st.lastClosedSlot))
               if (!late) {
                 st =
-                  if (st == null) WindowAnomState(d, w, List(c))
+                  if (st == null)
+                    WindowAnomState(d, w, List((t.tick_id, c)))
                   else if (st.buf.isEmpty)
-                    st.copy(curDay = d, curWin = w, buf = List(c))
-                  else st.copy(buf = st.buf :+ c)
+                    st.copy(curDay = d, curWin = w,
+                      buf = List((t.tick_id, c)))
+                  else st.copy(buf = st.buf :+ ((t.tick_id, c)))
               }
             }
           }
@@ -1649,7 +1656,7 @@ object Streaming {
     * POSITION block — current position, the last traded window's
     * close cents, and whether one exists yet. */
   case class SignalPosState(curDay: String, curWin: String,
-                            buf: List[Long], pos: Int,
+                            buf: List[(Long, Long)], pos: Int,
                             prevClose: Long, hasPrev: Boolean,
                             lastClosedDay: String, lastClosedSlot: Int)
   case class SignalPoint(symbol: Long, date: String, win: String,
@@ -1698,8 +1705,14 @@ object Streaming {
               thresholds.contains(symbol)
             if (traded) {
               val qu = thresholds(symbol)
-              val (uErr, uLast) = scoreBuf(symbol, st.buf)
-              val closeC = st.buf.last
+              // tick_id order at close (r13 advice): matches the
+              // batch slot map (row_number over tick_id) AND the
+              // batch close (max_by(cents, tick_id)) on out-of-order
+              // tapes — buf.last was append order, which diverges
+              // when an intra-window tick arrives in a later batch
+              val ordered = st.buf.sortBy(_._1).map(_._2)
+              val (uErr, uLast) = scoreBuf(symbol, ordered)
+              val closeC = ordered.last
               val posPrev = st.pos
               val pnl = if (st.hasPrev)
                 posPrev.toLong * (closeC - st.prevClose) else 0L
@@ -1738,11 +1751,11 @@ object Streaming {
               if (!late) {
                 st =
                   if (st == null)
-                    SignalPosState(d, w, List(c), 0, 0L,
+                    SignalPosState(d, w, List((t.tick_id, c)), 0, 0L,
                       hasPrev = false, lastClosedDay = "",
                       lastClosedSlot = -1)
                   else st.copy(curDay = d, curWin = w,
-                    buf = st.buf :+ c)
+                    buf = st.buf :+ ((t.tick_id, c)))
               }
             }
           }
@@ -1756,7 +1769,7 @@ object Streaming {
     * marker (the streak outlives window closes, so a late tick must
     * never re-open and restate a closed window — G41's rule). */
   case class RetrainAlertState(curDay: String, curWin: String,
-                               buf: List[Long], streak: Int,
+                               buf: List[(Long, Long)], streak: Int,
                                lastClosedDay: String,
                                lastClosedSlot: Int)
   case class RetrainAlert(symbol: Long, date: String, win: String,
@@ -1800,7 +1813,8 @@ object Streaming {
           var st = state.getOption.orNull
           val out = scala.collection.mutable.ArrayBuffer.empty[RetrainAlert]
           def close(): Unit = if (st != null && st.buf.nonEmpty) {
-            val uErr = uErrOf(symbol, st.buf)
+            // tick_id order at close — the shared G40/G41 rule
+            val uErr = uErrOf(symbol, st.buf.sortBy(_._1).map(_._2))
             val breached = thresholds.get(symbol)
               .exists(q => uErr.toDouble > q)
             val streak = if (breached) st.streak + 1 else 0
@@ -1834,10 +1848,12 @@ object Streaming {
               if (!late) {
                 st =
                   if (st == null)
-                    RetrainAlertState(d, w, List(c), 0, "", -1)
+                    RetrainAlertState(d, w, List((t.tick_id, c)),
+                      0, "", -1)
                   else if (st.buf.isEmpty)
-                    st.copy(curDay = d, curWin = w, buf = List(c))
-                  else st.copy(buf = st.buf :+ c)
+                    st.copy(curDay = d, curWin = w,
+                      buf = List((t.tick_id, c)))
+                  else st.copy(buf = st.buf :+ ((t.tick_id, c)))
               }
             }
           }

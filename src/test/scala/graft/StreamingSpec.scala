@@ -1510,6 +1510,87 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G40/G41: an intra-window tick arriving in a LATER micro-batch " +
+      "scores and trades exactly as the in-order tape — the close " +
+      "buffer re-orders by tick_id (the batch slot-map/close rule), " +
+      "never by arrival") {
+    import graft.streaming.Streaming.{WindowScore, SignalPoint}
+    // trained artifacts as in the G40 spec: scaler (100, 2), centroid
+    // u = (0, 1e6, 2e6, 3e6), threshold 0.5e6
+    val scalers = Map(1L -> ((100.0, 2.0)))
+    val centroids = Map(1L -> Seq(0L, 1000000L, 2000000L, 3000000L))
+    val thresholds = Map(1L -> 500000.0)
+    // window A (deviant slot 2 -> flags, enters short; close = tick 5
+    // = 106c), window B (in-band -> holds; close 103c). Tick 3 of
+    // window A arrives in the SECOND micro-batch: pre-fix it landed
+    // at the buffer tail, so the slot map saw (100,120,106,102) and
+    // the close became 102c — err and the B-window P&L both diverged
+    // from the batch (tick_id-ordered) semantics.
+    val winA = Seq(
+      Tick(2L, 1L, t("2024-01-08 07:51:00"), 1.00),
+      Tick(3L, 1L, t("2024-01-08 07:52:00"), 1.02),
+      Tick(4L, 1L, t("2024-01-08 07:53:00"), 1.20),
+      Tick(5L, 1L, t("2024-01-08 07:55:00"), 1.06))
+    val winB = Seq(
+      Tick(6L, 1L, t("2024-01-09 07:51:00"), 1.00),
+      Tick(7L, 1L, t("2024-01-09 07:52:00"), 1.01),
+      Tick(8L, 1L, t("2024-01-09 07:53:00"), 1.02),
+      Tick(9L, 1L, t("2024-01-09 07:55:00"), 1.03))
+    val closer = Tick(12L, 1L, t("2024-01-10 07:51:00"), 1.00)
+    val inOrder = Seq(winA ++ winB :+ closer)
+    val outOfOrder = Seq(
+      winA.filter(_.tick_id != 3L),                 // batch 1: 2,4,5
+      Seq(winA.find(_.tick_id == 3L).get),          // batch 2: tick 3
+      winB :+ closer)                               // batch 3: rest
+    def runScores(batches: Seq[Seq[Tick]], name: String)
+        : Seq[(String, String, Long, Double, Boolean)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Tick]
+      val q = Streaming.windowAnomalyAlerts(in.toDS(), 4,
+          scalers, centroids, thresholds)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[WindowScore].collect().toSeq
+          .map(w => (w.date, w.win, w.n_ticks, w.err, w.is_anomaly))
+          .sortBy(x => (x._1, x._2))
+      } finally q.stop()
+    }
+    def runTrades(batches: Seq[Seq[Tick]], name: String)
+        : Seq[(String, String, Double, Int, Int, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[Tick]
+      val q = Streaming.signalPositions(in.toDS(), 4,
+          scalers, centroids, thresholds,
+          exitFrac = 0.5, fromDate = "2024-01-01")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[SignalPoint].collect().toSeq
+          .map(p => (p.date, p.win, p.err, p.pos, p.pos_prev,
+            p.pnl_step_cents))
+          .sortBy(x => (x._1, x._2))
+      } finally q.stop()
+    }
+    val sIn = runScores(inOrder, "p_ooo_s1")
+    val sOut = runScores(outOfOrder, "p_ooo_s2")
+    assert(sIn == sOut, "G40 out-of-order arrival diverged")
+    // the in-order scores themselves: A err 16.0, B 0.875 — both
+    // above the 0.5 threshold
+    assert(sIn == Seq(
+      ("2024-01-08", "morning", 4L, 16.0, true),
+      ("2024-01-09", "morning", 4L, 0.875, true)))
+    val tIn = runTrades(inOrder, "p_ooo_t1")
+    val tOut = runTrades(outOfOrder, "p_ooo_t2")
+    assert(tIn == tOut, "G41 out-of-order arrival diverged")
+    // B's P&L steps off A's TICK_ID-max close (106c), not the buffer
+    // tail: -1 * (103 - 106) = +3 cents
+    assert(tIn.map(x => (x._4, x._5, x._6)) ==
+      Seq((-1, 0, 0L), (-1, -1, 3L)))
+  }
+
   test("G39: volConeAlerts emits on day close only for FULL h-day " +
       "windows, bands against the trained cone, open-day register " +
       "carrying across micro-batches; untrained symbols flagged") {
