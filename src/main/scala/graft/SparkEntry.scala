@@ -696,6 +696,13 @@ object SparkEntry {
     "q_nn_recon" -> ((s, d) =>
       Features.elmRecon(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct, cacheKey = Some(d))),
+    // D84 — gradient-descent autoencoder (train.py:292-416 analog):
+    // fixed-epoch full-batch GD on the D66 slot tensors, driver-side
+    // weight updates over exact int64 gradient sums; output = loss
+    // curve + final weights + p99-flagged test windows.
+    "q_gd_autoencoder" -> ((s, d) =>
+      Features.gdAutoencoder(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, cacheKey = Some(d))),
     // D76 — model-signal backtest: D67 anomaly flags enter, error
     // recovery exits, exact-cent close-to-close P&L per symbol.
     "q_signal_backtest" -> ((s, d) =>
@@ -1714,6 +1721,121 @@ object SparkEntry {
       |      AS BIGINT) AS u_err
       |  FROM tt GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** D84 oracle generator: the full-batch GD autoencoder training
+    * loop as an unrolled per-epoch CTE cascade (the F61/F59
+    * generated-oracle discipline). Every float the cascade produces
+    * comes from the SAME fragment texts and constants the Spark
+    * operator uses ([[Features.gdZExpr]] family, [[Features.gdWe0]]
+    * init, [[Features.gdUpdExpr]] update, [[Features.gdLossExpr]]
+    * loss), so DuckDB re-derives bit-identical weights, losses and
+    * flags. */
+  private def gdOracleSql(k: Int, h: Int, epochs: Int, lr: Double,
+                          pct: Double): String = {
+    val piv = (0 until k)
+      .map(i => s"max(CASE WHEN i = $i THEN u END) AS s$i")
+      .mkString(", ")
+    val weNames = for (j <- 0 until h; i <- 0 until k)
+      yield (j, i, s"we_${j}_$i")
+    val wdNames = for (i <- 0 until k; j <- 0 until h)
+      yield (i, j, s"wd_${i}_$j")
+    val w0Cols = (weNames.map { case (j, i, n) =>
+      s"${Features.dlit(Features.gdWe0(j, i, k))} AS $n"
+    } ++ wdNames.map { case (i, j, n) =>
+      s"${Features.dlit(Features.gdWd0(i, j, h))} AS $n"
+    }).mkString(",\n    ")
+    val sCols = (0 until k).map(i => s"p.s$i AS s$i").mkString(", ")
+    val wdSel = wdNames.map { case (_, _, n) => s"w.$n AS $n" }
+      .mkString(", ")
+    val zc = (0 until h).map(j => s"${Features.gdZExpr(j, k)} AS z$j")
+      .mkString(", ")
+    val xc = (0 until k).map(i => s"${Features.gdXhExpr(i, h)} AS xh$i")
+      .mkString(", ")
+    val rc = (0 until k).map(i => s"${Features.gdRExpr(i)} AS r$i")
+      .mkString(", ")
+    val ec = (0 until h).map(j => s"${Features.gdEExpr(j, k)} AS e$j")
+      .mkString(", ")
+    val gds = wdNames.map { case (i, j, _) =>
+      s"CAST(sum(${Features.gdQExpr(s"r$i*z$j")}) AS BIGINT)" +
+        s" AS gd_${i}_$j"
+    }.mkString(",\n    ")
+    val ges = weNames.map { case (j, i, _) =>
+      s"CAST(sum(${Features.gdQExpr(
+        s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)")}) AS BIGINT) AS ge_${j}_$i"
+    }.mkString(",\n    ")
+    val upd = (weNames.map { case (j, i, n) =>
+      s"${Features.gdUpdExpr(s"w.$n", s"g.ge_${j}_$i", lr)} AS $n"
+    } ++ wdNames.map { case (i, j, n) =>
+      s"${Features.gdUpdExpr(s"w.$n", s"g.gd_${i}_$j", lr)} AS $n"
+    }).mkString(",\n    ")
+    val epochCtes = (0 until epochs).map { e =>
+      s"""fz$e AS MATERIALIZED (SELECT p.symbol AS symbol, $sCols,
+        |    $wdSel, $zc
+        |  FROM piv p JOIN w$e w USING (symbol)
+        |  WHERE p.split = 'train'),
+        |fx$e AS (SELECT *, $xc FROM fz$e),
+        |fr$e AS (SELECT *, $rc FROM fx$e),
+        |fe$e AS (SELECT *, $ec FROM fr$e),
+        |g$e AS MATERIALIZED (SELECT symbol,
+        |    $gds,
+        |    $ges,
+        |    CAST(sum(${Features.gdLqExpr(k)}) AS BIGINT) AS sl
+        |  FROM fe$e GROUP BY 1),
+        |w${e + 1} AS MATERIALIZED (SELECT w.symbol AS symbol,
+        |    w.n_tr AS n_tr,
+        |    $upd
+        |  FROM w$e w JOIN g$e g USING (symbol))""".stripMargin
+    }.mkString(",\n")
+    val lossSelects = (0 until epochs).map { e =>
+      s"""SELECT g.symbol AS symbol, 'loss' AS kind, 'e$e' AS a,
+        |    '' AS b, ${Features.gdLossExpr("sl", k)} AS value
+        |  FROM g$e g JOIN tc USING (symbol)""".stripMargin
+    } :+
+      s"""SELECT f.symbol AS symbol, 'loss' AS kind,
+        |    'e$epochs' AS a, '' AS b,
+        |    ${Features.gdLossExpr("sl", k)} AS value
+        |  FROM fsl f JOIN tc USING (symbol)""".stripMargin
+    val weightSelects = weNames.map { case (j, i, n) =>
+      f"SELECT symbol, 'we' AS kind, 'j$j' AS a, 'i$i%02d' AS b," +
+        s" $n AS value FROM w$epochs"
+    } ++ wdNames.map { case (i, j, n) =>
+      f"SELECT symbol, 'wd' AS kind, 'i$i%02d' AS a, 'j$j' AS b," +
+        s" $n AS value FROM w$epochs"
+    }
+    val flagSelect =
+      s"""SELECT e2.symbol AS symbol, 'flag' AS kind, e2.date AS a,
+        |    e2.win AS b, CAST(e2.err_ppm AS DOUBLE)/1.0E6 AS value
+        |  FROM ferr e2 JOIN fth t USING (symbol)
+        |  WHERE e2.split = 'test'
+        |    AND CAST(e2.err_ppm AS DOUBLE) > t.qu""".stripMargin
+    s"""WITH $tensorSlotsSql,
+      |piv AS MATERIALIZED (SELECT symbol, date, win, split, $piv
+      |  FROM uq GROUP BY 1, 2, 3, 4),
+      |tc AS MATERIALIZED (SELECT symbol, count(*) AS n_tr
+      |  FROM piv WHERE split = 'train' GROUP BY 1),
+      |w0 AS MATERIALIZED (SELECT symbol, n_tr,
+      |    $w0Cols
+      |  FROM tc),
+      |$epochCtes,
+      |fzf AS MATERIALIZED (SELECT p.symbol AS symbol, p.date AS date,
+      |    p.win AS win, p.split AS split, $sCols, $wdSel, $zc
+      |  FROM piv p JOIN w$epochs w USING (symbol)),
+      |fxf AS (SELECT *, $xc FROM fzf),
+      |frf AS (SELECT *, $rc FROM fxf),
+      |fsq AS MATERIALIZED (SELECT symbol, date, win, split,
+      |    ${Features.gdLqExpr(k)} AS stq
+      |  FROM frf),
+      |ferr AS MATERIALIZED (SELECT *,
+      |    CAST(stq // $k AS BIGINT) AS err_ppm FROM fsq),
+      |fth AS (SELECT symbol, quantile_cont(err_ppm, $pct) AS qu
+      |  FROM ferr WHERE split = 'test' GROUP BY 1),
+      |fsl AS (SELECT symbol, CAST(sum(stq) AS BIGINT) AS sl
+      |  FROM fsq WHERE split = 'train' GROUP BY 1)
+      |SELECT * FROM (
+      |${(lossSelects ++ weightSelects :+ flagSelect)
+        .mkString("\nUNION ALL\n")}
+      |) ORDER BY symbol, kind, a, b""".stripMargin
+  }
+
   /** D76-family shared oracle fragments (r13 review dedup): the
     * session-close collapse and the position-machine CTE chain —
     * ONE spelling interpolated into all five trading-layer duals
@@ -2413,6 +2535,14 @@ object SparkEntry {
         |FROM er2 LEFT JOIN th ON th.symbol = er2.symbol
         |ORDER BY er2.symbol, er2.date, er2.win""".stripMargin
     },
+    // D84 — gradient-descent autoencoder: the ENTIRE training loop
+    // re-derived in SQL as a GENERATED unrolled per-epoch CTE cascade
+    // from the same constants (dyadic init weights, shared forward/
+    // backward fragment texts, sign-split int64 gradient sums, the
+    // exact gdUpdExpr/gdLossExpr IEEE chains), then the final-weight
+    // scoring, loss/weight unpivot and p99 flags.
+    "q_gd_autoencoder" -> gdOracleSql(tensorSlots, 2, 4, 0.0625,
+      reconFlagPct),
     // D76 — model-signal backtest: D67's error chain (shared
     // windowErrSql), per-symbol p99 threshold, D62's last_value
     // IGNORE NULLS position machine over the TEST window roster,

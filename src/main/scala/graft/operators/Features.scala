@@ -2096,4 +2096,236 @@ object Features {
         "best_symbol", "best_pnl_cents", "worst_symbol",
         "worst_pnl_cents")
   }
+
+  // ===== D84 — deterministic gradient-descent autoencoder ==========
+
+  /** D84 initial encoder weight We₀[j][i] (hidden unit j, input slot
+    * i): one LCG draw over a dedicated seed band, divided by 4096 —
+    * dyadic, so BOTH engines parse the identical double (the D75
+    * weight discipline; the band offsets keep D75's and D84's weight
+    * streams disjoint). */
+  def gdWe0(j: Int, i: Int, k: Int): Double =
+    (elmHash(7000000L + j.toLong * k + i) - 1024L) / 4096.0
+  /** D84 initial decoder weight Wd₀[i][j] (input slot i, hidden j). */
+  def gdWd0(i: Int, j: Int, h: Int): Double =
+    (elmHash(8000000L + i.toLong * h + j) - 1024L) / 4096.0
+
+  /** Hidden activation z_j = Σᵢ we_j_i·(sᵢ/10⁶) over pivoted slot
+    * columns s0..s(k−1) and joined weight columns — a fixed
+    * left-associative chain, ONE text for both engines (the D75
+    * shared-fragment discipline). */
+  def gdZExpr(j: Int, k: Int): String =
+    "(" + (0 until k).map { i =>
+      s"we_${j}_$i*(CAST(s$i AS DOUBLE)/1.0E6)"
+    }.mkString(" + ") + ")"
+  /** Reconstruction x̂ᵢ = Σⱼ wd_i_j·z_j. */
+  def gdXhExpr(i: Int, h: Int): String =
+    "(" + (0 until h).map(j => s"wd_${i}_$j*z$j").mkString(" + ") + ")"
+  /** Residual rᵢ = x̂ᵢ − sᵢ/10⁶. */
+  def gdRExpr(i: Int): String = s"(xh$i - (CAST(s$i AS DOUBLE)/1.0E6))"
+  /** Back-propagated hidden residual e_j = Σᵢ wd_i_j·rᵢ (the encoder
+    * gradient's inner product). */
+  def gdEExpr(j: Int, k: Int): String =
+    "(" + (0 until k).map(i => s"wd_${i}_$j*r$i").mkString(" + ") + ")"
+  /** Sign-split 10⁻⁶ quantization of a gradient term — the exact
+    * int64 device that makes the per-symbol gradient SUM order-free
+    * in both engines (SURVEY §6). */
+  def gdQExpr(x: String): String =
+    s"CAST(CASE WHEN $x >= 0.0E0 THEN floor(($x)*1.0E6 + 5.0E-1)" +
+      s" ELSE -floor((-($x))*1.0E6 + 5.0E-1) END AS BIGINT)"
+  /** Per-window squared-residual micros lq = Σᵢ ⌊rᵢ²·10⁶+½⌋ — int64
+    * terms (non-negative, plain floor), int sum: order-free. One
+    * spelling for the epoch losses AND the final window scoring. */
+  def gdLqExpr(k: Int): String =
+    "(" + (0 until k).map { i =>
+      s"CAST(floor(r$i*r$i*1.0E6 + 5.0E-1) AS BIGINT)"
+    }.mkString(" + ") + ")"
+  /** The weight-update chain w ← w − lr·(g/10⁶)/n_tr — fixed IEEE op
+    * order; the Scala driver update ([[gdStep]]) and the oracle's
+    * generated CTE both spell exactly this. */
+  def gdUpdExpr(w: String, g: String, lr: Double): String =
+    s"($w - ${dlit(lr)}*(CAST($g AS DOUBLE)/1.0E6)/CAST(n_tr AS DOUBLE))"
+  /** Driver-side twin of [[gdUpdExpr]] — identical IEEE ops on the
+    * collected exact gradient int. */
+  def gdStep(w: Double, g: Long, lr: Double, nTr: Long): Double =
+    w - lr * (g.toDouble / 1.0e6) / nTr.toDouble
+  /** Driver-side twin of the loss chain (sl/n_tr)/k/10⁶. */
+  def gdLoss(sl: Long, nTr: Long, k: Int): Double =
+    sl.toDouble / nTr.toDouble / k.toDouble / 1.0e6
+  /** Oracle text of [[gdLoss]]. */
+  def gdLossExpr(sl: String, k: Int): String =
+    s"(CAST($sl AS DOUBLE)/CAST(n_tr AS DOUBLE)/${dlit(k.toDouble)}/1.0E6)"
+
+  /** D84 — GRADIENT-TRAINED AUTOENCODER ANOMALY SCORING (the last
+    * reference-ML gap after D75's closed-form ELM; ref: ML Model/
+    * Scripts/train.py:292-416 — the reference Adam-trains a per-
+    * symbol autoencoder over the session-window tensors for a fixed
+    * epoch budget and thresholds reconstruction error): a LINEAR
+    * autoencoder (encoder We h×k, decoder Wd k×h, untied) trained by
+    * FULL-BATCH gradient descent for a fixed epoch count — the
+    * deterministic, oracle-checkable analog of the reference's loop.
+    * Adam's moment state and mini-batch order are engine-unportable;
+    * fixed-epoch full-batch GD with dyadic init and learning rate is
+    * the same training *mechanism* (iterative loss descent on the
+    * same tensors) with every float derivable in BOTH engines.
+    *
+    * Engine-exactness: per-window forward/backward terms are fixed
+    * left-assoc chains over the D66 slot micros ([[gdZExpr]] family);
+    * each window's gradient contribution quantizes to exact int64
+    * micros (sign-split floor) so the per-symbol epoch gradient is an
+    * ORDER-FREE integer sum; the weight update ([[gdStep]]) and the
+    * loss ([[gdLoss]]) are fixed IEEE chains on those ints. The
+    * DuckDB oracle re-derives the identical weights via a GENERATED
+    * unrolled per-epoch CTE cascade from the same constants (the
+    * F61/F59 discipline).
+    *
+    * Weight updates are DRIVER-SIDE (A19's bounded-driver-decision
+    * rule): each epoch collects |symbols|·(2kh+2) exact ints — the
+    * model registry, not the data — and the next epoch's weights
+    * broadcast-join back. At 10⁴ symbols that is ~650k ints per
+    * epoch; the tensor scan stays distributed and the epoch count is
+    * a constant.
+    *
+    * Output (one long-format table, scalar cells only):
+    *  - kind='loss': a='e0'..'e{E}', the per-symbol train MSE before
+    *    each update and after the last (E+1 points — the loss CURVE),
+    *  - kind='we'/'wd': the FINAL weights (a/b = zero-padded
+    *    row/col), the deployable model artifact,
+    *  - kind='flag': TEST windows whose final reconstruction error
+    *    clears the symbol's pct-percentile (D67/D75's thresholding),
+    *    a=date, b=win, value=err.
+    * Symbols with no train windows carry no model and emit nothing
+    * (documented deviation from D67's score-0 rule: an untrained
+    * autoencoder has no weights to score with). */
+  def gdAutoencoder(ticks: DataFrame, k: Int, hidden: Int = 2,
+                    epochs: Int = 4, lr: Double = 0.0625,
+                    trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                    pct: Double = 0.99,
+                    cacheKey: Option[String] = None): DataFrame = {
+    require(k >= 2, s"need >= 2 slots: $k")
+    require(hidden >= 1, s"need >= 1 hidden unit: $hidden")
+    require(epochs >= 1, s"need >= 1 epoch: $epochs")
+    val ss = ticks.sparkSession
+    val h = hidden
+    val scaled = slotChain(ticks, k, trainRatio, valRatio, cacheKey)
+      .scaled
+    val pivAggs = (0 until k).map(i =>
+      max(when(col("i") === i, col("u"))).as(s"s$i"))
+    val piv = scaled
+      .groupBy(col("symbol"), col("date"), col("win"), col("split"))
+      .agg(pivAggs.head, pivAggs.tail: _*)
+      .localCheckpoint(true) // consumed once per epoch + final score
+    val weCols = for (j <- 0 until h; i <- 0 until k) yield s"we_${j}_$i"
+    val wdCols = for (i <- 0 until k; j <- 0 until h) yield s"wd_${i}_$j"
+    val wSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("symbol",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (weCols ++ wdCols).map(c => org.apache.spark.sql.types
+          .StructField(c, org.apache.spark.sql.types.DoubleType,
+            nullable = false)))
+    def weightsDf(w: Map[Long, Array[Double]]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        w.toSeq.sortBy(_._1).map { case (s, a) =>
+          org.apache.spark.sql.Row.fromSeq(s +: a.toSeq)
+        }.asJava
+      ss.createDataFrame(rows, wSchema)
+    }
+    def forward(base: DataFrame): DataFrame = {
+      var f = base
+      (0 until h).foreach(j => f = f.withColumn(s"z$j",
+        expr(gdZExpr(j, k))))
+      (0 until k).foreach(i => f = f.withColumn(s"xh$i",
+        expr(gdXhExpr(i, h))))
+      (0 until k).foreach(i => f = f.withColumn(s"r$i",
+        expr(gdRExpr(i))))
+      f
+    }
+    // train roster: per-symbol window counts (the GD normalizer)
+    val nTr: Map[Long, Long] = piv.filter(col("split") === "train")
+      .groupBy("symbol").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // initial weights: the SAME dyadic constants per symbol
+    val init: Array[Double] =
+      ((for (j <- 0 until h; i <- 0 until k) yield gdWe0(j, i, k)) ++
+        (for (i <- 0 until k; j <- 0 until h) yield gdWd0(i, j, h)))
+        .toArray
+    var weights: Map[Long, Array[Double]] =
+      nTr.keys.map(s => s -> init.clone()).toMap
+    val lossRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double)]
+    val gdNames = for (i <- 0 until k; j <- 0 until h)
+      yield s"gd_${i}_$j"
+    val geNames = for (j <- 0 until h; i <- 0 until k)
+      yield s"ge_${j}_$i"
+    (0 until epochs).foreach { e =>
+      var f = forward(piv.filter(col("split") === "train")
+        .join(broadcast(weightsDf(weights)), Seq("symbol")))
+      (0 until h).foreach(j => f = f.withColumn(s"e$j",
+        expr(gdEExpr(j, k))))
+      val aggs =
+        (for (i <- 0 until k; j <- 0 until h)
+          yield sum(expr(gdQExpr(s"r$i*z$j"))).as(s"gd_${i}_$j")) ++
+        (for (j <- 0 until h; i <- 0 until k)
+          yield sum(expr(gdQExpr(s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)")))
+            .as(s"ge_${j}_$i")) :+
+        sum(expr(gdLqExpr(k))).as("sl")
+      val g = f.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      weights = weights.map { case (s, a) => s -> a.clone() }
+      g.foreach { r =>
+        val s = r.getLong(0)
+        val n = nTr(s)
+        lossRows += ((s, s"e$e", gdLoss(r.getAs[Long]("sl"), n, k)))
+        val a = weights(s)
+        var idx = 0
+        geNames.foreach { gn => // encoder block first (wSchema order)
+          a(idx) = gdStep(a(idx), r.getAs[Long](gn), lr, n); idx += 1
+        }
+        gdNames.foreach { gn =>
+          a(idx) = gdStep(a(idx), r.getAs[Long](gn), lr, n); idx += 1
+        }
+      }
+    }
+    // final pass: per-window error with the trained weights
+    val errs = forward(piv.join(broadcast(weightsDf(weights)),
+        Seq("symbol")))
+      .withColumn("stq", expr(gdLqExpr(k)))
+      .select(col("symbol"), col("date"), col("win"), col("split"),
+        col("stq"))
+      .withColumn("err_ppm", expr(s"stq div $k"))
+      .localCheckpoint(true) // feeds final loss + thresholds + flags
+    errs.filter(col("split") === "train").groupBy("symbol")
+      .agg(sum(col("stq")).as("sl")).collect().foreach { r =>
+        val s = r.getLong(0)
+        lossRows += ((s, s"e$epochs",
+          gdLoss(r.getAs[Long]("sl"), nTr(s), k)))
+      }
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
+    val flags = errs.filter(col("split") === "test")
+      .join(broadcast(thr), Seq("symbol"))
+      .filter(col("err_ppm").cast("double") > col("qu"))
+      .select(col("symbol"), lit("flag").as("kind"),
+        col("date").as("a"), col("win").as("b"),
+        (col("err_ppm").cast("double") / lit(1000000.0)).as("value"))
+    val driverRows: Seq[(Long, String, String, String, Double)] =
+      lossRows.toSeq.map { case (s, e, v) => (s, "loss", e, "", v) } ++
+        weights.toSeq.flatMap { case (s, a) =>
+          var idx = -1
+          (for (j <- 0 until h; i <- 0 until k) yield {
+            idx += 1
+            (s, "we", s"j$j", f"i$i%02d", a(idx))
+          }) ++
+            (for (i <- 0 until k; j <- 0 until h) yield {
+              idx += 1
+              (s, "wd", f"i$i%02d", s"j$j", a(idx))
+            })
+        }
+    import ss.implicits._
+    driverRows.toDF("symbol", "kind", "a", "b", "value")
+      .unionByName(flags)
+      .orderBy("symbol", "kind", "a", "b")
+  }
 }

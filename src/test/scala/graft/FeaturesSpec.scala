@@ -958,4 +958,147 @@ class FeaturesSpec extends SparkSpec {
       assert(r.getSeq[Double](r.fieldIndex("tensor")) == Seq(0.0, 0.0, 0.0, 0.0))
     }
   }
+
+  test("gdAutoencoder: the distributed GD loop equals an independent " +
+      "straight-line Scala mirror (same dyadic init, quantized " +
+      "gradient ints, IEEE update/loss chains) — loss descends, only " +
+      "the deviant TEST window flags") {
+    val k = 4; val h = 2; val epochs = 3; val lr = 0.0625
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val df = ticks(rows: _*)
+    // ---- mirror: plain-Scala GD off the shared slot frame
+    val slots = Features.windowSlots(df, k, 0.6, 0.2).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("win"),
+        r.getAs[String]("split"), r.getAs[Int]("i"), r.getAs[Long]("u")))
+    val wins = slots.groupBy(t => (t._1, t._2, t._3)).map { case (key, g) =>
+      key -> g.sortBy(_._4).map(_._5).toArray
+    }
+    val we = Array.tabulate(h, k)((j, i) => Features.gdWe0(j, i, k))
+    val wd = Array.tabulate(k, h)((i, j) => Features.gdWd0(i, j, h))
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    // forward pass with CURRENT weights — left-assoc chains, the
+    // gdZExpr/gdXhExpr/gdRExpr/gdEExpr op order exactly
+    def fwd(s: Array[Long])
+        : (Array[Double], Array[Double], Array[Double]) = {
+      val x = Array.tabulate(k)(i => s(i).toDouble / 1e6)
+      val z = Array.tabulate(h) { j =>
+        var acc = we(j)(0) * x(0)
+        (1 until k).foreach(i => acc += we(j)(i) * x(i)); acc
+      }
+      val r = Array.tabulate(k) { i =>
+        var acc = wd(i)(0) * z(0)
+        (1 until h).foreach(j => acc += wd(i)(j) * z(j))
+        acc - x(i)
+      }
+      (x, z, r)
+    }
+    val trainWins = wins.filter(_._1._3 == "train").values.toSeq
+    val n = trainWins.size.toLong
+    val mirrorLoss = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until epochs).foreach { _ =>
+      val gd = Array.ofDim[Long](k, h)
+      val ge = Array.ofDim[Long](h, k)
+      var sl = 0L
+      trainWins.foreach { s =>
+        val (x, z, r) = fwd(s)
+        val eb = Array.tabulate(h) { j =>
+          var acc = wd(0)(j) * r(0)
+          (1 until k).foreach(i => acc += wd(i)(j) * r(i)); acc
+        }
+        for (i <- 0 until k; j <- 0 until h) gd(i)(j) += q(r(i) * z(j))
+        for (j <- 0 until h; i <- 0 until k) ge(j)(i) += q(eb(j) * x(i))
+        (0 until k).foreach(i =>
+          sl += math.floor(r(i) * r(i) * 1e6 + 0.5).toLong)
+      }
+      mirrorLoss += Features.gdLoss(sl, n, k)
+      for (j <- 0 until h; i <- 0 until k)
+        we(j)(i) = Features.gdStep(we(j)(i), ge(j)(i), lr, n)
+      for (i <- 0 until k; j <- 0 until h)
+        wd(i)(j) = Features.gdStep(wd(i)(j), gd(i)(j), lr, n)
+    }
+    // final scoring with the trained weights
+    val errPpm = wins.map { case (key, s) =>
+      val (_, _, r) = fwd(s)
+      key -> (0 until k).map(i =>
+        math.floor(r(i) * r(i) * 1e6 + 0.5).toLong).sum / k
+    }
+    val slFinal = wins.toSeq.filter(_._1._3 == "train").map { case (key, s) =>
+      val (_, _, r) = fwd(s)
+      (0 until k).map(i => math.floor(r(i) * r(i) * 1e6 + 0.5).toLong).sum
+    }.sum
+    mirrorLoss += Features.gdLoss(slFinal, n, k)
+    // ---- the Spark operator
+    val out = Features.gdAutoencoder(df, k, h, epochs, lr).collect()
+    val lossOut = out.filter(_.getAs[String]("kind") == "loss")
+      .map(r => r.getAs[String]("a") -> r.getAs[Double]("value")).toMap
+    assert(lossOut.size == epochs + 1)
+    (0 to epochs).foreach { e =>
+      assert(lossOut(s"e$e") == mirrorLoss(e),
+        s"epoch $e loss: spark ${lossOut(s"e$e")} vs ${mirrorLoss(e)}")
+    }
+    // GD on the standardized tensors must actually DESCEND
+    (1 to epochs).foreach(e => assert(mirrorLoss(e) < mirrorLoss(e - 1),
+      s"loss did not descend at epoch $e: $mirrorLoss"))
+    val weOut = out.filter(_.getAs[String]("kind") == "we")
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Double]("value")).toMap
+    val wdOut = out.filter(_.getAs[String]("kind") == "wd")
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+        r.getAs[Double]("value")).toMap
+    for (j <- 0 until h; i <- 0 until k) {
+      assert(weOut((s"j$j", f"i$i%02d")) == we(j)(i))
+      assert(wdOut((f"i$i%02d", s"j$j")) == wd(i)(j))
+    }
+    // only the deviant day-10 TEST window clears the p99 threshold
+    val flags = out.filter(_.getAs[String]("kind") == "flag")
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+    assert(flags.toSeq == Seq(("2024-01-10", "morning")))
+    assert(errPpm(("2024-01-10", "morning", "test")) >
+      errPpm(("2024-01-05", "morning", "train")))
+  }
+
+  test("gdAutoencoder: duplicating every train window leaves the " +
+      "weight trajectory and loss curve EXACTLY unchanged — the " +
+      "hand-provable full-batch linear case (gradient sums and " +
+      "window count both double; the IEEE update chain cancels the " +
+      "factor bit-for-bit)") {
+    val k = 4
+    def shape(p: Int, i: Int): Double = 1.00 + i * 0.01 + (p % 3) * 0.004
+    // tape A: 5 distinct daily shapes (train = days 1-3)
+    val a = (1 to 5).flatMap { d =>
+      (0 to 3).map(i =>
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", shape(d, i), 9.9))
+    }
+    // tape B: each shape on TWO consecutive days (train = days 1-6 =
+    // A's train duplicated; the scaler's mu/sd are ratios of doubled
+    // sums and counts, so they too are bit-identical)
+    val b = (1 to 10).flatMap { d =>
+      val p = (d + 1) / 2
+      (0 to 3).map(i =>
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", shape(p, i), 9.9))
+    }
+    def model(rows: Seq[(Long, Long, String, Double, Double)])
+        : (Map[String, Double], Map[(String, String, String), Double]) = {
+      val out = Features.gdAutoencoder(ticks(rows: _*), k).collect()
+      (out.filter(_.getAs[String]("kind") == "loss")
+        .map(r => r.getAs[String]("a") -> r.getAs[Double]("value"))
+        .toMap,
+        out.filter(r => r.getAs[String]("kind") == "we" ||
+            r.getAs[String]("kind") == "wd")
+          .map(r => (r.getAs[String]("kind"), r.getAs[String]("a"),
+            r.getAs[String]("b")) -> r.getAs[Double]("value")).toMap)
+    }
+    val (lossA, wA) = model(a)
+    val (lossB, wB) = model(b)
+    assert(lossA == lossB)
+    assert(wA == wB)
+    assert(lossA.nonEmpty && wA.size == 2 * 2 * k)
+  }
 }
