@@ -388,8 +388,26 @@ object TextDedup {
     *
     * Input: (doc_id, mh) signature rows (token-less docs carry NULL
     * minhash components and drop with their NULL band hashes, same
-    * as the banded path). */
-  def candidatePairsFromSigs(sigs: DataFrame): DataFrame = {
+    * as the banded path).
+    *
+    * SCALE-REGIME SWITCH (r13 verdict "what's wrong #3" — previously
+    * a comment, now data-driven): one cheap bucket-census aggregate
+    * measures the largest (band, band_hash) bucket before the pair
+    * join. Below `hotBucketThreshold` the simple band equi-join runs
+    * (locally the build side broadcasts and the round-robin probe
+    * spread is enough). Above it — the 100 TB regime where one
+    * 10⁵-doc bucket would put 10¹⁰ fused per-pair comparisons on ONE
+    * reducer — the join switches to the H9 triangular-tiled self-join
+    * layout ([[Skew.tiledSelfPairs]]'s construction with the minhash
+    * signatures riding along), which decomposes each bucket's pair
+    * space across `tiles·(tiles+1)/2` reducers. Both paths emit the
+    * IDENTICAL first-match pair set (spec-proven both sides of the
+    * threshold). */
+  def candidatePairsFromSigs(sigs: DataFrame,
+                             hotBucketThreshold: Long =
+                               HotBucketThreshold,
+                             tiles: Int = HotBucketTiles): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1: $tiles")
     def bh(m: String, j: Int) =
       s"(element_at($m, ${2 * j + 1}) * 31 + element_at($m, ${2 * j + 2})) % $P"
     val bands = sigs
@@ -397,35 +415,84 @@ object TextDedup {
       .withColumn("band_hash",
         expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
       .filter(col("band_hash").isNotNull)
-    // The build side broadcasts, so the probe side may be partitioned
-    // ANY way — round-robin it across the full task count so a hot
-    // bucket's probe rows (and the quadratic join output + downstream
-    // per-pair work that FUSES into this stage) spread evenly instead
-    // of landing in whichever partition held the bucket (measured:
-    // the fused ncommon scan ran single-task on the 3847-doc hot
-    // bucket without this — a 5 s straggler at sf0.1). Explicit
-    // numPartitions: AQE does not coalesce user-numbered
-    // repartitions, and the shuffled frame is |docs|·Bands sketch
-    // rows — corpus-linear, never candidate-sized.
-    val nPart = sigs.sparkSession.conf.get(
-      "spark.sql.shuffle.partitions").toInt
-    val a = bands.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("mh").as("mh_a"))
-      .repartition(nPart)
-    val b = bands.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("mh").as("mh_b"))
     // "no earlier band matched", unrolled over the constant band
     // count so the whole predicate stays inside whole-stage codegen
     // (an exists() HOF would interpret its lambda per row; band-0
-    // rows short-circuit every clause via band <= j)
+    // rows short-circuit every clause via band <= j). Symmetric in
+    // (mh_a, mh_b), so it is valid BEFORE the tiled path's
+    // least/greatest normalization too.
     val noEarlier = (0 until Bands - 1).map { j =>
       s"(band <= $j OR ${bh("mh_a", j)} != ${bh("mh_b", j)})"
     }.mkString(" AND ")
-    a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(expr(noEarlier))
-      .select("doc_a", "doc_b")
+    // the bucket census: one aggregate over the |docs|·Bands sketch
+    // frame — corpus-linear, and the ONLY way to pick the join
+    // layout from the data instead of a comment
+    val censusTop = bands.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+    val hot = !censusTop.isNullAt(0) &&
+      censusTop.getLong(0) > hotBucketThreshold
+    if (!hot) {
+      // The build side broadcasts, so the probe side may be
+      // partitioned ANY way — round-robin it across the full task
+      // count so a hot bucket's probe rows (and the quadratic join
+      // output + downstream per-pair work that FUSES into this
+      // stage) spread evenly instead of landing in whichever
+      // partition held the bucket (measured: the fused ncommon scan
+      // ran single-task on the 3847-doc hot bucket without this — a
+      // 5 s straggler at sf0.1). Explicit numPartitions: AQE does
+      // not coalesce user-numbered repartitions, and the shuffled
+      // frame is |docs|·Bands sketch rows — corpus-linear, never
+      // candidate-sized.
+      val nPart = sigs.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions").toInt
+      val a = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+        .repartition(nPart)
+      val b = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+      a.join(b, Seq("band", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(expr(noEarlier))
+        .select("doc_a", "doc_b")
+    } else {
+      // H9's fragment-replicate layout with the signatures carried:
+      // LEFT role replicates to tiles (chunk, j ≥ chunk), RIGHT to
+      // (i ≤ chunk, chunk); every cross-chunk pair meets in exactly
+      // its (min, max) tile (role order forced by the chunks — the
+      // smaller-chunk doc may land on EITHER side, hence
+      // least/greatest at the end, never a doc_a < doc_b filter,
+      // which would drop half the cross-chunk pairs), same-chunk
+      // pairs meet on the diagonal where the id order filter
+      // removes self-pairs and mirrors.
+      val chunk = pmod(xxhash64(col("doc_id")), lit(tiles.toLong))
+      val lhs = bands
+        .withColumn("_i", chunk)
+        .withColumn("_j",
+          explode(sequence(col("_i"), lit(tiles.toLong - 1))))
+        .select(col("band"), col("band_hash"), col("_i"), col("_j"),
+          col("doc_id").as("doc_a"), col("mh").as("mh_a"))
+      val rhs = bands
+        .withColumn("_j", chunk)
+        .withColumn("_i", explode(sequence(lit(0L), col("_j"))))
+        .select(col("band"), col("band_hash"), col("_i"), col("_j"),
+          col("doc_id").as("doc_b"), col("mh").as("mh_b"))
+      lhs.join(rhs, Seq("band", "band_hash", "_i", "_j"))
+        .filter(col("_i") =!= col("_j") || col("doc_a") < col("doc_b"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .filter(expr(noEarlier))
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+    }
   }
+
+  /** [[candidatePairsFromSigs]]' regime threshold: buckets at or
+    * below this run the broadcast band join; larger ones switch to
+    * the tiled layout. 50k docs ⇒ ~1.25·10⁹ fused per-pair
+    * comparisons in one bucket — past what one reducer should own. */
+  val HotBucketThreshold = 50000L
+  /** Tiles for the hot regime: a 10⁵-doc bucket splits into
+    * 16·17/2 = 136 triangular tiles (~10⁷ comparisons each). */
+  val HotBucketTiles = 16
 
   /** F41 — DEDUP-PAIR AUDIT: for every LSH candidate pair, the EXACT
     * distinct-token Jaccard next to the MinHash sketch's estimate

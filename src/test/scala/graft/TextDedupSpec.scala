@@ -161,6 +161,24 @@ class TextDedupSpec extends SparkSpec {
       s"first-match filter must emit each pair exactly once: " +
         s"${viaSigs.toSeq.sorted}")
     assert(viaBands.contains((1L, 2L)) && viaBands.contains((4L, 5L)))
+    // the HOT-BUCKET regime switch (H9 tiled layout, threshold 0 so
+    // every bucket counts as hot): same pair SET, still exactly one
+    // row per pair, for several tile counts including tiles > docs
+    for (tiles <- Seq(1, 3, 16)) {
+      val tiled = TextDedup.candidatePairsFromSigs(sigs,
+        hotBucketThreshold = 0L, tiles = tiles)
+        .as[(Long, Long)].collect()
+      assert(tiled.toSet == viaBands,
+        s"tiled (tiles=$tiles) pair set diverged")
+      assert(tiled.length == tiled.toSet.size,
+        s"tiled (tiles=$tiles) emitted a duplicate pair")
+    }
+    // and a threshold ABOVE every bucket stays on the broadcast path
+    // with the identical result (the switch is a no-op off the hot
+    // regime)
+    assert(TextDedup.candidatePairsFromSigs(sigs,
+      hotBucketThreshold = Long.MaxValue)
+      .as[(Long, Long)].collect().toSet == viaBands)
   }
 
   test("near-identical docs agree on most bands (LSH recall)") {
