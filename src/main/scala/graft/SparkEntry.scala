@@ -521,6 +521,13 @@ object SparkEntry {
     // parent link — the train run's params + model artifact.
     "q_run_history" -> ((s, d) =>
       RunTracker.bestRunsAsOf(Tables.ticks(s, d), runCutoff)),
+    // A26 — pipeline phase-status table (main.py /status analog):
+    // per (symbol, day) cycle the train/val/test slice bounds +
+    // ok/error verdicts and the live session-window monitor row
+    // (error on a deployed-threshold breach — D83's rule).
+    "q_pipeline_status" -> ((s, d) =>
+      RunTracker.pipelineStatus(Tables.ticks(s, d), tensorSlots,
+        pct = reconFlagPct, cacheKey = Some(d))),
     // MERGE-style upsert (CatalogOps.upsertPlan): every 97th order is
     // updated (price doubled) and re-inserted under a shifted key;
     // src marks kept/updated/inserted provenance.
@@ -2868,6 +2875,60 @@ object SparkEntry {
         |FROM cnts c LEFT JOIN best b ON b.symbol = c.symbol
         |LEFT JOIN tr ON tr.parent_run_id = b.parent_run_id
         |ORDER BY c.symbol""".stripMargin,
+    // A26 — pipeline phase status: the A25 slice CTEs with ts bounds
+    // kept, ok/error from the metric-existence predicate; live rows
+    // from the session-window collapse + the shared windowErrSql
+    // error chain vs the deployed test-percentile threshold.
+    "q_pipeline_status" ->
+      s"""WITH $windowErrSql,
+        |t2 AS (SELECT event_id AS tick_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, ts,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY symbol, day
+        |      ORDER BY tick_id) AS rn,
+        |    count(*) OVER (PARTITION BY symbol, day) AS cnt FROM t2),
+        |p2 AS (SELECT *, CASE WHEN rn <= floor(cnt * 0.6) THEN 'train'
+        |      WHEN rn <= floor(cnt * 0.6) + floor(cnt * 0.2) THEN 'val'
+        |      ELSE 'test' END AS phase FROM r2),
+        |dd2 AS (SELECT *, abs(cents - lag(cents) OVER (PARTITION BY
+        |      symbol, day, phase ORDER BY tick_id)) AS d_cents FROM p2),
+        |met AS (SELECT symbol, strftime(day, '%Y-%m-%d') AS day, phase,
+        |    date_trunc('second', min(ts)) AS started,
+        |    date_trunc('second', max(ts)) AS finished,
+        |    count(*) AS n_ticks,
+        |    CASE WHEN count(d_cents) > 0 THEN 'ok' ELSE 'error' END
+        |      AS status
+        |  FROM dd2 GROUP BY 1, 2, 3),
+        |sess AS (SELECT user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day, ts
+        |  FROM events
+        |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50),
+        |lb AS (SELECT symbol, day,
+        |    date_trunc('second', min(ts)) AS started,
+        |    date_trunc('second', max(ts)) AS finished,
+        |    count(*) AS n_ticks
+        |  FROM sess GROUP BY 1, 2),
+        |thr2 AS (SELECT symbol,
+        |    quantile_cont(u_err, $reconFlagPct) AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |br AS (SELECT er.symbol AS symbol, er.date AS date,
+        |    max(CASE WHEN t.qu IS NOT NULL
+        |      AND CAST(er.u_err AS DOUBLE) > t.qu THEN 1 ELSE 0 END)
+        |      AS breached
+        |  FROM er LEFT JOIN thr2 t ON t.symbol = er.symbol
+        |  GROUP BY 1, 2),
+        |liv AS (SELECT lb.symbol, strftime(lb.day, '%Y-%m-%d') AS day,
+        |    'live' AS phase,
+        |    lb.started, lb.finished, lb.n_ticks,
+        |    CASE WHEN br.breached = 1 THEN 'error' ELSE 'ok' END
+        |      AS status
+        |  FROM lb LEFT JOIN br ON br.symbol = lb.symbol
+        |    AND br.date = strftime(lb.day, '%Y-%m-%d'))
+        |SELECT * FROM (SELECT * FROM met UNION ALL SELECT * FROM liv)
+        |ORDER BY symbol, day,
+        |  CASE phase WHEN 'train' THEN 0 WHEN 'val' THEN 1
+        |    WHEN 'test' THEN 2 ELSE 3 END""".stripMargin,
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,

@@ -36,19 +36,21 @@ import org.apache.spark.sql.functions._
   */
 object RunTracker {
 
-  /** Materialize the run registry from the tick lake: one row per
-    * (symbol, day, phase) with exact-int metrics/params. */
-  def runLog(ticks: DataFrame): DataFrame = {
+  /** The per-tick phase-slice frame shared by [[runLog]] and
+    * [[pipelineStatus]]: each (symbol, day)'s ticks ranked by
+    * tick_id, split train/val/test by the D7 floor arithmetic, with
+    * the within-slice |Δcents| carried. One (symbol, day) exchange
+    * carries both windows and the lag. */
+  private def phaseTicks(ticks: DataFrame): DataFrame = {
     val d0 = ticks.agg(min(to_date(col("ts"))).as("d0"))
     val e = ticks
       .withColumn("day", to_date(col("ts")))
       .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
       .crossJoin(broadcast(d0))
       .withColumn("di", datediff(col("day"), col("d0")))
-      .select("tick_id", "symbol", "day", "di", "cents")
+      .select("tick_id", "symbol", "day", "di", "cents", "ts")
     val wDay = Window.partitionBy("symbol", "day").orderBy("tick_id")
-    val ranked = e
-      .withColumn("rn", row_number().over(wDay))
+    e.withColumn("rn", row_number().over(wDay))
       .withColumn("cnt",
         count(lit(1)).over(Window.partitionBy("symbol", "day")))
       .withColumn("phase",
@@ -59,7 +61,12 @@ object RunTracker {
       .withColumn("d_cents", abs(col("cents") - lag(col("cents"), 1)
         .over(Window.partitionBy("symbol", "day", "phase")
           .orderBy("tick_id"))))
-    ranked.groupBy("symbol", "day", "di", "phase")
+  }
+
+  /** Materialize the run registry from the tick lake: one row per
+    * (symbol, day, phase) with exact-int metrics/params. */
+  def runLog(ticks: DataFrame): DataFrame = {
+    phaseTicks(ticks).groupBy("symbol", "day", "di", "phase")
       .agg(count(col("d_cents")).as("n_diffs"),
         sum(col("d_cents")).as("sum_abs"))
       .withColumn("loss_ppm", expr(
@@ -106,5 +113,92 @@ object RunTracker {
       .select("symbol", "n_runs", "best_run_id", "best_val_loss_ppm",
         "lr_ppm", "artifact_path")
       .orderBy("symbol")
+  }
+
+  /** A26 — PIPELINE PHASE-STATUS TABLE (ref: main.py:135-177 run_*
+    * wrappers that mark each phase ok/error, main.py:408-442 the
+    * /status endpoint's per-phase running/status block,
+    * automate_pipeline.py:202-286 the completion monitor polling
+    * those verdicts): the ops dashboard behind "which phase of which
+    * symbol's cycle is done, when did it run, did it fail" — derived
+    * DETERMINISTICALLY from the lake so the oracle re-derives it
+    * end-to-end (the A25 discipline; the reference's in-memory
+    * `pipeline_state` dict becomes a queryable table).
+    *
+    * One row per (symbol, trading day, phase):
+    *  - train/val/test: the A25 registry's cycle slices — started/
+    *    finished = the slice's first/last tick ts (second-truncated,
+    *    the house cross-engine rule), status `ok` iff the phase
+    *    METRIC exists (the slice produced ≥ 1 price diff — exactly
+    *    the predicate under A25's nullable loss_ppm; a 1-tick slice
+    *    is the deterministic analog of the reference's "No trained
+    *    models found" error branch). Phases whose slice is EMPTY
+    *    (e.g. a 1-tick day floors both train and val to zero rows)
+    *    emit nothing — auditable absence.
+    *  - live: the session-window monitor (main.py's 07:50/13:50
+    *    windows) — started/finished bound the day's session ticks,
+    *    status `error` iff any of the day's windows breaches the
+    *    symbol's DEPLOYED threshold (D67's test-percentile qu — the
+    *    same rule D83/G42 alert on), `ok` otherwise; untrained
+    *    symbols (no threshold) never error (G42's conservatism).
+    *    Days with no session ticks carry no live row (the monitor
+    *    only runs inside the windows).
+    *
+    * Scale shape: metric rows ride ONE (symbol, day) exchange
+    * (windows + lag + collapse); live rows ride the session-keyed
+    * collapse plus the session-shared D66 slot chain (`cacheKey`) —
+    * the threshold join is a |symbols|-row broadcast; output is
+    * |symbols|·|days|·≤4 rows, metadata-scale. */
+  def pipelineStatus(ticks: DataFrame, k: Int,
+                     trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                     pct: Double = 0.99,
+                     cacheKey: Option[String] = None): DataFrame = {
+    val metric = phaseTicks(ticks).groupBy("symbol", "day", "phase")
+      .agg(date_trunc("second", min(col("ts"))).as("started"),
+        date_trunc("second", max(col("ts"))).as("finished"),
+        count(lit(1)).as("n_ticks"),
+        count(col("d_cents")).as("n_diffs"))
+      .withColumn("status",
+        when(col("n_diffs") > 0, "ok").otherwise("error"))
+      // day as the yyyy-MM-dd STRING: parquet DATE cells and oracle
+      // DATE cells stringify differently in the driver's comparator
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .select("symbol", "day", "phase", "started", "finished",
+        "n_ticks", "status")
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val wname =
+      when((h === TickOps.MorningH) && (m >= TickOps.FromMin), "morning")
+        .when((h === TickOps.AfternoonH) && (m >= TickOps.FromMin),
+          "afternoon")
+    val liveBounds = ticks
+      .withColumn("win", wname).filter(col("win").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("symbol", "day")
+      .agg(date_trunc("second", min(col("ts"))).as("started"),
+        date_trunc("second", max(col("ts"))).as("finished"),
+        count(lit(1)).as("n_ticks"))
+    val errs = Features.slotChain(ticks, k, trainRatio, valRatio,
+      cacheKey).errs
+    val thr = errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+    val breach = errs.join(broadcast(thr), Seq("symbol"), "left")
+      .groupBy(col("symbol"), col("date"))
+      .agg(max(when(col("qu").isNotNull &&
+        col("u_err").cast("double") > col("qu"), 1).otherwise(0))
+        .as("breached"))
+    val live = liveBounds
+      .withColumn("date", date_format(col("day"), "yyyy-MM-dd"))
+      .join(breach, Seq("symbol", "date"), "left")
+      .withColumn("status",
+        when(col("breached") === 1, "error").otherwise("ok"))
+      .select(col("symbol"), col("date").as("day"),
+        lit("live").as("phase"), col("started"), col("finished"),
+        col("n_ticks"), col("status"))
+    metric.unionByName(live)
+      .orderBy(col("symbol"), col("day"),
+        when(col("phase") === "train", 0)
+          .when(col("phase") === "val", 1)
+          .when(col("phase") === "test", 2).otherwise(3))
   }
 }

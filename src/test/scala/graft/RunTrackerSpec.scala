@@ -47,4 +47,54 @@ class RunTrackerSpec extends SparkSpec {
     assert(r.getAs[Long]("lr_ppm") == 90909L)
     assert(r.getAs[String]("artifact_path") == "models/5/d1.pt")
   }
+
+  test("pipelineStatus: metric phases carry the slice ts bounds and " +
+      "ok/error from metric existence; the live row errors exactly " +
+      "on a deployed-threshold breach day; 1-tick days emit only a " +
+      "test-phase error row and no live row off-session") {
+    val k = 4
+    // 10 session days (morning windows, 4 ticks each at 07:51:0i);
+    // day 10 spikes -> its window error dominates and breaches the
+    // p99 test threshold (test windows = days 9-10)
+    val sess = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    // a 1-tick midday day for symbol 2: n=1 -> the single tick lands
+    // in the test slice (train/val floor to zero rows), no diff ->
+    // error; no session ticks -> no live row
+    val lone = Seq((999L, 2L, "2024-01-05 11:00:00", 3.00, 9.9))
+    val out = RunTracker.pipelineStatus(ticks(sess ++ lone: _*), k)
+      .collect()
+      .map(r => (r.getAs[Long]("symbol"), r.getAs[String]("day"),
+        r.getAs[String]("phase")) ->
+        ((r.getAs[Timestamp]("started"), r.getAs[Timestamp]("finished"),
+          r.getAs[Long]("n_ticks"), r.getAs[String]("status"))))
+      .toMap
+    // symbol 1, each day: train ranks 1-2, val floors to zero rows,
+    // test ranks 3-4 -> 2 rows per day + 1 live row
+    assert(out.size == 10 * 3 + 1)
+    val d1train = out((1L, "2024-01-01", "train"))
+    assert(d1train == ((t("2024-01-01 07:51:00"),
+      t("2024-01-01 07:51:01"), 2L, "ok")))
+    val d1test = out((1L, "2024-01-01", "test"))
+    assert(d1test == ((t("2024-01-01 07:51:02"),
+      t("2024-01-01 07:51:03"), 2L, "ok")))
+    assert(!out.contains((1L, "2024-01-01", "val")))
+    // live: only the spike day errors; its bounds span the session
+    (1 to 9).foreach { d =>
+      assert(out((1L, f"2024-01-$d%02d", "live"))._4 == "ok",
+        s"day $d live should be ok")
+    }
+    assert(out((1L, "2024-01-10", "live")) ==
+      ((t("2024-01-10 07:51:00"), t("2024-01-10 07:51:03"), 4L,
+        "error")))
+    // symbol 2's lone tick: one test-phase error row, nothing else
+    assert(out((2L, "2024-01-05", "test")) ==
+      ((t("2024-01-05 11:00:00"), t("2024-01-05 11:00:00"), 1L,
+        "error")))
+    assert(!out.keys.exists(key => key._1 == 2L && key._3 == "live"))
+  }
 }
