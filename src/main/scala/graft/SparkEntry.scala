@@ -218,6 +218,12 @@ object SparkEntry {
                                 // carries 1-5 session windows/symbol)
   val wfStep = 1                // D77 eval windows per fold
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
+  // A28 stage params (small config longs — lineageParamsFp bound):
+  // identical in the registry's prior/current manifests, so the only
+  // verdict driver is the as-of data diff; the SPEC varies them.
+  val lineageParams: Map[String, Long] = Map(
+    "schema" -> 1L, "ingest" -> 2L, "clean" -> 750L,
+    "features" -> 16L, "train" -> 62500L, "evaluate" -> 990000L)
   val fracD = 0.4               // D71 differentiation order
   val fracK = 10                // D71 truncation lags
   val cpcvGroups = 5            // D72 CPCV calendar groups (C(5,2)
@@ -528,6 +534,13 @@ object SparkEntry {
     "q_pipeline_status" -> ((s, d) =>
       RunTracker.pipelineStatus(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct, cacheKey = Some(d))),
+    // A28 — DVC-analog stage-lineage manifest: per pipeline stage the
+    // (input, params, output) fingerprints of the current run vs the
+    // as-of-cutoff prior run, with the cache/reproduce verdict.
+    "q_stage_lineage" -> ((s, d) =>
+      RunTracker.stageLineage(Tables.ticks(s, d), tensorSlots,
+        runCutoff, lineageParams, lineageParams,
+        cacheKey = Some(d))),
     // MERGE-style upsert (CatalogOps.upsertPlan): every 97th order is
     // updated (price doubled) and re-inserted under a shifted key;
     // src marks kept/updated/inserted provenance.
@@ -1645,88 +1658,101 @@ object SparkEntry {
   /** D66/D67 shared oracle body: the session-window slot CTE chain
     * ending in `uq` (symbol, date, win, split, cnt, i, u int64
     * micros) — one spelling for the tensor export and the pipeline. */
-  private lazy val tensorSlotsSql: String = {
+  /** [[tensorSlotsSql]] GENERATOR: every CTE name carries suffix `x`
+    * and `pred` (optional) further filters the session-tick source —
+    * the seam that lets one oracle carry TWO slot chains (A28's
+    * current-vs-prior manifests) without copy-pasting the spelling.
+    * `tensorSlotsSqlG("", "")` is byte-equivalent to the historic
+    * shared fragment (aliases aside). */
+  private def tensorSlotsSqlG(x: String, pred: String): String = {
     val k = tensorSlots
-    s"""w AS (SELECT event_id AS tick_id, user_id AS symbol,
+    val and = if (pred.isEmpty) "" else s" AND ($pred)"
+    s"""w$x AS (SELECT event_id AS tick_id, user_id AS symbol,
       |    strftime(ts, '%Y-%m-%d') AS date,
       |    CASE WHEN hour(ts) = 7 AND minute(ts) >= 50 THEN 'morning'
       |         WHEN hour(ts) = 13 AND minute(ts) >= 50 THEN 'afternoon'
       |    END AS win,
       |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
       |  FROM events
-      |  WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50),
-      |base AS (SELECT *, row_number() OVER (PARTITION BY symbol, date,
-      |    win ORDER BY tick_id) AS rn FROM w),
-      |g AS (SELECT symbol, date, win, count(*) AS cnt
-      |  FROM w GROUP BY 1, 2, 3),
-      |idx AS (SELECT symbol, date, win, cnt, i,
+      |  WHERE ((hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50)$and),
+      |base$x AS (SELECT *, row_number() OVER (PARTITION BY symbol, date,
+      |    win ORDER BY tick_id) AS rn FROM w$x),
+      |g$x AS (SELECT symbol, date, win, count(*) AS cnt
+      |  FROM w$x GROUP BY 1, 2, 3),
+      |idx$x AS (SELECT symbol, date, win, cnt, i,
       |    CASE WHEN cnt = 1 THEN 1
       |      WHEN cnt >= $k THEN (i * (cnt - 1)) // ${k - 1} + 1
       |      ELSE ((i + 1) * (cnt - 1) - 1) // ${k - 1} + 1
       |    END AS target_rn
-      |  FROM g, (SELECT unnest(range($k)) AS i) ti),
-      |slots AS (SELECT idx.symbol AS symbol, idx.date AS date,
-      |    idx.win AS win, idx.cnt AS cnt, idx.i AS i, b.cents AS cents
-      |  FROM idx JOIN base b ON b.symbol = idx.symbol
-      |    AND b.date = idx.date AND b.win = idx.win
-      |    AND b.rn = idx.target_rn),
-      |rk AS (SELECT symbol, date, win,
+      |  FROM g$x, (SELECT unnest(range($k)) AS i) ti),
+      |slots$x AS (SELECT ix.symbol AS symbol, ix.date AS date,
+      |    ix.win AS win, ix.cnt AS cnt, ix.i AS i, b.cents AS cents
+      |  FROM idx$x ix JOIN base$x b ON b.symbol = ix.symbol
+      |    AND b.date = ix.date AND b.win = ix.win
+      |    AND b.rn = ix.target_rn),
+      |rk$x AS (SELECT symbol, date, win,
       |    row_number() OVER (PARTITION BY symbol ORDER BY date,
       |      CASE WHEN win = 'morning' THEN 0 ELSE 1 END) AS rn_w,
       |    count(*) OVER (PARTITION BY symbol) AS n_w
-      |  FROM g),
-      |sp AS (SELECT symbol, date, win,
+      |  FROM g$x),
+      |sp$x AS (SELECT symbol, date, win,
       |    CASE WHEN rn_w <= floor(n_w * 0.6) THEN 'train'
       |      WHEN rn_w <= floor(n_w * 0.6) + floor(n_w * 0.2) THEN 'val'
       |      ELSE 'test' END AS split
-      |  FROM rk),
-      |st AS (SELECT sl.symbol AS symbol, count(*) AS n_tr,
+      |  FROM rk$x),
+      |st$x AS (SELECT sl.symbol AS symbol, count(*) AS n_tr,
       |    CAST(sum(sl.cents) AS BIGINT) AS sa,
       |    CAST(sum(sl.cents * sl.cents) AS BIGINT) AS sq
-      |  FROM slots sl JOIN sp ON sp.symbol = sl.symbol
-      |    AND sp.date = sl.date AND sp.win = sl.win
-      |  WHERE sp.split = 'train' GROUP BY 1),
-      |sc AS (SELECT symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
+      |  FROM slots$x sl JOIN sp$x sq2 ON sq2.symbol = sl.symbol
+      |    AND sq2.date = sl.date AND sq2.win = sl.win
+      |  WHERE sq2.split = 'train' GROUP BY 1),
+      |sc$x AS (SELECT symbol, CAST(sa AS DOUBLE) / n_tr AS mu,
       |    CASE WHEN CAST(sq AS DOUBLE) / n_tr
       |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr)
       |        > 0
       |      THEN sqrt(CAST(sq AS DOUBLE) / n_tr
       |        - (CAST(sa AS DOUBLE) / n_tr) * (CAST(sa AS DOUBLE) / n_tr))
       |      END AS sd
-      |  FROM st),
-      |sx AS (SELECT sl.symbol AS symbol, sl.date AS date,
-      |    sl.win AS win, sp.split AS split, sl.cnt AS n_ticks, sl.i AS i,
-      |    CASE WHEN sc.sd IS NOT NULL AND sc.sd > 0
-      |      THEN (sl.cents - sc.mu) / sc.sd ELSE 0.0 END AS x
-      |  FROM slots sl
-      |  JOIN sp ON sp.symbol = sl.symbol AND sp.date = sl.date
-      |    AND sp.win = sl.win
-      |  LEFT JOIN sc ON sc.symbol = sl.symbol),
-      |uq AS (SELECT symbol, date, win, split, n_ticks, i,
+      |  FROM st$x),
+      |sx$x AS (SELECT sl.symbol AS symbol, sl.date AS date,
+      |    sl.win AS win, sq2.split AS split, sl.cnt AS n_ticks, sl.i AS i,
+      |    CASE WHEN c.sd IS NOT NULL AND c.sd > 0
+      |      THEN (sl.cents - c.mu) / c.sd ELSE 0.0 END AS x
+      |  FROM slots$x sl
+      |  JOIN sp$x sq2 ON sq2.symbol = sl.symbol AND sq2.date = sl.date
+      |    AND sq2.win = sl.win
+      |  LEFT JOIN sc$x c ON c.symbol = sl.symbol),
+      |uq$x AS (SELECT symbol, date, win, split, n_ticks, i,
       |    CAST(CASE WHEN x >= 0 THEN floor(x * 1000000.0 + 0.5)
       |      ELSE -floor(-x * 1000000.0 + 0.5) END AS BIGINT) AS u
-      |  FROM sx)""".stripMargin
+      |  FROM sx$x)""".stripMargin
   }
+
+  private lazy val tensorSlotsSql: String = tensorSlotsSqlG("", "")
 
   /** D67/D68 shared oracle body: the slot chain plus the per-window
     * train-centroid error CTEs, ending in `er` (symbol, date, win,
-    * split, u_err int64 micros). */
-  private lazy val windowErrSql: String =
-    s"""$tensorSlotsSql,
-      |tm AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
+    * split, u_err int64 micros). Generator form for the same reason
+    * as [[tensorSlotsSqlG]]. */
+  private def windowErrSqlG(x: String, pred: String): String =
+    s"""${tensorSlotsSqlG(x, pred)},
+      |tm$x AS (SELECT symbol, i, CAST(sum(u) AS BIGINT) AS su,
       |    count(*) AS n_tr
-      |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
-      |tt AS (SELECT uq.symbol, uq.date, uq.win, uq.split, uq.i,
-      |    CASE WHEN tm.n_tr IS NULL THEN 0.0
-      |      ELSE (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
-      |        * (CAST(uq.u AS DOUBLE) - CAST(tm.su AS DOUBLE) / tm.n_tr)
+      |  FROM uq$x WHERE split = 'train' GROUP BY 1, 2),
+      |tt$x AS (SELECT q.symbol, q.date, q.win, q.split, q.i,
+      |    CASE WHEN m.n_tr IS NULL THEN 0.0
+      |      ELSE (CAST(q.u AS DOUBLE) - CAST(m.su AS DOUBLE) / m.n_tr)
+      |        * (CAST(q.u AS DOUBLE) - CAST(m.su AS DOUBLE) / m.n_tr)
       |        / 1000000.0 / 1000000.0 END AS t
-      |  FROM uq LEFT JOIN tm ON tm.symbol = uq.symbol AND tm.i = uq.i),
-      |er AS (SELECT symbol, date, win, split,
+      |  FROM uq$x q LEFT JOIN tm$x m ON m.symbol = q.symbol
+      |    AND m.i = q.i),
+      |er$x AS (SELECT symbol, date, win, split,
       |    CAST(floor(list_reduce(list_prepend(0.0, list(t ORDER BY i)),
       |      (a, b) -> a + b) / $tensorSlots * 1000000.0 + 0.5)
       |      AS BIGINT) AS u_err
-      |  FROM tt GROUP BY 1, 2, 3, 4)""".stripMargin
+      |  FROM tt$x GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  private lazy val windowErrSql: String = windowErrSqlG("", "")
 
   /** D84 oracle generator: the full-batch GD autoencoder training
     * loop as an unrolled per-epoch CTE cascade (the F61/F59
@@ -1841,6 +1867,97 @@ object SparkEntry {
       |${(lossSelects ++ weightSelects :+ flagSelect)
         .mkString("\nUNION ALL\n")}
       |) ORDER BY symbol, kind, a, b""".stripMargin
+  }
+
+  /** A28 oracle generator: BOTH manifests' slot chains via
+    * [[windowErrSqlG]] (suffix "" = current, "p" = as-of prior), the
+    * five content-fp aggregates per manifest, the stage-DAG ladder as
+    * sequential CTE stages, and the 6-row verdict union. Params fps
+    * are compile-time constants ([[RunTracker.lineageParamsFp]] —
+    * the same function the operator folds). */
+  private def stageLineageOracleSql(cutoff: String,
+                                    priorParams: Map[String, Long],
+                                    curParams: Map[String, Long])
+      : String = {
+    val P = graft.functions.PortableText.P
+    def pf(m: Map[String, Long])(st: String): Long =
+      RunTracker.lineageParamsFp(m(st))
+    val pc = pf(curParams) _; val pp = pf(priorParams) _
+    val pred = s"CAST(date_trunc('day', ts) AS DATE) <= DATE '$cutoff'"
+    def fpCtes(x: String): String =
+      s"""fc$x AS (SELECT
+        |    CAST(COALESCE(SUM((tick_id * 31 + cents) % $P), 0) % $P
+        |      AS BIGINT) AS raw,
+        |    CAST(COALESCE(SUM(CASE WHEN (hour(ts) = 7 OR hour(ts) = 13)
+        |        AND minute(ts) >= 50
+        |      THEN (tick_id * 31 + cents) % $P END), 0) % $P
+        |      AS BIGINT) AS clean
+        |  FROM rawc$x),
+        |fs$x AS (SELECT CAST(COALESCE(SUM(
+        |    ((symbol * 8191 + i * 127 + u) % $P + $P) % $P), 0) % $P
+        |    AS BIGINT) AS v FROM uq$x),
+        |ft$x AS (SELECT CAST(COALESCE(SUM(
+        |    ((symbol * 8191 + i * 127 + su * 31 + n_tr) % $P + $P)
+        |      % $P), 0) % $P AS BIGINT) AS v FROM tm$x),
+        |fe$x AS (SELECT CAST(COALESCE(SUM(
+        |    ((symbol * 8191 + u_err) % $P + $P) % $P), 0) % $P
+        |    AS BIGINT) AS v FROM er$x),
+        |lad0$x AS (SELECT fc$x.raw AS raw, fc$x.clean AS clean,
+        |    fs$x.v AS slots, ft$x.v AS train, fe$x.v AS err
+        |  FROM fc$x, fs$x, ft$x, fe$x)""".stripMargin
+    def ladder(x: String, p: String => Long): String =
+      s"""l1$x AS (SELECT *,
+        |    (raw * 961 + raw * 31 + ${p("ingest")}) % $P AS o_ingest
+        |  FROM lad0$x),
+        |l2$x AS (SELECT *,
+        |    (o_ingest * 961 + clean * 31 + ${p("clean")}) % $P
+        |      AS o_clean FROM l1$x),
+        |l3$x AS (SELECT *,
+        |    (o_clean * 961 + slots * 31 + ${p("features")}) % $P
+        |      AS o_features FROM l2$x),
+        |l4$x AS (SELECT *,
+        |    (o_features * 961 + train * 31 + ${p("train")}) % $P
+        |      AS o_train FROM l3$x),
+        |l5$x AS (SELECT *,
+        |    (o_train * 31 + o_features) % $P AS i_eval FROM l4$x),
+        |lad$x AS (SELECT *,
+        |    (i_eval * 961 + err * 31 + ${p("evaluate")}) % $P
+        |      AS o_eval FROM l5$x)""".stripMargin
+    def vrow(ord: Int, st: String, in: String, out: String,
+             pin: String): String = {
+      val sameP = if (pc(st) == pp(st)) "TRUE" else "FALSE"
+      s"""SELECT $ord AS stage_ord, '$st' AS stage,
+        |  CAST($in AS BIGINT) AS input_fp,
+        |  CAST(${pc(st)} AS BIGINT) AS params_fp,
+        |  CAST($out AS BIGINT) AS output_fp,
+        |  CAST($pin AS BIGINT) AS prior_input_fp,
+        |  CAST(${pp(st)} AS BIGINT) AS prior_params_fp,
+        |  CASE WHEN CAST($in AS BIGINT) = CAST($pin AS BIGINT)
+        |    AND $sameP THEN 'cache' ELSE 'reproduce' END AS verdict
+        |FROM lad c, ladp p""".stripMargin
+    }
+    val rows = Seq(
+      vrow(0, "schema", "0", pc("schema").toString, "0"),
+      vrow(1, "ingest", "c.raw",
+        s"(c.raw * 961 + c.raw * 31 + ${pc("ingest")}) % $P", "p.raw"),
+      vrow(2, "clean", "c.o_ingest", "c.o_clean", "p.o_ingest"),
+      vrow(3, "features", "c.o_clean", "c.o_features", "p.o_clean"),
+      vrow(4, "train", "c.o_features", "c.o_train", "p.o_features"),
+      vrow(5, "evaluate", "c.i_eval", "c.o_eval", "p.i_eval")
+    ).mkString("\nUNION ALL\n")
+    s"""WITH ${windowErrSqlG("", "")},
+      |${windowErrSqlG("p", pred)},
+      |rawc AS (SELECT event_id AS tick_id, ts,
+      |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |rawcp AS (SELECT * FROM rawc WHERE $pred),
+      |${fpCtes("")},
+      |${fpCtes("p")},
+      |${ladder("", pc)},
+      |${ladder("p", pp)}
+      |SELECT * FROM (
+      |$rows
+      |) ORDER BY stage_ord""".stripMargin
   }
 
   /** D76-family shared oracle fragments (r13 review dedup): the
@@ -2929,6 +3046,11 @@ object SparkEntry {
         |ORDER BY symbol, day,
         |  CASE phase WHEN 'train' THEN 0 WHEN 'val' THEN 1
         |    WHEN 'test' THEN 2 ELSE 3 END""".stripMargin,
+    // A28 — stage-lineage manifest: two generated slot chains (full
+    // vs as-of), content-fp aggregates, the stage-DAG ladder, verdict
+    // per stage.
+    "q_stage_lineage" -> stageLineageOracleSql(runCutoff,
+      lineageParams, lineageParams),
     "q_upsert" ->
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,

@@ -201,4 +201,148 @@ object RunTracker {
           .when(col("phase") === "val", 1)
           .when(col("phase") === "test", 2).otherwise(3))
   }
+
+  // ===== A28 — DVC-analog stage-lineage manifest ===================
+
+  /** The pipeline's stage DAG, topologically ordered. `schema` has no
+    * data dependency (params-only — a config stage); `evaluate`
+    * depends on BOTH `train` and `features` (the diamond that makes
+    * cone-invalidation non-trivial). */
+  val LineageStages: Seq[String] =
+    Seq("schema", "ingest", "clean", "features", "train", "evaluate")
+
+  private val FpP = graft.functions.PortableText.P
+
+  /** Params fingerprint: one multiplicative-hash step mod p (params
+    * are small config longs, so the product stays far inside int64 —
+    * DuckDB errors on BIGINT overflow, so this bound is load-bearing
+    * for the oracle too). */
+  def lineageParamsFp(param: Long): Long = {
+    require(param >= 0 && param < 1000000000L,
+      s"stage param out of the overflow-safe range [0, 1e9): $param")
+    Math.floorMod(param * 2654435761L, FpP)
+  }
+
+  /** Stage OUTPUT fingerprint — the DVC cache key: input fp, the
+    * stage's own data-content fp and its params fp folded mod p.
+    * Any upstream change cascades here, which is exactly what makes
+    * a params edit invalidate its downstream cone and nothing else.
+    * All terms < p = 1e9+7, multipliers keep the fold < ~1e12. */
+  def lineageOutFp(inputFp: Long, dataFp: Long, paramsFp: Long): Long =
+    Math.floorMod(inputFp * 961L + dataFp * 31L + paramsFp, FpP)
+
+  /** Per-manifest data-content fingerprints: (raw ticks, session
+    * ticks, slot frame, train means, window errors) — each an
+    * order-free sum of per-row hashes mod p (F90's content-checksum
+    * device; equal fp ⇔ same row multiset). One tick scan covers
+    * raw+clean; the rest ride the (shared) D66 slot chain. At true
+    * scale the plain int64 sum becomes a modular partial-sum reduce
+    * (F54's rule — sums stay exact here to ~9·10⁹ rows). */
+  private def manifestDataFps(t: DataFrame, k: Int, trainRatio: Double,
+                              valRatio: Double,
+                              cacheKey: Option[String])
+      : Map[String, Long] = {
+    val p = lit(FpP)
+    val h = hour(col("ts")); val m = minute(col("ts"))
+    val insess =
+      ((h === TickOps.MorningH) || (h === TickOps.AfternoonH)) &&
+        (m >= TickOps.FromMin)
+    val row = t
+      .withColumn("cents", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .withColumn("hh", pmod(col("tick_id") * 31 + col("cents"), p))
+    val r0 = row.agg(
+      coalesce(pmod(sum(col("hh")), p), lit(0L)).as("raw"),
+      coalesce(pmod(sum(when(insess, col("hh"))), p), lit(0L))
+        .as("clean")).head()
+    val chain = Features.slotChain(t, k, trainRatio, valRatio, cacheKey)
+    val sFp = chain.scaled.agg(coalesce(pmod(sum(pmod(
+      col("symbol") * 8191 + col("i") * 127 + col("u"), p)), p),
+      lit(0L))).head().getLong(0)
+    val tFp = chain.scaled.filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
+      .agg(coalesce(pmod(sum(pmod(col("symbol") * 8191 +
+        col("i") * 127 + col("su") * 31 + col("n_tr"), p)), p),
+        lit(0L))).head().getLong(0)
+    val eFp = chain.errs.agg(coalesce(pmod(sum(pmod(
+      col("symbol") * 8191 + col("u_err"), p)), p), lit(0L)))
+      .head().getLong(0)
+    Map("schema" -> 0L, "ingest" -> r0.getLong(0),
+      "clean" -> r0.getLong(1), "features" -> sFp,
+      "train" -> tFp, "evaluate" -> eFp)
+  }
+
+  /** (input_fp, params_fp, output_fp) per stage, walking the DAG. */
+  private def buildManifest(data: Map[String, Long],
+                            params: Map[String, Long])
+      : Map[String, (Long, Long, Long)] = {
+    var out = Map.empty[String, (Long, Long, Long)]
+    def o(s: String) = out(s)._3
+    def add(s: String, in: Long): Unit = {
+      val pf = lineageParamsFp(params(s))
+      out += s -> ((in, pf, lineageOutFp(in, data(s), pf)))
+    }
+    add("schema", 0L)
+    add("ingest", data("ingest"))
+    add("clean", o("ingest"))
+    add("features", o("clean"))
+    add("train", o("features"))
+    add("evaluate",
+      Math.floorMod(o("train") * 31L + o("features"), FpP))
+    out
+  }
+
+  /** A28 — DVC-ANALOG STAGE-LINEAGE MANIFEST (ref: README.md §"DVC
+    * (Data Version Control)" — the reference versions its pipeline
+    * with DVC, whose dvc.lock records per stage the checksums of
+    * inputs, params and outputs and `dvc repro` recomputes a stage
+    * iff a dependency checksum changed, invalidating exactly its
+    * downstream cone): the same contract as a deterministic TABLE.
+    * Stages = the reference's flow (schema config → CSV ingest →
+    * session clean → window features → train → evaluate); per stage
+    * the CURRENT manifest's (input_fp, params_fp, output_fp) next to
+    * the PRIOR run's, and the verdict — `cache` iff both dependency
+    * fingerprints are unchanged, else `reproduce`. F90's content-
+    * checksum device supplies the data fps; the prior manifest is
+    * the pipeline AS OF `cutoff` (A12's two-snapshot diff applied to
+    * the whole DAG: the registry's prior run saw only the first
+    * part of history). Output fps fold (input, data, params), so a
+    * change at any stage cascades through every downstream input —
+    * the cone rule is structural, not special-cased (spec: a params
+    * edit at `train` flips train+evaluate to `reproduce` and leaves
+    * the three upstream stages `cache`).
+    *
+    * Scale shape: five order-free content sums (one tick scan for
+    * raw+clean, three slot-chain aggregates — the chain itself is
+    * session-shared via `cacheKey`) per manifest; the DAG walk is a
+    * driver fold over SIX scalars (A19's rule); output is 6 rows. */
+  def stageLineage(ticks: DataFrame, k: Int, cutoff: String,
+                   priorParams: Map[String, Long],
+                   curParams: Map[String, Long],
+                   trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                   cacheKey: Option[String] = None): DataFrame = {
+    require(LineageStages.forall(priorParams.contains) &&
+      LineageStages.forall(curParams.contains),
+      s"params must cover all stages: $LineageStages")
+    val ss = ticks.sparkSession
+    val cur = buildManifest(
+      manifestDataFps(ticks, k, trainRatio, valRatio, cacheKey),
+      curParams)
+    val prior = buildManifest(
+      manifestDataFps(
+        ticks.filter(to_date(col("ts")) <= lit(cutoff).cast("date")),
+        k, trainRatio, valRatio,
+        cacheKey.map(c => s"$c|asof=$cutoff")),
+      priorParams)
+    import ss.implicits._
+    LineageStages.zipWithIndex.map { case (s, ord) =>
+      val (in, pf, out) = cur(s)
+      val (pin, ppf, _) = prior(s)
+      val verdict =
+        if (in == pin && pf == ppf) "cache" else "reproduce"
+      (ord, s, in, pf, out, pin, ppf, verdict)
+    }.toDF("stage_ord", "stage", "input_fp", "params_fp", "output_fp",
+      "prior_input_fp", "prior_params_fp", "verdict")
+      .orderBy("stage_ord")
+  }
 }

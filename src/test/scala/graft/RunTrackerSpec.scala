@@ -97,4 +97,38 @@ class RunTrackerSpec extends SparkSpec {
         "error")))
     assert(!out.keys.exists(key => key._1 == 2L && key._3 == "live"))
   }
+
+  test("stageLineage: identical runs cache everywhere; a TRAIN params " +
+      "edit invalidates exactly its downstream cone (train, evaluate) " +
+      "and nothing upstream; an as-of data diff reproduces every " +
+      "data-dependent stage while the params-only schema stage caches") {
+    val k = 4
+    val rows = (1 to 6).flatMap { d =>
+      (0 to 3).map(i =>
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i",
+          1.00 + i * 0.01 + d * 0.002, 9.9))
+    }
+    val df = ticks(rows: _*)
+    val base = Map("schema" -> 1L, "ingest" -> 2L, "clean" -> 3L,
+      "features" -> 4L, "train" -> 5L, "evaluate" -> 6L)
+    def verdicts(cutoff: String, prior: Map[String, Long],
+                 cur: Map[String, Long]): Map[String, String] =
+      RunTracker.stageLineage(df, k, cutoff, prior, cur).collect()
+        .map(r => r.getAs[String]("stage") ->
+          r.getAs[String]("verdict")).toMap
+    // same data (cutoff past the tape), same params -> all cache
+    val allCache = verdicts("2024-12-31", base, base)
+    assert(allCache.values.forall(_ == "cache"), s"$allCache")
+    // train param edited -> ONLY train + evaluate reproduce
+    val coneV = verdicts("2024-12-31", base, base + ("train" -> 50L))
+    assert(coneV == Map("schema" -> "cache", "ingest" -> "cache",
+      "clean" -> "cache", "features" -> "cache",
+      "train" -> "reproduce", "evaluate" -> "reproduce"), s"$coneV")
+    // data grew past the prior cutoff -> every data stage reproduces,
+    // the params-only schema stage still caches
+    val dataV = verdicts("2024-01-03", base, base)
+    assert(dataV == Map("schema" -> "cache", "ingest" -> "reproduce",
+      "clean" -> "reproduce", "features" -> "reproduce",
+      "train" -> "reproduce", "evaluate" -> "reproduce"), s"$dataV")
+  }
 }
