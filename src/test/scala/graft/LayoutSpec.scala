@@ -291,6 +291,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("H16: the r14 additions keep the slot-chain discipline — the " +
+      "GD autoencoder's scoring plan runs off the checkpoint barrier " +
+      "with broadcast weight/threshold joins (no SortMergeJoin), and " +
+      "pipelineStatus' live branch broadcasts the deployed threshold") {
+    val rows = (1 to 20).flatMap { d =>
+      (0 to 5).map { i =>
+        (d * 10L + i, (d % 3).toLong,
+          java.sql.Timestamp.valueOf(f"2024-01-$d%02d 07:51:0$i"),
+          1.0 + i * 0.01, 9.9)
+      }
+    }
+    val ticks = rows.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val gd = graft.operators.Features.gdAutoencoder(ticks, 4)
+      .queryExecution.executedPlan.toString
+    assert(gd.contains("ExistingRDD"),
+      s"gdAutoencoder lost the checkpoint barrier:\n$gd")
+    assert(gd.contains("BroadcastHashJoin"),
+      s"gdAutoencoder expected broadcast artifact joins:\n$gd")
+    assert(!gd.contains("SortMergeJoin"),
+      s"gdAutoencoder scoring regressed to SortMergeJoin:\n$gd")
+    assert(!gd.contains("Scan parquet"),
+      s"gdAutoencoder re-reads a file fact downstream:\n$gd")
+    val ps = graft.operators.RunTracker.pipelineStatus(ticks, 4)
+      .queryExecution.executedPlan.toString
+    assert(ps.contains("ExistingRDD"),
+      s"pipelineStatus lost the slot-chain barrier:\n$ps")
+    assert(ps.contains("BroadcastHashJoin"),
+      s"pipelineStatus expected a broadcast threshold join:\n$ps")
+  }
+
   test("H13: the window-tensor pipelines broadcast every per-symbol " +
       "stats join — no SortMergeJoin survives in the scaling or " +
       "threshold paths") {

@@ -294,4 +294,81 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(got == mirror(x), s"seed=$seed x=$x")
     }
   }
+
+  test("D84 GD fragments: the generated SQL texts (forward chain, " +
+      "gradient quantization, weight update, loss) equal the Scala " +
+      "driver mirrors bit-for-bit on random weights and slot micros") {
+    // One fragment text drives BOTH engines (gdZExpr family) while
+    // the weight update and loss run in SCALA on the driver (gdStep,
+    // gdLoss) and in generated SQL in the oracle (gdUpdExpr,
+    // gdLossExpr). This property pins all three spellings to one
+    // IEEE result on arbitrary inputs — the contract the D84 hash
+    // parity stands on.
+    import graft.operators.Features
+    val k = 4; val h = 2
+    val uGen = Gen.choose(-5000000L, 5000000L)
+    val wGen = Gen.choose(-1024L, 1023L).map(_ / 4096.0)
+    case class Case(s: Seq[Long], we: Seq[Seq[Double]],
+                    wd: Seq[Seq[Double]], g: Long, n: Long, sl: Long)
+    val caseGen = for {
+      s <- Gen.listOfN(k, uGen)
+      we <- Gen.listOfN(h, Gen.listOfN(k, wGen))
+      wd <- Gen.listOfN(k, Gen.listOfN(h, wGen))
+      g <- Gen.choose(-2000000000L, 2000000000L)
+      n <- Gen.choose(1L, 100000L)
+      sl <- Gen.choose(0L, 4000000000L)
+    } yield Case(s, we, wd, g, n, sl)
+    samples(caseGen, 25).foreach { case (c, seed) =>
+      var df = Seq(Tuple1(1)).toDF("one")
+      (0 until k).foreach(i =>
+        df = df.withColumn(s"s$i", lit(c.s(i))))
+      for (j <- 0 until h; i <- 0 until k)
+        df = df.withColumn(s"we_${j}_$i", lit(c.we(j)(i)))
+      for (i <- 0 until k; j <- 0 until h)
+        df = df.withColumn(s"wd_${i}_$j", lit(c.wd(i)(j)))
+      (0 until h).foreach(j =>
+        df = df.withColumn(s"z$j", expr(Features.gdZExpr(j, k))))
+      (0 until k).foreach(i =>
+        df = df.withColumn(s"xh$i", expr(Features.gdXhExpr(i, h))))
+      (0 until k).foreach(i =>
+        df = df.withColumn(s"r$i", expr(Features.gdRExpr(i))))
+      val row = df
+        .withColumn("q00", expr(Features.gdQExpr("r0*z0")))
+        .withColumn("lq", expr(Features.gdLqExpr(k)))
+        .collect().head
+      // Scala mirror — the FeaturesSpec fwd spelling
+      val x = (0 until k).map(i => c.s(i).toDouble / 1e6)
+      val z = (0 until h).map { j =>
+        var acc = c.we(j)(0) * x(0)
+        (1 until k).foreach(i => acc += c.we(j)(i) * x(i)); acc
+      }
+      val r = (0 until k).map { i =>
+        var acc = c.wd(i)(0) * z(0)
+        (1 until h).foreach(j => acc += c.wd(i)(j) * z(j))
+        acc - x(i)
+      }
+      (0 until h).foreach(j => assert(
+        row.getAs[Double](s"z$j") == z(j), s"seed=$seed z$j"))
+      (0 until k).foreach(i => assert(
+        row.getAs[Double](s"r$i") == r(i), s"seed=$seed r$i"))
+      def q(v: Double): Long =
+        if (v >= 0) math.floor(v * 1e6 + 0.5).toLong
+        else -math.floor(-v * 1e6 + 0.5).toLong
+      assert(row.getAs[Long]("q00") == q(r(0) * z(0)), s"seed=$seed q")
+      assert(row.getAs[Long]("lq") == (0 until k).map(i =>
+        math.floor(r(i) * r(i) * 1e6 + 0.5).toLong).sum,
+        s"seed=$seed lq")
+      // update + loss: SQL spelling vs the Scala driver functions
+      val w0 = c.we(0)(0)
+      val upd = Seq((w0, c.g, c.n)).toDF("w", "g", "n_tr")
+        .selectExpr(
+          Features.gdUpdExpr("w", "g", 0.0625),
+          Features.gdLossExpr("CAST(abs(g) AS BIGINT)", k))
+        .collect().head
+      assert(upd.getDouble(0) ==
+        Features.gdStep(w0, c.g, 0.0625, c.n), s"seed=$seed upd")
+      assert(upd.getDouble(1) ==
+        Features.gdLoss(math.abs(c.g), c.n, k), s"seed=$seed loss")
+    }
+  }
 }
