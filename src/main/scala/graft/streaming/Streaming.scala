@@ -1500,7 +1500,7 @@ object Streaming {
     * standardization, 1e-6 sign-split quantization, ascending-slot
     * centroid-error fold) returning (uErr micros, scaled LAST slot —
     * the entry-direction signal G41 needs). */
-  private[streaming] object SessionScoring extends Serializable {
+  private[graft] object SessionScoring extends Serializable {
     def sessionUtcParts(ts: Timestamp): (String, Int, Int) = {
       val z = java.time.Instant.ofEpochMilli(ts.getTime)
         .atZone(java.time.ZoneOffset.UTC)
@@ -1516,9 +1516,11 @@ object Streaming {
       else 4
     }
 
-    def windowUErr(k: Int, scalers: Map[Long, (Double, Double)],
-                   centroids: Map[Long, Seq[Long]])
-                  (symbol: Long, buf: List[Long]): (Long, Long) = {
+    /** The D66 linspace/pad slot map + train-scaler standardization
+      * into exact int64 micros — shared by the centroid scorer
+      * ([[windowUErr]]) and the GD-model scorer ([[windowGdErr]]). */
+    def windowSlotU(k: Int, scalers: Map[Long, (Double, Double)])
+                   (symbol: Long, buf: List[Long]): IndexedSeq[Long] = {
       val n = buf.length
       val slots = (0 until k).map { i =>
         val j =
@@ -1528,16 +1530,55 @@ object Streaming {
         buf(j)
       }
       val (mu, sd) = scalers.getOrElse(symbol, (0.0, 0.0))
-      val u = slots.map { c =>
+      slots.map { c =>
         val x = if (sd > 0) (c - mu) / sd else 0.0
         if (x >= 0) math.floor(x * 1000000.0 + 0.5).toLong
         else -math.floor(-x * 1000000.0 + 0.5).toLong
       }
+    }
+
+    def windowUErr(k: Int, scalers: Map[Long, (Double, Double)],
+                   centroids: Map[Long, Seq[Long]])
+                  (symbol: Long, buf: List[Long]): (Long, Long) = {
+      val u = windowSlotU(k, scalers)(symbol, buf)
       val ubar = centroids.getOrElse(symbol, Seq.fill(k)(0L))
       val e0 = u.zip(ubar).foldLeft(0.0) { case (acc, (a, b)) =>
         acc + (a - b).toDouble * (a - b).toDouble / 1000000.0 / 1000000.0
       }
       (math.floor(e0 / k * 1000000.0 + 0.5).toLong, u.last)
+    }
+
+    /** D84's final-weight window scoring, live: z = We·x (left-assoc),
+      * x̂ = Wd·z, per-slot squared-residual micros, integer sum,
+      * div k — EXACTLY the batch gdAutoencoder scoring chain
+      * ([[graft.operators.Features.gdZExpr]] family op order), so a
+      * window scored on the stream carries the same err_ppm the
+      * batch scorer would assign (parity spec'd). `we` is h rows × k
+      * cols, `wd` k rows × h cols, both row-major flat. */
+    def windowGdErr(k: Int, scalers: Map[Long, (Double, Double)],
+                    weights: Map[Long, (Seq[Double], Seq[Double])])
+                   (symbol: Long, buf: List[Long]): Long = {
+      val u = windowSlotU(k, scalers)(symbol, buf)
+      val x = (0 until k).map(i => u(i).toDouble / 1000000.0)
+      val (weF, wdF) = weights(symbol)
+      val h = weF.length / k
+      val z = (0 until h).map { j =>
+        var acc = weF(j * k) * x(0)
+        var i = 1
+        while (i < k) { acc += weF(j * k + i) * x(i); i += 1 }
+        acc
+      }
+      var stq = 0L
+      var i = 0
+      while (i < k) {
+        var xh = wdF(i * h) * z(0)
+        var j = 1
+        while (j < h) { xh += wdF(i * h + j) * z(j); j += 1 }
+        val r = xh - x(i)
+        stq += math.floor(r * r * 1000000.0 + 0.5).toLong
+        i += 1
+      }
+      stq / k
     }
   }
   import SessionScoring.{sessionUtcParts, sessionSlotOf, windowUErr}
@@ -1600,13 +1641,30 @@ object Streaming {
       WindowScore(symbol, day, win, buf.length.toLong,
         uErr.toDouble / 1000000.0, flag)
     }
+    closedWindows(ticks)((symbol, day, win, buf) =>
+      Iterator.single(score(symbol, day, win, buf)))
+  }
+
+  /** The shared G40/G43 CLOSED-WINDOW state machine: buffer a session
+    * window's (tick_id, cents) per symbol, close it the moment the
+    * tape moves past it (emitting `score`'s rows for the closed
+    * window), keep the last-closed marker so Append can never
+    * restate, and drop late ticks by G14's discipline. G41/G42 carry
+    * extra registers (position, streak) and keep their own explicit
+    * machines. */
+  private def closedWindows[T](ticks: Dataset[Tick])(
+      score: (Long, String, String, List[(Long, Long)]) => Iterator[T])
+      (implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import ticks.sparkSession.implicits._
+    val utcParts = sessionUtcParts _
+    val slotOf = sessionSlotOf _
     ticks.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (symbol: Long, rows: Iterator[Tick],
          state: GroupState[WindowAnomState]) =>
           var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[WindowScore]
+          val out = scala.collection.mutable.ArrayBuffer.empty[T]
           rows.toSeq.sortBy(t => (t.ts.getTime, t.tick_id)).foreach { t =>
             val (d, h, m) = utcParts(t.ts)
             val slot = slotOf(h, m)
@@ -1617,13 +1675,13 @@ object Streaming {
             // restate the scored window)
             if (st != null && st.buf.nonEmpty &&
                 (d > st.curDay || (d == st.curDay && slot > curSlot))) {
-              out += score(symbol, st.curDay, st.curWin, st.buf)
+              out ++= score(symbol, st.curDay, st.curWin, st.buf)
               st = st.copy(curDay = "", curWin = "", buf = Nil,
                 lastClosedDay = st.curDay,
                 lastClosedSlot = if (st.curWin == "morning") 1 else 3)
             }
             if (slot == 1 || slot == 3) {
-              val w = winName(slot)
+              val w = if (slot == 1) "morning" else "afternoon"
               val c = math.round(t.bid * 100.0)
               // a late cross-batch tick whose (day, slot) sorts
               // EARLIER than the open window — or at-or-before the
@@ -1650,6 +1708,55 @@ object Streaming {
           if (st != null) state.update(st) else state.remove()
           out.iterator
       }
+  }
+
+  /** G43 output: one row per closed session window of a TRAINED
+    * symbol, scored by the deployed D84 autoencoder. */
+  case class GdScore(symbol: Long, date: String, win: String,
+                     n_ticks: Long, err: Double, is_anomaly: Boolean)
+
+  /** G43 — STREAMING AUTOENCODER INFERENCE: the D84 gradient-trained
+    * model SERVED live (ref: main.py's live endpoint scores the
+    * session windows with the TRAINED autoencoder artifact — G40
+    * deploys the linear centroid model, this deploys the network):
+    * the batch side trains `Features.gdAutoencoder` and exports the
+    * final weights (the registry's kind='we'/'wd' rows) + train
+    * scalers + the p99 threshold; the stream replays the SAME
+    * closed-window machine (close-on-advance, late-tick drop,
+    * tick_id-ordered buffer) and scores each closed window with the
+    * SAME forward chain — linspace/pad slot map, sign-split
+    * standardization, z = We·x, x̂ = Wd·z, per-slot squared-residual
+    * micros, integer div k — so the streamed err_ppm is EXACTLY what
+    * the batch scorer assigns that window (parity spec'd). UNTRAINED
+    * symbols emit nothing (D84's no-weights rule: an untrained
+    * autoencoder has nothing to score with); symbols without a
+    * threshold score but never flag (the batch inner-join
+    * conservatism applied to the flag only). Keyed state = G40's
+    * bounded window buffer — the weights ride the closure as a
+    * broadcast-sized map (|symbols|·2kh doubles: the model registry,
+    * not data). */
+  def gdModelScores(ticks: Dataset[Tick], k: Int,
+                    scalers: Map[Long, (Double, Double)],
+                    weights: Map[Long, (Seq[Double], Seq[Double])],
+                    thresholds: Map[Long, Double]): Dataset[GdScore] = {
+    import ticks.sparkSession.implicits._
+    require(k >= 2, s"need >= 2 slots: $k")
+    require(weights.values.forall { case (we, wd) =>
+      we.nonEmpty && we.length % k == 0 &&
+        wd.length == we.length && wd.length % (we.length / k) == 0
+    }, s"weights must be h*k-flat encoder/decoder pairs for k = $k")
+    val scoreBuf = SessionScoring.windowGdErr(k, scalers, weights) _
+    closedWindows(ticks) { (symbol, day, win, buf) =>
+      if (!weights.contains(symbol)) Iterator.empty
+      else {
+        val ordered = buf.sortBy(_._1).map(_._2)
+        val errPpm = scoreBuf(symbol, ordered)
+        val flag = thresholds.get(symbol)
+          .exists(q => errPpm.toDouble > q)
+        Iterator.single(GdScore(symbol, day, win, buf.length.toLong,
+          errPpm.toDouble / 1000000.0, flag))
+      }
+    }
   }
 
   /** G41 keyed state: the G40 open-window register plus the live

@@ -1591,6 +1591,85 @@ class StreamingSpec extends SparkSpec {
       Seq((-1, 0, 0L), (-1, -1, 3L)))
   }
 
+  test("G43: gdModelScores serves the batch-trained D84 autoencoder " +
+      "live — every closed window's error equals the batch scoring " +
+      "chain exactly, untrained symbols emit nothing, only the " +
+      "deviant window flags, the buffer carries across micro-batches") {
+    import graft.streaming.Streaming.GdScore
+    val k = 4; val h = 2
+    // the D84 spec tape: 9 identical days + a day-10 spike (symbol 1),
+    // plus an UNTRAINED symbol 2 (one session window, no model)
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val df = rows.map { case (id, sym, ts, b, a) =>
+      (id, sym, java.sql.Timestamp.valueOf(ts), b, a)
+    }.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    // batch-train the model and export its deployable artifacts
+    val gd = graft.operators.Features.gdAutoencoder(df, k, h).collect()
+    def flat(kind: String): Seq[Double] =
+      gd.filter(r => r.getAs[Long]("symbol") == 1L &&
+          r.getAs[String]("kind") == kind)
+        .sortBy(r => (r.getAs[String]("a"), r.getAs[String]("b")))
+        .map(_.getAs[Double]("value")).toSeq
+    val we = flat("we"); val wd = flat("wd")
+    assert(we.length == h * k && wd.length == k * h)
+    val mp = graft.operators.Features.modelParams(df, k).collect()
+      .filter(_.getAs[Long]("symbol") == 1L).head
+    val scalers = Map(1L ->
+      ((mp.getAs[Double]("mu"), mp.getAs[Double]("sd"))))
+    val weights = Map(1L -> ((we, wd)))
+    // mirror the batch per-window errors off the scored stream chain
+    // (the shared SessionScoring spelling) to derive the p99
+    // threshold the batch flag rule uses
+    val scoreFn = graft.streaming.Streaming.SessionScoring
+      .windowGdErr(k, scalers, weights) _
+    val mirrorErr = (1 to 10).map { d =>
+      val cents = (0 to 3).map { i =>
+        math.round((if (d == 10 && i == 1) 5.00
+          else 1.00 + i * 0.01) * 100.0)
+      }.toList
+      f"2024-01-$d%02d" -> scoreFn(1L, cents)
+    }.toMap
+    // test windows = days 9-10 (n_w = 10, train 6, val 2)
+    val te = Seq(mirrorErr("2024-01-09"), mirrorErr("2024-01-10"))
+      .sorted
+    val qu = te(0) + 0.99 * (te(1) - te(0)).toDouble
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val feed = rows.map { case (id, sym, ts, b, _) =>
+      Tick(id, sym, t(ts), b)
+    } ++ Seq(
+      Tick(500L, 2L, t("2024-01-03 07:52:00"), 2.00), // untrained
+      Tick(600L, 1L, t("2024-01-11 07:51:00"), 1.00), // closes day 10
+      Tick(601L, 2L, t("2024-01-11 07:51:00"), 2.00)) // closes sym 2
+    val q = graft.streaming.Streaming.gdModelScores(in.toDS(), k,
+        scalers, weights, Map(1L -> qu))
+      .writeStream.format("memory").queryName("p_gd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (x, y) = feed.partition(_.tick_id <= 52) // split mid-tape
+      in.addData(x: _*); q.processAllAvailable()
+      in.addData(y: _*); q.processAllAvailable()
+      val out = spark.table("p_gd").as[GdScore].collect()
+      // symbol 2 never emits (no trained weights)
+      assert(out.forall(_.symbol == 1L))
+      assert(out.length == 10)
+      out.foreach { g =>
+        assert(g.n_ticks == 4L)
+        assert(g.err == mirrorErr(g.date).toDouble / 1e6,
+          s"day ${g.date}: stream ${g.err} vs batch chain " +
+            s"${mirrorErr(g.date).toDouble / 1e6}")
+      }
+      // only the day-10 spike clears the batch p99 threshold
+      assert(out.filter(_.is_anomaly).map(_.date).toSeq ==
+        Seq("2024-01-10"))
+    } finally q.stop()
+  }
+
   test("G39: volConeAlerts emits on day close only for FULL h-day " +
       "windows, bands against the trained cone, open-day register " +
       "carrying across micro-batches; untrained symbols flagged") {
