@@ -35,11 +35,11 @@ object Skew {
     * the self-join analog the minhash band join needs at 100 TB —
     * there the bands frame is too big to broadcast, the pair join
     * shuffles on (band, band_hash), and one 10⁵-doc bucket becomes
-    * one reducer computing 10¹⁰ pairs. Locally the band frame
-    * broadcasts (the explosion is already spread across the probe
-    * side's tasks), so the F2-family queries deliberately keep the
-    * simple spelling — this operator is the documented, spec-proven
-    * lever for the scale where they can't (SURVEY §5).
+    * one reducer computing 10¹⁰ pairs. Since r14 this layout is
+    * WIRED into `TextDedup.candidatePairsFromSigs` behind a measured
+    * bucket-size threshold (one census aggregate picks the regime);
+    * below the threshold the broadcast band join stays, because the
+    * probe-side explosion already spreads locally (SURVEY §5).
     *
     * Construction: each row gets a deterministic chunk
     * `xxhash64(id) mod tiles`; the LEFT role replicates to tiles
