@@ -218,6 +218,7 @@ object SparkEntry {
                                 // carries 1-5 session windows/symbol)
   val wfStep = 1                // D77 eval windows per fold
   val runCutoff = "2024-01-20"  // A25 as-of cutoff (mid-history)
+  val gdPatience = 2            // D85 early-stopping patience
   // A28 stage params (small config longs — lineageParamsFp bound):
   // identical in the registry's prior/current manifests, so the only
   // verdict driver is the as-of data diff; the SPEC varies them.
@@ -723,6 +724,11 @@ object SparkEntry {
     "q_gd_autoencoder" -> ((s, d) =>
       Features.gdAutoencoder(Tables.ticks(s, d), tensorSlots,
         pct = reconFlagPct, cacheKey = Some(d))),
+    // D85 — GD validation curve + early-stopping verdict (train.py's
+    // per-epoch val loss, best-model pick, patience stop).
+    "q_gd_valcurve" -> ((s, d) =>
+      Features.gdValCurve(Tables.ticks(s, d), tensorSlots,
+        patience = gdPatience, cacheKey = Some(d))),
     // D76 — model-signal backtest: D67 anomaly flags enter, error
     // recovery exits, exact-cent close-to-close P&L per symbol.
     "q_signal_backtest" -> ((s, d) =>
@@ -1763,7 +1769,77 @@ object SparkEntry {
     * loss), so DuckDB re-derives bit-identical weights, losses and
     * flags. */
   private def gdOracleSql(k: Int, h: Int, epochs: Int, lr: Double,
-                          pct: Double): String = {
+                          pct: Double): String =
+    gdCascadeSql(k, h, epochs, lr, pct, withVal = false) +
+      gdReportSelectSql(k, h, epochs, pct)
+
+  /** D85 oracle: the SAME cascade carrying the val split (gradients
+    * stay train-conditional — identical weights), then the curve:
+    * per-epoch losses at w_e (job e+1's pre-update pass / the final
+    * pass for w_E), running-min improvement windows, the patience
+    * counter and the best-epoch pick. */
+  private def gdValOracleSql(k: Int, h: Int, epochs: Int, lr: Double,
+                             patience: Int): String = {
+    val vlChain = s"(CAST(sl_va AS DOUBLE)/CAST(n_va AS DOUBLE)" +
+      s"/${Features.dlit(k.toDouble)}/1.0E6)"
+    val epochLossSelects = (1 until epochs).map { e =>
+      s"""SELECT symbol, $e AS epoch, sl, sl_va FROM g$e"""
+    } :+
+      s"""SELECT symbol, $epochs AS epoch, sl, sl_va FROM ftr"""
+    gdCascadeSql(k, h, epochs, lr, 0.99, withVal = true) +
+      s""",
+      |vcnt AS (SELECT symbol, count(*) AS n_va FROM piv
+      |  WHERE split = 'val' GROUP BY 1),
+      |ftr AS (SELECT symbol,
+      |    CAST(sum(CASE WHEN split = 'train' THEN stq END) AS BIGINT)
+      |      AS sl,
+      |    CAST(sum(CASE WHEN split = 'val' THEN stq END) AS BIGINT)
+      |      AS sl_va
+      |  FROM fsq GROUP BY 1),
+      |vc AS (
+      |${epochLossSelects.mkString("\nUNION ALL\n")}
+      |),
+      |cl AS (SELECT v.symbol AS symbol, v.epoch AS epoch,
+      |    ${Features.gdLossExpr("sl", k)} AS train_loss,
+      |    CASE WHEN n_va > 0 AND sl_va IS NOT NULL THEN $vlChain END
+      |      AS val_loss
+      |  FROM vc v JOIN tc USING (symbol) LEFT JOIN vcnt USING (symbol)),
+      |wv1 AS (SELECT *, min(val_loss) OVER (PARTITION BY symbol
+      |    ORDER BY epoch
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |    AS prev_min FROM cl),
+      |wv2 AS (SELECT *, CASE WHEN val_loss IS NOT NULL
+      |    AND (prev_min IS NULL OR val_loss < prev_min) THEN epoch END
+      |    AS imp_e FROM wv1),
+      |wv3 AS (SELECT *, max(imp_e) OVER (PARTITION BY symbol
+      |    ORDER BY epoch) AS last_imp FROM wv2),
+      |se AS (SELECT symbol, COALESCE(min(CASE WHEN last_imp IS NOT NULL
+      |      AND epoch - last_imp >= $patience THEN epoch END), $epochs)
+      |    AS stop_epoch
+      |  FROM wv3 GROUP BY 1),
+      |bs AS (SELECT symbol, epoch AS best_epoch FROM (
+      |    SELECT c.symbol AS symbol, c.epoch AS epoch,
+      |      c.val_loss AS val_loss, row_number() OVER (
+      |      PARTITION BY c.symbol
+      |      ORDER BY c.val_loss ASC NULLS LAST, c.epoch) AS rk
+      |    FROM cl c JOIN se USING (symbol)
+      |    WHERE c.epoch <= se.stop_epoch) x
+      |  WHERE rk = 1 AND val_loss IS NOT NULL)
+      |SELECT c.symbol AS symbol, c.epoch AS epoch,
+      |  c.train_loss AS train_loss, c.val_loss AS val_loss,
+      |  COALESCE(c.epoch = bs.best_epoch, FALSE) AS is_best,
+      |  se.stop_epoch AS stop_epoch
+      |FROM cl c JOIN se USING (symbol) LEFT JOIN bs USING (symbol)
+      |ORDER BY symbol, epoch""".stripMargin
+  }
+
+  /** The D84 cascade (pivot, init weights, per-epoch forward/backward
+    * + update CTEs, final scoring). `withVal` carries the val split
+    * through the epoch stages — gradient sums stay train-conditional,
+    * so the weight trajectory is IDENTICAL; the epoch aggregates
+    * additionally price the epoch's val loss (`sl_va`). */
+  private def gdCascadeSql(k: Int, h: Int, epochs: Int, lr: Double,
+                           pct: Double, withVal: Boolean): String = {
     val piv = (0 until k)
       .map(i => s"max(CASE WHEN i = $i THEN u END) AS s$i")
       .mkString(", ")
@@ -1787,59 +1863,48 @@ object SparkEntry {
       .mkString(", ")
     val ec = (0 until h).map(j => s"${Features.gdEExpr(j, k)} AS e$j")
       .mkString(", ")
+    def tsum(e: String): String =
+      if (withVal) s"CAST(sum(CASE WHEN split = 'train' THEN $e END) AS BIGINT)"
+      else s"CAST(sum($e) AS BIGINT)"
     val gds = wdNames.map { case (i, j, _) =>
-      s"CAST(sum(${Features.gdQExpr(s"r$i*z$j")}) AS BIGINT)" +
-        s" AS gd_${i}_$j"
+      s"${tsum(Features.gdQExpr(s"r$i*z$j"))} AS gd_${i}_$j"
     }.mkString(",\n    ")
     val ges = weNames.map { case (j, i, _) =>
-      s"CAST(sum(${Features.gdQExpr(
-        s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)")}) AS BIGINT) AS ge_${j}_$i"
+      s"${tsum(Features.gdQExpr(s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)"))}" +
+        s" AS ge_${j}_$i"
     }.mkString(",\n    ")
     val upd = (weNames.map { case (j, i, n) =>
       s"${Features.gdUpdExpr(s"w.$n", s"g.ge_${j}_$i", lr)} AS $n"
     } ++ wdNames.map { case (i, j, n) =>
       s"${Features.gdUpdExpr(s"w.$n", s"g.gd_${i}_$j", lr)} AS $n"
     }).mkString(",\n    ")
+    val splitSel = if (withVal) ", p.split AS split" else ""
+    val splitPred =
+      if (withVal) "p.split IN ('train', 'val')" else "p.split = 'train'"
+    val slVa =
+      if (withVal)
+        s""",
+        |    CAST(sum(CASE WHEN split = 'val' THEN ${Features.gdLqExpr(k)}
+        |      END) AS BIGINT) AS sl_va""".stripMargin
+      else ""
     val epochCtes = (0 until epochs).map { e =>
-      s"""fz$e AS MATERIALIZED (SELECT p.symbol AS symbol, $sCols,
+      s"""fz$e AS MATERIALIZED (SELECT p.symbol AS symbol$splitSel, $sCols,
         |    $wdSel, $zc
         |  FROM piv p JOIN w$e w USING (symbol)
-        |  WHERE p.split = 'train'),
+        |  WHERE $splitPred),
         |fx$e AS (SELECT *, $xc FROM fz$e),
         |fr$e AS (SELECT *, $rc FROM fx$e),
         |fe$e AS (SELECT *, $ec FROM fr$e),
         |g$e AS MATERIALIZED (SELECT symbol,
         |    $gds,
         |    $ges,
-        |    CAST(sum(${Features.gdLqExpr(k)}) AS BIGINT) AS sl
+        |    ${tsum(Features.gdLqExpr(k))} AS sl$slVa
         |  FROM fe$e GROUP BY 1),
         |w${e + 1} AS MATERIALIZED (SELECT w.symbol AS symbol,
         |    w.n_tr AS n_tr,
         |    $upd
         |  FROM w$e w JOIN g$e g USING (symbol))""".stripMargin
     }.mkString(",\n")
-    val lossSelects = (0 until epochs).map { e =>
-      s"""SELECT g.symbol AS symbol, 'loss' AS kind, 'e$e' AS a,
-        |    '' AS b, ${Features.gdLossExpr("sl", k)} AS value
-        |  FROM g$e g JOIN tc USING (symbol)""".stripMargin
-    } :+
-      s"""SELECT f.symbol AS symbol, 'loss' AS kind,
-        |    'e$epochs' AS a, '' AS b,
-        |    ${Features.gdLossExpr("sl", k)} AS value
-        |  FROM fsl f JOIN tc USING (symbol)""".stripMargin
-    val weightSelects = weNames.map { case (j, i, n) =>
-      f"SELECT symbol, 'we' AS kind, 'j$j' AS a, 'i$i%02d' AS b," +
-        s" $n AS value FROM w$epochs"
-    } ++ wdNames.map { case (i, j, n) =>
-      f"SELECT symbol, 'wd' AS kind, 'i$i%02d' AS a, 'j$j' AS b," +
-        s" $n AS value FROM w$epochs"
-    }
-    val flagSelect =
-      s"""SELECT e2.symbol AS symbol, 'flag' AS kind, e2.date AS a,
-        |    e2.win AS b, CAST(e2.err_ppm AS DOUBLE)/1.0E6 AS value
-        |  FROM ferr e2 JOIN fth t USING (symbol)
-        |  WHERE e2.split = 'test'
-        |    AND CAST(e2.err_ppm AS DOUBLE) > t.qu""".stripMargin
     s"""WITH $tensorSlotsSql,
       |piv AS MATERIALIZED (SELECT symbol, date, win, split, $piv
       |  FROM uq GROUP BY 1, 2, 3, 4),
@@ -1862,7 +1927,40 @@ object SparkEntry {
       |fth AS (SELECT symbol, quantile_cont(err_ppm, $pct) AS qu
       |  FROM ferr WHERE split = 'test' GROUP BY 1),
       |fsl AS (SELECT symbol, CAST(sum(stq) AS BIGINT) AS sl
-      |  FROM fsq WHERE split = 'train' GROUP BY 1)
+      |  FROM fsq WHERE split = 'train' GROUP BY 1)""".stripMargin
+  }
+
+  /** The D84 report's final SELECT (loss unpivot + final weights +
+    * flags) over [[gdCascadeSql]]'s CTEs. */
+  private def gdReportSelectSql(k: Int, h: Int, epochs: Int,
+                                pct: Double): String = {
+    val weNames = for (j <- 0 until h; i <- 0 until k)
+      yield (j, i, s"we_${j}_$i")
+    val wdNames = for (i <- 0 until k; j <- 0 until h)
+      yield (i, j, s"wd_${i}_$j")
+    val lossSelects = (0 until epochs).map { e =>
+      s"""SELECT g.symbol AS symbol, 'loss' AS kind, 'e$e' AS a,
+        |    '' AS b, ${Features.gdLossExpr("sl", k)} AS value
+        |  FROM g$e g JOIN tc USING (symbol)""".stripMargin
+    } :+
+      s"""SELECT f.symbol AS symbol, 'loss' AS kind,
+        |    'e$epochs' AS a, '' AS b,
+        |    ${Features.gdLossExpr("sl", k)} AS value
+        |  FROM fsl f JOIN tc USING (symbol)""".stripMargin
+    val weightSelects = weNames.map { case (j, i, n) =>
+      f"SELECT symbol, 'we' AS kind, 'j$j' AS a, 'i$i%02d' AS b," +
+        s" $n AS value FROM w$epochs"
+    } ++ wdNames.map { case (i, j, n) =>
+      f"SELECT symbol, 'wd' AS kind, 'i$i%02d' AS a, 'j$j' AS b," +
+        s" $n AS value FROM w$epochs"
+    }
+    val flagSelect =
+      s"""SELECT e2.symbol AS symbol, 'flag' AS kind, e2.date AS a,
+        |    e2.win AS b, CAST(e2.err_ppm AS DOUBLE)/1.0E6 AS value
+        |  FROM ferr e2 JOIN fth t USING (symbol)
+        |  WHERE e2.split = 'test'
+        |    AND CAST(e2.err_ppm AS DOUBLE) > t.qu""".stripMargin
+    s"""
       |SELECT * FROM (
       |${(lossSelects ++ weightSelects :+ flagSelect)
         .mkString("\nUNION ALL\n")}
@@ -2667,6 +2765,11 @@ object SparkEntry {
     // scoring, loss/weight unpivot and p99 flags.
     "q_gd_autoencoder" -> gdOracleSql(tensorSlots, 2, 4, 0.0625,
       reconFlagPct),
+    // D85 — validation curve: the val-aware cascade (identical weight
+    // trajectory), per-epoch losses at w_e, improvement windows,
+    // patience counter, best-epoch pick.
+    "q_gd_valcurve" -> gdValOracleSql(tensorSlots, 2, 4, 0.0625,
+      gdPatience),
     // D76 — model-signal backtest: D67's error chain (shared
     // windowErrSql), per-symbol p99 threshold, D62's last_value
     // IGNORE NULLS position machine over the TEST window roster,

@@ -2197,16 +2197,34 @@ object Features {
     * Symbols with no train windows carry no model and emit nothing
     * (documented deviation from D67's score-0 rule: an untrained
     * autoencoder has no weights to score with). */
-  def gdAutoencoder(ticks: DataFrame, k: Int, hidden: Int = 2,
-                    epochs: Int = 4, lr: Double = 0.0625,
-                    trainRatio: Double = 0.6, valRatio: Double = 0.2,
-                    pct: Double = 0.99,
-                    cacheKey: Option[String] = None): DataFrame = {
+  /** The trained-fit bundle [[gdFit]] returns — shared by the D84
+    * report and the D85 validation curve. Losses are keyed
+    * (symbol, epoch) with epoch e meaning "evaluated at the weights
+    * AFTER e updates" (e = 0 is the dyadic init, e = epochs the
+    * final weights); `lossVa` only carries symbols with ≥ 1 val
+    * window. `errs` is the final-weight per-window scoring frame
+    * (symbol, date, win, split, stq, err_ppm), checkpointed. */
+  private final case class GdFit(nTr: Map[Long, Long],
+                                 nVa: Map[Long, Long],
+                                 weights: Map[Long, Array[Double]],
+                                 lossTr: Map[(Long, Int), Double],
+                                 lossVa: Map[(Long, Int), Double],
+                                 errs: DataFrame)
+
+  /** The D84 training loop (see [[gdAutoencoder]] for semantics):
+    * epoch jobs run over the train ∪ val windows — gradients
+    * accumulate from TRAIN rows only (conditional sums, identical
+    * ints to the train-filtered spelling) while the same pass prices
+    * the epoch's val loss with the same pre-update weights (the
+    * reference's per-epoch validation, train.py:377-393, for free —
+    * no extra jobs). */
+  private def gdFit(ticks: DataFrame, k: Int, h: Int, epochs: Int,
+                    lr: Double, trainRatio: Double, valRatio: Double,
+                    cacheKey: Option[String]): GdFit = {
     require(k >= 2, s"need >= 2 slots: $k")
-    require(hidden >= 1, s"need >= 1 hidden unit: $hidden")
+    require(h >= 1, s"need >= 1 hidden unit: $h")
     require(epochs >= 1, s"need >= 1 epoch: $epochs")
     val ss = ticks.sparkSession
-    val h = hidden
     val scaled = slotChain(ticks, k, trainRatio, valRatio, cacheKey)
       .scaled
     val pivAggs = (0 until k).map(i =>
@@ -2241,10 +2259,17 @@ object Features {
         expr(gdRExpr(i))))
       f
     }
-    // train roster: per-symbol window counts (the GD normalizer)
-    val nTr: Map[Long, Long] = piv.filter(col("split") === "train")
-      .groupBy("symbol").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rosters: per-symbol train (the GD normalizer) and val counts
+    val rosters = piv.groupBy("symbol").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("ntr"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("nva"))
+      .collect()
+    val nTr: Map[Long, Long] = rosters
+      .map(r => r.getLong(0) -> r.getAs[Long]("ntr"))
+      .filter(_._2 > 0).toMap
+    val nVa: Map[Long, Long] = rosters
+      .filter(r => nTr.contains(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getAs[Long]("nva")).toMap
     // initial weights: the SAME dyadic constants per symbol
     val init: Array[Double] =
       ((for (j <- 0 until h; i <- 0 until k) yield gdWe0(j, i, k)) ++
@@ -2252,31 +2277,37 @@ object Features {
         .toArray
     var weights: Map[Long, Array[Double]] =
       nTr.keys.map(s => s -> init.clone()).toMap
-    val lossRows = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, Double)]
+    val lossTr = scala.collection.mutable.Map.empty[(Long, Int), Double]
+    val lossVa = scala.collection.mutable.Map.empty[(Long, Int), Double]
     val gdNames = for (i <- 0 until k; j <- 0 until h)
       yield s"gd_${i}_$j"
     val geNames = for (j <- 0 until h; i <- 0 until k)
       yield s"ge_${j}_$i"
+    val isTr = col("split") === "train"
     (0 until epochs).foreach { e =>
-      var f = forward(piv.filter(col("split") === "train")
+      var f = forward(piv.filter(col("split").isin("train", "val"))
         .join(broadcast(weightsDf(weights)), Seq("symbol")))
       (0 until h).foreach(j => f = f.withColumn(s"e$j",
         expr(gdEExpr(j, k))))
       val aggs =
         (for (i <- 0 until k; j <- 0 until h)
-          yield sum(expr(gdQExpr(s"r$i*z$j"))).as(s"gd_${i}_$j")) ++
+          yield sum(when(isTr, expr(gdQExpr(s"r$i*z$j"))))
+            .as(s"gd_${i}_$j")) ++
         (for (j <- 0 until h; i <- 0 until k)
-          yield sum(expr(gdQExpr(s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)")))
-            .as(s"ge_${j}_$i")) :+
-        sum(expr(gdLqExpr(k))).as("sl")
+          yield sum(when(isTr,
+            expr(gdQExpr(s"e$j*(CAST(s$i AS DOUBLE)/1.0E6)"))))
+            .as(s"ge_${j}_$i")) ++
+        Seq(sum(when(isTr, expr(gdLqExpr(k)))).as("sl"),
+          sum(when(!isTr, expr(gdLqExpr(k)))).as("sl_va"))
       val g = f.groupBy("symbol").agg(aggs.head, aggs.tail: _*)
         .collect()
       weights = weights.map { case (s, a) => s -> a.clone() }
       g.foreach { r =>
         val s = r.getLong(0)
         val n = nTr(s)
-        lossRows += ((s, s"e$e", gdLoss(r.getAs[Long]("sl"), n, k)))
+        lossTr((s, e)) = gdLoss(r.getAs[Long]("sl"), n, k)
+        if (nVa.getOrElse(s, 0L) > 0 && !r.isNullAt(r.fieldIndex("sl_va")))
+          lossVa((s, e)) = gdLoss(r.getAs[Long]("sl_va"), nVa(s), k)
         val a = weights(s)
         var idx = 0
         geNames.foreach { gn => // encoder block first (wSchema order)
@@ -2295,12 +2326,33 @@ object Features {
         col("stq"))
       .withColumn("err_ppm", expr(s"stq div $k"))
       .localCheckpoint(true) // feeds final loss + thresholds + flags
-    errs.filter(col("split") === "train").groupBy("symbol")
-      .agg(sum(col("stq")).as("sl")).collect().foreach { r =>
+    errs.filter(col("split").isin("train", "val")).groupBy("symbol")
+      .agg(sum(when(isTr, col("stq"))).as("sl"),
+        sum(when(!isTr, col("stq"))).as("sl_va"))
+      .collect().foreach { r =>
         val s = r.getLong(0)
-        lossRows += ((s, s"e$epochs",
-          gdLoss(r.getAs[Long]("sl"), nTr(s), k)))
+        if (nTr.contains(s)) {
+          lossTr((s, epochs)) = gdLoss(r.getAs[Long]("sl"), nTr(s), k)
+          if (nVa.getOrElse(s, 0L) > 0 &&
+              !r.isNullAt(r.fieldIndex("sl_va")))
+            lossVa((s, epochs)) =
+              gdLoss(r.getAs[Long]("sl_va"), nVa(s), k)
+        }
       }
+    GdFit(nTr, nVa, weights, lossTr.toMap, lossVa.toMap, errs)
+  }
+
+  def gdAutoencoder(ticks: DataFrame, k: Int, hidden: Int = 2,
+                    epochs: Int = 4, lr: Double = 0.0625,
+                    trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                    pct: Double = 0.99,
+                    cacheKey: Option[String] = None): DataFrame = {
+    val ss = ticks.sparkSession
+    val h = hidden
+    val fit = gdFit(ticks, k, h, epochs, lr, trainRatio, valRatio,
+      cacheKey)
+    val errs = fit.errs
+    val weights = fit.weights
     val thr = errs.filter(col("split") === "test")
       .groupBy("symbol")
       .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
@@ -2311,7 +2363,9 @@ object Features {
         col("date").as("a"), col("win").as("b"),
         (col("err_ppm").cast("double") / lit(1000000.0)).as("value"))
     val driverRows: Seq[(Long, String, String, String, Double)] =
-      lossRows.toSeq.map { case (s, e, v) => (s, "loss", e, "", v) } ++
+      fit.lossTr.toSeq.map { case ((s, e), v) =>
+        (s, "loss", s"e$e", "", v)
+      } ++
         weights.toSeq.flatMap { case (s, a) =>
           var idx = -1
           (for (j <- 0 until h; i <- 0 until k) yield {
@@ -2327,5 +2381,81 @@ object Features {
     driverRows.toDF("symbol", "kind", "a", "b", "value")
       .unionByName(flags)
       .orderBy("symbol", "kind", "a", "b")
+  }
+
+  /** D85 — VALIDATION CURVE + EARLY-STOPPING VERDICT (ref: train.py:
+    * 351-393 — the reference trains with per-epoch validation loss,
+    * keeps the best-val model state, and stops after `patience`
+    * epochs without improvement): the same evidence table for the
+    * D84 deterministic loop. One row per (symbol, epoch 1..E):
+    * train/val loss EVALUATED AT the weights after that epoch's
+    * update (w_e — the clean deterministic reading of the
+    * reference's post-epoch eval; job e+1's pre-update pass prices
+    * w_e's losses, so the curve costs NO extra Spark jobs),
+    * `is_best` on the epoch minimizing val loss (strict <, earliest
+    * epoch tiebreak — the reference's best_model_state rule), and
+    * `stop_epoch` = the first epoch sitting `patience` epochs past
+    * the last improvement (else E — training ran out before patience
+    * fired). Symbols without val windows carry NULL val losses,
+    * never a best epoch, and stop_epoch = E (nothing to stop on —
+    * the reference's empty val_loader edge made explicit).
+    *
+    * Engine-exactness: losses are the D84 chains on conditional
+    * int64 sums; best/stop verdicts compare IDENTICAL doubles, so
+    * the oracle's window-function derivation (running min of
+    * preceding val losses, last-improving-epoch max, counter ≥
+    * patience) lands on the same booleans. */
+  /** D85's verdict pair over a 1-based per-epoch val-loss series
+    * (None = no val windows): `best` = the epoch whose weights an
+    * early-stopped training KEEPS — the argmin over epochs ≤ stop
+    * (strict-< improvements, earliest epoch on exact ties — the
+    * reference's best_model_state rule, train.py:389-393); `stop` =
+    * the first epoch sitting `patience` epochs past the last
+    * improvement, else the series length (patience never fired).
+    * Val-less series: (None, length). Exposed for direct spec
+    * coverage of the plateau/degrade/val-less branches the real
+    * tapes rarely exercise. */
+  def gdEarlyStop(vals: IndexedSeq[Option[Double]], patience: Int)
+      : (Option[Int], Int) = {
+    require(patience >= 1, s"need patience >= 1: $patience")
+    var bestSoFar = Double.PositiveInfinity
+    var lastImp = 0
+    var stop = vals.length
+    var stopped = false
+    (1 to vals.length).foreach { e =>
+      vals(e - 1).foreach { v =>
+        if (v < bestSoFar) { bestSoFar = v; lastImp = e }
+      }
+      if (!stopped && lastImp > 0 && e - lastImp >= patience) {
+        stop = e; stopped = true
+      }
+    }
+    val defined = (1 to stop)
+      .flatMap(e => vals(e - 1).map(v => (v, e)))
+    (if (defined.isEmpty) None else Some(defined.min._2), stop)
+  }
+
+  def gdValCurve(ticks: DataFrame, k: Int, hidden: Int = 2,
+                 epochs: Int = 4, lr: Double = 0.0625,
+                 patience: Int = 2,
+                 trainRatio: Double = 0.6, valRatio: Double = 0.2,
+                 cacheKey: Option[String] = None): DataFrame = {
+    require(patience >= 1, s"need patience >= 1: $patience")
+    val ss = ticks.sparkSession
+    val fit = gdFit(ticks, k, hidden, epochs, lr, trainRatio,
+      valRatio, cacheKey)
+    val rows = fit.nTr.keys.toSeq.sorted.flatMap { sym =>
+      val series = (1 to epochs)
+        .map(e => fit.lossVa.get((sym, e))).toIndexedSeq
+      val (bestEpoch, stopEpoch) = gdEarlyStop(series, patience)
+      (1 to epochs).map { e =>
+        (sym, e, fit.lossTr((sym, e)), fit.lossVa.get((sym, e)),
+          bestEpoch.contains(e), stopEpoch)
+      }
+    }
+    import ss.implicits._
+    rows.toDF("symbol", "epoch", "train_loss", "val_loss", "is_best",
+      "stop_epoch")
+      .orderBy("symbol", "epoch")
   }
 }

@@ -1064,6 +1064,125 @@ class FeaturesSpec extends SparkSpec {
       errPpm(("2024-01-05", "morning", "train")))
   }
 
+  test("gdValCurve: per-epoch train/val losses equal the straight-line " +
+      "mirror at the post-update weights; the monotone-improving tape " +
+      "picks the last epoch as best and never early-stops") {
+    val k = 4; val h = 2; val epochs = 3; val lr = 0.0625
+    // 10 morning windows: train d1-6, val d7-8, test d9-10 (d10 spikes)
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    val df = ticks(rows: _*)
+    // ---- mirror: the gdAutoencoder spec's GD loop, additionally
+    // pricing train AND val losses at each post-update weight state
+    val slots = Features.windowSlots(df, k, 0.6, 0.2).collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[String]("win"),
+        r.getAs[String]("split"), r.getAs[Int]("i"), r.getAs[Long]("u")))
+    val wins = slots.groupBy(t => (t._1, t._2, t._3)).map { case (key, g) =>
+      key -> g.sortBy(_._4).map(_._5).toArray
+    }
+    val we = Array.tabulate(h, k)((j, i) => Features.gdWe0(j, i, k))
+    val wd = Array.tabulate(k, h)((i, j) => Features.gdWd0(i, j, h))
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 1e6 + 0.5).toLong
+      else -math.floor(-x * 1e6 + 0.5).toLong
+    def fwd(s: Array[Long])
+        : (Array[Double], Array[Double], Array[Double]) = {
+      val x = Array.tabulate(k)(i => s(i).toDouble / 1e6)
+      val z = Array.tabulate(h) { j =>
+        var acc = we(j)(0) * x(0)
+        (1 until k).foreach(i => acc += we(j)(i) * x(i)); acc
+      }
+      val r = Array.tabulate(k) { i =>
+        var acc = wd(i)(0) * z(0)
+        (1 until h).foreach(j => acc += wd(i)(j) * z(j))
+        acc - x(i)
+      }
+      (x, z, r)
+    }
+    def lossOf(split: String, n: Long): Double = {
+      val sl = wins.toSeq.filter(_._1._3 == split).map { case (_, s) =>
+        val (_, _, r) = fwd(s)
+        (0 until k).map(i =>
+          math.floor(r(i) * r(i) * 1e6 + 0.5).toLong).sum
+      }.sum
+      Features.gdLoss(sl, n, k)
+    }
+    val trainWins = wins.filter(_._1._3 == "train").values.toSeq
+    val nT = trainWins.size.toLong
+    val nV = wins.count(_._1._3 == "val").toLong
+    assert(nV == 2L) // the tape must actually exercise the val branch
+    val mirrorTl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val mirrorVl = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (0 until epochs).foreach { _ =>
+      val gd = Array.ofDim[Long](k, h)
+      val ge = Array.ofDim[Long](h, k)
+      trainWins.foreach { s =>
+        val (x, z, r) = fwd(s)
+        val eb = Array.tabulate(h) { j =>
+          var acc = wd(0)(j) * r(0)
+          (1 until k).foreach(i => acc += wd(i)(j) * r(i)); acc
+        }
+        for (i <- 0 until k; j <- 0 until h) gd(i)(j) += q(r(i) * z(j))
+        for (j <- 0 until h; i <- 0 until k) ge(j)(i) += q(eb(j) * x(i))
+      }
+      for (j <- 0 until h; i <- 0 until k)
+        we(j)(i) = Features.gdStep(we(j)(i), ge(j)(i), lr, nT)
+      for (i <- 0 until k; j <- 0 until h)
+        wd(i)(j) = Features.gdStep(wd(i)(j), gd(i)(j), lr, nT)
+      // losses AT the post-update weights (the curve's convention)
+      mirrorTl += lossOf("train", nT)
+      mirrorVl += lossOf("val", nV)
+    }
+    // ---- the operator
+    val out = Features.gdValCurve(df, k, h, epochs, lr, patience = 2)
+      .collect()
+      .map(r => r.getAs[Int]("epoch") ->
+        ((r.getAs[Double]("train_loss"), r.getAs[Double]("val_loss"),
+          r.getAs[Boolean]("is_best"), r.getAs[Int]("stop_epoch"))))
+      .toMap
+    assert(out.size == epochs)
+    (1 to epochs).foreach { e =>
+      assert(out(e)._1 == mirrorTl(e - 1),
+        s"epoch $e train: ${out(e)._1} vs ${mirrorTl(e - 1)}")
+      assert(out(e)._2 == mirrorVl(e - 1),
+        s"epoch $e val: ${out(e)._2} vs ${mirrorVl(e - 1)}")
+    }
+    // identical train/val shapes -> val loss descends with train:
+    // best = last epoch, no early stop
+    (2 to epochs).foreach(e => assert(mirrorVl(e - 1) < mirrorVl(e - 2)))
+    assert(out.filter(_._2._3).keys.toSeq == Seq(epochs))
+    assert(out.values.forall(_._4 == epochs))
+  }
+
+  test("gdEarlyStop: the verdict pair on crafted series — degrade " +
+      "fires patience and best is what the stopped training KEPT; " +
+      "plateau (exact tie) is not an improvement; val-less never " +
+      "stops; recovery inside patience resets the counter") {
+    import Features.gdEarlyStop
+    def s(vs: Double*): IndexedSeq[Option[Double]] =
+      vs.map(v => if (v.isNaN) None else Some(v)).toIndexedSeq
+    // degrading after epoch 1, patience 2 -> stop at 3; the stopped
+    // training keeps epoch 1's weights even though epoch 4 would
+    // have been lower — it never ran
+    assert(gdEarlyStop(s(1.0, 1.2, 1.3, 0.9), 2) == ((Some(1), 3)))
+    // plateau: an exact tie is NOT an improvement (strict <)
+    assert(gdEarlyStop(s(1.0, 1.0, 1.0), 2) == ((Some(1), 3)))
+    // recovery at epoch 3 resets the counter; patience never fires
+    assert(gdEarlyStop(s(1.0, 1.1, 0.8, 0.9), 2) == ((Some(3), 4)))
+    // monotone improvement: best last, stop = length
+    assert(gdEarlyStop(s(3.0, 2.0, 1.0), 1) == ((Some(3), 3)))
+    // val-less: no best, never stops
+    assert(gdEarlyStop(IndexedSeq(None, None, None), 1) == ((None, 3)))
+    // gaps: missing epochs neither improve nor advance the last-imp
+    // marker, but the COUNTER still runs on the epoch axis
+    assert(gdEarlyStop(s(1.0, Double.NaN, Double.NaN), 2) ==
+      ((Some(1), 3)))
+  }
+
   test("gdAutoencoder: duplicating every train window leaves the " +
       "weight trajectory and loss curve EXACTLY unchanged — the " +
       "hand-provable full-batch linear case (gradient sums and " +
