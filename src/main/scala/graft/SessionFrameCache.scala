@@ -26,7 +26,17 @@ import org.apache.spark.sql.SparkSession
   * session AND serve a frame that fails on next use.
   */
 object SessionFrameCache {
-  private final class Memo[T](build: () => T) { lazy val value: T = build() }
+  /** Lazy holder that DROPS its builder closure once forced: the
+    * thunk captures the call site's scope (input DataFrames with full
+    * logical plans, snapshot sets), which must not stay reachable
+    * from this JVM-global map for the session lifetime (r14 review). */
+  private final class Memo[T](@volatile private var build: () => T) {
+    lazy val value: T = {
+      val v = build()
+      build = null
+      v
+    }
+  }
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Memo[AnyRef]]()

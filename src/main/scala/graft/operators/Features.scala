@@ -2220,7 +2220,31 @@ object Features {
     * no extra jobs). */
   private def gdFit(ticks: DataFrame, k: Int, h: Int, epochs: Int,
                     lr: Double, trainRatio: Double, valRatio: Double,
-                    cacheKey: Option[String]): GdFit = {
+                    cacheKey: Option[String]): GdFit = cacheKey match {
+    // D84 and D85 consume the IDENTICAL fit (same corpus, same
+    // hyperparameters): session-share the whole bundle — epochs+1
+    // distributed jobs, the driver collects and the errs checkpoint —
+    // the slotChain/pairCensus discipline (r14 review)
+    case Some(key) =>
+      val ss = ticks.sparkSession
+      graft.SessionFrameCache.getOrBuild(
+        ss, s"gdFit|$key|$k|$h|$epochs|$lr|$trainRatio|$valRatio") {
+        val before = graft.CkptGc.snapshot(ss)
+        val fit = buildGdFit(ticks, k, h, epochs, lr, trainRatio,
+          valRatio, cacheKey)
+        // pin the bundle's errs frame; the loop's piv intermediate
+        // was already unpersisted inside the build
+        graft.CkptGc.pinNewSince(ss, before)
+        fit
+      }
+    case None =>
+      buildGdFit(ticks, k, h, epochs, lr, trainRatio, valRatio, None)
+  }
+
+  private def buildGdFit(ticks: DataFrame, k: Int, h: Int, epochs: Int,
+                         lr: Double, trainRatio: Double,
+                         valRatio: Double,
+                         cacheKey: Option[String]): GdFit = {
     require(k >= 2, s"need >= 2 slots: $k")
     require(h >= 1, s"need >= 1 hidden unit: $h")
     require(epochs >= 1, s"need >= 1 epoch: $epochs")
@@ -2339,6 +2363,9 @@ object Features {
               gdLoss(r.getAs[Long]("sl_va"), nVa(s), k)
         }
       }
+    // all jobs done (errs is materialized): release the pivot's
+    // blocks now so the session-cached bundle pins ONLY errs
+    piv.unpersist(blocking = true)
     GdFit(nTr, nVa, weights, lossTr.toMap, lossVa.toMap, errs)
   }
 

@@ -52,7 +52,15 @@ object Skew {
     * "one-bucket theta-join" layout, Okcan & Riedewald 2011). Output
     * equals the naive bucket self-join EXACTLY (spec'd), with a
     * DISTINCT for rows sharing several buckets left to the caller,
-    * same as the naive form. */
+    * same as the naive form.
+    *
+    * `TextDedup.candidatePairsFromSigs`' hot-bucket branch carries
+    * this SAME construction inline with the minhash signatures riding
+    * along (payload columns would have to swap with the least/
+    * greatest id normalization, so the twin stays explicit); the two
+    * spellings are pinned against drift by independent equivalence
+    * specs — tiled == naive here, tiled-band == broadcast-band in
+    * TextDedupSpec. */
   def tiledSelfPairs(items: DataFrame, bucketCols: Seq[String],
                      idCol: String, tiles: Int): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1: $tiles")

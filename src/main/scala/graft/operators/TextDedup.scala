@@ -410,11 +410,18 @@ object TextDedup {
     require(tiles >= 1, s"tiles must be >= 1: $tiles")
     def bh(m: String, j: Int) =
       s"(element_at($m, ${2 * j + 1}) * 31 + element_at($m, ${2 * j + 2})) % $P"
+    // Materialization barrier (r14 review): the bands frame feeds
+    // the bucket census AND both pair-join roles — without it the
+    // per-doc tokenize/polyhash/minhash projection upstream of an
+    // UN-checkpointed `sigs` (nearDupLeakage, lshRecall) would run
+    // three times. The frame is |docs|·Bands narrow sketch rows;
+    // CkptGc sweeps it after the consuming query.
     val bands = sigs
       .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("band_hash",
         expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
       .filter(col("band_hash").isNotNull)
+      .localCheckpoint(true)
     // "no earlier band matched", unrolled over the constant band
     // count so the whole predicate stays inside whole-stage codegen
     // (an exists() HOF would interpret its lambda per row; band-0
@@ -424,13 +431,16 @@ object TextDedup {
     val noEarlier = (0 until Bands - 1).map { j =>
       s"(band <= $j OR ${bh("mh_a", j)} != ${bh("mh_b", j)})"
     }.mkString(" AND ")
-    // the bucket census: one aggregate over the |docs|·Bands sketch
+    // the bucket census: one aggregate over the checkpointed sketch
     // frame — corpus-linear, and the ONLY way to pick the join
-    // layout from the data instead of a comment
-    val censusTop = bands.groupBy("band", "band_hash")
-      .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
-    val hot = !censusTop.isNullAt(0) &&
-      censusTop.getLong(0) > hotBucketThreshold
+    // layout from the data instead of a comment. Short-circuited
+    // when the threshold says the regime can never flip (r14 review:
+    // plan construction should not fire a job it cannot use).
+    val hot = hotBucketThreshold < Long.MaxValue && {
+      val censusTop = bands.groupBy("band", "band_hash")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head()
+      !censusTop.isNullAt(0) && censusTop.getLong(0) > hotBucketThreshold
+    }
     if (!hot) {
       // The build side broadcasts, so the probe side may be
       // partitioned ANY way — round-robin it across the full task
