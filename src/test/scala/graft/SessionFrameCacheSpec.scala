@@ -61,6 +61,56 @@ class SessionFrameCacheSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("the D84/D85 fit is session-shared: gdValCurve after " +
+      "gdAutoencoder with the same cacheKey fires strictly fewer " +
+      "Spark jobs than an uncached fit — the training loop runs once") {
+    import graft.operators.Features
+    val rows = (1 to 10).flatMap { d =>
+      (0 to 3).map { i =>
+        val bid = if (d == 10 && i == 1) 5.00 else 1.00 + i * 0.01
+        (d * 10L + i, 1L, f"2024-01-$d%02d 07:51:0$i", bid, 9.9)
+      }
+    }
+    import spark.implicits._
+    val ticks = rows.map { case (id, sym, ts, b, a) =>
+      (id, sym, java.sql.Timestamp.valueOf(ts), b, a)
+    }.toDF("tick_id", "symbol", "ts", "bid", "ask")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def countJobs(body: => Unit): Int = {
+      counter.set(0)
+      body
+      // the listener bus is async — settle before reading
+      Thread.sleep(1500)
+      counter.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // uncached: the val-curve call runs the full training loop
+      val uncached = countJobs {
+        Features.gdValCurve(ticks, 4, cacheKey = None).collect(); ()
+      }
+      // shared: train once under the key, then the curve reuses it
+      Features.gdAutoencoder(ticks, 4,
+        cacheKey = Some("gdfit-share-spec")).collect()
+      val shared = countJobs {
+        Features.gdValCurve(ticks, 4,
+          cacheKey = Some("gdfit-share-spec")).collect(); ()
+      }
+      // an uncached 4-epoch fit fires >= 6 jobs (roster + 4 epoch
+      // aggregates + final scoring/losses); the shared path only
+      // materializes the tiny driver-row frame
+      assert(uncached >= 6, s"uncached fit fired only $uncached jobs")
+      assert(shared < uncached - 3,
+        s"shared path fired $shared of $uncached jobs — fit not reused")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CkptGc pins of a foreign (stopped) application are pruned by " +
       "sweep, and sweep never unpersists pinned frames of the live one") {
     import org.apache.spark.sql.functions._
