@@ -2405,7 +2405,16 @@ object Features {
             })
         }
     import ss.implicits._
-    driverRows.toDF("symbol", "kind", "a", "b", "value")
+    // PARALLELIZED emission, never a LocalRelation: the report is
+    // |symbols|·(2kh + E + 1) rows — the model registry — and a
+    // local table scan serializes it single-threaded on the driver
+    // (measured at the 100x-symbol replica: 27.9 s of a 39.6 s cold
+    // run was this emission; parallelize cut it to seconds). The
+    // rows already live on the driver by design (A19); only the
+    // DataFrame conversion fans out.
+    ss.sparkContext.parallelize(driverRows,
+        math.max(1, math.min(32, driverRows.size / 20000 + 1)))
+      .toDF("symbol", "kind", "a", "b", "value")
       .unionByName(flags)
       .orderBy("symbol", "kind", "a", "b")
   }
@@ -2481,8 +2490,11 @@ object Features {
       }
     }
     import ss.implicits._
-    rows.toDF("symbol", "epoch", "train_loss", "val_loss", "is_best",
-      "stop_epoch")
+    // parallelized emission — the D84 rule (|symbols|·E rows)
+    ss.sparkContext.parallelize(rows,
+        math.max(1, math.min(32, rows.size / 20000 + 1)))
+      .toDF("symbol", "epoch", "train_loss", "val_loss", "is_best",
+        "stop_epoch")
       .orderBy("symbol", "epoch")
   }
 }

@@ -268,7 +268,17 @@ object Sf1Smoke {
       // window shape (two carries instead of one); the recall bench
       // runs on a SAMPLED mini-corpus by design (bounded regardless
       // of corpus scale — only the sample's band join grows).
-      "q_pit_features", "q_dedup_recall")
+      "q_pit_features", "q_dedup_recall",
+      // round-14: the model-lifecycle family on 10-100x the SYMBOLS —
+      // the session-shared slot chain builds once for the whole block
+      // (the replica's cacheKey is this outDir); the GD fit's
+      // driver-side weight registry is |symbols|·2kh doubles (the
+      // A19 bounded-decision claim, exercised at 10x the symbols);
+      // phase-status/stage-lineage are calendar/manifest-bounded
+      // after their first aggregates.
+      "q_window_tensors", "q_anomaly_pipeline", "q_nn_recon",
+      "q_signal_backtest", "q_gd_autoencoder", "q_gd_valcurve",
+      "q_pipeline_status", "q_stage_lineage")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
