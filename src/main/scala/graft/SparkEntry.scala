@@ -1771,7 +1771,7 @@ object SparkEntry {
   private def gdOracleSql(k: Int, h: Int, epochs: Int, lr: Double,
                           pct: Double): String =
     gdCascadeSql(k, h, epochs, lr, pct, withVal = false) +
-      gdReportSelectSql(k, h, epochs, pct)
+      gdReportSelectSql(k, h, epochs)
 
   /** D85 oracle: the SAME cascade carrying the val split (gradients
     * stay train-conditional — identical weights), then the curve:
@@ -1786,6 +1786,8 @@ object SparkEntry {
       s"""SELECT symbol, $e AS epoch, sl, sl_va FROM g$e"""
     } :+
       s"""SELECT symbol, $epochs AS epoch, sl, sl_va FROM ftr"""
+    // pct only shapes the cascade's fth CTE, which this oracle's
+    // final SELECT never references — any value is equivalent here
     gdCascadeSql(k, h, epochs, lr, 0.99, withVal = true) +
       s""",
       |vcnt AS (SELECT symbol, count(*) AS n_va FROM piv
@@ -1932,8 +1934,8 @@ object SparkEntry {
 
   /** The D84 report's final SELECT (loss unpivot + final weights +
     * flags) over [[gdCascadeSql]]'s CTEs. */
-  private def gdReportSelectSql(k: Int, h: Int, epochs: Int,
-                                pct: Double): String = {
+  private def gdReportSelectSql(k: Int, h: Int, epochs: Int)
+      : String = {
     val weNames = for (j <- 0 until h; i <- 0 until k)
       yield (j, i, s"we_${j}_$i")
     val wdNames = for (i <- 0 until k; j <- 0 until h)

@@ -2405,42 +2405,24 @@ object Features {
             })
         }
     import ss.implicits._
-    // PARALLELIZED emission, never a LocalRelation: the report is
-    // |symbols|·(2kh + E + 1) rows — the model registry — and a
-    // local table scan serializes it single-threaded on the driver
-    // (measured at the 100x-symbol replica: 27.9 s of a 39.6 s cold
-    // run was this emission; parallelize cut it to seconds). The
-    // rows already live on the driver by design (A19); only the
-    // DataFrame conversion fans out.
     ss.sparkContext.parallelize(driverRows,
-        math.max(1, math.min(32, driverRows.size / 20000 + 1)))
+        emissionSlices(driverRows.size))
       .toDF("symbol", "kind", "a", "b", "value")
       .unionByName(flags)
       .orderBy("symbol", "kind", "a", "b")
   }
 
-  /** D85 — VALIDATION CURVE + EARLY-STOPPING VERDICT (ref: train.py:
-    * 351-393 — the reference trains with per-epoch validation loss,
-    * keeps the best-val model state, and stops after `patience`
-    * epochs without improvement): the same evidence table for the
-    * D84 deterministic loop. One row per (symbol, epoch 1..E):
-    * train/val loss EVALUATED AT the weights after that epoch's
-    * update (w_e — the clean deterministic reading of the
-    * reference's post-epoch eval; job e+1's pre-update pass prices
-    * w_e's losses, so the curve costs NO extra Spark jobs),
-    * `is_best` on the epoch minimizing val loss (strict <, earliest
-    * epoch tiebreak — the reference's best_model_state rule), and
-    * `stop_epoch` = the first epoch sitting `patience` epochs past
-    * the last improvement (else E — training ran out before patience
-    * fired). Symbols without val windows carry NULL val losses,
-    * never a best epoch, and stop_epoch = E (nothing to stop on —
-    * the reference's empty val_loader edge made explicit).
-    *
-    * Engine-exactness: losses are the D84 chains on conditional
-    * int64 sums; best/stop verdicts compare IDENTICAL doubles, so
-    * the oracle's window-function derivation (running min of
-    * preceding val losses, last-improving-epoch max, counter ≥
-    * patience) lands on the same booleans. */
+  /** Slice count for PARALLELIZED driver-row emission, never a
+    * LocalRelation: a D84/D85 report is |symbols|-keyed (the model
+    * registry) and a local table scan serializes it single-threaded
+    * on the driver — measured at the 100x-symbol replica, 27.9 s of
+    * a 39.6 s cold run was emission; parallelizing cut it to
+    * seconds. The rows already live on the driver by design (A19);
+    * only the DataFrame conversion fans out. ~20k rows/slice,
+    * capped at 32. */
+  private def emissionSlices(n: Int): Int =
+    math.max(1, math.min(32, n / 20000 + 1))
+
   /** D85's verdict pair over a 1-based per-epoch val-loss series
     * (None = no val windows): `best` = the epoch whose weights an
     * early-stopped training KEEPS — the argmin over epochs ≤ stop
@@ -2471,6 +2453,28 @@ object Features {
     (if (defined.isEmpty) None else Some(defined.min._2), stop)
   }
 
+  /** D85 — VALIDATION CURVE + EARLY-STOPPING VERDICT (ref: train.py:
+    * 351-393 — the reference trains with per-epoch validation loss,
+    * keeps the best-val model state, and stops after `patience`
+    * epochs without improvement): the same evidence table for the
+    * D84 deterministic loop. One row per (symbol, epoch 1..E):
+    * train/val loss EVALUATED AT the weights after that epoch's
+    * update (w_e — the clean deterministic reading of the
+    * reference's post-epoch eval; job e+1's pre-update pass prices
+    * w_e's losses, so the curve costs NO extra Spark jobs),
+    * `is_best` on the epoch minimizing val loss (strict <, earliest
+    * epoch tiebreak — the reference's best_model_state rule), and
+    * `stop_epoch` = the first epoch sitting `patience` epochs past
+    * the last improvement (else E — training ran out before patience
+    * fired). Symbols without val windows carry NULL val losses,
+    * never a best epoch, and stop_epoch = E (nothing to stop on —
+    * the reference's empty val_loader edge made explicit).
+    *
+    * Engine-exactness: losses are the D84 chains on conditional
+    * int64 sums; best/stop verdicts compare IDENTICAL doubles, so
+    * the oracle's window-function derivation (running min of
+    * preceding val losses, last-improving-epoch max, counter ≥
+    * patience) lands on the same booleans. */
   def gdValCurve(ticks: DataFrame, k: Int, hidden: Int = 2,
                  epochs: Int = 4, lr: Double = 0.0625,
                  patience: Int = 2,
@@ -2491,8 +2495,7 @@ object Features {
     }
     import ss.implicits._
     // parallelized emission — the D84 rule (|symbols|·E rows)
-    ss.sparkContext.parallelize(rows,
-        math.max(1, math.min(32, rows.size / 20000 + 1)))
+    ss.sparkContext.parallelize(rows, emissionSlices(rows.size))
       .toDF("symbol", "epoch", "train_loss", "val_loss", "is_best",
         "stop_epoch")
       .orderBy("symbol", "epoch")

@@ -415,7 +415,10 @@ object TextDedup {
     // per-doc tokenize/polyhash/minhash projection upstream of an
     // UN-checkpointed `sigs` (nearDupLeakage, lshRecall) would run
     // three times. The frame is |docs|·Bands narrow sketch rows;
-    // CkptGc sweeps it after the consuming query.
+    // lifecycle follows the engine-wide checkpoint discipline — the
+    // runner (Bench/Verify/Sf1Smoke) sweeps it via CkptGc after the
+    // consuming query; long-lived library sessions should do the
+    // same (CkptGc.snapshot/sweep around each query).
     val bands = sigs
       .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("band_hash",

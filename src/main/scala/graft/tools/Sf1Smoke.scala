@@ -292,10 +292,19 @@ object Sf1Smoke {
     }
     family.foreach { q =>
       Seq("cold", "warm").foreach { phase =>
+        // per-query checkpoint sweep (the Bench/Verify discipline):
+        // without it each query's localCheckpoint barriers — e.g.
+        // the dedup band-sketch frame — accumulate across the family
+        // and the WARM timings run under storage-memory pressure
+        // (the r12 warm-slower-than-cold regression, here at 10-100x
+        // the block sizes). Deliberate cross-query caches stay via
+        // their CkptGc pins.
+        val before = graft.CkptGc.snapshot(spark)
         time(s"$q $phase") {
           SparkEntry.queries(q)(spark, outDir)
             .write.format("noop").mode("overwrite").save()
         }
+        graft.CkptGc.sweep(spark, before)
       }
     }
     if (whichFamily != "events") {

@@ -85,8 +85,15 @@ class SessionFrameCacheSpec extends SparkSpec {
     def countJobs(body: => Unit): Int = {
       counter.set(0)
       body
-      // the listener bus is async — settle before reading
-      Thread.sleep(1500)
+      // the listener bus is async — poll until the count is STABLE
+      // (no new events for 500 ms, 20 s cap) instead of a fixed
+      // sleep, which both wastes time and flakes under load
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      var last = -1
+      while (last != counter.get() && System.nanoTime() < deadline) {
+        last = counter.get()
+        Thread.sleep(500)
+      }
       counter.get()
     }
     spark.sparkContext.addSparkListener(listener)
