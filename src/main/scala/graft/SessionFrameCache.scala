@@ -58,7 +58,17 @@ object SessionFrameCache {
 
   private def purgeStopped(): Unit = {
     val it = cache.keySet.iterator()
-    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    while (it.hasNext) {
+      val sc = it.next()._1.sparkContext
+      if (sc.isStopped) {
+        // Mirror the application-end listener: a stopped session's
+        // checkpoint pins must not outlive its cache entries (the
+        // listener may never fire if Spark drops it at shutdown).
+        try CkptGc.unpinApp(sc.applicationId)
+        catch { case scala.util.control.NonFatal(_) => }
+        it.remove()
+      }
+    }
   }
 
   private def hookPurge(ss: SparkSession): Unit = {

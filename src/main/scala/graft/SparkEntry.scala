@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.sources.Tables
 import graft.operators._
+import graft.streaming.StreamRegistry
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
   * query key maps to. Column names are aliased identically in the Spark
@@ -1599,6 +1600,38 @@ object SparkEntry {
     // first oracle run at 150 caught exactly that as n_copies 4).
     "q_media_dedup" -> ((s, _) =>
       Multimodal.mediaDedup(Multimodal.syntheticDupMedia(s, 96))),
+
+    // ===== q_stream_* — the G-family run as REAL streaming queries
+    // over the sfDir tape (MemoryStream fed in tape order across
+    // micro-batches, memory sink hashed against the batch twin's
+    // DuckDB oracle — StreamRegistry's drive protocol; r14 verdict
+    // item #1). Windowed aggs run Complete over the bounded tape;
+    // keyed-state operators run Append exactly as deployed, with
+    // per-symbol sentinel ticks closing the final session windows.
+    // G1 — streaming 1 s session downsample (tie: lowest tick_id).
+    "q_stream_downsample" -> (StreamRegistry.streamDownsample(_, _)),
+    // G4 — streaming per-(symbol, day) tick counts + first/last bid.
+    "q_stream_window_counts" ->
+      (StreamRegistry.streamWindowCounts(_, _)),
+    // G8 — streaming hourly OHLC bars (batch tie-breaks).
+    "q_stream_ohlc" -> (StreamRegistry.streamOhlc(_, _)),
+    // G13 — streaming daily VWAP (exact-integer-cents formula).
+    "q_stream_vwap" -> (StreamRegistry.streamVwap(_, _)),
+    // G12 — per-tick tick-rule classes off one-double keyed state.
+    "q_stream_tick_classes" ->
+      (StreamRegistry.streamTickClasses(_, _)),
+    // G35 — per-tick drawdown points off the running-peak register.
+    "q_stream_drawdown" -> (StreamRegistry.streamDrawdown(_, _)),
+    // G3 — streaming exact dedup (md5 keyed state, first-in wins).
+    "q_stream_dedup_exact" -> (StreamRegistry.streamDedupExact(_, _)),
+    // G40 — live window-anomaly scoring with the batch-trained
+    // scaler/quantized-centroid/p99 band.
+    "q_stream_anomaly" -> ((s, d) =>
+      StreamRegistry.streamAnomaly(s, d, tensorSlots, reconFlagPct)),
+    // G43 — the batch-trained D84 autoencoder served live.
+    "q_stream_gd_scores" -> ((s, d) =>
+      StreamRegistry.streamGdScores(s, d, tensorSlots, 2, 4, 0.0625,
+        reconFlagPct)),
   )
 
   /** F12 fixture — the media feature frame RE-DERIVED from the
@@ -1941,12 +1974,12 @@ object SparkEntry {
     val wdNames = for (i <- 0 until k; j <- 0 until h)
       yield (i, j, s"wd_${i}_$j")
     val lossSelects = (0 until epochs).map { e =>
-      s"""SELECT g.symbol AS symbol, 'loss' AS kind, 'e$e' AS a,
+      f"""SELECT g.symbol AS symbol, 'loss' AS kind, 'e$e%02d' AS a,
         |    '' AS b, ${Features.gdLossExpr("sl", k)} AS value
-        |  FROM g$e g JOIN tc USING (symbol)""".stripMargin
+        |  FROM g$e%d g JOIN tc USING (symbol)""".stripMargin
     } :+
-      s"""SELECT f.symbol AS symbol, 'loss' AS kind,
-        |    'e$epochs' AS a, '' AS b,
+      f"""SELECT f.symbol AS symbol, 'loss' AS kind,
+        |    'e$epochs%02d' AS a, '' AS b,
         |    ${Features.gdLossExpr("sl", k)} AS value
         |  FROM fsl f JOIN tc USING (symbol)""".stripMargin
     val weightSelects = weNames.map { case (j, i, n) =>
@@ -1986,11 +2019,11 @@ object SparkEntry {
     val pred = s"CAST(date_trunc('day', ts) AS DATE) <= DATE '$cutoff'"
     def fpCtes(x: String): String =
       s"""fc$x AS (SELECT
-        |    CAST(COALESCE(SUM((tick_id * 31 + cents) % $P), 0) % $P
-        |      AS BIGINT) AS raw,
+        |    CAST(COALESCE(SUM(((tick_id * 31 + cents) % $P + $P) % $P),
+        |      0) % $P AS BIGINT) AS raw,
         |    CAST(COALESCE(SUM(CASE WHEN (hour(ts) = 7 OR hour(ts) = 13)
         |        AND minute(ts) >= 50
-        |      THEN (tick_id * 31 + cents) % $P END), 0) % $P
+        |      THEN ((tick_id * 31 + cents) % $P + $P) % $P END), 0) % $P
         |      AS BIGINT) AS clean
         |  FROM rawc$x),
         |fs$x AS (SELECT CAST(COALESCE(SUM(
@@ -8886,5 +8919,128 @@ object SparkEntry {
         |  round(quantile_cont(ask - bid, 0.9), 4) AS p1,
         |  count(*) AS n
         |FROM $ticksSql t GROUP BY symbol ORDER BY symbol""".stripMargin,
+
+    // ===== q_stream_* — batch twins of the streaming sinks. The
+    // tape is tick_id-ordered and tick_id is globally ts-monotone
+    // (verified per corpus), so the stream's (ts, tick_id)
+    // tie-breaks collapse to plain tick_id arg_min/arg_max here.
+    // G1 — the sink is the per-second session downsample itself.
+    "q_stream_downsample" ->
+      s"""SELECT symbol, date_trunc('second', ts) AS ts_s,
+        |  min(tick_id) AS tick_id, arg_min(bid, tick_id) AS bid,
+        |  count(*) AS n_ticks
+        |FROM $ticksSql t
+        |WHERE (hour(ts) = 7 OR hour(ts) = 13) AND minute(ts) >= 50
+        |GROUP BY 1, 2 ORDER BY symbol, ts_s""".stripMargin,
+    // G4 — per-(symbol, UTC day) counts + first/last bid.
+    "q_stream_window_counts" ->
+      s"""SELECT symbol, date_trunc('day', ts) AS win_start,
+        |  count(*) AS n_ticks, arg_min(bid, tick_id) AS first_bid,
+        |  arg_max(bid, tick_id) AS last_bid
+        |FROM $ticksSql t
+        |GROUP BY 1, 2 ORDER BY symbol, win_start""".stripMargin,
+    // G8 — hourly OHLC bars, batch tie-breaks.
+    "q_stream_ohlc" ->
+      s"""SELECT symbol, date_trunc('hour', ts) AS bucket_start,
+        |  arg_min(bid, tick_id) AS open, max(bid) AS high,
+        |  min(bid) AS low, arg_max(bid, tick_id) AS close,
+        |  count(*) AS n_ticks
+        |FROM $ticksSql t
+        |GROUP BY 1, 2 ORDER BY symbol, bucket_start""".stripMargin,
+    // G13 — daily VWAP, B8's exact-integer-cents spelling on the
+    // day-window timestamp key.
+    "q_stream_vwap" ->
+      """SELECT symbol, bucket_start,
+        |  CAST((_n * 200 + _d) // (_d * 2) AS DOUBLE) / 10000.0 AS vwap,
+        |  total_qty, n_trades FROM (
+        |  SELECT user_id AS symbol, date_trunc('day', ts) AS bucket_start,
+        |    CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)
+        |      * CAST(props->>'$.k' AS INT)) AS BIGINT) AS _n,
+        |    CAST(nullif(sum(CAST(props->>'$.k' AS INT)), 0) AS BIGINT)
+        |      AS _d,
+        |    CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS total_qty,
+        |    count(*) AS n_trades
+        |  FROM events GROUP BY 1, 2) x
+        |ORDER BY symbol, bucket_start""".stripMargin,
+    // G12 — per-tick tick-rule classes (lag over the symbol tape).
+    "q_stream_tick_classes" ->
+      s"""SELECT tick_id, symbol,
+        |  CASE WHEN prev IS NULL THEN 'first'
+        |       WHEN bid > prev THEN 'up'
+        |       WHEN bid < prev THEN 'down' ELSE 'zero' END AS cls
+        |FROM (SELECT tick_id, symbol, bid,
+        |    lag(bid) OVER (PARTITION BY symbol ORDER BY tick_id) AS prev
+        |  FROM $ticksSql t) x
+        |ORDER BY tick_id""".stripMargin,
+    // G35 — per-tick running peak + drawdown ratio (NULL on zero peak).
+    "q_stream_drawdown" ->
+      s"""SELECT tick_id, symbol, cummax,
+        |  CASE WHEN cummax != 0 THEN (cummax - bid) / cummax END
+        |    AS drawdown
+        |FROM (SELECT tick_id, symbol, bid,
+        |    max(bid) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cummax
+        |  FROM $ticksSql t) x
+        |ORDER BY tick_id""".stripMargin,
+    // G3 — exact dedup: the doc_id-ordered feed makes the keeper the
+    // MIN doc_id of each md5 content class.
+    "q_stream_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  doc_id != min(doc_id) OVER (PARTITION BY md5(text))
+        |    AS isDuplicate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // G40 — every tape session window scored against the trained
+    // band: the D67 chain with the deployment's QUANTIZED int64
+    // centroid (sign-split round of su/n_tr — live registers ship
+    // as integers) and the p99 threshold over the SAME quantized
+    // errors' test split.
+    "q_stream_anomaly" ->
+      s"""WITH $tensorSlotsSql,
+        |tmq AS (SELECT symbol, i,
+        |    CAST(CASE WHEN sum(u) >= 0
+        |      THEN floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5)
+        |      ELSE -floor(-(CAST(sum(u) AS DOUBLE) / count(*)) + 0.5)
+        |      END AS BIGINT) AS ubar
+        |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
+        |ttq AS (SELECT q.symbol, q.date, q.win, q.split, q.n_ticks,
+        |    q.i,
+        |    CASE WHEN m.ubar IS NULL THEN 0.0
+        |      ELSE CAST(q.u - m.ubar AS DOUBLE)
+        |        * CAST(q.u - m.ubar AS DOUBLE)
+        |        / 1000000.0 / 1000000.0 END AS t
+        |  FROM uq q LEFT JOIN tmq m ON m.symbol = q.symbol
+        |    AND m.i = q.i),
+        |erq AS (SELECT symbol, date, win, split,
+        |    min(n_ticks) AS n_ticks,
+        |    CAST(floor(list_reduce(list_prepend(0.0,
+        |      list(t ORDER BY i)), (a, b) -> a + b)
+        |      / $tensorSlots * 1000000.0 + 0.5) AS BIGINT) AS u_err
+        |  FROM ttq GROUP BY 1, 2, 3, 4),
+        |thq AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct)
+        |    AS qu
+        |  FROM erq WHERE split = 'test' GROUP BY 1)
+        |SELECT e.symbol AS symbol, e.date AS date, e.win AS win,
+        |  e.n_ticks AS n_ticks,
+        |  CAST(u_err AS DOUBLE) / 1000000.0 AS err,
+        |  COALESCE(CAST(u_err AS DOUBLE) > t.qu, FALSE) AS is_anomaly
+        |FROM erq e LEFT JOIN thq t USING (symbol)
+        |ORDER BY symbol, date, win""".stripMargin,
+    // G43 — the D84 cascade's trained weights score every window of
+    // a trained symbol; flag at the test p99 of the SAME errors.
+    "q_stream_gd_scores" ->
+      (gdCascadeSql(tensorSlots, 2, 4, 0.0625, reconFlagPct,
+        withVal = false) +
+      s""",
+        |gwin AS (SELECT symbol, date, win, min(n_ticks) AS n_ticks
+        |  FROM uq GROUP BY 1, 2, 3)
+        |SELECT f.symbol AS symbol, f.date AS date, f.win AS win,
+        |  g.n_ticks AS n_ticks,
+        |  CAST(f.err_ppm AS DOUBLE) / 1000000.0 AS err,
+        |  COALESCE(CAST(f.err_ppm AS DOUBLE) > t.qu, FALSE)
+        |    AS is_anomaly
+        |FROM ferr f JOIN gwin g USING (symbol, date, win)
+        |LEFT JOIN fth t USING (symbol)
+        |ORDER BY symbol, date, win""".stripMargin),
   )
 }

@@ -2204,7 +2204,7 @@ object Features {
     * final weights); `lossVa` only carries symbols with ≥ 1 val
     * window. `errs` is the final-weight per-window scoring frame
     * (symbol, date, win, split, stq, err_ppm), checkpointed. */
-  private final case class GdFit(nTr: Map[Long, Long],
+  private[graft] final case class GdFit(nTr: Map[Long, Long],
                                  nVa: Map[Long, Long],
                                  weights: Map[Long, Array[Double]],
                                  lossTr: Map[(Long, Int), Double],
@@ -2218,7 +2218,7 @@ object Features {
     * the epoch's val loss with the same pre-update weights (the
     * reference's per-epoch validation, train.py:377-393, for free —
     * no extra jobs). */
-  private def gdFit(ticks: DataFrame, k: Int, h: Int, epochs: Int,
+  private[graft] def gdFit(ticks: DataFrame, k: Int, h: Int, epochs: Int,
                     lr: Double, trainRatio: Double, valRatio: Double,
                     cacheKey: Option[String]): GdFit = cacheKey match {
     // D84 and D85 consume the IDENTICAL fit (same corpus, same
@@ -2391,7 +2391,7 @@ object Features {
         (col("err_ppm").cast("double") / lit(1000000.0)).as("value"))
     val driverRows: Seq[(Long, String, String, String, Double)] =
       fit.lossTr.toSeq.map { case ((s, e), v) =>
-        (s, "loss", s"e$e", "", v)
+        (s, "loss", f"e$e%02d", "", v)
       } ++
         weights.toSeq.flatMap { case (s, a) =>
           var idx = -1

@@ -402,7 +402,17 @@ object TextDedup {
     * signatures riding along), which decomposes each bucket's pair
     * space across `tiles·(tiles+1)/2` reducers. Both paths emit the
     * IDENTICAL first-match pair set (spec-proven both sides of the
-    * threshold). */
+    * threshold).
+    *
+    * RESOURCE NOTE (not just plan construction): calling this
+    * eagerly materializes a |docs|·Bands sketch frame via
+    * `localCheckpoint` (it feeds the bucket census and both join
+    * roles), and below `Long.MaxValue` thresholds runs the census
+    * job at call time. The checkpoint's blocks live until swept:
+    * run each consuming query inside a [[graft.CkptGc]]
+    * snapshot/sweep pair (as Bench/Verify/Sf1Smoke do), or call
+    * `CkptGc.sweep` yourself in a long-lived session — otherwise
+    * the frame leaks per call. */
   def candidatePairsFromSigs(sigs: DataFrame,
                              hotBucketThreshold: Long =
                                HotBucketThreshold,
@@ -1816,7 +1826,15 @@ object TextDedup {
       .select("source", "reg", "rho")
   }
 
-  def hllNdv(docs: DataFrame, n: Int = 2): DataFrame = {
+  /** `audit = true` (the registry/oracle setting) additionally prices
+    * the EXACT gram NDV and its `rel_err` — a verification aid whose
+    * `countDistinct` shuffles the full gram stream. `audit = false`
+    * is the production path at scale: one linear gram scan into the
+    * 32-register max-aggregate, NO distinct exchange anywhere in the
+    * plan (spec-proven), `exact_ndv`/`rel_err` emitted as typed
+    * NULLs so the report schema is identical either way. */
+  def hllNdv(docs: DataFrame, n: Int = 2,
+             audit: Boolean = true): DataFrame = {
     PolyHash.register(docs.sparkSession)
     graft.functions.WordGrams.register(docs.sparkSession)
     val grams = docs.select(
@@ -1836,8 +1854,12 @@ object TextDedup {
       sum(when(col("m_reg") === 0, 1L).otherwise(0L))
         .as("n_zero_registers"),
       sum(expr("shiftleft(1L, cast(26 - m_reg as int))")).as("sum_scaled"))
-    val exact = grams.agg(countDistinct("gram").as("exact_ndv"))
-    summary.crossJoin(exact)
+    val withExact =
+      if (audit)
+        summary.crossJoin(
+          grams.agg(countDistinct("gram").as("exact_ndv")))
+      else summary.withColumn("exact_ndv", lit(null).cast("long"))
+    withExact
       .withColumn("est_ndv", expr(
         "cast(0.697 as double) * 1024 * 67108864 / cast(sum_scaled as double)"))
       .withColumn("rel_err", expr(

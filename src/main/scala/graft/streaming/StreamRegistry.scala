@@ -1,0 +1,254 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Features
+import graft.sources.Tables
+
+/** Driver-checkable STREAMING keys (`q_stream_*`): each G-family
+  * operator run as a REAL Structured Streaming query over the sfDir
+  * tape — a MemoryStream fed in tape (tick_id) order across several
+  * micro-batches (state carry + within-batch re-sort exercised, the
+  * same drive protocol as the parity specs), a memory sink, and the
+  * sink's final frame returned as a batch DataFrame for the DuckDB
+  * oracle hash (ref: README §8.5 — the live monitoring loop's output
+  * IS a queryable table).
+  *
+  * Execution-mode notes, honestly stated:
+  *  - windowed aggregations run `Complete` here because the tape is
+  *    bounded and the hash covers EVERY window; production watermarked
+  *    `Append` semantics (late-data drop, state eviction) are what the
+  *    `StreamingSpec` parity suites pin down;
+  *  - `flatMapGroupsWithState` operators run `Append` exactly as
+  *    deployed; close-on-advance windows get one per-symbol SENTINEL
+  *    tick beyond the tape horizon so every tape window closes and
+  *    emits (the sentinel's own window stays open and never emits —
+  *    the bounded-tape analog of "the still-open final window never
+  *    emits");
+  *  - the sink is collected and re-parallelized so the returned frame
+  *    is detached from the transient memory-sink view (Bench runs
+  *    every key twice in one session).
+  *
+  * At 100 TB the tape is a Kafka topic and the sink a lakehouse
+  * table; everything between — the operators under test — is
+  * partition-parallel keyed state, |symbols| wide, rate-independent.
+  */
+object StreamRegistry {
+  import Streaming.{Doc, Ev, Tick}
+
+  private implicit val tickEnc: Encoder[Tick] = Encoders.product[Tick]
+  private implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+  private implicit val docEnc: Encoder[Doc] = Encoders.product[Doc]
+
+  private val sinkCtr = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drive `plan` over `tape` as a streaming query: `chunks`
+    * micro-batches in tape order, memory sink in `mode`, stopped
+    * after the final processAllAvailable. Returns the sink detached. */
+  private def runTape[T](s: SparkSession, tape: Seq[T], mode: OutputMode,
+                         chunks: Int = 4)(plan: Dataset[T] => DataFrame)
+                        (implicit enc: Encoder[T]): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[T]
+    val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+    val q = plan(in.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    val out =
+      try {
+        val per = math.max(1, (tape.size + chunks - 1) / chunks)
+        tape.grouped(per).foreach { chunk =>
+          in.addData(chunk: _*); q.processAllAvailable()
+        }
+        val sink = s.table(name)
+        val schema = sink.schema
+        val rows = sink.collect().toIndexedSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, math.max(1, math.min(32,
+            rows.length / 4096 + 1))), schema)
+      } finally q.stop()
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  /** The tick tape in tick_id order (globally ts-monotone — verified
+    * on the driver corpora; the ingest invariant every tape replay
+    * assumes). */
+  private def tickTape(s: SparkSession, d: String): Seq[Tick] =
+    Tables.ticks(s, d)
+      .select("tick_id", "symbol", "ts", "bid")
+      .orderBy("tick_id")
+      .collect()
+      .map(r => Tick(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSeq
+
+  /** One sentinel tick per symbol at (tape horizon + 1 day) 07:51 UTC
+    * — strictly past every tape (day, slot), so it closes any open
+    * session window; its own window never closes and never emits. */
+  private def withSentinels(tape: Seq[Tick]): Seq[Tick] = {
+    val maxId = tape.map(_.tick_id).max
+    val maxDay = java.time.Instant
+      .ofEpochMilli(tape.map(_.ts.getTime).max)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val sentTs = java.sql.Timestamp.from(
+      maxDay.plusDays(1).atTime(7, 51).toInstant(java.time.ZoneOffset.UTC))
+    val sentinels = tape.map(_.symbol).distinct.sorted.zipWithIndex
+      .map { case (sym, i) => Tick(maxId + 1 + i, sym, sentTs, 1.0) }
+    tape ++ sentinels
+  }
+
+  // ===== Complete-mode windowed aggregations =========================
+
+  /** G1 twin key: streaming 1-second session downsample of the tape. */
+  def streamDownsample(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Complete)(
+      t => Streaming.downsample1s(t.toDF()))
+      .orderBy("symbol", "ts_s")
+
+  /** G4 twin key: per-(symbol, day) streaming tick counts. */
+  def streamWindowCounts(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Complete)(
+      t => Streaming.windowCounts(t.toDF(), "1 day"))
+      .orderBy("symbol", "win_start")
+
+  /** G8 twin key: streaming hourly OHLC bars. */
+  def streamOhlc(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Complete)(
+      t => Streaming.ohlcBars(t.toDF(), "1 hour"))
+      .orderBy("symbol", "bucket_start")
+
+  /** G13 twin key: streaming daily VWAP bars over the events tape
+    * (json qty rides the tape rows). */
+  def streamVwap(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.events(s, d)
+      .select("event_id", "user_id", "ts", "value", "props")
+      .orderBy("event_id")
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    runTape(s, tape, OutputMode.Complete)(
+      t => Streaming.vwapBars(t.toDF()))
+      .orderBy("symbol", "bucket_start")
+  }
+
+  // ===== Append-mode per-row keyed-state operators ===================
+
+  /** G12 twin key: per-tick tick-rule classes off one-double state. */
+  def streamTickClasses(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.tickClasses(t).toDF())
+      .orderBy("tick_id")
+
+  /** G35 twin key: per-tick drawdown points off the running peak. */
+  def streamDrawdown(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.drawdownPoints(t).toDF())
+      .orderBy("tick_id")
+
+  /** G3 twin key: streaming exact dedup over the documents tape in
+    * doc_id order — first arrival per md5 content hash wins. */
+  def streamDedupExact(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.dedupExact(t).toDF())
+      .orderBy("doc_id")
+  }
+
+  // ===== Deployed-model session-window scorers (G40/G43) ============
+
+  /** The G40 deployment artifacts trained by the BATCH side: the D66
+    * train scaler (µ, σ), the per-slot train-mean centroid QUANTIZED
+    * to int64 micros (sign-split round — the live model ships integer
+    * registers; the oracle mirrors the same quantization), and the
+    * per-symbol p99 threshold of the quantized-centroid TEST-window
+    * errors. Rides the session-shared D66 slot chain. */
+  private def centroidArtifacts(s: SparkSession, d: String, k: Int,
+                                pct: Double)
+      : (Map[Long, (Double, Double)], Map[Long, Seq[Long]],
+         Map[Long, Double]) = {
+    val chain = Features.slotChain(Tables.ticks(s, d), k, 0.6, 0.2,
+      Some(d))
+    val scalers = Features.trainScaler(chain.tagged).collect().map { r =>
+      r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    }.toMap
+    val cent = chain.scaled.filter(col("split") === "train")
+      .groupBy("symbol", "i")
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n_tr"))
+      .withColumn("ubar", expr(
+        "CAST(CASE WHEN su >= 0" +
+          " THEN floor(CAST(su AS DOUBLE) / n_tr + 0.5)" +
+          " ELSE -floor(-(CAST(su AS DOUBLE) / n_tr) + 0.5)" +
+          " END AS BIGINT)"))
+      .select("symbol", "i", "ubar")
+    val centroids = cent.collect()
+      .groupBy(_.getLong(0))
+      .map { case (sym, rows) =>
+        // the slot index column is IntegerType (posexplode index)
+        sym -> rows.sortBy(_.getAs[Number]("i").longValue())
+          .map(_.getAs[Long]("ubar")).toSeq
+      }
+    // quantized-centroid per-window errors (the D67 fold with the
+    // integer ubar) -> per-symbol p99 of the TEST windows
+    val terms = chain.scaled
+      .join(broadcast(cent), Seq("symbol", "i"), "left")
+      .withColumn("t", expr(
+        "CASE WHEN ubar IS NULL THEN 0.0D" +
+          " ELSE CAST(u - ubar AS DOUBLE) * CAST(u - ubar AS DOUBLE)" +
+          " / 1000000.0D / 1000000.0D END"))
+    val errq = terms
+      .groupBy("symbol", "date", "win", "split")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("t")))),
+          x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("e0"))
+      .withColumn("u_err", expr(
+        s"CAST(floor(e0 / $k * 1000000.0D + 0.5D) AS BIGINT)"))
+    val thresholds = errq.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(u_err, $pct)").as("qu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (scalers, centroids, thresholds)
+  }
+
+  /** G40 twin key: every tape session window scored live against the
+    * batch-trained scaler/centroid/p99 band (sentinel-closed). */
+  def streamAnomaly(s: SparkSession, d: String, k: Int,
+                    pct: Double): DataFrame = {
+    val (scalers, centroids, thresholds) = centroidArtifacts(s, d, k, pct)
+    runTape(s, withSentinels(tickTape(s, d)), OutputMode.Append)(
+      t => Streaming.windowAnomalyAlerts(t, k, scalers, centroids,
+        thresholds).toDF())
+      .orderBy("symbol", "date", "win")
+  }
+
+  /** G43 twin key: the batch-trained D84 autoencoder SERVED over the
+    * tape — every closed window of a trained symbol scored with the
+    * final weights, flagged at the batch p99 (sentinel-closed). */
+  def streamGdScores(s: SparkSession, d: String, k: Int, h: Int,
+                     epochs: Int, lr: Double, pct: Double): DataFrame = {
+    val ticks = Tables.ticks(s, d)
+    val fit = Features.gdFit(ticks, k, h, epochs, lr, 0.6, 0.2, Some(d))
+    val chain = Features.slotChain(ticks, k, 0.6, 0.2, Some(d))
+    val scalers = Features.trainScaler(chain.tagged).collect().map { r =>
+      r.getLong(0) -> ((r.getDouble(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+    }.toMap
+    val weights: Map[Long, (Seq[Double], Seq[Double])] =
+      fit.weights.map { case (sym, a) =>
+        sym -> ((a.take(h * k).toSeq, a.drop(h * k).toSeq))
+      }
+    val thresholds = fit.errs.filter(col("split") === "test")
+      .groupBy("symbol")
+      .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    runTape(s, withSentinels(tickTape(s, d)), OutputMode.Append)(
+      t => Streaming.gdModelScores(t, k, scalers, weights,
+        thresholds).toDF())
+      .orderBy("symbol", "date", "win")
+  }
+}

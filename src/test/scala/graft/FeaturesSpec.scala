@@ -1040,8 +1040,8 @@ class FeaturesSpec extends SparkSpec {
       .map(r => r.getAs[String]("a") -> r.getAs[Double]("value")).toMap
     assert(lossOut.size == epochs + 1)
     (0 to epochs).foreach { e =>
-      assert(lossOut(s"e$e") == mirrorLoss(e),
-        s"epoch $e loss: spark ${lossOut(s"e$e")} vs ${mirrorLoss(e)}")
+      assert(lossOut(f"e$e%02d") == mirrorLoss(e),
+        s"epoch $e loss: spark ${lossOut(f"e$e%02d")} vs ${mirrorLoss(e)}")
     }
     // GD on the standardized tensors must actually DESCEND
     (1 to epochs).foreach(e => assert(mirrorLoss(e) < mirrorLoss(e - 1),

@@ -684,6 +684,34 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(row._6) < 0.55, s"rel_err ${row._6}")
   }
 
+  test("hllNdv audit=false: identical sketch columns, typed-NULL " +
+      "exact/rel_err, and NO distinct exchange in the executed plan") {
+    val rnd = new scala.util.Random(11)
+    val texts = (1L to 40L).map { id =>
+      id -> (1 to 15).map(_ => s"w${rnd.nextInt(300)}").mkString(" ")
+    }
+    val audited = TextDedup.hllNdv(docs(texts: _*), 2).collect().head
+    val est = TextDedup.hllNdv(docs(texts: _*), 2, audit = false)
+    val row = est.collect().head
+    // sketch half identical; audit half typed NULL
+    assert(row.getLong(0) == audited.getLong(0))
+    assert(row.getLong(1) == audited.getLong(1))
+    assert(row.getLong(2) == audited.getLong(2))
+    assert(row.getDouble(3) == audited.getDouble(3))
+    assert(row.isNullAt(4) && row.isNullAt(5))
+    assert(est.schema("exact_ndv").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // plan proof: the production path is one linear scan + the
+    // 32-register aggregate — no count(distinct), no exchange keyed
+    // on the gram stream
+    val plan = est.queryExecution.executedPlan.toString
+    assert(!plan.contains("distinct"), plan.take(2000))
+    assert(!plan.contains("hashpartitioning(gram"), plan.take(2000))
+    val auditedPlan = TextDedup.hllNdv(docs(texts: _*), 2)
+      .queryExecution.executedPlan.toString
+    assert(auditedPlan.contains("distinct")) // the flag really gates it
+  }
+
   test("hllNdv is monotone under corpus growth (register maxima only " +
       "ever increase, so the estimate never drops)") {
     val small = (1L to 10L).map(i => i -> s"alpha$i beta$i gamma$i")
