@@ -1632,6 +1632,22 @@ object SparkEntry {
     "q_stream_gd_scores" -> ((s, d) =>
       StreamRegistry.streamGdScores(s, d, tensorSlots, 2, 4, 0.0625,
         reconFlagPct)),
+
+    // ===== A-section side-effect audits (r14 verdict item #2):
+    // real on-disk state built in a throwaway location, the
+    // maintenance op run, and a LOGICAL audit frame returned whose
+    // cells a DuckDB oracle can derive from sfDir (layout constants
+    // pinned by the build parameters).
+    // A1 — CSV→parquet ingest round-trip audit per symbol.
+    "q_ingest_roundtrip" -> (CatalogAudits.ingestRoundTrip(_, _)),
+    // A11 — small-file compaction: lossless rewrite + planned layout.
+    "q_compaction_audit" -> (CatalogAudits.compactionAudit(_, _)),
+    // A17 — merged-schema read: per-generation backfill report.
+    "q_schema_evolution" -> (CatalogAudits.evolutionAudit(_, _)),
+    // A21 — orphan sweep: dry/delete/re-run counts + live rows.
+    "q_orphan_audit" -> (CatalogAudits.orphanAudit(_, _)),
+    // A22 — storage profile, logical slice (value/null counts).
+    "q_storage_profile" -> (CatalogAudits.storageProfileAudit(_, _)),
   )
 
   /** F12 fixture — the media feature frame RE-DERIVED from the
@@ -9042,5 +9058,74 @@ object SparkEntry {
         |FROM ferr f JOIN gwin g USING (symbol, date, win)
         |LEFT JOIN fth t USING (symbol)
         |ORDER BY symbol, date, win""".stripMargin),
+
+    // ===== A-section audit oracles: the logical halves of the
+    // side-effectful maintenance ops. File-count cells are layout
+    // constants pinned by the audit's build parameters (3+3 appended
+    // files compacting to 1; 4 live + 2 planted orphans); content
+    // cells derive from the sfDir tables.
+    // A1 — the CSV tree is symbol=<id> dirs; the reader surfaces the
+    // dir name as the symbol string. Timestamps round-trip at the
+    // Dukascopy format's ms precision (epoch_ms).
+    "q_ingest_roundtrip" -> {
+      import graft.functions.PortableText.P
+      s"""SELECT 'symbol=' || CAST(symbol AS VARCHAR) AS symbol,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(bid * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS bid_cents,
+        |  CAST(sum(CAST(round(ask * 10000.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS ask_e4,
+        |  CAST(sum(epoch_ms(ts) % $P) AS BIGINT) AS ts_fp
+        |FROM $ticksSql t
+        |GROUP BY 1 ORDER BY symbol""".stripMargin
+    },
+    // A11 — two 3-file appends compact to exactly 1 file per year at
+    // an unbounded byte target; rows and the order-free content fp
+    // must survive the rewrite untouched.
+    "q_compaction_audit" -> {
+      import graft.functions.PortableText.P
+      s"""SELECT year(ts) AS year, 6 AS n_files_before,
+        |  1 AS n_files_planned, CAST(1 AS BIGINT) AS n_files_after,
+        |  count(*) AS n_rows,
+        |  CAST(COALESCE(SUM((event_id * 31
+        |    + CAST(round(value * 100.0, 0) AS BIGINT)) % $P), 0)
+        |    % $P AS BIGINT) AS fp
+        |FROM events GROUP BY 1 ORDER BY year""".stripMargin
+    },
+    // A17 — gen 0 lacks props+event_type (all-NULL backfill), gen 1
+    // lacks event_type; natural nulls ride through unchanged.
+    "q_schema_evolution" ->
+      """SELECT CAST(event_id % 3 AS INT) AS gen, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN event_id % 3 = 0 OR props IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+        |  CAST(sum(CASE WHEN event_id % 3 < 2 OR event_type IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_event_type
+        |FROM events GROUP BY 1 ORDER BY gen""".stripMargin,
+    // A21 — 4 live + 2 planted orphan files; the sweep deletes the 2,
+    // the re-run finds none, the table rows survive.
+    "q_orphan_audit" ->
+      """SELECT CAST(6 AS BIGINT) AS n_files,
+        |  CAST(4 AS BIGINT) AS n_referenced,
+        |  CAST(2 AS BIGINT) AS n_orphans,
+        |  CAST(2 AS BIGINT) AS n_deleted,
+        |  CAST(0 AS BIGINT) AS n_orphans_after,
+        |  count(*) AS n_rows_live
+        |FROM events WHERE event_id % 5 = 0""".stripMargin,
+    // A22 — parquet footer value counts include nulls on flat
+    // schemas; footer-stats null counts are the logical cell the
+    // oracle prices per column.
+    "q_storage_profile" ->
+      """SELECT col AS "column", count(*) AS n_values,
+        |  CAST(sum(CASE col
+        |    WHEN 'event_id' THEN CASE WHEN event_id IS NULL THEN 1 ELSE 0 END
+        |    WHEN 'user_id' THEN CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+        |    WHEN 'event_type' THEN CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+        |    WHEN 'value' THEN CASE WHEN value IS NULL THEN 1 ELSE 0 END
+        |    WHEN 'props' THEN CASE WHEN props IS NULL THEN 1 ELSE 0 END
+        |  END) AS BIGINT) AS n_nulls
+        |FROM events
+        |CROSS JOIN (SELECT unnest(['event_id', 'user_id', 'event_type',
+        |  'value', 'props']) AS col) c
+        |GROUP BY 1 ORDER BY "column"""".stripMargin,
   )
 }

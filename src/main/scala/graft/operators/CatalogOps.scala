@@ -351,7 +351,7 @@ object CatalogOps {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = loc.getFileSystem(conf)
     val agg = scala.collection.mutable.Map
-      .empty[String, (Long, Long, Long, Set[String])]
+      .empty[String, (Long, Long, Long, Long, Set[String])]
     val it = fs.listFiles(loc, true)
     while (it.hasNext) {
       val st = it.next()
@@ -364,23 +364,32 @@ object CatalogOps {
           reader.getFooter.getBlocks.asScala.foreach { block =>
             block.getColumns.asScala.foreach { c =>
               val key = c.getPath.toDotString
-              val (cb, ub, nv, enc) =
-                agg.getOrElse(key, (0L, 0L, 0L, Set.empty[String]))
+              val (cb, ub, nv, nn, enc) =
+                agg.getOrElse(key, (0L, 0L, 0L, 0L, Set.empty[String]))
+              // footer statistics carry the chunk's null count — the
+              // one LOGICAL number in the profile (and the piece a
+              // DuckDB oracle can check); -1 when a writer omitted
+              // stats, folded as 0 here (fresh Spark writers always
+              // emit them)
+              val nulls = Option(c.getStatistics)
+                .filter(_.isNumNullsSet).map(_.getNumNulls)
+                .getOrElse(0L)
               agg(key) = (cb + c.getTotalSize,
                 ub + c.getTotalUncompressedSize,
                 nv + c.getValueCount,
+                nn + nulls,
                 enc ++ c.getEncodings.asScala.map(_.toString))
             }
           }
         } finally reader.close()
       }
     }
-    agg.toSeq.map { case (col, (cb, ub, nv, enc)) =>
-      (col, nv, cb, ub,
+    agg.toSeq.map { case (col, (cb, ub, nv, nn, enc)) =>
+      (col, nv, nn, cb, ub,
         if (cb > 0) ub.toDouble / cb.toDouble else 0.0,
         if (nv > 0) cb.toDouble / nv.toDouble else 0.0,
         enc.toSeq.sorted.mkString(","))
-    }.toDF("column", "n_values", "compressed_bytes",
+    }.toDF("column", "n_values", "n_nulls", "compressed_bytes",
         "uncompressed_bytes", "codec_ratio", "bytes_per_value",
         "encodings")
       .orderBy("column")
