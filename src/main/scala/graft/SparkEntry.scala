@@ -9077,6 +9077,7 @@ object SparkEntry {
         |    AS ask_e4,
         |  CAST(sum(epoch_ms(ts) % $P) AS BIGINT) AS ts_fp
         |FROM $ticksSql t
+        |WHERE symbol % 16 = 0
         |GROUP BY 1 ORDER BY symbol""".stripMargin
     },
     // A11 — two 3-file appends compact to exactly 1 file per year at

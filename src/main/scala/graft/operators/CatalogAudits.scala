@@ -64,11 +64,20 @@ object CatalogAudits {
     * ask-e4 sums, and a millisecond-timestamp content hash. Doubles
     * round-trip CSV exactly (shortest-repr write, exact parse);
     * timestamps round-trip at the format's ms precision — which is
-    * precisely what the oracle prices (`epoch_ms`). */
+    * precisely what the oracle prices (`epoch_ms`).
+    *
+    * The audit runs on a deterministic 1/16 symbol slice: the
+    * reader's contract (per-symbol directory tree, explicit schema,
+    * ms parse) is identical per symbol, and the unsliced audit spent
+    * 14 s/run writing ~1500 one-symbol CSV directories on the local
+    * FS at sf0.1 — a harness cost, not a reader property (at real
+    * scale the CSV tree is the INPUT, never something the engine
+    * writes). */
   def ingestRoundTrip(s: SparkSession, d: String): DataFrame = {
     val root = tmpDir("ingest")
     try {
       Tables.ticks(s, d)
+        .filter(pmod(col("symbol"), lit(16L)) === 0)
         .select(
           date_format(col("ts"), "yyyyMMdd HH:mm:ss.SSS").as("DateTime"),
           col("bid").as("Bid"), col("ask").as("Ask"),

@@ -278,7 +278,14 @@ object Sf1Smoke {
       // after their first aggregates.
       "q_window_tensors", "q_anomaly_pipeline", "q_nn_recon",
       "q_signal_backtest", "q_gd_autoencoder", "q_gd_valcurve",
-      "q_pipeline_status", "q_stage_lineage")
+      "q_pipeline_status", "q_stage_lineage",
+      // round-15 (r14 verdict #6): the REST of the slot-chain family,
+      // so the 10x/100x sweep times the full 16-consumer block in one
+      // session with the share active — the warm numbers below are
+      // MARGINAL cost on top of the one chain build.
+      "q_error_profile", "q_model_params", "q_backtest_report",
+      "q_book_report", "q_latency_sensitivity", "q_signal_sweep",
+      "q_staleness_report", "q_walkforward_model")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily

@@ -22,6 +22,7 @@ class CatalogAuditsSpec extends SparkSpec {
       "count, exact cents sums and ms-timestamp hash") {
     val audit = CatalogAudits.ingestRoundTrip(spark, d)
     val direct = Tables.ticks(spark, d)
+      .filter(pmod(col("symbol"), lit(16L)) === 0)
       .groupBy(concat(lit("symbol="), col("symbol").cast("string"))
         .as("symbol"))
       .agg(count(lit(1)).as("n"),

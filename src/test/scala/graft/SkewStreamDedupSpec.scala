@@ -54,6 +54,82 @@ class SkewStreamDedupSpec extends SparkSpec {
     assert(maxTile < 1770L / 3, s"max tile $maxTile of 1770")
   }
 
+  test("candidatePairsFromSigs hot regime: the EXECUTED plan carries " +
+      "the tile-keyed exchange and spreads a hot bucket's pairs " +
+      "across partitions where the plain band join serializes them " +
+      "(r14 verdict #4 — TiledAb measured wall-time; this pins the " +
+      "plan shape)") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import graft.functions.PortableText.{tokenHashes, minHashes}
+    graft.functions.PolyHash.register(spark)
+    graft.functions.MinHashes.register(spark)
+    // one maximally hot bucket: 60 identical docs, every band bucket
+    // holds the whole corpus, 1770 true pairs (emitted at band 0 by
+    // the first-match rule)
+    val sigs = spark.range(60L)
+      .select(col("id").as("doc_id"),
+        lit("the quick brown fox jumps over the lazy dog again and " +
+          "again building one maximally hot band bucket").as("text"))
+      .withColumn("th", expr(tokenHashes))
+      .withColumn("mh", expr(minHashes))
+      .select("doc_id", "mh")
+      .localCheckpoint(true)
+    val expected = 60L * 59 / 2
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" ->
+        spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.shuffle.partitions" ->
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    try {
+      // the CLUSTER regime the tiles target: bands too big to
+      // broadcast (forced), static plan (AQE off — §5 records that
+      // local AQE can also skew-split the hot SMJ partition; the
+      // tiled layout is the lever for fused pre-exchange work and
+      // AQE-less plans, so the proof must not lean on AQE), and
+      // enough reducers that tile keys can actually spread.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      def partCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.rdd.mapPartitions(it => Iterator.single(it.size.toLong))
+          .collect().toSeq
+      // HOT path (threshold 10 < 60): tile-keyed exchange
+      val hot = graft.operators.TextDedup.candidatePairsFromSigs(sigs,
+        10L, tiles = 4)
+      val hotParts = partCounts(hot)
+      assert(hotParts.sum == expected)
+      val hotPlan = hot.queryExecution.executedPlan.toString
+      assert(("hashpartitioning\\(band#\\d+[^,]*, band_hash#\\d+L?" +
+        ", _i#\\d+L?, _j#\\d+L?").r.findFirstIn(hotPlan).isDefined,
+        s"no tile-keyed exchange in the hot plan:\n${hotPlan.take(3000)}")
+      // the bucket's pairs spread: >= 4 reducers carry pairs and no
+      // single reducer owns the bucket
+      assert(hotParts.count(_ > 0) >= 4,
+        s"pairs on ${hotParts.count(_ > 0)} partitions: $hotParts")
+      assert(hotParts.max < expected,
+        s"one reducer still owns the whole bucket: $hotParts")
+      // COLD path under the same forced-SMJ regime: the band join
+      // keys at (band, band_hash) only — identical docs collapse to
+      // one emitting bucket and ONE reducer owns every pair (the
+      // serialization the switch exists to break), while the
+      // user-numbered round-robin repartition stays exactly as
+      // written (no AQE rewrite — the §5 caveat, pinned here)
+      val cold = graft.operators.TextDedup.candidatePairsFromSigs(sigs,
+        Long.MaxValue,
+        tiles = 4)
+      val coldParts = partCounts(cold)
+      assert(coldParts.sum == expected)
+      assert(coldParts.max == expected,
+        s"expected the hot bucket on one reducer in the cold " +
+          s"layout: $coldParts")
+      val coldPlan = cold.queryExecution.executedPlan.toString
+      assert(coldPlan.contains("RoundRobinPartitioning(32"),
+        s"user-numbered repartition missing:\n${coldPlan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime " +
       "(H6: the built-in complement to H1's manual salting)") {
     // 200k rows on ONE key vs 2k spread over 200 keys — a single
