@@ -211,6 +211,11 @@ object SparkEntry {
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
                                 // error percentile (ref test.py:334)
   val signalExitFrac = 0.5      // D76 exit once window error recovers
+  val streamGoLive = "2024-01-16"  // G41 go-live date (mid-tape: the
+                                // deployment trades the back half)
+  val retrainPct = 0.90         // G42 monitoring band (p90 — alert
+                                // sensitivity, vs the p99 flag band)
+  val retrainConsecutive = 1    // G42 alert at the Nth breach in a row
                                 // below exitFrac * p99 threshold
   val sweepPcts = Seq(0.9, 0.95, 0.99) // D81 swept flag percentiles
   val stalenessRun = 3          // D83/G42 consecutive breaches → alert
@@ -1632,6 +1637,14 @@ object SparkEntry {
     "q_stream_gd_scores" -> ((s, d) =>
       StreamRegistry.streamGdScores(s, d, tensorSlots, 2, 4, 0.0625,
         reconFlagPct)),
+    // G41 — the D76 backtest deployed live from the go-live date.
+    "q_stream_positions" -> ((s, d) =>
+      StreamRegistry.streamPositions(s, d, tensorSlots, reconFlagPct,
+        signalExitFrac, streamGoLive)),
+    // G42 — retrain alerts at the Nth consecutive p90 breach.
+    "q_stream_retrain" -> ((s, d) =>
+      StreamRegistry.streamRetrain(s, d, tensorSlots, retrainPct,
+        retrainConsecutive)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -1808,6 +1821,36 @@ object SparkEntry {
       |  FROM tt$x GROUP BY 1, 2, 3, 4)""".stripMargin
 
   private lazy val windowErrSql: String = windowErrSqlG("", "")
+
+  /** G40/G41/G42 oracle body: the D67 slot chain scored against the
+    * DEPLOYMENT's centroid — the per-(symbol, slot) train mean
+    * QUANTIZED to int64 micros (sign-split round of su/n_tr; a live
+    * model ships integer registers — `SessionScoring.windowUErr`'s
+    * `Map[Long, Seq[Long]]`), ending in `er` (symbol, date, win,
+    * split, n_ticks, u_err). Same shape as [[windowErrSqlG]] so
+    * [[positionChainSql]]/[[testThresholdSql]] compose on top. */
+  private lazy val quantWindowErrSql: String =
+    s"""$tensorSlotsSql,
+      |tmq AS (SELECT symbol, i,
+      |    CAST(CASE WHEN sum(u) >= 0
+      |      THEN floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5)
+      |      ELSE -floor(-(CAST(sum(u) AS DOUBLE) / count(*)) + 0.5)
+      |      END AS BIGINT) AS ubar
+      |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
+      |ttq AS (SELECT q.symbol, q.date, q.win, q.split, q.n_ticks,
+      |    q.i,
+      |    CASE WHEN m.ubar IS NULL THEN 0.0
+      |      ELSE CAST(q.u - m.ubar AS DOUBLE)
+      |        * CAST(q.u - m.ubar AS DOUBLE)
+      |        / 1000000.0 / 1000000.0 END AS t
+      |  FROM uq q LEFT JOIN tmq m ON m.symbol = q.symbol
+      |    AND m.i = q.i),
+      |er AS (SELECT symbol, date, win, split,
+      |    min(n_ticks) AS n_ticks,
+      |    CAST(floor(list_reduce(list_prepend(0.0,
+      |      list(t ORDER BY i)), (a, b) -> a + b)
+      |      / $tensorSlots * 1000000.0 + 0.5) AS BIGINT) AS u_err
+      |  FROM ttq GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** D84 oracle generator: the full-batch GD autoencoder training
     * loop as an unrolled per-epoch CTE cascade (the F61/F59
@@ -2135,7 +2178,9 @@ object SparkEntry {
     * partition keys, `extraPpCols` optional extra lag columns. */
   private def positionChainSql(thrJoin: String, extraBbCols: String,
                                part: String,
-                               extraPpCols: String = ""): String =
+                               extraPpCols: String = "",
+                               bbPred: String = "er.split = 'test'")
+      : String =
     s"""lastu AS (SELECT symbol, date, win, u AS u_last
       |  FROM uq WHERE i = ${tensorSlots - 1}),
       |$sessionClosesSql,
@@ -2147,7 +2192,7 @@ object SparkEntry {
       |  JOIN closes c ON c.symbol = er.symbol AND c.date = er.date
       |    AND c.win = er.win
       |  $thrJoin
-      |  WHERE er.split = 'test'),
+      |  WHERE $bbPred),
       |sg AS (SELECT *, CASE
       |    WHEN CAST(u_err AS DOUBLE) > qu THEN
       |      CASE WHEN u_last > 0 THEN -1 ELSE 1 END
@@ -9012,35 +9057,63 @@ object SparkEntry {
     // as integers) and the p99 threshold over the SAME quantized
     // errors' test split.
     "q_stream_anomaly" ->
-      s"""WITH $tensorSlotsSql,
-        |tmq AS (SELECT symbol, i,
-        |    CAST(CASE WHEN sum(u) >= 0
-        |      THEN floor(CAST(sum(u) AS DOUBLE) / count(*) + 0.5)
-        |      ELSE -floor(-(CAST(sum(u) AS DOUBLE) / count(*)) + 0.5)
-        |      END AS BIGINT) AS ubar
-        |  FROM uq WHERE split = 'train' GROUP BY 1, 2),
-        |ttq AS (SELECT q.symbol, q.date, q.win, q.split, q.n_ticks,
-        |    q.i,
-        |    CASE WHEN m.ubar IS NULL THEN 0.0
-        |      ELSE CAST(q.u - m.ubar AS DOUBLE)
-        |        * CAST(q.u - m.ubar AS DOUBLE)
-        |        / 1000000.0 / 1000000.0 END AS t
-        |  FROM uq q LEFT JOIN tmq m ON m.symbol = q.symbol
-        |    AND m.i = q.i),
-        |erq AS (SELECT symbol, date, win, split,
-        |    min(n_ticks) AS n_ticks,
-        |    CAST(floor(list_reduce(list_prepend(0.0,
-        |      list(t ORDER BY i)), (a, b) -> a + b)
-        |      / $tensorSlots * 1000000.0 + 0.5) AS BIGINT) AS u_err
-        |  FROM ttq GROUP BY 1, 2, 3, 4),
+      s"""WITH $quantWindowErrSql,
         |thq AS (SELECT symbol, quantile_cont(u_err, $reconFlagPct)
         |    AS qu
-        |  FROM erq WHERE split = 'test' GROUP BY 1)
+        |  FROM er WHERE split = 'test' GROUP BY 1)
         |SELECT e.symbol AS symbol, e.date AS date, e.win AS win,
         |  e.n_ticks AS n_ticks,
         |  CAST(u_err AS DOUBLE) / 1000000.0 AS err,
         |  COALESCE(CAST(u_err AS DOUBLE) > t.qu, FALSE) AS is_anomaly
-        |FROM erq e LEFT JOIN thq t USING (symbol)
+        |FROM er e LEFT JOIN thq t USING (symbol)
+        |ORDER BY symbol, date, win""".stripMargin,
+    // G41 — the live position tracker: quantized-band entries/exits
+    // via D76's last_value IGNORE NULLS position machine, restricted
+    // to the go-live roster (date >= fromDate replaces the batch
+    // test-split roster), exact-cent step P&L per traded window.
+    "q_stream_positions" ->
+      s"""WITH $quantWindowErrSql,
+        |$testThresholdSql,
+        |${positionChainSql("JOIN th ON th.symbol = er.symbol",
+          ", th.qu", "symbol",
+          bbPred = s"er.date >= '$streamGoLive'")}
+        |SELECT symbol, date, win,
+        |  CAST(u_err AS DOUBLE) / 1000000.0 AS err,
+        |  pos, pos_prev,
+        |  CAST(CASE WHEN dc IS NOT NULL THEN pos_prev * dc
+        |    ELSE 0 END AS BIGINT) AS pnl_step_cents
+        |FROM pp ORDER BY symbol, date, win""".stripMargin,
+    // G42 — the retrain monitor: breach runs over the quantized
+    // errors at the deployment's p90 band, one alert per run at the
+    // Nth consecutive breach (D83's run-id idiom).
+    "q_stream_retrain" ->
+      s"""WITH $quantWindowErrSql,
+        |thr AS (SELECT symbol, quantile_cont(u_err, $retrainPct)
+        |    AS qu
+        |  FROM er WHERE split = 'test' GROUP BY 1),
+        |fb AS (SELECT er.symbol, er.date, er.win, er.u_err,
+        |    CASE WHEN t.qu IS NOT NULL
+        |      AND CAST(er.u_err AS DOUBLE) > t.qu
+        |      THEN 1 ELSE 0 END AS breach
+        |  FROM er LEFT JOIN thr t ON t.symbol = er.symbol),
+        |fs AS (SELECT *, CASE WHEN breach = 1
+        |      AND coalesce(lag(breach) OVER w, 0) = 0
+        |    THEN 1 ELSE 0 END AS start
+        |  FROM fb WINDOW w AS (PARTITION BY symbol ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END)),
+        |fr AS (SELECT *, CAST(sum(start) OVER (PARTITION BY symbol
+        |    ORDER BY date, CASE WHEN win = 'morning' THEN 0 ELSE 1 END
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS run_id
+        |  FROM fs),
+        |fx AS (SELECT *, row_number() OVER (
+        |    PARTITION BY symbol, run_id ORDER BY date,
+        |    CASE WHEN win = 'morning' THEN 0 ELSE 1 END) AS idx
+        |  FROM fr WHERE breach = 1)
+        |SELECT symbol, date, win,
+        |  CAST($retrainConsecutive AS BIGINT) AS streak,
+        |  CAST(u_err AS DOUBLE) / 1000000.0 AS err
+        |FROM fx WHERE idx = $retrainConsecutive
         |ORDER BY symbol, date, win""".stripMargin,
     // G43 — the D84 cascade's trained weights score every window of
     // a trained symbol; flag at the test p99 of the SAME errors.

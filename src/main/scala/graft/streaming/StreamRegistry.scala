@@ -226,6 +226,31 @@ object StreamRegistry {
       .orderBy("symbol", "date", "win")
   }
 
+  /** G41 twin key: D76's backtest run as the LIVE deployment — the
+    * batch-trained (quantized-centroid) band drives entries/exits on
+    * every closed window at-or-after the go-live date, P&L accruing
+    * in exact cents window over window (sentinel-closed). */
+  def streamPositions(s: SparkSession, d: String, k: Int, pct: Double,
+                      exitFrac: Double, fromDate: String): DataFrame = {
+    val (scalers, centroids, thresholds) = centroidArtifacts(s, d, k, pct)
+    runTape(s, withSentinels(tickTape(s, d)), OutputMode.Append)(
+      t => Streaming.signalPositions(t, k, scalers, centroids,
+        thresholds, exitFrac, fromDate).toDF())
+      .orderBy("symbol", "date", "win")
+  }
+
+  /** G42 twin key: the retrain monitor on the tape — one alert per
+    * consecutive-breach run at the moment it reaches N, against the
+    * batch-trained quantized band (sentinel-closed). */
+  def streamRetrain(s: SparkSession, d: String, k: Int, pct: Double,
+                    consecutive: Int): DataFrame = {
+    val (scalers, centroids, thresholds) = centroidArtifacts(s, d, k, pct)
+    runTape(s, withSentinels(tickTape(s, d)), OutputMode.Append)(
+      t => Streaming.retrainAlerts(t, k, scalers, centroids,
+        thresholds, consecutive).toDF())
+      .orderBy("symbol", "date", "win")
+  }
+
   /** G43 twin key: the batch-trained D84 autoencoder SERVED over the
     * tape — every closed window of a trained symbol scored with the
     * final weights, flagged at the batch p99 (sentinel-closed). */
