@@ -133,7 +133,77 @@ object StreamRegistry {
       .orderBy("symbol", "bucket_start")
   }
 
+  /** G5 twin key: native session_window gap sessionization. Session
+    * bounds are raw event micros, emitted as exact int64 epoch-µs
+    * (the §6 house rule: never hash a sub-second timestamp cell). */
+  def streamSessions(s: SparkSession, d: String, gap: String)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Complete)(
+      t => Streaming.sessionWindows(t.toDF(), gap))
+      .select(col("symbol"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_ticks"), col("first_bid"))
+      .orderBy("symbol", "session_start_us")
+
+  /** G23 twin key: the count-min cell grid maintained as a live
+    * aggregation over the documents tape — streaming state IS the
+    * sketch (≤ 4·1024 int64 cells). */
+  def streamCms(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    runTape(s, tape, OutputMode.Complete)(
+      t => Streaming.cmsCellCounts(t.toDF()))
+      .orderBy("rw", "cell")
+  }
+
   // ===== Append-mode per-row keyed-state operators ===================
+
+  /** G14 twin key: the streaming CDC register over the events
+    * changelog (max-seq wins). Update mode emits each key's register
+    * per batch; the FINAL register per key is the row with the
+    * largest n_changes (strictly increasing per emission). */
+  def streamCdc(s: SparkSession, d: String): DataFrame = {
+    import Streaming.Change
+    implicit val chEnc: Encoder[Change] = Encoders.product[Change]
+    val tape = Tables.events(s, d)
+      .select(col("event_id").as("seq"), col("user_id").as("key"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        col("value"))
+      .orderBy("seq").collect()
+      .map(r => Change(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    val sink = runTape(s, tape, OutputMode.Update)(
+      t => Streaming.cdcState(t).toDF())
+    import org.apache.spark.sql.expressions.Window
+    sink.withColumn("_rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("n_changes").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+      .orderBy("key")
+  }
+
+  /** G18 twin key: data-dependent volume bars — Append emits CLOSED
+    * bars only, so the sink equals the batch bars minus each
+    * symbol's trailing partial bar (no sentinel can close a
+    * quantity-threshold bar). */
+  def streamVolumeBars(s: SparkSession, d: String, barQty: Long)
+      : DataFrame = {
+    import Streaming.BarTrade
+    implicit val btEnc: Encoder[BarTrade] = Encoders.product[BarTrade]
+    val tape = Tables.events(s, d)
+      .select(col("event_id"), col("user_id").as("symbol"), col("ts"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cents"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("k"))
+      .orderBy("event_id").collect()
+      .map(r => BarTrade(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.volumeBarState(t, barQty).toDF())
+      .orderBy("symbol", "bar_id")
+  }
+
 
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
