@@ -1656,6 +1656,17 @@ object SparkEntry {
     // keyed state).
     "q_stream_volume_bars" -> ((s, d) =>
       StreamRegistry.streamVolumeBars(s, d, barQtyParam)),
+    // G20 — per-tick running TWAP (exact-integer half-up formula).
+    "q_stream_twap" -> (StreamRegistry.streamTwap(_, _)),
+    // G19 — one-tick-lookahead spike decisions (batch minus each
+    // symbol's final tick, still awaiting its successor).
+    "q_stream_spikes" -> ((s, d) =>
+      StreamRegistry.streamSpikes(s, d, spikeBp)),
+    // G22 — running realized moments, a point per move once var > 0.
+    "q_stream_moments" -> (StreamRegistry.streamMoments(_, _)),
+    // G26 — live TCA: fill-aligned running-VWAP slippage points.
+    "q_stream_running_vwap" -> ((s, d) =>
+      StreamRegistry.streamRunningVwap(s, d, tcaFillEvery)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9208,6 +9219,110 @@ object SparkEntry {
         |FROM ferr f JOIN gwin g USING (symbol, date, win)
         |LEFT JOIN fth t USING (symbol)
         |ORDER BY symbol, date, win""".stripMargin),
+    // G20 — running TWAP: prefix sums of B13's exact-integer interval
+    // ladder (prev cents × µs gap), emitted once Σdur > 0; n_weighted
+    // counts every completed interval including zero-µs ones.
+    "q_stream_twap" ->
+      s"""WITH p AS (SELECT symbol, CAST(ts AS DATE) AS _date, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM $ticksSql t),
+        |i AS (SELECT symbol, _date, tick_id,
+        |    lag(cents) OVER w AS pc, us - lag(us) OVER w AS dur
+        |  FROM p WINDOW w AS (PARTITION BY symbol, _date
+        |    ORDER BY tick_id)),
+        |c AS (SELECT symbol, _date,
+        |    CAST(row_number() OVER (PARTITION BY symbol, _date
+        |      ORDER BY tick_id) AS BIGINT) AS n_weighted,
+        |    CAST(sum(pc * dur) OVER w2 AS BIGINT) AS s,
+        |    CAST(sum(dur) OVER w2 AS BIGINT) AS d
+        |  FROM i WHERE dur IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY symbol, _date ORDER BY tick_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, strftime(_date, '%Y-%m-%d') AS date, n_weighted,
+        |  CAST((s * 200 + d) // (d * 2) AS DOUBLE) / 10000.0 AS twap
+        |FROM c WHERE d > 0
+        |ORDER BY symbol, date, n_weighted""".stripMargin,
+    // G19 — the B12 frame minus each symbol's last tick (its verdict
+    // waits on a successor that never arrives on a bounded tape).
+    "q_stream_spikes" ->
+      s"""SELECT tick_id, symbol, cents, is_spike,
+        |  CASE WHEN is_spike THEN (prev + next + 1) // 2
+        |    ELSE cents END AS repaired_cents
+        |FROM (
+        |  SELECT tick_id, symbol, cents, prev, next,
+        |    prev IS NOT NULL AND next IS NOT NULL
+        |      AND abs(cents - prev) * 10000 > $spikeBp * prev
+        |      AND abs(cents - next) * 10000 > $spikeBp * next
+        |      AND (cents - prev) * (cents - next) > 0 AS is_spike
+        |  FROM (
+        |    SELECT tick_id, symbol,
+        |      CAST(round(bid * 100.0, 0) AS BIGINT) AS cents,
+        |      lag(CAST(round(bid * 100.0, 0) AS BIGINT), 1)
+        |        OVER w AS prev,
+        |      lead(CAST(round(bid * 100.0, 0) AS BIGINT), 1)
+        |        OVER w AS next
+        |    FROM $ticksSql t
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)) x) y
+        |WHERE next IS NOT NULL
+        |ORDER BY tick_id""".stripMargin,
+    // G22 — D39's moment formulas over PREFIX power sums (the cent
+    // moves are integer-valued doubles, so the prefix sums are exact
+    // in both engines); rows emit once variance is positive.
+    "q_stream_moments" ->
+      s"""WITH x AS (SELECT symbol, tick_id, CAST(ts AS DATE) AS _date,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c
+        |  FROM $ticksSql t),
+        |dd AS (SELECT symbol, _date, tick_id,
+        |    CAST(c - lag(c) OVER (PARTITION BY symbol, _date
+        |      ORDER BY tick_id) AS DOUBLE) AS d
+        |  FROM x),
+        |r AS (SELECT symbol, _date,
+        |    CAST(row_number() OVER (PARTITION BY symbol, _date
+        |      ORDER BY tick_id) AS BIGINT) AS n_moves,
+        |    sum(d) OVER w2 AS s1, sum(d * d) OVER w2 AS s2,
+        |    sum(d * d * d) OVER w2 AS s3,
+        |    sum(d * d * d * d) OVER w2 AS s4
+        |  FROM dd WHERE d IS NOT NULL
+        |  WINDOW w2 AS (PARTITION BY symbol, _date ORDER BY tick_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT symbol, _date, n_moves,
+        |    s1 / n_moves AS m1, s2 / n_moves AS m2,
+        |    s3 / n_moves AS m3, s4 / n_moves AS m4
+        |  FROM r),
+        |v AS (SELECT *, m2 - m1 * m1 AS _var FROM m)
+        |SELECT symbol, strftime(_date, '%Y-%m-%d') AS date, n_moves,
+        |  round(_var, 4) AS variance,
+        |  round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+        |    / (_var * sqrt(_var)), 4) AS skewness,
+        |  round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2
+        |    - 3.0 * m1 * m1 * m1 * m1) / (_var * _var) - 3.0, 4)
+        |    AS ex_kurtosis
+        |FROM v WHERE _var > 0
+        |ORDER BY symbol, date, n_moves""".stripMargin,
+    // G26 — the D52 fill report verbatim: both divisions of exact
+    // int64 prefix sums, zero-qty quotes transparent.
+    "q_stream_running_vwap" ->
+      s"""WITH p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS BIGINT), 0) AS k
+        |  FROM events),
+        |t AS (SELECT * FROM p WHERE k > 0),
+        |r AS (SELECT symbol, event_id, day, cents,
+        |    CAST(sum(k) OVER w2 AS BIGINT) AS cum_qty,
+        |    CAST(sum(cents * k) OVER w2 AS BIGINT) AS cum_pv
+        |  FROM t
+        |  WINDOW w2 AS (PARTITION BY symbol, day ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, event_id AS fill_id,
+        |  strftime(day, '%Y-%m-%d') AS day,
+        |  cents AS exec_cents, cum_qty,
+        |  CAST(cum_pv AS DOUBLE) / cum_qty AS run_vwap_cents,
+        |  CAST((cents * cum_qty - cum_pv) * 10000 AS DOUBLE) / cum_pv
+        |    AS slip_bp
+        |FROM r WHERE event_id % $tcaFillEvery = 0
+        |ORDER BY symbol, fill_id""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -205,6 +205,53 @@ object StreamRegistry {
   }
 
 
+  /** G20 twin key: per-tick running TWAP through B13's exact-integer
+    * half-up formula — every interval-completing arrival emits the
+    * TWAP so far (nothing emits while Σdur = 0). */
+  def streamTwap(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.twapPoints(t).toDF())
+      .orderBy("symbol", "date", "n_weighted")
+
+  /** G19 twin key: one-tick-lookahead spike decisions — each tick's
+    * verdict emits when its successor arrives, so the sink is the
+    * batch B12 frame minus each symbol's LAST tick (still awaiting a
+    * successor in state). */
+  def streamSpikes(s: SparkSession, d: String, thresholdBp: Long)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.spikeFlags(t, thresholdBp).toDF())
+      .orderBy("tick_id")
+
+  /** G22 twin key: running realized moments per (symbol, day) — a
+    * point per cent move once variance is positive; the raw power
+    * sums are integer-valued doubles, so prefix sums are exact and
+    * the rounded moment formulas evaluate identically batch-side. */
+  def streamMoments(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.momentPoints(t).toDF())
+      .orderBy("symbol", "date", "n_moves")
+
+  /** G26 twin key: live TCA — fill-aligned running-VWAP slippage
+    * points off the two exact int64 state sums (cum qty, cum p·q);
+    * the D52 report spelling verbatim, zero-qty quotes transparent. */
+  def streamRunningVwap(s: SparkSession, d: String, fillEvery: Int)
+      : DataFrame = {
+    import Streaming.BarTrade
+    implicit val btEnc: Encoder[BarTrade] = Encoders.product[BarTrade]
+    val tape = Tables.events(s, d)
+      .select(col("event_id"), col("user_id").as("symbol"), col("ts"),
+        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cents"),
+        coalesce(get_json_object(col("props"), "$.k").cast("long"),
+          lit(0L)).as("k"))
+      .orderBy("event_id").collect()
+      .map(r => BarTrade(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.runningVwapPoints(t, fillEvery).toDF())
+      .orderBy("symbol", "fill_id")
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
