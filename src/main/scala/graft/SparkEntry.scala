@@ -1667,6 +1667,18 @@ object SparkEntry {
     // G26 — live TCA: fill-aligned running-VWAP slippage points.
     "q_stream_running_vwap" -> ((s, d) =>
       StreamRegistry.streamRunningVwap(s, d, tcaFillEvery)),
+    // G21 — triple-barrier labels at the deciding tick (batch minus
+    // feed-truncated horizon entries, which stay open in state).
+    "q_stream_triple_barrier" -> ((s, d) =>
+      StreamRegistry.streamTripleBarrier(s, d, tbEntryEvery, tbHorizon,
+        tbBarrierBp)),
+    // G24 — running price-response curve, a point per lag per tick.
+    "q_stream_response" -> ((s, d) =>
+      StreamRegistry.streamResponse(s, d, respLags)),
+    // G27 — learned-quality admission on the live doc feed.
+    "q_stream_classifier" -> (StreamRegistry.streamClassifier(_, _)),
+    // G31 — per-source HLL novelty snapshots, one per touched batch.
+    "q_stream_hll" -> (StreamRegistry.streamHll(_, _)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9323,6 +9335,146 @@ object SparkEntry {
         |    AS slip_bp
         |FROM r WHERE event_id % $tcaFillEvery = 0
         |ORDER BY symbol, fill_id""".stripMargin,
+
+    // G21 — the D38 ladder with the stream's decide-time column:
+    // label ±1 decides at the first barrier hit, label 0 at the
+    // horizon'th lookahead; feed-truncated label-0 entries (still
+    // open in state) are excluded.
+    "q_stream_triple_barrier" ->
+      s"""WITH x AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS BIGINT) AS idx
+        |  FROM $ticksSql t),
+        |e AS (SELECT symbol, idx AS e_idx, tick_id AS entry_id, c AS e_c
+        |  FROM x WHERE idx % $tbEntryEvery = 1),
+        |j AS (
+        |  SELECT e.symbol, e.e_idx, e.entry_id, e.e_c,
+        |    min(CASE WHEN f.c * 10000 >= e.e_c * (10000 + $tbBarrierBp)
+        |      THEN f.idx END) AS up_idx,
+        |    min(CASE WHEN f.c * 10000 <= e.e_c * (10000 - $tbBarrierBp)
+        |      THEN f.idx END) AS dn_idx,
+        |    count(*) AS n_lookahead
+        |  FROM e JOIN x f ON f.symbol = e.symbol
+        |    AND f.idx > e.e_idx AND f.idx <= e.e_idx + $tbHorizon
+        |  GROUP BY 1, 2, 3, 4),
+        |lb AS (SELECT symbol, e_idx, entry_id, e_c, up_idx, dn_idx,
+        |    n_lookahead,
+        |  CASE WHEN up_idx IS NOT NULL AND (dn_idx IS NULL OR up_idx < dn_idx)
+        |    THEN 1
+        |  WHEN dn_idx IS NOT NULL AND (up_idx IS NULL OR dn_idx < up_idx)
+        |    THEN -1
+        |  ELSE 0 END AS label
+        |FROM j)
+        |SELECT symbol, e_idx, entry_id, e_c, label,
+        |  CASE WHEN label = 1 THEN up_idx
+        |       WHEN label = -1 THEN dn_idx
+        |       ELSE e_idx + $tbHorizon END AS decided_idx
+        |FROM lb WHERE label != 0 OR n_lookahead = $tbHorizon
+        |ORDER BY symbol, e_idx""".stripMargin,
+    // G24 — the running R(l) ladder: per-tick prefix counts/sums of
+    // the settle-time contributions (lag-l sign x move), one row per
+    // (tick, lag) once the lag has observations. Branches generated
+    // from respLags like the batch D45 oracle.
+    "q_stream_response" ->
+      s"""WITH x AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS c
+        |  FROM $ticksSql t),
+        |sg AS (SELECT symbol, tick_id, c,
+        |    CASE WHEN lag(c) OVER w IS NULL THEN 0
+        |         WHEN c > lag(c) OVER w THEN 1
+        |         WHEN c < lag(c) OVER w THEN -1 ELSE 0 END AS sgn
+        |  FROM x WINDOW w AS (PARTITION BY symbol ORDER BY tick_id)),
+        |u AS (
+        |${respLags.map(l =>
+          s"""  SELECT symbol, tick_id, $l AS lag,
+            |    CASE WHEN lag(sgn, $l) OVER wl$l != 0
+            |      THEN lag(sgn, $l) OVER wl$l * (c - lag(c, $l) OVER wl$l)
+            |    END AS contrib
+            |  FROM sg WINDOW wl$l AS (PARTITION BY symbol ORDER BY tick_id)"""
+            .stripMargin).mkString("\n  UNION ALL\n")}
+        |),
+        |r AS (SELECT symbol, lag,
+        |    CAST(count(contrib) OVER w2 AS BIGINT) AS n_obs,
+        |    CAST(sum(contrib) OVER w2 AS BIGINT) AS s
+        |  FROM u
+        |  WINDOW w2 AS (PARTITION BY symbol, lag ORDER BY tick_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT symbol, lag, n_obs,
+        |  CAST(s AS DOUBLE) / n_obs AS resp_cents
+        |FROM r WHERE n_obs > 0
+        |ORDER BY symbol, lag, n_obs, resp_cents""".stripMargin,
+    // G27 — the F73 margin spelling per doc, admission on the sign.
+    "q_stream_classifier" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |ft AS (SELECT doc_id, ${duckPolyHash("tok")} % 1024 AS bucket
+        |  FROM tok),
+        |w AS (SELECT r AS bucket, (r * 37 + 11) % 21 - 10 AS w
+        |  FROM (SELECT unnest(range(1024)) AS r)),
+        |ag AS (SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(w.w) AS BIGINT) AS margin
+        |  FROM ft JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(ag.n_tokens, 0) AS n_tokens,
+        |  coalesce(ag.margin, 0) AS margin,
+        |  coalesce(ag.margin, 0) >= 0 AS admitted
+        |FROM documents d LEFT JOIN ag USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+    // G31 — the snapshot ladder: for every (source, chunk) with new
+    // grams, the 32-register summary over that source's grams in the
+    // deterministic 4-chunk tape prefix (per = ceil(N/4), doc_id
+    // order — runTape's grouping verbatim).
+    "q_stream_hll" -> {
+      import graft.functions.PortableText._
+      s"""WITH nd AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+        |  FROM documents),
+        |d1 AS (SELECT source, text,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // per AS chunk
+        |  FROM documents, nd),
+        |tok AS (SELECT source, chunk, $duckTokens AS tk FROM d1),
+        |g AS (SELECT source, chunk,
+        |    unnest(list_transform(range(1, length(tk)),
+        |      i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |  FROM tok),
+        |p1 AS (SELECT source, chunk,
+        |    (3 * ${duckPolyHash("gram")} + 7) % $P AS u FROM g),
+        |p2 AS (SELECT source, chunk, u % 32 AS reg, u // 32 AS rest
+        |  FROM p1),
+        |p3 AS (SELECT source, chunk, reg, list_reduce(
+        |    list_prepend(CAST(26 AS BIGINT),
+        |      list_transform(range(1, 26), j -> j)),
+        |    (acc, j) -> CASE WHEN acc = 26
+        |        AND (rest >> CAST(25 - j AS INT)) % 2 = 1
+        |      THEN j ELSE acc END) AS rho
+        |  FROM p2),
+        |touched AS (SELECT DISTINCT source, chunk FROM g),
+        |pre AS (SELECT t.source, t.chunk, p.reg, max(p.rho) AS m_reg
+        |  FROM touched t JOIN p3 p ON p.source = t.source
+        |    AND p.chunk <= t.chunk
+        |  GROUP BY 1, 2, 3),
+        |allr AS (SELECT t.source, t.chunk, r.reg,
+        |    coalesce(pre.m_reg, 0) AS m_reg
+        |  FROM touched t
+        |  CROSS JOIN (SELECT unnest(range(32)) AS reg) r
+        |  LEFT JOIN pre ON pre.source = t.source
+        |    AND pre.chunk = t.chunk AND pre.reg = r.reg),
+        |summ AS (SELECT source, chunk,
+        |    CAST(sum(CASE WHEN m_reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_registers,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(26 - m_reg AS INT))
+        |      AS BIGINT) AS sum_scaled
+        |  FROM allr GROUP BY 1, 2)
+        |SELECT source, n_zero_registers, sum_scaled,
+        |  cast(0.697 as double) * 1024 * 67108864
+        |    / cast(sum_scaled as double) AS est_ndv
+        |FROM summ
+        |ORDER BY source, n_zero_registers, sum_scaled""".stripMargin
+    },
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

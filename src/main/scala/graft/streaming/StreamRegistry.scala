@@ -252,6 +252,55 @@ object StreamRegistry {
       .orderBy("symbol", "fill_id")
   }
 
+  /** G21 twin key: triple-barrier labels emitted at the deciding
+    * tick; on a bounded tape the sink is the batch D38 frame minus
+    * entries whose horizon was truncated by the feed's end (label 0
+    * with n_lookahead < horizon — still open in state). */
+  def streamTripleBarrier(s: SparkSession, d: String, entryEvery: Int,
+                          horizon: Int, barrierBp: Long): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.tripleBarrierState(t, entryEvery, horizon,
+        barrierBp).toDF())
+      .orderBy("symbol", "e_idx")
+
+  /** G24 twin key: the running R(l) curve — every arrival settles
+    * its l-back ring entries and emits the current per-lag averages
+    * (exact int64 sums, one IEEE division per point). */
+  def streamResponse(s: SparkSession, d: String, lags: Seq[Int])
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.responsePoints(t, lags).toDF())
+      .orderBy("symbol", "lag", "n_obs", "resp_cents")
+
+  /** G27 twin key: the learned-quality admission gate scoring the
+    * live document feed — stateless per-row margin fold through the
+    * native PolyHash, admission on the exact int64 sign. */
+  def streamClassifier(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.classifierAdmission(t))
+      .orderBy("doc_id")
+  }
+
+  /** G31 twin key: the per-source HLL novelty monitor — each
+    * micro-batch emits every touched source's CURRENT 32-register
+    * summary, so the sink is the full snapshot LADDER (one row per
+    * (source, batch-with-new-grams)); the oracle rebuilds the same
+    * ladder from the deterministic 4-chunk tape prefixes. */
+  def streamHll(s: SparkSession, d: String): DataFrame = {
+    import Streaming.SourcedDoc
+    implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
+    val tape = Tables.documents(s, d).select("doc_id", "source", "text")
+      .orderBy("doc_id").collect()
+      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.hllNdvPoints(t, 2).toDF())
+      .orderBy("source", "n_zero_registers", "sum_scaled")
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
