@@ -1679,6 +1679,23 @@ object SparkEntry {
     "q_stream_classifier" -> (StreamRegistry.streamClassifier(_, _)),
     // G31 — per-source HLL novelty snapshots, one per touched batch.
     "q_stream_hll" -> (StreamRegistry.streamHll(_, _)),
+    // G30 — trailing-window order velocity served at arrival.
+    "q_stream_order_velocity" -> ((s, d) =>
+      StreamRegistry.streamOrderVelocity(s, d, velocityDays)),
+    // G38 — per-user path edges off the last-type register.
+    "q_stream_path_edges" -> (StreamRegistry.streamPathEdges(_, _)),
+    // G34 — release-manifest accumulation ladder per split.
+    "q_stream_manifest" -> (StreamRegistry.streamManifest(_, _)),
+    // G15 — burst flags vs the batch-trained p90 thresholds.
+    "q_stream_burst" -> ((s, d) =>
+      StreamRegistry.streamBurst(s, d, 0.90)),
+    // G25 — seasonal-anomaly scoring vs the offline baseline.
+    "q_stream_seasonal" -> ((s, d) =>
+      StreamRegistry.streamSeasonal(s, d, seasonalZThr)),
+    // G6 — stream-stream interval join (1 h lookback, 20th-tick
+    // trades vs the full quote tape).
+    "q_stream_interval_join" -> ((s, d) =>
+      StreamRegistry.streamIntervalJoin(s, d, "1 hour")),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9475,6 +9492,111 @@ object SparkEntry {
         |FROM summ
         |ORDER BY source, n_zero_registers, sum_scaled""".stripMargin
     },
+
+    // G30 — E17's RANGE frame verbatim on the epoch-day axis.
+    "q_stream_order_velocity" ->
+      s"""SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS INT) AS day_i,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN $velocityDays PRECEDING AND 1 PRECEDING)
+        |    AS n_prior
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // G38 — the per-user lag edges (the E19 census BEFORE counting):
+    // event_id order is the tape's arrival order.
+    "q_stream_path_edges" ->
+      """SELECT user_id, prev_type, event_type AS next_type
+        |FROM (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS prev_type
+        |  FROM events) x
+        |WHERE prev_type IS NOT NULL
+        |ORDER BY user_id, prev_type, next_type""".stripMargin,
+    // G34 — the F90 manifest as a snapshot ladder over the
+    // deterministic 4-chunk tape prefixes (one row per split per
+    // touched chunk; checksum = mod-p sum, the fold dual).
+    "q_stream_manifest" -> {
+      import graft.functions.PortableText._
+      s"""WITH nd AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+        |  FROM documents),
+        |d1 AS (SELECT doc_id,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // per AS chunk,
+        |    CASE WHEN ${duckHashOrder("doc_id")} % 100 < 80
+        |           THEN 'train'
+        |         WHEN ${duckHashOrder("doc_id")} % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(length($duckTokens) AS BIGINT) AS n_toks,
+        |    $duckDocFingerprint AS fp
+        |  FROM documents, nd),
+        |touched AS (SELECT DISTINCT split, chunk FROM d1)
+        |SELECT t.split AS split, count(*) AS n_docs,
+        |  CAST(sum(d.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(sum(d.fp) AS HUGEINT) % $P AS BIGINT)
+        |    AS content_checksum,
+        |  min(d.doc_id) AS min_doc_id, max(d.doc_id) AS max_doc_id
+        |FROM touched t JOIN d1 d ON d.split = t.split
+        |  AND d.chunk <= t.chunk
+        |GROUP BY t.split, t.chunk
+        |ORDER BY split, n_docs""".stripMargin
+    },
+    // G15 — flagged minutes vs the offline-trained rounded p90 rates
+    // (B10's threshold spelling at the deployed minute grain).
+    "q_stream_burst" ->
+      s"""WITH per AS (
+        |  SELECT symbol, date_trunc('minute', ts) AS sec,
+        |    count(*) AS n
+        |  FROM $ticksSql t
+        |  GROUP BY symbol, date_trunc('minute', ts)),
+        |thr AS (
+        |  SELECT symbol, round(quantile_cont(n, 0.90), 4) AS thr
+        |  FROM per GROUP BY symbol)
+        |SELECT p.symbol, p.sec, p.n, t.thr
+        |FROM per p JOIN thr t USING (symbol)
+        |WHERE p.n > t.thr
+        |ORDER BY symbol, sec""".stripMargin,
+    // G25 — the D48 per-tick flag frame verbatim (the stream trains
+    // its baseline on the same corpus it scores).
+    "q_stream_seasonal" ->
+      s"""WITH mv AS (
+        |  SELECT symbol, tick_id,
+        |    CAST(hour(ts) * 60 + minute(ts) AS INT) AS minute_od,
+        |    CAST(abs(cents - prev) AS DOUBLE) AS mv
+        |  FROM (
+        |    SELECT symbol, tick_id, ts, cents,
+        |      lag(cents) OVER (PARTITION BY symbol, CAST(ts AS DATE)
+        |        ORDER BY tick_id) AS prev
+        |    FROM (
+        |      SELECT symbol, tick_id, ts,
+        |        CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |      FROM $ticksSql t) c) p
+        |  WHERE prev IS NOT NULL),
+        |base AS (SELECT minute_od, avg(mv) AS mu,
+        |    stddev_samp(mv) AS sigma
+        |  FROM mv GROUP BY minute_od)
+        |SELECT symbol, tick_id, minute_od, mv,
+        |  round(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END, 4)
+        |    AS zscore
+        |FROM mv JOIN base USING (minute_od)
+        |WHERE abs(CASE WHEN sigma <> 0 THEN (mv - mu) / sigma END)
+        |  > $seasonalZThr
+        |ORDER BY symbol, tick_id""".stripMargin,
+    // G6 — the interval join as plain SQL: 20th-tick trades vs the
+    // full quote tape, symbol-matched in the trailing hour,
+    // timestamps emitted as exact epoch-µs.
+    "q_stream_interval_join" ->
+      s"""WITH tq AS (SELECT tick_id, symbol, ts, bid FROM $ticksSql t),
+        |tr AS (SELECT tick_id AS trade_id, symbol, ts AS trade_ts
+        |  FROM tq WHERE tick_id % 20 = 0)
+        |SELECT tr.trade_id, tr.symbol,
+        |  epoch_us(tr.trade_ts) AS trade_us,
+        |  epoch_us(q.ts) AS quote_us, q.bid AS quote_bid
+        |FROM tr JOIN tq q ON q.symbol = tr.symbol
+        |  AND q.ts >= tr.trade_ts - INTERVAL 1 HOUR
+        |  AND q.ts <= tr.trade_ts
+        |ORDER BY trade_id, quote_us, quote_bid""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -73,6 +73,46 @@ object StreamRegistry {
     out
   }
 
+  /** Two-input variant of [[runTape]] for stream-stream joins: both
+    * tapes are fed in aligned chunk rounds (chunk i of B, then chunk
+    * i of A, then one processAllAvailable) — with both tapes in
+    * global event-time order the min-over-inputs watermark always
+    * trails every future row by more than the join lookback, so no
+    * buffered row is evicted before its match arrives (the safety
+    * argument a production Kafka deployment makes with per-partition
+    * time ordering). */
+  private def runTape2[T](s: SparkSession, tapeA: Seq[T], tapeB: Seq[T],
+                          mode: OutputMode, chunks: Int = 4)
+                         (plan: (Dataset[T], Dataset[T]) => DataFrame)
+                         (implicit enc: Encoder[T]): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    val inA = MemoryStream[T]
+    val inB = MemoryStream[T]
+    val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+    val q = plan(inA.toDS(), inB.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    val out =
+      try {
+        val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
+        val perB = math.max(1, (tapeB.size + chunks - 1) / chunks)
+        val ga = tapeA.grouped(perA).toSeq
+        val gb = tapeB.grouped(perB).toSeq
+        (0 until math.max(ga.size, gb.size)).foreach { i =>
+          if (i < gb.size) inB.addData(gb(i): _*)
+          if (i < ga.size) inA.addData(ga(i): _*)
+          q.processAllAvailable()
+        }
+        val sink = s.table(name)
+        val schema = sink.schema
+        val rows = sink.collect().toIndexedSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, math.max(1, math.min(32,
+            rows.length / 4096 + 1))), schema)
+      } finally q.stop()
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** The tick tape in tick_id order (globally ts-monotone — verified
     * on the driver corpora; the ingest invariant every tape replay
     * assumes). */
@@ -299,6 +339,101 @@ object StreamRegistry {
     runTape(s, tape, OutputMode.Append)(
       t => Streaming.hllNdvPoints(t, 2).toDF())
       .orderBy("source", "n_zero_registers", "sum_scaled")
+  }
+
+  /** G30 twin key: trailing-window order velocity served at arrival —
+    * the fraud-screen count over the customer's strictly-earlier days
+    * inside the window, fed in global (day, orderkey) order. */
+  def streamOrderVelocity(s: SparkSession, d: String, windowDays: Int)
+      : DataFrame = {
+    import Streaming.OrderArrival
+    implicit val oaEnc: Encoder[OrderArrival] =
+      Encoders.product[OrderArrival]
+    val tape = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day_i"))
+      .orderBy("day_i", "o_orderkey").collect()
+      .map(r => OrderArrival(r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.orderVelocityPoints(t, windowDays).toDF())
+      .orderBy("o_orderkey")
+  }
+
+  /** G38 twin key: per-user event-path edges emitted at arrival off
+    * the one-string last-type register. */
+  def streamPathEdges(s: SparkSession, d: String): DataFrame = {
+    import Streaming.PathEvent
+    implicit val peEnc: Encoder[PathEvent] = Encoders.product[PathEvent]
+    val tape = Tables.events(s, d)
+      .select("event_id", "user_id", "ts", "event_type")
+      .orderBy("event_id").collect()
+      .map(r => PathEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.pathEdges(t).toDF())
+      .orderBy("user_id", "prev_type", "next_type")
+  }
+
+  /** G34 twin key: the release-manifest accumulation ladder — each
+    * micro-batch emits every touched split's running counts / id
+    * bounds / mod-p content checksum (n_docs strictly increases per
+    * emission, so the ladder rows are distinct by construction). */
+  def streamManifest(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.manifestPoints(t).toDF())
+      .orderBy("split", "n_docs")
+  }
+
+  /** G15 twin key: the deployment-split burst flagger — the
+    * per-symbol p90 rate thresholds train offline (B10's spelling at
+    * MINUTE grain: the driver corpora rarely collide at second
+    * grain, so the deployed window is the one that actually flags);
+    * the stream applies them to per-minute windowed counts via a
+    * broadcast stream-static join (Complete over the bounded tape). */
+  def streamBurst(s: SparkSession, d: String, pct: Double): DataFrame = {
+    val trained = Tables.ticks(s, d)
+      .groupBy(col("symbol"), window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("symbol")
+      .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr"))
+    runTape(s, tickTape(s, d), OutputMode.Complete)(
+      t => Streaming.burstFlags(t.toDF(), trained,
+        windowDur = "1 minute"))
+      .orderBy("symbol", "sec")
+  }
+
+  /** G25 twin key: seasonal-anomaly scoring in the deployment split —
+    * the minute-of-day (mu, sigma) baseline trains offline on the
+    * batch history and the stream scores each tick's in-day move
+    * against the broadcast table. */
+  def streamSeasonal(s: SparkSession, d: String, threshold: Double)
+      : DataFrame = {
+    val baseline = graft.operators.Microstructure
+      .seasonalBaseline(Tables.ticks(s, d))
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.seasonalFlags(t, baseline, threshold))
+      .orderBy("symbol", "tick_id")
+  }
+
+  /** G6 twin key: the stream-stream INTERVAL JOIN run as deployed —
+    * every 20th tick is the trade leg, the full tape the quote leg,
+    * each trade matched to its symbol's quotes in the trailing
+    * lookback window. Timestamps emit as exact epoch-µs int64 (§6:
+    * never hash a sub-second timestamp cell). */
+  def streamIntervalJoin(s: SparkSession, d: String, lookback: String)
+      : DataFrame = {
+    val tape = tickTape(s, d)
+    val trades = tape.filter(_.tick_id % 20 == 0)
+    runTape2(s, trades, tape, OutputMode.Append)(
+      (t, q) => Streaming.intervalJoin(t.toDF(), q.toDF(), lookback))
+      .select(col("trade_id"), col("symbol"),
+        unix_micros(col("trade_ts")).as("trade_us"),
+        unix_micros(col("quote_ts")).as("quote_us"), col("quote_bid"))
+      .orderBy("trade_id", "quote_us", "quote_bid")
   }
 
   /** G12 twin key: per-tick tick-rule classes off one-double state. */

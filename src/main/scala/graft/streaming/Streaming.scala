@@ -87,10 +87,11 @@ object Streaming {
     * never flagged — inner join, the conservative surveillance
     * default. */
   def burstFlags(ticks: DataFrame, thresholds: DataFrame,
-                 watermark: String = "10 seconds"): DataFrame =
+                 watermark: String = "10 seconds",
+                 windowDur: String = "1 second"): DataFrame =
     ticks
       .withWatermark("ts", watermark)
-      .groupBy(col("symbol"), window(col("ts"), "1 second").as("w"))
+      .groupBy(col("symbol"), window(col("ts"), windowDur).as("w"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(thresholds.select(col("symbol"), col("thr"))),
         Seq("symbol"))
