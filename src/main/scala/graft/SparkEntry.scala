@@ -1696,6 +1696,16 @@ object SparkEntry {
     // trades vs the full quote tape).
     "q_stream_interval_join" -> ((s, d) =>
       StreamRegistry.streamIntervalJoin(s, d, "1 hour")),
+    // G11 — per-tick running EWMA (half-life recursion per day).
+    "q_stream_ewma" -> (StreamRegistry.streamEwma(_, _)),
+    // G29 — point-in-time feature serving, E16 row for row.
+    "q_stream_pit" -> (StreamRegistry.streamPit(_, _)),
+    // G28 — live KS drift per source vs the offline length CDF.
+    "q_stream_ks_drift" -> ((s, d) =>
+      StreamRegistry.streamKsDrift(s, d, 128)),
+    // G36 — running interval-union coverage per customer.
+    "q_stream_coverage" -> ((s, d) =>
+      StreamRegistry.streamCoverage(s, d, coverageWindowDays)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9597,6 +9607,128 @@ object SparkEntry {
         |  AND q.ts >= tr.trade_ts - INTERVAL 1 HOUR
         |  AND q.ts <= tr.trade_ts
         |ORDER BY trade_id, quote_us, quote_bid""".stripMargin,
+
+    // G11 — per-tick EWMA: the D15 fold over the PREFIX list (the
+    // windowed-list dual of q_ewma's whole-day reduce).
+    "q_stream_ewma" ->
+      s"""SELECT tick_id, symbol,
+        |  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |  CAST(row_number() OVER wn AS BIGINT) AS n_seen,
+        |  list_reduce(list(bid) OVER wl,
+        |    (acc, x) -> (x + acc) * cast(0.5 as double)) AS ewma
+        |FROM $ticksSql t
+        |WINDOW wn AS (PARTITION BY symbol, CAST(ts AS DATE)
+        |    ORDER BY tick_id),
+        |  wl AS (PARTITION BY symbol, CAST(ts AS DATE)
+        |    ORDER BY tick_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY tick_id""".stripMargin,
+    // G29 — E16's offline join verbatim (the serving cache equals the
+    // training join row for row — that parity IS the key's point).
+    "q_stream_pit" ->
+      """SELECT t.event_id AS fact_id, t.user_id AS symbol,
+        |  a.value AS a_val,
+        |  epoch_us(t.ts) - epoch_us(a.ts) AS a_age_us,
+        |  b.value AS b_val,
+        |  epoch_us(t.ts) - epoch_us(b.ts) AS b_age_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |    WHERE event_type = 'click') a
+        |  ON t.user_id = a.user_id AND t.ts >= a.ts
+        |ASOF LEFT JOIN (SELECT * FROM events
+        |    WHERE event_type = 'view') b
+        |  ON t.user_id = b.user_id AND t.ts >= b.ts
+        |ORDER BY fact_id""".stripMargin,
+    // G28 — the KS ladder: per (source, touched chunk), the sup walk
+    // of the prefix histogram's CDF against the corpus reference CDF
+    // (strict-greater ties to the lowest bin; banker's-rounded
+    // display, the rint dual).
+    "q_stream_ks_drift" -> {
+      val maxLen = 128
+      import graft.functions.PortableText._
+      s"""WITH nd AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+        |  FROM documents),
+        |d1 AS (SELECT source,
+        |    least(length($duckTokens), $maxLen) AS len,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // per AS chunk
+        |  FROM documents, nd),
+        |touched AS (SELECT DISTINCT source, chunk FROM d1),
+        |pre AS (SELECT t.source, t.chunk, d.len, count(*) AS c
+        |  FROM touched t JOIN d1 d ON d.source = t.source
+        |    AND d.chunk <= t.chunk
+        |  GROUP BY 1, 2, 3),
+        |tot AS (SELECT source, chunk, CAST(sum(c) AS BIGINT) AS total
+        |  FROM pre GROUP BY 1, 2),
+        |rh AS (SELECT len, count(*) AS c FROM d1 GROUP BY 1),
+        |rt AS (SELECT CAST(sum(c) AS DOUBLE) AS rtotal FROM rh),
+        |grid AS (SELECT unnest(range(${maxLen + 1})) AS i),
+        |rc AS (SELECT g.i,
+        |    CAST(coalesce(sum(rh.c), 0) AS DOUBLE) / rt.rtotal AS ref
+        |  FROM grid g CROSS JOIN rt LEFT JOIN rh ON rh.len <= g.i
+        |  GROUP BY g.i, rt.rtotal),
+        |sc AS (SELECT t.source, t.chunk, g.i,
+        |    CAST(coalesce(sum(p.c), 0) AS BIGINT) AS cum
+        |  FROM touched t CROSS JOIN grid g
+        |  LEFT JOIN pre p ON p.source = t.source AND p.chunk = t.chunk
+        |    AND p.len <= g.i
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT sc.source, sc.chunk, sc.i, tot.total,
+        |    abs(CAST(sc.cum AS DOUBLE) / tot.total - rc.ref) AS diff
+        |  FROM sc JOIN tot ON tot.source = sc.source
+        |    AND tot.chunk = sc.chunk
+        |  JOIN rc ON rc.i = sc.i),
+        |sel AS (SELECT source, chunk, total, i, diff,
+        |    row_number() OVER (PARTITION BY source, chunk
+        |      ORDER BY diff DESC, i ASC) AS rk
+        |  FROM df)
+        |SELECT source, total AS n_docs,
+        |  roundbankers(diff * 10000.0, 0) / 10000.0 AS ks_stat,
+        |  CAST(i AS INT) AS ks_at_len
+        |FROM sel WHERE rk = 1
+        |ORDER BY source, n_docs""".stripMargin
+    },
+    // G36 — the running gaps-and-islands report: per arrival, closed
+    // islands' mass plus the open island's (running-max-end − start),
+    // span = running max end − first start. All exact int64.
+    "q_stream_coverage" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS s,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + $coverageWindowDays AS e
+        |  FROM orders),
+        |r AS (SELECT *,
+        |    CAST(max(e) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rmax,
+        |    CASE WHEN max(e) OVER (PARTITION BY o_custkey
+        |        ORDER BY s, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY o_custkey
+        |        ORDER BY s, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |g AS (SELECT *,
+        |    CAST(sum(brk) OVER (PARTITION BY o_custkey ORDER BY s, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY s, o_orderkey) AS BIGINT) AS n_orders
+        |  FROM r),
+        |ia AS (SELECT o_custkey, isl, min(s) AS si, max(e) AS ei
+        |  FROM g GROUP BY 1, 2),
+        |cum AS (SELECT o_custkey, isl, si,
+        |    CAST(coalesce(sum(ei - si) OVER (PARTITION BY o_custkey
+        |      ORDER BY isl
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS closed
+        |  FROM ia),
+        |fs AS (SELECT o_custkey, min(s) AS firsts FROM o GROUP BY 1)
+        |SELECT g.o_orderkey, g.o_custkey, g.n_orders,
+        |  g.isl AS n_intervals,
+        |  c.closed + (g.rmax - c.si) AS covered_days,
+        |  g.rmax - f.firsts AS span_days
+        |FROM g JOIN cum c ON c.o_custkey = g.o_custkey AND c.isl = g.isl
+        |JOIN fs f ON f.o_custkey = g.o_custkey
+        |ORDER BY g.o_orderkey""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -436,6 +436,74 @@ object StreamRegistry {
       .orderBy("trade_id", "quote_us", "quote_bid")
   }
 
+  /** G11 twin key: the per-tick running EWMA monitor — the half-life
+    * recursion e' = (bid + e)/2 per (symbol, day), every arrival
+    * emitting the current estimate. */
+  def streamEwma(s: SparkSession, d: String): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.ewmaPoints(t).toDF())
+      .orderBy("tick_id")
+
+  /** G29 twin key: point-in-time feature serving — the two-register
+    * online cache fed by click (kind 0) / view (kind 2) features and
+    * read by purchase facts (kind 1), matching the E16 offline join
+    * row for row. */
+  def streamPit(s: SparkSession, d: String): DataFrame = {
+    import Streaming.PitEvent
+    implicit val peEnc: Encoder[PitEvent] = Encoders.product[PitEvent]
+    val tape = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id").as("symbol"), col("ts"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "view", 2)
+          .otherwise(1).as("kind"),
+        col("event_id").as("id"), col("value").as("v"))
+      .orderBy("id").collect()
+      .map(r => PitEvent(r.getLong(0), r.getTimestamp(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.pitServePoints(t).toDF())
+      .orderBy("fact_id")
+  }
+
+  /** G28 twin key: the live KS drift monitor — per-source clamped
+    * length histograms in keyed state, each touched batch emitting
+    * the source's CURRENT KS against the offline reference CDF
+    * (trained on the same corpus here — the self-drift audit shape). */
+  def streamKsDrift(s: SparkSession, d: String, maxLen: Int)
+      : DataFrame = {
+    import Streaming.SourcedDoc
+    implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
+    val docs = Tables.documents(s, d)
+    val ref = graft.operators.CorpusPipeline.lengthCdf(docs, maxLen)
+    val tape = docs.select("doc_id", "source", "text")
+      .orderBy("doc_id").collect()
+      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.ksDriftPoints(t, ref, maxLen).toDF())
+      .orderBy("source", "n_docs")
+  }
+
+  /** G36 twin key: interval-union coverage maintained at arrival —
+    * six int64 registers per customer, every order emitting the
+    * running covered/span report. */
+  def streamCoverage(s: SparkSession, d: String, windowDays: Int)
+      : DataFrame = {
+    import Streaming.OrderArrival
+    implicit val oaEnc: Encoder[OrderArrival] =
+      Encoders.product[OrderArrival]
+    val tape = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("day_i"))
+      .orderBy("day_i", "o_orderkey").collect()
+      .map(r => OrderArrival(r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.coveragePoints(t, windowDays).toDF())
+      .orderBy("o_orderkey")
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
