@@ -1706,6 +1706,18 @@ object SparkEntry {
     // G36 — running interval-union coverage per customer.
     "q_stream_coverage" -> ((s, d) =>
       StreamRegistry.streamCoverage(s, d, coverageWindowDays)),
+    // G17 — late flags on the B11 jittered-arrival replay.
+    "q_stream_late" -> ((s, d) =>
+      StreamRegistry.streamLate(s, d, 60000000L)),
+    // G16 — greedy funnel advances (view -> click -> purchase, 1 d).
+    "q_stream_funnel" -> ((s, d) =>
+      StreamRegistry.streamFunnel(s, d, 86400000000L)),
+    // G9 — token-budget admission on the hash walk.
+    "q_stream_token_budget" -> ((s, d) =>
+      StreamRegistry.streamTokenBudget(s, d, 1000L)),
+    // G10 — per-source cap admission on the hash walk.
+    "q_stream_source_cap" -> ((s, d) =>
+      StreamRegistry.streamSourceCap(s, d, 10)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9729,6 +9741,87 @@ object SparkEntry {
         |FROM g JOIN cum c ON c.o_custkey = g.o_custkey AND c.isl = g.isl
         |JOIN fs f ON f.o_custkey = g.o_custkey
         |ORDER BY g.o_orderkey""".stripMargin,
+
+    // G17 — the watermark-sizing audit on the jittered-arrival
+    // replay: process order is (chunk, tick_id) — runTape's 4-chunk
+    // grouping of the arrival order, then the operator's in-batch
+    // tick_id sort; wm = the symbol's running max BEFORE the tick.
+    "q_stream_late" -> {
+      import graft.functions.PortableText.P
+      s"""WITH nt AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+        |  FROM events),
+        |j AS (SELECT tick_id, symbol,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + (((tick_id % $P) * 2654435761) % $P) % 1200000000
+        |      - 600000000 AS arr
+        |  FROM $ticksSql t),
+        |r AS (SELECT tick_id, symbol, us,
+        |    (row_number() OVER (ORDER BY arr, tick_id) - 1) // per
+        |      AS chunk
+        |  FROM j, nt),
+        |o AS (SELECT tick_id, symbol, us,
+        |    max(us) OVER (PARTITION BY symbol ORDER BY chunk, tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS wm_us
+        |  FROM r)
+        |SELECT tick_id, symbol, us, wm_us,
+        |  coalesce(us < wm_us - 60000000, FALSE) AS late
+        |FROM o ORDER BY tick_id""".stripMargin
+    },
+    // G16 — the chained-MIN funnel unpivoted to one row per advance.
+    "q_stream_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |t1 AS (SELECT user_id, min(us) AS t1_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT ev.user_id, min(us) AS t2_us
+        |  FROM ev JOIN t1 USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1_us
+        |    AND us <= t1_us + 86400000000 GROUP BY ev.user_id),
+        |t3 AS (SELECT ev.user_id, min(us) AS t3_us
+        |  FROM ev JOIN t2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2_us
+        |    AND us <= t2_us + 86400000000 GROUP BY ev.user_id)
+        |SELECT user_id, CAST(1 AS INT) AS stage, t1_us AS t_us,
+        |  FALSE AS completed FROM t1
+        |UNION ALL SELECT user_id, 2, t2_us, FALSE FROM t2
+        |UNION ALL SELECT user_id, 3, t3_us, TRUE FROM t3
+        |ORDER BY user_id, stage""".stripMargin,
+    // G9 — the prefix-cut on the hash walk: running per-source token
+    // total, admitted while it fits, rejected rows report the frozen
+    // admitted-prefix total.
+    "q_stream_token_budget" -> {
+      import graft.functions.PortableText._
+      s"""WITH x AS (SELECT doc_id, source,
+        |    CAST(length($duckTokens) AS BIGINT) AS n,
+        |    ${duckHashOrder("doc_id")} AS rnk0
+        |  FROM documents),
+        |w AS (SELECT *, CAST(sum(n) OVER (PARTITION BY source
+        |      ORDER BY rnk0, doc_id ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS wcum
+        |  FROM x),
+        |m AS (SELECT source,
+        |    CAST(coalesce(max(CASE WHEN wcum <= 1000 THEN wcum END), 0)
+        |      AS BIGINT) AS adm
+        |  FROM w GROUP BY source)
+        |SELECT doc_id, source, n AS n_tokens,
+        |  CASE WHEN wcum <= 1000 THEN wcum ELSE m.adm END AS cum_tokens,
+        |  wcum <= 1000 AS admitted
+        |FROM w JOIN m USING (source)
+        |ORDER BY doc_id""".stripMargin
+    },
+    // G10 — cap admission: the source's 1-based hash-walk position.
+    "q_stream_source_cap" -> {
+      import graft.functions.PortableText._
+      s"""SELECT doc_id, source,
+        |  CAST(row_number() OVER w AS BIGINT) AS rnk,
+        |  row_number() OVER w <= 10 AS admitted
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source
+        |  ORDER BY ${duckHashOrder("doc_id")}, doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

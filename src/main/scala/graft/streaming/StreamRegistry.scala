@@ -504,6 +504,86 @@ object StreamRegistry {
       .orderBy("o_orderkey")
   }
 
+  /** G17 twin key: late-arrival flags on the B11 jittered-arrival
+    * replay — the tape is fed in (deterministic-hash) ARRIVAL order,
+    * each tick flagged against its symbol's running max event time.
+    * Within a micro-batch the operator re-sorts by tick_id, so the
+    * effective process order is (chunk, tick_id) — the oracle
+    * replays exactly that order. */
+  def streamLate(s: SparkSession, d: String, delayUs: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{pmod, unix_micros}
+    val p = graft.functions.PortableText.P
+    val jitter = pmod(pmod(col("tick_id"), lit(p)) * lit(2654435761L),
+      lit(p)).%(lit(1200000000L)).-(lit(600000000L))
+    val tape = Tables.ticks(s, d)
+      .select(col("tick_id"), col("symbol"), col("ts"), col("bid"),
+        (unix_micros(col("ts")) + jitter).as("arr"))
+      .orderBy("arr", "tick_id")
+      .collect()
+      .map(r => Tick(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.lateFlags(t, delayUs).toDF())
+      .orderBy("tick_id")
+  }
+
+  /** G16 twin key: the greedy funnel over the event-time-ordered
+    * feed — one row per stage advance, chained-min parity. */
+  def streamFunnel(s: SparkSession, d: String, tauUs: Long): DataFrame = {
+    import Streaming.FunnelEvent
+    implicit val feEnc: Encoder[FunnelEvent] =
+      Encoders.product[FunnelEvent]
+    val tape = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .orderBy(unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getLong(1),
+        r.getTimestamp(2), r.getString(3))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.funnelProgress(t, "view", "click", "purchase",
+        tauUs).toDF())
+      .orderBy("user_id", "stage")
+  }
+
+  /** The documents tape in the batch HASH-WALK order (the G9/G10
+    * ordering contract: rank by the multiplicative hash, ties by
+    * doc_id — a backfill replaying the batch walk). */
+  private def hashWalkTape(s: SparkSession, d: String)
+      : Seq[Streaming.SourcedDoc] = {
+    import Streaming.SourcedDoc
+    val p = graft.functions.PortableText.P
+    Tables.documents(s, d).select("doc_id", "source", "text")
+      .withColumn("rnk",
+        pmod(pmod(col("doc_id"), lit(p)) + lit(p), lit(p))
+          * lit(2654435761L) % lit(p))
+      .orderBy("rnk", "doc_id").collect()
+      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
+        r.getString(2))).toSeq
+  }
+
+  /** G9 twin key: token-budget admission on the hash walk — the
+    * prefix-cut quota enforced live, decisions matching the batch
+    * tokenBudgetPerSource doc for doc. */
+  def streamTokenBudget(s: SparkSession, d: String, budget: Long)
+      : DataFrame = {
+    import Streaming.SourcedDoc
+    implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
+    runTape(s, hashWalkTape(s, d), OutputMode.Append)(
+      t => Streaming.tokenBudgetAdmission(t, budget).toDF())
+      .orderBy("doc_id")
+  }
+
+  /** G10 twin key: per-source doc-count cap admission on the hash
+    * walk — position ≤ cap admits, permanent rejection after. */
+  def streamSourceCap(s: SparkSession, d: String, cap: Int): DataFrame = {
+    import Streaming.SourcedDoc
+    implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
+    runTape(s, hashWalkTape(s, d), OutputMode.Append)(
+      t => Streaming.sourceCapAdmission(t, cap).toDF())
+      .orderBy("doc_id")
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
