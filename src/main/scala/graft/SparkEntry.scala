@@ -1718,6 +1718,11 @@ object SparkEntry {
     // G10 — per-source cap admission on the hash walk.
     "q_stream_source_cap" -> ((s, d) =>
       StreamRegistry.streamSourceCap(s, d, 10)),
+    // G7 — streaming near-dup admission (first-writer band buckets).
+    "q_stream_near_dup" -> (StreamRegistry.streamNearDup(_, _)),
+    // G39 — vol-cone regime monitor at the 5-day horizon.
+    "q_stream_vol_cone" -> ((s, d) =>
+      StreamRegistry.streamVolCone(s, d, 5)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9822,6 +9827,70 @@ object SparkEntry {
         |  ORDER BY ${duckHashOrder("doc_id")}, doc_id)
         |ORDER BY doc_id""".stripMargin
     },
+
+    // G7 — the band-claim dual: a band flags iff an earlier doc
+    // shares its (band, band_hash) bucket (first-writer-wins in
+    // doc_id order = min-doc_id-strictly-less); token-less docs
+    // carry no bands.
+    "q_stream_near_dup" -> {
+      import graft.functions.PortableText._
+      s"""WITH t AS (SELECT doc_id, $duckTokenHashes AS th FROM documents),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |b AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31
+        |      + mh[CAST(2*band + 2 AS INT)]) % $P AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) bb)
+        |SELECT doc_id, CAST(band AS INT) AS band,
+        |  min(doc_id) OVER (PARTITION BY band, band_hash) < doc_id
+        |    AS dup_band
+        |FROM b WHERE band_hash IS NOT NULL
+        |ORDER BY doc_id, band""".stripMargin
+    },
+    // G39 — day-close banded points: per-symbol per-observed-day rv
+    // (0 for single-tick days — the stream ring counts every observed
+    // day), full 5-day windows only, final open day never emits; the
+    // cone trains on the BATCH rv frame (move-days only — the D64
+    // spelling verbatim).
+    "q_stream_vol_cone" ->
+      s"""WITH p AS (SELECT symbol, CAST(ts AS DATE) AS _date, tick_id,
+        |    CAST(round(bid * 100.0, 0) AS BIGINT) AS cents
+        |  FROM $ticksSql t),
+        |l AS (SELECT symbol, _date,
+        |    cents - lag(cents) OVER (PARTITION BY symbol, _date
+        |      ORDER BY tick_id) AS d
+        |  FROM p),
+        |rvd AS (SELECT symbol, _date,
+        |    CAST(coalesce(sum(d * d), 0) AS BIGINT) AS rv
+        |  FROM l GROUP BY 1, 2),
+        |w AS (SELECT symbol, _date,
+        |    CAST(sum(rv) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS roll,
+        |    count(*) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nw,
+        |    row_number() OVER (PARTITION BY symbol ORDER BY _date DESC)
+        |      AS rdesc
+        |  FROM rvd),
+        |rvb AS (SELECT symbol, _date, CAST(sum(d * d) AS BIGINT) AS rv
+        |  FROM l WHERE d IS NOT NULL GROUP BY 1, 2),
+        |fb AS (SELECT symbol,
+        |    sum(rv) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_rv,
+        |    count(*) OVER (PARTITION BY symbol ORDER BY _date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS nw
+        |  FROM rvb),
+        |cones AS (SELECT symbol,
+        |    round(quantile_cont(roll_rv, 0.25), 4) AS lo,
+        |    round(quantile_cont(roll_rv, 0.75), 4) AS hi
+        |  FROM fb WHERE nw = 5 GROUP BY symbol)
+        |SELECT w.symbol, strftime(w._date, '%Y-%m-%d') AS day,
+        |  w.roll AS roll_rv,
+        |  CASE WHEN c.symbol IS NULL THEN 'untrained'
+        |       WHEN w.roll < c.lo THEN 'below'
+        |       WHEN w.roll > c.hi THEN 'above' ELSE 'in' END AS band
+        |FROM w LEFT JOIN cones c USING (symbol)
+        |WHERE w.nw = 5 AND w.rdesc > 1
+        |ORDER BY symbol, day""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

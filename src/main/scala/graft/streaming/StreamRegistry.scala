@@ -584,6 +584,35 @@ object StreamRegistry {
       .orderBy("doc_id")
   }
 
+  /** G7 twin key: streaming near-dup admission — each doc's MinHash
+    * LSH bands claim keyed (band, hash) buckets, first-writer-wins in
+    * doc_id order; a band flags when its bucket was already claimed,
+    * so the flag set equals "an earlier doc shares the bucket". */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val tape = Tables.documents(s, d).select("doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      t => Streaming.nearDupBandFlags(t.toDF()).toDF())
+      .orderBy("doc_id", "band")
+  }
+
+  /** G39 twin key: the vol-cone regime monitor — D64's p25/p75 cone
+    * trains offline at horizon h; the stream keeps each symbol's
+    * open-day rv register plus the (h−1)-day closed ring and emits a
+    * banded point the moment a day closes with a FULL h-day window
+    * (the final open day never emits). */
+  def streamVolCone(s: SparkSession, d: String, h: Int): DataFrame = {
+    val cones = graft.operators.Microstructure
+      .volCones(Tables.ticks(s, d), Seq(h))
+      .select("symbol", "rv_p25", "rv_p75").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.volConeAlerts(t, cones, h).toDF())
+      .orderBy("symbol", "day")
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
