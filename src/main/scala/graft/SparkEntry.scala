@@ -1723,6 +1723,8 @@ object SparkEntry {
     // G39 — vol-cone regime monitor at the 5-day horizon.
     "q_stream_vol_cone" -> ((s, d) =>
       StreamRegistry.streamVolCone(s, d, 5)),
+    // G32 — exactly-once-effect upsert sink audit (replayed batch).
+    "q_stream_upsert" -> (StreamRegistry.streamUpsertAudit(_, _)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9891,6 +9893,21 @@ object SparkEntry {
         |FROM w LEFT JOIN cones c USING (symbol)
         |WHERE w.nw = 5 AND w.rdesc > 1
         |ORDER BY symbol, day""".stripMargin,
+
+    // G32 — the exactly-once-effect verdict: the final sink table's
+    // per-symbol logical content equals the plain tick view iff every
+    // tick landed once and the replayed batch was a no-op.
+    "q_stream_upsert" -> {
+      import graft.functions.PortableText.P
+      s"""SELECT symbol, count(*) AS n,
+        |  CAST(COALESCE(SUM((tick_id * 31
+        |    + CAST(round(bid * 100.0, 0) AS BIGINT)) % $P), 0) % $P
+        |    AS BIGINT) AS content_fp,
+        |  CAST(COALESCE(SUM(epoch_ms(CAST(ts AS TIMESTAMP)) % $P), 0)
+        |    % $P AS BIGINT) AS ts_fp
+        |FROM $ticksSql t
+        |GROUP BY symbol ORDER BY symbol""".stripMargin
+    },
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -613,6 +613,52 @@ object StreamRegistry {
       .orderBy("symbol", "day")
   }
 
+  /** G32 audit key: the idempotent foreachBatch upsert sink driven
+    * END TO END — chunk 0 seeds the catalog table (the deploy-time
+    * backfill), the real `idempotentTickSink` wiring streams the
+    * rest, then the LAST micro-batch REPLAYS through the same batch
+    * function (the at-least-once failure mode itself). The returned
+    * audit frame is the final table's per-symbol logical content —
+    * equal to the plain tick view iff the sink landed every tick
+    * exactly once and the replay was a no-op. */
+  def streamUpsertAudit(s: SparkSession, d: String): DataFrame = {
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.functions.pmod
+    val p = graft.functions.PortableText.P
+    val table = s"graft_stream_upsert_${sinkCtr.incrementAndGet()}"
+    val tape = tickTape(s, d)
+    val per = math.max(1, (tape.size + 3) / 4)
+    val chunks = tape.grouped(per).toSeq
+    try {
+      s.createDataFrame(chunks.head).write.saveAsTable(table)
+      val in = MemoryStream[Tick]
+      val q = Streaming.idempotentTickSink(in.toDS(), table).start()
+      try {
+        chunks.drop(1).foreach { c =>
+          in.addData(c: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      if (chunks.size > 1)
+        Streaming.upsertBatch(table, Seq("tick_id"))(
+          s.createDataFrame(chunks.last), chunks.size - 1L)
+      s.catalog.refreshTable(table)
+      val audit = s.table(table).groupBy("symbol")
+        .agg(count(lit(1)).as("n"),
+          pmod(sum(pmod(col("tick_id") * 31
+              + expr("CAST(round(bid * 100.0, 0) AS BIGINT)"), lit(p))),
+            lit(p)).as("content_fp"),
+          pmod(sum(expr(s"unix_millis(ts) % $p")), lit(p)).as("ts_fp"))
+        .orderBy("symbol")
+      val schema = audit.schema
+      val rows = audit.collect().toIndexedSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows,
+        math.max(1, rows.length / 4096 + 1)), schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      ()
+    }
+  }
+
   /** G12 twin key: per-tick tick-rule classes off one-double state. */
   def streamTickClasses(s: SparkSession, d: String): DataFrame =
     runTape(s, tickTape(s, d), OutputMode.Append)(
