@@ -162,6 +162,17 @@ object SparkEntry {
   val recallSeverities: Seq[Int] = Seq(2, 3, 5, 10) // F85 drop-every-k
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
+  val welfordK = 1.5            // G2 ±kσ flag band — probed: wide
+                                // enough that most ticks pass, tight
+                                // enough that flags fire at every SF
+  val pairZCount = 8            // G37 roster size (consecutive pairs
+                                // of ranked symbols; β_j = 0.5+0.25·j)
+  val dormantGapMs = 86400000L  // G33 quiet threshold (24 h) —
+                                // probed: 19/205/2006 dormancy events
+                                // at the three SFs, of which
+                                // 4/55/506 are MID-TAPE deaths (the
+                                // timeout-removal + rebirth path),
+                                // the rest tape-end flushes
   val seasonalZThr = 1.4        // D48 |z| cutoff — probed: the
                                 // synthetic moves are near-uniform,
                                 // so max |z| is only 1.47/2.88/4+ at
@@ -1725,6 +1736,15 @@ object SparkEntry {
       StreamRegistry.streamVolCone(s, d, 5)),
     // G32 — exactly-once-effect upsert sink audit (replayed batch).
     "q_stream_upsert" -> (StreamRegistry.streamUpsertAudit(_, _)),
+    // G2 — Welford ±kσ anomaly flags, one row per tick.
+    "q_stream_welford" -> ((s, d) =>
+      StreamRegistry.streamWelford(s, d, welfordK)),
+    // G37 — pair-spread running z on the deterministic rank roster.
+    "q_stream_pairz" -> ((s, d) =>
+      StreamRegistry.streamPairZ(s, d, pairZCount)),
+    // G33 — event-time-timeout dormancy events (24 h quiet).
+    "q_stream_dormant" -> ((s, d) =>
+      StreamRegistry.streamDormant(s, d, dormantGapMs)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -9908,6 +9928,143 @@ object SparkEntry {
         |FROM $ticksSql t
         |GROUP BY symbol ORDER BY symbol""".stripMargin
     },
+
+    // G2 — the Welford register replayed per symbol over each tick's
+    // prefix list (q_stream_ewma's pattern with a STRUCT
+    // accumulator). The flag uses the PRE-update register — the fold
+    // over the one-shorter prefix. Struct-literal field ORDER is
+    // load-bearing: DuckDB evaluates result-struct fields
+    // sequentially into the accumulator, so m2 (which needs the OLD
+    // mean) is declared first and every denominator comes from the
+    // lambda's iteration index, never from a just-updated field —
+    // probed bit-for-bit against the Scala fold on random series.
+    "q_stream_welford" -> {
+      def fold(l: String) =
+        s"""list_reduce(list_transform($l,
+          |      v -> {m2: CAST(0.0 AS DOUBLE), mean: v,
+          |            n: CAST(1 AS BIGINT)}),
+          |    (acc, e, i) -> {
+          |      m2: acc.m2 + (e.mean - acc.mean) * (e.mean
+          |        - (acc.mean + (e.mean - acc.mean) / (i + 1))),
+          |      mean: acc.mean + (e.mean - acc.mean) / (i + 1),
+          |      n: CAST(i + 1 AS BIGINT)})""".stripMargin
+      s"""WITH p AS (SELECT symbol, tick_id, CAST(bid AS DOUBLE) AS bid,
+        |    list(CAST(bid AS DOUBLE)) OVER wc AS pre,
+        |    list(CAST(bid AS DOUBLE)) OVER wp AS prev
+        |  FROM $ticksSql t
+        |  WINDOW wc AS (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS UNBOUNDED PRECEDING),
+        |    wp AS (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |w AS (SELECT symbol, tick_id, bid,
+        |    ${fold("pre")} AS cur,
+        |    CASE WHEN len(prev) > 0 THEN ${fold("prev")} END AS pv
+        |  FROM p)
+        |SELECT symbol, cur.n AS n, cur.mean AS mean,
+        |  COALESCE(pv.n > 1 AND abs(bid - pv.mean)
+        |      > CAST($welfordK AS DOUBLE) * sqrt(pv.m2 / (pv.n - 1)),
+        |    FALSE) AS is_anomaly
+        |FROM w ORDER BY symbol, n""".stripMargin
+    },
+
+    // G37 — the pair-spread Welford z replayed per pair. The roster
+    // is derived from the data exactly as the registry derives it
+    // (consecutive ranked-symbol pairs, β_j = 0.5 + 0.25·j — exactly
+    // representable). Leg state is SCALAR window arithmetic
+    // (last_value IGNORE NULLS over the routed prefix — the
+    // last-leg-price registers), so the lambda fold only ever sees
+    // the plain DOUBLE spread series and stays in q_stream_welford's
+    // proven index-based shape. (A struct-leg fold with CONDITIONAL
+    // in-lambda updates mis-evaluated a handful of late rows in this
+    // DuckDB — probed; scalar windows + unconditional fold are
+    // bit-stable.) Every row with both legs known advances the
+    // register, so the fold index IS the Welford n, exactly as the
+    // operator's per-arrival update.
+    "q_stream_pairz" -> {
+      def fold(l: String) =
+        s"""list_reduce(list_transform($l,
+          |      v -> {m2: CAST(0.0 AS DOUBLE), mean: v,
+          |            n: CAST(1 AS BIGINT)}),
+          |    (acc, e, i) -> {
+          |      m2: acc.m2 + (e.mean - acc.mean) * (e.mean
+          |        - (acc.mean + (e.mean - acc.mean) / (i + 1))),
+          |      mean: acc.mean + (e.mean - acc.mean) / (i + 1),
+          |      n: CAST(i + 1 AS BIGINT)})""".stripMargin
+      s"""WITH syms AS (SELECT symbol,
+        |    row_number() OVER (ORDER BY symbol) AS r
+        |  FROM (SELECT DISTINCT symbol FROM $ticksSql t)),
+        |roster AS (SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+        |    0.5 + 0.25 * CAST((a.r - 1) // 2 AS DOUBLE) AS beta
+        |  FROM syms a JOIN syms b ON b.r = a.r + 1 AND a.r % 2 = 1
+        |  WHERE (a.r - 1) // 2 < $pairZCount),
+        |routed AS (SELECT r.sym_a, r.sym_b, r.beta, t.tick_id,
+        |    t.symbol = r.sym_a AS is_a, CAST(t.bid AS DOUBLE) AS bid
+        |  FROM $ticksSql t JOIN roster r
+        |    ON t.symbol = r.sym_a OR t.symbol = r.sym_b),
+        |legs AS (SELECT sym_a, sym_b, beta, tick_id,
+        |    last_value(CASE WHEN is_a THEN bid END IGNORE NULLS)
+        |      OVER wp AS la,
+        |    last_value(CASE WHEN NOT is_a THEN bid END IGNORE NULLS)
+        |      OVER wp AS lb
+        |  FROM routed
+        |  WINDOW wp AS (PARTITION BY sym_a, sym_b ORDER BY tick_id
+        |    ROWS UNBOUNDED PRECEDING)),
+        |sp AS (SELECT sym_a, sym_b, beta, tick_id,
+        |    la - beta * lb AS s
+        |  FROM legs WHERE la IS NOT NULL AND lb IS NOT NULL),
+        |p AS (SELECT sym_a, sym_b, tick_id, s,
+        |    list(s) OVER (PARTITION BY sym_a, sym_b ORDER BY tick_id
+        |      ROWS UNBOUNDED PRECEDING) AS pre
+        |  FROM sp),
+        |f AS (SELECT sym_a, sym_b, tick_id, s, ${fold("pre")} AS st
+        |  FROM p)
+        |SELECT tick_id, sym_a, sym_b, s AS spread,
+        |  CASE WHEN st.n >= 2 AND st.m2 > 0
+        |    THEN (s - st.mean) / sqrt(st.m2 / st.n) END AS z
+        |FROM f ORDER BY tick_id, sym_a, sym_b""".stripMargin
+    },
+
+    // G33 — the watermark schedule simulated exactly: chunk =
+    // runTape's 4-way split in tape order, W_c = the running max
+    // event-ms through chunk c, and a register DIES between
+    // consecutive same-symbol ticks iff the next tick lands in a
+    // later chunk whose preceding watermark strictly passed
+    // last_ms + gap (probed: strict `<`, evaluated after every data
+    // batch by the no-data micro-batch). The two sentinel BATCHES
+    // the registry appends guarantee the final register of every
+    // symbol dies, so the tape-end flush needs no special case
+    // beyond `next IS NULL`. n_ticks restarts at each death — the
+    // register-rebirth rule — which is exactly the row_number within
+    // (symbol, preceding-death count).
+    "q_stream_dormant" ->
+      s"""WITH nd AS (SELECT CAST(ceil(count(*) / 4.0) AS BIGINT) AS per
+        |  FROM events),
+        |d AS (SELECT symbol, tick_id, epoch_us(ts) // 1000 AS ms,
+        |    (row_number() OVER (ORDER BY tick_id) - 1) // per + 1
+        |      AS chunk
+        |  FROM $ticksSql t, nd),
+        |wm AS (SELECT chunk AS wchunk,
+        |    max(max(ms)) OVER (ORDER BY chunk) AS w
+        |  FROM d GROUP BY chunk),
+        |p AS (SELECT symbol, tick_id, ms, chunk,
+        |    lead(chunk) OVER (PARTITION BY symbol ORDER BY tick_id)
+        |      AS nchunk
+        |  FROM d),
+        |dd AS (SELECT p.*, CASE WHEN nchunk IS NULL THEN TRUE
+        |    WHEN nchunk > chunk AND ms + $dormantGapMs < wm.w
+        |      THEN TRUE ELSE FALSE END AS death
+        |  FROM p LEFT JOIN wm ON wm.wchunk = p.nchunk - 1),
+        |regs AS (SELECT *, COALESCE(SUM(CASE WHEN death THEN 1
+        |      ELSE 0 END) OVER (PARTITION BY symbol ORDER BY tick_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS reg FROM dd),
+        |cnt AS (SELECT *, row_number() OVER (PARTITION BY symbol, reg
+        |      ORDER BY tick_id) AS n_in_reg FROM regs)
+        |SELECT symbol, tick_id AS last_tick_id,
+        |  make_timestamp(ms * 1000) AS last_ts,
+        |  CAST(n_in_reg AS BIGINT) AS n_ticks
+        |FROM cnt WHERE death
+        |ORDER BY symbol, last_tick_id""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -51,6 +51,21 @@ object StreamRegistry {
   private def runTape[T](s: SparkSession, tape: Seq[T], mode: OutputMode,
                          chunks: Int = 4)(plan: Dataset[T] => DataFrame)
                         (implicit enc: Encoder[T]): DataFrame = {
+    val per = math.max(1, (tape.size + chunks - 1) / chunks)
+    runBatches(s, tape.grouped(per).toSeq, mode)(plan)
+  }
+
+  /** [[runTape]] with EXPLICIT batch boundaries — for operators whose
+    * emission is driven by the watermark schedule itself (G33's
+    * event-time timeouts fire in the no-data micro-batch that follows
+    * each data batch, against that batch's watermark — probed on this
+    * Spark: strict `timeout < watermark`, evaluated within the same
+    * processAllAvailable), where trailing sentinel BATCHES — not just
+    * sentinel rows inside the last chunk — are what flush the tail. */
+  private def runBatches[T](s: SparkSession, batches: Seq[Seq[T]],
+                            mode: OutputMode)
+                           (plan: Dataset[T] => DataFrame)
+                           (implicit enc: Encoder[T]): DataFrame = {
     implicit val sqlCtx = s.sqlContext
     val in = MemoryStream[T]
     val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
@@ -58,8 +73,7 @@ object StreamRegistry {
       .queryName(name).outputMode(mode).start()
     val out =
       try {
-        val per = math.max(1, (tape.size + chunks - 1) / chunks)
-        tape.grouped(per).foreach { chunk =>
+        batches.filter(_.nonEmpty).foreach { chunk =>
           in.addData(chunk: _*); q.processAllAvailable()
         }
         val sink = s.table(name)
@@ -799,5 +813,66 @@ object StreamRegistry {
       t => Streaming.gdModelScores(t, k, scalers, weights,
         thresholds).toDF())
       .orderBy("symbol", "date", "win")
+  }
+
+  /** G2 twin key: the Welford anomaly flagger on the tape — one row
+    * per tick carrying the post-update running (n, mean) and the
+    * PRE-update ±kσ verdict. The fold order is the tape order (the
+    * per-batch (ts ms, tick_id) sort composed across chunks — the
+    * tape is ts-monotone), so the DuckDB oracle replays the IDENTICAL
+    * IEEE recurrence over each symbol's prefix list. */
+  def streamWelford(s: SparkSession, d: String, kSigma: Double)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Update)(
+      t => Streaming.anomalyFlags(t, kSigma).toDF()
+        .withColumnRenamed("isAnomaly", "is_anomaly"))
+      .orderBy("symbol", "n")
+
+  /** G37 twin key: the pair-spread z-score monitor with a
+    * DETERMINISTIC roster — consecutive pairs of the corpus's ranked
+    * symbols (pair j = ranked symbols 2j+1, 2j+2), β_j = 0.5 + 0.25·j
+    * (exactly representable, spelled identically in the oracle). The
+    * batch D60/D62 screens own the REAL roster fit; this key pins the
+    * streaming mechanics — leg-state carry, Welford over the spread
+    * series, n≥2 + positive-variance gating — against a roster both
+    * sides can derive from the data alone. */
+  def streamPairZ(s: SparkSession, d: String, nPairs: Int): DataFrame = {
+    val syms = Tables.ticks(s, d).select("symbol").distinct()
+      .orderBy("symbol").collect().map(_.getLong(0)).toSeq
+    val pairs = syms.grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.take(nPairs).toSeq
+    val betas = pairs.zipWithIndex
+      .map { case (p, j) => p -> (0.5 + 0.25 * j) }.toMap
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.pairSpreadZ(t, pairs, betas).toDF())
+      .orderBy("tick_id", "sym_a", "sym_b")
+  }
+
+  /** G33 twin key: the event-time-timeout dormancy detector on the
+    * tape. Emission is WATERMARK-driven, so the drive protocol IS
+    * part of the contract and the oracle simulates it exactly: 4
+    * tape chunks (the runTape default), then two sentinel BATCHES
+    * (an off-roster symbol at maxTs + gap + 1ms and + 2·gap + 2ms).
+    * After every data batch this Spark runs a no-data micro-batch
+    * that fires timeouts against that batch's watermark (probed:
+    * strict `last_ts + gap < W_c`), so a register dies at the first
+    * chunk boundary its quiet period crosses with the watermark
+    * past — and the sentinels guarantee every register left alive at
+    * tape end dies before the sink is read (the second sentinel is a
+    * DATA batch, so processAllAvailable cannot return before the
+    * first sentinel's timeout evaluation has run). The sentinel's
+    * own register never times out and never emits. */
+  def streamDormant(s: SparkSession, d: String, gapMs: Long)
+      : DataFrame = {
+    import Streaming.Tick
+    val tape = tickTape(s, d)
+    val maxMs = tape.iterator.map(_.ts.getTime).max
+    val s1 = Tick(-1L, -1L, new java.sql.Timestamp(maxMs + gapMs + 1), 0.0)
+    val s2 = Tick(-2L, -1L, new java.sql.Timestamp(maxMs + 2 * gapMs + 2), 0.0)
+    val per = math.max(1, (tape.size + 3) / 4)
+    runBatches(s, tape.grouped(per).toSeq ++ Seq(Seq(s1), Seq(s2)),
+      OutputMode.Append)(
+      t => Streaming.dormancyFlags(t, gapMs).toDF())
+      .orderBy("symbol", "last_tick_id")
   }
 }

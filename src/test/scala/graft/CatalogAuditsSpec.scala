@@ -117,6 +117,113 @@ class CatalogAuditsSpec extends SparkSpec {
     assert(streamed.collect().toSeq == batch.collect().toSeq)
   }
 
+  test("q_stream_welford: the streamed Welford flags equal a driver " +
+      "fold replica bit-for-bit (post-update mean, pre-update ±kσ " +
+      "verdict), and flags actually fire at the registry k") {
+    val got = StreamRegistry
+      .streamWelford(spark, d, SparkEntry.welfordK).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    val ticks = Tables.ticks(spark, d)
+      .select("symbol", "tick_id", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    val want = ticks.groupBy(_._1).toSeq.flatMap { case (sym, ts) =>
+      var n = 0L; var mean = 0.0; var m2 = 0.0
+      ts.map { case (_, _, bid) =>
+        val sigma =
+          if (n > 1) math.sqrt(m2 / (n - 1)) else Double.PositiveInfinity
+        val flag =
+          n > 1 && math.abs(bid - mean) > SparkEntry.welfordK * sigma
+        n += 1; val dd = bid - mean; mean += dd / n; m2 += dd * (bid - mean)
+        (sym, n, mean, flag)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    assert(got.exists(_._4), "no anomaly fired — k is vacuous here")
+    assert(got.exists(!_._4))
+  }
+
+  test("q_stream_pairz: the streamed pair z equals a driver replica " +
+      "of the rank-roster routing and the spread Welford recurrence") {
+    val got = StreamRegistry
+      .streamPairZ(spark, d, SparkEntry.pairZCount).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val ticks = Tables.ticks(spark, d)
+      .select("tick_id", "symbol", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val syms = ticks.map(_._2).distinct.sorted
+    val pairs = syms.grouped(2)
+      .collect { case Array(a, b) => (a, b) }
+      .take(SparkEntry.pairZCount).toSeq
+    val betas = pairs.zipWithIndex
+      .map { case (p, j) => p -> (0.5 + 0.25 * j) }.toMap
+    val want = pairs.flatMap { case (a, b) =>
+      val beta = betas((a, b))
+      var la = Double.NaN; var lb = Double.NaN
+      var n = 0L; var mean = 0.0; var m2 = 0.0
+      ticks.filter(t => t._2 == a || t._2 == b).flatMap {
+        case (tid, sym, bid) =>
+          if (sym == a) la = bid else lb = bid
+          if (la.isNaN || lb.isNaN) None
+          else {
+            val s = la - beta * lb
+            n += 1; val dd = s - mean; mean += dd / n; m2 += dd * (s - mean)
+            val z = if (n >= 2 && m2 > 0.0)
+              Some((s - mean) / math.sqrt(m2 / n)) else None
+            Some((tid, a, b, s, z))
+          }
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got == want)
+    assert(got.exists(_._5.isEmpty) && got.exists(_._5.nonEmpty))
+  }
+
+  test("q_stream_dormant: the streamed dormancy events equal the " +
+      "watermark-schedule replica (4 chunks, strict last+gap < W_c, " +
+      "register rebirth), with real MID-TAPE deaths on this corpus") {
+    val gap = SparkEntry.dormantGapMs
+    val got = StreamRegistry.streamDormant(spark, d, gap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime,
+        r.getLong(3))).toSeq
+    val ticks = Tables.ticks(spark, d)
+      .select("tick_id", "symbol", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .sortBy(_._1)
+    val per = math.max(1, (ticks.size + 3) / 4)
+    val chunkOf = ticks.zipWithIndex
+      .map { case (t, i) => t._1 -> (i / per + 1) }.toMap
+    val wm = ticks.groupBy(t => chunkOf(t._1))
+      .map { case (c, ts) => c -> ts.map(_._3).max }
+    val wRun = (1 to wm.keys.max)
+      .scanLeft(0L)((acc, c) => math.max(acc, wm(c))).tail
+    val want = ticks.groupBy(_._2).toSeq.flatMap { case (sym, ts) =>
+      val ordered = ts.sortBy(_._1)
+      var n = 0L
+      ordered.zip(ordered.drop(1).map(Some(_)) :+ None).flatMap {
+        case ((tid, _, ms), next) =>
+          n += 1
+          val death = next match {
+            case None => true
+            case Some((ntid, _, _)) =>
+              val c = chunkOf(tid); val nc = chunkOf(ntid)
+              nc > c && ms + gap < wRun(nc - 2)
+          }
+          if (death) { val out = (sym, tid, ms, n); n = 0L; Some(out) }
+          else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+    val tapeEnd = ticks.map(_._1).toSet
+    val lastOf = ticks.groupBy(_._2).map { case (_, ts) => ts.map(_._1).max }.toSet
+    assert(got.exists(f => !lastOf.contains(f._2)),
+      "no mid-tape death — the timeout-removal + rebirth path is unexercised")
+    assert(got.exists(f => f._4 > 1L) && tapeEnd.nonEmpty)
+  }
+
   test("StreamRegistry sentinels close every tape session window: " +
       "the G40 sink covers exactly the batch chain's window set") {
     val streamed = StreamRegistry
