@@ -162,6 +162,53 @@ object SparkEntry {
   val recallSeverities: Seq[Int] = Seq(2, 3, 5, 10) // F85 drop-every-k
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
+  /** D86/G44 shared oracle fragment: the GARCH(1,1) left fold over a
+    * move list `mv` — list_reduce with the batch aggregate's exact
+    * lambda. Field order is load-bearing (this DuckDB evaluates
+    * result-struct fields sequentially in-place): every reader of
+    * acc.h/acc.prev is declared before their writers. */
+  private def garchFoldSql(mv: String): String = {
+    // Scala-computed seed interpolated as its round-trip literal —
+    // spelled as SQL arithmetic it would parse as exact DECIMAL and
+    // sit 1 ulp off the streaming twin's binary value
+    val seed =
+      s"CAST(${garchOmega / (1.0 - garchAlpha - garchBeta)} AS DOUBLE)"
+    val hNew =
+      s"($garchOmega + $garchAlpha * acc.prev * acc.prev" +
+        s" + $garchBeta * acc.h)"
+    s"""list_reduce(list_transform($mv,
+      |      v -> {hmax: $seed,
+      |            breach: CAST(CASE WHEN v * v > 4.0 * $seed
+      |              THEN 1 ELSE 0 END AS BIGINT),
+      |            h: $seed, prev: v}),
+      |    (acc, e) -> {
+      |      hmax: greatest(acc.hmax, $hNew),
+      |      breach: acc.breach + CASE WHEN e.prev * e.prev
+      |          > 4.0 * $hNew THEN 1 ELSE 0 END,
+      |      h: $hNew,
+      |      prev: e.prev})""".stripMargin
+  }
+
+  /** D87/G45 shared oracle fragment: the Kalman local-level fold
+    * over an observation list `zs` — same field-order discipline
+    * (imax reads acc.x before x writes it; x reads acc.p before p
+    * writes it). */
+  private def kalmanFoldSql(zs: String): String = {
+    val kGain = s"((acc.p + $kalmanQ) / ((acc.p + $kalmanQ) + $kalmanR))"
+    s"""list_reduce(list_transform($zs,
+      |      v -> {imax: CAST(0.0 AS DOUBLE), x: v,
+      |            p: CAST($kalmanR AS DOUBLE)}),
+      |    (acc, e) -> {
+      |      imax: greatest(acc.imax, abs(e.x - acc.x)),
+      |      x: acc.x + $kGain * (e.x - acc.x),
+      |      p: (1.0 - $kGain) * (acc.p + $kalmanQ)})""".stripMargin
+  }
+
+  val garchOmega = 1.0          // D86/G44 GARCH(1,1) ω (cents²)
+  val garchAlpha = 0.1          // D86/G44 ARCH loading
+  val garchBeta = 0.85          // D86/G44 persistence (α+β < 1)
+  val kalmanQ = 0.01            // D87/G45 level-drift variance
+  val kalmanR = 4.0             // D87/G45 observation variance (cents²)
   val welfordK = 1.5            // G2 ±kσ flag band — probed: wide
                                 // enough that most ticks pass, tight
                                 // enough that flags fire at every SF
@@ -1745,6 +1792,22 @@ object SparkEntry {
     // G33 — event-time-timeout dormancy events (24 h quiet).
     "q_stream_dormant" -> ((s, d) =>
       StreamRegistry.streamDormant(s, d, dormantGapMs)),
+    // D86 — GARCH(1,1) day-close conditional-variance filter state.
+    "q_garch" -> ((s, d) => graft.operators.Microstructure
+      .garchFilter(Tables.ticks(s, d), garchOmega, garchAlpha,
+        garchBeta)),
+    // D87 — Kalman local-level day-close filter state.
+    "q_kalman" -> ((s, d) => graft.operators.Microstructure
+      .kalmanFilter(Tables.ticks(s, d), kalmanQ, kalmanR)),
+    // G44 — the GARCH filter live: a point per move with its
+    // variance forecast and 2σ-surprise verdict.
+    "q_stream_garch" -> ((s, d) =>
+      StreamRegistry.streamGarch(s, d, garchOmega, garchAlpha,
+        garchBeta)),
+    // G45 — the Kalman filter live: a point per tick with the
+    // post-update level and error variance.
+    "q_stream_kalman" -> ((s, d) =>
+      StreamRegistry.streamKalman(s, d, kalmanQ, kalmanR)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -10065,6 +10128,84 @@ object SparkEntry {
         |  CAST(n_in_reg AS BIGINT) AS n_ticks
         |FROM cnt WHERE death
         |ORDER BY symbol, last_tick_id""".stripMargin,
+
+    // D86 — the GARCH(1,1) filter fold per (symbol, day): same
+    // lambda, same left-to-right order as the Spark aggregate; the
+    // transform maps each move to the as-if-first state so
+    // list_reduce's first-element init IS the batch init (same field
+    // order as every fold oracle: readers of acc.h before its
+    // writer — the struct fields evaluate sequentially in-place in
+    // this DuckDB).
+    "q_garch" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> CAST(cs[k] - cs[k - 1] AS DOUBLE)) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |f AS (SELECT symbol, date, len(mv) AS n_moves,
+        |    ${garchFoldSql("mv")} AS st
+        |  FROM m)
+        |SELECT symbol, date, CAST(n_moves AS BIGINT) AS n_moves,
+        |  st.h AS h_close, sqrt(st.h) AS sigma_close,
+        |  st.hmax AS h_max, st.breach AS n_breach
+        |FROM f ORDER BY symbol, date""".stripMargin,
+    // D87 — the Kalman local-level fold per (symbol, day), same
+    // discipline.
+    "q_kalman" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)
+        |      ORDER BY tick_id) AS zs
+        |  FROM $ticksSql t GROUP BY 1, 2)
+        |SELECT symbol, date, CAST(len(zs) AS BIGINT) AS n_ticks,
+        |  st.x AS x_close, st.p AS p_close, st.imax AS innov_max
+        |FROM (SELECT symbol, date, zs, ${kalmanFoldSql("zs")} AS st
+        |  FROM g) f
+        |ORDER BY symbol, date""".stripMargin,
+    // G44 — the same GARCH fold replayed over each move PREFIX: one
+    // trace row per cent move with its forecast and 2σ verdict.
+    "q_stream_garch" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs,
+        |    list(tick_id ORDER BY tick_id) AS ids
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date, ids,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> CAST(cs[k] - cs[k - 1] AS DOUBLE)) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |rows_ AS (SELECT symbol, date, ids, mv,
+        |    unnest(range(1, len(mv) + 1)) AS k FROM m),
+        |tr AS (SELECT symbol, date, ids[k + 1] AS tick_id,
+        |    CAST(k AS BIGINT) AS n_move, mv[k] AS move,
+        |    ${garchFoldSql("mv[1:k]")} AS st
+        |  FROM rows_)
+        |SELECT tick_id, symbol, date, n_move, move, st.h AS h,
+        |  move * move > 4.0 * st.h AS breach
+        |FROM tr ORDER BY symbol, date, n_move""".stripMargin,
+    // G45 — the Kalman fold replayed over each tick PREFIX: one
+    // trace row per tick with the post-update (x̂, P).
+    "q_stream_kalman" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)
+        |      ORDER BY tick_id) AS zs,
+        |    list(tick_id ORDER BY tick_id) AS ids
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |rows_ AS (SELECT symbol, date, ids, zs,
+        |    unnest(range(1, len(zs) + 1)) AS k FROM g),
+        |tr AS (SELECT symbol, date, ids[k] AS tick_id,
+        |    CAST(k AS BIGINT) AS n_seen, zs[k] AS z,
+        |    ${kalmanFoldSql("zs[1:k]")} AS st
+        |  FROM rows_)
+        |SELECT tick_id, symbol, date, n_seen, z, st.x AS x_filt,
+        |  st.p AS p
+        |FROM tr ORDER BY symbol, date, n_seen""".stripMargin,
 
     // ===== A-section audit oracles: the logical halves of the
     // side-effectful maintenance ops. File-count cells are layout

@@ -2188,4 +2188,111 @@ object Microstructure {
         col("cents").as("cb")), Seq("sym_b", "day"))
     cointFit(grid)
   }
+
+  /** D86 — GARCH(1,1) CONDITIONAL-VARIANCE FILTER with FIXED
+    * parameters, per (symbol, trading day): the volatility state a
+    * risk desk runs between refits (the fit itself is an offline
+    * optimizer; the deployed artifact is this filter — ref train.py's
+    * offline-train / online-score split, applied to vol instead of
+    * reconstruction error). Moves are exact integer-cent diffs; the
+    * recurrence h₁ = ω/(1−α−β) (the unconditional seed, one fixed
+    * IEEE expression), hᵢ = ω + α·mᵢ₋₁² + β·hᵢ₋₁ is inherently
+    * sequential, so it runs where the sequence lives (the D15
+    * discipline): ONE shuffle by (symbol, day), each group's moves
+    * folded LEFT-TO-RIGHT in (ts, tick_id) order — never a driver
+    * loop, state bounded by a day's volume. Emits the day's CLOSING
+    * filter state: h_close (the forecast the next trading decision
+    * consumes), its σ, the day's max h, and the 2σ-surprise count
+    * (mᵢ² > 4·hᵢ — realized move outside the forecast band). Every
+    * step is +/·/comparison on doubles — bit-identical across
+    * engines, so the DuckDB oracle folds the same ordered list with
+    * the same lambda (unrounded emission, SURVEY §6 element-wise
+    * rule). Days with no move (a single tick) emit nothing. */
+  def garchFilter(ticks: DataFrame, omega: Double, alpha: Double,
+                  beta: Double): DataFrame = {
+    // the seed is computed in SCALA doubles and interpolated as its
+    // round-trip literal: spelled as SQL arithmetic it would parse
+    // as exact DECIMAL (both engines) and diverge from the streaming
+    // twin's binary value by 1 ulp — caught by the G44 parity spec
+    val seed = s"CAST(${omega / (1.0 - alpha - beta)} AS DOUBLE)"
+    ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(expr(
+        "sort_array(collect_list(struct(ts, tick_id, " +
+          "CAST(round(bid * 100.0, 0) AS BIGINT) AS cents)))").as("arr"))
+      .withColumn("moves", expr(
+        """transform(slice(arr, 2, size(arr) - 1),
+          |  (x, i) -> CAST(x.cents - element_at(arr, i + 1).cents
+          |    AS DOUBLE))""".stripMargin))
+      .filter(size(col("moves")) >= 1)
+      .withColumn("st", expr(
+        s"""aggregate(slice(moves, 2, size(moves) - 1),
+          |  named_struct(
+          |    'hmax', $seed,
+          |    'breach', CAST(CASE WHEN element_at(moves, 1)
+          |        * element_at(moves, 1) > 4.0 * $seed
+          |      THEN 1 ELSE 0 END AS BIGINT),
+          |    'h', $seed,
+          |    'prev', element_at(moves, 1)),
+          |  (acc, m) -> named_struct(
+          |    'hmax', greatest(acc.hmax,
+          |      $omega + $alpha * acc.prev * acc.prev + $beta * acc.h),
+          |    'breach', acc.breach + CASE WHEN m * m
+          |        > 4.0 * ($omega + $alpha * acc.prev * acc.prev
+          |          + $beta * acc.h)
+          |      THEN 1 ELSE 0 END,
+          |    'h', $omega + $alpha * acc.prev * acc.prev
+          |      + $beta * acc.h,
+          |    'prev', m))""".stripMargin))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        size(col("moves")).cast("long").as("n_moves"),
+        col("st.h").as("h_close"),
+        expr("sqrt(st.h)").as("sigma_close"),
+        col("st.hmax").as("h_max"),
+        col("st.breach").as("n_breach"))
+      .orderBy("symbol", "date")
+  }
+
+  /** D87 — KALMAN LOCAL-LEVEL FILTER (random-walk-plus-noise state
+    * space) per (symbol, trading day): the optimal online smoother
+    * for a latent level observed through noise — what D15's EWMA
+    * approximates with a fixed gain, this computes with the
+    * RICCATI-updated gain (P' = P + Q; K = P'/(P'+R); x += K·(z−x);
+    * P = (1−K)·P'), seeded x₁ = z₁, P₁ = R. Observations are exact
+    * integer cents as doubles; every step is +/−/·//, so the filter
+    * trace is bit-identical across engines and the DuckDB oracle
+    * folds the same ordered list (unrounded emission). Same physical
+    * shape as D86/D15: ONE (symbol, day) shuffle, a left fold where
+    * the sequence lives, day-bounded state. Emits the day's closing
+    * filtered level, closing error variance, and the max absolute
+    * innovation |z − x_pred| — the day's biggest surprise, the cell
+    * a level-shift monitor pages on. */
+  def kalmanFilter(ticks: DataFrame, q: Double, r: Double): DataFrame =
+    ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(expr(
+        "sort_array(collect_list(struct(ts, tick_id, " +
+          "CAST(round(bid * 100.0, 0) AS BIGINT) AS cents)))").as("arr"))
+      .withColumn("zs", expr(
+        "transform(arr, x -> CAST(x.cents AS DOUBLE))"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(zs, 2, size(zs) - 1),
+          |  named_struct(
+          |    'imax', CAST(0.0 AS DOUBLE),
+          |    'x', element_at(zs, 1),
+          |    'p', CAST($r AS DOUBLE)),
+          |  (acc, z) -> named_struct(
+          |    'imax', greatest(acc.imax, abs(z - acc.x)),
+          |    'x', acc.x + ((acc.p + $q) / ((acc.p + $q) + $r))
+          |      * (z - acc.x),
+          |    'p', (1.0 - (acc.p + $q) / ((acc.p + $q) + $r))
+          |      * (acc.p + $q)))""".stripMargin))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        size(col("zs")).cast("long").as("n_ticks"),
+        col("st.x").as("x_close"),
+        col("st.p").as("p_close"),
+        col("st.imax").as("innov_max"))
+      .orderBy("symbol", "date")
 }

@@ -848,6 +848,25 @@ object StreamRegistry {
       .orderBy("tick_id", "sym_a", "sym_b")
   }
 
+  /** G44 twin key: the fixed-parameter GARCH(1,1) filter on the
+    * tape — a point per cent move carrying the variance forecast it
+    * was measured against; the oracle replays the identical fold
+    * over each move prefix. */
+  def streamGarch(s: SparkSession, d: String, omega: Double,
+                  alpha: Double, beta: Double): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.garchPoints(t, omega, alpha, beta).toDF())
+      .orderBy("symbol", "date", "n_move")
+
+  /** G45 twin key: the Kalman local-level filter on the tape — a
+    * point per tick carrying the post-update (x̂, P); the oracle
+    * replays the identical fold over each tick prefix. */
+  def streamKalman(s: SparkSession, d: String, q: Double, r: Double)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.kalmanPoints(t, q, r).toDF())
+      .orderBy("symbol", "date", "n_seen")
+
   /** G33 twin key: the event-time-timeout dormancy detector on the
     * tape. Emission is WATERMARK-driven, so the drive protocol IS
     * part of the contract and the oracle simulates it exactly: 4

@@ -2164,4 +2164,98 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** G44 keyed state: last cents (−1 = none), previous move, current
+    * conditional variance, move count. */
+  case class GarchState(lastC: Long, prev: Double, h: Double, n: Long)
+  case class GarchPoint(tick_id: Long, symbol: Long, date: String,
+                        n_move: Long, move: Double, h: Double,
+                        breach: Boolean)
+
+  /** G44 — STREAMING GARCH(1,1) FILTER: the live twin of
+    * `Microstructure.garchFilter` (D86) — the fixed-parameter
+    * conditional-variance recurrence run per (symbol, day) in keyed
+    * state (FOUR scalars), a point per cent move carrying the
+    * variance FORECAST that move was measured against and its
+    * 2σ-surprise verdict (m² > 4·h — the live vol-breach pager).
+    * h₁ = ω/(1−α−β) (the unconditional seed, the identical IEEE
+    * expression as the batch fold's init); hᵢ = ω + α·mᵢ₋₁² + β·hᵢ₋₁
+    * step-for-step the batch lambda, so the last point per
+    * (symbol, day) equals the batch row bit-for-bit (spec'd, and the
+    * DuckDB oracle replays the same fold over each move prefix). */
+  def garchPoints(ticks: Dataset[Tick], omega: Double, alpha: Double,
+                  beta: Double): Dataset[GarchPoint] = {
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val seed = omega / (1.0 - alpha - beta)
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[GarchState]) =>
+          var s = state.getOption.getOrElse(
+            GarchState(-1L, 0.0, 0.0, 0L))
+          var out = List.empty[GarchPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            if (s.lastC >= 0L) {
+              val m = (c - s.lastC).toDouble
+              val h = if (s.n == 0L) seed
+                else omega + alpha * s.prev * s.prev + beta * s.h
+              s = GarchState(c, m, h, s.n + 1L)
+              out = GarchPoint(t.tick_id, key._1, key._2, s.n, m, h,
+                m * m > 4.0 * h) :: out
+            } else s = s.copy(lastC = c)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
+
+  /** G45 keyed state: the filter pair (x̂, P) plus the tick count
+    * (n = 0 marks the unseeded register). */
+  case class KalmanState(x: Double, p: Double, n: Long)
+  case class KalmanPoint(tick_id: Long, symbol: Long, date: String,
+                         n_seen: Long, z: Double, x_filt: Double,
+                         p: Double)
+
+  /** G45 — STREAMING KALMAN LOCAL-LEVEL FILTER: the live twin of
+    * `Microstructure.kalmanFilter` (D87) — the Riccati-gain level
+    * tracker per (symbol, day) in keyed state (THREE scalars), a
+    * point per tick carrying the filtered level and error variance
+    * AFTER absorbing that observation. Seed x₁ = z₁, P₁ = R; then
+    * P' = P + Q, K = P'/(P'+R), x += K·(z−x), P = (1−K)·P' —
+    * operation-for-operation the batch fold, so the last point per
+    * (symbol, day) equals the batch row bit-for-bit (spec'd) and
+    * the DuckDB oracle replays the fold over each tick prefix. */
+  def kalmanPoints(ticks: Dataset[Tick], q: Double, r: Double)
+      : Dataset[KalmanPoint] = {
+    import ticks.sparkSession.implicits._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[KalmanState]) =>
+          var s = state.getOption.getOrElse(KalmanState(0.0, 0.0, 0L))
+          var out = List.empty[KalmanPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val z = math.round(t.bid * 100.0).toDouble
+            s = if (s.n == 0L) KalmanState(z, r, 1L)
+            else {
+              val pp = s.p + q
+              val k = pp / (pp + r)
+              KalmanState(s.x + k * (z - s.x), (1.0 - k) * pp, s.n + 1L)
+            }
+            out = KalmanPoint(t.tick_id, key._1, key._2, s.n, z, s.x,
+              s.p) :: out
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
 }

@@ -407,6 +407,123 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G44 parity: garchPoints replays the exact GARCH(1,1) " +
+      "recurrence across a mid-day batch split; the last point per " +
+      "(symbol, day) equals the batch garchFilter row; a single-tick " +
+      "day emits nothing") {
+    import graft.streaming.Streaming.GarchPoint
+    val (w, a, b) = (SparkEntry.garchOmega, SparkEntry.garchAlpha,
+      SparkEntry.garchBeta)
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.00),
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 60.00), // +5000 c
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 60.10), // +10 c
+      Tick(4L, 1L, t("2024-01-01 10:00:04"), 60.05), // -5 c
+      Tick(5L, 1L, t("2024-01-02 10:00:01"), 7.0),   // new day, 1 tick
+      Tick(6L, 2L, t("2024-01-01 10:00:01"), 1.0),
+      Tick(7L, 2L, t("2024-01-01 10:00:02"), 1.02))
+    // in-test replica of the recurrence, Scala-order
+    def trace(moves: Seq[Double]): Seq[(Double, Boolean)] = {
+      val seed = w / (1.0 - a - b)
+      var h = 0.0; var prev = 0.0
+      moves.zipWithIndex.map { case (m, i) =>
+        h = if (i == 0) seed else w + a * prev * prev + b * h
+        prev = m
+        (h, m * m > 4.0 * h)
+      }
+    }
+    val want1 = trace(Seq(5000.0, 10.0, -5.0))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.garchPoints(in.toDS(), w, a, b)
+      .writeStream.format("memory").queryName("p_garch")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(3): _*); q.processAllAvailable()
+      in.addData(rows.drop(3): _*); q.processAllAvailable()
+      val out = spark.table("p_garch").as[GarchPoint].collect()
+      assert(out.count(_.symbol == 1L) == 3) // day-2 single tick: none
+      val got1 = out.filter(p => p.symbol == 1L).sortBy(_.n_move)
+        .map(p => (p.h, p.breach)).toSeq
+      assert(got1 == want1)
+      assert(got1.head._2 && !got1(1)._2, "seed breach + calm move")
+      val batch = graft.operators.Microstructure.garchFilter(
+        rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask"), w, a, b)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(5), r.getLong(6))))
+        .toMap
+      assert(!batch.contains((1L, "2024-01-02")), "single-tick day")
+      val lastPerKey = out.groupBy(p => (p.symbol, p.date))
+        .map { case (k, ps) =>
+          val n = ps.map(_.n_move).max
+          val hs = ps.map(_.h)
+          k -> ((n, ps.maxBy(_.n_move).h, hs.max,
+            ps.count(_.breach).toLong))
+        }
+      assert(lastPerKey == batch)
+    } finally q.stop()
+  }
+
+  test("G45 parity: kalmanPoints replays the Riccati recurrence " +
+      "across a batch split; the last point per (symbol, day) equals " +
+      "the batch kalmanFilter row; gain shrinks P monotonically " +
+      "toward the steady state") {
+    import graft.streaming.Streaming.KalmanPoint
+    val (qv, rv) = (SparkEntry.kalmanQ, SparkEntry.kalmanR)
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 10.00),
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 10.10),
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 10.05),
+      Tick(4L, 1L, t("2024-01-01 10:00:04"), 10.20),
+      Tick(5L, 2L, t("2024-01-01 10:00:01"), 1.0))
+    def trace(zs: Seq[Double]): Seq[(Double, Double)] = {
+      var x = 0.0; var p = 0.0
+      zs.zipWithIndex.map { case (z, i) =>
+        if (i == 0) { x = z; p = rv }
+        else {
+          val pp = p + qv; val k = pp / (pp + rv)
+          x = x + k * (z - x); p = (1.0 - k) * pp
+        }
+        (x, p)
+      }
+    }
+    val want1 = trace(Seq(1000.0, 1010.0, 1005.0, 1020.0))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.kalmanPoints(in.toDS(), qv, rv)
+      .writeStream.format("memory").queryName("p_kalman")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val out = spark.table("p_kalman").as[KalmanPoint].collect()
+      assert(out.length == rows.length)
+      val got1 = out.filter(_.symbol == 1L).sortBy(_.n_seen)
+        .map(p => (p.x_filt, p.p)).toSeq
+      assert(got1 == want1)
+      val ps = got1.map(_._2)
+      assert(ps == ps.sorted.reverse && ps.distinct == ps,
+        "P must shrink strictly from the R seed toward steady state")
+      val batch = graft.operators.Microstructure.kalmanFilter(
+        rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask"), qv, rv)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      val lastPerKey = out.groupBy(p => (p.symbol, p.date))
+        .map { case (k, pts) =>
+          val zs = pts.sortBy(_.n_seen)
+          val innovMax = if (zs.length < 2) 0.0
+            else zs.drop(1).zip(zs).map { case (cur, prevP) =>
+              math.abs(cur.z - prevP.x_filt) }.max
+          k -> ((zs.map(_.n_seen).max, zs.last.x_filt, zs.last.p,
+            innovMax))
+        }
+      assert(lastPerKey == batch)
+    } finally q.stop()
+  }
+
   test("G10 parity: sourceCapAdmission fed in hash order admits exactly " +
       "capPerSource's kept set with identical ranks; the counter " +
       "persists across batches so late docs stay rejected") {
