@@ -162,6 +162,62 @@ object SparkEntry {
   val recallSeverities: Seq[Int] = Seq(2, 3, 5, 10) // F85 drop-every-k
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
+  /** F101 oracle: the BPE merge loop as GENERATED unrolled
+    * MATERIALIZED CTE rounds (the F59/F61 cascade discipline — DuckDB
+    * re-inlines non-materialized CTEs per reference). Per round r:
+    * pair counts from the round-(r−1) vocabulary (overlapping
+    * occurrences, word-frequency weighted), the argmax merge
+    * (count desc, lhs, rhs), then the LEFTMOST-FIRST non-overlapping
+    * application spelled SET-WISE: a position is a merge START iff
+    * its rank within its consecutive candidate run is odd (runs
+    * longer than 1 only arise for self-pairs a==a), and the position
+    * after a start is consumed. syms[i+1] past the end is NULL —
+    * COALESCE keeps the last position a non-candidate. */
+  private def bpeOracleSql(topV: Int, rounds: Int): String = {
+    import graft.functions.PortableText.duckTokens
+    val roundCtes = (1 to rounds).map { r =>
+      val v = s"v${r - 1}"
+      s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+        |    CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+        |    FROM $v) GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT a, b, c FROM p$r
+        |  ORDER BY c DESC, a, b LIMIT 1),
+        |e$r AS (SELECT w, cnt, i, syms[i] AS s, syms[i + 1] AS nxt
+        |  FROM (SELECT w, cnt, syms,
+        |      unnest(range(1, len(syms) + 1)) AS i FROM $v)),
+        |c$r AS (SELECT e.w, e.cnt, e.i, e.s, e.nxt,
+        |    COALESCE(e.s = m.a AND e.nxt = m.b, FALSE) AS cand
+        |  FROM e$r e LEFT JOIN m$r m ON TRUE),
+        |g$r AS (SELECT *, i - row_number()
+        |      OVER (PARTITION BY w, cand ORDER BY i) AS grp
+        |  FROM c$r),
+        |s$r AS (SELECT *, cand AND (row_number()
+        |      OVER (PARTITION BY w, cand, grp ORDER BY i) % 2 = 1)
+        |    AS strt FROM g$r),
+        |t$r AS (SELECT *, COALESCE(lag(strt)
+        |      OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+        |  FROM s$r),
+        |v$r AS MATERIALIZED (SELECT w, any_value(cnt) AS cnt,
+        |    list(CASE WHEN strt THEN s || nxt ELSE s END ORDER BY i)
+        |      FILTER (NOT consumed) AS syms
+        |  FROM t$r GROUP BY w)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+        |  a || b AS merged, c AS pair_count FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v0 AS MATERIALIZED (SELECT w, cnt,
+      |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
+      |  FROM (SELECT w, count(*) AS cnt
+      |    FROM (SELECT unnest($duckTokens) AS w FROM documents)
+      |    GROUP BY 1 ORDER BY cnt DESC, w LIMIT $topV)),
+      |$roundCtes
+      |SELECT * FROM (
+      |$union)
+      |ORDER BY merge_rank""".stripMargin
+  }
+
   /** D86/G44 shared oracle fragment: the GARCH(1,1) left fold over a
     * move list `mv` — list_reduce with the batch aggregate's exact
     * lambda. Field order is load-bearing (this DuckDB evaluates
@@ -204,6 +260,10 @@ object SparkEntry {
       |      p: (1.0 - $kGain) * (acc.p + $kalmanQ)})""".stripMargin
   }
 
+  val bpeTopV = 400             // F101 vocabulary cap (head words)
+  val bpeMerges = 16            // F101 learned merges — probed: the
+                                // corpus supports 89 rounds at every
+                                // gate SF before pairs exhaust
   val garchOmega = 1.0          // D86/G44 GARCH(1,1) ω (cents²)
   val garchAlpha = 0.1          // D86/G44 ARCH loading
   val garchBeta = 0.85          // D86/G44 persistence (α+β < 1)
@@ -1808,6 +1868,9 @@ object SparkEntry {
     // post-update level and error variance.
     "q_stream_kalman" -> ((s, d) =>
       StreamRegistry.streamKalman(s, d, kalmanQ, kalmanR)),
+    // F101 — the learned BPE merge table (rank, pair, count).
+    "q_bpe_merges" -> ((s, d) => CorpusPipeline
+      .bpeLearn(Tables.documents(s, d), bpeTopV, bpeMerges)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -10128,6 +10191,9 @@ object SparkEntry {
         |  CAST(n_in_reg AS BIGINT) AS n_ticks
         |FROM cnt WHERE death
         |ORDER BY symbol, last_tick_id""".stripMargin,
+
+    // F101 — the BPE merge loop as unrolled materialized CTE rounds.
+    "q_bpe_merges" -> bpeOracleSql(bpeTopV, bpeMerges),
 
     // D86 — the GARCH(1,1) filter fold per (symbol, day): same
     // lambda, same left-to-right order as the Spark aggregate; the
