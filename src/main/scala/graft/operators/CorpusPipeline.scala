@@ -1421,4 +1421,70 @@ object CorpusPipeline {
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("merge_rank")
   }
+
+  /** F101b — BPE SEGMENTER + FERTILITY AUDIT: the SERVING side of
+    * [[bpeLearn]] (train → apply, the D84→G43 pairing): apply the
+    * learned merge table to the WHOLE corpus vocabulary —
+    * distributed, uncapped, no driver loop — and report per-source
+    * segmentation quality: total words, total subwords, fertility
+    * (subwords per 10⁶ words, exact integer division) and the
+    * distinct-subword count — the table a tokenizer rollout review
+    * reads ("how many pieces does this corpus shatter into at R
+    * merges?"). Physical shape: ONE distinct over (source, word)
+    * plus one (word) vocab collapse — vocab-scale, not corpus-scale —
+    * then each merge round is a PER-ROW array fold (Spark
+    * `aggregate` with an (out, carry) accumulator implementing the
+    * leftmost rule: carry==lhs ∧ x==rhs merges and blanks the carry,
+    * so a merged symbol never re-merges this round) — R chained
+    * projections, ZERO additional shuffles; the final stats are two
+    * vocab-scale aggregates joined per source. Strings only — no
+    * float anywhere — so the oracle's set-wise spelling (the F101
+    * window rounds, applied to the uncapped vocabulary) lands on
+    * identical segmentations by construction. */
+  def bpeSegment(docs: DataFrame,
+                 merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "merge table must not be empty")
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val sw = docs
+      .select(col("source"), explode(expr(tokens)).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("n_occ"))
+    val vocab0 = sw.groupBy("w").agg(sum("n_occ").as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    val segmented = merges.foldLeft(vocab0) { case (v, (a, b)) =>
+      v.withColumn("syms", expr(
+        s"""aggregate(syms,
+          |  named_struct('out', CAST(array() AS ARRAY<STRING>),
+          |    'carry', ''),
+          |  (acc, x) -> CASE
+          |    WHEN acc.carry = ${sqlLit(a)} AND x = ${sqlLit(b)}
+          |    THEN named_struct('out',
+          |      concat(acc.out, array(${sqlLit(a + b)})), 'carry', '')
+          |    ELSE named_struct('out',
+          |      CASE WHEN acc.carry <> ''
+          |        THEN concat(acc.out, array(acc.carry))
+          |        ELSE acc.out END, 'carry', x) END,
+          |  acc -> CASE WHEN acc.carry <> ''
+          |    THEN concat(acc.out, array(acc.carry))
+          |    ELSE acc.out END)""".stripMargin))
+    }
+    val perWord = segmented
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"),
+        col("syms"))
+    val totals = sw.join(broadcast(perWord.select("w", "n_sub")), Seq("w"))
+      .groupBy("source")
+      .agg(sum("n_occ").as("n_words"),
+        sum(col("n_occ") * col("n_sub")).as("n_subwords"))
+    val distinctSub = sw.select("source", "w").distinct()
+      .join(broadcast(perWord.select("w", "syms")), Seq("w"))
+      .select(col("source"), explode(col("syms")).as("sub"))
+      .groupBy("source")
+      .agg(countDistinct("sub").as("n_distinct_subwords"))
+    totals.join(distinctSub, Seq("source"))
+      .withColumn("fertility_ppm",
+        expr("(n_subwords * 1000000) DIV n_words"))
+      .select("source", "n_words", "n_subwords", "fertility_ppm",
+        "n_distinct_subwords")
+      .orderBy("source")
+  }
 }
