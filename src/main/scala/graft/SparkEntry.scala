@@ -315,6 +315,9 @@ object SparkEntry {
   val bpeMerges = 16            // F101 learned merges — probed: the
                                 // corpus supports 89 rounds at every
                                 // gate SF before pairs exhaust
+  val ffdD = 0.4                // D88 fractional-differencing order
+  val ffdK = 8                  // D88 fixed window width (lags)
+  val cusumH = 5000L            // D89 CUSUM threshold (cents)
   val garchOmega = 1.0          // D86/G44 GARCH(1,1) ω (cents²)
   val garchAlpha = 0.1          // D86/G44 ARCH loading
   val garchBeta = 0.85          // D86/G44 persistence (α+β < 1)
@@ -1919,6 +1922,12 @@ object SparkEntry {
     // post-update level and error variance.
     "q_stream_kalman" -> ((s, d) =>
       StreamRegistry.streamKalman(s, d, kalmanQ, kalmanR)),
+    // D88 — fixed-width fractional differencing per symbol.
+    "q_fracdiff" -> ((s, d) => graft.operators.Microstructure
+      .fracDiff(Tables.ticks(s, d), ffdD, ffdK)),
+    // D89 — symmetric CUSUM event filter per (symbol, day).
+    "q_cusum" -> ((s, d) => graft.operators.Microstructure
+      .cusumFilter(Tables.ticks(s, d), cusumH)),
     // F101 — the learned BPE merge table (rank, pair, count).
     "q_bpe_merges" -> ((s, d) => CorpusPipeline
       .bpeLearn(Tables.documents(s, d), bpeTopV, bpeMerges)),
@@ -10252,6 +10261,74 @@ object SparkEntry {
         |FROM cnt WHERE death
         |ORDER BY symbol, last_tick_id""".stripMargin,
 
+    // D88 — the FFD dot product: the SAME Scala-computed weights
+    // interpolated as round-trip literals, one fixed left-assoc
+    // chain over the K-lag window; warm-up rows (no full window)
+    // excluded on both sides.
+    "q_fracdiff" -> {
+      val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
+        (-wk * (ffdD - (i + 1) + 1) / (i + 1), i + 1)
+      }.map(_._1).take(ffdK + 1).toSeq
+      val lags = (1 to ffdK).map(i =>
+        s"lag(c0, $i) OVER win AS c$i").mkString(",\n        |    ")
+      val dot = weights.zipWithIndex
+        .map { case (wk, i) => s"CAST($wk AS DOUBLE) * c$i" }
+        .mkString("\n        |  + ")
+      s"""WITH b AS (SELECT tick_id, symbol,
+        |    CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)
+        |      AS c0
+        |  FROM $ticksSql t),
+        |l AS (SELECT tick_id, symbol, c0,
+        |    $lags
+        |  FROM b
+        |  WINDOW win AS (PARTITION BY symbol ORDER BY tick_id))
+        |SELECT tick_id, symbol,
+        |  $dot AS ffd
+        |FROM l WHERE c$ffdK IS NOT NULL
+        |ORDER BY tick_id""".stripMargin
+    },
+    // D89 — the CUSUM fold per (symbol, day), BRANCHLESS int64 (an
+    // acc-conditional CASE inside a list_reduce lambda mis-evaluates
+    // final iterations under this DuckDB's vectorized execution —
+    // probed; clamp via greatest/least, reset via ×(1 − breach)).
+    // Elements carry the raw move in `m`; their state fields are the
+    // as-if-first fold state so the first element IS the init.
+    "q_cusum" -> {
+      val z = "CAST(0 AS BIGINT)"
+      val spNew = s"greatest($z, acc.sp + e.m)"
+      val snNew = s"least($z, acc.sn + e.m)"
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> cs[k] - cs[k - 1]) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |f AS (SELECT symbol, date, len(mv) AS n_moves,
+        |    list_reduce(list_transform(mv, v -> {
+        |        nev: CAST(greatest($z, v) > $cusumH AS BIGINT)
+        |          + CAST(least($z, v) < -$cusumH AS BIGINT),
+        |        sp: greatest($z, v)
+        |          * (1 - CAST(greatest($z, v) > $cusumH AS BIGINT)),
+        |        sn: least($z, v)
+        |          * (1 - CAST(least($z, v) < -$cusumH AS BIGINT)),
+        |        m: v}),
+        |      (acc, e) -> {
+        |        nev: acc.nev + CAST($spNew > $cusumH AS BIGINT)
+        |          + CAST($snNew < -$cusumH AS BIGINT),
+        |        sp: $spNew
+        |          * (1 - CAST($spNew > $cusumH AS BIGINT)),
+        |        sn: $snNew
+        |          * (1 - CAST($snNew < -$cusumH AS BIGINT)),
+        |        m: e.m}) AS st
+        |  FROM m)
+        |SELECT symbol, date, CAST(n_moves AS BIGINT) AS n_moves,
+        |  st.nev AS n_events, CAST(st.sp AS BIGINT) AS s_pos_close,
+        |  CAST(st.sn AS BIGINT) AS s_neg_close
+        |FROM f ORDER BY symbol, date""".stripMargin
+    },
     // F101 — the BPE merge loop as unrolled materialized CTE rounds.
     "q_bpe_merges" -> bpeOracleSql(bpeTopV, bpeMerges),
     // F101b — learner cascade + uncapped application + fertility.

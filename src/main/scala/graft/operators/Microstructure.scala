@@ -2254,6 +2254,96 @@ object Microstructure {
       .orderBy("symbol", "date")
   }
 
+  /** D88 — FRACTIONAL DIFFERENCING, fixed-width window (the AFML
+    * FFD: difference a price series just enough to be stationary
+    * while keeping long memory — d = 1 is the plain diff, d ∈ (0,1)
+    * keeps a decaying tail of past levels): x̃ₜ = Σₖ wₖ·xₜ₋ₖ over a
+    * FIXED K-lag window, weights w₀ = 1, wₖ = −wₖ₋₁·(d−k+1)/k
+    * computed ONCE in Scala doubles and interpolated as round-trip
+    * literals (the D86 seed lesson — SQL-spelled weight arithmetic
+    * would parse DECIMAL and drift ulps). Observations are exact
+    * integer cents as doubles; the dot product is ONE fixed
+    * left-assoc chain (w₀·x₀ + w₁·x₁ + … ), bit-identical across
+    * engines, emitted unrounded. Physical shape: one symbol-keyed
+    * window exchange carries all K lags, one projection — no
+    * group collapse at all; rows without a full window (each
+    * symbol's first K ticks) emit nothing, the honest warm-up. */
+  def fracDiff(ticks: DataFrame, d: Double, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val w = Window.partitionBy("symbol").orderBy("tick_id")
+    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
+      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
+    }.map(_._1).take(k + 1).toSeq
+    val base = ticks.select(col("tick_id"), col("symbol"),
+      expr("CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)")
+        .as("c0"))
+    val lagged = (1 to k).foldLeft(base) { (df, i) =>
+      df.withColumn(s"c$i", lag(col("c0"), i).over(w))
+    }
+    val dot = weights.zipWithIndex
+      .map { case (wk, i) => lit(wk) * col(s"c$i") }
+      .reduce(_ + _)
+    lagged
+      .filter(col(s"c$k").isNotNull)
+      .select(col("tick_id"), col("symbol"), dot.as("ffd"))
+      .orderBy("tick_id")
+  }
+
+  /** D89 — SYMMETRIC CUSUM EVENT FILTER (the AFML sampling filter: a
+    * one-sided CUSUM pair over cent moves, an EVENT when either side
+    * breaches ±h — "sample the tape where something happened", the
+    * event-driven alternative to clock bars): S⁺ = max(0, S⁺+Δ),
+    * S⁻ = min(0, S⁻+Δ), breach resets the breaching side; the
+    * positive side checks first (both can fire on one move —
+    * impossible for h > 0, spelled anyway). Same physical shape as
+    * D86/D87: per (symbol, day), exact integer-cent moves, ONE
+    * day-bounded shuffle + a left fold where the sequence lives.
+    * The ENTIRE state machine is BRANCHLESS int64 arithmetic —
+    * clamp via greatest/least, reset via multiply-by-(1 − breach
+    * flag) — because (a) cents are exact ints so no float is ever
+    * needed, and (b) an acc-CONDITIONAL CASE inside a DuckDB
+    * list_reduce lambda mis-evaluated final iterations under
+    * vectorized execution (probed on 2 of ~300 groups; the pairz
+    * lesson) — branchless integer algebra sidesteps the whole
+    * class. Emits the day's event count and closing register pair
+    * as exact BIGINTs. */
+  def cusumFilter(ticks: DataFrame, h: Long): DataFrame = {
+    require(h > 0, s"h must be positive: $h")
+    ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(expr(
+        "sort_array(collect_list(struct(ts, tick_id, " +
+          "CAST(round(bid * 100.0, 0) AS BIGINT) AS cents)))").as("arr"))
+      .withColumn("moves", expr(
+        """transform(slice(arr, 2, size(arr) - 1),
+          |  (x, i) -> x.cents - element_at(arr, i + 1).cents)"""
+          .stripMargin))
+      .filter(size(col("moves")) >= 1)
+      .withColumn("st", expr(
+        s"""aggregate(moves,
+          |  named_struct('nev', CAST(0 AS BIGINT),
+          |    'sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT)),
+          |  (acc, m) -> named_struct(
+          |    'nev', acc.nev
+          |      + CAST(greatest(CAST(0 AS BIGINT), acc.sp + m) > $h
+          |          AS BIGINT)
+          |      + CAST(least(CAST(0 AS BIGINT), acc.sn + m) < -$h
+          |          AS BIGINT),
+          |    'sp', greatest(CAST(0 AS BIGINT), acc.sp + m)
+          |      * (1L - CAST(greatest(CAST(0 AS BIGINT), acc.sp + m)
+          |          > $h AS BIGINT)),
+          |    'sn', least(CAST(0 AS BIGINT), acc.sn + m)
+          |      * (1L - CAST(least(CAST(0 AS BIGINT), acc.sn + m)
+          |          < -$h AS BIGINT))))""".stripMargin))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        size(col("moves")).cast("long").as("n_moves"),
+        col("st.nev").as("n_events"),
+        col("st.sp").as("s_pos_close"),
+        col("st.sn").as("s_neg_close"))
+      .orderBy("symbol", "date")
+  }
+
   /** D87 — KALMAN LOCAL-LEVEL FILTER (random-walk-plus-noise state
     * space) per (symbol, trading day): the optimal online smoother
     * for a latent level observed through noise — what D15's EWMA

@@ -17,6 +17,44 @@ class MicrostructureSpec extends SparkSpec {
       (id, u, t(ts), "trade", v, s"""{"k":$k}""") }
       .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
 
+  test("D88 fracDiff: the FFD dot product equals the hand fold " +
+      "(w0=1, wk=-w(k-1)(d-k+1)/k) and warm-up rows emit nothing") {
+    val d = SparkEntry.ffdD; val k = SparkEntry.ffdK
+    val bids = Seq(10.00, 10.10, 10.30, 10.20, 10.50, 10.40, 10.80,
+      10.60, 11.00, 10.90, 11.20)
+    val rows = bids.zipWithIndex.map { case (b, i) =>
+      ((i + 1).toLong, 1L, f"2024-01-01 00:00:${i + 1}%02d", b, b + 0.1)
+    }
+    val out = Microstructure.fracDiff(ticks(rows: _*), d, k)
+      .as[(Long, Long, Double)].collect().toSeq
+    val w = Iterator.iterate((1.0, 0)) { case (wk, i) =>
+      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
+    }.map(_._1).take(k + 1).toSeq
+    val cents = bids.map(b => math.round(b * 100.0).toDouble)
+    val want = (k until bids.length).map { i =>
+      ((i + 1).toLong, 1L,
+        w.zipWithIndex.map { case (wk, j) => wk * cents(i - j) }
+          .reduce(_ + _))
+    }
+    assert(out == want)
+    assert(out.length == bids.length - k, "first K ticks are warm-up")
+  }
+
+  test("D89 cusumFilter: hand tape — a breach fires once and resets " +
+      "its side only; sub-threshold drift accumulates; both sides " +
+      "fire independently; single-tick days emit nothing") {
+    val h = SparkEntry.cusumH // 5000 cents
+    // moves (cents): +3000, +3000 (S+ 6000 -> event, reset),
+    //   -2000, -4000 (S- -6000 -> event, reset), +1000
+    val bids = Seq(100.00, 130.00, 160.00, 140.00, 100.00, 110.00)
+    val rows = bids.zipWithIndex.map { case (b, i) =>
+      ((i + 1).toLong, 1L, f"2024-01-01 00:00:${i + 1}%02d", b, b + 0.1)
+    } :+ ((99L, 2L, "2024-01-01 00:00:01", 5.0, 5.1)) // single tick
+    val out = Microstructure.cusumFilter(ticks(rows: _*), h)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "2024-01-01", 5L, 2L, 1000L, 0L)))
+  }
+
   test("rollSpread: bid-bounce series has negative autocov and a spread") {
     // Price alternates 10.00 / 10.02: Δp = +2,−2,+2,… (cents). Over
     // the 7 (Δpₜ₋₁, Δpₜ) pairs: Σxy = −28, Σx = 2, Σy = −2, so
