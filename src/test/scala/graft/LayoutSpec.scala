@@ -365,4 +365,50 @@ class LayoutSpec extends SparkSpec {
     assert(apPlan.contains("BroadcastHashJoin"),
       s"anomalyPipeline expected a broadcast threshold join:\n$apPlan")
   }
+
+  test("H16: the sequential-filter family compiles to exactly ONE " +
+      "hash exchange (the day/symbol collapse the fold rides) — the " +
+      "recurrence itself adds no shuffle; the BPE merge rounds add " +
+      "ZERO exchanges regardless of round count") {
+    // The 100 TB contract for every fold-where-the-sequence-lives
+    // operator (D86/D87/D89) and the lag-window FFD (D88): the one
+    // hash exchange groups/partitions by the bounded sequence key;
+    // everything after is per-group projection. A refactor that
+    // sneaks in a second data shuffle (e.g. a join for the seed, a
+    // re-partition between fold stages) is caught here. The trailing
+    // display orderBy contributes range exchanges, not hash ones.
+    val d = "/root/testdata/sf0.001"
+    val ticks = graft.sources.Tables.ticks(spark, d)
+    def hashExchanges(plan: String): Int =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    for ((name, df) <- Seq(
+        "garchFilter" -> graft.operators.Microstructure
+          .garchFilter(ticks, SparkEntry.garchOmega,
+            SparkEntry.garchAlpha, SparkEntry.garchBeta),
+        "kalmanFilter" -> graft.operators.Microstructure
+          .kalmanFilter(ticks, SparkEntry.kalmanQ, SparkEntry.kalmanR),
+        "cusumFilter" -> graft.operators.Microstructure
+          .cusumFilter(ticks, SparkEntry.cusumH),
+        "fracDiff" -> graft.operators.Microstructure
+          .fracDiff(ticks, SparkEntry.ffdD, SparkEntry.ffdK))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(hashExchanges(plan) == 1,
+        s"$name expected exactly 1 hash exchange:\n$plan")
+    }
+    // BPE application rounds are pure per-row projections: the
+    // exchange count must not depend on how many merges are applied
+    val docs = graft.sources.Tables.documents(spark, d)
+    val merges = graft.operators.CorpusPipeline
+      .bpeLearn(docs, 50, 3)
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val p1 = graft.operators.CorpusPipeline
+      .bpeSegment(docs, merges.take(1))
+      .queryExecution.executedPlan.toString
+    val p3 = graft.operators.CorpusPipeline
+      .bpeSegment(docs, merges)
+      .queryExecution.executedPlan.toString
+    assert(hashExchanges(p1) == hashExchanges(p3),
+      s"merge rounds added exchanges:\n1 round:\n$p1\n3 rounds:\n$p3")
+  }
 }
