@@ -269,6 +269,33 @@ object SparkEntry {
       |ORDER BY source""".stripMargin
   }
 
+  /** D88/G47 shared oracle: the FFD dot product — Scala-computed
+    * weights as round-trip literals, one fixed left-assoc chain over
+    * the K-lag symbol window; warm-up rows excluded. The G47 stream's
+    * sink equals this frame row for row (parity spec'd). */
+  private def fracDiffOracleSql: String = {
+    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
+      (-wk * (ffdD - (i + 1) + 1) / (i + 1), i + 1)
+    }.map(_._1).take(ffdK + 1).toSeq
+    val lags = (1 to ffdK).map(i =>
+      s"lag(c0, $i) OVER win AS c$i").mkString(",\n      |    ")
+    val dot = weights.zipWithIndex
+      .map { case (wk, i) => s"CAST($wk AS DOUBLE) * c$i" }
+      .mkString("\n      |  + ")
+    s"""WITH b AS (SELECT tick_id, symbol,
+      |    CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)
+      |      AS c0
+      |  FROM $ticksSql t),
+      |l AS (SELECT tick_id, symbol, c0,
+      |    $lags
+      |  FROM b
+      |  WINDOW win AS (PARTITION BY symbol ORDER BY tick_id))
+      |SELECT tick_id, symbol,
+      |  $dot AS ffd
+      |FROM l WHERE c$ffdK IS NOT NULL
+      |ORDER BY tick_id""".stripMargin
+  }
+
   /** D86/G44 shared oracle fragment: the GARCH(1,1) left fold over a
     * move list `mv` — list_reduce with the batch aggregate's exact
     * lambda. Field order is load-bearing (this DuckDB evaluates
@@ -1928,6 +1955,14 @@ object SparkEntry {
     // D89 — symmetric CUSUM event filter per (symbol, day).
     "q_cusum" -> ((s, d) => graft.operators.Microstructure
       .cusumFilter(Tables.ticks(s, d), cusumH)),
+    // G46 — the CUSUM filter live: a point per move with registers
+    // and the running event count.
+    "q_stream_cusum" -> ((s, d) =>
+      StreamRegistry.streamCusum(s, d, cusumH)),
+    // G47 — FFD live: a point per tick once the lag ring fills; the
+    // sink equals the batch frame row for row.
+    "q_stream_ffd" -> ((s, d) =>
+      StreamRegistry.streamFfd(s, d, ffdD, ffdK)),
     // F101 — the learned BPE merge table (rank, pair, count).
     "q_bpe_merges" -> ((s, d) => CorpusPipeline
       .bpeLearn(Tables.documents(s, d), bpeTopV, bpeMerges)),
@@ -10265,27 +10300,51 @@ object SparkEntry {
     // interpolated as round-trip literals, one fixed left-assoc
     // chain over the K-lag window; warm-up rows (no full window)
     // excluded on both sides.
-    "q_fracdiff" -> {
-      val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
-        (-wk * (ffdD - (i + 1) + 1) / (i + 1), i + 1)
-      }.map(_._1).take(ffdK + 1).toSeq
-      val lags = (1 to ffdK).map(i =>
-        s"lag(c0, $i) OVER win AS c$i").mkString(",\n        |    ")
-      val dot = weights.zipWithIndex
-        .map { case (wk, i) => s"CAST($wk AS DOUBLE) * c$i" }
-        .mkString("\n        |  + ")
-      s"""WITH b AS (SELECT tick_id, symbol,
-        |    CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)
-        |      AS c0
-        |  FROM $ticksSql t),
-        |l AS (SELECT tick_id, symbol, c0,
-        |    $lags
-        |  FROM b
-        |  WINDOW win AS (PARTITION BY symbol ORDER BY tick_id))
-        |SELECT tick_id, symbol,
-        |  $dot AS ffd
-        |FROM l WHERE c$ffdK IS NOT NULL
-        |ORDER BY tick_id""".stripMargin
+    "q_fracdiff" -> fracDiffOracleSql,
+    // G47 — the live twin's sink IS the batch frame row for row
+    // (parity spec'd), so the oracle is the batch oracle verbatim.
+    "q_stream_ffd" -> fracDiffOracleSql,
+    // G46 — the branchless CUSUM fold replayed over each move
+    // PREFIX: one trace row per move with registers + event count.
+    "q_stream_cusum" -> {
+      val z = "CAST(0 AS BIGINT)"
+      val spNew = s"greatest($z, acc.sp + e.m)"
+      val snNew = s"least($z, acc.sn + e.m)"
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs,
+        |    list(tick_id ORDER BY tick_id) AS ids
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date, ids,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> cs[k] - cs[k - 1]) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |rows_ AS (SELECT symbol, date, ids, mv,
+        |    unnest(range(1, len(mv) + 1)) AS k FROM m),
+        |tr AS (SELECT symbol, date, ids[k + 1] AS tick_id,
+        |    CAST(k AS BIGINT) AS n_move,
+        |    list_reduce(list_transform(mv[1:k], v -> {
+        |        nev: CAST(greatest($z, v) > $cusumH AS BIGINT)
+        |          + CAST(least($z, v) < -$cusumH AS BIGINT),
+        |        sp: greatest($z, v)
+        |          * (1 - CAST(greatest($z, v) > $cusumH AS BIGINT)),
+        |        sn: least($z, v)
+        |          * (1 - CAST(least($z, v) < -$cusumH AS BIGINT)),
+        |        m: v}),
+        |      (acc, e) -> {
+        |        nev: acc.nev + CAST($spNew > $cusumH AS BIGINT)
+        |          + CAST($snNew < -$cusumH AS BIGINT),
+        |        sp: $spNew
+        |          * (1 - CAST($spNew > $cusumH AS BIGINT)),
+        |        sn: $snNew
+        |          * (1 - CAST($snNew < -$cusumH AS BIGINT)),
+        |        m: e.m}) AS st
+        |  FROM rows_)
+        |SELECT tick_id, symbol, date, n_move,
+        |  CAST(st.sp AS BIGINT) AS s_pos, CAST(st.sn AS BIGINT) AS s_neg,
+        |  st.nev AS n_events
+        |FROM tr ORDER BY symbol, date, n_move""".stripMargin
     },
     // D89 — the CUSUM fold per (symbol, day), BRANCHLESS int64 (an
     // acc-conditional CASE inside a list_reduce lambda mis-evaluates

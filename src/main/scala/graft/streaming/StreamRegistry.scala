@@ -867,6 +867,24 @@ object StreamRegistry {
       t => Streaming.kalmanPoints(t, q, r).toDF())
       .orderBy("symbol", "date", "n_seen")
 
+  /** G46 twin key: the symmetric CUSUM filter on the tape — a point
+    * per move with the post-update register pair and running event
+    * count; the oracle replays the branchless int64 fold over each
+    * move prefix. */
+  def streamCusum(s: SparkSession, d: String, h: Long): DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.cusumPoints(t, h).toDF())
+      .orderBy("symbol", "date", "n_move")
+
+  /** G47 twin key: fixed-width FFD on the tape — a point per tick
+    * once the K-lag ring fills; the sink equals the batch q_fracdiff
+    * frame row for row, so the oracle is the batch oracle. */
+  def streamFfd(s: SparkSession, d: String, dOrd: Double, k: Int)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.ffdPoints(t, dOrd, k).toDF())
+      .orderBy("tick_id")
+
   /** G33 twin key: the event-time-timeout dormancy detector on the
     * tape. Emission is WATERMARK-driven, so the drive protocol IS
     * part of the contract and the oracle simulates it exactly: 4

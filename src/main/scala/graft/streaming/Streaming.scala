@@ -2214,6 +2214,98 @@ object Streaming {
       }
   }
 
+  /** G46 keyed state: last cents (−1 = none), the CUSUM register
+    * pair, move count, running event count. */
+  case class CusumState(lastC: Long, sp: Long, sn: Long, n: Long,
+                        nev: Long)
+  case class CusumPoint(tick_id: Long, symbol: Long, date: String,
+                        n_move: Long, s_pos: Long, s_neg: Long,
+                        n_events: Long)
+
+  /** G46 — STREAMING CUSUM EVENT FILTER: D89's live twin — the
+    * symmetric CUSUM register pair per (symbol, day) in keyed state
+    * (FIVE int64s), a point per cent move carrying the post-update
+    * registers and the running event count (the live "something
+    * happened" sampler a bar builder subscribes to). Pure integer
+    * arithmetic, the identical branch structure as the batch fold
+    * (clamp, breach, side-local reset — positive side first), so
+    * the last point per (symbol, day) equals the batch row with
+    * n_events the day total (spec'd across a batch split); the
+    * DuckDB oracle replays the branchless fold over each move
+    * prefix. */
+  def cusumPoints(ticks: Dataset[Tick], h: Long): Dataset[CusumPoint] = {
+    import ticks.sparkSession.implicits._
+    require(h > 0, s"h must be positive: $h")
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(
+            CusumState(-1L, 0L, 0L, 0L, 0L))
+          var out = List.empty[CusumPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            if (s.lastC >= 0L) {
+              val m = c - s.lastC
+              val g = math.max(0L, s.sp + m)
+              val l = math.min(0L, s.sn + m)
+              val bp = if (g > h) 1L else 0L
+              val bn = if (l < -h) 1L else 0L
+              s = CusumState(c, g * (1L - bp), l * (1L - bn),
+                s.n + 1L, s.nev + bp + bn)
+              out = CusumPoint(t.tick_id, key._1, key._2, s.n, s.sp,
+                s.sn, s.nev) :: out
+            } else s = s.copy(lastC = c)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
+
+  case class FfdPoint(tick_id: Long, symbol: Long, ffd: Double)
+
+  /** G47 — STREAMING FRACTIONAL DIFFERENCING: D88's live twin — the
+    * fixed-width FFD dot product per symbol off a (K+1)-deep ring of
+    * last cents in keyed state, a point per tick once the window is
+    * full. The weights and the left-assoc dot chain are
+    * OPERATION-FOR-OPERATION the batch spelling, so the sink IS the
+    * batch q_fracdiff frame row for row (spec'd — the oracle is the
+    * batch oracle verbatim). State per symbol: K+1 int64s, crossing
+    * day boundaries exactly like the batch window (long memory is
+    * the point of FFD). */
+  def ffdPoints(ticks: Dataset[Tick], d: Double, k: Int)
+      : Dataset[FfdPoint] = {
+    import ticks.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
+      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
+    }.map(_._1).take(k + 1).toSeq
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (symbol: Long, rows: Iterator[Tick],
+         state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(List.empty[Long])
+          var out = List.empty[FfdPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            ring = (math.round(t.bid * 100.0) :: ring).take(k + 1)
+            if (ring.length == k + 1) {
+              // ring head = current tick, matching weight order
+              val dot = weights.zip(ring)
+                .map { case (w, c) => w * c.toDouble }
+                .reduce(_ + _)
+              out = FfdPoint(t.tick_id, symbol, dot) :: out
+            }
+          }
+          state.update(ring)
+          out.reverseIterator
+      }
+  }
+
   /** G45 keyed state: the filter pair (x̂, P) plus the tick count
     * (n = 0 marks the unseeded register). */
   case class KalmanState(x: Double, p: Double, n: Long)

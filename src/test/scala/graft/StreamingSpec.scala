@@ -524,6 +524,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G46 parity: cusumPoints replays the branchless CUSUM across " +
+      "a mid-day batch split; the last point per (symbol, day) " +
+      "carries the batch close registers and the day's event total") {
+    import graft.streaming.Streaming.CusumPoint
+    val h = SparkEntry.cusumH
+    // moves: +3000, +3000 (S+ event), -2000, -4000 (S- event), +1000
+    val bids = Seq(100.00, 130.00, 160.00, 140.00, 100.00, 110.00)
+    val rows = bids.zipWithIndex.map { case (b, i) =>
+      Tick((i + 1).toLong, 1L, t(f"2024-01-01 10:00:${i + 1}%02d"), b)
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.cusumPoints(in.toDS(), h)
+      .writeStream.format("memory").queryName("p_cusum")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(3): _*); q.processAllAvailable()
+      in.addData(rows.drop(3): _*); q.processAllAvailable()
+      val out = spark.table("p_cusum").as[CusumPoint].collect()
+        .sortBy(_.n_move).toSeq
+      assert(out.map(p => (p.n_move, p.s_pos, p.s_neg, p.n_events)) ==
+        Seq((1L, 3000L, 0L, 0L), (2L, 0L, 0L, 1L),
+          (3L, 0L, -2000L, 1L), (4L, 0L, 0L, 2L),
+          (5L, 1000L, 0L, 2L)))
+      val batch = graft.operators.Microstructure.cusumFilter(
+        rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask"), h)
+        .as[(Long, String, Long, Long, Long, Long)].collect().head
+      val last = out.last
+      assert((batch._4, batch._5, batch._6) ==
+        ((last.n_events, last.s_pos, last.s_neg)))
+    } finally q.stop()
+  }
+
+  test("G47 parity: ffdPoints' sink equals the batch fracDiff frame " +
+      "row for row, the lag ring carrying across a batch split and " +
+      "across a day boundary") {
+    import graft.streaming.Streaming.FfdPoint
+    val (d, k) = (SparkEntry.ffdD, 3)
+    val bids = Seq(10.00, 10.10, 10.30, 10.20, 10.50, 10.40, 10.80)
+    val rows = bids.zipWithIndex.map { case (b, i) =>
+      // tick 5 onward lands on day 2: the window must cross it
+      val day = if (i < 4) "2024-01-01" else "2024-01-02"
+      Tick((i + 1).toLong, 1L, t(f"$day 10:00:${i + 1}%02d"), b)
+    }
+    val batch = graft.operators.Microstructure.fracDiff(
+      rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+        .toDF("tick_id", "symbol", "ts", "bid", "ask"), d, k)
+      .as[(Long, Long, Double)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.ffdPoints(in.toDS(), d, k)
+      .writeStream.format("memory").queryName("p_ffd")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(4): _*); q.processAllAvailable()
+      in.addData(rows.drop(4): _*); q.processAllAvailable()
+      val out = spark.table("p_ffd").as[FfdPoint].collect()
+        .sortBy(_.tick_id).map(p => (p.tick_id, p.symbol, p.ffd)).toSeq
+      assert(out == batch)
+      assert(out.length == bids.length - k, "K warm-up ticks")
+    } finally q.stop()
+  }
+
   test("G10 parity: sourceCapAdmission fed in hash order admits exactly " +
       "capPerSource's kept set with identical ranks; the counter " +
       "persists across batches so late docs stay rejected") {
