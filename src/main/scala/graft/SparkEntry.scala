@@ -274,9 +274,7 @@ object SparkEntry {
     * the K-lag symbol window; warm-up rows excluded. The G47 stream's
     * sink equals this frame row for row (parity spec'd). */
   private def fracDiffOracleSql: String = {
-    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
-      (-wk * (ffdD - (i + 1) + 1) / (i + 1), i + 1)
-    }.map(_._1).take(ffdK + 1).toSeq
+    val weights = Microstructure.ffdWeights(ffdD, ffdK)
     val lags = (1 to ffdK).map(i =>
       s"lag(c0, $i) OVER win AS c$i").mkString(",\n      |    ")
     val dot = weights.zipWithIndex
@@ -294,6 +292,36 @@ object SparkEntry {
       |  $dot AS ffd
       |FROM l WHERE c$ffdK IS NOT NULL
       |ORDER BY tick_id""".stripMargin
+  }
+
+  /** D89/G46 shared oracle fragment: the branchless CUSUM fold over
+    * a move list — pure int64 algebra (clamp via greatest/least,
+    * reset via ×(1 − breach flag)); an acc-conditional CASE inside a
+    * list_reduce lambda mis-evaluates final iterations under this
+    * DuckDB's vectorized execution (probed), so the lambda stays
+    * condition-free. Elements carry the raw move in `m`; their state
+    * fields are the as-if-first fold state so the first element IS
+    * the init. */
+  private def cusumFoldSql(mv: String): String = {
+    val z = "CAST(0 AS BIGINT)"
+    val spNew = s"greatest($z, acc.sp + e.m)"
+    val snNew = s"least($z, acc.sn + e.m)"
+    s"""list_reduce(list_transform($mv, v -> {
+      |        nev: CAST(greatest($z, v) > $cusumH AS BIGINT)
+      |          + CAST(least($z, v) < -$cusumH AS BIGINT),
+      |        sp: greatest($z, v)
+      |          * (1 - CAST(greatest($z, v) > $cusumH AS BIGINT)),
+      |        sn: least($z, v)
+      |          * (1 - CAST(least($z, v) < -$cusumH AS BIGINT)),
+      |        m: v}),
+      |      (acc, e) -> {
+      |        nev: acc.nev + CAST($spNew > $cusumH AS BIGINT)
+      |          + CAST($snNew < -$cusumH AS BIGINT),
+      |        sp: $spNew
+      |          * (1 - CAST($spNew > $cusumH AS BIGINT)),
+      |        sn: $snNew
+      |          * (1 - CAST($snNew < -$cusumH AS BIGINT)),
+      |        m: e.m})""".stripMargin
   }
 
   /** D86/G44 shared oracle fragment: the GARCH(1,1) left fold over a
@@ -10304,12 +10332,9 @@ object SparkEntry {
     // G47 — the live twin's sink IS the batch frame row for row
     // (parity spec'd), so the oracle is the batch oracle verbatim.
     "q_stream_ffd" -> fracDiffOracleSql,
-    // G46 — the branchless CUSUM fold replayed over each move
-    // PREFIX: one trace row per move with registers + event count.
-    "q_stream_cusum" -> {
-      val z = "CAST(0 AS BIGINT)"
-      val spNew = s"greatest($z, acc.sp + e.m)"
-      val snNew = s"least($z, acc.sn + e.m)"
+    // G46 — the shared branchless CUSUM fragment replayed over each
+    // move PREFIX: one trace row per move with registers + count.
+    "q_stream_cusum" ->
       s"""WITH g AS (SELECT symbol,
         |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
         |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
@@ -10324,38 +10349,15 @@ object SparkEntry {
         |    unnest(range(1, len(mv) + 1)) AS k FROM m),
         |tr AS (SELECT symbol, date, ids[k + 1] AS tick_id,
         |    CAST(k AS BIGINT) AS n_move,
-        |    list_reduce(list_transform(mv[1:k], v -> {
-        |        nev: CAST(greatest($z, v) > $cusumH AS BIGINT)
-        |          + CAST(least($z, v) < -$cusumH AS BIGINT),
-        |        sp: greatest($z, v)
-        |          * (1 - CAST(greatest($z, v) > $cusumH AS BIGINT)),
-        |        sn: least($z, v)
-        |          * (1 - CAST(least($z, v) < -$cusumH AS BIGINT)),
-        |        m: v}),
-        |      (acc, e) -> {
-        |        nev: acc.nev + CAST($spNew > $cusumH AS BIGINT)
-        |          + CAST($snNew < -$cusumH AS BIGINT),
-        |        sp: $spNew
-        |          * (1 - CAST($spNew > $cusumH AS BIGINT)),
-        |        sn: $snNew
-        |          * (1 - CAST($snNew < -$cusumH AS BIGINT)),
-        |        m: e.m}) AS st
+        |    ${cusumFoldSql("mv[1:k]")} AS st
         |  FROM rows_)
         |SELECT tick_id, symbol, date, n_move,
         |  CAST(st.sp AS BIGINT) AS s_pos, CAST(st.sn AS BIGINT) AS s_neg,
         |  st.nev AS n_events
-        |FROM tr ORDER BY symbol, date, n_move""".stripMargin
-    },
-    // D89 — the CUSUM fold per (symbol, day), BRANCHLESS int64 (an
-    // acc-conditional CASE inside a list_reduce lambda mis-evaluates
-    // final iterations under this DuckDB's vectorized execution —
-    // probed; clamp via greatest/least, reset via ×(1 − breach)).
-    // Elements carry the raw move in `m`; their state fields are the
-    // as-if-first fold state so the first element IS the init.
-    "q_cusum" -> {
-      val z = "CAST(0 AS BIGINT)"
-      val spNew = s"greatest($z, acc.sp + e.m)"
-      val snNew = s"least($z, acc.sn + e.m)"
+        |FROM tr ORDER BY symbol, date, n_move""".stripMargin,
+    // D89 — the CUSUM day-close fold per (symbol, day): the shared
+    // branchless fragment over the whole move list.
+    "q_cusum" ->
       s"""WITH g AS (SELECT symbol,
         |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
         |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
@@ -10366,28 +10368,12 @@ object SparkEntry {
         |      k -> cs[k] - cs[k - 1]) AS mv
         |  FROM g WHERE len(cs) >= 2),
         |f AS (SELECT symbol, date, len(mv) AS n_moves,
-        |    list_reduce(list_transform(mv, v -> {
-        |        nev: CAST(greatest($z, v) > $cusumH AS BIGINT)
-        |          + CAST(least($z, v) < -$cusumH AS BIGINT),
-        |        sp: greatest($z, v)
-        |          * (1 - CAST(greatest($z, v) > $cusumH AS BIGINT)),
-        |        sn: least($z, v)
-        |          * (1 - CAST(least($z, v) < -$cusumH AS BIGINT)),
-        |        m: v}),
-        |      (acc, e) -> {
-        |        nev: acc.nev + CAST($spNew > $cusumH AS BIGINT)
-        |          + CAST($snNew < -$cusumH AS BIGINT),
-        |        sp: $spNew
-        |          * (1 - CAST($spNew > $cusumH AS BIGINT)),
-        |        sn: $snNew
-        |          * (1 - CAST($snNew < -$cusumH AS BIGINT)),
-        |        m: e.m}) AS st
+        |    ${cusumFoldSql("mv")} AS st
         |  FROM m)
         |SELECT symbol, date, CAST(n_moves AS BIGINT) AS n_moves,
         |  st.nev AS n_events, CAST(st.sp AS BIGINT) AS s_pos_close,
         |  CAST(st.sn AS BIGINT) AS s_neg_close
-        |FROM f ORDER BY symbol, date""".stripMargin
-    },
+        |FROM f ORDER BY symbol, date""".stripMargin,
     // F101 — the BPE merge loop as unrolled materialized CTE rounds.
     "q_bpe_merges" -> bpeOracleSql(bpeTopV, bpeMerges),
     // F101b — learner cascade + uncapped application + fertility.

@@ -2268,12 +2268,18 @@ object Microstructure {
     * window exchange carries all K lags, one projection — no
     * group collapse at all; rows without a full window (each
     * symbol's first K ticks) emit nothing, the honest warm-up. */
+  /** The D88 FFD weight ladder, the ONE spelling every reader
+    * (batch, stream, oracle generator) shares: w₀ = 1,
+    * wₖ = −wₖ₋₁·(d−k+1)/k in Scala doubles. */
+  def ffdWeights(d: Double, k: Int): Seq[Double] =
+    Iterator.iterate((1.0, 0)) { case (wk, i) =>
+      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
+    }.map(_._1).take(k + 1).toSeq
+
   def fracDiff(ticks: DataFrame, d: Double, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val w = Window.partitionBy("symbol").orderBy("tick_id")
-    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
-      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
-    }.map(_._1).take(k + 1).toSeq
+    val weights = ffdWeights(d, k)
     val base = ticks.select(col("tick_id"), col("symbol"),
       expr("CAST(CAST(round(bid * 100.0, 0) AS BIGINT) AS DOUBLE)")
         .as("c0"))

@@ -2165,8 +2165,8 @@ object Streaming {
       }
   }
 
-  /** G44 keyed state: last cents (−1 = none), previous move, current
-    * conditional variance, move count. */
+  /** G44 keyed state: last cents (Long.MinValue = none), previous
+    * move, current conditional variance, move count. */
   case class GarchState(lastC: Long, prev: Double, h: Double, n: Long)
   case class GarchPoint(tick_id: Long, symbol: Long, date: String,
                         n_move: Long, move: Double, h: Double,
@@ -2195,12 +2195,14 @@ object Streaming {
         GroupStateTimeout.NoTimeout) {
         (key: (Long, String), rows: Iterator[Tick],
          state: GroupState[GarchState]) =>
+          // Long.MinValue = no tick seen yet (a plain -1 would
+          // conflate "unseen" with a genuinely negative price)
           var s = state.getOption.getOrElse(
-            GarchState(-1L, 0.0, 0.0, 0L))
+            GarchState(Long.MinValue, 0.0, 0.0, 0L))
           var out = List.empty[GarchPoint]
           rows.toSeq.sortBy(_.tick_id).foreach { t =>
             val c = math.round(t.bid * 100.0)
-            if (s.lastC >= 0L) {
+            if (s.lastC != Long.MinValue) {
               val m = (c - s.lastC).toDouble
               val h = if (s.n == 0L) seed
                 else omega + alpha * s.prev * s.prev + beta * s.h
@@ -2214,8 +2216,8 @@ object Streaming {
       }
   }
 
-  /** G46 keyed state: last cents (−1 = none), the CUSUM register
-    * pair, move count, running event count. */
+  /** G46 keyed state: last cents (Long.MinValue = none), the CUSUM
+    * register pair, move count, running event count. */
   case class CusumState(lastC: Long, sp: Long, sn: Long, n: Long,
                         nev: Long)
   case class CusumPoint(tick_id: Long, symbol: Long, date: String,
@@ -2244,12 +2246,14 @@ object Streaming {
         GroupStateTimeout.NoTimeout) {
         (key: (Long, String), rows: Iterator[Tick],
          state: GroupState[CusumState]) =>
+          // Long.MinValue = no tick seen yet (not -1: negative
+          // prices round to negative cents and must still diff)
           var s = state.getOption.getOrElse(
-            CusumState(-1L, 0L, 0L, 0L, 0L))
+            CusumState(Long.MinValue, 0L, 0L, 0L, 0L))
           var out = List.empty[CusumPoint]
           rows.toSeq.sortBy(_.tick_id).foreach { t =>
             val c = math.round(t.bid * 100.0)
-            if (s.lastC >= 0L) {
+            if (s.lastC != Long.MinValue) {
               val m = c - s.lastC
               val g = math.max(0L, s.sp + m)
               val l = math.min(0L, s.sn + m)
@@ -2281,9 +2285,7 @@ object Streaming {
       : Dataset[FfdPoint] = {
     import ticks.sparkSession.implicits._
     require(k >= 1, s"k must be >= 1: $k")
-    val weights = Iterator.iterate((1.0, 0)) { case (wk, i) =>
-      (-wk * (d - (i + 1) + 1) / (i + 1), i + 1)
-    }.map(_._1).take(k + 1).toSeq
+    val weights = graft.operators.Microstructure.ffdWeights(d, k)
     ticks.groupByKey(_.symbol)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
