@@ -173,102 +173,6 @@ object SparkEntry {
     * longer than 1 only arise for self-pairs a==a), and the position
     * after a start is consumed. syms[i+1] past the end is NULL —
     * COALESCE keeps the last position a non-candidate. */
-  /** One F101 merge-application round as CTE blocks: reads vocabulary
-    * `$tag${r-1}` (w, cnt, syms), applies merge `m$r` with the
-    * set-wise leftmost rule, emits `$tag$r`. */
-  private def bpeApplyRoundSql(tag: String, r: Int): String = {
-    val v = s"$tag${r - 1}"
-    s"""${tag}e$r AS (SELECT w, cnt, i, syms[i] AS s, syms[i + 1] AS nxt
-      |  FROM (SELECT w, cnt, syms,
-      |      unnest(range(1, len(syms) + 1)) AS i FROM $v)),
-      |${tag}c$r AS (SELECT e.w, e.cnt, e.i, e.s, e.nxt,
-      |    COALESCE(e.s = m.a AND e.nxt = m.b, FALSE) AS cand
-      |  FROM ${tag}e$r e LEFT JOIN m$r m ON TRUE),
-      |${tag}g$r AS (SELECT *, i - row_number()
-      |      OVER (PARTITION BY w, cand ORDER BY i) AS grp
-      |  FROM ${tag}c$r),
-      |${tag}s$r AS (SELECT *, cand AND (row_number()
-      |      OVER (PARTITION BY w, cand, grp ORDER BY i) % 2 = 1)
-      |    AS strt FROM ${tag}g$r),
-      |${tag}t$r AS (SELECT *, COALESCE(lag(strt)
-      |      OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
-      |  FROM ${tag}s$r),
-      |$tag$r AS MATERIALIZED (SELECT w, any_value(cnt) AS cnt,
-      |    list(CASE WHEN strt THEN s || nxt ELSE s END ORDER BY i)
-      |      FILTER (NOT consumed) AS syms
-      |  FROM ${tag}t$r GROUP BY w)""".stripMargin
-  }
-
-  /** The F101 learner cascade: capped vocabulary v0 plus `rounds` of
-    * (pair counts p_r → argmax m_r → application v_r). The m_r CTEs
-    * are the learned merge table, shared with the F101b applier. */
-  private def bpeLearnCtes(topV: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
-        |    CAST(sum(cnt) AS BIGINT) AS c
-        |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
-        |    FROM v${r - 1}) GROUP BY 1, 2),
-        |m$r AS MATERIALIZED (SELECT a, b, c FROM p$r
-        |  ORDER BY c DESC, a, b LIMIT 1),
-        |${bpeApplyRoundSql("v", r)}""".stripMargin
-    }.mkString(",\n")
-    s"""v0 AS MATERIALIZED (SELECT w, cnt,
-      |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
-      |  FROM (SELECT w, CAST(sum(n_occ) AS BIGINT) AS cnt FROM sw
-      |    GROUP BY 1 ORDER BY cnt DESC, w LIMIT $topV)),
-      |$roundCtes""".stripMargin
-  }
-
-  /** Shared corpus base for the F101 oracles: per-(source, word)
-    * occurrence counts off the house token spelling. */
-  private val bpeSwSql: String = {
-    import graft.functions.PortableText.duckTokens
-    s"""sw AS MATERIALIZED (SELECT source, w, count(*) AS n_occ
-      |  FROM (SELECT source, unnest($duckTokens) AS w FROM documents)
-      |  GROUP BY 1, 2)""".stripMargin
-  }
-
-  private def bpeOracleSql(topV: Int, rounds: Int): String = {
-    val union = (1 to rounds).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
-        |  a || b AS merged, c AS pair_count FROM m$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH $bpeSwSql,
-      |${bpeLearnCtes(topV, rounds)}
-      |SELECT * FROM (
-      |$union)
-      |ORDER BY merge_rank""".stripMargin
-  }
-
-  /** F101b oracle: the learner cascade for the merges, then the SAME
-    * set-wise application rounds over the UNCAPPED vocabulary (u
-    * chain), then the per-source fertility report. */
-  private def bpeSegmentOracleSql(topV: Int, rounds: Int): String = {
-    val applyCtes = (1 to rounds).map(bpeApplyRoundSql("u", _))
-      .mkString(",\n")
-    s"""WITH $bpeSwSql,
-      |${bpeLearnCtes(topV, rounds)},
-      |u0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS cnt,
-      |    list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms
-      |  FROM (SELECT DISTINCT w FROM sw)),
-      |$applyCtes,
-      |pw AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub,
-      |    syms FROM u$rounds),
-      |tot AS (SELECT source, CAST(sum(n_occ) AS BIGINT) AS n_words,
-      |    CAST(sum(n_occ * n_sub) AS BIGINT) AS n_subwords
-      |  FROM sw JOIN pw USING (w) GROUP BY 1),
-      |ds AS (SELECT source,
-      |    count(DISTINCT sub) AS n_distinct_subwords
-      |  FROM (SELECT DISTINCT source, w FROM sw) j JOIN pw USING (w),
-      |    unnest(pw.syms) AS t(sub)
-      |  GROUP BY 1)
-      |SELECT source, n_words, n_subwords,
-      |  (n_subwords * 1000000) // n_words AS fertility_ppm,
-      |  CAST(n_distinct_subwords AS BIGINT) AS n_distinct_subwords
-      |FROM tot JOIN ds USING (source)
-      |ORDER BY source""".stripMargin
-  }
-
   /** D88/G47 shared oracle: the FFD dot product — Scala-computed
     * weights as round-trip literals, one fixed left-assoc chain over
     * the K-lag symbol window; warm-up rows excluded. The G47 stream's
@@ -366,10 +270,6 @@ object SparkEntry {
       |      p: (1.0 - $kGain) * (acc.p + $kalmanQ)})""".stripMargin
   }
 
-  val bpeTopV = 400             // F101 vocabulary cap (head words)
-  val bpeMerges = 16            // F101 learned merges — probed: the
-                                // corpus supports 89 rounds at every
-                                // gate SF before pairs exhaust
   val ffdD = 0.4                // D88 fractional-differencing order
   val ffdK = 8                  // D88 fixed window width (lags)
   val cusumH = 5000L            // D89 CUSUM threshold (cents)
@@ -1991,18 +1891,6 @@ object SparkEntry {
     // sink equals the batch frame row for row.
     "q_stream_ffd" -> ((s, d) =>
       StreamRegistry.streamFfd(s, d, ffdD, ffdK)),
-    // F101 — the learned BPE merge table (rank, pair, count).
-    "q_bpe_merges" -> ((s, d) => CorpusPipeline
-      .bpeLearn(Tables.documents(s, d), bpeTopV, bpeMerges)),
-    // F101b — the merges applied to the uncapped vocabulary:
-    // per-source fertility report.
-    "q_bpe_segment" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val merges = CorpusPipeline.bpeLearn(docs, bpeTopV, bpeMerges)
-        .select("lhs", "rhs").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSeq
-      CorpusPipeline.bpeSegment(docs, merges)
-    }),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -10374,10 +10262,6 @@ object SparkEntry {
         |  st.nev AS n_events, CAST(st.sp AS BIGINT) AS s_pos_close,
         |  CAST(st.sn AS BIGINT) AS s_neg_close
         |FROM f ORDER BY symbol, date""".stripMargin,
-    // F101 — the BPE merge loop as unrolled materialized CTE rounds.
-    "q_bpe_merges" -> bpeOracleSql(bpeTopV, bpeMerges),
-    // F101b — learner cascade + uncapped application + fertility.
-    "q_bpe_segment" -> bpeSegmentOracleSql(bpeTopV, bpeMerges),
 
     // D86 — the GARCH(1,1) filter fold per (symbol, day): same
     // lambda, same left-to-right order as the Spark aggregate; the

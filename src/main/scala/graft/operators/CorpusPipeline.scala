@@ -1349,142 +1349,4 @@ object CorpusPipeline {
       .select("source", "rnk", "doc_id", "weight", "es_key")
       .orderBy("source", "rnk")
   }
-
-  /** F101 — BPE MERGE LEARNER (Sennrich et al. 2016, the tokenizer-
-    * training step every LLM data pipeline runs before anything else
-    * tokenizes): learn the first `rounds` byte-pair merges from the
-    * corpus. Two-stage split, which is how production tokenizer
-    * trainers are actually built: (1) the CORPUS-SCALE stage is one
-    * distributed token-count aggregate (map-side partials — the only
-    * pass that touches data-scale rows); (2) the vocabulary is capped
-    * to `topV` head words by (count desc, word asc) — a PARAMETER
-    * bound — and the merge loop runs driver-side over those ≤topV
-    * symbol sequences (the A19/D84 bounded-decision rule: the model
-    * artifact, not the data; at 100 TB you raise topV, the split
-    * stands). Classic semantics, pinned deterministically: pair
-    * counts weight by word frequency and count OVERLAPPING adjacent
-    * occurrences ("aaa" contributes 2 to (a,a) — the get_stats rule);
-    * argmax ties break (count desc, lhs asc, rhs asc); application is
-    * LEFTMOST-FIRST non-overlapping ("aaaa" merges positions 1 and
-    * 3). No end-of-word marker (documented deviation — merges stay
-    * word-internal either way). Output: one row per learned merge
-    * (rank, lhs, rhs, merged, pair_count). The DuckDB oracle replays
-    * the loop as GENERATED unrolled MATERIALIZED CTE rounds (the
-    * F59/F61 cascade discipline) with the leftmost rule spelled
-    * set-wise: candidate runs are gaps-and-islands groups, a
-    * candidate merges iff its rank within its run is odd. Exact
-    * integer counts throughout — no floats anywhere. Throws if the
-    * corpus exhausts its pairs before `rounds` (the generated oracle
-    * is fixed-depth; probed: 89 available rounds at every gate SF
-    * for rounds = 16). */
-  def bpeLearn(docs: DataFrame, topV: Int, rounds: Int): DataFrame = {
-    require(topV >= 1, s"topV must be >= 1: $topV")
-    require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    val ss = docs.sparkSession
-    import ss.implicits._
-    val capped = docs
-      .select(explode(expr(tokens)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w"))
-      .limit(topV)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    var vocab: Seq[(Array[String], Long)] =
-      capped.map { case (w, c) => (w.map(_.toString).toArray, c) }.toSeq
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + c
-          i += 1
-        }
-      }
-      require(counts.nonEmpty,
-        s"corpus exhausted its pairs at round $r of $rounds")
-      val ((a, b), c) = counts.toSeq
-        .minBy { case ((x, y), n) => (-n, x, y) }
-      merges += ((r.toLong, a, b, a + b, c))
-      vocab = vocab.map { case (syms, wc) =>
-        val out = Array.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result(), wc)
-      }
-    }
-    merges.result()
-      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy("merge_rank")
-  }
-
-  /** F101b — BPE SEGMENTER + FERTILITY AUDIT: the SERVING side of
-    * [[bpeLearn]] (train → apply, the D84→G43 pairing): apply the
-    * learned merge table to the WHOLE corpus vocabulary —
-    * distributed, uncapped, no driver loop — and report per-source
-    * segmentation quality: total words, total subwords, fertility
-    * (subwords per 10⁶ words, exact integer division) and the
-    * distinct-subword count — the table a tokenizer rollout review
-    * reads ("how many pieces does this corpus shatter into at R
-    * merges?"). Physical shape: ONE distinct over (source, word)
-    * plus one (word) vocab collapse — vocab-scale, not corpus-scale —
-    * then each merge round is a PER-ROW array fold (Spark
-    * `aggregate` with an (out, carry) accumulator implementing the
-    * leftmost rule: carry==lhs ∧ x==rhs merges and blanks the carry,
-    * so a merged symbol never re-merges this round) — R chained
-    * projections, ZERO additional shuffles; the final stats are two
-    * vocab-scale aggregates joined per source. Strings only — no
-    * float anywhere — so the oracle's set-wise spelling (the F101
-    * window rounds, applied to the uncapped vocabulary) lands on
-    * identical segmentations by construction. */
-  def bpeSegment(docs: DataFrame,
-                 merges: Seq[(String, String)]): DataFrame = {
-    require(merges.nonEmpty, "merge table must not be empty")
-    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
-    val sw = docs
-      .select(col("source"), explode(expr(tokens)).as("w"))
-      .groupBy("source", "w").agg(count(lit(1)).as("n_occ"))
-    val vocab0 = sw.groupBy("w").agg(sum("n_occ").as("cnt"))
-      .withColumn("syms", expr(
-        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
-    val segmented = merges.foldLeft(vocab0) { case (v, (a, b)) =>
-      v.withColumn("syms", expr(
-        s"""aggregate(syms,
-          |  named_struct('out', CAST(array() AS ARRAY<STRING>),
-          |    'carry', ''),
-          |  (acc, x) -> CASE
-          |    WHEN acc.carry = ${sqlLit(a)} AND x = ${sqlLit(b)}
-          |    THEN named_struct('out',
-          |      concat(acc.out, array(${sqlLit(a + b)})), 'carry', '')
-          |    ELSE named_struct('out',
-          |      CASE WHEN acc.carry <> ''
-          |        THEN concat(acc.out, array(acc.carry))
-          |        ELSE acc.out END, 'carry', x) END,
-          |  acc -> CASE WHEN acc.carry <> ''
-          |    THEN concat(acc.out, array(acc.carry))
-          |    ELSE acc.out END)""".stripMargin))
-    }
-    val perWord = segmented
-      .select(col("w"), size(col("syms")).cast("long").as("n_sub"),
-        col("syms"))
-    val totals = sw.join(broadcast(perWord.select("w", "n_sub")), Seq("w"))
-      .groupBy("source")
-      .agg(sum("n_occ").as("n_words"),
-        sum(col("n_occ") * col("n_sub")).as("n_subwords"))
-    val distinctSub = sw.select("source", "w").distinct()
-      .join(broadcast(perWord.select("w", "syms")), Seq("w"))
-      .select(col("source"), explode(col("syms")).as("sub"))
-      .groupBy("source")
-      .agg(countDistinct("sub").as("n_distinct_subwords"))
-    totals.join(distinctSub, Seq("source"))
-      .withColumn("fertility_ppm",
-        expr("(n_subwords * 1000000) DIV n_words"))
-      .select("source", "n_words", "n_subwords", "fertility_ppm",
-        "n_distinct_subwords")
-      .orderBy("source")
-  }
 }

@@ -28,64 +28,6 @@ class CorpusPipelineSpec extends SparkSpec {
       (4L, false, Some("low_stop"))))
   }
 
-  test("F101 bpeLearn: hand-computed merges — overlapping pair counts " +
-      "(get_stats rule), (count, lhs, rhs) tie-break, leftmost " +
-      "non-overlapping application, and duplication invariance") {
-    // vocab: "aaaa"×3, "abab"×2, "ba"×4 (each doc one word)
-    val docs = docsFrom((1L to 3L).map(i => i -> "aaaa") ++
-      Seq(4L -> "abab", 5L -> "abab") ++
-      (6L to 9L).map(i => i -> "ba"): _*)
-    // round 1 counts: (a,a): 3 words × 3 overlapping occurrences = 9;
-    // (a,b): abab has 2 per word × 2 words = 4;
-    // (b,a): abab 1 per word × 2 + ba × 4 = 6. argmax (a,a) = 9.
-    // application: aaaa → [aa, aa] (leftmost: pos 1 and 3); abab, ba unchanged.
-    // round 2 counts: (aa,aa): 3; (a,b): 4; (b,a): 6 → argmax (b,a)=6.
-    // round 3: ba merged: abab → [a, ba, b]; ba → [ba].
-    //   counts: (aa,aa): 3; (a,ba): 2; (ba,b): 2 → argmax (aa,aa)=3.
-    val out = CorpusPipeline.bpeLearn(docs, topV = 10, rounds = 3)
-      .as[(Long, String, String, String, Long)].collect().toSeq
-    assert(out == Seq(
-      (1L, "a", "a", "aa", 9L),
-      (2L, "b", "a", "ba", 6L),
-      (3L, "aa", "aa", "aaaa", 3L)))
-    // duplication invariance: doubling every doc doubles counts only
-    val doubled = docsFrom(((1L to 3L) ++ (11L to 13L)).map(i => i -> "aaaa") ++
-      Seq(4L -> "abab", 5L -> "abab", 14L -> "abab", 15L -> "abab") ++
-      ((6L to 9L) ++ (16L to 19L)).map(i => i -> "ba"): _*)
-    val out2 = CorpusPipeline.bpeLearn(doubled, topV = 10, rounds = 3)
-      .as[(Long, String, String, String, Long)].collect().toSeq
-    assert(out2 == out.map { case (r, a, b, m, c) => (r, a, b, m, 2 * c) })
-    // pair exhaustion throws rather than silently under-emitting
-    val tiny = docsFrom(1L -> "ab")
-    intercept[IllegalArgumentException] {
-      CorpusPipeline.bpeLearn(tiny, topV = 10, rounds = 3)
-    }
-  }
-
-  test("F101b bpeSegment: hand-computed fertility on the 3-merge " +
-      "tape; the (out, carry) fold applier matches the learner's own " +
-      "greedy segmentation word for word") {
-    val docs = docsFrom((1L to 3L).map(i => i -> "aaaa") ++
-      Seq(4L -> "abab", 5L -> "abab") ++
-      (6L to 9L).map(i => i -> "ba"): _*)
-    val merges = CorpusPipeline.bpeLearn(docs, topV = 10, rounds = 3)
-      .select("lhs", "rhs").as[(String, String)].collect().toSeq
-    val out = CorpusPipeline.bpeSegment(docs, merges)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    // after (a,a), (b,a), (aa,aa): aaaa→[aaaa]; abab→[a,ba,b]; ba→[ba]
-    // words: 9; subwords: 3·1 + 2·3 + 4·1 = 13; fertility 1444444;
-    // distinct subwords: {aaaa, a, ba, b} = 4
-    assert(out == Seq(("s", 9L, 13L, 1444444L, 4L)))
-    // cross-implementation equivalence: the fold applier segments a
-    // probe corpus of the SAME words identically to what a repeated
-    // learner run (driver greedy loop) converges those words to —
-    // checked via subword totals per word
-    val probe = docsFrom(10L -> "aaaa", 11L -> "abab", 12L -> "ba")
-    val seg2 = CorpusPipeline.bpeSegment(probe, merges)
-      .as[(String, Long, Long, Long, Long)].collect().toSeq
-    assert(seg2 == Seq(("s", 3L, 5L, 1666666L, 4L)))
-  }
-
   test("qualityFilter: short wins over repetitive when both fail") {
     val docs = docsFrom(1L -> "x x x") // 3 tokens, rep_ratio 2/3 > 0.65
     val reason = CorpusPipeline.qualityFilter(docs)

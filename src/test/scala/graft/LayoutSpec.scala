@@ -368,8 +368,7 @@ class LayoutSpec extends SparkSpec {
 
   test("H16: the sequential-filter family compiles to exactly ONE " +
       "hash exchange (the day/symbol collapse the fold rides) — the " +
-      "recurrence itself adds no shuffle; the BPE merge rounds add " +
-      "ZERO exchanges regardless of round count") {
+      "recurrence itself adds no shuffle") {
     // The 100 TB contract for every fold-where-the-sequence-lives
     // operator (D86/D87/D89) and the lag-window FFD (D88): the one
     // hash exchange groups/partitions by the bounded sequence key;
@@ -395,20 +394,5 @@ class LayoutSpec extends SparkSpec {
       assert(hashExchanges(plan) == 1,
         s"$name expected exactly 1 hash exchange:\n$plan")
     }
-    // BPE application rounds are pure per-row projections: the
-    // exchange count must not depend on how many merges are applied
-    val docs = graft.sources.Tables.documents(spark, d)
-    val merges = graft.operators.CorpusPipeline
-      .bpeLearn(docs, 50, 3)
-      .select("lhs", "rhs").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
-    val p1 = graft.operators.CorpusPipeline
-      .bpeSegment(docs, merges.take(1))
-      .queryExecution.executedPlan.toString
-    val p3 = graft.operators.CorpusPipeline
-      .bpeSegment(docs, merges)
-      .queryExecution.executedPlan.toString
-    assert(hashExchanges(p1) == hashExchanges(p3),
-      s"merge rounds added exchanges:\n1 round:\n$p1\n3 rounds:\n$p3")
   }
 }
