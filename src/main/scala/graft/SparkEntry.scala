@@ -270,6 +270,45 @@ object SparkEntry {
       |      p: (1.0 - $kGain) * (acc.p + $kalmanQ)})""".stripMargin
   }
 
+  /** D90/G48 shared oracle fragment: the two-state forward-filter
+    * fold over a move list `mv` — the normalized HMM posterior as
+    * ONE scalar (p_L; p_H ≡ 1 − p_L spelled identically everywhere).
+    * Rational Cauchy-kernel emissions keep every step +/·// on
+    * doubles (no exp — libm-free, bit-identical across engines).
+    * Field order is load-bearing (sequential in-place struct
+    * evaluation): nhi/pmax read acc.pl before pl writes it; the
+    * element's raw move rides in `m`. */
+  private def hmmFoldSql(mv: String): String = {
+    val hp = hmmParams
+    import hp._
+    def eL(m: String) = s"($gL / ($gL2 + $m * $m))"
+    def eH(m: String) = s"($gH / ($gH2 + $m * $m))"
+    val uL0 = s"($piL * ${eL("v")})"
+    val uH0 = s"($piH * ${eH("v")})"
+    val pl0 = s"($uL0 / ($uL0 + $uH0))"
+    val uL =
+      s"(${eL("e.m")} * ($stayL * acc.pl + $toL * (1.0 - acc.pl)))"
+    val uH =
+      s"(${eH("e.m")} * ($toH * acc.pl + $stayH * (1.0 - acc.pl)))"
+    val plN = s"($uL / ($uL + $uH))"
+    s"""list_reduce(list_transform($mv, v -> {
+      |        nhi: CAST((1.0 - $pl0) > 0.5 AS BIGINT),
+      |        pmax: (1.0 - $pl0),
+      |        pl: $pl0,
+      |        m: v}),
+      |      (acc, e) -> {
+      |        nhi: acc.nhi + CAST((1.0 - $plN) > 0.5 AS BIGINT),
+      |        pmax: greatest(acc.pmax, (1.0 - $plN)),
+      |        pl: $plN,
+      |        m: e.m})""".stripMargin
+  }
+
+  /** D90/G48 parameters — emission scales bracket the tape's move
+    * distribution (|move| median ≈ 3.5k cents, p99 ≈ 22k at sf0.01:
+    * γ_L sits below the median, γ_H above p90, so the posterior
+    * actually travels), sticky transitions keep regimes persistent. */
+  val hmmParams = graft.operators.Microstructure.HmmParams(
+    gL = 2000.0, gH = 12000.0, stayL = 0.95, stayH = 0.90)
   val ffdD = 0.4                // D88 fractional-differencing order
   val ffdK = 8                  // D88 fixed window width (lags)
   val cusumH = 5000L            // D89 CUSUM threshold (cents)
@@ -1891,6 +1930,13 @@ object SparkEntry {
     // sink equals the batch frame row for row.
     "q_stream_ffd" -> ((s, d) =>
       StreamRegistry.streamFfd(s, d, ffdD, ffdK)),
+    // D90 — two-state regime filter day-close posterior state.
+    "q_hmm_regime" -> ((s, d) => graft.operators.Microstructure
+      .hmmFilter(Tables.ticks(s, d), hmmParams)),
+    // G48 — the regime filter live: a point per move with the
+    // post-update P(high) and its regime verdict.
+    "q_stream_hmm" -> ((s, d) =>
+      StreamRegistry.streamHmm(s, d, hmmParams)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -10321,6 +10367,49 @@ object SparkEntry {
         |  FROM rows_)
         |SELECT tick_id, symbol, date, n_move, move, st.h AS h,
         |  move * move > 4.0 * st.h AS breach
+        |FROM tr ORDER BY symbol, date, n_move""".stripMargin,
+    // D90 — the two-state forward-filter fold per (symbol, day):
+    // same rational lambda, same left-to-right order as the Spark
+    // aggregate (p_H ≡ 1 − p_L spelled identically in both engines).
+    "q_hmm_regime" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> CAST(cs[k] - cs[k - 1] AS DOUBLE)) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |f AS (SELECT symbol, date, len(mv) AS n_moves,
+        |    ${hmmFoldSql("mv")} AS st
+        |  FROM m)
+        |SELECT symbol, date, CAST(n_moves AS BIGINT) AS n_moves,
+        |  1.0 - st.pl AS p_high_close, st.pmax AS p_high_max,
+        |  st.nhi AS n_high
+        |FROM f ORDER BY symbol, date""".stripMargin,
+    // G48 — the same regime fold replayed over each move PREFIX: one
+    // trace row per cent move with its posterior and regime verdict.
+    "q_stream_hmm" ->
+      s"""WITH g AS (SELECT symbol,
+        |    strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs,
+        |    list(tick_id ORDER BY tick_id) AS ids
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |m AS (SELECT symbol, date, ids,
+        |    list_transform(range(2, len(cs) + 1),
+        |      k -> CAST(cs[k] - cs[k - 1] AS DOUBLE)) AS mv
+        |  FROM g WHERE len(cs) >= 2),
+        |rows_ AS (SELECT symbol, date, ids, mv,
+        |    unnest(range(1, len(mv) + 1)) AS k FROM m),
+        |tr AS (SELECT symbol, date, ids[k + 1] AS tick_id,
+        |    CAST(k AS BIGINT) AS n_move, mv[k] AS move,
+        |    ${hmmFoldSql("mv[1:k]")} AS st
+        |  FROM rows_)
+        |SELECT tick_id, symbol, date, n_move, move,
+        |  1.0 - st.pl AS p_high,
+        |  (1.0 - st.pl) > 0.5 AS is_high
         |FROM tr ORDER BY symbol, date, n_move""".stripMargin,
     // G45 — the Kalman fold replayed over each tick PREFIX: one
     // trace row per tick with the post-update (x̂, P).

@@ -2391,4 +2391,103 @@ object Microstructure {
         col("st.p").as("p_close"),
         col("st.imax").as("innov_max"))
       .orderBy("symbol", "date")
+
+  /** D90/G48 shared parameter derivation — the ONE spelling of every
+    * derived HMM constant (the ffdWeights discipline: batch, stream
+    * and oracle generator all read THESE Scala doubles; interpolated
+    * into SQL as round-trip literals so neither engine ever computes
+    * `1 − stay` in DECIMAL).
+    *
+    *  - `gL/gH`: emission scales (cents) of the calm/stormy state's
+    *    Cauchy-family kernel e(m) = γ/(γ² + m²) — RATIONAL in m, so
+    *    the whole filter is +/·// on doubles, bit-identical across
+    *    engines (a Gaussian emission's exp() is libm-dependent and
+    *    would break the element-wise oracle contract; the Cauchy
+    *    kernel's fat tails are also the right likelihood for tick
+    *    moves). The π normalizer cancels in the posterior, so it is
+    *    never computed.
+    *  - `stayL/stayH`: self-transition probabilities.
+    *  - Derived: flip probabilities and the stationary prior
+    *    π_H = (1−a_LL)/((1−a_LL)+(1−a_HH)) used to seed the first
+    *    move's posterior. */
+  final case class HmmParams(gL: Double, gH: Double,
+                             stayL: Double, stayH: Double) {
+    require(gL > 0 && gH > gL, s"need 0 < gL < gH: $gL, $gH")
+    require(stayL > 0 && stayL < 1 && stayH > 0 && stayH < 1,
+      s"stay probabilities must be in (0,1): $stayL, $stayH")
+    val gL2: Double = gL * gL
+    val gH2: Double = gH * gH
+    val toH: Double = 1.0 - stayL  // P(L → H)
+    val toL: Double = 1.0 - stayH  // P(H → L)
+    val piH: Double = toH / (toH + toL)
+    val piL: Double = 1.0 - piH
+  }
+
+  /** D90 — TWO-STATE REGIME FILTER (forward-algorithm HMM posterior)
+    * per (symbol, trading day): the online probability that the tape
+    * is currently in its HIGH-VOLATILITY regime — the filter a
+    * vol-regime switcher runs live, completing the sequential-filter
+    * family (D15 fixed-gain level, D87 optimal-gain level, D86
+    * variance, D89 event sampler — this one is the STATE classifier
+    * over D86's moves). Two hidden states with Cauchy-kernel
+    * emissions e_s(m) = γ_s/(γ_s² + m²) and a 2×2 sticky transition
+    * matrix; the normalized forward recursion carries ONE scalar
+    * (p_L, with p_H ≡ 1 − p_L spelled identically in both engines):
+    *
+    *   u_L = e_L(m)·(a_LL·p_L + (1−a_HH)·(1−p_L))
+    *   u_H = e_H(m)·((1−a_LL)·p_L + a_HH·(1−p_L))
+    *   p_L′ = u_L/(u_L + u_H)
+    *
+    * seeded from the stationary prior on the first move. Every step
+    * is rational double arithmetic (the exp-free emission is chosen
+    * for exactly this), so the DuckDB oracle folds the same ordered
+    * list bit-for-bit (unrounded emission, SURVEY §6 element-wise
+    * rule). Same physical shape as D86/D87/D89: ONE (symbol, day)
+    * shuffle, a left fold where the sequence lives, never a driver
+    * loop. Emits the day's closing P(high), the day's max P(high),
+    * and the step count spent in the high regime (posterior > 1/2) —
+    * the cells a regime-aware execution scheduler consumes. Days
+    * with no move emit nothing. */
+  def hmmFilter(ticks: DataFrame, hp: HmmParams): DataFrame = {
+    import hp._
+    // one spelling of every sub-expression, shared by init and step
+    def eL(m: String) = s"($gL / ($gL2 + $m * $m))"
+    def eH(m: String) = s"($gH / ($gH2 + $m * $m))"
+    val v0 = "element_at(moves, 1)"
+    val uL0 = s"($piL * ${eL(v0)})"
+    val uH0 = s"($piH * ${eH(v0)})"
+    val pl0 = s"($uL0 / ($uL0 + $uH0))"
+    val uL = s"(${eL("m")} * ($stayL * acc.pl + $toL * (1.0 - acc.pl)))"
+    val uH = s"(${eH("m")} * ($toH * acc.pl + $stayH * (1.0 - acc.pl)))"
+    val plN = s"($uL / ($uL + $uH))"
+    ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(expr(
+        "sort_array(collect_list(struct(ts, tick_id, " +
+          "CAST(round(bid * 100.0, 0) AS BIGINT) AS cents)))").as("arr"))
+      .withColumn("moves", expr(
+        """transform(slice(arr, 2, size(arr) - 1),
+          |  (x, i) -> CAST(x.cents - element_at(arr, i + 1).cents
+          |    AS DOUBLE))""".stripMargin))
+      .filter(size(col("moves")) >= 1)
+      .withColumn("st", expr(
+        s"""aggregate(slice(moves, 2, size(moves) - 1),
+          |  named_struct(
+          |    'nhi', CAST((1.0 - $pl0) > 0.5 AS BIGINT),
+          |    'pmax', (1.0 - $pl0),
+          |    'pl', $pl0,
+          |    'm', $v0),
+          |  (acc, m) -> named_struct(
+          |    'nhi', acc.nhi + CAST((1.0 - $plN) > 0.5 AS BIGINT),
+          |    'pmax', greatest(acc.pmax, (1.0 - $plN)),
+          |    'pl', $plN,
+          |    'm', m))""".stripMargin))
+      .select(col("symbol"),
+        date_format(col("_date"), "yyyy-MM-dd").as("date"),
+        size(col("moves")).cast("long").as("n_moves"),
+        expr("1.0 - st.pl").as("p_high_close"),
+        col("st.pmax").as("p_high_max"),
+        col("st.nhi").as("n_high"))
+      .orderBy("symbol", "date")
+  }
 }

@@ -885,6 +885,17 @@ object StreamRegistry {
       t => Streaming.ffdPoints(t, dOrd, k).toDF())
       .orderBy("tick_id")
 
+  /** G48 twin key: the two-state regime filter on the tape — a point
+    * per cent move carrying the post-update P(high) and its regime
+    * verdict; the oracle replays the identical rational fold over
+    * each move prefix. */
+  def streamHmm(s: SparkSession, d: String,
+                hp: graft.operators.Microstructure.HmmParams)
+      : DataFrame =
+    runTape(s, tickTape(s, d), OutputMode.Append)(
+      t => Streaming.hmmPoints(t, hp).toDF())
+      .orderBy("symbol", "date", "n_move")
+
   /** G33 twin key: the event-time-timeout dormancy detector on the
     * tape. Emission is WATERMARK-driven, so the drive protocol IS
     * part of the contract and the oracle simulates it exactly: 4

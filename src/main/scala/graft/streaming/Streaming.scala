@@ -2352,4 +2352,62 @@ object Streaming {
           out.reverseIterator
       }
   }
+
+  /** G48 keyed state: last cents (Long.MinValue = none), the scalar
+    * forward posterior P(low), move count. */
+  case class HmmState(lastC: Long, pl: Double, n: Long)
+  case class HmmPoint(tick_id: Long, symbol: Long, date: String,
+                      n_move: Long, move: Double, p_high: Double,
+                      is_high: Boolean)
+
+  /** G48 — STREAMING TWO-STATE REGIME FILTER: the live twin of
+    * `Microstructure.hmmFilter` (D90) — the normalized forward
+    * recursion per (symbol, day) in keyed state (ONE posterior
+    * scalar + the cent register), a point per cent move carrying the
+    * post-update P(high) and its regime verdict (posterior > 1/2) —
+    * the live regime pager an execution scheduler subscribes to.
+    * Arithmetic is operation-for-operation the batch fold (Cauchy
+    * kernel, stationary seed, single-scalar posterior with
+    * p_H ≡ 1 − p_L), so the last point per (symbol, day) equals the
+    * batch row bit-for-bit (spec'd) and the DuckDB oracle replays
+    * the fold over each move prefix. */
+  def hmmPoints(ticks: Dataset[Tick],
+                hp: graft.operators.Microstructure.HmmParams)
+      : Dataset[HmmPoint] = {
+    import ticks.sparkSession.implicits._
+    import hp._
+    def utcDate(ts: Timestamp): String =
+      java.time.Instant.ofEpochMilli(ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    ticks.groupByKey(t => (t.symbol, utcDate(t.ts)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Tick],
+         state: GroupState[HmmState]) =>
+          // Long.MinValue = no tick seen yet (not -1: negative
+          // prices round to negative cents and must still diff)
+          var s = state.getOption.getOrElse(
+            HmmState(Long.MinValue, 0.0, 0L))
+          var out = List.empty[HmmPoint]
+          rows.toSeq.sortBy(_.tick_id).foreach { t =>
+            val c = math.round(t.bid * 100.0)
+            if (s.lastC != Long.MinValue) {
+              val m = (c - s.lastC).toDouble
+              val eLm = gL / (gL2 + m * m)
+              val eHm = gH / (gH2 + m * m)
+              // identical expression trees as the batch SQL fold
+              val uL = if (s.n == 0L) piL * eLm
+                else eLm * (stayL * s.pl + toL * (1.0 - s.pl))
+              val uH = if (s.n == 0L) piH * eHm
+                else eHm * (toH * s.pl + stayH * (1.0 - s.pl))
+              val pl = uL / (uL + uH)
+              s = HmmState(c, pl, s.n + 1L)
+              out = HmmPoint(t.tick_id, key._1, key._2, s.n, m,
+                1.0 - pl, (1.0 - pl) > 0.5) :: out
+            } else s = s.copy(lastC = c)
+          }
+          state.update(s)
+          out.reverseIterator
+      }
+  }
 }

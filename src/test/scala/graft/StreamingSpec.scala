@@ -524,6 +524,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G48 parity: hmmPoints replays the exact two-state forward " +
+      "recursion across a mid-day batch split; the last point per " +
+      "(symbol, day) equals the batch hmmFilter row; big moves push " +
+      "the posterior toward the high regime, calm moves decay it") {
+    import graft.streaming.Streaming.HmmPoint
+    val hp = SparkEntry.hmmParams
+    val rows = Seq(
+      Tick(1L, 1L, t("2024-01-01 10:00:01"), 100.00),
+      Tick(2L, 1L, t("2024-01-01 10:00:02"), 250.00), // +15000 c: storm
+      Tick(3L, 1L, t("2024-01-01 10:00:03"), 400.00), // +15000 c: storm
+      Tick(4L, 1L, t("2024-01-01 10:00:04"), 400.10), // +10 c: calm
+      Tick(5L, 1L, t("2024-01-01 10:00:05"), 400.20), // +10 c: calm
+      Tick(6L, 1L, t("2024-01-02 10:00:01"), 7.0),    // new day, 1 tick
+      Tick(7L, 2L, t("2024-01-01 10:00:01"), 1.0),
+      Tick(8L, 2L, t("2024-01-01 10:00:02"), 1.02))
+    // in-test replica of the recursion, Scala-order
+    def trace(moves: Seq[Double]): Seq[Double] = {
+      import hp._
+      var pl = 0.0
+      moves.zipWithIndex.map { case (m, i) =>
+        val eLm = gL / (gL2 + m * m); val eHm = gH / (gH2 + m * m)
+        val uL = if (i == 0) piL * eLm
+          else eLm * (stayL * pl + toL * (1.0 - pl))
+        val uH = if (i == 0) piH * eHm
+          else eHm * (toH * pl + stayH * (1.0 - pl))
+        pl = uL / (uL + uH)
+        1.0 - pl
+      }
+    }
+    val want1 = trace(Seq(15000.0, 15000.0, 10.0, 10.0))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Tick]
+    val q = Streaming.hmmPoints(in.toDS(), hp)
+      .writeStream.format("memory").queryName("p_hmm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(rows.take(3): _*); q.processAllAvailable()
+      in.addData(rows.drop(3): _*); q.processAllAvailable()
+      val out = spark.table("p_hmm").as[HmmPoint].collect()
+      assert(out.count(_.symbol == 1L) == 4) // day-2 single tick: none
+      val got1 = out.filter(_.symbol == 1L).sortBy(_.n_move)
+        .map(_.p_high).toSeq
+      assert(got1 == want1)
+      // storm moves drive the posterior up, calm moves decay it
+      assert(got1(1) > got1.head && got1(1) > 0.5)
+      assert(got1(2) < got1(1) && got1(3) < got1(2))
+      val batch = graft.operators.Microstructure.hmmFilter(
+        rows.map(r => (r.tick_id, r.symbol, r.ts, r.bid, r.bid + 0.1))
+          .toDF("tick_id", "symbol", "ts", "bid", "ask"), hp)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+        .toMap
+      assert(!batch.contains((1L, "2024-01-02")), "single-tick day")
+      val lastPerKey = out.groupBy(p => (p.symbol, p.date))
+        .map { case (k, ps) =>
+          val sorted = ps.sortBy(_.n_move)
+          k -> ((sorted.map(_.n_move).max, sorted.last.p_high,
+            sorted.map(_.p_high).max,
+            sorted.count(_.is_high).toLong))
+        }
+      assert(lastPerKey == batch)
+    } finally q.stop()
+  }
+
   test("G46 parity: cusumPoints replays the branchless CUSUM across " +
       "a mid-day batch split; the last point per (symbol, day) " +
       "carries the batch close registers and the day's event total") {
