@@ -162,17 +162,6 @@ object SparkEntry {
   val recallSeverities: Seq[Int] = Seq(2, 3, 5, 10) // F85 drop-every-k
   val dedupThrTenthsSql: String =
     dedupThrTenths.map(t => s"($t)").mkString(", ")
-  /** F101 oracle: the BPE merge loop as GENERATED unrolled
-    * MATERIALIZED CTE rounds (the F59/F61 cascade discipline — DuckDB
-    * re-inlines non-materialized CTEs per reference). Per round r:
-    * pair counts from the round-(r−1) vocabulary (overlapping
-    * occurrences, word-frequency weighted), the argmax merge
-    * (count desc, lhs, rhs), then the LEFTMOST-FIRST non-overlapping
-    * application spelled SET-WISE: a position is a merge START iff
-    * its rank within its consecutive candidate run is odd (runs
-    * longer than 1 only arise for self-pairs a==a), and the position
-    * after a start is consumed. syms[i+1] past the end is NULL —
-    * COALESCE keeps the last position a non-candidate. */
   /** D88/G47 shared oracle: the FFD dot product — Scala-computed
     * weights as round-trip literals, one fixed left-assoc chain over
     * the K-lag symbol window; warm-up rows excluded. The G47 stream's
@@ -309,6 +298,8 @@ object SparkEntry {
     * actually travels), sticky transitions keep regimes persistent. */
   val hmmParams = graft.operators.Microstructure.HmmParams(
     gL = 2000.0, gH = 12000.0, stayL = 0.95, stayH = 0.90)
+  val bm25K1 = 1.2              // F101 BM25 tf saturation
+  val bm25B = 0.75              // F101 BM25 length-normalization mix
   val ffdD = 0.4                // D88 fractional-differencing order
   val ffdK = 8                  // D88 fixed window width (lags)
   val cusumH = 5000L            // D89 CUSUM threshold (cents)
@@ -1635,6 +1626,11 @@ object SparkEntry {
       Retrieval.rankingAudit(Tables.documents(s, d), auditQueries, auditK)),
     "q_term_search" -> ((s, d) =>
       Retrieval.termSearch(Tables.documents(s, d), "dup scan spark xyzzy", 15)),
+    // F101 — BM25 top-k: length-normalized lexical ranking (same
+    // query as F28 so the two rankers are directly comparable).
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25Search(Tables.documents(s, d), "dup scan spark xyzzy", 15,
+        bm25K1, bm25B)),
     // F33 — hybrid retrieval: top-20 lexical candidates re-ranked by
     // cosine against vec 0's embedding (vec_id = doc_id, SURVEY §3).
     "q_hybrid_search" -> ((s, d) =>
@@ -8755,6 +8751,41 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
         |    AS rnk,
         |  doc_id, n_hit_terms, score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+    },
+    // F101 — BM25: the per-term double score through ONE fixed
+    // expression tree (identical to the Spark spelling), floored to
+    // int64 so the per-doc sum is an exact-integer reduction; k1+1
+    // and 1−b are Scala round-trip literals.
+    "q_bm25" -> {
+      import graft.functions.PortableText._
+      val (k1, b) = (bm25K1, bm25B)
+      val k1p1 = k1 + 1.0      // same Scala ops as the operator's
+      val oneMinusB = 1.0 - b  // derivation — identical doubles
+      s"""WITH tok AS (SELECT doc_id, len($duckTokens) AS dl,
+        |    unnest($duckTokens) AS token
+        |  FROM documents),
+        |ft AS (SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+        |  FROM tok
+        |  WHERE token IN ('dup', 'scan', 'spark', 'xyzzy')
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM ft GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(len($duckTokens)) AS BIGINT) AS sum_dl
+        |  FROM documents),
+        |sc AS (SELECT doc_id, count(*) AS n_hit_terms,
+        |    CAST(max(dl) AS BIGINT) AS dl,
+        |    CAST(sum(CAST(floor(CAST((n_docs * 1000) // df AS DOUBLE)
+        |      * (CAST(tf AS DOUBLE) * $k1p1)
+        |      / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+        |        * (CAST(dl AS DOUBLE)
+        |           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+        |      ) AS BIGINT)) AS BIGINT) AS score
+        |  FROM ft JOIN dfreq USING (token) CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |    AS rnk,
+        |  doc_id, n_hit_terms, dl, score
         |FROM sc ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
     },
     // Hybrid: q_term_search's scoring CTEs at kCand=20, candidates

@@ -71,6 +71,70 @@ object Retrieval {
       .orderBy("rnk")
   }
 
+  /** F101 — BM25 top-k: Okapi BM25 ranking with REAL document-length
+    * normalization — what separates a production lexical ranker from
+    * F28's pure tf·idf (a 10k-token doc mentioning a term once should
+    * not outrank a 40-token doc about it). Per (doc, term):
+    *
+    *   s_t = w_t · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *
+    * with w_t = F28's exact-integer idf weight `(N·scale) div df`
+    * (log-free by design), dl the doc's FULL token count, avgdl the
+    * corpus mean length. Engine-exactness: the per-term score is a
+    * double computed through one fixed expression tree (identical in
+    * the oracle — IEEE +/·// are bit-identical) then FLOORED to an
+    * int64, so the per-doc sum is an exact-integer reduction with no
+    * float-order hazard; `k1+1` and `1−b` are Scala-computed
+    * round-trip literals (the D86 seed lesson — spelled as SQL they
+    * parse DECIMAL and drift ulps).
+    *
+    * Scale shape: ONE corpus scan produces BOTH the per-doc length
+    * and the query-term hits (dl rides the explode — no second scan,
+    * no corpus-sized length join); the tf frame is checkpointed
+    * (F28's barrier) and feeds df + scoring; N/avgdl is a 1-row
+    * broadcast; top-k is TakeOrderedAndProject. Docs with zero hits
+    * never enter the ranking. */
+  def bm25Search(docs: DataFrame, query: String, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 scale: Long = 1000L): DataFrame = {
+    val qTerms = query.split(' ').filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "query must contain at least one token")
+    require(k > 0 && scale > 0, s"k and scale must be positive: $k, $scale")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: $k1, $b")
+    val k1p1 = k1 + 1.0      // one spelling, round-trip literal
+    val oneMinusB = 1.0 - b  // ditto
+    val inList = qTerms.map(t => s"'$t'").mkString(", ")
+    val tf = docs
+      .select(col("doc_id"), expr(tokens).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(expr(s"filter(toks, t -> t IN ($inList))")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(expr(tokens)).cast("long")).as("sum_dl"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_t", expr(
+        s"""CAST(floor(CAST((n_docs * $scale) div df AS DOUBLE)
+          |  * (CAST(tf AS DOUBLE) * $k1p1)
+          |  / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+          |    * (CAST(dl AS DOUBLE)
+          |       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+          |  ) AS BIGINT)""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), max("dl").as("dl"),
+        sum("s_t").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("rnk", "doc_id", "n_hit_terms", "dl", "score")
+      .orderBy("rnk")
+  }
+
   /** F33 — HYBRID retrieval: lexical candidates re-ranked by embedding
     * similarity — the two-stage search every modern corpus platform
     * runs (BM25-family recall, vector precision). Stage 1 =

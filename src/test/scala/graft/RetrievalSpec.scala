@@ -34,6 +34,32 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)) == Seq((1, 2L), (2, 5L)))
   }
 
+  test("bm25Search length-normalizes: with equal tf the shorter doc " +
+      "outranks the longer; tf saturates instead of growing linearly; " +
+      "zero-hit docs excluded") {
+    // doc 1 short, doc 2 long pad, both tf(kiwi)=1; doc 3 tf(kiwi)=3
+    val corpus3 = docsFrom(
+      1L -> "kiwi mango",
+      2L -> ("kiwi " + Seq.fill(38)("pad").mkString(" ")),
+      3L -> "kiwi kiwi kiwi pear")
+    val out = Retrieval.bm25Search(corpus3, "kiwi", k = 10)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(3L, 1L, 2L),
+      s"high-tf first, then shorter of the tf-1 pair: $out")
+    val scores = out.map(r => r._2 -> r._5).toMap
+    // replica of the operator's arithmetic (w = (3*1000) div 3 = 1000)
+    def s(tf: Long, dl: Long, avg: Double): Long =
+      math.floor(1000.0 * (tf * (1.2 + 1.0))
+        / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avg)))).toLong
+    val avg = (2.0 + 39.0 + 4.0) / 3.0
+    assert(scores(1L) == s(1, 2, avg))
+    assert(scores(2L) == s(1, 39, avg))
+    assert(scores(3L) == s(3, 4, avg))
+    // saturation: tf=3 scores < 3x the tf=1 score at comparable dl
+    assert(scores(3L) < 3 * scores(1L))
+    assert(out.forall(_._2 != 4L))
+  }
+
   test("hybridSearch re-ranks lexical candidates by cosine to the " +
       "query vector; embedding-less candidates sink to the bottom") {
     // all three docs hit 'kiwi'; doc 3 has no embedding row
