@@ -1941,6 +1941,8 @@ object SparkEntry {
     // pinned by the build parameters).
     // A1 — CSV→parquet ingest round-trip audit per symbol.
     "q_ingest_roundtrip" -> (CatalogAudits.ingestRoundTrip(_, _)),
+    // A29 — ORC interchange round-trip audit per symbol.
+    "q_orc_roundtrip" -> (CatalogAudits.orcRoundTrip(_, _)),
     // A11 — small-file compaction: lossless rewrite + planned layout.
     "q_compaction_audit" -> (CatalogAudits.compactionAudit(_, _)),
     // A17 — merged-schema read: per-generation backfill report.
@@ -10478,6 +10480,21 @@ object SparkEntry {
         |  CAST(sum(CAST(round(ask * 10000.0, 0) AS BIGINT)) AS BIGINT)
         |    AS ask_e4,
         |  CAST(sum(epoch_ms(ts) % $P) AS BIGINT) AS ts_fp
+        |FROM $ticksSql t
+        |WHERE symbol % 16 = 0
+        |GROUP BY 1 ORDER BY symbol""".stripMargin
+    },
+    // A29 — the ORC round-trip must change nothing: the oracle
+    // prices the audit cells straight off the parquet source (µs
+    // fingerprints — ORC stores ns, so µs survives exactly).
+    "q_orc_roundtrip" -> {
+      import graft.functions.PortableText.P
+      s"""SELECT symbol, count(*) AS n,
+        |  CAST(sum(CAST(round(bid * 100.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS bid_cents,
+        |  CAST(sum(CAST(round(ask * 10000.0, 0) AS BIGINT)) AS BIGINT)
+        |    AS ask_e4,
+        |  CAST(sum(epoch_us(ts) % $P) AS BIGINT) AS ts_fp
         |FROM $ticksSql t
         |WHERE symbol % 16 = 0
         |GROUP BY 1 ORDER BY symbol""".stripMargin

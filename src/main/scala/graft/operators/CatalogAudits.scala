@@ -97,6 +97,42 @@ object CatalogAudits {
     } finally rmTree(root)
   }
 
+  /** A29 — ORC INTERCHANGE ROUND-TRIP: the engine's second columnar
+    * wire format (Spark ships a native ORC reader/writer; the
+    * reference's lake is parquet-only, but a Trino/Hive federation —
+    * its own deployment target — routinely serves ORC). The sfDir
+    * tick slice is written as a symbol-partitioned ORC tree, read
+    * back through `spark.read.orc`, and audited per symbol: row
+    * count, exact bid-cents sum, and a µs-timestamp content
+    * fingerprint. ORC stores timestamps at ns precision, so the µs
+    * values round-trip exactly; doubles are IEEE-exact by format.
+    * Every audit cell is derivable from the parquet source — THE
+    * round-trip property under test is that the ORC path changes
+    * nothing — so the DuckDB oracle prices the same cells off sfDir.
+    * Same 1/16 symbol slice discipline as A1 (the tree write is
+    * harness cost, not an engine property). */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val root = tmpDir("orc")
+    try {
+      Tables.ticks(s, d)
+        .filter(pmod(col("symbol"), lit(16L)) === 0)
+        .repartition(col("symbol"))
+        .write.mode(SaveMode.Overwrite).partitionBy("symbol")
+        .orc(root.toString)
+      val back = s.read.orc(root.toString)
+      // partition-column type inference reads `symbol=<id>` dirs as
+      // INT — restore the tick schema's BIGINT for the oracle compare
+      detach(s, back.groupBy(col("symbol").cast("long").as("symbol")).agg(
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+            .as("bid_cents"),
+          sum(expr("CAST(round(ask * 10000.0, 0) AS BIGINT)"))
+            .as("ask_e4"),
+          sum(pmod(unix_micros(col("ts")), lit(P))).as("ts_fp"))
+        .orderBy("symbol"))
+    } finally rmTree(root)
+  }
+
   /** A11 — COMPACTION AUDIT: the tick fact lands in TWO appends of 3
     * files each (the small-file debt incremental ingest accrues),
     * `compactPartitions` rewrites the year partition at an unbounded

@@ -35,6 +35,22 @@ class CatalogAuditsSpec extends SparkSpec {
     assert(audit.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("orcRoundTrip: ORC write→read round-trips every symbol's " +
+      "count, exact cents sums and us-timestamp hash") {
+    val audit = CatalogAudits.orcRoundTrip(spark, d)
+    val direct = Tables.ticks(spark, d)
+      .filter(pmod(col("symbol"), lit(16L)) === 0)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+          .as("bid_cents"),
+        sum(expr("CAST(round(ask * 10000.0, 0) AS BIGINT)"))
+          .as("ask_e4"),
+        sum(pmod(unix_micros(col("ts")), lit(P))).as("ts_fp"))
+      .orderBy("symbol")
+    assert(audit.collect().toSeq == direct.collect().toSeq)
+  }
+
   test("compactionAudit: 3+3 appended files compact to exactly one " +
       "per year with rows and content fingerprint unchanged") {
     val rows = CatalogAudits.compactionAudit(spark, d).collect()
