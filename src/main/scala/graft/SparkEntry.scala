@@ -298,6 +298,9 @@ object SparkEntry {
     * actually travels), sticky transitions keep regimes persistent. */
   val hmmParams = graft.operators.Microstructure.HmmParams(
     gL = 2000.0, gH = 12000.0, stayL = 0.95, stayH = 0.90)
+  val factorSyms = 8            // D91 roster size (top by tick count)
+  val factorComps = 2           // D91 components reported
+  val factorIters = 40          // D91 power-iteration rounds
   val bm25K1 = 1.2              // F101 BM25 tf saturation
   val bm25B = 0.75              // F101 BM25 length-normalization mix
   val ffdD = 0.4                // D88 fractional-differencing order
@@ -458,11 +461,6 @@ object SparkEntry {
     * `Vectors.pcaCore`). */
   private lazy val pcaCascadeSql: String = {
     val dim = pcaDim
-    def mv(c: String, v: String): String =
-      s"list_transform(range($dim), i -> list_reduce(list_prepend(0.0, " +
-        s"list_transform(range($dim), j -> $c[CAST(i + 1 AS INT)]" +
-        s"[CAST(j + 1 AS INT)] * $v[CAST(j + 1 AS INT)])), " +
-        "(a, b) -> a + b))"
     val head =
       s"""pair AS (
         |  SELECT i, j,
@@ -497,8 +495,25 @@ object SparkEntry {
         |  SELECT list_reduce(list_prepend(0.0, list_transform(
         |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
         |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
-    val comps = (0 until pcaComps).flatMap { m =>
-      val iterBlocks = (1 to pcaIters).map { t =>
+    (Seq(head) ++ powerCascadeBlocks(dim, pcaComps, pcaIters))
+      .mkString(",\n")
+  }
+
+  /** The power-iteration/deflation cascade as generated unrolled CTE
+    * blocks over a head-provided `cm0` (dim×dim covariance list) —
+    * the SQL twin of `Vectors.powerIterate`, shared by the embedding
+    * PCA oracles (via [[pcaCascadeSql]]) and the D91 factor-model
+    * oracle so the recurrence has ONE spelling per engine. Emits
+    * `p{m}e` (loadings `v` + eigenvalue `lam`) per component. */
+  private def powerCascadeBlocks(dim: Int, comps: Int,
+                                 iters: Int): Seq[String] = {
+    def mv(c: String, v: String): String =
+      s"list_transform(range($dim), i -> list_reduce(list_prepend(0.0, " +
+        s"list_transform(range($dim), j -> $c[CAST(i + 1 AS INT)]" +
+        s"[CAST(j + 1 AS INT)] * $v[CAST(j + 1 AS INT)])), " +
+        "(a, b) -> a + b))"
+    (0 until comps).flatMap { m =>
+      val iterBlocks = (1 to iters).map { t =>
         s"p${m}v$t AS (SELECT c, list_transform(w, x -> x / " +
           "sqrt(list_reduce(list_prepend(0.0, list_transform(w, " +
           "y -> y * y)), (a, b) -> a + b))) AS v " +
@@ -509,7 +524,7 @@ object SparkEntry {
         s"p${m}f AS (SELECT c, CASE WHEN v[CAST(list_position(" +
           "list_transform(v, x -> abs(x)), list_max(list_transform(v, " +
           "x -> abs(x)))) AS INT)] < 0 THEN list_transform(v, x -> -x) " +
-          s"ELSE v END AS v FROM p${m}v$pcaIters)",
+          s"ELSE v END AS v FROM p${m}v$iters)",
         s"p${m}e AS (SELECT c, v, list_reduce(list_prepend(0.0, " +
           s"list_transform(range($dim), i -> v[CAST(i + 1 AS INT)] * " +
           "w[CAST(i + 1 AS INT)])), (a, b) -> a + b) AS lam " +
@@ -519,7 +534,6 @@ object SparkEntry {
           "[CAST(j + 1 AS INT)] - lam * v[CAST(i + 1 AS INT)] * " +
           s"v[CAST(j + 1 AS INT)])) AS c FROM p${m}e)")
     }
-    (Seq(head) ++ comps).mkString(",\n")
   }
 
   /** The F59 training cascade as a WITH-body (vocab → seg0 → per-round
@@ -1929,6 +1943,10 @@ object SparkEntry {
     // D90 — two-state regime filter day-close posterior state.
     "q_hmm_regime" -> ((s, d) => graft.operators.Microstructure
       .hmmFilter(Tables.ticks(s, d), hmmParams)),
+    // D91 — cross-symbol market-mode PCA over daily cent returns.
+    "q_factor_pca" -> ((s, d) => graft.operators.Microstructure
+      .factorPca(Tables.ticks(s, d), factorSyms, factorComps,
+        factorIters)),
     // G48 — the regime filter live: a point per move with the
     // post-update P(high) and its regime verdict.
     "q_stream_hmm" -> ((s, d) =>
@@ -10421,6 +10439,70 @@ object SparkEntry {
         |  1.0 - st.pl AS p_high_close, st.pmax AS p_high_max,
         |  st.nhi AS n_high
         |FROM f ORDER BY symbol, date""".stripMargin,
+    // D91 — the factor-model oracle: deterministic roster + exact
+    // int64 daily-return gram/sums, covariance cells through the
+    // identical double expression, then the SHARED unrolled power
+    // cascade (one spelling per engine — powerCascadeBlocks is the
+    // SQL twin of Vectors.powerIterate).
+    "q_factor_pca" -> {
+      val dim = factorSyms
+      val head =
+        s"""r AS (SELECT symbol FROM (SELECT symbol, count(*) AS n
+          |    FROM $ticksSql t GROUP BY 1
+          |    ORDER BY n DESC, symbol LIMIT $dim) z),
+          |pos AS (SELECT symbol,
+          |    CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+          |      AS p
+          |  FROM r),
+          |ret AS (SELECT p, CAST(t.ts AS DATE) AS d,
+          |    max_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+          |      - min_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+          |      AS ret
+          |  FROM $ticksSql t JOIN pos USING (symbol) GROUP BY 1, 2),
+          |okd AS (SELECT d FROM ret GROUP BY d
+          |  HAVING count(*) = $dim),
+          |rr AS (SELECT ret.* FROM ret JOIN okd USING (d)),
+          |pair AS (SELECT a.p AS i, b.p AS j,
+          |    CAST(sum(a.ret * b.ret) AS BIGINT) AS g
+          |  FROM rr a JOIN rr b USING (d) WHERE a.p <= b.p
+          |  GROUP BY 1, 2),
+          |sums AS (SELECT p AS i, CAST(sum(ret) AS BIGINT) AS s
+          |  FROM rr GROUP BY 1),
+          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM okd),
+          |cell AS (
+          |  SELECT p.i AS i, p.j AS j,
+          |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
+          |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0) AS cv
+          |  FROM pair p JOIN sums si ON si.i = p.i
+          |    JOIN sums sj ON sj.i = p.j, nn
+          |  UNION ALL
+          |  SELECT p.j, p.i,
+          |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
+          |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0)
+          |  FROM pair p JOIN sums si ON si.i = p.i
+          |    JOIN sums sj ON sj.i = p.j, nn
+          |  WHERE p.i < p.j),
+          |cm0 AS (
+          |  SELECT list(rw ORDER BY i) AS c FROM (
+          |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
+          |    rows_),
+          |trace AS (
+          |  SELECT list_reduce(list_prepend(0.0, list_transform(
+          |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
+          |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
+      val cascade = powerCascadeBlocks(dim, factorComps, factorIters)
+      val finals = (0 until factorComps).map { m =>
+        s"SELECT CAST($m AS BIGINT) AS comp, pos.p AS pos, " +
+          "pos.symbol AS symbol, " +
+          "round(v[CAST(pos.p + 1 AS INT)], 6) AS loading, " +
+          "round(lam, 6) AS eigenvalue, " +
+          "round(lam / tr, 6) AS explained_share " +
+          s"FROM p${m}e, trace, pos"
+      }
+      (Seq(head) ++ cascade).mkString("WITH ", ",\n", "\n") +
+        "SELECT * FROM (" + finals.mkString(" UNION ALL ") +
+        ") u ORDER BY comp, pos"
+    },
     // G48 — the same regime fold replayed over each move PREFIX: one
     // trace row per cent move with its posterior and regime verdict.
     "q_stream_hmm" ->

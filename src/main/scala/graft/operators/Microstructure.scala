@@ -2490,4 +2490,88 @@ object Microstructure {
         col("st.nhi").as("n_high"))
       .orderBy("symbol", "date")
   }
+
+  /** D91 — CROSS-SYMBOL FACTOR MODEL (market-mode PCA over daily
+    * returns): the top eigenvectors of the return covariance across
+    * a deterministic top-N roster — the "how much of the tape is one
+    * trade" decomposition behind statistical-arbitrage hedging and
+    * risk-factor netting (the multivariate complement to D18's
+    * per-pair beta and D60's per-pair cointegration).
+    *
+    * Roster: the N most-active symbols (tick count desc, symbol asc —
+    * deterministic), positions assigned symbol-ascending. Grid: the
+    * per-(symbol, day) close−open CENT return (`max_by`/`min_by`
+    * tick_id — exact int64), restricted to COMPLETE days (all N
+    * symbols traded) so the covariance has no missing-cell policy.
+    * The gram/sum stage is EXACT int64 (cent returns, no rounding
+    * anywhere before the covariance division), then covariance cells
+    * and the power cascade run the engine-wide deterministic eigen
+    * recurrence ([[Vectors.powerIterate]] — same folds, same sign
+    * rule, same deflation as the F61 embedding PCA; the oracle
+    * replays the identical unrolled cascade).
+    *
+    * Scale shape: ONE tick collapse to |roster|·|days| return rows
+    * (map-side partials; the roster filter prunes the scan), then a
+    * day-keyed self-join of that TINY frame for the N(N+1)/2 gram
+    * cells; driver work is an N×N eigensolve (bounded; N=8 default,
+    * documented collect). Output: one row per (component, roster
+    * position) with the symbol, loading, eigenvalue, explained
+    * share — all round(6) aggregate-derived. */
+  def factorPca(ticks: DataFrame, nSyms: Int = 8, nComp: Int = 2,
+                iters: Int = 40): DataFrame = {
+    require(nSyms >= 2 && nComp >= 1 && iters >= 1,
+      s"need nSyms >= 2, nComp >= 1, iters >= 1: $nSyms, $nComp, $iters")
+    val s = ticks.sparkSession
+    import s.implicits._
+    // bounded driver decision: the N-row roster (tick count desc,
+    // symbol asc), positions symbol-ascending
+    val roster = ticks.groupBy("symbol").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("symbol")).limit(nSyms)
+      .select("symbol").collect().map(_.getLong(0)).sorted
+    val dim = roster.length
+    require(dim >= 2, s"corpus has fewer than 2 symbols: $dim")
+    val posOf = roster.zipWithIndex.toMap
+    val posCol = roster.foldLeft(lit(-1L)) { (acc, sym) =>
+      when(col("symbol") === sym, lit(posOf(sym).toLong)).otherwise(acc)
+    }
+    val rets = ticks
+      .filter(col("symbol").isin(roster.map(Long.box): _*))
+      .withColumn("c", expr("CAST(round(bid * 100.0, 0) AS BIGINT)"))
+      .groupBy(posCol.as("p"), to_date(col("ts")).as("d"))
+      .agg((expr("max_by(c, tick_id)") - expr("min_by(c, tick_id)"))
+        .as("ret"))
+    val complete = rets.groupBy("d")
+      .agg(count(lit(1)).as("k")).filter(col("k") === dim)
+      .select("d")
+    val rr = rets.join(complete, "d").localCheckpoint(true)
+    val nDays = rr.select(countDistinct("d")).as[Long].head()
+    require(nDays >= 2, s"need >= 2 complete days, got $nDays")
+    val a = rr.select(col("d"), col("p").as("i"), col("ret").as("ri"))
+    val b = rr.select(col("d"), col("p").as("j"), col("ret").as("rj"))
+    val gram = a.join(b, "d").filter(col("i") <= col("j"))
+      .groupBy("i", "j").agg(sum(expr("ri * rj")).as("g"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        r.getLong(2)).toMap
+    val sums = rr.groupBy("p").agg(sum("ret").as("s"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val nd = nDays.toDouble
+    def gAt(i: Int, j: Int): Long =
+      gram.getOrElse(if (i <= j) (i, j) else (j, i), 0L)
+    // identical expression tree as the oracle's cell CTE
+    val c0 = Array.tabulate(dim, dim)((i, j) =>
+      (gAt(i, j).toDouble
+        - sums(i).toDouble * sums(j).toDouble / nd) / (nd - 1.0))
+    val comps = Vectors.powerIterate(c0, dim, nComp, iters)
+    val rows = comps.zipWithIndex.flatMap { case ((v, lam, share), m) =>
+      (0 until dim).map(p =>
+        (m.toLong, p.toLong, roster(p), v(p), lam, share))
+    }
+    rows.toDF("comp", "pos", "symbol", "loading", "eigenvalue",
+        "explained_share")
+      .select(col("comp"), col("pos"), col("symbol"),
+        round(col("loading"), 6).as("loading"),
+        round(col("eigenvalue"), 6).as("eigenvalue"),
+        round(col("explained_share"), 6).as("explained_share"))
+      .orderBy("comp", "pos")
+  }
 }

@@ -242,6 +242,23 @@ object Vectors {
     val nd = n.toDouble
     val c0 = Array.tabulate(dim, dim)((i, j) =>
       (g(i)(j) - s(i) * s(j) / nd) / (nd - 1.0))
+    (powerIterate(c0, dim, nComp, iters),
+      Array.tabulate(dim)(i => s(i) / nd))
+  }
+
+  /** The deterministic power-iteration/deflation cascade over a
+    * driver-side symmetric matrix — extracted from the F61 core so
+    * every eigen consumer (embedding PCA F61/F65/F99, the D91
+    * cross-symbol factor model) runs the IDENTICAL recurrence: fixed
+    * `iters` normalize-matvec rounds from the all-ones start, every
+    * fold left-to-right over ascending index, sign canonicalized on
+    * the largest-|loading| entry (first index on ties), λ = vᵀCv,
+    * deflation C ← C − λvvᵀ, share = λ/trace(C₀). The DuckDB twin is
+    * `SparkEntry.powerCascadeBlocks` — the same cascade as generated
+    * unrolled CTEs. Returns (unrounded loadings, λ, share) per
+    * component. */
+  private[graft] def powerIterate(c0: Array[Array[Double]], dim: Int,
+      nComp: Int, iters: Int): Seq[(Array[Double], Double, Double)] = {
     val trace = (0 until dim).foldLeft(0.0)((a, i) => a + c0(i)(i))
     def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(dim)(i =>
@@ -265,7 +282,7 @@ object Vectors {
       cur = Array.tabulate(dim, dim)((i, j) =>
         cur(i)(j) - lam * vv(i) * vv(j))
     }
-    (out.result(), Array.tabulate(dim)(i => s(i) / nd))
+    out.result()
   }
 
   def pcaPower(emb: DataFrame, nComp: Int = 2, iters: Int = 60,

@@ -1093,4 +1093,42 @@ class MicrostructureSpec extends SparkSpec {
     assert(sampled.keySet == Set((2L, 4L)))
     sampled.foreach { case (k, v) => assert(exact(k) == v) }
   }
+
+  test("D91 factorPca: perfectly co-moving symbols load equally on a " +
+      "market mode explaining ~everything; incomplete days drop; the " +
+      "roster keeps the most-active symbols") {
+    // 3 roster symbols with IDENTICAL daily returns (+100, -200, +300
+    // cents over days 1-3); day 4 misses symbol 3 -> dropped; symbol
+    // 9 has one lonely tick and must fall off the nSyms=3 roster.
+    val dayRets = Seq(1.00, -2.00, 3.00)
+    val rows = (for {
+      (ret, di) <- dayRets.zipWithIndex
+      sym <- Seq(1L, 2L, 3L)
+    } yield {
+      val base = 10.0 * sym
+      Seq((di * 100L + sym * 10L, sym, f"2024-01-0${di + 1} 10:00:00",
+            base, base + 0.1),
+          (di * 100L + sym * 10L + 1L, sym,
+            f"2024-01-0${di + 1} 16:00:00", base + ret, base + ret + 0.1))
+    }).flatten ++ Seq(
+      (900L, 1L, "2024-01-04 10:00:00", 10.0, 10.1),
+      (901L, 2L, "2024-01-04 10:00:00", 20.0, 20.1),
+      (999L, 9L, "2024-01-01 10:00:00", 5.0, 5.1))
+    val out = Microstructure.factorPca(ticks(rows: _*), nSyms = 3,
+        nComp = 2, iters = 40)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(out.length == 6)
+    assert(out.map(_._3).distinct.sorted == Seq(1L, 2L, 3L))
+    val mode = out.filter(_._1 == 0L)
+    // identical return series -> equal loadings 1/sqrt(3), share ~ 1
+    val expected = 1.0 / math.sqrt(3.0)
+    mode.foreach { r =>
+      assert(math.abs(r._4 - expected) < 1e-6, s"loading: $r")
+      assert(math.abs(r._6 - 1.0) < 1e-6, s"share: $r")
+    }
+    // second component of a rank-1 covariance carries ~zero share
+    out.filter(_._1 == 1L).foreach { r =>
+      assert(math.abs(r._6) < 1e-6, s"residual share: $r")
+    }
+  }
 }
