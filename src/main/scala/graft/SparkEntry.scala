@@ -301,6 +301,8 @@ object SparkEntry {
   val factorSyms = 8            // D91 roster size (top by tick count)
   val factorComps = 2           // D91 components reported
   val factorIters = 40          // D91 power-iteration rounds
+  val cdcMaskBits = 6           // F102 CDC boundary mask (2^6 = 64-cp
+                                // average chunks; corpus docs ~300 cp)
   val bm25K1 = 1.2              // F101 BM25 tf saturation
   val bm25B = 0.75              // F101 BM25 length-normalization mix
   val ffdD = 0.4                // D88 fractional-differencing order
@@ -1503,6 +1505,9 @@ object SparkEntry {
     // F11b — winnowing fingerprint selection (char 5-grams, window 8).
     "q_winnow" -> ((s, d) =>
       TextDedup.winnowFingerprints(Tables.documents(s, d), 5, 8)),
+    // F102 — content-defined chunking profile (Gear CDC, 64-cp mask).
+    "q_cdc_chunks" -> ((s, d) =>
+      TextDedup.cdcChunks(Tables.documents(s, d), cdcMaskBits)),
     "q_text_repetition" -> ((s, d) =>
       TextDedup.repetitionProfile(Tables.documents(s, d))),
     // F9c — repeated-passage profile (duplicate word 3-grams).
@@ -7771,6 +7776,50 @@ object SparkEntry {
         |      list_transform(fps, f -> f // 2097152)), (a, b) -> a + b)
         |  ELSE 0 END AS fp_sum
         |FROM fp ORDER BY doc_id""".stripMargin
+    },
+    // F102 — the CDC dual: each position's rolling hash is an
+    // INDEPENDENT fold over its <=32-cp window (contributions older
+    // than 32 positions carry 2^>=32 = 0 mod 2^32 — the locality
+    // that makes CDC parallel); boundaries where the mask hits or at
+    // doc end; chunk hashes via the polyhash fold over the
+    // boundary-delimited slices (starts = boundaries shifted by one,
+    // 0-prepended — no conditional slice bounds).
+    "q_cdc_chunks" -> {
+      import graft.functions.PortableText._
+      val m = (1L << cdcMaskBits)
+      s"""WITH c0 AS (SELECT source, doc_id,
+        |    list_transform(string_split(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)) AS cs
+        |  FROM documents WHERE length(text) >= 1),
+        |b AS (SELECT source, doc_id, cs,
+        |    list_filter(range(1, len(cs) + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(cs[greatest(1, i - 31):i],
+        |            ch -> (ch * 2654435761) % 4294967296)),
+        |        (a, g) -> (a * 2 + g) % 4294967296) % $m = 0
+        |      OR i = len(cs)) AS bp
+        |  FROM c0),
+        |ck AS (SELECT source, doc_id,
+        |    unnest(list_transform(range(1, len(bp) + 1), k ->
+        |      {h: list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |            cs[sp[CAST(k AS INT)] + 1:bp[CAST(k AS INT)]]),
+        |          (a, c) -> (a * 31 + c) % $P),
+        |       l: bp[CAST(k AS INT)] - sp[CAST(k AS INT)]})) AS c
+        |  FROM (SELECT source, doc_id, cs, bp,
+        |      list_prepend(CAST(0 AS BIGINT), bp) AS sp FROM b) x),
+        |cc AS (SELECT source, doc_id, c.h AS h, c.l AS len FROM ck),
+        |multi AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM cc GROUP BY h) z WHERE nd >= 2)
+        |SELECT cc.source,
+        |  count(DISTINCT cc.doc_id) AS n_docs,
+        |  count(*) AS n_chunks,
+        |  round(CAST(sum(cc.len) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS avg_chunk_len,
+        |  CAST(count(m.h) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(count(m.h) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 4) AS dup_share
+        |FROM cc LEFT JOIN multi m USING (h)
+        |GROUP BY cc.source ORDER BY cc.source""".stripMargin
     },
     "q_text_repetition" -> {
       import graft.functions.PortableText._

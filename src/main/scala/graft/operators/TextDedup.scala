@@ -2319,4 +2319,60 @@ object TextDedup {
         expr("wn[3]").as("fp_sum"))
       .orderBy("doc_id")
   }
+
+  /** F102 — CONTENT-DEFINED CHUNKING profile (Gear-family CDC): the
+    * variable-size chunk decomposition behind storage-level dedup and
+    * incremental corpus sync — boundaries fall where a 32-cp rolling
+    * hash hits a mask, so an EDIT moves only the chunks within ~32
+    * code points of it while every later chunk survives
+    * byte-identical (fixed-size chunking reshuffles everything after
+    * the edit; spec proves the stability property directly). Chunks
+    * come from the native [[graft.functions.CdcChunks]] expression
+    * (O(n) rolling pass; key = chunk polyhash·2^21 + length), the
+    * same build-contract path (b) as Winnow/WordGrams.
+    *
+    * The profile aggregates per SOURCE: docs chunked, chunk count,
+    * mean chunk length, and the duplicated-chunk share — chunk
+    * INSTANCES whose content hash appears in ≥ 2 distinct docs
+    * corpus-wide (hash equality as content proxy, the F11
+    * fingerprint-family convention). That share is the headline a
+    * storage planner reads: how much of the corpus a chunk store
+    * dedups away WITHOUT near-dup semantics.
+    *
+    * Scale shape: one narrow scan + explode to (doc, chunk) rows
+    * (bounded by corpus chars / 2^maskBits), ONE hash-keyed
+    * aggregate for the multi-doc census, one broadcast-joined
+    * source collapse. Docs with empty text contribute no chunks
+    * (and drop from n_docs — the chunked-doc count). */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 6): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 30,
+      s"maskBits must be in [1, 30]: $maskBits")
+    graft.functions.CdcChunks.register(docs.sparkSession)
+    // chunk rows: the explode is the only corpus-sized frame; it is
+    // derived once and checkpointed for the census + the collapse
+    val chunks = docs
+      .select(col("source"), col("doc_id"),
+        explode(expr(s"graft_cdc(text, $maskBits)")).as("key"))
+      .select(col("source"), col("doc_id"),
+        expr("key div 2097152").as("h"),
+        expr("key % 2097152").as("len"))
+      .localCheckpoint(true)
+    // content hashes living in >= 2 distinct docs (corpus-wide)
+    val multi = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), lit(1L).as("is_dup"))
+    chunks.join(multi, Seq("h"), "left")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        // explicit exact-sum/count (both ints) rather than engine
+        // avg(), so the double division has one spelling per engine
+        round(sum("len").cast("double")
+          / count(lit(1)).cast("double"), 4).as("avg_chunk_len"),
+        coalesce(sum("is_dup"), lit(0L)).as("n_dup_chunks"))
+      .withColumn("dup_share",
+        round(col("n_dup_chunks").cast("double")
+          / col("n_chunks").cast("double"), 4))
+      .orderBy("source")
+  }
 }

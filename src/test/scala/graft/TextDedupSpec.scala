@@ -1005,4 +1005,42 @@ class TextDedupSpec extends SparkSpec {
       assert(mean == 1.0)
     }
   }
+
+  test("F102 cdcChunks: a head edit moves only nearby chunks (the CDC " +
+      "stability property), identical docs dedup to full dup_share, " +
+      "chunk lengths reconcile with the text") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    graft.functions.CdcChunks.register(spark)
+    // deterministic pseudo-random text: varied chars so boundaries fire
+    val base = (1 to 400).map(i =>
+      ('a' + (i * 37 + i * i % 11) % 26).toChar).mkString
+    val edited = "XYZPREFIX" + base
+    def keys(s: String): Seq[Long] =
+      Seq(s).toDF("text").select(explode(expr("graft_cdc(text, 6)")))
+        .as[Long].collect().toSeq
+    val kBase = keys(base); val kEd = keys(edited)
+    assert(kBase.nonEmpty && kBase.size >= 3, s"want >=3 chunks: $kBase")
+    // every chunk strictly after the first 32+9 cp of content must
+    // survive the prefix edit byte-identical: compare suffixes
+    val shared = kBase.toSet.intersect(kEd.toSet)
+    assert(shared.size >= kBase.size - 2,
+      s"CDC stability: ${kBase.size} chunks, only ${shared.size} shared")
+    // lengths reconcile: sum of encoded lengths == text length
+    assert(kBase.map(_ % 2097152L).sum == base.length.toLong)
+    assert(kEd.map(_ % 2097152L).sum == edited.length.toLong)
+    // corpus profile: two identical docs -> every chunk instance dup;
+    // a unique doc -> zero dups
+    val out = TextDedup.cdcChunks(docs(
+        (1L, base), (2L, base), (3L, "zqv" * 40)))
+      .select("source", "n_docs", "n_chunks", "n_dup_chunks")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 1)
+    val (nDocs, nChunks, nDup) = out.head
+    assert(nDocs == 3L)
+    // docs 1 and 2 contribute identical chunk multisets -> all their
+    // instances are dup; doc 3's chunks are unique to it
+    val k3 = keys("zqv" * 40)
+    assert(nChunks == kBase.size * 2 + k3.size.toLong)
+    assert(nDup == kBase.size * 2L)
+  }
 }
