@@ -388,11 +388,42 @@ class LayoutSpec extends SparkSpec {
           .kalmanFilter(ticks, SparkEntry.kalmanQ, SparkEntry.kalmanR),
         "cusumFilter" -> graft.operators.Microstructure
           .cusumFilter(ticks, SparkEntry.cusumH),
+        "hmmFilter" -> graft.operators.Microstructure
+          .hmmFilter(ticks, SparkEntry.hmmParams),
         "fracDiff" -> graft.operators.Microstructure
           .fracDiff(ticks, SparkEntry.ffdD, SparkEntry.ffdK))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(hashExchanges(plan) == 1,
         s"$name expected exactly 1 hash exchange:\n$plan")
     }
+  }
+
+  test("H17: the BM25 ranker compiles to broadcast joins on the " +
+      "tiny df/stats sides and a TakeOrderedAndProject top-k — " +
+      "never a sort-merge join or a global sort") {
+    // The 100 TB contract for lexical ranking: the posting-list
+    // frame (docs with >= 1 query-term hit) joins the term-df and
+    // corpus-stats frames as BROADCASTS (df has <= |q| rows, stats
+    // exactly 1), and the final top-k plans as per-partition heaps +
+    // one k-row driver merge — never a full sort of the scored set.
+    // A refactor that makes df/stats shuffle-join or sorts the
+    // candidates globally is caught here.
+    val docs = spark.range(2000L)
+      .selectExpr("id AS doc_id",
+        "CASE WHEN id % 3 = 0 THEN 'kiwi mango pad pad' " +
+        "ELSE 'pad pad pad' END AS text",
+        "'en' AS lang", "'s' AS source")
+    val top = graft.operators.Retrieval.bm25Search(docs, "kiwi mango", 10)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected the top-k heap plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"df/stats must broadcast, not shuffle-join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1 &&
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast df join + broadcast stats cross join:\n$plan")
+    import spark.implicits._
+    assert(top.as[(Int, Long, Long, Long, Long)].collect()
+      .forall(_._2 % 3 == 0))
   }
 }
