@@ -1593,6 +1593,9 @@ object SparkEntry {
     // F83 — classifier-vs-rules calibration by margin bin.
     "q_clf_calibration" -> ((s, d) =>
       CorpusPipeline.classifierCalibration(Tables.documents(s, d))),
+    // F103 — exact tie-aware AUC of the margin vs the rule verdicts.
+    "q_clf_auc" -> ((s, d) =>
+      CorpusPipeline.classifierAuc(Tables.documents(s, d))),
     // F80 — corpus snapshot delta: old = even ids, new = ids not
     // divisible by 3 with %5 docs content-mutated — all four classes
     // populated by construction.
@@ -8411,6 +8414,57 @@ object SparkEntry {
         |  CAST(count(CASE WHEN label = keep THEN 1 END) AS DOUBLE)
         |    / count(*) AS agree_share
         |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    // F103 — the AUC oracle: the q_clf_calibration clf/qf CTEs
+    // joined to source, then the exact pair-counting identity —
+    // distinct-margin cells, a cumulative neg-below window, and one
+    // integer aggregate; AUC = one division of exact ints.
+    "q_clf_auc" -> {
+      import graft.functions.PortableText._
+      s"""WITH tok AS (SELECT doc_id, unnest($duckTokens) AS tok
+        |  FROM documents),
+        |ft AS (SELECT doc_id, ${duckPolyHash("tok")} % 1024 AS bucket
+        |  FROM tok),
+        |w AS (SELECT r AS bucket, (r * 37 + 11) % 21 - 10 AS w
+        |  FROM (SELECT unnest(range(1024)) AS r)),
+        |ag AS (SELECT doc_id, CAST(sum(w.w) AS BIGINT) AS margin
+        |  FROM ft JOIN w USING (bucket) GROUP BY doc_id),
+        |clf AS (SELECT d.doc_id, coalesce(ag.margin, 0) AS margin
+        |  FROM documents d LEFT JOIN ag USING (doc_id)),
+        |tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
+        |qf AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(tk) < 20 THEN 'short'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              1.0 - CAST(length(list_distinct(tk)) AS DOUBLE)
+        |                / length(tk) END > 0.65 THEN 'repetitive'
+        |          WHEN CASE WHEN length(tk) > 0 THEN
+        |              CAST(length(list_filter(tk, t -> list_contains(
+        |                ['the','a','of','and','to'], t))) AS DOUBLE)
+        |                / length(tk) END < 0.01 THEN 'low_stop'
+        |     END) IS NULL AS keep
+        |  FROM tk),
+        |j AS (SELECT d.source, clf.margin, qf.keep
+        |  FROM documents d JOIN clf USING (doc_id)
+        |  JOIN qf USING (doc_id)),
+        |g AS (SELECT source, margin,
+        |    count(CASE WHEN keep THEN 1 END) AS np,
+        |    count(CASE WHEN NOT keep THEN 1 END) AS nn
+        |  FROM j GROUP BY 1, 2),
+        |c AS (SELECT source, np, nn,
+        |    coalesce(sum(nn) OVER (PARTITION BY source ORDER BY margin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS nn_below
+        |  FROM g)
+        |SELECT source, CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg,
+        |  CAST(sum(np * nn_below) AS BIGINT) AS n_conc,
+        |  CAST(sum(np * nn) AS BIGINT) AS n_tied,
+        |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+        |    round(CAST(2 * sum(np * nn_below) + sum(np * nn) AS DOUBLE)
+        |      / CAST(2 * sum(np) * sum(nn) AS DOUBLE), 4)
+        |  END AS auc
+        |FROM c GROUP BY source ORDER BY source""".stripMargin
     },
     // F81 — attribution: the q_corpus_select qf/dup CTE chains
     // re-composed into the 2×2 per-source matrix; counts exact,

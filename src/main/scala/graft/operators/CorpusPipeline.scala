@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{PortableText, WordGrams}
@@ -936,6 +937,48 @@ object CorpusPipeline {
       .withColumn("agree_share",
         col("n_agree").cast("double") / col("n_docs").cast("double"))
       .orderBy("bin")
+  }
+
+  /** F103 — CLASSIFIER RANKING AUDIT (exact tie-aware AUC): how well
+    * the F73 hashed-linear margin RANKS the F15 rule verdicts, per
+    * source — the Mann-Whitney AUC every quality-classifier rollout
+    * is judged by before its threshold is even chosen (F83 audits
+    * calibration AT a threshold; this audits the ranking underneath
+    * all thresholds). AUC = (#concordant + ½·#tied) / (pos·neg) over
+    * all (rule-keep, rule-drop) pairs, computed EXACTLY from integer
+    * margins — never a sampled or binned estimate:
+    *
+    * Shape (the O(n log n) pair-counting identity, not the O(n²)
+    * pair join): one collapse to distinct (source, margin) cells
+    * with pos/neg counts, one cumulative window over the ≤ |margin
+    * range| cells per source, one aggregate — concordant pairs =
+    * Σ pos_m · neg_below(m), ties = Σ pos_m · neg_m, all exact
+    * int64. The windowed frame is margin-cardinality-sized (the
+    * ±10-weight margins span a few hundred values), NEVER
+    * corpus-sized — at 100 TB the only corpus-scale work is the two
+    * scoring scans F73/F15 already do. AUC emits as the single
+    * division of exact ints, round(4); degenerate sources (no
+    * positives or no negatives) carry NULL. */
+  def classifierAuc(docs: DataFrame): DataFrame = {
+    val clf = classifierScore(docs).select(col("doc_id"), col("margin"))
+    val rules = qualityFilter(docs).select(col("doc_id"), col("keep"))
+    val base = docs.select("doc_id", "source")
+      .join(clf, "doc_id").join(rules, "doc_id")
+    val grp = base.groupBy("source", "margin")
+      .agg(count(when(col("keep"), lit(1))).as("np"),
+        count(when(!col("keep"), lit(1))).as("nn"))
+    val w = Window.partitionBy("source").orderBy("margin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grp.withColumn("nn_below",
+      coalesce(sum("nn").over(w), lit(0L)))
+    cum.groupBy("source")
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(expr("np * nn_below")).as("n_conc"),
+        sum(expr("np * nn")).as("n_tied"))
+      .withColumn("auc", when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(expr("CAST(2 * n_conc + n_tied AS DOUBLE) " +
+          "/ CAST(2 * n_pos * n_neg AS DOUBLE)"), 4)))
+      .orderBy("source")
   }
 
   /** F80 — CORPUS SNAPSHOT DELTA: release-over-release diff of two

@@ -451,6 +451,47 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out == want)
   }
 
+  // ---------- F103 classifierAuc ----------
+
+  test("classifierAuc equals the brute-force pair count over the " +
+      "actual (margin, keep) pairs; an all-one-class source is NULL") {
+    val long = "the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to the old barn of the tall hill"  // 21 tokens: keep
+    val docs = docsFrom(
+      1L -> long,                                  // keep
+      2L -> (long + " extra trailing words here"), // keep
+      3L -> "short stuff",                         // drop (short)
+      4L -> "tiny",                                // drop (short)
+      5L -> (long + " more of the filler prose"))  // keep
+    // ground truth: collect the op's own inputs and count pairs
+    val margins = CorpusPipeline.classifierScore(docs)
+      .select("doc_id", "margin").as[(Long, Long)].collect().toMap
+    val keeps = CorpusPipeline.qualityFilter(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val pos = margins.keys.filter(keeps).map(margins).toSeq
+    val neg = margins.keys.filterNot(keeps).map(margins).toSeq
+    val nConc = pos.map(p => neg.count(_ < p).toLong).sum
+    val nTied = pos.map(p => neg.count(_ == p).toLong).sum
+    val wantAuc = BigDecimal((2 * nConc + nTied).toDouble
+      / (2.0 * pos.size * neg.size)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = CorpusPipeline.classifierAuc(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_pos") == pos.size.toLong)
+    assert(r.getAs[Long]("n_neg") == neg.size.toLong)
+    assert(r.getAs[Long]("n_conc") == nConc)
+    assert(r.getAs[Long]("n_tied") == nTied)
+    assert(math.abs(r.getAs[Double]("auc") - wantAuc) < 1e-9,
+      s"auc ${r.getAs[Double]("auc")} want $wantAuc (conc=$nConc " +
+        s"tied=$nTied)")
+    // degenerate: every doc keeps -> no negative class -> NULL auc
+    val oneClass = CorpusPipeline.classifierAuc(docsFrom(
+      1L -> long, 2L -> (long + " more of the filler prose")))
+      .collect().head
+    assert(oneClass.isNullAt(oneClass.fieldIndex("auc")))
+  }
+
   // ---------- F81 curationAttribution ----------
 
   test("curationAttribution: the 2x2 quality x dup matrix per source " +
