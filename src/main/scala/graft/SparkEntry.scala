@@ -292,6 +292,63 @@ object SparkEntry {
       |        m: e.m})""".stripMargin
   }
 
+  /** The D91/D92 factor-model WITH-body (deterministic roster →
+    * exact-int64 daily-return gram/sums → covariance cells → the
+    * shared unrolled power cascade), GENERATED from (factorSyms,
+    * factorComps, factorIters) — shared by the q_factor_pca and
+    * q_factor_resid oracles so the grid, the covariance spelling and
+    * the recurrence have ONE SQL spelling (the dual of
+    * `Microstructure.factorCore`). */
+  private lazy val factorCascadeSql: String = {
+    val dim = factorSyms
+    val head =
+      s"""r AS (SELECT symbol FROM (SELECT symbol, count(*) AS n
+        |    FROM $ticksSql t GROUP BY 1
+        |    ORDER BY n DESC, symbol LIMIT $dim) z),
+        |pos AS (SELECT symbol,
+        |    CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
+        |      AS p
+        |  FROM r),
+        |ret AS (SELECT p, CAST(t.ts AS DATE) AS d,
+        |    max_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      - min_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
+        |      AS ret
+        |  FROM $ticksSql t JOIN pos USING (symbol) GROUP BY 1, 2),
+        |okd AS (SELECT d FROM ret GROUP BY d
+        |  HAVING count(*) = $dim),
+        |rr AS (SELECT ret.* FROM ret JOIN okd USING (d)),
+        |pair AS (SELECT a.p AS i, b.p AS j,
+        |    CAST(sum(a.ret * b.ret) AS BIGINT) AS g
+        |  FROM rr a JOIN rr b USING (d) WHERE a.p <= b.p
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT p AS i, CAST(sum(ret) AS BIGINT) AS s
+        |  FROM rr GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM okd),
+        |cell AS (
+        |  SELECT p.i AS i, p.j AS j,
+        |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
+        |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0) AS cv
+        |  FROM pair p JOIN sums si ON si.i = p.i
+        |    JOIN sums sj ON sj.i = p.j, nn
+        |  UNION ALL
+        |  SELECT p.j, p.i,
+        |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
+        |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0)
+        |  FROM pair p JOIN sums si ON si.i = p.i
+        |    JOIN sums sj ON sj.i = p.j, nn
+        |  WHERE p.i < p.j),
+        |cm0 AS (
+        |  SELECT list(rw ORDER BY i) AS c FROM (
+        |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
+        |    rows_),
+        |trace AS (
+        |  SELECT list_reduce(list_prepend(0.0, list_transform(
+        |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
+        |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
+    (Seq(head) ++ powerCascadeBlocks(dim, factorComps, factorIters))
+      .mkString(",\n")
+  }
+
   /** D90/G48 parameters — emission scales bracket the tape's move
     * distribution (|move| median ≈ 3.5k cents, p99 ≈ 22k at sf0.01:
     * γ_L sits below the median, γ_H above p90, so the posterior
@@ -1954,6 +2011,10 @@ object SparkEntry {
     // D91 — cross-symbol market-mode PCA over daily cent returns.
     "q_factor_pca" -> ((s, d) => graft.operators.Microstructure
       .factorPca(Tables.ticks(s, d), factorSyms, factorComps,
+        factorIters)),
+    // D92 — per-symbol variance decomposition off the same factor fit.
+    "q_factor_resid" -> ((s, d) => graft.operators.Microstructure
+      .factorResiduals(Tables.ticks(s, d), factorSyms, factorComps,
         factorIters)),
     // G48 — the regime filter live: a point per move with the
     // post-update P(high) and its regime verdict.
@@ -10549,62 +10610,40 @@ object SparkEntry {
     // SQL twin of Vectors.powerIterate).
     "q_factor_pca" -> {
       val dim = factorSyms
-      val head =
-        s"""r AS (SELECT symbol FROM (SELECT symbol, count(*) AS n
-          |    FROM $ticksSql t GROUP BY 1
-          |    ORDER BY n DESC, symbol LIMIT $dim) z),
-          |pos AS (SELECT symbol,
-          |    CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT)
-          |      AS p
-          |  FROM r),
-          |ret AS (SELECT p, CAST(t.ts AS DATE) AS d,
-          |    max_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
-          |      - min_by(CAST(round(bid * 100.0, 0) AS BIGINT), tick_id)
-          |      AS ret
-          |  FROM $ticksSql t JOIN pos USING (symbol) GROUP BY 1, 2),
-          |okd AS (SELECT d FROM ret GROUP BY d
-          |  HAVING count(*) = $dim),
-          |rr AS (SELECT ret.* FROM ret JOIN okd USING (d)),
-          |pair AS (SELECT a.p AS i, b.p AS j,
-          |    CAST(sum(a.ret * b.ret) AS BIGINT) AS g
-          |  FROM rr a JOIN rr b USING (d) WHERE a.p <= b.p
-          |  GROUP BY 1, 2),
-          |sums AS (SELECT p AS i, CAST(sum(ret) AS BIGINT) AS s
-          |  FROM rr GROUP BY 1),
-          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM okd),
-          |cell AS (
-          |  SELECT p.i AS i, p.j AS j,
-          |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
-          |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0) AS cv
-          |  FROM pair p JOIN sums si ON si.i = p.i
-          |    JOIN sums sj ON sj.i = p.j, nn
-          |  UNION ALL
-          |  SELECT p.j, p.i,
-          |    (CAST(p.g AS DOUBLE) - CAST(si.s AS DOUBLE)
-          |      * CAST(sj.s AS DOUBLE) / nn.n) / (nn.n - 1.0)
-          |  FROM pair p JOIN sums si ON si.i = p.i
-          |    JOIN sums sj ON sj.i = p.j, nn
-          |  WHERE p.i < p.j),
-          |cm0 AS (
-          |  SELECT list(rw ORDER BY i) AS c FROM (
-          |    SELECT i, list(cv ORDER BY j) AS rw FROM cell GROUP BY i)
-          |    rows_),
-          |trace AS (
-          |  SELECT list_reduce(list_prepend(0.0, list_transform(
-          |    range($dim), i -> c[CAST(i + 1 AS INT)][CAST(i + 1 AS INT)])),
-          |    (a, b) -> a + b) AS tr FROM cm0)""".stripMargin
-      val cascade = powerCascadeBlocks(dim, factorComps, factorIters)
       val finals = (0 until factorComps).map { m =>
         s"SELECT CAST($m AS BIGINT) AS comp, pos.p AS pos, " +
           "pos.symbol AS symbol, " +
-          "round(v[CAST(pos.p + 1 AS INT)], 6) AS loading, " +
-          "round(lam, 6) AS eigenvalue, " +
-          "round(lam / tr, 6) AS explained_share " +
+          "round(v[CAST(pos.p + 1 AS INT)], 6) + 0.0 AS loading, " +
+          "round(lam, 6) + 0.0 AS eigenvalue, " +
+          "round(lam / tr, 6) + 0.0 AS explained_share " +
           s"FROM p${m}e, trace, pos"
       }
-      (Seq(head) ++ cascade).mkString("WITH ", ",\n", "\n") +
-        "SELECT * FROM (" + finals.mkString(" UNION ALL ") +
-        ") u ORDER BY comp, pos"
+      s"WITH $factorCascadeSql\nSELECT * FROM (" +
+        finals.mkString(" UNION ALL ") + ") u ORDER BY comp, pos"
+    },
+    // D92 — the residual-decomposition oracle: the SAME head +
+    // cascade, read per symbol — variance = the C0 diagonal,
+    // explained = the fixed left-assoc Σ λ·v² chain from a 0.0 seed
+    // (the Scala fold's exact order), residual from the UNROUNDED
+    // share; signed-zero guards on every round (shares and loadings
+    // straddle zero).
+    "q_factor_resid" -> {
+      val explSum = "0.0 + " + (0 until factorComps).map { m =>
+        s"t$m.lam * t$m.v[CAST(pos.p + 1 AS INT)] " +
+          s"* t$m.v[CAST(pos.p + 1 AS INT)]"
+      }.mkString(" + ")
+      val varCell =
+        "cm0.c[CAST(pos.p + 1 AS INT)][CAST(pos.p + 1 AS INT)]"
+      val froms = (0 until factorComps).map(m => s"p${m}e t$m")
+        .mkString(", ")
+      s"""WITH $factorCascadeSql
+        |SELECT pos.p AS pos, pos.symbol AS symbol,
+        |  round($varCell, 6) + 0.0 AS variance,
+        |  round(t0.v[CAST(pos.p + 1 AS INT)], 6) + 0.0 AS mode_loading,
+        |  round(($explSum) / $varCell, 6) + 0.0 AS factor_share,
+        |  round(1.0 - ($explSum) / $varCell, 6) + 0.0 AS resid_share
+        |FROM cm0, $froms, pos
+        |ORDER BY pos""".stripMargin
     },
     // G48 — the same regime fold replayed over each move PREFIX: one
     // trace row per cent move with its posterior and regime verdict.

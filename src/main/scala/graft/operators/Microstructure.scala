@@ -2517,8 +2517,13 @@ object Microstructure {
     * documented collect). Output: one row per (component, roster
     * position) with the symbol, loading, eigenvalue, explained
     * share — all round(6) aggregate-derived. */
-  def factorPca(ticks: DataFrame, nSyms: Int = 8, nComp: Int = 2,
-                iters: Int = 40): DataFrame = {
+  /** The D91/D92 shared core: roster, covariance and eigenpairs —
+    * extracted so the loading report and the residual decomposition
+    * cannot diverge on the grid, the covariance spelling, or the
+    * cascade. Returns (roster symbol-ascending, c0, eigenpairs). */
+  private def factorCore(ticks: DataFrame, nSyms: Int, nComp: Int,
+      iters: Int): (Array[Long], Array[Array[Double]],
+        Seq[(Array[Double], Double, Double)]) = {
     require(nSyms >= 2 && nComp >= 1 && iters >= 1,
       s"need nSyms >= 2, nComp >= 1, iters >= 1: $nSyms, $nComp, $iters")
     val s = ticks.sparkSession
@@ -2561,7 +2566,15 @@ object Microstructure {
     val c0 = Array.tabulate(dim, dim)((i, j) =>
       (gAt(i, j).toDouble
         - sums(i).toDouble * sums(j).toDouble / nd) / (nd - 1.0))
-    val comps = Vectors.powerIterate(c0, dim, nComp, iters)
+    (roster, c0, Vectors.powerIterate(c0, dim, nComp, iters))
+  }
+
+  def factorPca(ticks: DataFrame, nSyms: Int = 8, nComp: Int = 2,
+                iters: Int = 40): DataFrame = {
+    val s = ticks.sparkSession
+    import s.implicits._
+    val (roster, _, comps) = factorCore(ticks, nSyms, nComp, iters)
+    val dim = roster.length
     val rows = comps.zipWithIndex.flatMap { case ((v, lam, share), m) =>
       (0 until dim).map(p =>
         (m.toLong, p.toLong, roster(p), v(p), lam, share))
@@ -2573,5 +2586,40 @@ object Microstructure {
         round(col("eigenvalue"), 6).as("eigenvalue"),
         round(col("explained_share"), 6).as("explained_share"))
       .orderBy("comp", "pos")
+  }
+
+  /** D92 — PER-SYMBOL FACTOR DECOMPOSITION (idiosyncratic-risk
+    * table): the D91 factor model read from the hedger's side — for
+    * each roster symbol, its daily-return variance, its market-mode
+    * loading, the variance share the top factors explain
+    * (Σₘ λₘ·vₘ(p)² / var_p, the diagonal of VΛVᵀ against C₀), and
+    * the idiosyncratic remainder — the number that says how much of
+    * this symbol's risk a market hedge can remove vs how much is
+    * unhedgeable. Same [[factorCore]] (one spelling of grid,
+    * covariance and cascade); the explained sum folds components in
+    * ascending order from a 0.0 seed, matching the oracle's fixed
+    * left-assoc chain; residual derives from the UNROUNDED share.
+    * Overexplained symbols (numerical) can straddle zero — the
+    * oracle carries the signed-zero guard. */
+  def factorResiduals(ticks: DataFrame, nSyms: Int = 8, nComp: Int = 2,
+                      iters: Int = 40): DataFrame = {
+    val s = ticks.sparkSession
+    import s.implicits._
+    val (roster, c0, comps) = factorCore(ticks, nSyms, nComp, iters)
+    val rows = roster.indices.map { p =>
+      val varP = c0(p)(p)
+      val expl = comps.foldLeft(0.0)((a, c) =>
+        a + c._2 * c._1(p) * c._1(p))
+      val share = expl / varP
+      (p.toLong, roster(p), varP, comps.head._1(p), share, 1.0 - share)
+    }
+    rows.toDF("pos", "symbol", "variance", "mode_loading",
+        "factor_share", "resid_share")
+      .select(col("pos"), col("symbol"),
+        round(col("variance"), 6).as("variance"),
+        round(col("mode_loading"), 6).as("mode_loading"),
+        round(col("factor_share"), 6).as("factor_share"),
+        round(col("resid_share"), 6).as("resid_share"))
+      .orderBy("pos")
   }
 }

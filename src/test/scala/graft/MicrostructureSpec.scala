@@ -1130,5 +1130,23 @@ class MicrostructureSpec extends SparkSpec {
     out.filter(_._1 == 1L).foreach { r =>
       assert(math.abs(r._6) < 1e-6, s"residual share: $r")
     }
+    // D92 on the same corpus: every symbol's variance is the
+    // hand-computed sample variance of (+100, -200, +300) cents and
+    // the market mode explains ~all of it
+    val rets = Seq(100.0, -200.0, 300.0)
+    val mean = rets.sum / rets.length
+    val wantVar = rets.map(r => (r - mean) * (r - mean)).sum /
+      (rets.length - 1)
+    val resid = Microstructure.factorResiduals(ticks(rows: _*),
+        nSyms = 3, nComp = 2, iters = 40)
+      .as[(Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(resid.map(_._2).sorted == Seq(1L, 2L, 3L))
+    resid.foreach { r =>
+      assert(math.abs(r._3 - wantVar) < 1e-6, s"variance: $r")
+      assert(math.abs(r._4 - expected) < 1e-6, s"mode loading: $r")
+      assert(math.abs(r._5 - 1.0) < 1e-6, s"factor share: $r")
+      assert(math.abs(r._6) < 1e-6, s"resid share: $r")
+    }
   }
 }
