@@ -2030,6 +2030,8 @@ object SparkEntry {
     "q_ingest_roundtrip" -> (CatalogAudits.ingestRoundTrip(_, _)),
     // A29 — ORC interchange round-trip audit per symbol.
     "q_orc_roundtrip" -> (CatalogAudits.orcRoundTrip(_, _)),
+    // A30 — JSONL interchange round-trip audit per source.
+    "q_jsonl_roundtrip" -> (CatalogAudits.jsonRoundTrip(_, _)),
     // A11 — small-file compaction: lossless rewrite + planned layout.
     "q_compaction_audit" -> (CatalogAudits.compactionAudit(_, _)),
     // A17 — merged-schema read: per-generation backfill report.
@@ -10722,6 +10724,18 @@ object SparkEntry {
         |FROM $ticksSql t
         |WHERE symbol % 16 = 0
         |GROUP BY 1 ORDER BY symbol""".stripMargin
+    },
+    // A30 — the JSONL escape/parse cycle must change nothing: the
+    // oracle prices the audit cells straight off the parquet source.
+    "q_jsonl_roundtrip" -> {
+      import graft.functions.PortableText._
+      s"""SELECT source, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_read,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_stored,
+        |  CAST(sum(${duckPolyHash("text")} % $P) AS BIGINT) AS text_fp,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents
+        |GROUP BY 1 ORDER BY source""".stripMargin
     },
     // A11 — two 3-file appends compact to exactly 1 file per year at
     // an unbounded byte target; rows and the order-free content fp

@@ -133,6 +133,36 @@ object CatalogAudits {
     } finally rmTree(root)
   }
 
+  /** A30 — JSON-LINES INTERCHANGE ROUND-TRIP: the text-corpus wire
+    * format (every LLM-data pipeline exchanges JSONL; the reference's
+    * own props column is embedded JSON — A5b parses it, this audits
+    * the WRITER side too). The documents table is written as JSONL
+    * (escaping quotes/controls), read back through the inferring
+    * reader, and audited per source: row count, exact char-count
+    * sums (both the stored `n_chars` column and `length(text)`
+    * recomputed AFTER the round trip — text mutation would split
+    * them), the whole-text polynomial fingerprint sum mod P, and the
+    * distinct-language count. The oracle prices the same cells off
+    * the parquet source: the JSON escape/parse cycle must change
+    * NOTHING. Schema inference maps int64 back to BIGINT and strings
+    * to STRING — the audit is also the inference contract. */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val root = tmpDir("jsonl")
+    try {
+      Tables.documents(s, d)
+        .write.mode(SaveMode.Overwrite).json(root.toString)
+      graft.functions.PolyHash.register(s)
+      val back = s.read.json(root.toString)
+      detach(s, back.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(length(col("text"))).as("chars_read"),
+          sum(col("n_chars")).as("chars_stored"),
+          sum(pmod(expr("graft_polyhash(text)"), lit(P))).as("text_fp"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source"))
+    } finally rmTree(root)
+  }
+
   /** A11 — COMPACTION AUDIT: the tick fact lands in TWO appends of 3
     * files each (the small-file debt incremental ingest accrues),
     * `compactPartitions` rewrites the year partition at an unbounded

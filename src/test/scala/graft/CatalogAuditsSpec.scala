@@ -51,6 +51,42 @@ class CatalogAuditsSpec extends SparkSpec {
     assert(audit.collect().toSeq == direct.collect().toSeq)
   }
 
+  test("jsonRoundTrip: JSONL write→read round-trips every source's " +
+      "counts, char sums and text fingerprints; escaping survives " +
+      "quotes, backslashes and tabs") {
+    val audit = CatalogAudits.jsonRoundTrip(spark, d)
+    graft.functions.PolyHash.register(spark)
+    val direct = Tables.documents(spark, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text"))).as("chars_read"),
+        sum(col("n_chars")).as("chars_stored"),
+        sum(pmod(expr("graft_polyhash(text)"), lit(P))).as("text_fp"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+    assert(audit.collect().toSeq == direct.collect().toSeq)
+    // adversarial escaping: quote/backslash/tab/unicode round-trip
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "he said \"hi\" \\ and \t left", "en", "s0", 0L),
+      (2L, "plain", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsspec")
+    try {
+      nasty.write.mode("overwrite").json(dir.toString)
+      val got = spark.read.json(dir.toString)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(got(1L) == "he said \"hi\" \\ and \t left")
+      assert(got(2L) == "plain")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("compactionAudit: 3+3 appended files compact to exactly one " +
       "per year with rows and content fingerprint unchanged") {
     val rows = CatalogAudits.compactionAudit(spark, d).collect()
