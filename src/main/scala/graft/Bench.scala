@@ -72,6 +72,12 @@ object Bench {
       fixture("pair_census") {
         graft.operators.TextDedup.pairCensus(
           Tables.documents(spark, sfDir), sfDir).count(); ()
+      },
+      // the session-memoized tick tape all q_stream_* keys replay
+      // (29 consumers; built via the same SessionFrameCache key the
+      // registry drives hit)
+      fixture("stream_tape") {
+        graft.streaming.StreamRegistry.warmTape(spark, sfDir); ()
       })
 
     // Double-run protocol (round-8): the whole suite executes TWICE
