@@ -1653,6 +1653,9 @@ object SparkEntry {
     // F103 — exact tie-aware AUC of the margin vs the rule verdicts.
     "q_clf_auc" -> ((s, d) =>
       CorpusPipeline.classifierAuc(Tables.documents(s, d))),
+    // F104 — temperature-scaled mixture weight curve (sqrt ladder).
+    "q_mixture_temps" -> ((s, d) =>
+      CorpusPipeline.mixtureTemperatureCurve(Tables.documents(s, d))),
     // F80 — corpus snapshot delta: old = even ids, new = ids not
     // divisible by 3 with %5 docs content-mutated — all four classes
     // populated by construction.
@@ -8477,6 +8480,30 @@ object SparkEntry {
         |  CAST(count(CASE WHEN label = keep THEN 1 END) AS DOUBLE)
         |    / count(*) AS agree_share
         |FROM j GROUP BY bin ORDER BY bin""".stripMargin
+    },
+    // F104 — the temperature-curve oracle: exact int64 token counts,
+    // the same sqrt ladder (IEEE sqrt is correctly rounded — no
+    // pow/exp/ln), quantized scores, integer normalizer, one division.
+    "q_mixture_temps" -> {
+      import graft.functions.PortableText._
+      s"""WITH c AS (SELECT source,
+        |    CAST(sum(len($duckTokens)) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |x AS (SELECT t_quarters, source, n_tokens,
+        |    CASE t_quarters
+        |      WHEN 1 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |      WHEN 2 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |      WHEN 3 THEN sqrt(CAST(n_tokens AS DOUBLE))
+        |        * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+        |      ELSE CAST(n_tokens AS DOUBLE)
+        |    END AS s
+        |  FROM c, (SELECT unnest(range(1, 5)) AS t_quarters) t),
+        |q AS (SELECT t_quarters, source, n_tokens,
+        |    CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS sq FROM x)
+        |SELECT t_quarters, source, n_tokens,
+        |  round(CAST(sq AS DOUBLE) / CAST(sum(sq) OVER
+        |    (PARTITION BY t_quarters) AS DOUBLE), 6) AS weight
+        |FROM q ORDER BY t_quarters, source""".stripMargin
     },
     // F103 — the AUC oracle: the q_clf_calibration clf/qf CTEs
     // joined to source, then the exact pair-counting identity —

@@ -939,6 +939,53 @@ object CorpusPipeline {
       .orderBy("bin")
   }
 
+  /** F104 — MIXTURE TEMPERATURE CURVE: the source-sampling weights a
+    * temperature-scaled mixture assigns at T ∈ {¼, ½, ¾, 1} —
+    * weight_T(s) ∝ tokens(s)^T, THE knob every pre-training data
+    * recipe tunes (T = 1 is natural sampling, T → 0 uniform; the
+    * 0.7-ish production values sit between the ¾ and ½ rows). F37
+    * samples AT one fixed weight vector; this emits the whole curve
+    * so the recipe choice is a table lookup.
+    *
+    * Engine-exactness without pow(): n^T for quarter temperatures is
+    * a SQRT LADDER — n^¼ = √√n, n^½ = √n, n^¾ = √n·√√n — and IEEE
+    * sqrt is CORRECTLY ROUNDED (unlike libm pow/exp/ln), so both
+    * engines compute bit-identical scores from the exact int64 token
+    * counts. The cross-source normalizer would still be an
+    * order-sensitive double sum, so each score is first QUANTIZED to
+    * int64 (floor(s·1e6 + 0.5) — positive, no sign split needed) and
+    * the normalizer is an exact integer sum; the emitted weight is
+    * one division of exact ints, round(6).
+    *
+    * Shape: ONE token-count aggregate (|sources| rows), a 4-row
+    * temperature cross, a per-T window sum over the tiny frame —
+    * nothing corpus-sized past the first aggregate. */
+  def mixtureTemperatureCurve(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableText.tokens
+    val counts = docs
+      .select(col("source"), expr(s"size($tokens)").cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val temps = docs.sparkSession.range(1, 5)
+      .select(col("id").as("t_quarters"))
+    val scored = counts.crossJoin(broadcast(temps))
+      .withColumn("s", expr(
+        """CASE t_quarters
+          |  WHEN 1 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+          |  WHEN 2 THEN sqrt(CAST(n_tokens AS DOUBLE))
+          |  WHEN 3 THEN sqrt(CAST(n_tokens AS DOUBLE))
+          |    * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+          |  ELSE CAST(n_tokens AS DOUBLE)
+          |END""".stripMargin))
+      .withColumn("sq", expr("CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)"))
+    val w = Window.partitionBy("t_quarters")
+    scored
+      .withColumn("tot", sum("sq").over(w))
+      .select(col("t_quarters"), col("source"), col("n_tokens"),
+        round(col("sq").cast("double") / col("tot").cast("double"), 6)
+          .as("weight"))
+      .orderBy("t_quarters", "source")
+  }
+
   /** F103 — CLASSIFIER RANKING AUDIT (exact tie-aware AUC): how well
     * the F73 hashed-linear margin RANKS the F15 rule verdicts, per
     * source — the Mann-Whitney AUC every quality-classifier rollout

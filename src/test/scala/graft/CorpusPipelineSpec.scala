@@ -492,6 +492,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(oneClass.isNullAt(oneClass.fieldIndex("auc")))
   }
 
+  // ---------- F104 mixtureTemperatureCurve ----------
+
+  test("mixtureTemperatureCurve: T=1 is natural token share, lower T " +
+      "flattens toward uniform (small sources gain, big ones lose), " +
+      "weights sum to ~1 per temperature") {
+    val docs = Seq(
+      (1L, ("w " * 90).trim, "en", "big"),
+      (2L, ("w " * 10).trim, "en", "small"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusPipeline.mixtureTemperatureCurve(docs)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out.length == 8)
+    val byT = out.groupBy(_._1)
+    byT.values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5, s"sum: $rows")
+    }
+    def w(t: Long, src: String): Double =
+      byT(t).find(_._2 == src).get._4
+    // T=1: natural shares 0.9 / 0.1
+    assert(math.abs(w(4, "big") - 0.9) < 1e-6)
+    assert(math.abs(w(4, "small") - 0.1) < 1e-6)
+    // monotone flattening: the small source's weight rises as T drops
+    assert(w(3, "small") > w(4, "small"))
+    assert(w(2, "small") > w(3, "small"))
+    assert(w(1, "small") > w(2, "small"))
+    // hand value at T=1/2: sqrt(90)/(sqrt(90)+sqrt(10)), through the
+    // operator's own quantization
+    val (s90, s10) = (math.floor(math.sqrt(90.0) * 1e6 + 0.5),
+      math.floor(math.sqrt(10.0) * 1e6 + 0.5))
+    val want = BigDecimal(s10 / (s90 + s10)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(w(2, "small") - want) < 1e-9)
+  }
+
   // ---------- F81 curationAttribution ----------
 
   test("curationAttribution: the 2x2 quality x dup matrix per source " +
