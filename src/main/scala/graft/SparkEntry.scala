@@ -355,6 +355,8 @@ object SparkEntry {
     * actually travels), sticky transitions keep regimes persistent. */
   val hmmParams = graft.operators.Microstructure.HmmParams(
     gL = 2000.0, gH = 12000.0, stayL = 0.95, stayH = 0.90)
+  val ewmaVolLambdas = Seq(0.8, 0.9, 0.94, 0.97) // D93 decay grid
+                                // (0.94 = the RiskMetrics daily λ)
   val factorSyms = 8            // D91 roster size (top by tick count)
   val factorComps = 2           // D91 components reported
   val factorIters = 40          // D91 power-iteration rounds
@@ -2019,6 +2021,9 @@ object SparkEntry {
     "q_factor_resid" -> ((s, d) => graft.operators.Microstructure
       .factorResiduals(Tables.ticks(s, d), factorSyms, factorComps,
         factorIters)),
+    // D93 — RiskMetrics-λ grid: EWMA daily-vol forecast MSE/symbol.
+    "q_ewma_vol_grid" -> ((s, d) => graft.operators.Microstructure
+      .ewmaVolGrid(Tables.ticks(s, d), ewmaVolLambdas)),
     // G48 — the regime filter live: a point per move with the
     // post-update P(high) and its regime verdict.
     "q_stream_hmm" -> ((s, d) =>
@@ -10673,6 +10678,42 @@ object SparkEntry {
         |  round(1.0 - ($explSum) / $varCell, 6) + 0.0 AS resid_share
         |FROM cm0, $froms, pos
         |ORDER BY pos""".stripMargin
+    },
+    // D93 — the λ-grid oracle: exact int64 daily rv, the same
+    // sequential fold per λ in day order (1−λ Scala-interpolated, the
+    // D86 DECIMAL lesson), one UNION ALL branch per grid point over
+    // the shared day-list CTE.
+    "q_ewma_vol_grid" -> {
+      val branches = ewmaVolLambdas.map { l =>
+        val oneMinus = 1.0 - l
+        s"""SELECT symbol, CAST($l AS DOUBLE) AS lambda,
+          |  CAST(len(rvs) AS BIGINT) AS n_days,
+          |  st.err / CAST(len(rvs) - 1 AS DOUBLE) AS mse,
+          |  st.f AS f_next
+          |FROM (SELECT symbol, rvs,
+          |    list_reduce(list_transform(rvs, v -> {
+          |        err: CAST(0.0 AS DOUBLE), f: v, rv: v}),
+          |      (acc, e) -> {
+          |        err: acc.err + (acc.f - e.rv) * (acc.f - e.rv),
+          |        f: $l * acc.f + $oneMinus * e.rv,
+          |        rv: e.rv}) AS st
+          |  FROM l) z""".stripMargin
+      }
+      s"""WITH g AS (SELECT symbol, CAST(ts AS DATE) AS d,
+        |    list(CAST(round(bid * 100.0, 0) AS BIGINT)
+        |      ORDER BY tick_id) AS cs
+        |  FROM $ticksSql t GROUP BY 1, 2),
+        |r AS (SELECT symbol, d,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(2, len(cs) + 1),
+        |        k -> cs[k] - cs[k - 1])),
+        |      (a, m) -> a + m * m) AS rv
+        |  FROM g WHERE len(cs) >= 2),
+        |l AS (SELECT symbol,
+        |    list(CAST(rv AS DOUBLE) ORDER BY d) AS rvs
+        |  FROM r GROUP BY symbol HAVING count(*) >= 2)
+        |SELECT * FROM (${branches.mkString(" UNION ALL ")}) u
+        |ORDER BY symbol, lambda""".stripMargin
     },
     // G48 — the same regime fold replayed over each move PREFIX: one
     // trace row per cent move with its posterior and regime verdict.

@@ -2517,6 +2517,77 @@ object Microstructure {
     * documented collect). Output: one row per (component, roster
     * position) with the symbol, loading, eigenvalue, explained
     * share — all round(6) aggregate-derived. */
+  /** D93 — EWMA VOLATILITY FORECAST SELECTION (the RiskMetrics-λ
+    * grid): for each decay λ, run the one-step-ahead EWMA forecast of
+    * the DAILY realized variance per symbol — f₁ = rv₁,
+    * fₜ₊₁ = λ·fₜ + (1−λ)·rvₜ — and score it by out-of-sample squared
+    * error Σₜ≥₂ (fₜ − rvₜ)², emitting per (symbol, λ) the forecast
+    * MSE and the NEXT-day forecast the desk would deploy. D86 runs a
+    * FIXED vol filter; this is the model-selection table that picks
+    * its smoothing — the λ column a risk platform publishes next to
+    * its vol surface.
+    *
+    * Numerics: daily rv = Σ m² over the day's cent moves — EXACT
+    * int64 (< 2^53, so the double cast is value-preserving); the λ
+    * recurrence is sequential +/· on doubles folded in day order
+    * (bit-identical across engines); each 1−λ is Scala-PRECOMPUTED
+    * and interpolated (spelled as SQL, DECIMAL arithmetic would give
+    * 0.06 exactly where the binary recurrence needs
+    * 0.06000000000000005 — the D86 seed lesson); MSE = one division
+    * by the (n−1) cast. Emission unrounded (pure element-wise IEEE
+    * chain).
+    *
+    * Shape: one (symbol, day) collapse for rv (map-side partials),
+    * one symbol collapse whose state is the CALENDAR-bounded day
+    * list (the D64 vol-cones precedent — days, not ticks; the list
+    * is checkpointed once and reused by every λ branch), then a
+    * per-λ fold over that ≤|days| list. Symbols with < 2
+    * with-move days emit nothing. */
+  def ewmaVolGrid(ticks: DataFrame,
+                  lambdas: Seq[Double] = Seq(0.8, 0.9, 0.94, 0.97))
+      : DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(l => l > 0 && l < 1),
+      s"lambdas must be in (0,1): $lambdas")
+    val rv = ticks
+      .groupBy(col("symbol"), to_date(col("ts")).as("_date"))
+      .agg(expr(
+        "sort_array(collect_list(struct(ts, tick_id, " +
+          "CAST(round(bid * 100.0, 0) AS BIGINT) AS cents)))").as("arr"))
+      .withColumn("moves", expr(
+        """transform(slice(arr, 2, size(arr) - 1),
+          |  (x, i) -> x.cents - element_at(arr, i + 1).cents)"""
+          .stripMargin))
+      .filter(size(col("moves")) >= 1)
+      .select(col("symbol"), col("_date"),
+        expr("""aggregate(moves, CAST(0 AS BIGINT),
+          |  (a, m) -> a + m * m)""".stripMargin).as("rv"))
+    val lists = rv.groupBy("symbol")
+      .agg(expr("sort_array(collect_list(struct(_date AS d, " +
+        "CAST(rv AS DOUBLE) AS rv)))").as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .withColumn("rvs", expr("transform(arr, x -> x.rv)"))
+      .localCheckpoint(true)
+    val perLambda = lambdas.map { l =>
+      val oneMinus = 1.0 - l // one spelling, round-trip literal
+      lists.select(
+        col("symbol"), lit(l).as("lambda"),
+        size(col("rvs")).cast("long").as("n_days"),
+        expr(
+          s"""aggregate(slice(rvs, 2, size(rvs) - 1),
+            |  named_struct(
+            |    'err', CAST(0.0 AS DOUBLE),
+            |    'f', element_at(rvs, 1)),
+            |  (acc, v) -> named_struct(
+            |    'err', acc.err + (acc.f - v) * (acc.f - v),
+            |    'f', $l * acc.f + $oneMinus * v))""".stripMargin)
+          .as("st"))
+        .select(col("symbol"), col("lambda"), col("n_days"),
+          expr("st.err / CAST(n_days - 1 AS DOUBLE)").as("mse"),
+          col("st.f").as("f_next"))
+    }
+    perLambda.reduce(_.unionAll(_)).orderBy("symbol", "lambda")
+  }
+
   /** The D91/D92 shared core: roster, covariance and eigenpairs —
     * extracted so the loading report and the residual decomposition
     * cannot diverge on the grid, the covariance spelling, or the

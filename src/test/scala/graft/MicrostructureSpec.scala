@@ -1094,6 +1094,33 @@ class MicrostructureSpec extends SparkSpec {
     sampled.foreach { case (k, v) => assert(exact(k) == v) }
   }
 
+  test("D93 ewmaVolGrid: the lambda recurrence equals the hand fold, " +
+      "MSE averages the out-of-sample errors, single-day symbols drop") {
+    // symbol 1: day rvs 100^2=10000, (200^2+100^2)=50000, 300^2=90000
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 10.00, 10.1),
+      (2L, 1L, "2024-01-01 16:00:00", 11.00, 11.1),   // +100 c
+      (3L, 1L, "2024-01-02 10:00:00", 10.00, 10.1),
+      (4L, 1L, "2024-01-02 12:00:00", 12.00, 12.1),   // +200 c
+      (5L, 1L, "2024-01-02 16:00:00", 13.00, 13.1),   // +100 c
+      (6L, 1L, "2024-01-03 10:00:00", 10.00, 10.1),
+      (7L, 1L, "2024-01-03 16:00:00", 13.00, 13.1),   // +300 c
+      (8L, 2L, "2024-01-01 10:00:00", 5.00, 5.1),
+      (9L, 2L, "2024-01-01 16:00:00", 5.50, 5.6))     // 1 day only
+    val out = Microstructure.ewmaVolGrid(ticks(rows: _*), Seq(0.5))
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L), "single-day symbol 2 must drop")
+    val (rv1, rv2, rv3) = (10000.0, 50000.0, 90000.0)
+    var f = rv1; var err = 0.0
+    for (rv <- Seq(rv2, rv3)) {
+      err += (f - rv) * (f - rv); f = 0.5 * f + 0.5 * rv
+    }
+    val r = out.head
+    assert(r._3 == 3L)
+    assert(r._4 == err / 2.0, s"mse: ${r._4} want ${err / 2.0}")
+    assert(r._5 == f, s"f_next: ${r._5} want $f")
+  }
+
   test("D91 factorPca: perfectly co-moving symbols load equally on a " +
       "market mode explaining ~everything; incomplete days drop; the " +
       "roster keeps the most-active symbols") {
