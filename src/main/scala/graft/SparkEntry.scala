@@ -2028,6 +2028,9 @@ object SparkEntry {
     // post-update P(high) and its regime verdict.
     "q_stream_hmm" -> ((s, d) =>
       StreamRegistry.streamHmm(s, d, hmmParams)),
+    // G49 — streaming media-dedup admission over the F78 lake.
+    "q_stream_media" -> ((s, _) =>
+      StreamRegistry.streamMediaAdmission(s, 96)),
 
     // ===== A-section side-effect audits (r14 verdict item #2):
     // real on-disk state built in a throwaway location, the
@@ -2654,6 +2657,15 @@ object SparkEntry {
     // registry note). A codec/fingerprint corruption flips keep bits
     // or n_copies and goes red — a real check despite no SQL codec
     // math.
+    // G49 — the F78 construction formula: the tape is id-ordered, so
+    // first-arrival == min-id == the planted keep rule.
+    "q_stream_media" ->
+      """SELECT r AS media_id,
+        |  CASE WHEN r % 3 = 1 THEN 'image'
+        |       WHEN r % 3 = 2 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  r < 96 AS admitted
+        |FROM range(192) t(r) ORDER BY media_id""".stripMargin,
     "q_media_dedup" ->
       """SELECT r AS media_id,
         |  CASE WHEN r % 3 = 1 THEN 'image'

@@ -219,25 +219,32 @@ object Multimodal {
     * decode pass, one shuffle on the fingerprint key; group frame is
     * content-cardinality-sized (never broadcast — at 100 TB it
     * shuffles like F1). */
-  def mediaDedup(media: Dataset[MediaRow]): DataFrame = {
-    import media.sparkSession.implicits._
+  /** The decoded-content fingerprint shared by F78 (batch dedup) and
+    * G49 (streaming admission) — decode with the real codec, fold the
+    * canonical content (dims/rate first) into the mod-1e9+7 rolling
+    * hash. ONE spelling so the batch keep set and the live admit set
+    * cannot drift. */
+  def contentFp(r: MediaRow): Long = {
     val P = 1000000007L
     def fold(h: Long, v: Long): Long = (h * 31 + v) % P
-    val fp = media.map { r =>
-      val f = r.kind match {
-        case "image" =>
-          val (w, h, rgb) = MediaCodecs.Ppm.decode(r.payload)
-          rgb.foldLeft(fold(fold(0L, w), h))((a, v) => fold(a, v))
-        case "audio" =>
-          val (rate, samples) = MediaCodecs.Wav.decode(r.payload)
-          samples.foldLeft(fold(0L, rate))((a, v) => fold(a, v & 0xffffL))
-        case _ =>
-          val (w, h, frames) = MediaCodecs.Y4m.decode(r.payload)
-          frames.foldLeft(fold(fold(0L, w), h))((a, fr) =>
-            fr.foldLeft(fold(a, 255L))((x, b) => fold(x, b & 0xffL)))
-      }
-      (r.media_id, r.kind, f)
-    }.toDF("media_id", "kind", "fp")
+    r.kind match {
+      case "image" =>
+        val (w, h, rgb) = MediaCodecs.Ppm.decode(r.payload)
+        rgb.foldLeft(fold(fold(0L, w), h))((a, v) => fold(a, v))
+      case "audio" =>
+        val (rate, samples) = MediaCodecs.Wav.decode(r.payload)
+        samples.foldLeft(fold(0L, rate))((a, v) => fold(a, v & 0xffffL))
+      case _ =>
+        val (w, h, frames) = MediaCodecs.Y4m.decode(r.payload)
+        frames.foldLeft(fold(fold(0L, w), h))((a, fr) =>
+          fr.foldLeft(fold(a, 255L))((x, b) => fold(x, b & 0xffL)))
+    }
+  }
+
+  def mediaDedup(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    val fp = media.map(r => (r.media_id, r.kind, contentFp(r)))
+      .toDF("media_id", "kind", "fp")
     val groups = fp.groupBy("kind", "fp")
       .agg(count(lit(1)).as("n_copies"), min("media_id").as("_keeper"))
     fp.join(groups, Seq("kind", "fp"))

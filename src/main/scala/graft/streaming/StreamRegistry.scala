@@ -924,6 +924,22 @@ object StreamRegistry {
       t => Streaming.ffdPoints(t, dOrd, k).toDF())
       .orderBy("tick_id")
 
+  /** G49 twin key: the F78 media lake replayed as an id-ordered
+    * tape — every distinct content admitted on first arrival, every
+    * planted replica (ids nDistinct..2n−1, arriving in later chunks)
+    * refused. The oracle is the F78 construction formula: id-ordered
+    * arrival makes first-seen == min-id == the planted keep rule. */
+  def streamMediaAdmission(s: SparkSession, nDistinct: Int): DataFrame = {
+    import graft.operators.Multimodal
+    implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
+      Encoders.product[Multimodal.MediaRow]
+    val tape = Multimodal.syntheticDupMedia(s, nDistinct)
+      .collect().sortBy(_.media_id).toSeq
+    runTape(s, tape, OutputMode.Append)(
+      m => Streaming.mediaAdmission(m).toDF())
+      .orderBy("media_id")
+  }
+
   /** G48 twin key: the two-state regime filter on the tape — a point
     * per cent move carrying the post-update P(high) and its regime
     * verdict; the oracle replays the identical rational fold over

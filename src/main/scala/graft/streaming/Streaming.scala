@@ -2353,6 +2353,38 @@ object Streaming {
       }
   }
 
+  case class MediaDecision(media_id: Long, kind: String,
+                           admitted: Boolean)
+
+  /** G49 — STREAMING MEDIA-DEDUP ADMISSION: the multimodal twin of G3
+    * (exact text dedup) — binary media decoded with the REAL codec,
+    * keyed state per (kind, decoded-content fingerprint), first
+    * arrival admitted, every later copy refused. The fingerprint is
+    * the SAME `Multimodal.contentFp` the F78 batch dedup keys on (one
+    * spelling), so the live admit set equals the batch keep set
+    * whenever arrival order is id order (spec'd across a batch
+    * split). State: ONE boolean per distinct content — the minimum
+    * any exact-content admission gate must retain. */
+  def mediaAdmission(media: Dataset[graft.operators.Multimodal.MediaRow])
+      : Dataset[MediaDecision] = {
+    import media.sparkSession.implicits._
+    media.groupByKey(r => (r.kind, graft.operators.Multimodal.contentFp(r)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, Long),
+         rows: Iterator[graft.operators.Multimodal.MediaRow],
+         state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_.media_id).map { r =>
+            val admit = !seen
+            seen = true
+            MediaDecision(r.media_id, r.kind, admit)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** G48 keyed state: last cents (Long.MinValue = none), the scalar
     * forward posterior P(low), move count. */
   case class HmmState(lastC: Long, pl: Double, n: Long)

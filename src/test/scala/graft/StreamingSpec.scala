@@ -588,6 +588,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("G49 parity: mediaAdmission admits first arrivals and refuses " +
+      "replicas across a batch split; the admit set equals the F78 " +
+      "batch keep set") {
+    import graft.operators.Multimodal
+    import graft.streaming.Streaming.MediaDecision
+    implicit val sqlCtx = spark.sqlContext
+    implicit val enc: org.apache.spark.sql.Encoder[Multimodal.MediaRow] =
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]
+    val lake = Multimodal.syntheticDupMedia(spark, 12)
+      .collect().sortBy(_.media_id).toSeq // 12 distinct + 12 replicas
+    val in = MemoryStream[Multimodal.MediaRow]
+    val q = Streaming.mediaAdmission(in.toDS())
+      .writeStream.format("memory").queryName("p_media")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // originals in batch 1, replicas in batch 2 — the replica's
+      // refusal depends on CROSS-BATCH keyed state
+      in.addData(lake.take(12): _*); q.processAllAvailable()
+      in.addData(lake.drop(12): _*); q.processAllAvailable()
+      val out = spark.table("p_media").as[MediaDecision].collect()
+      assert(out.length == 24)
+      out.foreach { dcsn =>
+        assert(dcsn.admitted == (dcsn.media_id < 12L), s"$dcsn")
+      }
+      val batchKeep = Multimodal.mediaDedup(
+          Multimodal.syntheticDupMedia(spark, 12))
+        .select("media_id", "keep")
+        .as[(Long, Boolean)].collect().toMap
+      out.foreach { dcsn =>
+        assert(dcsn.admitted == batchKeep(dcsn.media_id),
+          s"stream/batch drift: $dcsn")
+      }
+    } finally q.stop()
+  }
+
   test("G46 parity: cusumPoints replays the branchless CUSUM across " +
       "a mid-day batch split; the last point per (symbol, day) " +
       "carries the batch close registers and the day's event total") {
