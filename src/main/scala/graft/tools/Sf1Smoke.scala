@@ -207,7 +207,12 @@ object Sf1Smoke {
       "q_semantic_dedup", "q_classifier_score", "q_clf_calibration",
       "q_waterfill", "q_ks_drift", "q_boilerplate",
       "q_corpus_delta", "q_curation_matrix", "q_text_embed",
-      "q_label_fisher")
+      "q_label_fisher",
+      // round-15 additions: length-normalized ranking, CDC chunking,
+      // the AUC audit, and the temperature curve — the replica is a
+      // worst case for q_cdc_chunks's dup census (every chunk hash
+      // >= replicas hot)
+      "q_bm25", "q_cdc_chunks", "q_clf_auc", "q_mixture_temps")
     // The temporal-join/tick family over the symbol-remapped events
     // replica: as-of ladder (plain, tolerance-gated, nearest-either-
     // side), the per-(symbol, day) EWMA fold, market beta (the one
@@ -285,7 +290,13 @@ object Sf1Smoke {
       // MARGINAL cost on top of the one chain build.
       "q_error_profile", "q_model_params", "q_backtest_report",
       "q_book_report", "q_latency_sensitivity", "q_signal_sweep",
-      "q_staleness_report", "q_walkforward_model")
+      "q_staleness_report", "q_walkforward_model",
+      // round-15 additions: the sequential-filter family's regime
+      // classifier, the factor model pair (roster stays 8 while the
+      // symbol universe grows 10-100x — the scan/collapse is what
+      // scales), and the λ-grid forecast selection
+      "q_hmm_regime", "q_factor_pca", "q_factor_resid",
+      "q_ewma_vol_grid")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
