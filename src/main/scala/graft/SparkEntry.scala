@@ -355,6 +355,8 @@ object SparkEntry {
     * actually travels), sticky transitions keep regimes persistent. */
   val hmmParams = graft.operators.Microstructure.HmmParams(
     gL = 2000.0, gH = 12000.0, stayL = 0.95, stayH = 0.90)
+  val deconSweepNs = Seq(2, 3, 5, 7) // F105 gram-width grid (5 = the
+                                // production F17/F43 setting)
   val ewmaVolLambdas = Seq(0.8, 0.9, 0.94, 0.97) // D93 decay grid
                                 // (0.94 = the RiskMetrics daily λ)
   val factorSyms = 8            // D91 roster size (top by tick count)
@@ -1658,6 +1660,10 @@ object SparkEntry {
     // F104 — temperature-scaled mixture weight curve (sqrt ladder).
     "q_mixture_temps" -> ((s, d) =>
       CorpusPipeline.mixtureTemperatureCurve(Tables.documents(s, d))),
+    // F105 — the decontamination gram-width calibration sweep.
+    "q_decon_sweep" -> ((s, d) =>
+      CorpusPipeline.decontaminationSweep(Tables.documents(s, d),
+        deconSweepNs)),
     // F80 — corpus snapshot delta: old = even ids, new = ids not
     // divisible by 3 with %5 docs content-mutated — all four classes
     // populated by construction.
@@ -9521,6 +9527,53 @@ object SparkEntry {
         |    CAST(per.n_overlap AS DOUBLE) / per.n_grams END AS overlap_frac
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |WHERE d.doc_id % 50 = 0 ORDER BY d.doc_id""".stripMargin
+    },
+    // F105 — the sweep oracle: one generated branch per gram width
+    // (the q_contamination_score CTE shape collapsed to a summary
+    // row; per-doc fractions ppm-quantized so the mean is an exact
+    // integer sum).
+    "q_decon_sweep" -> {
+      import graft.functions.PortableText._
+      val branches = deconSweepNs.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS n,
+          |  count(*) AS n_heldout,
+          |  count(CASE WHEN n_overlap > 0 THEN 1 END) AS n_flagged,
+          |  round(CAST(count(CASE WHEN n_overlap > 0 THEN 1 END)
+          |      AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 4) AS flag_share,
+          |  CASE WHEN count(CASE WHEN n_grams > 0 THEN 1 END) > 0 THEN
+          |    round(CAST(sum(CASE WHEN n_grams > 0 THEN
+          |        CAST(floor(CAST(n_overlap AS DOUBLE)
+          |          / CAST(n_grams AS DOUBLE) * 1000000.0 + 0.5)
+          |          AS BIGINT) END) AS DOUBLE)
+          |      / CAST(count(CASE WHEN n_grams > 0 THEN 1 END)
+          |          AS DOUBLE) / 1000000.0, 4)
+          |  END AS mean_frac
+          |FROM (
+          |  SELECT d.doc_id, coalesce(per.n_grams, 0) AS n_grams,
+          |    coalesce(per.n_overlap, 0) AS n_overlap
+          |  FROM documents d LEFT JOIN (
+          |    SELECT te.doc_id, count(*) AS n_grams,
+          |      count(tr.hit) AS n_overlap
+          |    FROM (SELECT DISTINCT doc_id, gram FROM g$n
+          |          WHERE doc_id % 50 = 0) te
+          |    LEFT JOIN (SELECT DISTINCT gram, 1 AS hit FROM g$n
+          |               WHERE doc_id % 50 <> 0) tr USING (gram)
+          |    GROUP BY te.doc_id) per ON d.doc_id = per.doc_id
+          |  WHERE d.doc_id % 50 = 0) h$n""".stripMargin
+      }
+      val gramCtes = deconSweepNs.map { n =>
+        s"""g$n AS (
+          |  SELECT doc_id, unnest(list_transform(
+          |    range(1, length(tk) - ${n - 2}),
+          |    i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+          |  FROM tk0)""".stripMargin
+      }
+      s"""WITH tk0 AS (SELECT doc_id, $duckTokens AS tk
+        |  FROM documents),
+        |${gramCtes.mkString(",\n")}
+        |SELECT * FROM (${branches.mkString(" UNION ALL ")}) u
+        |ORDER BY n""".stripMargin
     },
     "q_json_extract" ->
       """SELECT event_type,

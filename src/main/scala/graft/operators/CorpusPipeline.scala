@@ -939,6 +939,69 @@ object CorpusPipeline {
       .orderBy("bin")
   }
 
+  /** F105 — DECONTAMINATION n-SWEEP: the corpus-level calibration
+    * curve behind F17/F43's fixed-n choice — for each gram width n,
+    * how many held-out docs flag as contaminated and how much of
+    * their gram mass overlaps training. At n=2 nearly everything
+    * flags (common bigrams are language, not leakage); at n=7 only
+    * real leaks survive — the sweep is the table a pipeline reads
+    * ONCE to pick its production n, exactly like F55 picks the dedup
+    * threshold. One row per n: held-out count, flagged count/share,
+    * and the mean per-doc overlap fraction.
+    *
+    * Engine-exactness: each per-doc fraction is one IEEE division of
+    * exact int64 counts, QUANTIZED to ppm (floor(x·1e6 + 0.5) —
+    * positive) so the cross-doc mean is an exact integer sum divided
+    * once; flag share one division, round(4). Gram-less held-out
+    * docs count in `n_heldout` but not in the mean.
+    *
+    * Shape: per n, the F17 discipline verbatim (explode → per-side
+    * DISTINCT with map-side partials → gram-keyed join, never
+    * doc×doc) collapsed to ONE summary row; the sweep unions a few
+    * branches. A calibration run re-scans the corpus per n — at
+    * 100 TB this sweep runs on a sample (as every calibration
+    * does); production then runs F17 at the chosen n. */
+  def decontaminationSweep(docs: DataFrame,
+                           ns: Seq[Int] = Seq(2, 3, 5, 7),
+                           holdoutMod: Int = 50): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), s"need gram widths >= 2: $ns")
+    WordGrams.register(docs.sparkSession)
+    val perN = ns.map { n =>
+      val grams = docs.select(col("doc_id"),
+        explode(gramsCol(n)).as("gram"))
+      val trainGrams = grams
+        .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
+        .select("gram").distinct().withColumn("hit", lit(1))
+      val testGrams = grams
+        .filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+        .distinct()
+      val per = testGrams.join(trainGrams, Seq("gram"), "left")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_overlap"))
+      docs.filter(pmod(col("doc_id"), lit(holdoutMod)) === 0)
+        .select("doc_id")
+        .join(per, Seq("doc_id"), "left")
+        .select(coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .agg(count(lit(1)).as("n_heldout"),
+          count(when(col("n_overlap") > 0, lit(1))).as("n_flagged"),
+          sum(when(col("n_grams") > 0, expr(
+            """CAST(floor(CAST(n_overlap AS DOUBLE)
+              |  / CAST(n_grams AS DOUBLE) * 1000000.0 + 0.5)
+              |  AS BIGINT)""".stripMargin))).as("frac_ppm_sum"),
+          count(when(col("n_grams") > 0, lit(1))).as("n_scored"))
+        .select(lit(n.toLong).as("n"), col("n_heldout"),
+          col("n_flagged"),
+          round(col("n_flagged").cast("double")
+            / col("n_heldout").cast("double"), 4).as("flag_share"),
+          when(col("n_scored") > 0,
+            round(col("frac_ppm_sum").cast("double")
+              / col("n_scored").cast("double") / 1000000.0, 4))
+            .as("mean_frac"))
+    }
+    perN.reduce(_.unionAll(_)).orderBy("n")
+  }
+
   /** F104 — MIXTURE TEMPERATURE CURVE: the source-sampling weights a
     * temperature-scaled mixture assigns at T ∈ {¼, ½, ¾, 1} —
     * weight_T(s) ∝ tokens(s)^T, THE knob every pre-training data

@@ -492,6 +492,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(oneClass.isNullAt(oneClass.fieldIndex("auc")))
   }
 
+  // ---------- F105 decontaminationSweep ----------
+
+  test("decontaminationSweep: a 6-token shared span flags the " +
+      "held-out doc at n <= 5 but not at n = 7; overlap fraction " +
+      "decreases with n") {
+    val span = "alpha bravo charlie delta echo foxtrot" // 6 tokens
+    val docs = Seq(
+      (0L, span + " zulu yankee xray walrus victor"),  // held out (0%50)
+      (1L, "prefix words here " + span + " suffix tail"),
+      (2L, "unrelated training content entirely different tokens"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s' AS source")
+    val out = CorpusPipeline.decontaminationSweep(docs, Seq(2, 3, 5, 7))
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(2L, 3L, 5L, 7L))
+    out.foreach { r => assert(r._2 == 1L, s"one held-out doc: $r") }
+    val flagged = out.map(r => r._1 -> r._3).toMap
+    assert(flagged(2L) == 1L && flagged(3L) == 1L && flagged(5L) == 1L)
+    assert(flagged(7L) == 0L, "no 7-gram survives a 6-token span")
+    // the overlap fraction shrinks as n grows: 5 shared bigrams of
+    // 10, 4 shared trigrams of 9, 2 shared 5-grams of 7, 0 of 5
+    val fracs = out.map(r => r._1 -> r._5).toMap
+    assert(fracs(2L) > fracs(3L) && fracs(3L) > fracs(5L)
+      && fracs(5L) > fracs(7L))
+    assert(fracs(7L) == 0.0)
+    assert(fracs(2L) == 0.5, s"5 of 10 bigrams shared: ${fracs(2L)}")
+  }
+
   // ---------- F104 mixtureTemperatureCurve ----------
 
   test("mixtureTemperatureCurve: T=1 is natural token share, lower T " +
