@@ -32,16 +32,26 @@ object Bench {
     // codegen, first-use JIT) so the A29/A30 round-trip keys measure
     // the round trip, not one-time format init (q_orc_roundtrip
     // measured 24.7 s cold vs 3.5 s warm before this)
-    try {
+    locally {
       val fmtDir = java.nio.file.Files
-        .createTempDirectory("graft_bench_fmt").toString
-      spark.range(1000L).selectExpr("id", "CAST(id AS STRING) AS s")
-        .write.mode("overwrite").orc(s"$fmtDir/o")
-      spark.read.orc(s"$fmtDir/o").head(1)
-      spark.range(1000L).selectExpr("id", "CAST(id AS STRING) AS s")
-        .write.mode("overwrite").json(s"$fmtDir/j")
-      spark.read.json(s"$fmtDir/j").head(1)
-    } catch { case scala.util.control.NonFatal(_) => () }
+        .createTempDirectory("graft_bench_fmt")
+      try {
+        spark.range(1000L).selectExpr("id", "CAST(id AS STRING) AS s")
+          .write.mode("overwrite").orc(s"$fmtDir/o")
+        spark.read.orc(s"$fmtDir/o").head(1)
+        spark.range(1000L).selectExpr("id", "CAST(id AS STRING) AS s")
+          .write.mode("overwrite").json(s"$fmtDir/j")
+        spark.read.json(s"$fmtDir/j").head(1)
+      } catch { case scala.util.control.NonFatal(_) => ()
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(fmtDir.toFile)
+      }
+    }
     // Harmless under the round-9 µs testdata (applies only to NANOS
     // files); kept so pre-regeneration ns parquet still warms.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

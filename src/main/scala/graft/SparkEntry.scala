@@ -8506,7 +8506,9 @@ object SparkEntry {
     },
     // F104 — the temperature-curve oracle: exact int64 token counts,
     // the same sqrt ladder (IEEE sqrt is correctly rounded — no
-    // pow/exp/ln), quantized scores, integer normalizer, one division.
+    // pow/exp/ln), scores scaled by the per-T max (deterministic)
+    // then quantized to parts-per-1e12 — overflow-free at any corpus
+    // size — integer normalizer, one division.
     "q_mixture_temps" -> {
       import graft.functions.PortableText._
       s"""WITH c AS (SELECT source,
@@ -8522,7 +8524,8 @@ object SparkEntry {
         |    END AS s
         |  FROM c, (SELECT unnest(range(1, 5)) AS t_quarters) t),
         |q AS (SELECT t_quarters, source, n_tokens,
-        |    CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS sq FROM x)
+        |    CAST(floor(s / max(s) OVER (PARTITION BY t_quarters)
+        |      * 1000000000000.0 + 0.5) AS BIGINT) AS sq FROM x)
         |SELECT t_quarters, source, n_tokens,
         |  round(CAST(sq AS DOUBLE) / CAST(sum(sq) OVER
         |    (PARTITION BY t_quarters) AS DOUBLE), 6) AS weight

@@ -86,7 +86,11 @@ object CdcChunks {
     if (!e.foldable) fail("maskBits must be a literal")
     val m = e.eval(null) match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => l.intValue
+      case l: java.lang.Long =>
+        // range-check BEFORE narrowing: a 2^32+k literal must fail,
+        // not silently truncate to its low bits (the Winnow rule)
+        if (l < 1 || l > Int.MaxValue) fail(s"maskBits out of range: $l")
+        l.intValue
       case s: java.lang.Short => s.intValue
       case b: java.lang.Byte => b.intValue
       case other => fail(s"maskBits must be an integer literal, got " +

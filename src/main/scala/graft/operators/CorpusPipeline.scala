@@ -967,8 +967,13 @@ object CorpusPipeline {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"need gram widths >= 2: $ns")
     WordGrams.register(docs.sparkSession)
     val perN = ns.map { n =>
+      // the gram explode feeds BOTH the train-distinct and the test
+      // side — checkpoint it so the tokenize+wordgrams scan runs
+      // once per width, not twice (the bm25 tf-barrier discipline;
+      // the runner's CkptGc sweep reclaims it per query)
       val grams = docs.select(col("doc_id"),
         explode(gramsCol(n)).as("gram"))
+        .localCheckpoint(true)
       val trainGrams = grams
         .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
         .select("gram").distinct().withColumn("hit", lit(1))
@@ -1015,10 +1020,14 @@ object CorpusPipeline {
     * sqrt is CORRECTLY ROUNDED (unlike libm pow/exp/ln), so both
     * engines compute bit-identical scores from the exact int64 token
     * counts. The cross-source normalizer would still be an
-    * order-sensitive double sum, so each score is first QUANTIZED to
-    * int64 (floor(s·1e6 + 0.5) — positive, no sign split needed) and
-    * the normalizer is an exact integer sum; the emitted weight is
-    * one division of exact ints, round(6).
+    * order-sensitive double sum, so each score is first scaled by
+    * its temperature's MAX score (one deterministic division — max
+    * is exact) and the ratio ≤ 1 QUANTIZED to int64 parts-per-1e12
+    * (floor(r·1e12 + 0.5) — positive, and OVERFLOW-FREE at any
+    * corpus size, where quantizing the raw score would exceed int64
+    * past ~9e12 tokens/source); the normalizer is then an exact
+    * integer sum and the emitted weight one division of exact ints,
+    * round(6).
     *
     * Shape: ONE token-count aggregate (|sources| rows), a 4-row
     * temperature cross, a per-T window sum over the tiny frame —
@@ -1039,9 +1048,11 @@ object CorpusPipeline {
           |    * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
           |  ELSE CAST(n_tokens AS DOUBLE)
           |END""".stripMargin))
-      .withColumn("sq", expr("CAST(floor(s * 1000000.0 + 0.5) AS BIGINT)"))
     val w = Window.partitionBy("t_quarters")
     scored
+      .withColumn("ms", max("s").over(w))
+      .withColumn("sq", expr(
+        "CAST(floor(s / ms * 1000000000000.0 + 0.5) AS BIGINT)"))
       .withColumn("tot", sum("sq").over(w))
       .select(col("t_quarters"), col("source"), col("n_tokens"),
         round(col("sq").cast("double") / col("tot").cast("double"), 6)

@@ -2605,7 +2605,13 @@ object Microstructure {
       .orderBy(col("n").desc, col("symbol")).limit(nSyms)
       .select("symbol").collect().map(_.getLong(0)).sorted
     val dim = roster.length
-    require(dim >= 2, s"corpus has fewer than 2 symbols: $dim")
+    // the roster size is part of the CONTRACT (the oracle's
+    // complete-day filter and cascade are generated at exactly
+    // nSyms): a thinner corpus must fail loudly, not silently fit a
+    // smaller model than the caller asked to compare against
+    require(dim == nSyms,
+      s"corpus has $dim symbols, roster needs exactly $nSyms — " +
+        "call with a smaller nSyms")
     val posOf = roster.zipWithIndex.toMap
     val posCol = roster.foldLeft(lit(-1L)) { (acc, sym) =>
       when(col("symbol") === sym, lit(posOf(sym).toLong)).otherwise(acc)
