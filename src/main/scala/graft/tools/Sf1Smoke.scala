@@ -296,7 +296,11 @@ object Sf1Smoke {
       // symbol universe grows 10-100x — the scan/collapse is what
       // scales), and the λ-grid forecast selection
       "q_hmm_regime", "q_factor_pca", "q_factor_resid",
-      "q_ewma_vol_grid")
+      "q_ewma_vol_grid",
+      // the rest of the sequential-filter family (same H16
+      // one-exchange shape; timed so the family's scale curve is on
+      // record, not just its plan proof)
+      "q_garch", "q_kalman", "q_cusum", "q_fracdiff")
     val family0 =
       if (whichFamily == "docs") docsFamily
       else if (whichFamily == "events") eventsFamily
