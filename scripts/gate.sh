@@ -49,10 +49,18 @@ run_gate() {
   fi
 }
 
-echo "== gate 1/3: full registry @ sf0.001 =="
+echo "== gate 1/4: full registry @ sf0.001 =="
 run_gate sf0.001 /tmp/gate_sf0.001
-echo "== gate 2/3: full registry @ sf0.01 (driver SF) =="
+echo "== gate 2/4: full registry @ sf0.01 (driver SF) =="
 run_gate sf0.01 /tmp/gate_sf0.01
-echo "== gate 3/3: full registry @ sf0.1 =="
+echo "== gate 3/4: full registry @ sf0.1 =="
 run_gate sf0.1 /tmp/gate_sf0.1
+# Registry-wide plan gate (r15 verdict #8): zero CartesianProduct +
+# column pruning on every sfDir scan, with the reasoned allowlist for
+# legitimately full-width keys — a plan regression fails the ROUND,
+# not just the test suite.
+echo "== gate 4/4: registry-wide plan sweep (FleetPlanSpec) =="
+sbt -batch "testOnly graft.FleetPlanSpec" > /tmp/gate_fleetplan.log 2>&1 \
+  || { echo "PLAN GATE FAILED — tail of log:"; tail -30 /tmp/gate_fleetplan.log; exit 1; }
+grep -E "Tests: succeeded" /tmp/gate_fleetplan.log | tail -1
 echo "== GATE GREEN =="

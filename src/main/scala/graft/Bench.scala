@@ -42,7 +42,13 @@ object Bench {
         spark.range(1000L).selectExpr("id", "CAST(id AS STRING) AS s")
           .write.mode("overwrite").json(s"$fmtDir/j")
         spark.read.json(s"$fmtDir/j").head(1)
-      } catch { case scala.util.control.NonFatal(_) => ()
+      } catch { case scala.util.control.NonFatal(e) =>
+        // A failed warm-up silently reverts q_orc_roundtrip /
+        // q_jsonl_roundtrip to measuring ~21 s of one-time format
+        // init (the documented 24.7 s cold case) — make that visible
+        // next to the bench numbers instead of discarding it.
+        System.err.println(s"[bench] ORC/JSON warm-up FAILED " +
+          s"(A29/A30 keys will include one-time format init): $e")
       } finally {
         def rm(f: java.io.File): Unit = {
           if (f.isDirectory)
@@ -205,7 +211,14 @@ object Bench {
     val fixJson = fixtures
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","run2":${fmt(total2)},"n_queries":${results.size},"fixtures":$fixJson,"queries":$qs,"sf":"$sfDir"}"""
+    // run_min = Σ per-key min(run1, run2): the plan-cost total (fixed
+    // size; the per-key map lives in bench_metric.json's plan_cost).
+    val r2line = results2.map(r => r._1 -> r._3).toMap
+    val totalMin = results.collect {
+      case (k, _, t1) if t1 >= 0 && r2line.getOrElse(k, -1.0) >= 0 =>
+        math.min(t1, r2line(k))
+    }.sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","run2":${fmt(total2)},"run_min":${fmt(totalMin)},"n_queries":${results.size},"fixtures":$fixJson,"queries":$qs,"sf":"$sfDir"}"""
     // Bare line on stdout for the driver's tail parser (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
     // prefix), plus a file copy as belt-and-braces.
@@ -234,9 +247,29 @@ object Bench {
     val fixFull = fixtures
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Plan-cost column (r15 verdict #2): the official run-1 heads were
+    // up to 7.6x the same-tree uncontended numbers (q_bigram_surprisal
+    // 14.31 s driver vs 1.89 s builder) — pure cold-cache/contention
+    // attribution, not plans. min(run1, run2) per key is the stable
+    // plan-cost estimate (cold run 1 stays the headline for honesty);
+    // any key whose run1/run2 ratio exceeds 3 is flagged
+    // contention-suspect IN the artifact so a head that moved can be
+    // adjudicated from the record alone, without a re-run.
+    val r2map = results2.map(r => r._1 -> r._3).toMap
+    val planCost = results.map { case (k, _, t1) =>
+      val t2 = r2map.getOrElse(k, -1.0)
+      (k, if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    }
+    val suspects = results.collect {
+      case (k, _, t1) if t1 >= 0 && r2map.getOrElse(k, -1.0) > 0 &&
+        t1 / r2map(k) > 3.0 => k
+    }
+    val planJson = planCost
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","fixtures":$fixFull,"queries":${
       mapJson(results, _._3)},"compile":${mapJson(results, _._2)
-    },"runs":[${runJson(results)},${runJson(results2)}],"sf":"$sfDir"}"""
+    },"runs":[${runJson(results)},${runJson(results2)}],"plan_cost":$planJson,"contention_suspect":$suspectJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_metric.json"),
       (full + "\n").getBytes("UTF-8"))

@@ -10428,12 +10428,20 @@ object SparkEntry {
     // tick landed once and the replayed batch was a no-op.
     "q_stream_upsert" -> {
       import graft.functions.PortableText.P
+      // Sign-safe % (r15 ADVICE class, same fix as A28 at the
+      // stage-lineage fingerprint): DuckDB's % is SIGNED while the
+      // Spark side folds pmod, so a negative term (negative cents —
+      // bad prints) would diverge. ((x % P + P) % P) == pmod(x, P)
+      // for all x; identical to x % P for the non-negative terms of
+      // the standard corpora, so hashes are unchanged there. The
+      // inner guard makes every summand non-negative, which keeps the
+      // OUTER % equal to pmod too.
       s"""SELECT symbol, count(*) AS n,
-        |  CAST(COALESCE(SUM((tick_id * 31
-        |    + CAST(round(bid * 100.0, 0) AS BIGINT)) % $P), 0) % $P
-        |    AS BIGINT) AS content_fp,
-        |  CAST(COALESCE(SUM(epoch_ms(CAST(ts AS TIMESTAMP)) % $P), 0)
-        |    % $P AS BIGINT) AS ts_fp
+        |  CAST(COALESCE(SUM(((tick_id * 31
+        |    + CAST(round(bid * 100.0, 0) AS BIGINT)) % $P + $P) % $P),
+        |    0) % $P AS BIGINT) AS content_fp,
+        |  CAST(COALESCE(SUM((epoch_ms(CAST(ts AS TIMESTAMP)) % $P + $P)
+        |    % $P), 0) % $P AS BIGINT) AS ts_fp
         |FROM $ticksSql t
         |GROUP BY symbol ORDER BY symbol""".stripMargin
     },
@@ -10878,12 +10886,15 @@ object SparkEntry {
     // must survive the rewrite untouched.
     "q_compaction_audit" -> {
       import graft.functions.PortableText.P
+      // ((x % P + P) % P) == pmod — the operator folds pmod while
+      // DuckDB's % is signed; identity for the non-negative terms of
+      // the standard corpora, sign-safe for negative event values.
       s"""SELECT year(ts) AS year, 6 AS n_files_before,
         |  1 AS n_files_planned, CAST(1 AS BIGINT) AS n_files_after,
         |  count(*) AS n_rows,
-        |  CAST(COALESCE(SUM((event_id * 31
-        |    + CAST(round(value * 100.0, 0) AS BIGINT)) % $P), 0)
-        |    % $P AS BIGINT) AS fp
+        |  CAST(COALESCE(SUM(((event_id * 31
+        |    + CAST(round(value * 100.0, 0) AS BIGINT)) % $P + $P) % $P),
+        |    0) % $P AS BIGINT) AS fp
         |FROM events GROUP BY 1 ORDER BY year""".stripMargin
     },
     // A17 — gen 0 lacks props+event_type (all-NULL backfill), gen 1

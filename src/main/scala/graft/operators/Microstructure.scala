@@ -2491,32 +2491,6 @@ object Microstructure {
       .orderBy("symbol", "date")
   }
 
-  /** D91 — CROSS-SYMBOL FACTOR MODEL (market-mode PCA over daily
-    * returns): the top eigenvectors of the return covariance across
-    * a deterministic top-N roster — the "how much of the tape is one
-    * trade" decomposition behind statistical-arbitrage hedging and
-    * risk-factor netting (the multivariate complement to D18's
-    * per-pair beta and D60's per-pair cointegration).
-    *
-    * Roster: the N most-active symbols (tick count desc, symbol asc —
-    * deterministic), positions assigned symbol-ascending. Grid: the
-    * per-(symbol, day) close−open CENT return (`max_by`/`min_by`
-    * tick_id — exact int64), restricted to COMPLETE days (all N
-    * symbols traded) so the covariance has no missing-cell policy.
-    * The gram/sum stage is EXACT int64 (cent returns, no rounding
-    * anywhere before the covariance division), then covariance cells
-    * and the power cascade run the engine-wide deterministic eigen
-    * recurrence ([[Vectors.powerIterate]] — same folds, same sign
-    * rule, same deflation as the F61 embedding PCA; the oracle
-    * replays the identical unrolled cascade).
-    *
-    * Scale shape: ONE tick collapse to |roster|·|days| return rows
-    * (map-side partials; the roster filter prunes the scan), then a
-    * day-keyed self-join of that TINY frame for the N(N+1)/2 gram
-    * cells; driver work is an N×N eigensolve (bounded; N=8 default,
-    * documented collect). Output: one row per (component, roster
-    * position) with the symbol, loading, eigenvalue, explained
-    * share — all round(6) aggregate-derived. */
   /** D93 — EWMA VOLATILITY FORECAST SELECTION (the RiskMetrics-λ
     * grid): for each decay λ, run the one-step-ahead EWMA forecast of
     * the DAILY realized variance per symbol — f₁ = rv₁,
@@ -2646,6 +2620,32 @@ object Microstructure {
     (roster, c0, Vectors.powerIterate(c0, dim, nComp, iters))
   }
 
+  /** D91 — CROSS-SYMBOL FACTOR MODEL (market-mode PCA over daily
+    * returns): the top eigenvectors of the return covariance across
+    * a deterministic top-N roster — the "how much of the tape is one
+    * trade" decomposition behind statistical-arbitrage hedging and
+    * risk-factor netting (the multivariate complement to D18's
+    * per-pair beta and D60's per-pair cointegration).
+    *
+    * Roster: the N most-active symbols (tick count desc, symbol asc —
+    * deterministic), positions assigned symbol-ascending. Grid: the
+    * per-(symbol, day) close−open CENT return (`max_by`/`min_by`
+    * tick_id — exact int64), restricted to COMPLETE days (all N
+    * symbols traded) so the covariance has no missing-cell policy.
+    * The gram/sum stage is EXACT int64 (cent returns, no rounding
+    * anywhere before the covariance division), then covariance cells
+    * and the power cascade run the engine-wide deterministic eigen
+    * recurrence ([[Vectors.powerIterate]] — same folds, same sign
+    * rule, same deflation as the F61 embedding PCA; the oracle
+    * replays the identical unrolled cascade).
+    *
+    * Scale shape: ONE tick collapse to |roster|·|days| return rows
+    * (map-side partials; the roster filter prunes the scan), then a
+    * day-keyed self-join of that TINY frame for the N(N+1)/2 gram
+    * cells; driver work is an N×N eigensolve (bounded; N=8 default,
+    * documented collect). Output: one row per (component, roster
+    * position) with the symbol, loading, eigenvalue, explained
+    * share — all round(6) aggregate-derived. */
   def factorPca(ticks: DataFrame, nSyms: Int = 8, nComp: Int = 2,
                 iters: Int = 40): DataFrame = {
     val s = ticks.sparkSession

@@ -99,6 +99,9 @@ object Retrieval {
                  scale: Long = 1000L): DataFrame = {
     val qTerms = query.split(' ').filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "query must contain at least one token")
+    require(qTerms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"query terms must match [A-Za-z0-9_]+ (they are interpolated " +
+        s"into a SQL IN-list): ${qTerms.filterNot(_.matches("[A-Za-z0-9_]+"))}")
     require(k > 0 && scale > 0, s"k and scale must be positive: $k, $scale")
     require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]: $k1, $b")
     val k1p1 = k1 + 1.0      // one spelling, round-trip literal

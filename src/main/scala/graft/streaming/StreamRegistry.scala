@@ -155,6 +155,9 @@ object StreamRegistry {
       out
     }
 
+  /** Pre-build the session tape (Bench's untimed fixture hook). */
+  def warmTape(s: SparkSession, d: String): Int = tickTape(s, d).size
+
   /** The tick tape in tick_id order (globally ts-monotone — verified
     * on the driver corpora; the ingest invariant every tape replay
     * assumes). SESSION-MEMOIZED via [[graft.SessionFrameCache]]: 29
@@ -164,9 +167,6 @@ object StreamRegistry {
     * the shared fixture of the whole G-family, built once per
     * (session, sfDir). Read-only after construction (every consumer
     * either iterates or concatenates sentinels onto a copy). */
-  /** Pre-build the session tape (Bench's untimed fixture hook). */
-  def warmTape(s: SparkSession, d: String): Int = tickTape(s, d).size
-
   private def tickTape(s: SparkSession, d: String): Seq[Tick] =
     graft.SessionFrameCache.getOrBuild(s, s"stream_tick_tape:$d") {
       Tables.ticks(s, d)
