@@ -8291,23 +8291,30 @@ object SparkEntry {
     // CAST, the HUGEINT rule), one division, ln per D3, mean round(4).
     "q_bigram_surprisal" -> {
       import graft.functions.PortableText._
+      // r16 one-tokenize-pass spelling: the (doc_id, bigram, tf)
+      // frame replaces the occurrence stream; the per-doc mean is the
+      // tf-weighted Σ(tf·nll)/Σtf — the identical IEEE multiply-add
+      // shape the Spark side folds.
       s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |bg AS (SELECT doc_id,
         |    unnest(list_transform(range(1, length(tk)),
         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]))
         |      AS bigram
         |  FROM tk),
-        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
-        |  FROM bg GROUP BY bigram),
+        |dbt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY doc_id, bigram),
+        |c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2
+        |  FROM dbt GROUP BY bigram),
         |ch AS (SELECT split_part(bigram, ' ', 1) AS head,
         |    CAST(sum(c2) AS BIGINT) AS c_head
         |  FROM c2 GROUP BY split_part(bigram, ' ', 1)),
-        |sc AS (SELECT bg.doc_id,
+        |sc AS (SELECT dbt.doc_id, dbt.tf,
         |    -ln(CAST(c2.c2 AS DOUBLE) / ch.c_head) AS nll
-        |  FROM bg JOIN c2 USING (bigram)
-        |  JOIN ch ON ch.head = split_part(bg.bigram, ' ', 1)),
-        |per AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    round(avg(nll), 4) AS avg_cond_surprisal
+        |  FROM dbt JOIN c2 USING (bigram)
+        |  JOIN ch ON ch.head = split_part(dbt.bigram, ' ', 1)),
+        |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    round(sum(CAST(tf AS DOUBLE) * nll)
+        |      / CAST(sum(tf) AS DOUBLE), 4) AS avg_cond_surprisal
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
         |  per.avg_cond_surprisal
@@ -8321,14 +8328,17 @@ object SparkEntry {
     // positive; per-doc mean round(4).
     "q_kn_surprisal" -> {
       import graft.functions.PortableText._
+      // r16 one-tokenize-pass spelling — see q_bigram_surprisal.
       s"""WITH tk AS (SELECT doc_id, $duckTokens AS tk FROM documents),
         |bg AS (SELECT doc_id,
         |    unnest(list_transform(range(1, length(tk)),
         |      i -> tk[CAST(i AS INT)] || ' ' || tk[CAST(i+1 AS INT)]))
         |      AS bigram
         |  FROM tk),
-        |c2 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c2
-        |  FROM bg GROUP BY bigram),
+        |dbt AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bg GROUP BY doc_id, bigram),
+        |c2 AS (SELECT bigram, CAST(sum(tf) AS BIGINT) AS c2
+        |  FROM dbt GROUP BY bigram),
         |hd AS (SELECT split_part(bigram, ' ', 1) AS head,
         |    CAST(sum(c2) AS BIGINT) AS c_head,
         |    CAST(count(*) AS BIGINT) AS n1_head
@@ -8337,18 +8347,19 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) AS n1_cont
         |  FROM c2 GROUP BY split_part(bigram, ' ', 2)),
         |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c2),
-        |sc AS (SELECT bg.doc_id,
+        |sc AS (SELECT dbt.doc_id, dbt.tf,
         |    -ln((CAST(c2.c2 AS DOUBLE) - $knDiscount +
         |      $knDiscount * CAST(hd.n1_head AS DOUBLE) *
         |        (CAST(ct.n1_cont AS DOUBLE) /
         |          CAST(ty.n_types AS DOUBLE))) /
         |      CAST(hd.c_head AS DOUBLE)) AS nll
-        |  FROM bg JOIN c2 USING (bigram)
-        |  JOIN hd ON hd.head = split_part(bg.bigram, ' ', 1)
-        |  JOIN ct ON ct.tail = split_part(bg.bigram, ' ', 2)
+        |  FROM dbt JOIN c2 USING (bigram)
+        |  JOIN hd ON hd.head = split_part(dbt.bigram, ' ', 1)
+        |  JOIN ct ON ct.tail = split_part(dbt.bigram, ' ', 2)
         |  CROSS JOIN ty),
-        |per AS (SELECT doc_id, count(*) AS n_bigrams,
-        |    round(avg(nll), 4) AS avg_kn_surprisal
+        |per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    round(sum(CAST(tf AS DOUBLE) * nll)
+        |      / CAST(sum(tf) AS DOUBLE), 4) AS avg_kn_surprisal
         |  FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
         |  per.avg_kn_surprisal

@@ -67,35 +67,45 @@ object LangModel {
     * unigrams (the F35 blind spot) scores high here — the standard
     * reason pipelines grade on a ≥2-gram model.
     *
-    * Scale shape: the native `graft_wordgrams` pass emits bigram
-    * occurrences; ONE bigram-keyed aggregate builds c₂; the head
-    * mass is an aggregate OF that aggregate (vocabulary-sized, not
-    * corpus-sized); both join back on their own grouping keys. The
-    * head extraction is `split_part` — exact, since whitespace
-    * tokens cannot contain the separator.
+    * Scale shape (r16: ONE tokenize pass): the native
+    * `graft_wordgrams` explode collapses IMMEDIATELY to the
+    * (doc_id, bigram, tf) frame — the only corpus-sized product of
+    * the tokenizer — and that frame is checkpointed, so the
+    * tokenizer runs exactly once over the corpus (the r15 shape
+    * re-tokenized for the score join). c₂ is an aggregate OF that
+    * aggregate (bigram-keyed, map-side combined, checkpointed —
+    * vocabulary-sized); the head mass an aggregate of c₂; the score
+    * join rides the tf frame on its own grouping keys. The head
+    * extraction is `split_part` — exact, since whitespace tokens
+    * cannot contain the separator.
     *
-    * Engine-exactness: counts exact int64, one IEEE division, ln
-    * parity per D3, per-doc mean round(4). Sub-2-token docs report
+    * Engine-exactness: counts exact int64 (n_bigrams = Σtf); the
+    * per-doc mean is the tf-weighted spelling Σ(tf·nll)/Σtf —
+    * identical IEEE multiply-add shape in the oracle — then
+    * round(4); ln parity per D3. Sub-2-token docs report
     * n_bigrams=0 with NULL score (left join). */
   def bigramSurprisal(docs: DataFrame): DataFrame = {
     graft.functions.WordGrams.register(docs.sparkSession)
-    val bigrams = docs.select(col("doc_id"),
-      explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+    val docBigrams = docs.select(col("doc_id"),
+        explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // c2 feeds the head-mass aggregate AND the score join — same
     // checkpoint-once discipline as F35's frequency table.
-    val c2 = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c2 = docBigrams.groupBy("bigram").agg(sum("tf").as("c2"))
       .localCheckpoint(true)
     val cHead = c2
       .groupBy(expr("split_part(bigram, ' ', 1)").as("head"))
       .agg(sum("c2").as("c_head"))
-    val perDoc = bigrams
+    val perDoc = docBigrams
       .join(c2, "bigram")
       .withColumn("head", expr("split_part(bigram, ' ', 1)"))
       .join(cHead, "head")
       .withColumn("nll", -log(col("c2").cast("double") / col("c_head")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("nll")), 4).as("avg_cond_surprisal"))
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(col("tf").cast("double") * col("nll")) /
+          sum("tf").cast("double"), 4).as("avg_cond_surprisal"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -231,20 +241,27 @@ object LangModel {
     * bigram types. Self-scoring keeps c(w₁w₂) ≥ 1 > D so the max(·,0)
     * clamp is vacuous and the probability is strictly positive.
     *
-    * Scale shape (F40's): bigram explode → ONE bigram-keyed aggregate
-    * (vocab²-bounded, map-side combined); N₁₊/c(w₁) aggregates OF
-    * that aggregate (head- and tail-keyed, vocab-sized); B a one-row
-    * broadcast; score join back on bigram/head/tail keys — never a
-    * driver vocabulary. Engine-exactness: all counts exact int64;
-    * the probability is ONE identically-spelled IEEE expression of
-    * cast counts and the hoisted discount literal; ln per D3; per-doc
-    * mean round(4); token-less docs 0/NULL via left join. */
+    * Scale shape (F40's, r16 one-tokenize-pass variant): the bigram
+    * explode collapses immediately to the checkpointed
+    * (doc_id, bigram, tf) frame (tokenizer runs ONCE); c₂ is an
+    * aggregate OF that aggregate (bigram-keyed, vocab²-bounded,
+    * map-side combined, checkpointed); N₁₊/c(w₁) aggregates of c₂
+    * (head- and tail-keyed, vocab-sized); B a one-row broadcast;
+    * score join back on the tf frame's own keys — never a driver
+    * vocabulary. Engine-exactness: all counts exact int64
+    * (n_bigrams = Σtf); the probability is ONE identically-spelled
+    * IEEE expression of cast counts and the hoisted discount
+    * literal; ln per D3; per-doc mean is the tf-weighted spelling
+    * Σ(tf·nll)/Σtf (same IEEE shape in the oracle) then round(4);
+    * token-less docs 0/NULL via left join. */
   def knSurprisal(docs: DataFrame, discount: Double): DataFrame = {
     require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
     graft.functions.WordGrams.register(docs.sparkSession)
-    val bigrams = docs.select(col("doc_id"),
-      explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
-    val c2 = bigrams.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val docBigrams = docs.select(col("doc_id"),
+        explode(expr(s"graft_wordgrams($tokens, 2)")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val c2 = docBigrams.groupBy("bigram").agg(sum("tf").as("c2"))
       .localCheckpoint(true)
     val heads = c2
       .groupBy(expr("split_part(bigram, ' ', 1)").as("head"))
@@ -254,7 +271,7 @@ object LangModel {
       .agg(count(lit(1)).as("n1_cont"))
     val types = c2.agg(count(lit(1)).as("n_types"))
     val d = lit(discount)
-    val perDoc = bigrams
+    val perDoc = docBigrams
       .join(c2, "bigram")
       .withColumn("head", expr("split_part(bigram, ' ', 1)"))
       .withColumn("tail", expr("split_part(bigram, ' ', 2)"))
@@ -267,8 +284,9 @@ object LangModel {
             (col("n1_cont").cast("double") / col("n_types").cast("double"))) /
           col("c_head").cast("double")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(col("nll")), 4).as("avg_kn_surprisal"))
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(col("tf").cast("double") * col("nll")) /
+          sum("tf").cast("double"), 4).as("avg_kn_surprisal"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),

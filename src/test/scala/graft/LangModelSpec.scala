@@ -61,6 +61,24 @@ class LangModelSpec extends SparkSpec {
     assert(math.abs(s2 - math.rint(math.log(3.0) * 1e4) / 1e4) < 1e-9)
   }
 
+  test("bigram LM family tokenizes the corpus exactly once " +
+      "(plan-asserted: scoring rides the checkpointed tf frame)") {
+    // r15 verdict #5: the pre-r16 shape re-ran graft_wordgrams for
+    // the score join (two corpus tokenize passes). Now the explode
+    // collapses straight into a checkpointed (doc_id, bigram, tf)
+    // frame, so the FINAL executed plan must contain no tokenizer
+    // call at all — every downstream consumer reads the checkpoint.
+    // (The old shape fails this: its final plan carried the
+    // generator for the per-doc score branch.)
+    val d = docs((1L, "a b a b"), (2L, "a c"))
+    Seq(LangModel.bigramSurprisal(d),
+        LangModel.knSurprisal(d, 0.75)).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_wordgrams"),
+        "final plan re-tokenizes the corpus:\n" + plan.take(2000))
+    }
+  }
+
   test("bigramSurprisal: sub-2-token doc keeps its row with zero bigrams") {
     val out = LangModel.bigramSurprisal(docs((1L, "a b"), (2L, "x")))
       .collect()
