@@ -893,6 +893,11 @@ object SparkEntry {
     // as q_ann_topk / q_ann_ivf, so the audit measures THAT index).
     "q_ann_recall" -> ((s, d) =>
       Vectors.annRecall(Tables.embeddings(s, d), 10, 5, 8)),
+    // F7c — recall@5 of the TRAINED-quantizer IVF (kmeans cells,
+    // q_kmeans's exact params) vs the same exact baseline; the
+    // trained-vs-convention comparison is q_ann_recall ⟂ this key.
+    "q_ann_ivf_trained" -> ((s, d) =>
+      Vectors.annRecallTrained(Tables.embeddings(s, d), 10, 5, 8)),
     // F100 — Matryoshka audit: recall@5 of prefix-dim search vs the
     // full-dim exact list, per prefix length.
     "q_matryoshka_recall" -> ((s, d) =>
@@ -7473,6 +7478,57 @@ object SparkEntry {
         |      (a, b) -> a + b) / nullif(q.nrm * nb.nrm, 0) AS cs
         |  FROM n2 q JOIN n2 nb ON nb.cell = q.cell AND nb.vec_id <> q.vec_id
         |  WHERE q.vec_id < 10),
+        |it AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |        AS rnk FROM ip) WHERE rnk <= 5),
+        |ne AS (SELECT query_id, count(*) AS n_exact FROM bt GROUP BY 1),
+        |na AS (SELECT query_id, count(*) AS n_approx FROM it GROUP BY 1),
+        |ov AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM bt b JOIN it i ON i.query_id = b.query_id
+        |    AND i.neighbor_id = b.neighbor_id GROUP BY 1)
+        |SELECT ne.query_id, ne.n_exact,
+        |  coalesce(na.n_approx, 0) AS n_approx,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap,
+        |  CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5 AS recall
+        |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN ov USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    // F7c — the trained-quantizer MULTI-PROBE recall audit: the
+    // kmeans CTE chain (duckKmeansCtes, q_kmeans's exact spelling)
+    // supplies the home-cell map a2 and the s2 score table; each
+    // query probes its rn <= 2 nearest cells from the SAME window;
+    // brute/within-cell/overlap reuse q_ann_recall's folds.
+    "q_ann_ivf_trained" ->
+      s"""$duckKmeansCtes,
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |bp AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> qr.v[CAST(i+1 AS INT)] * c.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(qr.nrm * c.nrm, 0) AS cs
+        |  FROM n qr JOIN n c ON c.vec_id <> qr.vec_id WHERE qr.vec_id < 10),
+        |bt AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |        AS rnk FROM bp) WHERE rnk <= 5),
+        |n2 AS (SELECT n.vec_id, n.v, a2.cluster AS cell, n.nrm
+        |  FROM n JOIN a2 ON a2.vec_id = n.vec_id),
+        |qp AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |    FROM s2 WHERE vec_id < 10) x WHERE rn <= 2),
+        |qn AS (SELECT qp.vec_id, qp.cell, n.v, n.nrm
+        |  FROM qp JOIN n ON n.vec_id = qp.vec_id),
+        |ip AS (SELECT qr.vec_id AS query_id, nb.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> qr.v[CAST(i+1 AS INT)] * nb.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(qr.nrm * nb.nrm, 0) AS cs
+        |  FROM qn qr JOIN n2 nb ON nb.cell = qr.cell AND nb.vec_id <> qr.vec_id),
         |it AS (SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id,
         |      row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)

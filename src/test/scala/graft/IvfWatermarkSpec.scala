@@ -98,6 +98,54 @@ class IvfWatermarkSpec extends SparkSpec {
     assert(r == Seq(1.0, 1.0))
   }
 
+  test("annRecallTrained: kmeans cells beat the first-k convention " +
+      "when the convention's dot boundary cuts through a cluster") {
+    // Geometry: a tight cluster A around e0 holds ids 0, 1 (the
+    // convention centroids AND the kmeans init) plus ids 12..15; a
+    // second cluster B sits at 45° with members jittered to BOTH
+    // sides of the a=b line. The convention quantizer's decision
+    // boundary between c0=(1,0) and c1=(.98,.02) is exactly a=b — it
+    // SPLITS cluster B, so the boundary-hugging query 2 loses its
+    // across-the-line exact neighbors (recall 1/3). Two Lloyd rounds
+    // from the same init separate A from B cleanly (round 1 drags c1
+    // into the B mass, round 2 reassigns all of A to c0), so every
+    // query probes its true cluster: recall 1.0 on all three.
+    def bvec(deltaDeg: Double): Array[Float] = {
+      val th = math.toRadians(45.0 + deltaDeg)
+      Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    }
+    val deltas = Seq(-0.1, 0.15, -0.3, 0.35, -0.5, 0.55, -0.7, 0.75,
+      -0.9, 0.95)
+    val emb = (Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.98f, 0.02f), 0)) ++
+      deltas.zipWithIndex.map { case (d, i) => ((i + 2).toLong, bvec(d), 0) } ++
+      Seq(
+        (12L, Array(0.97f, 0.01f), 0),
+        (13L, Array(0.99f, 0.03f), 0),
+        (14L, Array(0.96f, 0.02f), 0),
+        (15L, Array(1.0f, 0.04f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val conv = mean(Vectors.annRecall(emb, 3, 3, 2, dim = 2))
+    // nProbe = 1 isolates the TRAINED-CENTROID effect (same candidate
+    // budget as the convention index — no multi-probe help).
+    val trained = mean(
+      Vectors.annRecallTrained(emb, 3, 3, 2, nProbe = 1, dim = 2))
+    assert(trained >= conv,
+      s"trained quantizer must not lose to the convention: $trained < $conv")
+    assert(trained == 1.0 && conv < 1.0,
+      s"corpus failed to exercise the convention's split: " +
+        s"trained=$trained conv=$conv")
+    // registry config (nProbe = 2): multi-probe can only widen the
+    // candidate set — recall stays at least the nProbe=1 value.
+    val multi = mean(Vectors.annRecallTrained(emb, 3, 3, 2, dim = 2))
+    assert(multi >= trained)
+  }
+
   test("streaming downsampler drops late data past the watermark (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
