@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Scale-regression ratchet over the whole-registry 10x sweep.
+
+Usage: scripts/scale_gate.py [current.json] [baseline.json]
+  defaults: scale_sweep_10x.json vs scale_sweep_10x_prev.json
+
+Compares the per-key seconds of the current round's 10x replica sweep
+(`sbt "runMain graft.tools.Sf1Smoke"` with SPARK_GRAFT_FAMILY=registry)
+against the prior round's recorded bracket and FAILS (exit 1) if any
+key exceeds RATIO x its prior point — the standing scale-regression
+detector the 100 TB design claim needs (r15 verdict #4).
+
+Keys new this round (no baseline point) are listed informationally.
+Sub-floor timings (< FLOOR s on both sides) are ignored: at that size
+the number is session noise, not a plan.
+"""
+import json
+import sys
+
+RATIO = 3.0
+FLOOR = 1.0  # seconds — below this on both sides, noise not plans
+
+cur_f = sys.argv[1] if len(sys.argv) > 1 else "scale_sweep_10x.json"
+base_f = sys.argv[2] if len(sys.argv) > 2 else "scale_sweep_10x_prev.json"
+
+cur = json.load(open(cur_f))
+try:
+    base = json.load(open(base_f))
+except FileNotFoundError:
+    print(f"[scale-gate] no baseline {base_f} — recording-only round "
+          f"({len(cur)} keys in {cur_f}); copy it to {base_f} at round "
+          "close to arm the ratchet")
+    sys.exit(0)
+
+new = sorted(k for k in cur if k not in base)
+gone = sorted(k for k in base if k not in cur)
+bad = []
+for k, v in sorted(cur.items()):
+    b = base.get(k)
+    if b is None:
+        continue
+    if v < FLOOR and b < FLOOR:
+        continue
+    if b > 0 and v > RATIO * max(b, FLOOR):
+        bad.append((k, b, v, v / b))
+
+if new:
+    print(f"[scale-gate] {len(new)} new keys (no baseline): "
+          + ", ".join(new[:10]) + (" ..." if len(new) > 10 else ""))
+if gone:
+    print(f"[scale-gate] {len(gone)} keys dropped since baseline: "
+          + ", ".join(gone[:10]) + (" ..." if len(gone) > 10 else ""))
+
+tot_c = sum(v for k, v in cur.items() if not k.startswith("fixture:"))
+tot_b = sum(v for k, v in base.items() if not k.startswith("fixture:"))
+print(f"[scale-gate] totals: current {tot_c:.1f} s vs baseline "
+      f"{tot_b:.1f} s over {len(cur)} / {len(base)} keys")
+
+if bad:
+    print(f"[scale-gate] FAIL — {len(bad)} keys past {RATIO}x their "
+          "prior 10x point:")
+    for k, b, v, r in sorted(bad, key=lambda x: -x[3]):
+        print(f"  {k}: {b:.2f} s -> {v:.2f} s ({r:.1f}x)")
+    sys.exit(1)
+print("[scale-gate] OK — no key past the ratchet")
