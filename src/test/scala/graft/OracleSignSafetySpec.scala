@@ -120,6 +120,10 @@ object OracleSignSafetySpec {
     * mods of sums of in-[0,P) values). Refresh via the failure message
     * in the census test when a legitimate change moves a count. */
   val frozenCensus: Map[String, Int] = Map(
+    // the rich-corpus CTEs (r16) spell the doc-structure hashes as
+    // ((x % P) * A) % P over non-negative ids — all audited class 1
+    "q_boilerplate_rich" -> 8, "q_threshold_sweep_rich" -> 8,
+    "q_source_similarity_rich" -> 10,
     "q_bloom_prefilter" -> 4, "q_canonical_docs" -> 3, "q_cdc_chunks" -> 1,
     "q_chunk_docs" -> 1, "q_classifier_score" -> 1, "q_clf_auc" -> 1,
     "q_clf_calibration" -> 1, "q_cluster_cap" -> 1, "q_cluster_sizes" -> 3,
