@@ -1113,6 +1113,15 @@ object SparkEntry {
     // D55 — square-root-law fit: ln|slip| on ln(participation) slope.
     "q_impact_exponent" -> ((s, d) =>
       Microstructure.impactExponent(Tables.events(s, d), tcaFillEvery)),
+    // D55 over PLANTED-impact events (r15 verdict #1's D55 leg): the
+    // same operator on RichCorpus.eventsImpact's sqrt-law prices —
+    // the fitted exponent recovers the planted ~0.5 (median 0.52 at
+    // sf0.1) instead of the base corpus's uninformative noise fit.
+    // fillEvery=1: the one-day collapse leaves ~66 fills per symbol,
+    // all informative — sampling would re-starve the regression.
+    "q_impact_exponent_rich" -> ((s, d) =>
+      Microstructure.impactExponent(
+        RichCorpus.eventsImpact(Tables.events(s, d)), 1)),
     // D56 — leverage-effect corr(move, next |move|) on exact cents.
     "q_leverage_effect" -> ((s, d) =>
       Microstructure.leverageEffect(Tables.ticks(s, d))),
@@ -1771,6 +1780,14 @@ object SparkEntry {
     "q_label_fisher_rich" -> ((s, d) =>
       Vectors.labelSeparability(
         RichCorpus.embeddings(Tables.embeddings(s, d)))),
+    // F2e — LSH recall-by-similarity on CONTROLLED-Jaccard planted
+    // dup families (keep/(16-keep) in {0.14..0.78}): the S-curve the
+    // band parameters are chosen against, measured on ground truth.
+    "q_dedup_spectrum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextDedup.plantedDupRecall(RichCorpus.dupDocs(docs),
+        RichCorpus.dupPairs(docs))
+    }),
     // F23 — PII scrub. The synthetic corpus is PII-free word soup, so
     // the registry appends a deterministic contact line derived from
     // (doc_id, source) before scrubbing — the redaction itself (and
@@ -4765,6 +4782,32 @@ object SparkEntry {
         |    t.k, d.day_qty
         |  FROM t JOIN d USING (symbol, day)
         |  WHERE t.event_id % $tcaFillEvery = 0),
+        |g AS (SELECT symbol, ln(part) AS x, ln(abs(slip_bp)) AS y
+        |  FROM f WHERE abs(slip_bp) > 0 AND k < day_qty)
+        |SELECT symbol, count(*) AS n_fills,
+        |  round(CASE WHEN var_pop(x) > 0
+        |    THEN covar_pop(y, x) / var_pop(x) END, 4) AS impact_exp
+        |FROM g GROUP BY symbol ORDER BY symbol""".stripMargin,
+    // D55 over the PLANTED-impact events: q_impact_exponent's body
+    // on the richimpact CTE (sqrt-law cents, engine-identical).
+    "q_impact_exponent_rich" ->
+      s"""WITH ${RichCorpus.duckImpactCte},
+        |p AS (SELECT event_id, user_id AS symbol,
+        |    CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(value * 100.0, 0) AS BIGINT) AS cents,
+        |    coalesce(CAST(props->>'$$.k' AS INT), 0) AS k
+        |  FROM richimpact),
+        |t AS (SELECT * FROM p WHERE k > 0),
+        |d AS (SELECT symbol, day, CAST(sum(k) AS BIGINT) AS day_qty,
+        |    CAST(sum(cents * k) AS BIGINT) AS day_pv
+        |  FROM t GROUP BY symbol, day),
+        |f AS (SELECT t.symbol,
+        |    CAST((t.cents * d.day_qty - d.day_pv) * 10000 AS DOUBLE)
+        |      / d.day_pv AS slip_bp,
+        |    CAST(t.k AS DOUBLE) / d.day_qty AS part,
+        |    t.k, d.day_qty
+        |  FROM t JOIN d USING (symbol, day)
+        |  WHERE t.event_id % 1 = 0),
         |g AS (SELECT symbol, ln(part) AS x, ln(abs(slip_bp)) AS y
         |  FROM f WHERE abs(slip_bp) > 0 AND k < day_qty)
         |SELECT symbol, count(*) AS n_fills,
@@ -9363,6 +9406,48 @@ object SparkEntry {
         |JOIN sz sa ON sa.source = e.source_a
         |JOIN sz sb ON sb.source = e.source_b
         |ORDER BY source_a, source_b""".stripMargin
+    },
+    // F2e — planted-dup LSH calibration: the richdup CTE chain
+    // (controlled keep/(16-keep) Jaccard), token-hash sets + the
+    // standard band spelling, caught = any shared (band, band_hash),
+    // exact overlap via the hash-keyed pair join; counts exact int64,
+    // catch_bp integer bps, mean Jaccard round(4).
+    "q_dedup_spectrum" -> {
+      import graft.functions.PortableText._
+      s"""WITH ${RichCorpus.duckDupCtes},
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM richdup),
+        |tok AS (SELECT DISTINCT doc_id, unnest(th) AS h FROM t),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |caught AS (SELECT DISTINCT p.doc_a, p.doc_b
+        |  FROM richdup_pairs p
+        |  JOIN bands a ON a.doc_id = p.doc_a
+        |  JOIN bands b ON b.doc_id = p.doc_b AND b.band = a.band
+        |    AND b.band_hash = a.band_hash),
+        |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |iv AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |  FROM richdup_pairs p
+        |  JOIN tok a ON a.doc_id = p.doc_a
+        |  JOIN tok b ON b.doc_id = p.doc_b AND b.h = a.h
+        |  GROUP BY p.doc_a, p.doc_b),
+        |j AS (SELECT p.keep,
+        |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught,
+        |    CAST(coalesce(iv.n_inter, 0) AS DOUBLE)
+        |      / CAST(sa.n + sb.n - coalesce(iv.n_inter, 0) AS DOUBLE)
+        |      AS jac
+        |  FROM richdup_pairs p
+        |  LEFT JOIN caught c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        |  LEFT JOIN iv ON iv.doc_a = p.doc_a AND iv.doc_b = p.doc_b
+        |  JOIN sz sa ON sa.doc_id = p.doc_a
+        |  JOIN sz sb ON sb.doc_id = p.doc_b)
+        |SELECT keep, count(*) AS n_planted,
+        |  CAST(sum(caught) AS BIGINT) AS n_caught,
+        |  (CAST(sum(caught) AS BIGINT) * 10000) // count(*) AS catch_bp,
+        |  round(avg(jac), 4) AS mean_exact_j
+        |FROM j GROUP BY keep ORDER BY keep""".stripMargin
     },
     // F82 over the PLANTED-label embeddings: q_label_fisher's body on
     // the richemb CTE (+0.375 on dimension i for label i mod 10) —

@@ -144,6 +144,129 @@ object RichCorpus {
       |    CAST(length(text) AS BIGINT) AS n_chars FROM richdocs0)"""
       .stripMargin
 
+  // ---------- controlled-Jaccard dup families ----------
+
+  /** Per-doc dup-family columns: every non-multiple-of-8 doc becomes
+    * a CHILD of parent = doc_id − doc_id%8 with probability 30%,
+    * keeping its parent's first `keep` ∈ 2..7 lines verbatim — so
+    * the (parent, child) token-set Jaccard is keep/(16−keep) BY
+    * CONSTRUCTION: {0.14, 0.23, 0.33, 0.45, 0.58, 0.78} — a spectrum
+    * straddling the MinHashK=8/Bands=4 LSH S-curve. */
+  private val childExpr: String =
+    s"CASE WHEN (((doc_id * 5 + 4) % $P) * $A) % $P % 100 < 30" +
+      " AND doc_id % 8 != 0 THEN 1 ELSE 0 END"
+  private val keepExpr: String =
+    s"2 + (((doc_id * 11 + 5) % $P) * $A) % $P % 6"
+  private val parentExpr: String = "doc_id - doc_id % 8"
+
+  /** Dup-family text: 8 lines × 8 words; line j of a child with
+    * j < keep is seeded by the PARENT id (identical string), else by
+    * the doc's own id. Word ids are mod-P affine hashes into a 99991
+    * vocabulary — cross-family collisions are ~4% noise per pair. */
+  private def dupTextExpr(d: Dialect): String = {
+    val eff = "(CASE WHEN _child = 1 AND j < _keep THEN _parent" +
+      " ELSE doc_id END)"
+    val hl = s"((($eff * 8 + j) % $P) * $A) % $P"
+    val structs = d.seqTrans("8", "j", d.structLit(hl))
+    val word =
+      s"concat('wd', ${d.strCast(
+        s"((((s.hb + w * 131) % $P) * $A) % $P) % 99991")})"
+    val line = d.arrJoin(d.seqTrans("8", "w", word), "' '")
+    val lines =
+      if (d eq spark) s"transform($structs, s -> $line)"
+      else s"list_transform($structs, s -> $line)"
+    d.arrJoin(lines, "chr(10)")
+  }
+
+  /** The dup-family corpus: same schema as the base table. */
+  def dupDocs(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("lang"), col("source"),
+        expr(childExpr).as("_child"),
+        expr(keepExpr).as("_keep"),
+        expr(parentExpr).as("_parent"))
+      .withColumn("text", expr(dupTextExpr(spark)))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  /** The planted (parent, child, keep) pair frame — children only;
+    * parents are multiples of 8, present by construction in the
+    * contiguous driver id space (and within each +5e9 replica
+    * block). */
+  def dupPairs(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+        expr(childExpr).as("_child"),
+        expr(keepExpr).as("_keep"),
+        expr(parentExpr).as("_parent"))
+      .filter(col("_child") === 1)
+      .select(col("_parent").as("doc_a"), col("doc_id").as("doc_b"),
+        col("_keep").cast("long").as("keep"))
+
+  /** DuckDB CTE chain ending in `richdup` + `richdup_pairs`. */
+  val duckDupCtes: String =
+    s"""richdupprep AS (SELECT doc_id, lang, source,
+      |    $childExpr AS _child,
+      |    $keepExpr AS _keep,
+      |    $parentExpr AS _parent
+      |  FROM documents),
+      |richdup AS (SELECT doc_id, ${dupTextExpr(duck)} AS text, lang,
+      |    source FROM richdupprep),
+      |richdup_pairs AS (SELECT _parent AS doc_a, doc_id AS doc_b,
+      |    CAST(_keep AS BIGINT) AS keep
+      |  FROM richdupprep WHERE _child = 1)""".stripMargin
+
+  /** Planted-IMPACT events (r15 "what's wrong" #3, the D55 leg):
+    * the base corpus's value column is impact-free noise, so D55's
+    * log-log fill regression is uninformative-by-construction. This
+    * derivation rebuilds `value` with a square-root price-impact law
+    * — cents = 10000 + sign·round(6·√k) + noise(−3..3) where k is
+    * the fill size already in props — so |slip| ≈ 6·√k and the
+    * fitted exponent lands near the 0.5 the construction plants.
+    * All decisions are mod-P affine hashes of event_id; √ of an
+    * exact integer is correctly rounded in BOTH engines (the §6
+    * sqrt-ladder rule), and round() never sees an exact half
+    * (6·√k = m+0.5 would need 144 | (2m+1)² — impossible), so the
+    * cents are engine-identical. Every other column rides through
+    * untouched. */
+  private def impactCentsExpr(jsonK: String): String =
+    s"""10000
+      | + (CASE WHEN (((event_id * 7 + 3) % $P) * $A) % $P % 2 = 0
+      |    THEN 1 ELSE -1 END)
+      |   * CAST(round(6.0 * sqrt(CAST($jsonK AS DOUBLE)), 0) AS BIGINT)
+      | + (((event_id * 7 + 3) % $P) * $A) % $P % 7 - 3"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** All fills collapse onto ONE trading day (2024-01-02 UTC,
+    * event_id-spread seconds): D55 normalizes slippage against the
+    * (symbol, DAY) VWAP, and the base corpus leaves ~2.5 fills per
+    * (symbol, day) — at that density the two-fill algebra makes
+    * |slip_i| ∝ k_other and the fitted slope comes out NEGATIVE
+    * regardless of the planted law (measured: median −0.31). One day
+    * per symbol gives ~66 fills per normalization group at sf0.1 —
+    * the planted 0.5 is recovered (median 0.52, range 0.08–1.23,
+    * fillEvery=1). */
+  private val impactTsExpr: String =
+    "(1704153600 + event_id % 80000) * 1000000"
+
+  /** Spark side of the planted-impact events frame. */
+  def eventsImpact(base: DataFrame): DataFrame = {
+    val k = "coalesce(CAST(get_json_object(props, '$.k') AS BIGINT), 0)"
+    base
+      .withColumn("ts", expr(s"timestamp_micros($impactTsExpr)"))
+      .withColumn("value",
+        expr(s"CAST(${impactCentsExpr(k)} AS DOUBLE) / 100.0"))
+  }
+
+  /** DuckDB CTE ending in `richimpact` — dual of [[eventsImpact]].
+    * (Oracle-side JSON spelling matches q_impact_exponent's.) */
+  val duckImpactCte: String = {
+    val k = "coalesce(CAST(props->>'$.k' AS BIGINT), 0)"
+    s"""richimpact AS (SELECT event_id,
+      |    make_timestamp($impactTsExpr) AS ts, user_id, event_type,
+      |    CAST(${impactCentsExpr(k)} AS DOUBLE) / 100.0 AS value,
+      |    props
+      |  FROM events)""".stripMargin
+  }
+
   /** Planted-label embeddings: dimension i gains exactly +0.375 for
     * label = i mod 10 (double add of exactly-representable values,
     * float-cast — bit-identical in both engines). */

@@ -210,6 +210,71 @@ object TextDedup {
     if (ordered) bands.orderBy("doc_id", "band") else bands
   }
 
+  /** F2e — PLANTED-DUP LSH CALIBRATION (r15 verdict #1's dup leg):
+    * recall-by-similarity over a corpus with KNOWN dup pairs — per
+    * planted overlap level, how many pairs the production
+    * MinHashK=8/Bands=4 index actually catches, beside the measured
+    * exact Jaccard. This is the S-curve every LSH deployment is
+    * parameterized against (P(caught) = 1−(1−J^r)^b), finally
+    * measured on ground truth instead of inferred: the
+    * [[graft.operators.RichCorpus.dupDocs]] corpus plants pairs at
+    * J = keep/(16−keep) ∈ {0.14 … 0.78}, straddling the band
+    * threshold, where the base corpus's template dups saturate every
+    * bucket.
+    *
+    * Shape: ONE tokenize into a checkpointed hash frame feeding the
+    * signature bands AND the exact-overlap join; the planted pair
+    * frame is a bounded fraction of docs and every join after it is
+    * pair-keyed — linear in pairs, never all-pairs. Counts exact
+    * int64; catch_bp integer bps; per-pair Jaccard ONE IEEE division
+    * of exact ints, mean round(4) (aggregate rule). */
+  def plantedDupRecall(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    PolyHash.register(docs.sparkSession)
+    graft.functions.MinHashes.register(docs.sparkSession)
+    val th = docs.select(col("doc_id"), expr(tokenHashes).as("th"))
+      .localCheckpoint(true)
+    val bands = th.withColumn("mh", expr(minHashes))
+      .withColumn("band", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("band_hash",
+        expr(s"(element_at(mh, 2*band + 1) * 31 + element_at(mh, 2*band + 2)) % $P"))
+      .select("doc_id", "band", "band_hash")
+    val p = pairs.localCheckpoint(true)
+    val caught = p
+      .join(bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_hash").as("ha")), "doc_a")
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_hash").as("hb")), Seq("doc_b", "band"))
+      .filter(col("ha") === col("hb"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("caught", lit(1L))
+    val toks = th.select(col("doc_id"), explode(col("th")).as("h"))
+      .distinct()
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(toks.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("h")),
+        Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    p
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(caught, Seq("doc_a", "doc_b"), "left")
+      .withColumn("jac",
+        coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double"))
+      .groupBy("keep")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"),
+        round(avg(col("jac")), 4).as("mean_exact_j"))
+      .withColumn("catch_bp", expr("(n_caught * 10000) DIV n_planted"))
+      .select("keep", "n_planted", "n_caught", "catch_bp", "mean_exact_j")
+      .orderBy("keep")
+  }
+
   /** F2c — one-pass greedy near-dup filter: a document is a duplicate
     * iff ANY of its LSH band buckets already contains an earlier
     * document (doc_id = arrival order). This is the ingest-time dedup

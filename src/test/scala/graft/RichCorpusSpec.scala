@@ -66,6 +66,45 @@ class RichCorpusSpec extends SparkSpec {
         s"low=${low.toSeq} rest=${rest.toSeq}")
   }
 
+  test("dup families: planted Jaccard tracks keep/(16-keep) and the " +
+      "LSH catch rate rises with it (the S-curve has both tails)") {
+    val b = base(800, 8)
+    val rep = graft.operators.TextDedup
+      .plantedDupRecall(RichCorpus.dupDocs(b), RichCorpus.dupPairs(b))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rep.map(_._1).toSeq == (2L to 7L),
+      s"all six keep levels must be planted: ${rep.map(_._1).toSeq}")
+    rep.foreach { case (keep, _, _, _, j) =>
+      val expect = keep.toDouble / (16 - keep)
+      // word-id collisions add ~4% one-sided noise
+      assert(math.abs(j - expect) < 0.06,
+        s"keep=$keep: measured J $j vs constructed $expect")
+    }
+    // monotone-ish S-curve: the top level is caught far more often
+    // than the bottom, and the ends sit on the right sides of 50%
+    val byKeep = rep.map(r => r._1 -> r._4).toMap
+    assert(byKeep(7L) > 8000, s"J=0.78 pairs must be caught: $byKeep")
+    assert(byKeep(2L) < 5000, s"J=0.14 pairs must mostly escape: $byKeep")
+  }
+
+  test("planted sqrt impact law: the fitted exponent recovers ~0.5") {
+    // synthetic events base: 4 symbols x 250 fills, k cycling 1..99
+    val base = java.sql.Timestamp.valueOf("2024-01-02 08:00:00")
+    val ev = (0 until 1000).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(base.getTime + (i / 4) * 60000L),
+        (i % 4).toLong, "fill", 100.0,
+        s"""{"k": ${i % 99 + 1}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val fit = graft.operators.Microstructure
+      .impactExponent(RichCorpus.eventsImpact(ev), fillEvery = 1)
+      .select("impact_exp").as[Double].collect()
+    assert(fit.nonEmpty && fit.forall(e => e > 0.3 && e < 0.7),
+      s"planted sqrt law must fit near 0.5: ${fit.toSeq}")
+  }
+
   test("planted labels are Fisher-separable (> 0.5 on every dimension)") {
     // deterministic noise base: 64 dims of small hash-derived floats
     val emb = (0 until 300).map { v =>
