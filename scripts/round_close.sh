@@ -14,11 +14,16 @@ bash scripts/gate.sh
 echo "== round-close 2/3: whole-registry 10x scale sweep =="
 # The replica cache keys on the OUTPUT dir only — rebuild if the
 # source testdata regenerated (stale caches fail loudly inside).
-SPARK_GRAFT_FAMILY=registry SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+# env -u: a leaked SPARK_GRAFT_ONLY would narrow the sweep to a
+# partial bracket and the rotation below would certify stale data.
+env -u SPARK_GRAFT_ONLY \
+  SPARK_GRAFT_FAMILY=registry SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.tools.Sf1Smoke" \
   > /tmp/round_close_sweep.log 2>&1 \
   || { echo "SWEEP FAILED — tail:"; tail -20 /tmp/round_close_sweep.log; exit 1; }
-grep -F '[sf1-smoke] bracket written' /tmp/round_close_sweep.log
+grep -F '[sf1-smoke] bracket written: scale_sweep_10x.json' \
+  /tmp/round_close_sweep.log \
+  || { echo "SWEEP did not write the FULL bracket (partial run?)"; exit 1; }
 if grep -F 'FAILED' /tmp/round_close_sweep.log; then
   echo "SWEEP had per-key failures"; exit 1
 fi

@@ -32,16 +32,28 @@ except FileNotFoundError:
           "close to arm the ratchet")
     sys.exit(0)
 
+# A failed key is recorded as the -1 sentinel by Sf1Smoke — a gate
+# failure in its own right (and it must not rotate into the baseline
+# as a bogus near-zero "speedup" that trips next round spuriously).
+failed = sorted(k for k, v in cur.items() if v < 0)
+if failed:
+    print(f"[scale-gate] FAIL — {len(failed)} keys FAILED in the "
+          "sweep: " + ", ".join(failed))
+    sys.exit(1)
+
 new = sorted(k for k in cur if k not in base)
 gone = sorted(k for k in base if k not in cur)
 bad = []
 for k, v in sorted(cur.items()):
     b = base.get(k)
-    if b is None:
+    # b <= 0 = a failed/sub-ms baseline entry: treat as absent (the
+    # new-key path) so the key re-arms next rotation instead of being
+    # skipped forever.
+    if b is None or b <= 0:
         continue
     if v < FLOOR and b < FLOOR:
         continue
-    if b > 0 and v > RATIO * max(b, FLOOR):
+    if v > RATIO * max(b, FLOOR):
         bad.append((k, b, v, v / b))
 
 if new:

@@ -211,13 +211,25 @@ object Bench {
     val fixJson = fixtures
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // run_min = Σ per-key min(run1, run2): the plan-cost total (fixed
-    // size; the per-key map lives in bench_metric.json's plan_cost).
-    val r2line = results2.map(r => r._1 -> r._3).toMap
-    val totalMin = results.collect {
-      case (k, _, t1) if t1 >= 0 && r2line.getOrElse(k, -1.0) >= 0 =>
-        math.min(t1, r2line(k))
-    }.sum
+    // Plan-cost column (r15 verdict #2): min(run1, run2) per key is
+    // the stable plan-cost estimate (cold run 1 stays the headline
+    // for honesty); keys with run1/run2 > 3 are contention-suspect.
+    // ONE construction: the stdout run_min total and the
+    // bench_metric.json plan_cost map both derive from planCost so
+    // they cannot desynchronize.
+    val r2map = results2.map(r => r._1 -> r._3).toMap
+    val planCost = results.map { case (k, _, t1) =>
+      val t2 = r2map.getOrElse(k, -1.0)
+      (k, if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
+    }
+    val suspects = results.collect {
+      case (k, _, t1) if t1 >= 0 && r2map.getOrElse(k, -1.0) > 0 &&
+        t1 / r2map(k) > 3.0 => k
+    }
+    // run_min = Σ plan_cost over keys with at least one successful
+    // run (a key that failed both runs carries the -1 sentinel and
+    // must not offset the total).
+    val totalMin = planCost.collect { case (_, v) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","run2":${fmt(total2)},"run_min":${fmt(totalMin)},"n_queries":${results.size},"fixtures":$fixJson,"queries":$qs,"sf":"$sfDir"}"""
     // Bare line on stdout for the driver's tail parser (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt adds no "[info] "
@@ -247,23 +259,9 @@ object Bench {
     val fixFull = fixtures
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Plan-cost column (r15 verdict #2): the official run-1 heads were
-    // up to 7.6x the same-tree uncontended numbers (q_bigram_surprisal
-    // 14.31 s driver vs 1.89 s builder) — pure cold-cache/contention
-    // attribution, not plans. min(run1, run2) per key is the stable
-    // plan-cost estimate (cold run 1 stays the headline for honesty);
-    // any key whose run1/run2 ratio exceeds 3 is flagged
-    // contention-suspect IN the artifact so a head that moved can be
-    // adjudicated from the record alone, without a re-run.
-    val r2map = results2.map(r => r._1 -> r._3).toMap
-    val planCost = results.map { case (k, _, t1) =>
-      val t2 = r2map.getOrElse(k, -1.0)
-      (k, if (t1 < 0 || t2 < 0) math.max(t1, t2) else math.min(t1, t2))
-    }
-    val suspects = results.collect {
-      case (k, _, t1) if t1 >= 0 && r2map.getOrElse(k, -1.0) > 0 &&
-        t1 / r2map(k) > 3.0 => k
-    }
+    // (planCost/suspects built above, before the stdout line — the
+    // r15 context: official run-1 heads were up to 7.6x the same-tree
+    // uncontended numbers, pure cold-cache/contention attribution.)
     val planJson = planCost
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val suspectJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")

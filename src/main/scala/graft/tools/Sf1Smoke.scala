@@ -442,15 +442,27 @@ object Sf1Smoke {
         // the block sizes). Deliberate cross-query caches stay via
         // their CkptGc pins.
         val before = graft.CkptGc.snapshot(spark)
+        // Registry mode records a failure as the -1 sentinel (the
+        // scale-gate fails on it; round_close also greps FAILED) so
+        // one broken key cannot abort the whole 300-key sweep NOR
+        // masquerade as a near-zero timing. The curated docs/events
+        // families keep the historical abort-on-failure: their
+        // numbers are hand-recorded in SURVEY §7 with no machine
+        // gate, so a swallowed failure there would poison the record.
+        var failed = false
         val s = time(s"$q $phase") {
           try SparkEntry.queries(q)(spark, outDir)
             .write.format("noop").mode("overwrite").save()
-          catch { case scala.util.control.NonFatal(e) =>
-            System.err.println(s"[sf1-smoke] $q FAILED: ${e.getMessage}")
+          catch {
+            case scala.util.control.NonFatal(e)
+                if whichFamily == "registry" =>
+              failed = true
+              System.err.println(s"[sf1-smoke] $q FAILED: ${e.getMessage}")
           }
         }
         graft.CkptGc.sweep(spark, before)
-        (s"$q${if (phase == "warm") ":warm" else ""}", s)
+        (s"$q${if (phase == "warm") ":warm" else ""}",
+          if (failed) -1.0 else s)
       }
     }
     // JSON bracket for the scale-regression ratchet (registry mode):
@@ -462,7 +474,13 @@ object Sf1Smoke {
           "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
             "%.3f", Double.box(v)) }
         .mkString("{", ",", "}")
-      val f = s"scale_sweep_${replicas}x.json"
+      // A SPARK_GRAFT_ONLY-narrowed run must not overwrite the full
+      // bracket (round_close.sh would rotate a partial baseline) —
+      // write it aside for manual merging instead.
+      val f =
+        if (sys.env.contains("SPARK_GRAFT_ONLY"))
+          s"scale_sweep_${replicas}x_partial.json"
+        else s"scale_sweep_${replicas}x.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (j + "\n").getBytes("UTF-8"))
       println(s"[sf1-smoke] bracket written: $f (${timed.size} keys)")
