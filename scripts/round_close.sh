@@ -24,7 +24,11 @@ env -u SPARK_GRAFT_ONLY \
 grep -F '[sf1-smoke] bracket written: scale_sweep_10x.json' \
   /tmp/round_close_sweep.log \
   || { echo "SWEEP did not write the FULL bracket (partial run?)"; exit 1; }
-if grep -F 'FAILED' /tmp/round_close_sweep.log; then
+# Anchor to the tool's own failure prefixes — a transient executor
+# line containing FAILED (task retried successfully) must not fail
+# the round, while every Sf1Smoke-reported key/fixture failure must
+# (r16 advice; the -1 sentinels in the JSON are the second net).
+if grep -E '^\[sf1-smoke\] (fixture )?\S+ FAILED' /tmp/round_close_sweep.log; then
   echo "SWEEP had per-key failures"; exit 1
 fi
 

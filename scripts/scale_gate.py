@@ -23,9 +23,16 @@ FLOOR = 1.0  # seconds — below this on both sides, noise not plans
 cur_f = sys.argv[1] if len(sys.argv) > 1 else "scale_sweep_10x.json"
 base_f = sys.argv[2] if len(sys.argv) > 2 else "scale_sweep_10x_prev.json"
 
-cur = json.load(open(cur_f))
+def load(path):
+    # Underscore-prefixed entries are metadata (the "_fixture_deps"
+    # fixture -> dependent-keys attribution map, r16 verdict #5), not
+    # timings — strip them before any numeric comparison.
+    return {k: v for k, v in json.load(open(path)).items()
+            if not k.startswith("_")}
+
+cur = load(cur_f)
 try:
-    base = json.load(open(base_f))
+    base = load(base_f)
 except FileNotFoundError:
     print(f"[scale-gate] no baseline {base_f} — recording-only round "
           f"({len(cur)} keys in {cur_f}); copy it to {base_f} at round "
@@ -44,6 +51,7 @@ if failed:
 new = sorted(k for k in cur if k not in base)
 gone = sorted(k for k in base if k not in cur)
 bad = []
+floor_cross = []
 for k, v in sorted(cur.items()):
     b = base.get(k)
     # b <= 0 = a failed/sub-ms baseline entry: treat as absent (the
@@ -55,6 +63,12 @@ for k, v in sorted(cur.items()):
         continue
     if v > RATIO * max(b, FLOOR):
         bad.append((k, b, v, v / b))
+    elif b < FLOOR <= v and v > RATIO * b:
+        # The FLOOR clamp lets a sub-second baseline regress to up to
+        # RATIO*FLOOR without tripping (0.05 s -> 2.9 s is 58x but
+        # passes). Not a hard fail — sub-second points ARE noisy —
+        # but the jump must be on the record, not silent (r16 advice).
+        floor_cross.append((k, b, v, v / b))
 
 if new:
     print(f"[scale-gate] {len(new)} new keys (no baseline): "
@@ -62,6 +76,13 @@ if new:
 if gone:
     print(f"[scale-gate] {len(gone)} keys dropped since baseline: "
           + ", ".join(gone[:10]) + (" ..." if len(gone) > 10 else ""))
+
+if floor_cross:
+    print(f"[scale-gate] info — {len(floor_cross)} sub-floor keys "
+          f"crossed the {FLOOR:.0f} s floor by more than {RATIO}x "
+          "(not gated; watch next round):")
+    for k, b, v, r in sorted(floor_cross, key=lambda x: -x[3]):
+        print(f"  {k}: {b:.2f} s -> {v:.2f} s ({r:.1f}x)")
 
 tot_c = sum(v for k, v in cur.items() if not k.startswith("fixture:"))
 tot_b = sum(v for k, v in base.items() if not k.startswith("fixture:"))

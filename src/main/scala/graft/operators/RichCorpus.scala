@@ -150,8 +150,13 @@ object RichCorpus {
     * a CHILD of parent = doc_id − doc_id%8 with probability 30%,
     * keeping its parent's first `keep` ∈ 2..7 lines verbatim — so
     * the (parent, child) token-set Jaccard is keep/(16−keep) BY
-    * CONSTRUCTION: {0.14, 0.23, 0.33, 0.45, 0.58, 0.78} — a spectrum
-    * straddling the MinHashK=8/Bands=4 LSH S-curve. */
+    * CONSTRUCTION: {2/14, 3/13, 4/12, 5/11, 6/10, 7/9} ≈ {0.143,
+    * 0.231, 0.333, 0.455, 0.600, 0.778} — a spectrum straddling the
+    * MinHashK=8/Bands=4 LSH S-curve. §7n's MEASURED values sit a few
+    * hundredths BELOW the upper fractions ({…, 0.44, 0.58, 0.75})
+    * because cross-family word collisions (~4% per pair, see
+    * [[dupTextExpr]]) inflate the union — the construction gives the
+    * ideal J, the measurement prices the collision noise. */
   private val childExpr: String =
     s"CASE WHEN (((doc_id * 5 + 4) % $P) * $A) % $P % 100 < 30" +
       " AND doc_id % 8 != 0 THEN 1 ELSE 0 END"

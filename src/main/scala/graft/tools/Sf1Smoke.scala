@@ -151,10 +151,18 @@ object Sf1Smoke {
     }
     def copyTable(table: String): Unit = {
       val p = s"$outDir/$table.parquet"
+      val srcN = spark.read.parquet(s"$src/$table.parquet").count()
       if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$p/_SUCCESS")))
         spark.read.parquet(s"$src/$table.parquet")
           .write.mode("overwrite").parquet(p)
+      // Same staleness guard as replicate(): a cached copy from
+      // before a testdata regeneration must fail loudly, not be
+      // silently reused (r16 advice).
+      val nCopy = spark.read.parquet(p).count()
+      require(nCopy == srcN,
+        s"$table copy has $nCopy rows, expected $srcN — delete $outDir " +
+          "and rerun")
     }
     val needTpch = whichFamily == "registry"
     if (needTpch) {
@@ -407,13 +415,21 @@ object Sf1Smoke {
         import graft.sources.Tables
         def fixture(name: String)(f: => Unit): (String, Double) = {
           val t0 = System.nanoTime()
+          // A failed fixture records the -1 sentinel, matching the
+          // per-key failure convention scale_gate.py checks — its
+          // elapsed time is NOT a bracket value, and the dependent
+          // keys below silently absorb the un-prebuilt shared cost
+          // (r16 advice: a standalone gate run on the JSON must see
+          // the failure, not a skewed marginal-cost bracket).
+          var failed = false
           try f catch { case scala.util.control.NonFatal(e) =>
+            failed = true
             System.err.println(s"[sf1-smoke] fixture $name FAILED: " +
               e.getMessage)
           }
           val s = (System.nanoTime() - t0) / 1e9
           println(f"[sf1-smoke] fixture:$name%-20s $s%.2f s")
-          (s"fixture:$name", s)
+          (s"fixture:$name", if (failed) -1.0 else s)
         }
         Seq(
           fixture("slot_chain") {
