@@ -103,6 +103,12 @@ object Bench {
         graft.operators.TextDedup.pairCensus(
           Tables.documents(spark, sfDir), sfDir).count(); ()
       },
+      // F7d serving artifact: the trained coarse-quantizer centroids
+      // (k·dim floats) — at 100 TB an ingest-time product; prebuilt
+      // here so q_ann_ivf_served prices the read path only
+      fixture("ivf_cents") {
+        SparkEntry.servedIvfCentroids(spark, sfDir); ()
+      },
       // the session-memoized tick tape all q_stream_* keys replay
       // (29 consumers; built via the same SessionFrameCache key the
       // registry drives hit)

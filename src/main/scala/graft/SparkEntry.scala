@@ -434,6 +434,17 @@ object SparkEntry {
                                 // quadratic pair grid (r13; full
                                 // screen = spec baseline, full
                                 // roster = D65 blocked screen)
+  /** F7d serving fixture: the trained coarse-quantizer centroids,
+    * built ONCE per (session, corpus) — the k·dim-float artifact a
+    * serving tier caches (ingest-time at 100 TB). Same params as
+    * q_kmeans / q_ann_ivf_trained (k=8, iters=2, scale=32), so the
+    * oracle's duckKmeansCtes chain replays the training exactly;
+    * Bench/Sf1Smoke prebuild it as the `ivf_cents` fixture row. */
+  def servedIvfCentroids(s: SparkSession, d: String): Array[Seq[Float]] =
+    graft.SessionFrameCache.getOrBuild(s, s"ivf_cents:$d") {
+      Vectors.trainedCentroids(Tables.embeddings(s, d), 8, 2, 32)
+    }
+
   val tensorSlots = 16          // D66 ticks per window tensor (the
                                 // reference uses 600; same arithmetic)
   val reconFlagPct = 0.99       // F99 anomaly flag: err above the p99
@@ -903,6 +914,20 @@ object SparkEntry {
     // trained-vs-convention comparison is q_ann_recall ⟂ this key.
     "q_ann_ivf_trained" -> ((s, d) =>
       Vectors.annRecallTrained(Tables.embeddings(s, d), 10, 5, 8)),
+    // F7d — the SERVED trained-IVF read path: centroids train ONCE
+    // per (session, corpus) via the fixture cache (at 100 TB an
+    // ingest-time artifact), the key prices assignment + probe scan
+    // only — the deployment's per-query cost, vs F7c's audit shape
+    // that deliberately re-prices training.
+    "q_ann_ivf_served" -> ((s, d) =>
+      Vectors.ivfKnnServed(Tables.embeddings(s, d),
+        servedIvfCentroids(s, d), 10, 5, 2)),
+    // F39b — recall@5 of the FULLY trained IVF-PQ (Lloyd coarse
+    // cells + per-subspace k-means codebook, nProbe=2) vs the exact
+    // squared-L2 scan; trained-vs-convention certified in VectorsSpec
+    // (ivfPqRecallOf over both variants).
+    "q_ivfpq_trained" -> ((s, d) =>
+      Vectors.ivfPqRecallTrained(Tables.embeddings(s, d), 10, 5)),
     // F100 — Matryoshka audit: recall@5 of prefix-dim search vs the
     // full-dim exact list, per prefix length.
     "q_matryoshka_recall" -> ((s, d) =>
@@ -7611,6 +7636,40 @@ object SparkEntry {
         |  CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5 AS recall
         |FROM ne LEFT JOIN na USING (query_id) LEFT JOIN ov USING (query_id)
         |ORDER BY query_id""".stripMargin,
+    // F7d — the SERVED trained-IVF read path: q_ann_ivf_trained's
+    // search chain (home cells a2, probe window rn <= 2 over s2)
+    // emitting the RANKED ROWS instead of the recall folds — the
+    // training replays in the oracle (the centroids are a pure
+    // function of the corpus), while the Spark side reads them from
+    // the session fixture.
+    "q_ann_ivf_served" ->
+      s"""$duckKmeansCtes,
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> v[CAST(i+1 AS INT)] * v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b)) AS nrm FROM e),
+        |n2 AS (SELECT n.vec_id, n.v, a2.cluster AS cell, n.nrm
+        |  FROM n JOIN a2 ON a2.vec_id = n.vec_id),
+        |qp AS (SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+        |    FROM s2 WHERE vec_id < 10) x WHERE rn <= 2),
+        |qn AS (SELECT qp.vec_id, qp.cell, n.v, n.nrm
+        |  FROM qp JOIN n ON n.vec_id = qp.vec_id),
+        |ip AS (SELECT qr.vec_id AS query_id, qr.cell,
+        |    nb.vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(64), i -> qr.v[CAST(i+1 AS INT)] * nb.v[CAST(i+1 AS INT)])),
+        |      (a, b) -> a + b) / nullif(qr.nrm * nb.nrm, 0) AS cs
+        |  FROM qn qr JOIN n2 nb ON nb.cell = qr.cell AND nb.vec_id <> qr.vec_id),
+        |r AS (SELECT query_id, cell, neighbor_id, cs,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+        |      AS rnk FROM ip)
+        |SELECT query_id, cell, neighbor_id, rnk, round(cs, 4) AS cos_sim
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -9740,6 +9799,106 @@ object SparkEntry {
         |SELECT query_id, cell, neighbor_id, rnk,
         |  round(adc_raw, 4) AS adc_dist
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+    // F39b — the fully TRAINED IVF-PQ recall audit: the coarse side
+    // is duckKmeansCtes' trained cells (a2 home cells, s2 probe
+    // scores — q_kmeans's exact spelling, probed rn <= 2 as in
+    // q_ann_ivf_trained); the codebook side replays the SAME
+    // quantized-Lloyd round per (subspace, code) over the grid
+    // SLICES (ps1/pa1/pdims/pu/pu2/pcb1 mirror s1/a1/dims/u/u2/c1
+    // at dim 8, k 16); code assignment + ADC are q_ivfpq_search's
+    // chain against the TRAINED codebook; the exact baseline is
+    // squared-L2 (the metric PQ approximates); folds are F58's.
+    "q_ivfpq_trained" -> {
+      def dot(n: Int)(a: String, b: String): String =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range($n), i -> $a[CAST(i+1 AS INT)] * " +
+          s"$b[CAST(i+1 AS INT)])), (x, y) -> x + y)"
+      val d8 = dot(8) _; val d64 = dot(64) _
+      s"""$duckKmeansCtes,
+        |pss AS (SELECT unnest(range(8)) AS s),
+        |psub AS (SELECT qd.vec_id, pss.s,
+        |    qd.qv[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sq,
+        |    qd.v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv
+        |  FROM qd, pss),
+        |pcb0 AS (SELECT s, vec_id AS j, sv AS cv FROM psub
+        |  WHERE vec_id < 16),
+        |ps1 AS (SELECT psub.vec_id, psub.s, pcb0.j,
+        |    ${d8("cv", "cv")} - 2 * ${d8("sv", "cv")} AS score
+        |  FROM psub JOIN pcb0 ON pcb0.s = psub.s),
+        |pa1 AS (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j)
+        |      AS rn FROM ps1) x WHERE rn = 1),
+        |pdims AS (SELECT pa1.s, pa1.code, unnest(range(8)) AS d, psub.sq
+        |  FROM psub JOIN pa1 ON pa1.vec_id = psub.vec_id
+        |    AND pa1.s = psub.s),
+        |pu AS (SELECT s, code, d, sum(sq[CAST(d + 1 AS INT)]) AS sm,
+        |    count(*) AS cnt
+        |  FROM pdims GROUP BY s, code, d),
+        |pu2 AS (SELECT s, code,
+        |    list(CAST(CAST(CAST(sm AS DOUBLE) / cnt AS FLOAT) AS DOUBLE)
+        |      ORDER BY d) AS cv
+        |  FROM pu GROUP BY s, code),
+        |pcb1 AS (SELECT pcb0.s, pcb0.j, coalesce(pu2.cv, pcb0.cv) AS cv
+        |  FROM pcb0 LEFT JOIN pu2 ON pu2.s = pcb0.s AND pu2.code = pcb0.j),
+        |pcbf AS (SELECT s, j, list_transform(cv, c -> c / 32.0) AS cv
+        |  FROM pcb1),
+        |pe AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pesub AS (SELECT pe.vec_id, pss.s,
+        |    v[CAST(s*8+1 AS INT):CAST(s*8+8 AS INT)] AS sv
+        |  FROM pe, pss),
+        |ps2 AS (SELECT pesub.vec_id, pesub.s, pcbf.j,
+        |    ${d8("cv", "cv")} - 2 * ${d8("sv", "cv")} AS score
+        |  FROM pesub JOIN pcbf ON pcbf.s = pesub.s),
+        |pcode AS (SELECT vec_id, s, j AS code FROM (SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY score, j)
+        |      AS rn FROM ps2) x WHERE rn = 1),
+        |pterm AS (SELECT qs.vec_id AS query_id, pcode.vec_id, pcode.s,
+        |    ${d8("qs.sv", "qs.sv")} + ${d8("cv", "cv")} - 2 * ${d8("qs.sv", "cv")}
+        |      AS term
+        |  FROM pcode JOIN pcbf ON pcbf.s = pcode.s AND pcbf.j = pcode.code
+        |  JOIN pesub qs ON qs.s = pcode.s AND qs.vec_id < 10),
+        |padc AS (SELECT query_id, vec_id AS neighbor_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list(term ORDER BY s)), (a, b) -> a + b) AS adc_raw
+        |  FROM pterm GROUP BY query_id, vec_id),
+        |pqp AS (SELECT vec_id AS query_id, cid AS cell FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY score, cid)
+        |        AS rn FROM s2 WHERE vec_id < 10) x WHERE rn <= 2),
+        |pcand AS (SELECT padc.query_id, padc.neighbor_id, padc.adc_raw
+        |  FROM padc JOIN pqp USING (query_id)
+        |  JOIN a2 nb ON nb.vec_id = padc.neighbor_id
+        |    AND nb.cluster = pqp.cell
+        |  WHERE padc.neighbor_id <> padc.query_id),
+        |pit AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc_raw, neighbor_id) AS rnk
+        |    FROM pcand) x WHERE rnk <= 5),
+        |pbp AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ${d64("qr.v", "qr.v")} + ${d64("c.v", "c.v")} - 2 * ${d64("qr.v", "c.v")}
+        |      AS l2
+        |  FROM pe qr JOIN pe c ON c.vec_id <> qr.vec_id
+        |  WHERE qr.vec_id < 10),
+        |pbt AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY l2, neighbor_id) AS rnk FROM pbp) x
+        |  WHERE rnk <= 5),
+        |pne AS (SELECT query_id, count(*) AS n_exact FROM pbt GROUP BY 1),
+        |pna AS (SELECT query_id, count(*) AS n_approx FROM pit GROUP BY 1),
+        |pov AS (SELECT b.query_id, count(*) AS n_overlap
+        |  FROM pbt b JOIN pit i ON i.query_id = b.query_id
+        |    AND i.neighbor_id = b.neighbor_id GROUP BY 1)
+        |SELECT pne.query_id, pne.n_exact,
+        |  coalesce(pna.n_approx, 0) AS n_approx,
+        |  coalesce(pov.n_overlap, 0) AS n_overlap,
+        |  CAST(coalesce(pov.n_overlap, 0) AS DOUBLE) / 5 AS recall
+        |FROM pne LEFT JOIN pna USING (query_id) LEFT JOIN pov USING (query_id)
+        |ORDER BY query_id""".stripMargin
     },
     // The composed curation plan replayed stage by stage: the line
     // dedup CTEs are q_line_dedup's over the contact-injected text,

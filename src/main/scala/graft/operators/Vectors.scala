@@ -694,9 +694,45 @@ object Vectors {
                     nCentroids: Int = 8, nProbe: Int = 2,
                     iters: Int = 2, scale: Int = 32,
                     dim: Int = Dim): DataFrame = {
+    val (base, cents) = lloydCore(emb, nCentroids, iters, scale, dim)
+    ivfProbeSearch(emb, base, cents, nQueries, k, nProbe, dim)
+  }
+
+  /** F7d — the SERVED read path of [[ivfKnnTrained]]: identical
+    * search (same probe order, tie rules, rounding — the oracle SQL
+    * is the same chain minus the recall folds) against centroids
+    * trained ONCE elsewhere and passed in. At 100 TB training is an
+    * ingest-time/offline step and the cell map a stored partition
+    * column — the per-query cost a deployment actually pays is THIS
+    * function's: one narrow assignment pass + the bounded
+    * broadcast-probe scan, no Lloyd collects (the r16 verdict's
+    * "q_ann_ivf_trained prices Lloyd training inside the query"
+    * finding, resolved by serving [[trainedCentroids]] from the
+    * session fixture cache). */
+  def ivfKnnServed(emb: DataFrame, cents: Array[Seq[Float]],
+                   nQueries: Int, k: Int, nProbe: Int = 2,
+                   scale: Int = 32, dim: Int = Dim): DataFrame =
+    ivfProbeSearch(emb, quantizedBase(emb, scale), cents, nQueries, k,
+      nProbe, dim)
+
+  /** The trained coarse-quantizer centroids alone — the artifact a
+    * serving tier caches (k·dim floats, a broadcast-sized object).
+    * Same training as [[ivfKnnTrained]]/[[kmeansAssign]]. */
+  def trainedCentroids(emb: DataFrame, nCentroids: Int = 8,
+                       iters: Int = 2, scale: Int = 32,
+                       dim: Int = Dim): Array[Seq[Float]] =
+    lloydCore(emb, nCentroids, iters, scale, dim)._2
+
+  /** The search half of [[ivfKnnTrained]]: multi-probe cell-pruned
+    * cosine top-k against a given centroid set over the quantized
+    * `base` frame. Within-cell ranking, tie rules, zero-norm guard
+    * and rounding are exactly [[ivfKnn]]'s. */
+  private def ivfProbeSearch(emb: DataFrame, base: DataFrame,
+                             cents: Array[Seq[Float]], nQueries: Int,
+                             k: Int, nProbe: Int, dim: Int): DataFrame = {
+    val nCentroids = cents.length
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe must be in [1, $nCentroids]: $nProbe")
-    val (base, cents) = lloydCore(emb, nCentroids, iters, scale, dim)
     val assigned = base.withColumn("_s", lloydScores(cents))
       .withColumn("cell", lloydArgmin(col("_s")))
     val n = withNorm(emb, dim)
@@ -842,6 +878,196 @@ object Vectors {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-subspace TRAINED PQ codebook (F39b's training half): for
+    * each of `nSub` subvector blocks, a [[lloydIterate]] k-means over
+    * the quantized grid SLICE of that block — the production faiss
+    * `IVF,PQ` codebook (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 trains exactly this: an
+    * independent k-means per subspace). The slice of a fixed-point
+    * grid IS the fixed-point grid of the slice, so the assignment
+    * and update arithmetic is [[lloydIterate]]'s verbatim — one
+    * spelling, replayed per subspace by the oracle's (vec_id, s)
+    * chain. Init per subspace: the subvectors of vec_ids
+    * 0..kCode−1 (same contract as the coarse side).
+    *
+    * The returned entries are mapped BACK from grid units to
+    * coordinate space (÷scale — exact in float for the power-of-two
+    * scales this family uses, a pure exponent shift), because the
+    * codebook's consumers compare against RAW vectors: encoding
+    * (`graft_pqcodes` over the raw embedding) and the per-query ADC
+    * tables. Training stays on the grid — that is what makes the
+    * update sums integer-exact — but a grid-unit codebook against
+    * raw floats would be a unit mismatch (every score dominated by
+    * the scale² term).
+    *
+    * Scale shape: nSub small Lloyd loops over the shared checkpointed
+    * grid frame — each iteration one narrow aggregation with map-side
+    * partials onto kCode groups; centroid collects are
+    * kCode·subDim longs (broadcast-sized). Nothing per-pair. */
+  private def pqTrainCodebook(base: DataFrame, nSub: Int, subDim: Int,
+                              kCode: Int, iters: Int, scale: Int)
+      : IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    require(scale > 0 && (scale & (scale - 1)) == 0,
+      s"pqTrainCodebook: scale must be a power of two for the exact " +
+        s"grid unmap, got $scale")
+    (0 until nSub).map { s =>
+      val sub = base.select(col("vec_id"),
+        expr(s"slice(qv, ${s * subDim + 1}, $subDim)").as("qv"),
+        expr(s"slice(qf, ${s * subDim + 1}, $subDim)").as("qf"))
+      lloydIterate(sub, kCode, iters, subDim)
+        .map(_.map(_ / scale)).toIndexedSeq
+    }
+  }
+
+  /** F39b — FULLY TRAINED IVF-PQ SEARCH: [[ivfPqSearch]] with BOTH
+    * quantizers learned — the coarse cells from [[lloydCore]]'s
+    * Lloyd centroids (F7c's trained quantizer, nProbe-multi-probe)
+    * and the PQ codebook from [[pqTrainCodebook]]'s per-subspace
+    * k-means — replacing the last first-k convention in the ANN
+    * stack (r16 verdict #1). This is the faiss `IVF<n>,PQ<m>` +
+    * nprobe production index, end to end.
+    *
+    * Mechanics per stage, each spelled once with its parent:
+    * cell TRAINING and probe order are [[ivfKnnTrained]]'s (L2 on
+    * the quantized grid, probe (score asc, cell asc)); code
+    * ASSIGNMENT is [[ivfPqSearch]]'s native `graft_pqcodes` argmin
+    * over RAW floats — train on the grid, encode the raw vector,
+    * the standard PQ deployment split; ADC tables, candidate join,
+    * ranking and rounding are [[ivfPqSearch]]'s verbatim.
+    *
+    * Scale shape: training adds [[pqTrainCodebook]]'s bounded
+    * collects to F7c's; the search is F39's — candidates touch
+    * 8-byte codes, never raw floats, the per-query ADC tables ride
+    * the broadcast, and at 100 TB the trained cell id is an
+    * ingest-time partition column ([[ivfKnnServed]] is that read
+    * path for the coarse side). */
+  def ivfPqTrained(emb: DataFrame, nQueries: Int, k: Int,
+                   nCentroids: Int = 8, nSub: Int = 8, subDim: Int = 8,
+                   kCode: Int = 16, nProbe: Int = 2, iters: Int = 2,
+                   scale: Int = 32, dim: Int = Dim): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe must be in [1, $nCentroids]: $nProbe")
+    graft.functions.PqCodes.register(emb.sparkSession)
+    import emb.sparkSession.implicits._
+    def ddot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val (base, cents) = lloydCore(emb, nCentroids, iters, scale, dim)
+    val cbook = pqTrainCodebook(base, nSub, subDim, kCode, iters, scale)
+    val queries = emb.filter(col("vec_id") < nQueries).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val tabs: Seq[(Long, Seq[Seq[Double]])] = queries.toSeq.map {
+      case (qid, qv) =>
+        (qid, (0 until nSub).map { s =>
+          val qs = qv.slice(s * subDim, (s + 1) * subDim)
+          val qq = ddot(qs, qs)
+          (0 until kCode).map { j =>
+            val c = cbook(s)(j)
+            qq + ddot(c, c) - 2.0 * ddot(qs, c)
+          }
+        })
+    }
+    val flatCents: Seq[Float] = cbook.flatten.flatten
+    val coded = base.withColumn("_s", lloydScores(cents))
+      .withColumn("cell", lloydArgmin(col("_s")))
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .withColumn("codes", call_function("graft_pqcodes",
+        col("embedding"), typedlit(flatCents),
+        lit(nSub), lit(subDim), lit(kCode)))
+    // top-nProbe probe cells per query — F7c's (score, idx) sort.
+    val qdf = coded.filter(col("vec_id") < nQueries)
+      .withColumn("probe", expr(
+        s"""slice(transform(array_sort(transform(_s,
+          |  (s, i) -> struct(s AS s, i AS i))), x -> x.i), 1, $nProbe)"""
+          .stripMargin))
+      .select(col("vec_id").as("query_id"),
+        explode(col("probe")).as("_probe_cell"))
+      .select(col("query_id"), col("_probe_cell").cast("int").as("cell"))
+      .join(broadcast(tabs.toDF("query_id", "tab")), "query_id")
+    val adcCol = (0 until nSub).map(s =>
+      element_at(element_at(col("tab"), s + 1),
+        element_at(col("codes"), s + 1) + 1)).reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_raw").asc, col("neighbor_id"))
+    coded.select(col("cell"), col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(qdf), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_raw", adcCol)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"), col("rnk"),
+        round(col("adc_raw"), 4).as("adc_dist"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Exact squared-L2 top-k — the baseline the PQ family's ADC
+    * approximates (PQ quantizes EUCLIDEAN distance, so its recall
+    * audit must grade against the L2 truth, not the cosine one F58
+    * uses for the IVF-cosine family). ‖q−c‖² spelled q·q + c·c −
+    * 2·q·c with the [[VecDot]] left-to-right accumulation — the
+    * identical shape [[ivfPqSearch]]'s `exact_dist` column and the
+    * oracle's d64 folds compute. Ties to the lower neighbor_id. */
+  private def bruteForceL2(emb: DataFrame, nQueries: Int, k: Int,
+                           dim: Int): DataFrame = {
+    VecDot.register(emb.sparkSession)
+    def vd(a: Column, b: Column): Column = call_function("graft_vecdot", a, b)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("va"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("vb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_raw").asc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("l2_raw",
+        vd(col("va"), col("va")) + vd(col("vb"), col("vb")) -
+          lit(2.0) * vd(col("va"), col("vb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+  }
+
+  /** F39b audit — recall@k of [[ivfPqTrained]] against the exact
+    * squared-L2 top-k ([[bruteForceL2]]): the number that certifies
+    * the trained codebook+cells. The certification itself —
+    * trained recall ≥ the convention-codebook [[ivfPqSearch]]'s at
+    * every SF — is asserted in `VectorsSpec` via [[ivfPqRecallOf]]
+    * on both variants. Fold shape identical to F58/F7c's audits. */
+  def ivfPqRecallTrained(emb: DataFrame, nQueries: Int, k: Int,
+                         nCentroids: Int = 8, nSub: Int = 8,
+                         subDim: Int = 8, kCode: Int = 16, nProbe: Int = 2,
+                         iters: Int = 2, scale: Int = 32,
+                         dim: Int = Dim): DataFrame =
+    ivfPqRecallOf(emb, nQueries, k, dim,
+      ivfPqTrained(emb, nQueries, k, nCentroids, nSub, subDim, kCode,
+        nProbe, iters, scale, dim))
+
+  /** Recall folds of an IVF-PQ result frame against the exact-L2
+    * baseline — shared by the trained audit key and the spec's
+    * trained-vs-convention comparison. */
+  def ivfPqRecallOf(emb: DataFrame, nQueries: Int, k: Int, dim: Int,
+                    approxFrame: DataFrame): DataFrame = {
+    val exact = bruteForceL2(emb, nQueries, k, dim)
+      .localCheckpoint(true)
+    val approx = approxFrame
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val nExact = exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val nApprox = approx.groupBy("query_id").agg(count(lit(1)).as("n_approx"))
+    val overlap = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    nExact
+      .join(nApprox, Seq("query_id"), "left")
+      .join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / k).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** F24 — deterministic QUANTIZED k-means over embeddings: the
     * semantic-clustering stage a corpus pipeline runs to balance a
     * training mix by TOPIC (cluster) rather than by crawl source —
@@ -895,17 +1121,34 @@ object Vectors {
     * it exactly. */
   private def lloydCore(emb: DataFrame, k: Int, iters: Int, scale: Int,
                         dim: Int): (DataFrame, Array[Seq[Float]]) = {
-    require(iters >= 1, s"kmeansAssign: iters must be >= 1, got $iters")
+    val base = quantizedBase(emb, scale)
+    (base, lloydIterate(base, k, iters, dim))
+  }
+
+  /** The fixed-point-grid quantization half of [[lloydCore]] —
+    * shared with [[ivfKnnServed]], whose read path needs the grid
+    * frame for cell assignment but NOT the training loop. qv: exact
+    * grid as bigint (for integer-exact sums); qf: the same values as
+    * float (VecDot's input type — exact, the grid values are far
+    * below 2^24). Checkpointed once: multiple consumers (init fetch,
+    * per-iteration update, final scoring). */
+  private def quantizedBase(emb: DataFrame, scale: Int): DataFrame = {
     VecDot.register(emb.sparkSession)
-    // qv: exact fixed-point grid as bigint (for integer-exact sums);
-    // qf: the same values as float (VecDot's input type — exact, the
-    // grid values are far below 2^24). Checkpointed once: three
-    // consumers (init fetch, per-iteration update, final scoring).
-    val base = emb.select(col("vec_id"),
+    emb.select(col("vec_id"),
         expr(s"transform(embedding, x -> " +
           s"CAST(floor(CAST(x AS DOUBLE) * $scale + 0.5d) AS BIGINT))").as("qv"))
       .withColumn("qf", expr("transform(qv, v -> CAST(v AS FLOAT))"))
       .localCheckpoint(true)
+  }
+
+  /** The iteration half of [[lloydCore]], over an ALREADY-quantized
+    * frame (vec_id, qv, qf) — shared with [[pqTrainCodebook]], whose
+    * per-subspace frames are subvector SLICES of the same grid (the
+    * slice of a fixed-point grid is the fixed-point grid of the
+    * slice, so the arithmetic is spelled once for both). */
+  private def lloydIterate(base: DataFrame, k: Int, iters: Int,
+                           dim: Int): Array[Seq[Float]] = {
+    require(iters >= 1, s"kmeansAssign: iters must be >= 1, got $iters")
     val initRows = base.filter(col("vec_id") < k)
       .orderBy("vec_id").select("vec_id", "qf").collect()
     // The cluster INDEX must equal the init vec_id (the oracle's cid
@@ -930,7 +1173,7 @@ object Vectors {
         }
       }
     }
-    (base, cents)
+    cents
   }
 
   /** Per-centroid L2 score array c·c − 2·v·c over the quantized-float

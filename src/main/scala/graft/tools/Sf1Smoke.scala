@@ -444,6 +444,9 @@ object Sf1Smoke {
           fixture("pair_census") {
             graft.operators.TextDedup.pairCensus(
               Tables.documents(spark, outDir), outDir).count(); ()
+          },
+          fixture("ivf_cents") {
+            SparkEntry.servedIvfCentroids(spark, outDir); ()
           })
       }
     val phases = if (whichFamily == "registry") Seq("cold")

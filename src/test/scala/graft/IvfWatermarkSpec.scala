@@ -146,6 +146,77 @@ class IvfWatermarkSpec extends SparkSpec {
     assert(multi >= trained)
   }
 
+  test("ivfPqTrained beats the convention IVF-PQ on the split-cluster " +
+      "geometry, and ivfKnnServed replays ivfKnnTrained exactly") {
+    // The F7c corpus: cluster A near e0 (ids 0, 1, 12..15), cluster B
+    // at 45° with members on BOTH sides of the a=b line (ids 2..11).
+    // The convention coarse quantizer's c0/c1 boundary is exactly
+    // a=b, splitting B — query 2 (a B member) loses its
+    // across-the-line exact-L2 neighbors. Trained cells separate
+    // A from B, so every query's true L2 top-k sits in its home
+    // cell; with kCode == corpus size the PQ codebook is
+    // near-identity (each code trains onto its own point), so ADC
+    // ordering matches exact L2 and trained recall is 1.0.
+    def bvec(deltaDeg: Double): Array[Float] = {
+      val th = math.toRadians(45.0 + deltaDeg)
+      Array(math.cos(th).toFloat, math.sin(th).toFloat)
+    }
+    val deltas = Seq(-0.1, 0.15, -0.3, 0.35, -0.5, 0.55, -0.7, 0.75,
+      -0.9, 0.95)
+    val emb = (Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.98f, 0.02f), 0)) ++
+      deltas.zipWithIndex.map { case (d, i) => ((i + 2).toLong, bvec(d), 0) } ++
+      Seq(
+        (12L, Array(0.97f, 0.01f), 0),
+        (13L, Array(0.99f, 0.03f), 0),
+        (14L, Array(0.96f, 0.02f), 0),
+        (15L, Array(1.0f, 0.04f), 0)))
+      .toDF("vec_id", "embedding", "label")
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    // scale = 4096: the B members are ~0.2° apart (~3.5e-3 in
+    // coordinates), so the training grid must resolve well below
+    // that for the near-identity codebook to preserve L2 order.
+    val trained = mean(Vectors.ivfPqRecallOf(emb, 3, 3, 2,
+      Vectors.ivfPqTrained(emb, 3, 3, nCentroids = 2, nSub = 1,
+        subDim = 2, kCode = 16, nProbe = 1, scale = 4096, dim = 2)))
+    val conv = mean(Vectors.ivfPqRecallOf(emb, 3, 3, 2,
+      Vectors.ivfPqSearch(emb, 3, 3, nCentroids = 2, nSub = 1,
+        subDim = 2, kCode = 16)))
+    assert(trained >= conv,
+      s"trained IVF-PQ must not lose to the convention: $trained < $conv")
+    assert(trained == 1.0 && conv < 1.0,
+      s"corpus failed to exercise the convention's split: " +
+        s"trained=$trained conv=$conv")
+    // F7d: the served read path replays the trained search row for
+    // row when handed the same trained centroids.
+    val embD = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Vectors.trainedCentroids(embD, 8, 2, 32)
+    val servedRows = Vectors.ivfKnnServed(embD, cents, 10, 5, 2)
+      .collect().map(_.toSeq).toSeq
+    val trainedRows = Vectors.ivfKnnTrained(embD, 10, 5, 8, 2)
+      .collect().map(_.toSeq).toSeq
+    assert(servedRows == trainedRows)
+  }
+
+  test("trained IVF-PQ recall >= the convention codebook's on the " +
+      "driver corpus (the F39b certification, sf0.001 twin of the " +
+      "x3-SF check recorded in SURVEY §7)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def mean(df: org.apache.spark.sql.DataFrame): Double = {
+      val r = df.select("recall").as[Double].collect()
+      r.sum / r.length
+    }
+    val trained = mean(Vectors.ivfPqRecallTrained(emb, 10, 5))
+    val conv = mean(Vectors.ivfPqRecallOf(emb, 10, 5, 64,
+      Vectors.ivfPqSearch(emb, 10, 5)))
+    assert(trained >= conv,
+      s"trained IVF-PQ must not lose to the convention: $trained < $conv")
+  }
+
   test("streaming downsampler drops late data past the watermark (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
