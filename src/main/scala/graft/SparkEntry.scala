@@ -2043,6 +2043,9 @@ object SparkEntry {
       StreamRegistry.streamSourceCap(s, d, 10)),
     // G7 — streaming near-dup admission (first-writer band buckets).
     "q_stream_near_dup" -> (StreamRegistry.streamNearDup(_, _)),
+    // G7b — streaming dup-spectrum: G7's admission over the planted-
+    // Jaccard dup corpus, flag rate per keep level (F2e's live twin).
+    "q_stream_dup_spectrum" -> (StreamRegistry.streamDupSpectrum(_, _)),
     // G39 — vol-cone regime monitor at the 5-day horizon.
     "q_stream_vol_cone" -> ((s, d) =>
       StreamRegistry.streamVolCone(s, d, 5)),
@@ -9507,6 +9510,35 @@ object SparkEntry {
         |  (CAST(sum(caught) AS BIGINT) * 10000) // count(*) AS catch_bp,
         |  round(avg(jac), 4) AS mean_exact_j
         |FROM j GROUP BY keep ORDER BY keep""".stripMargin
+    },
+    // G7b — the streaming dup-spectrum: the tape is fed in doc_id
+    // order and the keyed bucket state sorts within batch by doc_id,
+    // so the admission verdict equals the batch min-over-bucket rule
+    // (the q_stream_near_dup equivalence) — replayed here over the
+    // richdup corpus and bucketed by the planted keep level.
+    "q_stream_dup_spectrum" -> {
+      import graft.functions.PortableText._
+      s"""WITH ${RichCorpus.duckDupCtes},
+        |t AS (SELECT doc_id, $duckTokenHashes AS th FROM richdup),
+        |m AS (SELECT doc_id, $duckMinHashes AS mh FROM t),
+        |bands AS (SELECT doc_id, band,
+        |    (mh[CAST(2*band + 1 AS INT)] * 31 + mh[CAST(2*band + 2 AS INT)]) % $P
+        |      AS band_hash
+        |  FROM m, (SELECT unnest(range($Bands)) AS band) b),
+        |v AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY band, band_hash) < doc_id
+        |      AS dup_band
+        |  FROM bands WHERE band_hash IS NOT NULL),
+        |fl AS (SELECT doc_id, bool_or(dup_band) AS is_dup
+        |  FROM v GROUP BY doc_id)
+        |SELECT p.keep, count(*) AS n_planted,
+        |  CAST(sum(CASE WHEN coalesce(f.is_dup, false) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  (CAST(sum(CASE WHEN coalesce(f.is_dup, false) THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000) // count(*) AS flag_bp
+        |FROM richdup_pairs p
+        |LEFT JOIN fl f ON f.doc_id = p.doc_b
+        |GROUP BY p.keep ORDER BY p.keep""".stripMargin
     },
     // F82 over the PLANTED-label embeddings: q_label_fisher's body on
     // the richemb CTE (+0.375 on dimension i for label i mod 10) —

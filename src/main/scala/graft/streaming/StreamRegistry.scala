@@ -650,6 +650,47 @@ object StreamRegistry {
       .orderBy("doc_id", "band")
   }
 
+  /** G7b twin key (r16 verdict #4): the STREAMING dup-spectrum —
+    * G7's ingest-time near-dup admission driven over the
+    * planted-Jaccard dup corpus ([[graft.operators.RichCorpus
+    * .dupDocs]], pairs at J = keep/(16−keep) ∈ {0.14 … 0.78}),
+    * reporting the per-keep-level flag rate of the planted CHILDREN —
+    * the streaming recall-by-similarity curve beside F2e's batch one
+    * (q_dedup_spectrum), measured against the same ground truth.
+    *
+    * Relation to the batch S-curve, exactly: a pair is LSH-caught iff
+    * parent and child share a band bucket; the parent (doc_id −
+    * doc_id%8) always precedes its child on the tape, so a caught
+    * child's bucket is already claimed when it arrives ⇒ flagged.
+    * Hence per keep n_flagged ≥ F2e's n_caught, the excess being
+    * collisions with OTHER earlier docs (~4% cross-family word noise
+    * per pair, priced in the RichCorpus doc) — the admission filter's
+    * true operating curve, which is what an ingest deployment acts
+    * on. The drive is the G7 protocol verbatim (doc_id-ordered tape,
+    * 4 micro-batches, first-writer-wins keyed bucket state); with the
+    * within-batch doc_id sort the verdict equals the batch min-over-
+    * bucket rule, which is what the oracle replays. */
+  def streamDupSpectrum(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val tape = graft.operators.RichCorpus.dupDocs(base)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val flags = runTape(s, tape, OutputMode.Append)(
+      t => Streaming.nearDupBandFlags(t.toDF()).toDF())
+    val verdict = flags.groupBy("doc_id")
+      .agg(expr("bool_or(dup_band)").as("is_dup"))
+    graft.operators.RichCorpus.dupPairs(base)
+      .join(verdict.select(col("doc_id").as("doc_b"), col("is_dup")),
+        Seq("doc_b"), "left")
+      .groupBy("keep")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(when(coalesce(col("is_dup"), lit(false)), lit(1L))
+          .otherwise(lit(0L))).as("n_flagged"))
+      .withColumn("flag_bp", expr("(n_flagged * 10000) DIV n_planted"))
+      .select("keep", "n_planted", "n_flagged", "flag_bp")
+      .orderBy("keep")
+  }
+
   /** G39 twin key: the vol-cone regime monitor — D64's p25/p75 cone
     * trains offline at horizon h; the stream keeps each symbol's
     * open-day rv register plus the (h−1)-day closed ring and emits a

@@ -164,6 +164,86 @@ object Sf1Smoke {
         s"$table copy has $nCopy rows, expected $srcN — delete $outDir " +
           "and rerun")
     }
+    // STREAMING replica (r16 verdict #2): the 49-key G-family was
+    // excluded from the 10x bracket because naive replication repeats
+    // the same time span in every +5e9 id block, breaking the tape's
+    // GLOBAL ts-monotonicity (the ingest invariant every replay
+    // assumes — a replayed non-monotone tape spends the run inside
+    // watermark-drop paths and times a corpus the semantics reject).
+    // This replica restores the invariant: replica r's events shift
+    // forward by r * (day span + 2) WHOLE DAYS, so event_id order
+    // (replica-major, driver-monotone within each block) is globally
+    // ts-monotone — the concatenated tape is a valid ingest. Whole-day
+    // shifts keep the (symbol, day) structure and per-key density at
+    // sf0.1 while the SYMBOL cardinality, the tape length, and the
+    // keyed-state width scale 10x — exactly the axes a production
+    // Kafka deployment grows on. documents/orders ride the plain
+    // key-remapped replicas (their tapes re-sort globally by hash/day
+    // before the drive, no monotonicity seam).
+    val streamDir = s"$outDir/stream"
+    def buildStreamTables(): Unit = {
+      import org.apache.spark.sql.types.LongType
+      val p = s"$streamDir/events.parquet"
+      val raw = spark.read.parquet(s"$src/events.parquet")
+      val isNanos = raw.schema("ts").dataType == LongType
+      if (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(s"$p/_SUCCESS"))) {
+        val shiftDays = (if (isNanos)
+          raw.agg(((max(col("ts")) - min(col("ts")))
+            / lit(86400L * 1000000000L)).cast("long")).head().getLong(0)
+        else
+          raw.agg(datediff(max(col("ts").cast("date")),
+            min(col("ts").cast("date"))).cast("long")).head().getLong(0)
+          ) + 2L
+        val ts2 =
+          if (isNanos)
+            (col("ts") + col("replica") * lit(shiftDays * 86400L
+              * 1000000000L)).as("ts")
+          else expr(s"timestampadd(DAY, CAST(replica * $shiftDays" +
+            " AS INT), ts)").as("ts")
+        raw.crossJoin(spark.range(replicas).select(col("id").as("replica")))
+          .select(
+            (col("event_id") + col("replica") * lit(5000000000L))
+              .as("event_id"),
+            ts2,
+            (col("user_id") + col("replica") * lit(5000000000L))
+              .as("user_id"),
+            col("event_type"), col("value"), col("props"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(p)
+      }
+      val nS = spark.read.parquet(p).count()
+      require(nS == replicas * srcEvents,
+        s"stream events replica has $nS rows, expected " +
+          s"${replicas * srcEvents} — delete $outDir and rerun")
+      // the invariant the whole exercise exists for: ts-monotone in
+      // event_id order (checked on the replica seams, cheap)
+      val viol = graft.sources.Tables.events(spark, streamDir)
+        .select(col("event_id"), col("ts"))
+        .withColumn("block", expr("event_id div 5000000000"))
+        .groupBy("block").agg(min("ts").as("lo"), max("ts").as("hi"))
+        .orderBy("block").collect()
+      viol.sliding(2).foreach { w =>
+        if (w.length == 2)
+          require(w(0).getTimestamp(2).before(w(1).getTimestamp(1)),
+            s"stream replica blocks overlap in time: ${w.toSeq}")
+      }
+      println(s"[sf1-smoke] stream events rows=$nS " +
+        s"(${replicas}x, per-replica day shift)")
+      // documents/orders: the same frames the batch replica carries,
+      // rewritten under streamDir so the one-dir query contract holds
+      Seq("documents", "orders").foreach { t =>
+        val tp = s"$streamDir/$t.parquet"
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$tp/_SUCCESS")))
+          spark.read.parquet(s"$outDir/$t.parquet")
+            .repartition(8).write.mode("overwrite").parquet(tp)
+        val nT = spark.read.parquet(tp).count()
+        val nB = spark.read.parquet(s"$outDir/$t.parquet").count()
+        require(nT == nB, s"stream $t copy has $nT rows, expected $nB" +
+          s" — delete $outDir and rerun")
+      }
+    }
     val needTpch = whichFamily == "registry"
     if (needTpch) {
       replicate("lineitem", Seq("l_orderkey" -> true, "l_partkey" -> true,
@@ -409,28 +489,34 @@ object Sf1Smoke {
     // per-key numbers are MARGINAL cost and the shared builds are
     // explicit fixture rows in the JSON rather than landing on the
     // alphabetically-first consumer.
+    def fixture(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      // A failed fixture records the -1 sentinel, matching the
+      // per-key failure convention scale_gate.py checks — its
+      // elapsed time is NOT a bracket value, and the dependent
+      // keys below silently absorb the un-prebuilt shared cost
+      // (r16 advice: a standalone gate run on the JSON must see
+      // the failure, not a skewed marginal-cost bracket).
+      var failed = false
+      try f catch { case scala.util.control.NonFatal(e) =>
+        failed = true
+        System.err.println(s"[sf1-smoke] fixture $name FAILED: " +
+          e.getMessage)
+      }
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[sf1-smoke] fixture:$name%-20s $s%.2f s")
+      (s"fixture:$name", if (failed) -1.0 else s)
+    }
     val fixtures: Seq[(String, Double)] =
       if (whichFamily != "registry") Seq.empty
       else {
         import graft.sources.Tables
-        def fixture(name: String)(f: => Unit): (String, Double) = {
-          val t0 = System.nanoTime()
-          // A failed fixture records the -1 sentinel, matching the
-          // per-key failure convention scale_gate.py checks — its
-          // elapsed time is NOT a bracket value, and the dependent
-          // keys below silently absorb the un-prebuilt shared cost
-          // (r16 advice: a standalone gate run on the JSON must see
-          // the failure, not a skewed marginal-cost bracket).
-          var failed = false
-          try f catch { case scala.util.control.NonFatal(e) =>
-            failed = true
-            System.err.println(s"[sf1-smoke] fixture $name FAILED: " +
-              e.getMessage)
-          }
-          val s = (System.nanoTime() - t0) / 1e9
-          println(f"[sf1-smoke] fixture:$name%-20s $s%.2f s")
-          (s"fixture:$name", if (failed) -1.0 else s)
-        }
+        // pair_census is NOT prebuilt here (r16 verdict finding): its
+        // only consumers (q_dedup_curve / q_lsh_planner) are excluded
+        // from this sweep as quadratic-by-construction on the all-dup
+        // replica, so the 354 s census (the single largest line of the
+        // r16 bracket) priced work nothing in the sweep consumed.
+        // Bench still prebuilds it — there the consumers run.
         Seq(
           fixture("slot_chain") {
             graft.operators.Features.slotChain(Tables.ticks(spark, outDir),
@@ -440,10 +526,6 @@ object Sf1Smoke {
             graft.operators.Features.gdFit(Tables.ticks(spark, outDir),
               SparkEntry.tensorSlots, 2, 4, 0.0625, 0.6, 0.2, Some(outDir))
               .errs.count(); ()
-          },
-          fixture("pair_census") {
-            graft.operators.TextDedup.pairCensus(
-              Tables.documents(spark, outDir), outDir).count(); ()
           },
           fixture("ivf_cents") {
             SparkEntry.servedIvfCentroids(spark, outDir); ()
@@ -484,14 +566,102 @@ object Sf1Smoke {
           if (failed) -1.0 else s)
       }
     }
+    // STREAMING pass (r16 verdict #2): every q_stream_* key over the
+    // monotone per-replica-shifted tape — ONE cold point each, in the
+    // same bracket under the same ratchet. q_stream_media stays out
+    // (its media lake is a corpus-independent fixture: the key
+    // ignores the sfDir, so a replica point would re-time sf0.1).
+    val streamFamily0 = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("q_stream_"))
+      .filterNot(_ == "q_stream_media")
+    val streamFamily = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(f) => val keep = f.split(',').map(_.trim).toSet
+        streamFamily0.filter(keep)
+      case None => streamFamily0
+    }
+    val (streamFixtures, streamTimed) =
+      if (whichFamily != "registry" || streamFamily.isEmpty)
+        (Seq.empty[(String, Double)], Seq.empty[(String, Double)])
+      else {
+        buildStreamTables()
+        import graft.sources.Tables
+        // the G-family's shared builds, prebuilt against streamDir so
+        // the per-key rows are marginal cost (the Bench discipline):
+        // the session-memoized tick tape (29 drive consumers) and the
+        // batch-trained deployment artifacts four serving keys load.
+        val sf = Seq(
+          fixture("stream_tape") {
+            graft.streaming.StreamRegistry.warmTape(spark, streamDir); ()
+          },
+          fixture("slot_chain_stream") {
+            graft.operators.Features.slotChain(
+              Tables.ticks(spark, streamDir), SparkEntry.tensorSlots,
+              0.6, 0.2, Some(streamDir)).errs.count(); ()
+          },
+          fixture("gd_fit_stream") {
+            graft.operators.Features.gdFit(Tables.ticks(spark, streamDir),
+              SparkEntry.tensorSlots, 2, 4, 0.0625, 0.6, 0.2,
+              Some(streamDir)).errs.count(); ()
+          })
+        val st = streamFamily.map { q =>
+          val before = graft.CkptGc.snapshot(spark)
+          var failed = false
+          val s = time(s"$q cold") {
+            try SparkEntry.queries(q)(spark, streamDir)
+              .write.format("noop").mode("overwrite").save()
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                failed = true
+                System.err.println(s"[sf1-smoke] $q FAILED: " +
+                  e.getMessage)
+            }
+          }
+          graft.CkptGc.sweep(spark, before)
+          (q, if (failed) -1.0 else s)
+        }
+        (sf, st)
+      }
+    // fixture -> dependent-keys attribution (r16 verdict finding: the
+    // bracket didn't say which keys consume a fixture's cost, so a
+    // fixture regression couldn't be attributed from the JSON alone).
+    // Underscore prefix = metadata; scale_gate.py strips it.
+    val fixtureDeps: Seq[(String, Seq[String])] = Seq(
+      "fixture:slot_chain" -> Seq("q_pipeline_status", "q_stage_lineage",
+        "q_window_tensors", "q_anomaly_pipeline", "q_error_profile",
+        "q_nn_recon", "q_gd_autoencoder", "q_gd_valcurve",
+        "q_signal_backtest", "q_walkforward_model", "q_backtest_report",
+        "q_book_report", "q_latency_sensitivity", "q_signal_sweep",
+        "q_model_params", "q_staleness_report"),
+      "fixture:gd_fit" -> Seq("q_gd_autoencoder", "q_gd_valcurve"),
+      "fixture:ivf_cents" -> Seq("q_ann_ivf_served"),
+      "fixture:stream_tape" -> Seq("q_stream_anomaly", "q_stream_burst",
+        "q_stream_cusum", "q_stream_dormant", "q_stream_downsample",
+        "q_stream_drawdown", "q_stream_ewma", "q_stream_ffd",
+        "q_stream_garch", "q_stream_gd_scores", "q_stream_hmm",
+        "q_stream_interval_join", "q_stream_kalman", "q_stream_moments",
+        "q_stream_ohlc", "q_stream_pairz", "q_stream_positions",
+        "q_stream_response", "q_stream_retrain", "q_stream_seasonal",
+        "q_stream_sessions", "q_stream_spikes", "q_stream_tick_classes",
+        "q_stream_triple_barrier", "q_stream_twap", "q_stream_upsert",
+        "q_stream_vol_cone", "q_stream_welford",
+        "q_stream_window_counts"),
+      "fixture:slot_chain_stream" -> Seq("q_stream_anomaly",
+        "q_stream_positions", "q_stream_retrain", "q_stream_gd_scores"),
+      "fixture:gd_fit_stream" -> Seq("q_stream_gd_scores"))
     // JSON bracket for the scale-regression ratchet (registry mode):
     // scripts/scale_gate.py compares this file round over round and
     // fails any key > 3x its prior point.
     if (whichFamily == "registry") {
-      val j = (fixtures ++ timed)
+      val present = (fixtures ++ streamFixtures).map(_._1).toSet
+      val deps = fixtureDeps.filter(d => present(d._1))
+        .map { case (k, ks) =>
+          "\"" + k.stripPrefix("fixture:") + "\":" +
+            ks.map("\"" + _ + "\"").mkString("[", ",", "]") }
+        .mkString("\"_fixture_deps\":{", ",", "}")
+      val j = ((fixtures ++ timed ++ streamFixtures ++ streamTimed)
         .map { case (k, v) =>
           "\"" + k + "\":" + String.format(java.util.Locale.ROOT,
-            "%.3f", Double.box(v)) }
+            "%.3f", Double.box(v)) } :+ deps)
         .mkString("{", ",", "}")
       // A SPARK_GRAFT_ONLY-narrowed run must not overwrite the full
       // bracket (round_close.sh would rotate a partial baseline) —
@@ -502,7 +672,8 @@ object Sf1Smoke {
         else s"scale_sweep_${replicas}x.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(f),
         (j + "\n").getBytes("UTF-8"))
-      println(s"[sf1-smoke] bracket written: $f (${timed.size} keys)")
+      println(s"[sf1-smoke] bracket written: $f (${timed.size} batch + " +
+        s"${streamTimed.size} stream keys)")
     }
     if (whichFamily != "events" && whichFamily != "registry") {
       // Sanity: cluster structure should reflect the 10x replication —

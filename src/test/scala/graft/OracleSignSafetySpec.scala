@@ -124,6 +124,9 @@ object OracleSignSafetySpec {
     // ((x % P) * A) % P over non-negative ids — all audited class 1
     "q_boilerplate_rich" -> 8, "q_threshold_sweep_rich" -> 8,
     "q_source_similarity_rich" -> 10, "q_dedup_spectrum" -> 11,
+    // G7b shares F2e's chain verbatim (richdup affine hashes + the
+    // band fold over non-negative minhashes) — same 11, same audit
+    "q_stream_dup_spectrum" -> 11,
     "q_impact_exponent_rich" -> 4,
     "q_bloom_prefilter" -> 4, "q_canonical_docs" -> 3, "q_cdc_chunks" -> 1,
     "q_chunk_docs" -> 1, "q_classifier_score" -> 1, "q_clf_auc" -> 1,

@@ -89,6 +89,33 @@ class RichCorpusSpec extends SparkSpec {
     assert(byKeep(2L) < 5000, s"J=0.14 pairs must mostly escape: $byKeep")
   }
 
+  test("G7b: the streaming dup-spectrum dominates the batch S-curve " +
+      "per keep level (flagged ⊇ LSH-caught) and keeps both tails") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val batch = TextDedup
+      .plantedDupRecall(RichCorpus.dupDocs(docs), RichCorpus.dupPairs(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val stream = graft.streaming.StreamRegistry
+      .streamDupSpectrum(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(stream.keySet == batch.keySet,
+      s"keep levels differ: ${stream.keySet} vs ${batch.keySet}")
+    stream.foreach { case (keep, (nPlanted, nFlagged, _)) =>
+      val (bPlanted, bCaught) = batch(keep)
+      assert(nPlanted == bPlanted, s"keep=$keep planted counts differ")
+      // an LSH-caught pair's parent claimed the shared bucket before
+      // the child arrived, so the child is flagged: flagged ⊇ caught
+      assert(nFlagged >= bCaught,
+        s"keep=$keep: stream flagged $nFlagged < batch caught $bCaught")
+    }
+    val bp = stream.map { case (k, (_, _, fbp)) => k -> fbp }
+    assert(bp(7L) > 8000, s"J=0.78 children must be flagged: $bp")
+    assert(bp(2L) < 6000, s"J=0.14 children must mostly pass: $bp")
+  }
+
   test("planted sqrt impact law: the fitted exponent recovers ~0.5") {
     // synthetic events base: 4 symbols x 250 fills, k cycling 1..99
     val base = java.sql.Timestamp.valueOf("2024-01-02 08:00:00")
