@@ -551,7 +551,7 @@ object Sf1Smoke {
         // numbers are hand-recorded in SURVEY §7 with no machine
         // gate, so a swallowed failure there would poison the record.
         var failed = false
-        val s = time(s"$q $phase") {
+        def onePass(label: String): Double = time(s"$q $label") {
           try SparkEntry.queries(q)(spark, outDir)
             .write.format("noop").mode("overwrite").save()
           catch {
@@ -561,9 +561,19 @@ object Sf1Smoke {
               System.err.println(s"[sf1-smoke] $q FAILED: ${e.getMessage}")
           }
         }
+        val s = onePass(phase)
+        // Registry mode: a SECOND pass, bracket value = min (r17: the
+        // ratchet's one false positive — q_ewma 1.55 -> 10.03 "6.5x"
+        // — was machine contention, adjudicated by standalone reruns
+        // at 2.10 s; min-of-two is Bench's plan_cost discipline and
+        // kills the class at the source. The baseline it rotates over
+        // holds single-run values, so the first min-of-two round can
+        // only read FASTER — the ratchet fails on slowdowns only.)
+        val s2 = if (whichFamily == "registry" && !failed)
+          math.min(s, onePass("run2")) else s
         graft.CkptGc.sweep(spark, before)
         (s"$q${if (phase == "warm") ":warm" else ""}",
-          if (failed) -1.0 else s)
+          if (failed) -1.0 else s2)
       }
     }
     // STREAMING pass (r16 verdict #2): every q_stream_* key over the
@@ -606,7 +616,7 @@ object Sf1Smoke {
         val st = streamFamily.map { q =>
           val before = graft.CkptGc.snapshot(spark)
           var failed = false
-          val s = time(s"$q cold") {
+          def onePass(label: String): Double = time(s"$q $label") {
             try SparkEntry.queries(q)(spark, streamDir)
               .write.format("noop").mode("overwrite").save()
             catch {
@@ -616,8 +626,11 @@ object Sf1Smoke {
                   e.getMessage)
             }
           }
+          val s = onePass("cold")
+          // same min-of-two contention bracket as the batch pass
+          val s2 = if (!failed) math.min(s, onePass("run2")) else s
           graft.CkptGc.sweep(spark, before)
-          (q, if (failed) -1.0 else s)
+          (q, if (failed) -1.0 else s2)
         }
         (sf, st)
       }
