@@ -114,6 +114,10 @@ object Bench {
       // registry drives hit)
       fixture("stream_tape") {
         graft.streaming.StreamRegistry.warmTape(spark, sfDir); ()
+      },
+      // the session-memoized orders tape (G30 + G36 drive it)
+      fixture("order_tape") {
+        graft.streaming.StreamRegistry.warmOrderTape(spark, sfDir); ()
       })
 
     // Double-run protocol (round-8): the whole suite executes TWICE

@@ -394,6 +394,26 @@ object StreamRegistry {
       .orderBy("source", "n_zero_registers", "sum_scaled")
   }
 
+  /** The orders tape in global (day, orderkey) arrival order —
+    * SESSION-MEMOIZED like [[tickTape]] (r17: G30 and G36 each paid
+    * their own parquet scan + global sort + driver collect; at 100×
+    * that is two redundant 15 M-row collects). Read-only after
+    * construction; both consumers only iterate. */
+  private def orderTape(s: SparkSession, d: String)
+      : Seq[Streaming.OrderArrival] =
+    graft.SessionFrameCache.getOrBuild(s, s"stream_order_tape:$d") {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("day_i"))
+        .orderBy("day_i", "o_orderkey").collect()
+        .map(r => Streaming.OrderArrival(r.getLong(0), r.getLong(1),
+          r.getInt(2))).toSeq
+    }
+
+  /** Pre-build the session orders tape (Bench/Sf1Smoke fixture). */
+  def warmOrderTape(s: SparkSession, d: String): Int =
+    orderTape(s, d).size
+
   /** G30 twin key: trailing-window order velocity served at arrival —
     * the fraud-screen count over the customer's strictly-earlier days
     * inside the window, fed in global (day, orderkey) order. */
@@ -402,13 +422,7 @@ object StreamRegistry {
     import Streaming.OrderArrival
     implicit val oaEnc: Encoder[OrderArrival] =
       Encoders.product[OrderArrival]
-    val tape = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).as("day_i"))
-      .orderBy("day_i", "o_orderkey").collect()
-      .map(r => OrderArrival(r.getLong(0), r.getLong(1),
-        r.getInt(2))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, orderTape(s, d), OutputMode.Append)(
       t => Streaming.orderVelocityPoints(t, windowDays).toDF())
       .orderBy("o_orderkey")
   }
@@ -546,13 +560,7 @@ object StreamRegistry {
     import Streaming.OrderArrival
     implicit val oaEnc: Encoder[OrderArrival] =
       Encoders.product[OrderArrival]
-    val tape = Tables.orders(s, d)
-      .select(col("o_orderkey"), col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1970-01-01")).as("day_i"))
-      .orderBy("day_i", "o_orderkey").collect()
-      .map(r => OrderArrival(r.getLong(0), r.getLong(1),
-        r.getInt(2))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, orderTape(s, d), OutputMode.Append)(
       t => Streaming.coveragePoints(t, windowDays).toDF())
       .orderBy("o_orderkey")
   }

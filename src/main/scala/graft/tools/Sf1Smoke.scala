@@ -603,6 +603,10 @@ object Sf1Smoke {
           fixture("stream_tape") {
             graft.streaming.StreamRegistry.warmTape(spark, streamDir); ()
           },
+          fixture("order_tape") {
+            graft.streaming.StreamRegistry.warmOrderTape(spark, streamDir)
+            ()
+          },
           fixture("slot_chain_stream") {
             graft.operators.Features.slotChain(
               Tables.ticks(spark, streamDir), SparkEntry.tensorSlots,
@@ -658,6 +662,8 @@ object Sf1Smoke {
         "q_stream_triple_barrier", "q_stream_twap", "q_stream_upsert",
         "q_stream_vol_cone", "q_stream_welford",
         "q_stream_window_counts"),
+      "fixture:order_tape" -> Seq("q_stream_order_velocity",
+        "q_stream_coverage"),
       "fixture:slot_chain_stream" -> Seq("q_stream_anomaly",
         "q_stream_positions", "q_stream_retrain", "q_stream_gd_scores"),
       "fixture:gd_fit_stream" -> Seq("q_stream_gd_scores"))
