@@ -45,6 +45,22 @@ object StreamRegistry {
 
   private val sinkCtr = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Env-gated micro-batch profiler (GRAFT_STREAM_PROF=1): prints the
+    * wall time of each drive phase (query start, every
+    * addData+processAllAvailable round, sink collect) to stderr so the
+    * fixed micro-batch machinery cost can be decomposed per key
+    * without touching the drive protocol. Zero overhead when unset. */
+  private val profEnabled = sys.env.contains("GRAFT_STREAM_PROF")
+  private def prof[R](label: String)(body: => R): R =
+    if (!profEnabled) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[streamprof] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Drive `plan` over `tape` as a streaming query: `chunks`
     * micro-batches in tape order, memory sink in `mode`, stopped
     * after the final processAllAvailable. Returns the sink detached. */
@@ -96,20 +112,24 @@ object StreamRegistry {
       implicit val sqlCtx = s.sqlContext
       val in = MemoryStream[T]
       val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
-      val q = plan(in.toDS()).writeStream.format("memory")
-        .queryName(name).outputMode(mode).start()
+      val q = prof("start")(plan(in.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode(mode).start())
       val out =
         try {
-          batches.filter(_.nonEmpty).foreach { chunk =>
-            in.addData(chunk: _*); q.processAllAvailable()
+          batches.filter(_.nonEmpty).zipWithIndex.foreach { case (chunk, i) =>
+            prof(s"batch$i(${chunk.size})") {
+              in.addData(chunk: _*); q.processAllAvailable()
+            }
           }
-          val sink = s.table(name)
-          val schema = sink.schema
-          val rows = sink.collect().toIndexedSeq
-          s.createDataFrame(
-            s.sparkContext.parallelize(rows, math.max(1, math.min(32,
-              rows.length / 4096 + 1))), schema)
-        } finally q.stop()
+          prof("detach") {
+            val sink = s.table(name)
+            val schema = sink.schema
+            val rows = sink.collect().toIndexedSeq
+            s.createDataFrame(
+              s.sparkContext.parallelize(rows, math.max(1, math.min(32,
+                rows.length / 4096 + 1))), schema)
+          }
+        } finally prof("stop")(q.stop())
       s.catalog.dropTempView(name)
       out
     }
@@ -131,8 +151,9 @@ object StreamRegistry {
       val inA = MemoryStream[T]
       val inB = MemoryStream[T]
       val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
-      val q = plan(inA.toDS(), inB.toDS()).writeStream.format("memory")
-        .queryName(name).outputMode(mode).start()
+      val q = prof("start")(plan(inA.toDS(), inB.toDS())
+        .writeStream.format("memory")
+        .queryName(name).outputMode(mode).start())
       val out =
         try {
           val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
@@ -140,17 +161,21 @@ object StreamRegistry {
           val ga = tapeA.grouped(perA).toSeq
           val gb = tapeB.grouped(perB).toSeq
           (0 until math.max(ga.size, gb.size)).foreach { i =>
-            if (i < gb.size) inB.addData(gb(i): _*)
-            if (i < ga.size) inA.addData(ga(i): _*)
-            q.processAllAvailable()
+            prof(s"batch$i") {
+              if (i < gb.size) inB.addData(gb(i): _*)
+              if (i < ga.size) inA.addData(ga(i): _*)
+              q.processAllAvailable()
+            }
           }
-          val sink = s.table(name)
-          val schema = sink.schema
-          val rows = sink.collect().toIndexedSeq
-          s.createDataFrame(
-            s.sparkContext.parallelize(rows, math.max(1, math.min(32,
-              rows.length / 4096 + 1))), schema)
-        } finally q.stop()
+          prof("detach") {
+            val sink = s.table(name)
+            val schema = sink.schema
+            val rows = sink.collect().toIndexedSeq
+            s.createDataFrame(
+              s.sparkContext.parallelize(rows, math.max(1, math.min(32,
+                rows.length / 4096 + 1))), schema)
+          }
+        } finally prof("stop")(q.stop())
       s.catalog.dropTempView(name)
       out
     }
