@@ -26,6 +26,24 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", (160L * 1024 * 1024).toString)
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries). The engine's registry runs hundreds of distinct
+      // queries per session that share generated fragments (the
+      // common scan projections, exchanges, window shapes); at the
+      // default size the cache thrashes and shared fragments —
+      // and every repeat execution — pay janino recompilation.
+      // Generated classes are small; 4096 entries is a few hundred
+      // MB of metaspace at worst and is workload-independent (a
+      // cluster driver compiles per-executor anyway: this cache is
+      // per-JVM and the same reasoning applies at any scale).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // file: scheme without per-file process forks (see
+      // graft.hadoop.FastLocalFileSystem — absent the native Hadoop
+      // library, every local file create forks `chmod`). Behavior
+      // identical; cluster schemes (hdfs:, s3a:) untouched.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.hadoop.FastLocalFileSystem].getName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -92,6 +92,32 @@ object StreamRegistry {
     * cardinality and rate, not a global constant). */
   private val StreamStatePartitions = "8"
 
+  /** Checkpoint root for the tape drives. A MemoryStream-fed query's
+    * checkpoint is NON-RECOVERABLE by construction (the in-memory
+    * source cannot replay offsets after a restart — Spark documents
+    * the memory source as test-only), so durability buys nothing
+    * here, while every micro-batch pays offset-WAL + commit-WAL +
+    * per-partition state-delta fsyncs against it (measured ~80 ms of
+    * walCommit+commitOffsets per batch on the root disk, ×~5 batches
+    * ×49 keys). Place the transient checkpoint on tmpfs when the host
+    * has one; a production deployment with a REPLAYABLE source (Kafka)
+    * keeps its checkpoint on durable storage exactly as before —
+    * override via SPARK_GRAFT_STREAM_CKPT. Each drive gets a fresh
+    * subdir, deleted in its finally (tmpfs is RAM — never leak). */
+  private val ckptRoot: String =
+    sys.env.get("SPARK_GRAFT_STREAM_CKPT").orElse {
+      Some("/dev/shm").filter(p => new java.io.File(p).canWrite)
+    }.getOrElse(System.getProperty("java.io.tmpdir"))
+
+  private def freshCkptDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(ckptRoot), "graft_stream_ckpt").toFile
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+    f.delete(); ()
+  }
+
   /** Run `body` with `spark.sql.shuffle.partitions` scoped to the
     * tape-drive value, restoring the session default after. The
     * drives run sequentially within a session (Verify/Bench both
@@ -99,9 +125,43 @@ object StreamRegistry {
     * into a concurrent batch plan. */
   private def withStreamConf[R](s: SparkSession)(body: => R): R = {
     val key = "spark.sql.shuffle.partitions"
+    // No-data polling sleep between micro-batches (default 10 ms):
+    // processAllAvailable crosses it once per drained batch; at ~6
+    // batches per drive that is pure latency. 1 ms keeps the poll
+    // loop (the engine's own floor) without the idle tax.
+    val pollKey = "spark.sql.streaming.pollingDelay"
     val prev = s.conf.get(key)
+    val prevPoll = s.conf.getOption(pollKey)
     s.conf.set(key, StreamStatePartitions)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(pollKey, "1")
+    try withNioCkpt(s)(body) finally {
+      s.conf.set(key, prev)
+      prevPoll match {
+        case Some(v) => s.conf.set(pollKey, v)
+        case None => s.conf.unset(pollKey)
+      }
+    }
+  }
+
+  /** Scope the NIO checkpoint file manager to a tape drive. The drives
+    * checkpoint to a local (tmpfs) path, where Hadoop's local
+    * filesystem — absent the native library — forks a `chmod` process
+    * per file create and a `readlink` per rename: ~30 forks per
+    * micro-batch across the offset WAL, commit WAL and 8 state deltas,
+    * measured as the bulk of walCommit/commitOffsets. The NIO manager
+    * (see its scaladoc) does the identical create-temp+atomic-rename
+    * protocol in-process. Scoped per drive so a caller checkpointing
+    * to durable storage keeps the default manager. */
+  private def withNioCkpt[R](s: SparkSession)(body: => R): R = {
+    val key = "spark.sql.streaming.checkpointFileManagerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, classOf[org.apache.spark.sql.execution.streaming
+      .checkpointing.NioCheckpointFileManager].getName)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   private def runBatches[T](s: SparkSession, batches: Seq[Seq[T]],
@@ -112,13 +172,19 @@ object StreamRegistry {
       implicit val sqlCtx = s.sqlContext
       val in = MemoryStream[T]
       val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+      val ckpt = freshCkptDir()
       val q = prof("start")(plan(in.toDS()).writeStream.format("memory")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .queryName(name).outputMode(mode).start())
       val out =
         try {
           batches.filter(_.nonEmpty).zipWithIndex.foreach { case (chunk, i) =>
             prof(s"batch$i(${chunk.size})") {
               in.addData(chunk: _*); q.processAllAvailable()
+            }
+            if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
+              System.err.println(s"[streamprof]   b=${p.batchId} " +
+                s"durationMs=${p.durationMs}")
             }
           }
           prof("detach") {
@@ -129,7 +195,7 @@ object StreamRegistry {
               s.sparkContext.parallelize(rows, math.max(1, math.min(32,
                 rows.length / 4096 + 1))), schema)
           }
-        } finally prof("stop")(q.stop())
+        } finally { prof("stop")(q.stop()); rmTree(ckpt) }
       s.catalog.dropTempView(name)
       out
     }
@@ -151,8 +217,10 @@ object StreamRegistry {
       val inA = MemoryStream[T]
       val inB = MemoryStream[T]
       val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+      val ckpt = freshCkptDir()
       val q = prof("start")(plan(inA.toDS(), inB.toDS())
         .writeStream.format("memory")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .queryName(name).outputMode(mode).start())
       val out =
         try {
@@ -175,7 +243,7 @@ object StreamRegistry {
               s.sparkContext.parallelize(rows, math.max(1, math.min(32,
                 rows.length / 4096 + 1))), schema)
           }
-        } finally prof("stop")(q.stop())
+        } finally { prof("stop")(q.stop()); rmTree(ckpt) }
       s.catalog.dropTempView(name)
       out
     }
@@ -759,12 +827,16 @@ object StreamRegistry {
     try {
       s.createDataFrame(chunks.head).write.saveAsTable(table)
       val in = MemoryStream[Tick]
-      val q = Streaming.idempotentTickSink(in.toDS(), table).start()
+      val ckpt = freshCkptDir()
+      val q = withNioCkpt(s) {
+        Streaming.idempotentTickSink(in.toDS(), table)
+          .option("checkpointLocation", ckpt.getAbsolutePath).start()
+      }
       try {
         chunks.drop(1).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
         }
-      } finally q.stop()
+      } finally { q.stop(); rmTree(ckpt) }
       if (chunks.size > 1)
         Streaming.upsertBatch(table, Seq("tick_id"))(
           s.createDataFrame(chunks.last), chunks.size - 1L)
