@@ -966,14 +966,26 @@ object CorpusPipeline {
                            holdoutMod: Int = 50): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), s"need gram widths >= 2: $ns")
     WordGrams.register(docs.sparkSession)
+    // the gram explode feeds BOTH the train-distinct and the test
+    // side — checkpoint it so the tokenize+wordgrams scan runs
+    // once per width, not twice (the bm25 tf-barrier discipline;
+    // the runner's CkptGc sweep reclaims it per query). The per-width
+    // checkpoints are independent single-scan jobs: materialize them
+    // CONCURRENTLY from a scoped thread pool (each eager checkpoint
+    // was a serial ~150-200 ms job — 4 widths paid the chain
+    // back-to-back; content is per-width identical either way).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(ns.size)
+    val gramsByN =
+      try ns.map { n =>
+        n -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame =
+            docs.select(col("doc_id"), explode(gramsCol(n)).as("gram"))
+              .localCheckpoint(true)
+        })
+      }.map { case (n, f) => n -> f.get() }.toMap
+      finally pool.shutdown()
     val perN = ns.map { n =>
-      // the gram explode feeds BOTH the train-distinct and the test
-      // side — checkpoint it so the tokenize+wordgrams scan runs
-      // once per width, not twice (the bm25 tf-barrier discipline;
-      // the runner's CkptGc sweep reclaims it per query)
-      val grams = docs.select(col("doc_id"),
-        explode(gramsCol(n)).as("gram"))
-        .localCheckpoint(true)
+      val grams = gramsByN(n)
       val trainGrams = grams
         .filter(pmod(col("doc_id"), lit(holdoutMod)) =!= 0)
         .select("gram").distinct().withColumn("hit", lit(1))

@@ -910,13 +910,26 @@ object Vectors {
     require(scale > 0 && (scale & (scale - 1)) == 0,
       s"pqTrainCodebook: scale must be a power of two for the exact " +
         s"grid unmap, got $scale")
-    (0 until nSub).map { s =>
-      val sub = base.select(col("vec_id"),
-        expr(s"slice(qv, ${s * subDim + 1}, $subDim)").as("qv"),
-        expr(s"slice(qf, ${s * subDim + 1}, $subDim)").as("qf"))
-      lloydIterate(sub, kCode, iters, subDim)
-        .map(_.map(_ / scale)).toIndexedSeq
-    }
+    // The nSub Lloyd loops are INDEPENDENT (disjoint subvector
+    // slices of the same checkpointed grid frame) and each round is
+    // a small aggregate + kCode·subDim collect — run them from a
+    // scoped thread pool so the per-round driver round-trips overlap
+    // instead of chaining nSub·iters deep (guide-§2.6 concurrent
+    // jobs; each loop's arithmetic and result are untouched).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nSub)
+    try (0 until nSub).map { s =>
+      pool.submit(new java.util.concurrent.Callable[
+          IndexedSeq[Seq[Float]]] {
+        override def call(): IndexedSeq[Seq[Float]] = {
+          val sub = base.select(col("vec_id"),
+            expr(s"slice(qv, ${s * subDim + 1}, $subDim)").as("qv"),
+            expr(s"slice(qf, ${s * subDim + 1}, $subDim)").as("qf"))
+          lloydIterate(sub, kCode, iters, subDim)
+            .map(_.map(_ / scale)).toIndexedSeq
+        }
+      })
+    }.map(_.get())
+    finally pool.shutdown()
   }
 
   /** F39b — FULLY TRAINED IVF-PQ SEARCH: [[ivfPqSearch]] with BOTH

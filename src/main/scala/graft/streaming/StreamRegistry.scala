@@ -248,6 +248,22 @@ object StreamRegistry {
       out
     }
 
+  /** Collapse a small batch-trained frame to a LocalRelation with the
+    * identical rows and schema. A stream-static (broadcast) join
+    * re-executes the static side's plan on EVERY micro-batch — for a
+    * trained artifact derived from a full corpus scan (the G15 p90
+    * thresholds, the G25 seasonal baseline) that is one redundant
+    * batch training job per micro-batch. The artifact is bounded
+    * (|symbols| / minutes-of-day rows) so a driver-side materialize
+    * is the same move the Map-collecting drives (G39/G40) already
+    * make; the per-batch broadcast rebuild then costs a LocalRelation
+    * copy instead of a scan+aggregate. */
+  private def localized(df: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    df.sparkSession.createDataFrame(
+      df.collect().toSeq.asJava, df.schema)
+  }
+
   /** Pre-build the session tape (Bench's untimed fixture hook). */
   def warmTape(s: SparkSession, d: String): Int = tickTape(s, d).size
 
@@ -555,11 +571,11 @@ object StreamRegistry {
     * the stream applies them to per-minute windowed counts via a
     * broadcast stream-static join (Complete over the bounded tape). */
   def streamBurst(s: SparkSession, d: String, pct: Double): DataFrame = {
-    val trained = Tables.ticks(s, d)
+    val trained = localized(Tables.ticks(s, d)
       .groupBy(col("symbol"), window(col("ts"), "1 minute"))
       .agg(count(lit(1)).as("n"))
       .groupBy("symbol")
-      .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr"))
+      .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr")))
     runTape(s, tickTape(s, d), OutputMode.Complete)(
       t => Streaming.burstFlags(t.toDF(), trained,
         windowDur = "1 minute"))
@@ -572,8 +588,8 @@ object StreamRegistry {
     * against the broadcast table. */
   def streamSeasonal(s: SparkSession, d: String, threshold: Double)
       : DataFrame = {
-    val baseline = graft.operators.Microstructure
-      .seasonalBaseline(Tables.ticks(s, d))
+    val baseline = localized(graft.operators.Microstructure
+      .seasonalBaseline(Tables.ticks(s, d)))
     runTape(s, tickTape(s, d), OutputMode.Append)(
       t => Streaming.seasonalFlags(t, baseline, threshold))
       .orderBy("symbol", "tick_id")

@@ -72,10 +72,13 @@ object QTime {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // GRAFT_QTIME_ITERS=n: n warm repeats, min reported — drowns the
+    // ±15% session noise when reading sub-second deltas.
+    val iters = sys.env.get("GRAFT_QTIME_ITERS").map(_.toInt).getOrElse(1)
     for (q <- args) {
       val cold = once(q)
       stages.clear()
-      val warm = once(q)
+      val warm = (1 to iters).map(_ => once(q)).min
       println(f"[qtime] $q%-24s cold=$cold%7.2f s  warm=$warm%7.2f s")
       if (diag) {
         Thread.sleep(200)

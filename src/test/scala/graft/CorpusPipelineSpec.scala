@@ -520,6 +520,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(fracs(2L) == 0.5, s"5 of 10 bigrams shared: ${fracs(2L)}")
   }
 
+  test("decontaminationSweep is deterministic under the concurrent " +
+      "per-width gram materialization (r17 optimization: the eager " +
+      "checkpoints run from a thread pool)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def run() = CorpusPipeline.decontaminationSweep(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(run() == run(),
+      "concurrent gram checkpoints must not change the sweep")
+  }
+
   // ---------- F104 mixtureTemperatureCurve ----------
 
   test("mixtureTemperatureCurve: T=1 is natural token share, lower T " +

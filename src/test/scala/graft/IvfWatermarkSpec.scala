@@ -217,6 +217,15 @@ class IvfWatermarkSpec extends SparkSpec {
       s"trained IVF-PQ must not lose to the convention: $trained < $conv")
   }
 
+  test("ivfPqTrained is deterministic under the concurrent per-subspace " +
+      "codebook training (r17 optimization: the nSub Lloyd loops run " +
+      "from a thread pool — results must be invocation-invariant)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Vectors.ivfPqTrained(emb, 10, 5).collect().map(_.toSeq).toSeq
+    val b = Vectors.ivfPqTrained(emb, 10, 5).collect().map(_.toSeq).toSeq
+    assert(a == b, "concurrent codebook training must be deterministic")
+  }
+
   test("streaming downsampler drops late data past the watermark (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = Timestamp.valueOf(s)
