@@ -293,6 +293,18 @@ object Bench {
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     catch { case scala.util.control.NonFatal(_) => () }
+    // GC accounting (stderr only — the stdout metric line is frozen):
+    // per-key isolated timings run well under the same key's in-suite
+    // number; this says how much of the gap is collector time.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val gcs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      val (n, ms) = (gcs.map(_.getCollectionCount).sum,
+        gcs.map(_.getCollectionTime).sum)
+      System.err.println(s"[bench] GC total: $n collections, ${ms} ms " +
+        s"(heap max ${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB)")
+    }
     spark.stop()
   }
 }

@@ -1887,12 +1887,28 @@ object SparkEntry {
       // consumer and evaluates it twice (measured ~2x at the sf1
       // smoke). At real scale the curated text is the materialized
       // product anyway; pinning it once is the honest plan.
-      val scrubbed = Curation.piiScrub(cleaned)
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .localCheckpoint(true)
+      // The scrub barrier and the near-dup admission are INDEPENDENT
+      // subtrees (scrubbed derives from cleaned, dup from raw) whose
+      // eager checkpoints otherwise chain serially — build them
+      // concurrently (the decontaminationSweep pool pattern; content
+      // identical either way).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (scrubbed, dup) =
+        try {
+          val scrubbedF = pool.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              override def call(): DataFrame = Curation.piiScrub(cleaned)
+                .select(col("doc_id"), col("clean_text").as("text"))
+                .localCheckpoint(true)
+            })
+          val dupF = pool.submit(
+            new java.util.concurrent.Callable[DataFrame] {
+              override def call(): DataFrame = TextDedup.greedyNearDup(raw)
+            })
+          (scrubbedF.get(), dupF.get())
+        } finally pool.shutdown()
       val qf = CorpusPipeline.qualityFilter(scrubbed, 5, 0.65, 0.0)
         .select("doc_id", "n_tokens", "keep")
-      val dup = TextDedup.greedyNearDup(raw)
       val split = CorpusPipeline.hashSplit(raw).select("doc_id", "split")
       raw.select("doc_id", "source")
         .join(scrubbed.withColumnRenamed("text", "clean_text"), "doc_id")

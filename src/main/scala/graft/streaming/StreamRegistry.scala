@@ -187,6 +187,7 @@ object StreamRegistry {
                 s"durationMs=${p.durationMs}")
             }
           }
+          if (profEnabled) q.explain() // the executed micro-batch plan
           prof("detach") {
             val sink = s.table(name)
             val schema = sink.schema
@@ -907,6 +908,21 @@ object StreamRegistry {
     * errors. Rides the session-shared D66 slot chain. */
   private def centroidArtifacts(s: SparkSession, d: String, k: Int,
                                 pct: Double)
+      : (Map[Long, (Double, Double)], Map[Long, Seq[Long]],
+         Map[Long, Double]) =
+    // SESSION-MEMOIZED like [[tickTape]]: G40 (anomaly) and G41
+    // (positions) deploy the IDENTICAL batch-trained artifact set
+    // (same k, same pct) — each previously re-ran the scaler /
+    // centroid / threshold collect jobs on top of the cached slot
+    // chain. One build per (session, sfDir, k, pct); G42's p90 band
+    // builds its own entry. Read-only maps after construction.
+    graft.SessionFrameCache.getOrBuild(s,
+      s"centroid_artifacts:$d:$k:$pct") {
+      centroidArtifactsBuild(s, d, k, pct)
+    }
+
+  private def centroidArtifactsBuild(s: SparkSession, d: String, k: Int,
+                                     pct: Double)
       : (Map[Long, (Double, Double)], Map[Long, Seq[Long]],
          Map[Long, Double]) = {
     val chain = Features.slotChain(Tables.ticks(s, d), k, 0.6, 0.2,
