@@ -58,6 +58,99 @@ object Bench {
         rm(fmtDir.toFile)
       }
     }
+    // JIT/codegen battery (r18, guide §1: per-query numbers must
+    // measure the query, not JVM warm-up): a fresh JVM C2-compiles the
+    // whole Catalyst/codegen/exchange/window stack while the FIRST
+    // queries of run 1 execute — measured on the r17 driver run as the
+    // alphabetically-early keys at 4-8x their warm floor (q_amihud
+    // 5.36 s cold vs 1.32 warm; q_ann_ivf 6.60 vs 0.52) and reproduced
+    // locally: the first key of a fresh session pays ~7 s that the
+    // same key at position 40 does not. The battery exercises the
+    // recurring physical shapes of the registry (window functions,
+    // sort-merge + broadcast joins, hash + object-hash aggregates,
+    // higher-order array funcs, string/date/json expressions, a global
+    // sort) over SYNTHETIC spark.range data — no testdata input, no
+    // query's work precomputed — repeated so hot paths cross the C2
+    // thresholds. Cost: ~15-25 s once, before the clock.
+    locally {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        val base = spark.range(200000L).select(
+          col("id"),
+          (col("id") % 97).as("k"),
+          (col("id") % 1013).cast("double").as("v"),
+          concat(lit("s"), (col("id") % 31).cast("string")).as("s"),
+          timestamp_micros(col("id") * 1000000L + 1500000000000000L)
+            .as("ts"))
+        val dim = spark.range(97L).select(col("id").as("k"),
+          (col("id") * 3).as("w"))
+        for (_ <- 1 to 3) {
+          // window battery: lag/row_number/running sum over one exchange
+          base.select(col("k"), col("id"), col("v"),
+              lag(col("v"), 1).over(org.apache.spark.sql.expressions
+                .Window.partitionBy("k").orderBy("id")).as("pv"),
+              row_number().over(org.apache.spark.sql.expressions
+                .Window.partitionBy("k").orderBy(col("v").desc, col("id")))
+                .as("rn"),
+              sum(col("v")).over(org.apache.spark.sql.expressions
+                .Window.partitionBy("k").orderBy("id")
+                .rowsBetween(Long.MinValue, 0)).as("cs"))
+            .write.format("noop").mode("overwrite").save()
+          // aggregate battery: hash agg + object-hash (percentile,
+          // collect_list/sort_array/HOF fold) + date/string/json exprs
+          base.withColumn("d", to_date(col("ts")))
+            .withColumn("j", concat(lit("""{"k":"""),
+              (col("id") % 7).cast("string"), lit("}")))
+            .groupBy("k", "d")
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+              min(col("id")).as("mn"), max(col("id")).as("mx"),
+              expr("percentile(v, 0.5)").as("p50"),
+              expr("aggregate(transform(sort_array(collect_list(" +
+                "struct(id, v))), x -> x.v), 0.0D, (a, b) -> a + b)")
+                .as("fold"),
+              sum(coalesce(get_json_object(col("j"), "$.k")
+                .cast("long"), lit(0L))).as("jk"))
+            .write.format("noop").mode("overwrite").save()
+          // join battery: broadcast + sort-merge over the same keys,
+          // then a global sort
+          base.join(broadcast(dim), Seq("k"))
+            .join(base.select(col("id"), col("v").as("v2")), Seq("id"))
+            .orderBy(col("v").desc, col("id"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        // streaming machinery: one tiny synthetic drive initializes
+        // StreamExecution / micro-batch planner / state-store stack so
+        // the first q_stream_* key measures its drive, not first-use
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = spark.sqlContext
+        implicit val longEnc = org.apache.spark.sql.Encoders.scalaLong
+        val ms = MemoryStream[Long]
+        val ck = java.nio.file.Files
+          .createTempDirectory("graft_bench_warm_ckpt")
+        val q = ms.toDS().groupBy((col("value") % 7).as("g")).count()
+          .writeStream.format("noop")
+          .option("checkpointLocation", ck.toString)
+          .outputMode("update").start()
+        try {
+          ms.addData(1L to 2000L: _*); q.processAllAvailable()
+          ms.addData(2001L to 4000L: _*); q.processAllAvailable()
+        } finally {
+          q.stop()
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory)
+              Option(f.listFiles()).toSeq.flatten.foreach(rm)
+            f.delete(); ()
+          }
+          rm(ck.toFile)
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] JIT warm-up battery FAILED " +
+          s"(run-1 heads will include JVM warm-up): $e")
+      }
+      System.err.println(f"[bench] warm-up battery: ${
+        (System.nanoTime() - t0) / 1e9}%.1f s (untimed)")
+    }
     // Harmless under the round-9 µs testdata (applies only to NANOS
     // files); kept so pre-regeneration ns parquet still warms.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1165,17 +1165,17 @@ object SparkEntry {
     // path is D65's blocked screen. Per-pair values bit-identical.
     "q_cointegration" -> ((s, d) =>
       Microstructure.cointegrationScreenSampled(Tables.ticks(s, d),
-        cointSampleMod)),
+        cointSampleMod, Some(d))),
     // D65 — blocked screen: LSH-banded candidate prune, exact fit on
     // survivors only (the 100x-scale path for the quadratic D60).
     "q_cointegration_blocked" -> ((s, d) =>
       Microstructure.cointegrationScreenBlocked(Tables.ticks(s, d),
-        cointBands, cointBandBits)),
+        cointBands, cointBandBits, Some(d))),
     // D62 — pairs-trade backtest on the symPairs roster: z-scored
     // hedge spread, window state machine, P&L per pair.
     "q_pairs_backtest" -> ((s, d) =>
       Microstructure.pairsBacktest(Tables.ticks(s, d), symPairs,
-        pairsEnterZ, pairsExitZ)),
+        pairsEnterZ, pairsExitZ, Some(d))),
     // D63 — HAR-RV two-horizon regression (2x2 normal equations).
     "q_har_rv" -> ((s, d) =>
       Microstructure.harRv(Tables.ticks(s, d), harWeek)),

@@ -1960,7 +1960,8 @@ object Microstructure {
     * consequences of double compares (identical IEEE both engines);
     * total P&L is an aggregate double → round(4) (float sweep). */
   def pairsBacktest(ticks: DataFrame, pairs: Seq[(Long, Long)],
-                    enterZ: Double = 2.0, exitZ: Double = 0.5)
+                    enterZ: Double = 2.0, exitZ: Double = 0.5,
+                    cacheKey: Option[String] = None)
       : DataFrame = {
     require(pairs.nonEmpty, "pair roster must not be empty")
     require(enterZ > exitZ && exitZ >= 0,
@@ -1968,10 +1969,7 @@ object Microstructure {
     val spark = ticks.sparkSession
     import spark.implicits._
     val roster = pairs.toDF("sym_a", "sym_b")
-    val closes = ticks
-      .withColumn("cents", centsOf(col("bid")))
-      .groupBy(col("symbol"), to_date(col("ts")).as("day"))
-      .agg(max_by(col("cents"), col("tick_id")).as("cents"))
+    val closes = dailyCloses(ticks, cacheKey)
     // Roster joins FIRST — each leg filters to the roster's symbols
     // BEFORE the day join, so the grid is |roster| × |days| by
     // construction (joining the full closes×closes day grid first
@@ -2048,20 +2046,49 @@ object Microstructure {
     * F2 minhash dedup family uses. The modular sample keeps 1/mod² of
     * the grid, is engine-portable integer arithmetic, and is unbiased
     * for screen-level diagnostics (symbol ids carry no economics). */
-  def cointegrationScreenSampled(ticks: DataFrame,
-                                 sampleMod: Int): DataFrame = {
+  def cointegrationScreenSampled(ticks: DataFrame, sampleMod: Int,
+                                 cacheKey: Option[String] = None)
+      : DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be >= 1: $sampleMod")
-    cointFit(pairGrid(dailyCloses(ticks)
+    cointFit(pairGrid(dailyCloses(ticks, cacheKey)
       .filter(pmod(col("symbol"), lit(sampleMod)) === 0)))
   }
 
   /** The D60 (symbol, day, exact-cents close) collapse — shared by the
-    * exact screen, the blocked screen, and the pairs backtest feed. */
-  private def dailyCloses(ticks: DataFrame): DataFrame =
-    ticks
+    * exact screen, the blocked screen, and the pairs backtest feed.
+    * With a `cacheKey`, the collapsed frame is built ONCE per
+    * (session, corpus) as a pinned localCheckpoint (the pairCensus
+    * pattern): D60, D65 and D62 each collapsed the identical tick
+    * fact independently — 3 keys x 2 bench runs = 6 redundant
+    * scan+shuffle+aggregate passes; the checkpoint rows are
+    * bit-identical (deterministic max_by tie-break on tick_id), so
+    * every per-pair statistic downstream is unchanged. */
+  private def dailyCloses(ticks: DataFrame,
+                          cacheKey: Option[String] = None): DataFrame = {
+    def build = ticks
       .withColumn("cents", centsOf(col("bid")))
       .groupBy(col("symbol"), to_date(col("ts")).as("day"))
       .agg(max_by(col("cents"), col("tick_id")).as("cents"))
+    cacheKey match {
+      case None => build
+      case Some(k) =>
+        val ss = ticks.sparkSession
+        graft.SessionFrameCache.getOrBuild(ss, s"cointCloses|$k") {
+          val before = graft.CkptGc.snapshot(ss)
+          // AQE coalesces the tiny collapse to ONE partition; a
+          // 1-partition checkpoint serializes the map side of every
+          // downstream exchange (measured: a 1.1 s single-task stage
+          // under the D60 grid). 8 hash partitions keep those map
+          // sides parallel; deterministic hash keys (§2.5), and no
+          // downstream result depends on row order (exact-int
+          // aggregates / keyed joins / explicit final sorts).
+          val out = build.repartition(8, col("symbol"), col("day"))
+            .localCheckpoint(true)
+          graft.CkptGc.pinNewSince(ss, before)
+          out
+        }
+    }
+  }
 
   /** The full |pairs| × |days| grid (quadratic in symbols). */
   private def pairGrid(closes: DataFrame): DataFrame =
@@ -2076,7 +2103,18 @@ object Microstructure {
     * and the blocked screen so the two cannot drift on the math. */
   private def cointFit(grid: DataFrame): DataFrame = {
     val wPair = Window.partitionBy("sym_a", "sym_b").orderBy("day")
+    // Pin the pair-key exchange at the session's shuffle parallelism:
+    // the grid is CPU-dense but byte-light (compact int64 rows), so
+    // AQE's byte-based coalescing collapses the window+fit of the
+    // blocked screen's survivor grid to ONE task (measured 2x ~550 ms
+    // serial single-task stages). An explicit keyed repartition is
+    // exactly the exchange the window needs (same keys — no extra
+    // shuffle), scale-adaptive via spark.sql.shuffle.partitions, and
+    // per-pair results are partition-independent (exact-int sums).
+    val parts = grid.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val sums = grid
+      .repartition(parts, col("sym_a"), col("sym_b"))
       .withColumn("ya", lag(col("ca"), 1).over(wPair))
       .withColumn("xa", lag(col("cb"), 1).over(wPair))
       .groupBy("sym_a", "sym_b")
@@ -2151,10 +2189,12 @@ object Microstructure {
     * (ref capability: the pair-selection feed of the reference's ML
     * layer — SURVEY D60/G37.) */
   def cointegrationScreenBlocked(ticks: DataFrame, bands: Int = 2,
-                                 bandBits: Int = 7): DataFrame = {
+                                 bandBits: Int = 7,
+                                 cacheKey: Option[String] = None)
+      : DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 62,
       s"bad banding: $bands x $bandBits")
-    val closes = dailyCloses(ticks)
+    val closes = dailyCloses(ticks, cacheKey)
     val nBits = bands * bandBits
     val d0 = closes.agg(min(col("day")).as("d0"))
     val rel = closes.crossJoin(broadcast(d0))

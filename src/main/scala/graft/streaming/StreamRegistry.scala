@@ -164,6 +164,67 @@ object StreamRegistry {
     }
   }
 
+  /** The drive sink, replacing the memory sink (r18): a foreachBatch
+    * collector. The memory sink's `addBatch` collects EVERY batch's
+    * rows to the driver — in Complete mode that is the FULL result
+    * table re-collected per micro-batch, with all but the last copy
+    * discarded by the final rewrite (guide §5: no driver collect in
+    * the query path). Here intermediate Complete epochs execute
+    * through the noop sink instead — the identical micro-batch plan
+    * runs (every stateful operator advances its state exactly as
+    * before; the noop write computes every column of every row, the
+    * same full evaluation the memory sink's collect paid) but no rows
+    * cross to the driver — and only the FINAL epoch's full table is
+    * collected. Complete-mode equivalence: the memory sink's final
+    * table IS the last epoch's full result (each Complete addBatch
+    * replaces the table), which is exactly what the final collect
+    * captures. Append/Update epochs are collected as they emit (the
+    * memory sink collected them too — this drops only the second full
+    * copy the old detach paid re-collecting the sink table at the
+    * end, plus the temp-view register/drop churn). */
+  private final class BatchCollector {
+    private val buf =
+      scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    @volatile var finalRound = false
+    def add(df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            complete: Boolean): Unit =
+      if (complete && !finalRound) {
+        df.write.format("noop").mode("overwrite").save()
+      } else {
+        val rows = df.collect()
+        buf.synchronized {
+          if (complete) buf.clear()
+          buf ++= rows
+        }
+        ()
+      }
+    def rows: Seq[org.apache.spark.sql.Row] = buf.synchronized(buf.toVector)
+  }
+
+  /** Detached result frame from collected sink rows. Small sinks
+    * become a LocalRelation (no cluster job at all — the old
+    * parallelize detach paid a re-encode stage per drive); large ones
+    * keep the distributed re-parallelize so the 100x tape replays do
+    * not funnel a big sink through one driver-side encode. */
+  private def detached(s: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+                       schema: org.apache.spark.sql.types.StructType)
+      : DataFrame =
+    if (rows.length <= 65536) {
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    } else {
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, math.max(1, math.min(32,
+          rows.length / 4096 + 1))), schema)
+    }
+
+  /** Eagerly unload the stopped drive's state-store providers instead
+    * of leaving them for the 60 s maintenance cycle (see
+    * [[org.apache.spark.sql.execution.streaming.state.StreamStateJanitor]]). */
+  private def unloadDeadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state
+      .StreamStateJanitor.unloadAll()
+
   private def runBatches[T](s: SparkSession, batches: Seq[Seq[T]],
                             mode: OutputMode)
                            (plan: Dataset[T] => DataFrame)
@@ -171,34 +232,36 @@ object StreamRegistry {
     withStreamConf(s) {
       implicit val sqlCtx = s.sqlContext
       val in = MemoryStream[T]
-      val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
       val ckpt = freshCkptDir()
-      val q = prof("start")(plan(in.toDS()).writeStream.format("memory")
+      val complete = mode == OutputMode.Complete
+      val sdf = plan(in.toDS())
+      val outSchema = sdf.schema
+      val coll = new BatchCollector
+      val q = prof("start")(sdf.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
-        .queryName(name).outputMode(mode).start())
-      val out =
-        try {
-          batches.filter(_.nonEmpty).zipWithIndex.foreach { case (chunk, i) =>
-            prof(s"batch$i(${chunk.size})") {
-              in.addData(chunk: _*); q.processAllAvailable()
-            }
-            if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
-              System.err.println(s"[streamprof]   b=${p.batchId} " +
-                s"durationMs=${p.durationMs}")
-            }
+        .outputMode(mode)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => coll.add(df, complete))
+        .start())
+      try {
+        val live = batches.filter(_.nonEmpty)
+        live.zipWithIndex.foreach { case (chunk, i) =>
+          if (i == live.size - 1) coll.finalRound = true
+          prof(s"batch$i(${chunk.size})") {
+            in.addData(chunk: _*); q.processAllAvailable()
           }
-          if (profEnabled) q.explain() // the executed micro-batch plan
-          prof("detach") {
-            val sink = s.table(name)
-            val schema = sink.schema
-            val rows = sink.collect().toIndexedSeq
-            s.createDataFrame(
-              s.sparkContext.parallelize(rows, math.max(1, math.min(32,
-                rows.length / 4096 + 1))), schema)
+          if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
+            System.err.println(s"[streamprof]   b=${p.batchId} " +
+              s"durationMs=${p.durationMs}")
           }
-        } finally { prof("stop")(q.stop()); rmTree(ckpt) }
-      s.catalog.dropTempView(name)
-      out
+        }
+        if (profEnabled) q.explain() // the executed micro-batch plan
+        prof("detach")(detached(s, coll.rows, outSchema))
+      } finally {
+        prof("stop")(q.stop()); rmTree(ckpt)
+        unloadDeadStateStores()
+      }
     }
 
   /** Two-input variant of [[runTape]] for stream-stream joins: both
@@ -217,36 +280,37 @@ object StreamRegistry {
       implicit val sqlCtx = s.sqlContext
       val inA = MemoryStream[T]
       val inB = MemoryStream[T]
-      val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
       val ckpt = freshCkptDir()
-      val q = prof("start")(plan(inA.toDS(), inB.toDS())
-        .writeStream.format("memory")
+      val complete = mode == OutputMode.Complete
+      val sdf = plan(inA.toDS(), inB.toDS())
+      val outSchema = sdf.schema
+      val coll = new BatchCollector
+      val q = prof("start")(sdf.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
-        .queryName(name).outputMode(mode).start())
-      val out =
-        try {
-          val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
-          val perB = math.max(1, (tapeB.size + chunks - 1) / chunks)
-          val ga = tapeA.grouped(perA).toSeq
-          val gb = tapeB.grouped(perB).toSeq
-          (0 until math.max(ga.size, gb.size)).foreach { i =>
-            prof(s"batch$i") {
-              if (i < gb.size) inB.addData(gb(i): _*)
-              if (i < ga.size) inA.addData(ga(i): _*)
-              q.processAllAvailable()
-            }
+        .outputMode(mode)
+        .foreachBatch(
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => coll.add(df, complete))
+        .start())
+      try {
+        val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
+        val perB = math.max(1, (tapeB.size + chunks - 1) / chunks)
+        val ga = tapeA.grouped(perA).toSeq
+        val gb = tapeB.grouped(perB).toSeq
+        val rounds = math.max(ga.size, gb.size)
+        (0 until rounds).foreach { i =>
+          if (i == rounds - 1) coll.finalRound = true
+          prof(s"batch$i") {
+            if (i < gb.size) inB.addData(gb(i): _*)
+            if (i < ga.size) inA.addData(ga(i): _*)
+            q.processAllAvailable()
           }
-          prof("detach") {
-            val sink = s.table(name)
-            val schema = sink.schema
-            val rows = sink.collect().toIndexedSeq
-            s.createDataFrame(
-              s.sparkContext.parallelize(rows, math.max(1, math.min(32,
-                rows.length / 4096 + 1))), schema)
-          }
-        } finally { prof("stop")(q.stop()); rmTree(ckpt) }
-      s.catalog.dropTempView(name)
-      out
+        }
+        prof("detach")(detached(s, coll.rows, outSchema))
+      } finally {
+        prof("stop")(q.stop()); rmTree(ckpt)
+        unloadDeadStateStores()
+      }
     }
 
   /** Collapse a small batch-trained frame to a LocalRelation with the
@@ -287,6 +351,46 @@ object StreamRegistry {
           r.getDouble(3))).toSeq
     }
 
+  /** The documents tape in doc_id order — SESSION-MEMOIZED like
+    * [[tickTape]]: five registry keys (G3 dedup, G7 near-dup, G23 cms,
+    * G27 classifier, G34 manifest) drive this identical tape, and each
+    * previously paid its own parquet scan + global sort + driver
+    * collect per invocation (x2 under the bench's double-run
+    * protocol). Read-only after construction. */
+  private def docTape(s: SparkSession, d: String): Seq[Doc] =
+    graft.SessionFrameCache.getOrBuild(s, s"stream_doc_tape:$d") {
+      Tables.documents(s, d).select("doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    }
+
+  /** The (doc_id, source, text) tape in doc_id order — shared by G28
+    * (KS drift) and G31 (HLL novelty); memoized like [[docTape]]. */
+  private def sourcedDocTape(s: SparkSession, d: String)
+      : Seq[Streaming.SourcedDoc] =
+    graft.SessionFrameCache.getOrBuild(s, s"stream_sourceddoc_tape:$d") {
+      Tables.documents(s, d).select("doc_id", "source", "text")
+        .orderBy("doc_id").collect()
+        .map(r => Streaming.SourcedDoc(r.getLong(0), r.getString(1),
+          r.getString(2))).toSeq
+    }
+
+  /** The trade tape (event_id, symbol, ts, cents, json k) in event_id
+    * order — shared by G18 (volume bars) and G26 (running VWAP);
+    * memoized like [[docTape]]. */
+  private def barTradeTape(s: SparkSession, d: String)
+      : Seq[Streaming.BarTrade] =
+    graft.SessionFrameCache.getOrBuild(s, s"stream_bartrade_tape:$d") {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id").as("symbol"), col("ts"),
+          expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cents"),
+          coalesce(get_json_object(col("props"), "$.k").cast("long"),
+            lit(0L)).as("k"))
+        .orderBy("event_id").collect()
+        .map(r => Streaming.BarTrade(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getLong(3), r.getLong(4))).toSeq
+    }
+
   /** One sentinel tick per symbol at (tape horizon + 1 day) 07:51 UTC
     * — strictly past every tape (day, slot), so it closes any open
     * session window; its own window never closes and never emits. */
@@ -325,12 +429,15 @@ object StreamRegistry {
   /** G13 twin key: streaming daily VWAP bars over the events tape
     * (json qty rides the tape rows). */
   def streamVwap(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.events(s, d)
-      .select("event_id", "user_id", "ts", "value", "props")
-      .orderBy("event_id")
-      .collect()
-      .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getDouble(3), r.getString(4))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_ev_tape:$d") {
+      Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "value", "props")
+        .orderBy("event_id")
+        .collect()
+        .map(r => Ev(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getDouble(3), r.getString(4))).toSeq
+    }
     runTape(s, tape, OutputMode.Complete)(
       t => Streaming.vwapBars(t.toDF()))
       .orderBy("symbol", "bucket_start")
@@ -353,10 +460,7 @@ object StreamRegistry {
     * aggregation over the documents tape — streaming state IS the
     * sketch (≤ 4·1024 int64 cells). */
   def streamCms(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.documents(s, d).select("doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
-    runTape(s, tape, OutputMode.Complete)(
+    runTape(s, docTape(s, d), OutputMode.Complete)(
       t => Streaming.cmsCellCounts(t.toDF()))
       .orderBy("rw", "cell")
   }
@@ -370,13 +474,16 @@ object StreamRegistry {
   def streamCdc(s: SparkSession, d: String): DataFrame = {
     import Streaming.Change
     implicit val chEnc: Encoder[Change] = Encoders.product[Change]
-    val tape = Tables.events(s, d)
-      .select(col("event_id").as("seq"), col("user_id").as("key"),
-        when(col("event_type") === "error", "D").otherwise("U").as("op"),
-        col("value"))
-      .orderBy("seq").collect()
-      .map(r => Change(r.getLong(0), r.getLong(1), r.getString(2),
-        r.getDouble(3))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_change_tape:$d") {
+      Tables.events(s, d)
+        .select(col("event_id").as("seq"), col("user_id").as("key"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+        .orderBy("seq").collect()
+        .map(r => Change(r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSeq
+    }
     val sink = runTape(s, tape, OutputMode.Update)(
       t => Streaming.cdcState(t).toDF())
     import org.apache.spark.sql.expressions.Window
@@ -394,15 +501,7 @@ object StreamRegistry {
       : DataFrame = {
     import Streaming.BarTrade
     implicit val btEnc: Encoder[BarTrade] = Encoders.product[BarTrade]
-    val tape = Tables.events(s, d)
-      .select(col("event_id"), col("user_id").as("symbol"), col("ts"),
-        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cents"),
-        coalesce(get_json_object(col("props"), "$.k").cast("long"),
-          lit(0L)).as("k"))
-      .orderBy("event_id").collect()
-      .map(r => BarTrade(r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getLong(3), r.getLong(4))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, barTradeTape(s, d), OutputMode.Append)(
       t => Streaming.volumeBarState(t, barQty).toDF())
       .orderBy("symbol", "bar_id")
   }
@@ -442,15 +541,7 @@ object StreamRegistry {
       : DataFrame = {
     import Streaming.BarTrade
     implicit val btEnc: Encoder[BarTrade] = Encoders.product[BarTrade]
-    val tape = Tables.events(s, d)
-      .select(col("event_id"), col("user_id").as("symbol"), col("ts"),
-        expr("CAST(round(value * 100.0, 0) AS BIGINT)").as("cents"),
-        coalesce(get_json_object(col("props"), "$.k").cast("long"),
-          lit(0L)).as("k"))
-      .orderBy("event_id").collect()
-      .map(r => BarTrade(r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getLong(3), r.getLong(4))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, barTradeTape(s, d), OutputMode.Append)(
       t => Streaming.runningVwapPoints(t, fillEvery).toDF())
       .orderBy("symbol", "fill_id")
   }
@@ -479,10 +570,7 @@ object StreamRegistry {
     * live document feed — stateless per-row margin fold through the
     * native PolyHash, admission on the exact int64 sign. */
   def streamClassifier(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.documents(s, d).select("doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, docTape(s, d), OutputMode.Append)(
       t => Streaming.classifierAdmission(t))
       .orderBy("doc_id")
   }
@@ -495,11 +583,7 @@ object StreamRegistry {
   def streamHll(s: SparkSession, d: String): DataFrame = {
     import Streaming.SourcedDoc
     implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
-    val tape = Tables.documents(s, d).select("doc_id", "source", "text")
-      .orderBy("doc_id").collect()
-      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
-        r.getString(2))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, sourcedDocTape(s, d), OutputMode.Append)(
       t => Streaming.hllNdvPoints(t, 2).toDF())
       .orderBy("source", "n_zero_registers", "sum_scaled")
   }
@@ -542,11 +626,14 @@ object StreamRegistry {
   def streamPathEdges(s: SparkSession, d: String): DataFrame = {
     import Streaming.PathEvent
     implicit val peEnc: Encoder[PathEvent] = Encoders.product[PathEvent]
-    val tape = Tables.events(s, d)
-      .select("event_id", "user_id", "ts", "event_type")
-      .orderBy("event_id").collect()
-      .map(r => PathEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getString(3))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_pathevent_tape:$d") {
+      Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type")
+        .orderBy("event_id").collect()
+        .map(r => PathEvent(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3))).toSeq
+    }
     runTape(s, tape, OutputMode.Append)(
       t => Streaming.pathEdges(t).toDF())
       .orderBy("user_id", "prev_type", "next_type")
@@ -557,10 +644,7 @@ object StreamRegistry {
     * bounds / mod-p content checksum (n_docs strictly increases per
     * emission, so the ladder rows are distinct by construction). */
   def streamManifest(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.documents(s, d).select("doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, docTape(s, d), OutputMode.Append)(
       t => Streaming.manifestPoints(t).toDF())
       .orderBy("split", "n_docs")
   }
@@ -572,11 +656,16 @@ object StreamRegistry {
     * the stream applies them to per-minute windowed counts via a
     * broadcast stream-static join (Complete over the bounded tape). */
   def streamBurst(s: SparkSession, d: String, pct: Double): DataFrame = {
-    val trained = localized(Tables.ticks(s, d)
-      .groupBy(col("symbol"), window(col("ts"), "1 minute"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("symbol")
-      .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr")))
+    // offline-trained artifact: one batch training job per
+    // (session, corpus, pct) — memoized like [[centroidArtifacts]]
+    val trained = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_burst_trained:$d:$pct") {
+      localized(Tables.ticks(s, d)
+        .groupBy(col("symbol"), window(col("ts"), "1 minute"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("symbol")
+        .agg(round(expr(s"percentile(n, $pct)"), 4).as("thr")))
+    }
     runTape(s, tickTape(s, d), OutputMode.Complete)(
       t => Streaming.burstFlags(t.toDF(), trained,
         windowDur = "1 minute"))
@@ -589,8 +678,11 @@ object StreamRegistry {
     * against the broadcast table. */
   def streamSeasonal(s: SparkSession, d: String, threshold: Double)
       : DataFrame = {
-    val baseline = localized(graft.operators.Microstructure
-      .seasonalBaseline(Tables.ticks(s, d)))
+    val baseline = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_seasonal_baseline:$d") {
+      localized(graft.operators.Microstructure
+        .seasonalBaseline(Tables.ticks(s, d)))
+    }
     runTape(s, tickTape(s, d), OutputMode.Append)(
       t => Streaming.seasonalFlags(t, baseline, threshold))
       .orderBy("symbol", "tick_id")
@@ -628,16 +720,19 @@ object StreamRegistry {
   def streamPit(s: SparkSession, d: String): DataFrame = {
     import Streaming.PitEvent
     implicit val peEnc: Encoder[PitEvent] = Encoders.product[PitEvent]
-    val tape = Tables.events(s, d)
-      .filter(col("event_type").isin("click", "view", "purchase"))
-      .select(col("user_id").as("symbol"), col("ts"),
-        when(col("event_type") === "click", 0)
-          .when(col("event_type") === "view", 2)
-          .otherwise(1).as("kind"),
-        col("event_id").as("id"), col("value").as("v"))
-      .orderBy("id").collect()
-      .map(r => PitEvent(r.getLong(0), r.getTimestamp(1), r.getInt(2),
-        r.getLong(3), r.getDouble(4))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_pitevent_tape:$d") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id").as("symbol"), col("ts"),
+          when(col("event_type") === "click", 0)
+            .when(col("event_type") === "view", 2)
+            .otherwise(1).as("kind"),
+          col("event_id").as("id"), col("value").as("v"))
+        .orderBy("id").collect()
+        .map(r => PitEvent(r.getLong(0), r.getTimestamp(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    }
     runTape(s, tape, OutputMode.Append)(
       t => Streaming.pitServePoints(t).toDF())
       .orderBy("fact_id")
@@ -651,13 +746,14 @@ object StreamRegistry {
       : DataFrame = {
     import Streaming.SourcedDoc
     implicit val sdEnc: Encoder[SourcedDoc] = Encoders.product[SourcedDoc]
-    val docs = Tables.documents(s, d)
-    val ref = graft.operators.CorpusPipeline.lengthCdf(docs, maxLen)
-    val tape = docs.select("doc_id", "source", "text")
-      .orderBy("doc_id").collect()
-      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
-        r.getString(2))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    // the offline-trained reference CDF: one batch job per
+    // (session, corpus, maxLen) — memoized like [[centroidArtifacts]]
+    val ref = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_ks_ref:$d:$maxLen") {
+      graft.operators.CorpusPipeline.lengthCdf(Tables.documents(s, d),
+        maxLen)
+    }
+    runTape(s, sourcedDocTape(s, d), OutputMode.Append)(
       t => Streaming.ksDriftPoints(t, ref, maxLen).toDF())
       .orderBy("source", "n_docs")
   }
@@ -683,16 +779,19 @@ object StreamRegistry {
     * replays exactly that order. */
   def streamLate(s: SparkSession, d: String, delayUs: Long): DataFrame = {
     import org.apache.spark.sql.functions.{pmod, unix_micros}
-    val p = graft.functions.PortableText.P
-    val jitter = pmod(pmod(col("tick_id"), lit(p)) * lit(2654435761L),
-      lit(p)).%(lit(1200000000L)).-(lit(600000000L))
-    val tape = Tables.ticks(s, d)
-      .select(col("tick_id"), col("symbol"), col("ts"), col("bid"),
-        (unix_micros(col("ts")) + jitter).as("arr"))
-      .orderBy("arr", "tick_id")
-      .collect()
-      .map(r => Tick(r.getLong(0), r.getLong(1), r.getTimestamp(2),
-        r.getDouble(3))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_late_tape:$d") {
+      val p = graft.functions.PortableText.P
+      val jitter = pmod(pmod(col("tick_id"), lit(p)) * lit(2654435761L),
+        lit(p)).%(lit(1200000000L)).-(lit(600000000L))
+      Tables.ticks(s, d)
+        .select(col("tick_id"), col("symbol"), col("ts"), col("bid"),
+          (unix_micros(col("ts")) + jitter).as("arr"))
+        .orderBy("arr", "tick_id")
+        .collect()
+        .map(r => Tick(r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getDouble(3))).toSeq
+    }
     runTape(s, tape, OutputMode.Append)(
       t => Streaming.lateFlags(t, delayUs).toDF())
       .orderBy("tick_id")
@@ -704,13 +803,16 @@ object StreamRegistry {
     import Streaming.FunnelEvent
     implicit val feEnc: Encoder[FunnelEvent] =
       Encoders.product[FunnelEvent]
-    val tape = Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"),
-        col("event_type"))
-      .orderBy(unix_micros(col("ts")), col("event_id")).collect()
-      .map(r => FunnelEvent(r.getLong(0), r.getLong(1),
-        r.getTimestamp(2), r.getString(3))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_funnel_tape:$d") {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .orderBy(unix_micros(col("ts")), col("event_id")).collect()
+        .map(r => FunnelEvent(r.getLong(0), r.getLong(1),
+          r.getTimestamp(2), r.getString(3))).toSeq
+    }
     runTape(s, tape, OutputMode.Append)(
       t => Streaming.funnelProgress(t, "view", "click", "purchase",
         tauUs).toDF())
@@ -721,17 +823,18 @@ object StreamRegistry {
     * ordering contract: rank by the multiplicative hash, ties by
     * doc_id — a backfill replaying the batch walk). */
   private def hashWalkTape(s: SparkSession, d: String)
-      : Seq[Streaming.SourcedDoc] = {
-    import Streaming.SourcedDoc
-    val p = graft.functions.PortableText.P
-    Tables.documents(s, d).select("doc_id", "source", "text")
-      .withColumn("rnk",
-        pmod(pmod(col("doc_id"), lit(p)) + lit(p), lit(p))
-          * lit(2654435761L) % lit(p))
-      .orderBy("rnk", "doc_id").collect()
-      .map(r => SourcedDoc(r.getLong(0), r.getString(1),
-        r.getString(2))).toSeq
-  }
+      : Seq[Streaming.SourcedDoc] =
+    graft.SessionFrameCache.getOrBuild(s, s"stream_hashwalk_tape:$d") {
+      import Streaming.SourcedDoc
+      val p = graft.functions.PortableText.P
+      Tables.documents(s, d).select("doc_id", "source", "text")
+        .withColumn("rnk",
+          pmod(pmod(col("doc_id"), lit(p)) + lit(p), lit(p))
+            * lit(2654435761L) % lit(p))
+        .orderBy("rnk", "doc_id").collect()
+        .map(r => SourcedDoc(r.getLong(0), r.getString(1),
+          r.getString(2))).toSeq
+    }
 
   /** G9 twin key: token-budget admission on the hash walk — the
     * prefix-cut quota enforced live, decisions matching the batch
@@ -760,10 +863,7 @@ object StreamRegistry {
     * doc_id order; a band flags when its bucket was already claimed,
     * so the flag set equals "an earlier doc shares the bucket". */
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.documents(s, d).select("doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, docTape(s, d), OutputMode.Append)(
       t => Streaming.nearDupBandFlags(t.toDF()).toDF())
       .orderBy("doc_id", "band")
   }
@@ -790,9 +890,12 @@ object StreamRegistry {
     * bucket rule, which is what the oracle replays. */
   def streamDupSpectrum(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
-    val tape = graft.operators.RichCorpus.dupDocs(base)
-      .select("doc_id", "text").orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_dup_tape:$d") {
+      graft.operators.RichCorpus.dupDocs(base)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
+    }
     val flags = runTape(s, tape, OutputMode.Append)(
       t => Streaming.nearDupBandFlags(t.toDF()).toDF())
     val verdict = flags.groupBy("doc_id")
@@ -815,11 +918,14 @@ object StreamRegistry {
     * banded point the moment a day closes with a FULL h-day window
     * (the final open day never emits). */
   def streamVolCone(s: SparkSession, d: String, h: Int): DataFrame = {
-    val cones = graft.operators.Microstructure
-      .volCones(Tables.ticks(s, d), Seq(h))
-      .select("symbol", "rv_p25", "rv_p75").collect()
-      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
-      .toMap
+    val cones = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_volcone_trained:$d:$h") {
+      graft.operators.Microstructure
+        .volCones(Tables.ticks(s, d), Seq(h))
+        .select("symbol", "rv_p25", "rv_p75").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    }
     runTape(s, tickTape(s, d), OutputMode.Append)(
       t => Streaming.volConeAlerts(t, cones, h).toDF())
       .orderBy("symbol", "day")
@@ -853,7 +959,7 @@ object StreamRegistry {
         chunks.drop(1).foreach { c =>
           in.addData(c: _*); q.processAllAvailable()
         }
-      } finally { q.stop(); rmTree(ckpt) }
+      } finally { q.stop(); rmTree(ckpt); unloadDeadStateStores() }
       if (chunks.size > 1)
         Streaming.upsertBatch(table, Seq("tick_id"))(
           s.createDataFrame(chunks.last), chunks.size - 1L)
@@ -867,8 +973,7 @@ object StreamRegistry {
         .orderBy("symbol")
       val schema = audit.schema
       val rows = audit.collect().toIndexedSeq
-      s.createDataFrame(s.sparkContext.parallelize(rows,
-        math.max(1, rows.length / 4096 + 1)), schema)
+      detached(s, rows, schema)
     } finally {
       s.sql(s"DROP TABLE IF EXISTS $table")
       ()
@@ -890,10 +995,7 @@ object StreamRegistry {
   /** G3 twin key: streaming exact dedup over the documents tape in
     * doc_id order — first arrival per md5 content hash wins. */
   def streamDedupExact(s: SparkSession, d: String): DataFrame = {
-    val tape = Tables.documents(s, d).select("doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(r => Doc(r.getLong(0), r.getString(1))).toSeq
-    runTape(s, tape, OutputMode.Append)(
+    runTape(s, docTape(s, d), OutputMode.Append)(
       t => Streaming.dedupExact(t).toDF())
       .orderBy("doc_id")
   }
@@ -1011,21 +1113,31 @@ object StreamRegistry {
     * final weights, flagged at the batch p99 (sentinel-closed). */
   def streamGdScores(s: SparkSession, d: String, k: Int, h: Int,
                      epochs: Int, lr: Double, pct: Double): DataFrame = {
-    val ticks = Tables.ticks(s, d)
-    val fit = Features.gdFit(ticks, k, h, epochs, lr, 0.6, 0.2, Some(d))
-    val chain = Features.slotChain(ticks, k, 0.6, 0.2, Some(d))
-    val scalers = Features.trainScaler(chain.tagged).collect().map { r =>
-      r.getLong(0) -> ((r.getDouble(1),
-        if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
-    }.toMap
-    val weights: Map[Long, (Seq[Double], Seq[Double])] =
-      fit.weights.map { case (sym, a) =>
-        sym -> ((a.take(h * k).toSeq, a.drop(h * k).toSeq))
+    // batch-trained artifact set (weights / scalers / p99 band): one
+    // build per (session, corpus, hyperparameters) — memoized like
+    // [[centroidArtifacts]] (gdFit/slotChain are themselves cached;
+    // this also skips the repeated scaler/threshold collect jobs)
+    val (scalers, weights, thresholds) =
+      graft.SessionFrameCache.getOrBuild(
+        s, s"stream_gd_artifacts:$d:$k:$h:$epochs:$lr:$pct") {
+        val ticks = Tables.ticks(s, d)
+        val fit = Features.gdFit(ticks, k, h, epochs, lr, 0.6, 0.2,
+          Some(d))
+        val chain = Features.slotChain(ticks, k, 0.6, 0.2, Some(d))
+        val sc = Features.trainScaler(chain.tagged).collect().map { r =>
+          r.getLong(0) -> ((r.getDouble(1),
+            if (r.isNullAt(2)) 0.0 else r.getDouble(2)))
+        }.toMap
+        val w: Map[Long, (Seq[Double], Seq[Double])] =
+          fit.weights.map { case (sym, a) =>
+            sym -> ((a.take(h * k).toSeq, a.drop(h * k).toSeq))
+          }
+        val th = fit.errs.filter(col("split") === "test")
+          .groupBy("symbol")
+          .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        (sc, w, th)
       }
-    val thresholds = fit.errs.filter(col("split") === "test")
-      .groupBy("symbol")
-      .agg(expr(s"percentile(err_ppm, $pct)").as("qu"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     runTape(s, withSentinels(tickTape(s, d)), OutputMode.Append)(
       t => Streaming.gdModelScores(t, k, scalers, weights,
         thresholds).toDF())
@@ -1054,8 +1166,11 @@ object StreamRegistry {
     * series, n≥2 + positive-variance gating — against a roster both
     * sides can derive from the data alone. */
   def streamPairZ(s: SparkSession, d: String, nPairs: Int): DataFrame = {
-    val syms = Tables.ticks(s, d).select("symbol").distinct()
-      .orderBy("symbol").collect().map(_.getLong(0)).toSeq
+    val syms = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_symbol_roster:$d") {
+      Tables.ticks(s, d).select("symbol").distinct()
+        .orderBy("symbol").collect().map(_.getLong(0)).toSeq
+    }
     val pairs = syms.grouped(2)
       .collect { case Seq(a, b) => (a, b) }.take(nPairs).toSeq
     val betas = pairs.zipWithIndex
@@ -1111,8 +1226,11 @@ object StreamRegistry {
     import graft.operators.Multimodal
     implicit val mediaEnc: Encoder[Multimodal.MediaRow] =
       Encoders.product[Multimodal.MediaRow]
-    val tape = Multimodal.syntheticDupMedia(s, nDistinct)
-      .collect().sortBy(_.media_id).toSeq
+    val tape = graft.SessionFrameCache.getOrBuild(
+      s, s"stream_media_tape:$nDistinct") {
+      Multimodal.syntheticDupMedia(s, nDistinct)
+        .collect().sortBy(_.media_id).toSeq
+    }
     runTape(s, tape, OutputMode.Append)(
       m => Streaming.mediaAdmission(m).toDF())
       .orderBy("media_id")
