@@ -236,32 +236,49 @@ object StreamRegistry {
       val complete = mode == OutputMode.Complete
       val sdf = plan(in.toDS())
       val outSchema = sdf.schema
+      // Complete mode drives through the foreachBatch collector (skip
+      // the N-1 intermediate full-table collects); Append/Update keep
+      // the memory sink — their per-epoch emissions must be captured
+      // anyway, and an A/B showed the foreachBatch path costs a fresh
+      // QueryExecution per epoch (~+0.5 s on the emission-heavy keys)
+      // while the memory sink write rides the micro-batch execution.
       val coll = new BatchCollector
-      val q = prof("start")(sdf.writeStream
+      val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+      val writer = sdf.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode(mode)
-        .foreachBatch(
-          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) => coll.add(df, complete))
-        .start())
-      try {
-        val live = batches.filter(_.nonEmpty)
-        live.zipWithIndex.foreach { case (chunk, i) =>
-          if (i == live.size - 1) coll.finalRound = true
-          prof(s"batch$i(${chunk.size})") {
-            in.addData(chunk: _*); q.processAllAvailable()
+      val q = prof("start")(
+        (if (complete)
+          writer.foreachBatch(
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) => coll.add(df, complete = true))
+        else writer.format("memory").queryName(name)).start())
+      val out =
+        try {
+          val live = batches.filter(_.nonEmpty)
+          live.zipWithIndex.foreach { case (chunk, i) =>
+            if (i == live.size - 1) coll.finalRound = true
+            prof(s"batch$i(${chunk.size})") {
+              in.addData(chunk: _*); q.processAllAvailable()
+            }
+            if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
+              System.err.println(s"[streamprof]   b=${p.batchId} " +
+                s"durationMs=${p.durationMs}")
+            }
           }
-          if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
-            System.err.println(s"[streamprof]   b=${p.batchId} " +
-              s"durationMs=${p.durationMs}")
+          if (profEnabled) q.explain() // the executed micro-batch plan
+          prof("detach") {
+            val rows =
+              if (complete) coll.rows
+              else s.table(name).collect().toIndexedSeq
+            detached(s, rows, outSchema)
           }
+        } finally {
+          prof("stop")(q.stop()); rmTree(ckpt)
+          unloadDeadStateStores()
         }
-        if (profEnabled) q.explain() // the executed micro-batch plan
-        prof("detach")(detached(s, coll.rows, outSchema))
-      } finally {
-        prof("stop")(q.stop()); rmTree(ckpt)
-        unloadDeadStateStores()
-      }
+      if (!complete) s.catalog.dropTempView(name)
+      out
     }
 
   /** Two-input variant of [[runTape]] for stream-stream joins: both
@@ -281,36 +298,33 @@ object StreamRegistry {
       val inA = MemoryStream[T]
       val inB = MemoryStream[T]
       val ckpt = freshCkptDir()
-      val complete = mode == OutputMode.Complete
       val sdf = plan(inA.toDS(), inB.toDS())
       val outSchema = sdf.schema
-      val coll = new BatchCollector
-      val q = prof("start")(sdf.writeStream
+      val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+      val q = prof("start")(sdf.writeStream.format("memory")
         .option("checkpointLocation", ckpt.getAbsolutePath)
-        .outputMode(mode)
-        .foreachBatch(
-          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) => coll.add(df, complete))
-        .start())
-      try {
-        val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
-        val perB = math.max(1, (tapeB.size + chunks - 1) / chunks)
-        val ga = tapeA.grouped(perA).toSeq
-        val gb = tapeB.grouped(perB).toSeq
-        val rounds = math.max(ga.size, gb.size)
-        (0 until rounds).foreach { i =>
-          if (i == rounds - 1) coll.finalRound = true
-          prof(s"batch$i") {
-            if (i < gb.size) inB.addData(gb(i): _*)
-            if (i < ga.size) inA.addData(ga(i): _*)
-            q.processAllAvailable()
+        .queryName(name).outputMode(mode).start())
+      val out =
+        try {
+          val perA = math.max(1, (tapeA.size + chunks - 1) / chunks)
+          val perB = math.max(1, (tapeB.size + chunks - 1) / chunks)
+          val ga = tapeA.grouped(perA).toSeq
+          val gb = tapeB.grouped(perB).toSeq
+          (0 until math.max(ga.size, gb.size)).foreach { i =>
+            prof(s"batch$i") {
+              if (i < gb.size) inB.addData(gb(i): _*)
+              if (i < ga.size) inA.addData(ga(i): _*)
+              q.processAllAvailable()
+            }
           }
+          prof("detach")(detached(s,
+            s.table(name).collect().toIndexedSeq, outSchema))
+        } finally {
+          prof("stop")(q.stop()); rmTree(ckpt)
+          unloadDeadStateStores()
         }
-        prof("detach")(detached(s, coll.rows, outSchema))
-      } finally {
-        prof("stop")(q.stop()); rmTree(ckpt)
-        unloadDeadStateStores()
-      }
+      s.catalog.dropTempView(name)
+      out
     }
 
   /** Collapse a small batch-trained frame to a LocalRelation with the
