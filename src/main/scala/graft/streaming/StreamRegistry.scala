@@ -209,7 +209,7 @@ object StreamRegistry {
   private def detached(s: SparkSession, rows: Seq[org.apache.spark.sql.Row],
                        schema: org.apache.spark.sql.types.StructType)
       : DataFrame =
-    if (rows.length <= 65536) {
+    if (rows.length <= 16384) {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
     } else {
@@ -218,12 +218,22 @@ object StreamRegistry {
           rows.length / 4096 + 1))), schema)
     }
 
-  /** Eagerly unload the stopped drive's state-store providers instead
-    * of leaving them for the 60 s maintenance cycle (see
-    * [[org.apache.spark.sql.execution.streaming.state.StreamStateJanitor]]). */
+  /** Eagerly unload stopped drives' state-store providers instead of
+    * leaving them for the 60 s maintenance cycle (see
+    * [[org.apache.spark.sql.execution.streaming.state.StreamStateJanitor]]).
+    * Every 4th drive, not every drive: the unload itself costs
+    * ~0.1-0.2 s (provider close + maintenance-pool churn), so a
+    * per-drive call taxes all 49 keys to bound memory that only
+    * accumulates meaningfully across MANY drives; a 4-drive bound
+    * keeps peak dead-provider state at <= 4 drives' worth (the 100x
+    * replay's driver-memory concern) at a quarter of the cost. */
+  private val drivesSinceUnload = new java.util.concurrent.atomic.AtomicInteger(0)
   private def unloadDeadStateStores(): Unit =
-    org.apache.spark.sql.execution.streaming.state
-      .StreamStateJanitor.unloadAll()
+    if (drivesSinceUnload.incrementAndGet() >= 4) {
+      drivesSinceUnload.set(0)
+      org.apache.spark.sql.execution.streaming.state
+        .StreamStateJanitor.unloadAll()
+    }
 
   private def runBatches[T](s: SparkSession, batches: Seq[Seq[T]],
                             mode: OutputMode)
@@ -301,6 +311,19 @@ object StreamRegistry {
       val sdf = plan(inA.toDS(), inB.toDS())
       val outSchema = sdf.schema
       val name = s"graft_stream_sink_${sinkCtr.incrementAndGet()}"
+      // Skip the no-data micro-batch after each drained round (scoped,
+      // restored in finally): the G6 drive is an INNER stream-stream
+      // interval join — matches emit in the data batch that completes
+      // them, and a no-data batch's only work is state EVICTION, which
+      // cannot change inner-join output (rows evicted are exactly those
+      // past the watermark no future row can match). Each round
+      // previously ran data-batch + no-data-batch: 8 micro-batches'
+      // fixed cost (4 state stores x 8 partitions each) for 4 rounds
+      // of data. Sink contents are identical — oracle-checked — and a
+      // deployment that wants eager eviction keeps the default.
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "false")
       val q = prof("start")(sdf.writeStream.format("memory")
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .queryName(name).outputMode(mode).start())
@@ -316,11 +339,19 @@ object StreamRegistry {
               if (i < ga.size) inA.addData(ga(i): _*)
               q.processAllAvailable()
             }
+            if (profEnabled) q.recentProgress.takeRight(2).foreach { p =>
+              System.err.println(s"[streamprof]   b=${p.batchId} " +
+                s"durationMs=${p.durationMs}")
+            }
           }
           prof("detach")(detached(s,
             s.table(name).collect().toIndexedSeq, outSchema))
         } finally {
           prof("stop")(q.stop()); rmTree(ckpt)
+          prevNoData match {
+            case Some(v) => s.conf.set(noDataKey, v)
+            case None => s.conf.unset(noDataKey)
+          }
           unloadDeadStateStores()
         }
       s.catalog.dropTempView(name)
